@@ -1,0 +1,286 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational analytics over the TPC-H-ish tables — the Catalyst-builtin layer
+  * of SURVEY.md §2.8 (the reference has no relational engine; parity-plus comes
+  * from Spark). Every query here has a DuckDB oracle in [[Relational.oracles]].
+  *
+  * Determinism rules (so the driver's hash-compare passes):
+  *   - money sums go through DECIMAL(18,2)/(22,6) so partial-agg order can't
+  *     perturb low bits; final output is cast back to DOUBLE (same type in
+  *     DuckDB).
+  *   - integer sums cast to BIGINT in the oracle (DuckDB SUM(BIGINT)→HUGEINT).
+  *   - every ORDER BY carries a unique tie-break key.
+  *   - timestamps leave the query as epoch-second BIGINTs (parquet ns vs µs).
+  *
+  * Scale notes (100 TB): all aggregations are partial+final hash aggregates
+  * (map-side combine free); joins on orders/customer broadcast the small side
+  * explicitly; no collect/driver-side loops anywhere.
+  */
+object Relational {
+
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+
+  // sum over DECIMAL, surfaced as DOUBLE — deterministic across partition orders
+  private def dsum(c: Column): Column = sum(dec2(c)).cast("double")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q1: full-scan partial+final hash agg; only 4 columns read.
+    "q1_agg" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(22,6)")).cast("double").as("sum_disc_price"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // TPC-H Q6: tight filter → scalar agg; filters push to the parquet scan.
+    "q2_filter_agg" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(22,6)")).cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    // TPC-H Q3 shape: two joins; customer & orders are the small sides at any
+    // SF relative to lineitem — broadcast customer, shuffle-join orders.
+    "q3_join_agg" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val cust = t.customer.filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = t.orders
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_orderdate")
+      t.lineitem
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("o_epoch"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(22,6)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // TPC-H Q4 shape: EXISTS → left-semi join, agg on orders.
+    "q4_semijoin" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val late = t.lineitem.select(col("l_orderkey"), col("l_shipdate"))
+      t.orders
+        .join(late,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    },
+
+    // NOT EXISTS → left-anti join.
+    "q5_antijoin" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders.filter(col("o_orderstatus") === "F")
+            .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+          dsum(col("c_acctbal")).as("sum_acctbal"))
+    },
+
+    // Window functions: rank suppliers' lineitems by extendedprice.
+    "q6_window" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"))
+      t.lineitem
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"),
+          row_number().over(w).cast("long").as("rn"))
+        .filter(col("rn") <= 3)
+    },
+
+    // Rollup (grouping sets) over part brand/type.
+    "q7_rollup" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.part
+        .rollup(col("p_brand"), col("p_type"))
+        .agg(count(lit(1)).as("n_parts"),
+          dsum(col("p_retailprice")).as("sum_price"),
+          max(col("p_size")).as("max_size"))
+    },
+
+    // Events: hourly tumbling aggregation (batch shape of the streaming
+    // windowed agg; epoch-second output dodges ns/µs parquet mismatch).
+    "q8_events_hourly" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.events
+        .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value")).as("sum_value"),
+          max(col("value")).as("max_value"))
+    },
+
+    // Top-k distinct users per event type (countDistinct + order/limit).
+    "q9_distinct" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.events
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+    },
+
+    // Set ops: union / intersect / except over customer keys of two segments.
+    "q10_setops" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val a = t.customer.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val b = t.customer.filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey"))
+      a.intersect(b).withColumn("op", lit("both"))
+        .unionByName(a.except(b).withColumn("op", lit("building_only")))
+        .groupBy("op").agg(count(lit(1)).as("n"))
+    },
+
+    // 5-table star join: revenue by nation (TPC-H Q5 shape). All dims
+    // broadcast; the single shuffle is the lineitem↔orders join.
+    "q11_star_join" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val ord = t.orders
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      t.lineitem
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t.customer.select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(22,6)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // Correlated-style per-group comparison: parts above their brand's average
+    // retail price (windowed avg, no self-join / no shuffle beyond one hash).
+    "q12_above_avg" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(col("p_brand"))
+      t.part
+        .withColumn("brand_avg",
+          (sum(dec2(col("p_retailprice"))).over(w).cast("double") /
+            count(lit(1)).over(w)))
+        .filter(col("p_retailprice") > col("brand_avg") * 1.01)
+        .select(col("p_partkey"), col("p_brand"),
+          col("p_retailprice"), round(col("brand_avg"), 6).as("brand_avg"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_agg" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(22,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q3_join_agg" ->
+      """SELECT l_orderkey,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS o_epoch,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q4_semijoin" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q5_antijoin" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q6_window" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn
+        |FROM (SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |        ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |      FROM lineitem)
+        |WHERE rn <= 3""".stripMargin,
+    "q7_rollup" ->
+      """SELECT p_brand, p_type, COUNT(*) AS n_parts,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  MAX(p_size) AS max_size
+        |FROM part GROUP BY ROLLUP (p_brand, p_type)""".stripMargin,
+    "q8_events_hourly" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  MAX(value) AS max_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q9_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q10_setops" ->
+      """WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |     b AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |SELECT op, COUNT(*) AS n FROM (
+        |  SELECT c_custkey, 'both' AS op FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        |  UNION ALL
+        |  SELECT c_custkey, 'building_only' AS op FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+        |) GROUP BY op""".stripMargin,
+    "q11_star_join" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q12_above_avg" ->
+      """SELECT p_partkey, p_brand, p_retailprice, ROUND(brand_avg, 6) AS brand_avg
+        |FROM (SELECT p_partkey, p_brand, p_retailprice,
+        |        CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) OVER (PARTITION BY p_brand) AS DOUBLE)
+        |          / COUNT(*) OVER (PARTITION BY p_brand) AS brand_avg
+        |      FROM part)
+        |WHERE p_retailprice > brand_avg * 1.01""".stripMargin)
+}
