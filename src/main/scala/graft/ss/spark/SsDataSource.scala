@@ -1,0 +1,391 @@
+package graft.ss.spark
+
+import java.io.{BufferedOutputStream, File, FileOutputStream}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.{Envelope, SeaMessage}
+import graft.ss.{SsFormat, SsReader, SsWriter}
+
+/** `spark.read.format("ss")` / `readStream` / `writeStream` for the `.ss`
+  * seekable container (SURVEY.md §2.2; format spec
+  * sea-streamer-file/src/format.rs).
+  *
+  * Scale design:
+  *   - batch scans split on beacon boundaries (1 MiB default interval) —
+  *     a 100 TB directory of `.ss` parts yields fine-grained, independently
+  *     decodable splits, like parquet row groups;
+  *   - a "path" may be one file or a directory of part files (the sink writes
+  *     one part per task — there is no cross-executor mux into a single file,
+  *     by design);
+  *   - the micro-batch stream tracks frame-exact byte offsets per file and
+  *     only ever walks NEW bytes (incremental tail discovery = `tail -f`
+  *     without the reference's OS watcher, SURVEY.md §7.4.7).
+  *
+  * Options: `subscribe` (comma-separated stream keys; `*` = all),
+  * `verifyChecksum` (default true), `beaconInterval` (write side).
+  */
+class SsDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "ss"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Envelope.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("ss source requires a path"))
+    new SsTable(path, new CaseInsensitiveStringMap(properties))
+  }
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object SsDataSource {
+  /** All `.ss` data files under a path (a single file or a directory). */
+  def listFiles(path: String): Seq[File] = {
+    val f = new File(path)
+    if (f.isDirectory)
+      f.listFiles((_, name) => name.endsWith(".ss")).toSeq.sortBy(_.getName)
+    else if (f.exists()) Seq(f)
+    else Seq.empty
+  }
+
+  def subscribedKeys(options: CaseInsensitiveStringMap): Option[Set[String]] = {
+    val sub = options.get("subscribe")
+    if (sub == null || sub.isEmpty || sub == Envelope.SeaStreamerWildcard) None
+    else Some(sub.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+  }
+}
+
+class SsTable(path: String, options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = s"ss:$path"
+  override def schema(): StructType = Envelope.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = new util.HashMap[String, String](options.asCaseSensitiveMap())
+    merged.putAll(opts.asCaseSensitiveMap())
+    new SsScanBuilder(path, new CaseInsensitiveStringMap(merged))
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new SsWriteBuilder(path, info)
+}
+
+// ---------------------------------------------------------------- read path
+
+final case class SsInputPartition(
+    path: String,
+    /** First frame-start byte to include; <= HeaderSize means "from header". */
+    startOffset: Long,
+    /** Frames starting at/after this byte are excluded; Long.MaxValue = EOF. */
+    endOffset: Long,
+    verifyChecksum: Boolean,
+    keys: Option[Set[String]]) extends InputPartition
+
+class SsScanBuilder(path: String, options: CaseInsensitiveStringMap)
+    extends ScanBuilder {
+  override def build(): Scan = new SsScan(path, options)
+}
+
+class SsScan(path: String, options: CaseInsensitiveStringMap) extends Scan {
+  override def readSchema(): StructType = Envelope.schema
+  override def description(): String = s"SsScan($path)"
+
+  override def toBatch: Batch = new SsBatch(path, options)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SsMicroBatchStream(path, options)
+}
+
+class SsBatch(path: String, options: CaseInsensitiveStringMap) extends Batch {
+  private val verify = options.getBoolean("verifyChecksum", true)
+  private val keys = SsDataSource.subscribedKeys(options)
+
+  /** Beacon-boundary splits sized to spark.sql.files.maxPartitionBytes. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val targetBytes =
+      SparkSession.active.sessionState.conf.filesMaxPartitionBytes
+    SsDataSource.listFiles(path).flatMap { f =>
+      val size = f.length()
+      if (size > 0 && size < SsFormat.HeaderSize) {
+        // not a valid container and too short to be an in-flight header write
+        // worth tolerating in a *batch* read — fail loudly, don't return empty
+        val head = java.nio.file.Files.readAllBytes(f.toPath)
+        if (head.length < 3 || (head(0) & 0xFF) != SsFormat.ByteMark0 ||
+          (head(1) & 0xFF) != SsFormat.ByteMark1)
+          throw SsFormat.FormatException(s"Not a .ss file: ${f.getPath}")
+      }
+      if (size <= SsFormat.HeaderSize) Seq.empty
+      else {
+        val interval = SsReader.readHeader(f.getPath).beaconInterval.toLong
+        val strideBeacons = math.max(1L, targetBytes / interval)
+        val nBeacons = (size - 1) / interval // beacon k sits at k*interval
+        val bounds = (0L to nBeacons by strideBeacons) :+ (nBeacons + 1)
+        bounds.iterator.sliding(2).withPartial(false).map { case Seq(a, b) =>
+          SsInputPartition(
+            f.getPath,
+            if (a == 0) 0L else a * interval,
+            if (b > nBeacons) Long.MaxValue else b * interval,
+            verify, keys)
+        }.toSeq
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SsPartitionReaderFactory
+}
+
+class SsPartitionReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new SsPartitionReader(partition.asInstanceOf[SsInputPartition])
+}
+
+class SsPartitionReader(p: SsInputPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val reader: SsReader =
+    if (p.startOffset <= SsFormat.HeaderSize)
+      SsReader.open(p.path, p.verifyChecksum)
+    else SsReader.openAtOffset(p.path, p.startOffset, p.verifyChecksum)
+
+  private var row: InternalRow = _
+
+  @annotation.tailrec
+  override final def next(): Boolean = reader.next() match {
+    case Some(rec) if rec.startOffset >= p.endOffset => false
+    case Some(rec) =>
+      if (p.keys.forall(_.contains(rec.message.stream_key))) {
+        row = SsRows.toInternalRow(rec.message); true
+      } else next()
+    case None => false
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = reader.close()
+}
+
+object SsRows {
+  def toInternalRow(m: SeaMessage): InternalRow =
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(m.stream_key),
+      m.shard_id,
+      m.sequence,
+      m.timestamp.getTime * 1000L, // micros
+      m.payload))
+
+  def fromInternalRow(row: InternalRow): SeaMessage =
+    SeaMessage(
+      row.getUTF8String(0).toString,
+      row.getLong(1),
+      row.getLong(2),
+      new java.sql.Timestamp(row.getLong(3) / 1000L),
+      if (row.isNullAt(4)) Array.emptyByteArray else row.getBinary(4))
+}
+
+// ----------------------------------------------------------- streaming read
+
+/** Frame-exact byte offsets per file, JSON `{"files":{"<path>":<offset>}}`. */
+final case class SsOffset(files: Map[String, Long]) extends Offset {
+  override def json(): String =
+    files.toSeq.sorted
+      .map { case (p, o) => s"${SsOffset.quote(p)}:$o" }
+      .mkString("{\"files\":{", ",", "}}")
+}
+
+object SsOffset {
+  private[spark] def quote(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Minimal parser for the exact shape json() emits. */
+  def fromJson(json: String): SsOffset = {
+    val inner = json.trim
+      .stripPrefix("{\"files\":{").stripSuffix("}}")
+    if (inner.isEmpty) SsOffset(Map.empty)
+    else {
+      // keys are quoted paths without embedded unescaped quotes
+      val entries = inner.split(",(?=\")").toSeq.map { kv =>
+        val i = kv.lastIndexOf(':')
+        val key = kv.substring(0, i).trim.stripPrefix("\"").stripSuffix("\"")
+          .replace("\\\"", "\"").replace("\\\\", "\\")
+        key -> kv.substring(i + 1).trim.toLong
+      }
+      SsOffset(entries.toMap)
+    }
+  }
+}
+
+class SsMicroBatchStream(path: String, options: CaseInsensitiveStringMap)
+    extends MicroBatchStream {
+
+  private val verify = options.getBoolean("verifyChecksum", true)
+  private val keys = SsDataSource.subscribedKeys(options)
+
+  override def initialOffset(): Offset = SsOffset(Map.empty)
+
+  /** Walks only the bytes appended since `prev` to find the last complete
+    * frame end per file — frame-exact, so no message is lost or re-read.
+    */
+  override def latestOffset(): Offset = {
+    val prev = lastPlanned.getOrElse(SsOffset(Map.empty))
+    val updated = SsDataSource.listFiles(path).map { f =>
+      val start = prev.files.getOrElse(f.getPath, 0L)
+      f.getPath -> safeEnd(f, start)
+    }.toMap
+    val off = SsOffset(updated)
+    lastPlanned = Some(off)
+    off
+  }
+
+  private var lastPlanned: Option[SsOffset] = None
+
+  private def safeEnd(f: File, from: Long): Long = {
+    val size = f.length()
+    if (size <= SsFormat.HeaderSize) return from
+    val start = math.max(from, SsFormat.HeaderSize.toLong)
+    if (start >= size) return from
+    val r =
+      if (from <= 0L) SsReader.open(f.getPath, verifyChecksum = false)
+      else SsReader.openAtOffset(f.getPath, from, verifyChecksum = false)
+    try {
+      var end = math.max(from, SsFormat.HeaderSize.toLong)
+      var done = false
+      while (!done) r.next() match {
+        case Some(rec) => end = rec.endOffset
+        case None => done = true
+      }
+      end
+    } finally r.close()
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SsOffset].files
+    val e = end.asInstanceOf[SsOffset].files
+    e.toSeq.sorted.flatMap { case (p, endOff) =>
+      val startOff = s.getOrElse(p, 0L)
+      if (endOff > startOff)
+        Some(SsInputPartition(p, startOff, endOff, verify, keys))
+      else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SsPartitionReaderFactory
+
+  override def deserializeOffset(json: String): Offset = SsOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+// ---------------------------------------------------------------- write path
+
+class SsWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new SsBatchWrite(path, info, doTruncate)
+    override def toStreaming: StreamingWrite = new SsStreamingWrite(path, info)
+  }
+}
+
+final case class SsCommitMessage(file: String, messages: Long)
+    extends WriterCommitMessage
+
+class SsBatchWrite(path: String, info: LogicalWriteInfo, truncate: Boolean)
+    extends BatchWrite {
+  private val interval =
+    info.options().getInt("beaconInterval", SsFormat.DefaultBeaconInterval)
+
+  override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory = {
+    val dir = new File(path)
+    if (truncate && dir.isDirectory)
+      dir.listFiles((_, n) => n.endsWith(".ss")).foreach(_.delete())
+    dir.mkdirs()
+    new SsWriterFactory(path, interval, -1L)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class SsStreamingWrite(path: String, info: LogicalWriteInfo)
+    extends StreamingWrite {
+  private val interval =
+    info.options().getInt("beaconInterval", SsFormat.DefaultBeaconInterval)
+
+  override def createStreamingWriterFactory(p: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    new File(path).mkdirs()
+    val factory = new SsWriterFactory(path, interval, 0L)
+    factory
+  }
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** One `.ss` part file per task (and per epoch when streaming). */
+class SsWriterFactory(path: String, interval: Int, epochTag: Long)
+    extends DataWriterFactory with StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    mk(f"part-$partitionId%05d-$taskId.ss")
+
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    mk(f"part-$epochId%05d-$partitionId%05d-$taskId.ss")
+
+  private def mk(name: String): DataWriter[InternalRow] = {
+    val target = new File(path)
+    val file = if (target.isDirectory) new File(target, name) else target
+    new SsDataWriter(file, interval)
+  }
+}
+
+class SsDataWriter(file: File, interval: Int) extends DataWriter[InternalRow] {
+  private val writer = new SsWriter(
+    new BufferedOutputStream(new FileOutputStream(file), 1 << 16),
+    file.getName, interval)
+
+  override def write(row: InternalRow): Unit =
+    writer.write(SsRows.fromInternalRow(row))
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    SsCommitMessage(file.getPath, writer.messageCount)
+  }
+  override def abort(): Unit = { writer.close(); file.delete() }
+  override def close(): Unit = ()
+}

@@ -1,0 +1,98 @@
+package graft.ss
+
+import java.io.FileOutputStream
+import java.nio.file.Files
+
+import graft.TestSession
+import graft.core.SeaMessage
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SsDataSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def ts(ms: Long) = new java.sql.Timestamp(ms)
+
+  test("batch write then read roundtrips the envelope") {
+    val dir = Files.createTempDirectory("ssds").toString
+    val df = (0 until 1000).map { i =>
+      (s"stream-${i % 3}", (i % 4).toLong, i.toLong, ts(1700000000000L + i),
+        s"payload-$i".getBytes("UTF-8"))
+    }.toDF("stream_key", "shard_id", "sequence", "timestamp", "payload")
+
+    df.write.format("ss").option("beaconInterval", "1024")
+      .mode("overwrite").save(dir)
+
+    val back = spark.read.format("ss").load(dir)
+    assert(back.count() == 1000)
+    val seqs = back.select("sequence").as[Long].collect().sorted
+    assert(seqs.toSeq == (0L until 1000L))
+    val payload = back.filter($"sequence" === 17)
+      .select($"payload".cast("string")).as[String].head()
+    assert(payload == "payload-17")
+  }
+
+  test("subscribe option filters stream keys source-side") {
+    val dir = Files.createTempDirectory("ssds").toString
+    (0 until 100).map { i =>
+      (s"s${i % 5}", 0L, i.toLong, ts(1000L + i), Array[Byte](i.toByte))
+    }.toDF("stream_key", "shard_id", "sequence", "timestamp", "payload")
+      .write.format("ss").option("beaconInterval", "512")
+      .mode("overwrite").save(dir)
+
+    val got = spark.read.format("ss").option("subscribe", "s1,s3").load(dir)
+    assert(got.select("stream_key").distinct().as[String].collect().toSet ==
+      Set("s1", "s3"))
+    assert(got.count() == 40)
+  }
+
+  test("beacon-split batch scan covers a single large file exactly once") {
+    val dir = Files.createTempDirectory("ssds").toFile
+    val path = s"$dir/big.ss"
+    val w = new SsWriter(new FileOutputStream(path), "big.ss", 2048, 0L)
+    (0 until 5000).foreach { i =>
+      w.write(SeaMessage("k", 0, i.toLong, ts(i), (s"v$i-" + "x" * 60).getBytes))
+    }
+    w.close()
+    val back = spark.read.format("ss").load(path)
+    assert(back.count() == 5000)
+    assert(back.select(countDistinct("sequence")).as[Long].head() == 5000)
+  }
+
+  test("micro-batch stream delivers appended messages incrementally") {
+    val dir = Files.createTempDirectory("ssstream").toFile
+    val path = s"$dir/live.ss"
+    val w = new SsWriter(new FileOutputStream(path), "live.ss", 1024, 0L)
+    (0 until 100).foreach { i =>
+      w.write(SeaMessage("live", 0, i.toLong, ts(1000L + i), s"m$i".getBytes))
+    }
+    w.flush()
+
+    val q = spark.readStream.format("ss").load(dir.toString)
+      .groupBy($"stream_key").agg(count(lit(1)).as("n"), max($"sequence").as("mx"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("ss_live_test").start()
+    try {
+      q.processAllAvailable()
+      val r1 = spark.table("ss_live_test").as[(String, Long, Long)].collect()
+      assert(r1.toSeq == Seq(("live", 100L, 99L)))
+
+      // append more — the stream must pick up only the new frames
+      (100 until 150).foreach { i =>
+        w.write(SeaMessage("live", 0, i.toLong, ts(1000L + i), s"m$i".getBytes))
+      }
+      w.flush()
+      q.processAllAvailable()
+      val r2 = spark.table("ss_live_test").as[(String, Long, Long)].collect()
+      assert(r2.toSeq == Seq(("live", 150L, 149L)))
+    } finally { q.stop(); w.close() }
+  }
+
+  test("streaming offset json roundtrip") {
+    import graft.ss.spark.SsOffset
+    val off = SsOffset(Map("/tmp/a b/p-1.ss" -> 12345L, "/x\"y.ss" -> 7L))
+    assert(SsOffset.fromJson(off.json()) == off)
+    assert(SsOffset.fromJson(SsOffset(Map.empty).json()) == SsOffset(Map.empty))
+  }
+}
