@@ -15,8 +15,10 @@ object SparkEntry {
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    analytics.Relational.queries ++ analytics.Transport.queries
+    analytics.Relational.queries ++ analytics.Transport.queries ++
+      analytics.Dedup.queries
 
   def oracleSql: Map[String, String] =
-    analytics.Relational.oracles ++ analytics.Transport.oracles
+    analytics.Relational.oracles ++ analytics.Transport.oracles ++
+      analytics.Dedup.oracles
 }

@@ -1,0 +1,198 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` table — the training-data
+  * pipeline layer (builder brief): exact, word-ngram Jaccard, MinHash+LSH,
+  * SimHash. Every hash is md5-derived so the DuckDB oracle can reproduce it
+  * bit-for-bit (no engine-specific hash functions).
+  *
+  * Scale notes (100 TB):
+  *   - shingling/explode is map-side; the only shuffles are the
+  *     groupBy(doc_id) signature builds and the shingle/bucket equi-joins —
+  *     all on keys Catalyst hash-partitions;
+  *   - the LSH candidate join is the point: candidates ≪ n², so the exact
+  *     Jaccard verification join touches only colliding pairs (band join ≈
+  *     O(collisions), never O(n²));
+  *   - SimHash is a pure per-row map + one aggregation, no joins at all.
+  */
+object Dedup {
+
+  /** 60-bit integer from the first 15 hex chars of md5 — deterministic and
+    * identical in Spark and DuckDB.
+    */
+  private def md5long(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  private val Prime = 1000000007L
+
+  /** (a, b) parameters of the 8 minhash permutations h_i = (a*h+b) mod p. */
+  private val MinhashParams: Seq[(Int, Int)] = Seq(
+    (387, 1031), (1049, 2477), (2503, 4099), (4111, 8221),
+    (8231, 16411), (16417, 32771), (32779, 65537), (65539, 131071))
+
+  private val JaccardThreshold = 0.5
+
+  /** doc_id + distinct word-3gram shingles. */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .filter(size(col("tok")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(tok)-3), i -> concat_ws(' ', slice(tok, i+1, 3)))"))
+        .as("s"))
+      .distinct()
+
+  /** Exact Jaccard over shared shingles for co-occurring pairs. */
+  private def jaccardPairs(sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = sh.as("a")
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("common") * lit(1.0) / (col("na") + col("nb") - col("common")))
+  }
+
+  /** Shared DuckDB CTEs for shingles and their hashes (word 3-grams). */
+  private val shinglesSql =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, tok[g.i]||' '||tok[g.i+1]||' '||tok[g.i+2] AS s
+      |       FROM toks, (SELECT unnest(range(1, 100000)) AS i) g
+      |       WHERE g.i + 2 <= len(tok))""".stripMargin
+
+  val queries: Map[String, Relational.Q] = Map(
+    // Exact dedup: hash-groupBy on the full text; keeper = min doc_id.
+    "d1_exact_dedup" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .groupBy(md5(col("text").cast("binary")).as("fingerprint"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"))
+    },
+
+    // N-gram Jaccard near-dup pairs (exact, shingle-join pruned).
+    "d2_ngram_jaccard" -> { (s, dir) =>
+      jaccardPairs(shingles(Tables(s, dir).documents))
+        .filter(col("jaccard") >= JaccardThreshold)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    },
+
+    // MinHash (8 perms) + LSH band join (band size 1) → candidates →
+    // exact-Jaccard verification. est_sim = matching minhashes / 8.
+    "d3_minhash_lsh" -> { (s, dir) =>
+      import s.implicits._
+      val consts = MinhashParams.zipWithIndex
+        .map { case ((a, b), i) => (i, a.toLong, b.toLong) }
+        .toDF("i", "a", "b")
+      val sh = shingles(Tables(s, dir).documents)
+        .withColumn("hm", md5long(col("s")) % Prime)
+      val mh = sh.crossJoin(broadcast(consts))
+        .groupBy("doc_id", "i")
+        .agg(min((col("a") * col("hm") + col("b")) % Prime).as("mh"))
+      val sigJoin = mh.as("x")
+        .join(mh.as("y"),
+          col("x.i") === col("y.i") && col("x.doc_id") < col("y.doc_id"))
+      val cand = sigJoin.filter(col("x.mh") === col("y.mh"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val est = sigJoin
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg((sum(when(col("x.mh") === col("y.mh"), 1).otherwise(0)) / 8.0)
+          .as("est_sim"))
+        .join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      jaccardPairs(sh.select("doc_id", "s"))
+        .join(est, Seq("doc_a", "doc_b"))
+        .filter(col("jaccard") >= JaccardThreshold)
+        .select(col("doc_a"), col("doc_b"), col("est_sim"),
+          round(col("jaccard"), 6).as("jaccard"))
+    },
+
+    // SimHash: 16-bit fingerprint over token unigrams (pure map + one agg).
+    "d4_simhash" -> { (s, dir) =>
+      val toks = Tables(s, dir).documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .withColumn("h", conv(substring(md5(col("t").cast("binary")), 1, 4), 16, 10)
+          .cast("long"))
+      val bitSums = (0 until 16).map { j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+          .as(s"b$j")
+      }
+      val assembled = (0 until 16).map { j =>
+        when(col(s"b$j") > 0, 1L << j).otherwise(0L)
+      }.reduce(_ + _)
+      toks.groupBy("doc_id")
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), assembled.as("simhash"))
+    })
+
+  private def simhashOracle: String = {
+    val sums = (0 until 16)
+      .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n    ")
+    val assemble = (0 until 16)
+      .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |hashed AS (
+       |  SELECT doc_id, CAST(('0x'||substr(md5(t),1,4)) AS BIGINT) AS h FROM toks),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM hashed GROUP BY doc_id)
+       |SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bits""".stripMargin
+  }
+
+  private def jaccardOracleCte: String =
+    s"""$shinglesSql,
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |jac AS (SELECT doc_a, doc_b,
+       |          common * 1.0 / (sa.n + sb.n - common) AS jaccard
+       |        FROM pairs
+       |        JOIN sizes sa ON doc_a = sa.doc_id
+       |        JOIN sizes sb ON doc_b = sb.doc_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT md5(text) AS fingerprint, MIN(doc_id) AS keep_id,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "d2_ngram_jaccard" ->
+      s"""WITH $jaccardOracleCte
+         |SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard
+         |FROM jac WHERE jaccard >= $JaccardThreshold""".stripMargin,
+    "d3_minhash_lsh" -> {
+      val constRows = MinhashParams.zipWithIndex
+        .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
+        .mkString(", ")
+      s"""WITH $jaccardOracleCte,
+         |consts(i, a, b) AS (VALUES $constRows),
+         |hashed AS (SELECT doc_id, s,
+         |    CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % $Prime AS hm FROM sh),
+         |mh AS (SELECT doc_id, i, MIN((a * hm + b) % $Prime) AS mh
+         |       FROM hashed CROSS JOIN consts GROUP BY doc_id, i),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM mh x JOIN mh y ON x.i = y.i AND x.mh = y.mh
+         |           AND x.doc_id < y.doc_id),
+         |est AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |          SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / 8.0 AS est_sim
+         |        FROM mh x JOIN mh y ON x.i = y.i AND x.doc_id < y.doc_id
+         |        GROUP BY 1, 2)
+         |SELECT j.doc_a, j.doc_b, e.est_sim, ROUND(j.jaccard, 6) AS jaccard
+         |FROM jac j
+         |JOIN est e ON j.doc_a = e.doc_a AND j.doc_b = e.doc_b
+         |JOIN cand c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+         |WHERE j.jaccard >= $JaccardThreshold""".stripMargin
+    },
+    "d4_simhash" -> simhashOracle)
+}
