@@ -65,7 +65,7 @@ object Dedup {
   private val shinglesSql =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
       |sh AS (SELECT DISTINCT doc_id, tok[g.i]||' '||tok[g.i+1]||' '||tok[g.i+2] AS s
-      |       FROM toks, (SELECT unnest(range(1, 100000)) AS i) g
+      |       FROM toks, (SELECT unnest(range(1, 1024)) AS i) g
       |       WHERE g.i + 2 <= len(tok))""".stripMargin
 
   val queries: Map[String, Relational.Q] = Map(

