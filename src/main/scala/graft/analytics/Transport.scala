@@ -72,9 +72,44 @@ object Transport {
         .start()
       try q.processAllAvailable() finally q.stop()
       s.table("t2_ss_stream_sink")
+    },
+
+    // Fuse merge (batch form): split events into one stream per type, merge
+    // back in global (timestamp, key, seq) order, stamp positions.
+    "t3_fuse_merge" -> { (s, dir) =>
+      val env = envelopeOf(Tables(s, dir))
+      val streams = Seq("click", "view", "purchase", "signup", "error")
+        .map(k => env.filter(col("stream_key") === k))
+      val merged = graft.ops.StreamJoin.merge(streams)
+      merged.select(
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("timestamp"), col("stream_key"), col("sequence")))
+          .cast("long").as("position"),
+        unix_micros(col("timestamp")).as("ts_us"),
+        col("stream_key"), col("sequence"))
+    },
+
+    // Producer-side sharding laws: round-robin (seq % n) and hash sharder
+    // (xxhash64 has no DuckDB twin, so assert its invariants instead).
+    "t4_sharders" -> { (s, dir) =>
+      val env = envelopeOf(Tables(s, dir))
+      val rr = graft.ops.Sharders.applyShard(env,
+        graft.ops.Sharders.roundRobin(3))
+      rr.groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n"), max(col("sequence")).as("max_seq"))
     })
 
   val oracles: Map[String, String] = Map(
     "t1_ss_roundtrip" -> aggregateOracle(withDistinct = true),
-    "t2_ss_stream" -> aggregateOracle(withDistinct = false))
+    "t2_ss_stream" -> aggregateOracle(withDistinct = false),
+    "t3_fuse_merge" ->
+      """SELECT ROW_NUMBER() OVER (ORDER BY epoch_us(date_trunc('microseconds', ts)),
+        |                          event_type, event_id) AS position,
+        |  epoch_us(date_trunc('microseconds', ts)) AS ts_us,
+        |  event_type AS stream_key, event_id AS sequence
+        |FROM events""".stripMargin,
+    "t4_sharders" ->
+      """SELECT event_id % 3 AS shard_id, COUNT(*) AS n,
+        |  MAX(event_id) AS max_seq
+        |FROM events GROUP BY 1""".stripMargin)
 }

@@ -1,0 +1,180 @@
+package graft.facade
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Envelope, SeaStreamErr, StreamUrl, StreamerUri}
+import graft.ops.StdioParser
+
+/** Backend-agnostic facade — the engine's public API layer, mirroring
+  * `sea-streamer-socket`: one `connect(uri)` that dispatches on the URI
+  * scheme at runtime and yields envelope-schema DataFrames
+  * (sea-streamer-socket/src/streamer.rs:21-45; option surface
+  * consumer_options.rs:17-34; validation laws from the per-backend
+  * streamers, e.g. sea-streamer-file/src/streamer.rs:129-189).
+  */
+object SeaStreamer {
+
+  sealed trait ConsumerMode
+  object ConsumerMode {
+    /** Real-time: no commit, start from now. */
+    case object RealTime extends ConsumerMode
+    /** Resume from committed offsets (Spark: checkpointLocation). */
+    case object Resumable extends ConsumerMode
+    /** Group members share the workload. */
+    case object LoadBalanced extends ConsumerMode
+  }
+
+  sealed trait AutoStreamReset
+  object AutoStreamReset {
+    case object Earliest extends AutoStreamReset
+    case object Latest extends AutoStreamReset
+  }
+
+  final case class ConsumerOptions(
+      mode: ConsumerMode = ConsumerMode.RealTime,
+      group: Option[String] = None,
+      autoStreamReset: AutoStreamReset = AutoStreamReset.Latest,
+      /** false = bounded Replay read; true = Live streaming read. */
+      live: Boolean = true)
+
+  def connect(uri: String, spark: SparkSession): Connection = {
+    val streamer = StreamerUri.parse(uri)
+    val scheme = streamer.protocol.getOrElse(
+      throw SeaStreamErr.Connect(s"no protocol in '$uri'"))
+    new Connection(spark, scheme, streamer)
+  }
+
+  final class Connection(
+      spark: SparkSession, scheme: String, streamer: StreamerUri) {
+
+    private def nodeAddr: String = {
+      val n = streamer.nodes.head
+      val i = n.indexOf("://")
+      if (i >= 0) n.substring(i + 3) else n
+    }
+
+    /** Validation laws shared with the reference backends. */
+    private def validate(streams: Seq[String], opts: ConsumerOptions): Unit = {
+      if (streams.isEmpty) throw SeaStreamErr.StreamKeyEmpty
+      streams.foreach { k =>
+        if (k != Envelope.SeaStreamerWildcard && !Envelope.isValidStreamKey(k))
+          throw SeaStreamErr.InvalidStreamKey(k)
+      }
+      opts.mode match {
+        case ConsumerMode.RealTime =>
+          if (opts.group.isDefined) throw SeaStreamErr.ConsumerGroupIsSet
+        case ConsumerMode.LoadBalanced =>
+          if (opts.group.isEmpty) throw SeaStreamErr.ConsumerGroupNotSet
+        case ConsumerMode.Resumable =>
+          if (scheme == "file") // file backend does not support Resumable
+            throw SeaStreamErr.Unsupported("Resumable mode on file backend")
+      }
+    }
+
+    /** Subscribe to streams; returns an envelope-schema DataFrame.
+      * Live consumers are unbounded (`readStream`); Replay is a bounded
+      * `read` of the same data (SURVEY §2.4 Live/Replay modes).
+      */
+    def createConsumer(
+        streams: Seq[String],
+        opts: ConsumerOptions = ConsumerOptions()): DataFrame = {
+      validate(streams, opts)
+      val subscribe = streams.mkString(",")
+      scheme match {
+        case "file" =>
+          val reset =
+            if (opts.autoStreamReset == AutoStreamReset.Earliest) "earliest"
+            else "latest"
+          if (opts.live)
+            spark.readStream.format("ss")
+              .option("subscribe", subscribe)
+              .option("startingOffsets", reset)
+              .load(nodeAddr)
+          else
+            spark.read.format("ss").option("subscribe", subscribe).load(nodeAddr)
+        case "kafka" =>
+          val reset =
+            if (opts.autoStreamReset == AutoStreamReset.Earliest) "earliest"
+            else "latest"
+          val loaded =
+            if (opts.live)
+              spark.readStream.format("kafka")
+                .option("kafka.bootstrap.servers", nodeAddr)
+                .option("subscribe", subscribe)
+                .option("startingOffsets", reset)
+                .load()
+            else
+              spark.read.format("kafka")
+                .option("kafka.bootstrap.servers", nodeAddr)
+                .option("subscribe", subscribe)
+                .load()
+          // Kafka's schema is congruent with the envelope — rename
+          loaded.select(
+            col("topic").as("stream_key"),
+            col("partition").cast("long").as("shard_id"),
+            col("offset").as("sequence"),
+            col("timestamp"),
+            col("value").as("payload"))
+        case "stdio" =>
+          // distributed stdin does not exist: Replay = text file of lines
+          if (opts.live) throw SeaStreamErr.Unsupported(
+            "stdio live consumer (use Replay on a line file)")
+          StdioParser.toEnvelope(spark.read.text(nodeAddr))
+            .where(col("stream_key").isNull ||
+              col("stream_key").isin(streams: _*) ||
+              lit(streams.contains(Envelope.SeaStreamerWildcard)))
+        case other =>
+          throw SeaStreamErr.Unsupported(s"backend '$other'")
+      }
+    }
+
+    /** Anchored producer: writes an envelope DataFrame to one stream. */
+    def createProducer(stream: String): Producer = {
+      if (!Envelope.isValidStreamKey(stream) || stream.isEmpty)
+        throw SeaStreamErr.InvalidStreamKey(stream)
+      new Producer(spark, scheme, nodeAddr, Some(stream))
+    }
+
+    /** Generic producer: stream key comes from each row. */
+    def createGenericProducer(): Producer =
+      new Producer(spark, scheme, nodeAddr, None)
+  }
+
+  final class Producer(
+      spark: SparkSession, scheme: String, node: String,
+      anchor: Option[String]) {
+
+    /** An anchored producer can only anchor once (producer.rs:59-65). */
+    def anchored: String = anchor.getOrElse(throw SeaStreamErr.NotAnchored)
+
+    /** Bounded send of an envelope DataFrame. */
+    def send(df: DataFrame): Unit = {
+      val out = anchor match {
+        case Some(key) => df.withColumn("stream_key", lit(key))
+        case None => df
+      }
+      scheme match {
+        case "file" =>
+          out.write.format("ss").mode("append").save(node)
+        case "kafka" =>
+          out.select(
+            col("stream_key").as("topic"),
+            col("payload").as("value"),
+            col("sequence").cast("string").cast("binary").as("key"))
+            .write.format("kafka")
+            .option("kafka.bootstrap.servers", node).save()
+        case "stdio" =>
+          // producer line format; console-equivalent sink to stdout
+          out.foreach { r =>
+            println(StdioParser.formatLine(
+              r.getAs[java.sql.Timestamp]("timestamp"),
+              r.getAs[String]("stream_key"),
+              r.getAs[Long]("sequence"),
+              new String(r.getAs[Array[Byte]]("payload"), "UTF-8")))
+          }
+        case other => throw SeaStreamErr.Unsupported(s"backend '$other'")
+      }
+    }
+  }
+}

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.core.SeaMessage
+
+/** The reference's one true dataflow operator: merge N streams reordered by
+  * timestamp, ties broken by stream-key name; `align` declares which streams
+  * gate emission — nothing is emitted unless every aligned stream has at
+  * least one buffered message (sea-streamer-fuse/src/lib.rs:10-46, pop law
+  * 71-100).
+  *
+  * Two Spark forms:
+  *   - [[merge]]: bounded/batch — once all input is available the gating is
+  *     a no-op and the result is exactly the (timestamp, stream_key,
+  *     sequence) global order. This is a range-partitioned sort: fully
+  *     parallel, the form to use at 100 TB.
+  *   - [[gated]]: unbounded — faithful gating via a single
+  *     flatMapGroupsWithState group holding per-key queues. Like the
+  *     reference operator itself this is a sequential merge point (state on
+  *     one executor); state is checkpointed instead of the reference's
+  *     unbounded in-memory buffer (improvement noted in SURVEY §7.4.6).
+  */
+object StreamJoin {
+
+  /** Batch merge: union + global event-time order (ties by key, then seq). */
+  def merge(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_))
+      .orderBy(col("timestamp"), col("stream_key"), col("sequence"))
+
+  /** Buffered queues per stream key (must be a Product for the encoder). */
+  final case class FuseState(queues: Map[String, Seq[SeaMessage]])
+
+  /** Faithful gated merge over an unbounded muxed stream.
+    *
+    * @param align stream keys that must all be non-empty before emission
+    */
+  def gated(muxed: Dataset[SeaMessage], align: Seq[String]): Dataset[SeaMessage] = {
+    import muxed.sparkSession.implicits._
+    val alignKeys = align.toIndexedSeq
+    muxed
+      .groupByKey(_ => 0) // single global merge point, like the reference
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, arrivals: Iterator[SeaMessage], state: GroupState[FuseState]) =>
+          var queues = state.getOption.map(_.queues)
+            .getOrElse(Map.empty[String, Seq[SeaMessage]])
+          // enqueue deterministically; per-key causality is preserved because
+          // we order by (timestamp, sequence) within each key
+          arrivals.toSeq
+            .sortBy(m => (m.timestamp.getTime, m.stream_key, m.sequence))
+            .foreach { m =>
+              queues = queues.updated(m.stream_key,
+                queues.getOrElse(m.stream_key, Vector.empty) :+ m)
+            }
+
+          def gateOpen: Boolean =
+            alignKeys.forall(k => queues.getOrElse(k, Nil).nonEmpty) &&
+              queues.values.exists(_.nonEmpty)
+
+          // pop global min (timestamp, key) while the gate stays open
+          val out = Vector.newBuilder[SeaMessage]
+          while (gateOpen) {
+            val (key, q) = queues.iterator
+              .filter(_._2.nonEmpty)
+              .minBy { case (k, ms) => (ms.head.timestamp.getTime, k) }
+            out += q.head
+            queues = queues.updated(key, q.tail)
+          }
+          state.update(FuseState(queues))
+          out.result().iterator
+      }
+  }
+
+  /** Bounded gated merge driven to completion in-memory — reference law for
+    * specs and small data: identical output to [[merge]] plus final drain.
+    */
+  def gatedBounded(messages: Seq[SeaMessage], align: Seq[String]): Seq[SeaMessage] = {
+    val queues = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Queue[SeaMessage]]
+    val out = Vector.newBuilder[SeaMessage]
+
+    def check: Boolean =
+      align.forall(k => queues.get(k).exists(_.nonEmpty)) &&
+        queues.values.exists(_.nonEmpty)
+
+    def popMin(): SeaMessage = {
+      val (key, _) = queues.iterator.filter(_._2.nonEmpty)
+        .minBy { case (k, ms) => (ms.head.timestamp.getTime, k) }
+      queues(key).dequeue()
+    }
+
+    messages.foreach { m =>
+      queues.getOrElseUpdate(m.stream_key, scala.collection.mutable.Queue.empty)
+        .enqueue(m)
+      while (check) out += popMin()
+    }
+    // end of stream: drain remaining in (ts, key) order, gate released
+    while (queues.values.exists(_.nonEmpty)) out += popMin()
+    out.result()
+  }
+}

@@ -253,7 +253,16 @@ class SsMicroBatchStream(path: String, options: CaseInsensitiveStringMap)
   private val verify = options.getBoolean("verifyChecksum", true)
   private val keys = SsDataSource.subscribedKeys(options)
 
-  override def initialOffset(): Offset = SsOffset(Map.empty)
+  /** `startingOffsets`: `earliest` (default, replay whole file) or `latest`
+    * (Live mode — only frames appended after the query starts; the
+    * reference's AutoStreamReset / StreamMode law, SURVEY §2.4).
+    */
+  override def initialOffset(): Offset =
+    if (options.getOrDefault("startingOffsets", "earliest")
+        .equalsIgnoreCase("latest")) {
+      SsOffset(SsDataSource.listFiles(path)
+        .map(f => f.getPath -> safeEnd(f, 0L)).toMap)
+    } else SsOffset(Map.empty)
 
   /** Walks only the bytes appended since `prev` to find the last complete
     * frame end per file — frame-exact, so no message is lost or re-read.
