@@ -1,17 +1,51 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR, plus
+  * the reference's transport workload (100k messages × 256-byte payloads,
+  * benchmark/src/bin/producer.rs:29-37) through the `.ss` sink and source.
+  * Prints ONE JSON line.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    def timed(name: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try f catch { case _: Throwable => results(name) = -1.0; return }
+      results(name) = (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    SparkEntry.queries.foreach { case (name, fn) =>
+      timed(name)(fn(spark, sfDir).count())
+    }
+
+    // Transport path: the reference's benchmark shape — 100k messages of
+    // 256-byte lorem-ipsum payloads (≈30 MB dump), produce then consume.
+    val benchDir = "/tmp/graft/bench_ss"
+    val payload = ("lorem ipsum dolor sit amet " * 10).take(256)
+    timed("xp_ss_produce_100k") {
+      spark.range(100000)
+        .select(
+          lit("bench").as("stream_key"),
+          (col("id") % 4).as("shard_id"),
+          col("id").as("sequence"),
+          timestamp_millis(lit(1700000000000L) + col("id")).as("timestamp"),
+          lit(payload.getBytes("UTF-8")).as("payload"))
+        .write.format("ss").mode("overwrite").save(benchDir)
+    }
+    timed("xp_ss_consume_100k") {
+      val n = spark.read.format("ss").load(benchDir).count()
+      require(n == 100000L, s"expected 100k messages, got $n")
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -96,17 +96,22 @@ object Dedup {
       val mh = sh.crossJoin(broadcast(consts))
         .groupBy("doc_id", "i")
         .agg(min((col("a") * col("hm") + col("b")) % Prime).as("mh"))
-      val sigJoin = mh.as("x")
+      // LSH band join: equality on (band, minhash) — O(collisions), never the
+      // all-pairs O(n²) signature comparison
+      val cand = mh.as("x")
         .join(mh.as("y"),
-          col("x.i") === col("y.i") && col("x.doc_id") < col("y.doc_id"))
-      val cand = sigJoin.filter(col("x.mh") === col("y.mh"))
+          col("x.i") === col("y.i") && col("x.mh") === col("y.mh") &&
+            col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-      val est = sigJoin
-        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      // est_sim only for the (few) candidates
+      val est = cand
+        .join(mh.as("x"), col("doc_a") === col("x.doc_id"))
+        .join(mh.as("y"),
+          col("doc_b") === col("y.doc_id") && col("x.i") === col("y.i"))
+        .groupBy("doc_a", "doc_b")
         .agg((sum(when(col("x.mh") === col("y.mh"), 1).otherwise(0)) / 8.0)
           .as("est_sim"))
-        .join(cand, Seq("doc_a", "doc_b"), "left_semi")
       jaccardPairs(sh.select("doc_id", "s"))
         .join(est, Seq("doc_a", "doc_b"))
         .filter(col("jaccard") >= JaccardThreshold)
@@ -184,9 +189,11 @@ object Dedup {
          |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |         FROM mh x JOIN mh y ON x.i = y.i AND x.mh = y.mh
          |           AND x.doc_id < y.doc_id),
-         |est AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |est AS (SELECT c.doc_a, c.doc_b,
          |          SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / 8.0 AS est_sim
-         |        FROM mh x JOIN mh y ON x.i = y.i AND x.doc_id < y.doc_id
+         |        FROM cand c
+         |        JOIN mh x ON c.doc_a = x.doc_id
+         |        JOIN mh y ON c.doc_b = y.doc_id AND x.i = y.i
          |        GROUP BY 1, 2)
          |SELECT j.doc_a, j.doc_b, e.est_sim, ROUND(j.jaccard, 6) AS jaccard
          |FROM jac j
