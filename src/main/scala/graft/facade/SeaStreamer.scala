@@ -31,12 +31,32 @@ object SeaStreamer {
     case object Latest extends AutoStreamReset
   }
 
+  /** Ack/commit policy (sea-streamer-redis/src/consumer/options.rs:17-33).
+    * Spark mapping: Immediate = no checkpoint (at-most-once); Delayed/Rolling
+    * = checkpointed micro-batch offsets (at-least-once); Disabled = user-
+    * driven commit via foreachBatch.
+    */
+  sealed trait AutoCommit
+  object AutoCommit {
+    case object Immediate extends AutoCommit
+    case object Delayed extends AutoCommit
+    case object Rolling extends AutoCommit
+    case object Disabled extends AutoCommit
+  }
+
   final case class ConsumerOptions(
       mode: ConsumerMode = ConsumerMode.RealTime,
       group: Option[String] = None,
       autoStreamReset: AutoStreamReset = AutoStreamReset.Latest,
       /** false = bounded Replay read; true = Live streaming read. */
-      live: Boolean = true)
+      live: Boolean = true,
+      autoCommit: AutoCommit = AutoCommit.Delayed,
+      /** Seek law: earliest message with timestamp STRICTLY greater than t
+        * (sea-streamer-file/src/messages.rs:262-279).
+        */
+      seekTimestamp: Option[java.sql.Timestamp] = None,
+      /** Rewind law: first message with sequence >= N (same comparison fn). */
+      rewindSeqNo: Option[Long] = None)
 
   def connect(uri: String, spark: SparkSession): Connection = {
     val streamer = StreamerUri.parse(uri)
@@ -79,6 +99,35 @@ object SeaStreamer {
     def createConsumer(
         streams: Seq[String],
         opts: ConsumerOptions = ConsumerOptions()): DataFrame = {
+      val loaded = load(streams, opts)
+      // seek strictly-greater / rewind greater-or-equal laws (SURVEY §2.4)
+      val sought = opts.seekTimestamp
+        .map(t => loaded.filter(col("timestamp") > lit(t)))
+        .getOrElse(loaded)
+      opts.rewindSeqNo
+        .map(n => sought.filter(col("sequence") >= n))
+        .getOrElse(sought)
+    }
+
+    /** LoadBalanced group: n members each receiving the deterministic
+      * round-robin share `sequence % n == i` (sea-streamer-stdio/src/
+      * consumer_group.rs:101-107, sea-streamer-file/src/consumer/
+      * group.rs:490-497 — dispatch parity as a filter).
+      */
+    def createGroupConsumers(
+        streams: Seq[String],
+        group: String,
+        members: Int,
+        opts: ConsumerOptions = ConsumerOptions(
+          mode = ConsumerMode.LoadBalanced)): Seq[DataFrame] = {
+      val base = createConsumer(streams,
+        opts.copy(mode = ConsumerMode.LoadBalanced, group = Some(group)))
+      (0 until members).map { i =>
+        base.filter(pmod(col("sequence"), lit(members.toLong)) === i.toLong)
+      }
+    }
+
+    private def load(streams: Seq[String], opts: ConsumerOptions): DataFrame = {
       validate(streams, opts)
       val subscribe = streams.mkString(",")
       scheme match {
@@ -129,6 +178,13 @@ object SeaStreamer {
       }
     }
 
+    /** Manual ack/commit handle with the reference's guard laws
+      * (sea-streamer-redis/src/consumer/mod.rs:186-268,
+      * sea-streamer-types/src/error.rs:26-27). In Spark the actual commit is
+      * the checkpointed epoch; these guards preserve the API contract.
+      */
+    def committer(opts: ConsumerOptions): Committer = new Committer(opts)
+
     /** Anchored producer: writes an envelope DataFrame to one stream. */
     def createProducer(stream: String): Producer = {
       if (!Envelope.isValidStreamKey(stream) || stream.isEmpty)
@@ -139,6 +195,30 @@ object SeaStreamer {
     /** Generic producer: stream key comes from each row. */
     def createGenericProducer(): Producer =
       new Producer(spark, scheme, nodeAddr, None)
+  }
+
+  final class Committer(opts: ConsumerOptions) {
+    import SeaStreamer.{AutoCommit => AC}
+
+    /** Mark processed up to a position (Rolling/Disabled only). */
+    def ack(): Unit = opts.mode match {
+      case ConsumerMode.RealTime => throw SeaStreamErr.CommitNotAllowed
+      case _ => opts.autoCommit match {
+        case AC.Rolling | AC.Disabled => ()
+        case other => throw SeaStreamErr.Unsupported(
+          s"ack() with AutoCommit.$other (use Rolling or Disabled)")
+      }
+    }
+
+    /** Commit the cursor now (Disabled only). */
+    def commit(): Unit = opts.mode match {
+      case ConsumerMode.RealTime => throw SeaStreamErr.CommitNotAllowed
+      case _ => opts.autoCommit match {
+        case AC.Disabled => ()
+        case other => throw SeaStreamErr.Unsupported(
+          s"commit() with AutoCommit.$other (use Disabled)")
+      }
+    }
   }
 
   final class Producer(

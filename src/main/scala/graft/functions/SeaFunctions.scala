@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar/utility functions of the engine (SURVEY §2.7) as codegen-friendly
+  * column expressions — no UDFs on the hot path.
+  */
+object SeaFunctions {
+
+  /** Redis entry-id packing: one SeqNo = `(timestamp_ms << 16) | sub_seq`
+    * (sea-streamer-redis/src/message.rs:7-11,27-88 — replicated exactly;
+    * sub_seq saturates at 16 bits by construction in Redis).
+    */
+  def redisSeqNo(timestampMs: Column, subSeq: Column): Column =
+    shiftleft(timestampMs, 16).bitwiseOR(subSeq.bitwiseAND(lit(0xFFFFL)))
+
+  /** Inverse: (timestamp_ms, sub_seq) from a packed SeqNo. */
+  def redisTimestampMs(seqNo: Column): Column = shiftright(seqNo, 16)
+  def redisSubSeq(seqNo: Column): Column = seqNo.bitwiseAND(lit(0xFFFFL))
+
+  /** Redis entry-id string `"<ms>-<seq>"` from the packed SeqNo. */
+  def redisStreamId(seqNo: Column): Column =
+    concat(redisTimestampMs(seqNo).cast("string"), lit("-"),
+      redisSubSeq(seqNo).cast("string"))
+
+  /** Canonical timestamp display format
+    * `[year]-[month]-[day]T[hour]:[minute]:[second].[subsecond]`
+    * (sea-streamer-types/src/stream.rs:13-14).
+    */
+  def formatTimestamp(ts: Column): Column =
+    date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSS")
+
+  /** Parse the canonical format back to a timestamp. */
+  def parseTimestamp(s: Column): Column =
+    to_timestamp(s, "yyyy-MM-dd'T'HH:mm:ss.SSS")
+
+  /** Stream-key validity `[a-zA-Z0-9._-]{1,249}` (stream.rs:89-97). */
+  def isValidStreamKey(key: Column): Column =
+    key.rlike("^[a-zA-Z0-9._-]{1,249}$")
+
+  /** Payload JSON projection (message.rs:323-328 → `from_json`). */
+  def payloadJson(payload: Column, ddlSchema: String): Column =
+    from_json(payload.cast("string"),
+      org.apache.spark.sql.types.StructType.fromDDL(ddlSchema))
+
+  /** Payload as validated UTF-8 (BytesOrStr law, message.rs:254-259). */
+  def payloadUtf8(payload: Column): Column = payload.cast("string")
+
+  /** CRC16/CDMA2000 of a binary column (the `.ss` checksum) — small scala
+    * function; used for testability of the codec, not on any hot path.
+    */
+  def crc16(payload: Column): Column = {
+    val f = udf((bytes: Array[Byte]) =>
+      if (bytes == null) null
+      else java.lang.Integer.valueOf(graft.ss.Crc16Cdma2000(bytes)))
+    f(payload)
+  }
+}

@@ -123,6 +123,27 @@ final class SsReader private[ss] (
 
 object SsReader {
 
+  /** Decode the beacon sitting at an exact interval boundary (split-pruning
+    * support: the beacon's markers carry prefix-max seq/ts per stream).
+    */
+  def readBeaconAt(path: String, offset: Long): Option[Beacon] = {
+    val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
+    try {
+      if (offset >= ch.size()) return None
+      ch.position(offset)
+      val in = new BufferedInputStream(Channels.newInputStream(ch), 1 << 14)
+      val r = new ByteReader {
+        def readByte(): Int = {
+          val b = in.read()
+          if (b < 0) throw new EOFException
+          b
+        }
+      }
+      try Some(decodeBeacon(r))
+      catch { case _: EOFException => None }
+    } finally ch.close()
+  }
+
   def readHeader(path: String): SsHeader = {
     val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
     try {

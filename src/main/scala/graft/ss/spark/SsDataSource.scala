@@ -110,23 +110,100 @@ final case class SsInputPartition(
     keys: Option[Set[String]]) extends InputPartition
 
 class SsScanBuilder(path: String, options: CaseInsensitiveStringMap)
-    extends ScanBuilder {
-  override def build(): Scan = new SsScan(path, options)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
+  // Split-pruning thresholds from seek/rewind-shaped predicates. Beacon
+  // markers carry PREFIX-max seq/ts per stream, so a split whose end beacon
+  // shows max <= threshold cannot contain a match (SURVEY §2.4 seek laws ↔
+  // parquet row-group pruning analogue).
+  private var minTsExclusiveMs: Option[Long] = None
+  private var minSeqInclusive: Option[Long] = None
+  private var accepted: Array[Filter] = Array.empty
+
+  private def tsMillis(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp => Some(t.getTime)
+    case i: java.time.Instant => Some(i.toEpochMilli)
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    filters.foreach {
+      case GreaterThan("timestamp", v) =>
+        tsMillis(v).foreach { ms =>
+          minTsExclusiveMs = Some(minTsExclusiveMs.fold(ms)(math.max(_, ms)))
+          accepted :+= GreaterThan("timestamp", v)
+        }
+      case GreaterThanOrEqual("timestamp", v) =>
+        tsMillis(v).foreach { ms =>
+          // prune when prefix-max < ms  ⇔  prefix-max <= ms - 1
+          minTsExclusiveMs = Some(minTsExclusiveMs.fold(ms - 1)(math.max(_, ms - 1)))
+          accepted :+= GreaterThanOrEqual("timestamp", v)
+        }
+      case GreaterThanOrEqual("sequence", v: Long) =>
+        minSeqInclusive = Some(minSeqInclusive.fold(v)(math.max(_, v)))
+        accepted :+= GreaterThanOrEqual("sequence", v)
+      case GreaterThan("sequence", v: Long) =>
+        minSeqInclusive = Some(minSeqInclusive.fold(v + 1)(math.max(_, v + 1)))
+        accepted :+= GreaterThan("sequence", v)
+      case _ => ()
+    }
+    filters // all filters re-evaluated by Spark; pruning is split-level only
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan =
+    new SsScan(path, options, minTsExclusiveMs, minSeqInclusive)
 }
 
-class SsScan(path: String, options: CaseInsensitiveStringMap) extends Scan {
+class SsScan(
+    path: String,
+    options: CaseInsensitiveStringMap,
+    minTsExclusiveMs: Option[Long] = None,
+    minSeqInclusive: Option[Long] = None) extends Scan {
   override def readSchema(): StructType = Envelope.schema
-  override def description(): String = s"SsScan($path)"
+  override def description(): String = {
+    val pruning =
+      minTsExclusiveMs.map(t => s"timestamp>$t").toSeq ++
+        minSeqInclusive.map(n => s"sequence>=$n").toSeq
+    s"SsScan($path" +
+      (if (pruning.nonEmpty) pruning.mkString(", BeaconPruning: [", ",", "]")
+       else "") + ")"
+  }
 
-  override def toBatch: Batch = new SsBatch(path, options)
+  override def toBatch: Batch =
+    new SsBatch(path, options, minTsExclusiveMs, minSeqInclusive)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new SsMicroBatchStream(path, options)
 }
 
-class SsBatch(path: String, options: CaseInsensitiveStringMap) extends Batch {
+class SsBatch(
+    path: String,
+    options: CaseInsensitiveStringMap,
+    minTsExclusiveMs: Option[Long],
+    minSeqInclusive: Option[Long]) extends Batch {
   private val verify = options.getBoolean("verifyChecksum", true)
   private val keys = SsDataSource.subscribedKeys(options)
+
+  /** True when the whole split ending at this beacon can be skipped: the
+    * beacon must cover ALL streams (marker count below the budget — a full
+    * round-robin fit) and every marker's prefix-max must sit at/below the
+    * pruning threshold.
+    */
+  private def prunable(f: File, endBoundary: Long, interval: Long): Boolean = {
+    if (minTsExclusiveMs.isEmpty && minSeqInclusive.isEmpty) return false
+    SsReader.readBeaconAt(f.getPath, endBoundary) match {
+      case Some(b) if b.items.nonEmpty &&
+        b.items.length < SsFormat.numMarkers(interval.toInt) =>
+        val tsOk = minTsExclusiveMs.forall(t => b.items.forall(_.maxTimestampMillis <= t))
+        val seqOk = minSeqInclusive.forall(n => b.items.forall(_.maxSeqNo < n))
+        (minTsExclusiveMs.isDefined || minSeqInclusive.isDefined) && tsOk && seqOk
+      case _ => false
+    }
+  }
 
   /** Beacon-boundary splits sized to spark.sql.files.maxPartitionBytes. */
   override def planInputPartitions(): Array[InputPartition] = {
@@ -154,6 +231,8 @@ class SsBatch(path: String, options: CaseInsensitiveStringMap) extends Batch {
             if (a == 0) 0L else a * interval,
             if (b > nBeacons) Long.MaxValue else b * interval,
             verify, keys)
+        }.filterNot { p =>
+          p.endOffset != Long.MaxValue && prunable(f, p.endOffset, interval)
         }.toSeq
       }
     }.toArray
