@@ -193,6 +193,63 @@ object Relational {
         .filter(col("p_retailprice") > col("brand_avg") * 1.01)
         .select(col("p_partkey"), col("p_brand"),
           col("p_retailprice"), round(col("brand_avg"), 6).as("brand_avg"))
+    },
+
+    // Pivot: event counts per user bucket × event type (conditional agg —
+    // one pass, map-side combined).
+    "q13_pivot" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.events
+        .groupBy((col("user_id") % 10).as("user_bucket"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    },
+
+    // Sessionize (gaps-and-islands): new session when the gap to the
+    // previous event of the same user is >= 30 minutes. One window pass +
+    // one agg — the batch shape of session_window().
+    "q14_sessionize" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t.events
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) >=
+              30L * 60 * 1000000, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_session")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+            .as("duration_us"),
+          dsum(col("value")).as("sum_value"))
+    },
+
+    // SQL entry path: scalar + IN subqueries via spark.sql over temp views.
+    "q15_sql_subqueries" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.part.createOrReplaceTempView("part_v")
+      t.supplier.createOrReplaceTempView("supplier_v")
+      s.sql(
+        """SELECT p_partkey, p_brand, p_retailprice
+          |FROM part_v
+          |WHERE p_retailprice > (
+          |    SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+          |           / COUNT(*) * 1.01 FROM part_v)
+          |  AND p_size IN (SELECT DISTINCT s_nationkey FROM supplier_v)""".stripMargin)
+    },
+
+    // Cube with grouping_id over lineitem flags.
+    "q16_cube" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sum_qty"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -282,5 +339,46 @@ object Relational {
         |        CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) OVER (PARTITION BY p_brand) AS DOUBLE)
         |          / COUNT(*) OVER (PARTITION BY p_brand) AS brand_avg
         |      FROM part)
-        |WHERE p_retailprice > brand_avg * 1.01""".stripMargin)
+        |WHERE p_retailprice > brand_avg * 1.01""".stripMargin,
+    "q13_pivot" ->
+      """SELECT user_id % 10 AS user_bucket,
+        |  COUNT(*) FILTER (event_type = 'click') AS click,
+        |  COUNT(*) FILTER (event_type = 'view') AS view,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (event_type = 'error') AS error
+        |FROM events GROUP BY 1""".stripMargin,
+    "q14_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(date_trunc('microseconds', ts))
+        |            - epoch_us(date_trunc('microseconds', lag(ts) OVER w))
+        |              >= 30 * 60 * 1000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM marked)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  epoch_us(date_trunc('microseconds', MAX(ts)))
+        |    - epoch_us(date_trunc('microseconds', MIN(ts))) AS duration_us,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY user_id, session_id""".stripMargin,
+    "q15_sql_subqueries" ->
+      """SELECT p_partkey, p_brand, p_retailprice
+        |FROM part
+        |WHERE p_retailprice > (
+        |    SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+        |           / COUNT(*) * 1.01 FROM part)
+        |  AND p_size IN (SELECT DISTINCT s_nationkey FROM supplier)""".stripMargin,
+    "q16_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin)
 }

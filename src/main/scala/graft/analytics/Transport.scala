@@ -89,6 +89,57 @@ object Transport {
         col("stream_key"), col("sequence"))
     },
 
+    // Streaming session windows: ss stream → session_window(30 min) in
+    // append mode. A far-future sentinel per key pushes the watermark so the
+    // last real session closes; sentinel sessions are filtered out.
+    "t5_ss_sessions" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val out = scratch(dir, "sssess")
+      envelopeOf(t).write.format("ss").mode("overwrite").save(out)
+      val sentinelMs = 4100000000000L // far future
+      val q = s.readStream.format("ss").load(out)
+        .withWatermark("timestamp", "0 seconds")
+        .groupBy(session_window(col("timestamp"), "30 minutes"),
+          col("stream_key"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("stream_key"),
+          unix_millis(col("session_window.start")).as("session_start_ms"),
+          col("n_events"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName("t5_ss_sessions_sink").start()
+      try {
+        q.processAllAvailable()
+        // sentinel batch closes every open session
+        Seq("click", "view", "purchase", "signup", "error").zipWithIndex
+          .map { case (k, i) =>
+            (k, 0L, 10000000L + i, new java.sql.Timestamp(sentinelMs),
+              Array.emptyByteArray)
+          }
+          .toDF("stream_key", "shard_id", "sequence", "timestamp", "payload")
+          .write.format("ss").mode("append").save(out)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table("t5_ss_sessions_sink")
+        .filter(col("session_start_ms") < sentinelMs)
+    },
+
+    // Streaming exact dedup: doubled input through dropDuplicates on the
+    // message identity, appended to a sink, then counted.
+    "t6_stream_dedup" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val out = scratch(dir, "ssdedup")
+      val env = envelopeOf(t)
+      env.unionByName(env).write.format("ss").mode("overwrite").save(out)
+      val q = s.readStream.format("ss").load(out)
+        .dropDuplicates("stream_key", "sequence")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("t6_stream_dedup_sink").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("t6_stream_dedup_sink")
+        .groupBy("stream_key").agg(count(lit(1)).as("n"))
+    },
+
     // Producer-side sharding laws: round-robin (seq % n) and hash sharder
     // (xxhash64 has no DuckDB twin, so assert its invariants instead).
     "t4_sharders" -> { (s, dir) =>
@@ -111,5 +162,29 @@ object Transport {
     "t4_sharders" ->
       """SELECT event_id % 3 AS shard_id, COUNT(*) AS n,
         |  MAX(event_id) AS max_seq
-        |FROM events GROUP BY 1""".stripMargin)
+        |FROM events GROUP BY 1""".stripMargin,
+    // Sessions = gaps-and-islands on ms-truncated event time (the .ss
+    // envelope stores milliseconds), split when gap >= 30 minutes — exactly
+    // session_window's merge law.
+    "t5_ss_sessions" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_ms(date_trunc('milliseconds', ts)) AS ms
+        |  FROM events),
+        |marked AS (
+        |  SELECT event_type, ms,
+        |    CASE WHEN lag(ms) OVER w IS NULL
+        |           OR ms - lag(ms) OVER w >= 30 * 60 * 1000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ms)),
+        |sessions AS (
+        |  SELECT event_type, ms,
+        |    SUM(new_session) OVER (PARTITION BY event_type ORDER BY ms
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT event_type AS stream_key, MIN(ms) AS session_start_ms,
+        |  COUNT(*) AS n_events
+        |FROM sessions GROUP BY event_type, sid""".stripMargin,
+    "t6_stream_dedup" ->
+      """SELECT event_type AS stream_key, COUNT(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin)
 }

@@ -1,0 +1,53 @@
+package graft.facade
+
+/** Kafka connect-option surface (sea-streamer-kafka/src/streamer.rs:38-106,
+  * 122-170) mapped onto Spark's `kafka.`-prefixed passthrough options.
+  * Everything lands verbatim on the Kafka client, exactly like the
+  * reference's custom-options passthrough.
+  */
+object KafkaOptions {
+
+  sealed abstract class SecurityProtocol(val value: String)
+  object SecurityProtocol {
+    case object Plaintext extends SecurityProtocol("PLAINTEXT")
+    case object Ssl extends SecurityProtocol("SSL")
+    case object SaslPlaintext extends SecurityProtocol("SASL_PLAINTEXT")
+    case object SaslSsl extends SecurityProtocol("SASL_SSL")
+  }
+
+  sealed abstract class SaslMechanism(val value: String)
+  object SaslMechanism {
+    case object Plain extends SaslMechanism("PLAIN")
+    case object Gssapi extends SaslMechanism("GSSAPI")
+    case object ScramSha256 extends SaslMechanism("SCRAM-SHA-256")
+    case object ScramSha512 extends SaslMechanism("SCRAM-SHA-512")
+    case object OauthBearer extends SaslMechanism("OAUTHBEARER")
+  }
+
+  final case class SaslOptions(
+      mechanism: SaslMechanism,
+      username: Option[String] = None,
+      password: Option[String] = None)
+
+  /** Spark reader/writer options for a secured cluster. */
+  def securityOptions(
+      protocol: SecurityProtocol,
+      sasl: Option[SaslOptions] = None,
+      custom: Map[String, String] = Map.empty): Map[String, String] = {
+    val base = Map("kafka.security.protocol" -> protocol.value)
+    val saslOpts = sasl.toSeq.flatMap { s =>
+      val jaas = (s.username, s.password) match {
+        case (Some(u), Some(p)) => Seq("kafka.sasl.jaas.config" ->
+          ("org.apache.kafka.common.security.plain.PlainLoginModule required " +
+            s"""username="$u" password="$p";"""))
+        case _ => Seq.empty
+      }
+      Seq("kafka.sasl.mechanism" -> s.mechanism.value) ++ jaas
+    }
+    // custom options pass through verbatim, kafka.-prefixed if not already
+    val customOpts = custom.map { case (k, v) =>
+      (if (k.startsWith("kafka.")) k else s"kafka.$k") -> v
+    }
+    base ++ saslOpts ++ customOpts
+  }
+}
