@@ -121,6 +121,49 @@ object Similarity {
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
         .select(col("qid"), col("cid"), col("bucket"), col("cosine"), col("rank"))
+    },
+
+    // Embedding-cosine near-dup over the FULL corpus: LSH buckets (6 planes
+    // + hamming-1 multi-probe) generate candidate pairs, exact cosine keeps
+    // pairs >= 0.35. The whole-corpus pair join only ever touches bucket
+    // collisions — never O(n²).
+    "d5_embed_cosine_dup" -> { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      val e = Tables(s, dir).embeddings
+      val nPlanes = 6
+      val ex = e.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("d0", "v")))
+        .select(col("vec_id"), (col("d0") + 1).as("d"),
+          col("v").cast("double").as("v"))
+      val planes = (0 until nPlanes).toDF("p")
+        .crossJoin((1 to 64).toDF("d"))
+        .withColumn("w", planeComponent(col("p"), col("d")))
+      val buckets = ex.join(broadcast(planes), "d")
+        .groupBy("vec_id", "p")
+        .agg(sum((col("v") * col("w")).cast("decimal(30,15)")).as("dotp"))
+        .withColumn("bit", when(col("dotp") > 0, 1L).otherwise(0L))
+        .groupBy("vec_id")
+        .agg(expr("sum(shiftleft(bit, cast(p as int)))").as("bucket"))
+      val masks = (0L +: (0 until nPlanes).map(1L << _).toSeq).toDF("m")
+      // a pair matches exactly one mask (m = bucket_a XOR bucket_b)
+      val cand = buckets.as("a").crossJoin(broadcast(masks))
+        .withColumn("probe", col("a.bucket").bitwiseXOR(col("m")))
+        .join(buckets.as("b"),
+          col("probe") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      val withVec = withNorm(
+        e.select(col("vec_id"), col("embedding")), "embedding", "nrm")
+      val scored = cand
+        .join(withVec.select(col("vec_id").as("vec_a"),
+          col("embedding").as("ea"), col("nrm").as("na")), "vec_a")
+        .join(withVec.select(col("vec_id").as("vec_b"),
+          col("embedding").as("eb"), col("nrm").as("nb")), "vec_b")
+        .withColumn("cosine",
+          round(dotCol("ea", "eb") / (col("na") * col("nb")), 6))
+      scored.filter(col("cosine") >= 0.35)
+        .select(col("vec_a"), col("vec_b"), col("cosine"))
     })
 
   /** Shared oracle CTEs: exploded dims, norms. */
@@ -185,5 +228,38 @@ object Similarity {
          |             ROW_NUMBER() OVER (PARTITION BY qid
          |               ORDER BY cosine DESC, cid) AS rank
          |           FROM scored)
-         |SELECT qid, cid, bucket, cosine, rank FROM ranked WHERE rank <= 3""".stripMargin)
+         |SELECT qid, cid, bucket, cosine, rank FROM ranked WHERE rank <= 3""".stripMargin,
+    "d5_embed_cosine_dup" ->
+      s"""WITH $explodedSql,
+         |planes AS (SELECT p.p, d.d,
+         |             ((CAST(('0x'||substr(md5('plane_'||p.p||'_'||d.d),1,15)) AS BIGINT)
+         |               % 2001) - 1000) / 1000.0 AS w
+         |           FROM (SELECT unnest(range(0, 6)) AS p) p,
+         |                (SELECT unnest(range(1, 65)) AS d) d),
+         |bits AS (SELECT vec_id, p,
+         |           CASE WHEN SUM(CAST(v * w AS DECIMAL(30,15))) > 0
+         |                THEN 1 ELSE 0 END AS bit
+         |         FROM ex JOIN planes ON ex.d = planes.d
+         |         GROUP BY vec_id, p),
+         |buckets AS (SELECT vec_id,
+         |              CAST(SUM(bit * (1 << p)) AS BIGINT) AS bucket
+         |            FROM bits GROUP BY vec_id),
+         |masks(m) AS (VALUES (0), (1), (2), (4), (8), (16), (32)),
+         |cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |         FROM buckets a
+         |         JOIN masks ON true
+         |         JOIN buckets b ON b.bucket = xor(a.bucket, masks.m)
+         |           AND a.vec_id < b.vec_id),
+         |dots AS (SELECT vec_a, vec_b,
+         |           CAST(SUM(CAST(a.v * b.v AS DECIMAL(30,15))) AS DOUBLE) AS dot
+         |         FROM cand
+         |         JOIN ex a ON vec_a = a.vec_id
+         |         JOIN ex b ON vec_b = b.vec_id AND a.d = b.d
+         |         GROUP BY 1, 2),
+         |cos AS (SELECT vec_a, vec_b,
+         |          ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+         |        FROM dots
+         |        JOIN norms na ON vec_a = na.vec_id
+         |        JOIN norms nb ON vec_b = nb.vec_id)
+         |SELECT vec_a, vec_b, cosine FROM cos WHERE cosine >= 0.35""".stripMargin)
 }
