@@ -47,13 +47,8 @@ object SeaFunctions {
   /** Payload as validated UTF-8 (BytesOrStr law, message.rs:254-259). */
   def payloadUtf8(payload: Column): Column = payload.cast("string")
 
-  /** CRC16/CDMA2000 of a binary column (the `.ss` checksum) — small scala
-    * function; used for testability of the codec, not on any hot path.
+  /** CRC16/CDMA2000 of a binary column (the `.ss` checksum) — a native
+    * codegen'd Catalyst expression, see [[Crc16]].
     */
-  def crc16(payload: Column): Column = {
-    val f = udf((bytes: Array[Byte]) =>
-      if (bytes == null) null
-      else java.lang.Integer.valueOf(graft.ss.Crc16Cdma2000(bytes)))
-    f(payload)
-  }
+  def crc16(payload: Column): Column = Crc16.crc16(payload)
 }

@@ -1,0 +1,40 @@
+package graft.ops
+
+import graft.TestSession
+import graft.functions.Crc16
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SaltingSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("salted join equals plain join on skewed data") {
+    // one hot key carrying 90% of rows
+    val big = (0 until 10000).map { i =>
+      (if (i % 10 == 0) i.toLong else 42L, i.toLong)
+    }.toDF("k", "v")
+    val small = (0L until 100L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).agg(count(lit(1)), sum($"v")).first()
+    val salted = Salting.saltedJoin(big, small, "k", 8)
+      .agg(count(lit(1)), sum($"v")).first()
+    assert(plain == salted)
+    // left join keeps unmatched big rows exactly once
+    val plainL = big.join(small, Seq("k"), "left").count()
+    val saltedL = Salting.saltedJoin(big, small, "k", 8, "left").count()
+    assert(plainL == saltedL)
+  }
+
+  test("native crc16 expression matches goldens and registers for SQL") {
+    val df = Seq("123456789", "hello, world").toDF("s")
+      .withColumn("crc", Crc16.crc16($"s".cast("binary")))
+    assert(df.select("crc").as[Int].collect().toSeq == Seq(0x4C06, 0x8028))
+    Crc16.register(spark)
+    val viaSql = spark.sql(
+      "SELECT sea_crc16(CAST('123456789' AS BINARY)) AS c").as[Int].head()
+    assert(viaSql == 0x4C06)
+    // type guard
+    assertThrows[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT sea_crc16(1)").collect())
+  }
+}
