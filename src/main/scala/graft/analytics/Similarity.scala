@@ -153,13 +153,16 @@ object Similarity {
           col("probe") === col("b.bucket") &&
             col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      // the vector table is tiny next to the candidate-pair fact — broadcast
+      // both sides so the pairs never shuffle (at true corpus scale this
+      // becomes a bucket-partitioned join instead)
       val withVec = withNorm(
         e.select(col("vec_id"), col("embedding")), "embedding", "nrm")
       val scored = cand
-        .join(withVec.select(col("vec_id").as("vec_a"),
-          col("embedding").as("ea"), col("nrm").as("na")), "vec_a")
-        .join(withVec.select(col("vec_id").as("vec_b"),
-          col("embedding").as("eb"), col("nrm").as("nb")), "vec_b")
+        .join(broadcast(withVec.select(col("vec_id").as("vec_a"),
+          col("embedding").as("ea"), col("nrm").as("na"))), "vec_a")
+        .join(broadcast(withVec.select(col("vec_id").as("vec_b"),
+          col("embedding").as("eb"), col("nrm").as("nb"))), "vec_b")
         .withColumn("cosine",
           round(dotCol("ea", "eb") / (col("na") * col("nb")), 6))
       scored.filter(col("cosine") >= 0.35)

@@ -132,6 +132,12 @@ object SsFormat {
   trait ByteReader {
     def readByte(): Int // 0..255, or throws EOFException
 
+    /** Skip n bytes; implementations may override with a bulk skip. */
+    def skipFully(n: Int): Unit = {
+      var i = 0
+      while (i < n) { readByte(); i += 1 }
+    }
+
     final def readFully(n: Int): Array[Byte] = {
       val a = new Array[Byte](n)
       var i = 0
@@ -167,14 +173,20 @@ object SsFormat {
 
   /** Reads one message frame (after any leading beacon has been consumed by
     * the caller's ByteReader). Returns message + its stored checksum.
+    * With `skimPayload` the payload bytes are skipped, not materialized —
+    * for offset walks that only need frame boundaries.
     */
-  def decodeMessage(r: ByteReader): (SeaMessage, Int) = {
+  def decodeMessage(r: ByteReader, skimPayload: Boolean = false): (SeaMessage, Int) = {
     val key = r.readShortString()
     val shard = r.readU64()
     val seq = r.readU64()
     val ts = r.readU64()
     val size = r.readU32()
-    val payload = r.readFully(size)
+    // control frames (EOS) stay materialized even when skimming
+    val payload =
+      if (skimPayload && key != graft.core.Envelope.SeaStreamerInternal) {
+        r.skipFully(size); null
+      } else r.readFully(size)
     val crc = r.readU16()
     r.readByte() // 0x0D
     (SeaMessage(key, shard, seq, new java.sql.Timestamp(ts), payload), crc)

@@ -30,7 +30,11 @@ final class SsReader private[ss] (
     in: InputStream,
     val header: SsHeader,
     startOffset: Long,
-    verifyChecksum: Boolean) extends AutoCloseable {
+    verifyChecksum: Boolean,
+    /** Skip payload bytes (frames only carry header/extent) — for offset
+      * walks. Incompatible with checksum verification.
+      */
+    skimPayload: Boolean = false) extends AutoCloseable {
 
   private val interval: Long = header.beaconInterval.toLong
   private var offset: Long = startOffset
@@ -55,6 +59,22 @@ final class SsReader private[ss] (
     def readByte(): Int = {
       if (offset > 0 && offset % interval == 0) consumeBeacon()
       raw.readByte()
+    }
+
+    /** Bulk skip that still consumes beacons at interval boundaries. */
+    override def skipFully(n: Int): Unit = {
+      var remaining = n.toLong
+      while (remaining > 0) {
+        if (offset > 0 && offset % interval == 0) consumeBeacon()
+        val chunk = math.min(remaining, interval - (offset % interval))
+        var done = 0L
+        while (done < chunk) {
+          val s = in.skip(chunk - done)
+          if (s > 0) { offset += s; done += s }
+          else { raw.readByte(); done += 1 } // advances offset; EOF throws
+        }
+        remaining -= chunk
+      }
     }
   }
 
@@ -92,8 +112,8 @@ final class SsReader private[ss] (
     val start = offset
     val decoded =
       try {
-        val (msg, storedCrc) = decodeMessage(demux)
-        if (verifyChecksum) {
+        val (msg, storedCrc) = decodeMessage(demux, skimPayload)
+        if (verifyChecksum && !skimPayload) {
           val computed = Crc16Cdma2000(
             if (msg.payload == null) Array.emptyByteArray else msg.payload)
           if (computed != storedCrc)
@@ -159,15 +179,16 @@ object SsReader {
   }
 
   /** Sequential read from the start of the data. */
-  def open(path: String, verifyChecksum: Boolean = true): SsReader =
-    openAt(path, 0, verifyChecksum)
+  def open(path: String, verifyChecksum: Boolean = true, skim: Boolean = false): SsReader =
+    openAt(path, 0, verifyChecksum, skim)
 
   /** Positioned read from an exact byte offset that is known to be either a
     * frame start or a beacon boundary (used by the micro-batch stream's
     * frame-exact offsets). Offsets <= HeaderSize mean "from the header".
     */
-  def openAtOffset(path: String, byteOffset: Long, verifyChecksum: Boolean = true): SsReader = {
-    if (byteOffset <= HeaderSize) return open(path, verifyChecksum)
+  def openAtOffset(path: String, byteOffset: Long, verifyChecksum: Boolean = true,
+      skim: Boolean = false): SsReader = {
+    if (byteOffset <= HeaderSize) return open(path, verifyChecksum, skim)
     val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
     val buf = ByteBuffer.allocate(HeaderSize)
     var n = 0
@@ -180,11 +201,12 @@ object SsReader {
     ch.position(byteOffset)
     new SsReader(
       new BufferedInputStream(Channels.newInputStream(ch), 1 << 16),
-      header, byteOffset, verifyChecksum)
+      header, byteOffset, verifyChecksum, skim)
   }
 
   /** Positioned read from the N-th beacon boundary (0 = right after header). */
-  def openAt(path: String, nthBeacon: Long, verifyChecksum: Boolean = true): SsReader = {
+  def openAt(path: String, nthBeacon: Long, verifyChecksum: Boolean = true,
+      skim: Boolean = false): SsReader = {
     val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
     val buf = ByteBuffer.allocate(HeaderSize)
     var n = 0
@@ -200,6 +222,6 @@ object SsReader {
     ch.position(start)
     new SsReader(
       new BufferedInputStream(Channels.newInputStream(ch), 1 << 16),
-      header, start, verifyChecksum)
+      header, start, verifyChecksum, skim)
   }
 }

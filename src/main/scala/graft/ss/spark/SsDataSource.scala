@@ -364,9 +364,10 @@ class SsMicroBatchStream(path: String, options: CaseInsensitiveStringMap)
     if (size <= SsFormat.HeaderSize) return from
     val start = math.max(from, SsFormat.HeaderSize.toLong)
     if (start >= size) return from
+    // skim mode: the walk only needs frame extents, payloads are skipped
     val r =
-      if (from <= 0L) SsReader.open(f.getPath, verifyChecksum = false)
-      else SsReader.openAtOffset(f.getPath, from, verifyChecksum = false)
+      if (from <= 0L) SsReader.open(f.getPath, verifyChecksum = false, skim = true)
+      else SsReader.openAtOffset(f.getPath, from, verifyChecksum = false, skim = true)
     try {
       var end = math.max(from, SsFormat.HeaderSize.toLong)
       var done = false
