@@ -33,12 +33,22 @@ object Similarity {
     */
   private val NumPlanes = 4
 
+  /** Full-corpus near-dup cutoff (d5); the prefilter bound derives from it. */
+  private val DupThreshold = 0.35
+  private val DupPrefilterMargin = 1e-6
+
   /** Spark-side exact decimal dot product of two float arrays (as DOUBLE). */
   private def dotCol(a: String, b: String): Column = expr(
     s"""CAST(aggregate(
        |  zip_with($a, $b, (x, y) ->
        |    CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(30,15))),
        |  CAST(0 AS DECIMAL(38,15)), (acc, v) -> CAST(acc + v AS DECIMAL(38,15))) AS DOUBLE)""".stripMargin)
+
+  /** Plain-double dot product — prefilter only (order-dependent low bits). */
+  private def approxDotCol(a: String, b: String): Column = expr(
+    s"""aggregate(zip_with($a, $b,
+       |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+       |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
 
   /** Per-vector L2 norm via the same decimal-sum trick. */
   private def withNorm(df: DataFrame, emb: String, out: String): DataFrame =
@@ -158,14 +168,20 @@ object Similarity {
       // becomes a bucket-partitioned join instead)
       val withVec = withNorm(
         e.select(col("vec_id"), col("embedding")), "embedding", "nrm")
-      val scored = cand
+      val paired = cand
         .join(broadcast(withVec.select(col("vec_id").as("vec_a"),
           col("embedding").as("ea"), col("nrm").as("na"))), "vec_a")
         .join(broadcast(withVec.select(col("vec_id").as("vec_b"),
           col("embedding").as("eb"), col("nrm").as("nb"))), "vec_b")
+      // cheap double prefilter with a wide margin (float error ≪ the margin),
+      // then the exact decimal cosine only for the handful of survivors —
+      // the result set is identical, the BigDecimal work drops ~1000×
+      val scored = paired
+        .filter(approxDotCol("ea", "eb") / (col("na") * col("nb")) >=
+          DupThreshold - DupPrefilterMargin)
         .withColumn("cosine",
           round(dotCol("ea", "eb") / (col("na") * col("nb")), 6))
-      scored.filter(col("cosine") >= 0.35)
+      scored.filter(col("cosine") >= DupThreshold)
         .select(col("vec_a"), col("vec_b"), col("cosine"))
     })
 
@@ -264,5 +280,5 @@ object Similarity {
          |        FROM dots
          |        JOIN norms na ON vec_a = na.vec_id
          |        JOIN norms nb ON vec_b = nb.vec_id)
-         |SELECT vec_a, vec_b, cosine FROM cos WHERE cosine >= 0.35""".stripMargin)
+         |SELECT vec_a, vec_b, cosine FROM cos WHERE cosine >= $DupThreshold""".stripMargin)
 }
