@@ -133,6 +133,54 @@ object Similarity {
         .select(col("qid"), col("cid"), col("bucket"), col("cosine"), col("rank"))
     },
 
+    // IVF-style ANN: 16 deterministic coarse centroids (the first 16
+    // vectors — one-iteration IVF; production would Lloyd-iterate), every
+    // vector assigned to its nearest centroid, queries probe the 2 nearest
+    // lists, exact cosine re-rank inside the probed lists only.
+    "s3_ann_ivf" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val K = 16
+      // exact decimal L2² against every centroid; argmin with id tie-break
+      val cents = broadcast(e.filter(col("vec_id") < K)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb")))
+      def dist2(a: String, b: String): Column = expr(
+        s"""CAST(aggregate(
+           |  zip_with($a, $b, (x, y) ->
+           |    CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
+           |         (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) AS DECIMAL(30,15))),
+           |  CAST(0 AS DECIMAL(38,15)),
+           |  (acc, v) -> CAST(acc + v AS DECIMAL(38,15))) AS DOUBLE)""".stripMargin)
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2r"), col("centroid_id"))
+      val assigned = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(cents)
+        .withColumn("d2r", round(dist2("embedding", "cemb"), 6))
+        .withColumn("cr", row_number().over(wAssign))
+      val lists = assigned.filter(col("cr") === 1)
+        .select(col("vec_id").as("cid"), col("centroid_id"))
+      val probes = assigned.filter(col("vec_id") < QueryCount &&
+          col("cr") <= 2)
+        .select(col("vec_id").as("qid"), col("centroid_id"))
+      val corpus = withNorm(
+        e.select(col("vec_id").as("cid"), col("embedding").as("ce")), "ce", "cn")
+        .join(lists, "cid")
+      val qs = withNorm(
+        e.filter(col("vec_id") < QueryCount)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe")), "qe", "qn")
+      val scored = corpus
+        .join(broadcast(probes), "centroid_id")
+        .join(broadcast(qs), "qid")
+        .filter(col("qid") =!= col("cid"))
+        .withColumn("cosine",
+          round(dotCol("qe", "ce") / (col("qn") * col("cn")), 6))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("cid"))
+      scored
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("cid"), col("cosine"), col("rank"))
+    },
+
     // Embedding-cosine near-dup over the FULL corpus: LSH buckets (6 planes
     // + hamming-1 multi-probe) generate candidate pairs, exact cosine keeps
     // pairs >= 0.35. The whole-corpus pair join only ever touches bucket
@@ -248,6 +296,39 @@ object Similarity {
          |               ORDER BY cosine DESC, cid) AS rank
          |           FROM scored)
          |SELECT qid, cid, bucket, cosine, rank FROM ranked WHERE rank <= 3""".stripMargin,
+    "s3_ann_ivf" ->
+      s"""WITH $explodedSql,
+         |cents AS (SELECT vec_id AS centroid_id, d, v FROM ex WHERE vec_id < 16),
+         |d2 AS (SELECT e.vec_id, c.centroid_id,
+         |         ROUND(CAST(SUM(CAST((e.v - c.v) * (e.v - c.v)
+         |           AS DECIMAL(30,15))) AS DOUBLE), 6) AS d2r
+         |       FROM ex e JOIN cents c ON e.d = c.d
+         |       GROUP BY 1, 2),
+         |ra AS (SELECT vec_id, centroid_id,
+         |         ROW_NUMBER() OVER (PARTITION BY vec_id
+         |           ORDER BY d2r, centroid_id) AS cr
+         |       FROM d2),
+         |lists AS (SELECT vec_id AS cid, centroid_id FROM ra WHERE cr = 1),
+         |probes AS (SELECT vec_id AS qid, centroid_id FROM ra
+         |           WHERE vec_id < $QueryCount AND cr <= 2),
+         |dots AS (SELECT p.qid, l.cid,
+         |           CAST(SUM(CAST(q.v * c.v AS DECIMAL(30,15))) AS DOUBLE) AS dot
+         |         FROM probes p
+         |         JOIN lists l ON p.centroid_id = l.centroid_id
+         |         JOIN ex q ON q.vec_id = p.qid
+         |         JOIN ex c ON c.vec_id = l.cid AND q.d = c.d
+         |         WHERE p.qid <> l.cid
+         |         GROUP BY 1, 2),
+         |scored AS (SELECT qid, cid,
+         |             ROUND(dot / (nq.nrm * nc.nrm), 6) AS cosine
+         |           FROM dots
+         |           JOIN norms nq ON qid = nq.vec_id
+         |           JOIN norms nc ON cid = nc.vec_id),
+         |ranked AS (SELECT qid, cid, cosine,
+         |             ROW_NUMBER() OVER (PARTITION BY qid
+         |               ORDER BY cosine DESC, cid) AS rank
+         |           FROM scored)
+         |SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 3""".stripMargin,
     "d5_embed_cosine_dup" ->
       s"""WITH $explodedSql,
          |planes AS (SELECT p.p, d.d,
