@@ -243,6 +243,20 @@ object Relational {
           |  AND p_size IN (SELECT DISTINCT s_nationkey FROM supplier_v)""".stripMargin)
     },
 
+    // Custom sketch aggregate: HLL distinct estimate must land within 10% of
+    // exact (the boolean is what the oracle checks — the estimate itself is
+    // deterministic but DuckDB can't reproduce it).
+    "q17_hll_sketch" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.events
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users_exact"),
+          graft.functions.HllAggregator.hll(col("user_id")).as("est"))
+        .select(col("event_type"), col("n_users_exact"),
+          (abs(col("est") - col("n_users_exact")) <=
+            col("n_users_exact") * 0.1).as("hll_ok"))
+    },
+
     // Cube with grouping_id over lineitem flags.
     "q16_cube" -> { (s, dir) =>
       val t = Tables(s, dir)
@@ -375,6 +389,10 @@ object Relational {
         |    SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
         |           / COUNT(*) * 1.01 FROM part)
         |  AND p_size IN (SELECT DISTINCT s_nationkey FROM supplier)""".stripMargin,
+    "q17_hll_sketch" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact,
+        |  true AS hll_ok
+        |FROM events GROUP BY event_type""".stripMargin,
     "q16_cube" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
