@@ -140,6 +140,23 @@ object Transport {
         .groupBy("stream_key").agg(count(lit(1)).as("n"))
     },
 
+    // Watermark-bounded streaming dedup: same law as t6 but state is evicted
+    // past the watermark — the form that survives unbounded streams.
+    "t7_stream_dedup_watermarked" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val out = scratch(dir, "ssdedupwm")
+      val env = envelopeOf(t)
+      env.unionByName(env).write.format("ss").mode("overwrite").save(out)
+      val q = s.readStream.format("ss").load(out)
+        .withWatermark("timestamp", "1 hour")
+        .dropDuplicatesWithinWatermark("stream_key", "sequence")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("t7_dedup_wm_sink").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("t7_dedup_wm_sink")
+        .groupBy("stream_key").agg(count(lit(1)).as("n"))
+    },
+
     // Producer-side sharding laws: round-robin (seq % n) and hash sharder
     // (xxhash64 has no DuckDB twin, so assert its invariants instead).
     "t4_sharders" -> { (s, dir) =>
@@ -185,6 +202,9 @@ object Transport {
         |  COUNT(*) AS n_events
         |FROM sessions GROUP BY event_type, sid""".stripMargin,
     "t6_stream_dedup" ->
+      """SELECT event_type AS stream_key, COUNT(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    "t7_stream_dedup_watermarked" ->
       """SELECT event_type AS stream_key, COUNT(*) AS n
         |FROM events GROUP BY event_type""".stripMargin)
 }
