@@ -40,7 +40,9 @@ object Dedup {
       .select(col("doc_id"), split(col("text"), " ").as("tok"))
       .filter(size(col("tok")) >= 3)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(tok)-3), i -> concat_ws(' ', slice(tok, i+1, 3)))"))
+        // cap matches the oracle's range(1, 1024): both sides consider at
+        // most the first 1023 shingle positions of pathological documents
+        "transform(sequence(0, least(size(tok)-3, 1022)), i -> concat_ws(' ', slice(tok, i+1, 3)))"))
         .as("s"))
       .distinct()
 

@@ -36,10 +36,18 @@ object KafkaOptions {
       custom: Map[String, String] = Map.empty): Map[String, String] = {
     val base = Map("kafka.security.protocol" -> protocol.value)
     val saslOpts = sasl.toSeq.flatMap { s =>
-      val jaas = (s.username, s.password) match {
-        case (Some(u), Some(p)) => Seq("kafka.sasl.jaas.config" ->
-          ("org.apache.kafka.common.security.plain.PlainLoginModule required " +
-            s"""username="$u" password="$p";"""))
+      // login module must match the mechanism (PlainLoginModule only speaks
+      // PLAIN); GSSAPI/OAUTHBEARER need external configs, no inline JAAS
+      val module = s.mechanism match {
+        case SaslMechanism.Plain =>
+          Some("org.apache.kafka.common.security.plain.PlainLoginModule")
+        case SaslMechanism.ScramSha256 | SaslMechanism.ScramSha512 =>
+          Some("org.apache.kafka.common.security.scram.ScramLoginModule")
+        case _ => None
+      }
+      val jaas = (module, s.username, s.password) match {
+        case (Some(m), Some(u), Some(p)) => Seq("kafka.sasl.jaas.config" ->
+          (s"""$m required username="$u" password="$p";"""))
         case _ => Seq.empty
       }
       Seq("kafka.sasl.mechanism" -> s.mechanism.value) ++ jaas

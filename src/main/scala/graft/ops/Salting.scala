@@ -16,13 +16,24 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
-  /** Equi-join `big ⋈ small` on `key`, salted `saltFactor` ways. */
+  /** Equi-join `big ⋈ small` on `key`, salted `saltFactor` ways.
+    *
+    * Only join types whose unmatched-row semantics survive the small-side
+    * explosion are allowed: a right/full outer join would emit an unmatched
+    * small row once per salt replica.
+    */
   def saltedJoin(
       big: DataFrame,
       small: DataFrame,
       key: String,
       saltFactor: Int,
       joinType: String = "inner"): DataFrame = {
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti", "cross")
+    require(allowed.contains(joinType.toLowerCase.replace("_", "")) ||
+      allowed.contains(joinType.toLowerCase),
+      s"saltedJoin does not support '$joinType' (unmatched small-side rows " +
+        "would be duplicated per salt); use inner/left/semi/anti")
     val saltedBig = big.withColumn("__salt",
       pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(saltFactor.toLong)))
     val saltedSmall = small

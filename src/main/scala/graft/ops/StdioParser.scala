@@ -100,8 +100,10 @@ object StdioParser {
     * (`[ts | stream | seq] payload`, sea-streamer-stdio/src/producer.rs).
     */
   def formatLine(ts: java.sql.Timestamp, key: String, seq: Long, payload: String): String = {
-    val dt = LocalDateTime.ofEpochSecond(ts.getTime / 1000,
-      (ts.getTime % 1000).toInt * 1000000, ZoneOffset.UTC)
+    // ofInstant handles pre-epoch times (a truncating div/mod would produce
+    // a negative nano-of-second and throw)
+    val dt = LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochMilli(ts.getTime), ZoneOffset.UTC)
     s"[${dt.format(SubsecFormat)} | $key | $seq] $payload"
   }
 

@@ -14,28 +14,41 @@ object SsAdmin {
   private def parts(dir: String): Seq[File] =
     graft.ss.spark.SsDataSource.listFiles(dir)
 
-  /** Max timestamp across a part file — prefix-max from the LAST beacon that
-    * covers all streams, then a bounded tail walk (never a full scan).
+  /** Max timestamp across a part file. Fast path: prefix-max from the LAST
+    * beacon when its marker set covers every stream (items < budget), plus a
+    * bounded tail walk. When the beacon can't vouch for all streams the whole
+    * file is walked (skim mode — frame headers only) so the answer is always
+    * sound: trimming must never act on a stale max.
     */
   private def fileMaxTs(f: File): Option[Long] = {
     val header = SsReader.readHeader(f.getPath)
     val interval = header.beaconInterval.toLong
     val lastBeacon = (f.length() - 1) / interval
-    val r = if (lastBeacon >= 1) SsReader.openAt(f.getPath, lastBeacon)
-    else SsReader.open(f.getPath)
-    try {
-      val beaconMax = r.lastBeacon
-        .filter(_.items.length < SsFormat.numMarkers(interval.toInt))
-        .map(_.items.map(_.maxTimestampMillis).max)
-      var tail = Long.MinValue
-      var done = false
-      while (!done) r.next() match {
-        case Some(rec) => tail = math.max(tail, rec.message.timestamp.getTime)
-        case None => done = true
+
+    def walkMax(r: SsReader): Option[Long] =
+      try {
+        var tail = Long.MinValue
+        var done = false
+        while (!done) r.next() match {
+          case Some(rec) => tail = math.max(tail, rec.message.timestamp.getTime)
+          case None => done = true
+        }
+        if (tail != Long.MinValue) Some(tail) else None
+      } finally r.close()
+
+    if (lastBeacon >= 1) {
+      val r = SsReader.openAt(f.getPath, lastBeacon,
+        verifyChecksum = false, skim = true)
+      val fullCoverage = !r.isTruncated && r.lastBeacon.exists { b =>
+        b.items.nonEmpty && b.items.length < SsFormat.numMarkers(interval.toInt)
       }
-      (beaconMax.toSeq ++ (if (tail != Long.MinValue) Seq(tail) else Nil))
-        .maxOption
-    } finally r.close()
+      if (fullCoverage) {
+        val beaconMax = r.lastBeacon.get.items.map(_.maxTimestampMillis).max
+        return Some((beaconMax +: walkMax(r).toSeq).max)
+      }
+      r.close()
+    }
+    walkMax(SsReader.open(f.getPath, verifyChecksum = false, skim = true))
   }
 
   /** Drop whole part files whose newest message is older than `minTsMillis`
@@ -58,7 +71,7 @@ object SsAdmin {
     withTs.foreach { case (f, _) =>
       if (kept >= maxMessages) { f.delete(); deleted += f.getPath }
       else {
-        val r = SsReader.open(f.getPath, verifyChecksum = false)
+        val r = SsReader.open(f.getPath, verifyChecksum = false, skim = true)
         try kept += r.iterator.size finally r.close()
       }
     }

@@ -308,21 +308,48 @@ object SsOffset {
       case c => c.toString
     } + "\""
 
-  /** Minimal parser for the exact shape json() emits. */
+  /** Strict char-level parser for the exact shape json() emits — handles
+    * commas/quotes/control-chars inside paths and undoes every escape
+    * `quote` produces.
+    */
   def fromJson(json: String): SsOffset = {
-    val inner = json.trim
-      .stripPrefix("{\"files\":{").stripSuffix("}}")
-    if (inner.isEmpty) SsOffset(Map.empty)
-    else {
-      // keys are quoted paths without embedded unescaped quotes
-      val entries = inner.split(",(?=\")").toSeq.map { kv =>
-        val i = kv.lastIndexOf(':')
-        val key = kv.substring(0, i).trim.stripPrefix("\"").stripSuffix("\"")
-          .replace("\\\"", "\"").replace("\\\\", "\\")
-        key -> kv.substring(i + 1).trim.toLong
-      }
-      SsOffset(entries.toMap)
+    val s = json.trim
+    var i = 0
+    def expect(lit: String): Unit = {
+      if (!s.startsWith(lit, i))
+        throw new IllegalArgumentException(s"bad SsOffset json at $i: $s")
+      i += lit.length
     }
+    expect("{\"files\":{")
+    val entries = Map.newBuilder[String, Long]
+    if (s.charAt(i) != '}') {
+      var more = true
+      while (more) {
+        expect("\"")
+        val key = new StringBuilder
+        while (s.charAt(i) != '"') {
+          if (s.charAt(i) == '\\') {
+            s.charAt(i + 1) match {
+              case '"' => key += '"'; i += 2
+              case '\\' => key += '\\'; i += 2
+              case 'u' =>
+                key += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+                i += 6
+              case other =>
+                throw new IllegalArgumentException(s"bad escape \\$other")
+            }
+          } else { key += s.charAt(i); i += 1 }
+        }
+        i += 1 // closing quote
+        expect(":")
+        val start = i
+        while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '-')) i += 1
+        entries += key.result() -> s.substring(start, i).toLong
+        if (s.charAt(i) == ',') i += 1 else more = false
+      }
+    }
+    expect("}}")
+    SsOffset(entries.result())
   }
 }
 
@@ -364,19 +391,39 @@ class SsMicroBatchStream(path: String, options: CaseInsensitiveStringMap)
     if (size <= SsFormat.HeaderSize) return from
     val start = math.max(from, SsFormat.HeaderSize.toLong)
     if (start >= size) return from
+
     // skim mode: the walk only needs frame extents, payloads are skipped
-    val r =
-      if (from <= 0L) SsReader.open(f.getPath, verifyChecksum = false, skim = true)
-      else SsReader.openAtOffset(f.getPath, from, verifyChecksum = false, skim = true)
-    try {
-      var end = math.max(from, SsFormat.HeaderSize.toLong)
-      var done = false
-      while (!done) r.next() match {
-        case Some(rec) => end = rec.endOffset
-        case None => done = true
-      }
-      end
-    } finally r.close()
+    def walk(r: SsReader, init: Long): Long =
+      try {
+        var end = init
+        var done = false
+        while (!done) r.next() match {
+          case Some(rec) => end = rec.endOffset
+          case None => done = true
+        }
+        end
+      } finally r.close()
+
+    if (from > 0L)
+      return walk(
+        SsReader.openAtOffset(f.getPath, from, verifyChecksum = false, skim = true),
+        from)
+
+    // cold start (earliest walked for the first time, or startingOffsets=
+    // latest): jump to the last beacon so the walk is O(beaconInterval), not
+    // O(fileSize). If the spliced frame under that beacon is incomplete
+    // (writer died mid-frame) the safe end must stay BEFORE its start, which
+    // only a full walk can find — fall back.
+    val interval = SsReader.readHeader(f.getPath).beaconInterval.toLong
+    val lastBeacon = (size - 1) / interval
+    if (lastBeacon >= 1) {
+      val r = SsReader.openAt(f.getPath, lastBeacon,
+        verifyChecksum = false, skim = true)
+      if (!r.isTruncated) return walk(r, lastBeacon * interval)
+      r.close()
+    }
+    walk(SsReader.open(f.getPath, verifyChecksum = false, skim = true),
+      SsFormat.HeaderSize.toLong)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -446,20 +493,28 @@ class SsStreamingWrite(path: String, info: LogicalWriteInfo)
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-/** One `.ss` part file per task (and per epoch when streaming). */
+/** One `.ss` part file per task (and per epoch when streaming). A per-job
+  * unique tag keeps append-mode writes from different jobs/applications from
+  * colliding on (partitionId, taskId) and truncating earlier parts.
+  */
 class SsWriterFactory(path: String, interval: Int, epochTag: Long)
     extends DataWriterFactory with StreamingDataWriterFactory {
 
+  private val jobTag: String =
+    java.util.UUID.randomUUID().toString.substring(0, 8)
+
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    mk(f"part-$partitionId%05d-$taskId.ss")
+    mk(f"part-$jobTag-$partitionId%05d-$taskId.ss")
 
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    mk(f"part-$epochId%05d-$partitionId%05d-$taskId.ss")
+    mk(f"part-$jobTag-$epochId%05d-$partitionId%05d-$taskId.ss")
 
   private def mk(name: String): DataWriter[InternalRow] = {
     val target = new File(path)
-    val file = if (target.isDirectory) new File(target, name) else target
-    new SsDataWriter(file, interval)
+    if (target.exists() && !target.isDirectory)
+      throw SsFormat.FormatException(
+        s"ss sink path must be a directory, found a file: $path")
+    new SsDataWriter(new File(target, name), interval)
   }
 }
 
