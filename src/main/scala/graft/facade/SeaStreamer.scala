@@ -228,6 +228,37 @@ object SeaStreamer {
     /** An anchored producer can only anchor once (producer.rs:59-65). */
     def anchored: String = anchor.getOrElse(throw SeaStreamErr.NotAnchored)
 
+    /** Bounded send assigning per-(stream, shard) sequences that continue
+      * from the store's current max — the file producer-registry behavior
+      * (sea-streamer-file/src/producer/backend.rs:36-50). Rows are ordered
+      * by (timestamp, arrival) within each key.
+      */
+    def sendAssignSeq(df: DataFrame): Unit = {
+      if (scheme != "file")
+        throw SeaStreamErr.Unsupported(s"sendAssignSeq on '$scheme'")
+      val existing = graft.ss.SsAdmin.maxSequences(node).toSeq
+        .map { case ((k, sh), mx) => (k, sh, mx) }
+      val spark0 = df.sparkSession
+      import spark0.implicits._
+      val bases = existing.toDF("stream_key", "shard_id", "__base")
+      val keyed = anchor match {
+        case Some(key) => df.withColumn("stream_key", lit(key))
+        case None => df
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("stream_key"), col("shard_id"))
+        .orderBy(col("timestamp"), col("__arrival"))
+      val assigned = keyed
+        .withColumn("__arrival", monotonically_increasing_id())
+        .join(broadcast(bases), Seq("stream_key", "shard_id"), "left")
+        .withColumn("sequence",
+          coalesce(col("__base"), lit(-1L)) +
+            row_number().over(w).cast("long"))
+        .drop("__base", "__arrival")
+        .select("stream_key", "shard_id", "sequence", "timestamp", "payload")
+      assigned.write.format("ss").mode("append").save(node)
+    }
+
     /** Bounded send of an envelope DataFrame. */
     def send(df: DataFrame): Unit = {
       val out = anchor match {
