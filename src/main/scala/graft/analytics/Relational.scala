@@ -257,6 +257,21 @@ object Relational {
             col("n_users_exact") * 0.1).as("hll_ok"))
     },
 
+    // As-of join (ops.AsOfJoin): each event matched to the latest prior
+    // purchase of the same user — union + fill-forward, one shuffle.
+    "q18_asof_join" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val ev = t.events.select(col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      val pur = t.events.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("pus"))
+        .agg(max(col("event_id")).as("pid"))
+      graft.ops.AsOfJoin.asof(ev, pur, "user_id", "us", "pus", "p_")
+        .filter(col("p_time").isNotNull)
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("p_time").as("p_us"), col("p_pid"))
+    },
+
     // Cube with grouping_id over lineitem flags.
     "q16_cube" -> { (s, dir) =>
       val t = Tables(s, dir)
@@ -393,6 +408,24 @@ object Relational {
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact,
         |  true AS hll_ok
         |FROM events GROUP BY event_type""".stripMargin,
+    "q18_asof_join" ->
+      """WITH ev AS (SELECT user_id, epoch_us(date_trunc('microseconds', ts)) AS us,
+        |              event_id FROM events),
+        |pur AS (SELECT user_id, epoch_us(date_trunc('microseconds', ts)) AS us,
+        |          MAX(event_id) AS pid
+        |        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |u AS (
+        |  SELECT user_id, us, 0 AS side, NULL::BIGINT AS event_id, pid FROM pur
+        |  UNION ALL
+        |  SELECT user_id, us, 1 AS side, event_id, NULL::BIGINT AS pid FROM ev),
+        |filled AS (
+        |  SELECT user_id, us, side, event_id,
+        |    last_value(pid IGNORE NULLS) OVER w AS p_pid,
+        |    last_value(CASE WHEN side = 0 THEN us END IGNORE NULLS) OVER w AS p_us
+        |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY us, side
+        |                      ROWS UNBOUNDED PRECEDING))
+        |SELECT event_id, user_id, us, p_us, p_pid
+        |FROM filled WHERE side = 1 AND p_us IS NOT NULL""".stripMargin,
     "q16_cube" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,

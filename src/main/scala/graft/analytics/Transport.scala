@@ -157,6 +157,35 @@ object Transport {
         .groupBy("stream_key").agg(count(lit(1)).as("n"))
     },
 
+    // Gated fuse merge as a streaming query: click+view streams through the
+    // ss source into StreamJoin.gated; sentinel messages on both aligned
+    // streams flush the buffers (no EOS in an unbounded stream), then the
+    // sink is aggregated minus sentinels.
+    "t8_fuse_gated" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val out = scratch(dir, "ssfuse")
+      envelopeOf(t).filter(col("stream_key").isin("click", "view"))
+        .write.format("ss").mode("overwrite").save(out)
+      Seq(("click", 0L, 20000000L), ("view", 0L, 20000001L))
+        .map { case (k, sh, sq) =>
+          (k, sh, sq, new java.sql.Timestamp(4100000000000L), Array.emptyByteArray)
+        }
+        .toDF("stream_key", "shard_id", "sequence", "timestamp", "payload")
+        .write.format("ss").mode("append").save(out)
+      val muxed = s.readStream.format("ss").load(out)
+        .as[graft.core.SeaMessage]
+      val q = graft.ops.StreamJoin.gated(muxed, Seq("click", "view"))
+        .toDF()
+        .writeStream.outputMode("append")
+        .format("memory").queryName("t8_fuse_sink").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("t8_fuse_sink")
+        .filter(col("sequence") < 20000000L)
+        .groupBy("stream_key")
+        .agg(count(lit(1)).as("n"), max(col("sequence")).as("max_seq"))
+    },
+
     // Producer-side sharding laws: round-robin (seq % n) and hash sharder
     // (xxhash64 has no DuckDB twin, so assert its invariants instead).
     "t4_sharders" -> { (s, dir) =>
@@ -206,5 +235,10 @@ object Transport {
         |FROM events GROUP BY event_type""".stripMargin,
     "t7_stream_dedup_watermarked" ->
       """SELECT event_type AS stream_key, COUNT(*) AS n
-        |FROM events GROUP BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type""".stripMargin,
+    "t8_fuse_gated" ->
+      """SELECT event_type AS stream_key, COUNT(*) AS n,
+        |  MAX(event_id) AS max_seq
+        |FROM events WHERE event_type IN ('click', 'view')
+        |GROUP BY event_type""".stripMargin)
 }
