@@ -272,6 +272,22 @@ object Relational {
           col("p_time").as("p_us"), col("p_pid"))
     },
 
+    // Range join (ops.RangeJoin): error events paired with purchases of the
+    // same user within ±1 hour — bucketed equi-join, not a nested loop.
+    "q19_range_join" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      def side(kind: String, idCol: String, tsCol: String) =
+        t.events.filter(col("event_type") === kind)
+          .select(col("user_id"), unix_micros(col("ts")).as(tsCol),
+            col("event_id").as(idCol))
+      graft.ops.RangeJoin.rangeJoin(
+        side("error", "error_id", "e_us"),
+        side("purchase", "purchase_id", "p_us"),
+        "user_id", "e_us", "p_us", 3600000000L)
+        .select(col("user_id"), col("error_id"), col("purchase_id"),
+          (col("e_us") - col("p_us")).as("gap_us"))
+    },
+
     // Cube with grouping_id over lineitem flags.
     "q16_cube" -> { (s, dir) =>
       val t = Tables(s, dir)
@@ -426,6 +442,14 @@ object Relational {
         |                      ROWS UNBOUNDED PRECEDING))
         |SELECT event_id, user_id, us, p_us, p_pid
         |FROM filled WHERE side = 1 AND p_us IS NOT NULL""".stripMargin,
+    "q19_range_join" ->
+      """WITH e AS (SELECT user_id, epoch_us(date_trunc('microseconds', ts)) AS e_us,
+        |             event_id AS error_id FROM events WHERE event_type = 'error'),
+        |p AS (SELECT user_id, epoch_us(date_trunc('microseconds', ts)) AS p_us,
+        |        event_id AS purchase_id FROM events WHERE event_type = 'purchase')
+        |SELECT e.user_id, error_id, purchase_id, e_us - p_us AS gap_us
+        |FROM e JOIN p ON e.user_id = p.user_id
+        |  AND abs(e_us - p_us) <= 3600000000""".stripMargin,
     "q16_cube" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,

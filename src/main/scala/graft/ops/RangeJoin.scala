@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Tolerance range join: pairs (left, right) sharing `key` with
+  * `|leftTime - rightTime| <= tolerance`.
+  *
+  * A naive theta-join on the inequality makes Catalyst fall back to a
+  * broadcast-nested-loop; instead each side is bucketed by
+  * `floor(time / tolerance)` and the left probes its own bucket ±1 — an
+  * equi-join on (key, bucket) that covers every in-tolerance pair exactly
+  * once, then the exact predicate filters. Linear shuffle volume, codegen'd
+  * hash join, survives any scale the key distribution does.
+  */
+object RangeJoin {
+
+  def rangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      tolerance: Long): DataFrame = {
+    require(tolerance > 0, "tolerance must be positive")
+    val lb = left.withColumn("__bucket",
+      floor(col(leftTime) / tolerance))
+    val probes = lb.withColumn("__probe",
+      explode(array(col("__bucket") - 1, col("__bucket"), col("__bucket") + 1)))
+    val rb = right.withColumn("__probe",
+      floor(col(rightTime) / tolerance))
+    probes.join(rb, Seq(key, "__probe"))
+      .filter(abs(col(leftTime) - col(rightTime)) <= tolerance)
+      .drop("__bucket", "__probe")
+  }
+}
