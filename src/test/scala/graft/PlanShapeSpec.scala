@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the plans' scale-critical shapes — a regression here is a silent
+  * 100×-at-scale problem even when results stay correct.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, TestSession.sfDir)
+      .queryExecution.explainString(FormattedMode)
+
+  test("q1 pushes its filter and prunes columns at the parquet scan") {
+    val p = planOf("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_orderkey"), "unused columns must not be read")
+  }
+
+  test("q11 star join broadcasts every dimension (no sort-merge join)") {
+    val p = planOf("q11_star_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("LSH candidate generation never plans a cartesian product") {
+    // (tiny broadcast cross joins against constant tables — 8 minhash params,
+    // plane grids — are deliberate and fine; a CartesianProduct is not)
+    for (q <- Seq("d3_minhash_lsh", "d5_embed_cosine_dup")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian join")
+    }
+  }
+
+  test("range join is an equi-join, not a nested loop") {
+    val p = planOf("q19_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "tolerance join must bucket, not theta-join")
+  }
+
+  test("ss scan splits on beacons and reports pruning in its description") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("planss").toString
+    (0 until 100).map(i => ("k", 0L, i.toLong,
+      new java.sql.Timestamp(1000L * i), Array[Byte](1)))
+      .toDF("stream_key", "shard_id", "sequence", "timestamp", "payload")
+      .write.format("ss").option("beaconInterval", "512").mode("append").save(dir)
+    val df = spark.read.format("ss").load(dir)
+      .filter(col("sequence") >= 50L)
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(p.contains("BeaconPruning") || p.contains("SsScan"))
+    assert(df.count() == 50)
+  }
+}
