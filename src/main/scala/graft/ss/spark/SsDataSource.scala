@@ -466,13 +466,15 @@ class SsBatchWrite(path: String, info: LogicalWriteInfo, truncate: Boolean)
     extends BatchWrite {
   private val interval =
     info.options().getInt("beaconInterval", SsFormat.DefaultBeaconInterval)
+  private val sizeLimit =
+    info.options().getLong("fileSizeLimit", SsFormat.DefaultFileSizeLimit)
 
   override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory = {
     val dir = new File(path)
     if (truncate && dir.isDirectory)
       dir.listFiles((_, n) => n.endsWith(".ss")).foreach(_.delete())
     dir.mkdirs()
-    new SsWriterFactory(path, interval, -1L)
+    new SsWriterFactory(path, interval, sizeLimit, -1L)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
@@ -483,10 +485,12 @@ class SsStreamingWrite(path: String, info: LogicalWriteInfo)
     extends StreamingWrite {
   private val interval =
     info.options().getInt("beaconInterval", SsFormat.DefaultBeaconInterval)
+  private val sizeLimit =
+    info.options().getLong("fileSizeLimit", SsFormat.DefaultFileSizeLimit)
 
   override def createStreamingWriterFactory(p: PhysicalWriteInfo): StreamingDataWriterFactory = {
     new File(path).mkdirs()
-    val factory = new SsWriterFactory(path, interval, 0L)
+    val factory = new SsWriterFactory(path, interval, sizeLimit, 0L)
     factory
   }
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
@@ -497,7 +501,7 @@ class SsStreamingWrite(path: String, info: LogicalWriteInfo)
   * unique tag keeps append-mode writes from different jobs/applications from
   * colliding on (partitionId, taskId) and truncating earlier parts.
   */
-class SsWriterFactory(path: String, interval: Int, epochTag: Long)
+class SsWriterFactory(path: String, interval: Int, sizeLimit: Long, epochTag: Long)
     extends DataWriterFactory with StreamingDataWriterFactory {
 
   private val jobTag: String =
@@ -514,22 +518,52 @@ class SsWriterFactory(path: String, interval: Int, epochTag: Long)
     if (target.exists() && !target.isDirectory)
       throw SsFormat.FormatException(
         s"ss sink path must be a directory, found a file: $path")
-    new SsDataWriter(new File(target, name), interval)
+    new SsDataWriter(new File(target, name), interval, sizeLimit)
   }
 }
 
-class SsDataWriter(file: File, interval: Int) extends DataWriter[InternalRow] {
-  private val writer = new SsWriter(
-    new BufferedOutputStream(new FileOutputStream(file), 1 << 16),
-    file.getName, interval)
+/** Writes one part; rotates to `<part>-rN.ss` when the file-size quota is
+  * exceeded (the reference sink's 16 GiB default quota + rotation,
+  * sea-streamer-file/src/sink.rs:96-110, lib.rs:93).
+  */
+class SsDataWriter(file: File, interval: Int, sizeLimit: Long)
+    extends DataWriter[InternalRow] {
 
-  override def write(row: InternalRow): Unit =
-    writer.write(SsRows.fromInternalRow(row))
+  private var rotation = 0
+  private var messages = 0L
+  private val files = Seq.newBuilder[File]
+  private var current: SsWriter = open(file)
+
+  private def open(f: File): SsWriter = {
+    files += f
+    new SsWriter(
+      new BufferedOutputStream(new FileOutputStream(f), 1 << 16),
+      f.getName, interval)
+  }
+
+  private def rotatedFile: File = {
+    rotation += 1
+    new File(file.getParentFile,
+      file.getName.stripSuffix(".ss") + s"-r$rotation.ss")
+  }
+
+  override def write(row: InternalRow): Unit = {
+    if (current.offset >= sizeLimit) {
+      messages += current.messageCount
+      current.close()
+      current = open(rotatedFile)
+    }
+    current.write(SsRows.fromInternalRow(row))
+  }
 
   override def commit(): WriterCommitMessage = {
-    writer.close()
-    SsCommitMessage(file.getPath, writer.messageCount)
+    messages += current.messageCount
+    current.close()
+    SsCommitMessage(file.getPath, messages)
   }
-  override def abort(): Unit = { writer.close(); file.delete() }
+  override def abort(): Unit = {
+    current.close()
+    files.result().foreach(_.delete())
+  }
   override def close(): Unit = ()
 }

@@ -90,6 +90,23 @@ class SsRegressionSpec extends AnyFunSuite {
     assert(plain("kafka.sasl.jaas.config").contains("PlainLoginModule"))
   }
 
+  test("file-size quota rotates part files, nothing lost") {
+    val dir = Files.createTempDirectory("rotate").toString
+    env(500, 0).repartition(1)
+      .write.format("ss")
+      .option("beaconInterval", "512")
+      .option("fileSizeLimit", "4096") // tiny quota → many rotations
+      .mode("append").save(dir)
+    val parts = graft.ss.spark.SsDataSource.listFiles(dir)
+    assert(parts.size > 3, s"expected rotations, got ${parts.map(_.getName)}")
+    assert(parts.forall(_.length() <= 4096 + 2048),
+      "each part stays near the quota")
+    val back = spark.read.format("ss").load(dir)
+    assert(back.count() == 500)
+    assert(back.select("sequence").as[Long].collect().sorted.toSeq ==
+      (0L until 500L))
+  }
+
   test("stdio formatLine survives pre-epoch timestamps") {
     val line = graft.ops.StdioParser.formatLine(
       new java.sql.Timestamp(-1L), "k", 0, "old")
