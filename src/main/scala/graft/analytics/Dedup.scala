@@ -121,6 +121,41 @@ object Dedup {
           round(col("jaccard"), 6).as("jaccard"))
     },
 
+    // Dedup clustering: connected components over the near-dup pair graph
+    // (min-label propagation — a distributed join per iteration, converging
+    // in O(component diameter) rounds; near-dup components are tiny).
+    // Output: every doc in a component, its cluster id (min doc_id), and
+    // whether it is the keeper.
+    "d6_dedup_clusters" -> { (s, dir) =>
+      val pairs = jaccardPairs(shingles(Tables(s, dir).documents))
+        .filter(col("jaccard") >= JaccardThreshold)
+        .select(col("doc_a"), col("doc_b"))
+        .cache()
+      val edges = pairs
+        .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      var labels = edges.select(col("doc_a").as("doc"))
+        .distinct()
+        .withColumn("lbl", col("doc"))
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 10) {
+        val next = labels.as("l")
+          .join(edges.as("e"), col("l.doc") === col("e.doc_a"), "left")
+          .join(labels.as("n"), col("e.doc_b") === col("n.doc"), "left")
+          .groupBy(col("l.doc").as("doc"))
+          .agg(least(min(col("l.lbl")), coalesce(min(col("n.lbl")),
+            min(col("l.lbl")))).as("lbl"))
+        val changed = next.as("a")
+          .join(labels.as("b"), col("a.doc") === col("b.doc"))
+          .filter(col("a.lbl") =!= col("b.lbl")).limit(1).count()
+        labels = next.cache()
+        converged = changed == 0
+        iter += 1
+      }
+      labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"),
+        (col("doc") === col("lbl")).as("keeper"))
+    },
+
     // SimHash: 16-bit fingerprint over token unigrams (pure map + one agg).
     "d4_simhash" -> { (s, dir) =>
       val toks = Tables(s, dir).documents
@@ -203,5 +238,18 @@ object Dedup {
          |JOIN cand c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
          |WHERE j.jaccard >= $JaccardThreshold""".stripMargin
     },
-    "d4_simhash" -> simhashOracle)
+    "d4_simhash" -> simhashOracle,
+    // Transitive closure via recursive CTE; cluster = min reachable doc_id.
+    "d6_dedup_clusters" ->
+      s"""WITH RECURSIVE $jaccardOracleCte,
+         |near AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= $JaccardThreshold),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM near
+         |          UNION ALL SELECT doc_b, doc_a FROM near),
+         |reach(doc, lbl) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.doc = e.a)
+         |SELECT doc AS doc_id, MIN(lbl) AS cluster_id,
+         |  doc = MIN(lbl) AS keeper
+         |FROM reach GROUP BY doc""".stripMargin)
 }
