@@ -138,20 +138,27 @@ object Dedup {
         .withColumn("lbl", col("doc"))
       var converged = false
       var iter = 0
-      while (!converged && iter < 10) {
+      val maxIter = 50
+      while (!converged && iter < maxIter) {
         val next = labels.as("l")
           .join(edges.as("e"), col("l.doc") === col("e.doc_a"), "left")
           .join(labels.as("n"), col("e.doc_b") === col("n.doc"), "left")
           .groupBy(col("l.doc").as("doc"))
           .agg(least(min(col("l.lbl")), coalesce(min(col("n.lbl")),
             min(col("l.lbl")))).as("lbl"))
+          .cache()
         val changed = next.as("a")
           .join(labels.as("b"), col("a.doc") === col("b.doc"))
           .filter(col("a.lbl") =!= col("b.lbl")).limit(1).count()
-        labels = next.cache()
+        labels.unpersist()
+        labels = next
         converged = changed == 0
         iter += 1
       }
+      pairs.unpersist()
+      // silent non-convergence would split a component across cluster ids
+      require(converged,
+        s"dedup clustering did not converge within $maxIter iterations")
       labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"),
         (col("doc") === col("lbl")).as("keeper"))
     },

@@ -245,11 +245,14 @@ object SeaStreamer {
         case Some(key) => df.withColumn("stream_key", lit(key))
         case None => df
       }
+      // tie-break must be content-derived: a monotonically_increasing_id
+      // differs across stage retries, which would let a retried task assign
+      // sequences inconsistent with parts already committed by other tasks
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("stream_key"), col("shard_id"))
         .orderBy(col("timestamp"), col("__arrival"))
       val assigned = keyed
-        .withColumn("__arrival", monotonically_increasing_id())
+        .withColumn("__arrival", xxhash64(col("payload"), col("timestamp")))
         .join(broadcast(bases), Seq("stream_key", "shard_id"), "left")
         .withColumn("sequence",
           coalesce(col("__base"), lit(-1L)) +

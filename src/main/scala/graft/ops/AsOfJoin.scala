@@ -35,13 +35,18 @@ object AsOfJoin {
     val rightUnique = right
       .groupBy(col(key), col(rightTime).as("__t"))
       .agg(max(struct(rightCols.map(col).toIndexedSeq: _*)).as("__rv"))
+    // carry the FULL left row through the union as a struct — no re-join on
+    // a synthetic id (monotonically_increasing_id is nondeterministic across
+    // recomputations and must never be a join key)
+    val leftCols = left.columns
     val taggedRight = rightUnique.select(
-      col(key), col("__t"), lit(0).as("__side"),
-      lit(null).cast("long").as("__lid"), col("__rv"))
-    val leftWithId = left.withColumn("__lid", monotonically_increasing_id())
-    val taggedLeft = leftWithId.select(
+      col(key), col("__t"), lit(0).as("__side"), col("__rv"),
+      lit(null).cast(org.apache.spark.sql.types.StructType(
+        left.schema.fields)).as("__lv"))
+    val taggedLeft = left.select(
       col(key), col(leftTime).as("__t"), lit(1).as("__side"),
-      col("__lid"), lit(null).cast(taggedRight.schema("__rv").dataType).as("__rv"))
+      lit(null).cast(taggedRight.schema("__rv").dataType).as("__rv"),
+      struct(leftCols.map(col).toIndexedSeq: _*).as("__lv"))
 
     // right rows sort before left rows at equal time (<= semantics)
     val w = Window.partitionBy(col(key))
@@ -52,12 +57,14 @@ object AsOfJoin {
       .withColumn("__lastT",
         last(when(col("__side") === 0, col("__t")), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(col("__lid"), col("__last"), col("__lastT"))
 
-    val out = leftWithId.join(filled, "__lid")
-    rightCols.zipWithIndex.foldLeft(
-      out.withColumn(s"${prefix}time", col("__lastT"))) {
-      case (df, (c, _)) => df.withColumn(s"$prefix$c", col(s"__last.$c"))
-    }.drop("__lid", "__last", "__lastT")
+    val expanded = leftCols.foldLeft(filled) {
+      case (df, c) => df.withColumn(c, col(s"__lv.$c"))
+    }
+    rightCols.foldLeft(expanded.withColumn(s"${prefix}time", col("__lastT"))) {
+      case (df, c) => df.withColumn(s"$prefix$c", col(s"__last.$c"))
+    }.select((leftCols.map(col) ++
+      Seq(col(s"${prefix}time")) ++
+      rightCols.map(c => col(s"$prefix$c"))).toIndexedSeq: _*)
   }
 }

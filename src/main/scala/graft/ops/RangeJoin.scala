@@ -23,12 +23,15 @@ object RangeJoin {
       rightTime: String,
       tolerance: Long): DataFrame = {
     require(tolerance > 0, "tolerance must be positive")
-    val lb = left.withColumn("__bucket",
-      floor(col(leftTime) / tolerance))
+    // exact floor-division via decimal: `/` on longs is double division and
+    // rounds times beyond 2^53 (e.g. nanosecond epochs), which could place a
+    // pair 2 buckets apart and silently drop it from the ±1 probe
+    def bucketOf(c: String): Column =
+      floor(col(c).cast("decimal(38,0)") / tolerance).cast("long")
+    val lb = left.withColumn("__bucket", bucketOf(leftTime))
     val probes = lb.withColumn("__probe",
       explode(array(col("__bucket") - 1, col("__bucket"), col("__bucket") + 1)))
-    val rb = right.withColumn("__probe",
-      floor(col(rightTime) / tolerance))
+    val rb = right.withColumn("__probe", bucketOf(rightTime))
     probes.join(rb, Seq(key, "__probe"))
       .filter(abs(col(leftTime) - col(rightTime)) <= tolerance)
       .drop("__bucket", "__probe")

@@ -28,10 +28,9 @@ object Salting {
       key: String,
       saltFactor: Int,
       joinType: String = "inner"): DataFrame = {
-    val allowed = Set("inner", "left", "left_outer", "leftouter",
-      "left_semi", "leftsemi", "left_anti", "leftanti", "cross")
-    require(allowed.contains(joinType.toLowerCase.replace("_", "")) ||
-      allowed.contains(joinType.toLowerCase),
+    val allowed = Set("inner", "left", "leftouter",
+      "semi", "leftsemi", "anti", "leftanti", "cross")
+    require(allowed.contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin does not support '$joinType' (unmatched small-side rows " +
         "would be duplicated per salt); use inner/left/semi/anti")
     val saltedBig = big.withColumn("__salt",

@@ -315,6 +315,11 @@ object SsOffset {
   def fromJson(json: String): SsOffset = {
     val s = json.trim
     var i = 0
+    def at(idx: Int): Char = {
+      if (idx >= s.length)
+        throw new IllegalArgumentException(s"truncated SsOffset json: $s")
+      s.charAt(idx)
+    }
     def expect(lit: String): Unit = {
       if (!s.startsWith(lit, i))
         throw new IllegalArgumentException(s"bad SsOffset json at $i: $s")
@@ -322,30 +327,32 @@ object SsOffset {
     }
     expect("{\"files\":{")
     val entries = Map.newBuilder[String, Long]
-    if (s.charAt(i) != '}') {
+    if (at(i) != '}') {
       var more = true
       while (more) {
         expect("\"")
         val key = new StringBuilder
-        while (s.charAt(i) != '"') {
-          if (s.charAt(i) == '\\') {
-            s.charAt(i + 1) match {
+        while (at(i) != '"') {
+          if (at(i) == '\\') {
+            at(i + 1) match {
               case '"' => key += '"'; i += 2
               case '\\' => key += '\\'; i += 2
               case 'u' =>
+                if (i + 6 > s.length)
+                  throw new IllegalArgumentException(s"truncated SsOffset json: $s")
                 key += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
                 i += 6
               case other =>
                 throw new IllegalArgumentException(s"bad escape \\$other")
             }
-          } else { key += s.charAt(i); i += 1 }
+          } else { key += at(i); i += 1 }
         }
         i += 1 // closing quote
         expect(":")
         val start = i
         while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '-')) i += 1
         entries += key.result() -> s.substring(start, i).toLong
-        if (s.charAt(i) == ',') i += 1 else more = false
+        if (at(i) == ',') i += 1 else more = false
       }
     }
     expect("}}")
