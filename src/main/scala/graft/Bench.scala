@@ -25,9 +25,16 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    SparkEntry.queries.foreach { case (name, fn) =>
-      timed(name)(fn(spark, sfDir).count())
-    }
+    // Optional comma-separated allowlist for local iteration
+    // (e.g. SPARK_GRAFT_BENCH_ONLY=t5_ss_sessions,t7_stream_dedup_watermarked)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+        timed(name)(fn(spark, sfDir).count())
+      }
 
     // Transport path: the reference's benchmark shape — 100k messages of
     // 256-byte lorem-ipsum payloads (≈30 MB dump), produce then consume.

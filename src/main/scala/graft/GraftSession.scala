@@ -5,23 +5,48 @@ import org.apache.spark.sql.SparkSession
 /** Standard session factory: one place for the configs every entrypoint
   * (Verify, Bench, tests) must agree on.
   *
-  *   - shuffle.partitions = cores (local mode; a real cluster would size this
-  *     to ~2-3× total cores — the queries themselves never hardcode it)
+  *   - shuffle.partitions is sized for STREAMING state (stateful operators
+  *     snapshot/commit one store per shuffle partition per micro-batch, so
+  *     fewer partitions = less per-batch fixed overhead). Batch queries are
+  *     unaffected: AQE starts every batch shuffle at
+  *     `coalescePartitions.initialPartitionNum` (= cores) and coalesces
+  *     down, so batch parallelism stays at core count while streaming state
+  *     stays compact. Measured at sf0.1: 4 state partitions cut the
+  *     streaming suite from ~31.6 s to ~21.4 s vs 32. On a real cluster
+  *     raise SPARK_GRAFT_STREAM_PARTS toward total cores — per-partition
+  *     state must fit an executor, and the knob is read at stream start.
+  *   - State store provider defaults to the HDFS-backed (on-heap) store:
+  *     measured head-to-head at sf0.1 it beats RocksDB ~1.5× while state
+  *     fits the heap (RocksDB pays JNI per-key puts + sst checkpointing).
+  *     When per-executor state outgrows the heap — the 100 TB streaming
+  *     shape — flip SPARK_GRAFT_STATE_STORE to RocksDBStateStoreProvider;
+  *     changelog checkpointing is pre-wired so only deltas ship per batch.
   *   - AQE on: runtime coalescing + skew-join handling is the 100 TB story
   *   - nanosAsLong: events.parquet carries TIMESTAMP(NANOS) which the Spark 4
   *     parquet reader otherwise rejects (normalized in analytics.Tables)
   *   - UTC so the DuckDB oracle agrees on every epoch/date computation
   */
 object GraftSession {
-  def builder(cpus: String): SparkSession.Builder =
+  def builder(cpus: String): SparkSession.Builder = {
+    val streamingStatePartitions = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS",
+      scala.util.Try(cpus.toInt).toOption
+        .map(n => math.min(4, math.max(2, n)).toString)
+        .getOrElse("4"))
+    val stateStoreProvider = sys.env.getOrElse("SPARK_GRAFT_STATE_STORE",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
     SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", streamingStatePartitions)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.streaming.stateStore.providerClass", stateStoreProvider)
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
+  }
 
   def get(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",

@@ -38,7 +38,9 @@ import graft.ss.{SsFormat, SsReader, SsWriter}
   *     without the reference's OS watcher, SURVEY.md §7.4.7).
   *
   * Options: `subscribe` (comma-separated stream keys; `*` = all),
-  * `verifyChecksum` (default true), `beaconInterval` (write side).
+  * `verifyChecksum` (default true), `beaconInterval` (write side),
+  * `startingOffsets` earliest|latest, `maxBytesPerTrigger` (streaming
+  * admission control — per-micro-batch byte budget).
   */
 class SsDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "ss"
@@ -63,7 +65,10 @@ object SsDataSource {
   def listFiles(path: String): Seq[File] = {
     val f = new File(path)
     if (f.isDirectory)
-      f.listFiles((_, name) => name.endsWith(".ss")).toSeq.sortBy(_.getName)
+      // listFiles returns null if the directory vanishes between the check
+      // and the listing (concurrent trim/rotation) — treat as empty
+      Option(f.listFiles((_, name) => name.endsWith(".ss")))
+        .fold(Seq.empty[File])(_.toSeq.sortBy(_.getName))
     else if (f.exists()) Seq(f)
     else Seq.empty
   }
@@ -366,6 +371,24 @@ class SsMicroBatchStream(path: String, options: CaseInsensitiveStringMap)
   private val verify = options.getBoolean("verifyChecksum", true)
   private val keys = SsDataSource.subscribedKeys(options)
 
+  /** Per-trigger byte budget across all files (the reference's prefetch /
+    * batch-size knob, sea-streamer-file options.rs:270-285; Kafka's
+    * `maxOffsetsPerTrigger` analogue — ours is byte-based because ss offsets
+    * are byte offsets). The cap is approximate: a micro-batch always ends on
+    * a frame boundary, so it may overshoot by at most one frame. Unset =
+    * unbounded (drain everything available, the previous behavior).
+    */
+  private val maxBytesPerTrigger: Option[Long] = {
+    val v = options.get("maxBytesPerTrigger")
+    if (v == null || v.isEmpty) None
+    else {
+      val n = v.toLong
+      if (n <= 0) throw new IllegalArgumentException(
+        s"maxBytesPerTrigger must be positive, got $n")
+      Some(n)
+    }
+  }
+
   /** `startingOffsets`: `earliest` (default, replay whole file) or `latest`
     * (Live mode — only frames appended after the query starts; the
     * reference's AutoStreamReset / StreamMode law, SURVEY §2.4).
@@ -382,9 +405,14 @@ class SsMicroBatchStream(path: String, options: CaseInsensitiveStringMap)
     */
   override def latestOffset(): Offset = {
     val prev = lastPlanned.getOrElse(SsOffset(Map.empty))
+    // Budget is shared across files in listing order, so a multi-part store
+    // drains front-to-back instead of N files × budget each.
+    var budget = maxBytesPerTrigger.getOrElse(Long.MaxValue)
     val updated = SsDataSource.listFiles(path).map { f =>
       val start = prev.files.getOrElse(f.getPath, 0L)
-      f.getPath -> safeEnd(f, start)
+      val end = if (budget <= 0L) start else safeEnd(f, start, budget)
+      budget -= math.max(0L, end - math.max(start, SsFormat.HeaderSize.toLong))
+      f.getPath -> end
     }.toMap
     val off = SsOffset(updated)
     lastPlanned = Some(off)
@@ -393,7 +421,7 @@ class SsMicroBatchStream(path: String, options: CaseInsensitiveStringMap)
 
   private var lastPlanned: Option[SsOffset] = None
 
-  private def safeEnd(f: File, from: Long): Long = {
+  private def safeEnd(f: File, from: Long, budget: Long = Long.MaxValue): Long = {
     val size = f.length()
     if (size <= SsFormat.HeaderSize) return from
     val start = math.max(from, SsFormat.HeaderSize.toLong)
@@ -405,7 +433,9 @@ class SsMicroBatchStream(path: String, options: CaseInsensitiveStringMap)
         var end = init
         var done = false
         while (!done) r.next() match {
-          case Some(rec) => end = rec.endOffset
+          case Some(rec) =>
+            end = rec.endOffset
+            if (end - init >= budget) done = true
           case None => done = true
         }
         end
@@ -420,14 +450,17 @@ class SsMicroBatchStream(path: String, options: CaseInsensitiveStringMap)
     // latest): jump to the last beacon so the walk is O(beaconInterval), not
     // O(fileSize). If the spliced frame under that beacon is incomplete
     // (writer died mid-frame) the safe end must stay BEFORE its start, which
-    // only a full walk can find — fall back.
-    val interval = SsReader.readHeader(f.getPath).beaconInterval.toLong
-    val lastBeacon = (size - 1) / interval
-    if (lastBeacon >= 1) {
-      val r = SsReader.openAt(f.getPath, lastBeacon,
-        verifyChecksum = false, skim = true)
-      if (!r.isTruncated) return walk(r, lastBeacon * interval)
-      r.close()
+    // only a full walk can find — fall back. With a byte budget the jump is
+    // wrong (it would skip the budgeted prefix), so walk from the header.
+    if (budget == Long.MaxValue) {
+      val interval = SsReader.readHeader(f.getPath).beaconInterval.toLong
+      val lastBeacon = (size - 1) / interval
+      if (lastBeacon >= 1) {
+        val r = SsReader.openAt(f.getPath, lastBeacon,
+          verifyChecksum = false, skim = true)
+        if (!r.isTruncated) return walk(r, lastBeacon * interval)
+        r.close()
+      }
     }
     walk(SsReader.open(f.getPath, verifyChecksum = false, skim = true),
       SsFormat.HeaderSize.toLong)

@@ -89,6 +89,32 @@ class SsDataSourceSpec extends AnyFunSuite {
     } finally { q.stop(); w.close() }
   }
 
+  test("maxBytesPerTrigger bounds each micro-batch yet drains everything") {
+    val dir = Files.createTempDirectory("ssadm").toFile
+    val path = s"$dir/adm.ss"
+    val w = new SsWriter(new FileOutputStream(path), "adm.ss", 1024, 0L)
+    (0 until 500).foreach { i =>
+      w.write(SeaMessage("adm", 0, i.toLong, ts(1000L + i), s"m$i".getBytes))
+    }
+    w.close()
+
+    val q = spark.readStream.format("ss")
+      .option("maxBytesPerTrigger", "2048")
+      .load(dir.toString)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ss_adm_test").start()
+    try {
+      q.processAllAvailable()
+      val seqs = spark.table("ss_adm_test")
+        .select("sequence").as[Long].collect().sorted
+      assert(seqs.toSeq == (0L until 500L), "admission control lost rows")
+      // the budget must have split the drain into several micro-batches
+      assert(q.recentProgress.count(_.numInputRows > 0) > 1,
+        s"expected >1 non-empty micro-batch, got " +
+          q.recentProgress.map(_.numInputRows).mkString(","))
+    } finally q.stop()
+  }
+
   test("streaming offset json roundtrip") {
     import graft.ss.spark.SsOffset
     val off = SsOffset(Map("/tmp/a b/p-1.ss" -> 12345L, "/x\"y.ss" -> 7L))
