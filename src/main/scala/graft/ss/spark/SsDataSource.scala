@@ -499,8 +499,51 @@ class SsWriteBuilder(path: String, info: LogicalWriteInfo)
   }
 }
 
-final case class SsCommitMessage(file: String, messages: Long)
+/** `files` are the task's `.ss.staged` parts awaiting driver publish. */
+final case class SsCommitMessage(files: Seq[String], messages: Long)
     extends WriterCommitMessage
+
+/** Two-phase commit bookkeeping shared by batch and streaming writes.
+  *
+  * Publish (driver, job/epoch commit): rename each task-staged
+  * `<part>.ss.staged` to its final `<part>.ss`. Nothing is visible to
+  * readers until this point, so a job is all-or-nothing even when a task
+  * commits executor-side but the job fails before its message reaches the
+  * driver.
+  *
+  * Abort: sweep every `part-<jobTag>-*` intermediate (`.ss.tmp` from live
+  * writers and `.ss.staged` from tasks whose commit raced the failure).
+  * Both suffixes fail `listFiles`' `.ss` filter, so even an unswept
+  * straggler (driver crash, executor-local disk on a real cluster) is
+  * garbage, never phantom data.
+  */
+private object SsWriteReconcile {
+  def publish(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case SsCommitMessage(files, _) => files.foreach { staged =>
+        val src = new File(staged)
+        val dst = new File(staged.stripSuffix(".staged"))
+        if (!src.renameTo(dst) && !dst.exists())
+          throw SsFormat.FormatException(
+            s"ss sink could not publish $staged -> ${dst.getPath}")
+      }
+      case _ =>
+    }
+
+  def abort(path: String, jobTag: String,
+            messages: Array[WriterCommitMessage]): Unit = {
+    if (messages != null) messages.foreach {
+      case SsCommitMessage(files, _) => files.foreach(new File(_).delete())
+      case _ =>
+    }
+    val dir = new File(path)
+    if (dir.isDirectory) {
+      val stale = dir.listFiles((_, n) => n.startsWith(s"part-$jobTag-") &&
+        (n.endsWith(".ss.tmp") || n.endsWith(".ss.staged")))
+      if (stale != null) stale.foreach(_.delete())
+    }
+  }
+}
 
 class SsBatchWrite(path: String, info: LogicalWriteInfo, truncate: Boolean)
     extends BatchWrite {
@@ -508,17 +551,20 @@ class SsBatchWrite(path: String, info: LogicalWriteInfo, truncate: Boolean)
     info.options().getInt("beaconInterval", SsFormat.DefaultBeaconInterval)
   private val sizeLimit =
     info.options().getLong("fileSizeLimit", SsFormat.DefaultFileSizeLimit)
+  private val factory = new SsWriterFactory(path, interval, sizeLimit, -1L)
 
   override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory = {
     val dir = new File(path)
     if (truncate && dir.isDirectory)
       dir.listFiles((_, n) => n.endsWith(".ss")).foreach(_.delete())
     dir.mkdirs()
-    new SsWriterFactory(path, interval, sizeLimit, -1L)
+    factory
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    SsWriteReconcile.publish(messages)
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    SsWriteReconcile.abort(path, factory.jobTag, messages)
 }
 
 class SsStreamingWrite(path: String, info: LogicalWriteInfo)
@@ -527,14 +573,16 @@ class SsStreamingWrite(path: String, info: LogicalWriteInfo)
     info.options().getInt("beaconInterval", SsFormat.DefaultBeaconInterval)
   private val sizeLimit =
     info.options().getLong("fileSizeLimit", SsFormat.DefaultFileSizeLimit)
+  private val factory = new SsWriterFactory(path, interval, sizeLimit, 0L)
 
   override def createStreamingWriterFactory(p: PhysicalWriteInfo): StreamingDataWriterFactory = {
     new File(path).mkdirs()
-    val factory = new SsWriterFactory(path, interval, sizeLimit, 0L)
     factory
   }
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    SsWriteReconcile.publish(messages)
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    SsWriteReconcile.abort(path, factory.jobTag, messages)
 }
 
 /** One `.ss` part file per task (and per epoch when streaming). A per-job
@@ -544,7 +592,7 @@ class SsStreamingWrite(path: String, info: LogicalWriteInfo)
 class SsWriterFactory(path: String, interval: Int, sizeLimit: Long, epochTag: Long)
     extends DataWriterFactory with StreamingDataWriterFactory {
 
-  private val jobTag: String =
+  val jobTag: String =
     java.util.UUID.randomUUID().toString.substring(0, 8)
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -565,19 +613,29 @@ class SsWriterFactory(path: String, interval: Int, sizeLimit: Long, epochTag: Lo
 /** Writes one part; rotates to `<part>-rN.ss` when the file-size quota is
   * exceeded (the reference sink's 16 GiB default quota + rotation,
   * sea-streamer-file/src/sink.rs:96-110, lib.rs:93).
+  *
+  * Commit protocol: every part is written as `<name>.ss.tmp` — invisible to
+  * `SsDataSource.listFiles` (which matches only `.ss`) — and renamed to
+  * `<name>.ss.staged` (still invisible) in `commit()`, which Spark invokes
+  * only for the attempt the commit coordinator elects. The driver publishes
+  * staged parts to their final names at job/epoch commit
+  * (`SsWriteReconcile.publish`), so readers racing a writer see each part
+  * either absent or complete, and a failed job publishes nothing.
   */
 class SsDataWriter(file: File, interval: Int, sizeLimit: Long)
     extends DataWriter[InternalRow] {
 
   private var rotation = 0
   private var messages = 0L
-  private val files = Seq.newBuilder[File]
+  // (staged tmp, final destination) per part, in open order
+  private val parts = Seq.newBuilder[(File, File)]
   private var current: SsWriter = open(file)
 
   private def open(f: File): SsWriter = {
-    files += f
+    val tmp = new File(f.getParentFile, f.getName + ".tmp")
+    parts += ((tmp, f))
     new SsWriter(
-      new BufferedOutputStream(new FileOutputStream(f), 1 << 16),
+      new BufferedOutputStream(new FileOutputStream(tmp), 1 << 16),
       f.getName, interval)
   }
 
@@ -599,11 +657,20 @@ class SsDataWriter(file: File, interval: Int, sizeLimit: Long)
   override def commit(): WriterCommitMessage = {
     messages += current.messageCount
     current.close()
-    SsCommitMessage(file.getPath, messages)
+    val staged = parts.result().map { case (tmp, dst) =>
+      val stage = new File(dst.getParentFile, dst.getName + ".staged")
+      if (!tmp.renameTo(stage)) {
+        parts.result().foreach { case (t, _) => t.delete() }
+        throw SsFormat.FormatException(
+          s"ss sink could not stage ${tmp.getPath} -> ${stage.getPath}")
+      }
+      stage.getPath
+    }
+    SsCommitMessage(staged, messages)
   }
   override def abort(): Unit = {
     current.close()
-    files.result().foreach(_.delete())
+    parts.result().foreach { case (tmp, _) => tmp.delete() }
   }
   override def close(): Unit = ()
 }

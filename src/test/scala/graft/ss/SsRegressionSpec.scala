@@ -28,6 +28,43 @@ class SsRegressionSpec extends AnyFunSuite {
       (0L until 100L))
   }
 
+  test("in-flight and aborted writers leave no visible part") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.ss.spark.{SsDataSource, SsDataWriter}
+    val dir = Files.createTempDirectory("abortsafe").toFile
+    val w = new SsDataWriter(new java.io.File(dir, "part-x-00000-1.ss"),
+      1024, Long.MaxValue)
+    (0 until 20).foreach { i =>
+      w.write(InternalRow(UTF8String.fromString("s"), 0L, i.toLong,
+        1000000L + i, s"p$i".getBytes("UTF-8")))
+    }
+    // staged but uncommitted: readers must not see it
+    assert(SsDataSource.listFiles(dir.toString).isEmpty,
+      "uncommitted part visible to listFiles")
+    w.abort()
+    assert(dir.listFiles().isEmpty, "abort left files behind")
+  }
+
+  test("a failed write job leaves no visible or staged parts") {
+    val dir = Files.createTempDirectory("jobabort").toString
+    val boom = udf { (seq: Long) =>
+      if (seq == 199L) throw new RuntimeException("boom")
+      Array[Byte](1)
+    }
+    val df = env(200, 0).repartition(8)
+      .withColumn("payload", boom(col("sequence")))
+    intercept[Exception] {
+      df.write.format("ss").mode("append").save(dir)
+    }
+    // the hard contract: nothing visible to readers (a task killed after
+    // the driver's sweep may leave an invisible .staged straggler)
+    assert(graft.ss.spark.SsDataSource.listFiles(dir).isEmpty,
+      s"failed job left visible parts: " +
+        Option(new java.io.File(dir).listFiles()).fold("")(
+          _.map(_.getName).mkString(",")))
+  }
+
   test("writing to a path that is a regular file fails loudly") {
     val f = Files.createTempFile("notadir", ".ss").toFile
     val ex = intercept[Exception] {
