@@ -211,16 +211,19 @@ object Similarity {
           col("probe") === col("b.bucket") &&
             col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      // the vector table is tiny next to the candidate-pair fact — broadcast
-      // both sides so the pairs never shuffle (at true corpus scale this
-      // becomes a bucket-partitioned join instead)
+      // re-attach vectors with shuffle joins keyed on vec_id: at corpus
+      // scale the vector table cannot broadcast, and a hash-partitioned
+      // join on the pair key scales linearly (hinted so AQE's
+      // auto-broadcast of the locally-tiny side never hides that shape)
       val withVec = withNorm(
         e.select(col("vec_id"), col("embedding")), "embedding", "nrm")
       val paired = cand
-        .join(broadcast(withVec.select(col("vec_id").as("vec_a"),
-          col("embedding").as("ea"), col("nrm").as("na"))), "vec_a")
-        .join(broadcast(withVec.select(col("vec_id").as("vec_b"),
-          col("embedding").as("eb"), col("nrm").as("nb"))), "vec_b")
+        .join(withVec.select(col("vec_id").as("vec_a"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+          .hint("shuffle_hash"), "vec_a")
+        .join(withVec.select(col("vec_id").as("vec_b"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
+          .hint("shuffle_hash"), "vec_b")
       // cheap double prefilter with a wide margin (float error ≪ the margin),
       // then the exact decimal cosine only for the handful of survivors —
       // the result set is identical, the BigDecimal work drops ~1000×

@@ -36,6 +36,21 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("d5 re-attaches vectors with shuffle joins, never a corpus broadcast") {
+    // at 100 TB the corpus vector table cannot broadcast; the pair joins on
+    // vec_a/vec_b must be hash-partitioned shuffle joins
+    val p = planOf("d5_embed_cosine_dup")
+    assert(p.contains("ShuffledHashJoin"),
+      "pair join must shuffle on the vector id")
+    // the only tolerated broadcasts are the constant tables (planes, masks):
+    // no broadcast exchange may sit over an embeddings parquet scan
+    val broadcastsCorpus = p.linesIterator.exists(l =>
+      l.contains("BroadcastExchange")) &&
+      Seq("ea", "eb").exists(c => p.linesIterator.exists(l =>
+        l.contains("BroadcastExchange") && l.contains(c)))
+    assert(!broadcastsCorpus, "corpus vectors are broadcast in d5")
+  }
+
   test("range join is an equi-join, not a nested loop") {
     val p = planOf("q19_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
