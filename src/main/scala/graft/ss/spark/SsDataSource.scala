@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxBytes, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -366,7 +366,7 @@ object SsOffset {
 }
 
 class SsMicroBatchStream(path: String, options: CaseInsensitiveStringMap)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private val verify = options.getBoolean("verifyChecksum", true)
   private val keys = SsDataSource.subscribedKeys(options)
@@ -400,26 +400,40 @@ class SsMicroBatchStream(path: String, options: CaseInsensitiveStringMap)
         .map(f => f.getPath -> safeEnd(f, 0L)).toMap)
     } else SsOffset(Map.empty)
 
-  /** Walks only the bytes appended since `prev` to find the last complete
-    * frame end per file — frame-exact, so no message is lost or re-read.
+  /** The byte budget is surfaced to Spark as a [[ReadLimit]] so admission
+    * control composes with the engine (Trigger.AvailableNow drains in
+    * budget-sized batches; the Kafka `maxOffsetsPerTrigger` pattern).
     */
-  override def latestOffset(): Offset = {
-    val prev = lastPlanned.getOrElse(SsOffset(Map.empty))
+  override def getDefaultReadLimit: ReadLimit =
+    maxBytesPerTrigger.map(ReadLimit.maxBytes).getOrElse(ReadLimit.allAvailable())
+
+  /** Walks only the bytes appended since `start` to find the last complete
+    * frame end per file — frame-exact, so no message is lost or re-read.
+    * `start` is Spark's committed/initial offset for this batch, so a query
+    * restart can never plan an end offset behind the checkpoint (the failure
+    * a driver-local "last planned" cache had under maxBytesPerTrigger).
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val prev = start.asInstanceOf[SsOffset]
     // Budget is shared across files in listing order, so a multi-part store
     // drains front-to-back instead of N files × budget each.
-    var budget = maxBytesPerTrigger.getOrElse(Long.MaxValue)
+    var budget = limit match {
+      case b: ReadMaxBytes => b.maxBytes()
+      case _ => Long.MaxValue
+    }
     val updated = SsDataSource.listFiles(path).map { f =>
-      val start = prev.files.getOrElse(f.getPath, 0L)
-      val end = if (budget <= 0L) start else safeEnd(f, start, budget)
-      budget -= math.max(0L, end - math.max(start, SsFormat.HeaderSize.toLong))
+      val startOff = prev.files.getOrElse(f.getPath, 0L)
+      val end = if (budget <= 0L) startOff else safeEnd(f, startOff, budget)
+      budget -= math.max(0L, end - math.max(startOff, SsFormat.HeaderSize.toLong))
       f.getPath -> end
     }.toMap
-    val off = SsOffset(updated)
-    lastPlanned = Some(off)
-    off
+    SsOffset(updated)
   }
 
-  private var lastPlanned: Option[SsOffset] = None
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "SsMicroBatchStream implements SupportsAdmissionControl; " +
+        "Spark calls latestOffset(start, limit)")
 
   private def safeEnd(f: File, from: Long, budget: Long = Long.MaxValue): Long = {
     val size = f.length()

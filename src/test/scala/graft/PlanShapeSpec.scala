@@ -36,19 +36,42 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  /** FormattedMode detail blocks: `(n) NodeName` header, then that node's
+    * `Left keys`/`Right keys`/`Arguments` lines until the next header.
+    */
+  private def nodeBlocks(plan: String): Seq[(String, String)] = {
+    val header = """^\((\d+)\) (\S+).*""".r
+    val blocks = Seq.newBuilder[(String, String)]
+    var name: String = null
+    var body = new StringBuilder
+    plan.linesIterator.foreach {
+      case header(_, n) =>
+        if (name != null) blocks += ((name, body.result()))
+        name = n; body = new StringBuilder
+      case l => if (name != null) body.append(l).append('\n')
+    }
+    if (name != null) blocks += ((name, body.result()))
+    blocks.result()
+  }
+
   test("d5 re-attaches vectors with shuffle joins, never a corpus broadcast") {
     // at 100 TB the corpus vector table cannot broadcast; the pair joins on
-    // vec_a/vec_b must be hash-partitioned shuffle joins
-    val p = planOf("d5_embed_cosine_dup")
-    assert(p.contains("ShuffledHashJoin"),
-      "pair join must shuffle on the vector id")
-    // the only tolerated broadcasts are the constant tables (planes, masks):
-    // no broadcast exchange may sit over an embeddings parquet scan
-    val broadcastsCorpus = p.linesIterator.exists(l =>
-      l.contains("BroadcastExchange")) &&
-      Seq("ea", "eb").exists(c => p.linesIterator.exists(l =>
-        l.contains("BroadcastExchange") && l.contains(c)))
-    assert(!broadcastsCorpus, "corpus vectors are broadcast in d5")
+    // vec_a/vec_b must be hash-partitioned shuffle joins. Inspect the join
+    // nodes' key lists (not alias substrings — broadcast nodes print modes,
+    // not aliases).
+    val blocks = nodeBlocks(planOf("d5_embed_cosine_dup"))
+    def keysOnVec(body: String) =
+      body.linesIterator.exists(l => l.contains("keys") &&
+        (l.contains("[vec_a#") || l.contains("[vec_b#")))
+    val shuffled = blocks.filter { case (n, b) =>
+      n == "ShuffledHashJoin" && keysOnVec(b) }
+    assert(shuffled.size >= 2,
+      s"expected >=2 ShuffledHashJoin nodes keyed on vec_a/vec_b, " +
+        s"got ${shuffled.size}")
+    val broadcastOnVec = blocks.filter { case (n, b) =>
+      n.startsWith("Broadcast") && keysOnVec(b) }
+    assert(broadcastOnVec.isEmpty,
+      s"corpus vectors are broadcast in d5: ${broadcastOnVec.map(_._1)}")
   }
 
   test("range join is an equi-join, not a nested loop") {

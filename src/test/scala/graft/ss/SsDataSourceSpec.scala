@@ -115,6 +115,45 @@ class SsDataSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maxBytesPerTrigger restart resumes from checkpoint, never behind it") {
+    val dir = Files.createTempDirectory("ssadmr").toFile
+    val dst = Files.createTempDirectory("ssadmr-dst").toString
+    val ckpt = Files.createTempDirectory("ssadmr-ckpt").toString
+    val path = s"$dir/adm.ss"
+    val w = new SsWriter(new FileOutputStream(path), "adm.ss", 1024, 0L)
+    (0 until 500).foreach { i =>
+      w.write(SeaMessage("adm", 0, i.toLong, ts(1000L + i), s"m$i".getBytes))
+    }
+    w.flush()
+
+    def run() = spark.readStream.format("ss")
+      .option("maxBytesPerTrigger", "2048")
+      .load(dir.toString)
+      .writeStream.format("ss")
+      .option("checkpointLocation", ckpt)
+      .option("path", dst).start()
+
+    val q1 = run()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(spark.read.format("ss").load(dst)
+      .select("sequence").as[Long].collect().sorted.toSeq == (0L until 500L))
+
+    (500 until 600).foreach { i =>
+      w.write(SeaMessage("adm", 0, i.toLong, ts(1000L + i), s"m$i".getBytes))
+    }
+    w.close()
+
+    // Restart against the same checkpoint: the budgeted first trigger must
+    // plan FORWARD from the committed offset — only the appended frames may
+    // appear, exactly once (no pre-checkpoint replay, no offset regression).
+    val q2 = run()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val all = spark.read.format("ss").load(dst)
+      .select("sequence").as[Long].collect().sorted
+    assert(all.toSeq == (0L until 600L),
+      s"restart re-emitted or lost frames: got ${all.length} rows")
+  }
+
   test("streaming offset json roundtrip") {
     import graft.ss.spark.SsOffset
     val off = SsOffset(Map("/tmp/a b/p-1.ss" -> 12345L, "/x\"y.ss" -> 7L))
