@@ -75,18 +75,24 @@ object Transport {
     },
 
     // Fuse merge (batch form): split events into one stream per type, merge
-    // back in global (timestamp, key, seq) order, stamp positions.
+    // back in global (timestamp, key, seq) order, stamp positions. The
+    // position stamp is per-partition offset arithmetic over the
+    // range-partitioned sort (zipWithIndex = partition-size scan + local
+    // index), NOT a row_number over an unpartitioned window — the sort's
+    // (ts, key, seq) key is total, so the stamp is deterministic and every
+    // partition works in parallel at 100 TB.
     "t3_fuse_merge" -> { (s, dir) =>
+      import s.implicits._
       val env = envelopeOf(Tables(s, dir))
       val streams = Seq("click", "view", "purchase", "signup", "error")
         .map(k => env.filter(col("stream_key") === k))
-      val merged = graft.ops.StreamJoin.merge(streams)
-      merged.select(
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("timestamp"), col("stream_key"), col("sequence")))
-          .cast("long").as("position"),
-        unix_micros(col("timestamp")).as("ts_us"),
-        col("stream_key"), col("sequence"))
+      graft.ops.StreamJoin.merge(streams)
+        .select(unix_micros(col("timestamp")).as("ts_us"),
+          col("stream_key"), col("sequence"))
+        .as[(Long, String, Long)]
+        .rdd.zipWithIndex()
+        .map { case ((tsUs, key, seq), i) => (i + 1, tsUs, key, seq) }
+        .toDF("position", "ts_us", "stream_key", "sequence")
     },
 
     // Streaming session windows: ss stream → session_window(30 min) in
@@ -158,24 +164,29 @@ object Transport {
     },
 
     // Gated fuse merge as a streaming query: click+view streams through the
-    // ss source into StreamJoin.gated; sentinel messages on both aligned
-    // streams flush the buffers (no EOS in an unbounded stream), then the
-    // sink is aggregated minus sentinels.
+    // ss source into StreamJoin.gatedByKey — the alignment gate holds per
+    // shard, so the state machine runs shard-parallel (4 independent groups
+    // hash-partitioned across tasks) instead of funneling the whole stream
+    // through one task. Sentinel messages per (shard, aligned stream) flush
+    // the buffers (no EOS in an unbounded stream), then the sink is
+    // aggregated minus sentinels.
     "t8_fuse_gated" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
       val out = scratch(dir, "ssfuse")
       envelopeOf(t).filter(col("stream_key").isin("click", "view"))
         .write.format("ss").mode("overwrite").save(out)
-      Seq(("click", 0L, 20000000L), ("view", 0L, 20000001L))
-        .map { case (k, sh, sq) =>
-          (k, sh, sq, new java.sql.Timestamp(4100000000000L), Array.emptyByteArray)
-        }
+      (for {
+        sh <- 0L until 4L
+        (k, i) <- Seq(("click", 0L), ("view", 1L))
+      } yield (k, sh, 20000000L + 2 * sh + i,
+        new java.sql.Timestamp(4100000000000L), Array.emptyByteArray))
         .toDF("stream_key", "shard_id", "sequence", "timestamp", "payload")
         .write.format("ss").mode("append").save(out)
       val muxed = s.readStream.format("ss").load(out)
         .as[graft.core.SeaMessage]
-      val q = graft.ops.StreamJoin.gated(muxed, Seq("click", "view"))
+      val q = graft.ops.StreamJoin
+        .gatedByKey(muxed, Seq("click", "view"), _.shard_id)
         .toDF()
         .writeStream.outputMode("append")
         .format("memory").queryName("t8_fuse_sink").start()

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -33,43 +33,74 @@ object StreamJoin {
   /** Buffered queues per stream key (must be a Product for the encoder). */
   final case class FuseState(queues: Map[String, Seq[SeaMessage]])
 
-  /** Faithful gated merge over an unbounded muxed stream.
+  /** The gating state machine for ONE alignment group: enqueue arrivals in
+    * deterministic (ts, key, seq) order, then pop the global min while every
+    * aligned stream has a buffered head.
+    */
+  private def gateStep(alignKeys: IndexedSeq[String])(
+      arrivals: Iterator[SeaMessage],
+      state: GroupState[FuseState]): Iterator[SeaMessage] = {
+    var queues = state.getOption.map(_.queues)
+      .getOrElse(Map.empty[String, Seq[SeaMessage]])
+    // enqueue deterministically; per-key causality is preserved because
+    // we order by (timestamp, sequence) within each key
+    arrivals.toSeq
+      .sortBy(m => (m.timestamp.getTime, m.stream_key, m.sequence))
+      .foreach { m =>
+        queues = queues.updated(m.stream_key,
+          queues.getOrElse(m.stream_key, Vector.empty) :+ m)
+      }
+
+    def gateOpen: Boolean =
+      alignKeys.forall(k => queues.getOrElse(k, Nil).nonEmpty) &&
+        queues.values.exists(_.nonEmpty)
+
+    // pop global min (timestamp, key) while the gate stays open
+    val out = Vector.newBuilder[SeaMessage]
+    while (gateOpen) {
+      val (key, q) = queues.iterator
+        .filter(_._2.nonEmpty)
+        .minBy { case (k, ms) => (ms.head.timestamp.getTime, k) }
+      out += q.head
+      queues = queues.updated(key, q.tail)
+    }
+    state.update(FuseState(queues))
+    out.result().iterator
+  }
+
+  /** Faithful gated merge over an unbounded muxed stream — ONE global merge
+    * point, exactly the reference operator's sequential semantics. All state
+    * lands on a single task; prefer [[gatedByKey]] whenever the gating
+    * invariant only needs to hold within a partition key (a shard, a tenant,
+    * a device), which is the form that scales to 100 TB.
     *
     * @param align stream keys that must all be non-empty before emission
     */
   def gated(muxed: Dataset[SeaMessage], align: Seq[String]): Dataset[SeaMessage] = {
     import muxed.sparkSession.implicits._
+    gatedByKey(muxed, align, _ => 0)
+  }
+
+  /** Shard-parallel gated merge: `group` partitions the muxed stream into
+    * independent alignment groups (e.g. `_.shard_id`), each gated and merged
+    * on its own task with its own checkpointed state — the streaming shuffle
+    * hash-partitions groups across executors, so state and CPU scale out
+    * linearly with the number of groups instead of funneling through one
+    * task. Within a group the emission order is identical to [[gated]];
+    * across groups there is no ordering (they are causally independent, the
+    * same contract as the reference's per-shard consumers).
+    */
+  def gatedByKey[K](
+      muxed: Dataset[SeaMessage],
+      align: Seq[String],
+      group: SeaMessage => K)(implicit ke: Encoder[K]): Dataset[SeaMessage] = {
+    import muxed.sparkSession.implicits._
     val alignKeys = align.toIndexedSeq
     muxed
-      .groupByKey(_ => 0) // single global merge point, like the reference
+      .groupByKey(group)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Int, arrivals: Iterator[SeaMessage], state: GroupState[FuseState]) =>
-          var queues = state.getOption.map(_.queues)
-            .getOrElse(Map.empty[String, Seq[SeaMessage]])
-          // enqueue deterministically; per-key causality is preserved because
-          // we order by (timestamp, sequence) within each key
-          arrivals.toSeq
-            .sortBy(m => (m.timestamp.getTime, m.stream_key, m.sequence))
-            .foreach { m =>
-              queues = queues.updated(m.stream_key,
-                queues.getOrElse(m.stream_key, Vector.empty) :+ m)
-            }
-
-          def gateOpen: Boolean =
-            alignKeys.forall(k => queues.getOrElse(k, Nil).nonEmpty) &&
-              queues.values.exists(_.nonEmpty)
-
-          // pop global min (timestamp, key) while the gate stays open
-          val out = Vector.newBuilder[SeaMessage]
-          while (gateOpen) {
-            val (key, q) = queues.iterator
-              .filter(_._2.nonEmpty)
-              .minBy { case (k, ms) => (ms.head.timestamp.getTime, k) }
-            out += q.head
-            queues = queues.updated(key, q.tail)
-          }
-          state.update(FuseState(queues))
-          out.result().iterator
+        (_: K, arrivals: Iterator[SeaMessage], state: GroupState[FuseState]) =>
+          gateStep(alignKeys)(arrivals, state)
       }
   }
 

@@ -80,6 +80,44 @@ class StreamJoinSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("gatedByKey gates each group independently and in parallel") {
+    val spark = TestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+
+    def sh(key: String, shard: Long, items: Seq[Long]): Seq[SeaMessage] =
+      items.map(i => SeaMessage(key, shard, i,
+        new java.sql.Timestamp(i * 1000), Array.emptyByteArray))
+
+    val input = MemoryStream[SeaMessage]
+    val q = StreamJoin
+      .gatedByKey(input.toDS(), align = Seq("a", "b"), _.shard_id)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("fuse_gated_keyed_test").start()
+    try {
+      // shard 0 has both aligned streams, shard 1 only 'a': shard 0's gate
+      // opens while shard 1 stays closed — groups are independent
+      input.addData(sh("a", 0, Seq(1, 3)) ++ sh("b", 0, Seq(2)) ++
+        sh("a", 1, Seq(10, 11)))
+      q.processAllAvailable()
+      val got1 = spark.table("fuse_gated_keyed_test")
+        .select("shard_id", "stream_key", "sequence")
+        .as[(Long, String, Long)].collect().toSeq
+      assert(got1 == Seq((0L, "a", 1L), (0L, "b", 2L)))
+
+      // 'b' lands on shard 1: only shard 1 flushes, ordering within the
+      // group matches the global gated law (a's queue drains, then the gate
+      // closes with b=12 buffered — same retention rule as `gated`)
+      input.addData(sh("b", 1, Seq(12)))
+      q.processAllAvailable()
+      val got2 = spark.table("fuse_gated_keyed_test")
+        .select("shard_id", "stream_key", "sequence")
+        .as[(Long, String, Long)].collect().toSeq
+      assert(got2.drop(2) == Seq((1L, "a", 10L), (1L, "a", 11L)))
+    } finally q.stop()
+  }
+
   test("batch merge equals global (ts, key, seq) order") {
     val spark = TestSession.spark
     import spark.implicits._
