@@ -232,15 +232,22 @@ object SeaStreamer {
       * from the store's current max — the file producer-registry behavior
       * (sea-streamer-file/src/producer/backend.rs:36-50). Rows are ordered
       * by (timestamp, arrival) within each key.
+      *
+      * Registry recovery is a Spark aggregation over the ss source (beacon
+      * splits parallelize the scan across executors), not a driver-side walk
+      * of every part file. Like the reference's in-process registry this
+      * assumes a single active producer per store: the read-then-append is
+      * not atomic, so two concurrent producers could base off the same max —
+      * cross-process exclusion needs an external lock.
       */
     def sendAssignSeq(df: DataFrame): Unit = {
       if (scheme != "file")
         throw SeaStreamErr.Unsupported(s"sendAssignSeq on '$scheme'")
-      val existing = graft.ss.SsAdmin.maxSequences(node).toSeq
-        .map { case ((k, sh), mx) => (k, sh, mx) }
       val spark0 = df.sparkSession
       import spark0.implicits._
-      val bases = existing.toDF("stream_key", "shard_id", "__base")
+      val bases = spark0.read.format("ss").load(node)
+        .groupBy("stream_key", "shard_id")
+        .agg(max(col("sequence")).as("__base"))
       val keyed = anchor match {
         case Some(key) => df.withColumn("stream_key", lit(key))
         case None => df

@@ -59,30 +59,6 @@ object SsAdmin {
       fileMaxTs(f).exists(_ < minTsMillis)
     }.map { f => f.delete(); f.getPath }
 
-  /** Current max sequence per (stream_key, shard_id) across a store — the
-    * producer-registry state the reference keeps in memory
-    * (sea-streamer-file/src/producer/backend.rs:36-50) recovered here by a
-    * skim walk (payloads skipped), so auto-assigned sequences continue
-    * monotonically across producer restarts.
-    */
-  def maxSequences(dir: String): Map[(String, Long), Long] = {
-    val acc = scala.collection.mutable.Map.empty[(String, Long), Long]
-    parts(dir).foreach { f =>
-      val r = SsReader.open(f.getPath, verifyChecksum = false, skim = true)
-      try {
-        var done = false
-        while (!done) r.next() match {
-          case Some(rec) =>
-            val k = (rec.message.stream_key, rec.message.shard_id)
-            val s = rec.message.sequence
-            if (acc.getOrElse(k, Long.MinValue) < s) acc(k) = s
-          case None => done = true
-        }
-      } finally r.close()
-    }
-    acc.toMap
-  }
-
   /** Keep roughly the newest `maxMessages` (MAXLEN ~ analogue): drop oldest
     * part files (by max-ts) while the remainder still holds enough messages.
     * Message counts come from a bounded frame walk per candidate file only.
