@@ -20,7 +20,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.core.{Envelope, SeaMessage}
-import graft.ss.{SsFormat, SsReader, SsWriter}
+import graft.ss.{SsFormat, SsReader, SsSurveyor, SsWriter}
 
 /** `spark.read.format("ss")` / `readStream` / `writeStream` for the `.ss`
   * seekable container (SURVEY.md §2.2; format spec
@@ -392,13 +392,34 @@ class SsMicroBatchStream(path: String, options: CaseInsensitiveStringMap)
   /** `startingOffsets`: `earliest` (default, replay whole file) or `latest`
     * (Live mode — only frames appended after the query starts; the
     * reference's AutoStreamReset / StreamMode law, SURVEY §2.4).
+    *
+    * `startingTimestamp` (ms, seek law `timestamp > T`) and/or
+    * `startingSequence` (rewind law `sequence >= S`) instead start each file
+    * at the surveyor's beacon-binary-searched point — a mid-file replay
+    * never scans the frames before the threshold (surveyor.rs:16-122).
+    * Files created after the stream starts replay from their beginning.
     */
-  override def initialOffset(): Offset =
-    if (options.getOrDefault("startingOffsets", "earliest")
-        .equalsIgnoreCase("latest")) {
+  override def initialOffset(): Offset = {
+    def longOpt(k: String): Option[Long] = {
+      val v = options.get(k)
+      if (v == null || v.isEmpty) None else Some(v.toLong)
+    }
+    val startTs = longOpt("startingTimestamp")
+    val startSeq = longOpt("startingSequence")
+    val latest = options.getOrDefault("startingOffsets", "earliest")
+      .equalsIgnoreCase("latest")
+    if (latest && (startTs.isDefined || startSeq.isDefined))
+      throw new IllegalArgumentException(
+        "startingOffsets=latest conflicts with startingTimestamp/startingSequence")
+    if (startTs.isDefined || startSeq.isDefined)
+      SsOffset(SsDataSource.listFiles(path)
+        .map(f => f.getPath -> SsSurveyor.seekOffset(f.getPath, startTs, startSeq))
+        .toMap)
+    else if (latest)
       SsOffset(SsDataSource.listFiles(path)
         .map(f => f.getPath -> safeEnd(f, 0L)).toMap)
-    } else SsOffset(Map.empty)
+    else SsOffset(Map.empty)
+  }
 
   /** The byte budget is surfaced to Spark as a [[ReadLimit]] so admission
     * control composes with the engine (Trigger.AvailableNow drains in
