@@ -1,18 +1,23 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing: image/audio/video as opaque BINARY columns
-  * with typed metadata, decoded/feature-extracted in distributed batches.
+/** Multimodal-column pipeline: image/audio as opaque BINARY columns with
+  * typed metadata, decoded/feature-extracted in distributed batches.
   *
-  * The DECODE ITSELF IS A STUB — this container has no image/audio codecs, so
-  * [[FakeDecoders]] derives deterministic pseudo-metadata from the bytes. The
-  * Spark-side plumbing is real and what matters at 100 TB: binary columns
-  * travel as Tungsten byte arrays; decode runs via `mapPartitions` on a typed
-  * Dataset (one JVM call per partition, amortizing any native-codec init,
-  * exactly where a JNI/FFI decoder would sit); output is a typed row, never a
-  * driver-side collect.
+  * The decode is REAL: PNG bytes go through `javax.imageio` (the JDK's
+  * actual PNG codec) and WAV bytes through a RIFF/WAVE header parser. The
+  * Spark-side shape is what matters at 100 TB: binary columns travel as
+  * Tungsten byte arrays; decode runs via `mapPartitions` on a typed Dataset
+  * (one JVM call per partition, amortizing codec init, exactly where a
+  * JNI/FFI decoder for formats the JDK lacks — jpeg2000, h264 — would sit);
+  * output is a typed row, never a driver-side collect.
   */
 object Multimodal {
 
@@ -20,34 +25,126 @@ object Multimodal {
 
   final case class MediaMeta(
       doc_id: Long,
-      n_bytes: Long,
+      kind: String,
       width: Long,
       height: Long,
       channels: Long,
       frames: Long,
-      digest: String)
+      sample_rate: Long)
 
-  /** STUB decoder — deterministic fake in place of a real codec.
-    * A production build would replace `decodeImage` with the actual decode
-    * (e.g. JNI to libjpeg / ffmpeg) without touching the plumbing.
+  /** Real encoders/decoders over JDK-native formats. Deterministic: the same
+    * doc_id always synthesizes byte-identical media.
     */
-  object FakeDecoders {
-    def decodeImage(docId: Long, bytes: Array[Byte]): MediaMeta = {
-      val n = bytes.length.toLong
-      MediaMeta(
-        doc_id = docId,
-        n_bytes = n,
-        width = n % 640 + 16,
-        height = (n * 7) % 480 + 16,
-        channels = 3,
-        frames = n % 30 + 1,
-        digest = md5Hex(bytes))
+  object Codecs {
+    // ImageIO's disk cache is a per-call tmp-file — disable it on executors
+    ImageIO.setUseCache(false)
+
+    def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          // cheap deterministic texture so the compressor has real work
+          img.setRGB(x, y, (((x * 31 + y * 17 + seed) * 2654435761L) & 0xFFFFFF).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new ByteArrayOutputStream
+      ImageIO.write(img, "png", out)
+      out.toByteArray
     }
 
-    private def md5Hex(bytes: Array[Byte]): String =
-      java.security.MessageDigest.getInstance("MD5").digest(bytes)
-        .map(b => f"${b & 0xFF}%02x").mkString
+    def decodePng(docId: Long, bytes: Array[Byte]): MediaMeta = {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null)
+        throw new IllegalArgumentException(s"doc $docId: not a decodable image")
+      MediaMeta(docId, "png", img.getWidth.toLong, img.getHeight.toLong,
+        img.getRaster.getNumBands.toLong, 1L, 0L)
+    }
+
+    /** Canonical 44-byte PCM WAV header + silence frames. */
+    def encodeWav(channels: Int, sampleRate: Int, frames: Int): Array[Byte] = {
+      val bitsPerSample = 16
+      val blockAlign = channels * bitsPerSample / 8
+      val dataSize = frames * blockAlign
+      val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(channels.toShort)
+        .putInt(sampleRate)
+        .putInt(sampleRate * blockAlign)
+        .putShort(blockAlign.toShort)
+        .putShort(bitsPerSample.toShort)
+        .put("data".getBytes("US-ASCII")).putInt(dataSize)
+      buf.array()
+    }
+
+    def decodeWav(docId: Long, bytes: Array[Byte]): MediaMeta = {
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def ascii(n: Int): String = {
+        val a = new Array[Byte](n); buf.get(a); new String(a, "US-ASCII")
+      }
+      if (ascii(4) != "RIFF")
+        throw new IllegalArgumentException(s"doc $docId: not RIFF")
+      buf.getInt // chunk size
+      if (ascii(4) != "WAVE")
+        throw new IllegalArgumentException(s"doc $docId: not WAVE")
+      var channels = 0L
+      var sampleRate = 0L
+      var blockAlign = 0L
+      var dataSize = -1L
+      while (dataSize < 0 && buf.remaining() >= 8) {
+        val id = ascii(4)
+        val sz = buf.getInt
+        id match {
+          case "fmt " =>
+            val start = buf.position()
+            buf.getShort // audio format
+            channels = buf.getShort.toLong
+            sampleRate = buf.getInt.toLong
+            buf.getInt // byte rate
+            blockAlign = buf.getShort.toLong
+            buf.position(start + sz)
+          case "data" => dataSize = sz.toLong
+          case _ => buf.position(buf.position() + sz) // skip unknown chunk
+        }
+      }
+      if (dataSize < 0 || blockAlign == 0)
+        throw new IllegalArgumentException(s"doc $docId: no data/fmt chunk")
+      MediaMeta(docId, "wav", 0L, 0L, channels, dataSize / blockAlign,
+        sampleRate)
+    }
+
+    /** Container sniffing by magic bytes, like a real ingest path. */
+    def decode(docId: Long, bytes: Array[Byte]): MediaMeta =
+      if (bytes.length >= 8 && (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P')
+        decodePng(docId, bytes)
+      else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I')
+        decodeWav(docId, bytes)
+      else throw new IllegalArgumentException(
+        s"doc $docId: unrecognized media container")
   }
+
+  /** The parameters each doc's media is synthesized with — pure doc_id
+    * arithmetic, so an oracle can predict what a correct decode recovers.
+    */
+  def synthesize(docId: Long): Array[Byte] =
+    if (docId % 2 == 0)
+      Codecs.encodePng(
+        width = (docId % 97 + 8).toInt,
+        height = (docId * 3 % 71 + 8).toInt,
+        seed = docId)
+    else
+      Codecs.encodeWav(
+        channels = (docId % 3 + 1).toInt,
+        sampleRate = (8000 + docId % 4 * 4000).toInt,
+        frames = (docId % 500 + 1).toInt)
 
   /** The batch-decode operator: one decoder invocation pipeline per
     * partition (the shape a vectorized/native decoder needs).
@@ -56,42 +153,50 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
       // per-partition init would go here (codec contexts, model handles)
-      batch.map(r => FakeDecoders.decodeImage(r.doc_id, r.media))
+      batch.map(r => Codecs.decode(r.doc_id, r.media))
     }
   }
 
   val queries: Map[String, Relational.Q] = Map(
-    // Binary-column pipeline: documents.text bytes stand in for media blobs;
-    // decode via mapPartitions; aggregate the extracted metadata.
+    // Binary-column pipeline: synthesize real PNG/WAV bytes per document
+    // (executor-side, deterministic), decode them back with the real codecs,
+    // aggregate the recovered metadata. The oracle predicts the same numbers
+    // from the synthesis arithmetic — green means the decode actually
+    // recovered what the encoder wrote.
     "m1_media_decode" -> { (s, dir) =>
       import s.implicits._
       val media = Tables(s, dir).documents
-        .select(col("doc_id"), col("text").cast("binary").as("media"))
-        .as[MediaRecord]
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => MediaRecord(id, synthesize(id))))
       decodeBatch(media).toDF()
-        .groupBy((col("n_bytes") % 10).as("bytes_mod"))
+        .groupBy(col("kind"))
         .agg(count(lit(1)).as("n"),
           sum(col("width")).as("sum_width"),
           sum(col("height")).as("sum_height"),
-          max(col("frames")).as("max_frames"),
-          countDistinct(col("digest")).as("n_digests"))
+          sum(col("channels")).as("sum_channels"),
+          sum(col("frames")).as("sum_frames"),
+          max(col("sample_rate")).as("max_rate"))
     })
 
   val oracles: Map[String, String] = Map(
-    // Oracle reproduces the deterministic fake decode from the byte length
-    // (text is ASCII here, so n_bytes == length(text)).
+    // Mirrors `synthesize`'s doc_id arithmetic — what a correct decode must
+    // recover from the actual PNG/WAV bytes.
     "m1_media_decode" ->
       """WITH meta AS (
-        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
-        |    length(text) % 640 + 16 AS width,
-        |    (length(text) * 7) % 480 + 16 AS height,
-        |    length(text) % 30 + 1 AS frames,
-        |    md5(text) AS digest
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS kind,
+        |    CASE WHEN doc_id % 2 = 0 THEN doc_id % 97 + 8 ELSE 0 END AS width,
+        |    CASE WHEN doc_id % 2 = 0 THEN doc_id * 3 % 71 + 8 ELSE 0 END AS height,
+        |    CASE WHEN doc_id % 2 = 0 THEN 3 ELSE doc_id % 3 + 1 END AS channels,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE doc_id % 500 + 1 END AS frames,
+        |    CASE WHEN doc_id % 2 = 0 THEN 0
+        |         ELSE 8000 + doc_id % 4 * 4000 END AS sample_rate
         |  FROM documents)
-        |SELECT n_bytes % 10 AS bytes_mod, COUNT(*) AS n,
+        |SELECT kind, COUNT(*) AS n,
         |  CAST(SUM(width) AS BIGINT) AS sum_width,
         |  CAST(SUM(height) AS BIGINT) AS sum_height,
-        |  CAST(MAX(frames) AS BIGINT) AS max_frames,
-        |  COUNT(DISTINCT digest) AS n_digests
+        |  CAST(SUM(channels) AS BIGINT) AS sum_channels,
+        |  CAST(SUM(frames) AS BIGINT) AS sum_frames,
+        |  CAST(MAX(sample_rate) AS BIGINT) AS max_rate
         |FROM meta GROUP BY 1""".stripMargin)
 }

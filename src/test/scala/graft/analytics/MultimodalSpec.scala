@@ -1,0 +1,51 @@
+package graft.analytics
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The decode must recover exactly what the encoder wrote — real codecs
+  * (JDK PNG via javax.imageio, RIFF/WAVE header parse), not byte-length
+  * arithmetic.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  import Multimodal._
+
+  test("png roundtrip recovers true dimensions") {
+    val bytes = Codecs.encodePng(width = 33, height = 21, seed = 7L)
+    // PNG magic, so the sniffer routes correctly
+    assert((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P')
+    val m = Codecs.decode(42L, bytes)
+    assert(m.kind == "png" && m.width == 33 && m.height == 21 &&
+      m.channels == 3 && m.frames == 1)
+  }
+
+  test("wav roundtrip recovers channels, rate and frame count") {
+    val bytes = Codecs.encodeWav(channels = 2, sampleRate = 16000, frames = 123)
+    val m = Codecs.decode(43L, bytes)
+    assert(m.kind == "wav" && m.channels == 2 && m.sample_rate == 16000 &&
+      m.frames == 123 && m.width == 0)
+  }
+
+  test("wav parser skips unknown chunks before data") {
+    val base = Codecs.encodeWav(1, 8000, 10)
+    // splice a LIST chunk between fmt and data
+    val extra = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("LIST".getBytes("US-ASCII")).putInt(4).put("INFO".getBytes("US-ASCII"))
+      .array()
+    val spliced = base.slice(0, 36) ++ extra ++ base.slice(36, base.length)
+    val m = Codecs.decodeWav(44L, spliced)
+    assert(m.frames == 10 && m.channels == 1)
+  }
+
+  test("synthesize is deterministic and sniffable") {
+    assert(Multimodal.synthesize(10L).sameElements(Multimodal.synthesize(10L)))
+    assert(Codecs.decode(10L, Multimodal.synthesize(10L)).kind == "png")
+    assert(Codecs.decode(11L, Multimodal.synthesize(11L)).kind == "wav")
+  }
+
+  test("garbage bytes fail loudly, not silently") {
+    intercept[IllegalArgumentException] {
+      Codecs.decode(1L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9))
+    }
+  }
+}
