@@ -14,7 +14,9 @@ import org.apache.spark.sql.SparkSession
   *     stays compact. Measured at sf0.1: 4 state partitions cut the
   *     streaming suite from ~31.6 s to ~21.4 s vs 32. On a real cluster
   *     raise SPARK_GRAFT_STREAM_PARTS toward total cores — per-partition
-  *     state must fit an executor, and the knob is read at stream start.
+  *     state must fit an executor. NOTE: the knob only takes effect for NEW
+  *     streaming checkpoints — a resumed query keeps the state partition
+  *     count pinned at its first run.
   *   - State store provider defaults to the HDFS-backed (on-heap) store:
   *     measured head-to-head at sf0.1 it beats RocksDB ~1.5× while state
   *     fits the heap (RocksDB pays JNI per-key puts + sst checkpointing).
@@ -37,6 +39,10 @@ object GraftSession {
     SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", streamingStatePartitions)
+      // batch parallelism DEPENDS on AQE coalescing starting from
+      // initialPartitionNum — pin coalescing on explicitly so a config drift
+      // can't silently run batch shuffles at the streaming partition count
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.streaming.stateStore.providerClass", stateStoreProvider)

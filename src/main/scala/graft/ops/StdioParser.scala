@@ -111,7 +111,10 @@ object StdioParser {
     * Defaults mirror the stdio consumer: absent ts → now, absent key →
     * broadcast (null), absent seq → per-key arrival order, absent shard → 0.
     * Parsing is a scala closure (string-heavy, not worth a codegen
-    * Expression); the sequence fill is a window over arrival order.
+    * Expression); the sequence fill is a window ordered by a CONTENT-derived
+    * key (ts, payload hash) — a monotonically_increasing_id differs across
+    * stage retries, which would assign different sequences on a replayed
+    * task than parts other tasks already committed.
     */
   def toEnvelope(lines: DataFrame): DataFrame = {
     val spark = lines.sparkSession
@@ -129,7 +132,8 @@ object StdioParser {
       .orderBy(col("arrival"))
     parsed
       .filter(col("ok"))
-      .withColumn("arrival", monotonically_increasing_id())
+      .withColumn("arrival",
+        struct(col("ts"), xxhash64(col("payload"))))
       .select(
         col("key").as("stream_key"),
         coalesce(col("shard"), lit(0L)).as("shard_id"),

@@ -534,46 +534,56 @@ class SsWriteBuilder(path: String, info: LogicalWriteInfo)
   }
 }
 
-/** `files` are the task's `.ss.staged` parts awaiting driver publish. */
-final case class SsCommitMessage(files: Seq[String], messages: Long)
+/** `(staged, dest)` pairs: the task's attempt-unique `.ss.staged` files and
+  * the canonical final names the driver publishes them to.
+  */
+final case class SsCommitMessage(files: Seq[(String, String)], messages: Long)
     extends WriterCommitMessage
 
 /** Two-phase commit bookkeeping shared by batch and streaming writes.
   *
   * Publish (driver, job/epoch commit): rename each task-staged
-  * `<part>.ss.staged` to its final `<part>.ss`. Nothing is visible to
-  * readers until this point, so a job is all-or-nothing even when a task
-  * commits executor-side but the job fails before its message reaches the
-  * driver.
+  * `<attempt>.ss.staged` to its canonical `<part>.ss`. Nothing is visible
+  * to readers until this point. Streaming destinations are deterministic in
+  * (queryId, epochId, partitionId) — no task/attempt component — so when a
+  * restarted query replays an epoch whose publish already (partially or
+  * fully) happened, the existing part is kept and the replayed staged copy
+  * is discarded: the publish is idempotent and the sink is exactly-once
+  * across epoch replays, the Spark-native analogue of the reference's Kafka
+  * transactional producer (sea-streamer-kafka/src/producer.rs:236-301).
+  * Batch destinations keep a per-job random tag: concurrent append jobs to
+  * the same store must never collide on a name.
   *
-  * Abort: sweep every `part-<jobTag>-*` intermediate (`.ss.tmp` from live
-  * writers and `.ss.staged` from tasks whose commit raced the failure).
-  * Both suffixes fail `listFiles`' `.ss` filter, so even an unswept
-  * straggler (driver crash, executor-local disk on a real cluster) is
-  * garbage, never phantom data.
+  * Abort: sweep this job/epoch's intermediates (`.ss.tmp` from live writers
+  * and `.ss.staged` from tasks whose commit raced the failure). Both
+  * suffixes fail `listFiles`' `.ss` filter, so even an unswept straggler
+  * (driver crash, executor-local disk on a real cluster) is garbage, never
+  * phantom data.
   */
-private object SsWriteReconcile {
+private[ss] object SsWriteReconcile {
   def publish(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case SsCommitMessage(files, _) => files.foreach { staged =>
+      case SsCommitMessage(files, _) => files.foreach { case (staged, dest) =>
         val src = new File(staged)
-        val dst = new File(staged.stripSuffix(".staged"))
-        if (!src.renameTo(dst) && !dst.exists())
+        val dst = new File(dest)
+        if (dst.exists()) src.delete() // epoch replay: already published
+        else if (!src.renameTo(dst) && !dst.exists())
           throw SsFormat.FormatException(
             s"ss sink could not publish $staged -> ${dst.getPath}")
       }
       case _ =>
     }
 
-  def abort(path: String, jobTag: String,
+  def abort(path: String, namePrefix: String,
             messages: Array[WriterCommitMessage]): Unit = {
     if (messages != null) messages.foreach {
-      case SsCommitMessage(files, _) => files.foreach(new File(_).delete())
+      case SsCommitMessage(files, _) =>
+        files.foreach { case (staged, _) => new File(staged).delete() }
       case _ =>
     }
     val dir = new File(path)
     if (dir.isDirectory) {
-      val stale = dir.listFiles((_, n) => n.startsWith(s"part-$jobTag-") &&
+      val stale = dir.listFiles((_, n) => n.startsWith(namePrefix) &&
         (n.endsWith(".ss.tmp") || n.endsWith(".ss.staged")))
       if (stale != null) stale.foreach(_.delete())
     }
@@ -586,7 +596,7 @@ class SsBatchWrite(path: String, info: LogicalWriteInfo, truncate: Boolean)
     info.options().getInt("beaconInterval", SsFormat.DefaultBeaconInterval)
   private val sizeLimit =
     info.options().getLong("fileSizeLimit", SsFormat.DefaultFileSizeLimit)
-  private val factory = new SsWriterFactory(path, interval, sizeLimit, -1L)
+  private val factory = new SsWriterFactory(path, interval, sizeLimit, None)
 
   override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory = {
     val dir = new File(path)
@@ -599,7 +609,7 @@ class SsBatchWrite(path: String, info: LogicalWriteInfo, truncate: Boolean)
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     SsWriteReconcile.publish(messages)
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    SsWriteReconcile.abort(path, factory.jobTag, messages)
+    SsWriteReconcile.abort(path, s"part-${factory.jobTag}-", messages)
 }
 
 class SsStreamingWrite(path: String, info: LogicalWriteInfo)
@@ -608,7 +618,14 @@ class SsStreamingWrite(path: String, info: LogicalWriteInfo)
     info.options().getInt("beaconInterval", SsFormat.DefaultBeaconInterval)
   private val sizeLimit =
     info.options().getLong("fileSizeLimit", SsFormat.DefaultFileSizeLimit)
-  private val factory = new SsWriterFactory(path, interval, sizeLimit, 0L)
+
+  /** Stable across restarts (StreamExecution's persisted query id, not the
+    * per-run id) — what makes replayed epochs land on the same part names.
+    */
+  private val queryTag: String =
+    info.queryId().replaceAll("-", "").take(12)
+  private val factory =
+    new SsWriterFactory(path, interval, sizeLimit, Some(queryTag))
 
   override def createStreamingWriterFactory(p: PhysicalWriteInfo): StreamingDataWriterFactory = {
     new File(path).mkdirs()
@@ -617,31 +634,43 @@ class SsStreamingWrite(path: String, info: LogicalWriteInfo)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     SsWriteReconcile.publish(messages)
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    SsWriteReconcile.abort(path, factory.jobTag, messages)
+    SsWriteReconcile.abort(path, f"part-q$queryTag-e$epochId%05d-", messages)
 }
 
-/** One `.ss` part file per task (and per epoch when streaming). A per-job
-  * unique tag keeps append-mode writes from different jobs/applications from
-  * colliding on (partitionId, taskId) and truncating earlier parts.
+/** One `.ss` part file per task (and per epoch when streaming).
+  *
+  * Naming: batch parts carry a per-job random tag (concurrent append jobs
+  * must not collide); streaming parts are canonically named by
+  * (queryTag, epochId, partitionId) so an epoch replay after a restart maps
+  * onto the same destinations and publish can dedup. The attempt-unique
+  * taskId survives only in the staged/tmp names, so speculative attempts
+  * never write the same intermediate file.
   */
-class SsWriterFactory(path: String, interval: Int, sizeLimit: Long, epochTag: Long)
+class SsWriterFactory(path: String, interval: Int, sizeLimit: Long,
+    streamingQueryTag: Option[String])
     extends DataWriterFactory with StreamingDataWriterFactory {
 
   val jobTag: String =
     java.util.UUID.randomUUID().toString.substring(0, 8)
 
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    mk(f"part-$jobTag-$partitionId%05d-$taskId.ss")
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val name = f"part-$jobTag-$partitionId%05d-$taskId.ss"
+    mk(name, name)
+  }
 
-  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    mk(f"part-$jobTag-$epochId%05d-$partitionId%05d-$taskId.ss")
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
+    val q = streamingQueryTag.getOrElse(jobTag)
+    mk(f"part-q$q-e$epochId%05d-p$partitionId%05d-t$taskId.ss",
+      f"part-q$q-e$epochId%05d-p$partitionId%05d.ss")
+  }
 
-  private def mk(name: String): DataWriter[InternalRow] = {
+  private def mk(attemptName: String, finalName: String): DataWriter[InternalRow] = {
     val target = new File(path)
     if (target.exists() && !target.isDirectory)
       throw SsFormat.FormatException(
         s"ss sink path must be a directory, found a file: $path")
-    new SsDataWriter(new File(target, name), interval, sizeLimit)
+    new SsDataWriter(new File(target, attemptName),
+      new File(target, finalName), interval, sizeLimit)
   }
 }
 
@@ -649,42 +678,43 @@ class SsWriterFactory(path: String, interval: Int, sizeLimit: Long, epochTag: Lo
   * exceeded (the reference sink's 16 GiB default quota + rotation,
   * sea-streamer-file/src/sink.rs:96-110, lib.rs:93).
   *
-  * Commit protocol: every part is written as `<name>.ss.tmp` — invisible to
-  * `SsDataSource.listFiles` (which matches only `.ss`) — and renamed to
-  * `<name>.ss.staged` (still invisible) in `commit()`, which Spark invokes
-  * only for the attempt the commit coordinator elects. The driver publishes
-  * staged parts to their final names at job/epoch commit
-  * (`SsWriteReconcile.publish`), so readers racing a writer see each part
-  * either absent or complete, and a failed job publishes nothing.
+  * Commit protocol: every part is written as `<attempt>.ss.tmp` — invisible
+  * to `SsDataSource.listFiles` (which matches only `.ss`) — and renamed to
+  * `<attempt>.ss.staged` (still invisible) in `commit()`, which Spark
+  * invokes only for the attempt the commit coordinator elects. The driver
+  * publishes staged parts to their canonical destinations at job/epoch
+  * commit (`SsWriteReconcile.publish`), so readers racing a writer see each
+  * part either absent or complete, and a failed job publishes nothing.
+  * Rotation applies the same `-rN` suffix to the attempt and destination
+  * names, keeping replayed-epoch dedup exact per rotated part.
   */
-class SsDataWriter(file: File, interval: Int, sizeLimit: Long)
+class SsDataWriter(attemptFile: File, destFile: File, interval: Int,
+    sizeLimit: Long)
     extends DataWriter[InternalRow] {
 
   private var rotation = 0
   private var messages = 0L
-  // (staged tmp, final destination) per part, in open order
+  // (written tmp, canonical destination) per part, in open order
   private val parts = Seq.newBuilder[(File, File)]
-  private var current: SsWriter = open(file)
+  private var current: SsWriter = open(attemptFile, destFile)
 
-  private def open(f: File): SsWriter = {
-    val tmp = new File(f.getParentFile, f.getName + ".tmp")
-    parts += ((tmp, f))
+  private def open(attempt: File, dest: File): SsWriter = {
+    val tmp = new File(attempt.getParentFile, attempt.getName + ".tmp")
+    parts += ((tmp, dest))
     new SsWriter(
       new BufferedOutputStream(new FileOutputStream(tmp), 1 << 16),
-      f.getName, interval)
+      dest.getName, interval)
   }
 
-  private def rotatedFile: File = {
-    rotation += 1
-    new File(file.getParentFile,
-      file.getName.stripSuffix(".ss") + s"-r$rotation.ss")
-  }
+  private def rotated(f: File): File = new File(f.getParentFile,
+    f.getName.stripSuffix(".ss") + s"-r$rotation.ss")
 
   override def write(row: InternalRow): Unit = {
     if (current.offset >= sizeLimit) {
       messages += current.messageCount
       current.close()
-      current = open(rotatedFile)
+      rotation += 1
+      current = open(rotated(attemptFile), rotated(destFile))
     }
     current.write(SsRows.fromInternalRow(row))
   }
@@ -693,13 +723,14 @@ class SsDataWriter(file: File, interval: Int, sizeLimit: Long)
     messages += current.messageCount
     current.close()
     val staged = parts.result().map { case (tmp, dst) =>
-      val stage = new File(dst.getParentFile, dst.getName + ".staged")
+      val stage = new File(tmp.getParentFile,
+        tmp.getName.stripSuffix(".tmp") + ".staged")
       if (!tmp.renameTo(stage)) {
         parts.result().foreach { case (t, _) => t.delete() }
         throw SsFormat.FormatException(
           s"ss sink could not stage ${tmp.getPath} -> ${stage.getPath}")
       }
-      stage.getPath
+      (stage.getPath, dst.getPath)
     }
     SsCommitMessage(staged, messages)
   }

@@ -34,7 +34,7 @@ class SsRegressionSpec extends AnyFunSuite {
     import graft.ss.spark.{SsDataSource, SsDataWriter}
     val dir = Files.createTempDirectory("abortsafe").toFile
     val w = new SsDataWriter(new java.io.File(dir, "part-x-00000-1.ss"),
-      1024, Long.MaxValue)
+      new java.io.File(dir, "part-x-00000.ss"), 1024, Long.MaxValue)
     (0 until 20).foreach { i =>
       w.write(InternalRow(UTF8String.fromString("s"), 0L, i.toLong,
         1000000L + i, s"p$i".getBytes("UTF-8")))
@@ -44,6 +44,47 @@ class SsRegressionSpec extends AnyFunSuite {
       "uncommitted part visible to listFiles")
     w.abort()
     assert(dir.listFiles().isEmpty, "abort left files behind")
+  }
+
+  test("replayed epoch publish is idempotent (exactly-once sink)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.ss.spark.{SsDataSource, SsDataWriter, SsWriteReconcile}
+    val dir = Files.createTempDirectory("epochreplay").toFile
+
+    // two attempts of the SAME epoch/partition (a restart replaying epoch 3):
+    // different attempt names, one canonical destination
+    def attempt(taskId: Long, payloadTag: String) = {
+      val w = new SsDataWriter(
+        new java.io.File(dir, f"part-qabc-e3-p0-t$taskId.ss"),
+        new java.io.File(dir, "part-qabc-e3-p0.ss"),
+        1024, Long.MaxValue)
+      (0 until 10).foreach { i =>
+        w.write(InternalRow(UTF8String.fromString("s"), 0L, i.toLong,
+          1000000L + i, s"$payloadTag$i".getBytes("UTF-8")))
+      }
+      w.commit()
+    }
+
+    val m1 = attempt(1L, "first")
+    SsWriteReconcile.publish(Array(m1))
+    val afterFirst = SsDataSource.listFiles(dir.toString).map(_.getName)
+    assert(afterFirst == Seq("part-qabc-e3-p0.ss"))
+
+    val m2 = attempt(2L, "replay")
+    SsWriteReconcile.publish(Array(m2))
+    val afterReplay = SsDataSource.listFiles(dir.toString).map(_.getName)
+    assert(afterReplay == Seq("part-qabc-e3-p0.ss"),
+      s"replay duplicated parts: $afterReplay")
+    // content is the FIRST attempt's (replay discarded), and nothing staged
+    val back = spark.read.format("ss").load(dir.toString)
+    assert(back.count() == 10)
+    import org.apache.spark.sql.functions.{col => c}
+    val payload = back.filter(c("sequence") === 0L)
+      .select(c("payload").cast("string")).as[String].head()
+    assert(payload == "first0")
+    assert(!dir.listFiles().exists(_.getName.endsWith(".staged")),
+      "replayed staged part not cleaned up")
   }
 
   test("a failed write job leaves no visible or staged parts") {
