@@ -241,6 +241,27 @@ object SeaStreamer {
       * cross-process exclusion needs an external lock.
       */
     def sendAssignSeq(df: DataFrame): Unit = {
+      assignAndWrite(df).unpersist()
+      ()
+    }
+
+    /** [[sendAssignSeq]] returning one Receipt per message — the written
+      * MessageHeader (stream_key, shard_id, sequence, timestamp), the
+      * reference's `Producer::send -> Receipt` future resolved
+      * (sea-streamer-types/src/producer.rs:8-9; our bounded send is
+      * synchronous, so the future is already complete when this returns).
+      * The assignment is persisted BEFORE the write so the returned plan is
+      * byte-for-byte what was committed, never a recomputation against the
+      * store the write just changed; the cache pin lasts until the receipts
+      * are dropped with the session (bounded sends are bounded).
+      */
+    def sendAssignSeqReceipts(df: DataFrame): DataFrame =
+      assignAndWrite(df).select("stream_key", "shard_id", "sequence", "timestamp")
+
+    /** Assign sequences, persist the assignment, append it to the store;
+      * returns the persisted assignment.
+      */
+    private def assignAndWrite(df: DataFrame): DataFrame = {
       if (scheme != "file")
         throw SeaStreamErr.Unsupported(s"sendAssignSeq on '$scheme'")
       val spark0 = df.sparkSession
@@ -266,7 +287,21 @@ object SeaStreamer {
             row_number().over(w).cast("long"))
         .drop("__base", "__arrival")
         .select("stream_key", "shard_id", "sequence", "timestamp", "payload")
+        .persist()
       assigned.write.format("ss").mode("append").save(node)
+      assigned
+    }
+
+    /** Receipts for a caller-sequenced bounded [[send]]: the headers as
+      * written (the send is synchronous, so durability is already settled).
+      */
+    def sendReceipts(df: DataFrame): DataFrame = {
+      send(df)
+      val keyed = anchor match {
+        case Some(key) => df.withColumn("stream_key", lit(key))
+        case None => df
+      }
+      keyed.select("stream_key", "shard_id", "sequence", "timestamp")
     }
 
     /** Bounded send of an envelope DataFrame. */

@@ -74,6 +74,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus vectors are broadcast in d5: ${broadcastOnVec.map(_._1)}")
   }
 
+  test("t3's global position stamp never plans a single-partition stage") {
+    // the merge + position stamp must stay parallel: no unpartitioned
+    // Window (row_number over the world) and no SinglePartition exchange
+    val p = planOf("t3_fuse_merge")
+    assert(!p.contains("Window"), "t3 regressed to a window-based stamp")
+    assert(!p.contains("SinglePartition"), "t3 funnels through one partition")
+  }
+
   test("range join is an equi-join, not a nested loop") {
     val p = planOf("q19_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

@@ -57,4 +57,30 @@ class BucketingSpec extends AnyFunSuite {
     assert(seqs("a") == (0L until 10L))
     assert(seqs("b") == (0L until 10L))
   }
+
+  test("send receipts are the written per-message headers") {
+    import graft.facade.SeaStreamer
+    import graft.facade.SeaStreamer.ConsumerOptions
+    val dir = java.nio.file.Files.createTempDirectory("receipts").toString
+    val conn = SeaStreamer.connect(s"file://$dir", spark)
+    def batch(n: Int, tsBase: Long) = (0 until n).map { i =>
+      (if (i % 2 == 0) "a" else "b", 0L, 0L,
+        new java.sql.Timestamp(tsBase + i), s"m$i".getBytes("UTF-8"))
+    }.toDF("stream_key", "shard_id", "sequence", "timestamp", "payload")
+
+    val p = conn.createGenericProducer()
+    val r1 = p.sendAssignSeqReceipts(batch(10, 1000L))
+      .select("stream_key", "sequence").as[(String, Long)].collect().toSet
+    // one receipt per message carrying the assigned header
+    assert(r1 == (0L until 5L).flatMap(i => Seq("a" -> i, "b" -> i)).toSet)
+    // a second send's receipts continue the sequences (and are not a
+    // recomputation against the store the first send changed)
+    val r2 = p.sendAssignSeqReceipts(batch(10, 2000L))
+      .select("stream_key", "sequence").as[(String, Long)].collect().toSet
+    assert(r2 == (5L until 10L).flatMap(i => Seq("a" -> i, "b" -> i)).toSet)
+    // receipts match exactly what a consumer reads back
+    val back = conn.createConsumer(Seq("*"), ConsumerOptions(live = false))
+      .select("stream_key", "sequence").as[(String, Long)].collect().toSet
+    assert(back == r1 ++ r2)
+  }
 }
