@@ -129,11 +129,19 @@ final class SsReader private[ss] (
       }
     decoded match {
       case Some(r) if r.message.stream_key == Envelope.SeaStreamerInternal =>
-        if (r.message.payloadUtf8 == EosPayload) { eosSeen = true; None }
-        else next()
+        if (r.message.payloadUtf8 == EosPayload) {
+          eosSeen = true; eosStartVar = Some(r.startOffset); None
+        } else next()
       case other => other
     }
   }
+
+  private var eosStartVar: Option[Long] = None
+
+  /** Byte offset where the terminating EOS frame starts (for append-mode
+    * EOS truncation, messages.rs:420-515).
+    */
+  def eosStart: Option[Long] = eosStartVar
 
   def iterator: Iterator[SsRecord] =
     Iterator.continually(next()).takeWhile(_.isDefined).map(_.get)

@@ -21,7 +21,8 @@ final class SsWriter(
     out: OutputStream,
     fileName: String,
     beaconInterval: Int = SsFormat.DefaultBeaconInterval,
-    createdAtMillis: Long = System.currentTimeMillis()) {
+    createdAtMillis: Long = System.currentTimeMillis(),
+    private[ss] val resume: Option[SsWriter.Resume] = None) {
 
   require(beaconInterval >= HeaderSize,
     s"beaconInterval must be >= $HeaderSize")
@@ -35,14 +36,29 @@ final class SsWriter(
   private var messages: Long = 0
 
   locally {
-    val header = encodeHeader(SsHeader(fileName, createdAtMillis, beaconInterval))
-    out.write(header)
-    offsetBytes = header.length.toLong
-    if (offsetBytes == beaconInterval.toLong) {
-      // header fills exactly one interval: an empty beacon goes right after
-      val b = encodeBeacon(Beacon(0, Nil))
-      out.write(b)
-      offsetBytes += b.length
+    resume match {
+      case Some(r) =>
+        // appending to an existing container: state recovered by the skim
+        // walk in SsWriter.append — no header is written
+        offsetBytes = r.offset
+        beaconCount = r.markerCount
+        messages = r.messages
+        r.states.foreach { case ((k, sh), (mx, ts, crc)) =>
+          states((k, sh)) = StreamState(mx, ts, RunningChecksum.resume(crc))
+        }
+        // the resume point sits exactly on a boundary whose beacon was
+        // truncated/absent — readers demand one, so emit it now
+        if (r.needBeacon) writeBeacon(0)
+      case None =>
+        val header = encodeHeader(SsHeader(fileName, createdAtMillis, beaconInterval))
+        out.write(header)
+        offsetBytes = header.length.toLong
+        if (offsetBytes == beaconInterval.toLong) {
+          // header fills exactly one interval: an empty beacon goes right after
+          val b = encodeBeacon(Beacon(0, Nil))
+          out.write(b)
+          offsetBytes += b.length
+        }
     }
   }
 
@@ -98,4 +114,79 @@ final class SsWriter(
 
   def flush(): Unit = out.flush()
   def close(): Unit = { out.flush(); out.close() }
+}
+
+object SsWriter {
+
+  /** State recovered from an existing container for append mode. */
+  private[ss] final case class Resume(
+      offset: Long,
+      states: Seq[((String, Long), (Long, Long, Int))],
+      markerCount: Long,
+      messages: Long,
+      needBeacon: Boolean)
+
+  /** Reopen an existing `.ss` container and continue appending — the
+    * reference's single-file tail-replay/EOS-truncation behavior
+    * (sea-streamer-file/src/messages.rs:420-515): a trailing EOS frame (or a
+    * truncated in-flight tail from a crashed writer) is chopped off, the
+    * per-stream marker states and running checksums are restored by a skim
+    * walk, and writing resumes beacon-consistently at the cut point.
+    */
+  def append(path: String): SsWriter = {
+    val header = SsReader.readHeader(path)
+    val interval = header.beaconInterval
+    val r = SsReader.open(path, verifyChecksum = false, skim = true)
+    val restored = mutable.TreeMap.empty[(String, Long), (Long, Long, RunningChecksum)]
+    var end = HeaderSize.toLong
+    var count = 0L
+    try {
+      var done = false
+      while (!done) r.next() match {
+        case Some(rec) =>
+          val k = (rec.message.stream_key, rec.message.shard_id)
+          val (mx, ts, crc) = restored.getOrElse(k,
+            (Long.MinValue, Long.MinValue, RunningChecksum()))
+          crc.update(rec.checksum)
+          restored(k) = (math.max(mx, rec.message.sequence),
+            math.max(ts, rec.message.timestamp.getTime), crc)
+          end = rec.endOffset
+          count += 1
+        case None => done = true
+      }
+      // cut at the EOS frame start, or after the last complete frame
+      var cut = r.eosStart.getOrElse(end)
+      var needBeacon = false
+      if (cut > 0 && cut % interval == 0) {
+        // the cut lands exactly on a boundary: keep the beacon standing
+        // there if it is complete, otherwise the resumed writer must emit
+        // one (readers consume a beacon at every boundary)
+        SsReader.readBeaconAt(path, cut) match {
+          case Some(b) => cut += b.size
+          case None => needBeacon = true
+        }
+      }
+      val ch = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(path),
+        java.nio.file.StandardOpenOption.WRITE)
+      try ch.truncate(cut) finally ch.close()
+
+      // marker count across surviving beacons (rotation phase)
+      var markers = 0L
+      var k = 1L
+      while (k * interval < cut) {
+        SsReader.readBeaconAt(path, k * interval)
+          .foreach(b => markers += b.items.length)
+        k += 1
+      }
+      new SsWriter(
+        new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(path, true), 1 << 16),
+        header.fileName, interval, header.createdAtMillis,
+        Some(Resume(cut,
+          restored.toSeq.map { case (key, (mx, ts, crc)) =>
+            (key, (mx, ts, crc.value)) },
+          markers, count, needBeacon)))
+    } finally r.close()
+  }
 }
