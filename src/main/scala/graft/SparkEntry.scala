@@ -17,10 +17,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     analytics.Relational.queries ++ analytics.Transport.queries ++
       analytics.Dedup.queries ++ analytics.TextAnalysis.queries ++
-      analytics.Similarity.queries ++ analytics.Multimodal.queries
+      analytics.Similarity.queries ++ analytics.Multimodal.queries ++
+      analytics.Pipeline.queries
 
   def oracleSql: Map[String, String] =
     analytics.Relational.oracles ++ analytics.Transport.oracles ++
       analytics.Dedup.oracles ++ analytics.TextAnalysis.oracles ++
-      analytics.Similarity.oracles ++ analytics.Multimodal.oracles
+      analytics.Similarity.oracles ++ analytics.Multimodal.oracles ++
+      analytics.Pipeline.oracles
 }

@@ -1,0 +1,171 @@
+package graft.analytics
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond the reference's surface: the
+  * curation stages a 100 TB corpus pass runs between ingest and tokenizer.
+  * All pure map/agg/window shapes — no driver-side loops, no collects; the
+  * only windows are partitioned by a bounded key (doc, shard bucket), never
+  * global.
+  */
+object Pipeline {
+
+  /** Deterministic per-document hash in [0, 100) — md5-derived so the
+    * DuckDB oracle computes the identical value (the same trick as the LSH
+    * plane grid). Sampling by content-stable hash (not rand()) is what makes
+    * a 100 TB sampling pass reproducible and retry-safe.
+    */
+  private def hashPct(c: Column): Column =
+    pmod(conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(100L))
+
+  val queries: Map[String, Relational.Q] = Map(
+    // Stratified downsampling: keep 10% of the dominant language, 50% of the
+    // rest — per-stratum rates over a content-stable hash, so the sample is
+    // identical on every run/retry and never shuffles the corpus (pure
+    // filter + agg).
+    "p1_stratified_sample" -> { (s, dir) =>
+      val rate = when(col("lang") === "en", 10L).otherwise(50L)
+      Tables(s, dir).documents
+        .filter(hashPct(col("doc_id")) < rate)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("sum_chars"))
+    },
+
+    // TF-IDF top terms per document: tokenize, tf per (doc, term), df per
+    // term, ln(N/df) idf, top-3 by (score, term). Shapes: two hash aggs and
+    // a per-document window — all shuffles are keyed by doc/term, nothing
+    // global.
+    "p2_tfidf_topterms" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.select(countDistinct(col("doc_id"))).first().getLong(0)
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      tf.join(df, "term")
+        .withColumn("score",
+          round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("score"), col("rank"))
+    },
+
+    // Context-window packing: assign documents to fixed token-budget bins
+    // (512) with first-fit-linear inside each of 32 hash buckets — the
+    // cumulative-sum window is per-bucket, so packing a 100 TB corpus is 32×
+    // (or 32k×) parallel, never one global scan.
+    "p3_seq_packing" -> { (s, dir) =>
+      val budget = 512L
+      val toks = Tables(s, dir).documents
+        .select(col("doc_id"), pmod(col("doc_id"), lit(32L)).as("bucket"),
+          size(split(col("text"), " ")).cast("long").as("tokens"))
+      val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      toks
+        .withColumn("cum", sum(col("tokens")).over(w))
+        .withColumn("bin", ((col("cum") - col("tokens")) / budget)
+          .cast("long"))
+        .groupBy("bucket", "bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tokens")).as("sum_tokens"))
+    },
+
+    // PII scrub: deterministic synthetic PII is injected per doc_id (the
+    // test corpus is clean), then removed with the scrub regexes; the query
+    // reports detection counts and the size delta — the audit a redaction
+    // pass emits. regexp_replace is codegen'd, the whole op is a pure map.
+    "p4_pii_scrub" -> { (s, dir) =>
+      val emailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+      val phoneRe = "[0-9]{3}-[0-9]{4}"
+      val withPii = Tables(s, dir).documents
+        .withColumn("dirty", concat(col("text"),
+          when(pmod(col("doc_id"), lit(5L)) === 0L,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+            .when(pmod(col("doc_id"), lit(5L)) === 1L,
+              concat(lit(" call 555-"),
+                lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+            .otherwise(lit(""))))
+      withPii
+        .withColumn("scrubbed",
+          regexp_replace(regexp_replace(col("dirty"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>"))
+        .groupBy("lang")
+        .agg(
+          sum(when(col("dirty").rlike(emailRe), 1L).otherwise(0L)).as("n_email"),
+          sum(when(col("dirty").rlike(phoneRe), 1L).otherwise(0L)).as("n_phone"),
+          sum(length(col("dirty")).cast("long")).as("len_dirty"),
+          sum(length(col("scrubbed")).cast("long")).as("len_scrubbed"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "p1_stratified_sample" ->
+      """SELECT lang, COUNT(*) AS n_kept,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 100
+        |      < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+        |GROUP BY lang""".stripMargin,
+    "p2_tfidf_topterms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |toks2 AS (SELECT * FROM toks WHERE length(term) > 0),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+        |       FROM toks2 GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks2 GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, score, rank FROM ranked WHERE rank <= 3""".stripMargin,
+    "p3_seq_packing" ->
+      """WITH toks AS (
+        |  SELECT doc_id, doc_id % 32 AS bucket,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |cums AS (
+        |  SELECT bucket, tokens,
+        |    SUM(tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM toks)
+        |SELECT bucket, CAST(FLOOR((cum - tokens) / 512) AS BIGINT) AS bin,
+        |  COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS sum_tokens
+        |FROM cums GROUP BY 1, 2""".stripMargin,
+    "p4_pii_scrub" ->
+      """WITH dirtied AS (
+        |  SELECT lang, text ||
+        |    CASE WHEN doc_id % 5 = 0
+        |           THEN ' contact user' || doc_id || '@example.com'
+        |         WHEN doc_id % 5 = 1
+        |           THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |         ELSE '' END AS dirty
+        |  FROM documents),
+        |scrubbed AS (
+        |  SELECT lang, dirty,
+        |    regexp_replace(
+        |      regexp_replace(dirty, '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+        |      '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean
+        |  FROM dirtied)
+        |SELECT lang,
+        |  CAST(SUM(CASE WHEN regexp_matches(dirty, '[a-z0-9]+@[a-z]+\.[a-z]+')
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_email,
+        |  CAST(SUM(CASE WHEN regexp_matches(dirty, '[0-9]{3}-[0-9]{4}')
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_phone,
+        |  CAST(SUM(length(dirty)) AS BIGINT) AS len_dirty,
+        |  CAST(SUM(length(clean)) AS BIGINT) AS len_scrubbed
+        |FROM scrubbed GROUP BY lang""".stripMargin)
+}
