@@ -44,11 +44,13 @@ object Similarity {
        |    CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(30,15))),
        |  CAST(0 AS DECIMAL(38,15)), (acc, v) -> CAST(acc + v AS DECIMAL(38,15))) AS DOUBLE)""".stripMargin)
 
-  /** Plain-double dot product — prefilter only (order-dependent low bits). */
-  private def approxDotCol(a: String, b: String): Column = expr(
-    s"""aggregate(zip_with($a, $b,
-       |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-       |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+  /** Plain-double dot product — prefilter only (order-dependent low bits).
+    * Native codegen'd expression: the prefilter touches every candidate
+    * pair, and the interpreted `aggregate(zip_with(...))` lambdas were the
+    * dominant cost of d5 (graft.functions.FloatVecDot).
+    */
+  private def approxDotCol(a: String, b: String): Column =
+    graft.functions.FloatVecDot.fdot(col(a), col(b))
 
   /** Per-vector L2 norm via the same decimal-sum trick. */
   private def withNorm(df: DataFrame, emb: String, out: String): DataFrame =
