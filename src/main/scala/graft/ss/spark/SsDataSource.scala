@@ -552,7 +552,12 @@ final case class SsCommitMessage(files: Seq[(String, String)], messages: Long)
   * across epoch replays, the Spark-native analogue of the reference's Kafka
   * transactional producer (sea-streamer-kafka/src/producer.rs:236-301).
   * Batch destinations keep a per-job random tag: concurrent append jobs to
-  * the same store must never collide on a name.
+  * the same store must never collide on a name. Batch publish is therefore
+  * NOT idempotent across driver crashes — parts rename one at a time, so a
+  * crash mid-commit can leave a batch job partially visible (rerunning the
+  * job appends a full fresh copy under a new tag); exactly-once batch
+  * replay would need an epoch-keyed commit log like the streaming path's
+  * deterministic names.
   *
   * Abort: sweep this job/epoch's intermediates (`.ss.tmp` from live writers
   * and `.ss.staged` from tasks whose commit raced the failure). Both
