@@ -47,12 +47,16 @@ object Pipeline {
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val df = toks.select("doc_id", "term").distinct()
         .groupBy("term").agg(count(lit(1)).as("df"))
-      val n = docs.select(countDistinct(col("doc_id"))).first().getLong(0)
+      // N stays inside the plan (1-row cross join, broadcast by Spark) — no
+      // eager driver action, documents scans once per plan branch
+      val n = docs.agg(countDistinct(col("doc_id")).as("n"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("term"))
       tf.join(df, "term")
+        .crossJoin(n)
         .withColumn("score",
-          round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+          round(col("tf") * log(col("n").cast("double") / col("df")), 6))
+        .drop("n")
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("term"), col("score"), col("rank"))

@@ -250,10 +250,10 @@ object SeaStreamer {
       * reference's `Producer::send -> Receipt` future resolved
       * (sea-streamer-types/src/producer.rs:8-9; our bounded send is
       * synchronous, so the future is already complete when this returns).
-      * The assignment is persisted BEFORE the write so the returned plan is
-      * byte-for-byte what was committed, never a recomputation against the
-      * store the write just changed; the cache pin lasts until the receipts
-      * are dropped with the session (bounded sends are bounded).
+      * The assignment is locally checkpointed (lineage SEVERED) before the
+      * write, so the receipts can only ever be the rows that were committed:
+      * losing the materialized blocks raises an error instead of silently
+      * recomputing the assignment against the store the write just changed.
       */
     def sendAssignSeqReceipts(df: DataFrame): DataFrame =
       assignAndWrite(df).select("stream_key", "shard_id", "sequence", "timestamp")
@@ -287,7 +287,7 @@ object SeaStreamer {
             row_number().over(w).cast("long"))
         .drop("__base", "__arrival")
         .select("stream_key", "shard_id", "sequence", "timestamp", "payload")
-        .persist()
+        .localCheckpoint(true) // materialize + sever lineage before writing
       assigned.write.format("ss").mode("append").save(node)
       assigned
     }

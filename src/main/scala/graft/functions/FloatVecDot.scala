@@ -38,13 +38,21 @@ case class FloatVecDot(left: Expression, right: Expression)
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires ARRAY<FLOAT> on both sides, got ${left.dataType.simpleString}")
 
+  // SQL semantics match the aggregate(zip_with(...)) this replaces:
+  // mismatched lengths or a null element make the whole result NULL
+  // (zip_with pads with null, null * x = null, null + acc = null) — never a
+  // silently truncated or zero-padded dot product.
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -57,12 +65,17 @@ case class FloatVecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -80,5 +93,10 @@ object FloatVecDot {
   /** Register `sea_fdot` for SQL use on this session. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sea_fdot", exprs => FloatVecDot(exprs.head, exprs(1)), "built-in")
+      "sea_fdot", exprs => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"sea_fdot requires exactly 2 arguments, got ${exprs.length}")
+        FloatVecDot(exprs.head, exprs(1))
+      }, "built-in")
 }

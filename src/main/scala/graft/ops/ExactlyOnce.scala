@@ -1,8 +1,8 @@
 package graft.ops
 
-import java.io.File
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, StandardCopyOption}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.DataFrame
 
@@ -14,7 +14,13 @@ import org.apache.spark.sql.DataFrame
   * Spark replays the last uncommitted micro-batch after a restart with the
   * SAME epochId, so a sink that already saw the epoch must not apply it
   * again. The wrapper consults a commit ledger (one marker file per epoch,
-  * published by atomic rename) and skips replayed epochs entirely.
+  * published by rename) and skips replayed epochs entirely.
+  *
+  * The ledger is resolved through the Hadoop FileSystem API, so it can —
+  * and should — live NEXT TO THE CHECKPOINT (hdfs://, s3a://, file://):
+  * a replacement driver then sees the same ledger the failed driver wrote.
+  * Rename is atomic on HDFS and local filesystems; on object stores without
+  * atomic rename the marker write narrows but does not close the window.
   *
   * Guarantee: epochs whose marker exists are never re-applied (exactly-once
   * for every completed epoch). A crash BETWEEN the body finishing and the
@@ -22,32 +28,42 @@ import org.apache.spark.sql.DataFrame
   * by making the body's writes idempotent (deterministic file names like
   * the ss sink's epoch-keyed parts, or an upsert keyed on epochId).
   *
-  * The ledger lives on the same storage as the checkpoint; at 100 TB scale
-  * it is one tiny file per micro-batch, prunable below the checkpoint's
-  * retained batch horizon.
+  * At 100 TB scale the ledger is one tiny file per micro-batch, prunable
+  * below the checkpoint's retained batch horizon.
   */
 object ExactlyOnce {
+
+  private def marker(dir: Path, epochId: Long): Path =
+    new Path(dir, f"epoch-$epochId%012d.committed")
 
   /** Wrap a foreachBatch body with epoch-replay dedup. */
   def epochOnce(ledgerDir: String)(
       body: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
-    val dir = new File(ledgerDir)
     (df: DataFrame, epochId: Long) => {
-      dir.mkdirs()
-      val marker = new File(dir, f"epoch-$epochId%012d.committed")
-      if (!marker.exists()) {
+      val conf = df.sparkSession.sparkContext.hadoopConfiguration
+      val dir = new Path(ledgerDir)
+      val fs = dir.getFileSystem(conf)
+      fs.mkdirs(dir)
+      val dst = marker(dir, epochId)
+      if (!fs.exists(dst)) {
         body(df, epochId)
-        val tmp = new File(dir, f".epoch-$epochId%012d.inprogress")
-        Files.write(tmp.toPath,
-          String.valueOf(System.currentTimeMillis())
-            .getBytes(StandardCharsets.UTF_8))
-        Files.move(tmp.toPath, marker.toPath,
-          StandardCopyOption.ATOMIC_MOVE)
+        val tmp = new Path(dir, f".epoch-$epochId%012d.inprogress")
+        val out = fs.create(tmp, true)
+        try out.write(String.valueOf(System.currentTimeMillis())
+          .getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        if (!fs.rename(tmp, dst) && !fs.exists(dst))
+          throw new java.io.IOException(
+            s"could not publish epoch marker $dst")
       }
     }
   }
 
   /** True when the ledger already committed this epoch. */
-  def isCommitted(ledgerDir: String, epochId: Long): Boolean =
-    new File(ledgerDir, f"epoch-$epochId%012d.committed").exists()
+  def isCommitted(spark: org.apache.spark.sql.SparkSession,
+      ledgerDir: String, epochId: Long): Boolean = {
+    val dir = new Path(ledgerDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(marker(dir, epochId))
+  }
 }

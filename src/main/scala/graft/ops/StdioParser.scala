@@ -109,12 +109,16 @@ object StdioParser {
 
   /** DataFrame form: text lines (column `value`) → envelope columns.
     * Defaults mirror the stdio consumer: absent ts → now, absent key →
-    * broadcast (null), absent seq → per-key arrival order, absent shard → 0.
+    * broadcast (null), absent shard → 0. Absent seq is filled per key in
+    * (timestamp, payload-hash) order — a CONTENT-derived key, NOT arrival
+    * order: a DataFrame has no stable row order, and the
+    * monotonically_increasing_id that would approximate arrival differs
+    * across stage retries, assigning different sequences on a replayed task
+    * than parts other tasks already committed. Lines that share a
+    * timestamp (or carry none) therefore order by payload hash; byte-equal
+    * duplicate lines tie and their relative order is unspecified.
     * Parsing is a scala closure (string-heavy, not worth a codegen
-    * Expression); the sequence fill is a window ordered by a CONTENT-derived
-    * key (ts, payload hash) — a monotonically_increasing_id differs across
-    * stage retries, which would assign different sequences on a replayed
-    * task than parts other tasks already committed.
+    * Expression).
     */
   def toEnvelope(lines: DataFrame): DataFrame = {
     val spark = lines.sparkSession

@@ -171,14 +171,30 @@ object SsWriter {
         java.nio.file.StandardOpenOption.WRITE)
       try ch.truncate(cut) finally ch.close()
 
-      // marker count across surviving beacons (rotation phase)
+      // marker count across surviving beacons (rotation phase) — one
+      // channel, repositioned per boundary, not a reopen per beacon
       var markers = 0L
-      var k = 1L
-      while (k * interval < cut) {
-        SsReader.readBeaconAt(path, k * interval)
-          .foreach(b => markers += b.items.length)
-        k += 1
-      }
+      val bch = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(path),
+        java.nio.file.StandardOpenOption.READ)
+      try {
+        var k = 1L
+        while (k * interval < cut) {
+          bch.position(k * interval)
+          val in = new java.io.BufferedInputStream(
+            java.nio.channels.Channels.newInputStream(bch), 1 << 14)
+          val br = new ByteReader {
+            def readByte(): Int = {
+              val b = in.read()
+              if (b < 0) throw new java.io.EOFException
+              b
+            }
+          }
+          try markers += decodeBeacon(br).items.length
+          catch { case _: java.io.EOFException => () }
+          k += 1
+        }
+      } finally bch.close()
       new SsWriter(
         new java.io.BufferedOutputStream(
           new java.io.FileOutputStream(path, true), 1 << 16),

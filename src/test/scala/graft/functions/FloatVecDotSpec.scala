@@ -25,6 +25,18 @@ class FloatVecDotSpec extends AnyFunSuite {
     assert(got.head._1 == 32.0)
   }
 
+  test("null elements and mismatched lengths yield null, like zip_with") {
+    val df = Seq(
+      (Array[java.lang.Float](1.0f, null), Array[java.lang.Float](2.0f, 3.0f)),
+      (Array[java.lang.Float](1.0f), Array[java.lang.Float](2.0f, 3.0f)),
+      (Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Float](3.0f, 4.0f))
+    ).toDF("a", "b")
+      .select($"a".cast("array<float>").as("a"), $"b".cast("array<float>").as("b"))
+    val got = df.select(FloatVecDot.fdot($"a", $"b").as("d"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got.toSeq == Seq(None, None, Some(11.0)))
+  }
+
   test("null inputs yield null; SQL registration works") {
     FloatVecDot.register(spark)
     val r = spark.sql(

@@ -27,9 +27,9 @@ class ExactlyOnceSpec extends AnyFunSuite {
     writer(df, 7L) // replayed epoch: must be skipped
     writer(df, 8L)
     assert(applied.toArray.toSeq == Seq(7003L, 8003L))
-    assert(ExactlyOnce.isCommitted(ledger, 7L) &&
-      ExactlyOnce.isCommitted(ledger, 8L) &&
-      !ExactlyOnce.isCommitted(ledger, 9L))
+    assert(ExactlyOnce.isCommitted(spark, ledger, 7L) &&
+      ExactlyOnce.isCommitted(spark, ledger, 8L) &&
+      !ExactlyOnce.isCommitted(spark, ledger, 9L))
   }
 
   test("a body crash leaves the epoch uncommitted, so replay retries it") {
@@ -41,9 +41,9 @@ class ExactlyOnceSpec extends AnyFunSuite {
     }
     val df = Seq(1).toDF("x")
     intercept[RuntimeException] { writer(df, 1L) }
-    assert(!ExactlyOnce.isCommitted(ledger, 1L))
+    assert(!ExactlyOnce.isCommitted(spark, ledger, 1L))
     writer(df, 1L) // replay succeeds and commits
-    assert(attempts == 2 && ExactlyOnce.isCommitted(ledger, 1L))
+    assert(attempts == 2 && ExactlyOnce.isCommitted(spark, ledger, 1L))
   }
 
   test("end-to-end: stream restart with epochOnce never duplicates output") {
