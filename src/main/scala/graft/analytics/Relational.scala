@@ -295,6 +295,21 @@ object Relational {
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
           dsum(col("l_quantity")).as("sum_qty"))
+    },
+
+    // Exact percentiles per event type (sort-based `percentile`, linear
+    // interpolation — DuckDB's quantile_cont twin). Rounded to 6 decimals:
+    // the two engines interpolate with algebraically-equal but
+    // differently-associated double arithmetic.
+    "q20_percentiles" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.events
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.95)"), 6).as("p95"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99"),
+          count(lit(1)).as("n"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -455,5 +470,12 @@ object Relational {
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin)
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q20_percentiles" ->
+      """SELECT event_type,
+        |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(value, 0.95), 6) AS p95,
+        |  ROUND(quantile_cont(value, 0.99), 6) AS p99,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin)
 }

@@ -197,6 +197,26 @@ object Transport {
         .agg(count(lit(1)).as("n"), max(col("sequence")).as("max_seq"))
     },
 
+    // Streaming SLIDING window (1 h width, 30 min slide): every event lands
+    // in exactly two windows; counts per (window start, stream). Complete
+    // mode over the ss stream — the §2.8 sliding-window capability t2/t5
+    // (tumbling/session) don't cover.
+    "t9_sliding_stream" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val out = scratch(dir, "ssslide")
+      envelopeOf(t).write.format("ss").mode("overwrite").save(out)
+      val q = s.readStream.format("ss").load(out)
+        .groupBy(window(col("timestamp"), "1 hour", "30 minutes"),
+          col("stream_key"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("stream_key"),
+          unix_millis(col("window.start")).as("win_start_ms"), col("n"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("t9_sliding_sink").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("t9_sliding_sink")
+    },
+
     // Producer-side sharding laws: round-robin (seq % n) and hash sharder
     // (xxhash64 has no DuckDB twin, so assert its invariants instead).
     "t4_sharders" -> { (s, dir) =>
@@ -241,6 +261,18 @@ object Transport {
         |SELECT event_type AS stream_key, MIN(ms) AS session_start_ms,
         |  COUNT(*) AS n_events
         |FROM sessions GROUP BY event_type, sid""".stripMargin,
+    // Each event belongs to the two 1 h windows whose 30 min-aligned starts
+    // cover it (Spark aligns window starts to the epoch).
+    "t9_sliding_stream" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_ms(date_trunc('milliseconds', ts)) AS ms
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, (ms // 1800000) * 1800000 AS win_start_ms FROM e
+        |  UNION ALL
+        |  SELECT event_type, (ms // 1800000) * 1800000 - 1800000 FROM e)
+        |SELECT event_type AS stream_key, win_start_ms, COUNT(*) AS n
+        |FROM w GROUP BY 1, 2""".stripMargin,
     "t6_stream_dedup" ->
       """SELECT event_type AS stream_key, COUNT(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
