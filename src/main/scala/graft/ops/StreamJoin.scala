@@ -33,15 +33,16 @@ object StreamJoin {
   /** Buffered queues per stream key (must be a Product for the encoder). */
   final case class FuseState(queues: Map[String, Seq[SeaMessage]])
 
-  /** The gating state machine for ONE alignment group: enqueue arrivals in
-    * deterministic (ts, key, seq) order, then pop the global min while every
-    * aligned stream has a buffered head.
+  /** The gating state machine for ONE alignment group, independent of which
+    * state API holds the queues: enqueue arrivals in deterministic
+    * (ts, key, seq) order, then pop the global min while every aligned
+    * stream has a buffered head. Returns (new queues, emitted).
     */
-  private def gateStep(alignKeys: IndexedSeq[String])(
-      arrivals: Iterator[SeaMessage],
-      state: GroupState[FuseState]): Iterator[SeaMessage] = {
-    var queues = state.getOption.map(_.queues)
-      .getOrElse(Map.empty[String, Seq[SeaMessage]])
+  private def gateCore(
+      alignKeys: IndexedSeq[String],
+      prior: Map[String, Seq[SeaMessage]],
+      arrivals: Iterator[SeaMessage]): (Map[String, Seq[SeaMessage]], Vector[SeaMessage]) = {
+    var queues = prior
     // enqueue deterministically; per-key causality is preserved because
     // we order by (timestamp, sequence) within each key
     arrivals.toSeq
@@ -64,8 +65,17 @@ object StreamJoin {
       out += q.head
       queues = queues.updated(key, q.tail)
     }
+    (queues, out.result())
+  }
+
+  /** [[gateCore]] over the flatMapGroupsWithState GroupState API. */
+  private def gateStep(alignKeys: IndexedSeq[String])(
+      arrivals: Iterator[SeaMessage],
+      state: GroupState[FuseState]): Iterator[SeaMessage] = {
+    val (queues, out) = gateCore(alignKeys,
+      state.getOption.map(_.queues).getOrElse(Map.empty), arrivals)
     state.update(FuseState(queues))
-    out.result().iterator
+    out.iterator
   }
 
   /** Faithful gated merge over an unbounded muxed stream — ONE global merge
@@ -102,6 +112,51 @@ object StreamJoin {
         (_: K, arrivals: Iterator[SeaMessage], state: GroupState[FuseState]) =>
           gateStep(alignKeys)(arrivals, state)
       }
+  }
+
+  /** The same per-group gate as a [[StatefulProcessor]] for
+    * `transformWithState` — Spark 4's arbitrary-state operator. Identical
+    * emission law to [[gatedByKey]]; the TWS runtime adds per-state-variable
+    * schemas, TTL hooks and timer support, and REQUIRES the RocksDB state
+    * store provider, which is also the provider the 100 TB shape wants
+    * (state beyond executor heap, changelog checkpointing).
+    */
+  final class FuseGateProcessor(align: Seq[String])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SeaMessage, SeaMessage] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode}
+    import org.apache.spark.sql.streaming.ValueState
+    import org.apache.spark.sql.{Encoders, streaming => ss}
+
+    private val alignKeys = align.toIndexedSeq
+    @transient private var state: ValueState[FuseState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[FuseState](
+        "fuseQueues", Encoders.product[FuseState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[SeaMessage],
+        timerValues: ss.TimerValues): Iterator[SeaMessage] = {
+      val prior =
+        if (state.exists()) state.get().queues
+        else Map.empty[String, Seq[SeaMessage]]
+      val (queues, out) = gateCore(alignKeys, prior, rows)
+      state.update(FuseState(queues))
+      out.iterator
+    }
+  }
+
+  /** [[gatedByKey]] on the `transformWithState` runtime (RocksDB-backed). */
+  def gatedByShardTws(
+      muxed: Dataset[SeaMessage],
+      align: Seq[String]): Dataset[SeaMessage] = {
+    import muxed.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    muxed
+      .groupByKey(_.shard_id)
+      .transformWithState(new FuseGateProcessor(align),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Bounded gated merge driven to completion in-memory — reference law for

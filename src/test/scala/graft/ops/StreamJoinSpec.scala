@@ -118,6 +118,35 @@ class StreamJoinSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState gate matches the flatMapGroupsWithState law") {
+    val spark = TestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+
+    // TWS requires the RocksDB provider; restore the session default after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[SeaMessage]
+      val q = StreamJoin.gatedByShardTws(input.toDS(), align = Seq("a", "b"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("fuse_tws_test").start()
+      try {
+        input.addData(seq("a", Seq(1, 3, 5)))
+        q.processAllAvailable()
+        assert(spark.table("fuse_tws_test").count() == 0, "gate must hold")
+        input.addData(seq("b", Seq(2, 4)))
+        q.processAllAvailable()
+        val got = spark.table("fuse_tws_test")
+          .select("stream_key", "sequence").as[(String, Long)].collect().toSeq
+        assert(got == Seq("a" -> 1L, "b" -> 2L, "a" -> 3L, "b" -> 4L))
+      } finally q.stop()
+    } finally spark.conf.set(key, prev)
+  }
+
   test("batch merge equals global (ts, key, seq) order") {
     val spark = TestSession.spark
     import spark.implicits._
