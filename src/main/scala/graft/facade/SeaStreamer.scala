@@ -15,6 +15,29 @@ import graft.ops.StdioParser
   */
 object SeaStreamer {
 
+  /** Kafka's source schema is congruent with the envelope — the consumer
+    * mapping is a pure rename (topic→stream_key, partition→shard_id,
+    * offset→sequence, value→payload), factored out so the law is testable
+    * without a broker (sea-streamer-kafka/src/consumer.rs:591-618).
+    */
+  def kafkaToEnvelope(loaded: DataFrame): DataFrame =
+    loaded.select(
+      col("topic").as("stream_key"),
+      col("partition").cast("long").as("shard_id"),
+      col("offset").as("sequence"),
+      col("timestamp"),
+      col("value").as("payload"))
+
+  /** Producer-side inverse: envelope → kafka sink columns; the sequence
+    * rides as the record key so downstream partitioners and log compaction
+    * see a stable identity (sea-streamer-kafka/src/producer.rs:100-135).
+    */
+  def envelopeToKafka(out: DataFrame): DataFrame =
+    out.select(
+      col("stream_key").as("topic"),
+      col("payload").as("value"),
+      col("sequence").cast("string").cast("binary").as("key"))
+
   sealed trait ConsumerMode
   object ConsumerMode {
     /** Real-time: no commit, start from now. */
@@ -158,13 +181,7 @@ object SeaStreamer {
                 .option("kafka.bootstrap.servers", nodeAddr)
                 .option("subscribe", subscribe)
                 .load()
-          // Kafka's schema is congruent with the envelope — rename
-          loaded.select(
-            col("topic").as("stream_key"),
-            col("partition").cast("long").as("shard_id"),
-            col("offset").as("sequence"),
-            col("timestamp"),
-            col("value").as("payload"))
+          SeaStreamer.kafkaToEnvelope(loaded)
         case "stdio" =>
           // distributed stdin does not exist: Replay = text file of lines
           if (opts.live) throw SeaStreamErr.Unsupported(
@@ -314,10 +331,7 @@ object SeaStreamer {
         case "file" =>
           out.write.format("ss").mode("append").save(node)
         case "kafka" =>
-          out.select(
-            col("stream_key").as("topic"),
-            col("payload").as("value"),
-            col("sequence").cast("string").cast("binary").as("key"))
+          SeaStreamer.envelopeToKafka(out)
             .write.format("kafka")
             .option("kafka.bootstrap.servers", node).save()
         case "stdio" =>
