@@ -15,6 +15,16 @@ import graft.ops.StdioParser
   */
 object SeaStreamer {
 
+  /** `host[:port]` with a scheme-specific default port. */
+  def hostPort(addr: String, defaultPort: Int): (String, Int) =
+    addr.lastIndexOf(':') match {
+      case -1 => (addr, defaultPort)
+      case i if addr.substring(i + 1).forall(_.isDigit) &&
+        addr.substring(i + 1).nonEmpty =>
+        (addr.substring(0, i), addr.substring(i + 1).toInt)
+      case _ => (addr, defaultPort)
+    }
+
   /** Kafka's source schema is congruent with the envelope — the consumer
     * mapping is a pure rename (topic→stream_key, partition→shard_id,
     * offset→sequence, value→payload), factored out so the law is testable
@@ -79,7 +89,9 @@ object SeaStreamer {
         */
       seekTimestamp: Option[java.sql.Timestamp] = None,
       /** Rewind law: first message with sequence >= N (same comparison fn). */
-      rewindSeqNo: Option[Long] = None)
+      rewindSeqNo: Option[Long] = None,
+      /** Redis backend: how many `stream:N` shard keys each stream has. */
+      redisShards: Int = 1)
 
   def connect(uri: String, spark: SparkSession): Connection = {
     val streamer = StreamerUri.parse(uri)
@@ -182,6 +194,20 @@ object SeaStreamer {
                 .option("subscribe", subscribe)
                 .load()
           SeaStreamer.kafkaToEnvelope(loaded)
+        case "redis" =>
+          // bounded per-shard XRANGE sweep over RESP (graft.redis); a live
+          // micro-batch XREAD source needs a broker to validate against and
+          // stays an honest gap
+          if (opts.live) throw SeaStreamErr.Unsupported(
+            "redis live consumer (bounded Replay reads are supported)")
+          if (streams.contains(Envelope.SeaStreamerWildcard))
+            throw SeaStreamErr.Unsupported(
+              "redis wildcard subscribe (name the streams; keys are scanned per stream)")
+          val (host, port) = SeaStreamer.hostPort(nodeAddr, 6379)
+          graft.redis.RedisSource.boundedRead(spark, host, port,
+            streams.flatMap(st => (0L until opts.redisShards.toLong)
+              .map(sh => (st, sh))),
+            sharded = opts.redisShards > 1)
         case "stdio" =>
           // distributed stdin does not exist: Replay = text file of lines
           if (opts.live) throw SeaStreamErr.Unsupported(
@@ -334,6 +360,9 @@ object SeaStreamer {
           SeaStreamer.envelopeToKafka(out)
             .write.format("kafka")
             .option("kafka.bootstrap.servers", node).save()
+        case "redis" =>
+          val (host, port) = SeaStreamer.hostPort(node, 6379)
+          graft.redis.RedisSource.write(out, host, port, sharded = false)
         case "stdio" =>
           // producer line format; console-equivalent sink to stdout
           out.foreach { r =>

@@ -1,0 +1,140 @@
+package graft.redis
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.core.SeaMessage
+
+/** Redis Streams command builders and reply decoders, matching the
+  * reference's wire usage exactly:
+  *   - XADD with `<ms>-*` ids and a single message field
+  *     (sea-streamer-redis/src/producer.rs:350-420, default field "msg");
+  *   - XREAD / XREADGROUP with `STREAMS k... id...`, ids `$` (latest),
+  *     `0-0` (earliest), `>` (undelivered), `<ms>-<seq>` (anchored)
+  *     (consumer/node.rs:528-575);
+  *   - entry id → SeqNo packing `(ms << 16) | sub_seq`
+  *     (message.rs:7-11,27-88);
+  *   - sharded keys `name:shard` (producer.rs:365-371).
+  *
+  * Builders return raw arg vectors for [[RedisClient]] / its pipeline, so
+  * the exact bytes are unit-testable without a server.
+  */
+object RedisStreams {
+
+  val DefaultMessageField = "msg"
+
+  private def b(s: String): Array[Byte] = s.getBytes(UTF_8)
+
+  /** `name:shard` or bare name for shard 0-only streams. */
+  def shardedKey(stream: String, shard: Long, sharded: Boolean): String =
+    if (sharded) s"$stream:$shard" else stream
+
+  def entryId(timestampMs: Long, subSeq: Long): String = s"$timestampMs-$subSeq"
+
+  /** Split `"<ms>-<seq>"`; `sub_seq` saturates at 16 bits when packed. */
+  def parseEntryId(id: String): (Long, Long) = {
+    val i = id.indexOf('-')
+    if (i < 0) throw new IllegalArgumentException(s"bad redis entry id: $id")
+    (id.substring(0, i).toLong, id.substring(i + 1).toLong)
+  }
+
+  def packSeqNo(timestampMs: Long, subSeq: Long): Long =
+    (timestampMs << 16) | (subSeq & 0xFFFFL)
+
+  // ---- command builders --------------------------------------------------
+
+  /** `XADD key <ms>-* field payload` — auto-assigned sub-sequence, the
+    * reference's UnixTimestampMillis format.
+    */
+  def xadd(key: String, timestampMs: Long, payload: Array[Byte],
+      field: String = DefaultMessageField): Seq[Array[Byte]] =
+    Seq(b("XADD"), b(key), b(s"$timestampMs-*"), b(field), payload)
+
+  def xrange(key: String, start: String = "-", end: String = "+",
+      count: Option[Int] = None): Seq[Array[Byte]] =
+    Seq(b("XRANGE"), b(key), b(start), b(end)) ++
+      count.toSeq.flatMap(n => Seq(b("COUNT"), b(n.toString)))
+
+  def xread(streams: Seq[(String, String)], count: Option[Int] = None,
+      blockMs: Option[Long] = None): Seq[Array[Byte]] =
+    Seq(b("XREAD")) ++
+      count.toSeq.flatMap(n => Seq(b("COUNT"), b(n.toString))) ++
+      blockMs.toSeq.flatMap(t => Seq(b("BLOCK"), b(t.toString))) ++
+      Seq(b("STREAMS")) ++ streams.map(s => b(s._1)) ++ streams.map(s => b(s._2))
+
+  def xreadGroup(group: String, consumer: String,
+      streams: Seq[(String, String)], count: Option[Int] = None): Seq[Array[Byte]] =
+    Seq(b("XREADGROUP"), b("GROUP"), b(group), b(consumer)) ++
+      count.toSeq.flatMap(n => Seq(b("COUNT"), b(n.toString))) ++
+      Seq(b("STREAMS")) ++ streams.map(s => b(s._1)) ++ streams.map(s => b(s._2))
+
+  /** `MKSTREAM` so group-create works on a not-yet-written stream — the
+    * reference's create-group behavior (consumer/group.rs).
+    */
+  def xgroupCreate(key: String, group: String, from: String = "0"): Seq[Array[Byte]] =
+    Seq(b("XGROUP"), b("CREATE"), b(key), b(group), b(from), b("MKSTREAM"))
+
+  def xack(key: String, group: String, ids: Seq[String]): Seq[Array[Byte]] =
+    Seq(b("XACK"), b(key), b(group)) ++ ids.map(b)
+
+  /** Failover: claim entries idle past `minIdleMs` (consumer/node.rs:647-744). */
+  def xautoclaim(key: String, group: String, consumer: String,
+      minIdleMs: Long, start: String = "0-0"): Seq[Array[Byte]] =
+    Seq(b("XAUTOCLAIM"), b(key), b(group), b(consumer),
+      b(minIdleMs.toString), b(start))
+
+  /** `XTRIM key MAXLEN ~ n` — approximate, like the reference
+    * (producer.rs:168-218).
+    */
+  def xtrimMaxLen(key: String, maxLen: Long): Seq[Array[Byte]] =
+    Seq(b("XTRIM"), b(key), b("MAXLEN"), b("~"), b(maxLen.toString))
+
+  def xtrimMinId(key: String, minId: String): Seq[Array[Byte]] =
+    Seq(b("XTRIM"), b(key), b("MINID"), b("~"), b(minId))
+
+  // ---- reply decoders ----------------------------------------------------
+
+  /** XRANGE reply: `[[id, [f1, v1, ...]], ...]` → envelope messages.
+    * `streamKey`/`shard` come from the caller (they named the redis key).
+    */
+  def decodeEntries(v: Resp.Value, streamKey: String, shard: Long,
+      field: String = DefaultMessageField): Seq[SeaMessage] = v match {
+    case Resp.Arr(entries) => entries.map {
+      case Resp.Arr(Seq(id: Resp.Bulk, Resp.Arr(fields))) =>
+        val (ms, sub) = parseEntryId(id.utf8)
+        val payload = fields.grouped(2).collectFirst {
+          case Seq(f: Resp.Bulk, value: Resp.Bulk) if f.utf8 == field =>
+            value.bytes
+        }.getOrElse(Array.emptyByteArray)
+        SeaMessage(streamKey, shard, packSeqNo(ms, sub),
+          new java.sql.Timestamp(ms), payload)
+      case other =>
+        throw new IllegalArgumentException(s"bad XRANGE entry: $other")
+    }
+    case Resp.NullArr => Seq.empty
+    case other => throw new IllegalArgumentException(s"bad XRANGE reply: $other")
+  }
+
+  /** XREAD/XREADGROUP reply: `[[key, entries], ...]` → (redisKey, messages).
+    * The caller maps redis keys back to (stream, shard).
+    */
+  def decodeReadReply(v: Resp.Value,
+      field: String = DefaultMessageField): Seq[(String, Seq[SeaMessage])] = v match {
+    case Resp.Arr(perStream) => perStream.map {
+      case Resp.Arr(Seq(key: Resp.Bulk, entries)) =>
+        val redisKey = key.utf8
+        val (stream, shard) = redisKey.lastIndexOf(':') match {
+          case -1 => (redisKey, 0L)
+          case i =>
+            val tail = redisKey.substring(i + 1)
+            if (tail.nonEmpty && tail.forall(_.isDigit))
+              (redisKey.substring(0, i), tail.toLong)
+            else (redisKey, 0L)
+        }
+        redisKey -> decodeEntries(entries, stream, shard, field)
+      case other =>
+        throw new IllegalArgumentException(s"bad XREAD stream entry: $other")
+    }
+    case Resp.NullArr => Seq.empty
+    case other => throw new IllegalArgumentException(s"bad XREAD reply: $other")
+  }
+}

@@ -1,0 +1,134 @@
+package graft.redis
+
+import java.net.{InetAddress, ServerSocket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** In-process Redis Streams subset speaking real RESP over real sockets —
+  * enough XADD/XRANGE/XGROUP/XACK/XTRIM semantics to drive the client,
+  * the pipelined producer, and the Spark bounded read end-to-end without a
+  * redis binary. Multi-connection (one thread per accept) because every
+  * Spark task opens its own connection.
+  */
+final class FakeRedis extends AutoCloseable {
+  private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
+  val port: Int = server.getLocalPort
+  val host: String = "127.0.0.1"
+
+  /** key -> ordered entries (id, fields) */
+  private val streams =
+    new ConcurrentHashMap[String, mutable.ArrayBuffer[(String, Seq[(String, Array[Byte])])]]()
+  private val acked =
+    new ConcurrentHashMap[String, java.util.Set[String]]()
+  private val lastMs = new ConcurrentHashMap[String, java.lang.Long]()
+  private val subSeq = new ConcurrentHashMap[String, java.lang.Long]()
+  @volatile private var closed = false
+
+  def entries(key: String): Seq[(String, Seq[(String, Array[Byte])])] =
+    Option(streams.get(key)) match {
+      case Some(buf) => buf.synchronized { buf.toSeq }
+      case None => Seq.empty
+    }
+  def ackedIds(key: String, group: String): Set[String] =
+    Option(acked.get(s"$key/$group")).map(_.asScala.toSet).getOrElse(Set.empty)
+
+  private val acceptor = new Thread(() => {
+    try while (!closed) {
+      val s = server.accept()
+      new Thread(() => serve(s)).start()
+    } catch { case _: Throwable => () }
+  }, "fake-redis-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  private def serve(socket: java.net.Socket): Unit = {
+    val in = Resp.buffered(socket.getInputStream)
+    val out = Resp.buffered(socket.getOutputStream)
+    try while (!closed) {
+      val cmd = Resp.parse(in) match {
+        case Resp.Arr(items) => items.map {
+          case b: Resp.Bulk => b.bytes
+          case other => throw new IllegalArgumentException(s"bad arg $other")
+        }
+        case other => throw new IllegalArgumentException(s"bad command $other")
+      }
+      val reply = handle(cmd)
+      out.write(Resp.encodeValue(reply))
+      out.flush()
+    } catch { case _: Throwable => () } finally socket.close()
+  }
+
+  private def handle(args: Seq[Array[Byte]]): Resp.Value = {
+    def s(i: Int) = new String(args(i), UTF_8)
+    s(0).toUpperCase match {
+      case "XADD" =>
+        val key = s(1)
+        val idArg = s(2)
+        val fields = args.drop(3).grouped(2).collect {
+          case Seq(f, v) => (new String(f, UTF_8), v)
+        }.toSeq
+        val id = idArg match {
+          case "*" => nextId(key, System.currentTimeMillis())
+          case spec if spec.endsWith("-*") => nextId(key, spec.dropRight(2).toLong)
+          case explicit => explicit
+        }
+        val buf = streams.computeIfAbsent(key, _ => mutable.ArrayBuffer.empty)
+        buf.synchronized { buf += ((id, fields)) }
+        Resp.Bulk(id.getBytes(UTF_8))
+      case "XRANGE" =>
+        val key = s(1)
+        val start = s(2)
+        val count = args.map(new String(_, UTF_8)).indexOf("COUNT") match {
+          case -1 => Int.MaxValue
+          case i => new String(args(i + 1), UTF_8).toInt
+        }
+        val all = entries(key)
+        val from = start match {
+          case "-" => all
+          case excl if excl.startsWith("(") =>
+            all.dropWhile(e => idLeq(e._1, excl.drop(1))) // exclusive
+          case incl => all.dropWhile(e => idLt(e._1, incl))
+        }
+        Resp.Arr(from.take(count).map { case (id, fields) =>
+          Resp.Arr(Seq(Resp.Bulk(id.getBytes(UTF_8)),
+            Resp.Arr(fields.flatMap { case (f, v) =>
+              Seq(Resp.Bulk(f.getBytes(UTF_8)), Resp.Bulk(v))
+            })))
+        })
+      case "XGROUP" =>
+        streams.computeIfAbsent(s(2), _ => mutable.ArrayBuffer.empty)
+        Resp.Simple("OK")
+      case "XACK" =>
+        val key = s"${s(1)}/${s(2)}"
+        val ids = args.drop(3).map(new String(_, UTF_8))
+        val set = acked.computeIfAbsent(key,
+          _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+        Resp.Num(ids.count(set.add).toLong)
+      case "XTRIM" =>
+        Resp.Num(0L)
+      case "PING" => Resp.Simple("PONG")
+      case other => Resp.Err(s"ERR unknown command '$other'")
+    }
+  }
+
+  private def nextId(key: String, ms: Long): String = {
+    val safeMs = math.max(ms, Option(lastMs.get(key)).fold(0L)(_.longValue))
+    val sub =
+      if (Option(lastMs.get(key)).contains(java.lang.Long.valueOf(safeMs)))
+        subSeq.merge(key, 1L, (a, b) => a + b)
+      else { lastMs.put(key, safeMs); subSeq.put(key, 0L); 0L }
+    s"$safeMs-$sub"
+  }
+
+  private def idParts(id: String): (Long, Long) = RedisStreams.parseEntryId(id)
+  private def idLt(a: String, b: String): Boolean = {
+    val (am, as_) = idParts(a); val (bm, bs) = idParts(b)
+    am < bm || (am == bm && as_ < bs)
+  }
+  private def idLeq(a: String, b: String): Boolean = a == b || idLt(a, b)
+
+  override def close(): Unit = { closed = true; server.close() }
+}

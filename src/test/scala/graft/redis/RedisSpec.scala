@@ -1,0 +1,173 @@
+package graft.redis
+
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.TestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class RespSpec extends AnyFunSuite {
+
+  test("command encoding matches the RESP wire format byte-for-byte") {
+    val wire = new String(Resp.encodeCommandS("XADD", "k", "1000-*", "msg", "hi"), UTF_8)
+    assert(wire ==
+      "*5\r\n$4\r\nXADD\r\n$1\r\nk\r\n$6\r\n1000-*\r\n$3\r\nmsg\r\n$2\r\nhi\r\n")
+  }
+
+  test("reply parsing covers every RESP2 type including nesting") {
+    def parse(s: String) = Resp.parse(new ByteArrayInputStream(s.getBytes(UTF_8)))
+    assert(parse("+OK\r\n") == Resp.Simple("OK"))
+    assert(parse("-ERR boom\r\n") == Resp.Err("ERR boom"))
+    assert(parse(":42\r\n") == Resp.Num(42))
+    assert(parse("$5\r\nhello\r\n").asInstanceOf[Resp.Bulk].utf8 == "hello")
+    assert(parse("$-1\r\n") == Resp.NullBulk)
+    assert(parse("*-1\r\n") == Resp.NullArr)
+    val nested = parse("*2\r\n:1\r\n*2\r\n+a\r\n$1\r\nb\r\n")
+    assert(nested.asInstanceOf[Resp.Arr].items.head == Resp.Num(1))
+  }
+
+  test("value encode/parse roundtrips") {
+    val v = Resp.Arr(Seq(Resp.Bulk("1000-0".getBytes(UTF_8)),
+      Resp.Arr(Seq(Resp.Bulk("msg".getBytes(UTF_8)), Resp.NullBulk))))
+    val back = Resp.parse(new ByteArrayInputStream(Resp.encodeValue(v)))
+    assert(back.asInstanceOf[Resp.Arr].items.size == 2)
+  }
+}
+
+class RedisStreamsSpec extends AnyFunSuite {
+
+  test("command builders produce the reference's exact argument shapes") {
+    def render(cmd: Seq[Array[Byte]]) = cmd.map(new String(_, UTF_8))
+    assert(render(RedisStreams.xread(Seq("a:0" -> "$", "b:1" -> "0-0"),
+      count = Some(10))) ==
+      Seq("XREAD", "COUNT", "10", "STREAMS", "a:0", "b:1", "$", "0-0"))
+    assert(render(RedisStreams.xreadGroup("g", "c", Seq("k" -> ">"))) ==
+      Seq("XREADGROUP", "GROUP", "g", "c", "STREAMS", "k", ">"))
+    assert(render(RedisStreams.xgroupCreate("k", "g")) ==
+      Seq("XGROUP", "CREATE", "k", "g", "0", "MKSTREAM"))
+    assert(render(RedisStreams.xtrimMaxLen("k", 1000)) ==
+      Seq("XTRIM", "k", "MAXLEN", "~", "1000"))
+    assert(render(RedisStreams.xautoclaim("k", "g", "c", 5000)) ==
+      Seq("XAUTOCLAIM", "k", "g", "c", "5000", "0-0"))
+  }
+
+  test("entry id packing matches the (ms << 16) | sub_seq law") {
+    assert(RedisStreams.packSeqNo(1000L, 3L) == ((1000L << 16) | 3L))
+    assert(RedisStreams.parseEntryId("1700000000123-7") == (1700000000123L, 7L))
+    // sub_seq saturates at 16 bits
+    assert((RedisStreams.packSeqNo(1L, 0x1FFFFL) & 0xFFFFL) == 0xFFFFL)
+  }
+
+  test("sharded key naming follows `name:shard`") {
+    assert(RedisStreams.shardedKey("events", 3, sharded = true) == "events:3")
+    assert(RedisStreams.shardedKey("events", 3, sharded = false) == "events")
+  }
+}
+
+/** Client + Spark integration against the in-process RESP server — real
+  * sockets, executor-side connections.
+  */
+class RedisClientSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  test("pipelined XADD then XRANGE roundtrips messages with packed seqnos") {
+    val srv = new FakeRedis
+    try {
+      val c = new RedisClient(srv.host, srv.port)
+      try {
+        val replies = c.pipeline((0 until 5).map(i =>
+          RedisStreams.xadd("s:0", 1000L + i, s"m$i".getBytes(UTF_8))))
+        assert(replies.size == 5)
+        val msgs = RedisStreams.decodeEntries(
+          c.command(RedisStreams.xrange("s:0"): _*), "s", 0L)
+        assert(msgs.map(m => new String(m.payload, UTF_8)) ==
+          (0 until 5).map(i => s"m$i"))
+        assert(msgs.map(_.sequence) ==
+          (0 until 5).map(i => (1000L + i) << 16))
+        assert(msgs.map(_.timestamp.getTime) == (0 until 5).map(1000L + _))
+      } finally c.close()
+    } finally srv.close()
+  }
+
+  test("same-millisecond entries get increasing sub-sequences") {
+    val srv = new FakeRedis
+    try {
+      val c = new RedisClient(srv.host, srv.port)
+      try {
+        c.pipeline((0 until 3).map(_ =>
+          RedisStreams.xadd("t:0", 500L, "x".getBytes(UTF_8))))
+        val msgs = RedisStreams.decodeEntries(
+          c.command(RedisStreams.xrange("t:0"): _*), "t", 0L)
+        assert(msgs.map(_.sequence & 0xFFFFL) == Seq(0L, 1L, 2L))
+      } finally c.close()
+    } finally srv.close()
+  }
+
+  test("errors surface as RedisError") {
+    val srv = new FakeRedis
+    try {
+      val c = new RedisClient(srv.host, srv.port)
+      try intercept[RedisClient.RedisError] { c.commandS("NOPE") }
+      finally c.close()
+    } finally srv.close()
+  }
+
+  test("facade: redis:// producer and bounded consumer roundtrip") {
+    import spark.implicits._
+    import graft.facade.SeaStreamer
+    import graft.facade.SeaStreamer.ConsumerOptions
+    val srv = new FakeRedis
+    try {
+      val conn = SeaStreamer.connect(s"redis://${srv.host}:${srv.port}", spark)
+      val env = (0 until 30).map { i =>
+        ("clicks", 0L, 0L, new java.sql.Timestamp(5000L + i),
+          s"c$i".getBytes(UTF_8))
+      }.toDF("stream_key", "shard_id", "sequence", "timestamp", "payload")
+      conn.createGenericProducer().send(env)
+
+      val back = conn.createConsumer(Seq("clicks"),
+        ConsumerOptions(live = false))
+      assert(back.count() == 30)
+      assert(back.select($"payload".cast("string")).as[String]
+        .collect().toSet == (0 until 30).map(i => s"c$i").toSet)
+      // live consumer remains an honest unsupported gap
+      val e = intercept[graft.core.SeaStreamErr.Unsupported] {
+        conn.createConsumer(Seq("clicks"), ConsumerOptions(live = true))
+      }
+      assert(e.getMessage.contains("live"))
+    } finally srv.close()
+  }
+
+  test("spark roundtrip: pipelined writes, one scan task per shard") {
+    import spark.implicits._
+    val srv = new FakeRedis
+    try {
+      val df = (0 until 200).map { i =>
+        ("events", (i % 4).toLong, i.toLong,
+          new java.sql.Timestamp(10000L + i), s"p$i".getBytes(UTF_8))
+      }.toDF("stream_key", "shard_id", "sequence", "timestamp", "payload")
+      RedisSource.write(df, srv.host, srv.port, pipelineSize = 16)
+
+      val back = RedisSource.boundedRead(spark, srv.host, srv.port,
+        (0L until 4L).map(sh => ("events", sh)), batch = 32)
+      assert(back.count() == 200)
+      val payloads = back.select($"payload".cast("string")).as[String]
+        .collect().toSet
+      assert(payloads == (0 until 200).map(i => s"p$i").toSet)
+      // per-shard ordering by redis id (ms ascending)
+      val shard0 = back.filter($"shard_id" === 0L)
+        .orderBy("sequence").select($"payload".cast("string")).as[String]
+        .collect().toSeq
+      assert(shard0 == (0 until 200 by 4).map(i => s"p$i"))
+      // group bookkeeping: create + ack through the same wire
+      val c = new RedisClient(srv.host, srv.port)
+      try {
+        c.command(RedisStreams.xgroupCreate("events:0", "g1"): _*)
+        val n = c.command(RedisStreams.xack("events:0", "g1",
+          Seq("10000-0", "10004-0")): _*)
+        assert(n == Resp.Num(2))
+        assert(srv.ackedIds("events:0", "g1") == Set("10000-0", "10004-0"))
+      } finally c.close()
+    } finally srv.close()
+  }
+}
