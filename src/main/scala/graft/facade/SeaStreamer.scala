@@ -195,19 +195,28 @@ object SeaStreamer {
                 .load()
           SeaStreamer.kafkaToEnvelope(loaded)
         case "redis" =>
-          // bounded per-shard XRANGE sweep over RESP (graft.redis); a live
-          // micro-batch XREAD source needs a broker to validate against and
-          // stays an honest gap
-          if (opts.live) throw SeaStreamErr.Unsupported(
-            "redis live consumer (bounded Replay reads are supported)")
           if (streams.contains(Envelope.SeaStreamerWildcard))
             throw SeaStreamErr.Unsupported(
               "redis wildcard subscribe (name the streams; keys are scanned per stream)")
           val (host, port) = SeaStreamer.hostPort(nodeAddr, 6379)
-          graft.redis.RedisSource.boundedRead(spark, host, port,
-            streams.flatMap(st => (0L until opts.redisShards.toLong)
-              .map(sh => (st, sh))),
-            sharded = opts.redisShards > 1)
+          if (opts.live) {
+            // live micro-batch consumer over the XRANGE offset model
+            // (graft.redis.spark.RedisDataSource — validated against an
+            // in-process RESP server; real-broker group delivery untested)
+            val reset =
+              if (opts.autoStreamReset == AutoStreamReset.Earliest) "earliest"
+              else "latest"
+            spark.readStream.format("redis-stream")
+              .option("host", host).option("port", port.toString)
+              .option("streams", subscribe)
+              .option("shards", opts.redisShards.toString)
+              .option("startingOffsets", reset)
+              .load()
+          } else
+            graft.redis.RedisSource.boundedRead(spark, host, port,
+              streams.flatMap(st => (0L until opts.redisShards.toLong)
+                .map(sh => (st, sh))),
+              sharded = opts.redisShards > 1)
         case "stdio" =>
           // distributed stdin does not exist: Replay = text file of lines
           if (opts.live) throw SeaStreamErr.Unsupported(

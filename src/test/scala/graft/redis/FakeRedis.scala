@@ -98,6 +98,18 @@ final class FakeRedis extends AutoCloseable {
               Seq(Resp.Bulk(f.getBytes(UTF_8)), Resp.Bulk(v))
             })))
         })
+      case "XREVRANGE" =>
+        val key = s(1)
+        val count = args.map(new String(_, UTF_8)).indexOf("COUNT") match {
+          case -1 => Int.MaxValue
+          case i => new String(args(i + 1), UTF_8).toInt
+        }
+        Resp.Arr(entries(key).reverse.take(count).map { case (id, fields) =>
+          Resp.Arr(Seq(Resp.Bulk(id.getBytes(UTF_8)),
+            Resp.Arr(fields.flatMap { case (f, v) =>
+              Seq(Resp.Bulk(f.getBytes(UTF_8)), Resp.Bulk(v))
+            })))
+        })
       case "XGROUP" =>
         streams.computeIfAbsent(s(2), _ => mutable.ArrayBuffer.empty)
         Resp.Simple("OK")

@@ -130,11 +130,40 @@ class RedisClientSpec extends AnyFunSuite {
       assert(back.count() == 30)
       assert(back.select($"payload".cast("string")).as[String]
         .collect().toSet == (0 until 30).map(i => s"c$i").toSet)
-      // live consumer remains an honest unsupported gap
-      val e = intercept[graft.core.SeaStreamErr.Unsupported] {
-        conn.createConsumer(Seq("clicks"), ConsumerOptions(live = true))
-      }
-      assert(e.getMessage.contains("live"))
+    } finally srv.close()
+  }
+
+  test("live micro-batch consumer tails new XADDs incrementally") {
+    import spark.implicits._
+    import graft.facade.SeaStreamer
+    import graft.facade.SeaStreamer.ConsumerOptions
+    val srv = new FakeRedis
+    try {
+      val conn = SeaStreamer.connect(s"redis://${srv.host}:${srv.port}", spark)
+      def env(from: Int, n: Int) = (from until from + n).map { i =>
+        ("live", 0L, 0L, new java.sql.Timestamp(9000L + i),
+          s"v$i".getBytes(UTF_8))
+      }.toDF("stream_key", "shard_id", "sequence", "timestamp", "payload")
+      conn.createGenericProducer().send(env(0, 20))
+
+      val q = conn.createConsumer(Seq("live"), ConsumerOptions(live = true,
+        autoStreamReset = SeaStreamer.AutoStreamReset.Earliest))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("redis_live_test").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("redis_live_test").count() == 20)
+        // appended entries arrive in the next micro-batch, exactly once
+        conn.createGenericProducer().send(env(20, 10))
+        q.processAllAvailable()
+        val got = spark.table("redis_live_test")
+          .select($"payload".cast("string")).as[String].collect().toSet
+        assert(got == (0 until 30).map(i => s"v$i").toSet)
+        // seqnos carry the redis (ms<<16)|sub packing
+        val seqs = spark.table("redis_live_test")
+          .select("sequence").as[Long].collect()
+        assert(seqs.forall(s => (s >> 16) >= 9000L))
+      } finally q.stop()
     } finally srv.close()
   }
 
