@@ -23,6 +23,11 @@ final class FakeRedis extends AutoCloseable {
     new ConcurrentHashMap[String, mutable.ArrayBuffer[(String, Seq[(String, Array[Byte])])]]()
   private val acked =
     new ConcurrentHashMap[String, java.util.Set[String]]()
+  /** (key/group) -> last delivered id */
+  private val groupCursor = new ConcurrentHashMap[String, String]()
+  /** (key/group) -> id -> owning consumer (the PEL) */
+  private val pel =
+    new ConcurrentHashMap[String, ConcurrentHashMap[String, String]]()
   private val lastMs = new ConcurrentHashMap[String, java.lang.Long]()
   private val subSeq = new ConcurrentHashMap[String, java.lang.Long]()
   @volatile private var closed = false
@@ -34,6 +39,8 @@ final class FakeRedis extends AutoCloseable {
     }
   def ackedIds(key: String, group: String): Set[String] =
     Option(acked.get(s"$key/$group")).map(_.asScala.toSet).getOrElse(Set.empty)
+  def pendingIds(key: String, group: String): Map[String, String] =
+    Option(pel.get(s"$key/$group")).map(_.asScala.toMap).getOrElse(Map.empty)
 
   private val acceptor = new Thread(() => {
     try while (!closed) {
@@ -112,12 +119,67 @@ final class FakeRedis extends AutoCloseable {
         })
       case "XGROUP" =>
         streams.computeIfAbsent(s(2), _ => mutable.ArrayBuffer.empty)
+        groupCursor.put(s"${s(2)}/${s(3)}",
+          if (s(4) == "0" || s(4) == "$") "0-0" else s(4))
         Resp.Simple("OK")
+      case "XREADGROUP" =>
+        // GROUP g c [COUNT n] STREAMS key id
+        val g = s(2); val consumer = s(3)
+        val rendered = args.map(new String(_, UTF_8))
+        val count = rendered.indexOf("COUNT") match {
+          case -1 => Int.MaxValue
+          case i => rendered(i + 1).toInt
+        }
+        val si = rendered.indexOf("STREAMS")
+        val key = rendered(si + 1)
+        val idArg = rendered(si + 2)
+        val gk = s"$key/$g"
+        val p = pel.computeIfAbsent(gk, _ => new ConcurrentHashMap[String, String]())
+        val delivered: Seq[(String, Seq[(String, Array[Byte])])] =
+          if (idArg == ">") {
+            val cursor = Option(groupCursor.get(gk)).getOrElse("0-0")
+            val fresh = entries(key).dropWhile(e => idLeq(e._1, cursor)).take(count)
+            fresh.foreach { case (id, _) =>
+              p.put(id, consumer); groupCursor.put(gk, id)
+            }
+            fresh
+          } else {
+            // pending read: this consumer's PEL entries above the given id
+            entries(key).filter { case (id, _) =>
+              p.getOrDefault(id, "") == consumer &&
+                (idArg == "0-0" || idArg == "0" || !idLeq(id, idArg))
+            }.take(count)
+          }
+        Resp.Arr(Seq(Resp.Arr(Seq(Resp.Bulk(key.getBytes(UTF_8)),
+          Resp.Arr(delivered.map { case (id, fields) =>
+            Resp.Arr(Seq(Resp.Bulk(id.getBytes(UTF_8)),
+              Resp.Arr(fields.flatMap { case (f, v) =>
+                Seq(Resp.Bulk(f.getBytes(UTF_8)), Resp.Bulk(v))
+              })))
+          })))))
+      case "XAUTOCLAIM" =>
+        // key group consumer min-idle start — fake treats all pending idle
+        val key = s(1); val g = s(2); val consumer = s(3)
+        val gk = s"$key/$g"
+        val p = pel.computeIfAbsent(gk, _ => new ConcurrentHashMap[String, String]())
+        val claimed = entries(key).filter { case (id, _) =>
+          p.containsKey(id) && p.get(id) != consumer
+        }
+        claimed.foreach { case (id, _) => p.put(id, consumer) }
+        Resp.Arr(Seq(Resp.Bulk("0-0".getBytes(UTF_8)),
+          Resp.Arr(claimed.map { case (id, fields) =>
+            Resp.Arr(Seq(Resp.Bulk(id.getBytes(UTF_8)),
+              Resp.Arr(fields.flatMap { case (f, v) =>
+                Seq(Resp.Bulk(f.getBytes(UTF_8)), Resp.Bulk(v))
+              })))
+          }),
+          Resp.Arr(Seq.empty)))
       case "XACK" =>
         val key = s"${s(1)}/${s(2)}"
         val ids = args.drop(3).map(new String(_, UTF_8))
         val set = acked.computeIfAbsent(key,
           _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+        Option(pel.get(key)).foreach(p => ids.foreach(p.remove))
         Resp.Num(ids.count(set.add).toLong)
       case "XTRIM" =>
         Resp.Num(0L)
