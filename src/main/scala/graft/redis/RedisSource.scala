@@ -12,6 +12,39 @@ import graft.core.SeaMessage
   */
 object RedisSource {
 
+  /** Lazy paged XRANGE over one key: cursors restart exclusive-after the
+    * last RAW entry id (never a packed-seq reconstruction, which is lossy
+    * past 16 bits of sub-sequence), and only one page is held in memory.
+    */
+  private[redis] def pagedScan(client: RedisClient, key: String,
+      stream: String, shard: Long, batch: Int,
+      untilId: String = "+"): Iterator[SeaMessage] =
+    new Iterator[SeaMessage] {
+      private var page: Iterator[(String, SeaMessage)] = Iterator.empty
+      private var cursor = "-"
+      private var exhausted = false
+      private def fetch(): Unit = {
+        val entries = RedisStreams.decodeEntriesWithIds(
+          client.command(RedisStreams.xrange(key, cursor, untilId,
+            Some(batch)): _*),
+          stream, shard)
+        if (entries.isEmpty) exhausted = true
+        else {
+          cursor = s"(${entries.last._1}"
+          if (entries.size < batch) exhausted = true
+          page = entries.iterator
+        }
+      }
+      def hasNext: Boolean = {
+        if (!page.hasNext && !exhausted) fetch()
+        page.hasNext
+      }
+      def next(): SeaMessage = {
+        if (!hasNext) throw new NoSuchElementException
+        page.next()._2
+      }
+    }
+
   /** Bounded read of whole streams: one task per (stream, shard). */
   def boundedRead(spark: SparkSession, host: String, port: Int,
       shards: Seq[(String, Long)], sharded: Boolean = true,
@@ -22,43 +55,37 @@ object RedisSource {
       it.flatMap { case (stream, shard) =>
         val key = RedisStreams.shardedKey(stream, shard, sharded)
         val client = new RedisClient(host, port)
-        try {
-          // paged XRANGE: after a page, restart exclusive-after the last id
-          val out = Seq.newBuilder[SeaMessage]
-          var start = "-"
-          var done = false
-          while (!done) {
-            val msgs = RedisStreams.decodeEntries(
-              client.command(RedisStreams.xrange(key, start, "+",
-                Some(batch)): _*),
-              stream, shard)
-            out ++= msgs
-            if (msgs.size < batch) done = true
-            else {
-              val (ms, sub) = (msgs.last.sequence >> 16,
-                msgs.last.sequence & 0xFFFFL)
-              start = s"(${RedisStreams.entryId(ms, sub)}"
-            }
+        val scan = pagedScan(client, key, stream, shard, batch)
+        new Iterator[SeaMessage] {
+          def hasNext: Boolean = {
+            val h = scan.hasNext
+            if (!h) client.close()
+            h
           }
-          out.result()
-        } finally client.close()
+          def next(): SeaMessage = scan.next()
+        }
       }
     }.toDF()
   }
 
   /** Pipelined XADD write: each partition opens one connection and flushes
     * command batches of `pipelineSize`. The frame is hash-partitioned on
-    * (stream, shard) and time-sorted within partitions first, so every redis
-    * key has exactly ONE writer appending in timestamp order — redis rejects
-    * non-monotonic explicit `<ms>-*` ids, and the reference keeps the same
+    * the REDIS KEY — (stream, shard) when sharded, stream alone when not
+    * (unsharded rows share the bare key regardless of shard_id) — and
+    * time-sorted within partitions first, so every redis key has exactly
+    * ONE writer appending in timestamp order: redis rejects non-monotonic
+    * explicit `<ms>-*` ids, and the reference keeps the same
     * single-producer-per-key model (one producer actor per connection).
     */
   def write(df: DataFrame, host: String, port: Int,
       sharded: Boolean = true, pipelineSize: Int = 100): Unit = {
     import df.sparkSession.implicits._
     import org.apache.spark.sql.functions.col
+    val keyCols =
+      if (sharded) Seq(col("stream_key"), col("shard_id"))
+      else Seq(col("stream_key"))
     df.select("stream_key", "shard_id", "timestamp", "payload")
-      .repartition(col("stream_key"), col("shard_id"))
+      .repartition(keyCols: _*)
       .sortWithinPartitions(col("timestamp"))
       .as[(String, Long, java.sql.Timestamp, Array[Byte])]
       .foreachPartition { (rows: Iterator[(String, Long, java.sql.Timestamp, Array[Byte])]) =>

@@ -37,6 +37,11 @@ object RedisStreams {
     (id.substring(0, i).toLong, id.substring(i + 1).toLong)
   }
 
+  /** Lossy beyond 16 bits of sub-sequence (the reference packs the same
+    * way, message.rs:7-11) — NEVER reconstruct a wire entry id from a
+    * packed SeqNo; pagination and acks must carry the raw id string
+    * ([[decodeEntriesWithIds]]).
+    */
   def packSeqNo(timestampMs: Long, subSeq: Long): Long =
     (timestampMs << 16) | (subSeq & 0xFFFFL)
 
@@ -93,19 +98,22 @@ object RedisStreams {
 
   // ---- reply decoders ----------------------------------------------------
 
-  /** XRANGE reply: `[[id, [f1, v1, ...]], ...]` → envelope messages.
-    * `streamKey`/`shard` come from the caller (they named the redis key).
+  /** XRANGE reply: `[[id, [f1, v1, ...]], ...]` → (raw entry id, envelope
+    * message). `streamKey`/`shard` come from the caller (they named the
+    * redis key). The raw id rides alongside because the packed SeqNo is
+    * lossy — cursors and XACKs must use it, never a reconstruction.
     */
-  def decodeEntries(v: Resp.Value, streamKey: String, shard: Long,
-      field: String = DefaultMessageField): Seq[SeaMessage] = v match {
+  def decodeEntriesWithIds(v: Resp.Value, streamKey: String, shard: Long,
+      field: String = DefaultMessageField): Seq[(String, SeaMessage)] = v match {
     case Resp.Arr(entries) => entries.map {
       case Resp.Arr(Seq(id: Resp.Bulk, Resp.Arr(fields))) =>
-        val (ms, sub) = parseEntryId(id.utf8)
+        val raw = id.utf8
+        val (ms, sub) = parseEntryId(raw)
         val payload = fields.grouped(2).collectFirst {
           case Seq(f: Resp.Bulk, value: Resp.Bulk) if f.utf8 == field =>
             value.bytes
         }.getOrElse(Array.emptyByteArray)
-        SeaMessage(streamKey, shard, packSeqNo(ms, sub),
+        raw -> SeaMessage(streamKey, shard, packSeqNo(ms, sub),
           new java.sql.Timestamp(ms), payload)
       case other =>
         throw new IllegalArgumentException(s"bad XRANGE entry: $other")
@@ -114,11 +122,16 @@ object RedisStreams {
     case other => throw new IllegalArgumentException(s"bad XRANGE reply: $other")
   }
 
-  /** XREAD/XREADGROUP reply: `[[key, entries], ...]` → (redisKey, messages).
-    * The caller maps redis keys back to (stream, shard).
+  def decodeEntries(v: Resp.Value, streamKey: String, shard: Long,
+      field: String = DefaultMessageField): Seq[SeaMessage] =
+    decodeEntriesWithIds(v, streamKey, shard, field).map(_._2)
+
+  /** XREAD/XREADGROUP reply: `[[key, entries], ...]` →
+    * (redisKey, (raw id, message) pairs). The caller maps redis keys back
+    * to (stream, shard).
     */
-  def decodeReadReply(v: Resp.Value,
-      field: String = DefaultMessageField): Seq[(String, Seq[SeaMessage])] = v match {
+  def decodeReadReplyWithIds(v: Resp.Value,
+      field: String = DefaultMessageField): Seq[(String, Seq[(String, SeaMessage)])] = v match {
     case Resp.Arr(perStream) => perStream.map {
       case Resp.Arr(Seq(key: Resp.Bulk, entries)) =>
         val redisKey = key.utf8
@@ -130,11 +143,15 @@ object RedisStreams {
               (redisKey.substring(0, i), tail.toLong)
             else (redisKey, 0L)
         }
-        redisKey -> decodeEntries(entries, stream, shard, field)
+        redisKey -> decodeEntriesWithIds(entries, stream, shard, field)
       case other =>
         throw new IllegalArgumentException(s"bad XREAD stream entry: $other")
     }
     case Resp.NullArr => Seq.empty
     case other => throw new IllegalArgumentException(s"bad XREAD reply: $other")
   }
+
+  def decodeReadReply(v: Resp.Value,
+      field: String = DefaultMessageField): Seq[(String, Seq[SeaMessage])] =
+    decodeReadReplyWithIds(v, field).map { case (k, xs) => k -> xs.map(_._2) }
 }

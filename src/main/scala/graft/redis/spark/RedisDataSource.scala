@@ -73,13 +73,20 @@ final case class RedisOffset(ids: Map[String, String]) extends Offset {
 }
 
 object RedisOffset {
-  /** Keys are redis stream names ([a-zA-Z0-9._-:]) — no escaping needed. */
+  /** Keys are redis stream names ([a-zA-Z0-9._-] plus the `:shard` suffix),
+    * which cannot contain `"` or `,` — so pairs split on `,` and each pair
+    * on the `":"` QUOTE-colon-QUOTE separator (a bare ':' inside the key,
+    * e.g. `events:3`, never matches it).
+    */
   def fromJson(json: String): RedisOffset = {
     val inner = json.trim.stripPrefix("{\"ids\":{").stripSuffix("}}")
     if (inner.isEmpty) RedisOffset(Map.empty)
     else RedisOffset(inner.split(',').map { pair =>
-      val Array(k, v) = pair.split(':').map(_.trim.stripPrefix("\"").stripSuffix("\""))
-      k -> v
+      val sep = pair.indexOf("\":\"")
+      if (sep < 0)
+        throw new IllegalArgumentException(s"bad RedisOffset pair: $pair")
+      pair.substring(0, sep).stripPrefix("\"") ->
+        pair.substring(sep + 3).stripSuffix("\"")
     }.toMap)
   }
 }
@@ -104,32 +111,33 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
     streams.flatMap(st => (0L until shards.toLong).map(sh =>
       (RedisStreams.shardedKey(st, sh, shards > 1), st, sh)))
 
-  private def tip(client: RedisClient, key: String): Option[String] =
-    client.commandS("XREVRANGE", key, "+", "-", "COUNT", "1") match {
-      case Resp.Arr(Seq(Resp.Arr(Seq(id: Resp.Bulk, _)))) => Some(id.utf8)
-      case _ => None
-    }
+  /** All tips in ONE pipelined flush — 32k shard keys cost one round trip
+    * per micro-batch, not 32k serialized ones.
+    */
+  private def tips(): Map[String, String] = {
+    val client = new RedisClient(host, port)
+    try {
+      val ks = keys
+      val replies = client.pipeline(ks.map { case (k, _, _) =>
+        Seq("XREVRANGE", k, "+", "-", "COUNT", "1")
+          .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      })
+      ks.zip(replies).map {
+        case ((k, _, _), Resp.Arr(Seq(Resp.Arr(Seq(id: Resp.Bulk, _))))) =>
+          k -> id.utf8
+        case ((k, _, _), _) => k -> "0-0"
+      }.toMap
+    } finally client.close()
+  }
 
   override def initialOffset(): Offset = {
     val latest = options.getOrDefault("startingOffsets", "earliest")
       .equalsIgnoreCase("latest")
     if (!latest) RedisOffset(keys.map { case (k, _, _) => k -> "0-0" }.toMap)
-    else {
-      val client = new RedisClient(host, port)
-      try RedisOffset(keys.map { case (k, _, _) =>
-        k -> tip(client, k).getOrElse("0-0")
-      }.toMap)
-      finally client.close()
-    }
+    else RedisOffset(tips())
   }
 
-  override def latestOffset(): Offset = {
-    val client = new RedisClient(host, port)
-    try RedisOffset(keys.map { case (k, _, _) =>
-      k -> tip(client, k).getOrElse("0-0")
-    }.toMap)
-    finally client.close()
-  }
+  override def latestOffset(): Offset = RedisOffset(tips())
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[RedisOffset].ids
@@ -154,35 +162,35 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
   override def stop(): Unit = ()
 }
 
-/** Paged exclusive-start XRANGE over `(afterId, untilId]`. */
+/** Paged exclusive-start XRANGE over `(afterId, untilId]` — the page cursor
+  * is the RAW last entry id (a packed-seq reconstruction loses sub-sequence
+  * bits past 64k entries/ms and would loop).
+  */
 class RedisPartitionReader(p: RedisInputPartition)
     extends PartitionReader[InternalRow] {
 
   private val client = new RedisClient(p.host, p.port)
-  private var page: Iterator[graft.core.SeaMessage] = Iterator.empty
-  private var cursor = p.afterId
+  private var page: Iterator[(String, graft.core.SeaMessage)] = Iterator.empty
+  private var cursor = if (p.afterId == "0-0") "-" else s"(${p.afterId}"
   private var exhausted = false
   private var current: graft.core.SeaMessage = _
 
   private def fetch(): Unit = {
-    val start = if (cursor == "0-0") "-" else s"($cursor"
-    val msgs = RedisStreams.decodeEntries(
-      client.command(RedisStreams.xrange(p.key, start, p.untilId,
+    val entries = RedisStreams.decodeEntriesWithIds(
+      client.command(RedisStreams.xrange(p.key, cursor, p.untilId,
         Some(p.batch)): _*),
       p.stream, p.shard)
-    if (msgs.isEmpty) exhausted = true
+    if (entries.isEmpty) exhausted = true
     else {
-      val last = msgs.last
-      cursor = RedisStreams.entryId(last.sequence >> 16,
-        last.sequence & 0xFFFFL)
-      if (msgs.size < p.batch) exhausted = true
-      page = msgs.iterator
+      cursor = s"(${entries.last._1}"
+      if (entries.size < p.batch) exhausted = true
+      page = entries.iterator
     }
   }
 
   override def next(): Boolean = {
     if (!page.hasNext && !exhausted) fetch()
-    if (page.hasNext) { current = page.next(); true } else false
+    if (page.hasNext) { current = page.next()._2; true } else false
   }
 
   override def get(): InternalRow = SsRows.toInternalRow(current)

@@ -16,8 +16,8 @@ class RedisGroupSpec extends AnyFunSuite {
     finally c.close()
   }
 
-  private def payloads(ms: Seq[graft.core.SeaMessage]): Seq[String] =
-    ms.map(m => new String(m.payload, UTF_8))
+  private def payloads(ms: Seq[RedisGroupConsumer.Delivered]): Seq[String] =
+    ms.map(d => new String(d.message.payload, UTF_8))
 
   test("XREADGROUP partitions undelivered entries across group members") {
     val srv = new FakeRedis

@@ -62,6 +62,27 @@ class RedisStreamsSpec extends AnyFunSuite {
     assert(RedisStreams.shardedKey("events", 3, sharded = true) == "events:3")
     assert(RedisStreams.shardedKey("events", 3, sharded = false) == "events")
   }
+
+  test("offset json roundtrips sharded keys (colons in key names)") {
+    import graft.redis.spark.RedisOffset
+    val off = RedisOffset(Map(
+      "events:3" -> "1700000000000-12",
+      "events:11" -> "0-0",
+      "bare" -> "5-1"))
+    assert(RedisOffset.fromJson(off.json()) == off)
+    assert(RedisOffset.fromJson(RedisOffset(Map.empty).json()) ==
+      RedisOffset(Map.empty))
+  }
+
+  test("hostPort handles ports, bare hosts, IPv6 and trailing colons") {
+    import graft.facade.SeaStreamer.hostPort
+    assert(hostPort("localhost:6380", 6379) == ("localhost", 6380))
+    assert(hostPort("localhost", 6379) == ("localhost", 6379))
+    assert(hostPort("::1", 6379) == ("::1", 6379))
+    assert(hostPort("[::1]:6380", 6379) == ("::1", 6380))
+    assert(hostPort("[fe80::2]", 6379) == ("fe80::2", 6379))
+    assert(hostPort("host:", 6379) == ("host", 6379))
+  }
 }
 
 /** Client + Spark integration against the in-process RESP server — real
@@ -99,6 +120,21 @@ class RedisClientSpec extends AnyFunSuite {
         val msgs = RedisStreams.decodeEntries(
           c.command(RedisStreams.xrange("t:0"): _*), "t", 0L)
         assert(msgs.map(_.sequence & 0xFFFFL) == Seq(0L, 1L, 2L))
+      } finally c.close()
+    } finally srv.close()
+  }
+
+  test("pagination survives >64k entries in one millisecond (raw-id cursor)") {
+    val srv = new FakeRedis
+    try {
+      val c = new RedisClient(srv.host, srv.port)
+      try {
+        val n = 66000 // sub-seq overflows 16 bits at 65536
+        c.pipeline((0 until n).map(_ =>
+          RedisStreams.xadd("big:0", 777L, "x".getBytes(UTF_8))))
+        // paged scan with a small page MUST terminate and see every entry
+        val scan = RedisSource.pagedScan(c, "big:0", "big", 0L, batch = 4096)
+        assert(scan.size == n)
       } finally c.close()
     } finally srv.close()
   }
