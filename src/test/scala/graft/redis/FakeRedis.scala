@@ -13,7 +13,10 @@ import scala.jdk.CollectionConverters._
   * redis binary. Multi-connection (one thread per accept) because every
   * Spark task opens its own connection.
   */
-final class FakeRedis extends AutoCloseable {
+final class FakeRedis(
+    /** Cluster simulation: keys listed here answer `MOVED 0 <addr>`. */
+    @volatile var redirects: Map[String, String] = Map.empty)
+    extends AutoCloseable {
   private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
   val port: Int = server.getLocalPort
   val host: String = "127.0.0.1"
@@ -70,6 +73,8 @@ final class FakeRedis extends AutoCloseable {
 
   private def handle(args: Seq[Array[Byte]]): Resp.Value = {
     def s(i: Int) = new String(args(i), UTF_8)
+    if (args.length > 1 && redirects.contains(s(1)))
+      return Resp.Err(s"MOVED 0 ${redirects(s(1))}")
     s(0).toUpperCase match {
       case "XADD" =>
         val key = s(1)
