@@ -217,6 +217,44 @@ object Transport {
       s.table("t9_sliding_sink")
     },
 
+    // Watermarked STREAM-STREAM interval join (§2.8 stateful capability the
+    // reference lacks entirely): clicks joined to same-user purchases within
+    // the following hour. Both sides carry a 1 h watermark so join state
+    // evicts as event time advances — the unbounded-stream shape; inner
+    // matches emit as they form, no sentinel needed.
+    "t10_stream_interval_join" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val out = scratch(dir, "ssivj")
+      t.events.select(
+        col("event_type").as("stream_key"),
+        col("user_id").as("shard_id"),
+        col("event_id").as("sequence"),
+        col("ts").as("timestamp"),
+        lit(Array.emptyByteArray).as("payload"))
+        .write.format("ss").mode("overwrite").save(out)
+      def side(kind: String, user: String, id: String, ts: String) =
+        s.readStream.format("ss").load(out)
+          .filter(col("stream_key") === kind)
+          .withWatermark("timestamp", "1 hour")
+          .select(col("shard_id").as(user), col("sequence").as(id),
+            col("timestamp").as(ts))
+      val joined = side("click", "user_id", "click_id", "click_ts")
+        .join(side("purchase", "p_user_id", "purchase_id", "p_ts"),
+          expr("""user_id = p_user_id AND
+                 |p_ts >= click_ts AND p_ts <= click_ts + interval 1 hour""".stripMargin))
+      val q = joined
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          (unix_millis(col("p_ts")) - unix_millis(col("click_ts"))).as("gap_ms"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName("t10_ivj_sink").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("t10_ivj_sink")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("gap_ms")).as("min_gap_ms"),
+          max(col("purchase_id")).as("max_purchase_id"))
+    },
+
     // Producer-side sharding laws: round-robin (seq % n) and hash sharder
     // (xxhash64 has no DuckDB twin, so assert its invariants instead).
     "t4_sharders" -> { (s, dir) =>
@@ -273,6 +311,20 @@ object Transport {
         |  SELECT event_type, (ms // 1800000) * 1800000 - 1800000 FROM e)
         |SELECT event_type AS stream_key, win_start_ms, COUNT(*) AS n
         |FROM w GROUP BY 1, 2""".stripMargin,
+    // The envelope stores millisecond timestamps, so the oracle joins on
+    // ms-truncated event time.
+    "t10_stream_interval_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id,
+        |    epoch_ms(date_trunc('milliseconds', ts)) AS ms
+        |  FROM events)
+        |SELECT c.user_id AS user_id, COUNT(*) AS n_pairs,
+        |  CAST(MIN(p.ms - c.ms) AS BIGINT) AS min_gap_ms,
+        |  CAST(MAX(p.event_id) AS BIGINT) AS max_purchase_id
+        |FROM e c JOIN e p ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ms >= c.ms AND p.ms <= c.ms + 3600000
+        |GROUP BY c.user_id""".stripMargin,
     "t6_stream_dedup" ->
       """SELECT event_type AS stream_key, COUNT(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
