@@ -196,13 +196,17 @@ object SeaStreamer {
             if (opts.autoStreamReset == AutoStreamReset.Earliest) "earliest"
             else "latest"
           val loaded =
-            if (opts.live)
-              spark.readStream.format("kafka")
+            if (opts.live) {
+              val base = spark.readStream.format("kafka")
                 .option("kafka.bootstrap.servers", nodeAddr)
                 .option("subscribe", subscribe)
-                .option("startingOffsets", reset)
+              // seek pushes into Kafka's offsetsForTimes (consumer.rs:295-316
+              // parity); the generic strict-> filter still applies on top
+              opts.seekTimestamp
+                .map(t => base.option("startingTimestamp", t.getTime.toString))
+                .getOrElse(base.option("startingOffsets", reset))
                 .load()
-            else
+            } else
               spark.read.format("kafka")
                 .option("kafka.bootstrap.servers", nodeAddr)
                 .option("subscribe", subscribe)
