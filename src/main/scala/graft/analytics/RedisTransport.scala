@@ -1,0 +1,195 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.redis.{EmbeddedRedis, RedisGroupConsumer, RedisSource}
+
+/** Redis-backend queries under the DuckDB oracle gate: each round-trips the
+  * `events` table through the embedded RESP server — pipelined XADD producer
+  * in, XRANGE bounded read / `format("redis-stream")` micro-batch source
+  * out — then aggregates the decoded payloads, so the oracle's hash-compare
+  * on the raw parquet pins the whole wire path. The laws mirrored here are
+  * the reference's own behavioral tests:
+  *
+  *   - r1: Earliest replays the full stream
+  *     (sea-streamer-redis/tests/realtime.rs:96-134);
+  *   - r2: Latest anchors at the tip and sees exactly the post-anchor
+  *     messages (realtime.rs:56-94 — the `[5..9]` vs `[0..9]` windows);
+  *   - r3: round-robin sharding lands message i on shard i % n and the
+  *     consumer merges all shards (sharding.rs:20-96);
+  *   - r4: seek by time delivers exactly `timestamp > T`, pushed into the
+  *     XRANGE start id, not post-filtered (seek-rewind.rs:22-121);
+  *   - r5: a capped consumer (`maxEntriesPerTrigger`) drains a deep backlog
+  *     across bounded batches without loss or duplication (the reference's
+  *     paged `XREAD COUNT n` loop, consumer/node.rs:448-610);
+  *   - r6: a crashed group member's unacked deliveries are reclaimed
+  *     (`XAUTOCLAIM`) and re-delivered, not lost to the PEL
+  *     (load-balanced.rs:160+, consumer/node.rs:647-744).
+  */
+object RedisTransport {
+
+  /** Far enough that every re-sent entry id sorts after the backlog. */
+  private val LatestShiftMs = 6311520000000L // ≈ 200 years
+
+  private def withServer[T](f: EmbeddedRedis => T): T = {
+    val srv = new EmbeddedRedis
+    try f(srv) finally srv.close()
+  }
+
+  private def allShards(n: Int): Seq[(String, Long)] =
+    Transport.eventTypes.flatMap(st => (0L until n.toLong).map(sh => (st, sh)))
+
+  val queries: Map[String, Relational.Q] = Map(
+    // Earliest law: produce everything, bounded-read everything back.
+    // localCheckpoint materializes the replay before the server closes.
+    "r1_redis_roundtrip" -> { (s, dir) =>
+      withServer { srv =>
+        val t = Tables(s, dir)
+        RedisSource.write(Transport.envelopeOf(t), srv.host, srv.port)
+        val replay = RedisSource.boundedRead(s, srv.host, srv.port,
+          allShards(4)).localCheckpoint(true)
+        Transport.aggregate(replay, withDistinct = true)
+      }
+    },
+
+    // Latest law: anchor at the tips with a backlog present, then send the
+    // events again (timestamps shifted past the backlog) — the consumer must
+    // deliver exactly the post-anchor copy, so the aggregate equals ONE copy
+    // of events. Seeing the backlog too would double every count.
+    "r2_redis_latest" -> { (s, dir) =>
+      withServer { srv =>
+        val t = Tables(s, dir)
+        val env = Transport.envelopeOf(t)
+        RedisSource.write(env, srv.host, srv.port) // the backlog
+        val q = Transport.aggregate(
+          s.readStream.format("redis-stream")
+            .option("host", srv.host).option("port", srv.port.toString)
+            .option("streams", Transport.eventTypes.mkString(","))
+            .option("shards", "4")
+            .option("startingOffsets", "latest")
+            .load(), withDistinct = false)
+          .writeStream.outputMode("complete")
+          .format("memory").queryName("r2_redis_latest_sink").start()
+        try {
+          q.processAllAvailable() // forces the anchor before the live phase
+          RedisSource.write(
+            env.withColumn("timestamp",
+              timestamp_millis(unix_millis(col("timestamp")) + LatestShiftMs)),
+            srv.host, srv.port)
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table("r2_redis_latest_sink")
+      }
+    },
+
+    // Sharding law: round-robin sharder (seq % 3) on the producer, shards
+    // recovered from the `stream:N` key names on the consumer — per-shard
+    // counts/maxima must match grouping the raw events by event_id % 3.
+    "r3_redis_sharding" -> { (s, dir) =>
+      withServer { srv =>
+        val env = graft.ops.Sharders.applyShard(
+          Transport.envelopeOf(Tables(s, dir)),
+          graft.ops.Sharders.roundRobin(3))
+        RedisSource.write(env, srv.host, srv.port)
+        val back = RedisSource.boundedRead(s, srv.host, srv.port,
+          allShards(3)).localCheckpoint(true)
+        back
+          .withColumn("j", from_json(col("payload").cast("string"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "event_id LONG, value DOUBLE")))
+          .groupBy("shard_id")
+          .agg(count(lit(1)).as("n"),
+            max(col("j.event_id")).as("max_event_id"),
+            sum(when(pmod(col("j.event_id"), lit(3)) === col("shard_id"), 0L)
+              .otherwise(1L)).as("misrouted"))
+      }
+    },
+
+    // Seek law (`timestamp > T`, strictly greater): T = the midpoint of the
+    // events time range, pushed into the XRANGE start id — the pre-seek
+    // prefix is never scanned, and the aggregate must equal the oracle's
+    // `WHERE ms > T` slice.
+    "r4_redis_seek" -> { (s, dir) =>
+      withServer { srv =>
+        val t = Tables(s, dir)
+        val bounds = t.events
+          .agg(min(unix_millis(col("ts"))).as("lo"),
+            max(unix_millis(col("ts"))).as("hi")).head()
+        val cutoff = (bounds.getLong(0) + bounds.getLong(1)) / 2
+        RedisSource.write(Transport.envelopeOf(t), srv.host, srv.port)
+        val sought = RedisSource.boundedRead(s, srv.host, srv.port,
+          allShards(4), afterMs = Some(cutoff)).localCheckpoint(true)
+        Transport.aggregate(sought, withDistinct = false)
+      }
+    },
+
+    // Admission control: earliest + maxEntriesPerTrigger forces the deep
+    // backlog through bounded micro-batches; the final aggregate proves no
+    // entry was lost or re-delivered across the batch seams.
+    "r5_redis_admission" -> { (s, dir) =>
+      withServer { srv =>
+        val t = Tables(s, dir)
+        RedisSource.write(Transport.envelopeOf(t), srv.host, srv.port)
+        val q = Transport.aggregate(
+          s.readStream.format("redis-stream")
+            .option("host", srv.host).option("port", srv.port.toString)
+            .option("streams", Transport.eventTypes.mkString(","))
+            .option("shards", "4")
+            .option("startingOffsets", "earliest")
+            .option("maxEntriesPerTrigger", "5000")
+            .load(), withDistinct = false)
+          .writeStream.outputMode("complete")
+          .format("memory").queryName("r5_redis_admission_sink").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("r5_redis_admission_sink")
+      }
+    },
+
+    // Group/PEL recovery: a consumer fetches a slice of click:0 into the
+    // group's PEL and dies without acking; the streaming source (same group)
+    // must XAUTOCLAIM those deliveries and still emit EVERY event exactly
+    // once within the run.
+    "r6_redis_group_recovery" -> { (s, dir) =>
+      withServer { srv =>
+        val t = Tables(s, dir)
+        RedisSource.write(Transport.envelopeOf(t), srv.host, srv.port)
+        val dead = new RedisGroupConsumer(srv.host, srv.port,
+          "click", 0L, sharded = true, "g_oracle", "dead-consumer")
+        try { dead.create(); dead.fetch(100) } finally dead.close()
+        val q = Transport.aggregate(
+          s.readStream.format("redis-stream")
+            .option("host", srv.host).option("port", srv.port.toString)
+            .option("streams", Transport.eventTypes.mkString(","))
+            .option("shards", "4")
+            .option("startingOffsets", "earliest")
+            .option("group", "g_oracle")
+            .load(), withDistinct = false)
+          .writeStream.outputMode("complete")
+          .format("memory").queryName("r6_redis_group_sink").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("r6_redis_group_sink")
+      }
+    })
+
+  val oracles: Map[String, String] = Map(
+    "r1_redis_roundtrip" -> Transport.aggregateOracle(withDistinct = true),
+    "r2_redis_latest" -> Transport.aggregateOracle(withDistinct = false),
+    "r3_redis_sharding" ->
+      """SELECT event_id % 3 AS shard_id, COUNT(*) AS n,
+        |  MAX(event_id) AS max_event_id, CAST(0 AS BIGINT) AS misrouted
+        |FROM events GROUP BY 1""".stripMargin,
+    "r4_redis_seek" ->
+      """WITH b AS (
+        |  SELECT (epoch_ms(min(date_trunc('milliseconds', ts))) +
+        |          epoch_ms(max(date_trunc('milliseconds', ts)))) // 2 AS cutoff
+        |  FROM events)
+        |SELECT event_type AS stream_key, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  MAX(event_id) AS max_event_id
+        |FROM events, b
+        |WHERE epoch_ms(date_trunc('milliseconds', ts)) > b.cutoff
+        |GROUP BY event_type""".stripMargin,
+    "r5_redis_admission" -> Transport.aggregateOracle(withDistinct = false),
+    "r6_redis_group_recovery" -> Transport.aggregateOracle(withDistinct = false))
+}

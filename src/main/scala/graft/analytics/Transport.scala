@@ -10,13 +10,16 @@ import org.apache.spark.sql.functions._
   */
 object Transport {
 
-  private def scratch(dir: String, tag: String): String =
+  private[analytics] def scratch(dir: String, tag: String): String =
     s"/tmp/graft/${tag}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
 
   /** events → envelope rows (key = event_type, shard = user_id % 4,
     * seq = event_id, payload = JSON of (event_id, value)).
     */
-  private def envelopeOf(t: Tables): DataFrame =
+  private[analytics] val eventTypes =
+    Seq("click", "view", "purchase", "signup", "error")
+
+  private[analytics] def envelopeOf(t: Tables): DataFrame =
     t.events.select(
       col("event_type").as("stream_key"),
       pmod(col("user_id"), lit(4)).cast("long").as("shard_id"),
@@ -25,7 +28,7 @@ object Transport {
       to_json(struct(col("event_id"), col("value"))).cast("binary").as("payload"))
 
   /** `distinct` is batch-only in streaming aggs, so it's optional here. */
-  private def aggregate(envelope: DataFrame, withDistinct: Boolean): DataFrame = {
+  private[analytics] def aggregate(envelope: DataFrame, withDistinct: Boolean): DataFrame = {
     val base = envelope
       .withColumn("j",
         from_json(col("payload").cast("string"),
@@ -41,7 +44,7 @@ object Transport {
     base.agg(aggs.head, aggs.tail: _*)
   }
 
-  private def aggregateOracle(withDistinct: Boolean) = {
+  private[analytics] def aggregateOracle(withDistinct: Boolean) = {
     val distinctCol =
       if (withDistinct) ",\n  CAST(COUNT(DISTINCT user_id % 4) AS BIGINT) AS n_shards"
       else ""

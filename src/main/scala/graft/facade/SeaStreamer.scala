@@ -149,8 +149,15 @@ object SeaStreamer {
         streams: Seq[String],
         opts: ConsumerOptions = ConsumerOptions()): DataFrame = {
       val loaded = load(streams, opts)
-      // seek strictly-greater / rewind greater-or-equal laws (SURVEY §2.4)
+      // seek strictly-greater / rewind greater-or-equal laws (SURVEY §2.4).
+      // Redis pushes the seek into the XRANGE start id (ids are <ms>-<seq>,
+      // message.rs:27-64), so no residual filter is needed there; Kafka
+      // pushes startingTimestamp but offsetsForTimes is >=-semantics, so the
+      // strict-> filter stays on top; the ss source takes the surveyor path
+      // plus the same residual filter.
+      val seekPushed = scheme == "redis"
       val sought = opts.seekTimestamp
+        .filterNot(_ => seekPushed)
         .map(t => loaded.filter(col("timestamp") > lit(t)))
         .getOrElse(loaded)
       opts.rewindSeqNo
@@ -224,17 +231,25 @@ object SeaStreamer {
             val reset =
               if (opts.autoStreamReset == AutoStreamReset.Earliest) "earliest"
               else "latest"
-            spark.readStream.format("redis-stream")
+            val base = spark.readStream.format("redis-stream")
               .option("host", host).option("port", port.toString)
               .option("streams", subscribe)
               .option("shards", opts.redisShards.toString)
-              .option("startingOffsets", reset)
+            val withGroup = opts.group
+              .map(g => base.option("group", g)).getOrElse(base)
+            // seek pushes into the per-key XRANGE start id (entry ids are
+            // ms-based, message.rs:27-64) instead of a post-filter
+            opts.seekTimestamp
+              .map(t => withGroup.option("startingTimestamp",
+                t.getTime.toString))
+              .getOrElse(withGroup.option("startingOffsets", reset))
               .load()
           } else
             graft.redis.RedisSource.boundedRead(spark, host, port,
               streams.flatMap(st => (0L until opts.redisShards.toLong)
                 .map(sh => (st, sh))),
-              sharded = opts.redisShards > 1)
+              sharded = opts.redisShards > 1,
+              afterMs = opts.seekTimestamp.map(_.getTime))
         case "stdio" =>
           // distributed stdin does not exist: Replay = text file of lines
           if (opts.live) throw SeaStreamErr.Unsupported(

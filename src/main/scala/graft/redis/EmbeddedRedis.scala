@@ -9,13 +9,24 @@ import scala.jdk.CollectionConverters._
 
 /** In-process Redis Streams subset speaking real RESP over real sockets —
   * enough XADD/XRANGE/XGROUP/XACK/XTRIM semantics to drive the client,
-  * the pipelined producer, and the Spark bounded read end-to-end without a
+  * the pipelined producer, and the Spark sources end-to-end without a
   * redis binary. Multi-connection (one thread per accept) because every
   * Spark task opens its own connection.
+  *
+  * Lives in main (not test) because the DuckDB-oracle correctness queries
+  * (analytics.RedisTransport) round-trip the `events` table through it, so
+  * the whole redis backend — RESP codec, pipelined XADD producer, XRANGE
+  * micro-batch source — sits under the same hash-compare gate as every
+  * other operator. It is an embedded verification backend, not a
+  * production store.
   */
-final class FakeRedis(
+final class EmbeddedRedis(
     /** Cluster simulation: keys listed here answer `MOVED 0 <addr>`. */
-    @volatile var redirects: Map[String, String] = Map.empty)
+    @volatile var redirects: Map[String, String] = Map.empty,
+    /** `CLUSTER SLOTS` topology: (startSlot, endSlot, host, port) ranges.
+      * Empty = standalone node (CLUSTER SLOTS answers an empty array).
+      */
+    @volatile var slots: Seq[(Int, Int, String, Int)] = Seq.empty)
     extends AutoCloseable {
   private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
   val port: Int = server.getLocalPort
@@ -93,6 +104,7 @@ final class FakeRedis(
       case "XRANGE" =>
         val key = s(1)
         val start = s(2)
+        val end = s(3)
         val count = args.map(new String(_, UTF_8)).indexOf("COUNT") match {
           case -1 => Int.MaxValue
           case i => new String(args(i + 1), UTF_8).toInt
@@ -104,7 +116,13 @@ final class FakeRedis(
             all.dropWhile(e => idLeq(e._1, excl.drop(1))) // exclusive
           case incl => all.dropWhile(e => idLt(e._1, incl))
         }
-        Resp.Arr(from.take(count).map { case (id, fields) =>
+        val bounded = end match {
+          case "+" => from
+          case excl if excl.startsWith("(") =>
+            from.takeWhile(e => idLt(e._1, excl.drop(1)))
+          case incl => from.takeWhile(e => idLeq(e._1, incl))
+        }
+        Resp.Arr(bounded.take(count).map { case (id, fields) =>
           Resp.Arr(Seq(Resp.Bulk(id.getBytes(UTF_8)),
             Resp.Arr(fields.flatMap { case (f, v) =>
               Seq(Resp.Bulk(f.getBytes(UTF_8)), Resp.Bulk(v))
@@ -123,10 +141,19 @@ final class FakeRedis(
             })))
         })
       case "XGROUP" =>
-        streams.computeIfAbsent(s(2), _ => mutable.ArrayBuffer.empty)
-        groupCursor.put(s"${s(2)}/${s(3)}",
-          if (s(4) == "0" || s(4) == "$") "0-0" else s(4))
-        Resp.Simple("OK")
+        val gk = s"${s(2)}/${s(3)}"
+        if (groupCursor.containsKey(gk))
+          Resp.Err("BUSYGROUP Consumer Group name already exists")
+        else {
+          streams.computeIfAbsent(s(2), _ => mutable.ArrayBuffer.empty)
+          val from = s(4) match {
+            case "0" => "0-0"
+            case "$" => entries(s(2)).lastOption.map(_._1).getOrElse("0-0")
+            case explicit => explicit
+          }
+          groupCursor.put(gk, from)
+          Resp.Simple("OK")
+        }
       case "XREADGROUP" =>
         // GROUP g c [COUNT n] STREAMS key id
         val g = s(2); val consumer = s(3)
@@ -163,12 +190,15 @@ final class FakeRedis(
               })))
           })))))
       case "XAUTOCLAIM" =>
-        // key group consumer min-idle start — fake treats all pending idle
+        // key group consumer min-idle start [COUNT n] — treats all pending
+        // as idle (no delivery-time clock), but honors the scan-start cursor
+        // like the real command: only pending ids >= start are claimed.
         val key = s(1); val g = s(2); val consumer = s(3)
+        val start = if (args.length > 5) s(5) else "0-0"
         val gk = s"$key/$g"
         val p = pel.computeIfAbsent(gk, _ => new ConcurrentHashMap[String, String]())
         val claimed = entries(key).filter { case (id, _) =>
-          p.containsKey(id) && p.get(id) != consumer
+          p.containsKey(id) && p.get(id) != consumer && !idLt(id, start)
         }
         claimed.foreach { case (id, _) => p.put(id, consumer) }
         Resp.Arr(Seq(Resp.Bulk("0-0".getBytes(UTF_8)),
@@ -179,6 +209,28 @@ final class FakeRedis(
               })))
           }),
           Resp.Arr(Seq.empty)))
+      case "XPENDING" =>
+        // summary form: [count, min-id, max-id, [[consumer, count]...]]
+        val gk = s"${s(1)}/${s(2)}"
+        val p = Option(pel.get(gk)).map(_.asScala.toMap).getOrElse(Map.empty)
+        if (p.isEmpty)
+          Resp.Arr(Seq(Resp.Num(0L), Resp.NullBulk, Resp.NullBulk,
+            Resp.NullArr))
+        else {
+          val ids = p.keys.toSeq.sortWith(idLt)
+          Resp.Arr(Seq(Resp.Num(p.size.toLong),
+            Resp.Bulk(ids.head.getBytes(UTF_8)),
+            Resp.Bulk(ids.last.getBytes(UTF_8)),
+            Resp.Arr(p.values.groupBy(identity).toSeq.sortBy(_._1).map {
+              case (c, xs) => Resp.Arr(Seq(Resp.Bulk(c.getBytes(UTF_8)),
+                Resp.Bulk(xs.size.toString.getBytes(UTF_8))))
+            })))
+        }
+      case "CLUSTER" if args.length > 1 && s(1).toUpperCase == "SLOTS" =>
+        Resp.Arr(slots.map { case (lo, hi, h, p) =>
+          Resp.Arr(Seq(Resp.Num(lo.toLong), Resp.Num(hi.toLong),
+            Resp.Arr(Seq(Resp.Bulk(h.getBytes(UTF_8)), Resp.Num(p.toLong)))))
+        })
       case "XACK" =>
         val key = s"${s(1)}/${s(2)}"
         val ids = args.drop(3).map(new String(_, UTF_8))

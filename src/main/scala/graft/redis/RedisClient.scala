@@ -38,6 +38,16 @@ final class RedisClient(host: String, port: Int,
     commands.map(_ => reply(Resp.parse(in)))
   }
 
+  /** Pipeline that returns error replies as values instead of throwing —
+    * required when SOME commands are expected to fail (XGROUP CREATE's
+    * BUSYGROUP) and the rest of the batch must still drain cleanly.
+    */
+  def pipelineRaw(commands: Seq[Seq[Array[Byte]]]): Seq[Resp.Value] = {
+    commands.foreach(c => out.write(Resp.encodeCommand(c)))
+    out.flush()
+    commands.map(_ => Resp.parse(in))
+  }
+
   private def reply(v: Resp.Value): Resp.Value = v match {
     case Resp.Err(m) => throw RedisClient.RedisError(m)
     case other => other

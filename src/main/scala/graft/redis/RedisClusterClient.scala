@@ -2,13 +2,82 @@ package graft.redis
 
 import scala.collection.mutable
 
-/** Cluster-aware command routing: follow `MOVED` redirects and cache key
-  * ownership (sea-streamer-redis/src/cluster.rs:1-135 — the reference keeps
-  * the same lazily-learned key→node map and retries on MOVED).
+/** Redis Cluster key→slot mapping (public cluster spec): slot =
+  * CRC16-XModem(hash-tag(key)) mod 16384, where the hash-tag rule keys the
+  * hash off `{...}` when a non-empty braced section exists — what lets
+  * `stream:{k}:0` / `stream:{k}:1` co-locate. The reference builds the same
+  * shard→node map (sea-streamer-redis/src/cluster.rs:1-135).
+  */
+object RedisCluster {
+  val HashSlots = 16384
+
+  /** CRC16/XMODEM (poly 0x1021, init 0): the variant the cluster spec
+    * mandates — distinct from the `.ss` format's CRC16/CDMA2000.
+    */
+  def crc16XModem(bytes: Array[Byte]): Int = {
+    var crc = 0
+    var i = 0
+    while (i < bytes.length) {
+      crc ^= (bytes(i) & 0xFF) << 8
+      var bit = 0
+      while (bit < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x1021) & 0xFFFF
+              else (crc << 1) & 0xFFFF
+        bit += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** The braced section a cluster hashes instead of the whole key, when
+    * present and non-empty (first `{`, first `}` after it).
+    */
+  def hashTag(key: String): String = {
+    val open = key.indexOf('{')
+    if (open < 0) key
+    else {
+      val close = key.indexOf('}', open + 1)
+      if (close < 0 || close == open + 1) key
+      else key.substring(open + 1, close)
+    }
+  }
+
+  def hashSlot(key: String): Int =
+    crc16XModem(hashTag(key).getBytes(java.nio.charset.StandardCharsets.UTF_8)) % HashSlots
+}
+
+/** Immutable slot→node ownership map from one `CLUSTER SLOTS` reply. */
+final class RedisSlotMap(ranges: Seq[(Int, Int, String, Int)]) {
+  private val sorted = ranges.sortBy(_._1).toIndexedSeq
+
+  def ownerOfSlot(slot: Int): Option[(String, Int)] = {
+    // ranges are few (one per master); linear scan is fine and allocation-free
+    var i = 0
+    while (i < sorted.length) {
+      val (lo, hi, h, p) = sorted(i)
+      if (slot >= lo && slot <= hi) return Some((h, p))
+      i += 1
+    }
+    None
+  }
+
+  def owner(key: String): Option[(String, Int)] =
+    ownerOfSlot(RedisCluster.hashSlot(key))
+
+  def nodes: Seq[(String, Int)] = sorted.map(r => (r._3, r._4)).distinct
+  def isEmpty: Boolean = sorted.isEmpty
+}
+
+/** Cluster-aware command routing: bootstrap the full slot→node map with
+  * `CLUSTER SLOTS` ([[bootstrapSlots]]), route keys to their owners, and
+  * still follow `MOVED`/`ASK` redirects for the rebalancing window when the
+  * map is stale (sea-streamer-redis/src/cluster.rs:1-135 keeps the same
+  * map + MOVED-refresh loop).
   *
   * Redis Streams pin one stream key to one slot, so stream traffic is
-  * naturally node-sticky: after the first MOVED the cached owner serves
-  * every later command for that key without extra hops.
+  * naturally node-sticky: after bootstrap (or the first MOVED) the cached
+  * owner serves every later command for that key without extra hops.
   */
 final class RedisClusterClient(seeds: Seq[(String, Int)])
     extends AutoCloseable {
@@ -16,25 +85,49 @@ final class RedisClusterClient(seeds: Seq[(String, Int)])
 
   private val clients = mutable.Map.empty[(String, Int), RedisClient]
   private val owner = mutable.Map.empty[String, (String, Int)]
+  private var slotMap: Option[RedisSlotMap] = None
   private val MaxRedirects = 5
 
   private def clientFor(node: (String, Int)): RedisClient =
     clients.getOrElseUpdate(node, new RedisClient(node._1, node._2))
 
-  /** MOVED reply: `MOVED <slot> <host>:<port>`. */
-  private def movedTarget(msg: String): Option[(String, Int)] = {
-    val parts = msg.split(' ')
-    if (parts.length == 3 && (parts(0) == "MOVED" || parts(0) == "ASK")) {
-      val i = parts(2).lastIndexOf(':')
-      if (i > 0) Some((parts(2).substring(0, i),
-        parts(2).substring(i + 1).toInt))
-      else None
-    } else None
+  /** Fetch the full topology from the first reachable seed. An empty reply
+    * (standalone node) leaves lazy MOVED learning in place.
+    */
+  def bootstrapSlots(): RedisSlotMap = {
+    var lastErr: Throwable = null
+    var result: Option[RedisSlotMap] = None
+    val it = seeds.iterator
+    while (result.isEmpty && it.hasNext) {
+      val seed = it.next()
+      try {
+        val ranges = clientFor(seed).commandS("CLUSTER", "SLOTS") match {
+          case Resp.Arr(items) => items.collect {
+            case Resp.Arr(Resp.Num(lo) +: Resp.Num(hi) +:
+                Resp.Arr(Seq(host: Resp.Bulk, Resp.Num(port), _*)) +: _) =>
+              (lo.toInt, hi.toInt, host.utf8, port.toInt)
+          }
+          case _ => Seq.empty
+        }
+        val map = new RedisSlotMap(ranges)
+        if (!map.isEmpty) slotMap = Some(map)
+        result = Some(map)
+      } catch { case scala.util.control.NonFatal(e) => lastErr = e }
+    }
+    result.getOrElse(throw new IllegalStateException(
+      "no cluster seed reachable for CLUSTER SLOTS", lastErr))
   }
+
+  /** The node currently believed to own a key: explicit MOVED knowledge
+    * first (freshest), then the bootstrapped slot map, then the first seed.
+    */
+  def routeFor(key: String): (String, Int) =
+    owner.getOrElse(key,
+      slotMap.flatMap(_.owner(key)).getOrElse(seeds.head))
 
   /** Run a command routed by its stream key. */
   def command(key: String, args: Array[Byte]*): Resp.Value = {
-    var node = owner.getOrElse(key, seeds.head)
+    var node = routeFor(key)
     var redirects = 0
     while (true) {
       try {
@@ -55,8 +148,20 @@ final class RedisClusterClient(seeds: Seq[(String, Int)])
     throw new IllegalStateException("unreachable")
   }
 
-  /** The node currently believed to own a key (None until first routed). */
-  def ownerOf(key: String): Option[(String, Int)] = owner.get(key)
+  /** MOVED reply: `MOVED <slot> <host>:<port>`. */
+  private def movedTarget(msg: String): Option[(String, Int)] = {
+    val parts = msg.split(' ')
+    if (parts.length == 3 && (parts(0) == "MOVED" || parts(0) == "ASK")) {
+      val i = parts(2).lastIndexOf(':')
+      if (i > 0) Some((parts(2).substring(0, i),
+        parts(2).substring(i + 1).toInt))
+      else None
+    } else None
+  }
+
+  /** The node currently believed to own a key (None until routed/bootstrapped). */
+  def ownerOf(key: String): Option[(String, Int)] =
+    owner.get(key).orElse(slotMap.flatMap(_.owner(key)))
 
   override def close(): Unit = clients.values.foreach(_.close())
 }

@@ -18,10 +18,10 @@ object RedisSource {
     */
   private[redis] def pagedScan(client: RedisClient, key: String,
       stream: String, shard: Long, batch: Int,
-      untilId: String = "+"): Iterator[SeaMessage] =
+      untilId: String = "+", afterId: String = "0-0"): Iterator[SeaMessage] =
     new Iterator[SeaMessage] {
       private var page: Iterator[(String, SeaMessage)] = Iterator.empty
-      private var cursor = "-"
+      private var cursor = if (afterId == "0-0") "-" else s"($afterId"
       private var exhausted = false
       private def fetch(): Unit = {
         val entries = RedisStreams.decodeEntriesWithIds(
@@ -45,17 +45,23 @@ object RedisSource {
       }
     }
 
-  /** Bounded read of whole streams: one task per (stream, shard). */
+  /** Bounded read of whole streams: one task per (stream, shard).
+    * `afterMs` pushes the seek law `timestamp > T` into each key's XRANGE
+    * start id (ids are `<ms>-<seq>`) — no post-filter, no scan of the
+    * pre-seek prefix.
+    */
   def boundedRead(spark: SparkSession, host: String, port: Int,
       shards: Seq[(String, Long)], sharded: Boolean = true,
-      batch: Int = 1000): DataFrame = {
+      batch: Int = 1000, afterMs: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val sc = spark.sparkContext
+    val afterId = afterMs.map(RedisStreams.seekAfterId).getOrElse("0-0")
     sc.parallelize(shards, math.max(1, shards.size)).mapPartitions { it =>
       it.flatMap { case (stream, shard) =>
         val key = RedisStreams.shardedKey(stream, shard, sharded)
         val client = new RedisClient(host, port)
-        val scan = pagedScan(client, key, stream, shard, batch)
+        val scan = pagedScan(client, key, stream, shard, batch,
+          afterId = afterId)
         new Iterator[SeaMessage] {
           def hasNext: Boolean = {
             val h = scan.hasNext

@@ -45,6 +45,31 @@ object RedisStreams {
   def packSeqNo(timestampMs: Long, subSeq: Long): Long =
     (timestampMs << 16) | (subSeq & 0xFFFFL)
 
+  /** Total order on raw entry ids: (ms, seq) lexicographic. */
+  def idCompare(a: String, b: String): Int = {
+    val (am, as_) = parseEntryId(a)
+    val (bm, bs) = parseEntryId(b)
+    if (am != bm) java.lang.Long.compare(am, bm)
+    else java.lang.Long.compare(as_, bs)
+  }
+
+  /** The smallest id strictly greater than `id` — an INCLUSIVE cursor that
+    * means "everything after `id`" for commands without exclusive-start
+    * syntax (XAUTOCLAIM's scan cursor).
+    */
+  def idSuccessor(id: String): String = {
+    val (ms, seq) = parseEntryId(id)
+    if (seq == Long.MaxValue) s"${ms + 1}-0" else s"$ms-${seq + 1}"
+  }
+
+  /** Seek law `timestamp > T` as an exclusive-after id: every real entry at
+    * `T` sorts at/below `T-MaxValue`, every entry with ms > T above it —
+    * pushing the facade's strictly-greater filter into the XRANGE start
+    * (reference treats entry-id time the same way, message.rs:27-64).
+    */
+  def seekAfterId(timestampMs: Long): String =
+    s"$timestampMs-${Long.MaxValue}"
+
   // ---- command builders --------------------------------------------------
 
   /** `XADD key <ms>-* field payload` — auto-assigned sub-sequence, the
@@ -58,6 +83,12 @@ object RedisStreams {
       count: Option[Int] = None): Seq[Array[Byte]] =
     Seq(b("XRANGE"), b(key), b(start), b(end)) ++
       count.toSeq.flatMap(n => Seq(b("COUNT"), b(n.toString)))
+
+  /** `XREVRANGE key + - COUNT 1` — the tip probe the reference uses to pin
+    * Latest anchors (consumer/node.rs:485-510).
+    */
+  def xrevrangeTip(key: String): Seq[Array[Byte]] =
+    Seq(b("XREVRANGE"), b(key), b("+"), b("-"), b("COUNT"), b("1"))
 
   def xread(streams: Seq[(String, String)], count: Option[Int] = None,
       blockMs: Option[Long] = None): Seq[Array[Byte]] =
@@ -86,6 +117,10 @@ object RedisStreams {
       minIdleMs: Long, start: String = "0-0"): Seq[Array[Byte]] =
     Seq(b("XAUTOCLAIM"), b(key), b(group), b(consumer),
       b(minIdleMs.toString), b(start))
+
+  /** Summary form: `[pending-count, min-id, max-id, per-consumer]`. */
+  def xpending(key: String, group: String): Seq[Array[Byte]] =
+    Seq(b("XPENDING"), b(key), b(group))
 
   /** `XTRIM key MAXLEN ~ n` — approximate, like the reference
     * (producer.rs:168-218).

@@ -6,13 +6,13 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.core.Envelope
-import graft.redis.{RedisClient, RedisStreams, Resp}
+import graft.core.{Envelope, SeaMessage}
+import graft.redis.{RedisClient, RedisClusterClient, RedisSlotMap, RedisSource, RedisStreams, Resp}
 import graft.ss.spark.SsRows
 
 /** `spark.readStream.format("redis-stream")` — live micro-batch consumer
@@ -25,13 +25,34 @@ import graft.ss.spark.SsRows
   *     XRANGE — one partition per key, executor-side connections, so 32k
   *     shard keys fan out to 32k parallel tasks;
   *   - `startingOffsets` earliest replays from 0-0, latest anchors at each
-  *     key's current tip (AutoStreamReset law).
+  *     key's current tip (AutoStreamReset law);
+  *   - `startingTimestamp` (ms) pushes the seek law `timestamp > T` into
+  *     the per-key start id — ids are `<ms>-<seq>` (message.rs:27-64), so
+  *     the start is `T-MaxValue` exclusive, no post-filter needed;
+  *   - `maxEntriesPerTrigger` bounds each micro-batch
+  *     ([[SupportsAdmissionControl]], the Kafka `maxOffsetsPerTrigger`
+  *     pattern): `latestOffset(start, limit)` receives Spark's committed
+  *     start, so a restart can never plan behind the checkpoint, and a deep
+  *     backlog drains in bounded batches instead of one giant first batch.
+  *     Capped ends are resolved with per-key `XRANGE (start + COUNT n`
+  *     pipelined per node — driver work per trigger is O(cap), the user's
+  *     own per-batch bound, never O(backlog);
+  *   - `group` switches delivery to `XREADGROUP`/PEL semantics
+  *     (consumer/node.rs:647-744, SURVEY §7.4.2): on a fresh start the
+  *     whole pending-entries-list is `XAUTOCLAIM`ed to this consumer and
+  *     re-delivered (a crashed consumer's unacked deliveries are not lost),
+  *     new entries advance the group cursor, and the committed prefix is
+  *     `XACK`ed by the NEXT batch's readers — executor-side, distributed,
+  *     the `AutoCommit::Rolling` at-least-once law. `claimIntervalMs`
+  *     re-claims one page per key per interval for mid-run failovers;
+  *   - `cluster=true` bootstraps the slot→node map (`CLUSTER SLOTS`,
+  *     reference cluster.rs:1-135) from `nodes` (comma-separated seeds,
+  *     default `host:port`) and routes every key's partition, tips probe
+  *     and claim to its owner node (consumer/cluster.rs:14-239).
   *
   * Delivery is at-least-once under the checkpoint like every Spark source;
-  * ack/commit is the checkpointed epoch (SURVEY §2.6 mapping).
-  *
-  * Options: `host`, `port`, `streams` (comma-separated), `shards` (per
-  * stream; keys are `stream:N`, or the bare stream when shards=1).
+  * ack/commit is the checkpointed epoch (SURVEY §2.6 mapping), plus real
+  * XACKs when a `group` is set.
   */
 class RedisDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "redis-stream"
@@ -93,10 +114,11 @@ object RedisOffset {
 
 final case class RedisInputPartition(
     host: String, port: Int, key: String, stream: String, shard: Long,
-    afterId: String, untilId: String, batch: Int) extends InputPartition
+    afterId: String, untilId: String, batch: Int,
+    group: Option[String], consumer: String) extends InputPartition
 
 class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private val host = Option(options.get("host")).getOrElse("127.0.0.1")
   private val port = options.getInt("port", 6379)
@@ -106,48 +128,232 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
     .split(',').map(_.trim).filter(_.nonEmpty).toSeq
   private val shards = options.getInt("shards", 1)
   private val batch = options.getInt("batchSize", 1000)
+  private val latest = options.getOrDefault("startingOffsets", "earliest")
+    .equalsIgnoreCase("latest")
+  private val startingTimestamp: Option[Long] = {
+    val v = options.get("startingTimestamp")
+    if (v == null || v.isEmpty) None else Some(v.toLong)
+  }
+  if (latest && startingTimestamp.isDefined)
+    throw new IllegalArgumentException(
+      "startingOffsets=latest conflicts with startingTimestamp")
+  private val maxEntriesPerTrigger: Option[Long] = {
+    val v = options.get("maxEntriesPerTrigger")
+    if (v == null || v.isEmpty) None
+    else {
+      val n = v.toLong
+      if (n <= 0) throw new IllegalArgumentException(
+        s"maxEntriesPerTrigger must be positive, got $n")
+      Some(n)
+    }
+  }
+  private val group: Option[String] = {
+    val v = options.get("group")
+    if (v == null || v.isEmpty) None else Some(v)
+  }
+  private val consumerName = options.getOrDefault("consumerName", "spark")
+  private val claimMinIdleMs = options.getLong("claimMinIdleMs", 0L)
+  private val claimIntervalMs = options.getLong("claimIntervalMs", 30000L)
+  private val clusterMode = options.getBoolean("cluster", false)
+
+  private val seeds: Seq[(String, Int)] = {
+    val ns = options.get("nodes")
+    if (ns == null || ns.isEmpty) Seq((host, port))
+    else ns.split(',').map(_.trim).filter(_.nonEmpty).toSeq.map { n =>
+      val i = n.lastIndexOf(':')
+      if (i < 0) (n, 6379) else (n.substring(0, i), n.substring(i + 1).toInt)
+    }
+  }
+
+  /** Slot→node map, bootstrapped once per stream start (driver-side,
+    * metadata-only). Standalone nodes answer an empty CLUSTER SLOTS.
+    */
+  private lazy val slotMap: Option[RedisSlotMap] =
+    if (!clusterMode) None
+    else {
+      val cc = new RedisClusterClient(seeds)
+      try Some(cc.bootstrapSlots()).filterNot(_.isEmpty)
+      finally cc.close()
+    }
+
+  private def nodeFor(key: String): (String, Int) =
+    slotMap.flatMap(_.owner(key)).getOrElse(seeds.head)
 
   private def keys: Seq[(String, String, Long)] =
     streams.flatMap(st => (0L until shards.toLong).map(sh =>
       (RedisStreams.shardedKey(st, sh, shards > 1), st, sh)))
 
-  /** All tips in ONE pipelined flush — 32k shard keys cost one round trip
-    * per micro-batch, not 32k serialized ones.
+  /** Run `f` once per owner node with that node's keys — one pipelined
+    * connection per node per call, so cluster fan-out stays O(#nodes)
+    * round trips, not O(#keys).
     */
-  private def tips(): Map[String, String] = {
-    val client = new RedisClient(host, port)
-    try {
-      val ks = keys
+  private def byNode[T](ks: Seq[(String, String, Long)])(
+      f: (RedisClient, Seq[(String, String, Long)]) => Seq[T]): Seq[T] =
+    ks.groupBy { case (k, _, _) => nodeFor(k) }.toSeq.sortBy(_._1)
+      .flatMap { case ((h, p), nodeKeys) =>
+        val client = new RedisClient(h, p)
+        try f(client, nodeKeys) finally client.close()
+      }
+
+  /** All tips pipelined per node — 32k shard keys cost one round trip per
+    * node per micro-batch, not 32k serialized ones.
+    */
+  private def tips(): Map[String, String] =
+    byNode(keys) { (client, ks) =>
       val replies = client.pipeline(ks.map { case (k, _, _) =>
-        Seq("XREVRANGE", k, "+", "-", "COUNT", "1")
-          .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        RedisStreams.xrevrangeTip(k)
       })
       ks.zip(replies).map {
         case ((k, _, _), Resp.Arr(Seq(Resp.Arr(Seq(id: Resp.Bulk, _))))) =>
           k -> id.utf8
         case ((k, _, _), _) => k -> "0-0"
-      }.toMap
-    } finally client.close()
+      }
+    }.toMap
+
+  private def entryIds(v: Resp.Value): Seq[String] = v match {
+    case Resp.Arr(es) => es.collect {
+      case Resp.Arr((id: Resp.Bulk) +: _) => id.utf8
+    }
+    case _ => Seq.empty
   }
 
   override def initialOffset(): Offset = {
-    val latest = options.getOrDefault("startingOffsets", "earliest")
-      .equalsIgnoreCase("latest")
-    if (!latest) RedisOffset(keys.map { case (k, _, _) => k -> "0-0" }.toMap)
-    else RedisOffset(tips())
+    group.foreach(initGroup)
+    val ids: Map[String, String] =
+      if (group.isDefined)
+        // group mode: delivery is cursor/PEL-driven; the offset is only the
+        // batch clamp, so every key starts at the epoch
+        keys.map { case (k, _, _) => k -> "0-0" }.toMap
+      else startingTimestamp match {
+        case Some(ms) =>
+          keys.map { case (k, _, _) => k -> RedisStreams.seekAfterId(ms) }.toMap
+        case None if latest => tips()
+        case None => keys.map { case (k, _, _) => k -> "0-0" }.toMap
+      }
+    RedisOffset(ids)
   }
 
-  override def latestOffset(): Offset = RedisOffset(tips())
+  /** Create the group everywhere (BUSYGROUP = resume) and claim the WHOLE
+    * pending backlog to this consumer, so deliveries stranded in a dead
+    * consumer's PEL re-enter the very first batches (reference
+    * node.rs:647-744; SURVEY §7.4.2 restart-recovery plan).
+    */
+  private def initGroup(g: String): Unit = {
+    val from = startingTimestamp.map(RedisStreams.seekAfterId)
+      .getOrElse(if (latest) "$" else "0")
+    byNode(keys) { (client, ks) =>
+      client.pipelineRaw(ks.map { case (k, _, _) =>
+        RedisStreams.xgroupCreate(k, g, from)
+      }).foreach {
+        case Resp.Err(m) if m.contains("BUSYGROUP") => ()
+        case Resp.Err(m) => throw RedisClient.RedisError(m)
+        case _ => ()
+      }
+      ks.foreach { case (k, _, _) =>
+        var cursor = "0-0"
+        var done = false
+        while (!done) client.command(RedisStreams.xautoclaim(
+          k, g, consumerName, claimMinIdleMs, cursor): _*) match {
+          case Resp.Arr((next: Resp.Bulk) +: _) =>
+            val n = next.utf8
+            if (n == "0-0" || n == cursor) done = true else cursor = n
+          case _ => done = true
+        }
+      }
+      Seq.empty[Unit]
+    }
+    ()
+  }
+
+  /** Mid-run failover sweep: one XAUTOCLAIM page per key per
+    * `claimIntervalMs` (reference claim interval, consumer/mod.rs:70-79),
+    * starting strictly after the committed offset so an entry a previous
+    * epoch already delivered is never claimed-then-acked unseen.
+    */
+  private var lastClaimAtMs = 0L
+  private def maybeClaim(after: Map[String, String]): Unit = group.foreach { g =>
+    val now = System.currentTimeMillis()
+    if (now - lastClaimAtMs >= claimIntervalMs) {
+      lastClaimAtMs = now
+      byNode(keys) { (client, ks) =>
+        client.pipelineRaw(ks.map { case (k, _, _) =>
+          val a = after.getOrElse(k, "0-0")
+          RedisStreams.xautoclaim(k, g, consumerName, claimMinIdleMs,
+            if (a == "0-0") "0-0" else RedisStreams.idSuccessor(a))
+        })
+        Seq.empty[Unit]
+      }
+      ()
+    }
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxEntriesPerTrigger.map(ReadLimit.maxRows)
+      .getOrElse(ReadLimit.allAvailable())
+
+  /** `start` is Spark's committed/initial offset for this batch, so a
+    * restart can never plan an end behind the checkpoint. Uncapped: ends
+    * are the per-key tips (one metadata round trip per node). Capped: ends
+    * resolve via per-key `XRANGE (start + COUNT n` — the driver touches at
+    * most `maxEntriesPerTrigger` entries per trigger (its own batch bound).
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val after = start.asInstanceOf[RedisOffset].ids
+    maybeClaim(after)
+    val ends = limit match {
+      case r: ReadMaxRows => cappedEnds(after, r.maxRows())
+      case _ => tips()
+    }
+    RedisOffset(ends)
+  }
+
+  private def cappedEnds(after: Map[String, String],
+      maxRows: Long): Map[String, String] = {
+    val perKey = math.max(1L, maxRows / math.max(1, keys.size)).toInt
+    byNode(keys) { (client, ks) =>
+      val replies = client.pipeline(ks.map { case (k, _, _) =>
+        val a = after.getOrElse(k, "0-0")
+        RedisStreams.xrange(k, if (a == "0-0") "-" else s"($a", "+",
+          Some(perKey))
+      })
+      ks.zip(replies).map { case ((k, _, _), v) =>
+        val ids = entryIds(v)
+        k -> (if (ids.isEmpty) after.getOrElse(k, "0-0") else ids.last)
+      }
+    }.toMap
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "RedisMicroBatchStream implements SupportsAdmissionControl; " +
+        "Spark calls latestOffset(start, limit)")
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[RedisOffset].ids
     val e = end.asInstanceOf[RedisOffset].ids
+    // group mode: a key with pending re-deliveries must be planned even when
+    // its tip hasn't moved (claimed entries sit at/below the tip)
+    val pendingKeys: Set[String] = group match {
+      case Some(g) =>
+        byNode(keys) { (client, ks) =>
+          val rs = client.pipelineRaw(ks.map { case (k, _, _) =>
+            RedisStreams.xpending(k, g)
+          })
+          ks.zip(rs).collect {
+            case ((k, _, _), Resp.Arr(Resp.Num(n) +: _)) if n > 0 => k
+          }
+        }.toSet
+      case None => Set.empty
+    }
     keys.flatMap { case (k, stream, shard) =>
       val after = s.getOrElse(k, "0-0")
-      val until = e.getOrElse(k, "0-0")
-      if (after == until) None
-      else Some(RedisInputPartition(host, port, k, stream, shard,
-        after, until, batch))
+      val until = e.getOrElse(k, after)
+      if (after == until && !pendingKeys.contains(k)) None
+      else {
+        val (h, p) = nodeFor(k)
+        Some(RedisInputPartition(h, p, k, stream, shard,
+          after, until, batch, group, consumerName))
+      }
     }.toArray
   }
 
@@ -158,40 +364,97 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
     }
 
   override def deserializeOffset(json: String): Offset = RedisOffset.fromJson(json)
+
+  /** The epoch commit IS the offset commit; when a `group` is set the
+    * matching XACKs settle executor-side in the NEXT batch's readers (the
+    * Rolling-commit lag) — nothing to do on the driver.
+    */
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-/** Paged exclusive-start XRANGE over `(afterId, untilId]` — the page cursor
-  * is the RAW last entry id (a packed-seq reconstruction loses sub-sequence
-  * bits past 64k entries/ms and would loop).
+/** Reads one `(stream, shard)` key's slice of a micro-batch.
+  *
+  * Plain mode: paged exclusive-start XRANGE over `(afterId, untilId]` — the
+  * page cursor is the RAW last entry id (a packed-seq reconstruction loses
+  * sub-sequence bits past 64k entries/ms and would loop).
+  *
+  * Group mode (`XREADGROUP`, at-least-once):
+  *   1. page this consumer's PEL (`STREAMS key <cursor>`): entries at/below
+  *      `afterId` were delivered by a COMMITTED epoch — XACK them (the
+  *      lagged Rolling commit); entries in `(afterId, untilId]` are
+  *      re-deliveries (epoch replay after a crash, or claims from a dead
+  *      consumer) and are emitted again;
+  *   2. page undelivered entries (`STREAMS key >`) up to `untilId`; an
+  *      overshooting page's tail stays pending (unemitted, unacked) and
+  *      re-enters via step 1 of the next batch.
+  * A replayed epoch re-reads its exact deliveries from the PEL in step 1 —
+  * deterministic replay without rewinding the group cursor.
   */
 class RedisPartitionReader(p: RedisInputPartition)
     extends PartitionReader[InternalRow] {
 
   private val client = new RedisClient(p.host, p.port)
-  private var page: Iterator[(String, graft.core.SeaMessage)] = Iterator.empty
-  private var cursor = if (p.afterId == "0-0") "-" else s"(${p.afterId}"
-  private var exhausted = false
-  private var current: graft.core.SeaMessage = _
+  private var current: SeaMessage = _
 
-  private def fetch(): Unit = {
-    val entries = RedisStreams.decodeEntriesWithIds(
-      client.command(RedisStreams.xrange(p.key, cursor, p.untilId,
-        Some(p.batch)): _*),
-      p.stream, p.shard)
-    if (entries.isEmpty) exhausted = true
-    else {
-      cursor = s"(${entries.last._1}"
-      if (entries.size < p.batch) exhausted = true
-      page = entries.iterator
+  private val it: Iterator[SeaMessage] = p.group match {
+    case Some(g) => groupScan(g)
+    case None => RedisSource.pagedScan(client, p.key, p.stream, p.shard,
+      p.batch, p.untilId, p.afterId)
+  }
+
+  private def groupScan(g: String): Iterator[SeaMessage] =
+    new Iterator[SeaMessage] {
+      private var phase = 0 // 0 = own PEL, 1 = new entries, 2 = done
+      private var pelCursor = "0-0"
+      private var page: Iterator[(String, SeaMessage)] = Iterator.empty
+
+      private def decode(v: Resp.Value): Seq[(String, SeaMessage)] =
+        RedisStreams.decodeReadReplyWithIds(v).flatMap(_._2)
+
+      private def fetchPel(): Unit = {
+        val entries = decode(client.command(RedisStreams.xreadGroup(
+          g, p.consumer, Seq(p.key -> pelCursor), Some(p.batch)): _*))
+        if (entries.isEmpty) phase = 1
+        else {
+          pelCursor = entries.last._1
+          val (committed, fresh) = entries.partition { case (id, _) =>
+            RedisStreams.idCompare(id, p.afterId) <= 0
+          }
+          if (committed.nonEmpty)
+            client.command(RedisStreams.xack(p.key, g,
+              committed.map(_._1)): _*)
+          page = fresh.filter { case (id, _) =>
+            RedisStreams.idCompare(id, p.untilId) <= 0
+          }.iterator
+          if (fresh.exists { case (id, _) =>
+            RedisStreams.idCompare(id, p.untilId) > 0 }) phase = 1
+        }
+      }
+
+      private def fetchNew(): Unit = {
+        val entries = decode(client.command(RedisStreams.xreadGroup(
+          g, p.consumer, Seq(p.key -> ">"), Some(p.batch)): _*))
+        if (entries.isEmpty) phase = 2
+        else {
+          val within = entries.filter { case (id, _) =>
+            RedisStreams.idCompare(id, p.untilId) <= 0
+          }
+          page = within.iterator
+          if (within.size < entries.size) phase = 2
+        }
+      }
+
+      def hasNext: Boolean = {
+        while (!page.hasNext && phase < 2)
+          if (phase == 0) fetchPel() else fetchNew()
+        page.hasNext
+      }
+      def next(): SeaMessage = page.next()._2
     }
-  }
 
-  override def next(): Boolean = {
-    if (!page.hasNext && !exhausted) fetch()
-    if (page.hasNext) { current = page.next()._2; true } else false
-  }
+  override def next(): Boolean =
+    if (it.hasNext) { current = it.next(); true } else false
 
   override def get(): InternalRow = SsRows.toInternalRow(current)
   override def close(): Unit = client.close()

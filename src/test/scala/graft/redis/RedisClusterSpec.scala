@@ -11,8 +11,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class RedisClusterSpec extends AnyFunSuite {
 
   test("MOVED redirects are followed and cached per key") {
-    val owner = new FakeRedis
-    val seed = new FakeRedis
+    val owner = new EmbeddedRedis
+    val seed = new EmbeddedRedis
     try {
       seed.redirects = Map("hot:0" -> s"${owner.host}:${owner.port}")
       val cluster = new RedisClusterClient(Seq((seed.host, seed.port)))
@@ -40,8 +40,8 @@ class RedisClusterSpec extends AnyFunSuite {
   }
 
   test("non-MOVED errors propagate; redirect loops are bounded") {
-    val a = new FakeRedis
-    val b = new FakeRedis
+    val a = new EmbeddedRedis
+    val b = new EmbeddedRedis
     try {
       // a and b bounce the key to each other forever
       a.redirects = Map("loop:0" -> s"${b.host}:${b.port}")

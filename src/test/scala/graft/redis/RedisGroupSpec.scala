@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class RedisGroupSpec extends AnyFunSuite {
 
-  private def seed(srv: FakeRedis, n: Int): Unit = {
+  private def seed(srv: EmbeddedRedis, n: Int): Unit = {
     val c = new RedisClient(srv.host, srv.port)
     try c.pipeline((0 until n).map(i =>
       RedisStreams.xadd("g:0", 1000L + i, s"m$i".getBytes(UTF_8))))
@@ -20,7 +20,7 @@ class RedisGroupSpec extends AnyFunSuite {
     ms.map(d => new String(d.message.payload, UTF_8))
 
   test("XREADGROUP partitions undelivered entries across group members") {
-    val srv = new FakeRedis
+    val srv = new EmbeddedRedis
     try {
       seed(srv, 20)
       val c1 = new RedisGroupConsumer(srv.host, srv.port, "g", 0, true, "grp", "c1")
@@ -38,7 +38,7 @@ class RedisGroupSpec extends AnyFunSuite {
   }
 
   test("unacked entries stay pending; ack settles them") {
-    val srv = new FakeRedis
+    val srv = new EmbeddedRedis
     try {
       seed(srv, 10)
       val c1 = new RedisGroupConsumer(srv.host, srv.port, "g", 0, true, "grp", "c1")
@@ -56,7 +56,7 @@ class RedisGroupSpec extends AnyFunSuite {
   }
 
   test("auto-claim steals a dead member's pending entries (failover)") {
-    val srv = new FakeRedis
+    val srv = new EmbeddedRedis
     try {
       seed(srv, 8)
       val dead = new RedisGroupConsumer(srv.host, srv.port, "g", 0, true, "grp", "dead")

@@ -92,7 +92,7 @@ class RedisClientSpec extends AnyFunSuite {
   private lazy val spark = TestSession.spark
 
   test("pipelined XADD then XRANGE roundtrips messages with packed seqnos") {
-    val srv = new FakeRedis
+    val srv = new EmbeddedRedis
     try {
       val c = new RedisClient(srv.host, srv.port)
       try {
@@ -111,7 +111,7 @@ class RedisClientSpec extends AnyFunSuite {
   }
 
   test("same-millisecond entries get increasing sub-sequences") {
-    val srv = new FakeRedis
+    val srv = new EmbeddedRedis
     try {
       val c = new RedisClient(srv.host, srv.port)
       try {
@@ -125,7 +125,7 @@ class RedisClientSpec extends AnyFunSuite {
   }
 
   test("pagination survives >64k entries in one millisecond (raw-id cursor)") {
-    val srv = new FakeRedis
+    val srv = new EmbeddedRedis
     try {
       val c = new RedisClient(srv.host, srv.port)
       try {
@@ -140,7 +140,7 @@ class RedisClientSpec extends AnyFunSuite {
   }
 
   test("errors surface as RedisError") {
-    val srv = new FakeRedis
+    val srv = new EmbeddedRedis
     try {
       val c = new RedisClient(srv.host, srv.port)
       try intercept[RedisClient.RedisError] { c.commandS("NOPE") }
@@ -152,7 +152,7 @@ class RedisClientSpec extends AnyFunSuite {
     import spark.implicits._
     import graft.facade.SeaStreamer
     import graft.facade.SeaStreamer.ConsumerOptions
-    val srv = new FakeRedis
+    val srv = new EmbeddedRedis
     try {
       val conn = SeaStreamer.connect(s"redis://${srv.host}:${srv.port}", spark)
       val env = (0 until 30).map { i =>
@@ -173,7 +173,7 @@ class RedisClientSpec extends AnyFunSuite {
     import spark.implicits._
     import graft.facade.SeaStreamer
     import graft.facade.SeaStreamer.ConsumerOptions
-    val srv = new FakeRedis
+    val srv = new EmbeddedRedis
     try {
       val conn = SeaStreamer.connect(s"redis://${srv.host}:${srv.port}", spark)
       def env(from: Int, n: Int) = (from until from + n).map { i =>
@@ -205,7 +205,7 @@ class RedisClientSpec extends AnyFunSuite {
 
   test("spark roundtrip: pipelined writes, one scan task per shard") {
     import spark.implicits._
-    val srv = new FakeRedis
+    val srv = new EmbeddedRedis
     try {
       val df = (0 until 200).map { i =>
         ("events", (i % 4).toLong, i.toLong,
