@@ -78,7 +78,10 @@ final class EmbeddedRedis(
       }
       val reply = handle(cmd)
       out.write(Resp.encodeValue(reply))
-      out.flush()
+      // flush only when the pipeline drained — one syscall per client
+      // batch, not per command (a per-reply flush caps the whole server
+      // at socket-syscall rate)
+      if (in.available() == 0) out.flush()
     } catch { case _: Throwable => () } finally socket.close()
   }
 

@@ -428,11 +428,13 @@ class SsMicroBatchStream(path: String, options: CaseInsensitiveStringMap)
   override def getDefaultReadLimit: ReadLimit =
     maxBytesPerTrigger.map(ReadLimit.maxBytes).getOrElse(ReadLimit.allAvailable())
 
-  /** Walks only the bytes appended since `start` to find the last complete
-    * frame end per file — frame-exact, so no message is lost or re-read.
-    * `start` is Spark's committed/initial offset for this batch, so a query
-    * restart can never plan an end offset behind the checkpoint (the failure
-    * a driver-local "last planned" cache had under maxBytesPerTrigger).
+  /** Frame-exact per-file ends with BOUNDED driver work: metadata
+    * (`File.length`) plus a beacon-entry walk of only the tail interval
+    * (SsOffsetWalk) — O(#files + #beacon-probes + beaconInterval) per
+    * trigger, never O(new bytes). `start` is Spark's committed/initial
+    * offset for this batch, so a query restart can never plan an end offset
+    * behind the checkpoint (the failure a driver-local "last planned" cache
+    * had under maxBytesPerTrigger).
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val prev = start.asInstanceOf[SsOffset]
@@ -456,50 +458,8 @@ class SsMicroBatchStream(path: String, options: CaseInsensitiveStringMap)
       "SsMicroBatchStream implements SupportsAdmissionControl; " +
         "Spark calls latestOffset(start, limit)")
 
-  private def safeEnd(f: File, from: Long, budget: Long = Long.MaxValue): Long = {
-    val size = f.length()
-    if (size <= SsFormat.HeaderSize) return from
-    val start = math.max(from, SsFormat.HeaderSize.toLong)
-    if (start >= size) return from
-
-    // skim mode: the walk only needs frame extents, payloads are skipped
-    def walk(r: SsReader, init: Long): Long =
-      try {
-        var end = init
-        var done = false
-        while (!done) r.next() match {
-          case Some(rec) =>
-            end = rec.endOffset
-            if (end - init >= budget) done = true
-          case None => done = true
-        }
-        end
-      } finally r.close()
-
-    if (from > 0L)
-      return walk(
-        SsReader.openAtOffset(f.getPath, from, verifyChecksum = false, skim = true),
-        from)
-
-    // cold start (earliest walked for the first time, or startingOffsets=
-    // latest): jump to the last beacon so the walk is O(beaconInterval), not
-    // O(fileSize). If the spliced frame under that beacon is incomplete
-    // (writer died mid-frame) the safe end must stay BEFORE its start, which
-    // only a full walk can find — fall back. With a byte budget the jump is
-    // wrong (it would skip the budgeted prefix), so walk from the header.
-    if (budget == Long.MaxValue) {
-      val interval = SsReader.readHeader(f.getPath).beaconInterval.toLong
-      val lastBeacon = (size - 1) / interval
-      if (lastBeacon >= 1) {
-        val r = SsReader.openAt(f.getPath, lastBeacon,
-          verifyChecksum = false, skim = true)
-        if (!r.isTruncated) return walk(r, lastBeacon * interval)
-        r.close()
-      }
-    }
-    walk(SsReader.open(f.getPath, verifyChecksum = false, skim = true),
-      SsFormat.HeaderSize.toLong)
-  }
+  private def safeEnd(f: File, from: Long, budget: Long = Long.MaxValue): Long =
+    graft.ss.SsOffsetWalk.safeEnd(f.getPath, from, budget).offset
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SsOffset].files
