@@ -177,15 +177,20 @@ object Transport {
       import s.implicits._
       val t = Tables(s, dir)
       val out = scratch(dir, "ssfuse")
-      envelopeOf(t).filter(col("stream_key").isin("click", "view"))
-        .write.format("ss").mode("overwrite").save(out)
-      (for {
+      // sentinels ride in the SAME write: gateCore sorts each group's
+      // arrivals by (ts, key, seq), so the far-future sentinels flush the
+      // buffers whether they arrive in this batch or a later one — one
+      // write job and one micro-batch instead of two of each (the
+      // incremental multi-batch gating law itself is StreamJoinSpec's)
+      val sentinels = (for {
         sh <- 0L until 4L
         (k, i) <- Seq(("click", 0L), ("view", 1L))
       } yield (k, sh, 20000000L + 2 * sh + i,
         new java.sql.Timestamp(4100000000000L), Array.emptyByteArray))
         .toDF("stream_key", "shard_id", "sequence", "timestamp", "payload")
-        .write.format("ss").mode("append").save(out)
+      envelopeOf(t).filter(col("stream_key").isin("click", "view"))
+        .unionByName(sentinels)
+        .write.format("ss").mode("overwrite").save(out)
       val muxed = s.readStream.format("ss").load(out)
         .as[graft.core.SeaMessage]
       val q = graft.ops.StreamJoin

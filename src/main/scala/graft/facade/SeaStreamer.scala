@@ -406,14 +406,20 @@ object SeaStreamer {
           val (host, port) = SeaStreamer.hostPort(node, 6379)
           graft.redis.RedisSource.write(out, host, port, sharded = false)
         case "stdio" =>
-          // producer line format; console-equivalent sink to stdout
-          out.foreach { r =>
-            println(StdioParser.formatLine(
-              r.getAs[java.sql.Timestamp]("timestamp"),
-              r.getAs[String]("stream_key"),
-              r.getAs[Long]("sequence"),
-              new String(r.getAs[Array[Byte]]("payload"), "UTF-8")))
-          }
+          // producer line format. The stdio contract means THIS process's
+          // stdout (the reference's singleton stdout thread,
+          // sea-streamer-stdio/src/producer.rs:43-151), so the lines are
+          // printed on the DRIVER: toLocalIterator streams one partition
+          // at a time — no executor-side println (which on a real cluster
+          // would land in executor logs), no full collect
+          out.select("timestamp", "stream_key", "sequence", "payload")
+            .toLocalIterator().forEachRemaining { r =>
+              println(StdioParser.formatLine(
+                r.getAs[java.sql.Timestamp]("timestamp"),
+                r.getAs[String]("stream_key"),
+                r.getAs[Long]("sequence"),
+                new String(r.getAs[Array[Byte]]("payload"), "UTF-8")))
+            }
         case other => throw SeaStreamErr.Unsupported(s"backend '$other'")
       }
     }

@@ -106,6 +106,11 @@ object StreamJoin {
       group: SeaMessage => K)(implicit ke: Encoder[K]): Dataset[SeaMessage] = {
     import muxed.sparkSession.implicits._
     val alignKeys = align.toIndexedSeq
+    // state is an opaque per-group blob: a Kryo encoder serializes the
+    // queue map in one binary column instead of a deeply nested product
+    // encoder whose generated (de)serializer dominates first-run latency
+    implicit val stateEnc: Encoder[FuseState] =
+      org.apache.spark.sql.Encoders.kryo[FuseState]
     muxed
       .groupByKey(group)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {

@@ -100,4 +100,30 @@ class SeaStreamerSpec extends AnyFunSuite {
     assertThrows[SeaStreamErr.Unsupported](
       conn.createConsumer(Seq("topic.a"), ConsumerOptions(live = true)))
   }
+
+  test("stdio producer prints every line on the DRIVER's stdout") {
+    // Console.withOut redirects only this (driver) thread — executor task
+    // threads keep the original stdout, so capturing every expected line
+    // proves the print loop runs driver-side (the stdio process contract;
+    // executor-side println would land in executor logs on a real cluster)
+    val conn = SeaStreamer.connect("stdio://-", spark)
+    val env = (0 until 25).map { i =>
+      ("t.out", 0L, i.toLong, new java.sql.Timestamp(1000L + i),
+        s"p$i".getBytes("UTF-8"))
+    }.toDF("stream_key", "shard_id", "sequence", "timestamp", "payload")
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      conn.createGenericProducer().send(env)
+    }
+    val lines = buf.toString("UTF-8").split('\n').filter(_.nonEmpty)
+    assert(lines.length == 25)
+    assert(lines.forall(l => l.contains("t.out") && l.endsWith(
+      "p" + l.dropWhile(_ != ']').drop(2).stripPrefix("p"))))
+    // round-trip: each printed line re-parses through the stdio consumer law
+    val parsed = graft.ops.StdioParser.toEnvelope(
+      spark.createDataset(lines.toSeq).toDF("value"))
+    assert(parsed.count() == 25)
+    assert(parsed.select("sequence").as[Long].collect().sorted.toSeq ==
+      (0L until 25L))
+  }
 }
