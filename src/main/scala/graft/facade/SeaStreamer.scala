@@ -117,11 +117,21 @@ object SeaStreamer {
   final class Connection(
       spark: SparkSession, scheme: String, streamer: StreamerUri) {
 
-    private def nodeAddr: String = {
-      val n = streamer.nodes.head
+    private def stripScheme(n: String): String = {
       val i = n.indexOf("://")
       if (i >= 0) n.substring(i + 3) else n
     }
+
+    private def nodeAddr: String = stripScheme(streamer.nodes.head)
+
+    /** Every node in the URI — a multi-node `redis://h1:p1,h2:p2` URI means
+      * a CLUSTER, exactly the reference's `StreamerUri` semantics
+      * (sea-streamer-types/src/streamer.rs:10-39).
+      */
+    private def allNodeAddrs: Seq[String] = streamer.nodes.map(stripScheme)
+
+    private def redisSeeds: Seq[(String, Int)] =
+      allNodeAddrs.map(SeaStreamer.hostPort(_, 6379))
 
     /** Validation laws shared with the reference backends. */
     private def validate(streams: Seq[String], opts: ConsumerOptions): Unit = {
@@ -235,8 +245,15 @@ object SeaStreamer {
               .option("host", host).option("port", port.toString)
               .option("streams", subscribe)
               .option("shards", opts.redisShards.toString)
+            // multi-node URI = cluster: bootstrap the slot map and route
+            // each shard key's partition to its owner node
+            val withCluster =
+              if (streamer.nodes.size > 1)
+                base.option("cluster", "true")
+                  .option("nodes", allNodeAddrs.mkString(","))
+              else base
             val withGroup = opts.group
-              .map(g => base.option("group", g)).getOrElse(base)
+              .map(g => withCluster.option("group", g)).getOrElse(withCluster)
             // seek pushes into the per-key XRANGE start id (entry ids are
             // ms-based, message.rs:27-64) instead of a post-filter
             opts.seekTimestamp
@@ -249,7 +266,9 @@ object SeaStreamer {
               streams.flatMap(st => (0L until opts.redisShards.toLong)
                 .map(sh => (st, sh))),
               sharded = opts.redisShards > 1,
-              afterMs = opts.seekTimestamp.map(_.getTime))
+              afterMs = opts.seekTimestamp.map(_.getTime),
+              clusterSeeds =
+                if (streamer.nodes.size > 1) Some(redisSeeds) else None)
         case "stdio" =>
           // distributed stdin does not exist: Replay = text file of lines
           if (opts.live) throw SeaStreamErr.Unsupported(
@@ -274,12 +293,12 @@ object SeaStreamer {
     def createProducer(stream: String): Producer = {
       if (!Envelope.isValidStreamKey(stream) || stream.isEmpty)
         throw SeaStreamErr.InvalidStreamKey(stream)
-      new Producer(spark, scheme, nodeAddr, Some(stream))
+      new Producer(spark, scheme, allNodeAddrs, Some(stream))
     }
 
     /** Generic producer: stream key comes from each row. */
     def createGenericProducer(): Producer =
-      new Producer(spark, scheme, nodeAddr, None)
+      new Producer(spark, scheme, allNodeAddrs, None)
   }
 
   final class Committer(opts: ConsumerOptions) {
@@ -307,8 +326,10 @@ object SeaStreamer {
   }
 
   final class Producer(
-      spark: SparkSession, scheme: String, node: String,
+      spark: SparkSession, scheme: String, nodes: Seq[String],
       anchor: Option[String]) {
+
+    private def node: String = nodes.head
 
     /** An anchored producer can only anchor once (producer.rs:59-65). */
     def anchored: String = anchor.getOrElse(throw SeaStreamErr.NotAnchored)
@@ -389,6 +410,42 @@ object SeaStreamer {
       keyed.select("stream_key", "shard_id", "sequence", "timestamp")
     }
 
+    /** Live (unbounded) producer: every micro-batch of the streaming
+      * envelope frame is sent through the same backend write path — the
+      * reference's background producer task
+      * (sea-streamer-redis/src/producer.rs:285-518) as a `foreachBatch`
+      * loop, with the epoch commit as the flush barrier (SURVEY §3.2).
+      *
+      * `exactlyOnceLedger` upgrades at-least-once epoch replay to
+      * exactly-once via the marker ledger ([[graft.ops.ExactlyOnce]]) — the
+      * Spark-native analogue of the reference's Kafka transactional
+      * producer; point it next to the checkpoint.
+      */
+    def sendStream(df: DataFrame, checkpointLocation: String,
+        exactlyOnceLedger: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      scheme match {
+        case "redis" | "kafka" | "file" => ()
+        case other => throw SeaStreamErr.Unsupported(s"live producer on '$other'")
+      }
+      if (scheme == "file" && exactlyOnceLedger.isEmpty) {
+        // the ss streaming sink is already exactly-once (epoch-keyed parts)
+        val out = anchor match {
+          case Some(key) => df.withColumn("stream_key", lit(key))
+          case None => df
+        }
+        out.writeStream.format("ss")
+          .option("checkpointLocation", checkpointLocation)
+          .option("path", node).start()
+      } else {
+        val body: (DataFrame, Long) => Unit = (batch, _) => send(batch)
+        val wrapped = exactlyOnceLedger
+          .map(graft.ops.ExactlyOnce.epochOnce(_)(body)).getOrElse(body)
+        df.writeStream
+          .option("checkpointLocation", checkpointLocation)
+          .foreachBatch(wrapped).start()
+      }
+    }
+
     /** Bounded send of an envelope DataFrame. */
     def send(df: DataFrame): Unit = {
       val out = anchor match {
@@ -401,10 +458,16 @@ object SeaStreamer {
         case "kafka" =>
           SeaStreamer.envelopeToKafka(out)
             .write.format("kafka")
-            .option("kafka.bootstrap.servers", node).save()
+            .option("kafka.bootstrap.servers", nodes.mkString(",")).save()
         case "redis" =>
           val (host, port) = SeaStreamer.hostPort(node, 6379)
-          graft.redis.RedisSource.write(out, host, port, sharded = false)
+          // multi-node URI = cluster: keys routed to their slot owners
+          // with MOVED replay (the reference producer's redirect loop)
+          graft.redis.RedisSource.write(out, host, port, sharded = false,
+            clusterSeeds =
+              if (nodes.size > 1)
+                Some(nodes.map(SeaStreamer.hostPort(_, 6379)))
+              else None)
         case "stdio" =>
           // producer line format. The stdio contract means THIS process's
           // stdout (the reference's singleton stdout thread,

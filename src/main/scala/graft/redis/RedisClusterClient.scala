@@ -148,6 +148,41 @@ final class RedisClusterClient(seeds: Seq[(String, Int)])
     throw new IllegalStateException("unreachable")
   }
 
+  /** Route a whole pipelined batch for ONE key to its owner node; on MOVED
+    * re-route and replay the entire batch — safe because a non-owner node
+    * rejects every command for the slot without mutating anything, so a
+    * batch either fully applies or fully bounces (the reference producer's
+    * redirect-and-retry, sea-streamer-redis/src/producer.rs:428-507).
+    */
+  def pipelineFor(key: String,
+      commands: Seq[Seq[Array[Byte]]]): Seq[Resp.Value] = {
+    var node = routeFor(key)
+    var redirects = 0
+    var result: Option[Seq[Resp.Value]] = None
+    while (result.isEmpty) {
+      val replies = clientFor(node).pipelineRaw(commands)
+      val moved = replies.collectFirst {
+        case Resp.Err(m) if movedTarget(m).isDefined => movedTarget(m).get
+      }
+      moved match {
+        case None =>
+          owner(key) = node
+          result = Some(replies.map {
+            case Resp.Err(m) => throw RedisClient.RedisError(m)
+            case v => v
+          })
+        case Some(target) if redirects < MaxRedirects =>
+          owner(key) = target
+          node = target
+          redirects += 1
+        case Some(target) =>
+          throw RedisClient.RedisError(
+            s"MOVED retry limit hit routing $key to $target")
+      }
+    }
+    result.get
+  }
+
   /** MOVED reply: `MOVED <slot> <host>:<port>`. */
   private def movedTarget(msg: String): Option[(String, Int)] = {
     val parts = msg.split(' ')

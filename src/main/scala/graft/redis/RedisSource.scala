@@ -52,14 +52,23 @@ object RedisSource {
     */
   def boundedRead(spark: SparkSession, host: String, port: Int,
       shards: Seq[(String, Long)], sharded: Boolean = true,
-      batch: Int = 1000, afterMs: Option[Long] = None): DataFrame = {
+      batch: Int = 1000, afterMs: Option[Long] = None,
+      clusterSeeds: Option[Seq[(String, Int)]] = None): DataFrame = {
     import spark.implicits._
     val sc = spark.sparkContext
     val afterId = afterMs.map(RedisStreams.seekAfterId).getOrElse("0-0")
     sc.parallelize(shards, math.max(1, shards.size)).mapPartitions { it =>
+      // cluster: resolve each key's owner once per task (slot-map
+      // bootstrap); a mid-scan rebalance would need a reconnect — rare
+      // enough that the task retry is the recovery path
+      val slotMap = clusterSeeds.map { seeds =>
+        val cc = new RedisClusterClient(seeds)
+        try cc.bootstrapSlots() finally cc.close()
+      }
       it.flatMap { case (stream, shard) =>
         val key = RedisStreams.shardedKey(stream, shard, sharded)
-        val client = new RedisClient(host, port)
+        val (h, p) = slotMap.flatMap(_.owner(key)).getOrElse((host, port))
+        val client = new RedisClient(h, p)
         val scan = pagedScan(client, key, stream, shard, batch,
           afterId = afterId)
         new Iterator[SeaMessage] {
@@ -82,9 +91,16 @@ object RedisSource {
     * ONE writer appending in timestamp order: redis rejects non-monotonic
     * explicit `<ms>-*` ids, and the reference keeps the same
     * single-producer-per-key model (one producer actor per connection).
+    *
+    * `clusterSeeds` switches each task to cluster routing: the slot→node
+    * map is bootstrapped once per task (`CLUSTER SLOTS`), every key's
+    * pipeline goes straight to its owner, and MOVED bounces replay the
+    * batch against the new owner (the reference producer's redirect loop,
+    * producer.rs:428-507).
     */
   def write(df: DataFrame, host: String, port: Int,
-      sharded: Boolean = true, pipelineSize: Int = 100): Unit = {
+      sharded: Boolean = true, pipelineSize: Int = 100,
+      clusterSeeds: Option[Seq[(String, Int)]] = None): Unit = {
     import df.sparkSession.implicits._
     import org.apache.spark.sql.functions.col
     val keyCols =
@@ -96,14 +112,31 @@ object RedisSource {
       .as[(String, Long, java.sql.Timestamp, Array[Byte])]
       .foreachPartition { (rows: Iterator[(String, Long, java.sql.Timestamp, Array[Byte])]) =>
         if (rows.nonEmpty) {
-          val client = new RedisClient(host, port)
-          try rows.grouped(pipelineSize).foreach { chunk =>
-            client.pipeline(chunk.map { case (stream, shard, ts, payload) =>
-              RedisStreams.xadd(
-                RedisStreams.shardedKey(stream, shard, sharded),
-                ts.getTime, payload)
-            })
-          } finally client.close()
+          def cmd(r: (String, Long, java.sql.Timestamp, Array[Byte])) =
+            RedisStreams.xadd(
+              RedisStreams.shardedKey(r._1, r._2, sharded), r._3.getTime, r._4)
+          def keyOf(r: (String, Long, java.sql.Timestamp, Array[Byte])) =
+            RedisStreams.shardedKey(r._1, r._2, sharded)
+          clusterSeeds match {
+            case Some(seeds) =>
+              val cc = new RedisClusterClient(seeds)
+              try {
+                try cc.bootstrapSlots()
+                catch { case scala.util.control.NonFatal(_) => () } // lazy MOVED fallback
+                rows.grouped(pipelineSize).foreach { chunk =>
+                  // time order within each key survives: Seq.groupBy keeps
+                  // encounter order inside every group
+                  chunk.groupBy(keyOf).foreach { case (key, rs) =>
+                    cc.pipelineFor(key, rs.map(cmd))
+                  }
+                }
+              } finally cc.close()
+            case None =>
+              val client = new RedisClient(host, port)
+              try rows.grouped(pipelineSize).foreach { chunk =>
+                client.pipeline(chunk.map(cmd))
+              } finally client.close()
+          }
         }
       }
   }
