@@ -30,7 +30,10 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
 
-    SparkEntry.queries
+    // fixed alphabetical order: per-query numbers stay comparable across
+    // rounds (Map iteration order would shuffle who pays shared warmup
+    // whenever a query is added)
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
         timed(name)(fn(spark, sfDir).count())

@@ -130,10 +130,14 @@ object RedisTransport {
 
     // Admission control: earliest + maxEntriesPerTrigger forces the deep
     // backlog through bounded micro-batches; the final aggregate proves no
-    // entry was lost or re-delivered across the batch seams.
+    // entry was lost or re-delivered across the batch seams. The cap scales
+    // with the input (~4 batches at any sf) — the LAW is the batch seams,
+    // not a fixed batch size, and a constant cap would mean dozens of
+    // near-empty state commits at larger scale factors.
     "r5_redis_admission" -> { (s, dir) =>
       withServer { srv =>
         val t = Tables(s, dir)
+        val cap = math.max(1000L, t.events.count() / 4)
         RedisSource.write(Transport.envelopeOf(t), srv.host, srv.port)
         val q = Transport.aggregate(
           s.readStream.format("redis-stream")
@@ -141,7 +145,7 @@ object RedisTransport {
             .option("streams", Transport.eventTypes.mkString(","))
             .option("shards", "4")
             .option("startingOffsets", "earliest")
-            .option("maxEntriesPerTrigger", "5000")
+            .option("maxEntriesPerTrigger", cap.toString)
             .load(), withDistinct = false)
           .writeStream.outputMode("complete")
           .format("memory").queryName("r5_redis_admission_sink").start()
