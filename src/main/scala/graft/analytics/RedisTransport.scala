@@ -172,6 +172,9 @@ object RedisTransport {
             .option("shards", "4")
             .option("startingOffsets", "earliest")
             .option("group", "g_oracle")
+            // the test compresses time: the dead consumer's entries are
+            // seconds old, so the idle threshold must be zero here
+            .option("claimMinIdleMs", "0")
             .load(), withDistinct = false)
           .writeStream.outputMode("complete")
           .format("memory").queryName("r6_redis_group_sink").start()

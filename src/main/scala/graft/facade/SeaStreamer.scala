@@ -105,7 +105,12 @@ object SeaStreamer {
       /** Rewind law: first message with sequence >= N (same comparison fn). */
       rewindSeqNo: Option[Long] = None,
       /** Redis backend: how many `stream:N` shard keys each stream has. */
-      redisShards: Int = 1)
+      redisShards: Int = 1,
+      /** Group member identity (`ConsumerId`): on redis this names the
+        * XREADGROUP consumer, so PEL ownership and failover claims are per
+        * member (sea-streamer-types/src/consumer.rs:17-27).
+        */
+      consumerId: Option[String] = None)
 
   def connect(uri: String, spark: SparkSession): Connection = {
     val streamer = StreamerUri.parse(uri)
@@ -175,10 +180,18 @@ object SeaStreamer {
         .getOrElse(sought)
     }
 
-    /** LoadBalanced group: n members each receiving the deterministic
-      * round-robin share `sequence % n == i` (sea-streamer-stdio/src/
-      * consumer_group.rs:101-107, sea-streamer-file/src/consumer/
-      * group.rs:490-497 — dispatch parity as a filter).
+    /** LoadBalanced group — per-backend semantics, matching the reference:
+      *
+      *   - file/stdio: deterministic round-robin dispatch, member i gets
+      *     `sequence % n == i` (sea-streamer-stdio/src/
+      *     consumer_group.rs:101-107, sea-streamer-file/src/consumer/
+      *     group.rs:490-497 — dispatch parity as a filter);
+      *   - redis (live): REAL shared-shard balancing — each member is an
+      *     independent XREADGROUP consumer on the same group, work split
+      *     first-ask-first-served by the server-side group cursor, per-
+      *     member PEL ownership, stale members' deliveries reclaimable
+      *     (sea-streamer-redis/src/consumer/options.rs:100-122,
+      *     tests/load-balanced.rs:18-160).
       */
     def createGroupConsumers(
         streams: Seq[String],
@@ -186,10 +199,19 @@ object SeaStreamer {
         members: Int,
         opts: ConsumerOptions = ConsumerOptions(
           mode = ConsumerMode.LoadBalanced)): Seq[DataFrame] = {
-      val base = createConsumer(streams,
-        opts.copy(mode = ConsumerMode.LoadBalanced, group = Some(group)))
-      (0 until members).map { i =>
-        base.filter(pmod(col("sequence"), lit(members.toLong)) === i.toLong)
+      if (scheme == "redis" && opts.live) {
+        (0 until members).map { i =>
+          createConsumer(streams, opts.copy(
+            mode = ConsumerMode.LoadBalanced,
+            group = Some(group),
+            consumerId = Some(opts.consumerId.getOrElse("member") + s"-$i")))
+        }
+      } else {
+        val base = createConsumer(streams,
+          opts.copy(mode = ConsumerMode.LoadBalanced, group = Some(group)))
+        (0 until members).map { i =>
+          base.filter(pmod(col("sequence"), lit(members.toLong)) === i.toLong)
+        }
       }
     }
 
@@ -254,6 +276,8 @@ object SeaStreamer {
               else base
             val withGroup = opts.group
               .map(g => withCluster.option("group", g)).getOrElse(withCluster)
+              .options(opts.consumerId
+                .map(c => Map("consumerName" -> c)).getOrElse(Map.empty))
             // seek pushes into the per-key XRANGE start id (entry ids are
             // ms-based, message.rs:27-64) instead of a post-filter
             opts.seekTimestamp

@@ -39,9 +39,14 @@ final class EmbeddedRedis(
     new ConcurrentHashMap[String, java.util.Set[String]]()
   /** (key/group) -> last delivered id */
   private val groupCursor = new ConcurrentHashMap[String, String]()
-  /** (key/group) -> id -> owning consumer (the PEL) */
+  /** One PEL entry: owning consumer + last delivery time (drives the real
+    * XAUTOCLAIM min-idle rule — a live consumer's fresh deliveries must not
+    * be stealable).
+    */
+  final case class PelEntry(consumer: String, deliveredAtMs: Long)
+  /** (key/group) -> id -> PEL entry */
   private val pel =
-    new ConcurrentHashMap[String, ConcurrentHashMap[String, String]]()
+    new ConcurrentHashMap[String, ConcurrentHashMap[String, PelEntry]]()
   private val lastMs = new ConcurrentHashMap[String, java.lang.Long]()
   private val subSeq = new ConcurrentHashMap[String, java.lang.Long]()
   @volatile private var closed = false
@@ -54,7 +59,9 @@ final class EmbeddedRedis(
   def ackedIds(key: String, group: String): Set[String] =
     Option(acked.get(s"$key/$group")).map(_.asScala.toSet).getOrElse(Set.empty)
   def pendingIds(key: String, group: String): Map[String, String] =
-    Option(pel.get(s"$key/$group")).map(_.asScala.toMap).getOrElse(Map.empty)
+    Option(pel.get(s"$key/$group"))
+      .map(_.asScala.map { case (id, e) => id -> e.consumer }.toMap)
+      .getOrElse(Map.empty)
 
   private val acceptor = new Thread(() => {
     try while (!closed) {
@@ -169,19 +176,20 @@ final class EmbeddedRedis(
         val key = rendered(si + 1)
         val idArg = rendered(si + 2)
         val gk = s"$key/$g"
-        val p = pel.computeIfAbsent(gk, _ => new ConcurrentHashMap[String, String]())
+        val p = pel.computeIfAbsent(gk, _ => new ConcurrentHashMap[String, PelEntry]())
         val delivered: Seq[(String, Seq[(String, Array[Byte])])] =
           if (idArg == ">") {
             val cursor = Option(groupCursor.get(gk)).getOrElse("0-0")
             val fresh = entries(key).dropWhile(e => idLeq(e._1, cursor)).take(count)
             fresh.foreach { case (id, _) =>
-              p.put(id, consumer); groupCursor.put(gk, id)
+              p.put(id, PelEntry(consumer, System.currentTimeMillis()))
+              groupCursor.put(gk, id)
             }
             fresh
           } else {
             // pending read: this consumer's PEL entries above the given id
             entries(key).filter { case (id, _) =>
-              p.getOrDefault(id, "") == consumer &&
+              Option(p.get(id)).exists(_.consumer == consumer) &&
                 (idArg == "0-0" || idArg == "0" || !idLeq(id, idArg))
             }.take(count)
           }
@@ -193,17 +201,21 @@ final class EmbeddedRedis(
               })))
           })))))
       case "XAUTOCLAIM" =>
-        // key group consumer min-idle start [COUNT n] — treats all pending
-        // as idle (no delivery-time clock), but honors the scan-start cursor
-        // like the real command: only pending ids >= start are claimed.
+        // key group consumer min-idle start [COUNT n] — honors the real
+        // command's min-idle rule (only entries idle >= min-idle move, and
+        // claiming resets the idle clock) and the scan-start cursor (only
+        // pending ids >= start are claimed).
         val key = s(1); val g = s(2); val consumer = s(3)
+        val minIdle = s(4).toLong
         val start = if (args.length > 5) s(5) else "0-0"
         val gk = s"$key/$g"
-        val p = pel.computeIfAbsent(gk, _ => new ConcurrentHashMap[String, String]())
+        val now = System.currentTimeMillis()
+        val p = pel.computeIfAbsent(gk, _ => new ConcurrentHashMap[String, PelEntry]())
         val claimed = entries(key).filter { case (id, _) =>
-          p.containsKey(id) && p.get(id) != consumer && !idLt(id, start)
+          Option(p.get(id)).exists(e => e.consumer != consumer &&
+            now - e.deliveredAtMs >= minIdle) && !idLt(id, start)
         }
-        claimed.foreach { case (id, _) => p.put(id, consumer) }
+        claimed.foreach { case (id, _) => p.put(id, PelEntry(consumer, now)) }
         Resp.Arr(Seq(Resp.Bulk("0-0".getBytes(UTF_8)),
           Resp.Arr(claimed.map { case (id, fields) =>
             Resp.Arr(Seq(Resp.Bulk(id.getBytes(UTF_8)),
@@ -224,10 +236,11 @@ final class EmbeddedRedis(
           Resp.Arr(Seq(Resp.Num(p.size.toLong),
             Resp.Bulk(ids.head.getBytes(UTF_8)),
             Resp.Bulk(ids.last.getBytes(UTF_8)),
-            Resp.Arr(p.values.groupBy(identity).toSeq.sortBy(_._1).map {
-              case (c, xs) => Resp.Arr(Seq(Resp.Bulk(c.getBytes(UTF_8)),
-                Resp.Bulk(xs.size.toString.getBytes(UTF_8))))
-            })))
+            Resp.Arr(p.values.map(_.consumer).groupBy(identity).toSeq
+              .sortBy(_._1).map {
+                case (c, xs) => Resp.Arr(Seq(Resp.Bulk(c.getBytes(UTF_8)),
+                  Resp.Bulk(xs.size.toString.getBytes(UTF_8))))
+              })))
         }
       case "CLUSTER" if args.length > 1 && s(1).toUpperCase == "SLOTS" =>
         Resp.Arr(slots.map { case (lo, hi, h, p) =>

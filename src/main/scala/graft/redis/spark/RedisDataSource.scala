@@ -152,7 +152,10 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
     if (v == null || v.isEmpty) None else Some(v)
   }
   private val consumerName = options.getOrDefault("consumerName", "spark")
-  private val claimMinIdleMs = options.getLong("claimMinIdleMs", 0L)
+  // reference default: only entries idle >= 60 s are claimable, so a LIVE
+  // sibling consumer's fresh deliveries are never stolen
+  // (sea-streamer-redis/src/consumer/mod.rs:70-79)
+  private val claimMinIdleMs = options.getLong("claimMinIdleMs", 60000L)
   private val claimIntervalMs = options.getLong("claimIntervalMs", 30000L)
   private val clusterMode = options.getBoolean("cluster", false)
 

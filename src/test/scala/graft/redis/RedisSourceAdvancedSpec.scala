@@ -124,6 +124,7 @@ class RedisGroupSourceSpec extends AnyFunSuite {
           .option("host", srv.host).option("port", srv.port.toString)
           .option("streams", "k").option("startingOffsets", "earliest")
           .option("group", "g")
+          .option("claimMinIdleMs", "0") // test compresses idle time
           .load()
           .writeStream.option("checkpointLocation", ckpt)
           .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
