@@ -140,13 +140,16 @@ object Dedup {
       var iter = 0
       val maxIter = 50
       while (!converged && iter < maxIter) {
+        // localCheckpoint (not cache): materializes AND severs lineage, so
+        // the logical plan — and with it per-iteration analysis/optimization
+        // time — stays O(1) across rounds instead of growing each iteration
         val next = labels.as("l")
           .join(edges.as("e"), col("l.doc") === col("e.doc_a"), "left")
           .join(labels.as("n"), col("e.doc_b") === col("n.doc"), "left")
           .groupBy(col("l.doc").as("doc"))
           .agg(least(min(col("l.lbl")), coalesce(min(col("n.lbl")),
             min(col("l.lbl")))).as("lbl"))
-          .cache()
+          .localCheckpoint(true)
         val changed = next.as("a")
           .join(labels.as("b"), col("a.doc") === col("b.doc"))
           .filter(col("a.lbl") =!= col("b.lbl")).limit(1).count()

@@ -189,13 +189,30 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
   /** Run `f` once per owner node with that node's keys — one pipelined
     * connection per node per call, so cluster fan-out stays O(#nodes)
     * round trips, not O(#keys).
+    *
+    * Driver-side planning has no task-retry safety net (an IOException in
+    * latestOffset fails the whole query), so transient connect/IO failures
+    * retry with short backoff — the reference consumer's reconnect loop
+    * (node.rs:299-310), bounded instead of its unbounded exponential climb
+    * because a dead broker should surface quickly in a scheduler.
     */
   private def byNode[T](ks: Seq[(String, String, Long)])(
       f: (RedisClient, Seq[(String, String, Long)]) => Seq[T]): Seq[T] =
     ks.groupBy { case (k, _, _) => nodeFor(k) }.toSeq.sortBy(_._1)
       .flatMap { case ((h, p), nodeKeys) =>
-        val client = new RedisClient(h, p)
-        try f(client, nodeKeys) finally client.close()
+        var attempt = 0
+        var out: Option[Seq[T]] = None
+        while (out.isEmpty) {
+          try {
+            val client = new RedisClient(h, p)
+            try out = Some(f(client, nodeKeys)) finally client.close()
+          } catch {
+            case _: java.io.IOException if attempt < 2 =>
+              attempt += 1
+              Thread.sleep(100L << attempt)
+          }
+        }
+        out.get
       }
 
   /** All tips pipelined per node — 32k shard keys cost one round trip per
@@ -272,6 +289,13 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
     * `claimIntervalMs` (reference claim interval, consumer/mod.rs:70-79),
     * starting strictly after the committed offset so an entry a previous
     * epoch already delivered is never claimed-then-acked unseen.
+    *
+    * Known edge (shared with the reference's continuous claim): a foreign
+    * consumer's pending entry BELOW our committed clamp is not claimable
+    * mid-run — claiming it would be indistinguishable from our own
+    * committed re-delivery and would be acked unseen. Recovery path: a
+    * fresh member/start (clamp 0-0) claims and re-delivers the whole PEL,
+    * as initGroup and the failover member in RedisLoadBalancedSpec do.
     */
   private var lastClaimAtMs = 0L
   private def maybeClaim(after: Map[String, String]): Unit = group.foreach { g =>
