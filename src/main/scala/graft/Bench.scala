@@ -57,6 +57,11 @@ object Bench {
       val n = spark.read.format("ss").load(benchDir).count()
       require(n == 100000L, s"expected 100k messages, got $n")
     }
+    // the reference benchmark's third workload: relay = consume + produce
+    timed("xp_ss_relay_100k") {
+      spark.read.format("ss").load(benchDir)
+        .write.format("ss").mode("overwrite").save(benchDir + "_relay")
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

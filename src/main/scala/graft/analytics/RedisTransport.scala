@@ -25,7 +25,9 @@ import graft.redis.{EmbeddedRedis, RedisGroupConsumer, RedisSource}
   *     paged `XREAD COUNT n` loop, consumer/node.rs:448-610);
   *   - r6: a crashed group member's unacked deliveries are reclaimed
   *     (`XAUTOCLAIM`) and re-delivered, not lost to the PEL
-  *     (load-balanced.rs:160+, consumer/node.rs:647-744).
+  *     (load-balanced.rs:160+, consumer/node.rs:647-744);
+  *   - r7: relay — consume one backend, produce into another
+  *     (benchmark/README.md `relay` workload), here .ss -> redis.
   */
 object RedisTransport {
 
@@ -154,6 +156,8 @@ object RedisTransport {
       }
     },
 
+    "r7_relay" -> relayQuery,
+
     // Group/PEL recovery: a consumer fetches a slice of click:0 into the
     // group's PEL and dies without acking; the streaming source (same group)
     // must XAUTOCLAIM those deliveries and still emit EVERY event exactly
@@ -183,7 +187,26 @@ object RedisTransport {
       }
     })
 
+  // def, not val: `queries` above captures it during object init
+  private def relayQuery: Relational.Q = { (s, dir) =>
+    withServer { srv =>
+      val t = Tables(s, dir)
+      val out = Transport.scratch(dir, "relay")
+      Transport.envelopeOf(t).write.format("ss").mode("overwrite").save(out)
+      // relay: consume one backend, produce into another — the reference
+      // benchmark's third workload (benchmark/README.md `relay`), here
+      // crossing backends: .ss container -> redis streams -> aggregate,
+      // so the oracle pins BOTH codecs plus the envelope invariants that
+      // survive the hop (key/shard/ms-timestamp/payload)
+      RedisSource.write(s.read.format("ss").load(out), srv.host, srv.port)
+      val replay = RedisSource.boundedRead(s, srv.host, srv.port,
+        allShards(4)).localCheckpoint(true)
+      Transport.aggregate(replay, withDistinct = true)
+    }
+  }
+
   val oracles: Map[String, String] = Map(
+    "r7_relay" -> Transport.aggregateOracle(withDistinct = true),
     "r1_redis_roundtrip" -> Transport.aggregateOracle(withDistinct = true),
     "r2_redis_latest" -> Transport.aggregateOracle(withDistinct = false),
     "r3_redis_sharding" ->

@@ -65,4 +65,8 @@ class RedisOracleSpec extends AnyFunSuite {
   test("r6 group recovery re-delivers the dead consumer's slice") {
     assertSame("r6_redis_group_recovery", direct(withDistinct = false))
   }
+
+  test("r7 ss->redis relay preserves the envelope across the hop") {
+    assertSame("r7_relay", direct(withDistinct = true))
+  }
 }
