@@ -63,6 +63,31 @@ object Bench {
         .write.format("ss").mode("overwrite").save(benchDir + "_relay")
     }
 
+    // same workload through the redis wire path (client AND server are this
+    // library's — the reference's redis bench talks to a real broker, so
+    // this number prices the whole RESP stack, target ~100k msg/s)
+    {
+      val srv = new graft.redis.EmbeddedRedis
+      try {
+        val env = spark.range(100000)
+          .select(
+            lit("bench").as("stream_key"),
+            (col("id") % 4).as("shard_id"),
+            col("id").as("sequence"),
+            timestamp_millis(lit(1700000000000L) + col("id")).as("timestamp"),
+            lit(payload.getBytes("UTF-8")).as("payload"))
+        timed("xp_redis_produce_100k") {
+          graft.redis.RedisSource.write(env, srv.host, srv.port,
+            pipelineSize = 500)
+        }
+        timed("xp_redis_consume_100k") {
+          val n = graft.redis.RedisSource.boundedRead(spark, srv.host,
+            srv.port, (0L until 4L).map(sh => ("bench", sh))).count()
+          require(n == 100000L, s"expected 100k redis messages, got $n")
+        }
+      } finally srv.close()
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum

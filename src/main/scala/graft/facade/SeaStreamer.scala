@@ -110,7 +110,12 @@ object SeaStreamer {
         * XREADGROUP consumer, so PEL ownership and failover claims are per
         * member (sea-streamer-types/src/consumer.rs:17-27).
         */
-      consumerId: Option[String] = None)
+      consumerId: Option[String] = None,
+      /** `Consumer::assign`: pin to explicit (stream, shard) pairs
+        * (consumer.rs:77-85). Redis reads exactly those shard keys; other
+        * backends apply the equivalent shard filter.
+        */
+      assignShards: Option[Seq[(String, Long)]] = None)
 
   def connect(uri: String, spark: SparkSession): Connection = {
     val streamer = StreamerUri.parse(uri)
@@ -175,9 +180,17 @@ object SeaStreamer {
         .filterNot(_ => seekPushed)
         .map(t => loaded.filter(col("timestamp") > lit(t)))
         .getOrElse(loaded)
-      opts.rewindSeqNo
+      val rewound = opts.rewindSeqNo
         .map(n => sought.filter(col("sequence") >= n))
         .getOrElse(sought)
+      // assign: non-redis backends express the pin as the equivalent
+      // (stream, shard) filter; redis reads exactly the assigned keys
+      opts.assignShards
+        .filterNot(_ => scheme == "redis")
+        .map(pairs => rewound.filter(
+          pairs.map(p => col("stream_key") === p._1 &&
+            col("shard_id") === p._2).reduce(_ || _)))
+        .getOrElse(rewound)
     }
 
     /** LoadBalanced group — per-backend semantics, matching the reference:
@@ -256,6 +269,15 @@ object SeaStreamer {
             throw SeaStreamErr.Unsupported(
               "redis wildcard subscribe (name the streams; keys are scanned per stream)")
           val (host, port) = SeaStreamer.hostPort(nodeAddr, 6379)
+          val sharded = opts.redisShards > 1
+          // seek (`timestamp > t`) pushes exactly; rewind (`sequence >= n`)
+          // pushes its ms FLOOR as a prefix prune (packed seq = (ms<<16)|sub,
+          // order-preserving) with the exact `>=` residual filter kept in
+          // createConsumer. Both land in the XRANGE start id.
+          val pushMs: Option[Long] =
+            (opts.seekTimestamp.map(_.getTime).toSeq ++
+              opts.rewindSeqNo.map(n => (n >> 16) - 1).filter(_ >= 0).toSeq)
+              .maxOption
           if (opts.live) {
             // live micro-batch consumer over the XRANGE offset model
             // (graft.redis.spark.RedisDataSource — validated against an
@@ -267,6 +289,10 @@ object SeaStreamer {
               .option("host", host).option("port", port.toString)
               .option("streams", subscribe)
               .option("shards", opts.redisShards.toString)
+              .options(opts.assignShards
+                .map(pairs => Map("assign" -> pairs.map { case (st, sh) =>
+                  graft.redis.RedisStreams.shardedKey(st, sh, sharded)
+                }.mkString(","))).getOrElse(Map.empty))
             // multi-node URI = cluster: bootstrap the slot map and route
             // each shard key's partition to its owner node
             val withCluster =
@@ -278,19 +304,17 @@ object SeaStreamer {
               .map(g => withCluster.option("group", g)).getOrElse(withCluster)
               .options(opts.consumerId
                 .map(c => Map("consumerName" -> c)).getOrElse(Map.empty))
-            // seek pushes into the per-key XRANGE start id (entry ids are
-            // ms-based, message.rs:27-64) instead of a post-filter
-            opts.seekTimestamp
-              .map(t => withGroup.option("startingTimestamp",
-                t.getTime.toString))
+            pushMs
+              .map(ms => withGroup.option("startingTimestamp", ms.toString))
               .getOrElse(withGroup.option("startingOffsets", reset))
               .load()
           } else
             graft.redis.RedisSource.boundedRead(spark, host, port,
-              streams.flatMap(st => (0L until opts.redisShards.toLong)
-                .map(sh => (st, sh))),
-              sharded = opts.redisShards > 1,
-              afterMs = opts.seekTimestamp.map(_.getTime),
+              opts.assignShards.getOrElse(
+                streams.flatMap(st => (0L until opts.redisShards.toLong)
+                  .map(sh => (st, sh)))),
+              sharded = sharded,
+              afterMs = pushMs,
               clusterSeeds =
                 if (streamer.nodes.size > 1) Some(redisSeeds) else None)
         case "stdio" =>

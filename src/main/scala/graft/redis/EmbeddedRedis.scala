@@ -119,19 +119,21 @@ final class EmbeddedRedis(
           case -1 => Int.MaxValue
           case i => new String(args(i + 1), UTF_8).toInt
         }
+        // entries are id-ordered (monotonic XADD), so range bounds resolve
+        // by binary search — paging a deep stream is O(log n + page), not a
+        // linear id-parse scan per page
         val all = entries(key)
-        val from = start match {
-          case "-" => all
-          case excl if excl.startsWith("(") =>
-            all.dropWhile(e => idLeq(e._1, excl.drop(1))) // exclusive
-          case incl => all.dropWhile(e => idLt(e._1, incl))
+        val lo = start match {
+          case "-" => 0
+          case excl if excl.startsWith("(") => searchAbove(all, excl.drop(1))
+          case incl => searchAtOrAbove(all, incl)
         }
-        val bounded = end match {
-          case "+" => from
-          case excl if excl.startsWith("(") =>
-            from.takeWhile(e => idLt(e._1, excl.drop(1)))
-          case incl => from.takeWhile(e => idLeq(e._1, incl))
+        val hi = end match {
+          case "+" => all.length
+          case excl if excl.startsWith("(") => searchAtOrAbove(all, excl.drop(1))
+          case incl => searchAbove(all, incl)
         }
+        val bounded = if (lo >= hi) Seq.empty else all.slice(lo, hi)
         Resp.Arr(bounded.take(count).map { case (id, fields) =>
           Resp.Arr(Seq(Resp.Bulk(id.getBytes(UTF_8)),
             Resp.Arr(fields.flatMap { case (f, v) =>
@@ -180,7 +182,9 @@ final class EmbeddedRedis(
         val delivered: Seq[(String, Seq[(String, Array[Byte])])] =
           if (idArg == ">") {
             val cursor = Option(groupCursor.get(gk)).getOrElse("0-0")
-            val fresh = entries(key).dropWhile(e => idLeq(e._1, cursor)).take(count)
+            val all = entries(key)
+            val fresh = all.slice(searchAbove(all, cursor),
+              all.length).take(count)
             fresh.foreach { case (id, _) =>
               p.put(id, PelEntry(consumer, System.currentTimeMillis()))
               groupCursor.put(gk, id)
@@ -268,6 +272,30 @@ final class EmbeddedRedis(
         subSeq.merge(key, 1L, (a, b) => a + b)
       else { lastMs.put(key, safeMs); subSeq.put(key, 0L); 0L }
     s"$safeMs-$sub"
+  }
+
+  /** First index whose id is >= `bound` (entries id-ordered). */
+  private def searchAtOrAbove(
+      all: Seq[(String, Seq[(String, Array[Byte])])], bound: String): Int = {
+    var lo = 0
+    var hi = all.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (idLt(all(mid)._1, bound)) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  /** First index whose id is strictly > `bound`. */
+  private def searchAbove(
+      all: Seq[(String, Seq[(String, Array[Byte])])], bound: String): Int = {
+    var lo = 0
+    var hi = all.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (idLeq(all(mid)._1, bound)) lo = mid + 1 else hi = mid
+    }
+    lo
   }
 
   private def idParts(id: String): (Long, Long) = RedisStreams.parseEntryId(id)

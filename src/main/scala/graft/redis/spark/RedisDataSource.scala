@@ -122,9 +122,25 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
 
   private val host = Option(options.get("host")).getOrElse("127.0.0.1")
   private val port = options.getInt("port", 6379)
+  /** `assign` pins the consumer to EXPLICIT (stream, shard) keys — the
+    * reference's `Consumer::assign` (sea-streamer-types/src/
+    * consumer.rs:77-85). Entries are `stream:shard` (sharded key form) or a
+    * bare `stream` (unsharded, shard 0). Overrides `streams`×`shards`.
+    */
+  private val assigned: Option[Seq[(String, String, Long)]] = {
+    val v = options.get("assign")
+    if (v == null || v.isEmpty) None
+    else Some(v.split(',').map(_.trim).filter(_.nonEmpty).toSeq.map { e =>
+      val i = e.lastIndexOf(':')
+      if (i > 0 && e.substring(i + 1).forall(_.isDigit))
+        (e, e.substring(0, i), e.substring(i + 1).toLong)
+      else (e, e, 0L)
+    })
+  }
   private val streams = Option(options.get("streams"))
+    .orElse(assigned.map(_ => ""))
     .getOrElse(throw new IllegalArgumentException(
-      "redis-stream requires a `streams` option"))
+      "redis-stream requires a `streams` or `assign` option"))
     .split(',').map(_.trim).filter(_.nonEmpty).toSeq
   private val shards = options.getInt("shards", 1)
   private val batch = options.getInt("batchSize", 1000)
@@ -183,8 +199,9 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
     slotMap.flatMap(_.owner(key)).getOrElse(seeds.head)
 
   private def keys: Seq[(String, String, Long)] =
-    streams.flatMap(st => (0L until shards.toLong).map(sh =>
-      (RedisStreams.shardedKey(st, sh, shards > 1), st, sh)))
+    assigned.getOrElse(
+      streams.flatMap(st => (0L until shards.toLong).map(sh =>
+        (RedisStreams.shardedKey(st, sh, shards > 1), st, sh))))
 
   /** Run `f` once per owner node with that node's keys — one pipelined
     * connection per node per call, so cluster fan-out stays O(#nodes)

@@ -205,6 +205,58 @@ class RedisSeekSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("rewind >= law: ms floor pushed as a prefix prune, exact residual filter") {
+    import spark.implicits._
+    val srv = new EmbeddedRedis
+    try {
+      seed(srv)
+      val conn = SeaStreamer.connect(s"redis://${srv.host}:${srv.port}", spark)
+      val n = RedisStreams.packSeqNo(1030L, 0L)
+      val df = conn.createConsumer(Seq("s"), ConsumerOptions(live = false,
+        rewindSeqNo = Some(n)))
+      val seqs = df.select("sequence").as[Long].collect()
+      assert(seqs.length == 20) // ms 1030..1049
+      assert(seqs.forall(_ >= n))
+      // exactly ONE residual filter (the exact >=); the prune rode the cursor
+      val filters = df.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+      }
+      assert(filters.size == 1)
+    } finally srv.close()
+  }
+
+  test("assign pins the consumer to explicit (stream, shard) keys") {
+    import spark.implicits._
+    val srv = new EmbeddedRedis
+    try {
+      val c = new RedisClient(srv.host, srv.port)
+      try {
+        c.pipeline((0 until 10).map(i =>
+          RedisStreams.xadd("as:0", 2000L + i, s"s0-$i".getBytes(UTF_8))))
+        c.pipeline((0 until 10).map(i =>
+          RedisStreams.xadd("as:1", 2000L + i, s"s1-$i".getBytes(UTF_8))))
+      } finally c.close()
+      val conn = SeaStreamer.connect(s"redis://${srv.host}:${srv.port}", spark)
+      // replay: only the assigned shard is read
+      val replay = conn.createConsumer(Seq("as"), ConsumerOptions(live = false,
+        redisShards = 2, assignShards = Some(Seq(("as", 1L)))))
+      assert(replay.select($"payload".cast("string")).as[String]
+        .collect().toSet == (0 until 10).map(i => s"s1-$i").toSet)
+      // live: the source plans only the assigned key
+      val q = conn.createConsumer(Seq("as"), ConsumerOptions(live = true,
+        redisShards = 2, assignShards = Some(Seq(("as", 1L))),
+        autoStreamReset = SeaStreamer.AutoStreamReset.Earliest))
+        .writeStream.outputMode("append")
+        .format("memory").queryName("redis_assign_live").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("redis_assign_live")
+          .select($"payload".cast("string")).as[String].collect().toSet ==
+          (0 until 10).map(i => s"s1-$i").toSet)
+      } finally q.stop()
+    } finally srv.close()
+  }
+
   test("live seek: startingTimestamp option carries the > law into the source") {
     import spark.implicits._
     val srv = new EmbeddedRedis
