@@ -351,10 +351,22 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
     RedisOffset(ends)
   }
 
+  /** The row budget splits across keys WITH BACKLOG (tip moved past the
+    * committed id) — an idle key must not eat a deep key's share, the same
+    * lag-aware apportioning Kafka's maxOffsetsPerTrigger does.
+    */
   private def cappedEnds(after: Map[String, String],
       maxRows: Long): Map[String, String] = {
-    val perKey = math.max(1L, maxRows / math.max(1, keys.size)).toInt
-    byNode(keys) { (client, ks) =>
+    val tip = tips()
+    val active = keys.filter { case (k, _, _) =>
+      tip.getOrElse(k, "0-0") != after.getOrElse(k, "0-0")
+    }
+    if (active.isEmpty)
+      return keys.map { case (k, _, _) =>
+        k -> after.getOrElse(k, "0-0")
+      }.toMap
+    val perKey = math.max(1L, maxRows / active.size).toInt
+    val resolved = byNode(active) { (client, ks) =>
       val replies = client.pipeline(ks.map { case (k, _, _) =>
         val a = after.getOrElse(k, "0-0")
         RedisStreams.xrange(k, if (a == "0-0") "-" else s"($a", "+",
@@ -364,6 +376,9 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
         val ids = entryIds(v)
         k -> (if (ids.isEmpty) after.getOrElse(k, "0-0") else ids.last)
       }
+    }.toMap
+    keys.map { case (k, _, _) =>
+      k -> resolved.getOrElse(k, after.getOrElse(k, "0-0"))
     }.toMap
   }
 
