@@ -52,6 +52,16 @@ object SeaStreamer {
       col("timestamp"),
       col("value").as("payload"))
 
+  /** `Consumer::assign` for kafka: explicit TopicPartitions as the built-in
+    * source's `assign` JSON (`{"topic":[0,2]}`) — pushed to the broker
+    * instead of filtered client-side (sea-streamer-kafka wraps rdkafka's
+    * assign the same way, consumer.rs:425-452).
+    */
+  def kafkaAssignJson(pairs: Seq[(String, Long)]): String =
+    pairs.groupBy(_._1).toSeq.sortBy(_._1).map { case (topic, ps) =>
+      s""""$topic":[${ps.map(_._2).sorted.mkString(",")}]"""
+    }.mkString("{", ",", "}")
+
   /** Producer-side inverse: envelope → kafka sink columns; the sequence
     * rides as the record key so downstream partitioners and log compaction
     * see a stable identity (sea-streamer-kafka/src/producer.rs:100-135).
@@ -183,10 +193,11 @@ object SeaStreamer {
       val rewound = opts.rewindSeqNo
         .map(n => sought.filter(col("sequence") >= n))
         .getOrElse(sought)
-      // assign: non-redis backends express the pin as the equivalent
-      // (stream, shard) filter; redis reads exactly the assigned keys
+      // assign: redis reads exactly the assigned keys and kafka pushes the
+      // TopicPartition list to the broker; other backends express the pin
+      // as the equivalent (stream, shard) filter
       opts.assignShards
-        .filterNot(_ => scheme == "redis")
+        .filterNot(_ => scheme == "redis" || scheme == "kafka")
         .map(pairs => rewound.filter(
           pairs.map(p => col("stream_key") === p._1 &&
             col("shard_id") === p._2).reduce(_ || _)))
@@ -247,21 +258,32 @@ object SeaStreamer {
           val reset =
             if (opts.autoStreamReset == AutoStreamReset.Earliest) "earliest"
             else "latest"
+          // assign (explicit TopicPartitions) and subscribe are mutually
+          // exclusive on the built-in source — assign pushes to the broker
+          def subscription(r: org.apache.spark.sql.DataFrameReader): org.apache.spark.sql.DataFrameReader =
+            opts.assignShards match {
+              case Some(pairs) =>
+                r.option("assign", SeaStreamer.kafkaAssignJson(pairs))
+              case None => r.option("subscribe", subscribe)
+            }
           val loaded =
             if (opts.live) {
               val base = spark.readStream.format("kafka")
                 .option("kafka.bootstrap.servers", nodeAddr)
-                .option("subscribe", subscribe)
+              val withSub = opts.assignShards match {
+                case Some(pairs) =>
+                  base.option("assign", SeaStreamer.kafkaAssignJson(pairs))
+                case None => base.option("subscribe", subscribe)
+              }
               // seek pushes into Kafka's offsetsForTimes (consumer.rs:295-316
               // parity); the generic strict-> filter still applies on top
               opts.seekTimestamp
-                .map(t => base.option("startingTimestamp", t.getTime.toString))
-                .getOrElse(base.option("startingOffsets", reset))
+                .map(t => withSub.option("startingTimestamp", t.getTime.toString))
+                .getOrElse(withSub.option("startingOffsets", reset))
                 .load()
             } else
-              spark.read.format("kafka")
-                .option("kafka.bootstrap.servers", nodeAddr)
-                .option("subscribe", subscribe)
+              subscription(spark.read.format("kafka")
+                .option("kafka.bootstrap.servers", nodeAddr))
                 .load()
           SeaStreamer.kafkaToEnvelope(loaded)
         case "redis" =>
@@ -492,6 +514,36 @@ object SeaStreamer {
           .option("checkpointLocation", checkpointLocation)
           .foreachBatch(wrapped).start()
       }
+    }
+
+    /** `XTRIM key MAXLEN ~ n` across a stream's shard keys — the reference
+      * producer's trim_stream_max_len (producer.rs:168-218). Returns the
+      * number of entries dropped. Redis only.
+      */
+    def trimMaxLen(stream: String, maxLen: Long, shards: Int = 1): Long =
+      redisTrim(stream, shards, key => graft.redis.RedisStreams.xtrimMaxLen(key, maxLen))
+
+    /** `XTRIM key MINID ~ <ms>-0` — drop entries older than a timestamp
+      * (trim_stream_min_ts, same reference surface).
+      */
+    def trimMinTimestamp(stream: String, ts: java.sql.Timestamp,
+        shards: Int = 1): Long =
+      redisTrim(stream, shards,
+        key => graft.redis.RedisStreams.xtrimMinId(key, s"${ts.getTime}-0"))
+
+    private def redisTrim(stream: String, shards: Int,
+        cmd: String => Seq[Array[Byte]]): Long = {
+      if (scheme != "redis")
+        throw SeaStreamErr.Unsupported(s"stream trim on '$scheme' (use ss.SsAdmin for file stores)")
+      val (host, port) = SeaStreamer.hostPort(node, 6379)
+      val client = new graft.redis.RedisClient(host, port)
+      try (0L until shards.toLong).map { sh =>
+        val key = graft.redis.RedisStreams.shardedKey(stream, sh, shards > 1)
+        client.command(cmd(key): _*) match {
+          case graft.redis.Resp.Num(n) => n
+          case other => throw new IllegalArgumentException(s"bad XTRIM reply: $other")
+        }
+      }.sum finally client.close()
     }
 
     /** Bounded send of an envelope DataFrame. */

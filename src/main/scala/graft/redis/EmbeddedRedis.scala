@@ -259,7 +259,27 @@ final class EmbeddedRedis(
         Option(pel.get(key)).foreach(p => ids.foreach(p.remove))
         Resp.Num(ids.count(set.add).toLong)
       case "XTRIM" =>
-        Resp.Num(0L)
+        // XTRIM key MAXLEN [~] n | MINID [~] id — the `~` is a hint; this
+        // server trims exactly
+        val key = s(1)
+        val strategy = s(2).toUpperCase
+        val argIdx = if (s(3) == "~") 4 else 3
+        Option(streams.get(key)) match {
+          case None => Resp.Num(0L)
+          case Some(buf) => buf.synchronized {
+            val before = buf.length
+            strategy match {
+              case "MAXLEN" =>
+                val keep = s(argIdx).toLong
+                if (buf.length > keep) buf.remove(0, (buf.length - keep).toInt)
+              case "MINID" =>
+                val minId = s(argIdx)
+                while (buf.nonEmpty && idLt(buf.head._1, minId)) buf.remove(0)
+              case _ => ()
+            }
+            Resp.Num((before - buf.length).toLong)
+          }
+        }
       case "PING" => Resp.Simple("PONG")
       case other => Resp.Err(s"ERR unknown command '$other'")
     }

@@ -359,3 +359,48 @@ class RedisClusterRoutingSpec extends AnyFunSuite {
     } finally { a.close(); b.close() }
   }
 }
+
+/** Producer-side stream trimming (trim_stream_max_len / trim_stream_min_ts,
+  * sea-streamer-redis/src/producer.rs:168-218) — real XTRIM semantics on
+  * the embedded server, surfaced through the facade producer.
+  */
+class RedisTrimSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  import graft.facade.SeaStreamer
+
+  test("trimMaxLen and trimMinTimestamp drop exactly the right entries") {
+    val srv = new EmbeddedRedis
+    try {
+      val c = new RedisClient(srv.host, srv.port)
+      try c.pipeline((0 until 100).map(i =>
+        RedisStreams.xadd("tr", 5000L + i, s"t$i".getBytes(UTF_8))))
+      finally c.close()
+      val conn = SeaStreamer.connect(s"redis://${srv.host}:${srv.port}", spark)
+      val prod = conn.createGenericProducer()
+
+      assert(prod.trimMaxLen("tr", 40) == 60L)
+      assert(srv.entries("tr").size == 40)
+      assert(srv.entries("tr").head._1.startsWith("5060-")) // oldest dropped
+
+      // drop everything older than ms 5080 (entries 5060..5079 go)
+      assert(prod.trimMinTimestamp("tr",
+        new java.sql.Timestamp(5080L)) == 20L)
+      assert(srv.entries("tr").size == 20)
+      assert(srv.entries("tr").head._1.startsWith("5080-"))
+
+      // trimming a non-redis backend is a contract error
+      val fileConn = SeaStreamer.connect("file:///tmp/graft/nowhere", spark)
+      assertThrows[graft.core.SeaStreamErr.Unsupported](
+        fileConn.createGenericProducer().trimMaxLen("tr", 1))
+    } finally srv.close()
+  }
+}
+
+/** kafkaAssignJson builds the built-in source's assign JSON exactly. */
+class KafkaAssignSpec extends AnyFunSuite {
+  test("assign pairs render as the kafka source's TopicPartition JSON") {
+    import graft.facade.SeaStreamer
+    assert(SeaStreamer.kafkaAssignJson(Seq(("t", 2L), ("t", 0L), ("u", 1L))) ==
+      """{"t":[0,2],"u":[1]}""")
+  }
+}
