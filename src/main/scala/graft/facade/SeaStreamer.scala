@@ -260,30 +260,26 @@ object SeaStreamer {
             else "latest"
           // assign (explicit TopicPartitions) and subscribe are mutually
           // exclusive on the built-in source — assign pushes to the broker
-          def subscription(r: org.apache.spark.sql.DataFrameReader): org.apache.spark.sql.DataFrameReader =
-            opts.assignShards match {
-              case Some(pairs) =>
-                r.option("assign", SeaStreamer.kafkaAssignJson(pairs))
-              case None => r.option("subscribe", subscribe)
-            }
+          val subOpts: Map[String, String] = opts.assignShards match {
+            case Some(pairs) =>
+              Map("assign" -> SeaStreamer.kafkaAssignJson(pairs))
+            case None => Map("subscribe" -> subscribe)
+          }
           val loaded =
             if (opts.live) {
               val base = spark.readStream.format("kafka")
                 .option("kafka.bootstrap.servers", nodeAddr)
-              val withSub = opts.assignShards match {
-                case Some(pairs) =>
-                  base.option("assign", SeaStreamer.kafkaAssignJson(pairs))
-                case None => base.option("subscribe", subscribe)
-              }
+                .options(subOpts)
               // seek pushes into Kafka's offsetsForTimes (consumer.rs:295-316
               // parity); the generic strict-> filter still applies on top
               opts.seekTimestamp
-                .map(t => withSub.option("startingTimestamp", t.getTime.toString))
-                .getOrElse(withSub.option("startingOffsets", reset))
+                .map(t => base.option("startingTimestamp", t.getTime.toString))
+                .getOrElse(base.option("startingOffsets", reset))
                 .load()
             } else
-              subscription(spark.read.format("kafka")
-                .option("kafka.bootstrap.servers", nodeAddr))
+              spark.read.format("kafka")
+                .option("kafka.bootstrap.servers", nodeAddr)
+                .options(subOpts)
                 .load()
           SeaStreamer.kafkaToEnvelope(loaded)
         case "redis" =>

@@ -404,3 +404,21 @@ class KafkaAssignSpec extends AnyFunSuite {
       """{"t":[0,2],"u":[1]}""")
   }
 }
+
+/** RedisOffset JSON codec: roundtrip over the full key alphabet (stream
+  * names with dots/dashes/underscores plus `:shard` suffixes). */
+class RedisOffsetCodecSpec extends AnyFunSuite {
+  test("offset json roundtrips arbitrary key maps") {
+    import graft.redis.spark.RedisOffset
+    val cases = Seq(
+      Map.empty[String, String],
+      Map("events" -> "0-0"),
+      Map("a.b-c_d:0" -> "1700000000000-65535",
+          "a.b-c_d:12" -> "9-9",
+          "plain" -> "123-456"))
+    cases.foreach { m =>
+      val off = RedisOffset(m)
+      assert(RedisOffset.fromJson(off.json()).ids == m, off.json())
+    }
+  }
+}
