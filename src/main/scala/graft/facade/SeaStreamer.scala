@@ -355,16 +355,19 @@ object SeaStreamer {
       */
     def committer(opts: ConsumerOptions): Committer = new Committer(opts)
 
-    /** Anchored producer: writes an envelope DataFrame to one stream. */
-    def createProducer(stream: String): Producer = {
+    /** Anchored producer: writes an envelope DataFrame to one stream.
+      * `redisShards` must match the consumers' (keys are `stream:N` when
+      * sharded, the bare stream when not).
+      */
+    def createProducer(stream: String, redisShards: Int = 1): Producer = {
       if (!Envelope.isValidStreamKey(stream) || stream.isEmpty)
         throw SeaStreamErr.InvalidStreamKey(stream)
-      new Producer(spark, scheme, allNodeAddrs, Some(stream))
+      new Producer(spark, scheme, allNodeAddrs, Some(stream), redisShards)
     }
 
     /** Generic producer: stream key comes from each row. */
-    def createGenericProducer(): Producer =
-      new Producer(spark, scheme, allNodeAddrs, None)
+    def createGenericProducer(redisShards: Int = 1): Producer =
+      new Producer(spark, scheme, allNodeAddrs, None, redisShards)
   }
 
   final class Committer(opts: ConsumerOptions) {
@@ -393,9 +396,14 @@ object SeaStreamer {
 
   final class Producer(
       spark: SparkSession, scheme: String, nodes: Seq[String],
-      anchor: Option[String]) {
+      anchor: Option[String],
+      /** Redis key naming: rows land on `stream:shard_id` keys when > 1
+        * (must agree with the consumers' `redisShards`).
+        */
+      redisShards: Int = 1) {
 
     private def node: String = nodes.head
+    private def redisSharded: Boolean = redisShards > 1
 
     /** An anchored producer can only anchor once (producer.rs:59-65). */
     def anchored: String = anchor.getOrElse(throw SeaStreamErr.NotAnchored)
@@ -516,16 +524,22 @@ object SeaStreamer {
       * producer's trim_stream_max_len (producer.rs:168-218). Returns the
       * number of entries dropped. Redis only.
       */
-    def trimMaxLen(stream: String, maxLen: Long, shards: Int = 1): Long =
-      redisTrim(stream, shards, key => graft.redis.RedisStreams.xtrimMaxLen(key, maxLen))
+    def trimMaxLen(stream: String, maxLen: Long, shards: Int = -1): Long =
+      redisTrim(stream, resolvedShards(shards),
+        key => graft.redis.RedisStreams.xtrimMaxLen(key, maxLen))
 
     /** `XTRIM key MINID ~ <ms>-0` — drop entries older than a timestamp
       * (trim_stream_min_ts, same reference surface).
       */
     def trimMinTimestamp(stream: String, ts: java.sql.Timestamp,
-        shards: Int = 1): Long =
-      redisTrim(stream, shards,
+        shards: Int = -1): Long =
+      redisTrim(stream, resolvedShards(shards),
         key => graft.redis.RedisStreams.xtrimMinId(key, s"${ts.getTime}-0"))
+
+    /** Default to this producer's own sharding so trim touches the keys it
+      * writes. */
+    private def resolvedShards(shards: Int): Int =
+      if (shards <= 0) redisShards else shards
 
     private def redisTrim(stream: String, shards: Int,
         cmd: String => Seq[Array[Byte]]): Long = {
@@ -559,7 +573,8 @@ object SeaStreamer {
           val (host, port) = SeaStreamer.hostPort(node, 6379)
           // multi-node URI = cluster: keys routed to their slot owners
           // with MOVED replay (the reference producer's redirect loop)
-          graft.redis.RedisSource.write(out, host, port, sharded = false,
+          graft.redis.RedisSource.write(out, host, port,
+            sharded = redisSharded,
             clusterSeeds =
               if (nodes.size > 1)
                 Some(nodes.map(SeaStreamer.hostPort(_, 6379)))

@@ -28,6 +28,13 @@ final class EmbeddedRedis(
       */
     @volatile var slots: Seq[(Int, Int, String, Int)] = Seq.empty)
     extends AutoCloseable {
+
+  /** Like [[redirects]] but with `ASK` (migration in flight). */
+  @volatile var askRedirects: Map[String, String] = Map.empty
+  /** Mid-pipeline migration simulation: key -> (commands to still accept,
+    * MOVED target) — after the budget is spent every further write bounces.
+    */
+  @volatile var bounceAfter: Map[String, (Int, String)] = Map.empty
   private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
   val port: Int = server.getLocalPort
   val host: String = "127.0.0.1"
@@ -96,7 +103,18 @@ final class EmbeddedRedis(
     def s(i: Int) = new String(args(i), UTF_8)
     if (args.length > 1 && redirects.contains(s(1)))
       return Resp.Err(s"MOVED 0 ${redirects(s(1))}")
+    if (args.length > 1 && askRedirects.contains(s(1)))
+      return Resp.Err(s"ASK 0 ${askRedirects(s(1))}")
+    if (args.length > 1 && s(0).equalsIgnoreCase("XADD")) {
+      val b = bounceAfter.get(s(1))
+      if (b.exists(_._1 <= 0))
+        return Resp.Err(s"MOVED 0 ${b.get._2}")
+      b.foreach { case (left, target) =>
+        bounceAfter = bounceAfter.updated(s(1), (left - 1, target))
+      }
+    }
     s(0).toUpperCase match {
+      case "ASKING" => Resp.Simple("OK")
       case "XADD" =>
         val key = s(1)
         val idArg = s(2)

@@ -125,62 +125,64 @@ final class RedisClusterClient(seeds: Seq[(String, Int)])
     owner.getOrElse(key,
       slotMap.flatMap(_.owner(key)).getOrElse(seeds.head))
 
-  /** Run a command routed by its stream key. */
-  def command(key: String, args: Array[Byte]*): Resp.Value = {
-    var node = routeFor(key)
-    var redirects = 0
-    while (true) {
-      try {
-        val v = clientFor(node).command(args: _*)
-        owner(key) = node
-        return v
-      } catch {
-        case RedisClient.RedisError(msg) =>
-          movedTarget(msg) match {
-            case Some(target) if redirects < MaxRedirects =>
-              owner(key) = target
-              node = target
-              redirects += 1
-            case _ => throw RedisClient.RedisError(msg)
-          }
-      }
-    }
-    throw new IllegalStateException("unreachable")
-  }
+  /** Run a command routed by its stream key (single-command form of
+    * [[pipelineFor]]: MOVED re-routes + caches, ASK one-shots with
+    * ASKING).
+    */
+  def command(key: String, args: Array[Byte]*): Resp.Value =
+    pipelineFor(key, Seq(args)).head
 
-  /** Route a whole pipelined batch for ONE key to its owner node; on MOVED
-    * re-route and replay the entire batch — safe because a non-owner node
-    * rejects every command for the slot without mutating anything, so a
-    * batch either fully applies or fully bounces (the reference producer's
-    * redirect-and-retry, sea-streamer-redis/src/producer.rs:428-507).
+  private val AskingCmd: Seq[Array[Byte]] =
+    Seq("ASKING".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Route a whole pipelined batch for ONE key to its owner node. On a
+    * redirect, ONLY the suffix from the first bounced command replays —
+    * commands before the bounce already applied on the old owner, and
+    * replaying them would duplicate stream entries when a slot migrates
+    * mid-pipeline. `ASK` (migration in flight) re-sends the suffix to the
+    * named node with the required per-command ASKING handshake and does
+    * not poison the owner cache; `MOVED` (migration settled) updates it.
+    * (The reference producer's redirect-and-retry loop,
+    * sea-streamer-redis/src/producer.rs:428-507.)
     */
   def pipelineFor(key: String,
       commands: Seq[Seq[Array[Byte]]]): Seq[Resp.Value] = {
     var node = routeFor(key)
     var redirects = 0
-    var result: Option[Seq[Resp.Value]] = None
-    while (result.isEmpty) {
-      val replies = clientFor(node).pipelineRaw(commands)
-      val moved = replies.collectFirst {
-        case Resp.Err(m) if movedTarget(m).isDefined => movedTarget(m).get
+    var asking = false
+    var pending = commands
+    val acc = Seq.newBuilder[Resp.Value]
+    def settle(v: Resp.Value): Resp.Value = v match {
+      case Resp.Err(m) => throw RedisClient.RedisError(m)
+      case ok => ok
+    }
+    while (pending.nonEmpty) {
+      val wire = if (asking) pending.flatMap(c => Seq(AskingCmd, c)) else pending
+      val raw = clientFor(node).pipelineRaw(wire)
+      val replies =
+        if (asking) raw.grouped(2).map(_.last).toSeq else raw
+      val bounce = replies.indexWhere {
+        case Resp.Err(m) => movedTarget(m).isDefined
+        case _ => false
       }
-      moved match {
-        case None =>
-          owner(key) = node
-          result = Some(replies.map {
-            case Resp.Err(m) => throw RedisClient.RedisError(m)
-            case v => v
-          })
-        case Some(target) if redirects < MaxRedirects =>
-          owner(key) = target
-          node = target
-          redirects += 1
-        case Some(target) =>
-          throw RedisClient.RedisError(
-            s"MOVED retry limit hit routing $key to $target")
+      if (bounce < 0) {
+        acc ++= replies.map(settle)
+        if (!asking) owner(key) = node
+        pending = Seq.empty
+      } else {
+        acc ++= replies.take(bounce).map(settle)
+        val msg = replies(bounce) match { case Resp.Err(m) => m; case _ => "" }
+        val target = movedTarget(msg).get
+        // loop bound exhausted: surface the server's own MOVED/ASK error
+        if (redirects >= MaxRedirects) throw RedisClient.RedisError(msg)
+        asking = msg.startsWith("ASK")
+        if (!asking) owner(key) = target
+        node = target
+        redirects += 1
+        pending = pending.drop(bounce)
       }
     }
-    result.get
+    acc.result()
   }
 
   /** MOVED reply: `MOVED <slot> <host>:<port>`. */

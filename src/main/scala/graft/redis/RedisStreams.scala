@@ -70,6 +70,16 @@ object RedisStreams {
   def seekAfterId(timestampMs: Long): String =
     s"$timestampMs-${Long.MaxValue}"
 
+  /** The largest id strictly below `id` — an exclusive-after clamp that
+    * INCLUDES `id` itself ("0-0" floors; no real entry id is 0-0).
+    */
+  def idPredecessor(id: String): String = {
+    val (ms, seq) = parseEntryId(id)
+    if (seq > 0) s"$ms-${seq - 1}"
+    else if (ms > 0) s"${ms - 1}-${Long.MaxValue}"
+    else "0-0"
+  }
+
   // ---- command builders --------------------------------------------------
 
   /** `XADD key <ms>-* field payload` — auto-assigned sub-sequence, the

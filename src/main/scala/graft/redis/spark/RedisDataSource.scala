@@ -254,21 +254,51 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
     case _ => Seq.empty
   }
 
+  private def baseStarts(): Map[String, String] = startingTimestamp match {
+    case Some(ms) =>
+      keys.map { case (k, _, _) => k -> RedisStreams.seekAfterId(ms) }.toMap
+    case None if latest => tips()
+    case None => keys.map { case (k, _, _) => k -> "0-0" }.toMap
+  }
+
   override def initialOffset(): Offset = {
     group.foreach(initGroup)
-    val ids: Map[String, String] =
-      if (group.isDefined)
-        // group mode: delivery is cursor/PEL-driven; the offset is only the
-        // batch clamp, so every key starts at the epoch
-        keys.map { case (k, _, _) => k -> "0-0" }.toMap
-      else startingTimestamp match {
-        case Some(ms) =>
-          keys.map { case (k, _, _) => k -> RedisStreams.seekAfterId(ms) }.toMap
-        case None if latest => tips()
-        case None => keys.map { case (k, _, _) => k -> "0-0" }.toMap
-      }
+    val ids: Map[String, String] = group match {
+      case None => baseStarts()
+      case Some(g) =>
+        // group mode: delivery is cursor/PEL-driven and the offset is only
+        // the batch CLAMP — but the clamp must (1) not start at the epoch
+        // when the cursor is at the tip, or a capped consumer would crawl
+        // the whole dead prefix in empty batches before any live entry, and
+        // (2) still sit below the oldest pending entry, so re-deliveries
+        // (claims, resumes) fall inside the first batch's range
+        val base = baseStarts()
+        val pendingMin = pendingMinIds(g)
+        keys.map { case (k, _, _) =>
+          val b = base(k)
+          k -> (pendingMin.get(k) match {
+            case Some(minId) if RedisStreams.idCompare(minId, b) <= 0 =>
+              RedisStreams.idPredecessor(minId)
+            case _ => b
+          })
+        }.toMap
+    }
     RedisOffset(ids)
   }
+
+  /** Oldest pending (unacked) entry id per key, any consumer (XPENDING
+    * summary) — the floor the initial clamp must sit under.
+    */
+  private def pendingMinIds(g: String): Map[String, String] =
+    byNode(keys) { (client, ks) =>
+      val rs = client.pipelineRaw(ks.map { case (k, _, _) =>
+        RedisStreams.xpending(k, g)
+      })
+      ks.zip(rs).collect {
+        case ((k, _, _), Resp.Arr(Resp.Num(n) +: (minId: Resp.Bulk) +: _))
+          if n > 0 => k -> minId.utf8
+      }
+    }.toMap
 
   /** Create the group everywhere (BUSYGROUP = resume) and claim the WHOLE
     * pending backlog to this consumer, so deliveries stranded in a dead
@@ -365,7 +395,9 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
       return keys.map { case (k, _, _) =>
         k -> after.getOrElse(k, "0-0")
       }.toMap
-    val perKey = math.max(1L, maxRows / active.size).toInt
+    val perKey = // clamp: a huge "effectively unlimited" cap must not
+      // overflow into a negative XRANGE COUNT
+      math.min(Int.MaxValue.toLong, math.max(1L, maxRows / active.size)).toInt
     val resolved = byNode(active) { (client, ks) =>
       val replies = client.pipeline(ks.map { case (k, _, _) =>
         val a = after.getOrElse(k, "0-0")
@@ -448,7 +480,13 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
   *      overshooting page's tail stays pending (unemitted, unacked) and
   *      re-enters via step 1 of the next batch.
   * A replayed epoch re-reads its exact deliveries from the PEL in step 1 —
-  * deterministic replay without rewinding the group cursor.
+  * deterministic replay without rewinding the group cursor. Sequential task
+  * RETRIES are covered the same way (the retry finds the failed attempt's
+  * fetches in its own PEL). CAVEAT: group mode requires speculative
+  * execution to stay OFF (Spark's default) — two live attempts of one task
+  * would split `>` pages between them and the loser's fetches could be
+  * acked unseen by the next batch; the offset-clamped XRANGE mode (no
+  * `group`) has no such constraint, which is why it is the default.
   */
 class RedisPartitionReader(p: RedisInputPartition)
     extends PartitionReader[InternalRow] {

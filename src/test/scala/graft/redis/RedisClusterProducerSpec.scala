@@ -113,3 +113,93 @@ class RedisClusterProducerSpec extends AnyFunSuite {
     } finally srv.close()
   }
 }
+
+/** Redirect edge semantics: a mid-pipeline slot migration must replay ONLY
+  * the bounced suffix (the applied prefix would otherwise duplicate), and
+  * ASK re-routes one-shot with the ASKING handshake without poisoning the
+  * owner cache.
+  */
+class RedisRedirectEdgeSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import java.nio.charset.StandardCharsets.UTF_8
+
+  test("mid-pipeline MOVED: applied prefix never replays, suffix lands once") {
+    val a = new EmbeddedRedis
+    val b = new EmbeddedRedis
+    try {
+      // `a` accepts 6 XADDs to key k then answers MOVED to `b`
+      a.bounceAfter = Map("k" -> (6, s"${b.host}:${b.port}"))
+      val cc = new RedisClusterClient(Seq((a.host, a.port)))
+      try {
+        val replies = cc.pipelineFor("k", (0 until 10).map(i =>
+          RedisStreams.xadd("k", 1000L + i, s"m$i".getBytes(UTF_8))))
+        assert(replies.size == 10)
+        assert(a.entries("k").size == 6)
+        assert(b.entries("k").size == 4, "only the bounced suffix replays")
+        val all = (a.entries("k") ++ b.entries("k"))
+          .map(e => new String(e._2.head._2, UTF_8))
+        assert(all.sorted == (0 until 10).map(i => s"m$i").sorted,
+          "no duplicates, no losses")
+        assert(cc.ownerOf("k").contains((b.host, b.port)))
+      } finally cc.close()
+    } finally { a.close(); b.close() }
+  }
+
+  test("ASK: suffix re-sends with ASKING, owner cache stays unpoisoned") {
+    val a = new EmbeddedRedis
+    val b = new EmbeddedRedis
+    try {
+      a.askRedirects = Map("k" -> s"${b.host}:${b.port}")
+      val cc = new RedisClusterClient(Seq((a.host, a.port)))
+      try {
+        val replies = cc.pipelineFor("k", (0 until 5).map(i =>
+          RedisStreams.xadd("k", 2000L + i, s"a$i".getBytes(UTF_8))))
+        assert(replies.size == 5)
+        assert(b.entries("k").size == 5)
+        // ASK is one-shot: the cache must NOT now claim b owns k
+        assert(!cc.ownerOf("k").contains((b.host, b.port)))
+      } finally cc.close()
+    } finally { a.close(); b.close() }
+  }
+}
+
+/** group + startingOffsets=latest must anchor the clamp at the tip — a
+  * capped consumer cannot crawl a deep dead prefix in empty batches before
+  * the first live entry (while still keeping pending re-deliveries inside
+  * the first batch's range).
+  */
+class RedisGroupLatestSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import java.nio.charset.StandardCharsets.UTF_8
+  private lazy val spark = graft.TestSession.spark
+
+  test("latest group consumer skips the dead prefix in O(1) batches") {
+    val srv = new EmbeddedRedis
+    try {
+      val c = new RedisClient(srv.host, srv.port)
+      try (0 until 5000).grouped(500).foreach { chunk =>
+        c.pipeline(chunk.map(i =>
+          RedisStreams.xadd("gl", 9000L + i, s"old$i".getBytes(UTF_8))))
+      } finally c.close()
+      val q = spark.readStream.format("redis-stream")
+        .option("host", srv.host).option("port", srv.port.toString)
+        .option("streams", "gl")
+        .option("group", "glg").option("startingOffsets", "latest")
+        .option("maxEntriesPerTrigger", "100")
+        .load()
+        .writeStream.outputMode("append")
+        .format("memory").queryName("redis_gl_sink").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("redis_gl_sink").count() == 0) // latest: no backlog
+        val crawl = q.recentProgress.length
+        assert(crawl <= 3, s"clamp crawled the dead prefix in $crawl batches")
+        // live entries flow immediately
+        val c2 = new RedisClient(srv.host, srv.port)
+        try c2.pipeline((0 until 50).map(i =>
+          RedisStreams.xadd("gl", 20000L + i, s"new$i".getBytes(UTF_8))))
+        finally c2.close()
+        q.processAllAvailable()
+        assert(spark.table("redis_gl_sink").count() == 50)
+      } finally q.stop()
+    } finally srv.close()
+  }
+}
