@@ -108,7 +108,10 @@ object StreamJoin {
     val alignKeys = align.toIndexedSeq
     // state is an opaque per-group blob: a Kryo encoder serializes the
     // queue map in one binary column instead of a deeply nested product
-    // encoder whose generated (de)serializer dominates first-run latency
+    // encoder whose generated (de)serializer dominates first-run latency.
+    // NOTE: this fixes the checkpointed state FORMAT — checkpoints written
+    // by builds that used the product encoder cannot resume on this one
+    // (start such queries from a fresh checkpoint)
     implicit val stateEnc: Encoder[FuseState] =
       org.apache.spark.sql.Encoders.kryo[FuseState]
     muxed

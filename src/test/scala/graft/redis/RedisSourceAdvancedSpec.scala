@@ -422,3 +422,43 @@ class RedisOffsetCodecSpec extends AnyFunSuite {
     }
   }
 }
+
+/** Scale-shape guards: the redis read paths must fan out one Spark
+  * partition per (stream, shard) key — the unit that makes 32k shard keys
+  * parallelize across a cluster instead of funneling.
+  */
+class RedisPlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  test("boundedRead plans exactly one partition per shard key") {
+    val srv = new EmbeddedRedis
+    try {
+      val shards = (0 until 3).flatMap(st => (0L until 4L).map(sh => (s"ps$st", sh)))
+      val df = RedisSource.boundedRead(spark, srv.host, srv.port, shards)
+      assert(df.rdd.getNumPartitions == 12)
+    } finally srv.close()
+  }
+
+  test("micro-batch planning yields one input partition per key with backlog") {
+    val srv = new EmbeddedRedis
+    try {
+      val c = new RedisClient(srv.host, srv.port)
+      try (0 until 6).foreach { sh =>
+        c.pipeline((0 until 5).map(i =>
+          RedisStreams.xadd(s"mb:$sh", 4000L + i, s"x$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+      } finally c.close()
+      import org.apache.spark.sql.util.CaseInsensitiveStringMap
+      val opts = new java.util.HashMap[String, String]()
+      opts.put("host", srv.host); opts.put("port", srv.port.toString)
+      opts.put("streams", "mb"); opts.put("shards", "6")
+      val stream = new graft.redis.spark.RedisMicroBatchStream(
+        new CaseInsensitiveStringMap(opts))
+      val start = stream.initialOffset()
+      val end = stream.latestOffset(start,
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+      val parts = stream.planInputPartitions(start, end)
+      assert(parts.length == 6, "one partition per shard key")
+      stream.stop()
+    } finally srv.close()
+  }
+}
