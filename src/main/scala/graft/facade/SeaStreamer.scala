@@ -125,7 +125,12 @@ object SeaStreamer {
         * (consumer.rs:77-85). Redis reads exactly those shard keys; other
         * backends apply the equivalent shard filter.
         */
-      assignShards: Option[Seq[(String, Long)]] = None)
+      assignShards: Option[Seq[(String, Long)]] = None,
+      /** Redis: discover each stream's `stream:N` shard keys by SCAN
+        * instead of trusting `redisShards` (the reference consumer's
+        * discovery sweep, consumer/shard.rs:38-93).
+        */
+      discoverShards: Boolean = false)
 
   def connect(uri: String, spark: SparkSession): Connection = {
     val streamer = StreamerUri.parse(uri)
@@ -307,6 +312,7 @@ object SeaStreamer {
               .option("host", host).option("port", port.toString)
               .option("streams", subscribe)
               .option("shards", opts.redisShards.toString)
+              .option("discoverShards", opts.discoverShards.toString)
               .options(opts.assignShards
                 .map(pairs => Map("assign" -> pairs.map { case (st, sh) =>
                   graft.redis.RedisStreams.shardedKey(st, sh, sharded)
@@ -326,15 +332,29 @@ object SeaStreamer {
               .map(ms => withGroup.option("startingTimestamp", ms.toString))
               .getOrElse(withGroup.option("startingOffsets", reset))
               .load()
-          } else
-            graft.redis.RedisSource.boundedRead(spark, host, port,
-              opts.assignShards.getOrElse(
-                streams.flatMap(st => (0L until opts.redisShards.toLong)
-                  .map(sh => (st, sh)))),
-              sharded = sharded,
-              afterMs = pushMs,
-              clusterSeeds =
-                if (streamer.nodes.size > 1) Some(redisSeeds) else None)
+          } else {
+            val seeds =
+              if (streamer.nodes.size > 1) Some(redisSeeds) else None
+            if (opts.discoverShards && opts.assignShards.isEmpty) {
+              // SCAN each node for the streams' shard keys, then read them
+              val found = seeds.getOrElse(Seq((host, port)))
+                .flatMap { case (h, p) =>
+                  val c = new graft.redis.RedisClient(h, p)
+                  try streams.flatMap(st =>
+                    graft.redis.RedisStreams.discoverShardKeys(c, st))
+                  finally c.close()
+                }.distinct.sortBy(_._1)
+              graft.redis.RedisSource.boundedReadKeys(spark, host, port,
+                found, afterMs = pushMs, clusterSeeds = seeds)
+            } else
+              graft.redis.RedisSource.boundedRead(spark, host, port,
+                opts.assignShards.getOrElse(
+                  streams.flatMap(st => (0L until opts.redisShards.toLong)
+                    .map(sh => (st, sh)))),
+                sharded = sharded,
+                afterMs = pushMs,
+                clusterSeeds = seeds)
+          }
         case "stdio" =>
           // distributed stdin does not exist: Replay = text file of lines
           if (opts.live) throw SeaStreamErr.Unsupported(

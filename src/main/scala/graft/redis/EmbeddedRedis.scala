@@ -298,6 +298,19 @@ final class EmbeddedRedis(
             Resp.Num((before - buf.length).toLong)
           }
         }
+      case "SCAN" =>
+        // SCAN cursor [MATCH pat] [COUNT n] [TYPE t] — answers in one page
+        // (cursor always returns 0); every key here is a stream
+        val rendered = args.map(new String(_, UTF_8))
+        val pat = rendered.indexOf("MATCH") match {
+          case -1 => "*"
+          case i => rendered(i + 1)
+        }
+        val rx = pat.split("\\*", -1)
+          .map(java.util.regex.Pattern.quote).mkString(".*")
+        val ks = streams.keySet.asScala.toSeq.filter(_.matches(rx)).sorted
+        Resp.Arr(Seq(Resp.Bulk("0".getBytes(UTF_8)),
+          Resp.Arr(ks.map(k => Resp.Bulk(k.getBytes(UTF_8))))))
       case "PING" => Resp.Simple("PONG")
       case other => Resp.Err(s"ERR unknown command '$other'")
     }

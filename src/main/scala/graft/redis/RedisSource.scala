@@ -53,11 +53,24 @@ object RedisSource {
   def boundedRead(spark: SparkSession, host: String, port: Int,
       shards: Seq[(String, Long)], sharded: Boolean = true,
       batch: Int = 1000, afterMs: Option[Long] = None,
+      clusterSeeds: Option[Seq[(String, Int)]] = None): DataFrame =
+    boundedReadKeys(spark, host, port,
+      shards.map { case (st, sh) =>
+        (RedisStreams.shardedKey(st, sh, sharded), st, sh)
+      }, batch, afterMs, clusterSeeds)
+
+  /** [[boundedRead]] over EXPLICIT redis keys — the shape SCAN-based shard
+    * discovery produces (key names already known, shard parsed from the
+    * suffix).
+    */
+  def boundedReadKeys(spark: SparkSession, host: String, port: Int,
+      keys: Seq[(String, String, Long)],
+      batch: Int = 1000, afterMs: Option[Long] = None,
       clusterSeeds: Option[Seq[(String, Int)]] = None): DataFrame = {
     import spark.implicits._
     val sc = spark.sparkContext
     val afterId = afterMs.map(RedisStreams.seekAfterId).getOrElse("0-0")
-    sc.parallelize(shards, math.max(1, shards.size)).mapPartitions { it =>
+    sc.parallelize(keys, math.max(1, keys.size)).mapPartitions { it =>
       // cluster: resolve each key's owner once per task (slot-map
       // bootstrap); a mid-scan rebalance would need a reconnect — rare
       // enough that the task retry is the recovery path
@@ -65,8 +78,7 @@ object RedisSource {
         val cc = new RedisClusterClient(seeds)
         try cc.bootstrapSlots() finally cc.close()
       }
-      it.flatMap { case (stream, shard) =>
-        val key = RedisStreams.shardedKey(stream, shard, sharded)
+      it.flatMap { case (key, stream, shard) =>
         val (h, p) = slotMap.flatMap(_.owner(key)).getOrElse((host, port))
         val client = new RedisClient(h, p)
         val scan = pagedScan(client, key, stream, shard, batch,

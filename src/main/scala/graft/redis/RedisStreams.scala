@@ -132,6 +132,43 @@ object RedisStreams {
   def xpending(key: String, group: String): Seq[Array[Byte]] =
     Seq(b("XPENDING"), b(key), b(group))
 
+  /** `SCAN cursor MATCH pat COUNT n TYPE stream` — the reference's shard
+    * discovery sweep (sea-streamer-redis/src/consumer/shard.rs:38-93).
+    */
+  def scan(cursor: String, matchPattern: String,
+      count: Int = 1000): Seq[Array[Byte]] =
+    Seq(b("SCAN"), b(cursor), b("MATCH"), b(matchPattern),
+      b("COUNT"), b(count.toString), b("TYPE"), b("stream"))
+
+  /** Discover a stream's shard keys (`stream:N` plus the bare key) by
+    * cursor-following SCAN; returns (redisKey, stream, shard) triples.
+    */
+  def discoverShardKeys(client: RedisClient,
+      stream: String): Seq[(String, String, Long)] = {
+    val found = Seq.newBuilder[String]
+    var cursor = "0"
+    var first = true
+    while (first || cursor != "0") {
+      first = false
+      client.command(scan(cursor, s"$stream*"): _*) match {
+        case Resp.Arr(Seq(next: Resp.Bulk, Resp.Arr(ks))) =>
+          cursor = next.utf8
+          found ++= ks.collect { case k: Resp.Bulk => k.utf8 }
+        case other =>
+          throw new IllegalArgumentException(s"bad SCAN reply: $other")
+      }
+    }
+    found.result().distinct.sorted.flatMap {
+      case k if k == stream => Some((k, stream, 0L))
+      case k if k.startsWith(stream + ":") =>
+        val tail = k.substring(stream.length + 1)
+        if (tail.nonEmpty && tail.forall(_.isDigit))
+          Some((k, stream, tail.toLong))
+        else None // unrelated key sharing the prefix
+      case _ => None
+    }
+  }
+
   /** `XTRIM key MAXLEN ~ n` — approximate, like the reference
     * (producer.rs:168-218).
     */

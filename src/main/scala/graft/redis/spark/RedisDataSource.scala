@@ -198,9 +198,27 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
   private def nodeFor(key: String): (String, Int) =
     slotMap.flatMap(_.owner(key)).getOrElse(seeds.head)
 
+  /** `discoverShards` finds each stream's `stream:N` keys by SCAN instead
+    * of trusting a configured count — the reference consumer's discovery
+    * sweep (consumer/shard.rs:38-93). Refreshed once per trigger, so shards
+    * added while the query runs start flowing from their beginning on the
+    * next micro-batch.
+    */
+  private val discover = options.getBoolean("discoverShards", false)
+  @volatile private var discovered: Seq[(String, String, Long)] = Seq.empty
+  private def refreshDiscovery(): Unit = if (discover) {
+    val found = seeds.flatMap { case (h, p) =>
+      val c = new RedisClient(h, p)
+      try streams.flatMap(st => RedisStreams.discoverShardKeys(c, st))
+      finally c.close()
+    }.distinct.sortBy(_._1)
+    discovered = found
+  }
+
   private def keys: Seq[(String, String, Long)] =
     assigned.getOrElse(
-      streams.flatMap(st => (0L until shards.toLong).map(sh =>
+      if (discover) discovered
+      else streams.flatMap(st => (0L until shards.toLong).map(sh =>
         (RedisStreams.shardedKey(st, sh, shards > 1), st, sh))))
 
   /** Run `f` once per owner node with that node's keys — one pipelined
@@ -262,6 +280,7 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
   }
 
   override def initialOffset(): Offset = {
+    refreshDiscovery()
     group.foreach(initGroup)
     val ids: Map[String, String] = group match {
       case None => baseStarts()
@@ -372,6 +391,7 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
     * most `maxEntriesPerTrigger` entries per trigger (its own batch bound).
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    refreshDiscovery()
     val after = start.asInstanceOf[RedisOffset].ids
     maybeClaim(after)
     val ends = limit match {

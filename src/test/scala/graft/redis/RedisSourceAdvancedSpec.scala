@@ -462,3 +462,67 @@ class RedisPlanShapeSpec extends AnyFunSuite {
     } finally srv.close()
   }
 }
+
+/** SCAN-based shard discovery (the reference consumer's sweep,
+  * consumer/shard.rs:38-93): consumers find `stream:N` keys without being
+  * told the shard count, ignore unrelated keys sharing the prefix, and the
+  * live source picks up shards created mid-run.
+  */
+class RedisShardDiscoverySpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  import graft.facade.SeaStreamer
+  import graft.facade.SeaStreamer.ConsumerOptions
+
+  private def fill(srv: EmbeddedRedis, key: String, tag: String, n: Int): Unit = {
+    val c = new RedisClient(srv.host, srv.port)
+    try c.pipeline((0 until n).map(i =>
+      RedisStreams.xadd(key, 6000L + i, s"$tag$i".getBytes(UTF_8))))
+    finally c.close()
+  }
+
+  test("replay discovers shard keys by SCAN, skipping prefix-sharing decoys") {
+    import spark.implicits._
+    val srv = new EmbeddedRedis
+    try {
+      (0 until 3).foreach(sh => fill(srv, s"ev:$sh", s"s$sh-", 10))
+      fill(srv, "ev", "bare-", 5)       // bare key = shard 0 too
+      fill(srv, "ev:notashard", "x", 3) // non-numeric suffix: ignored
+      fill(srv, "evother", "y", 3)      // different stream: ignored
+      val conn = SeaStreamer.connect(s"redis://${srv.host}:${srv.port}", spark)
+      val got = conn.createConsumer(Seq("ev"), ConsumerOptions(live = false,
+        discoverShards = true))
+        .select($"payload".cast("string")).as[String].collect().toSet
+      val want = (0 until 3).flatMap(sh => (0 until 10).map(i => s"s$sh-$i"))
+        .toSet ++ (0 until 5).map(i => s"bare-$i")
+      assert(got == want)
+    } finally srv.close()
+  }
+
+  test("live source discovers NEW shards between micro-batches") {
+    import spark.implicits._
+    val srv = new EmbeddedRedis
+    try {
+      fill(srv, "dy:0", "a", 10)
+      val q = spark.readStream.format("redis-stream")
+        .option("host", srv.host).option("port", srv.port.toString)
+        .option("streams", "dy").option("discoverShards", "true")
+        .option("startingOffsets", "earliest")
+        .load()
+        .writeStream.outputMode("append")
+        .format("memory").queryName("redis_disc_sink").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("redis_disc_sink").count() == 10)
+        // a shard that did not exist at stream start appears mid-run
+        fill(srv, "dy:1", "b", 7)
+        q.processAllAvailable()
+        val got = spark.table("redis_disc_sink")
+          .select($"payload".cast("string")).as[String].collect().toSet
+        assert(got == ((0 until 10).map(i => s"a$i") ++
+          (0 until 7).map(i => s"b$i")).toSet)
+        assert(spark.table("redis_disc_sink")
+          .select("shard_id").distinct().count() == 2)
+      } finally q.stop()
+    } finally srv.close()
+  }
+}
