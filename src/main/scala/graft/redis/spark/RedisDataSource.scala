@@ -439,14 +439,37 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
       "RedisMicroBatchStream implements SupportsAdmissionControl; " +
         "Spark calls latestOffset(start, limit)")
 
+  /** `stream:shard` key back to its (stream, shard) identity — stream
+    * names cannot contain ':' (the reference key charset), so a trailing
+    * all-digit segment is always OUR shard suffix.
+    */
+  private def keyIdentity(k: String): (String, String, Long) =
+    k.lastIndexOf(':') match {
+      case i if i > 0 && k.substring(i + 1).nonEmpty &&
+        k.substring(i + 1).forall(_.isDigit) =>
+        (k, k.substring(0, i), k.substring(i + 1).toLong)
+      case _ => (k, k, 0L)
+    }
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[RedisOffset].ids
     val e = end.asInstanceOf[RedisOffset].ids
+    // Plan the keys the OFFSETS name, not whatever the current sweep says:
+    // after a checkpoint restart Spark replays the last batch straight
+    // through planInputPartitions — with discovery that sweep hasn't run
+    // yet, and planning from a fresh sweep could silently drop a logged
+    // key's range. The offset map IS the authoritative key set.
+    val planKeys: Seq[(String, String, Long)] =
+      if (assigned.isDefined) keys // explicit identities (bare-key shards)
+      else {
+        val fromOffsets = (e.keySet ++ s.keySet).toSeq.sorted.map(keyIdentity)
+        if (fromOffsets.nonEmpty) fromOffsets else keys
+      }
     // group mode: a key with pending re-deliveries must be planned even when
     // its tip hasn't moved (claimed entries sit at/below the tip)
     val pendingKeys: Set[String] = group match {
       case Some(g) =>
-        byNode(keys) { (client, ks) =>
+        byNode(planKeys) { (client, ks) =>
           val rs = client.pipelineRaw(ks.map { case (k, _, _) =>
             RedisStreams.xpending(k, g)
           })
@@ -456,7 +479,7 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
         }.toSet
       case None => Set.empty
     }
-    keys.flatMap { case (k, stream, shard) =>
+    planKeys.flatMap { case (k, stream, shard) =>
       val after = s.getOrElse(k, "0-0")
       val until = e.getOrElse(k, after)
       if (after == until && !pendingKeys.contains(k)) None

@@ -526,3 +526,45 @@ class RedisShardDiscoverySpec extends AnyFunSuite {
     } finally srv.close()
   }
 }
+
+/** Restart-replay determinism with discovery: a replayed batch reaches
+  * planInputPartitions on a FRESH stream instance before any sweep ran —
+  * the plan must come from the logged offsets, never an empty (or changed)
+  * discovery state.
+  */
+class RedisDiscoveryRestartSpec extends AnyFunSuite {
+  test("a fresh instance replays a logged batch purely from its offsets") {
+    val srv = new EmbeddedRedis
+    try {
+      val c = new RedisClient(srv.host, srv.port)
+      try (0 until 2).foreach(sh =>
+        c.pipeline((0 until 8).map(i =>
+          RedisStreams.xadd(s"rr:$sh", 7000L + i, s"p$sh-$i".getBytes(UTF_8)))))
+      finally c.close()
+      import org.apache.spark.sql.util.CaseInsensitiveStringMap
+      def stream() = {
+        val opts = new java.util.HashMap[String, String]()
+        opts.put("host", srv.host); opts.put("port", srv.port.toString)
+        opts.put("streams", "rr"); opts.put("discoverShards", "true")
+        new graft.redis.spark.RedisMicroBatchStream(
+          new CaseInsensitiveStringMap(opts))
+      }
+      // original run: discover, plan a batch, checkpoint its offsets as json
+      val s1 = stream()
+      val start = s1.initialOffset()
+      val end = s1.latestOffset(start,
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+      val (startJson, endJson) = (start.json(), end.json())
+      s1.stop()
+      // restart: Spark hands the logged offsets straight to a NEW instance
+      val s2 = stream()
+      val parts = s2.planInputPartitions(
+        s2.deserializeOffset(startJson), s2.deserializeOffset(endJson))
+      s2.stop()
+      assert(parts.length == 2, "replayed batch must plan every logged key")
+      val ids = parts.map(_.asInstanceOf[graft.redis.spark.RedisInputPartition])
+        .map(p => (p.key, p.stream, p.shard)).toSet
+      assert(ids == Set(("rr:0", "rr", 0L), ("rr:1", "rr", 1L)))
+    } finally srv.close()
+  }
+}
