@@ -165,6 +165,11 @@ object SeaStreamer {
         if (k != Envelope.SeaStreamerWildcard && !Envelope.isValidStreamKey(k))
           throw SeaStreamErr.InvalidStreamKey(k)
       }
+      opts.assignShards.foreach(_.foreach { case (st, _) =>
+        if (!streams.contains(st) &&
+          !streams.contains(Envelope.SeaStreamerWildcard))
+          throw SeaStreamErr.StreamKeyNotFound(st) // assign ⊆ subscription
+      })
       opts.mode match {
         case ConsumerMode.RealTime =>
           if (opts.group.isDefined) throw SeaStreamErr.ConsumerGroupIsSet
@@ -336,13 +341,24 @@ object SeaStreamer {
             val seeds =
               if (streamer.nodes.size > 1) Some(redisSeeds) else None
             if (opts.discoverShards && opts.assignShards.isEmpty) {
-              // SCAN each node for the streams' shard keys, then read them
-              val found = seeds.getOrElse(Seq((host, port)))
+              // SCAN every master for the streams' shard keys (the slot map
+              // usually knows more nodes than the seed list), then read them
+              val sweepNodes = seeds.map { ss =>
+                val cc = new graft.redis.RedisClusterClient(ss)
+                try {
+                  val m = try Some(cc.bootstrapSlots())
+                          catch { case scala.util.control.NonFatal(_) => None }
+                  m.filterNot(_.isEmpty).map(_.nodes).getOrElse(ss)
+                } finally cc.close()
+              }.getOrElse(Seq((host, port)))
+              val found = sweepNodes
                 .flatMap { case (h, p) =>
-                  val c = new graft.redis.RedisClient(h, p)
-                  try streams.flatMap(st =>
-                    graft.redis.RedisStreams.discoverShardKeys(c, st))
-                  finally c.close()
+                  graft.redis.RedisClient.retrying() {
+                    val c = new graft.redis.RedisClient(h, p)
+                    try streams.flatMap(st =>
+                      graft.redis.RedisStreams.discoverShardKeys(c, st))
+                    finally c.close()
+                  }
                 }.distinct.sortBy(_._1)
               graft.redis.RedisSource.boundedReadKeys(spark, host, port,
                 found, afterMs = pushMs, clusterSeeds = seeds)
@@ -565,15 +581,27 @@ object SeaStreamer {
         cmd: String => Seq[Array[Byte]]): Long = {
       if (scheme != "redis")
         throw SeaStreamErr.Unsupported(s"stream trim on '$scheme' (use ss.SsAdmin for file stores)")
-      val (host, port) = SeaStreamer.hostPort(node, 6379)
-      val client = new graft.redis.RedisClient(host, port)
-      try (0L until shards.toLong).map { sh =>
-        val key = graft.redis.RedisStreams.shardedKey(stream, sh, shards > 1)
-        client.command(cmd(key): _*) match {
-          case graft.redis.Resp.Num(n) => n
-          case other => throw new IllegalArgumentException(s"bad XTRIM reply: $other")
-        }
-      }.sum finally client.close()
+      def num(v: graft.redis.Resp.Value): Long = v match {
+        case graft.redis.Resp.Num(n) => n
+        case other => throw new IllegalArgumentException(s"bad XTRIM reply: $other")
+      }
+      val keys = (0L until shards.toLong).map(sh =>
+        graft.redis.RedisStreams.shardedKey(stream, sh, shards > 1))
+      if (nodes.size > 1) {
+        // cluster: route each shard key to its slot owner like the writes do
+        val cc = new graft.redis.RedisClusterClient(
+          nodes.map(SeaStreamer.hostPort(_, 6379)))
+        try {
+          try cc.bootstrapSlots()
+          catch { case scala.util.control.NonFatal(_) => () }
+          keys.map(key => num(cc.command(key, cmd(key): _*))).sum
+        } finally cc.close()
+      } else {
+        val (host, port) = SeaStreamer.hostPort(node, 6379)
+        val client = new graft.redis.RedisClient(host, port)
+        try keys.map(key => num(client.command(cmd(key): _*))).sum
+        finally client.close()
+      }
     }
 
     /** Bounded send of an envelope DataFrame. */

@@ -196,6 +196,9 @@ final class EmbeddedRedis(
         val key = rendered(si + 1)
         val idArg = rendered(si + 2)
         val gk = s"$key/$g"
+        if (!groupCursor.containsKey(gk))
+          return Resp.Err(
+            s"NOGROUP No such consumer group '$g' for key name '$key'")
         val p = pel.computeIfAbsent(gk, _ => new ConcurrentHashMap[String, PelEntry]())
         val delivered: Seq[(String, Seq[(String, Array[Byte])])] =
           if (idArg == ">") {
@@ -231,6 +234,9 @@ final class EmbeddedRedis(
         val minIdle = s(4).toLong
         val start = if (args.length > 5) s(5) else "0-0"
         val gk = s"$key/$g"
+        if (!groupCursor.containsKey(gk))
+          return Resp.Err(
+            s"NOGROUP No such consumer group '$g' for key name '$key'")
         val now = System.currentTimeMillis()
         val p = pel.computeIfAbsent(gk, _ => new ConcurrentHashMap[String, PelEntry]())
         val claimed = entries(key).filter { case (id, _) =>
@@ -249,6 +255,9 @@ final class EmbeddedRedis(
       case "XPENDING" =>
         // summary form: [count, min-id, max-id, [[consumer, count]...]]
         val gk = s"${s(1)}/${s(2)}"
+        if (!groupCursor.containsKey(gk))
+          return Resp.Err(
+            s"NOGROUP No such consumer group '${s(2)}' for key name '${s(1)}'")
         val p = Option(pel.get(gk)).map(_.asScala.toMap).getOrElse(Map.empty)
         if (p.isEmpty)
           Resp.Arr(Seq(Resp.Num(0L), Resp.NullBulk, Resp.NullBulk,

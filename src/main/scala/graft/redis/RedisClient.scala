@@ -58,4 +58,23 @@ final class RedisClient(host: String, port: Int,
 
 object RedisClient {
   final case class RedisError(msg: String) extends RuntimeException(msg)
+
+  /** Bounded retry with short backoff for DRIVER-side calls, which have no
+    * task-retry safety net (a blip in offset planning must not kill a
+    * query) — the reference consumer's reconnect loop (node.rs:299-310),
+    * bounded so a dead broker still surfaces quickly.
+    */
+  def retrying[T](attempts: Int = 3, backoffMs: Long = 100L)(f: => T): T = {
+    var attempt = 0
+    var out: Option[T] = None
+    while (out.isEmpty) {
+      try out = Some(f)
+      catch {
+        case _: java.io.IOException if attempt < attempts - 1 =>
+          attempt += 1
+          Thread.sleep(backoffMs << attempt)
+      }
+    }
+    out.get
+  }
 }

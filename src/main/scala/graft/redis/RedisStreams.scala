@@ -28,6 +28,30 @@ object RedisStreams {
   def shardedKey(stream: String, shard: Long, sharded: Boolean): String =
     if (sharded) s"$stream:$shard" else stream
 
+  /** A parseable OUR-format shard suffix: ASCII digits only (Char.isDigit
+    * accepts Unicode digits that toLong rejects) and within Long range.
+    */
+  private def shardSuffix(tail: String): Option[Long] =
+    if (tail.nonEmpty && tail.length <= 18 &&
+      tail.forall(c => c >= '0' && c <= '9')) Some(tail.toLong)
+    else None
+
+  /** Recover (redisKey, stream, shard) from a key name. Stream names cannot
+    * contain ':' (the reference charset, stream.rs:89-97), so a trailing
+    * shard suffix is unambiguous; anything else is a bare shard-0 key. The
+    * ONE place this parse lives — discovery, offsets and reply decoding all
+    * route here.
+    */
+  def keyIdentity(k: String): (String, String, Long) =
+    k.lastIndexOf(':') match {
+      case i if i > 0 =>
+        shardSuffix(k.substring(i + 1)) match {
+          case Some(sh) => (k, k.substring(0, i), sh)
+          case None => (k, k, 0L)
+        }
+      case _ => (k, k, 0L)
+    }
+
   def entryId(timestampMs: Long, subSeq: Long): String = s"$timestampMs-$subSeq"
 
   /** Split `"<ms>-<seq>"`; `sub_seq` saturates at 16 bits when packed. */
@@ -158,14 +182,11 @@ object RedisStreams {
           throw new IllegalArgumentException(s"bad SCAN reply: $other")
       }
     }
-    found.result().distinct.sorted.flatMap {
-      case k if k == stream => Some((k, stream, 0L))
-      case k if k.startsWith(stream + ":") =>
-        val tail = k.substring(stream.length + 1)
-        if (tail.nonEmpty && tail.forall(_.isDigit))
-          Some((k, stream, tail.toLong))
-        else None // unrelated key sharing the prefix
-      case _ => None
+    found.result().distinct.sorted.flatMap { k =>
+      keyIdentity(k) match {
+        case id @ (_, st, _) if st == stream => Some(id)
+        case _ => None // unrelated key sharing the prefix
+      }
     }
   }
 
@@ -216,15 +237,7 @@ object RedisStreams {
       field: String = DefaultMessageField): Seq[(String, Seq[(String, SeaMessage)])] = v match {
     case Resp.Arr(perStream) => perStream.map {
       case Resp.Arr(Seq(key: Resp.Bulk, entries)) =>
-        val redisKey = key.utf8
-        val (stream, shard) = redisKey.lastIndexOf(':') match {
-          case -1 => (redisKey, 0L)
-          case i =>
-            val tail = redisKey.substring(i + 1)
-            if (tail.nonEmpty && tail.forall(_.isDigit))
-              (redisKey.substring(0, i), tail.toLong)
-            else (redisKey, 0L)
-        }
+        val (redisKey, stream, shard) = keyIdentity(key.utf8)
         redisKey -> decodeEntriesWithIds(entries, stream, shard, field)
       case other =>
         throw new IllegalArgumentException(s"bad XREAD stream entry: $other")

@@ -130,12 +130,8 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
   private val assigned: Option[Seq[(String, String, Long)]] = {
     val v = options.get("assign")
     if (v == null || v.isEmpty) None
-    else Some(v.split(',').map(_.trim).filter(_.nonEmpty).toSeq.map { e =>
-      val i = e.lastIndexOf(':')
-      if (i > 0 && e.substring(i + 1).forall(_.isDigit))
-        (e, e.substring(0, i), e.substring(i + 1).toLong)
-      else (e, e, 0L)
-    })
+    else Some(v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      .map(RedisStreams.keyIdentity))
   }
   private val streams = Option(options.get("streams"))
     .orElse(assigned.map(_ => ""))
@@ -206,14 +202,37 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
     */
   private val discover = options.getBoolean("discoverShards", false)
   @volatile private var discovered: Seq[(String, String, Long)] = Seq.empty
-  private def refreshDiscovery(): Unit = if (discover) {
-    val found = seeds.flatMap { case (h, p) =>
-      val c = new RedisClient(h, p)
-      try streams.flatMap(st => RedisStreams.discoverShardKeys(c, st))
-      finally c.close()
-    }.distinct.sortBy(_._1)
-    discovered = found
-  }
+  @volatile private var groupedKeys: Set[String] = Set.empty
+  private def refreshDiscovery(): Unit =
+    if (discover && assigned.isEmpty) {
+      // sweep every master the slot map knows (a seed list is usually a
+      // subset of the cluster), with the same transient-IO retry as the
+      // rest of driver-side planning
+      val sweepNodes = slotMap.map(_.nodes).getOrElse(seeds)
+      val found = sweepNodes.flatMap { case (h, p) =>
+        RedisClient.retrying() {
+          val c = new RedisClient(h, p)
+          try streams.flatMap(st => RedisStreams.discoverShardKeys(c, st))
+          finally c.close()
+        }
+      }.distinct.sortBy(_._1)
+      discovered = found
+      // a shard created mid-run needs the group created before any reader
+      // issues XREADGROUP against it (real redis answers NOGROUP otherwise)
+      group.foreach { g =>
+        val fresh = found.filterNot { case (k, _, _) => groupedKeys.contains(k) }
+        if (fresh.nonEmpty) {
+          val from = if (latest && groupedKeys.isEmpty) "$" else "0"
+          byNode(fresh) { (client, ks) =>
+            client.pipelineRaw(ks.map { case (k, _, _) =>
+              RedisStreams.xgroupCreate(k, g, from)
+            })
+            Seq.empty[Unit]
+          }
+          groupedKeys ++= fresh.map(_._1)
+        }
+      }
+    }
 
   private def keys: Seq[(String, String, Long)] =
     assigned.getOrElse(
@@ -235,19 +254,10 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
       f: (RedisClient, Seq[(String, String, Long)]) => Seq[T]): Seq[T] =
     ks.groupBy { case (k, _, _) => nodeFor(k) }.toSeq.sortBy(_._1)
       .flatMap { case ((h, p), nodeKeys) =>
-        var attempt = 0
-        var out: Option[Seq[T]] = None
-        while (out.isEmpty) {
-          try {
-            val client = new RedisClient(h, p)
-            try out = Some(f(client, nodeKeys)) finally client.close()
-          } catch {
-            case _: java.io.IOException if attempt < 2 =>
-              attempt += 1
-              Thread.sleep(100L << attempt)
-          }
+        RedisClient.retrying() {
+          val client = new RedisClient(h, p)
+          try f(client, nodeKeys) finally client.close()
         }
-        out.get
       }
 
   /** All tips pipelined per node — 32k shard keys cost one round trip per
@@ -398,7 +408,10 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
       case r: ReadMaxRows => cappedEnds(after, r.maxRows())
       case _ => tips()
     }
-    RedisOffset(ends)
+    // a key can drop out of the sweep (deleted/renamed) — its committed
+    // position must survive in the offset, or a re-created key would
+    // restart from 0-0 and re-emit everything
+    RedisOffset(after ++ ends)
   }
 
   /** The row budget splits across keys WITH BACKLOG (tip moved past the
@@ -439,18 +452,6 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
       "RedisMicroBatchStream implements SupportsAdmissionControl; " +
         "Spark calls latestOffset(start, limit)")
 
-  /** `stream:shard` key back to its (stream, shard) identity — stream
-    * names cannot contain ':' (the reference key charset), so a trailing
-    * all-digit segment is always OUR shard suffix.
-    */
-  private def keyIdentity(k: String): (String, String, Long) =
-    k.lastIndexOf(':') match {
-      case i if i > 0 && k.substring(i + 1).nonEmpty &&
-        k.substring(i + 1).forall(_.isDigit) =>
-        (k, k.substring(0, i), k.substring(i + 1).toLong)
-      case _ => (k, k, 0L)
-    }
-
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[RedisOffset].ids
     val e = end.asInstanceOf[RedisOffset].ids
@@ -462,7 +463,7 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
     val planKeys: Seq[(String, String, Long)] =
       if (assigned.isDefined) keys // explicit identities (bare-key shards)
       else {
-        val fromOffsets = (e.keySet ++ s.keySet).toSeq.sorted.map(keyIdentity)
+        val fromOffsets = (e.keySet ++ s.keySet).toSeq.sorted.map(RedisStreams.keyIdentity)
         if (fromOffsets.nonEmpty) fromOffsets else keys
       }
     // group mode: a key with pending re-deliveries must be planned even when

@@ -568,3 +568,62 @@ class RedisDiscoveryRestartSpec extends AnyFunSuite {
     } finally srv.close()
   }
 }
+
+/** Discovery × group interplay: a shard created mid-run must get the group
+  * created before any reader XREADGROUPs it (real redis answers NOGROUP),
+  * and EmbeddedRedis now enforces that law too.
+  */
+class RedisDiscoveryGroupSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  test("XREADGROUP/XAUTOCLAIM/XPENDING on a missing group answer NOGROUP") {
+    val srv = new EmbeddedRedis
+    try {
+      val c = new RedisClient(srv.host, srv.port)
+      try {
+        c.pipeline(Seq(RedisStreams.xadd("ng", 1L, "x".getBytes(UTF_8))))
+        val e = intercept[RedisClient.RedisError](
+          c.command(RedisStreams.xreadGroup("nope", "c", Seq("ng" -> ">")): _*))
+        assert(e.msg.startsWith("NOGROUP"))
+        assert(intercept[RedisClient.RedisError](
+          c.command(RedisStreams.xautoclaim("ng", "nope", "c", 0L): _*))
+          .msg.startsWith("NOGROUP"))
+        assert(intercept[RedisClient.RedisError](
+          c.command(RedisStreams.xpending("ng", "nope"): _*))
+          .msg.startsWith("NOGROUP"))
+      } finally c.close()
+    } finally srv.close()
+  }
+
+  test("a shard created mid-run gets its group created before it is read") {
+    import spark.implicits._
+    val srv = new EmbeddedRedis
+    try {
+      def fill(key: String, tag: String, n: Int): Unit = {
+        val c = new RedisClient(srv.host, srv.port)
+        try c.pipeline((0 until n).map(i =>
+          RedisStreams.xadd(key, 6500L + i, s"$tag$i".getBytes(UTF_8))))
+        finally c.close()
+      }
+      fill("dg:0", "a", 8)
+      val q = spark.readStream.format("redis-stream")
+        .option("host", srv.host).option("port", srv.port.toString)
+        .option("streams", "dg").option("discoverShards", "true")
+        .option("group", "dgg").option("claimMinIdleMs", "0")
+        .option("startingOffsets", "earliest")
+        .load()
+        .writeStream.outputMode("append")
+        .format("memory").queryName("redis_dg_sink").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("redis_dg_sink").count() == 8)
+        fill("dg:1", "b", 6) // new shard: group must be created on it
+        q.processAllAvailable()
+        val got = spark.table("redis_dg_sink")
+          .select($"payload".cast("string")).as[String].collect().toSet
+        assert(got == ((0 until 8).map(i => s"a$i") ++
+          (0 until 6).map(i => s"b$i")).toSet)
+      } finally q.stop()
+    } finally srv.close()
+  }
+}
