@@ -164,7 +164,9 @@ final class EmbeddedRedis(
           case -1 => Int.MaxValue
           case i => new String(args(i + 1), UTF_8).toInt
         }
-        Resp.Arr(entries(key).reverse.take(count).map { case (id, fields) =>
+        // tail-first without materializing a full reversed copy — the tip
+        // probe (COUNT 1) runs per key per trigger
+        Resp.Arr(entries(key).takeRight(count).reverse.map { case (id, fields) =>
           Resp.Arr(Seq(Resp.Bulk(id.getBytes(UTF_8)),
             Resp.Arr(fields.flatMap { case (f, v) =>
               Seq(Resp.Bulk(f.getBytes(UTF_8)), Resp.Bulk(v))
