@@ -88,6 +88,29 @@ object Bench {
       } finally srv.close()
     }
 
+    // same workload through the iggy wire path (client and embedded broker
+    // both this library's, like the redis pair above)
+    {
+      val srv = new graft.iggy.EmbeddedIggy
+      try {
+        val env = spark.range(100000)
+          .select(
+            lit("bench").as("stream_key"),
+            (col("id") % 4).as("shard_id"),
+            col("id").as("sequence"),
+            timestamp_millis(lit(1700000000000L) + col("id")).as("timestamp"),
+            lit(payload.getBytes("UTF-8")).as("payload"))
+        timed("xp_iggy_produce_100k") {
+          graft.iggy.IggySource.write(env, srv.host, srv.port)
+        }
+        timed("xp_iggy_consume_100k") {
+          val n = graft.iggy.IggySource.boundedRead(spark, srv.host,
+            srv.port, Seq("bench")).count()
+          require(n == 100000L, s"expected 100k iggy messages, got $n")
+        }
+      } finally srv.close()
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum

@@ -18,11 +18,13 @@ object SparkEntry {
     analytics.Relational.queries ++ analytics.Transport.queries ++
       analytics.Dedup.queries ++ analytics.TextAnalysis.queries ++
       analytics.Similarity.queries ++ analytics.Multimodal.queries ++
-      analytics.Pipeline.queries ++ analytics.RedisTransport.queries
+      analytics.Pipeline.queries ++ analytics.RedisTransport.queries ++
+      analytics.IggyTransport.queries
 
   def oracleSql: Map[String, String] =
     analytics.Relational.oracles ++ analytics.Transport.oracles ++
       analytics.Dedup.oracles ++ analytics.TextAnalysis.oracles ++
       analytics.Similarity.oracles ++ analytics.Multimodal.oracles ++
-      analytics.Pipeline.oracles ++ analytics.RedisTransport.oracles
+      analytics.Pipeline.oracles ++ analytics.RedisTransport.oracles ++
+      analytics.IggyTransport.oracles
 }

@@ -1,0 +1,103 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.iggy.{EmbeddedIggy, IggySource}
+
+/** Iggy-backend queries under the DuckDB oracle gate: each round-trips the
+  * `events` table through the embedded iggy-model broker — batched
+  * SEND_MESSAGES in, offset-paged polls / `format("iggy-stream")`
+  * micro-batch source out — then aggregates the decoded payloads, so the
+  * oracle's hash-compare on the raw parquet pins the whole wire path. The
+  * laws mirrored are the reference adapter's semantics
+  * (sea-streamer-iggy/src/streamer.rs, options.rs):
+  *
+  *   - i1: a full produce → First-strategy poll replay round-trips every
+  *     message with topic/partition/timestamp fidelity (the adapter's
+  *     poll loop, streamer.rs:180-250);
+  *   - i2: `maxMessagesPerTrigger` admission drains a deep backlog across
+  *     bounded micro-batches without loss or duplication (the batch_size'd
+  *     poll loop, options.rs:127-136, under Spark's offset model);
+  *   - i3: the Timestamp polling strategy (options.rs:73-74) pushes the
+  *     seek law `timestamp > T` into the server-side binary search — the
+  *     pre-seek prefix is never polled.
+  */
+object IggyTransport {
+
+  private def withServer[T](f: EmbeddedIggy => T): T = {
+    val srv = new EmbeddedIggy
+    try f(srv) finally srv.close()
+  }
+
+  val queries: Map[String, Relational.Q] = Map(
+    // Round-trip law: produce everything (4 partitions per topic, partition
+    // = shard), bounded-read everything back. localCheckpoint materializes
+    // the replay before the server closes.
+    "i1_iggy_roundtrip" -> { (s, dir) =>
+      withServer { srv =>
+        val t = Tables(s, dir)
+        IggySource.write(Transport.envelopeOf(t), srv.host, srv.port)
+        val replay = IggySource.boundedRead(s, srv.host, srv.port,
+          Transport.eventTypes).localCheckpoint(true)
+        // iggy re-sequences: offsets are dense per partition, so the
+        // envelope aggregate checks payload content, not raw sequence —
+        // the payload carries the original event_id
+        Transport.aggregate(replay, withDistinct = true)
+      }
+    },
+
+    // Admission law: earliest + maxMessagesPerTrigger forces the backlog
+    // through bounded micro-batches; the aggregate proves no message was
+    // lost or re-delivered across batch seams. The cap scales with the
+    // input (~4 batches at any sf).
+    "i2_iggy_admission" -> { (s, dir) =>
+      withServer { srv =>
+        val t = Tables(s, dir)
+        val cap = math.max(1000L, t.events.count() / 4)
+        IggySource.write(Transport.envelopeOf(t), srv.host, srv.port)
+        val q = Transport.aggregate(
+          s.readStream.format("iggy-stream")
+            .option("host", srv.host).option("port", srv.port.toString)
+            .option("topics", Transport.eventTypes.mkString(","))
+            .option("startingOffsets", "earliest")
+            .option("maxMessagesPerTrigger", cap.toString)
+            .load(), withDistinct = false)
+          .writeStream.outputMode("complete")
+          .format("memory").queryName("i2_iggy_admission_sink").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("i2_iggy_admission_sink")
+      }
+    },
+
+    // Seek law (`timestamp > T`, strictly greater): T = the midpoint of the
+    // events time range, pushed into the Timestamp polling strategy's
+    // binary search — no post-filter, no scan of the pre-seek prefix.
+    "i3_iggy_seek" -> { (s, dir) =>
+      withServer { srv =>
+        val t = Tables(s, dir)
+        val bounds = t.events
+          .agg(min(unix_millis(col("ts"))).as("lo"),
+            max(unix_millis(col("ts"))).as("hi")).head()
+        val cutoff = (bounds.getLong(0) + bounds.getLong(1)) / 2
+        IggySource.write(Transport.envelopeOf(t), srv.host, srv.port)
+        val sought = IggySource.boundedRead(s, srv.host, srv.port,
+          Transport.eventTypes, afterMs = Some(cutoff)).localCheckpoint(true)
+        Transport.aggregate(sought, withDistinct = false)
+      }
+    })
+
+  val oracles: Map[String, String] = Map(
+    "i1_iggy_roundtrip" -> Transport.aggregateOracle(withDistinct = true),
+    "i2_iggy_admission" -> Transport.aggregateOracle(withDistinct = false),
+    "i3_iggy_seek" ->
+      """WITH b AS (
+        |  SELECT (epoch_ms(min(date_trunc('milliseconds', ts))) +
+        |          epoch_ms(max(date_trunc('milliseconds', ts)))) // 2 AS cutoff
+        |  FROM events)
+        |SELECT event_type AS stream_key, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  MAX(event_id) AS max_event_id
+        |FROM events, b
+        |WHERE epoch_ms(date_trunc('milliseconds', ts)) > b.cutoff
+        |GROUP BY event_type""".stripMargin)
+}

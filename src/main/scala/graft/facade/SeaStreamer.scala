@@ -130,7 +130,12 @@ object SeaStreamer {
         * instead of trusting `redisShards` (the reference consumer's
         * discovery sweep, consumer/shard.rs:38-93).
         */
-      discoverShards: Boolean = false)
+      discoverShards: Boolean = false,
+      /** Iggy backend: the namespace STREAM holding the topics (stream
+        * keys map to iggy TOPICS — sea-streamer-iggy/src/
+        * streamer.rs:141-155 resolves stream/topic the same way).
+        */
+      iggyStream: String = graft.iggy.IggySource.DefaultStream)
 
   def connect(uri: String, spark: SparkSession): Connection = {
     val streamer = StreamerUri.parse(uri)
@@ -191,11 +196,13 @@ object SeaStreamer {
       val loaded = load(streams, opts)
       // seek strictly-greater / rewind greater-or-equal laws (SURVEY §2.4).
       // Redis pushes the seek into the XRANGE start id (ids are <ms>-<seq>,
-      // message.rs:27-64), so no residual filter is needed there; Kafka
-      // pushes startingTimestamp but offsetsForTimes is >=-semantics, so the
-      // strict-> filter stays on top; the ss source takes the surveyor path
-      // plus the same residual filter.
-      val seekPushed = scheme == "redis"
+      // message.rs:27-64) and iggy into the Timestamp polling strategy at
+      // ms+1 (exact for the backend's ms-resolution timestamps), so no
+      // residual filter is needed there; Kafka pushes startingTimestamp but
+      // offsetsForTimes is >=-semantics, so the strict-> filter stays on
+      // top; the ss source takes the surveyor path plus the same residual
+      // filter.
+      val seekPushed = scheme == "redis" || scheme == "iggy"
       val sought = opts.seekTimestamp
         .filterNot(_ => seekPushed)
         .map(t => loaded.filter(col("timestamp") > lit(t)))
@@ -239,6 +246,16 @@ object SeaStreamer {
             mode = ConsumerMode.LoadBalanced,
             group = Some(group),
             consumerId = Some(opts.consumerId.getOrElse("member") + s"-$i")))
+        }
+      } else if (scheme == "iggy") {
+        // iggy balances GROUPS at partition granularity (member idx owns
+        // partition p where p % members == idx — the deterministic
+        // assignment JoinConsumerGroup hands out), so the member split is
+        // on shard_id, not sequence
+        val base = createConsumer(streams,
+          opts.copy(mode = ConsumerMode.LoadBalanced, group = Some(group)))
+        (0 until members).map { i =>
+          base.filter(pmod(col("shard_id"), lit(members.toLong)) === i.toLong)
         }
       } else {
         val base = createConsumer(streams,
@@ -371,6 +388,43 @@ object SeaStreamer {
                 afterMs = pushMs,
                 clusterSeeds = seeds)
           }
+        case "iggy" =>
+          // stream keys are iggy TOPICS inside the namespace stream; the
+          // reference adapter's seek/rewind/assign are Unsupported
+          // (sea-streamer-iggy/src/consumer.rs:65-90) — this re-expression
+          // is parity-plus: seek rides the Timestamp polling strategy,
+          // rewind/assign the generic residual filters
+          if (streams.contains(Envelope.SeaStreamerWildcard))
+            throw SeaStreamErr.Unsupported(
+              "iggy wildcard subscribe (name the topics)")
+          val (host, port) = SeaStreamer.hostPort(nodeAddr, 8090)
+          val pushMs = opts.seekTimestamp.map(_.getTime)
+          if (opts.live) {
+            val reset =
+              if (opts.autoStreamReset == AutoStreamReset.Earliest) "earliest"
+              else "latest"
+            val base = spark.readStream.format("iggy-stream")
+              .option("host", host).option("port", port.toString)
+              .option("stream", opts.iggyStream)
+              .option("topics", subscribe)
+            val withGroup = opts.group
+              .map(g => base.option("group", g)).getOrElse(base)
+            pushMs
+              .map(ms => withGroup.option("startingTimestamp", ms.toString))
+              .getOrElse(withGroup.option("startingOffsets", reset))
+              .load()
+          } else
+            // bounded group semantics: only Resumable CONSUMES the stored
+            // group cursor (Next + AfterPolling commit). A LoadBalanced
+            // bounded read must NOT — each member runs its own read, and a
+            // committing first member would starve the rest; the member
+            // split is the deterministic partition dispatch instead
+            // (createGroupConsumers' shard filter)
+            graft.iggy.IggySource.boundedRead(spark, host, port,
+              topics = streams, stream = opts.iggyStream,
+              afterMs = pushMs,
+              group = opts.group.filter(_ =>
+                opts.mode == ConsumerMode.Resumable))
         case "stdio" =>
           // distributed stdin does not exist: Replay = text file of lines
           if (opts.live) throw SeaStreamErr.Unsupported(
@@ -395,15 +449,19 @@ object SeaStreamer {
       * `redisShards` must match the consumers' (keys are `stream:N` when
       * sharded, the bare stream when not).
       */
-    def createProducer(stream: String, redisShards: Int = 1): Producer = {
+    def createProducer(stream: String, redisShards: Int = 1,
+        iggyPartitions: Int = 4): Producer = {
       if (!Envelope.isValidStreamKey(stream) || stream.isEmpty)
         throw SeaStreamErr.InvalidStreamKey(stream)
-      new Producer(spark, scheme, allNodeAddrs, Some(stream), redisShards)
+      new Producer(spark, scheme, allNodeAddrs, Some(stream), redisShards,
+        iggyPartitions)
     }
 
     /** Generic producer: stream key comes from each row. */
-    def createGenericProducer(redisShards: Int = 1): Producer =
-      new Producer(spark, scheme, allNodeAddrs, None, redisShards)
+    def createGenericProducer(redisShards: Int = 1,
+        iggyPartitions: Int = 4): Producer =
+      new Producer(spark, scheme, allNodeAddrs, None, redisShards,
+        iggyPartitions)
   }
 
   final class Committer(opts: ConsumerOptions) {
@@ -436,7 +494,11 @@ object SeaStreamer {
       /** Redis key naming: rows land on `stream:shard_id` keys when > 1
         * (must agree with the consumers' `redisShards`).
         */
-      redisShards: Int = 1) {
+      redisShards: Int = 1,
+      /** Iggy: partitions per topic at create-if-not-exists
+        * (IggyProducerOptions::partitions_count, options.rs:306-318).
+        */
+      iggyPartitions: Int = 4) {
 
     private def node: String = nodes.head
     private def redisSharded: Boolean = redisShards > 1
@@ -534,7 +596,7 @@ object SeaStreamer {
     def sendStream(df: DataFrame, checkpointLocation: String,
         exactlyOnceLedger: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
       scheme match {
-        case "redis" | "kafka" | "file" => ()
+        case "redis" | "kafka" | "file" | "iggy" => ()
         case other => throw SeaStreamErr.Unsupported(s"live producer on '$other'")
       }
       if (scheme == "file" && exactlyOnceLedger.isEmpty) {
@@ -627,6 +689,13 @@ object SeaStreamer {
               if (nodes.size > 1)
                 Some(nodes.map(SeaStreamer.hostPort(_, 6379)))
               else None)
+        case "iggy" =>
+          // topic = stream key, partition = shard % iggyPartitions, topics
+          // created on demand (create_stream/topic_if_not_exists defaults,
+          // sea-streamer-iggy/src/options.rs:325-330)
+          val (host, port) = SeaStreamer.hostPort(node, 8090)
+          graft.iggy.IggySource.write(out, host, port,
+            partitions = iggyPartitions)
         case "stdio" =>
           // producer line format. The stdio contract means THIS process's
           // stdout (the reference's singleton stdout thread,

@@ -1,0 +1,261 @@
+package graft.iggy
+
+import java.net.{InetAddress, ServerSocket}
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.collection.mutable
+
+import IggyWire.{Cmd, PollStrategy, Status}
+
+/** In-process iggy-model broker speaking [[IggyWire]] over real sockets —
+  * streams contain topics, topics contain partitions, each partition an
+  * append-only log with dense u64 offsets; consumer/group offset storage;
+  * balanced (round-robin) / partition-id / message-key partitioning;
+  * offset / timestamp / first / last / next polling. Multi-connection (one
+  * thread per accept) because every Spark task opens its own connection.
+  *
+  * Mirrors the server model the reference adapter drives through the iggy
+  * SDK (sea-streamer-iggy/src/streamer.rs:74-258). Lives in main (not test)
+  * because the DuckDB-oracle correctness queries (analytics.IggyTransport)
+  * round-trip the `events` table through it, putting the whole backend
+  * under the hash-compare gate. It is an embedded verification backend,
+  * not a production store.
+  */
+final class EmbeddedIggy extends AutoCloseable {
+  import EmbeddedIggy.Msg
+
+  private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
+  val port: Int = server.getLocalPort
+  val host: String = "127.0.0.1"
+
+  private final class Topic(val partitions: Array[mutable.ArrayBuffer[Msg]]) {
+    val balanced = new AtomicLong(0L)
+  }
+
+  /** stream -> topic -> Topic */
+  private val streams =
+    new ConcurrentHashMap[String, ConcurrentHashMap[String, Topic]]()
+  /** "kind/name/stream/topic/partition" -> stored offset */
+  private val offsets = new ConcurrentHashMap[String, java.lang.Long]()
+  /** "stream/topic/group" -> ordered member names */
+  private val groups = new ConcurrentHashMap[String, mutable.LinkedHashSet[String]]()
+  @volatile private var closed = false
+
+  def topicPartitionCount(stream: String, topic: String): Int =
+    Option(streams.get(stream)).flatMap(s => Option(s.get(topic)))
+      .map(_.partitions.length).getOrElse(0)
+
+  def messages(stream: String, topic: String, partition: Int): Seq[(Long, Array[Byte])] =
+    Option(streams.get(stream)).flatMap(s => Option(s.get(topic))) match {
+      case Some(t) if partition < t.partitions.length =>
+        val buf = t.partitions(partition)
+        buf.synchronized { buf.toSeq.map(m => (m.tsMs, m.payload)) }
+      case _ => Seq.empty
+    }
+
+  def storedOffset(kind: Int, name: String, stream: String, topic: String,
+      partition: Int): Option[Long] =
+    Option(offsets.get(s"$kind/$name/$stream/$topic/$partition")).map(_.longValue)
+
+  private val acceptor = new Thread(() => {
+    try while (!closed) {
+      val s = server.accept()
+      new Thread(() => serve(s)).start()
+    } catch { case _: Throwable => () }
+  }, "embedded-iggy-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  private def serve(socket: java.net.Socket): Unit = {
+    val in = IggyWire.buffered(socket.getInputStream)
+    val out = IggyWire.buffered(socket.getOutputStream)
+    var authed = false
+    try while (!closed) {
+      IggyWire.readRequest(in) match {
+        case None => return
+        case Some((code, payload)) =>
+          val (status, reply) =
+            if (!authed && code != Cmd.Ping && code != Cmd.LoginUser)
+              (Status.Unauthenticated, Array.emptyByteArray)
+            else handle(code, payload)
+          if (code == Cmd.LoginUser && status == Status.Ok) authed = true
+          IggyWire.writeResponse(out, status, reply)
+          // flush when the client's pipeline drained — one syscall per
+          // batch, not per command (same shape as EmbeddedRedis)
+          if (in.available() == 0) out.flush()
+      }
+    } catch { case _: Throwable => () } finally socket.close()
+  }
+
+  private def ok(payload: Array[Byte] = Array.emptyByteArray) =
+    (Status.Ok, payload)
+
+  private def handle(code: Int, payload: Array[Byte]): (Int, Array[Byte]) = {
+    val r = new IggyWire.Reader(payload)
+    code match {
+      case Cmd.Ping => ok()
+
+      case Cmd.LoginUser =>
+        val (_, _) = (r.str(), r.str()) // any credentials accepted
+        ok(new IggyWire.Writer().u32(1).result())
+
+      case Cmd.GetStream =>
+        val name = r.str()
+        val existing = Option(streams.get(name))
+        ok(new IggyWire.Writer()
+          .u8(if (existing.isDefined) 1 else 0)
+          .u32(existing.map(_.size).getOrElse(0)).result())
+
+      case Cmd.CreateStream =>
+        val name = r.str()
+        if (streams.putIfAbsent(name,
+          new ConcurrentHashMap[String, Topic]()) != null)
+          (Status.AlreadyExists, Array.emptyByteArray)
+        else ok()
+
+      case Cmd.GetTopic =>
+        val (stream, topic) = (r.str(), r.str())
+        Option(streams.get(stream)).flatMap(s => Option(s.get(topic))) match {
+          case None => ok(new IggyWire.Writer().u8(0).u32(0).result())
+          case Some(t) =>
+            val w = new IggyWire.Writer().u8(1).u32(t.partitions.length)
+            t.partitions.foreach { buf =>
+              w.u64(buf.synchronized(buf.length.toLong)) // tip = next offset
+            }
+            ok(w.result())
+        }
+
+      case Cmd.CreateTopic =>
+        val (stream, topic, parts) = (r.str(), r.str(), r.u32())
+        Option(streams.get(stream)) match {
+          case None => (Status.NotFound, Array.emptyByteArray)
+          case Some(s) =>
+            if (parts <= 0) (Status.Error, Array.emptyByteArray)
+            else if (s.putIfAbsent(topic, new Topic(
+              Array.fill(parts)(mutable.ArrayBuffer.empty[Msg]))) != null)
+              (Status.AlreadyExists, Array.emptyByteArray)
+            else ok()
+        }
+
+      case Cmd.SendMessages =>
+        val (stream, topic) = (r.str(), r.str())
+        val pKind = r.u8()
+        val pVal = r.bytes()
+        val count = r.u32()
+        Option(streams.get(stream)).flatMap(s => Option(s.get(topic))) match {
+          case None => (Status.NotFound, Array.emptyByteArray)
+          case Some(t) =>
+            val nParts = t.partitions.length
+            var i = 0
+            while (i < count) {
+              val tsMs = r.u64()
+              val bytes = r.bytes()
+              val part = pKind match {
+                case 0 => (t.balanced.getAndIncrement() % nParts).toInt
+                case 1 => new IggyWire.Reader(pVal).u32() % nParts
+                case 2 => math.floorMod(java.util.Arrays.hashCode(pVal), nParts)
+                case _ =>
+                  return (Status.Error, Array.emptyByteArray)
+              }
+              val buf = t.partitions(part)
+              buf.synchronized { buf += Msg(tsMs, bytes) }
+              i += 1
+            }
+            ok()
+        }
+
+      case Cmd.PollMessages =>
+        val kind = r.u8()
+        val name = r.str()
+        val (stream, topic) = (r.str(), r.str())
+        val partition = r.u32()
+        val strategy = PollStrategy(r.u8().toByte, r.u64())
+        val count = r.u32()
+        val autoCommit = r.u8() == 1
+        Option(streams.get(stream)).flatMap(s => Option(s.get(topic))) match {
+          case None => (Status.NotFound, Array.emptyByteArray)
+          case Some(t) if partition >= t.partitions.length =>
+            (Status.NotFound, Array.emptyByteArray)
+          case Some(t) =>
+            val buf = t.partitions(partition)
+            val (tip, slice) = buf.synchronized {
+              val len = buf.length.toLong
+              val from: Long = strategy match {
+                case PollStrategy.AtOffset(o) => o
+                case PollStrategy.First => 0L
+                case PollStrategy.Last => math.max(0L, len - count)
+                case PollStrategy.Next =>
+                  storedOffset(kind, name, stream, topic, partition)
+                    .map(_ + 1).getOrElse(0L)
+                case PollStrategy.AtTimestamp(ms) =>
+                  // offsets are ts-ordered per partition (one writer each):
+                  // binary search the first message with ts >= ms
+                  var lo = 0; var hi = buf.length
+                  while (lo < hi) {
+                    val mid = (lo + hi) >>> 1
+                    if (buf(mid).tsMs < ms) lo = mid + 1 else hi = mid
+                  }
+                  lo.toLong
+              }
+              val lo = math.min(math.max(0L, from), len).toInt
+              val hi = math.min(len, lo.toLong + count).toInt
+              (len, (lo until hi).map(i => (i.toLong, buf(i))))
+            }
+            if (autoCommit && slice.nonEmpty)
+              offsets.put(s"$kind/$name/$stream/$topic/$partition",
+                java.lang.Long.valueOf(slice.last._1))
+            val w = new IggyWire.Writer()
+              .u32(partition).u64(tip).u32(slice.length)
+            slice.foreach { case (off, m) =>
+              w.u64(off).u64(m.tsMs).bytes(m.payload)
+            }
+            ok(w.result())
+        }
+
+      case Cmd.StoreConsumerOffset =>
+        val kind = r.u8(); val name = r.str()
+        val (stream, topic) = (r.str(), r.str())
+        val partition = r.u32(); val offset = r.u64()
+        offsets.put(s"$kind/$name/$stream/$topic/$partition",
+          java.lang.Long.valueOf(offset))
+        ok()
+
+      case Cmd.GetConsumerOffset =>
+        val kind = r.u8(); val name = r.str()
+        val (stream, topic) = (r.str(), r.str())
+        val partition = r.u32()
+        storedOffset(kind, name, stream, topic, partition) match {
+          case Some(o) => ok(new IggyWire.Writer().u8(1).u64(o).result())
+          case None => ok(new IggyWire.Writer().u8(0).u64(0L).result())
+        }
+
+      case Cmd.CreateConsumerGroup =>
+        val (stream, topic, group) = (r.str(), r.str(), r.str())
+        val created = groups.putIfAbsent(s"$stream/$topic/$group",
+          mutable.LinkedHashSet.empty[String]) == null
+        if (created) ok() else (Status.AlreadyExists, Array.emptyByteArray)
+
+      case Cmd.JoinConsumerGroup =>
+        val (stream, topic, group, member) = (r.str(), r.str(), r.str(), r.str())
+        Option(groups.get(s"$stream/$topic/$group")) match {
+          case None => (Status.NotFound, Array.emptyByteArray)
+          case Some(members) =>
+            val (n, idx) = members.synchronized {
+              members += member
+              (members.size, members.iterator.indexOf(member))
+            }
+            ok(new IggyWire.Writer().u32(n).u32(idx).result())
+        }
+
+      case _ => (Status.Error, Array.emptyByteArray)
+    }
+  }
+
+  override def close(): Unit = { closed = true; server.close() }
+}
+
+object EmbeddedIggy {
+  /** One message at rest. */
+  final case class Msg(tsMs: Long, payload: Array[Byte])
+}

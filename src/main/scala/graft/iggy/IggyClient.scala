@@ -1,0 +1,142 @@
+package graft.iggy
+
+import java.net.Socket
+
+import IggyWire.{Cmd, PollStrategy, Partitioning, PolledMessage, Status}
+
+/** Blocking iggy client over [[IggyWire]] — the executor-side handle every
+  * Spark task opens (one connection per task, like [[graft.redis.RedisClient]]).
+  * Connect performs the adapter's login handshake
+  * (sea-streamer-iggy/src/streamer.rs:40-57: credentials from the options
+  * when the URI carries none).
+  */
+final class IggyClient(host: String, port: Int,
+    username: String = "iggy", password: String = "iggy") extends AutoCloseable {
+
+  private val socket = new Socket(host, port)
+  socket.setTcpNoDelay(true)
+  private val in = IggyWire.buffered(socket.getInputStream)
+  private val out = IggyWire.buffered(socket.getOutputStream)
+
+  login(username, password)
+
+  final class IggyServerErr(val status: Int, msg: String)
+    extends RuntimeException(msg)
+
+  private def call(code: Int, payload: Array[Byte],
+      acceptable: Set[Int] = Set(Status.Ok)): (Int, Array[Byte]) = {
+    IggyWire.writeRequest(out, code, payload)
+    out.flush()
+    val (status, body) = IggyWire.readResponse(in)
+    if (!acceptable.contains(status))
+      throw new IggyServerErr(status, s"iggy command $code failed: status $status")
+    (status, body)
+  }
+
+  private def login(user: String, pass: String): Unit =
+    call(Cmd.LoginUser, new IggyWire.Writer().str(user).str(pass).result())
+
+  def ping(): Unit = call(Cmd.Ping, Array.emptyByteArray)
+
+  /** True if the stream existed (create_stream_if_not_exists flow:
+    * streamer.rs:86-95 does get-then-create; one idempotent call here).
+    */
+  def createStreamIfAbsent(stream: String): Boolean =
+    call(Cmd.CreateStream, new IggyWire.Writer().str(stream).result(),
+      Set(Status.Ok, Status.AlreadyExists))._1 == Status.AlreadyExists
+
+  def streamExists(stream: String): Boolean = {
+    val (_, body) = call(Cmd.GetStream,
+      new IggyWire.Writer().str(stream).result())
+    new IggyWire.Reader(body).u8() == 1
+  }
+
+  def createTopicIfAbsent(stream: String, topic: String, partitions: Int): Boolean =
+    call(Cmd.CreateTopic, new IggyWire.Writer()
+      .str(stream).str(topic).u32(partitions).result(),
+      Set(Status.Ok, Status.AlreadyExists))._1 == Status.AlreadyExists
+
+  /** Partition tips (next offset per partition); None if the topic is
+    * missing. Drives offset planning in the Spark sources.
+    */
+  def topicTips(stream: String, topic: String): Option[Array[Long]] = {
+    val (_, body) = call(Cmd.GetTopic,
+      new IggyWire.Writer().str(stream).str(topic).result())
+    val r = new IggyWire.Reader(body)
+    if (r.u8() != 1) None
+    else Some(Array.fill(r.u32())(r.u64()))
+  }
+
+  /** Batched send: one round-trip per batch (the adapter sends per message,
+    * producer.rs:63-117; batching is the Spark-side pipelining).
+    */
+  def sendMessages(stream: String, topic: String, partitioning: Partitioning,
+      messages: Seq[(Long, Array[Byte])]): Unit = {
+    val w = new IggyWire.Writer().str(stream).str(topic)
+    partitioning match {
+      case Partitioning.Balanced => w.u8(0).bytes(Array.emptyByteArray)
+      case Partitioning.PartitionId(id) =>
+        w.u8(1).bytes(new IggyWire.Writer().u32(id).result())
+      case Partitioning.MessageKey(k) => w.u8(2).bytes(k)
+    }
+    w.u32(messages.length)
+    messages.foreach { case (tsMs, bytes) => w.u64(tsMs).bytes(bytes) }
+    call(Cmd.SendMessages, w.result())
+    ()
+  }
+
+  /** One poll: (partition tip, messages). `consumer` is (kind, name) where
+    * kind 0 = standalone consumer, 1 = consumer group.
+    */
+  def pollMessages(stream: String, topic: String, partition: Int,
+      strategy: PollStrategy, count: Int,
+      consumer: (Int, String) = (0, ""), autoCommit: Boolean = false): (Long, Seq[PolledMessage]) = {
+    val w = new IggyWire.Writer()
+      .u8(consumer._1).str(consumer._2).str(stream).str(topic)
+      .u32(partition).u8(strategy.kind.toInt).u64(strategy.value)
+      .u32(count).u8(if (autoCommit) 1 else 0)
+    val (_, body) = call(Cmd.PollMessages, w.result())
+    val r = new IggyWire.Reader(body)
+    val _part = r.u32()
+    val tip = r.u64()
+    val msgs = Seq.fill(r.u32())(PolledMessage(r.u64(), r.u64(), r.bytes()))
+    (tip, msgs)
+  }
+
+  def storeOffset(stream: String, topic: String, partition: Int,
+      consumer: (Int, String), offset: Long): Unit = {
+    call(Cmd.StoreConsumerOffset, new IggyWire.Writer()
+      .u8(consumer._1).str(consumer._2).str(stream).str(topic)
+      .u32(partition).u64(offset).result())
+    ()
+  }
+
+  def getOffset(stream: String, topic: String, partition: Int,
+      consumer: (Int, String)): Option[Long] = {
+    val (_, body) = call(Cmd.GetConsumerOffset, new IggyWire.Writer()
+      .u8(consumer._1).str(consumer._2).str(stream).str(topic)
+      .u32(partition).result())
+    val r = new IggyWire.Reader(body)
+    if (r.u8() == 1) Some(r.u64()) else None
+  }
+
+  def createGroupIfAbsent(stream: String, topic: String, group: String): Unit = {
+    call(Cmd.CreateConsumerGroup, new IggyWire.Writer()
+      .str(stream).str(topic).str(group).result(),
+      Set(Status.Ok, Status.AlreadyExists))
+    ()
+  }
+
+  /** Join; returns (member count, this member's index) — partition p is
+    * owned by member `p % count` (deterministic balanced assignment).
+    */
+  def joinGroup(stream: String, topic: String, group: String,
+      member: String): (Int, Int) = {
+    val (_, body) = call(Cmd.JoinConsumerGroup, new IggyWire.Writer()
+      .str(stream).str(topic).str(group).str(member).result())
+    val r = new IggyWire.Reader(body)
+    (r.u32(), r.u32())
+  }
+
+  override def close(): Unit = socket.close()
+}

@@ -1,0 +1,350 @@
+package graft.iggy
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.TestSession
+import graft.iggy.IggyWire.{Partitioning, PollStrategy}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Wire + broker laws for the iggy backend, mirroring the semantics the
+  * reference adapter drives through the iggy SDK
+  * (sea-streamer-iggy/src/streamer.rs, options.rs).
+  */
+class IggySpec extends AnyFunSuite {
+
+  private def withServer[T](f: (EmbeddedIggy, IggyClient) => T): T = {
+    val srv = new EmbeddedIggy
+    val c = new IggyClient(srv.host, srv.port)
+    try f(srv, c) finally { c.close(); srv.close() }
+  }
+
+  private def bytes(s: String): Array[Byte] = s.getBytes(UTF_8)
+
+  test("framing roundtrips requests and responses") {
+    val out = new java.io.ByteArrayOutputStream()
+    IggyWire.writeRequest(out, IggyWire.Cmd.PollMessages, bytes("payload"))
+    val in = new java.io.ByteArrayInputStream(out.toByteArray)
+    val (code, p) = IggyWire.readRequest(in).get
+    assert(code == IggyWire.Cmd.PollMessages)
+    assert(new String(p, UTF_8) == "payload")
+
+    val out2 = new java.io.ByteArrayOutputStream()
+    IggyWire.writeResponse(out2, IggyWire.Status.Ok, bytes("ok"))
+    val (status, body) = IggyWire.readResponse(
+      new java.io.ByteArrayInputStream(out2.toByteArray))
+    assert(status == IggyWire.Status.Ok && new String(body, UTF_8) == "ok")
+  }
+
+  test("writer/reader primitives are little-endian and roundtrip") {
+    val w = new IggyWire.Writer()
+      .u8(7).u32(0x01020304).u64(0x0102030405060708L).str("topic")
+      .bytes(bytes("xyz"))
+    val raw = w.result()
+    // u32 LE: low byte first
+    assert((raw(1) & 0xff) == 0x04 && (raw(4) & 0xff) == 0x01)
+    val r = new IggyWire.Reader(raw)
+    assert(r.u8() == 7)
+    assert(r.u32() == 0x01020304)
+    assert(r.u64() == 0x0102030405060708L)
+    assert(r.str() == "topic")
+    assert(new String(r.bytes(), UTF_8) == "xyz")
+  }
+
+  test("unauthenticated commands are rejected; login opens the session") {
+    val srv = new EmbeddedIggy
+    try {
+      // IggyClient logs in inside the constructor; a raw socket must be
+      // rejected before login (the adapter's credential handshake,
+      // streamer.rs:44-57)
+      val s = new java.net.Socket(srv.host, srv.port)
+      try {
+        val out = s.getOutputStream
+        IggyWire.writeRequest(out, IggyWire.Cmd.GetStream,
+          new IggyWire.Writer().str("x").result())
+        out.flush()
+        val (status, _) = IggyWire.readResponse(s.getInputStream)
+        assert(status == IggyWire.Status.Unauthenticated)
+      } finally s.close()
+      val c = new IggyClient(srv.host, srv.port)
+      try c.ping() finally c.close()
+    } finally srv.close()
+  }
+
+  test("create stream/topic are idempotent through the IfAbsent helpers") {
+    withServer { (_, c) =>
+      assert(!c.createStreamIfAbsent("s"))
+      assert(c.createStreamIfAbsent("s")) // second call: already existed
+      assert(!c.createTopicIfAbsent("s", "t", 3))
+      assert(c.createTopicIfAbsent("s", "t", 3))
+      assert(c.topicTips("s", "t").get.toSeq == Seq(0L, 0L, 0L))
+      assert(c.topicTips("s", "missing").isEmpty)
+    }
+  }
+
+  test("partitioning: PartitionId pins, Balanced round-robins, MessageKey hashes") {
+    withServer { (srv, c) =>
+      c.createStreamIfAbsent("s")
+      c.createTopicIfAbsent("s", "t", 4)
+      c.sendMessages("s", "t", Partitioning.PartitionId(2),
+        Seq((1L, bytes("a")), (2L, bytes("b"))))
+      assert(srv.messages("s", "t", 2).map(m => new String(m._2, UTF_8)) ==
+        Seq("a", "b"))
+      // balanced: 8 messages spread 2 per partition, in order
+      c.createTopicIfAbsent("s", "rr", 4)
+      c.sendMessages("s", "rr", Partitioning.Balanced,
+        (0 until 8).map(i => (i.toLong, bytes(s"m$i"))))
+      (0 until 4).foreach { p =>
+        assert(srv.messages("s", "rr", p).size == 2)
+      }
+      // message key: all to one (hash-stable) partition
+      c.createTopicIfAbsent("s", "mk", 4)
+      c.sendMessages("s", "mk", Partitioning.MessageKey(bytes("user-1")),
+        (0 until 5).map(i => (i.toLong, bytes(s"k$i"))))
+      assert((0 until 4).map(p => srv.messages("s", "mk", p).size).max == 5)
+    }
+  }
+
+  test("polling strategies: First/Offset/Last/Timestamp windows") {
+    withServer { (_, c) =>
+      c.createStreamIfAbsent("s")
+      c.createTopicIfAbsent("s", "t", 1)
+      c.sendMessages("s", "t", Partitioning.PartitionId(0),
+        (0 until 10).map(i => (100L * i, bytes(s"m$i"))))
+      val (tip, first) = c.pollMessages("s", "t", 0, PollStrategy.First, 3)
+      assert(tip == 10L)
+      assert(first.map(_.offset) == Seq(0L, 1L, 2L))
+      val (_, at) = c.pollMessages("s", "t", 0, PollStrategy.AtOffset(7), 100)
+      assert(at.map(_.offset) == Seq(7L, 8L, 9L))
+      val (_, last) = c.pollMessages("s", "t", 0, PollStrategy.Last, 4)
+      assert(last.map(_.offset) == Seq(6L, 7L, 8L, 9L))
+      // timestamp: first message with ts >= 450 is offset 5 (ts 500)
+      val (_, ts) = c.pollMessages("s", "t", 0, PollStrategy.AtTimestamp(450L), 100)
+      assert(ts.map(_.offset) == Seq(5L, 6L, 7L, 8L, 9L))
+    }
+  }
+
+  test("Next strategy resumes from the stored offset; AfterPolling commits") {
+    withServer { (_, c) =>
+      c.createStreamIfAbsent("s")
+      c.createTopicIfAbsent("s", "t", 1)
+      c.sendMessages("s", "t", Partitioning.PartitionId(0),
+        (0 until 10).map(i => (i.toLong, bytes(s"m$i"))))
+      val consumer = (0, "alice")
+      // nothing stored: Next = from the beginning
+      val (_, p1) = c.pollMessages("s", "t", 0, PollStrategy.Next, 4,
+        consumer, autoCommit = true)
+      assert(p1.map(_.offset) == Seq(0L, 1L, 2L, 3L))
+      // second poll resumes AFTER the last auto-committed offset
+      val (_, p2) = c.pollMessages("s", "t", 0, PollStrategy.Next, 4,
+        consumer, autoCommit = true)
+      assert(p2.map(_.offset) == Seq(4L, 5L, 6L, 7L))
+      // manual store rewinds the cursor (StoreConsumerOffset)
+      c.storeOffset("s", "t", 0, consumer, 1L)
+      assert(c.getOffset("s", "t", 0, consumer).contains(1L))
+      val (_, p3) = c.pollMessages("s", "t", 0, PollStrategy.Next, 3, consumer)
+      assert(p3.map(_.offset) == Seq(2L, 3L, 4L))
+      // a different consumer name has its own cursor
+      val (_, q1) = c.pollMessages("s", "t", 0, PollStrategy.Next, 2,
+        (0, "bob"))
+      assert(q1.map(_.offset) == Seq(0L, 1L))
+    }
+  }
+
+  test("consumer groups: join hands out deterministic member indices") {
+    withServer { (_, c) =>
+      c.createStreamIfAbsent("s")
+      c.createTopicIfAbsent("s", "t", 4)
+      c.createGroupIfAbsent("s", "t", "g")
+      c.createGroupIfAbsent("s", "t", "g") // idempotent
+      assert(c.joinGroup("s", "t", "g", "m0") == (1, 0))
+      assert(c.joinGroup("s", "t", "g", "m1") == (2, 1))
+      // rejoin is stable
+      assert(c.joinGroup("s", "t", "g", "m0") == (2, 0))
+      // group offsets are shared across members (kind 1)
+      c.sendMessages("s", "t", Partitioning.PartitionId(0),
+        (0 until 6).map(i => (i.toLong, bytes(s"m$i"))))
+      val (_, g1) = c.pollMessages("s", "t", 0, PollStrategy.Next, 3,
+        (1, "g"), autoCommit = true)
+      assert(g1.map(_.offset) == Seq(0L, 1L, 2L))
+      val (_, g2) = c.pollMessages("s", "t", 0, PollStrategy.Next, 3,
+        (1, "g"), autoCommit = true)
+      assert(g2.map(_.offset) == Seq(3L, 4L, 5L))
+    }
+  }
+}
+
+/** Spark-side laws: bounded read / write round-trip, seek pushdown, the
+  * live micro-batch source with admission control, and the facade arm.
+  */
+class IggySparkSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  private def withServer[T](f: EmbeddedIggy => T): T = {
+    val srv = new EmbeddedIggy
+    try f(srv) finally srv.close()
+  }
+
+  private def envelope(n: Int) = {
+    val s = spark
+    import s.implicits._
+    (0 until n).map { i =>
+      (if (i % 2 == 0) "click" else "view", (i % 3).toLong, -1L,
+        new java.sql.Timestamp(1000000L + i * 100L),
+        s"p$i".getBytes(UTF_8))
+    }.toDF("stream_key", "shard_id", "sequence", "timestamp", "payload")
+  }
+
+  test("write/boundedRead round-trips the envelope with shard fidelity") {
+    withServer { srv =>
+      IggySource.write(envelope(60), srv.host, srv.port, partitions = 3)
+      val back = IggySource.boundedRead(spark, srv.host, srv.port,
+        Seq("click", "view")).collect()
+      assert(back.length == 60)
+      // topic = stream key, partition = shard % 3, offsets dense per part
+      val parts = back.map(r => (r.getString(0), r.getLong(1))).distinct
+      assert(parts.toSet.subsetOf(
+        (for (t <- Seq("click", "view"); p <- 0 until 3) yield (t, p.toLong)).toSet))
+      // per-partition offsets are ts-monotone (one writer per partition)
+      back.groupBy(r => (r.getString(0), r.getLong(1))).foreach { case (_, rs) =>
+        val byOffset = rs.sortBy(_.getLong(2))
+        assert(byOffset.map(_.getTimestamp(3).getTime).toSeq ==
+          byOffset.map(_.getTimestamp(3).getTime).toSeq.sorted)
+      }
+    }
+  }
+
+  test("boundedRead pushes seek into the Timestamp strategy (ts > T exactly)") {
+    withServer { srv =>
+      IggySource.write(envelope(60), srv.host, srv.port, partitions = 3)
+      val cutoff = 1000000L + 29 * 100L
+      val sought = IggySource.boundedRead(spark, srv.host, srv.port,
+        Seq("click", "view"), afterMs = Some(cutoff)).collect()
+      assert(sought.length == 30)
+      assert(sought.forall(_.getTimestamp(3).getTime > cutoff))
+    }
+  }
+
+  test("group boundedRead resumes from the stored group offset (Next law)") {
+    withServer { srv =>
+      IggySource.write(envelope(40), srv.host, srv.port, partitions = 2)
+      val first = IggySource.boundedRead(spark, srv.host, srv.port,
+        Seq("click", "view"), group = Some("g1")).collect()
+      assert(first.length == 40)
+      // same group again: everything was committed, nothing re-delivered
+      val again = IggySource.boundedRead(spark, srv.host, srv.port,
+        Seq("click", "view"), group = Some("g1")).collect()
+      assert(again.isEmpty)
+      // a fresh group sees the full stream
+      val fresh = IggySource.boundedRead(spark, srv.host, srv.port,
+        Seq("click", "view"), group = Some("g2")).collect()
+      assert(fresh.length == 40)
+    }
+  }
+
+  test("live source: earliest replays, admission cap bounds each batch") {
+    withServer { srv =>
+      IggySource.write(envelope(100), srv.host, srv.port, partitions = 2)
+      val q = spark.readStream.format("iggy-stream")
+        .option("host", srv.host).option("port", srv.port.toString)
+        .option("topics", "click,view")
+        .option("startingOffsets", "earliest")
+        .option("maxMessagesPerTrigger", "30")
+        .load()
+        .writeStream.outputMode("append")
+        .format("memory").queryName("iggy_admission_sink").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("iggy_admission_sink")
+        assert(got.count() == 100)
+        assert(got.select("stream_key", "shard_id", "sequence")
+          .distinct().count() == 100)
+        // the cap held per micro-batch
+        val batches = q.recentProgress
+        assert(batches.forall(_.numInputRows <= 30))
+        assert(batches.count(_.numInputRows > 0) >= 4)
+      } finally q.stop()
+    }
+  }
+
+  test("live source: latest anchors at the tip; only post-anchor rows flow") {
+    withServer { srv =>
+      IggySource.write(envelope(40), srv.host, srv.port, partitions = 2)
+      val q = spark.readStream.format("iggy-stream")
+        .option("host", srv.host).option("port", srv.port.toString)
+        .option("topics", "click,view")
+        .option("startingOffsets", "latest")
+        .load()
+        .writeStream.outputMode("append")
+        .format("memory").queryName("iggy_latest_sink").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("iggy_latest_sink").count() == 0)
+        val s = spark
+        import s.implicits._
+        val late = (0 until 10).map { i =>
+          ("click", 0L, -1L, new java.sql.Timestamp(9000000L + i), s"late$i".getBytes(UTF_8))
+        }.toDF("stream_key", "shard_id", "sequence", "timestamp", "payload")
+        IggySource.write(late, srv.host, srv.port, partitions = 2)
+        q.processAllAvailable()
+        assert(spark.table("iggy_latest_sink").count() == 10)
+      } finally q.stop()
+    }
+  }
+
+  test("facade: iggy scheme dispatches replay/live and validates modes") {
+    withServer { srv =>
+      IggySource.write(envelope(30), srv.host, srv.port, partitions = 2)
+      val conn = graft.facade.SeaStreamer.connect(
+        s"iggy://${srv.host}:${srv.port}", spark)
+      val replay = conn.createConsumer(Seq("click", "view"),
+        graft.facade.SeaStreamer.ConsumerOptions(live = false))
+      assert(replay.count() == 30)
+      // seek law via the facade (pushed, no residual filter for iggy)
+      val cutoff = new java.sql.Timestamp(1000000L + 14 * 100L)
+      val sought = conn.createConsumer(Seq("click", "view"),
+        graft.facade.SeaStreamer.ConsumerOptions(live = false,
+          seekTimestamp = Some(cutoff)))
+      assert(sought.count() == 15)
+      assert(!sought.queryExecution.optimizedPlan.toString.contains("Filter"))
+      // group split on shard_id (partition-granular balancing); members
+      // are disjoint and cover the stream
+      val members = conn.createGroupConsumers(Seq("click", "view"),
+        "grp", 2, graft.facade.SeaStreamer.ConsumerOptions(live = false,
+          mode = graft.facade.SeaStreamer.ConsumerMode.LoadBalanced,
+          group = Some("grp")))
+      assert(members.map(_.count()).sum == 30)
+      // Resumable mode CONSUMES the stored group cursor: a second read of
+      // the same group sees nothing new
+      val r1 = conn.createConsumer(Seq("click", "view"),
+        graft.facade.SeaStreamer.ConsumerOptions(live = false,
+          mode = graft.facade.SeaStreamer.ConsumerMode.Resumable,
+          group = Some("resume-g")))
+      assert(r1.count() == 30)
+      val r2 = conn.createConsumer(Seq("click", "view"),
+        graft.facade.SeaStreamer.ConsumerOptions(live = false,
+          mode = graft.facade.SeaStreamer.ConsumerMode.Resumable,
+          group = Some("resume-g")))
+      assert(r2.count() == 0)
+      // RealTime with a group is invalid (ConsumerGroupIsSet law)
+      intercept[graft.core.SeaStreamErr.ConsumerGroupIsSet.type] {
+        conn.createConsumer(Seq("click"),
+          graft.facade.SeaStreamer.ConsumerOptions(
+            mode = graft.facade.SeaStreamer.ConsumerMode.RealTime,
+            group = Some("g"), live = false))
+      }
+    }
+  }
+
+  test("facade: iggy producer writes topics with create-if-not-exists") {
+    withServer { srv =>
+      val conn = graft.facade.SeaStreamer.connect(
+        s"iggy://${srv.host}:${srv.port}", spark)
+      val producer = conn.createGenericProducer(iggyPartitions = 2)
+      producer.send(envelope(20))
+      assert(srv.topicPartitionCount("graft", "click") == 2)
+      val back = IggySource.boundedRead(spark, srv.host, srv.port,
+        Seq("click", "view")).collect()
+      assert(back.length == 20)
+    }
+  }
+}
