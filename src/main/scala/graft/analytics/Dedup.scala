@@ -35,7 +35,7 @@ object Dedup {
   private val JaccardThreshold = 0.5
 
   /** doc_id + distinct word-3gram shingles. */
-  private def shingles(docs: DataFrame): DataFrame =
+  private[analytics] def shingles(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("tok"))
       .filter(size(col("tok")) >= 3)
@@ -64,7 +64,7 @@ object Dedup {
   }
 
   /** Shared DuckDB CTEs for shingles and their hashes (word 3-grams). */
-  private val shinglesSql =
+  private[analytics] val shinglesSql =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
       |sh AS (SELECT DISTINCT doc_id, tok[g.i]||' '||tok[g.i+1]||' '||tok[g.i+2] AS s
       |       FROM toks, (SELECT unnest(range(1, 1024)) AS i) g

@@ -82,6 +82,79 @@ object Pipeline {
           sum(col("tokens")).as("sum_tokens"))
     },
 
+    // Gopher-style quality rules (Rae et al. 2021, §A.1.1): word-count
+    // bounds, mean-word-length bounds, type-token ratio — all in INTEGER
+    // arithmetic (charsum vs 2n/10n, 10*distinct vs 3n) so Spark and the
+    // oracle agree bit-for-bit without float thresholds. Pure map + one
+    // hash agg; at 100 TB this is a single pass.
+    "p5_gopher_quality" -> { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val scored = Tables(s, dir).documents.select(
+        col("lang"),
+        size(toks).cast("long").as("n_words"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("charsum"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"))
+        .withColumn("fail_nwords",
+          col("n_words") < 10L || col("n_words") > 10000L)
+        .withColumn("fail_wordlen", // mean word length outside [2, 10]
+          col("charsum") < col("n_words") * 2L ||
+            col("charsum") > col("n_words") * 10L)
+        .withColumn("fail_ttr", // type-token ratio < 0.3
+          col("n_distinct") * 10L < col("n_words") * 3L)
+      scored.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("fail_nwords"), 1L).otherwise(0L)).as("n_fail_nwords"),
+        sum(when(col("fail_wordlen"), 1L).otherwise(0L)).as("n_fail_wordlen"),
+        sum(when(col("fail_ttr"), 1L).otherwise(0L)).as("n_fail_ttr"),
+        sum(when(!col("fail_nwords") && !col("fail_wordlen") &&
+          !col("fail_ttr"), 1L).otherwise(0L)).as("n_kept"))
+    },
+
+    // Benchmark-contamination check: does a training document share any
+    // word-3gram with the benchmark set (here the deterministic 1/97
+    // doc_id slice standing in for an eval suite)? Shape: the benchmark
+    // shingle set is tiny by construction (eval suites are MBs against a
+    // 100 TB corpus), so it BROADCASTS and contamination is a map-side
+    // hash probe per corpus shingle — no shuffle of the corpus at all.
+    "p6_contamination" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val sh = Dedup.shingles(docs)
+      val bench = sh.filter(pmod(col("doc_id"), lit(97L)) === 0L)
+        .select(col("s")).distinct()
+      val hits = sh.filter(pmod(col("doc_id"), lit(97L)) =!= 0L)
+        .join(broadcast(bench), "s")
+        .select("doc_id", "s").distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      hits.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_contam_docs"),
+          sum(col("n_sh")).as("n_shared_shingles"))
+    },
+
+    // Domain-mixture rebalancing: equal per-source share, capped at each
+    // source's actual size — rates in integer percent over the SAME
+    // content-stable hash as p1, so the mix is reproducible and retry-safe.
+    // Two tiny aggregates broadcast back onto the corpus scan; the corpus
+    // itself is touched once, filter-only.
+    "p7_domain_mix" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val tot = counts.agg(sum(col("n_docs")).as("total"),
+        count(lit(1)).as("nsrc"))
+      val rates = counts.crossJoin(tot)
+        .withColumn("rate_pct",
+          least(lit(100L), expr("(100 * (total DIV nsrc)) DIV n_docs")))
+        .select("source", "n_docs", "rate_pct")
+      val kept = docs.join(broadcast(rates), "source")
+        .filter(hashPct(col("doc_id")) < col("rate_pct"))
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+      // both sides are per-source aggregates — #sources rows at any corpus
+      // size, so the outer join broadcasts too
+      rates.join(broadcast(kept), Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("rate_pct"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+    },
+
     // PII scrub: deterministic synthetic PII is injected per doc_id (the
     // test corpus is clean), then removed with the scrub regexes; the query
     // reports detection counts and the size delta — the audit a redaction
@@ -149,6 +222,55 @@ object Pipeline {
         |SELECT bucket, CAST(FLOOR((cum - tokens) / 512) AS BIGINT) AS bin,
         |  COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS sum_tokens
         |FROM cums GROUP BY 1, 2""".stripMargin,
+    "p5_gopher_quality" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS charsum,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+        |  FROM documents),
+        |flagged AS (
+        |  SELECT lang,
+        |    (n_words < 10 OR n_words > 10000) AS fail_nwords,
+        |    (charsum < n_words * 2 OR charsum > n_words * 10) AS fail_wordlen,
+        |    (n_distinct * 10 < n_words * 3) AS fail_ttr
+        |  FROM scored)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN fail_nwords THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_nwords,
+        |  CAST(SUM(CASE WHEN fail_wordlen THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_wordlen,
+        |  CAST(SUM(CASE WHEN fail_ttr THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_ttr,
+        |  CAST(SUM(CASE WHEN NOT fail_nwords AND NOT fail_wordlen
+        |       AND NOT fail_ttr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM flagged GROUP BY lang""".stripMargin,
+    "p6_contamination" ->
+      s"""WITH ${Dedup.shinglesSql},
+         |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+         |hits AS (SELECT DISTINCT c.doc_id, c.s
+         |         FROM sh c JOIN bench b ON c.s = b.s
+         |         WHERE c.doc_id % 97 <> 0),
+         |per_doc AS (SELECT doc_id, COUNT(*) AS n_sh FROM hits GROUP BY 1)
+         |SELECT d.lang, COUNT(*) AS n_contam_docs,
+         |  CAST(SUM(p.n_sh) AS BIGINT) AS n_shared_shingles
+         |FROM per_doc p JOIN documents d USING (doc_id)
+         |GROUP BY d.lang""".stripMargin,
+    "p7_domain_mix" ->
+      """WITH counts AS (
+        |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+        |               COUNT(*) AS nsrc FROM counts),
+        |rates AS (
+        |  SELECT source, n_docs,
+        |    LEAST(100, (100 * (total // nsrc)) // n_docs) AS rate_pct
+        |  FROM counts CROSS JOIN tot),
+        |kept AS (
+        |  SELECT d.source, COUNT(*) AS n_kept
+        |  FROM documents d JOIN rates r USING (source)
+        |  WHERE CAST(('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,8)) AS BIGINT) % 100
+        |        < r.rate_pct
+        |  GROUP BY d.source)
+        |SELECT r.source, r.n_docs, r.rate_pct,
+        |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM rates r LEFT JOIN kept k USING (source)""".stripMargin,
     "p4_pii_scrub" ->
       """WITH dirtied AS (
         |  SELECT lang, text ||

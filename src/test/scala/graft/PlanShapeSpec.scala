@@ -88,6 +88,24 @@ class PlanShapeSpec extends AnyFunSuite {
       "tolerance join must bucket, not theta-join")
   }
 
+  test("p6 contamination probes a broadcast benchmark set, no corpus shuffle join") {
+    // the benchmark shingle set is tiny by construction (an eval suite vs a
+    // 100 TB corpus): the containment join must be a broadcast hash probe —
+    // a sort-merge/shuffle join here would shuffle every corpus shingle
+    val p = planOf("p6_contamination")
+    assert(p.contains("BroadcastHashJoin"), "bench set must broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus shingles must not shuffle-join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("p7 domain mix broadcasts the per-source rates onto one corpus pass") {
+    // (the 1-row `tot` cross join broadcasts as a nested loop — fine; what
+    // must not appear is a shuffle join on the corpus scan)
+    val p = planOf("p7_domain_mix")
+    assert(p.contains("BroadcastHashJoin"), "rate table must broadcast")
+    assert(!p.contains("SortMergeJoin"), "docs×rates regressed to a shuffle join")
+  }
+
   test("ss scan splits on beacons and reports pruning in its description") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
