@@ -157,6 +157,43 @@ object Multimodal {
     }
   }
 
+  /** doc_id + 8×8 nearest-neighbor thumbnail channel sums. */
+  final case class MediaFeatures(
+      doc_id: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Decode → resize (8×8 nearest-neighbor) → feature-extract (per-channel
+    * sums), the standard image-embedding preprocessing shape: the resize
+    * reads exactly 64 pixels per image THROUGH the real decoder, so the
+    * features depend on the decode being faithful, and the whole stage is a
+    * per-partition batch (where a vectorized resize kernel would sit).
+    */
+  def imageFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.map { r =>
+        val img = ImageIO.read(new ByteArrayInputStream(r.media))
+        if (img == null)
+          throw new IllegalArgumentException(s"doc ${r.doc_id}: not an image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var gy = 0
+        while (gy < 8) {
+          var gx = 0
+          while (gx < 8) {
+            // nearest-neighbor sample: src = floor(g * dim / 8)
+            val v = img.getRGB(gx * w / 8, gy * h / 8) & 0xFFFFFF
+            sr += (v >> 16) & 0xFF
+            sg += (v >> 8) & 0xFF
+            sb += v & 0xFF
+            gx += 1
+          }
+          gy += 1
+        }
+        MediaFeatures(r.doc_id, sr, sg, sb)
+      }
+    }
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     // Binary-column pipeline: synthesize real PNG/WAV bytes per document
     // (executor-side, deterministic), decode them back with the real codecs,
@@ -176,6 +213,26 @@ object Multimodal {
           sum(col("channels")).as("sum_channels"),
           sum(col("frames")).as("sum_frames"),
           max(col("sample_rate")).as("max_rate"))
+    },
+
+    // Decode → resize → feature-extract over the image subset: 8×8
+    // nearest-neighbor thumbnails through the REAL PNG decoder, per-channel
+    // sums bucketed by doc_id % 10. The oracle recomputes the exact sums
+    // from the synthesis arithmetic (pixel = ((x*31 + y*17 + seed) *
+    // 2654435761) & 0xFFFFFF at the sampled coordinates) — green means
+    // decode + resize read back precisely the pixels the encoder wrote.
+    "m2_media_features" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables(s, dir).documents
+        .select(col("doc_id")).as[Long]
+        .filter(_ % 2 == 0) // the PNG half of the corpus
+        .mapPartitions(_.map(id => MediaRecord(id, synthesize(id))))
+      imageFeatures(media).toDF()
+        .groupBy(pmod(col("doc_id"), lit(10L)).as("bucket"))
+        .agg(count(lit(1)).as("n_imgs"),
+          sum(col("sum_r")).as("sum_r"),
+          sum(col("sum_g")).as("sum_g"),
+          sum(col("sum_b")).as("sum_b"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -198,5 +255,27 @@ object Multimodal {
         |  CAST(SUM(channels) AS BIGINT) AS sum_channels,
         |  CAST(SUM(frames) AS BIGINT) AS sum_frames,
         |  CAST(MAX(sample_rate) AS BIGINT) AS max_rate
-        |FROM meta GROUP BY 1""".stripMargin)
+        |FROM meta GROUP BY 1""".stripMargin,
+    // The synthesis arithmetic replayed at the 64 nearest-neighbor sample
+    // points: src = (g * dim) // 8, pixel = ((x*31 + y*17 + doc_id) *
+    // 2654435761) & 0xFFFFFF, channels = bytes of the packed RGB.
+    "m2_media_features" ->
+      """WITH imgs AS (
+        |  SELECT doc_id, doc_id % 97 + 8 AS w, doc_id * 3 % 71 + 8 AS h
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |grid AS (
+        |  SELECT gx.v AS gx, gy.v AS gy
+        |  FROM (SELECT unnest(range(0, 8)) AS v) gx,
+        |       (SELECT unnest(range(0, 8)) AS v) gy),
+        |px AS (
+        |  SELECT doc_id,
+        |    (((gx * w) // 8 * 31 + (gy * h) // 8 * 17 + doc_id)
+        |      * 2654435761) & 16777215 AS v
+        |  FROM imgs CROSS JOIN grid)
+        |SELECT doc_id % 10 AS bucket,
+        |  CAST(COUNT(*) // 64 AS BIGINT) AS n_imgs,
+        |  CAST(SUM((v >> 16) & 255) AS BIGINT) AS sum_r,
+        |  CAST(SUM((v >> 8) & 255) AS BIGINT) AS sum_g,
+        |  CAST(SUM(v & 255) AS BIGINT) AS sum_b
+        |FROM px GROUP BY 1""".stripMargin)
 }

@@ -424,7 +424,11 @@ object SeaStreamer {
               topics = streams, stream = opts.iggyStream,
               afterMs = pushMs,
               group = opts.group.filter(_ =>
-                opts.mode == ConsumerMode.Resumable))
+                opts.mode == ConsumerMode.Resumable),
+              // rewind (`sequence >= n`) pushes as the AtOffset start; the
+              // generic >= residual in createConsumer stays (a no-op on the
+              // pruned scan)
+              fromOffset = opts.rewindSeqNo)
         case "stdio" =>
           // distributed stdin does not exist: Replay = text file of lines
           if (opts.live) throw SeaStreamErr.Unsupported(

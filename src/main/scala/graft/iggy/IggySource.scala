@@ -76,12 +76,19 @@ object IggySource {
   def boundedRead(spark: SparkSession, host: String, port: Int,
       topics: Seq[String], stream: String = DefaultStream,
       batch: Int = 1000, afterMs: Option[Long] = None,
-      group: Option[String] = None): DataFrame = {
+      group: Option[String] = None,
+      /** Rewind law `sequence >= n` pushed as the per-partition AtOffset
+        * start (offsets ARE the envelope sequence on iggy) — the pre-rewind
+        * prefix is never polled. Ignored when `afterMs` is set (the seek
+        * start wins; the facade keeps its exact residual filter).
+        */
+      fromOffset: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val parts = topicParts(host, port, stream, topics)
       .flatMap { case (t, n) => (0 until n).map(p => (t, p)) }
     val start: PollStrategy = afterMs match {
       case Some(ms) => PollStrategy.AtTimestamp(ms + 1) // seek law: ts > ms
+      case None if fromOffset.isDefined => PollStrategy.AtOffset(fromOffset.get)
       case None if group.isDefined => PollStrategy.Next
       case None => PollStrategy.First
     }

@@ -224,6 +224,23 @@ class IggySparkSpec extends AnyFunSuite {
     }
   }
 
+  test("boundedRead pushes rewind into the AtOffset start (sequence >= n)") {
+    withServer { srv =>
+      IggySource.write(envelope(60), srv.host, srv.port, partitions = 3)
+      val rewound = IggySource.boundedRead(spark, srv.host, srv.port,
+        Seq("click", "view"), fromOffset = Some(5L)).collect()
+      assert(rewound.forall(_.getLong(2) >= 5L))
+      // every partition kept its tail past offset 5
+      assert(rewound.nonEmpty)
+      val viaFacade = graft.facade.SeaStreamer.connect(
+        s"iggy://${srv.host}:${srv.port}", spark)
+        .createConsumer(Seq("click", "view"),
+          graft.facade.SeaStreamer.ConsumerOptions(live = false,
+            rewindSeqNo = Some(5L)))
+      assert(viaFacade.count() == rewound.length)
+    }
+  }
+
   test("group boundedRead resumes from the stored group offset (Next law)") {
     withServer { srv =>
       IggySource.write(envelope(40), srv.host, srv.port, partitions = 2)
