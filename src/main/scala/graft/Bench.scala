@@ -37,6 +37,10 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
         timed(name)(fn(spark, sfDir).count())
+        // queries persist intermediates (e.g. the dedup shingle set); free
+        // the blocks outside the timed region so one query's cache can't
+        // squeeze the next one's memory
+        spark.catalog.clearCache()
       }
 
     // Transport path: the reference's benchmark shape — 100k messages of

@@ -46,7 +46,15 @@ object Dedup {
         .as("s"))
       .distinct()
 
-  /** Exact Jaccard over shared shingles for co-occurring pairs. */
+  /** Exact Jaccard over shared shingles for co-occurring pairs.
+    *
+    * The shingle set feeds three plan branches (per-doc sizes + both sides
+    * of the self-join); callers persist it once (MEMORY_AND_DISK — executors
+    * spill, not OOM) instead of replaying the explode+distinct shuffle per
+    * branch. Persisting here would double-cache when the caller already
+    * holds the shingles (d3). The query session frees the blocks via
+    * `clearCache` (Bench) or session teardown (Verify).
+    */
   private def jaccardPairs(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = sh.as("a")
@@ -81,7 +89,8 @@ object Dedup {
 
     // N-gram Jaccard near-dup pairs (exact, shingle-join pruned).
     "d2_ngram_jaccard" -> { (s, dir) =>
-      jaccardPairs(shingles(Tables(s, dir).documents))
+      jaccardPairs(shingles(Tables(s, dir).documents)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         .filter(col("jaccard") >= JaccardThreshold)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
     },
@@ -89,15 +98,23 @@ object Dedup {
     // MinHash (8 perms) + LSH band join (band size 1) → candidates →
     // exact-Jaccard verification. est_sim = matching minhashes / 8.
     "d3_minhash_lsh" -> { (s, dir) =>
-      import s.implicits._
-      val consts = MinhashParams.zipWithIndex
-        .map { case ((a, b), i) => (i, a.toLong, b.toLong) }
-        .toDF("i", "a", "b")
       val sh = shingles(Tables(s, dir).documents)
         .withColumn("hm", md5long(col("s")) % Prime)
-      val mh = sh.crossJoin(broadcast(consts))
-        .groupBy("doc_id", "i")
-        .agg(min((col("a") * col("hm") + col("b")) % Prime).as("mh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // all 8 permutation minima in ONE aggregation over the shingle rows,
+      // then unpivoted — shuffles |shingles| rows once instead of 8× blown
+      // up through a crossJoin with the parameter table
+      val minCols = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
+        min((lit(a.toLong) * col("hm") + lit(b.toLong)) % Prime).as(s"mh$i")
+      }
+      val stackArgs = MinhashParams.indices.map(i => s"$i, mh$i").mkString(", ")
+      // the signature table is tiny (8 rows/doc) and feeds four join
+      // branches — persist it so the aggregation runs once, not per branch
+      val mh = sh.groupBy("doc_id")
+        .agg(minCols.head, minCols.tail: _*)
+        .select(col("doc_id"),
+          expr(s"stack(${MinhashParams.size}, $stackArgs) AS (i, mh)"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // LSH band join: equality on (band, minhash) — O(collisions), never the
       // all-pairs O(n²) signature comparison
       val cand = mh.as("x")
