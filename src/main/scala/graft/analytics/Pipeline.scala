@@ -155,6 +155,46 @@ object Pipeline {
           coalesce(col("n_kept"), lit(0L)).as("n_kept"))
     },
 
+    // Gopher-style repetition rules (Rae et al. 2021, §A.1.1): per-document
+    // top-2gram coverage and duplicate-3gram fraction, flagged with INTEGER
+    // comparisons (10*c2 > n_words ⇔ top-2gram covers >20% of positions;
+    // 10*dup3 > 3*tot3 ⇔ >30% of 3-gram positions are repeats) so Spark and
+    // the oracle agree bit-for-bit. Shapes: two explode→hash-agg passes
+    // keyed by (doc, gram) then doc — at 100 TB both shuffles are on
+    // bounded-cardinality keys, nothing global.
+    "p8_repetition" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tok"))
+        .filter(size(col("tok")) >= 3)
+      // same 1023-position cap as the dedup shingles (oracle range(1,1024))
+      val g2 = docs.select(col("doc_id"), col("lang"),
+        size(col("tok")).cast("long").as("n_words"),
+        explode(expr(
+          "transform(sequence(0, least(size(tok)-2, 1022)), i -> concat_ws(' ', slice(tok, i+1, 2)))"))
+          .as("g"))
+      val c2 = g2.groupBy("doc_id", "lang", "n_words", "g")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "lang", "n_words").agg(max(col("c")).as("c2"))
+      val g3 = docs.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, least(size(tok)-3, 1022)), i -> concat_ws(' ', slice(tok, i+1, 3)))"))
+        .as("g"))
+      val d3 = g3.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup3"),
+          sum(col("c")).as("tot3"))
+      c2.join(d3, "doc_id")
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("c2") * 10L > col("n_words"), 1L).otherwise(0L))
+            .as("n_fail_top2"),
+          sum(when(col("dup3") * 10L > col("tot3") * 3L, 1L).otherwise(0L))
+            .as("n_fail_dup3"),
+          round(sum(col("c2") * 2L) * lit(1.0) / sum(col("n_words")), 6)
+            .as("top2_frac"),
+          round(sum(col("dup3")) * lit(1.0) / sum(col("tot3")), 6)
+            .as("dup3_frac"))
+    },
+
     // PII scrub: deterministic synthetic PII is injected per doc_id (the
     // test corpus is clean), then removed with the scrub regexes; the query
     // reports detection counts and the size delta — the audit a redaction
@@ -271,6 +311,34 @@ object Pipeline {
         |SELECT r.source, r.n_docs, r.rate_pct,
         |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
         |FROM rates r LEFT JOIN kept k USING (source)""".stripMargin,
+    "p8_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS tok FROM documents),
+        |ok AS (SELECT * FROM toks WHERE len(tok) >= 3),
+        |g2 AS (SELECT doc_id, lang, CAST(len(tok) AS BIGINT) AS n_words,
+        |         tok[g.i]||' '||tok[g.i+1] AS g
+        |       FROM ok, (SELECT unnest(range(1, 1024)) AS i) g
+        |       WHERE g.i + 1 <= len(tok)),
+        |c2 AS (SELECT doc_id, lang, n_words, MAX(c) AS c2
+        |       FROM (SELECT doc_id, lang, n_words, g, COUNT(*) AS c
+        |             FROM g2 GROUP BY 1, 2, 3, 4)
+        |       GROUP BY 1, 2, 3),
+        |g3 AS (SELECT doc_id, tok[g.i]||' '||tok[g.i+1]||' '||tok[g.i+2] AS g
+        |       FROM ok, (SELECT unnest(range(1, 1024)) AS i) g
+        |       WHERE g.i + 2 <= len(tok)),
+        |d3 AS (SELECT doc_id,
+        |         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup3,
+        |         CAST(SUM(c) AS BIGINT) AS tot3
+        |       FROM (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2)
+        |       GROUP BY 1)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN c2 * 10 > n_words THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_fail_top2,
+        |  CAST(SUM(CASE WHEN dup3 * 10 > tot3 * 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_fail_dup3,
+        |  ROUND(SUM(c2 * 2) * 1.0 / SUM(n_words), 6) AS top2_frac,
+        |  ROUND(SUM(dup3) * 1.0 / SUM(tot3), 6) AS dup3_frac
+        |FROM c2 JOIN d3 USING (doc_id) GROUP BY lang""".stripMargin,
     "p4_pii_scrub" ->
       """WITH dirtied AS (
         |  SELECT lang, text ||

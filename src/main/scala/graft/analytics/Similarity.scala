@@ -52,6 +52,15 @@ object Similarity {
   private def approxDotCol(a: String, b: String): Column =
     graft.functions.FloatVecDot.fdot(col(a), col(b))
 
+  /** Exact decimal squared-L2 distance between two float arrays (DOUBLE). */
+  private def dist2Col(a: String, b: String): Column = expr(
+    s"""CAST(aggregate(
+       |  zip_with($a, $b, (x, y) ->
+       |    CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
+       |         (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) AS DECIMAL(30,15))),
+       |  CAST(0 AS DECIMAL(38,15)),
+       |  (acc, v) -> CAST(acc + v AS DECIMAL(38,15))) AS DOUBLE)""".stripMargin)
+
   /** Per-vector L2 norm via the same decimal-sum trick. */
   private def withNorm(df: DataFrame, emb: String, out: String): DataFrame =
     df.withColumn(out, sqrt(expr(
@@ -145,18 +154,11 @@ object Similarity {
       // exact decimal L2² against every centroid; argmin with id tie-break
       val cents = broadcast(e.filter(col("vec_id") < K)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb")))
-      def dist2(a: String, b: String): Column = expr(
-        s"""CAST(aggregate(
-           |  zip_with($a, $b, (x, y) ->
-           |    CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
-           |         (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) AS DECIMAL(30,15))),
-           |  CAST(0 AS DECIMAL(38,15)),
-           |  (acc, v) -> CAST(acc + v AS DECIMAL(38,15))) AS DOUBLE)""".stripMargin)
       val wAssign = Window.partitionBy(col("vec_id"))
         .orderBy(col("d2r"), col("centroid_id"))
       val assigned = e.select(col("vec_id"), col("embedding"))
         .crossJoin(cents)
-        .withColumn("d2r", round(dist2("embedding", "cemb"), 6))
+        .withColumn("d2r", round(dist2Col("embedding", "cemb"), 6))
         .withColumn("cr", row_number().over(wAssign))
       val lists = assigned.filter(col("cr") === 1)
         .select(col("vec_id").as("cid"), col("centroid_id"))
@@ -236,6 +238,58 @@ object Similarity {
           round(dotCol("ea", "eb") / (col("na") * col("nb")), 6))
       scored.filter(col("cosine") >= DupThreshold)
         .select(col("vec_a"), col("vec_b"), col("cosine"))
+    },
+
+    // SemDeDup (Abbas et al. 2023): cluster the embedding space coarsely,
+    // then dedup WITHIN each cluster by exact pairwise cosine — the pair
+    // join is an equi-join on the cluster id, so the quadratic term is
+    // sum(cluster_size²), never corpus² (at 100 TB, K grows with n to hold
+    // cluster sizes at a constant target, keeping per-cluster work bounded;
+    // skewed clusters split by salting the same key). Keeper = lowest
+    // vec_id of each near-dup neighborhood; each dropped doc reports which
+    // keeper it duplicated and the cosine that sealed it.
+    "d7_semdedup" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val K = 16
+      val cents = broadcast(e.filter(col("vec_id") < K)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb")))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2r"), col("centroid_id"))
+      val lists = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(cents)
+        .withColumn("d2r", round(dist2Col("embedding", "cemb"), 6))
+        .withColumn("cr", row_number().over(wAssign))
+        .filter(col("cr") === 1)
+        .select(col("vec_id"), col("centroid_id"))
+      val withVec = withNorm(
+        e.select(col("vec_id"), col("embedding")), "embedding", "nrm")
+        .join(lists, "vec_id")
+      // intra-cluster candidate pairs; cheap codegen'd double prefilter
+      // (wide margin) gates the exact decimal cosine, as in d5
+      val scored = withVec.as("a")
+        .join(withVec.as("b"),
+          col("a.centroid_id") === col("b.centroid_id") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.centroid_id").as("cluster_id"),
+          col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          col("a.embedding").as("ea"), col("b.embedding").as("eb"),
+          col("a.nrm").as("na"), col("b.nrm").as("nb"))
+        .filter(approxDotCol("ea", "eb") / (col("na") * col("nb")) >=
+          DupThreshold - DupPrefilterMargin)
+        .withColumn("cosine",
+          round(dotCol("ea", "eb") / (col("na") * col("nb")), 6))
+        .filter(col("cosine") >= DupThreshold)
+        .select(col("cluster_id"), col("vec_a"), col("vec_b"), col("cosine"))
+      // a doc is dropped if any lower-id cluster-mate is near enough;
+      // report the lowest such keeper and the cosine against it
+      val dropped = scored.groupBy(col("vec_b").as("vec_id"))
+        .agg(min(col("cluster_id")).as("cluster_id"),
+          min(col("vec_a")).as("dup_of"))
+      dropped.join(
+        scored.select(col("vec_b").as("vec_id"), col("vec_a").as("dup_of"),
+          col("cosine")),
+        Seq("vec_id", "dup_of"))
+        .select(col("vec_id"), col("cluster_id"), col("dup_of"), col("cosine"))
     })
 
   /** Shared oracle CTEs: exploded dims, norms. */
@@ -366,5 +420,40 @@ object Similarity {
          |        FROM dots
          |        JOIN norms na ON vec_a = na.vec_id
          |        JOIN norms nb ON vec_b = nb.vec_id)
-         |SELECT vec_a, vec_b, cosine FROM cos WHERE cosine >= $DupThreshold""".stripMargin)
+         |SELECT vec_a, vec_b, cosine FROM cos WHERE cosine >= $DupThreshold""".stripMargin,
+    "d7_semdedup" ->
+      s"""WITH $explodedSql,
+         |cents AS (SELECT vec_id AS centroid_id, d, v FROM ex WHERE vec_id < 16),
+         |d2 AS (SELECT e.vec_id, c.centroid_id,
+         |         ROUND(CAST(SUM(CAST((e.v - c.v) * (e.v - c.v)
+         |           AS DECIMAL(30,15))) AS DOUBLE), 6) AS d2r
+         |       FROM ex e JOIN cents c ON e.d = c.d
+         |       GROUP BY 1, 2),
+         |ra AS (SELECT vec_id, centroid_id,
+         |         ROW_NUMBER() OVER (PARTITION BY vec_id
+         |           ORDER BY d2r, centroid_id) AS cr
+         |       FROM d2),
+         |lists AS (SELECT vec_id, centroid_id FROM ra WHERE cr = 1),
+         |pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |            a.centroid_id AS cluster_id
+         |          FROM lists a JOIN lists b ON a.centroid_id = b.centroid_id
+         |            AND a.vec_id < b.vec_id),
+         |dots AS (SELECT vec_a, vec_b, MIN(cluster_id) AS cluster_id,
+         |           CAST(SUM(CAST(x.v * y.v AS DECIMAL(30,15))) AS DOUBLE) AS dot
+         |         FROM pairs
+         |         JOIN ex x ON vec_a = x.vec_id
+         |         JOIN ex y ON vec_b = y.vec_id AND x.d = y.d
+         |         GROUP BY 1, 2),
+         |scored AS (SELECT cluster_id, vec_a, vec_b,
+         |             ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+         |           FROM dots
+         |           JOIN norms na ON vec_a = na.vec_id
+         |           JOIN norms nb ON vec_b = nb.vec_id
+         |           WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= $DupThreshold),
+         |dropped AS (SELECT vec_b AS vec_id, MIN(cluster_id) AS cluster_id,
+         |              MIN(vec_a) AS dup_of
+         |            FROM scored GROUP BY vec_b)
+         |SELECT d.vec_id, d.cluster_id, d.dup_of, s.cosine
+         |FROM dropped d
+         |JOIN scored s ON d.vec_id = s.vec_b AND d.dup_of = s.vec_a""".stripMargin)
 }

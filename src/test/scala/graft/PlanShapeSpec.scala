@@ -54,6 +54,28 @@ class PlanShapeSpec extends AnyFunSuite {
     blocks.result()
   }
 
+  test("d7 semdedup pairs within clusters via equi-join, never all-pairs") {
+    // the quadratic term must be sum(cluster_size²) behind an equi-join on
+    // centroid_id — a CartesianProduct would be corpus². (The 16-row
+    // centroid crossJoin broadcasts by design; the corpus-sized pair join
+    // must be a hash join keyed on the cluster id.)
+    val p = planOf("d7_semdedup")
+    assert(!p.contains("CartesianProduct"), "d7 plans an all-pairs join")
+    val pairJoins = nodeBlocks(p).filter { case (n, b) =>
+      (n.endsWith("HashJoin") || n == "SortMergeJoin") &&
+        b.linesIterator.exists(l => l.contains("keys") &&
+          l.contains("centroid_id#"))
+    }
+    assert(pairJoins.nonEmpty,
+      "intra-cluster pairing must be an equi-join on centroid_id")
+  }
+
+  test("p8 repetition plans only keyed hash aggregations, nothing global") {
+    val p = planOf("p8_repetition")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Window"), "p8 must not sort the corpus in a window")
+  }
+
   test("d5 re-attaches vectors with shuffle joins, never a corpus broadcast") {
     // at 100 TB the corpus vector table cannot broadcast; the pair joins on
     // vec_a/vec_b must be hash-partitioned shuffle joins. Inspect the join
