@@ -156,6 +156,13 @@ object Dedup {
       var converged = false
       var iter = 0
       val maxIter = 50
+      // min-label propagation is MONOTONE: every doc's label can only
+      // decrease (the new label includes the old one in its min). So the
+      // label sum strictly decreases until the fixpoint, and an unchanged
+      // sum IS convergence — one cheap single-pass agg per round instead of
+      // a join-against-previous + count job.
+      var prevSum = labels.agg(coalesce(sum(col("lbl")), lit(0L)))
+        .head().getLong(0)
       while (!converged && iter < maxIter) {
         // localCheckpoint (not cache): materializes AND severs lineage, so
         // the logical plan — and with it per-iteration analysis/optimization
@@ -167,12 +174,12 @@ object Dedup {
           .agg(least(min(col("l.lbl")), coalesce(min(col("n.lbl")),
             min(col("l.lbl")))).as("lbl"))
           .localCheckpoint(true)
-        val changed = next.as("a")
-          .join(labels.as("b"), col("a.doc") === col("b.doc"))
-          .filter(col("a.lbl") =!= col("b.lbl")).limit(1).count()
+        val nextSum = next.agg(coalesce(sum(col("lbl")), lit(0L)))
+          .head().getLong(0)
         labels.unpersist()
         labels = next
-        converged = changed == 0
+        converged = nextSum == prevSum
+        prevSum = nextSum
         iter += 1
       }
       pairs.unpersist()

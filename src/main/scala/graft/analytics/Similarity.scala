@@ -240,6 +240,57 @@ object Similarity {
         .select(col("vec_a"), col("vec_b"), col("cosine"))
     },
 
+    // Scalar-quantized ANN (int8): per-vector symmetric quantization
+    // q_i = round(v_i * 127 / max|v|), integer dot products select the
+    // top-20 candidates per query, exact decimal cosine re-ranks only
+    // those. The 100 TB story is MEMORY: the int8 corpus is 4× smaller
+    // than float32 (64 B/vec here), the candidate scan is pure integer
+    // arithmetic (exact in any order — Spark's array lambdas and the
+    // oracle's exploded joins agree bit-for-bit), and the expensive
+    // decimal path touches 20 rows per query.
+    "s4_ann_sq8" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val Cand = 20
+      val quant = e.select(col("vec_id"), col("embedding"))
+        .withColumn("mabs", expr(
+          "aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"))
+        .withColumn("q", expr(
+          "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / mabs) AS BIGINT))"))
+        .withColumn("qn", sqrt(expr(
+          "aggregate(transform(q, x -> x * x), CAST(0 AS BIGINT), (acc, v) -> acc + v)")))
+      val corpus = quant.select(col("vec_id").as("cid"), col("q").as("cq"),
+        col("qn").as("cn"))
+      val qs = quant.filter(col("vec_id") < QueryCount)
+        .select(col("vec_id").as("qid"), col("q").as("qq"), col("qn").as("nn"))
+      val approx = corpus.crossJoin(broadcast(qs))
+        .filter(col("qid") =!= col("cid"))
+        .withColumn("idot", expr(
+          "aggregate(zip_with(qq, cq, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .withColumn("approx", col("idot").cast("double") / (col("nn") * col("cn")))
+      val wc = Window.partitionBy(col("qid"))
+        .orderBy(col("approx").desc, col("cid"))
+      val cand = approx
+        .withColumn("crank", row_number().over(wc))
+        .filter(col("crank") <= Cand)
+        .select(col("qid"), col("cid"))
+      // exact decimal cosine only for the quantization survivors
+      val withVec = withNorm(
+        e.select(col("vec_id"), col("embedding")), "embedding", "nrm")
+      val scored = cand
+        .join(broadcast(withVec.select(col("vec_id").as("qid"),
+          col("embedding").as("qe"), col("nrm").as("qn0"))), "qid")
+        .join(withVec.select(col("vec_id").as("cid"),
+          col("embedding").as("ce"), col("nrm").as("cn0")), "cid")
+        .withColumn("cosine",
+          round(dotCol("qe", "ce") / (col("qn0") * col("cn0")), 6))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("cid"))
+      scored
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("cid"), col("cosine"), col("rank"))
+    },
+
     // SemDeDup (Abbas et al. 2023): cluster the embedding space coarsely,
     // then dedup WITHIN each cluster by exact pairwise cosine — the pair
     // join is an equi-join on the cluster id, so the quadratic term is
@@ -421,6 +472,46 @@ object Similarity {
          |        JOIN norms na ON vec_a = na.vec_id
          |        JOIN norms nb ON vec_b = nb.vec_id)
          |SELECT vec_a, vec_b, cosine FROM cos WHERE cosine >= $DupThreshold""".stripMargin,
+    "s4_ann_sq8" ->
+      s"""WITH $explodedSql,
+         |scales AS (SELECT vec_id, MAX(abs(v)) AS mabs FROM ex GROUP BY vec_id),
+         |qex AS (SELECT e.vec_id, e.d,
+         |          CAST(round(e.v * 127.0 / s.mabs) AS BIGINT) AS q
+         |        FROM ex e JOIN scales s USING (vec_id)),
+         |qnorms AS (SELECT vec_id, sqrt(CAST(SUM(q * q) AS DOUBLE)) AS qn
+         |           FROM qex GROUP BY vec_id),
+         |idots AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+         |            CAST(SUM(a.q * b.q) AS BIGINT) AS idot
+         |          FROM qex a JOIN qex b ON a.d = b.d
+         |          WHERE a.vec_id < $QueryCount AND a.vec_id <> b.vec_id
+         |          GROUP BY 1, 2),
+         |approx AS (SELECT qid, cid,
+         |             CAST(idot AS DOUBLE) / (na.qn * nb.qn) AS approx
+         |           FROM idots
+         |           JOIN qnorms na ON qid = na.vec_id
+         |           JOIN qnorms nb ON cid = nb.vec_id),
+         |cand AS (SELECT qid, cid FROM (
+         |           SELECT qid, cid,
+         |             ROW_NUMBER() OVER (PARTITION BY qid
+         |               ORDER BY approx DESC, cid) AS crank
+         |           FROM approx)
+         |         WHERE crank <= 20),
+         |dots AS (SELECT qid, cid,
+         |           CAST(SUM(CAST(q.v * c.v AS DECIMAL(30,15))) AS DOUBLE) AS dot
+         |         FROM cand
+         |         JOIN ex q ON qid = q.vec_id
+         |         JOIN ex c ON cid = c.vec_id AND q.d = c.d
+         |         GROUP BY 1, 2),
+         |scored AS (SELECT qid, cid,
+         |             ROUND(dot / (nq.nrm * nc.nrm), 6) AS cosine
+         |           FROM dots
+         |           JOIN norms nq ON qid = nq.vec_id
+         |           JOIN norms nc ON cid = nc.vec_id),
+         |ranked AS (SELECT qid, cid, cosine,
+         |             ROW_NUMBER() OVER (PARTITION BY qid
+         |               ORDER BY cosine DESC, cid) AS rank
+         |           FROM scored)
+         |SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 3""".stripMargin,
     "d7_semdedup" ->
       s"""WITH $explodedSql,
          |cents AS (SELECT vec_id AS centroid_id, d, v FROM ex WHERE vec_id < 16),
