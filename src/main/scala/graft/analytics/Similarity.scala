@@ -240,6 +240,48 @@ object Similarity {
         .select(col("vec_a"), col("vec_b"), col("cosine"))
     },
 
+    // Distributed k-means, one Lloyd round (K = 16, seeded by the first K
+    // vectors): assign every vector to its nearest centroid, recompute each
+    // centroid as the decimal-exact per-dimension mean of its members, and
+    // report cluster sizes plus how far each centroid moved. The shapes are
+    // the 100 TB ones: assignment is a map over a broadcast centroid table,
+    // the mean is ONE hash-agg keyed by (centroid, dim) — per iteration the
+    // corpus is scanned once and shuffled once by a 16×64-key aggregation
+    // (map-side combine collapses it); iterating = re-running with the
+    // emitted centroids. No driver-side math beyond the loop decision.
+    "c1_kmeans" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val K = 16
+      val cents = broadcast(e.filter(col("vec_id") < K)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb")))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2r"), col("centroid_id"))
+      val lists = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(cents)
+        .withColumn("d2r", round(dist2Col("embedding", "cemb"), 6))
+        .withColumn("cr", row_number().over(wAssign))
+        .filter(col("cr") === 1)
+        .select(col("vec_id"), col("centroid_id"))
+      val ex = e.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("d0", "v")))
+        .select(col("vec_id"), (col("d0") + 1).as("d"),
+          col("v").cast("double").as("v"))
+      val means = ex.join(lists, "vec_id")
+        .groupBy("centroid_id", "d")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast("decimal(30,15)")).as("sv"))
+        .withColumn("mean", col("sv").cast("double") / col("n"))
+      val old = cents
+        .select(col("centroid_id"), posexplode(col("cemb")).as(Seq("d0", "ov")))
+        .select(col("centroid_id"), (col("d0") + 1).as("d"),
+          col("ov").cast("double").as("ov"))
+      means.join(old, Seq("centroid_id", "d"))
+        .groupBy("centroid_id")
+        .agg(max(col("n")).as("n_members"),
+          round(sum(((col("mean") - col("ov")) * (col("mean") - col("ov")))
+            .cast("decimal(30,15)")).cast("double"), 6).as("shift"))
+    },
+
     // Scalar-quantized ANN (int8): per-vector symmetric quantization
     // q_i = round(v_i * 127 / max|v|), integer dot products select the
     // top-20 candidates per query, exact decimal cosine re-ranks only
@@ -472,6 +514,29 @@ object Similarity {
          |        JOIN norms na ON vec_a = na.vec_id
          |        JOIN norms nb ON vec_b = nb.vec_id)
          |SELECT vec_a, vec_b, cosine FROM cos WHERE cosine >= $DupThreshold""".stripMargin,
+    "c1_kmeans" ->
+      s"""WITH $explodedSql,
+         |cents AS (SELECT vec_id AS centroid_id, d, v FROM ex WHERE vec_id < 16),
+         |d2 AS (SELECT e.vec_id, c.centroid_id,
+         |         ROUND(CAST(SUM(CAST((e.v - c.v) * (e.v - c.v)
+         |           AS DECIMAL(30,15))) AS DOUBLE), 6) AS d2r
+         |       FROM ex e JOIN cents c ON e.d = c.d
+         |       GROUP BY 1, 2),
+         |ra AS (SELECT vec_id, centroid_id,
+         |         ROW_NUMBER() OVER (PARTITION BY vec_id
+         |           ORDER BY d2r, centroid_id) AS cr
+         |       FROM d2),
+         |lists AS (SELECT vec_id, centroid_id FROM ra WHERE cr = 1),
+         |means AS (SELECT l.centroid_id, e.d, COUNT(*) AS n,
+         |            CAST(SUM(CAST(e.v AS DECIMAL(30,15))) AS DOUBLE) AS sv
+         |          FROM ex e JOIN lists l ON e.vec_id = l.vec_id
+         |          GROUP BY 1, 2),
+         |m2 AS (SELECT centroid_id, d, n, sv / n AS mean FROM means)
+         |SELECT m.centroid_id, CAST(MAX(m.n) AS BIGINT) AS n_members,
+         |  ROUND(CAST(SUM(CAST((m.mean - c.v) * (m.mean - c.v)
+         |    AS DECIMAL(30,15))) AS DOUBLE), 6) AS shift
+         |FROM m2 m JOIN cents c ON m.centroid_id = c.centroid_id AND m.d = c.d
+         |GROUP BY m.centroid_id""".stripMargin,
     "s4_ann_sq8" ->
       s"""WITH $explodedSql,
          |scales AS (SELECT vec_id, MAX(abs(v)) AS mabs FROM ex GROUP BY vec_id),

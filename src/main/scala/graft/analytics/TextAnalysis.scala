@@ -31,10 +31,9 @@ object TextAnalysis {
     // Language ID: count marker hits per language, argmax with fixed
     // precedence (en > de > es > fr > zh on ties).
     "a1_langid" -> { (s, dir) =>
-      val toks = Tables(s, dir).documents
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       val hitCols = Markers.map { case (lang, words) =>
-        sum(when(col("t").isin(words: _*), 1).otherwise(0)).as(s"hits_$lang")
+        expr(s"size(filter(tok, t -> t IN ${sqlList(words)}))")
+          .cast("long").as(s"hits_$lang")
       }
       val langs = Markers.map(_._1)
       // argmax with precedence = first lang whose hits >= all later ones
@@ -45,22 +44,21 @@ object TextAnalysis {
             .reduce(_ && _)
           when(geAllLater, lang).otherwise(rest)
       }
-      toks.groupBy("doc_id")
-        .agg(hitCols.head, hitCols.tail: _*)
+      Tables(s, dir).documents
+        .select(col("doc_id"), split(col("text"), " ").as("tok"))
+        .select(col("doc_id") +: hitCols: _*)
         .select(col("doc_id"), predicted.as("predicted_lang"),
           col("hits_en"), col("hits_de"))
     },
 
     // Quality score: rational composite of token count and stopword ratio.
     "a2_quality" -> { (s, dir) =>
-      val toks = Tables(s, dir).documents
-        .select(col("doc_id"), col("n_chars"),
-          explode(split(col("text"), " ")).as("t"))
-      toks.groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("n_tokens"),
-          sum(when(col("t").isin(Stopwords: _*), 1).otherwise(0)).as("n_stop"),
-          max(col("n_chars")).as("n_chars"))
+      Tables(s, dir).documents
+        .select(col("doc_id"), split(col("text"), " ").as("tok"))
+        .withColumn("n_tokens", size(col("tok")).cast("long"))
+        .withColumn("n_stop",
+          expr(s"size(filter(tok, t -> t IN ${sqlList(Stopwords)}))")
+            .cast("long"))
         .withColumn("stop_ratio", col("n_stop") * lit(1.0) / col("n_tokens"))
         .withColumn("quality_score",
           round((col("n_tokens") / (col("n_tokens") + lit(50.0))) * 0.5 +
@@ -71,14 +69,15 @@ object TextAnalysis {
 
     // Token statistics: whitespace tokens + distinct + length stats.
     "a3_token_stats" -> { (s, dir) =>
-      val toks = Tables(s, dir).documents
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      toks.groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("n_tokens"),
-          countDistinct(col("t")).as("n_distinct"),
-          max(length(col("t"))).cast("long").as("max_token_len"),
-          sum(length(col("t"))).as("sum_token_len"))
+      Tables(s, dir).documents
+        .select(col("doc_id"), split(col("text"), " ").as("tok"))
+        .select(col("doc_id"),
+          size(col("tok")).cast("long").as("n_tokens"),
+          size(array_distinct(col("tok"))).cast("long").as("n_distinct"),
+          expr("array_max(transform(tok, t -> length(t)))")
+            .cast("long").as("max_token_len"),
+          expr("aggregate(tok, CAST(0 AS BIGINT), (acc, t) -> acc + length(t))")
+            .as("sum_token_len"))
         .withColumn("avg_token_len",
           round(col("sum_token_len") * lit(1.0) / col("n_tokens"), 6))
     },
