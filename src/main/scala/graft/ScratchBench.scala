@@ -15,6 +15,8 @@ object ScratchBench {
       graft.SparkEntry.queries(n)(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc()
       println(f"[scratch] round=$round $n%-24s $dt%7.2f s")
     }
     spark.stop()

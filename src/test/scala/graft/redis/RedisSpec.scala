@@ -235,4 +235,49 @@ class RedisClientSpec extends AnyFunSuite {
       } finally c.close()
     } finally srv.close()
   }
+
+  test("latest multi-stream: a quiet stream's post-anchor messages are " +
+    "never lost to a busy sibling (realtime-multi law)") {
+    // The reference regression (sea-streamer-redis/tests/realtime-multi.rs):
+    // a shard that had never delivered kept re-anchoring `$` on every XREAD,
+    // so a quiet stream's messages fell between a busy sibling's reads. The
+    // micro-batch source pins every key's anchor ONCE at initialOffset and
+    // each batch reads (anchor_then, tip_now] per key, so the failure mode
+    // must be structurally impossible — this test holds that door shut.
+    import spark.implicits._
+    import graft.facade.SeaStreamer
+    import graft.facade.SeaStreamer.ConsumerOptions
+    val srv = new EmbeddedRedis
+    try {
+      val conn = SeaStreamer.connect(s"redis://${srv.host}:${srv.port}", spark)
+      def env(key: String, from: Int, n: Int) =
+        (from until from + n).map { i =>
+          (key, 0L, 0L, new java.sql.Timestamp(9000L + i),
+            s"$key$i".getBytes(UTF_8))
+        }.toDF("stream_key", "shard_id", "sequence", "timestamp", "payload")
+      // pre-anchor backlog on the busy stream only; `slow` has never
+      // delivered anything when the consumer anchors
+      conn.createGenericProducer().send(env("fast", 0, 20))
+      val q = conn.createConsumer(Seq("fast", "slow"), ConsumerOptions(
+        live = true, autoStreamReset = SeaStreamer.AutoStreamReset.Latest))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("redis_multi_test").start()
+      try {
+        q.processAllAvailable() // anchor: must skip the fast backlog
+        assert(spark.table("redis_multi_test").count() == 0)
+        // busy stream keeps delivering across several batches...
+        conn.createGenericProducer().send(env("fast", 20, 5))
+        q.processAllAvailable()
+        // ...and only then does the quiet stream speak, while fast stays busy
+        conn.createGenericProducer().send(env("slow", 0, 3))
+        conn.createGenericProducer().send(env("fast", 25, 5))
+        q.processAllAvailable()
+        val got = spark.table("redis_multi_test")
+          .select($"payload".cast("string")).as[String].collect().toSet
+        val want = (20 until 30).map(i => s"fast$i").toSet ++
+          (0 until 3).map(i => s"slow$i").toSet
+        assert(got == want, "quiet-stream messages were lost or backlog leaked")
+      } finally q.stop()
+    } finally srv.close()
+  }
 }
