@@ -263,6 +263,41 @@ object Transport {
           max(col("purchase_id")).as("max_purchase_id"))
     },
 
+    // Stream-static enrichment: the live event stream joined to a STATIC
+    // dimension (customer segments) with an explicit broadcast — the
+    // canonical streaming-lookup shape. At 100 TB/day the stream side never
+    // shuffles for the join: Spark rebroadcasts the dim per micro-batch and
+    // the probe is map-side in every reader task (a shuffle join here would
+    // re-key every event); the dim refreshing between batches is exactly the
+    // semantics a dimension-table lookup wants.
+    "t11_stream_static_join" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val out = scratch(dir, "ssenrich")
+      t.events.select(
+        col("event_type").as("stream_key"),
+        col("user_id").as("shard_id"),
+        col("event_id").as("sequence"),
+        col("ts").as("timestamp"),
+        to_json(struct(col("event_id"), col("value"))).cast("binary")
+          .as("payload"))
+        .write.format("ss").mode("overwrite").save(out)
+      val dim = t.customer.select(col("c_custkey"), col("c_mktsegment"))
+      val q = s.readStream.format("ss").load(out)
+        .withColumn("j", from_json(col("payload").cast("string"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "event_id LONG, value DOUBLE")))
+        .join(broadcast(dim), col("shard_id") === col("c_custkey"))
+        .groupBy("stream_key", "c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("j.value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"),
+          max(col("j.event_id")).as("max_event_id"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("t11_enrich_sink").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("t11_enrich_sink")
+    },
+
     // Producer-side sharding laws: round-robin (seq % n) and hash sharder
     // (xxhash64 has no DuckDB twin, so assert its invariants instead).
     "t4_sharders" -> { (s, dir) =>
@@ -274,6 +309,13 @@ object Transport {
     })
 
   val oracles: Map[String, String] = Map(
+    "t11_stream_static_join" ->
+      """SELECT e.event_type AS stream_key, c.c_mktsegment,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  MAX(e.event_id) AS max_event_id
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2""".stripMargin,
     "t1_ss_roundtrip" -> aggregateOracle(withDistinct = true),
     "t2_ss_stream" -> aggregateOracle(withDistinct = false),
     "t3_fuse_merge" ->
