@@ -37,12 +37,13 @@ object Similarity {
   private val DupThreshold = 0.35
   private val DupPrefilterMargin = 1e-6
 
-  /** Spark-side exact decimal dot product of two float arrays (as DOUBLE). */
-  private def dotCol(a: String, b: String): Column = expr(
-    s"""CAST(aggregate(
-       |  zip_with($a, $b, (x, y) ->
-       |    CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(30,15))),
-       |  CAST(0 AS DECIMAL(38,15)), (acc, v) -> CAST(acc + v AS DECIMAL(38,15))) AS DOUBLE)""".stripMargin)
+  /** Spark-side exact decimal dot product of two float arrays (as DOUBLE) —
+    * the codegen'd [[graft.functions.FloatVecDecimal]], bit-identical to the
+    * interpreted `aggregate(zip_with(...))` decimal form it replaced
+    * (FloatVecDecimalSpec pins the equality).
+    */
+  private def dotCol(a: String, b: String): Column =
+    graft.functions.FloatVecDecimal.fdotExact(col(a), col(b))
 
   /** Plain-double dot product — prefilter only (order-dependent low bits).
     * Native codegen'd expression: the prefilter touches every candidate
@@ -52,22 +53,19 @@ object Similarity {
   private def approxDotCol(a: String, b: String): Column =
     graft.functions.FloatVecDot.fdot(col(a), col(b))
 
-  /** Exact decimal squared-L2 distance between two float arrays (DOUBLE). */
-  private def dist2Col(a: String, b: String): Column = expr(
-    s"""CAST(aggregate(
-       |  zip_with($a, $b, (x, y) ->
-       |    CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) *
-       |         (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) AS DECIMAL(30,15))),
-       |  CAST(0 AS DECIMAL(38,15)),
-       |  (acc, v) -> CAST(acc + v AS DECIMAL(38,15))) AS DOUBLE)""".stripMargin)
+  /** Exact decimal squared-L2 distance between two float arrays (DOUBLE) —
+    * same codegen'd expression, squared-diff mode.
+    */
+  private def dist2Col(a: String, b: String): Column =
+    graft.functions.FloatVecDecimal.fdist2Exact(col(a), col(b))
 
-  /** Per-vector L2 norm via the same decimal-sum trick. */
+  /** Per-vector L2 norm via the same decimal-sum trick (dot of the vector
+    * with itself — FloatVecDecimalSpec pins equality with the transform
+    * form).
+    */
   private def withNorm(df: DataFrame, emb: String, out: String): DataFrame =
-    df.withColumn(out, sqrt(expr(
-      s"""CAST(aggregate(
-         |  transform($emb, x ->
-         |    CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(30,15))),
-         |  CAST(0 AS DECIMAL(38,15)), (acc, v) -> CAST(acc + v AS DECIMAL(38,15))) AS DOUBLE)""".stripMargin)))
+    df.withColumn(out,
+      sqrt(graft.functions.FloatVecDecimal.fdotExact(col(emb), col(emb))))
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1):
     * md5-derived so DuckDB generates the identical planes.
