@@ -146,6 +146,89 @@ object Multimodal {
         sampleRate = (8000 + docId % 4 * 4000).toInt,
         frames = (docId % 500 + 1).toInt)
 
+  /** Deterministic raw-RGB video container (`GVID` + LE width/height/fps/
+    * frame-count header, then frame-major w×h×3 byte planes). The JDK has no
+    * video codec, so the container IS this library's — but the parsing,
+    * frame addressing and per-frame math below are real, and sit exactly
+    * where an FFI h264 decoder would (per-partition batch, bytes → typed
+    * stats). Pixel bytes are pure doc_id arithmetic so the oracle can
+    * predict what a correct frame-sample recovers.
+    */
+  def encodeVideo(width: Int, height: Int, fps: Int, nframes: Int,
+      seed: Long): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(20 + width * height * 3 * nframes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('G'.toByte).put('V'.toByte).put('I'.toByte).put('D'.toByte)
+    bb.putInt(width).putInt(height).putInt(fps).putInt(nframes)
+    var f = 0
+    while (f < nframes) {
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          var c = 0
+          while (c < 3) {
+            bb.put(((x * 131L + y * 241L + f * 37L + seed * 97L + c * 59L)
+              % 251L).toByte)
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      f += 1
+    }
+    bb.array()
+  }
+
+  def synthesizeVideo(docId: Long): Array[Byte] =
+    encodeVideo(
+      width = (docId % 13 + 4).toInt,
+      height = (docId % 11 + 4).toInt,
+      fps = ((docId % 3 + 1) * 6).toInt,
+      nframes = (docId % 50 + (docId % 3 + 1) * 6).toInt,
+      seed = docId)
+
+  final case class VideoStats(
+      doc_id: Long, n_frames: Long, n_sampled: Long, bright_sum: Long)
+
+  /** Frame-sampling operator: parse the container header, touch ONE frame
+    * per second of video (frames 0, fps, 2·fps, …) and reduce each to a
+    * brightness sum — the standard "sample k frames for the vision encoder"
+    * preprocessing. Only sampled frames are read; the rest of the byte
+    * array is never touched, which is the point at 100 TB of video.
+    */
+  def videoFrameSample(media: Dataset[MediaRecord]): Dataset[VideoStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.map { r =>
+        val bb = java.nio.ByteBuffer.wrap(r.media)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        require(bb.get() == 'G' && bb.get() == 'V' && bb.get() == 'I' &&
+          bb.get() == 'D', s"doc ${r.doc_id}: not a GVID container")
+        val w = bb.getInt
+        val h = bb.getInt
+        val fps = bb.getInt
+        val n = bb.getInt
+        val frameBytes = w * h * 3
+        var sum = 0L
+        var sampled = 0L
+        var f = 0
+        while (f < n) {
+          val base = 20 + f * frameBytes
+          var i = 0
+          while (i < frameBytes) {
+            sum += (r.media(base + i) & 0xFF).toLong
+            i += 1
+          }
+          sampled += 1
+          f += fps
+        }
+        VideoStats(r.doc_id, n.toLong, sampled, sum)
+      }
+    }
+  }
+
   /** The batch-decode operator: one decoder invocation pipeline per
     * partition (the shape a vectorized/native decoder needs).
     */
@@ -221,6 +304,24 @@ object Multimodal {
     // from the synthesis arithmetic (pixel = ((x*31 + y*17 + seed) *
     // 2654435761) & 0xFFFFFF at the sampled coordinates) — green means
     // decode + resize read back precisely the pixels the encoder wrote.
+    // Video frame-sampling: deterministic GVID containers per doc, one
+    // frame touched per second of video, per-frame brightness reduced and
+    // bucket-aggregated. The oracle replays the synthesis arithmetic at
+    // exactly the sampled (frame, x, y, channel) points — green means the
+    // sampler addressed precisely the frames the encoder wrote.
+    "m3_video_frames" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables(s, dir).documents
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => MediaRecord(id, synthesizeVideo(id))))
+      videoFrameSample(media).toDF()
+        .groupBy(pmod(col("doc_id"), lit(10L)).as("bucket"))
+        .agg(count(lit(1)).as("n_videos"),
+          sum(col("n_frames")).as("sum_frames"),
+          sum(col("n_sampled")).as("sum_sampled"),
+          sum(col("bright_sum")).as("sum_brightness"))
+    },
+
     "m2_media_features" -> { (s, dir) =>
       import s.implicits._
       val media = Tables(s, dir).documents
@@ -256,6 +357,38 @@ object Multimodal {
         |  CAST(SUM(frames) AS BIGINT) AS sum_frames,
         |  CAST(MAX(sample_rate) AS BIGINT) AS max_rate
         |FROM meta GROUP BY 1""".stripMargin,
+    // The GVID synthesis arithmetic replayed at the sampled points only:
+    // frames k*fps < n, pixel byte = (x*131 + y*241 + f*37 + doc_id*97 +
+    // c*59) % 251, sampled count = ceil(n / fps).
+    "m3_video_frames" ->
+      """WITH vids AS (
+        |  SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h,
+        |    (doc_id % 3 + 1) * 6 AS fps,
+        |    doc_id % 50 + (doc_id % 3 + 1) * 6 AS n
+        |  FROM documents),
+        |sampled AS (
+        |  SELECT v.doc_id, v.w, v.h, v.fps, k.v * v.fps AS f
+        |  FROM vids v, (SELECT unnest(range(0, 16)) AS v) k
+        |  WHERE k.v * v.fps < v.n),
+        |px AS (
+        |  SELECT s.doc_id,
+        |    (x.v * 131 + y.v * 241 + s.f * 37 + s.doc_id * 97 + c.v * 59)
+        |      % 251 AS b
+        |  FROM sampled s,
+        |       (SELECT unnest(range(0, 17)) AS v) x,
+        |       (SELECT unnest(range(0, 15)) AS v) y,
+        |       (SELECT unnest(range(0, 3)) AS v) c
+        |  WHERE x.v < s.w AND y.v < s.h),
+        |bright AS (SELECT doc_id, CAST(SUM(b) AS BIGINT) AS bright
+        |           FROM px GROUP BY doc_id),
+        |stats AS (SELECT doc_id, n,
+        |            CAST((n + fps - 1) // fps AS BIGINT) AS k_cnt
+        |          FROM vids)
+        |SELECT s.doc_id % 10 AS bucket, COUNT(*) AS n_videos,
+        |  CAST(SUM(s.n) AS BIGINT) AS sum_frames,
+        |  CAST(SUM(s.k_cnt) AS BIGINT) AS sum_sampled,
+        |  CAST(SUM(b.bright) AS BIGINT) AS sum_brightness
+        |FROM stats s JOIN bright b USING (doc_id) GROUP BY 1""".stripMargin,
     // The synthesis arithmetic replayed at the 64 nearest-neighbor sample
     // points: src = (g * dim) // 8, pixel = ((x*31 + y*17 + doc_id) *
     // 2654435761) & 0xFFFFFF, channels = bytes of the packed RGB.
