@@ -131,7 +131,21 @@ object Dedup {
         .groupBy("doc_a", "doc_b")
         .agg((sum(when(col("x.mh") === col("y.mh"), 1).otherwise(0)) / 8.0)
           .as("est_sim"))
-      jaccardPairs(sh.select("doc_id", "s"))
+      // exact-Jaccard verification restricted to the CANDIDATES: attach each
+      // side's shingle set by doc key and count matches per pair — at corpus
+      // scale this touches |cand| × shingles-per-doc rows, never the full
+      // shingle self-join's all-co-occurring-pairs blowup (that full form is
+      // d2's job — it IS the exact all-pairs op)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val common = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+      common
+        .join(sizes.toDF("doc_a", "na"), "doc_a")
+        .join(sizes.toDF("doc_b", "nb"), "doc_b")
+        .withColumn("jaccard",
+          col("common") * lit(1.0) / (col("na") + col("nb") - col("common")))
         .join(est, Seq("doc_a", "doc_b"))
         .filter(col("jaccard") >= JaccardThreshold)
         .select(col("doc_a"), col("doc_b"), col("est_sim"),
