@@ -155,6 +155,38 @@ object Pipeline {
           coalesce(col("n_kept"), lit(0L)).as("n_kept"))
     },
 
+    // End-to-end curation chain — Gopher quality filter → exact-dedup
+    // keeper → stratified sample → per-(lang, source) corpus stats — as ONE
+    // Catalyst plan. The point is composability at 100 TB: every stage is a
+    // filter/agg/join Catalyst can pipeline, so the corpus is scanned once
+    // and nothing materializes between stages; the only shuffle is the
+    // dedup's fingerprint aggregation (the sample and quality rules are
+    // map-side, and the final rollup is a bounded-key agg).
+    "p9_curate_e2e" -> { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val flagged = Tables(s, dir).documents
+        .withColumn("n_words", size(toks).cast("long"))
+        .withColumn("charsum",
+          length(regexp_replace(col("text"), " ", "")).cast("long"))
+        .withColumn("n_distinct", size(array_distinct(toks)).cast("long"))
+        .filter(
+          !(col("n_words") < 10L || col("n_words") > 10000L) &&
+          !(col("charsum") < col("n_words") * 2L ||
+            col("charsum") > col("n_words") * 10L) &&
+          !(col("n_distinct") * 10L < col("n_words") * 3L))
+      val keepers = flagged
+        .groupBy(md5(col("text").cast("binary")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val deduped = flagged.join(keepers, Seq("doc_id"), "left_semi")
+      val sampled = deduped.filter(hashPct(col("doc_id")) <
+        when(col("lang") === "en", 10L).otherwise(50L))
+      sampled.groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("sum_tokens"),
+          sum(col("n_chars")).as("sum_chars"))
+    },
+
     // Gopher-style repetition rules (Rae et al. 2021, §A.1.1): per-document
     // top-2gram coverage and duplicate-3gram fraction, flagged with INTEGER
     // comparisons (10*c2 > n_words ⇔ top-2gram covers >20% of positions;
@@ -311,6 +343,30 @@ object Pipeline {
         |SELECT r.source, r.n_docs, r.rate_pct,
         |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
         |FROM rates r LEFT JOIN kept k USING (source)""".stripMargin,
+    "p9_curate_e2e" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang, source, text, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS charsum,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+        |  FROM documents),
+        |passed AS (
+        |  SELECT * FROM scored
+        |  WHERE NOT (n_words < 10 OR n_words > 10000)
+        |    AND NOT (charsum < n_words * 2 OR charsum > n_words * 10)
+        |    AND NOT (n_distinct * 10 < n_words * 3)),
+        |keepers AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM passed GROUP BY md5(text)),
+        |deduped AS (
+        |  SELECT p.* FROM passed p JOIN keepers k USING (doc_id)),
+        |sampled AS (
+        |  SELECT * FROM deduped
+        |  WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 100
+        |        < CASE WHEN lang = 'en' THEN 10 ELSE 50 END)
+        |SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_words) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM sampled GROUP BY lang, source""".stripMargin,
     "p8_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, string_split(text, ' ') AS tok FROM documents),
