@@ -39,14 +39,11 @@ object Bench {
         timed(name)(fn(spark, sfDir).count())
         // queries persist intermediates (e.g. the dedup shingle set); free
         // the blocks outside the timed region so one query's cache can't
-        // squeeze the next one's memory. clearCache covers SQL-level caches;
-        // getPersistentRDDs covers localCheckpoint blocks (d6) that the SQL
-        // cache manager does not track. Both blocking, then a driver GC so
-        // the ContextCleaner drains the dropped shuffles/broadcasts NOW —
-        // its per-ref cleanup is blocking by default and would otherwise
-        // stall the NEXT query's job scheduling mid-measurement.
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        // squeeze the next one's memory, then a driver GC so the
+        // ContextCleaner drains the dropped shuffles/broadcasts NOW — its
+        // per-ref cleanup is blocking by default and would otherwise stall
+        // the NEXT query's job scheduling mid-measurement.
+        GraftSession.releaseCaches(spark)
         System.gc()
         Thread.sleep(200)
       }

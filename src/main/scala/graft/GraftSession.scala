@@ -56,6 +56,16 @@ object GraftSession {
       .config("spark.driver.host", "127.0.0.1")
   }
 
+  /** Free every cached artifact a query left behind: SQL-cache entries AND
+    * localCheckpoint RDD blocks (the SQL cache manager does not track the
+    * latter). Blocking, so the next query/measurement never pays for a
+    * predecessor's cleanup.
+    */
+  def releaseCaches(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+  }
+
   def get(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.max(2, Runtime.getRuntime.availableProcessors()).toString)

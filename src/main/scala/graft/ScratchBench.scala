@@ -2,7 +2,9 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Temporary A/B harness for d2/d3 iterations — not part of the contract. */
+/** Dev A/B harness: time named queries over 3 warm rounds (not part of the
+  * driver contract — `graft.Bench` is the reported benchmark).
+  */
 object ScratchBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -14,8 +16,7 @@ object ScratchBench {
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(n)(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      GraftSession.releaseCaches(spark)
       System.gc()
       println(f"[scratch] round=$round $n%-24s $dt%7.2f s")
     }

@@ -20,13 +20,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally {
-        // free per-query persisted frames AND localCheckpoint RDD blocks
-        // (the SQL cache manager does not track the latter — they would
-        // otherwise accumulate across all ~60 queries)
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      }
+      // free per-query persisted frames AND localCheckpoint RDD blocks —
+      // they would otherwise accumulate across all ~70 queries
+      finally GraftSession.releaseCaches(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -121,9 +121,11 @@ object Pipeline {
       val sh = Dedup.shingles(docs)
       val bench = sh.filter(pmod(col("doc_id"), lit(97L)) === 0L)
         .select(col("s")).distinct()
+      // no distinct needed: sh is distinct per (doc_id, s) and bench is
+      // distinct on s, so the broadcast probe cannot produce duplicates —
+      // a distinct here would re-shuffle every contaminated pair for nothing
       val hits = sh.filter(pmod(col("doc_id"), lit(97L)) =!= 0L)
         .join(broadcast(bench), "s")
-        .select("doc_id", "s").distinct()
         .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       hits.join(docs.select("doc_id", "lang"), "doc_id")
         .groupBy("lang")

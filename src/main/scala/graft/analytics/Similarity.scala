@@ -294,6 +294,9 @@ object Similarity {
       val quant = e.select(col("vec_id"), col("embedding"))
         .withColumn("mabs", expr(
           "aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"))
+        // an all-zero vector has no quantization scale (0/0 = NaN would
+        // diverge between engines) — exclude it on both sides
+        .filter(col("mabs") > 0.0)
         .withColumn("q", expr(
           "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / mabs) AS BIGINT))"))
         .withColumn("qn", sqrt(expr(
@@ -537,7 +540,8 @@ object Similarity {
          |GROUP BY m.centroid_id""".stripMargin,
     "s4_ann_sq8" ->
       s"""WITH $explodedSql,
-         |scales AS (SELECT vec_id, MAX(abs(v)) AS mabs FROM ex GROUP BY vec_id),
+         |scales AS (SELECT vec_id, MAX(abs(v)) AS mabs FROM ex GROUP BY vec_id
+         |           HAVING MAX(abs(v)) > 0),
          |qex AS (SELECT e.vec_id, e.d,
          |          CAST(round(e.v * 127.0 / s.mabs) AS BIGINT) AS q
          |        FROM ex e JOIN scales s USING (vec_id)),

@@ -454,18 +454,20 @@ object SeaStreamer {
       * sharded, the bare stream when not).
       */
     def createProducer(stream: String, redisShards: Int = 1,
-        iggyPartitions: Int = 4): Producer = {
+        iggyPartitions: Int = 4,
+        iggyStream: String = graft.iggy.IggySource.DefaultStream): Producer = {
       if (!Envelope.isValidStreamKey(stream) || stream.isEmpty)
         throw SeaStreamErr.InvalidStreamKey(stream)
       new Producer(spark, scheme, allNodeAddrs, Some(stream), redisShards,
-        iggyPartitions)
+        iggyPartitions, iggyStream)
     }
 
     /** Generic producer: stream key comes from each row. */
     def createGenericProducer(redisShards: Int = 1,
-        iggyPartitions: Int = 4): Producer =
+        iggyPartitions: Int = 4,
+        iggyStream: String = graft.iggy.IggySource.DefaultStream): Producer =
       new Producer(spark, scheme, allNodeAddrs, None, redisShards,
-        iggyPartitions)
+        iggyPartitions, iggyStream)
   }
 
   final class Committer(opts: ConsumerOptions) {
@@ -502,7 +504,12 @@ object SeaStreamer {
       /** Iggy: partitions per topic at create-if-not-exists
         * (IggyProducerOptions::partitions_count, options.rs:306-318).
         */
-      iggyPartitions: Int = 4) {
+      iggyPartitions: Int = 4,
+      /** Iggy namespace stream — must match the consumers'
+        * `ConsumerOptions.iggyStream` or they will never see this
+        * producer's data.
+        */
+      iggyStream: String = graft.iggy.IggySource.DefaultStream) {
 
     private def node: String = nodes.head
     private def redisSharded: Boolean = redisShards > 1
@@ -698,7 +705,7 @@ object SeaStreamer {
           // created on demand (create_stream/topic_if_not_exists defaults,
           // sea-streamer-iggy/src/options.rs:325-330)
           val (host, port) = SeaStreamer.hostPort(node, 8090)
-          graft.iggy.IggySource.write(out, host, port,
+          graft.iggy.IggySource.write(out, host, port, stream = iggyStream,
             partitions = iggyPartitions)
         case "stdio" =>
           // producer line format. The stdio contract means THIS process's

@@ -153,7 +153,7 @@ final class EmbeddedIggy extends AutoCloseable {
               val bytes = r.bytes()
               val part = pKind match {
                 case 0 => (t.balanced.getAndIncrement() % nParts).toInt
-                case 1 => new IggyWire.Reader(pVal).u32() % nParts
+                case 1 => math.floorMod(new IggyWire.Reader(pVal).u32(), nParts)
                 case 2 => math.floorMod(java.util.Arrays.hashCode(pVal), nParts)
                 case _ =>
                   return (Status.Error, Array.emptyByteArray)

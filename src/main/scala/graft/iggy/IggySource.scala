@@ -94,8 +94,16 @@ object IggySource {
     }
     spark.sparkContext.parallelize(parts, math.max(1, parts.size))
       .mapPartitions { it =>
+        // completion listener: an early-terminating consumer (limit, take)
+        // never drains the iterator, so the eager close below is not enough
+        val opened = scala.collection.mutable.ArrayBuffer.empty[IggyClient]
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            opened.foreach(c => scala.util.Try(c.close()))
+          })
         it.flatMap { case (topic, partition) =>
           val client = new IggyClient(host, port)
+          opened += client
           val scan = pagedPoll(client, stream, topic, partition, start,
             batch, group)
           new Iterator[SeaMessage] {
@@ -145,7 +153,10 @@ object IggySource {
               // group on the TARGET partition (not the raw shard) so two
               // shards folding onto one iggy partition stay in one
               // ts-ordered send
-              chunk.groupBy(r => (r._1, (r._2 % partitions).toInt)).foreach {
+              // floorMod, not % — must agree with the repartition's pmod on
+              // negative shard_ids or a task sends PartitionId(-n)
+              chunk.groupBy(r =>
+                (r._1, math.floorMod(r._2, partitions.toLong).toInt)).foreach {
                 case ((topic, part), rs) =>
                 if (created.add(topic))
                   client.createTopicIfAbsent(stream, topic, partitions)

@@ -209,12 +209,21 @@ class IggyMicroBatchStream(options: CaseInsensitiveStringMap)
         else {
           val budget = r.maxRows()
           val total = lags.values.sum
+          // proportional floor shares — NO per-partition minimum of 1, which
+          // would overshoot the cap whenever backlogged partitions outnumber
+          // the budget; when every share floors to 0, grant the single
+          // largest-lag partition one message so the stream still progresses
+          val shares: Map[(String, Int), Long] =
+            if (total <= budget) lags
+            else {
+              val floored = lags.map { case (k, lag) =>
+                k -> budget * lag / total
+              }
+              if (floored.values.sum > 0) floored
+              else Map(lags.maxBy { case (k, lag) => (lag, k) }._1 -> 1L)
+            }
           tip.map { case (k, t) =>
-            val lag = lags.getOrElse(k, 0L)
-            val share =
-              if (total <= budget) lag
-              else math.max(1L, budget * lag / total)
-            k -> math.min(t, after.getOrElse(k, 0L) + share)
+            k -> math.min(t, after.getOrElse(k, 0L) + shares.getOrElse(k, 0L))
           }
         }
       case _ => tip

@@ -78,9 +78,18 @@ object RedisSource {
         val cc = new RedisClusterClient(seeds)
         try cc.bootstrapSlots() finally cc.close()
       }
+      // an early-terminating consumer (limit, take) stops pulling before
+      // exhaustion, so the eager close below never runs — the completion
+      // listener guarantees every task-opened socket closes either way
+      val opened = scala.collection.mutable.ArrayBuffer.empty[RedisClient]
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit] { _ =>
+          opened.foreach(c => scala.util.Try(c.close()))
+        })
       it.flatMap { case (key, stream, shard) =>
         val (h, p) = slotMap.flatMap(_.owner(key)).getOrElse((host, port))
         val client = new RedisClient(h, p)
+        opened += client
         val scan = pagedScan(client, key, stream, shard, batch,
           afterId = afterId)
         new Iterator[SeaMessage] {

@@ -428,10 +428,18 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
       return keys.map { case (k, _, _) =>
         k -> after.getOrElse(k, "0-0")
       }.toMap
+    // when backlogged keys outnumber the budget, a per-key minimum of 1
+    // would overshoot the cap — serve a deterministic (sorted) subset of
+    // maxRows keys this trigger instead; the rest keep their committed
+    // position and rotate in on later triggers as the served keys drain
+    val served =
+      if (active.size.toLong > maxRows)
+        active.sortBy(_._1).take(math.max(1L, maxRows).toInt)
+      else active
     val perKey = // clamp: a huge "effectively unlimited" cap must not
       // overflow into a negative XRANGE COUNT
-      math.min(Int.MaxValue.toLong, math.max(1L, maxRows / active.size)).toInt
-    val resolved = byNode(active) { (client, ks) =>
+      math.min(Int.MaxValue.toLong, math.max(1L, maxRows / served.size)).toInt
+    val resolved = byNode(served) { (client, ks) =>
       val replies = client.pipeline(ks.map { case (k, _, _) =>
         val a = after.getOrElse(k, "0-0")
         RedisStreams.xrange(k, if (a == "0-0") "-" else s"($a", "+",

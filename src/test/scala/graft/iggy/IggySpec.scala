@@ -283,6 +283,30 @@ class IggySparkSpec extends AnyFunSuite {
     }
   }
 
+  test("admission cap holds even when backlogged partitions outnumber it") {
+    withServer { srv =>
+      // 2 topics x 2 partitions = 4 backlogged partitions, budget 3: a
+      // per-partition floor of 1 would read 4 per trigger, over the cap
+      // (equal lags floor every proportional share to 0, so the
+      // largest-lag-gets-1 progress guarantee is what drains the stream)
+      IggySource.write(envelope(12), srv.host, srv.port, partitions = 2)
+      val q = spark.readStream.format("iggy-stream")
+        .option("host", srv.host).option("port", srv.port.toString)
+        .option("topics", "click,view")
+        .option("startingOffsets", "earliest")
+        .option("maxMessagesPerTrigger", "3")
+        .load()
+        .writeStream.outputMode("append")
+        .format("memory").queryName("iggy_tight_cap_sink").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("iggy_tight_cap_sink").count() == 12)
+        assert(q.recentProgress.forall(_.numInputRows <= 3),
+          q.recentProgress.map(_.numInputRows).mkString(","))
+      } finally q.stop()
+    }
+  }
+
   test("live source: latest anchors at the tip; only post-anchor rows flow") {
     withServer { srv =>
       IggySource.write(envelope(40), srv.host, srv.port, partitions = 2)
@@ -362,6 +386,25 @@ class IggySparkSpec extends AnyFunSuite {
       val back = IggySource.boundedRead(spark, srv.host, srv.port,
         Seq("click", "view")).collect()
       assert(back.length == 20)
+    }
+  }
+
+  test("facade: producer iggyStream matches the consumer's namespace option") {
+    withServer { srv =>
+      val conn = graft.facade.SeaStreamer.connect(
+        s"iggy://${srv.host}:${srv.port}", spark)
+      // a producer pinned to a non-default namespace stream must land where
+      // a consumer with the matching ConsumerOptions.iggyStream reads
+      conn.createGenericProducer(iggyStream = "ns2").send(envelope(10))
+      val inNs2 = IggySource.boundedRead(spark, srv.host, srv.port,
+        Seq("click", "view"), stream = "ns2").collect()
+      assert(inNs2.length == 10)
+      val inDefault = IggySource.boundedRead(spark, srv.host, srv.port,
+        Seq("click", "view")).collect()
+      assert(inDefault.isEmpty, "non-default namespace leaked into 'graft'")
+      val opts = graft.facade.SeaStreamer.ConsumerOptions(
+        live = false, iggyStream = "ns2")
+      assert(conn.createConsumer(Seq("click", "view"), opts).count() == 10)
     }
   }
 }

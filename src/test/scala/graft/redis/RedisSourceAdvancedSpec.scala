@@ -47,6 +47,31 @@ class RedisAdmissionSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("admission cap holds even when backlogged keys outnumber it") {
+    val srv = new EmbeddedRedis
+    try {
+      // 4 backlogged keys, budget 3: a per-key floor of 1 would read 4 per
+      // trigger; the fix serves a deterministic subset instead
+      Seq("ka", "kb", "kc", "kd").foreach(k => seed(srv, k, 5))
+      val q = spark.readStream.format("redis-stream")
+        .option("host", srv.host).option("port", srv.port.toString)
+        .option("streams", "ka,kb,kc,kd")
+        .option("startingOffsets", "earliest")
+        .option("maxEntriesPerTrigger", "3")
+        .load()
+        .writeStream.outputMode("append")
+        .format("memory").queryName("redis_tight_cap_sink").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("redis_tight_cap_sink").count() == 20)
+        assert(spark.table("redis_tight_cap_sink")
+          .select("stream_key", "sequence").distinct().count() == 20)
+        assert(q.recentProgress.forall(_.numInputRows <= 3),
+          q.recentProgress.map(_.numInputRows).mkString(","))
+      } finally q.stop()
+    } finally srv.close()
+  }
+
   test("checkpointed restart resumes at the committed offset: no loss, bounded replay") {
     val srv = new EmbeddedRedis
     try {
