@@ -70,12 +70,14 @@ class FloatVecDecimalSpec extends AnyFunSuite {
     val df = Seq(
       (Array[java.lang.Float](1.0f, null), Array[java.lang.Float](2.0f, 3.0f)),
       (Array[java.lang.Float](1.0f), Array[java.lang.Float](2.0f, 3.0f)),
-      (Array[java.lang.Float](1.5f, 2.0f), Array[java.lang.Float](3.0f, 4.0f))
+      (Array[java.lang.Float](1.5f, 2.0f), Array[java.lang.Float](3.0f, 4.0f)),
+      (Array.empty[java.lang.Float], Array.empty[java.lang.Float])
     ).toDF("a", "b")
       .select($"a".cast("array<float>").as("a"), $"b".cast("array<float>").as("b"))
     val got = df.select(FloatVecDecimal.fdotExact($"a", $"b").as("d"))
       .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
-    assert(got.toSeq == Seq(None, None, Some(12.5)))
+    // empty arrays fold to the initial decimal zero, like the SQL aggregate
+    assert(got.toSeq == Seq(None, None, Some(12.5), Some(0.0)))
   }
 
   test("participates in whole-stage codegen") {

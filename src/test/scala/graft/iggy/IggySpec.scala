@@ -389,6 +389,49 @@ class IggySparkSpec extends AnyFunSuite {
     }
   }
 
+  test("checkpointed restart resumes at the committed offset: no loss, bounded replay") {
+    withServer { srv =>
+      IggySource.write(envelope(2000), srv.host, srv.port, partitions = 2)
+      val ckpt = java.nio.file.Files.createTempDirectory("iggy_ckpt").toString
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
+      def run(drain: Boolean): Unit = {
+        val q = spark.readStream.format("iggy-stream")
+          .option("host", srv.host).option("port", srv.port.toString)
+          .option("topics", "click,view")
+          .option("startingOffsets", "earliest")
+          .option("maxMessagesPerTrigger", "400")
+          .load()
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.select("stream_key", "shard_id", "sequence").collect()
+              .foreach(r => seen.add((r.getString(0), r.getLong(1), r.getLong(2))))
+            ()
+          }.start()
+        try {
+          if (drain) q.processAllAvailable()
+          else {
+            // stop mid-drain: wait for at least two committed batches
+            val deadline = System.nanoTime() + 30L * 1000000000L
+            while (q.recentProgress.count(_.numInputRows > 0) < 2 &&
+              System.nanoTime() < deadline) Thread.sleep(20)
+          }
+        } finally q.stop()
+      }
+      run(drain = false)
+      run(drain = true)
+      val all = {
+        val b = Seq.newBuilder[(String, Long, Long)]
+        seen.forEach(x => b += x)
+        b.result()
+      }
+      assert(all.toSet.size == 2000, "restart lost messages")
+      // at-least-once: only the uncommitted tail may replay, never the
+      // committed prefix
+      assert(all.size - 2000 <= 800,
+        s"replayed ${all.size - 2000} rows — restart planned behind the checkpoint")
+    }
+  }
+
   test("facade: producer iggyStream matches the consumer's namespace option") {
     withServer { srv =>
       val conn = graft.facade.SeaStreamer.connect(
