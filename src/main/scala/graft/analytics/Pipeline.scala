@@ -159,11 +159,14 @@ object Pipeline {
 
     // End-to-end curation chain — Gopher quality filter → exact-dedup
     // keeper → stratified sample → per-(lang, source) corpus stats — as ONE
-    // Catalyst plan. The point is composability at 100 TB: every stage is a
-    // filter/agg/join Catalyst can pipeline, so the corpus is scanned once
-    // and nothing materializes between stages; the only shuffle is the
-    // dedup's fingerprint aggregation (the sample and quality rules are
-    // map-side, and the final rollup is a bounded-key agg).
+    // Catalyst plan over ONE corpus scan. The keeper test is a min-over-
+    // fingerprint-partition window (doc survives iff it holds its text
+    // group's minimum id): one hash shuffle on the fingerprint, never a
+    // second scan and never a join against a corpus-sized keeper set (a
+    // groupBy+semi-join form here would re-scan AND try to broadcast the
+    // distinct-texts table — locally fine, impossible at 100 TB). Quality
+    // rules and the sample are map-side; the final rollup is a bounded-key
+    // agg.
     "p9_curate_e2e" -> { (s, dir) =>
       val toks = split(col("text"), " ")
       val flagged = Tables(s, dir).documents
@@ -176,11 +179,10 @@ object Pipeline {
           !(col("charsum") < col("n_words") * 2L ||
             col("charsum") > col("n_words") * 10L) &&
           !(col("n_distinct") * 10L < col("n_words") * 3L))
-      val keepers = flagged
-        .groupBy(md5(col("text").cast("binary")).as("fp"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id")
-      val deduped = flagged.join(keepers, Seq("doc_id"), "left_semi")
+      val w = Window.partitionBy(md5(col("text").cast("binary")))
+      val deduped = flagged
+        .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+        .filter(col("keep"))
       val sampled = deduped.filter(hashPct(col("doc_id")) <
         when(col("lang") === "en", 10L).otherwise(50L))
       sampled.groupBy("lang", "source")

@@ -76,6 +76,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "p8 must not sort the corpus in a window")
   }
 
+  test("p9 curation chain is one corpus scan; keeper via window, not join") {
+    // a groupBy+semi-join keeper would re-scan the corpus and broadcast a
+    // corpus-sized distinct-texts table — fine locally, impossible at 100 TB
+    val p = planOf("p9_curate_e2e")
+    val scans = nodeBlocks(p).count(_._1.startsWith("Scan"))
+    assert(scans == 1, s"expected one corpus scan, got $scans")
+    assert(!p.contains("Join"), "keeper regressed to a join")
+  }
+
   test("d5 re-attaches vectors with shuffle joins, never a corpus broadcast") {
     // at 100 TB the corpus vector table cannot broadcast; the pair joins on
     // vec_a/vec_b must be hash-partitioned shuffle joins. Inspect the join
