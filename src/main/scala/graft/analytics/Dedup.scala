@@ -56,17 +56,20 @@ object Dedup {
     * `clearCache` (Bench) or session teardown (Verify).
     */
   private def jaccardPairs(sh: DataFrame): DataFrame = {
+    // the per-doc sizes table is corpus-sized — locally tiny, unbounded at
+    // scale, so the attach joins are shuffle-hinted (AQE would otherwise
+    // broadcast it and hide the shape that matters at 100 TB)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = sh.as("a")
-      .join(sh.as("b"),
+      .join(sh.as("b").hint("shuffle_hash"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
     common
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n", "na"), "doc_a")
+        .withColumnRenamed("n", "na").hint("shuffle_hash"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n", "nb"), "doc_b")
+        .withColumnRenamed("n", "nb").hint("shuffle_hash"), "doc_b")
       .withColumn("jaccard",
         col("common") * lit(1.0) / (col("na") + col("nb") - col("common")))
   }
@@ -116,8 +119,9 @@ object Dedup {
           expr(s"stack(${MinhashParams.size}, $stackArgs) AS (i, mh)"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // LSH band join: equality on (band, minhash) — O(collisions), never the
-      // all-pairs O(n²) signature comparison
-      val cand = mh.as("x")
+      // all-pairs O(n²) signature comparison; shuffle-hinted because the
+      // signature table is corpus-sized (8 rows/doc — never broadcastable)
+      val cand = mh.as("x").hint("shuffle_hash")
         .join(mh.as("y"),
           col("x.i") === col("y.i") && col("x.mh") === col("y.mh") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -125,8 +129,8 @@ object Dedup {
         .distinct()
       // est_sim only for the (few) candidates
       val est = cand
-        .join(mh.as("x"), col("doc_a") === col("x.doc_id"))
-        .join(mh.as("y"),
+        .join(mh.as("x").hint("shuffle_hash"), col("doc_a") === col("x.doc_id"))
+        .join(mh.as("y").hint("shuffle_hash"),
           col("doc_b") === col("y.doc_id") && col("x.i") === col("y.i"))
         .groupBy("doc_a", "doc_b")
         .agg((sum(when(col("x.mh") === col("y.mh"), 1).otherwise(0)) / 8.0)
@@ -136,14 +140,20 @@ object Dedup {
       // scale this touches |cand| × shingles-per-doc rows, never the full
       // shingle self-join's all-co-occurring-pairs blowup (that full form is
       // d2's job — it IS the exact all-pairs op)
+      // shuffle-hinted: the candidate set is tiny locally but UNBOUNDED at
+      // corpus scale — AQE would happily broadcast it here and hide the
+      // shape that matters (the same trap d5's vector re-attach guards
+      // against); hash-partitioned joins on the doc/pair keys scale linearly
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val common = cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+        .join(sh.select(col("doc_id").as("doc_a"), col("s"))
+          .hint("shuffle_hash"), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("s"))
+          .hint("shuffle_hash"), Seq("doc_b", "s"))
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
       common
-        .join(sizes.toDF("doc_a", "na"), "doc_a")
-        .join(sizes.toDF("doc_b", "nb"), "doc_b")
+        .join(sizes.toDF("doc_a", "na").hint("shuffle_hash"), "doc_a")
+        .join(sizes.toDF("doc_b", "nb").hint("shuffle_hash"), "doc_b")
         .withColumn("jaccard",
           col("common") * lit(1.0) / (col("na") + col("nb") - col("common")))
         .join(est, Seq("doc_a", "doc_b"))

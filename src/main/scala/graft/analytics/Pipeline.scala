@@ -52,7 +52,10 @@ object Pipeline {
       val n = docs.agg(countDistinct(col("doc_id")).as("n"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("term"))
-      tf.join(df, "term")
+      // the per-term DF table is vocabulary-sized — unbounded at corpus
+      // scale, so the tf×df join must shuffle on term, not broadcast
+      // (locally AQE would broadcast the tiny df side and hide that shape)
+      tf.join(df.hint("shuffle_hash"), "term")
         .crossJoin(n)
         .withColumn("score",
           round(col("tf") * log(col("n").cast("double") / col("df")), 6))

@@ -76,6 +76,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "p8 must not sort the corpus in a window")
   }
 
+  test("d3's band/est/verify joins shuffle — no broadcast of unbounded sides") {
+    // every join side in d3 (signatures, candidates, shingle sets, sizes) is
+    // corpus-sized or candidate-sized — locally tiny, unbounded at scale;
+    // AQE's broadcast conversion must not hide the shuffle shape
+    for (q <- Seq("d2_ngram_jaccard", "d3_minhash_lsh")) {
+      val blocks = nodeBlocks(planOf(q))
+      val bcast = blocks.filter { case (n, _) => n == "BroadcastHashJoin" }
+      assert(bcast.isEmpty, s"${bcast.size} broadcast joins in $q")
+    }
+  }
+
   test("p9 curation chain is one corpus scan; keeper via window, not join") {
     // a groupBy+semi-join keeper would re-scan the corpus and broadcast a
     // corpus-sized distinct-texts table — fine locally, impossible at 100 TB
