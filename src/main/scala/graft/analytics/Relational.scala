@@ -280,9 +280,12 @@ object Relational {
         t.events.filter(col("event_type") === kind)
           .select(col("user_id"), unix_micros(col("ts")).as(tsCol),
             col("event_id").as(idCol))
+      // both sides are event-stream slices — unbounded at scale, so the
+      // bucket equi-join must shuffle (a local AQE broadcast of the
+      // purchase side would hide the only shape that exists at 100 TB)
       graft.ops.RangeJoin.rangeJoin(
         side("error", "error_id", "e_us"),
-        side("purchase", "purchase_id", "p_us"),
+        side("purchase", "purchase_id", "p_us").hint("shuffle_hash"),
         "user_id", "e_us", "p_us", 3600000000L)
         .select(col("user_id"), col("error_id"), col("purchase_id"),
           (col("e_us") - col("p_us")).as("gap_us"))

@@ -264,7 +264,8 @@ object Similarity {
         posexplode(col("embedding")).as(Seq("d0", "v")))
         .select(col("vec_id"), (col("d0") + 1).as("d"),
           col("v").cast("double").as("v"))
-      val means = ex.join(lists, "vec_id")
+      // lists is corpus-sized: the assignment attach must shuffle on vec_id
+      val means = ex.join(lists.hint("shuffle_hash"), "vec_id")
         .groupBy("centroid_id", "d")
         .agg(count(lit(1)).as("n"),
           sum(col("v").cast("decimal(30,15)")).as("sv"))
@@ -316,14 +317,18 @@ object Similarity {
         .withColumn("crank", row_number().over(wc))
         .filter(col("crank") <= Cand)
         .select(col("qid"), col("cid"))
-      // exact decimal cosine only for the quantization survivors
+      // exact decimal cosine only for the quantization survivors; the
+      // candidate set is bounded by the query set (20 per query), so IT is
+      // the broadcast side — the corpus vector table joins by streaming
+      // past it, never the other way around
       val withVec = withNorm(
         e.select(col("vec_id"), col("embedding")), "embedding", "nrm")
-      val scored = cand
-        .join(broadcast(withVec.select(col("vec_id").as("qid"),
-          col("embedding").as("qe"), col("nrm").as("qn0"))), "qid")
-        .join(withVec.select(col("vec_id").as("cid"),
-          col("embedding").as("ce"), col("nrm").as("cn0")), "cid")
+      val scored = withVec.select(col("vec_id").as("cid"),
+          col("embedding").as("ce"), col("nrm").as("cn0"))
+        .join(broadcast(cand
+          .join(broadcast(withVec.filter(col("vec_id") < QueryCount)
+            .select(col("vec_id").as("qid"),
+              col("embedding").as("qe"), col("nrm").as("qn0"))), "qid")), "cid")
         .withColumn("cosine",
           round(dotCol("qe", "ce") / (col("qn0") * col("cn0")), 6))
       val w = Window.partitionBy(col("qid"))
@@ -355,13 +360,16 @@ object Similarity {
         .withColumn("cr", row_number().over(wAssign))
         .filter(col("cr") === 1)
         .select(col("vec_id"), col("centroid_id"))
+      // all joins below pair corpus-sized sides — shuffle-hinted so AQE's
+      // local broadcast conversion can't hide the only shape that exists at
+      // 100 TB (hash-partitioned on cluster/doc keys)
       val withVec = withNorm(
         e.select(col("vec_id"), col("embedding")), "embedding", "nrm")
-        .join(lists, "vec_id")
+        .join(lists.hint("shuffle_hash"), "vec_id")
       // intra-cluster candidate pairs; cheap codegen'd double prefilter
       // (wide margin) gates the exact decimal cosine, as in d5
       val scored = withVec.as("a")
-        .join(withVec.as("b"),
+        .join(withVec.as("b").hint("shuffle_hash"),
           col("a.centroid_id") === col("b.centroid_id") &&
             col("a.vec_id") < col("b.vec_id"))
         .select(col("a.centroid_id").as("cluster_id"),
@@ -381,7 +389,7 @@ object Similarity {
           min(col("vec_a")).as("dup_of"))
       dropped.join(
         scored.select(col("vec_b").as("vec_id"), col("vec_a").as("dup_of"),
-          col("cosine")),
+          col("cosine")).hint("shuffle_hash"),
         Seq("vec_id", "dup_of"))
         .select(col("vec_id"), col("cluster_id"), col("dup_of"), col("cosine"))
     })

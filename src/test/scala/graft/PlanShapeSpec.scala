@@ -62,12 +62,13 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = planOf("d7_semdedup")
     assert(!p.contains("CartesianProduct"), "d7 plans an all-pairs join")
     val pairJoins = nodeBlocks(p).filter { case (n, b) =>
-      (n.endsWith("HashJoin") || n == "SortMergeJoin") &&
+      (n == "ShuffledHashJoin" || n == "SortMergeJoin") &&
         b.linesIterator.exists(l => l.contains("keys") &&
           l.contains("centroid_id#"))
     }
     assert(pairJoins.nonEmpty,
-      "intra-cluster pairing must be an equi-join on centroid_id")
+      "intra-cluster pairing must be a SHUFFLED equi-join on centroid_id " +
+        "(both sides are corpus-sized — a broadcast cannot exist at scale)")
   }
 
   test("p8 repetition plans only keyed hash aggregations, nothing global") {
@@ -124,10 +125,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), "t3 funnels through one partition")
   }
 
-  test("range join is an equi-join, not a nested loop") {
+  test("range join is a shuffled equi-join, not a nested loop or broadcast") {
     val p = planOf("q19_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "tolerance join must bucket, not theta-join")
+    assert(!p.contains("BroadcastHashJoin"),
+      "both range-join sides are unbounded — the bucket join must shuffle")
   }
 
   test("p6 contamination probes a broadcast benchmark set, no corpus shuffle join") {
