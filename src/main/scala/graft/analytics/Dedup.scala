@@ -191,9 +191,15 @@ object Dedup {
         // localCheckpoint (not cache): materializes AND severs lineage, so
         // the logical plan — and with it per-iteration analysis/optimization
         // time — stays O(1) across rounds instead of growing each iteration
+        // the label and edge tables grow with the corpus — shuffle-hinted
+        // like every other unbounded join side (the localCheckpoint hides
+        // these joins from the plan-shape guard, so the hint carries the
+        // scale contract here)
         val next = labels.as("l")
-          .join(edges.as("e"), col("l.doc") === col("e.doc_a"), "left")
-          .join(labels.as("n"), col("e.doc_b") === col("n.doc"), "left")
+          .join(edges.as("e").hint("shuffle_hash"),
+            col("l.doc") === col("e.doc_a"), "left")
+          .join(labels.as("n").hint("shuffle_hash"),
+            col("e.doc_b") === col("n.doc"), "left")
           .groupBy(col("l.doc").as("doc"))
           .agg(least(min(col("l.lbl")), coalesce(min(col("n.lbl")),
             min(col("l.lbl")))).as("lbl"))
