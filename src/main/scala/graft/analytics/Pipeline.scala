@@ -234,6 +234,32 @@ object Pipeline {
             .as("dup3_frac"))
     },
 
+    // Perplexity-style filtering (the CCNet-class curation stage): a
+    // unigram LM from the corpus' own term frequencies, each document
+    // scored by its mean negative log-likelihood — high-NLL docs are the
+    // distribution outliers a perplexity filter drops. Per-term NLL is
+    // rounded to 6 digits BEFORE the decimal-exact sum (ln differs by ulps
+    // across libm implementations; the rounding makes Spark and the oracle
+    // agree bit-for-bit, as in p2). Shapes: one vocab agg, one
+    // shuffle-hinted term join (vocabulary is unbounded at corpus scale),
+    // one per-doc agg.
+    "p10_perplexity" -> { (s, dir) =>
+      val toks = Tables(s, dir).documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+      val tf = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+      val tot = tf.agg(sum(col("tf")).as("total"))
+      toks.join(tf.hint("shuffle_hash"), "term")
+        .crossJoin(tot)
+        .withColumn("nll",
+          round(log(col("total").cast("double") / col("tf")), 6)
+            .cast("decimal(30,15)"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(sum(col("nll")).cast("double") / count(lit(1)), 6)
+            .as("avg_nll"))
+    },
+
     // PII scrub: deterministic synthetic PII is injected per doc_id (the
     // test corpus is clean), then removed with the scrub regexes; the query
     // reports detection counts and the size delta — the audit a redaction
@@ -350,6 +376,20 @@ object Pipeline {
         |SELECT r.source, r.n_docs, r.rate_pct,
         |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
         |FROM rates r LEFT JOIN kept k USING (source)""".stripMargin,
+    "p10_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |t2 AS (SELECT * FROM toks WHERE length(term) > 0),
+        |tf AS (SELECT term, COUNT(*) AS tf FROM t2 GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM tf),
+        |nll AS (
+        |  SELECT doc_id,
+        |    CAST(ROUND(ln(CAST(total AS DOUBLE) / tf), 6) AS DECIMAL(30,15)) AS v
+        |  FROM t2 JOIN tf USING (term) CROSS JOIN tot)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+        |FROM nll GROUP BY doc_id""".stripMargin,
     "p9_curate_e2e" ->
       """WITH scored AS (
         |  SELECT doc_id, lang, source, text, n_chars,
