@@ -69,15 +69,22 @@ object TextAnalysis {
 
     // Token statistics: whitespace tokens + distinct + length stats.
     "a3_token_stats" -> { (s, dir) =>
+      // BPE-ish pre-tokenizer pieces: the GPT-2-family regex family reduced
+      // to letter runs / digit runs / punctuation runs with an optional
+      // leading space — the count a byte-pair tokenizer's pre-split yields
+      // (identical semantics in Java regex and the oracle's RE2)
+      val bpe = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
       Tables(s, dir).documents
-        .select(col("doc_id"), split(col("text"), " ").as("tok"))
+        .select(col("doc_id"), col("text"), split(col("text"), " ").as("tok"))
         .select(col("doc_id"),
           size(col("tok")).cast("long").as("n_tokens"),
           size(array_distinct(col("tok"))).cast("long").as("n_distinct"),
           expr("array_max(transform(tok, t -> length(t)))")
             .cast("long").as("max_token_len"),
           expr("aggregate(tok, CAST(0 AS BIGINT), (acc, t) -> acc + length(t))")
-            .as("sum_token_len"))
+            .as("sum_token_len"),
+          size(regexp_extract_all(col("text"), lit(bpe), lit(0)))
+            .cast("long").as("n_bpe_pieces"))
         .withColumn("avg_token_len",
           round(col("sum_token_len") * lit(1.0) / col("n_tokens"), 6))
     },
@@ -128,13 +135,20 @@ object TextAnalysis {
          |FROM agg""".stripMargin,
     "a3_token_stats" ->
       """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
-        |SELECT doc_id, COUNT(*) AS n_tokens,
-        |  COUNT(DISTINCT t) AS n_distinct,
-        |  MAX(length(t)) AS max_token_len,
-        |  CAST(SUM(length(t)) AS BIGINT) AS sum_token_len,
-        |  ROUND(SUM(length(t)) * 1.0 / COUNT(*), 6) AS avg_token_len
-        |FROM toks GROUP BY doc_id""".stripMargin,
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens,
+        |    COUNT(DISTINCT t) AS n_distinct,
+        |    MAX(length(t)) AS max_token_len,
+        |    CAST(SUM(length(t)) AS BIGINT) AS sum_token_len,
+        |    ROUND(SUM(length(t)) * 1.0 / COUNT(*), 6) AS avg_token_len
+        |  FROM toks GROUP BY doc_id)
+        |SELECT a.doc_id, a.n_tokens, a.n_distinct, a.max_token_len,
+        |  a.sum_token_len,
+        |  CAST(len(regexp_extract_all(d.text,
+        |    ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT) AS n_bpe_pieces,
+        |  a.avg_token_len
+        |FROM agg a JOIN documents d USING (doc_id)""".stripMargin,
     "a4_fingerprint" ->
       """SELECT doc_id,
         |  CAST(('0x'||substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 15)) AS BIGINT) AS fingerprint,
