@@ -88,6 +88,18 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("p2/p10 term joins shuffle — vocabulary tables never broadcast") {
+    // (the 1-row corpus-total crossJoin broadcasts as a nested loop — fine;
+    // a BroadcastHashJoin keyed on term would be a vocabulary broadcast)
+    for (q <- Seq("p2_tfidf_topterms", "p10_perplexity")) {
+      val bad = nodeBlocks(planOf(q)).filter { case (n, b) =>
+        n == "BroadcastHashJoin" &&
+          b.linesIterator.exists(l => l.contains("keys") && l.contains("term#"))
+      }
+      assert(bad.isEmpty, s"$q broadcasts the vocabulary table")
+    }
+  }
+
   test("p9 curation chain is one corpus scan; keeper via window, not join") {
     // a groupBy+semi-join keeper would re-scan the corpus and broadcast a
     // corpus-sized distinct-texts table — fine locally, impossible at 100 TB
