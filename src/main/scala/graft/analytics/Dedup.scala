@@ -156,7 +156,7 @@ object Dedup {
         .join(sizes.toDF("doc_b", "nb").hint("shuffle_hash"), "doc_b")
         .withColumn("jaccard",
           col("common") * lit(1.0) / (col("na") + col("nb") - col("common")))
-        .join(est, Seq("doc_a", "doc_b"))
+        .join(est.hint("shuffle_hash"), Seq("doc_a", "doc_b"))
         .filter(col("jaccard") >= JaccardThreshold)
         .select(col("doc_a"), col("doc_b"), col("est_sim"),
           round(col("jaccard"), 6).as("jaccard"))

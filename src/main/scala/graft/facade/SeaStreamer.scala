@@ -458,6 +458,7 @@ object SeaStreamer {
         iggyStream: String = graft.iggy.IggySource.DefaultStream): Producer = {
       if (!Envelope.isValidStreamKey(stream) || stream.isEmpty)
         throw SeaStreamErr.InvalidStreamKey(stream)
+      validIggyStream(iggyStream)
       new Producer(spark, scheme, allNodeAddrs, Some(stream), redisShards,
         iggyPartitions, iggyStream)
     }
@@ -465,9 +466,20 @@ object SeaStreamer {
     /** Generic producer: stream key comes from each row. */
     def createGenericProducer(redisShards: Int = 1,
         iggyPartitions: Int = 4,
-        iggyStream: String = graft.iggy.IggySource.DefaultStream): Producer =
+        iggyStream: String = graft.iggy.IggySource.DefaultStream): Producer = {
+      validIggyStream(iggyStream)
       new Producer(spark, scheme, allNodeAddrs, None, redisShards,
         iggyPartitions, iggyStream)
+    }
+
+    /** The iggy namespace stream follows the same key grammar as stream
+      * keys — reject it at construction (the facade's typed-error contract)
+      * instead of surfacing an opaque wire error from an executor at send
+      * time.
+      */
+    private def validIggyStream(name: String): Unit =
+      if (!Envelope.isValidStreamKey(name) || name.isEmpty)
+        throw SeaStreamErr.InvalidStreamKey(name)
   }
 
   final class Committer(opts: ConsumerOptions) {

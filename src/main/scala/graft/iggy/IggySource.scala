@@ -96,11 +96,7 @@ object IggySource {
       .mapPartitions { it =>
         // completion listener: an early-terminating consumer (limit, take)
         // never drains the iterator, so the eager close below is not enough
-        val opened = scala.collection.mutable.ArrayBuffer.empty[IggyClient]
-        Option(org.apache.spark.TaskContext.get()).foreach(
-          _.addTaskCompletionListener[Unit] { _ =>
-            opened.foreach(c => scala.util.Try(c.close()))
-          })
+        val opened = graft.core.TaskResources.closeOnTaskCompletion[IggyClient]()
         it.flatMap { case (topic, partition) =>
           val client = new IggyClient(host, port)
           opened += client

@@ -211,16 +211,21 @@ class IggyMicroBatchStream(options: CaseInsensitiveStringMap)
           val total = lags.values.sum
           // proportional floor shares — NO per-partition minimum of 1, which
           // would overshoot the cap whenever backlogged partitions outnumber
-          // the budget; when every share floors to 0, grant the single
-          // largest-lag partition one message so the stream still progresses
+          // the budget. The flooring's remainder then bumps zero-share
+          // partitions (largest lag first) by one message each: small-lag
+          // partitions can never be starved behind a continuously-hot
+          // sibling, and the total stays <= budget.
           val shares: Map[(String, Int), Long] =
             if (total <= budget) lags
             else {
               val floored = lags.map { case (k, lag) =>
                 k -> budget * lag / total
               }
-              if (floored.values.sum > 0) floored
-              else Map(lags.maxBy { case (k, lag) => (lag, k) }._1 -> 1L)
+              val rem = budget - floored.values.sum
+              val zeros = lags.filter { case (k, _) => floored(k) == 0L }
+                .toSeq.sortBy { case (k, lag) => (-lag, k) }
+              floored ++ zeros.take(math.min(rem, zeros.size.toLong).toInt)
+                .map { case (k, _) => k -> 1L }
             }
           tip.map { case (k, t) =>
             k -> math.min(t, after.getOrElse(k, 0L) + shares.getOrElse(k, 0L))

@@ -81,11 +81,7 @@ object RedisSource {
       // an early-terminating consumer (limit, take) stops pulling before
       // exhaustion, so the eager close below never runs — the completion
       // listener guarantees every task-opened socket closes either way
-      val opened = scala.collection.mutable.ArrayBuffer.empty[RedisClient]
-      Option(org.apache.spark.TaskContext.get()).foreach(
-        _.addTaskCompletionListener[Unit] { _ =>
-          opened.foreach(c => scala.util.Try(c.close()))
-        })
+      val opened = graft.core.TaskResources.closeOnTaskCompletion[RedisClient]()
       it.flatMap { case (key, stream, shard) =>
         val (h, p) = slotMap.flatMap(_.owner(key)).getOrElse((host, port))
         val client = new RedisClient(h, p)

@@ -418,6 +418,13 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
     * committed id) — an idle key must not eat a deep key's share, the same
     * lag-aware apportioning Kafka's maxOffsetsPerTrigger does.
     */
+  /** Advances per trigger to rotate the capped-serve window across keys.
+    * Driver-side, in-memory only — a restart resets it to 0, which only
+    * restarts the rotation, never loses data (unserved keys keep their
+    * committed position in the offset).
+    */
+  private var serveRotation = 0
+
   private def cappedEnds(after: Map[String, String],
       maxRows: Long): Map[String, String] = {
     val tip = tips()
@@ -429,13 +436,18 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
         k -> after.getOrElse(k, "0-0")
       }.toMap
     // when backlogged keys outnumber the budget, a per-key minimum of 1
-    // would overshoot the cap — serve a deterministic (sorted) subset of
-    // maxRows keys this trigger instead; the rest keep their committed
-    // position and rotate in on later triggers as the served keys drain
+    // would overshoot the cap — serve a ROTATING subset of maxRows keys per
+    // trigger (sorted order, window advanced each call), so under sustained
+    // inflow every key is served within ceil(#active / budget) triggers —
+    // a fixed first-N subset would starve later-sorted keys forever
     val served =
-      if (active.size.toLong > maxRows)
-        active.sortBy(_._1).take(math.max(1L, maxRows).toInt)
-      else active
+      if (active.size.toLong > maxRows) {
+        val sorted = active.sortBy(_._1)
+        val n = math.max(1L, maxRows).toInt
+        val start = (serveRotation * n) % sorted.size
+        serveRotation += 1
+        (sorted.drop(start) ++ sorted.take(start)).take(n)
+      } else active
     val perKey = // clamp: a huge "effectively unlimited" cap must not
       // overflow into a negative XRANGE COUNT
       math.min(Int.MaxValue.toLong, math.max(1L, maxRows / served.size)).toInt
