@@ -339,6 +339,73 @@ object Similarity {
         .select(col("qid"), col("cid"), col("cosine"), col("rank"))
     },
 
+    // Product-quantized ANN (Jégou et al. 2011): split each vector into
+    // M=8 subspaces of 8 dims, code each subvector as its nearest of 16
+    // per-subspace centroids (codebook seeded from the first 16 vectors,
+    // like the IVF path), then scan with asymmetric distance — the query's
+    // 8×16 lookup table of exact subspace distances joined against the
+    // corpus CODES, never the corpus vectors. The 100 TB story is extreme
+    // compression: 8 bytes per coded vector (32× smaller than float32),
+    // the LUT is bounded by the query set and broadcasts, and the exact
+    // rerank touches only the top-50 ADC candidates per query. Random
+    // embeddings are PQ's worst case (~63% top-3 candidate recall at a 10%
+    // scan here); clustered real data and a Lloyd-trained codebook tighten
+    // it without changing any plan shape.
+    "s5_ann_pq" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val Cand = 50
+      // one row per (vector, subspace) holding the 8-dim SUBVECTOR — the
+      // codegen'd decimal dist2 then prices each (vec, subspace, code) pair
+      // in one tight loop instead of an exploded per-dim aggregation
+      val subs = e.select(col("vec_id"), explode(expr(
+        "transform(sequence(0, 7), j -> struct(CAST(j AS BIGINT) AS j, slice(embedding, j*8+1, 8) AS sv))"))
+        .as("s"))
+        .select(col("vec_id"), col("s.j").as("j"), col("s.sv").as("sv"))
+      // 16-entry-per-subspace codebook — fixed size, broadcastable by design
+      val cents = broadcast(subs.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("code"), col("j"), col("sv").as("csv")))
+      // exact decimal subspace distances for EVERY (vector, subspace, code):
+      // doubles as the encoder (argmin per subspace) and the query LUT
+      val dist = subs.join(cents, Seq("j"))
+        .select(col("vec_id"), col("j"), col("code"),
+          round(dist2Col("sv", "csv"), 6).as("d2"))
+      val wCode = Window.partitionBy(col("vec_id"), col("j"))
+        .orderBy(col("d2"), col("code"))
+      val codes = dist.withColumn("r", row_number().over(wCode))
+        .filter(col("r") === 1)
+        .select(col("vec_id").as("cid"), col("j"), col("code"))
+      val lut = broadcast(dist.filter(col("vec_id") < QueryCount)
+        .select(col("vec_id").as("qid"), col("j"), col("code"), col("d2")))
+      // ADC scan: corpus codes × broadcast LUT, one 8-term sum per (q, c)
+      val adc = codes.join(lut, Seq("j", "code"))
+        .filter(col("qid") =!= col("cid"))
+        .groupBy("qid", "cid")
+        .agg(sum(col("d2").cast("decimal(30,15)")).cast("double").as("approx"))
+      val wc = Window.partitionBy(col("qid"))
+        .orderBy(col("approx"), col("cid"))
+      val cand = adc.withColumn("cr", row_number().over(wc))
+        .filter(col("cr") <= Cand)
+        .select(col("qid"), col("cid"))
+      // exact decimal rerank of the bounded candidate set (broadcast side),
+      // corpus vectors stream past it — same shape as s4
+      val withVec = withNorm(
+        e.select(col("vec_id"), col("embedding")), "embedding", "nrm")
+      val scored = withVec.select(col("vec_id").as("cid"),
+          col("embedding").as("ce"), col("nrm").as("cn0"))
+        .join(broadcast(cand
+          .join(broadcast(withVec.filter(col("vec_id") < QueryCount)
+            .select(col("vec_id").as("qid"),
+              col("embedding").as("qe"), col("nrm").as("qn0"))), "qid")), "cid")
+        .withColumn("cosine",
+          round(dotCol("qe", "ce") / (col("qn0") * col("cn0")), 6))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("cid"))
+      scored
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("cid"), col("cosine"), col("rank"))
+    },
+
     // SemDeDup (Abbas et al. 2023): cluster the embedding space coarsely,
     // then dedup WITHIN each cluster by exact pairwise cosine — the pair
     // join is an equi-join on the cluster id, so the quadratic term is
@@ -546,6 +613,47 @@ object Similarity {
          |    AS DECIMAL(30,15))) AS DOUBLE), 6) AS shift
          |FROM m2 m JOIN cents c ON m.centroid_id = c.centroid_id AND m.d = c.d
          |GROUP BY m.centroid_id""".stripMargin,
+    "s5_ann_pq" ->
+      s"""WITH $explodedSql,
+         |sub AS (SELECT vec_id, CAST((d - 1) // 8 AS BIGINT) AS j, d, v FROM ex),
+         |cents AS (SELECT vec_id AS code, j, d, v FROM sub WHERE vec_id < 16),
+         |dist AS (SELECT s.vec_id, s.j, c.code,
+         |           ROUND(CAST(SUM(CAST((s.v - c.v) * (s.v - c.v)
+         |             AS DECIMAL(30,15))) AS DOUBLE), 6) AS d2
+         |         FROM sub s JOIN cents c ON s.j = c.j AND s.d = c.d
+         |         GROUP BY 1, 2, 3),
+         |codes AS (SELECT vec_id AS cid, j, code FROM (
+         |            SELECT vec_id, j, code,
+         |              ROW_NUMBER() OVER (PARTITION BY vec_id, j
+         |                ORDER BY d2, code) AS r
+         |            FROM dist) WHERE r = 1),
+         |adc AS (SELECT q.vec_id AS qid, c.cid,
+         |          CAST(SUM(CAST(q.d2 AS DECIMAL(30,15))) AS DOUBLE) AS approx
+         |        FROM codes c
+         |        JOIN dist q ON q.j = c.j AND q.code = c.code
+         |        WHERE q.vec_id < $QueryCount AND q.vec_id <> c.cid
+         |        GROUP BY 1, 2),
+         |cand AS (SELECT qid, cid FROM (
+         |           SELECT qid, cid,
+         |             ROW_NUMBER() OVER (PARTITION BY qid
+         |               ORDER BY approx, cid) AS cr
+         |           FROM adc) WHERE cr <= 50),
+         |dots AS (SELECT qid, cid,
+         |           CAST(SUM(CAST(a.v * b.v AS DECIMAL(30,15))) AS DOUBLE) AS dot
+         |         FROM cand
+         |         JOIN ex a ON qid = a.vec_id
+         |         JOIN ex b ON cid = b.vec_id AND a.d = b.d
+         |         GROUP BY 1, 2),
+         |scored AS (SELECT qid, cid,
+         |             ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+         |           FROM dots
+         |           JOIN norms na ON qid = na.vec_id
+         |           JOIN norms nb ON cid = nb.vec_id),
+         |ranked AS (SELECT qid, cid, cosine,
+         |             ROW_NUMBER() OVER (PARTITION BY qid
+         |               ORDER BY cosine DESC, cid) AS rank
+         |           FROM scored)
+         |SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 3""".stripMargin,
     "s4_ann_sq8" ->
       s"""WITH $explodedSql,
          |scales AS (SELECT vec_id, MAX(abs(v)) AS mabs FROM ex GROUP BY vec_id
