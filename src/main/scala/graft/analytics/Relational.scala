@@ -313,9 +313,43 @@ object Relational {
           round(expr("percentile(value, 0.95)"), 6).as("p95"),
           round(expr("percentile(value, 0.99)"), 6).as("p99"),
           count(lit(1)).as("n"))
+    },
+
+    // Pathological-skew join through ops.Salting: collapsing user_id < 100
+    // onto one group makes a single key carry ~2/3 of every event, the
+    // shape where one shuffle partition OOMs an executor at scale. The salt
+    // spreads that key over 8 sub-keys (content-derived, retry-safe) while
+    // the small side explodes once per salt value; the dim is shuffle-
+    // hinted because a broadcast would bypass the shuffle the salt exists
+    // to fix (and at 100 TB a per-key dim need not be broadcastable). The
+    // oracle is the PLAIN unsalted join — identical results prove salting
+    // is pure plumbing.
+    "q21_salted_skew" -> { (s, dir) =>
+      val ev = Tables(s, dir).events
+        .select(
+          when(col("user_id") < 100L, 0L).otherwise(col("user_id")).as("grp"),
+          col("value"), col("event_id"))
+      val dim = ev.select(col("grp")).distinct()
+        .withColumn("tier", pmod(col("grp"), lit(7L)))
+      graft.ops.Salting.saltedJoin(ev, dim.hint("shuffle_hash"), "grp", 8)
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+          max(col("event_id")).as("max_event_id"))
     })
 
   val oracles: Map[String, String] = Map(
+    "q21_salted_skew" ->
+      """WITH ev AS (
+        |  SELECT CASE WHEN user_id < 100 THEN 0 ELSE user_id END AS grp,
+        |    value, event_id
+        |  FROM events),
+        |dim AS (SELECT DISTINCT grp, grp % 7 AS tier FROM ev)
+        |SELECT d.tier, COUNT(*) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  MAX(e.event_id) AS max_event_id
+        |FROM ev e JOIN dim d USING (grp)
+        |GROUP BY 1""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

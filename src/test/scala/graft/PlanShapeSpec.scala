@@ -88,6 +88,20 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q21's salted join shuffles on (key, salt) — salt must reach the join") {
+    // a broadcast here would bypass the very shuffle the salt spreads; the
+    // join keys must include the salt column or the hot key still lands on
+    // one partition
+    val blocks = nodeBlocks(planOf("q21_salted_skew"))
+    val salted = blocks.filter { case (n, b) =>
+      (n == "ShuffledHashJoin" || n == "SortMergeJoin") &&
+        b.linesIterator.exists(l => l.contains("keys") && l.contains("__salt#"))
+    }
+    assert(salted.nonEmpty, "no shuffled join keyed on __salt in q21")
+    assert(!blocks.exists(_._1 == "BroadcastHashJoin"),
+      "q21's dim broadcast bypasses the salted shuffle")
+  }
+
   test("p2/p10 term joins shuffle — vocabulary tables never broadcast") {
     // (the 1-row corpus-total crossJoin broadcasts as a nested loop — fine;
     // a BroadcastHashJoin keyed on term would be a vocabulary broadcast)
