@@ -52,6 +52,9 @@ object GraftSession {
         "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // managed tables (the bucketed-join path) land in /tmp, not a
+      // spark-warehouse dir inside the repo working copy
+      .config("spark.sql.warehouse.dir", "/tmp/graft/warehouse")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
   }

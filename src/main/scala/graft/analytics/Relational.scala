@@ -315,6 +315,30 @@ object Relational {
           count(lit(1)).as("n"))
     },
 
+    // Bucketed co-located join through ops.Bucketing: both sides persisted
+    // bucketed+sorted on the join key, so the join plans with NO exchange —
+    // each task reads matching buckets from both tables (the 100 TB answer
+    // to a join that would otherwise shuffle both sides every run). The
+    // oracle is the plain join on the raw parquet — identical results prove
+    // the bucketed path is pure physical layout.
+    "q22_bucketed_join" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      graft.ops.Bucketing.writeBucketed(
+        t.lineitem.select("l_orderkey", "l_quantity"),
+        "q22_li_b", "l_orderkey", 8)
+      graft.ops.Bucketing.writeBucketed(
+        t.orders.select(col("o_orderkey").as("l_orderkey"),
+          col("o_totalprice")),
+        "q22_ord_b", "l_orderkey", 8)
+      graft.ops.Bucketing.bucketedJoin(s, "q22_li_b", "q22_ord_b", "l_orderkey")
+        .groupBy(pmod(col("l_orderkey"), lit(10L)).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+    },
+
     // Pathological-skew join through ops.Salting: collapsing user_id < 100
     // onto one group makes a single key carry ~2/3 of every event, the
     // shape where one shuffle partition OOMs an executor at scale. The salt
@@ -339,6 +363,12 @@ object Relational {
     })
 
   val oracles: Map[String, String] = Map(
+    "q22_bucketed_join" ->
+      """SELECT l.l_orderkey % 10 AS bucket, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin,
     "q21_salted_skew" ->
       """WITH ev AS (
         |  SELECT CASE WHEN user_id < 100 THEN 0 ELSE user_id END AS grp,

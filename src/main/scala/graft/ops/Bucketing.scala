@@ -9,20 +9,41 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Persist `df` as a bucketed, sorted managed table. */
+  /** Persist `df` as a bucketed, sorted managed table. Idempotent across
+    * SESSIONS, not just runs: a fresh in-memory catalog has no entry for a
+    * previous session's table, so Overwrite alone trips over the leftover
+    * warehouse location — drop the catalog entry AND clear the stale
+    * directory first.
+    */
   def writeBucketed(
       df: DataFrame,
       table: String,
       key: String,
-      numBuckets: Int): Unit =
+      numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new java.io.File(
+      java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir"))
+        .getPath + "/" + table.toLowerCase)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(loc)
+    }
     df.write
       .bucketBy(numBuckets, key)
       .sortBy(key)
       .mode(SaveMode.Overwrite)
       .saveAsTable(table)
+  }
 
   /** Join two bucketed tables on their bucket key (plan should carry no
-    * hash-partition Exchange when both are bucketed the same way).
+    * hash-partition Exchange when both are bucketed the same way). The
+    * merge hint pins the sort-merge strategy the bucket layout exists for —
+    * an auto-broadcast of a locally-small side would silently bypass the
+    * exchange-free bucket matching this op is about.
     */
   def bucketedJoin(
       spark: SparkSession,
@@ -30,5 +51,6 @@ object Bucketing {
       right: String,
       key: String,
       joinType: String = "inner"): DataFrame =
-    spark.table(left).join(spark.table(right), Seq(key), joinType)
+    spark.table(left).hint("merge")
+      .join(spark.table(right).hint("merge"), Seq(key), joinType)
 }

@@ -88,6 +88,15 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q22's bucketed join carries no exchange between scan and join") {
+    val p = planOf("q22_bucketed_join")
+    assert(p.contains("SortMergeJoin"), "bucketed join must sort-merge")
+    // the single allowed hash exchange is the final groupBy's — the JOIN
+    // inputs read pre-bucketed, pre-sorted data with no re-partitioning
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"$exchanges hash exchanges — bucket layout unused")
+  }
+
   test("q21's salted join shuffles on (key, salt) — salt must reach the join") {
     // a broadcast here would bypass the very shuffle the salt spreads; the
     // join keys must include the salt column or the hot key still lands on
