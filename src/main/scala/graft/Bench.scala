@@ -36,7 +36,14 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-        timed(name)(fn(spark, sfDir).count())
+        // q22's number would otherwise be ~90% one-time bucketed-table
+        // layout; price layout and join separately (the Verify/oracle path
+        // still runs the combined query).
+        if (name == "q22_bucketed_join") {
+          timed("q22_layout")(analytics.Relational.q22Layout(spark, sfDir))
+          timed("q22_join")(analytics.Relational.q22Join(spark).count())
+        } else
+          timed(name)(fn(spark, sfDir).count())
         // queries persist intermediates (e.g. the dedup shingle set); free
         // the blocks outside the timed region so one query's cache can't
         // squeeze the next one's memory, then a driver GC so the

@@ -53,8 +53,13 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // managed tables (the bucketed-join path) land in /tmp, not a
-      // spark-warehouse dir inside the repo working copy
-      .config("spark.sql.warehouse.dir", "/tmp/graft/warehouse")
+      // spark-warehouse dir inside the repo working copy. Namespaced per
+      // PROCESS: writeBucketed drops + recursively deletes table dirs, so
+      // two concurrent sessions (Bench and Verify both running
+      // q22_bucketed_join) sharing one warehouse could delete each other's
+      // files mid-read.
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft/warehouse-${ProcessHandle.current().pid()}")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
   }

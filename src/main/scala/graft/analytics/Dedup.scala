@@ -34,6 +34,18 @@ object Dedup {
 
   private val JaccardThreshold = 0.5
 
+  /** Max document-frequency a shingle may have and still participate in
+    * `jaccardPairs`. A shingle present in k documents contributes k² rows on
+    * ONE shuffle key in the self-join — locally invisible, quadratic at
+    * corpus scale (a common 3-gram lands millions of docs on one partition).
+    * High-df shingles carry no dedup signal (every production near-dup
+    * pipeline drops them), so both the pair join AND the per-doc sizes use
+    * the capped set — Jaccard is computed over informative shingles only.
+    * Grows sub-linearly with corpus size in production; fixed here so the
+    * DuckDB oracle can mirror it exactly.
+    */
+  private[analytics] val ShingleDfCap = 256L
+
   /** doc_id + distinct word-3gram shingles. */
   private[analytics] def shingles(docs: DataFrame): DataFrame =
     docs
@@ -55,7 +67,14 @@ object Dedup {
     * holds the shingles (d3). The query session frees the blocks via
     * `clearCache` (Bench) or session teardown (Verify).
     */
-  private def jaccardPairs(sh: DataFrame): DataFrame = {
+  private[analytics] def jaccardPairs(shRaw: DataFrame): DataFrame = {
+    // df-cap: drop stop-shingles BEFORE the self-join (see ShingleDfCap).
+    // The df table is vocabulary-sized — unbounded, so the semi-join is
+    // shuffle-hinted like every other corpus-scale side.
+    val keep = shRaw.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= ShingleDfCap)
+      .select("s")
+    val sh = shRaw.join(keep.hint("shuffle_hash"), Seq("s"), "left_semi")
     // the per-doc sizes table is corpus-sized — locally tiny, unbounded at
     // scale, so the attach joins are shuffle-hinted (AQE would otherwise
     // broadcast it and hide the shape that matters at 100 TB)
@@ -72,6 +91,76 @@ object Dedup {
         .withColumnRenamed("n", "nb").hint("shuffle_hash"), "doc_b")
       .withColumn("jaccard",
         col("common") * lit(1.0) / (col("na") + col("nb") - col("common")))
+  }
+
+  /** Connected components over an undirected pair graph by min-label
+    * propagation with POINTER HALVING: each round first takes the min label
+    * over neighbors (reach +1 hop), then jumps every doc's label to its
+    * label's label (reach doubles). Adversarial chain components therefore
+    * converge in O(log diameter) rounds, not O(diameter) — 1000-hop chains
+    * (the worst shape a crawl-dedup graph produces) cost ~11 shuffle rounds
+    * instead of 1000 full-corpus shuffles.
+    *
+    * Correctness of the jump: labels start as self (lbl(d)=d) and every
+    * update takes a min that includes the current value, so lbl(x) <= x for
+    * all x forever; the jump target lbl(lbl(d)) is thus <= lbl(d) and — by
+    * induction — in the same component. Monotonicity also gives the cheap
+    * convergence test: the label sum strictly decreases until fixpoint, so
+    * an unchanged sum IS convergence (one single-pass agg per round instead
+    * of a join-against-previous + count job).
+    *
+    * @param pairs undirected edges as (doc_a, doc_b), one direction per pair
+    * @return (labels(doc, lbl), rounds-until-converged)
+    */
+  private[analytics] def connectedComponents(
+      pairs: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = edges.select(col("doc_a").as("doc"))
+      .distinct()
+      .withColumn("lbl", col("doc"))
+    var converged = false
+    var iter = 0
+    var prevSum = labels.agg(coalesce(sum(col("lbl")), lit(0L)))
+      .head().getLong(0)
+    while (!converged && iter < maxIter) {
+      // localCheckpoint (not cache): materializes AND severs lineage, so
+      // the logical plan — and with it per-iteration analysis/optimization
+      // time — stays O(1) across rounds instead of growing each iteration.
+      // The label and edge tables grow with the corpus — shuffle-hinted
+      // like every other unbounded join side (the localCheckpoint hides
+      // these joins from the plan-shape guard, so the hint carries the
+      // scale contract here).
+      val hopped = labels.as("l")
+        .join(edges.as("e").hint("shuffle_hash"),
+          col("l.doc") === col("e.doc_a"), "left")
+        .join(labels.as("n").hint("shuffle_hash"),
+          col("e.doc_b") === col("n.doc"), "left")
+        .groupBy(col("l.doc").as("doc"))
+        .agg(least(min(col("l.lbl")), coalesce(min(col("n.lbl")),
+          min(col("l.lbl")))).as("lbl"))
+      // pointer halving: lbl(d) := lbl(lbl(d)). Every label value is itself
+      // a doc in the label table (labels originate from doc ids), so the
+      // left join only misses when lbl(d)=d had no smaller neighbor — the
+      // coalesce keeps it in place.
+      val next = hopped.as("p")
+        .join(hopped.as("q").hint("shuffle_hash"),
+          col("p.lbl") === col("q.doc"), "left")
+        .select(col("p.doc").as("doc"),
+          coalesce(col("q.lbl"), col("p.lbl")).as("lbl"))
+        .localCheckpoint(true)
+      val nextSum = next.agg(coalesce(sum(col("lbl")), lit(0L)))
+        .head().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      iter += 1
+    }
+    // silent non-convergence would split a component across cluster ids
+    require(converged,
+      s"dedup clustering did not converge within $maxIter iterations")
+    (labels, iter)
   }
 
   /** Shared DuckDB CTEs for shingles and their hashes (word 3-grams). */
@@ -163,8 +252,7 @@ object Dedup {
     },
 
     // Dedup clustering: connected components over the near-dup pair graph
-    // (min-label propagation — a distributed join per iteration, converging
-    // in O(component diameter) rounds; near-dup components are tiny).
+    // (min-label propagation + pointer halving — O(log diameter) rounds).
     // Output: every doc in a component, its cluster id (min doc_id), and
     // whether it is the keeper.
     "d6_dedup_clusters" -> { (s, dir) =>
@@ -172,50 +260,8 @@ object Dedup {
         .filter(col("jaccard") >= JaccardThreshold)
         .select(col("doc_a"), col("doc_b"))
         .cache()
-      val edges = pairs
-        .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      var labels = edges.select(col("doc_a").as("doc"))
-        .distinct()
-        .withColumn("lbl", col("doc"))
-      var converged = false
-      var iter = 0
-      val maxIter = 50
-      // min-label propagation is MONOTONE: every doc's label can only
-      // decrease (the new label includes the old one in its min). So the
-      // label sum strictly decreases until the fixpoint, and an unchanged
-      // sum IS convergence — one cheap single-pass agg per round instead of
-      // a join-against-previous + count job.
-      var prevSum = labels.agg(coalesce(sum(col("lbl")), lit(0L)))
-        .head().getLong(0)
-      while (!converged && iter < maxIter) {
-        // localCheckpoint (not cache): materializes AND severs lineage, so
-        // the logical plan — and with it per-iteration analysis/optimization
-        // time — stays O(1) across rounds instead of growing each iteration
-        // the label and edge tables grow with the corpus — shuffle-hinted
-        // like every other unbounded join side (the localCheckpoint hides
-        // these joins from the plan-shape guard, so the hint carries the
-        // scale contract here)
-        val next = labels.as("l")
-          .join(edges.as("e").hint("shuffle_hash"),
-            col("l.doc") === col("e.doc_a"), "left")
-          .join(labels.as("n").hint("shuffle_hash"),
-            col("e.doc_b") === col("n.doc"), "left")
-          .groupBy(col("l.doc").as("doc"))
-          .agg(least(min(col("l.lbl")), coalesce(min(col("n.lbl")),
-            min(col("l.lbl")))).as("lbl"))
-          .localCheckpoint(true)
-        val nextSum = next.agg(coalesce(sum(col("lbl")), lit(0L)))
-          .head().getLong(0)
-        labels.unpersist()
-        labels = next
-        converged = nextSum == prevSum
-        prevSum = nextSum
-        iter += 1
-      }
+      val (labels, _) = connectedComponents(pairs)
       pairs.unpersist()
-      // silent non-convergence would split a component across cluster ids
-      require(converged,
-        s"dedup clustering did not converge within $maxIter iterations")
       labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"),
         (col("doc") === col("lbl")).as("keeper"))
     },
@@ -256,11 +302,29 @@ object Dedup {
        |SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bits""".stripMargin
   }
 
+  /** Uncapped form — d3 only (its candidates-only verify join is keyed by
+    * (doc, s), so the hot-shingle hazard the cap exists for never applies).
+    */
   private def jaccardOracleCte: String =
     s"""$shinglesSql,
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |jac AS (SELECT doc_a, doc_b,
+       |          common * 1.0 / (sa.n + sb.n - common) AS jaccard
+       |        FROM pairs
+       |        JOIN sizes sa ON doc_a = sa.doc_id
+       |        JOIN sizes sb ON doc_b = sb.doc_id)""".stripMargin
+
+  /** df-capped form mirroring [[jaccardPairs]] — d2/d6. */
+  private def jaccardOracleCteCapped: String =
+    s"""$shinglesSql,
+       |keep AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= $ShingleDfCap),
+       |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+       |          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2),
        |jac AS (SELECT doc_a, doc_b,
        |          common * 1.0 / (sa.n + sb.n - common) AS jaccard
@@ -274,7 +338,7 @@ object Dedup {
         |  COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "d2_ngram_jaccard" ->
-      s"""WITH $jaccardOracleCte
+      s"""WITH $jaccardOracleCteCapped
          |SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard
          |FROM jac WHERE jaccard >= $JaccardThreshold""".stripMargin,
     "d3_minhash_lsh" -> {
@@ -305,7 +369,7 @@ object Dedup {
     "d4_simhash" -> simhashOracle,
     // Transitive closure via recursive CTE; cluster = min reachable doc_id.
     "d6_dedup_clusters" ->
-      s"""WITH RECURSIVE $jaccardOracleCte,
+      s"""WITH RECURSIVE $jaccardOracleCteCapped,
          |near AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= $JaccardThreshold),
          |edges AS (SELECT doc_a AS a, doc_b AS b FROM near
          |          UNION ALL SELECT doc_b, doc_a FROM near),

@@ -210,6 +210,14 @@ object Multimodal {
         val h = bb.getInt
         val fps = bb.getInt
         val n = bb.getInt
+        // this parse is the FFI-decoder seam: a hostile/corrupt header must
+        // fail typed, not spin (fps=0 → infinite loop) or throw
+        // ArrayIndexOutOfBounds per-row (undersized payload)
+        require(fps > 0, s"doc ${r.doc_id}: fps must be positive, got $fps")
+        require(w > 0 && h > 0 && n >= 0,
+          s"doc ${r.doc_id}: bad GVID dims ${w}x${h}x$n")
+        require(r.media.length >= 20L + w.toLong * h * 3L * n,
+          s"doc ${r.doc_id}: GVID payload shorter than declared ${w}x${h}x$n")
         val frameBytes = w * h * 3
         var sum = 0L
         var sampled = 0L

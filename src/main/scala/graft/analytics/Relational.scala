@@ -29,6 +29,32 @@ object Relational {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** q22's one-time table layout: both join sides persisted bucketed+sorted
+    * on the key. Split from [[q22Join]] so Bench can price layout and join
+    * separately — at scale the layout amortizes across every subsequent
+    * join, so folding it into the join's number misrepresents the operator.
+    */
+  def q22Layout(s: SparkSession, dir: String): Unit = {
+    val t = Tables(s, dir)
+    graft.ops.Bucketing.writeBucketed(
+      t.lineitem.select("l_orderkey", "l_quantity"),
+      "q22_li_b", "l_orderkey", 8)
+    graft.ops.Bucketing.writeBucketed(
+      t.orders.select(col("o_orderkey").as("l_orderkey"),
+        col("o_totalprice")),
+      "q22_ord_b", "l_orderkey", 8)
+  }
+
+  /** The exchange-free join over [[q22Layout]]'s tables. */
+  def q22Join(s: SparkSession): DataFrame =
+    graft.ops.Bucketing.bucketedJoin(s, "q22_li_b", "q22_ord_b", "l_orderkey")
+      .groupBy(pmod(col("l_orderkey"), lit(10L)).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+
   val queries: Map[String, Q] = Map(
     // TPC-H Q1: full-scan partial+final hash agg; only 4 columns read.
     "q1_agg" -> { (s, dir) =>
@@ -322,21 +348,8 @@ object Relational {
     // oracle is the plain join on the raw parquet — identical results prove
     // the bucketed path is pure physical layout.
     "q22_bucketed_join" -> { (s, dir) =>
-      val t = Tables(s, dir)
-      graft.ops.Bucketing.writeBucketed(
-        t.lineitem.select("l_orderkey", "l_quantity"),
-        "q22_li_b", "l_orderkey", 8)
-      graft.ops.Bucketing.writeBucketed(
-        t.orders.select(col("o_orderkey").as("l_orderkey"),
-          col("o_totalprice")),
-        "q22_ord_b", "l_orderkey", 8)
-      graft.ops.Bucketing.bucketedJoin(s, "q22_li_b", "q22_ord_b", "l_orderkey")
-        .groupBy(pmod(col("l_orderkey"), lit(10L)).as("bucket"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
-            .as("sum_qty"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
-            .as("sum_price"))
+      q22Layout(s, dir)
+      q22Join(s)
     },
 
     // Pathological-skew join through ops.Salting: collapsing user_id < 100

@@ -70,11 +70,16 @@ case class FloatVecDecimal(left: Expression, right: Expression,
       val xv = x.getFloat(i).toDouble
       val yv = y.getFloat(i).toDouble
       val prod = if (squaredDiff) (xv - yv) * (xv - yv) else xv * yv
-      if (java.lang.Double.isNaN(prod) || java.lang.Double.isInfinite(prod))
+      // mirror the SQL decimal form exactly: CAST(double AS DECIMAL(30,15))
+      // NULLs when |prod| >= 1e15 (precision overflow), and the
+      // DECIMAL(38,14) accumulator NULLs past 24 integral digits
+      if (java.lang.Double.isNaN(prod) || java.lang.Double.isInfinite(prod) ||
+          math.abs(prod) >= 1e15)
         return null
       acc = acc.add(java.math.BigDecimal.valueOf(prod)
         .setScale(15, java.math.RoundingMode.HALF_UP))
         .setScale(14, java.math.RoundingMode.HALF_UP)
+      if (acc.precision() > 38) return null
       i += 1
     }
     acc.doubleValue()
@@ -101,12 +106,14 @@ case class FloatVecDecimal(left: Expression, right: Expression,
          |    double $xv = (double) $a.getFloat($i);
          |    double $yv = (double) $b.getFloat($i);
          |    double $prod = $prodExpr;
-         |    if (Double.isNaN($prod) || Double.isInfinite($prod)) {
+         |    if (Double.isNaN($prod) || Double.isInfinite($prod)
+         |        || Math.abs($prod) >= 1e15) {
          |      ${ev.isNull} = true; break;
          |    }
          |    $acc = $acc.add(java.math.BigDecimal.valueOf($prod)
          |      .setScale(15, java.math.RoundingMode.HALF_UP))
          |      .setScale(14, java.math.RoundingMode.HALF_UP);
+         |    if ($acc.precision() > 38) { ${ev.isNull} = true; break; }
          |  }
          |  if (!${ev.isNull}) ${ev.value} = $acc.doubleValue();
          |}

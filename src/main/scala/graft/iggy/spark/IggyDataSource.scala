@@ -221,11 +221,29 @@ class IggyMicroBatchStream(options: CaseInsensitiveStringMap)
               val floored = lags.map { case (k, lag) =>
                 k -> budget * lag / total
               }
-              val rem = budget - floored.values.sum
               val zeros = lags.filter { case (k, _) => floored(k) == 0L }
                 .toSeq.sortBy { case (k, lag) => (-lag, k) }
-              floored ++ zeros.take(math.min(rem, zeros.size.toLong).toInt)
-                .map { case (k, _) => k -> 1L }
+              val zeroBump = zeros
+                .take(math.min(budget - floored.values.sum,
+                  zeros.size.toLong).toInt)
+                .map { case (k, _) => k -> 1L }.toMap
+              // leftover budget after the zero bumps (rem > 0 whenever the
+              // flooring remainder exceeds the zero-share count) goes to
+              // nonzero-share partitions, largest fractional remainder
+              // first — silently dropping it would serve fewer rows than
+              // the cap allows every trigger. One bump each suffices: the
+              // flooring remainder is < #partitions. Partitions already at
+              // their full lag are skipped (nothing more to serve).
+              val rem = budget - floored.values.sum - zeroBump.size
+              val extra = lags.toSeq
+                .filter { case (k, lag) =>
+                  floored(k) > 0L && floored(k) < lag }
+                .sortBy { case (k, lag) => (-(budget * lag % total), k) }
+                .take(math.max(0L, rem).toInt)
+                .map { case (k, _) => k -> 1L }.toMap
+              floored.map { case (k, v) =>
+                k -> (v + zeroBump.getOrElse(k, 0L) + extra.getOrElse(k, 0L))
+              }
             }
           tip.map { case (k, t) =>
             k -> math.min(t, after.getOrElse(k, 0L) + shares.getOrElse(k, 0L))

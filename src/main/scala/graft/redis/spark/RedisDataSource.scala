@@ -444,7 +444,11 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
       if (active.size.toLong > maxRows) {
         val sorted = active.sortBy(_._1)
         val n = math.max(1L, maxRows).toInt
-        val start = (serveRotation * n) % sorted.size
+        // long + floorMod: serveRotation * n as Int overflows after
+        // ~2^31/n triggers and a negative start would degrade the window
+        // back to the fixed first-N subset the rotation exists to prevent
+        val start =
+          math.floorMod(serveRotation.toLong * n, sorted.size.toLong).toInt
         serveRotation += 1
         (sorted.drop(start) ++ sorted.take(start)).take(n)
       } else active

@@ -1,0 +1,57 @@
+package graft.analytics
+
+import graft.TestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale laws for the dedup building blocks that CORRECTNESS can't see:
+  * the shingle document-frequency cap (hot-key k² insurance) and the
+  * O(log diameter) convergence of connected components.
+  */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  test("jaccardPairs drops stop-shingles above the df cap (no k-squared blowup)") {
+    import spark.implicits._
+    // 300 docs share ONE 3-gram ("aaa bbb ccc") — df=300 > ShingleDfCap=256.
+    // Uncapped, the self-join would emit C(300,2)=44850 rows on one shuffle
+    // key; capped, the stop-shingle carries no signal and the docs share
+    // nothing else. Two extra docs are genuine duplicates via RARE shingles.
+    val spam = (0 until 300).map(i => (i.toLong, s"aaa bbb ccc u${i}x u${i}y u${i}z"))
+    val dups = Seq((1000L, "p q r s t u"), (1001L, "p q r s t u"))
+    val docs = (spam ++ dups).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(Dedup.shingles(docs)).collect()
+    assert(pairs.length == 1, s"expected only the true-dup pair, got ${pairs.length}")
+    val r = pairs.head
+    assert(r.getAs[Long]("doc_a") == 1000L && r.getAs[Long]("doc_b") == 1001L)
+    assert(math.abs(r.getAs[Double]("jaccard") - 1.0) < 1e-9)
+  }
+
+  test("jaccardPairs keeps shingles at exactly the df cap") {
+    import spark.implicits._
+    // 3 docs share one 3-gram: df=3 <= cap, so all C(3,2)=3 pairs survive.
+    val docs = (0 until 3).map(i => (i.toLong, s"aaa bbb ccc u${i}x"))
+      .toDF("doc_id", "text")
+    assert(Dedup.jaccardPairs(Dedup.shingles(docs)).count() == 3)
+  }
+
+  test("connectedComponents converges in O(log n) rounds on a 200-doc chain") {
+    import spark.implicits._
+    // worst-case diameter: 0-1-2-...-199. Plain min-label propagation needs
+    // ~200 rounds; hop + pointer-halving needs ceil(log2) + detect ≈ 8.
+    val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, iters) = Dedup.connectedComponents(pairs)
+    assert(iters < 10, s"chain took $iters rounds — pointer halving regressed")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 200 && got.values.forall(_ == 0L))
+  }
+
+  test("connectedComponents labels disjoint components independently") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 20L))
+      .toDF("doc_a", "doc_b")
+    val (labels, _) = Dedup.connectedComponents(pairs)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+}
