@@ -19,12 +19,14 @@ object SparkEntry {
       analytics.Dedup.queries ++ analytics.TextAnalysis.queries ++
       analytics.Similarity.queries ++ analytics.Multimodal.queries ++
       analytics.Pipeline.queries ++ analytics.RedisTransport.queries ++
-      analytics.IggyTransport.queries
+      analytics.IggyTransport.queries ++
+      analytics.KafkaTransport.queries
 
   def oracleSql: Map[String, String] =
     analytics.Relational.oracles ++ analytics.Transport.oracles ++
       analytics.Dedup.oracles ++ analytics.TextAnalysis.oracles ++
       analytics.Similarity.oracles ++ analytics.Multimodal.oracles ++
       analytics.Pipeline.oracles ++ analytics.RedisTransport.oracles ++
-      analytics.IggyTransport.oracles
+      analytics.IggyTransport.oracles ++
+      analytics.KafkaTransport.oracles
 }

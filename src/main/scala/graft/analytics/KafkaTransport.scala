@@ -1,0 +1,103 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.kafka.{EmbeddedKafka, KafkaSource}
+
+/** Kafka-backend queries under the DuckDB oracle gate: each round-trips the
+  * `events` table through the embedded Kafka-protocol broker — v2 record
+  * batches produced in, fetch pages / `format("kafka-wire")` micro-batch
+  * source out — then aggregates the decoded payloads, so the oracle's
+  * hash-compare on the raw parquet pins the whole wire path (framing,
+  * varints, CRC32C, ListOffsets, Fetch, Produce). The laws mirrored are the
+  * reference adapter's semantics (sea-streamer-kafka/src):
+  *
+  *   - k1: a full produce → earliest-anchored consume round-trips every
+  *     message with topic/partition/timestamp fidelity (consumer.rs:591-618
+  *     message mapping, producer.rs:97-189 sends);
+  *   - k2: `Consumer::seek(ts)` (strictly `>` law) pushes into
+  *     ListOffsets/offsets_for_times (consumer.rs:464-494) — the pre-seek
+  *     prefix is never fetched;
+  *   - k3: `maxOffsetsPerTrigger` admission drains a deep backlog across
+  *     bounded micro-batches without loss or duplication under Spark's
+  *     offset model (the builtin connector's knob, same semantics).
+  */
+object KafkaTransport {
+
+  private def withServer[T](f: EmbeddedKafka => T): T = {
+    val srv = new EmbeddedKafka
+    try f(srv) finally srv.close()
+  }
+
+  val queries: Map[String, Relational.Q] = Map(
+    // Round-trip law: produce everything (4 partitions per topic, partition
+    // = shard % 4), bounded-read everything back. localCheckpoint
+    // materializes the replay before the server closes. Kafka re-sequences
+    // (offsets are dense per partition), so the aggregate checks payload
+    // content, not raw sequence — the payload carries the event_id.
+    "k1_kafka_roundtrip" -> { (s, dir) =>
+      withServer { srv =>
+        val t = Tables(s, dir)
+        KafkaSource.write(Transport.envelopeOf(t), srv.host, srv.port)
+        val replay = KafkaSource.boundedRead(s, srv.host, srv.port,
+          Transport.eventTypes).localCheckpoint(true)
+        Transport.aggregate(replay, withDistinct = true)
+      }
+    },
+
+    // Seek law (`timestamp > T`, strictly greater): T = the midpoint of the
+    // events time range, pushed into ListOffsets' first-ts>=T+1 lookup —
+    // no post-filter, no fetch of the pre-seek prefix.
+    "k2_kafka_seek" -> { (s, dir) =>
+      withServer { srv =>
+        val t = Tables(s, dir)
+        val bounds = t.events
+          .agg(min(unix_millis(col("ts"))).as("lo"),
+            max(unix_millis(col("ts"))).as("hi")).head()
+        val cutoff = (bounds.getLong(0) + bounds.getLong(1)) / 2
+        KafkaSource.write(Transport.envelopeOf(t), srv.host, srv.port)
+        val sought = KafkaSource.boundedRead(s, srv.host, srv.port,
+          Transport.eventTypes, afterMs = Some(cutoff)).localCheckpoint(true)
+        Transport.aggregate(sought, withDistinct = false)
+      }
+    },
+
+    // Admission law: earliest + maxOffsetsPerTrigger forces the backlog
+    // through bounded micro-batches; the aggregate proves no message was
+    // lost or re-delivered across batch seams (~4 batches at any sf).
+    "k3_kafka_admission" -> { (s, dir) =>
+      withServer { srv =>
+        val t = Tables(s, dir)
+        val cap = math.max(1000L, t.events.count() / 4)
+        KafkaSource.write(Transport.envelopeOf(t), srv.host, srv.port)
+        val q = Transport.aggregate(
+          s.readStream.format("kafka-wire")
+            .option("host", srv.host).option("port", srv.port.toString)
+            .option("topics", Transport.eventTypes.mkString(","))
+            .option("startingOffsets", "earliest")
+            .option("maxOffsetsPerTrigger", cap.toString)
+            .load(), withDistinct = false)
+          .writeStream.outputMode("complete")
+          .format("memory").queryName("k3_kafka_admission_sink").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("k3_kafka_admission_sink")
+      }
+    })
+
+  val oracles: Map[String, String] = Map(
+    "k1_kafka_roundtrip" -> Transport.aggregateOracle(withDistinct = true),
+    "k3_kafka_admission" -> Transport.aggregateOracle(withDistinct = false),
+    // same cutoff law as the iggy/redis seek oracles: epochs at ms
+    // resolution, strictly greater than the midpoint
+    "k2_kafka_seek" ->
+      """WITH b AS (
+        |  SELECT (epoch_ms(min(date_trunc('milliseconds', ts))) +
+        |          epoch_ms(max(date_trunc('milliseconds', ts)))) // 2 AS cutoff
+        |  FROM events)
+        |SELECT event_type AS stream_key, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  MAX(event_id) AS max_event_id
+        |FROM events, b
+        |WHERE epoch_ms(date_trunc('milliseconds', ts)) > b.cutoff
+        |GROUP BY event_type""".stripMargin)
+}

@@ -52,6 +52,20 @@ object SeaStreamer {
       col("timestamp"),
       col("value").as("payload"))
 
+  /** True when Spark's builtin Kafka connector (spark-sql-kafka-0-10) is on
+    * the classpath. When it is, the facade delegates `kafka://` to it
+    * (broker-side assign pushdown, SASL, the whole connector surface); when
+    * it is not — this zero-egress sandbox, or any cluster without the
+    * connector jars — the facade routes through this library's own wire
+    * client ([[graft.kafka.KafkaClient]], the real public protocol), so
+    * `kafka://` works either way.
+    */
+  lazy val builtinKafkaPresent: Boolean =
+    try {
+      Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider")
+      true
+    } catch { case _: ClassNotFoundException => false }
+
   /** `Consumer::assign` for kafka: explicit TopicPartitions as the built-in
     * source's `assign` JSON (`{"topic":[0,2]}`) — pushed to the broker
     * instead of filtered client-side (sea-streamer-kafka wraps rdkafka's
@@ -210,11 +224,13 @@ object SeaStreamer {
       val rewound = opts.rewindSeqNo
         .map(n => sought.filter(col("sequence") >= n))
         .getOrElse(sought)
-      // assign: redis reads exactly the assigned keys and kafka pushes the
-      // TopicPartition list to the broker; other backends express the pin
-      // as the equivalent (stream, shard) filter
+      // assign: redis reads exactly the assigned keys and the builtin kafka
+      // connector pushes the TopicPartition list to the broker; the kafka
+      // wire driver and other backends express the pin as the equivalent
+      // (stream, shard) filter
       opts.assignShards
-        .filterNot(_ => scheme == "redis" || scheme == "kafka")
+        .filterNot(_ => scheme == "redis" ||
+          (scheme == "kafka" && SeaStreamer.builtinKafkaPresent))
         .map(pairs => rewound.filter(
           pairs.map(p => col("stream_key") === p._1 &&
             col("shard_id") === p._2).reduce(_ || _)))
@@ -281,7 +297,7 @@ object SeaStreamer {
               .load(nodeAddr)
           else
             spark.read.format("ss").option("subscribe", subscribe).load(nodeAddr)
-        case "kafka" =>
+        case "kafka" if SeaStreamer.builtinKafkaPresent =>
           val reset =
             if (opts.autoStreamReset == AutoStreamReset.Earliest) "earliest"
             else "latest"
@@ -309,6 +325,27 @@ object SeaStreamer {
                 .options(subOpts)
                 .load()
           SeaStreamer.kafkaToEnvelope(loaded)
+        case "kafka" => // connector jars absent: this library's wire client
+          if (streams.contains(Envelope.SeaStreamerWildcard))
+            throw SeaStreamErr.Unsupported(
+              "kafka wildcard subscribe on the wire driver (name the topics)")
+          val (host, port) = SeaStreamer.hostPort(nodeAddr, 9092)
+          if (opts.live) {
+            val base = spark.readStream.format("kafka-wire")
+              .option("host", host).option("port", port.toString)
+              .option("topics", subscribe)
+            // seek pushes into ListOffsets at ms+1 (offsets_for_times law);
+            // the generic strict-> residual filter still applies on top
+            opts.seekTimestamp
+              .map(t => base.option("startingTimestamp", t.getTime.toString))
+              .getOrElse(base.option("startingOffsets",
+                if (opts.autoStreamReset == AutoStreamReset.Earliest)
+                  "earliest" else "latest"))
+              .load()
+          } else
+            graft.kafka.KafkaSource.boundedRead(spark, host, port, streams,
+              afterMs = opts.seekTimestamp.map(_.getTime),
+              fromOffset = opts.rewindSeqNo)
         case "redis" =>
           if (streams.contains(Envelope.SeaStreamerWildcard))
             throw SeaStreamErr.Unsupported(
@@ -698,10 +735,13 @@ object SeaStreamer {
       scheme match {
         case "file" =>
           out.write.format("ss").mode("append").save(node)
-        case "kafka" =>
+        case "kafka" if SeaStreamer.builtinKafkaPresent =>
           SeaStreamer.envelopeToKafka(out)
             .write.format("kafka")
             .option("kafka.bootstrap.servers", nodes.mkString(",")).save()
+        case "kafka" => // connector jars absent: this library's wire client
+          val (host, port) = SeaStreamer.hostPort(node, 9092)
+          graft.kafka.KafkaSource.write(out, host, port)
         case "redis" =>
           val (host, port) = SeaStreamer.hostPort(node, 6379)
           // multi-node URI = cluster: keys routed to their slot owners

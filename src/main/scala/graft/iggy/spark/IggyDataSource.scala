@@ -207,44 +207,7 @@ class IggyMicroBatchStream(options: CaseInsensitiveStringMap)
         }.filter(_._2 > 0)
         if (lags.isEmpty) tip
         else {
-          val budget = r.maxRows()
-          val total = lags.values.sum
-          // proportional floor shares — NO per-partition minimum of 1, which
-          // would overshoot the cap whenever backlogged partitions outnumber
-          // the budget. The flooring's remainder then bumps zero-share
-          // partitions (largest lag first) by one message each: small-lag
-          // partitions can never be starved behind a continuously-hot
-          // sibling, and the total stays <= budget.
-          val shares: Map[(String, Int), Long] =
-            if (total <= budget) lags
-            else {
-              val floored = lags.map { case (k, lag) =>
-                k -> budget * lag / total
-              }
-              val zeros = lags.filter { case (k, _) => floored(k) == 0L }
-                .toSeq.sortBy { case (k, lag) => (-lag, k) }
-              val zeroBump = zeros
-                .take(math.min(budget - floored.values.sum,
-                  zeros.size.toLong).toInt)
-                .map { case (k, _) => k -> 1L }.toMap
-              // leftover budget after the zero bumps (rem > 0 whenever the
-              // flooring remainder exceeds the zero-share count) goes to
-              // nonzero-share partitions, largest fractional remainder
-              // first — silently dropping it would serve fewer rows than
-              // the cap allows every trigger. One bump each suffices: the
-              // flooring remainder is < #partitions. Partitions already at
-              // their full lag are skipped (nothing more to serve).
-              val rem = budget - floored.values.sum - zeroBump.size
-              val extra = lags.toSeq
-                .filter { case (k, lag) =>
-                  floored(k) > 0L && floored(k) < lag }
-                .sortBy { case (k, lag) => (-(budget * lag % total), k) }
-                .take(math.max(0L, rem).toInt)
-                .map { case (k, _) => k -> 1L }.toMap
-              floored.map { case (k, v) =>
-                k -> (v + zeroBump.getOrElse(k, 0L) + extra.getOrElse(k, 0L))
-              }
-            }
+          val shares = graft.core.AdmissionShares.proportional(lags, r.maxRows())
           tip.map { case (k, t) =>
             k -> math.min(t, after.getOrElse(k, 0L) + shares.getOrElse(k, 0L))
           }

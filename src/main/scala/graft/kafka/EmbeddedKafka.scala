@@ -1,0 +1,293 @@
+package graft.kafka
+
+import java.net.{InetAddress, ServerSocket}
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.collection.mutable
+
+import KafkaWire.{Api, Err, KRecord, Ts}
+
+/** In-process Kafka-model broker speaking the REAL public wire protocol
+  * ([[KafkaWire]]: v2 record batches + CRC32C, ApiVersions v0, Metadata v1,
+  * ListOffsets v1, Fetch v4, Produce v3) over real sockets. Topics hold
+  * partitions; each partition is an append-only log with dense offsets;
+  * ListOffsets resolves earliest/latest/timestamp; topics auto-create on
+  * Metadata (the `auto.create.topics.enable` broker behavior). One thread
+  * per accepted connection because every Spark task opens its own.
+  *
+  * This is the broker stand-in the reference's Kafka backend
+  * (sea-streamer-kafka/src/streamer.rs:120-180 connect, consumer.rs,
+  * producer.rs) runs against in this zero-egress sandbox — the same role
+  * EmbeddedRedis/EmbeddedIggy play for their backends. Lives in main (not
+  * test) because the DuckDB-oracle correctness queries
+  * (analytics.KafkaTransport) round-trip the `events` table through it,
+  * putting the whole wire path under the hash-compare gate. An embedded
+  * verification backend, not a production store.
+  */
+final class EmbeddedKafka(autoCreatePartitions: Int = 4) extends AutoCloseable {
+  require(autoCreatePartitions > 0, "autoCreatePartitions must be positive")
+
+  private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
+  val port: Int = server.getLocalPort
+  val host: String = "127.0.0.1"
+  /** node_id this single-broker cluster advertises in Metadata. */
+  val nodeId: Int = 0
+
+  private final case class Stored(tsMs: Long, key: Array[Byte], value: Array[Byte])
+
+  /** topic -> partitions (each an append-only log). */
+  private val topics =
+    new ConcurrentHashMap[String, Array[mutable.ArrayBuffer[Stored]]]()
+  @volatile private var closed = false
+
+  def partitionCount(topic: String): Int =
+    Option(topics.get(topic)).map(_.length).getOrElse(0)
+
+  def logSize(topic: String, partition: Int): Long =
+    Option(topics.get(topic)).filter(partition < _.length)
+      .map(t => t(partition).synchronized(t(partition).length.toLong))
+      .getOrElse(0L)
+
+  private def autoCreate(topic: String): Array[mutable.ArrayBuffer[Stored]] =
+    topics.computeIfAbsent(topic,
+      _ => Array.fill(autoCreatePartitions)(mutable.ArrayBuffer.empty[Stored]))
+
+  private val acceptor = new Thread(() => {
+    try while (!closed) {
+      val s = server.accept()
+      new Thread(() => serve(s)).start()
+    } catch { case _: Throwable => () }
+  }, "embedded-kafka-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  private def serve(socket: java.net.Socket): Unit = {
+    val in = KafkaWire.buffered(socket.getInputStream)
+    val out = KafkaWire.buffered(socket.getOutputStream)
+    try while (!closed) {
+      KafkaWire.readRequest(in) match {
+        case None => return
+        case Some((apiKey, apiVersion, correlationId, _, body)) =>
+          val reply = handle(apiKey, apiVersion, body)
+          KafkaWire.writeResponse(out, correlationId, reply)
+          if (in.available() == 0) out.flush()
+      }
+    } catch { case _: Throwable => () } finally socket.close()
+  }
+
+  private def handle(apiKey: Int, apiVersion: Int,
+      body: Array[Byte]): Array[Byte] = {
+    // a real broker answers any ApiVersions version with a v0-compatible
+    // body + UNSUPPORTED_VERSION so the client can downgrade; other APIs
+    // get the error body of the pinned version
+    if (apiKey != Api.ApiVersions &&
+        KafkaWire.Versions.get(apiKey).forall(_.toInt != apiVersion))
+      return unsupported(apiKey)
+    apiKey match {
+      case Api.ApiVersions => apiVersionsV0(
+        if (apiVersion == 0) Err.None else Err.UnsupportedVersion)
+      case Api.Metadata => metadataV1(body)
+      case Api.ListOffsets => listOffsetsV1(body)
+      case Api.Fetch => fetchV4(body)
+      case Api.Produce => produceV3(body)
+      case _ => unsupported(apiKey)
+    }
+  }
+
+  private def unsupported(apiKey: Int): Array[Byte] =
+    // minimal valid error body per API (empty arrays + error where the
+    // schema carries one); ApiVersions carries the code directly
+    apiKey match {
+      case Api.ApiVersions => apiVersionsV0(Err.UnsupportedVersion)
+      case Api.Metadata => new KafkaWire.Writer()
+        .array(Seq.empty[Int])((_, _) => ()) // brokers
+        .i32(nodeId)                         // controller
+        .array(Seq.empty[Int])((_, _) => ()) // topics
+        .result()
+      case _ => new KafkaWire.Writer()
+        .array(Seq.empty[Int])((_, _) => ()).i32(0).result()
+    }
+
+  /** error_code + [api_key, min, max] per supported API. */
+  private def apiVersionsV0(err: Int): Array[Byte] = {
+    val w = new KafkaWire.Writer
+    w.i16(err)
+    w.array(KafkaWire.Versions.toSeq.sortBy(_._1)) { case (ww, (k, v)) =>
+      ww.i16(k).i16(v.toInt).i16(v.toInt)
+    }
+    w.result()
+  }
+
+  /** Metadata v1: named topics auto-create; null topic array = all. */
+  private def metadataV1(body: Array[Byte]): Array[Byte] = {
+    val r = new KafkaWire.Reader(body)
+    val count = r.arrayCount()
+    val asked: Seq[String] =
+      if (count < 0) topics.keySet().toArray(Array.empty[String]).toSeq.sorted
+      else (0 until count).map(_ => r.str())
+    if (count >= 0) asked.foreach(autoCreate)
+    val w = new KafkaWire.Writer
+    w.array(Seq(nodeId)) { (ww, id) => // brokers
+      ww.i32(id).str(host).i32(port).nullableStr(null)
+    }
+    w.i32(nodeId) // controller_id
+    w.array(asked) { (ww, t) =>
+      val parts = Option(topics.get(t))
+      ww.i16(if (parts.isDefined) Err.None else Err.UnknownTopicOrPartition)
+      ww.str(t)
+      ww.i8(0) // is_internal
+      ww.array(parts.map(_.indices.toSeq).getOrElse(Seq.empty)) { (www, p) =>
+        www.i16(Err.None).i32(p).i32(nodeId)
+        www.array(Seq(nodeId))((w4, id) => w4.i32(id)) // replicas
+        www.array(Seq(nodeId))((w4, id) => w4.i32(id)) // isr
+      }
+    }
+    w.result()
+  }
+
+  /** ListOffsets v1: -2 earliest, -1 latest (= next offset), else the
+    * EARLIEST offset whose timestamp >= target (the offsets_for_times
+    * contract the reference seeks through, consumer.rs:464-494). Linear
+    * scan — correct even for non-monotone timestamps; a real broker uses
+    * its time index, this embedded one prioritizes the exact law.
+    */
+  private def listOffsetsV1(body: Array[Byte]): Array[Byte] = {
+    val r = new KafkaWire.Reader(body)
+    r.i32() // replica_id
+    val asked = Seq.fill(r.arrayCount()) {
+      val topic = r.str()
+      topic -> Seq.fill(r.arrayCount())((r.i32(), r.i64()))
+    }
+    val w = new KafkaWire.Writer
+    w.array(asked) { case (ww, (topic, parts)) =>
+      ww.str(topic)
+      ww.array(parts) { case (www, (p, target)) =>
+        www.i32(p)
+        Option(topics.get(topic)).filter(p < _.length) match {
+          case None =>
+            www.i16(Err.UnknownTopicOrPartition).i64(-1L).i64(-1L)
+          case Some(t) =>
+            val buf = t(p)
+            val (ts, off) = buf.synchronized {
+              target match {
+                case Ts.Earliest => (-1L, 0L)
+                case Ts.Latest => (-1L, buf.length.toLong)
+                case wanted =>
+                  buf.indexWhere(_.tsMs >= wanted) match {
+                    case -1 => (-1L, -1L) // none: no offset for that ts yet
+                    case i => (buf(i).tsMs, i.toLong)
+                  }
+              }
+            }
+            www.i16(Err.None).i64(ts).i64(off)
+        }
+      }
+    }
+    w.result()
+  }
+
+  /** Fetch v4: one re-encoded v2 batch per partition from fetch_offset,
+    * sized by partition_max_bytes but never empty when data exists (the
+    * at-least-one-record rule that prevents big-message stalls).
+    */
+  private def fetchV4(body: Array[Byte]): Array[Byte] = {
+    val r = new KafkaWire.Reader(body)
+    r.i32(); r.i32(); r.i32(); r.i32(); r.i8() // replica/wait/min/max/isolation
+    val asked = Seq.fill(r.arrayCount()) {
+      val topic = r.str()
+      topic -> Seq.fill(r.arrayCount())((r.i32(), r.i64(), r.i32()))
+    }
+    val w = new KafkaWire.Writer
+    w.i32(0) // throttle_time_ms
+    w.array(asked) { case (ww, (topic, parts)) =>
+      ww.str(topic)
+      ww.array(parts) { case (www, (p, fetchOffset, maxBytes)) =>
+        www.i32(p)
+        Option(topics.get(topic)).filter(p < _.length) match {
+          case None =>
+            www.i16(Err.UnknownTopicOrPartition).i64(-1L).i64(-1L)
+            www.array(Seq.empty[Int])((_, _) => ())
+            www.nullableBytes(null)
+          case Some(t) =>
+            val buf = t(p)
+            val (hw, slice) = buf.synchronized {
+              val len = buf.length.toLong
+              if (fetchOffset < 0 || fetchOffset > len)
+                (len, null) // out of range
+              else {
+                var bytes = 0L
+                val recs = Seq.newBuilder[KRecord]
+                var i = fetchOffset.toInt
+                var n = 0
+                while (i < buf.length &&
+                    (n == 0 || bytes < math.max(1, maxBytes))) {
+                  val s = buf(i)
+                  recs += KRecord(i.toLong, s.tsMs, s.key, s.value)
+                  bytes += 32L + s.value.length +
+                    (if (s.key == null) 0 else s.key.length)
+                  i += 1; n += 1
+                }
+                (len, recs.result())
+              }
+            }
+            if (slice == null) {
+              www.i16(Err.OffsetOutOfRange).i64(hw).i64(hw)
+              www.array(Seq.empty[Int])((_, _) => ())
+              www.nullableBytes(null)
+            } else {
+              www.i16(Err.None).i64(hw).i64(hw) // last_stable = hw (no txns)
+              www.array(Seq.empty[Int])((_, _) => ()) // aborted_transactions
+              www.nullableBytes(
+                if (slice.isEmpty) null else KafkaWire.encodeBatch(slice))
+            }
+        }
+      }
+    }
+    w.result()
+  }
+
+  /** Produce v3: decode each partition's record set (CRC-verified), append,
+    * assign dense offsets, reply base_offset per partition.
+    */
+  private def produceV3(body: Array[Byte]): Array[Byte] = {
+    val r = new KafkaWire.Reader(body)
+    r.nullableStr() // transactional_id
+    r.i16v() // acks (this broker always behaves as acks=all)
+    r.i32() // timeout_ms
+    val asked = Seq.fill(r.arrayCount()) {
+      val topic = r.str()
+      topic -> Seq.fill(r.arrayCount())((r.i32(), r.nullableBytes()))
+    }
+    val w = new KafkaWire.Writer
+    w.array(asked) { case (ww, (topic, parts)) =>
+      ww.str(topic)
+      val t = autoCreate(topic)
+      ww.array(parts) { case (www, (p, recordSet)) =>
+        www.i32(p)
+        if (p < 0 || p >= t.length)
+          www.i16(Err.UnknownTopicOrPartition).i64(-1L).i64(-1L)
+        else {
+          val decoded =
+            try Right(KafkaWire.decodeBatches(recordSet))
+            catch { case e: IllegalArgumentException => Left(e) }
+          decoded match {
+            case Left(_) =>
+              www.i16(Err.CorruptMessage).i64(-1L).i64(-1L)
+            case Right(recs) =>
+              val buf = t(p)
+              val base = buf.synchronized {
+                val b = buf.length.toLong
+                recs.foreach(rec => buf += Stored(rec.tsMs, rec.key, rec.value))
+                b
+              }
+              www.i16(Err.None).i64(base).i64(-1L) // log_append_time: create-time
+          }
+        }
+      }
+    }
+    w.i32(0) // throttle_time_ms
+    w.result()
+  }
+
+  override def close(): Unit = { closed = true; server.close() }
+}

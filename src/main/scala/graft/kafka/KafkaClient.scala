@@ -1,0 +1,167 @@
+package graft.kafka
+
+import java.net.Socket
+
+import KafkaWire.{Api, Err, KRecord}
+
+/** Blocking Kafka wire client over [[KafkaWire]] — the executor-side handle
+  * every Spark task opens (one connection per task, like RedisClient /
+  * IggyClient). Speaks the pinned pre-flexible API versions; verifies
+  * correlation ids and record-batch CRCs. The same five APIs librdkafka
+  * uses for the reference's consume/seek/produce surface
+  * (sea-streamer-kafka/src/consumer.rs, producer.rs).
+  */
+final class KafkaClient(host: String, port: Int,
+    clientId: String = "graft") extends AutoCloseable {
+
+  private val socket = new Socket(host, port)
+  socket.setTcpNoDelay(true)
+  private val in = KafkaWire.buffered(socket.getInputStream)
+  private val out = KafkaWire.buffered(socket.getOutputStream)
+  private var correlation = 0
+
+  final class KafkaServerErr(val code: Int, msg: String)
+    extends RuntimeException(msg)
+
+  private def fail(code: Int, what: String): Nothing =
+    throw new KafkaServerErr(code, s"$what failed: kafka error $code")
+
+  private def call(apiKey: Int)(writeBody: KafkaWire.Writer => Unit): KafkaWire.Reader = {
+    val id = { correlation += 1; correlation }
+    val w = new KafkaWire.Writer
+    writeBody(w)
+    KafkaWire.writeRequest(out, apiKey, KafkaWire.Versions(apiKey).toInt, id,
+      clientId, w.result())
+    out.flush()
+    val (gotId, body) = KafkaWire.readResponse(in)
+    require(gotId == id, s"kafka correlation mismatch: sent $id got $gotId")
+    new KafkaWire.Reader(body)
+  }
+
+  /** ApiVersions v0 → api_key -> (min, max). The bootstrap check: a broker
+    * that doesn't list our pinned versions can't serve this client.
+    */
+  def apiVersions(): Map[Int, (Int, Int)] = {
+    val r = call(Api.ApiVersions)(_ => ())
+    val err = r.i16v()
+    if (err != Err.None) fail(err, "ApiVersions")
+    Seq.fill(r.arrayCount())((r.i16v(), (r.i16v(), r.i16v()))).toMap
+  }
+
+  /** Metadata v1 for named topics (auto-creates on this broker) →
+    * topic -> partition ids. Unknown topics map to empty.
+    */
+  def metadata(topics: Seq[String]): Map[String, Seq[Int]] = {
+    val r = call(Api.Metadata)(w => w.array(topics)((ww, t) => ww.str(t)))
+    Seq.fill(r.arrayCount()) { // brokers
+      r.i32(); r.str(); r.i32(); r.nullableStr()
+    }
+    r.i32() // controller_id
+    Seq.fill(r.arrayCount()) {
+      val err = r.i16v()
+      val name = r.str()
+      r.i8() // is_internal
+      val parts = Seq.fill(r.arrayCount()) {
+        r.i16v() // partition error
+        val idx = r.i32()
+        r.i32() // leader
+        Seq.fill(r.arrayCount())(r.i32()) // replicas
+        Seq.fill(r.arrayCount())(r.i32()) // isr
+        idx
+      }
+      name -> (if (err == Err.None) parts.sorted else Seq.empty)
+    }.toMap
+  }
+
+  /** ListOffsets v1 for one (topic, partition): timestamp -2 = earliest,
+    * -1 = latest (next offset), else earliest offset with ts >= timestamp
+    * (None when no such message). This is `offsets_for_times`, the seek
+    * primitive (consumer.rs:464-494).
+    */
+  def listOffset(topic: String, partition: Int, timestamp: Long): Option[Long] = {
+    val r = call(Api.ListOffsets) { w =>
+      w.i32(-1) // replica_id: consumer
+      w.array(Seq(topic)) { (ww, t) =>
+        ww.str(t)
+        ww.array(Seq(partition))((www, p) => www.i32(p).i64(timestamp))
+      }
+    }
+    require(r.arrayCount() == 1, "ListOffsets: expected one topic")
+    r.str()
+    require(r.arrayCount() == 1, "ListOffsets: expected one partition")
+    r.i32()
+    val err = r.i16v()
+    if (err != Err.None) fail(err, s"ListOffsets($topic/$partition)")
+    r.i64() // matched timestamp
+    val off = r.i64()
+    if (off < 0) None else Some(off)
+  }
+
+  /** Latest (= next) offset per partition — the tip planning reads up to. */
+  def latestOffsets(topic: String, partitions: Seq[Int]): Map[Int, Long] =
+    partitions.map(p =>
+      p -> listOffset(topic, p, KafkaWire.Ts.Latest).getOrElse(0L)).toMap
+
+  /** Fetch v4 from one (topic, partition, offset) → (high watermark,
+    * CRC-verified records). Empty when offset == high watermark.
+    */
+  def fetch(topic: String, partition: Int, offset: Long,
+      maxBytes: Int = 1 << 20): (Long, Seq[KRecord]) = {
+    val r = call(Api.Fetch) { w =>
+      w.i32(-1)      // replica_id
+      w.i32(0)       // max_wait_ms: don't block, micro-batch planning polls
+      w.i32(1)       // min_bytes
+      w.i32(maxBytes)
+      w.i8(0)        // isolation: read_uncommitted (no txns on this path)
+      w.array(Seq(topic)) { (ww, t) =>
+        ww.str(t)
+        ww.array(Seq(partition))((www, p) => www.i32(p).i64(offset).i32(maxBytes))
+      }
+    }
+    r.i32() // throttle_time_ms
+    require(r.arrayCount() == 1, "Fetch: expected one topic")
+    r.str()
+    require(r.arrayCount() == 1, "Fetch: expected one partition")
+    r.i32()
+    val err = r.i16v()
+    val hw = r.i64()
+    r.i64() // last_stable_offset
+    Seq.fill(r.arrayCount())((r.i64(), r.i64())) // aborted_transactions
+    val recordSet = r.nullableBytes()
+    if (err != Err.None) fail(err, s"Fetch($topic/$partition@$offset)")
+    // batches re-deliver from their base offset; trim the pre-asked prefix
+    // (a real broker returns whole batches containing the asked offset)
+    (hw, KafkaWire.decodeBatches(recordSet).dropWhile(_.offset < offset))
+  }
+
+  /** Produce v3 of one batch to one (topic, partition) → assigned base
+    * offset. Record offsets are in-batch deltas (0..n-1); timestamps are
+    * the caller's event times (create-time semantics).
+    */
+  def produce(topic: String, partition: Int,
+      records: Seq[(Long, Array[Byte], Array[Byte])]): Long = {
+    require(records.nonEmpty, "produce: empty batch")
+    val batch = KafkaWire.encodeBatch(records.zipWithIndex.map {
+      case ((tsMs, key, value), i) => KRecord(i.toLong, tsMs, key, value)
+    })
+    val r = call(Api.Produce) { w =>
+      w.nullableStr(null) // transactional_id
+      w.i16(-1)           // acks = all
+      w.i32(30000)        // timeout_ms
+      w.array(Seq(topic)) { (ww, t) =>
+        ww.str(t)
+        ww.array(Seq(partition))((www, p) => www.i32(p).nullableBytes(batch))
+      }
+    }
+    require(r.arrayCount() == 1, "Produce: expected one topic")
+    r.str()
+    require(r.arrayCount() == 1, "Produce: expected one partition")
+    r.i32()
+    val err = r.i16v()
+    val base = r.i64()
+    if (err != Err.None) fail(err, s"Produce($topic/$partition)")
+    base
+  }
+
+  override def close(): Unit = socket.close()
+}

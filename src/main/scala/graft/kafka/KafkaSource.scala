@@ -1,0 +1,145 @@
+package graft.kafka
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.SeaMessage
+import KafkaWire.KRecord
+
+/** Spark ↔ Kafka integration over [[KafkaClient]]. Envelope mapping is the
+  * reference consumer's Message impl (sea-streamer-kafka/src/consumer.rs:
+  * 591-618): stream_key = topic, shard_id = partition, sequence = offset,
+  * timestamp = record timestamp (ms), payload = record value.
+  *
+  * Scale shape mirrors [[graft.redis.RedisSource]]/[[graft.iggy.IggySource]]:
+  * one Spark partition per (topic, kafka-partition), each task holding its
+  * own connection — reads are byte-capped fetch pages, writes are batched
+  * produces. Nothing funnels through the driver.
+  */
+object KafkaSource {
+
+  /** Lazy fetch-paged scan over one (topic, partition): [from, until). */
+  private[kafka] def pagedFetch(client: KafkaClient, topic: String,
+      part: Int, from: Long, until: Long,
+      maxBytes: Int = 1 << 20): Iterator[SeaMessage] =
+    new Iterator[SeaMessage] {
+      private var next0 = from
+      private var page: Iterator[KRecord] = Iterator.empty
+      private var exhausted = from >= until
+      private def fetchPage(): Unit = {
+        val (_, recs) = client.fetch(topic, part, next0, maxBytes)
+        val bounded = recs.takeWhile(_.offset < until)
+        if (bounded.isEmpty) exhausted = true
+        else {
+          next0 = bounded.last.offset + 1
+          if (next0 >= until) exhausted = true
+          page = bounded.iterator
+        }
+      }
+      def hasNext: Boolean = {
+        if (!page.hasNext && !exhausted) fetchPage()
+        page.hasNext
+      }
+      def next(): SeaMessage = {
+        val r = page.next()
+        SeaMessage(topic, part.toLong, r.offset,
+          new java.sql.Timestamp(r.tsMs), r.value)
+      }
+    }
+
+  /** Per-partition [start, end) ranges, resolved once on the driver
+    * (Metadata + ListOffsets — the same planning calls a Kafka consumer
+    * makes on assignment).
+    */
+  private def planRanges(host: String, port: Int, topics: Seq[String],
+      afterMs: Option[Long], fromOffset: Option[Long]): Seq[(String, Int, Long, Long)] = {
+    val c = new KafkaClient(host, port)
+    try {
+      val meta = c.metadata(topics)
+      topics.flatMap { t =>
+        meta.getOrElse(t, Seq.empty).map { p =>
+          val until = c.listOffset(t, p, KafkaWire.Ts.Latest).getOrElse(0L)
+          val from = afterMs match {
+            // seek law is strictly `>`: first offset with ts >= ms+1
+            // (consumer.rs:464-494 pushes the ms into offsets_for_times)
+            case Some(ms) => c.listOffset(t, p, ms + 1).getOrElse(until)
+            case None => fromOffset.getOrElse(0L)
+          }
+          (t, p, math.min(from, until), until)
+        }
+      }
+    } finally c.close()
+  }
+
+  /** Bounded read of whole topics: one task per (topic, partition); ends
+    * frozen at planning (reads are repeatable under task retry). `afterMs`
+    * pushes the facade seek into ListOffsets; `fromOffset` is the rewind
+    * law (`sequence >= n` — offsets ARE the envelope sequence on Kafka).
+    */
+  def boundedRead(spark: SparkSession, host: String, port: Int,
+      topics: Seq[String], afterMs: Option[Long] = None,
+      fromOffset: Option[Long] = None,
+      maxFetchBytes: Int = 1 << 20): DataFrame = {
+    import spark.implicits._
+    val ranges = planRanges(host, port, topics, afterMs, fromOffset)
+    spark.sparkContext.parallelize(ranges, math.max(1, ranges.size))
+      .mapPartitions { it =>
+        val opened = graft.core.TaskResources.closeOnTaskCompletion[KafkaClient]()
+        it.flatMap { case (topic, partition, from, until) =>
+          val client = new KafkaClient(host, port)
+          opened += client
+          val scan = pagedFetch(client, topic, partition, from, until,
+            maxFetchBytes)
+          new Iterator[SeaMessage] {
+            def hasNext: Boolean = {
+              val h = scan.hasNext
+              if (!h) client.close()
+              h
+            }
+            def next(): SeaMessage = scan.next()
+          }
+        }
+      }.toDF()
+  }
+
+  /** Batched produce: the frame is hash-partitioned on (topic, target
+    * partition) and time-sorted within partitions, so each Kafka partition
+    * has exactly ONE writer appending in timestamp order — ListOffsets'
+    * first-ts>=T lookup then matches the seek law exactly (same invariant
+    * as IggySource.write). Topics auto-create at `partitions` via the
+    * broker's Metadata path.
+    */
+  def write(df: DataFrame, host: String, port: Int, partitions: Int = 4,
+      batchSize: Int = 1000): Unit = {
+    import df.sparkSession.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    df.select("stream_key", "shard_id", "timestamp", "payload")
+      .repartition(col("stream_key"), pmod(col("shard_id"), lit(partitions.toLong)))
+      .sortWithinPartitions(col("timestamp"))
+      .as[(String, Long, java.sql.Timestamp, Array[Byte])]
+      .foreachPartition { (rows: Iterator[(String, Long, java.sql.Timestamp, Array[Byte])]) =>
+        if (rows.nonEmpty) {
+          val client = new KafkaClient(host, port)
+          val known = scala.collection.mutable.Set.empty[String]
+          try {
+            rows.grouped(batchSize).foreach { chunk =>
+              // groupBy keeps encounter order inside every group, so the
+              // per-key time sort survives the batching; floorMod agrees
+              // with the repartition pmod on negative shard_ids
+              chunk.groupBy(r =>
+                (r._1, math.floorMod(r._2, partitions.toLong).toInt)).foreach {
+                case ((topic, part), rs) =>
+                  if (known.add(topic)) {
+                    val parts = client.metadata(Seq(topic))
+                      .getOrElse(topic, Seq.empty)
+                    require(parts.size >= partitions,
+                      s"topic $topic has ${parts.size} partitions, need $partitions")
+                  }
+                  client.produce(topic, part,
+                    rs.map(r => (r._3.getTime, null: Array[Byte], r._4)))
+              }
+            }
+          } finally client.close()
+        }
+      }
+  }
+}

@@ -1,0 +1,336 @@
+package graft.kafka
+
+import java.io.{EOFException, InputStream, OutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** The Apache Kafka wire protocol — the REAL public protocol (KIP-98 v2
+  * record batches, CRC32C, zigzag varints, big-endian primitives), not a
+  * private framing. Everything here is from the published protocol guide
+  * (kafka.apache.org/protocol) and the on-disk message-format spec:
+  *
+  *   - request  = `[INT32 size][header v1: api_key INT16, api_version INT16,
+  *     correlation_id INT32, client_id NULLABLE_STRING][body]`
+  *   - response = `[INT32 size][header v0: correlation_id INT32][body]`
+  *
+  * The API versions used are deliberately pre-"flexible" (no compact
+  * strings / tagged fields), which pins a small, stable, fully-specified
+  * wire surface:
+  *
+  * | api          | key | version | why this version                      |
+  * |--------------|-----|---------|---------------------------------------|
+  * | Produce      |  0  |   v3    | first with v2 record batches          |
+  * | Fetch        |  1  |   v4    | first with v2 record batches          |
+  * | ListOffsets  |  2  |   v1    | single (ts, offset) reply per part    |
+  * | Metadata     |  3  |   v1    | brokers + per-topic partition leaders |
+  * | ApiVersions  | 18  |   v0    | the bootstrap negotiation             |
+  *
+  * The reference adapter drives these same APIs through librdkafka
+  * (sea-streamer-kafka/src/consumer.rs:591-687 message mapping,
+  * producer.rs:97-189 sends, consumer.rs:464-494 offsets-for-times seek);
+  * here the client AND the embedded broker speak the bytes directly, so
+  * the whole path sits under the oracle gate with no broker install.
+  */
+object KafkaWire {
+
+  object Api {
+    val Produce = 0
+    val Fetch = 1
+    val ListOffsets = 2
+    val Metadata = 3
+    val ApiVersions = 18
+  }
+
+  /** Version pinned per API (see table above). */
+  val Versions: Map[Int, Short] = Map(
+    Api.Produce -> 3, Api.Fetch -> 4, Api.ListOffsets -> 1,
+    Api.Metadata -> 1, Api.ApiVersions -> 0).map { case (k, v) => k -> v.toShort }
+
+  /** Public Kafka error codes (the subset this surface can produce). */
+  object Err {
+    val None = 0
+    val OffsetOutOfRange = 1
+    val CorruptMessage = 2
+    val UnknownTopicOrPartition = 3
+    val UnsupportedVersion = 35
+  }
+
+  /** Sentinel timestamps for ListOffsets (public semantics). */
+  object Ts {
+    val Latest = -1L
+    val Earliest = -2L
+  }
+
+  /** One record as (offset, timestamp-ms, key, value); key may be null. */
+  final case class KRecord(offset: Long, tsMs: Long,
+      key: Array[Byte], value: Array[Byte])
+
+  // ---- primitives: big-endian, per the protocol's type system ----
+
+  final class Writer {
+    private val buf = new java.io.ByteArrayOutputStream()
+    def i8(v: Int): Writer = { buf.write(v & 0xff); this }
+    def i16(v: Int): Writer = { buf.write((v >>> 8) & 0xff); buf.write(v & 0xff); this }
+    def i32(v: Int): Writer = {
+      buf.write((v >>> 24) & 0xff); buf.write((v >>> 16) & 0xff)
+      buf.write((v >>> 8) & 0xff); buf.write(v & 0xff); this
+    }
+    def i64(v: Long): Writer = { i32((v >>> 32).toInt); i32(v.toInt); this }
+    /** STRING: INT16 length + UTF-8. */
+    def str(s: String): Writer = {
+      val b = s.getBytes(UTF_8); i16(b.length); buf.write(b); this
+    }
+    /** NULLABLE_STRING: length -1 = null. */
+    def nullableStr(s: String): Writer =
+      if (s == null) i16(-1) else str(s)
+    /** NULLABLE_BYTES: INT32 length, -1 = null. */
+    def nullableBytes(b: Array[Byte]): Writer =
+      if (b == null) i32(-1) else { i32(b.length); buf.write(b); this }
+    def raw(b: Array[Byte]): Writer = { buf.write(b); this }
+    /** ARRAY: INT32 count then elements (written by `each`). */
+    def array[T](xs: Seq[T])(each: (Writer, T) => Unit): Writer = {
+      i32(xs.length); xs.foreach(x => each(this, x)); this
+    }
+    /** VARINT: zigzag-encoded INT32, ULEB128 groups. */
+    def varint(v: Int): Writer = uvarlong(((v << 1) ^ (v >> 31)).toLong & 0xffffffffL)
+    /** VARLONG: zigzag-encoded INT64. */
+    def varlong(v: Long): Writer = uvarlong((v << 1) ^ (v >> 63))
+    private def uvarlong(v0: Long): Writer = {
+      var v = v0
+      while ((v & ~0x7fL) != 0L) { buf.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      buf.write(v.toInt); this
+    }
+    def size: Int = buf.size()
+    def result(): Array[Byte] = buf.toByteArray
+  }
+
+  final class Reader(payload: Array[Byte], private var pos: Int = 0) {
+    def remaining: Int = payload.length - pos
+    def i8(): Int = { val v = payload(pos); pos += 1; v.toInt }
+    def i16v(): Int = {
+      val v = ((payload(pos) & 0xff) << 8) | (payload(pos + 1) & 0xff)
+      pos += 2; v.toShort.toInt
+    }
+    def i32(): Int = {
+      val v = ((payload(pos) & 0xff) << 24) | ((payload(pos + 1) & 0xff) << 16) |
+        ((payload(pos + 2) & 0xff) << 8) | (payload(pos + 3) & 0xff)
+      pos += 4; v
+    }
+    def i64(): Long = {
+      val hi = i32().toLong; val lo = i32().toLong & 0xffffffffL
+      (hi << 32) | lo
+    }
+    def str(): String = {
+      val n = i16v()
+      require(n >= 0, "non-nullable STRING was null")
+      val s = new String(payload, pos, n, UTF_8); pos += n; s
+    }
+    def nullableStr(): String = {
+      val n = i16v()
+      if (n < 0) null else { val s = new String(payload, pos, n, UTF_8); pos += n; s }
+    }
+    def nullableBytes(): Array[Byte] = {
+      val n = i32()
+      if (n < 0) null
+      else { val b = java.util.Arrays.copyOfRange(payload, pos, pos + n); pos += n; b }
+    }
+    def rawBytes(n: Int): Array[Byte] = {
+      val b = java.util.Arrays.copyOfRange(payload, pos, pos + n); pos += n; b
+    }
+    def varint(): Int = { val u = uvarlong(); (((u >>> 1) ^ -(u & 1)).toInt) }
+    def varlong(): Long = { val u = uvarlong(); (u >>> 1) ^ -(u & 1) }
+    private def uvarlong(): Long = {
+      var v = 0L; var shift = 0
+      var b = 0
+      do {
+        b = payload(pos) & 0xff; pos += 1
+        v |= (b & 0x7fL) << shift; shift += 7
+        require(shift <= 70, "varlong too long")
+      } while ((b & 0x80) != 0)
+      v
+    }
+    def arrayCount(): Int = i32()
+    def position: Int = pos
+  }
+
+  // ---- v2 record batches (magic 2, KIP-98 on-disk/wire format) ----
+
+  /** Byte offsets inside a v2 batch (spec layout; goldens pin these). */
+  object Batch {
+    val BaseOffset = 0      // INT64
+    val Length = 8          // INT32: bytes after this field
+    val LeaderEpoch = 12    // INT32
+    val Magic = 16          // INT8 = 2
+    val Crc = 17            // UINT32 = CRC32C of [21, end)
+    val Attributes = 21     // INT16
+    val Overhead = 61       // first record starts here
+  }
+
+  /** Encode records (ascending offsets) as ONE v2 batch. No compression
+    * (attributes 0), no producer id (idempotence is the checkpoint's job in
+    * this engine — SURVEY §2.6).
+    */
+  def encodeBatch(records: Seq[KRecord]): Array[Byte] = {
+    require(records.nonEmpty, "empty batch")
+    val baseOffset = records.head.offset
+    val baseTs = records.head.tsMs
+    val body = new Writer // attributes .. records (the CRC'd region)
+    body.i16(0) // attributes: no compression, create-time timestamps
+    body.i32((records.last.offset - baseOffset).toInt) // lastOffsetDelta
+    body.i64(baseTs)
+    body.i64(records.map(_.tsMs).max)
+    body.i64(-1L) // producerId
+    body.i16(-1)  // producerEpoch
+    body.i32(-1)  // baseSequence
+    body.i32(records.length)
+    records.foreach { r =>
+      val rec = new Writer
+      rec.i8(0) // record attributes
+      rec.varlong(r.tsMs - baseTs)
+      rec.varint((r.offset - baseOffset).toInt)
+      if (r.key == null) rec.varint(-1)
+      else { rec.varint(r.key.length); rec.raw(r.key) }
+      if (r.value == null) rec.varint(-1)
+      else { rec.varint(r.value.length); rec.raw(r.value) }
+      rec.varint(0) // headers
+      val recBytes = rec.result()
+      body.varint(recBytes.length)
+      body.raw(recBytes)
+    }
+    val crcRegion = body.result()
+    val crc = new java.util.zip.CRC32C
+    crc.update(crcRegion)
+    val w = new Writer
+    w.i64(baseOffset)
+    w.i32(crcRegion.length + 4 + 1 + 4) // batchLength: epoch+magic+crc+region
+    w.i32(-1) // partitionLeaderEpoch
+    w.i8(2)   // magic
+    w.i32(crc.getValue.toInt) // UINT32
+    w.raw(crcRegion)
+    w.result()
+  }
+
+  /** Decode a record set (zero or more concatenated v2 batches), verifying
+    * magic and CRC32C of every batch. Throws on corruption — a silent skip
+    * would under-deliver.
+    */
+  def decodeBatches(bytes: Array[Byte]): Seq[KRecord] = {
+    if (bytes == null) return Seq.empty
+    val out = Seq.newBuilder[KRecord]
+    var at = 0
+    // a truncated trailing batch (Kafka allows partial final batches in
+    // fetch responses) is dropped, never parsed
+    while (bytes.length - at >= Batch.Overhead) {
+      val r = new Reader(bytes, at)
+      val baseOffset = r.i64()
+      val batchLength = r.i32()
+      if (bytes.length - at - 12 < batchLength) return out.result()
+      r.i32() // partitionLeaderEpoch
+      val magic = r.i8()
+      require(magic == 2, s"unsupported record batch magic $magic")
+      val crcStored = r.i32()
+      val crc = new java.util.zip.CRC32C
+      crc.update(bytes, at + Batch.Attributes, batchLength - 9)
+      require(crc.getValue.toInt == crcStored,
+        f"record batch CRC mismatch at $at: stored 0x$crcStored%08x computed 0x${crc.getValue.toInt}%08x")
+      val attributes = r.i16v()
+      require((attributes & 0x7) == 0, "compressed batches not supported")
+      r.i32() // lastOffsetDelta
+      val baseTs = r.i64()
+      r.i64() // maxTimestamp
+      r.i64(); r.i16v(); r.i32() // producerId/epoch/baseSequence
+      val count = r.i32()
+      val isControl = (attributes & 0x20) != 0
+      var i = 0
+      while (i < count) {
+        val len = r.varint()
+        val end = r.position + len
+        r.i8() // record attributes
+        val tsDelta = r.varlong()
+        val offDelta = r.varint()
+        val keyLen = r.varint()
+        val key = if (keyLen < 0) null else r.rawBytes(keyLen)
+        val valLen = r.varint()
+        val value = if (valLen < 0) null else r.rawBytes(valLen)
+        val headers = r.varint()
+        var h = 0
+        while (h < headers) { // skip headers
+          val kl = r.varint(); r.rawBytes(kl)
+          val vl = r.varint(); if (vl >= 0) r.rawBytes(vl)
+          h += 1
+        }
+        require(r.position == end, s"record length mismatch at batch $at record $i")
+        if (!isControl)
+          out += KRecord(baseOffset + offDelta, baseTs + tsDelta, key, value)
+        i += 1
+      }
+      at += 12 + batchLength
+    }
+    out.result()
+  }
+
+  // ---- framing ----
+
+  /** Write `[size][header v1][body]`. */
+  def writeRequest(out: OutputStream, apiKey: Int, apiVersion: Int,
+      correlationId: Int, clientId: String, body: Array[Byte]): Unit = {
+    val h = new Writer
+    h.i16(apiKey).i16(apiVersion).i32(correlationId).nullableStr(clientId)
+    val header = h.result()
+    val w = new Writer
+    w.i32(header.length + body.length).raw(header).raw(body)
+    out.write(w.result())
+  }
+
+  /** Write `[size][correlation_id][body]`. */
+  def writeResponse(out: OutputStream, correlationId: Int,
+      body: Array[Byte]): Unit = {
+    val w = new Writer
+    w.i32(body.length + 4).i32(correlationId).raw(body)
+    out.write(w.result())
+  }
+
+  /** (apiKey, apiVersion, correlationId, clientId, body) or None on EOF. */
+  def readRequest(in: InputStream): Option[(Int, Int, Int, String, Array[Byte])] = {
+    val head = readN(in, 4).getOrElse(return None)
+    val size = new Reader(head).i32()
+    require(size >= 8 && size <= (1 << 26), s"bad kafka request size $size")
+    val frame = readN(in, size).getOrElse(
+      throw new EOFException("kafka: truncated request"))
+    val r = new Reader(frame)
+    val apiKey = r.i16v()
+    val apiVersion = r.i16v()
+    val correlationId = r.i32()
+    val clientId = r.nullableStr()
+    Some((apiKey, apiVersion, correlationId, clientId,
+      java.util.Arrays.copyOfRange(frame, r.position, frame.length)))
+  }
+
+  /** (correlationId, body). */
+  def readResponse(in: InputStream): (Int, Array[Byte]) = {
+    val head = readN(in, 4).getOrElse(throw new EOFException("kafka: closed"))
+    val size = new Reader(head).i32()
+    require(size >= 4 && size <= (1 << 26), s"bad kafka response size $size")
+    val frame = readN(in, size).getOrElse(
+      throw new EOFException("kafka: truncated response"))
+    val r = new Reader(frame)
+    (r.i32(), java.util.Arrays.copyOfRange(frame, 4, frame.length))
+  }
+
+  private def readN(in: InputStream, n: Int): Option[Array[Byte]] = {
+    val buf = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val read = in.read(buf, off, n - off)
+      if (read < 0)
+        return if (off == 0) None
+        else throw new EOFException("kafka: truncated frame")
+      off += read
+    }
+    Some(buf)
+  }
+
+  def buffered(in: InputStream): InputStream =
+    new java.io.BufferedInputStream(in, 1 << 16)
+  def buffered(out: OutputStream): OutputStream =
+    new java.io.BufferedOutputStream(out, 1 << 16)
+}

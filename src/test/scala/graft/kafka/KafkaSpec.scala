@@ -1,0 +1,124 @@
+package graft.kafka
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Client ↔ embedded-broker laws over real sockets: the API surface the
+  * reference adapter drives through librdkafka (metadata/list-offsets/
+  * fetch/produce + offsets_for_times seek), executed end-to-end.
+  */
+class KafkaSpec extends AnyFunSuite {
+
+  private def withBroker[T](f: (EmbeddedKafka, KafkaClient) => T): T = {
+    val srv = new EmbeddedKafka
+    val c = new KafkaClient(srv.host, srv.port)
+    try f(srv, c) finally { c.close(); srv.close() }
+  }
+
+  test("api versions negotiation lists the pinned surface") {
+    withBroker { (_, c) =>
+      val vs = c.apiVersions()
+      for ((k, v) <- KafkaWire.Versions)
+        assert(vs(k) == (v.toInt, v.toInt), s"api $k")
+    }
+  }
+
+  test("metadata auto-creates topics with the broker's partition count") {
+    withBroker { (srv, c) =>
+      assert(srv.partitionCount("clicks") == 0)
+      assert(c.metadata(Seq("clicks"))("clicks") == Seq(0, 1, 2, 3))
+      assert(srv.partitionCount("clicks") == 4)
+    }
+  }
+
+  test("produce assigns dense offsets and fetch round-trips the records") {
+    withBroker { (_, c) =>
+      c.metadata(Seq("t"))
+      assert(c.produce("t", 2, Seq((10L, null, "a".getBytes),
+        (20L, "k".getBytes, "b".getBytes))) == 0L)
+      assert(c.produce("t", 2, Seq((30L, null, "c".getBytes))) == 2L)
+      val (hw, recs) = c.fetch("t", 2, 0L)
+      assert(hw == 3L)
+      assert(recs.map(_.offset) == Seq(0L, 1L, 2L))
+      assert(recs.map(_.tsMs) == Seq(10L, 20L, 30L))
+      assert(recs.map(r => new String(r.value)) == Seq("a", "b", "c"))
+      assert(recs(0).key == null && new String(recs(1).key) == "k")
+      // other partitions unaffected
+      assert(c.fetch("t", 0, 0L)._2.isEmpty)
+    }
+  }
+
+  test("fetch from a mid offset starts exactly there") {
+    withBroker { (_, c) =>
+      c.metadata(Seq("t"))
+      c.produce("t", 0, (0 until 10).map(i => (i * 100L, null,
+        s"m$i".getBytes)))
+      val (_, recs) = c.fetch("t", 0, 7L)
+      assert(recs.map(_.offset) == Seq(7L, 8L, 9L))
+    }
+  }
+
+  test("fetch beyond the high watermark is OffsetOutOfRange") {
+    withBroker { (_, c) =>
+      c.metadata(Seq("t"))
+      c.produce("t", 0, Seq((1L, null, "x".getBytes)))
+      assert(c.fetch("t", 0, 1L)._2.isEmpty) // at hw: empty, not an error
+      val e = intercept[c.KafkaServerErr](c.fetch("t", 0, 5L))
+      assert(e.code == KafkaWire.Err.OffsetOutOfRange)
+    }
+  }
+
+  test("list offsets: earliest, latest, and first-ts>=target law") {
+    withBroker { (_, c) =>
+      c.metadata(Seq("t"))
+      c.produce("t", 1, Seq((100L, null, "a".getBytes),
+        (200L, null, "b".getBytes), (200L, null, "c".getBytes),
+        (350L, null, "d".getBytes)))
+      assert(c.listOffset("t", 1, KafkaWire.Ts.Earliest) == Some(0L))
+      assert(c.listOffset("t", 1, KafkaWire.Ts.Latest) == Some(4L))
+      assert(c.listOffset("t", 1, 100L) == Some(0L))
+      assert(c.listOffset("t", 1, 101L) == Some(1L)) // first ts >= 101
+      assert(c.listOffset("t", 1, 200L) == Some(1L)) // ties → earliest
+      assert(c.listOffset("t", 1, 201L) == Some(3L))
+      assert(c.listOffset("t", 1, 351L) == None)     // nothing that late yet
+    }
+  }
+
+  test("byte-capped fetch pages but never returns zero records mid-log") {
+    withBroker { (_, c) =>
+      c.metadata(Seq("t"))
+      val big = Array.fill[Byte](4096)('x')
+      c.produce("t", 0, (0 until 8).map(i => (i.toLong, null, big)))
+      val (_, page) = c.fetch("t", 0, 0L, maxBytes = 5000)
+      assert(page.nonEmpty && page.size < 8, s"got ${page.size}")
+      // pagedFetch walks the whole range through the cap
+      val all = KafkaSource.pagedFetch(c, "t", 0, 0L, 8L, maxBytes = 5000).toSeq
+      assert(all.map(_.sequence) == (0L until 8L))
+    }
+  }
+
+  test("unknown topic partitions error instead of silently serving") {
+    withBroker { (_, c) =>
+      val e = intercept[c.KafkaServerErr](c.fetch("nope", 0, 0L))
+      assert(e.code == KafkaWire.Err.UnknownTopicOrPartition)
+      val e2 = intercept[c.KafkaServerErr](c.listOffset("nope", 9, 0L))
+      assert(e2.code == KafkaWire.Err.UnknownTopicOrPartition)
+    }
+  }
+
+  test("unsupported api version is rejected at the wire") {
+    withBroker { (srv, _) =>
+      // raw socket: ApiVersions v3 (a flexible version this surface pins out)
+      val s = new java.net.Socket(srv.host, srv.port)
+      try {
+        val out = s.getOutputStream
+        KafkaWire.writeRequest(out, KafkaWire.Api.ApiVersions, 3, 42, "x",
+          Array.emptyByteArray)
+        out.flush()
+        val (cid, body) = KafkaWire.readResponse(s.getInputStream)
+        assert(cid == 42)
+        assert(new KafkaWire.Reader(body).i16v() ==
+          KafkaWire.Err.UnsupportedVersion)
+      } finally s.close()
+    }
+  }
+}
