@@ -467,10 +467,22 @@ object SeaStreamer {
               // pruned scan)
               fromOffset = opts.rewindSeqNo)
         case "stdio" =>
-          // distributed stdin does not exist: Replay = text file of lines
-          if (opts.live) throw SeaStreamErr.Unsupported(
-            "stdio live consumer (use Replay on a line file)")
-          StdioParser.toEnvelope(spark.read.text(nodeAddr))
+          // distributed stdin does not exist: the node address is a line
+          // FILE — Replay reads it bounded, Live TAILS it (the reference's
+          // dedicated stdin thread, streamer.rs:66-79, re-expressed as the
+          // stdio-lines micro-batch source whose offsets are byte positions
+          // at line boundaries). Keyless lines are the `broadcast` stream
+          // (lib.rs:60) and reach every subscriber (consumer_group.rs:81).
+          if (opts.live)
+            spark.readStream.format("stdio-lines")
+              .option("startingOffsets",
+                if (opts.autoStreamReset == AutoStreamReset.Earliest)
+                  "earliest" else "latest")
+              .option("path", nodeAddr).load()
+              .where(col("stream_key") === "broadcast" ||
+                col("stream_key").isin(streams: _*) ||
+                lit(streams.contains(Envelope.SeaStreamerWildcard)))
+          else StdioParser.toEnvelope(spark.read.text(nodeAddr))
             .where(col("stream_key").isNull ||
               col("stream_key").isin(streams: _*) ||
               lit(streams.contains(Envelope.SeaStreamerWildcard)))

@@ -97,8 +97,9 @@ class SeaStreamerSpec extends AnyFunSuite {
     val got = conn.createConsumer(Seq("topic.a"),
       ConsumerOptions(live = false))
     assert(got.filter($"stream_key" === "topic.a").count() == 2)
-    assertThrows[SeaStreamErr.Unsupported](
-      conn.createConsumer(Seq("topic.a"), ConsumerOptions(live = true)))
+    // live stdio is supported since round 7 (StdioLiveSpec has the laws)
+    assert(conn.createConsumer(Seq("topic.a"),
+      ConsumerOptions(live = true)).isStreaming)
   }
 
   test("stdio producer prints every line on the DRIVER's stdout") {
