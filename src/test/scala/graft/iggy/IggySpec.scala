@@ -35,6 +35,25 @@ class IggySpec extends AnyFunSuite {
     assert(status == IggyWire.Status.Ok && new String(body, UTF_8) == "ok")
   }
 
+  test("wire goldens pin the exact frame bytes (the COVERAGE.md divergence table's anchor)") {
+    // request: [len u32 LE = 4+payload][code u32 LE][payload]
+    val out = new java.io.ByteArrayOutputStream()
+    IggyWire.writeRequest(out, IggyWire.Cmd.PollMessages, Array(0xAA.toByte))
+    assert(out.toByteArray.toSeq.map(_ & 0xff) ==
+      Seq(0x05, 0x00, 0x00, 0x00, 0x64, 0x00, 0x00, 0x00, 0xAA))
+    // response: [status u32 LE][len u32 LE][payload]
+    val out2 = new java.io.ByteArrayOutputStream()
+    IggyWire.writeResponse(out2, IggyWire.Status.Ok, bytes("ok"))
+    assert(out2.toByteArray.toSeq.map(_ & 0xff) ==
+      Seq(0x00, 0x00, 0x00, 0x00, 0x02, 0x00, 0x00, 0x00, 'o'.toInt, 'k'.toInt))
+    // login payload: two u8-length-prefixed strings (iggy real adds
+    // version/context fields — a pinned divergence)
+    assert(new IggyWire.Writer().str("iggy").str("iggy").result().toSeq
+      .map(_ & 0xff) ==
+      (Seq(4) ++ "iggy".getBytes(UTF_8).map(_ & 0xff) ++
+        Seq(4) ++ "iggy".getBytes(UTF_8).map(_ & 0xff)))
+  }
+
   test("writer/reader primitives are little-endian and roundtrip") {
     val w = new IggyWire.Writer()
       .u8(7).u32(0x01020304).u64(0x0102030405060708L).str("topic")
