@@ -74,7 +74,7 @@ object Similarity {
     ((conv(substring(md5(concat(lit("plane_"), p, lit("_"), d).cast("binary")),
       1, 15), 16, 10).cast("long") % 2001) - 1000) / 1000.0
 
-  val queries: Map[String, Relational.Q] = Map(
+  val queries: Map[String, Relational.Q] = Map[String, Relational.Q](
     // Brute-force cosine top-k: queries (vec_id < 10) × full corpus.
     "s1_knn_brute" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
@@ -97,7 +97,27 @@ object Similarity {
 
     // ANN: random-hyperplane sign bits → bucket; multi-probe the query's
     // bucket plus all hamming-1 neighbors; exact re-rank candidates only.
-    "s2_ann_lsh" -> { (s, dir) =>
+    "s2_ann_lsh" -> { (s, dir) => annLsh(s, dir) },
+
+    // IVF-style ANN (knobbed form below).
+    "s3_ann_ivf" -> { (s, dir) => annIvf(s, dir) },
+
+    // Embedding near-dup over the full corpus (knobbed form below).
+    "d5_embed_cosine_dup" -> { (s, dir) => embedNearDup(s, dir) },
+
+    // SemDeDup (knobbed form below).
+    "d7_semdedup" -> { (s, dir) => semDeDup(s, dir) }) ++ moreQueries
+
+  /** LSH ANN with the plane count surfaced. `numPlanes` is THE
+    * recall/scan-fraction knob: candidates per query ≈ corpus / 2^planes
+    * (× (planes+1) hamming-1 probes), so grow it with log2(corpus) to hold
+    * the scanned fraction constant — e.g. ~16 planes at 10^9 vectors for
+    * ~15k-candidate probes. The plan shape never changes, only the bucket
+    * key's cardinality. The oracle pins the default (the driver gate
+    * recomputes the same planes in SQL).
+    */
+  def annLsh(s: SparkSession, dir: String,
+      numPlanes: Int = NumPlanes): DataFrame = {
       val spark = s
       import spark.implicits._
       val e = Tables(s, dir).embeddings
@@ -106,7 +126,7 @@ object Similarity {
         posexplode(col("embedding")).as(Seq("d0", "v")))
         .select(col("vec_id"), (col("d0") + 1).as("d"),
           col("v").cast("double").as("v"))
-      val planes = (0 until NumPlanes).toDF("p")
+      val planes = (0 until numPlanes).toDF("p")
         .crossJoin((1 to 64).toDF("d"))
         .withColumn("w", planeComponent(col("p"), col("d")))
       // sign bit per (vec, plane): decimal-sum the per-dim products
@@ -126,7 +146,7 @@ object Similarity {
           col("bucket").as("qbucket")), "qid")
       // multi-probe: each query probes its own bucket and every bucket at
       // hamming distance 1 (a pair matches exactly one mask, so no dedup)
-      val masks = (0L +: (0 until NumPlanes).map(1L << _).toSeq).toDF("m")
+      val masks = (0L +: (0 until numPlanes).map(1L << _).toSeq).toDF("m")
       val qprobe = qs.crossJoin(broadcast(masks))
         .withColumn("bucket", col("qbucket").bitwiseXOR(col("m")))
         .drop("m", "qbucket")
@@ -140,15 +160,22 @@ object Similarity {
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
         .select(col("qid"), col("cid"), col("bucket"), col("cosine"), col("rank"))
-    },
+  }
 
-    // IVF-style ANN: 16 deterministic coarse centroids (the first 16
-    // vectors — one-iteration IVF; production would Lloyd-iterate), every
-    // vector assigned to its nearest centroid, queries probe the 2 nearest
-    // lists, exact cosine re-rank inside the probed lists only.
-    "s3_ann_ivf" -> { (s, dir) =>
+  /** IVF-style ANN: `k` deterministic coarse centroids (the first k
+    * vectors — one-iteration IVF; production would Lloyd-iterate via
+    * [[kmeansRound]]), every vector assigned to its nearest centroid,
+    * queries probe the `probeLists` nearest lists, exact cosine re-rank
+    * inside the probed lists only. Size `k` so the average list
+    * (corpus / k) fits one task comfortably — at 10^9 vectors that means
+    * k in the tens of thousands (centroids stay broadcastable: k × dim
+    * floats is ~10 MB at 40k × 64), and raise `probeLists` for recall at
+    * a linear scan-cost multiplier.
+    */
+  def annIvf(s: SparkSession, dir: String, k: Int = 16,
+      probeLists: Int = 2): DataFrame = {
       val e = Tables(s, dir).embeddings
-      val K = 16
+      val K = k
       // exact decimal L2² against every centroid; argmin with id tie-break
       val cents = broadcast(e.filter(col("vec_id") < K)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb")))
@@ -181,17 +208,24 @@ object Similarity {
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
         .select(col("qid"), col("cid"), col("cosine"), col("rank"))
-    },
+  }
 
-    // Embedding-cosine near-dup over the FULL corpus: LSH buckets (6 planes
-    // + hamming-1 multi-probe) generate candidate pairs, exact cosine keeps
-    // pairs >= 0.35. The whole-corpus pair join only ever touches bucket
-    // collisions — never O(n²).
-    "d5_embed_cosine_dup" -> { (s, dir) =>
+  /** Embedding-cosine near-dup over the FULL corpus: LSH buckets
+    * (`numPlanes` planes + hamming-1 multi-probe) generate candidate
+    * pairs, exact cosine keeps pairs >= 0.35. The whole-corpus pair join
+    * only ever touches bucket collisions — never O(n²) — and the bucket
+    * join itself is block-decomposed (`pairBlocks`,
+    * [[graft.ops.Salting.blockedPairJoin]]): real embeddings CLUSTER, so
+    * one hot bucket would otherwise put its whole k² pair product on one
+    * shuffle partition. Grow `numPlanes` with log2(corpus) (same law as
+    * [[annLsh]]) and `pairBlocks` with the expected hot-bucket size.
+    */
+  def embedNearDup(s: SparkSession, dir: String, numPlanes: Int = 6,
+      pairBlocks: Int = 4): DataFrame = {
       val spark = s
       import spark.implicits._
       val e = Tables(s, dir).embeddings
-      val nPlanes = 6
+      val nPlanes = numPlanes
       val ex = e.select(col("vec_id"),
         posexplode(col("embedding")).as(Seq("d0", "v")))
         .select(col("vec_id"), (col("d0") + 1).as("d"),
@@ -206,13 +240,18 @@ object Similarity {
         .groupBy("vec_id")
         .agg(expr("sum(shiftleft(bit, cast(p as int)))").as("bucket"))
       val masks = (0L +: (0 until nPlanes).map(1L << _).toSeq).toDF("m")
-      // a pair matches exactly one mask (m = bucket_a XOR bucket_b)
-      val cand = buckets.as("a").crossJoin(broadcast(masks))
-        .withColumn("probe", col("a.bucket").bitwiseXOR(col("m")))
-        .join(buckets.as("b"),
-          col("probe") === col("b.bucket") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      // a pair matches exactly one mask (m = bucket_a XOR bucket_b), and
+      // the bucket equi-join is block-decomposed against hot buckets
+      val probes = buckets
+        .select(col("vec_id").as("vec_a"), col("bucket").as("ab"))
+        .crossJoin(broadcast(masks))
+        .withColumn("bucket", col("ab").bitwiseXOR(col("m")))
+        .select(col("vec_a"), col("bucket"))
+      val bside = buckets.select(col("vec_id").as("vec_b"), col("bucket"))
+      val cand = graft.ops.Salting
+        .blockedPairJoin(probes, bside, "bucket", pairBlocks)
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"))
       // re-attach vectors with shuffle joins keyed on vec_id: at corpus
       // scale the vector table cannot broadcast, and a hash-partitioned
       // join on the pair key scales linearly (hinted so AQE's
@@ -236,8 +275,10 @@ object Similarity {
           round(dotCol("ea", "eb") / (col("na") * col("nb")), 6))
       scored.filter(col("cosine") >= DupThreshold)
         .select(col("vec_a"), col("vec_b"), col("cosine"))
-    },
+  }
 
+  /** A `def` (not val): referenced from `queries`' initializer above. */
+  private def moreQueries: Map[String, Relational.Q] = Map(
     // Distributed k-means, one Lloyd round (K = 16, seeded by the first K
     // vectors): assign every vector to its nearest centroid, recompute each
     // centroid as the decimal-exact per-dimension mean of its members, and
@@ -404,19 +445,24 @@ object Similarity {
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
         .select(col("qid"), col("cid"), col("cosine"), col("rank"))
-    },
+    })
 
-    // SemDeDup (Abbas et al. 2023): cluster the embedding space coarsely,
-    // then dedup WITHIN each cluster by exact pairwise cosine — the pair
-    // join is an equi-join on the cluster id, so the quadratic term is
-    // sum(cluster_size²), never corpus² (at 100 TB, K grows with n to hold
-    // cluster sizes at a constant target, keeping per-cluster work bounded;
-    // skewed clusters split by salting the same key). Keeper = lowest
-    // vec_id of each near-dup neighborhood; each dropped doc reports which
-    // keeper it duplicated and the cosine that sealed it.
-    "d7_semdedup" -> { (s, dir) =>
+  /** SemDeDup (Abbas et al. 2023): cluster the embedding space coarsely,
+    * then dedup WITHIN each cluster by exact pairwise cosine — the pair
+    * join is an equi-join on the cluster id, so the quadratic term is
+    * sum(cluster_size²), never corpus². Size `k` so the average cluster
+    * (corpus / k) keeps per-cluster pair work bounded — at 10^9 vectors
+    * that is k in the tens of thousands (Abbas et al. used 50k on LAION) —
+    * and the intra-cluster join is block-decomposed (`pairBlocks`,
+    * [[graft.ops.Salting.blockedPairJoin]]) because real clusters are
+    * Zipf-ish: one hot cluster would otherwise serialize the whole stage.
+    * Keeper = lowest vec_id of each near-dup neighborhood; each dropped
+    * doc reports which keeper it duplicated and the cosine that sealed it.
+    */
+  def semDeDup(s: SparkSession, dir: String, k: Int = 16,
+      pairBlocks: Int = 4): DataFrame = {
       val e = Tables(s, dir).embeddings
-      val K = 16
+      val K = k
       val cents = broadcast(e.filter(col("vec_id") < K)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb")))
       val wAssign = Window.partitionBy(col("vec_id"))
@@ -433,16 +479,20 @@ object Similarity {
       val withVec = withNorm(
         e.select(col("vec_id"), col("embedding")), "embedding", "nrm")
         .join(lists.hint("shuffle_hash"), "vec_id")
-      // intra-cluster candidate pairs; cheap codegen'd double prefilter
-      // (wide margin) gates the exact decimal cosine, as in d5
-      val scored = withVec.as("a")
-        .join(withVec.as("b").hint("shuffle_hash"),
-          col("a.centroid_id") === col("b.centroid_id") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.centroid_id").as("cluster_id"),
-          col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          col("a.embedding").as("ea"), col("b.embedding").as("eb"),
-          col("a.nrm").as("na"), col("b.nrm").as("nb"))
+      // intra-cluster candidate pairs via the block-decomposed equi-join
+      // (hot clusters split across pairBlocks² shuffle keys); cheap
+      // codegen'd double prefilter (wide margin) gates the exact decimal
+      // cosine, as in d5
+      val aSide = withVec.select(col("centroid_id"),
+        col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("nrm").as("na"))
+      val bSide = withVec.select(col("centroid_id"),
+        col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("nrm").as("nb"))
+      val scored = graft.ops.Salting
+        .blockedPairJoin(aSide, bSide, "centroid_id", pairBlocks)
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumnRenamed("centroid_id", "cluster_id")
         .filter(approxDotCol("ea", "eb") / (col("na") * col("nb")) >=
           DupThreshold - DupPrefilterMargin)
         .withColumn("cosine",
@@ -459,7 +509,7 @@ object Similarity {
           col("cosine")).hint("shuffle_hash"),
         Seq("vec_id", "dup_of"))
         .select(col("vec_id"), col("cluster_id"), col("dup_of"), col("cosine"))
-    })
+  }
 
   /** Shared oracle CTEs: exploded dims, norms. */
   private val explodedSql =

@@ -41,4 +41,45 @@ object Salting {
     saltedBig.join(saltedSmall, Seq(key, "__salt"), joinType)
       .drop("__salt")
   }
+
+  /** Inner equi-join of two CORPUS-SIZED sides on `key`, decomposed into
+    * `blocks²` shuffle keys per join key — the tool for hot-key self-join
+    * shapes ([[saltedJoin]] cannot help there: it explodes the "small" side
+    * per salt, which is quadratic when both sides are big).
+    *
+    * A key held by k_left × k_right rows puts that whole product on ONE
+    * shuffle partition (an LSH bucket of clustered embeddings, a hot
+    * SemDeDup cluster). Blocking assigns each left row a content-derived
+    * block i and replicates it once per j, each right row a block j
+    * replicated once per i; the pair (i, j) then meets exactly once on
+    * shuffle key (key, i, j). Work per partition drops to
+    * (k_left/blocks)×(k_right/blocks) at the cost of writing each side
+    * `blocks`× — the standard balanced-self-join trade, worth it exactly
+    * when a single key's product dwarfs the replication.
+    *
+    * Pure plumbing: the result equals the unsalted inner join (the oracle
+    * gate on d5/d7 proves it). Block ids are xxhash64 of row content, not
+    * rand(), so task retries replay identically. Shuffle-hinted: both
+    * sides are unbounded at corpus scale, a local broadcast would hide the
+    * shape this exists for.
+    */
+  def blockedPairJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      blocks: Int): DataFrame = {
+    require(blocks > 0, s"blocks must be positive, got $blocks")
+    val l = left
+      .withColumn("__bi",
+        pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*),
+          lit(blocks.toLong)))
+      .withColumn("__bj", explode(sequence(lit(0L), lit(blocks.toLong - 1))))
+    val r = right
+      .withColumn("__bj",
+        pmod(xxhash64(right.columns.map(col).toIndexedSeq: _*),
+          lit(blocks.toLong)))
+      .withColumn("__bi", explode(sequence(lit(0L), lit(blocks.toLong - 1))))
+    l.join(r.hint("shuffle_hash"), Seq(key, "__bi", "__bj"), "inner")
+      .drop("__bi", "__bj")
+  }
 }

@@ -25,6 +25,34 @@ class SaltingSpec extends AnyFunSuite {
     assert(plainL == saltedL)
   }
 
+  test("blockedPairJoin equals the plain join and splits the hot key") {
+    // an LSH-bucket shape: one hot bucket with 200 members (19900 pairs on
+    // ONE shuffle key unsalted), a few cold buckets
+    val left = ((0 until 200).map(i => (i.toLong, 7L)) ++
+      (200 until 230).map(i => (i.toLong, i.toLong % 3))).toDF("id_a", "bucket")
+    val right = left.toDF("id_b", "bucket")
+    val plain = left.join(right, Seq("bucket"))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Salting.blockedPairJoin(left, right, "bucket", 4)
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == plain)
+    assert(plain.size >= 19900)
+    // the split is real: the join keys carry the block ids, so the hot
+    // bucket's work lands on blocks² shuffle keys instead of one
+    val planned = Salting.blockedPairJoin(left, right, "bucket", 4)
+      .queryExecution.executedPlan.toString
+    assert(planned.contains("__bi") && planned.contains("__bj"),
+      "block ids must be join keys")
+    // block ids are content-derived (retry-stable), spread across [0, 4)
+    val leftBlocks = left
+      .withColumn("__bi", pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(4L)))
+      .filter($"bucket" === 7L)
+      .select(countDistinct($"__bi")).as[Long].head()
+    assert(leftBlocks == 4L, "200 hot rows must cover all 4 blocks")
+  }
+
   test("native crc16 expression matches goldens and registers for SQL") {
     val df = Seq("123456789", "hello, world").toDF("s")
       .withColumn("crc", Crc16.crc16($"s".cast("binary")))
