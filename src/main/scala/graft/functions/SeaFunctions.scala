@@ -24,6 +24,31 @@ object SeaFunctions {
     concat(redisTimestampMs(seqNo).cast("string"), lit("-"),
       redisSubSeq(seqNo).cast("string"))
 
+  /** The `wide-seq-no` (u128) packing (sea-streamer-types/src/stream.rs:
+    * 29-32): with nanosecond timestamps the redis packing
+    * `(ts << 16) | sub_seq` (message.rs:27-60) needs ~76 bits, past LONG.
+    * Spark's mapping is DECIMAL(38,0) — 38 digits cover u128's 39-digit
+    * range up to 10^38, far beyond the reference's own 2554-07-21 ceiling
+    * (ns ts < 2^64), and the packing stays ORDER-PRESERVING under decimal
+    * comparison, which is what seek/rewind laws sort by.
+    */
+  def redisWideSeqNo(timestampNanos: Column, subSeq: Column): Column =
+    (timestampNanos.cast("decimal(38,0)") * lit(65536L) +
+      subSeq.bitwiseAND(lit(0xFFFFL))).cast("decimal(38,0)")
+
+  /** Inverse: nanosecond timestamp (LONG — i64 nanos reach 2262, Spark's
+    * own TimestampType ceiling is µs of the same order) and sub-seq.
+    */
+  def redisWideTimestampNanos(wideSeqNo: Column): Column =
+    floor(wideSeqNo / lit(65536L)).cast("long")
+  def redisWideSubSeq(wideSeqNo: Column): Column =
+    pmod(wideSeqNo, lit(65536L)).cast("long")
+
+  /** Redis entry-id string for the wide packing (`"<ns>-<seq>"`). */
+  def redisWideStreamId(wideSeqNo: Column): Column =
+    concat(redisWideTimestampNanos(wideSeqNo).cast("string"), lit("-"),
+      redisWideSubSeq(wideSeqNo).cast("string"))
+
   /** Canonical timestamp display format
     * `[year]-[month]-[day]T[hour]:[minute]:[second].[subsecond]`
     * (sea-streamer-types/src/stream.rs:13-14).

@@ -24,6 +24,35 @@ class SeaFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("wide-seq-no (u128 as DECIMAL(38,0)) packs past LONG and roundtrips") {
+    // nanosecond timestamps × 2^16 exceed 64 bits (stream.rs:29-32 u128);
+    // 2262-04-11T23:47 ns ≈ Long.MaxValue is the inverse's ceiling
+    val df = Seq(
+      (1700000000123456789L, 7L),      // a real ns timestamp
+      (Long.MaxValue, 65535L),          // the extreme: packed ≈ 6.05e23
+      (0L, 0L))
+      .toDF("ts_ns", "sub")
+      .withColumn("packed", SeaFunctions.redisWideSeqNo($"ts_ns", $"sub"))
+      .withColumn("ts_back", SeaFunctions.redisWideTimestampNanos($"packed"))
+      .withColumn("sub_back", SeaFunctions.redisWideSubSeq($"packed"))
+      .withColumn("id", SeaFunctions.redisWideStreamId($"packed"))
+    val rows = df.select($"ts_ns", $"sub", $"packed".cast("string"),
+      $"ts_back", $"sub_back", $"id")
+      .as[(Long, Long, String, Long, Long, String)].collect()
+    rows.foreach { case (ts, sub, packed, tsBack, subBack, id) =>
+      assert(tsBack == ts && subBack == sub, s"roundtrip ($ts, $sub)")
+      assert(BigDecimal(packed) == BigDecimal(ts) * 65536 + sub)
+      assert(id == s"$ts-$sub")
+    }
+    // the packed value genuinely exceeds LONG for ns timestamps
+    assert(BigDecimal(rows(0)._3) > BigDecimal(Long.MaxValue))
+    // order preservation: decimal comparison sorts like (ts, sub)
+    val ordered = df.orderBy($"packed")
+      .select($"ts_ns", $"sub").as[(Long, Long)].collect().toSeq
+    assert(ordered == Seq((0L, 0L), (1700000000123456789L, 7L),
+      (Long.MaxValue, 65535L)))
+  }
+
   test("canonical timestamp format roundtrips") {
     val df = Seq("2022-01-02T03:04:05.678").toDF("s")
       .withColumn("ts", SeaFunctions.parseTimestamp($"s"))
