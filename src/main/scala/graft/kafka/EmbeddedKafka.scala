@@ -35,9 +35,21 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4) extends AutoCloseable {
 
   private final case class Stored(tsMs: Long, key: Array[Byte], value: Array[Byte])
 
+  /** One partition: the decoded records (for ListOffsets' timestamp scan)
+    * AND the produced batches AS RECEIVED, re-encoded at their assigned
+    * base offsets. Fetch serves whole stored batches like a real broker's
+    * zero-copy path — so a batch can START BEFORE the asked offset and the
+    * client's prefix-trim is a live code path, not dead fidelity.
+    */
+  private final class Partition {
+    val records = mutable.ArrayBuffer.empty[Stored]
+    /** (baseOffset, encoded v2 batch bytes). */
+    val batches = mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+  }
+
   /** topic -> partitions (each an append-only log). */
   private val topics =
-    new ConcurrentHashMap[String, Array[mutable.ArrayBuffer[Stored]]]()
+    new ConcurrentHashMap[String, Array[Partition]]()
   @volatile private var closed = false
 
   def partitionCount(topic: String): Int =
@@ -45,12 +57,12 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4) extends AutoCloseable {
 
   def logSize(topic: String, partition: Int): Long =
     Option(topics.get(topic)).filter(partition < _.length)
-      .map(t => t(partition).synchronized(t(partition).length.toLong))
+      .map(t => t(partition).synchronized(t(partition).records.length.toLong))
       .getOrElse(0L)
 
-  private def autoCreate(topic: String): Array[mutable.ArrayBuffer[Stored]] =
+  private def autoCreate(topic: String): Array[Partition] =
     topics.computeIfAbsent(topic,
-      _ => Array.fill(autoCreatePartitions)(mutable.ArrayBuffer.empty[Stored]))
+      _ => Array.fill(autoCreatePartitions)(new Partition))
 
   private val acceptor = new Thread(() => {
     try while (!closed) {
@@ -167,8 +179,9 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4) extends AutoCloseable {
           case None =>
             www.i16(Err.UnknownTopicOrPartition).i64(-1L).i64(-1L)
           case Some(t) =>
-            val buf = t(p)
-            val (ts, off) = buf.synchronized {
+            val part = t(p)
+            val (ts, off) = part.synchronized {
+              val buf = part.records
               target match {
                 case Ts.Earliest => (-1L, 0L)
                 case Ts.Latest => (-1L, buf.length.toLong)
@@ -209,28 +222,32 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4) extends AutoCloseable {
             www.array(Seq.empty[Int])((_, _) => ())
             www.nullableBytes(null)
           case Some(t) =>
-            val buf = t(p)
-            val (hw, slice) = buf.synchronized {
-              val len = buf.length.toLong
+            val part = t(p)
+            // serve WHOLE STORED BATCHES starting at the batch containing
+            // fetch_offset (the real broker's zero-copy path): the first
+            // batch may begin before the asked offset — trimming that
+            // prefix is the CLIENT's job (KafkaClient.fetch dropWhile)
+            val (hw, slices) = part.synchronized {
+              val len = part.records.length.toLong
               if (fetchOffset < 0 || fetchOffset > len)
-                (len, null) // out of range
+                (len, null)
               else {
                 var bytes = 0L
-                val recs = Seq.newBuilder[KRecord]
-                var i = fetchOffset.toInt
+                val out = Seq.newBuilder[Array[Byte]]
+                var bi = part.batches.lastIndexWhere(_._1 <= fetchOffset)
+                if (bi < 0) bi = 0
                 var n = 0
-                while (i < buf.length &&
+                while (bi < part.batches.length &&
                     (n == 0 || bytes < math.max(1, maxBytes))) {
-                  val s = buf(i)
-                  recs += KRecord(i.toLong, s.tsMs, s.key, s.value)
-                  bytes += 32L + s.value.length +
-                    (if (s.key == null) 0 else s.key.length)
-                  i += 1; n += 1
+                  val (_, b) = part.batches(bi)
+                  out += b
+                  bytes += b.length
+                  bi += 1; n += 1
                 }
-                (len, recs.result())
+                (len, if (fetchOffset == len) Seq.empty else out.result())
               }
             }
-            if (slice == null) {
+            if (slices == null) {
               www.i16(Err.OffsetOutOfRange).i64(hw).i64(hw)
               www.array(Seq.empty[Int])((_, _) => ())
               www.nullableBytes(null)
@@ -238,7 +255,7 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4) extends AutoCloseable {
               www.i16(Err.None).i64(hw).i64(hw) // last_stable = hw (no txns)
               www.array(Seq.empty[Int])((_, _) => ()) // aborted_transactions
               www.nullableBytes(
-                if (slice.isEmpty) null else KafkaWire.encodeBatch(slice))
+                if (slices.isEmpty) null else slices.reduce(_ ++ _))
             }
         }
       }
@@ -274,10 +291,17 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4) extends AutoCloseable {
             case Left(_) =>
               www.i16(Err.CorruptMessage).i64(-1L).i64(-1L)
             case Right(recs) =>
-              val buf = t(p)
-              val base = buf.synchronized {
-                val b = buf.length.toLong
-                recs.foreach(rec => buf += Stored(rec.tsMs, rec.key, rec.value))
+              val part = t(p)
+              val base = part.synchronized {
+                val b = part.records.length.toLong
+                recs.foreach(rec =>
+                  part.records += Stored(rec.tsMs, rec.key, rec.value))
+                // store the batch re-encoded at its ASSIGNED base offset
+                // (what a real log segment holds); served verbatim by Fetch
+                if (recs.nonEmpty)
+                  part.batches += ((b, KafkaWire.encodeBatch(
+                    recs.zipWithIndex.map { case (rc, i) =>
+                      KRecord(b + i, rc.tsMs, rc.key, rc.value) })))
                 b
               }
               www.i16(Err.None).i64(base).i64(-1L) // log_append_time: create-time

@@ -71,6 +71,23 @@ class PlanShapeSpec extends AnyFunSuite {
         "(both sides are corpus-sized — a broadcast cannot exist at scale)")
   }
 
+  test("d5/d7 pair joins carry the block ids in their shuffle keys") {
+    // the hot-bucket/hot-cluster insurance (Salting.blockedPairJoin): the
+    // pair join's shuffle keys must include __bi/__bj or one hot key still
+    // serializes its whole k² product on a single partition
+    for ((q, key) <- Seq(("d5_embed_cosine_dup", "bucket#"),
+        ("d7_semdedup", "centroid_id#"))) {
+      val blocks = nodeBlocks(planOf(q))
+      val blocked = blocks.filter { case (n, b) =>
+        (n == "ShuffledHashJoin" || n == "SortMergeJoin") &&
+          b.linesIterator.exists(l => l.contains("keys") &&
+            l.contains(key) && l.contains("__bi#") && l.contains("__bj#"))
+      }
+      assert(blocked.nonEmpty,
+        s"$q's pair join lost its block decomposition on $key")
+    }
+  }
+
   test("p8 repetition plans only keyed hash aggregations, nothing global") {
     val p = planOf("p8_repetition")
     assert(!p.contains("CartesianProduct"))

@@ -75,6 +75,21 @@ class KafkaFacadeSpec extends AnyFunSuite {
     }
   }
 
+  test("kafka live seek anchors at ListOffsets(ms+1) — pre-seek prefix never fetched") {
+    withBroker { (_, conn) =>
+      conn.createGenericProducer().send(mkEnvelope(40))
+      val cutoff = new java.sql.Timestamp(1700000000000L + 19 * 1000L)
+      val live = conn.createConsumer(Seq("s0", "s1"),
+        ConsumerOptions(live = true, seekTimestamp = Some(cutoff)))
+      val q = live.select(col("payload").cast("string").as("p"))
+        .writeStream.format("memory").queryName("kafka_live_seek").start()
+      try q.processAllAvailable() finally q.stop()
+      val seqs = spark.table("kafka_live_seek").as[String].collect()
+        .map(_.stripPrefix("p").toInt).toSet
+      assert(seqs == (20 until 40).toSet, s"got $seqs")
+    }
+  }
+
   test("kafka live consumer drains through the kafka-wire stream") {
     withBroker { (_, conn) =>
       conn.createGenericProducer().send(mkEnvelope(12))

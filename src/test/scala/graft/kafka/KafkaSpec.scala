@@ -83,16 +83,32 @@ class KafkaSpec extends AnyFunSuite {
     }
   }
 
-  test("byte-capped fetch pages but never returns zero records mid-log") {
+  test("byte-capped fetch pages at batch granularity, never zero mid-log") {
     withBroker { (_, c) =>
       c.metadata(Seq("t"))
       val big = Array.fill[Byte](4096)('x')
-      c.produce("t", 0, (0 until 8).map(i => (i.toLong, null, big)))
+      // one produce per record = one stored batch per record (fetch serves
+      // whole stored batches, like a real broker's log segments)
+      (0 until 8).foreach(i => c.produce("t", 0, Seq((i.toLong, null, big))))
       val (_, page) = c.fetch("t", 0, 0L, maxBytes = 5000)
       assert(page.nonEmpty && page.size < 8, s"got ${page.size}")
       // pagedFetch walks the whole range through the cap
       val all = KafkaSource.pagedFetch(c, "t", 0, 0L, 8L, maxBytes = 5000).toSeq
       assert(all.map(_.sequence) == (0L until 8L))
+    }
+  }
+
+  test("fetch serves the WHOLE stored batch; the client trims the prefix") {
+    withBroker { (_, c) =>
+      c.metadata(Seq("t"))
+      // 10 records in ONE batch: a mid-batch fetch offset means the broker
+      // replies with the full batch (zero-copy law) and KafkaClient.fetch
+      // must drop the pre-asked records
+      c.produce("t", 1, (0 until 10).map(i => (i * 10L, null, s"m$i".getBytes)))
+      val (hw, recs) = c.fetch("t", 1, 6L)
+      assert(hw == 10L)
+      assert(recs.map(_.offset) == (6L until 10L))
+      assert(recs.map(r => new String(r.value)) == Seq("m6", "m7", "m8", "m9"))
     }
   }
 
