@@ -62,6 +62,47 @@ object KafkaTransport {
       }
     },
 
+    // Group-resume law: a prior member committed each partition's
+    // first-past-the-cutoff offset (resolved via ListOffsets, so the
+    // committed point is deterministic); a `group`-anchored stream must
+    // resume exactly there — delivering the same strict-suffix the seek
+    // law defines (k2's oracle), with the pre-commit prefix never fetched.
+    // The stream itself re-commits as it drains (OffsetCommit per epoch).
+    "k4_kafka_group_resume" -> { (s, dir) =>
+      withServer { srv =>
+        val t = Tables(s, dir)
+        val bounds = t.events
+          .agg(min(unix_millis(col("ts"))).as("lo"),
+            max(unix_millis(col("ts"))).as("hi")).head()
+        val cutoff = (bounds.getLong(0) + bounds.getLong(1)) / 2
+        KafkaSource.write(Transport.envelopeOf(t), srv.host, srv.port)
+        val c = new graft.kafka.KafkaClient(srv.host, srv.port)
+        try {
+          c.findCoordinator("g_oracle")
+          val meta = c.metadata(Transport.eventTypes)
+          val commits = Transport.eventTypes.flatMap { topic =>
+            meta.getOrElse(topic, Seq.empty).map { p =>
+              val tip = c.listOffset(topic, p,
+                graft.kafka.KafkaWire.Ts.Latest).getOrElse(0L)
+              (topic, p) -> c.listOffset(topic, p, cutoff + 1).getOrElse(tip)
+            }
+          }.toMap
+          c.commitOffsets("g_oracle", commits)
+        } finally c.close()
+        val q = Transport.aggregate(
+          s.readStream.format("kafka-wire")
+            .option("host", srv.host).option("port", srv.port.toString)
+            .option("topics", Transport.eventTypes.mkString(","))
+            .option("startingOffsets", "earliest") // overridden by the group
+            .option("group", "g_oracle")
+            .load(), withDistinct = false)
+          .writeStream.outputMode("complete")
+          .format("memory").queryName("k4_kafka_group_sink").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("k4_kafka_group_sink")
+      }
+    },
+
     // Admission law: earliest + maxOffsetsPerTrigger forces the backlog
     // through bounded micro-batches; the aggregate proves no message was
     // lost or re-delivered across batch seams (~4 batches at any sf).
@@ -89,6 +130,18 @@ object KafkaTransport {
     "k3_kafka_admission" -> Transport.aggregateOracle(withDistinct = false),
     // same cutoff law as the iggy/redis seek oracles: epochs at ms
     // resolution, strictly greater than the midpoint
+    // identical suffix law as k2: the committed offsets ARE the seek point
+    "k4_kafka_group_resume" ->
+      """WITH b AS (
+        |  SELECT (epoch_ms(min(date_trunc('milliseconds', ts))) +
+        |          epoch_ms(max(date_trunc('milliseconds', ts)))) // 2 AS cutoff
+        |  FROM events)
+        |SELECT event_type AS stream_key, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  MAX(event_id) AS max_event_id
+        |FROM events, b
+        |WHERE epoch_ms(date_trunc('milliseconds', ts)) > b.cutoff
+        |GROUP BY event_type""".stripMargin,
     "k2_kafka_seek" ->
       """WITH b AS (
         |  SELECT (epoch_ms(min(date_trunc('milliseconds', ts))) +

@@ -50,7 +50,13 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4) extends AutoCloseable {
   /** topic -> partitions (each an append-only log). */
   private val topics =
     new ConcurrentHashMap[String, Array[Partition]]()
+  /** "group/topic/partition" -> committed offset (= next to read). */
+  private val groupOffsets =
+    new ConcurrentHashMap[String, java.lang.Long]()
   @volatile private var closed = false
+
+  def committedOffset(group: String, topic: String, partition: Int): Option[Long] =
+    Option(groupOffsets.get(s"$group/$topic/$partition")).map(_.longValue)
 
   def partitionCount(topic: String): Int =
     Option(topics.get(topic)).map(_.length).getOrElse(0)
@@ -102,6 +108,9 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4) extends AutoCloseable {
       case Api.ListOffsets => listOffsetsV1(body)
       case Api.Fetch => fetchV4(body)
       case Api.Produce => produceV3(body)
+      case Api.OffsetCommit => offsetCommitV2(body)
+      case Api.OffsetFetch => offsetFetchV1(body)
+      case Api.FindCoordinator => findCoordinatorV0(body)
       case _ => unsupported(apiKey)
     }
   }
@@ -310,6 +319,58 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4) extends AutoCloseable {
       }
     }
     w.i32(0) // throttle_time_ms
+    w.result()
+  }
+
+  /** FindCoordinator v0: this single broker coordinates every group. */
+  private def findCoordinatorV0(body: Array[Byte]): Array[Byte] = {
+    val r = new KafkaWire.Reader(body)
+    r.str() // group (coordinator key)
+    new KafkaWire.Writer()
+      .i16(Err.None).i32(nodeId).str(host).i32(port).result()
+  }
+
+  /** OffsetCommit v2: store per-(group, topic, partition) offsets. */
+  private def offsetCommitV2(body: Array[Byte]): Array[Byte] = {
+    val r = new KafkaWire.Reader(body)
+    val group = r.str()
+    r.i32()          // generation_id (-1: simple/standalone commit)
+    r.str()          // member_id
+    r.i64()          // retention_time_ms
+    val asked = Seq.fill(r.arrayCount()) {
+      val topic = r.str()
+      topic -> Seq.fill(r.arrayCount()) {
+        val p = r.i32(); val off = r.i64(); r.nullableStr()
+        (p, off)
+      }
+    }
+    val w = new KafkaWire.Writer
+    w.array(asked) { case (ww, (topic, parts)) =>
+      ww.str(topic)
+      ww.array(parts) { case (www, (p, off)) =>
+        groupOffsets.put(s"$group/$topic/$p", java.lang.Long.valueOf(off))
+        www.i32(p).i16(Err.None)
+      }
+    }
+    w.result()
+  }
+
+  /** OffsetFetch v1: committed offset per partition, -1 when none. */
+  private def offsetFetchV1(body: Array[Byte]): Array[Byte] = {
+    val r = new KafkaWire.Reader(body)
+    val group = r.str()
+    val asked = Seq.fill(r.arrayCount()) {
+      val topic = r.str()
+      topic -> Seq.fill(r.arrayCount())(r.i32())
+    }
+    val w = new KafkaWire.Writer
+    w.array(asked) { case (ww, (topic, parts)) =>
+      ww.str(topic)
+      ww.array(parts) { (www, p) =>
+        val off = committedOffset(group, topic, p).getOrElse(-1L)
+        www.i32(p).i64(off).nullableStr(null).i16(Err.None)
+      }
+    }
     w.result()
   }
 

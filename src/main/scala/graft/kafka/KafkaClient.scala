@@ -163,5 +163,70 @@ final class KafkaClient(host: String, port: Int,
     base
   }
 
+  /** FindCoordinator v0 → the group's coordinating broker (this embedded
+    * cluster has one broker, but the client walks the real flow).
+    */
+  def findCoordinator(group: String): (Int, String, Int) = {
+    val r = call(Api.FindCoordinator)(_.str(group))
+    val err = r.i16v()
+    if (err != Err.None) fail(err, s"FindCoordinator($group)")
+    (r.i32(), r.str(), r.i32())
+  }
+
+  /** OffsetCommit v2 of next-to-read offsets for a group (the standalone
+    * commit: generation -1, empty member — the mode the reference's
+    * `commit(stream, shard, seq)` maps to, consumer.rs:526-548).
+    */
+  def commitOffsets(group: String, offsets: Map[(String, Int), Long]): Unit = {
+    require(offsets.nonEmpty, "commitOffsets: nothing to commit")
+    val byTopic = offsets.toSeq.groupBy(_._1._1).toSeq.sortBy(_._1)
+    val r = call(Api.OffsetCommit) { w =>
+      w.str(group)
+      w.i32(-1)       // generation_id: standalone consumer
+      w.str("")       // member_id
+      w.i64(-1L)      // retention_time_ms: broker default
+      w.array(byTopic) { case (ww, (topic, parts)) =>
+        ww.str(topic)
+        ww.array(parts) { case (www, ((_, p), off)) =>
+          www.i32(p).i64(off).nullableStr(null)
+        }
+      }
+    }
+    Seq.fill(r.arrayCount()) {
+      r.str()
+      Seq.fill(r.arrayCount()) {
+        val p = r.i32()
+        val err = r.i16v()
+        if (err != Err.None) fail(err, s"OffsetCommit($group, partition $p)")
+      }
+    }
+    ()
+  }
+
+  /** OffsetFetch v1 → committed next-to-read offset per (topic, partition);
+    * absent entries (offset -1 on the wire) are omitted.
+    */
+  def fetchOffsets(group: String,
+      parts: Map[String, Seq[Int]]): Map[(String, Int), Long] = {
+    val r = call(Api.OffsetFetch) { w =>
+      w.str(group)
+      w.array(parts.toSeq.sortBy(_._1)) { case (ww, (topic, ps)) =>
+        ww.str(topic)
+        ww.array(ps)((www, p) => www.i32(p))
+      }
+    }
+    Seq.fill(r.arrayCount()) {
+      val topic = r.str()
+      Seq.fill(r.arrayCount()) {
+        val p = r.i32()
+        val off = r.i64()
+        r.nullableStr()
+        val err = r.i16v()
+        if (err != Err.None) fail(err, s"OffsetFetch($group, $topic/$p)")
+        (topic, p) -> off
+      }
+    }.flatten.filter(_._2 >= 0).toMap
+  }
+
   override def close(): Unit = socket.close()
 }

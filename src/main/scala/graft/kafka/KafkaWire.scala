@@ -37,13 +37,21 @@ object KafkaWire {
     val Fetch = 1
     val ListOffsets = 2
     val Metadata = 3
+    val OffsetCommit = 8
+    val OffsetFetch = 9
+    val FindCoordinator = 10
     val ApiVersions = 18
   }
 
-  /** Version pinned per API (see table above). */
+  /** Version pinned per API (see table above; the group-offset trio —
+    * OffsetCommit v2 / OffsetFetch v1 / FindCoordinator v0 — are likewise
+    * the last fully-specified pre-flexible layouts).
+    */
   val Versions: Map[Int, Short] = Map(
     Api.Produce -> 3, Api.Fetch -> 4, Api.ListOffsets -> 1,
-    Api.Metadata -> 1, Api.ApiVersions -> 0).map { case (k, v) => k -> v.toShort }
+    Api.Metadata -> 1, Api.OffsetCommit -> 2, Api.OffsetFetch -> 1,
+    Api.FindCoordinator -> 0, Api.ApiVersions -> 0)
+    .map { case (k, v) => k -> v.toShort }
 
   /** Public Kafka error codes (the subset this surface can produce). */
   object Err {

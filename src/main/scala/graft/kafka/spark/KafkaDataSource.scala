@@ -129,6 +129,19 @@ class KafkaMicroBatchStream(options: CaseInsensitiveStringMap)
       Some(n)
     }
   }
+  /** Consumer group (the builtin connector's `kafka.group.id` role): start
+    * from the group's COMMITTED offsets when present (falling back to
+    * startingOffsets/startingTimestamp per partition), and commit each
+    * epoch's end offsets back via OffsetCommit — so external lag monitors
+    * see this stream's progress, and a fresh checkpoint resumes where the
+    * group left off. The CHECKPOINT stays the source of truth within a
+    * query (the reference's `commit` maps to OffsetCommit the same way,
+    * consumer.rs:526-548).
+    */
+  private val group: Option[String] = {
+    val v = options.get("group")
+    if (v == null || v.isEmpty) None else Some(v)
+  }
 
   /** Driver-side planning calls ride one short-lived connection. */
   private def withClient[T](f: KafkaClient => T): T = {
@@ -164,7 +177,19 @@ class KafkaMicroBatchStream(options: CaseInsensitiveStringMap)
       case None if latest => tips()
       case None => tips().map { case (k, _) => k -> 0L }
     }
-    KafkaOffsetV2(ids)
+    // committed group offsets override the reset anchors per partition
+    // (absent partitions keep the anchor) — the resume-where-the-group-left
+    // law; the coordinator lookup is the real client flow
+    val resumed = group.fold(ids) { g =>
+      withClient { c =>
+        c.findCoordinator(g)
+        val committed = c.fetchOffsets(g,
+          ids.keys.groupBy(_._1).map { case (t, ks) =>
+            t -> ks.map(_._2).toSeq.sorted })
+        ids ++ committed.view.filterKeys(ids.contains).toMap
+      }
+    }
+    KafkaOffsetV2(resumed)
   }
 
   override def getDefaultReadLimit: ReadLimit =
@@ -221,7 +246,15 @@ class KafkaMicroBatchStream(options: CaseInsensitiveStringMap)
 
   override def deserializeOffset(json: String): Offset =
     KafkaOffsetV2.fromJson(json)
-  override def commit(end: Offset): Unit = ()
+
+  /** Epoch commit → OffsetCommit of the batch's end offsets (at-least-once
+    * group progress; the checkpoint remains the within-query truth).
+    */
+  override def commit(end: Offset): Unit =
+    group.foreach { g =>
+      val offs = end.asInstanceOf[KafkaOffsetV2].offs
+      if (offs.nonEmpty) withClient(_.commitOffsets(g, offs))
+    }
   override def stop(): Unit = ()
 }
 

@@ -90,6 +90,41 @@ class KafkaFacadeSpec extends AnyFunSuite {
     }
   }
 
+  test("kafka group resumes from committed offsets and commits its progress") {
+    withBroker { (srv, conn) =>
+      conn.createGenericProducer().send(mkEnvelope(40))
+      // a prior member fully consumed s0: commit its tips
+      val c = new graft.kafka.KafkaClient(srv.host, srv.port)
+      try {
+        val tips = c.latestOffsets("s0", c.metadata(Seq("s0"))("s0"))
+        c.commitOffsets("g7", tips.map { case (p, o) => ("s0", p) -> o })
+      } finally c.close()
+      val live = spark.readStream.format("kafka-wire")
+        .option("host", srv.host).option("port", srv.port.toString)
+        .option("topics", "s0,s1")
+        .option("startingOffsets", "earliest")
+        .option("group", "g7").load()
+      val q = live.groupBy("stream_key").agg(count(lit(1)).as("n"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("kafka_group_resume").start()
+      try {
+        q.processAllAvailable()
+        // s0's committed prefix is skipped entirely; s1 reads from earliest
+        val got = spark.table("kafka_group_resume")
+          .as[(String, Long)].collect().toMap
+        assert(got == Map("s1" -> 20L), s"got $got")
+        // epoch commit lags one batch (Spark calls source.commit(end) when
+        // the NEXT batch is constructed) — append and drain once more, then
+        // batch 0's end offsets must be on the broker
+        conn.createGenericProducer().send(mkEnvelope(40))
+        q.processAllAvailable()
+        val committed = srv.committedOffset("g7", "s1", 1)
+        assert(committed.exists(_ >= 10L),
+          s"s1/1 should have >= 10 committed after batch 0, got $committed")
+      } finally q.stop()
+    }
+  }
+
   test("kafka live consumer drains through the kafka-wire stream") {
     withBroker { (_, conn) =>
       conn.createGenericProducer().send(mkEnvelope(12))

@@ -121,6 +121,23 @@ class KafkaSpec extends AnyFunSuite {
     }
   }
 
+  test("group offsets: coordinator lookup, commit, fetch, absence") {
+    withBroker { (srv, c) =>
+      c.metadata(Seq("t"))
+      assert(c.findCoordinator("g1") == (srv.nodeId, srv.host, srv.port))
+      // nothing committed yet → empty
+      assert(c.fetchOffsets("g1", Map("t" -> Seq(0, 1, 2, 3))).isEmpty)
+      c.commitOffsets("g1", Map(("t", 0) -> 5L, ("t", 2) -> 9L))
+      assert(c.fetchOffsets("g1", Map("t" -> Seq(0, 1, 2, 3))) ==
+        Map(("t", 0) -> 5L, ("t", 2) -> 9L))
+      // groups are independent; re-commit overwrites
+      assert(c.fetchOffsets("g2", Map("t" -> Seq(0))).isEmpty)
+      c.commitOffsets("g1", Map(("t", 0) -> 7L))
+      assert(c.fetchOffsets("g1", Map("t" -> Seq(0)))(("t", 0)) == 7L)
+      assert(srv.committedOffset("g1", "t", 0) == Some(7L))
+    }
+  }
+
   test("unsupported api version is rejected at the wire") {
     withBroker { (srv, _) =>
       // raw socket: ApiVersions v3 (a flexible version this surface pins out)
