@@ -21,7 +21,79 @@ object Pipeline {
     pmod(conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long"),
       lit(100L))
 
+  /** A word 8-gram present in more than this many documents is cross-doc
+    * boilerplate (headers, license banners, templated spans). Production
+    * pipelines tune it per corpus; pinned so the oracle mirrors it.
+    */
+  private val SpanDfCap = 2
+
   val queries: Map[String, Relational.Q] = Map(
+    // DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    // Models via Importance Resampling"): hashed-unigram importance
+    // weights. Per-bucket log(p_target/p_raw) with add-1 smoothing over a
+    // 1024-bucket hashed vocabulary (target = the 'src1' domain standing in
+    // for the high-quality corpus); a document's weight is the sum over its
+    // tokens. THE scale trick is the hashing: the feature table is 1024
+    // rows at ANY corpus size, so scoring is one broadcast join onto the
+    // token scan + a doc-keyed agg — the raw corpus shuffles once, by
+    // doc_id. Per-bucket logs are rounded-then-decimal (p10's idiom) so the
+    // oracle's libm agrees.
+    "p12_dsir_weights" -> { (s, dir) =>
+      val B = 1024L
+      val toks = Tables(s, dir).documents
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("t"))
+        .filter(length(col("t")) > 0)
+        .withColumn("b", pmod(
+          conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10)
+            .cast("long"), lit(B)))
+      // raw + target bucket counts in ONE pass over the tokens
+      val rc = toks.groupBy("b").agg(count(lit(1)).as("cr"),
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("ct"))
+      val tot = rc.agg(sum(col("cr")).as("rtot"), sum(col("ct")).as("ttot"))
+      val table = rc.crossJoin(tot)
+        .withColumn("lr", round(
+          log((col("ct") + 1).cast("double") / (col("ttot") + B)) -
+            log((col("cr") + 1).cast("double") / (col("rtot") + B)), 6)
+          .cast("decimal(30,15)"))
+        .select("b", "lr")
+      toks.join(broadcast(table), "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(sum(col("lr")).cast("double"), 6).as("dsir_weight"))
+        .withColumn("selected", col("dsir_weight") > 0)
+    },
+
+    // Cross-document duplicated-span detection (Lee et al. 2021,
+    // "Deduplicating Training Data Makes Language Models Better" — the
+    // span-level pass that document-level dedup misses): word 8-grams per
+    // position, document-frequency per distinct gram, every document
+    // scored by how much of it is corpus-boilerplate. Shapes: one explode
+    // scan, a gram-keyed hash agg, and a gram-keyed shuffle join (the gram
+    // vocabulary is corpus-sized — NEVER broadcastable, same law as p2's
+    // term table); per-doc final agg is keyed by doc_id. No window, no
+    // all-pairs anything: span dedup at 100 TB is exactly these three
+    // shuffles.
+    "p11_span_dedup" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val grams = docs
+        .select(col("doc_id"), split(col("text"), " ").as("tok"))
+        .filter(size(col("tok")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          // cap matches the oracle's range(1, 1024) (same convention as
+          // Dedup.shingles)
+          "transform(sequence(0, least(size(tok)-8, 1022)), i -> concat_ws(' ', slice(tok, i+1, 8)))"))
+          .as("g"))
+      val df8 = grams.distinct().groupBy("g").agg(count(lit(1)).as("df"))
+      grams.join(df8.hint("shuffle_hash"), "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") > SpanDfCap, 1L).otherwise(0L)).as("n_boilerplate"))
+        .withColumn("boilerplate_ratio",
+          round(col("n_boilerplate") * lit(1.0) / col("n_grams"), 6))
+        .withColumn("keep", col("boilerplate_ratio") < 0.5)
+    },
+
     // Stratified downsampling: keep 10% of the dominant language, 50% of the
     // rest — per-stratum rates over a content-stable hash, so the sample is
     // identical on every run/retry and never shuffles the corpus (pure
@@ -288,6 +360,47 @@ object Pipeline {
     })
 
   val oracles: Map[String, String] = Map(
+    "p12_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, source,
+        |         CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) % 1024 AS b
+        |       FROM toks WHERE length(t) > 0),
+        |rc AS (SELECT b, COUNT(*) AS cr,
+        |         CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS ct
+        |       FROM t2 GROUP BY b),
+        |tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS rtot,
+        |          CAST(SUM(ct) AS BIGINT) AS ttot FROM rc),
+        |tab AS (SELECT b,
+        |          CAST(ROUND(ln(CAST(ct + 1 AS DOUBLE) / (ttot + 1024))
+        |            - ln(CAST(cr + 1 AS DOUBLE) / (rtot + 1024)), 6)
+        |            AS DECIMAL(30,15)) AS lr
+        |        FROM rc CROSS JOIN tot)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  ROUND(CAST(SUM(lr) AS DOUBLE), 6) AS dsir_weight,
+        |  ROUND(CAST(SUM(lr) AS DOUBLE), 6) > 0 AS selected
+        |FROM t2 JOIN tab USING (b)
+        |GROUP BY doc_id""".stripMargin,
+    "p11_span_dedup" -> {
+      val gram = (0 until 8).map(j => s"tok[g.i+$j]").mkString("||' '||")
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+         |g8 AS (SELECT doc_id, $gram AS g
+         |       FROM toks, (SELECT unnest(range(1, 1024)) AS i) g
+         |       WHERE g.i + 7 <= len(tok)),
+         |df8 AS (SELECT g, COUNT(DISTINCT doc_id) AS df FROM g8 GROUP BY g)
+         |SELECT doc_id, COUNT(*) AS n_grams,
+         |  CAST(SUM(CASE WHEN df > $SpanDfCap THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_boilerplate,
+         |  ROUND(SUM(CASE WHEN df > $SpanDfCap THEN 1 ELSE 0 END) * 1.0
+         |    / COUNT(*), 6) AS boilerplate_ratio,
+         |  (SUM(CASE WHEN df > $SpanDfCap THEN 1 ELSE 0 END) * 1.0
+         |    / COUNT(*)) < 0.5 AS keep
+         |FROM g8 JOIN df8 USING (g)
+         |GROUP BY doc_id""".stripMargin
+    },
     "p1_stratified_sample" ->
       """SELECT lang, COUNT(*) AS n_kept,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars

@@ -306,9 +306,63 @@ object Transport {
         graft.ops.Sharders.roundRobin(3))
       rr.groupBy(col("shard_id"))
         .agg(count(lit(1)).as("n"), max(col("sequence")).as("max_seq"))
+    },
+
+    // Custom arbitrary state via flatMapGroupsWithState — the
+    // KeyValueGroupedDataset escape hatch SURVEY §2.8 reserves for state
+    // shapes the built-in operators can't express. A per-key running
+    // (count, exact-decimal sum) survives across micro-batches in a
+    // GroupState (one state store entry per key — state size O(#keys), the
+    // 100 TB shape); maxMessagesPerTrigger forces the backlog through ~4
+    // batches so the state genuinely carries across epochs. Each batch
+    // emits the running totals; the final emit per key (max n) must equal
+    // the batch aggregate — that is the oracle.
+    "t12_stateful_running" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+      val t = Tables(s, dir)
+      val out = scratch(dir, "t12")
+      envelopeOf(t).write.format("ss").mode("overwrite").save(out)
+      val cap = math.max(1000L, t.events.count() / 4)
+      val src = s.readStream.format("ss")
+        .option("startingOffsets", "earliest")
+        .option("maxMessagesPerTrigger", cap.toString)
+        .load(out)
+        .select(col("stream_key"),
+          from_json(col("payload").cast("string"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "event_id LONG, value DOUBLE")).getField("value")
+            .cast("decimal(18,2)").as("v"))
+        .as[(String, java.math.BigDecimal)]
+      val updates = src.groupByKey(_._1)
+        .flatMapGroupsWithState(OM.Update(), GroupStateTimeout.NoTimeout())(
+          (key: String, rows: Iterator[(String, java.math.BigDecimal)],
+              state: GroupState[(Long, java.math.BigDecimal)]) => {
+            var (n, sum) = state.getOption
+              .getOrElse((0L, java.math.BigDecimal.ZERO))
+            rows.foreach { r => n += 1; sum = sum.add(r._2) }
+            state.update((n, sum))
+            Iterator((key, n, sum))
+          })
+      val q = updates.toDF("stream_key", "n", "sum_dec")
+        .writeStream.outputMode("update")
+        .format("memory").queryName("t12_stateful_sink").start()
+      try q.processAllAvailable() finally q.stop()
+      // the final (largest-n) emit per key carries the complete totals
+      val w = Window.partitionBy("stream_key").orderBy(col("n").desc)
+      s.table("t12_stateful_sink")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("stream_key"), col("n"),
+          col("sum_dec").cast("double").as("sum_value"))
     })
 
   val oracles: Map[String, String] = Map(
+    "t12_stateful_running" ->
+      """SELECT event_type AS stream_key, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
     "t11_stream_static_join" ->
       """SELECT e.event_type AS stream_key, c.c_mktsegment,
         |  COUNT(*) AS n,

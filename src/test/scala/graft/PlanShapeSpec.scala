@@ -88,6 +88,26 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("p11's gram vocabulary shuffles; p12's hashed feature table broadcasts") {
+    // two opposite disciplines, both load-bearing at 100 TB: the 8-gram
+    // vocabulary grows with the corpus (must hash-partition, like p2's
+    // terms), while DSIR's whole point is the 1024-bucket feature table
+    // that broadcasts at ANY corpus size
+    val p11 = nodeBlocks(planOf("p11_span_dedup"))
+    val badBcast = p11.filter { case (n, b) =>
+      n == "BroadcastHashJoin" &&
+        b.linesIterator.exists(l => l.contains("keys") && l.contains("g#"))
+    }
+    assert(badBcast.isEmpty, "p11 broadcasts the corpus-sized gram table")
+    val p12 = nodeBlocks(planOf("p12_dsir_weights"))
+    val featBcast = p12.filter { case (n, b) =>
+      n == "BroadcastHashJoin" &&
+        b.linesIterator.exists(l => l.contains("keys") && l.contains("b#"))
+    }
+    assert(featBcast.nonEmpty,
+      "p12 must broadcast the 1024-bucket feature table onto the token scan")
+  }
+
   test("p8 repetition plans only keyed hash aggregations, nothing global") {
     val p = planOf("p8_repetition")
     assert(!p.contains("CartesianProduct"))
