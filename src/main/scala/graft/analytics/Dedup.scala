@@ -60,12 +60,13 @@ object Dedup {
 
   /** Exact Jaccard over shared shingles for co-occurring pairs.
     *
-    * The shingle set feeds three plan branches (per-doc sizes + both sides
-    * of the self-join); callers persist it once (MEMORY_AND_DISK — executors
-    * spill, not OOM) instead of replaying the explode+distinct shuffle per
-    * branch. Persisting here would double-cache when the caller already
-    * holds the shingles (d3). The query session frees the blocks via
-    * `clearCache` (Bench) or session teardown (Verify).
+    * The CAPPED shingle set feeds three plan branches (per-doc sizes + both
+    * sides of the self-join), so it persists here (MEMORY_AND_DISK —
+    * executors spill, not OOM) instead of replaying the
+    * explode+distinct+cap shuffles per branch. Only d2/d6 call this (d3
+    * has its own candidates-only verify), so there is no double-cache
+    * hazard. The query session frees the blocks via `clearCache` (Bench)
+    * or session teardown (Verify).
     */
   private[analytics] def jaccardPairs(shRaw: DataFrame): DataFrame = {
     // df-cap: drop stop-shingles BEFORE the self-join (see ShingleDfCap).
@@ -75,6 +76,7 @@ object Dedup {
       .filter(col("df") <= ShingleDfCap)
       .select("s")
     val sh = shRaw.join(keep.hint("shuffle_hash"), Seq("s"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the per-doc sizes table is corpus-sized — locally tiny, unbounded at
     // scale, so the attach joins are shuffle-hinted (AQE would otherwise
     // broadcast it and hide the shape that matters at 100 TB)
@@ -181,8 +183,7 @@ object Dedup {
 
     // N-gram Jaccard near-dup pairs (exact, shingle-join pruned).
     "d2_ngram_jaccard" -> { (s, dir) =>
-      jaccardPairs(shingles(Tables(s, dir).documents)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      jaccardPairs(shingles(Tables(s, dir).documents))
         .filter(col("jaccard") >= JaccardThreshold)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
     },

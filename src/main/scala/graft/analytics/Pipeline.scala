@@ -28,6 +28,42 @@ object Pipeline {
   private val SpanDfCap = 2
 
   val queries: Map[String, Relational.Q] = Map(
+    // Bloom-prefiltered contamination check — p6's complement for when the
+    // EVAL side outgrows a set broadcast (a union of benchmark suites can
+    // be GBs; a Bloom filter over it is fixed-size regardless). Shape:
+    // bloom_filter_agg over the bench shingles → one binary blob broadcast
+    // onto the corpus scan → might_contain prefilter (codegen'd, no
+    // shuffle) → exact confirm join ONLY on the survivors (bloom has false
+    // positives, never false negatives, so confirm-after-probe returns
+    // exactly the p6 result). The corpus never shuffles; the confirm join
+    // moves survivors ≈ true hits + fp, a sliver of the scan.
+    "p13_bloom_contamination" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val sh = Dedup.shingles(docs)
+      val bench = sh.filter(pmod(col("doc_id"), lit(97L)) === 0L)
+        .select(col("s")).distinct()
+      // the filter builds in its own (bench-sized) job and its ONE ~50 KB
+      // blob becomes a literal in the probe plan — the same two-phase shape
+      // Spark's InjectRuntimeFilter produces (might_contain requires a
+      // constant/scalar-subquery filter). This is a scalar fetch, not a
+      // corpus collect.
+      val blob = bench.agg(graft.functions.BloomFunctions
+        .bloomAgg(xxhash64(col("s")), 50000L, 400000L).as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+      val candidates = sh.filter(pmod(col("doc_id"), lit(97L)) =!= 0L)
+        .filter(graft.functions.BloomFunctions
+          .mightContain(lit(blob), xxhash64(col("s"))))
+      // the confirm side is eval-sized — too big to broadcast by premise,
+      // so the join is pinned to the shuffle shape
+      val hits = candidates
+        .join(bench.hint("shuffle_hash"), Seq("s"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      hits.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_contam_docs"),
+          sum(col("n_sh")).as("n_shared_shingles"))
+    },
+
     // DSIR data selection (Xie et al. 2023, "Data Selection for Language
     // Models via Importance Resampling"): hashed-unigram importance
     // weights. Per-bucket log(p_target/p_raw) with add-1 smoothing over a
@@ -460,7 +496,12 @@ object Pipeline {
         |  CAST(SUM(CASE WHEN NOT fail_nwords AND NOT fail_wordlen
         |       AND NOT fail_ttr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM flagged GROUP BY lang""".stripMargin,
-    "p6_contamination" ->
+    // identical result law as p6 — the bloom is a pure prefilter (false
+    // positives only, removed by the exact confirm join)
+    "p13_bloom_contamination" -> contaminationOracle,
+    "p6_contamination" -> contaminationOracle) ++ moreOracles
+
+  private def contaminationOracle: String =
       s"""WITH ${Dedup.shinglesSql},
          |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
          |hits AS (SELECT DISTINCT c.doc_id, c.s
@@ -470,7 +511,10 @@ object Pipeline {
          |SELECT d.lang, COUNT(*) AS n_contam_docs,
          |  CAST(SUM(p.n_sh) AS BIGINT) AS n_shared_shingles
          |FROM per_doc p JOIN documents d USING (doc_id)
-         |GROUP BY d.lang""".stripMargin,
+         |GROUP BY d.lang""".stripMargin
+
+  /** A `def` (not val): referenced from `oracles`' initializer above. */
+  private def moreOracles: Map[String, String] = Map(
     "p7_domain_mix" ->
       """WITH counts AS (
         |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),

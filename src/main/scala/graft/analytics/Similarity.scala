@@ -106,7 +106,22 @@ object Similarity {
     "d5_embed_cosine_dup" -> { (s, dir) => embedNearDup(s, dir) },
 
     // SemDeDup (knobbed form below).
-    "d7_semdedup" -> { (s, dir) => semDeDup(s, dir) }) ++ moreQueries
+    "d7_semdedup" -> { (s, dir) => semDeDup(s, dir) },
+
+    // Embedding-space dedup clustering: connected components over the d5
+    // near-dup pair graph (min-label + pointer halving via
+    // Dedup.connectedComponents — O(log diameter) rounds). The text-side
+    // twin is d6; together they close the dedup loop: pairs → clusters →
+    // keepers in BOTH modalities.
+    "d8_embed_clusters" -> { (s, dir) =>
+      val pairs = embedNearDup(s, dir)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+        .cache()
+      val (labels, _) = Dedup.connectedComponents(pairs)
+      pairs.unpersist()
+      labels.select(col("doc").as("vec_id"), col("lbl").as("cluster_id"),
+        (col("doc") === col("lbl")).as("keeper"))
+    }) ++ moreQueries
 
   /** LSH ANN with the plane count surfaced. `numPlanes` is THE
     * recall/scan-fraction knob: candidates per query ≈ corpus / 2^planes
@@ -520,6 +535,43 @@ object Similarity {
       |            sqrt(CAST(SUM(CAST(v * v AS DECIMAL(30,15))) AS DOUBLE)) AS nrm
       |          FROM ex GROUP BY vec_id)""".stripMargin
 
+  /** d5's full candidate+cosine pipeline as a CTE chain ending at `cos`
+    * (vec_a, vec_b, cosine) — shared by the d5 pair listing and d8's
+    * clustering oracle.
+    */
+  private def embedPairsCte: String =
+    s"""$explodedSql,
+       |planes AS (SELECT p.p, d.d,
+       |             ((CAST(('0x'||substr(md5('plane_'||p.p||'_'||d.d),1,15)) AS BIGINT)
+       |               % 2001) - 1000) / 1000.0 AS w
+       |           FROM (SELECT unnest(range(0, 6)) AS p) p,
+       |                (SELECT unnest(range(1, 65)) AS d) d),
+       |bits AS (SELECT vec_id, p,
+       |           CASE WHEN SUM(CAST(v * w AS DECIMAL(30,15))) > 0
+       |                THEN 1 ELSE 0 END AS bit
+       |         FROM ex JOIN planes ON ex.d = planes.d
+       |         GROUP BY vec_id, p),
+       |buckets AS (SELECT vec_id,
+       |              CAST(SUM(bit * (1 << p)) AS BIGINT) AS bucket
+       |            FROM bits GROUP BY vec_id),
+       |masks(m) AS (VALUES (0), (1), (2), (4), (8), (16), (32)),
+       |cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |         FROM buckets a
+       |         JOIN masks ON true
+       |         JOIN buckets b ON b.bucket = xor(a.bucket, masks.m)
+       |           AND a.vec_id < b.vec_id),
+       |dots AS (SELECT vec_a, vec_b,
+       |           CAST(SUM(CAST(a.v * b.v AS DECIMAL(30,15))) AS DOUBLE) AS dot
+       |         FROM cand
+       |         JOIN ex a ON vec_a = a.vec_id
+       |         JOIN ex b ON vec_b = b.vec_id AND a.d = b.d
+       |         GROUP BY 1, 2),
+       |cos AS (SELECT vec_a, vec_b,
+       |          ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+       |        FROM dots
+       |        JOIN norms na ON vec_a = na.vec_id
+       |        JOIN norms nb ON vec_b = nb.vec_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "s1_knn_brute" ->
       s"""WITH $explodedSql,
@@ -608,38 +660,22 @@ object Similarity {
          |           FROM scored)
          |SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 3""".stripMargin,
     "d5_embed_cosine_dup" ->
-      s"""WITH $explodedSql,
-         |planes AS (SELECT p.p, d.d,
-         |             ((CAST(('0x'||substr(md5('plane_'||p.p||'_'||d.d),1,15)) AS BIGINT)
-         |               % 2001) - 1000) / 1000.0 AS w
-         |           FROM (SELECT unnest(range(0, 6)) AS p) p,
-         |                (SELECT unnest(range(1, 65)) AS d) d),
-         |bits AS (SELECT vec_id, p,
-         |           CASE WHEN SUM(CAST(v * w AS DECIMAL(30,15))) > 0
-         |                THEN 1 ELSE 0 END AS bit
-         |         FROM ex JOIN planes ON ex.d = planes.d
-         |         GROUP BY vec_id, p),
-         |buckets AS (SELECT vec_id,
-         |              CAST(SUM(bit * (1 << p)) AS BIGINT) AS bucket
-         |            FROM bits GROUP BY vec_id),
-         |masks(m) AS (VALUES (0), (1), (2), (4), (8), (16), (32)),
-         |cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |         FROM buckets a
-         |         JOIN masks ON true
-         |         JOIN buckets b ON b.bucket = xor(a.bucket, masks.m)
-         |           AND a.vec_id < b.vec_id),
-         |dots AS (SELECT vec_a, vec_b,
-         |           CAST(SUM(CAST(a.v * b.v AS DECIMAL(30,15))) AS DOUBLE) AS dot
-         |         FROM cand
-         |         JOIN ex a ON vec_a = a.vec_id
-         |         JOIN ex b ON vec_b = b.vec_id AND a.d = b.d
-         |         GROUP BY 1, 2),
-         |cos AS (SELECT vec_a, vec_b,
-         |          ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
-         |        FROM dots
-         |        JOIN norms na ON vec_a = na.vec_id
-         |        JOIN norms nb ON vec_b = nb.vec_id)
+      s"""WITH $embedPairsCte
          |SELECT vec_a, vec_b, cosine FROM cos WHERE cosine >= $DupThreshold""".stripMargin,
+    // transitive closure over the d5 near-dup graph; cluster = min
+    // reachable vec_id (mirror of d6's clustering, embedding space)
+    "d8_embed_clusters" ->
+      s"""WITH RECURSIVE $embedPairsCte,
+         |near AS (SELECT vec_a, vec_b FROM cos WHERE cosine >= $DupThreshold),
+         |edges AS (SELECT vec_a AS a, vec_b AS b FROM near
+         |          UNION ALL SELECT vec_b, vec_a FROM near),
+         |reach(doc, lbl) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.doc = e.a)
+         |SELECT doc AS vec_id, MIN(lbl) AS cluster_id,
+         |  doc = MIN(lbl) AS keeper
+         |FROM reach GROUP BY doc""".stripMargin,
     "c1_kmeans" ->
       s"""WITH $explodedSql,
          |cents AS (SELECT vec_id AS centroid_id, d, v FROM ex WHERE vec_id < 16),
