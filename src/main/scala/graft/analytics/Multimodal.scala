@@ -146,6 +146,78 @@ object Multimodal {
         sampleRate = (8000 + docId % 4 * 4000).toInt,
         frames = (docId % 500 + 1).toInt)
 
+  /** Near-dup image synthesis for the perceptual-hash dedup path: even
+    * doc_ids form groups of four (`base = doc_id - doc_id % 8`) that share
+    * one base texture and dimensions, with a per-variant brightness jitter
+    * on the pixel diagonal band `(x + y) % 23 == variant` (+16 per channel,
+    * clamped) — the "same image, re-encoded slightly differently" case
+    * every crawled image corpus is full of. Pure doc_id arithmetic, so the
+    * oracle can predict each variant's exact pixels.
+    */
+  def synthesizeNearDupPng(docId: Long): Array[Byte] = {
+    val base = docId - docId % 8
+    val variant = ((docId % 8) / 2).toInt
+    val width = (base % 97 + 8).toInt
+    val height = (base * 3 % 71 + 8).toInt
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = (((x * 31 + y * 17 + base) * 2654435761L) & 0xFFFFFF).toInt
+        val rgb = if ((x + y) % 23 == variant) {
+          val r = math.min(((v >> 16) & 0xFF) + 16, 255)
+          val g = math.min(((v >> 8) & 0xFF) + 16, 255)
+          val b = math.min((v & 0xFF) + 16, 255)
+          (r << 16) | (g << 8) | b
+        } else v
+        img.setRGB(x, y, rgb)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  final case class ImageHash(doc_id: Long, ahash: Long)
+
+  /** Perceptual hash (aHash): decode the real PNG, 8×8 nearest-neighbor
+    * thumbnail, per-cell brightness `r+g+b`, bit i set iff
+    * `64 * gray_i > sum(gray)` (integer-exact mean threshold — no float
+    * anywhere, so the oracle reproduces it bit-for-bit). Per-partition
+    * batch like [[imageFeatures]]; 64 pixels read per image regardless of
+    * size.
+    */
+  def aHashOf(docId: Long, media: Array[Byte]): Long = {
+    val img = ImageIO.read(new ByteArrayInputStream(media))
+    if (img == null)
+      throw new IllegalArgumentException(s"doc $docId: not an image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val gray = new Array[Int](64)
+    var total = 0
+    var i = 0
+    while (i < 64) {
+      val v = img.getRGB((i % 8) * w / 8, (i / 8) * h / 8) & 0xFFFFFF
+      gray(i) = ((v >> 16) & 0xFF) + ((v >> 8) & 0xFF) + (v & 0xFF)
+      total += gray(i)
+      i += 1
+    }
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (64 * gray(i) > total) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  def imageAHash(media: Dataset[MediaRecord]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r => ImageHash(r.doc_id, aHashOf(r.doc_id, r.media))))
+  }
+
   /** Deterministic raw-RGB video container (`GVID` + LE width/height/fps/
     * frame-count header, then frame-major w×h×3 byte planes). The JDK has no
     * video codec, so the container IS this library's — but the parsing,
@@ -342,6 +414,42 @@ object Multimodal {
           sum(col("sum_r")).as("sum_r"),
           sum(col("sum_g")).as("sum_g"),
           sum(col("sum_b")).as("sum_b"))
+    },
+
+    // Perceptual-hash image dedup: real PNG bytes (planted near-dup groups
+    // of 4, see synthesizeNearDupPng) → real decode → aHash → 4×16-bit
+    // band LSH → hamming ≤ 16 pairs. The multimodal twin of d3/d4: the
+    // corpus-sized hash table self-joins only on band collisions (never
+    // all pairs), the joins are shuffle-hinted (corpus-unbounded sides),
+    // and the hamming check touches candidates only. The oracle replays
+    // the synthesis+thumbnail+threshold arithmetic exactly — green means
+    // the decode→hash→band→pair pipeline recovered precisely the planted
+    // near-dup structure.
+    "m4_image_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables(s, dir).documents
+        .select(col("doc_id")).as[Long]
+        .filter(_ % 2 == 0) // the PNG half of the corpus
+        .mapPartitions(_.map(id => MediaRecord(id, synthesizeNearDupPng(id))))
+      val hashes = imageAHash(media).toDF()
+      val bands = hashes.select(col("doc_id"), col("ahash"),
+        explode(sequence(lit(0), lit(3))).as("b"))
+        .select(col("doc_id"), col("ahash"), col("b"),
+          expr("shiftrightunsigned(ahash, 16 * b)")
+            .bitwiseAND(lit(0xFFFFL)).as("bv"))
+      val cand = bands.select(col("b"), col("bv"),
+          col("doc_id").as("doc_a"), col("ahash").as("ha"))
+        .join(bands.select(col("b"), col("bv"),
+          col("doc_id").as("doc_b"), col("ahash").as("hb"))
+          .hint("shuffle_hash"), Seq("b", "bv"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("ha"), col("hb"))
+        .distinct() // a pair may collide in several bands
+      cand
+        .withColumn("hamming",
+          expr("bit_count(ha ^ hb)").cast("long"))
+        .filter(col("hamming") <= 16)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -397,6 +505,55 @@ object Multimodal {
         |  CAST(SUM(s.k_cnt) AS BIGINT) AS sum_sampled,
         |  CAST(SUM(b.bright) AS BIGINT) AS sum_brightness
         |FROM stats s JOIN bright b USING (doc_id) GROUP BY 1""".stripMargin,
+    // The near-dup synthesis + thumbnail + integer mean-threshold replayed
+    // exactly: per-cell bit iff 64*gray > total, band value = 16-bit slice
+    // reassembled from bits, pairs via band equality, hamming as the
+    // per-index bit disagreement count (identical to the Spark side's
+    // bit_count(ha ^ hb) by construction — no 64-bit value ever needs to
+    // exist on the SQL side).
+    "m4_image_dedup" ->
+      """WITH imgs AS (
+        |  SELECT doc_id, doc_id - doc_id % 8 AS base, (doc_id % 8) // 2 AS var
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |dims AS (SELECT doc_id, base, var, base % 97 + 8 AS w,
+        |           base * 3 % 71 + 8 AS h
+        |         FROM imgs),
+        |grid AS (SELECT gx.v AS gx, gy.v AS gy
+        |         FROM (SELECT unnest(range(0, 8)) AS v) gx,
+        |              (SELECT unnest(range(0, 8)) AS v) gy),
+        |pxl AS (
+        |  SELECT doc_id, gy * 8 + gx AS idx,
+        |    (gx * w) // 8 AS sx, (gy * h) // 8 AS sy, var,
+        |    (((gx * w) // 8 * 31 + (gy * h) // 8 * 17 + base) * 2654435761)
+        |      & 16777215 AS px
+        |  FROM dims CROSS JOIN grid),
+        |gray AS (
+        |  SELECT doc_id, idx,
+        |    CASE WHEN (sx + sy) % 23 = var
+        |      THEN LEAST(((px >> 16) & 255) + 16, 255)
+        |         + LEAST(((px >> 8) & 255) + 16, 255)
+        |         + LEAST((px & 255) + 16, 255)
+        |      ELSE ((px >> 16) & 255) + ((px >> 8) & 255) + (px & 255)
+        |    END AS g
+        |  FROM pxl),
+        |tot AS (SELECT doc_id, SUM(g) AS t FROM gray GROUP BY doc_id),
+        |bits AS (SELECT g.doc_id, g.idx,
+        |           CASE WHEN 64 * g.g > t.t THEN 1 ELSE 0 END AS bit
+        |         FROM gray g JOIN tot t USING (doc_id)),
+        |bands AS (SELECT doc_id, idx // 16 AS b,
+        |            CAST(SUM(bit * (1 << (idx % 16))) AS BIGINT) AS bv
+        |          FROM bits GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+        |           AND a.doc_id < b.doc_id),
+        |ham AS (SELECT c.doc_a, c.doc_b,
+        |          CAST(SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS hamming
+        |        FROM cand c
+        |        JOIN bits x ON c.doc_a = x.doc_id
+        |        JOIN bits y ON c.doc_b = y.doc_id AND x.idx = y.idx
+        |        GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 16""".stripMargin,
     // The synthesis arithmetic replayed at the 64 nearest-neighbor sample
     // points: src = (g * dim) // 8, pixel = ((x*31 + y*17 + doc_id) *
     // 2654435761) & 0xFFFFFF, channels = bytes of the packed RGB.

@@ -294,6 +294,39 @@ object Similarity {
 
   /** A `def` (not val): referenced from `queries`' initializer above. */
   private def moreQueries: Map[String, Relational.Q] = Map(
+    // ANN recall evaluation — "measure, don't guess" applied to the ANN
+    // family itself: brute-force top-3 is ground truth, [[annLsh]]'s top-3
+    // is the system under test, output is hits + recall@3 per query. Both
+    // compare inputs are RESULT-bounded (QueryCount × 3 rows), so the
+    // compare join broadcasts at any corpus size; the expensive parts are
+    // the two ANN runs, each keeping its own 100 TB shape (broadcast-query
+    // corpus scan / bucketed candidate join). This is the query a pipeline
+    // runs on a sampled query set to pick `numPlanes` before committing to
+    // an index build.
+    "s6_ann_recall" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val corpus = withNorm(
+        e.select(col("vec_id").as("cid"), col("embedding").as("ce")), "ce", "cn")
+      val queriesDf = withNorm(
+        e.filter(col("vec_id") < QueryCount)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe")), "qe", "qn")
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("cid"))
+      val truth = corpus.crossJoin(broadcast(queriesDf))
+        .filter(col("qid") =!= col("cid"))
+        .withColumn("cosine",
+          round(dotCol("qe", "ce") / (col("qn") * col("cn")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("cid"))
+      val approx = annLsh(s, dir)
+        .select(col("qid"), col("cid"), lit(1L).as("hit"))
+      truth.join(broadcast(approx), Seq("qid", "cid"), "left")
+        .groupBy("qid")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall_at_3", round(col("n_hit") / 3.0, 6))
+    },
+
     // Distributed k-means, one Lloyd round (K = 16, seeded by the first K
     // vectors): assign every vector to its nearest centroid, recompute each
     // centroid as the decimal-exact per-dimension mean of its members, and
@@ -781,6 +814,61 @@ object Similarity {
          |               ORDER BY cosine DESC, cid) AS rank
          |           FROM scored)
          |SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 3""".stripMargin,
+    // s1's brute top-3 (truth) LEFT JOIN s2's LSH top-3 (candidate) —
+    // recall@3 per query; both CTE chains are the pinned s1/s2 forms
+    "s6_ann_recall" ->
+      s"""WITH $explodedSql,
+         |planes AS (SELECT p.p, d.d,
+         |             ((CAST(('0x'||substr(md5('plane_'||p.p||'_'||d.d),1,15)) AS BIGINT)
+         |               % 2001) - 1000) / 1000.0 AS w
+         |           FROM (SELECT unnest(range(0, $NumPlanes)) AS p) p,
+         |                (SELECT unnest(range(1, 65)) AS d) d),
+         |bits AS (SELECT vec_id, p,
+         |           CASE WHEN SUM(CAST(v * w AS DECIMAL(30,15))) > 0
+         |                THEN 1 ELSE 0 END AS bit
+         |         FROM ex JOIN planes ON ex.d = planes.d
+         |         GROUP BY vec_id, p),
+         |buckets AS (SELECT vec_id,
+         |              CAST(SUM(bit * (1 << p)) AS BIGINT) AS bucket
+         |            FROM bits GROUP BY vec_id),
+         |masks(m) AS (VALUES ${(0L +: (0 until NumPlanes).map(1L << _).toSeq)
+                                 .map(m => s"($m)").mkString(", ")}),
+         |bdots AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |            CAST(SUM(CAST(q.v * c.v AS DECIMAL(30,15))) AS DOUBLE) AS dot
+         |          FROM ex q JOIN ex c ON q.d = c.d
+         |          WHERE q.vec_id < $QueryCount AND q.vec_id <> c.vec_id
+         |          GROUP BY 1, 2),
+         |truth AS (SELECT qid, cid FROM (
+         |            SELECT qid, cid,
+         |              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+         |                ROUND(dot / (nq.nrm * nc.nrm), 6) DESC, cid) AS rank
+         |            FROM bdots
+         |            JOIN norms nq ON qid = nq.vec_id
+         |            JOIN norms nc ON cid = nc.vec_id) WHERE rank <= 3),
+         |ldots AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |            CAST(SUM(CAST(q.v * c.v AS DECIMAL(30,15))) AS DOUBLE) AS dot
+         |          FROM ex q
+         |          JOIN buckets bq ON q.vec_id = bq.vec_id
+         |          JOIN masks ON true
+         |          JOIN buckets bc ON bc.bucket = xor(bq.bucket, masks.m)
+         |          JOIN ex c ON c.vec_id = bc.vec_id AND q.d = c.d
+         |          WHERE q.vec_id < $QueryCount AND q.vec_id <> c.vec_id
+         |          GROUP BY 1, 2),
+         |lsh AS (SELECT qid, cid FROM (
+         |          SELECT qid, cid,
+         |            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+         |              ROUND(dot / (nq.nrm * nc.nrm), 6) DESC, cid) AS rank
+         |          FROM ldots
+         |          JOIN norms nq ON qid = nq.vec_id
+         |          JOIN norms nc ON cid = nc.vec_id) WHERE rank <= 3)
+         |SELECT t.qid,
+         |  CAST(SUM(CASE WHEN l.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hit,
+         |  ROUND(SUM(CASE WHEN l.cid IS NOT NULL THEN 1 ELSE 0 END) / 3.0, 6)
+         |    AS recall_at_3
+         |FROM truth t
+         |LEFT JOIN lsh l ON t.qid = l.qid AND t.cid = l.cid
+         |GROUP BY t.qid""".stripMargin,
     "d7_semdedup" ->
       s"""WITH $explodedSql,
          |cents AS (SELECT vec_id AS centroid_id, d, v FROM ex WHERE vec_id < 16),

@@ -48,4 +48,19 @@ class MultimodalSpec extends AnyFunSuite {
       Codecs.decode(1L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9))
     }
   }
+
+  test("aHash: planted near-dup variants are close, strangers are far") {
+    // group of 4 around base 80 (even ids 80,82,84,86 share the texture)
+    val hashes = Seq(80L, 82L, 84L, 86L).map(id =>
+      Multimodal.aHashOf(id, Multimodal.synthesizeNearDupPng(id)))
+    for (a <- hashes; b <- hashes)
+      assert(java.lang.Long.bitCount(a ^ b) <= 16,
+        s"within-group hamming ${java.lang.Long.bitCount(a ^ b)} > 16")
+    // a different base should disagree on far more bits than the threshold
+    val stranger = Multimodal.aHashOf(200L, Multimodal.synthesizeNearDupPng(200L))
+    assert(java.lang.Long.bitCount(hashes.head ^ stranger) > 16)
+    // deterministic across re-synthesis (content-stable, retry-safe)
+    assert(Multimodal.aHashOf(82L, Multimodal.synthesizeNearDupPng(82L)) ==
+      hashes(1))
+  }
 }
