@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over the `documents` table — the training-data
@@ -267,6 +268,31 @@ object Dedup {
         (col("doc") === col("lbl")).as("keeper"))
     },
 
+    // Quality-aware keeper selection: d6's clusters, but the kept member is
+    // the HIGHEST-QUALITY document (a2's score; doc_id tie-break), not the
+    // lowest id — what production dedup actually ships (discarding a
+    // high-quality original because a spammy copy has a smaller id loses
+    // data for free). Quality is a map-only projection; the keeper window
+    // partitions by cluster id — cluster-sized groups, never corpus-wide.
+    "d9_keeper_quality" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val pairs = jaccardPairs(shingles(docs))
+        .filter(col("jaccard") >= JaccardThreshold)
+        .select(col("doc_a"), col("doc_b"))
+        .cache()
+      val (labels, _) = connectedComponents(pairs)
+      pairs.unpersist()
+      // clustered docs are a sliver of the corpus, but corpus-unbounded —
+      // the quality attach stays a shuffle join (same discipline as d6)
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("quality_score").desc, col("doc_id"))
+      labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
+        .join(TextAnalysis.qualityScore(docs).hint("shuffle_hash"), "doc_id")
+        .withColumn("keep", row_number().over(w) === 1)
+        .select(col("doc_id"), col("cluster_id"), col("quality_score"),
+          col("keep"))
+    },
+
     // SimHash: 16-bit fingerprint over token unigrams (pure map + one agg).
     "d4_simhash" -> { (s, dir) =>
       val toks = Tables(s, dir).documents
@@ -380,5 +406,26 @@ object Dedup {
          |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.doc = e.a)
          |SELECT doc AS doc_id, MIN(lbl) AS cluster_id,
          |  doc = MIN(lbl) AS keeper
-         |FROM reach GROUP BY doc""".stripMargin)
+         |FROM reach GROUP BY doc""".stripMargin,
+
+    // d6's transitive closure + a2's quality formula; keeper = row 1 of the
+    // (quality DESC, doc_id) window within each cluster
+    "d9_keeper_quality" ->
+      s"""WITH RECURSIVE $jaccardOracleCteCapped,
+         |near AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= $JaccardThreshold),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM near
+         |          UNION ALL SELECT doc_b, doc_a FROM near),
+         |reach(doc, lbl) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.doc = e.a),
+         |clusters AS (SELECT doc AS doc_id, MIN(lbl) AS cluster_id
+         |             FROM reach GROUP BY doc),
+         |${TextAnalysis.qualityCte},
+         |ranked AS (SELECT c.doc_id, c.cluster_id, q.quality_score,
+         |             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+         |               ORDER BY q.quality_score DESC, c.doc_id) AS r
+         |           FROM clusters c JOIN qual q USING (doc_id))
+         |SELECT doc_id, cluster_id, quality_score, r = 1 AS keep
+         |FROM ranked""".stripMargin)
 }

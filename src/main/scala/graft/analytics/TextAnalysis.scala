@@ -24,6 +24,37 @@ object TextAnalysis {
 
   private val Stopwords = Seq("the", "a", "or", "and", "of", "to", "in")
 
+  /** Per-doc quality score (a2's exact formula), reused by the
+    * quality-aware dedup keeper (d9): map-only, no shuffle.
+    */
+  private[analytics] def qualityScore(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .withColumn("n_tokens", size(col("tok")).cast("long"))
+      .withColumn("n_stop",
+        expr(s"size(filter(tok, t -> t IN ${sqlList(Stopwords)}))")
+          .cast("long"))
+      .withColumn("quality_score",
+        round((col("n_tokens") / (col("n_tokens") + lit(50.0))) * 0.5 +
+          (col("n_stop") * lit(1.0) / col("n_tokens")) * 0.5, 6))
+      .select(col("doc_id"), col("quality_score"))
+
+  /** a2's quality formula as oracle CTEs ending at `qual`
+    * (doc_id, quality_score).
+    */
+  private[analytics] def qualityCte: String =
+    s"""qtoks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |qagg AS (
+       |  SELECT doc_id, COUNT(*) AS n_tokens,
+       |    CAST(SUM(CASE WHEN t IN ${sqlList(Stopwords)} THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_stop
+       |  FROM qtoks GROUP BY doc_id),
+       |qual AS (
+       |  SELECT doc_id,
+       |    ROUND((n_tokens / (n_tokens + 50.0)) * 0.5 +
+       |          (n_stop * 1.0 / n_tokens) * 0.5, 6) AS quality_score
+       |  FROM qagg)""".stripMargin
+
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("(", ", ", ")")
 
