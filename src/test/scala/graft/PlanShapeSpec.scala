@@ -223,6 +223,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "docs×rates regressed to a shuffle join")
   }
 
+  test("m4's band self-join shuffles — hash tables are corpus-sized") {
+    // both sides of the band-collision join grow with the corpus; AQE's
+    // local broadcast conversion must not hide the only shape that exists
+    // at scale (hash-partitioned on the band value)
+    val blocks = nodeBlocks(planOf("m4_image_dedup"))
+    assert(!blocks.exists(_._1 == "CartesianProduct"))
+    assert(!blocks.exists { case (n, b) =>
+      n == "BroadcastHashJoin" &&
+        b.linesIterator.exists(l => l.contains("keys") && l.contains("bv#"))
+    }, "m4 broadcasts a corpus-sized hash-band table")
+    assert(blocks.exists { case (n, b) =>
+      (n == "ShuffledHashJoin" || n == "SortMergeJoin") &&
+        b.linesIterator.exists(l => l.contains("keys") && l.contains("bv#"))
+    }, "m4's band join must be a shuffled equi-join on the band value")
+  }
+
+  test("p13's bloom prefilter sits in the scan stage; confirm join shuffles") {
+    // the fixed-size bloom blob must be a literal predicate on the corpus
+    // scan side (no shuffle to apply it), and the exact confirm join is
+    // eval-sized by premise — pinned to the shuffle shape
+    val p = planOf("p13_bloom_contamination")
+    assert(p.contains("might_contain"), "bloom probe missing from the plan")
+    val blocks = nodeBlocks(p)
+    assert(!blocks.exists { case (n, b) =>
+      n == "BroadcastHashJoin" &&
+        b.linesIterator.exists(l => l.contains("keys") && l.contains("s#"))
+    }, "p13's confirm join must not broadcast the eval shingle set")
+  }
+
   test("ss scan splits on beacons and reports pruning in its description") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
