@@ -298,6 +298,42 @@ object Transport {
       s.table("t11_enrich_sink")
     },
 
+    // Stream-static dedup: the live ingest stream anti-joined against the
+    // content hashes of everything already in the training set — the
+    // "don't re-ingest what you already have" gate every continuously-fed
+    // corpus needs. The stream side probes per micro-batch; the seen-set is
+    // corpus-sized at scale, so at 100 TB the production form prefixes
+    // p13's bloom prefilter before this exact anti-join (false positives
+    // re-checked, negatives skip the join entirely) — the anti-join shape
+    // itself is what this query pins.
+    "t13_stream_static_dedup" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val out = scratch(dir, "t13dedup")
+      t.documents.select(
+        lit("doc").as("stream_key"),
+        pmod(col("doc_id"), lit(4L)).as("shard_id"),
+        col("doc_id").as("sequence"),
+        expr("timestamp'2026-01-01 00:00:00'").as("timestamp"),
+        to_json(struct(col("doc_id"), col("lang"), col("text")))
+          .cast("binary").as("payload"))
+        .write.format("ss").mode("overwrite").save(out)
+      val seen = t.documents
+        .filter(pmod(col("doc_id"), lit(3L)) === 0L)
+        .select(md5(col("text")).as("h")).distinct()
+      val q = s.readStream.format("ss").load(out)
+        .withColumn("j", from_json(col("payload").cast("string"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id LONG, lang STRING, text STRING")))
+        .withColumn("h", md5(col("j.text")))
+        .join(seen, Seq("h"), "left_anti")
+        .groupBy(col("j.lang").as("lang"))
+        .agg(count(lit(1)).as("n_new"), max(col("j.doc_id")).as("max_doc_id"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("t13_dedup_sink").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("t13_dedup_sink")
+    },
+
     // Producer-side sharding laws: round-robin (seq % n) and hash sharder
     // (xxhash64 has no DuckDB twin, so assert its invariants instead).
     "t4_sharders" -> { (s, dir) =>
@@ -359,6 +395,13 @@ object Transport {
     })
 
   val oracles: Map[String, String] = Map(
+    "t13_stream_static_dedup" ->
+      """WITH seen AS (SELECT DISTINCT md5(text) AS h FROM documents
+        |              WHERE doc_id % 3 = 0)
+        |SELECT lang, COUNT(*) AS n_new, MAX(doc_id) AS max_doc_id
+        |FROM documents
+        |WHERE md5(text) NOT IN (SELECT h FROM seen)
+        |GROUP BY lang""".stripMargin,
     "t12_stateful_running" ->
       """SELECT event_type AS stream_key, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

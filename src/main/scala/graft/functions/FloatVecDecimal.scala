@@ -106,8 +106,8 @@ case class FloatVecDecimal(left: Expression, right: Expression,
          |    double $xv = (double) $a.getFloat($i);
          |    double $yv = (double) $b.getFloat($i);
          |    double $prod = $prodExpr;
-         |    if (Double.isNaN($prod) || Double.isInfinite($prod)
-         |        || Math.abs($prod) >= 1e15) {
+         |    if (Double.isNaN($prod) || Double.isInfinite($prod) ||
+         |        Math.abs($prod) >= 1e15) {
          |      ${ev.isNull} = true; break;
          |    }
          |    $acc = $acc.add(java.math.BigDecimal.valueOf($prod)
