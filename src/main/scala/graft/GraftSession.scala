@@ -52,6 +52,16 @@ object GraftSession {
         "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // runtime bloom-filter injection OFF: InjectRuntimeFilter embeds a
+      // copy of the creation-side plan per injected filter and re-walks
+      // size-only stats (BigInt PRODUCTS across join children) over the
+      // growing tree — on deep self-join plans (d8's pair graph over the
+      // 16-way blocked LSH join) the estimate reaches thousands of digits
+      // and the driver spends MINUTES in BigInteger math before the first
+      // task launches. This library pins its join shapes explicitly
+      // (broadcast()/hint + PlanShapeSpec guards) and builds its own bloom
+      // prefilter where one pays (p13), so the rule only adds risk here.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
       // managed tables (the bucketed-join path) land in /tmp, not a
       // spark-warehouse dir inside the repo working copy. Namespaced per
       // PROCESS: writeBucketed drops + recursively deletes table dirs, so

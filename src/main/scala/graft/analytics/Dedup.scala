@@ -117,8 +117,19 @@ object Dedup {
     */
   private[analytics] def connectedComponents(
       pairs: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
-    val edges = pairs
-      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    // localCheckpoint the pair table BEFORE building the symmetric union:
+    // with a merely-cached input, every downstream plan (the union, then
+    // every round's joins) carries the CALLER's whole pair plan — for d8
+    // an LSH + 16-way blocked-join union — and Catalyst's size-only stats
+    // visitor MULTIPLIES child sizeInBytes across join nodes as BigInts,
+    // so each additional copy of that subtree multiplies the digit count
+    // and the driver drowns in BigInteger math inside plan
+    // explain/stats (d8: 83 s of driver time for 1146 pairs; unioning two
+    // copies before the checkpoint made it minutes). Severing lineage on
+    // the single copy caps the stats walk at the caller's own plan, once.
+    val edges0 = pairs.localCheckpoint(true)
+    val edges = edges0
+      .unionByName(edges0.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     var labels = edges.select(col("doc_a").as("doc"))
       .distinct()
       .withColumn("lbl", col("doc"))
@@ -163,6 +174,7 @@ object Dedup {
     // silent non-convergence would split a component across cluster ids
     require(converged,
       s"dedup clustering did not converge within $maxIter iterations")
+    edges0.unpersist() // labels are checkpointed — pair blocks can go now
     (labels, iter)
   }
 
@@ -258,12 +270,12 @@ object Dedup {
     // Output: every doc in a component, its cluster id (min doc_id), and
     // whether it is the keeper.
     "d6_dedup_clusters" -> { (s, dir) =>
+      // no caller-side cache: connectedComponents checkpoints the edge
+      // table eagerly, so the pair plan runs exactly once
       val pairs = jaccardPairs(shingles(Tables(s, dir).documents))
         .filter(col("jaccard") >= JaccardThreshold)
         .select(col("doc_a"), col("doc_b"))
-        .cache()
       val (labels, _) = connectedComponents(pairs)
-      pairs.unpersist()
       labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"),
         (col("doc") === col("lbl")).as("keeper"))
     },
@@ -279,9 +291,7 @@ object Dedup {
       val pairs = jaccardPairs(shingles(docs))
         .filter(col("jaccard") >= JaccardThreshold)
         .select(col("doc_a"), col("doc_b"))
-        .cache()
       val (labels, _) = connectedComponents(pairs)
-      pairs.unpersist()
       // clustered docs are a sliver of the corpus, but corpus-unbounded —
       // the quality attach stays a shuffle join (same discipline as d6)
       val w = Window.partitionBy(col("cluster_id"))

@@ -116,9 +116,7 @@ object Similarity {
     "d8_embed_clusters" -> { (s, dir) =>
       val pairs = embedNearDup(s, dir)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-        .cache()
       val (labels, _) = Dedup.connectedComponents(pairs)
-      pairs.unpersist()
       labels.select(col("doc").as("vec_id"), col("lbl").as("cluster_id"),
         (col("doc") === col("lbl")).as("keeper"))
     }) ++ moreQueries
