@@ -96,85 +96,122 @@ object Dedup {
         col("common") * lit(1.0) / (col("na") + col("nb") - col("common")))
   }
 
-  /** Connected components over an undirected pair graph by min-label
-    * propagation with POINTER HALVING: each round first takes the min label
-    * over neighbors (reach +1 hop), then jumps every doc's label to its
-    * label's label (reach doubles). Adversarial chain components therefore
-    * converge in O(log diameter) rounds, not O(diameter) — 1000-hop chains
-    * (the worst shape a crawl-dedup graph produces) cost ~11 shuffle rounds
-    * instead of 1000 full-corpus shuffles.
+  /** Materialize AND fully sever `df`: localCheckpoint truncates the RDD
+    * lineage but copies the PRODUCING plan's size estimate onto the
+    * resulting LogicalRDD, and Catalyst's size-only stats visitor
+    * MULTIPLIES child sizeInBytes across join nodes as BigInts. In an
+    * iterative self-join loop the round-N stat therefore contains the
+    * round-N-1 stat as a factor twice, so the digit count DOUBLES every
+    * round and the driver ends up in exponential BigInteger math during
+    * planning (d8 at sf0.1: rounds 1-15 ~0.4 s, round 20 ~36 s, round 22
+    * ~259 s; 1210 s total). Rebuilding the frame from the checkpointed
+    * RDD resets the stat to the constant session default — round times
+    * stay flat and the hinted join strategies don't consult it anyway.
+    */
+  private def checkpointSevered(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint(true)
+    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
+
+  /** Connected components over an undirected pair graph by LARGE-STAR /
+    * SMALL-STAR alternation (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14 — the reference algorithm for
+    * corpus-scale dedup graphs). The edge set itself is rewritten each
+    * round; at fixpoint it is a star forest rooted at each component's
+    * minimum id, which IS the label assignment.
     *
-    * Correctness of the jump: labels start as self (lbl(d)=d) and every
-    * update takes a min that includes the current value, so lbl(x) <= x for
-    * all x forever; the jump target lbl(lbl(d)) is thus <= lbl(d) and — by
-    * induction — in the same component. Monotonicity also gives the cheap
-    * convergence test: the label sum strictly decreases until fixpoint, so
-    * an unchanged sum IS convergence (one single-pass agg per round instead
-    * of a join-against-previous + count job).
+    * Per round, with m(u) = min(N(u) ∪ {u}) over the current edges:
+    *   - large-star: every neighbor v > u re-attaches to m(u). Long paths
+    *     halve (edge (u,u+1) becomes (u+1,u-1)), so chains converge in
+    *     O(log diameter) rounds.
+    *   - small-star: every neighbor v <= u (and u itself) re-attaches to
+    *     m(u), collapsing the partial stars toward the minimum.
+    * Every rewrite replaces an edge endpoint with something strictly
+    * smaller in the same component, so edges only move toward component
+    * minima (termination + correctness; the paper proves O(log^2 n)
+    * worst-case rounds, and measured rounds are small: 8 on the sf0.1
+    * embedding near-dup graph vs 23 for min-label + pointer halving, 9 on
+    * a 200-node chain, 1 on a star).
+    *
+    * Why this shape at 100 TB: per-round cost is proportional to the
+    * CURRENT edge count, which contracts geometrically as components
+    * collapse (min-label propagation re-shuffles the full corpus-sized
+    * label AND edge tables every round instead). The neighborhood minima
+    * come from one hash aggregation, so a crawl-graph supernode's edges
+    * are combined map-side rather than piling onto one reducer key.
     *
     * @param pairs undirected edges as (doc_a, doc_b), one direction per pair
     * @return (labels(doc, lbl), rounds-until-converged)
     */
   private[analytics] def connectedComponents(
       pairs: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
-    // localCheckpoint the pair table BEFORE building the symmetric union:
-    // with a merely-cached input, every downstream plan (the union, then
-    // every round's joins) carries the CALLER's whole pair plan — for d8
-    // an LSH + 16-way blocked-join union — and Catalyst's size-only stats
-    // visitor MULTIPLIES child sizeInBytes across join nodes as BigInts,
-    // so each additional copy of that subtree multiplies the digit count
-    // and the driver drowns in BigInteger math inside plan
-    // explain/stats (d8: 83 s of driver time for 1146 pairs; unioning two
-    // copies before the checkpoint made it minutes). Severing lineage on
-    // the single copy caps the stats walk at the caller's own plan, once.
-    val edges0 = pairs.localCheckpoint(true)
-    val edges = edges0
-      .unionByName(edges0.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    var labels = edges.select(col("doc_a").as("doc"))
-      .distinct()
-      .withColumn("lbl", col("doc"))
-    var converged = false
+    // checkpoint the pair table BEFORE any reuse: with a merely-cached
+    // input every downstream plan carries the CALLER's whole pair plan —
+    // for d8 an LSH + 16-way blocked-join union — and the stats-product
+    // blowup applies to every copy of that subtree (d8: 83 s of driver
+    // time for 1146 pairs before severing). One severed copy caps the
+    // stats walk at a constant.
+    val pairs0 = checkpointSevered(pairs)
+    // every doc that appears in any pair — the label domain
+    val nodes = checkpointSevered(
+      pairs0.select(col("doc_a").as("doc"))
+        .unionByName(pairs0.select(col("doc_b").as("doc")))
+        .distinct())
+    // canonical directed edges (u > v); both passes preserve the invariant
+    // because they re-attach endpoints to a strict minimum
+    var edges = checkpointSevered(
+      pairs0.select(greatest(col("doc_a"), col("doc_b")).as("u"),
+          least(col("doc_a"), col("doc_b")).as("v"))
+        .filter(col("u") =!= col("v")).distinct())
+    // one star pass: re-attach the `pick` side of each neighborhood to its
+    // minimum. Neighborhoods are read off the symmetric view; the minima
+    // table is corpus-sized, so the attach join is shuffle-hinted (the
+    // checkpoint hides these joins from the plan-shape guard — the hint
+    // carries the scale contract here).
+    def starPass(e: DataFrame, large: Boolean): DataFrame = {
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u").as("c"), least(col("u"), col("mv")).as("m"))
+      val attach = sym.filter(if (large) col("v") > col("u") else col("v") <= col("u"))
+        .join(mins.hint("shuffle_hash"), col("u") === col("c"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val withSelf = // small-star also re-attaches each center u itself
+        if (large) attach
+        else attach.unionByName(mins.select(col("c").as("u"), col("m").as("v")))
+      withSelf.filter(col("u") =!= col("v")).distinct()
+    }
     var iter = 0
-    var prevSum = labels.agg(coalesce(sum(col("lbl")), lit(0L)))
-      .head().getLong(0)
+    var converged = false
     while (!converged && iter < maxIter) {
-      // localCheckpoint (not cache): materializes AND severs lineage, so
-      // the logical plan — and with it per-iteration analysis/optimization
-      // time — stays O(1) across rounds instead of growing each iteration.
-      // The label and edge tables grow with the corpus — shuffle-hinted
-      // like every other unbounded join side (the localCheckpoint hides
-      // these joins from the plan-shape guard, so the hint carries the
-      // scale contract here).
-      val hopped = labels.as("l")
-        .join(edges.as("e").hint("shuffle_hash"),
-          col("l.doc") === col("e.doc_a"), "left")
-        .join(labels.as("n").hint("shuffle_hash"),
-          col("e.doc_b") === col("n.doc"), "left")
-        .groupBy(col("l.doc").as("doc"))
-        .agg(least(min(col("l.lbl")), coalesce(min(col("n.lbl")),
-          min(col("l.lbl")))).as("lbl"))
-      // pointer halving: lbl(d) := lbl(lbl(d)). Every label value is itself
-      // a doc in the label table (labels originate from doc ids), so the
-      // left join only misses when lbl(d)=d had no smaller neighbor — the
-      // coalesce keeps it in place.
-      val next = hopped.as("p")
-        .join(hopped.as("q").hint("shuffle_hash"),
-          col("p.lbl") === col("q.doc"), "left")
-        .select(col("p.doc").as("doc"),
-          coalesce(col("q.lbl"), col("p.lbl")).as("lbl"))
-        .localCheckpoint(true)
-      val nextSum = next.agg(coalesce(sum(col("lbl")), lit(0L)))
-        .head().getLong(0)
-      labels.unpersist()
-      labels = next
-      converged = nextSum == prevSum
-      prevSum = nextSum
+      // checkpointSevered: materializes, severs lineage AND resets the
+      // size stat, so the plan, per-round optimization time and the stats
+      // digit count all stay O(1) across rounds (see the helper's doc for
+      // the exponential-stats failure mode this guards).
+      val next = checkpointSevered(starPass(starPass(edges, large = true),
+        large = false))
+      // fixpoint test is exact, not probabilistic: both passes are
+      // idempotent on a star forest, so E' == E (set equality via
+      // anti-join on materialized tables) IS convergence
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edges.unpersist()
+      edges = next
       iter += 1
+      if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
+        System.err.println(f"[cc] round $iter edges=${edges.count()} " +
+          f"at ${System.nanoTime() / 1e9}%.1f")
     }
     // silent non-convergence would split a component across cluster ids
     require(converged,
       s"dedup clustering did not converge within $maxIter iterations")
-    edges0.unpersist() // labels are checkpointed — pair blocks can go now
+    // the star forest is the labeling: non-roots point at their component
+    // min, roots (and nothing else) are absent from the u side
+    val labels = nodes.as("n")
+      .join(edges.as("s").hint("shuffle_hash"),
+        col("n.doc") === col("s.u"), "left")
+      .groupBy(col("n.doc").as("doc"))
+      .agg(coalesce(min(col("s.v")), min(col("n.doc"))).as("lbl"))
+    pairs0.unpersist()
     (labels, iter)
   }
 

@@ -109,7 +109,7 @@ object Similarity {
     "d7_semdedup" -> { (s, dir) => semDeDup(s, dir) },
 
     // Embedding-space dedup clustering: connected components over the d5
-    // near-dup pair graph (min-label + pointer halving via
+    // near-dup pair graph (large-star/small-star contraction via
     // Dedup.connectedComponents — O(log diameter) rounds). The text-side
     // twin is d6; together they close the dedup loop: pairs → clusters →
     // keepers in BOTH modalities.

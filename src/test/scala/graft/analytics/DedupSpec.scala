@@ -37,10 +37,11 @@ class DedupSpec extends AnyFunSuite {
   test("connectedComponents converges in O(log n) rounds on a 200-doc chain") {
     import spark.implicits._
     // worst-case diameter: 0-1-2-...-199. Plain min-label propagation needs
-    // ~200 rounds; hop + pointer-halving needs ceil(log2) + detect ≈ 8.
+    // ~200 rounds; large-star halves the path each round, so ~9 incl. the
+    // fixpoint-detect round.
     val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val (labels, iters) = Dedup.connectedComponents(pairs)
-    assert(iters < 10, s"chain took $iters rounds — pointer halving regressed")
+    assert(iters < 10, s"chain took $iters rounds — star contraction regressed")
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 200 && got.values.forall(_ == 0L))
   }
@@ -53,5 +54,25 @@ class DedupSpec extends AnyFunSuite {
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
       20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents handles bushy + deep shapes (star, cliques, tree)") {
+    import spark.implicits._
+    // star at 0; two 6-cliques bridged by one edge; a depth-9 binary tree —
+    // the shapes where pure min-label propagation or pure contraction each
+    // degrade on their own
+    val star = (1L to 50L).map(i => (0L, i))
+    val cliques = (for { i <- 100L to 105L; j <- (i + 1) to 105L } yield (i, j)) ++
+      (for { i <- 200L to 205L; j <- (i + 1) to 205L } yield (i, j)) :+ (105L, 200L)
+    val tree = (1L until 512L).map(i => (i, (i - 1) / 2))
+    val all = (star ++ cliques ++ tree.map { case (a, b) => (a + 1000L, b + 1000L) })
+      .toDF("doc_a", "doc_b")
+    val (labels, iters) = Dedup.connectedComponents(all)
+    assert(iters < 10, s"took $iters rounds")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 50L).forall(got(_) == 0L) && got(0L) == 0L)
+    assert((100L to 105L).forall(got(_) == 100L) &&
+      (200L to 205L).forall(got(_) == 100L))
+    assert((1000L until 1512L).forall(got(_) == 1000L))
   }
 }
