@@ -26,10 +26,10 @@ object Dedup {
   private def md5long(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
-  private val Prime = 1000000007L
+  private[analytics] val Prime = 1000000007L
 
   /** (a, b) parameters of the 8 minhash permutations h_i = (a*h+b) mod p. */
-  private val MinhashParams: Seq[(Int, Int)] = Seq(
+  private[analytics] val MinhashParams: Seq[(Int, Int)] = Seq(
     (387, 1031), (1049, 2477), (2503, 4099), (4111, 8221),
     (8231, 16411), (16417, 32771), (32779, 65537), (65539, 131071))
 

@@ -223,6 +223,80 @@ object Similarity {
         .select(col("qid"), col("cid"), col("cosine"), col("rank"))
   }
 
+  /** On-disk location of the persisted IVF index — under the PID-namespaced
+    * warehouse so concurrent Bench/Verify sessions can't clobber each other.
+    */
+  private def ivfIndexPath(s: SparkSession, dir: String): String =
+    java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath +
+      "/ivf_index_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+
+  /** PERSISTED IVF index — the q22 layout/query split applied to vector
+    * search. The build assigns every vector to its nearest centroid (same
+    * exact-decimal rule as [[annIvf]]) and writes the corpus
+    * `partitionBy(centroid_id)`: the directory layout IS the inverted
+    * file, and the per-vector norm is precomputed into it. Amortization is
+    * the point: s3 re-derives assignments on every run (fine for one
+    * query set, wrong for a serving corpus); here the corpus-wide
+    * assignment job runs once and each query set afterwards touches only
+    * its probed partitions.
+    */
+  def s7Layout(s: SparkSession, dir: String, k: Int = 16): Unit = {
+    val e = Tables(s, dir).embeddings
+    val cents = broadcast(e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb")))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2r"), col("centroid_id"))
+    val assigned = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(cents)
+      .withColumn("d2r", round(dist2Col("embedding", "cemb"), 6))
+      .withColumn("cr", row_number().over(wAssign))
+      .filter(col("cr") === 1)
+    withNorm(assigned.select(col("vec_id").as("cid"),
+        col("embedding").as("ce"), col("centroid_id")), "ce", "cn")
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(ivfIndexPath(s, dir))
+  }
+
+  /** Probe the persisted index with DYNAMIC PARTITION PRUNING: the probe
+    * list (2 centroids per query) broadcasts, and its values become a
+    * runtime partition filter on the index scan — the plan reads only the
+    * probed centroid directories, never the whole corpus
+    * (`PartitionFilters: [... dynamicpruning ...]`, guarded in
+    * PlanShapeSpec). At corpus scale K grows with sqrt(n), so a query set
+    * touches probes/K of the data; the scan cost follows the PROBES, not
+    * the corpus.
+    */
+  def s7Query(s: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    val idx = s.read.parquet(ivfIndexPath(s, dir))
+    // probe selection re-derives only the QUERY vectors' centroid ranks —
+    // QueryCount × K rows, query-set-bounded at any corpus size
+    val cents = broadcast(e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb")))
+    val wAssign = Window.partitionBy(col("qid"))
+      .orderBy(col("d2r"), col("centroid_id"))
+    val probes = e.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(cents)
+      .withColumn("d2r", round(dist2Col("qe", "cemb"), 6))
+      .withColumn("cr", row_number().over(wAssign))
+      .filter(col("cr") <= 2)
+      .select(col("qid"), col("centroid_id"))
+    val qs = withNorm(
+      e.filter(col("vec_id") < QueryCount)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")), "qe", "qn")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("cid"))
+    idx.join(broadcast(probes), "centroid_id")
+      .join(broadcast(qs), "qid")
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cosine",
+        round(dotCol("qe", "ce") / (col("qn") * col("cn")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("cid"), col("cosine"), col("rank"))
+  }
+
   /** Embedding-cosine near-dup over the FULL corpus: LSH buckets
     * (`numPlanes` planes + hamming-1 multi-probe) generate candidate
     * pairs, exact cosine keeps pairs >= 0.35. The whole-corpus pair join
@@ -292,6 +366,14 @@ object Similarity {
 
   /** A `def` (not val): referenced from `queries`' initializer above. */
   private def moreQueries: Map[String, Relational.Q] = Map(
+    // Persisted-IVF serve path: build the partitioned index once, then
+    // probe it with dynamic partition pruning. Result-identical to s3
+    // (same assignment + scoring rules), so the oracle replays s3's SQL —
+    // what the split changes is who pays for the corpus-wide assignment.
+    "s7_ann_ivf_indexed" -> { (s, dir) =>
+      s7Layout(s, dir)
+      s7Query(s, dir)
+    },
     // ANN recall evaluation — "measure, don't guess" applied to the ANN
     // family itself: brute-force top-3 is ground truth, [[annLsh]]'s top-3
     // is the system under test, output is hits + recall@3 per query. Both
@@ -603,6 +685,44 @@ object Similarity {
        |        JOIN norms na ON vec_a = na.vec_id
        |        JOIN norms nb ON vec_b = nb.vec_id)""".stripMargin
 
+  /** IVF probe semantics shared by s3 (inline assignment) and s7 (persisted
+    * index): 16 seed centroids, nearest-1 lists, 2-probe queries, exact
+    * decimal scoring, top-3 per query.
+    */
+  private def ivfOracleSql: String =
+    s"""WITH $explodedSql,
+       |cents AS (SELECT vec_id AS centroid_id, d, v FROM ex WHERE vec_id < 16),
+       |d2 AS (SELECT e.vec_id, c.centroid_id,
+       |         ROUND(CAST(SUM(CAST((e.v - c.v) * (e.v - c.v)
+       |           AS DECIMAL(30,15))) AS DOUBLE), 6) AS d2r
+       |       FROM ex e JOIN cents c ON e.d = c.d
+       |       GROUP BY 1, 2),
+       |ra AS (SELECT vec_id, centroid_id,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id
+       |           ORDER BY d2r, centroid_id) AS cr
+       |       FROM d2),
+       |lists AS (SELECT vec_id AS cid, centroid_id FROM ra WHERE cr = 1),
+       |probes AS (SELECT vec_id AS qid, centroid_id FROM ra
+       |           WHERE vec_id < $QueryCount AND cr <= 2),
+       |dots AS (SELECT p.qid, l.cid,
+       |           CAST(SUM(CAST(q.v * c.v AS DECIMAL(30,15))) AS DOUBLE) AS dot
+       |         FROM probes p
+       |         JOIN lists l ON p.centroid_id = l.centroid_id
+       |         JOIN ex q ON q.vec_id = p.qid
+       |         JOIN ex c ON c.vec_id = l.cid AND q.d = c.d
+       |         WHERE p.qid <> l.cid
+       |         GROUP BY 1, 2),
+       |scored AS (SELECT qid, cid,
+       |             ROUND(dot / (nq.nrm * nc.nrm), 6) AS cosine
+       |           FROM dots
+       |           JOIN norms nq ON qid = nq.vec_id
+       |           JOIN norms nc ON cid = nc.vec_id),
+       |ranked AS (SELECT qid, cid, cosine,
+       |             ROW_NUMBER() OVER (PARTITION BY qid
+       |               ORDER BY cosine DESC, cid) AS rank
+       |           FROM scored)
+       |SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 3""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "s1_knn_brute" ->
       s"""WITH $explodedSql,
@@ -657,39 +777,10 @@ object Similarity {
          |               ORDER BY cosine DESC, cid) AS rank
          |           FROM scored)
          |SELECT qid, cid, bucket, cosine, rank FROM ranked WHERE rank <= 3""".stripMargin,
-    "s3_ann_ivf" ->
-      s"""WITH $explodedSql,
-         |cents AS (SELECT vec_id AS centroid_id, d, v FROM ex WHERE vec_id < 16),
-         |d2 AS (SELECT e.vec_id, c.centroid_id,
-         |         ROUND(CAST(SUM(CAST((e.v - c.v) * (e.v - c.v)
-         |           AS DECIMAL(30,15))) AS DOUBLE), 6) AS d2r
-         |       FROM ex e JOIN cents c ON e.d = c.d
-         |       GROUP BY 1, 2),
-         |ra AS (SELECT vec_id, centroid_id,
-         |         ROW_NUMBER() OVER (PARTITION BY vec_id
-         |           ORDER BY d2r, centroid_id) AS cr
-         |       FROM d2),
-         |lists AS (SELECT vec_id AS cid, centroid_id FROM ra WHERE cr = 1),
-         |probes AS (SELECT vec_id AS qid, centroid_id FROM ra
-         |           WHERE vec_id < $QueryCount AND cr <= 2),
-         |dots AS (SELECT p.qid, l.cid,
-         |           CAST(SUM(CAST(q.v * c.v AS DECIMAL(30,15))) AS DOUBLE) AS dot
-         |         FROM probes p
-         |         JOIN lists l ON p.centroid_id = l.centroid_id
-         |         JOIN ex q ON q.vec_id = p.qid
-         |         JOIN ex c ON c.vec_id = l.cid AND q.d = c.d
-         |         WHERE p.qid <> l.cid
-         |         GROUP BY 1, 2),
-         |scored AS (SELECT qid, cid,
-         |             ROUND(dot / (nq.nrm * nc.nrm), 6) AS cosine
-         |           FROM dots
-         |           JOIN norms nq ON qid = nq.vec_id
-         |           JOIN norms nc ON cid = nc.vec_id),
-         |ranked AS (SELECT qid, cid, cosine,
-         |             ROW_NUMBER() OVER (PARTITION BY qid
-         |               ORDER BY cosine DESC, cid) AS rank
-         |           FROM scored)
-         |SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 3""".stripMargin,
+    "s3_ann_ivf" -> ivfOracleSql,
+    // the persisted index changes WHERE the assignment cost lands (one-time
+    // layout vs every run), not the result — identical SQL is the point
+    "s7_ann_ivf_indexed" -> ivfOracleSql,
     "d5_embed_cosine_dup" ->
       s"""WITH $embedPairsCte
          |SELECT vec_a, vec_b, cosine FROM cos WHERE cosine >= $DupThreshold""".stripMargin,

@@ -252,6 +252,19 @@ class PlanShapeSpec extends AnyFunSuite {
     }, "p13's confirm join must not broadcast the eval shingle set")
   }
 
+  test("s7 probes the persisted IVF index with dynamic partition pruning") {
+    // the layout is partitionBy(centroid_id); the probe list must reach the
+    // index scan as a RUNTIME partition filter (reused from the probes
+    // broadcast) — without it every query set re-reads the whole corpus
+    val p = planOf("s7_ann_ivf_indexed")
+    assert(p.contains("dynamicpruning"),
+      "index scan lost its dynamic partition pruning filter")
+    assert(nodeBlocks(p).exists { case (n, b) =>
+      n.startsWith("Scan") && b.contains("PartitionFilters") &&
+        b.contains("dynamicpruning")
+    }, "the pruning filter must sit on the index scan's PartitionFilters")
+  }
+
   test("ss scan splits on beacons and reports pruning in its description") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
