@@ -182,6 +182,7 @@ object Dedup {
     }
     var iter = 0
     var converged = false
+    var edgeCount = edges.count()
     while (!converged && iter < maxIter) {
       // checkpointSevered: materializes, severs lineage AND resets the
       // size stat, so the plan, per-round optimization time and the stats
@@ -190,15 +191,18 @@ object Dedup {
       val next = checkpointSevered(starPass(starPass(edges, large = true),
         large = false))
       // fixpoint test is exact, not probabilistic: both passes are
-      // idempotent on a star forest, so E' == E (set equality via
-      // anti-join on materialized tables) IS convergence
-      converged = next.count() == edges.count() &&
+      // idempotent on a star forest, so E' == E (count carried from last
+      // round + anti-join on materialized tables) IS convergence; the
+      // anti-join job only runs in rounds where the counts already match
+      val nextCount = next.count()
+      converged = nextCount == edgeCount &&
         next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edgeCount = nextCount
       edges.unpersist()
       edges = next
       iter += 1
       if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
-        System.err.println(f"[cc] round $iter edges=${edges.count()} " +
+        System.err.println(f"[cc] round $iter edges=$edgeCount " +
           f"at ${System.nanoTime() / 1e9}%.1f")
     }
     // silent non-convergence would split a component across cluster ids
