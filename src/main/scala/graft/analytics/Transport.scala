@@ -27,6 +27,80 @@ object Transport {
       col("ts").as("timestamp"),
       to_json(struct(col("event_id"), col("value"))).cast("binary").as("payload"))
 
+  /** Near-dup dedup AT INGEST: MinHash-LSH (d3's signature scheme) as a
+    * stateful stream — every band bucket keeps the min doc_id it has ever
+    * seen, later colliders are emitted as duplicates, survivors feed the
+    * corpus. This is the production shape for training-data ingestion: the
+    * corpus-scale near-dup join (d3) runs ONCE to seed state; from then on
+    * each new document costs only its own signature rows against keyed
+    * state. The ingest log is a single ordered shard (a partition of an
+    * ingest topic — arrival order IS doc order, so batch splits can't
+    * change the outcome); the LSH-bucket state itself is hash-partitioned
+    * across executors, which is where the scale lives.
+    *
+    * Signatures are computed per-ROW as array expressions (Spark allows one
+    * stateful op per stream, so no pre-state aggregation): shingles as an
+    * array column, each of the 8 permutations an array_min. Same
+    * md5-derived hashes as d3, so the DuckDB oracle replays them
+    * bit-for-bit. Documents under 3 tokens sign nothing and always
+    * survive.
+    *
+    * @return distinct doc_ids flagged as duplicates (keepers absent)
+    */
+  private[analytics] def streamLshDupIds(docs: org.apache.spark.sql.DataFrame,
+      out: String, cap: Long, sinkName: String): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    docs.select(
+      lit("doc").as("stream_key"), lit(0L).as("shard_id"),
+      col("doc_id").as("sequence"),
+      expr("timestamp'2026-01-01 00:00:00'").as("timestamp"),
+      to_json(struct(col("doc_id"), col("text"))).cast("binary").as("payload"))
+      .write.format("ss").mode("overwrite").save(out)
+    val sigExprs = Dedup.MinhashParams.map { case (a, b) =>
+      s"array_min(transform(hm, h -> (${a}L * h + ${b}L) % ${Dedup.Prime}L))"
+    }.mkString(", ")
+    val sigRows = s.readStream.format("ss")
+      .option("maxMessagesPerTrigger", cap.toString)
+      .load(out)
+      .withColumn("j", from_json(col("payload").cast("string"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id LONG, text STRING")))
+      .select(col("j.doc_id").as("doc_id"),
+        split(col("j.text"), " ").as("tok"))
+      .withColumn("sh", expr(
+        "CASE WHEN size(tok) >= 3 THEN " +
+          "transform(sequence(0, least(size(tok)-3, 1022)), " +
+          "i -> concat_ws(' ', slice(tok, i+1, 3))) " +
+          "ELSE array() END"))
+      .withColumn("hm", expr(
+        "transform(sh, x -> cast(conv(substring(md5(cast(x AS binary)), " +
+          s"1, 15), 16, 10) AS bigint) % ${Dedup.Prime}L)"))
+      .select(col("doc_id"),
+        posexplode(expr(s"array($sigExprs)")).as(Seq("band", "mh")))
+      .filter(col("mh").isNotNull) // docs under 3 tokens sign nothing
+      .as[(Long, Int, Long)]
+    val dups = sigRows.groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState(OM.Append(), GroupStateTimeout.NoTimeout())(
+        (_: (Int, Long), rows: Iterator[(Long, Int, Long)],
+            state: GroupState[Long]) => {
+          // single ordered shard + prefix batches: any id already in
+          // state precedes every id in this batch
+          val ids = rows.map(_._1).toArray.sorted
+          val hadKeeper = state.exists
+          state.update(math.min(
+            state.getOption.getOrElse(Long.MaxValue), ids.head))
+          (if (hadKeeper) ids.iterator else ids.iterator.drop(1))
+            .map(Tuple1(_))
+        })
+    val q = dups.toDF("doc_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName(sinkName).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sinkName).select("doc_id").distinct()
+  }
+
   /** `distinct` is batch-only in streaming aggs, so it's optional here. */
   private[analytics] def aggregate(envelope: DataFrame, withDistinct: Boolean): DataFrame = {
     val base = envelope
@@ -334,73 +408,13 @@ object Transport {
       s.table("t13_dedup_sink")
     },
 
-    // Near-dup dedup AT INGEST: MinHash-LSH (d3's signature scheme) as a
-    // stateful stream — every band bucket keeps the min doc_id it has ever
-    // seen, later colliders are emitted as duplicates, survivors feed the
-    // corpus. This is the production shape for training-data ingestion: the
-    // corpus-scale near-dup join (d3) runs ONCE to seed state; from then on
-    // each new document costs only its own signature rows against keyed
-    // state. The ingest log is a single ordered shard (a partition of an
-    // ingest topic — arrival order IS doc order, so batch splits can't
-    // change the outcome); the LSH-bucket state itself is hash-partitioned
-    // across executors, which is where the scale lives.
+    // Near-dup dedup AT INGEST (see [[streamLshDupIds]] for the mechanism
+    // and scale rationale).
     "t14_stream_lsh_dedup" -> { (s, dir) =>
-      import s.implicits._
-      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
       val t = Tables(s, dir)
-      val out = scratch(dir, "t14lsh")
-      t.documents.select(
-        lit("doc").as("stream_key"), lit(0L).as("shard_id"),
-        col("doc_id").as("sequence"),
-        expr("timestamp'2026-01-01 00:00:00'").as("timestamp"),
-        to_json(struct(col("doc_id"), col("text"))).cast("binary").as("payload"))
-        .write.format("ss").mode("overwrite").save(out)
       val cap = math.max(1000L, t.documents.count() / 4)
-      // per-ROW signatures (no pre-state aggregation — Spark allows one
-      // stateful op per stream): shingles as an array column, each of the 8
-      // permutations an array_min. Same md5-derived hashes as d3, so the
-      // DuckDB oracle replays them bit-for-bit.
-      val sigExprs = Dedup.MinhashParams.map { case (a, b) =>
-        s"array_min(transform(hm, h -> (${a}L * h + ${b}L) % ${Dedup.Prime}L))"
-      }.mkString(", ")
-      val sigRows = s.readStream.format("ss")
-        .option("maxMessagesPerTrigger", cap.toString)
-        .load(out)
-        .withColumn("j", from_json(col("payload").cast("string"),
-          org.apache.spark.sql.types.StructType.fromDDL(
-            "doc_id LONG, text STRING")))
-        .select(col("j.doc_id").as("doc_id"),
-          split(col("j.text"), " ").as("tok"))
-        .withColumn("sh", expr(
-          "CASE WHEN size(tok) >= 3 THEN " +
-            "transform(sequence(0, least(size(tok)-3, 1022)), " +
-            "i -> concat_ws(' ', slice(tok, i+1, 3))) " +
-            "ELSE array() END"))
-        .withColumn("hm", expr(
-          "transform(sh, x -> cast(conv(substring(md5(cast(x AS binary)), " +
-            s"1, 15), 16, 10) AS bigint) % ${Dedup.Prime}L)"))
-        .select(col("doc_id"),
-          posexplode(expr(s"array($sigExprs)")).as(Seq("band", "mh")))
-        .filter(col("mh").isNotNull) // docs under 3 tokens sign nothing
-        .as[(Long, Int, Long)]
-      val dups = sigRows.groupByKey(r => (r._2, r._3))
-        .flatMapGroupsWithState(OM.Append(), GroupStateTimeout.NoTimeout())(
-          (_: (Int, Long), rows: Iterator[(Long, Int, Long)],
-              state: GroupState[Long]) => {
-            // single ordered shard + prefix batches: any id already in
-            // state precedes every id in this batch
-            val ids = rows.map(_._1).toArray.sorted
-            val hadKeeper = state.exists
-            state.update(math.min(
-              state.getOption.getOrElse(Long.MaxValue), ids.head))
-            (if (hadKeeper) ids.iterator else ids.iterator.drop(1))
-              .map(Tuple1(_))
-          })
-      val q = dups.toDF("doc_id")
-        .writeStream.outputMode("append")
-        .format("memory").queryName("t14_lsh_sink").start()
-      try q.processAllAvailable() finally q.stop()
-      val dupIds = s.table("t14_lsh_sink").select("doc_id").distinct()
+      val dupIds = streamLshDupIds(t.documents, scratch(dir, "t14lsh"),
+        cap, "t14_lsh_sink")
       t.documents.join(dupIds, Seq("doc_id"), "left_anti")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_kept"), max(col("doc_id")).as("max_doc_id"))
