@@ -224,13 +224,12 @@ object SeaStreamer {
       val rewound = opts.rewindSeqNo
         .map(n => sought.filter(col("sequence") >= n))
         .getOrElse(sought)
-      // assign: redis reads exactly the assigned keys and the builtin kafka
-      // connector pushes the TopicPartition list to the broker; the kafka
-      // wire driver and other backends express the pin as the equivalent
-      // (stream, shard) filter
+      // assign: redis reads exactly the assigned keys, the builtin kafka
+      // connector pushes the TopicPartition list to the broker, and the
+      // kafka wire driver prunes its fetch planner; the remaining backends
+      // express the pin as the equivalent (stream, shard) filter
       opts.assignShards
-        .filterNot(_ => scheme == "redis" ||
-          (scheme == "kafka" && SeaStreamer.builtinKafkaPresent))
+        .filterNot(_ => scheme == "redis" || scheme == "kafka")
         .map(pairs => rewound.filter(
           pairs.map(p => col("stream_key") === p._1 &&
             col("shard_id") === p._2).reduce(_ || _)))
@@ -330,10 +329,16 @@ object SeaStreamer {
             throw SeaStreamErr.Unsupported(
               "kafka wildcard subscribe on the wire driver (name the topics)")
           val (host, port) = SeaStreamer.hostPort(nodeAddr, 9092)
+          // assign pushes into the wire planner (shard_id = partition):
+          // unassigned partitions are never listed, fetched or
+          // checkpointed — the pin prunes the scan, not the result
+          val assignOpt = opts.assignShards
+            .map(_.map(p => s"${p._1}:${p._2}").mkString(","))
           if (opts.live) {
-            val base = spark.readStream.format("kafka-wire")
+            val base0 = spark.readStream.format("kafka-wire")
               .option("host", host).option("port", port.toString)
               .option("topics", subscribe)
+            val base = assignOpt.fold(base0)(base0.option("assign", _))
             // seek pushes into ListOffsets at ms+1 (offsets_for_times law);
             // the generic strict-> residual filter still applies on top
             opts.seekTimestamp
@@ -345,7 +350,8 @@ object SeaStreamer {
           } else
             graft.kafka.KafkaSource.boundedRead(spark, host, port, streams,
               afterMs = opts.seekTimestamp.map(_.getTime),
-              fromOffset = opts.rewindSeqNo)
+              fromOffset = opts.rewindSeqNo,
+              assign = opts.assignShards)
         case "redis" =>
           if (streams.contains(Envelope.SeaStreamerWildcard))
             throw SeaStreamErr.Unsupported(

@@ -51,12 +51,15 @@ object KafkaSource {
     * makes on assignment).
     */
   private def planRanges(host: String, port: Int, topics: Seq[String],
-      afterMs: Option[Long], fromOffset: Option[Long]): Seq[(String, Int, Long, Long)] = {
+      afterMs: Option[Long], fromOffset: Option[Long],
+      assign: Option[Seq[(String, Long)]]): Seq[(String, Int, Long, Long)] = {
     val c = new KafkaClient(host, port)
     try {
       val meta = c.metadata(topics)
       topics.flatMap { t =>
-        meta.getOrElse(t, Seq.empty).map { p =>
+        meta.getOrElse(t, Seq.empty)
+          .filter(p => assign.forall(_.exists(a => a._1 == t && a._2 == p.toLong)))
+          .map { p =>
           val until = c.listOffset(t, p, KafkaWire.Ts.Latest).getOrElse(0L)
           val from = afterMs match {
             // seek law is strictly `>`: first offset with ts >= ms+1
@@ -74,13 +77,18 @@ object KafkaSource {
     * frozen at planning (reads are repeatable under task retry). `afterMs`
     * pushes the facade seek into ListOffsets; `fromOffset` is the rewind
     * law (`sequence >= n` — offsets ARE the envelope sequence on Kafka).
+    * `assign` is the manual-partition pin (`Consumer::assign`): the
+    * planner drops unassigned partitions BEFORE any ListOffsets or fetch —
+    * the pin prunes the scan, not the result (shard_id = partition on this
+    * backend, so the facade's (stream, shard) pairs map 1:1).
     */
   def boundedRead(spark: SparkSession, host: String, port: Int,
       topics: Seq[String], afterMs: Option[Long] = None,
       fromOffset: Option[Long] = None,
-      maxFetchBytes: Int = 1 << 20): DataFrame = {
+      maxFetchBytes: Int = 1 << 20,
+      assign: Option[Seq[(String, Long)]] = None): DataFrame = {
     import spark.implicits._
-    val ranges = planRanges(host, port, topics, afterMs, fromOffset)
+    val ranges = planRanges(host, port, topics, afterMs, fromOffset, assign)
     spark.sparkContext.parallelize(ranges, math.max(1, ranges.size))
       .mapPartitions { it =>
         val opened = graft.core.TaskResources.closeOnTaskCompletion[KafkaClient]()

@@ -143,6 +143,25 @@ class KafkaMicroBatchStream(options: CaseInsensitiveStringMap)
     if (v == null || v.isEmpty) None else Some(v)
   }
 
+  /** Manual partition assign (`Consumer::assign`): `"topic:0,topic:2"`
+    * pins the subscription to exactly those partitions. The pin prunes the
+    * SCAN, not the result — unassigned partitions are never listed,
+    * fetched, or checkpointed (the builtin connector's assign JSON pushes
+    * to the broker the same way; at scale this is what makes a
+    * two-consumer split read each byte once).
+    */
+  private val assign: Option[Set[(String, Int)]] = {
+    val v = options.get("assign")
+    if (v == null || v.isEmpty) None
+    else Some(v.split(',').map(_.trim).filter(_.nonEmpty).map { s =>
+      val i = s.lastIndexOf(':')
+      require(i > 0, s"assign entry '$s' must be topic:partition")
+      (s.substring(0, i), s.substring(i + 1).toInt)
+    }.toSet)
+  }
+  private def keep(t: String, p: Int): Boolean =
+    assign.forall(_.contains((t, p)))
+
   /** Driver-side planning calls ride one short-lived connection. */
   private def withClient[T](f: KafkaClient => T): T = {
     val c = new KafkaClient(host, port)
@@ -154,7 +173,7 @@ class KafkaMicroBatchStream(options: CaseInsensitiveStringMap)
     withClient { c =>
       val meta = c.metadata(topics)
       topics.flatMap { t =>
-        meta.getOrElse(t, Seq.empty).map { p =>
+        meta.getOrElse(t, Seq.empty).filter(keep(t, _)).map { p =>
           (t, p) -> c.listOffset(t, p, KafkaWire.Ts.Latest).getOrElse(0L)
         }
       }.toMap
@@ -168,7 +187,7 @@ class KafkaMicroBatchStream(options: CaseInsensitiveStringMap)
         withClient { c =>
           val meta = c.metadata(topics)
           topics.flatMap { t =>
-            meta.getOrElse(t, Seq.empty).map { p =>
+            meta.getOrElse(t, Seq.empty).filter(keep(t, _)).map { p =>
               val tip = c.listOffset(t, p, KafkaWire.Ts.Latest).getOrElse(0L)
               (t, p) -> c.listOffset(t, p, ms + 1).getOrElse(tip)
             }

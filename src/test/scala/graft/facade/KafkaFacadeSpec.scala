@@ -140,4 +140,46 @@ class KafkaFacadeSpec extends AnyFunSuite {
       assert(got == Map("s0" -> 6L, "s1" -> 6L))
     }
   }
+
+  test("kafka assign prunes the bounded fetch PLAN to the pinned partitions") {
+    withBroker { (srv, conn) =>
+      conn.createGenericProducer().send(mkEnvelope(40))
+      // result law: exactly the assigned (topic, partition) slices
+      val pinned = conn.createConsumer(Seq("s0", "s1"),
+        ConsumerOptions(live = false,
+          autoStreamReset = AutoStreamReset.Earliest,
+          assignShards = Some(Seq(("s0", 0L), ("s1", 3L)))))
+      assert(pinned.select("stream_key", "shard_id").distinct()
+        .as[(String, Long)].collect().toSet == Set(("s0", 0L), ("s1", 3L)))
+      assert(pinned.count() == 20)
+      // plan law: the pin prunes the SCAN — one task per ASSIGNED
+      // partition, not per topic partition (8 without the pin)
+      val direct = graft.kafka.KafkaSource.boundedRead(spark, srv.host,
+        srv.port, Seq("s0", "s1"), assign = Some(Seq(("s0", 0L), ("s1", 3L))))
+      assert(direct.rdd.getNumPartitions == 2)
+      val full = graft.kafka.KafkaSource.boundedRead(spark, srv.host,
+        srv.port, Seq("s0", "s1"))
+      assert(full.rdd.getNumPartitions == 8)
+    }
+  }
+
+  test("kafka live assign: unassigned partitions never enter the stream") {
+    withBroker { (_, conn) =>
+      conn.createGenericProducer().send(mkEnvelope(40))
+      val live = conn.createConsumer(Seq("s0", "s1"),
+        ConsumerOptions(live = true,
+          autoStreamReset = AutoStreamReset.Earliest,
+          assignShards = Some(Seq(("s1", 1L)))))
+      val q = live.select(col("stream_key"), col("shard_id"),
+          col("payload").cast("string").as("p"))
+        .writeStream.format("memory").queryName("kafka_live_assign").start()
+      try q.processAllAvailable() finally q.stop()
+      val rows = spark.table("kafka_live_assign")
+        .as[(String, Long, String)].collect()
+      assert(rows.map(r => (r._1, r._2)).toSet == Set(("s1", 1L)))
+      // s1 carries odd i; shard 1 = i % 4 == 1
+      assert(rows.map(_._3.stripPrefix("p").toInt).toSet ==
+        (0 until 40).filter(i => i % 2 == 1 && i % 4 == 1).toSet)
+    }
+  }
 }
