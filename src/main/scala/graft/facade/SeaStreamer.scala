@@ -226,10 +226,11 @@ object SeaStreamer {
         .getOrElse(sought)
       // assign: redis reads exactly the assigned keys, the builtin kafka
       // connector pushes the TopicPartition list to the broker, and the
-      // kafka wire driver prunes its fetch planner; the remaining backends
-      // express the pin as the equivalent (stream, shard) filter
+      // kafka/iggy wire drivers prune their fetch planners; the remaining
+      // backends express the pin as the equivalent (stream, shard) filter
       opts.assignShards
-        .filterNot(_ => scheme == "redis" || scheme == "kafka")
+        .filterNot(_ => scheme == "redis" || scheme == "kafka" ||
+          scheme == "iggy")
         .map(pairs => rewound.filter(
           pairs.map(p => col("stream_key") === p._1 &&
             col("shard_id") === p._2).reduce(_ || _)))
@@ -442,14 +443,19 @@ object SeaStreamer {
               "iggy wildcard subscribe (name the topics)")
           val (host, port) = SeaStreamer.hostPort(nodeAddr, 8090)
           val pushMs = opts.seekTimestamp.map(_.getTime)
+          // assign pushes into the planner (shard = iggy partition):
+          // unassigned partitions are never tip-listed or polled
+          val assignOpt = opts.assignShards
+            .map(_.map(p => s"${p._1}:${p._2}").mkString(","))
           if (opts.live) {
             val reset =
               if (opts.autoStreamReset == AutoStreamReset.Earliest) "earliest"
               else "latest"
-            val base = spark.readStream.format("iggy-stream")
+            val base0 = spark.readStream.format("iggy-stream")
               .option("host", host).option("port", port.toString)
               .option("stream", opts.iggyStream)
               .option("topics", subscribe)
+            val base = assignOpt.fold(base0)(base0.option("assign", _))
             val withGroup = opts.group
               .map(g => base.option("group", g)).getOrElse(base)
             pushMs
@@ -471,7 +477,8 @@ object SeaStreamer {
               // rewind (`sequence >= n`) pushes as the AtOffset start; the
               // generic >= residual in createConsumer stays (a no-op on the
               // pruned scan)
-              fromOffset = opts.rewindSeqNo)
+              fromOffset = opts.rewindSeqNo,
+              assign = opts.assignShards)
         case "stdio" =>
           // distributed stdin does not exist: the node address is a line
           // FILE — Replay reads it bounded, Live TAILS it (the reference's

@@ -82,10 +82,17 @@ object IggySource {
         * prefix is never polled. Ignored when `afterMs` is set (the seek
         * start wins; the facade keeps its exact residual filter).
         */
-      fromOffset: Option[Long] = None): DataFrame = {
+      fromOffset: Option[Long] = None,
+      /** `Consumer::assign` pin: unassigned (topic, partition) pairs are
+        * dropped at planning — never polled (shard = iggy partition, so
+        * the facade's (stream, shard) pairs map 1:1).
+        */
+      assign: Option[Seq[(String, Long)]] = None): DataFrame = {
     import spark.implicits._
     val parts = topicParts(host, port, stream, topics)
       .flatMap { case (t, n) => (0 until n).map(p => (t, p)) }
+      .filter { case (t, p) =>
+        assign.forall(_.exists(a => a._1 == t && a._2 == p.toLong)) }
     val start: PollStrategy = afterMs match {
       case Some(ms) => PollStrategy.AtTimestamp(ms + 1) // seek law: ts > ms
       case None if fromOffset.isDefined => PollStrategy.AtOffset(fromOffset.get)

@@ -141,6 +141,22 @@ class IggyMicroBatchStream(options: CaseInsensitiveStringMap)
     if (v == null || v.isEmpty) None else Some(v)
   }
 
+  /** Manual partition assign (`Consumer::assign`): `"topic:0,topic:2"`
+    * pins the subscription — unassigned partitions are never tip-listed,
+    * polled, or checkpointed (same pruning law as the kafka-wire stream).
+    */
+  private val assign: Option[Set[(String, Int)]] = {
+    val v = options.get("assign")
+    if (v == null || v.isEmpty) None
+    else Some(v.split(',').map(_.trim).filter(_.nonEmpty).map { s =>
+      val i = s.lastIndexOf(':')
+      require(i > 0, s"assign entry '$s' must be topic:partition")
+      (s.substring(0, i), s.substring(i + 1).toInt)
+    }.toSet)
+  }
+  private def keep(t: String, p: Int): Boolean =
+    assign.forall(_.contains((t, p)))
+
   /** Driver-side metadata calls ride one connection, opened lazily and
     * recreated on failure (planning has no task-retry net).
     */
@@ -155,8 +171,8 @@ class IggyMicroBatchStream(options: CaseInsensitiveStringMap)
   private def tips(): Map[(String, Int), Long] =
     withClient { c =>
       topics.flatMap { t =>
-        c.topicTips(stream, t).toSeq.flatMap(_.zipWithIndex.map {
-          case (tip, p) => (t, p) -> tip
+        c.topicTips(stream, t).toSeq.flatMap(_.zipWithIndex.collect {
+          case (tip, p) if keep(t, p) => (t, p) -> tip
         })
       }.toMap
     }
@@ -168,8 +184,8 @@ class IggyMicroBatchStream(options: CaseInsensitiveStringMap)
         // is strictly >); at/past the tip when no such message yet
         withClient { c =>
           topics.flatMap { t =>
-            c.topicTips(stream, t).toSeq.flatMap(_.zipWithIndex.map {
-              case (tip, p) =>
+            c.topicTips(stream, t).toSeq.flatMap(_.zipWithIndex.collect {
+              case (tip, p) if keep(t, p) =>
                 val (_, msgs) = c.pollMessages(stream, t, p,
                   PollStrategy.AtTimestamp(ms + 1), 1)
                 (t, p) -> msgs.headOption.map(_.offset).getOrElse(tip)

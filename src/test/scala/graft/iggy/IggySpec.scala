@@ -232,6 +232,22 @@ class IggySparkSpec extends AnyFunSuite {
     }
   }
 
+  test("boundedRead assign prunes the poll plan to the pinned partitions") {
+    withServer { srv =>
+      IggySource.write(envelope(60), srv.host, srv.port, partitions = 3)
+      val pinned = IggySource.boundedRead(spark, srv.host, srv.port,
+        Seq("click", "view"),
+        assign = Some(Seq(("click", 0L), ("view", 2L))))
+      // result law: exactly the assigned (topic, partition) slices...
+      assert(pinned.collect().map(r => (r.getString(0), r.getLong(1)))
+        .toSet == Set(("click", 0L), ("view", 2L)))
+      // ...and plan law: one task per ASSIGNED partition (6 unpinned)
+      assert(pinned.rdd.getNumPartitions == 2)
+      assert(IggySource.boundedRead(spark, srv.host, srv.port,
+        Seq("click", "view")).rdd.getNumPartitions == 6)
+    }
+  }
+
   test("boundedRead pushes seek into the Timestamp strategy (ts > T exactly)") {
     withServer { srv =>
       IggySource.write(envelope(60), srv.host, srv.port, partitions = 3)
