@@ -49,10 +49,12 @@ object Pipeline {
     * oracle-replayable; same-pair runs are rare in word vocabularies and
     * the round AFTER catches the skipped occurrence.
     */
-  private[analytics] def bpeMerges(
-      docs: org.apache.spark.sql.DataFrame,
-      rounds: Int): org.apache.spark.sql.DataFrame = {
-    val s = docs.sparkSession
+  /** The training loop itself; returns (merge table rows, final vocab with
+    * its spaced-symbol segmentation) so [[bpeMerges]] reports the merges
+    * and p15 applies the segmentation corpus-wide.
+    */
+  private def bpeTrain(docs: org.apache.spark.sql.DataFrame, rounds: Int)
+      : (Seq[(Long, String, String, Long)], org.apache.spark.sql.DataFrame) = {
     // materialize the word table: this is the ONE corpus pass — without it
     // every merge round would silently replay the corpus scan through the
     // vocab lineage (measured: 8.6 s -> ~2 s at sf0.1)
@@ -82,8 +84,15 @@ object Pipeline {
       vocab = vocab.withColumn("s",
         expr(s"replace(s, ' $x $y ', ' $x$y ')"))
     }
+    (merges.toSeq, vocab)
+  }
+
+  private[analytics] def bpeMerges(
+      docs: org.apache.spark.sql.DataFrame,
+      rounds: Int): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    merges.toSeq.toDF("rank", "left_sym", "right_sym", "pair_count")
+    bpeTrain(docs, rounds)._1.toDF("rank", "left_sym", "right_sym", "pair_count")
   }
 
   val queries: Map[String, Relational.Q] = Map(
@@ -100,6 +109,24 @@ object Pipeline {
     // pattern); the output IS the 10-row merge table.
     "p14_bpe_merges" -> { (s, dir) =>
       bpeMerges(Tables(s, dir).documents, BpeMerges)
+    },
+
+    // Tokenizer APPLICATION — the train -> tokenize loop closed: the
+    // trained segmentation is a (word -> piece count) table, Heaps-law
+    // bounded, so it BROADCASTS onto one corpus pass at any corpus size
+    // (the same asymmetry p12 exploits with hashed features). Per-language
+    // word and piece totals are the fertility report a tokenizer eval
+    // produces.
+    "p15_bpe_tokenize" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val (_, vocab) = bpeTrain(docs, BpeMerges)
+      val pieces = vocab.select(col("word"),
+        size(split(trim(col("s")), " ")).cast("long").as("np"))
+      docs.select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .join(broadcast(pieces), "word")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"))
     },
 
     // Bloom-prefiltered contamination check — p6's complement for when the
@@ -475,7 +502,17 @@ object Pipeline {
     * overlap semantics).
     */
   private def bpeOracleSql: String = {
-    val rounds = (1 to BpeMerges).map { r =>
+    val rows = (1 to BpeMerges).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS rank, x AS left_sym, y AS right_sym, cnt AS pair_count FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH $bpeTrainingCtes,
+       |$bpeRoundCtes
+       |$rows""".stripMargin
+  }
+
+  /** One p/b/w CTE trio per merge round, shared by the p14/p15 oracles. */
+  private def bpeRoundCtes: String =
+    (1 to BpeMerges).map { r =>
       s"""p$r AS (SELECT t.x, t.y, CAST(SUM(t.freq) AS BIGINT) AS cnt
          |  FROM (SELECT freq, toks[g.i] AS x, toks[g.i+1] AS y
          |        FROM (SELECT freq, string_split(trim(s), ' ') AS toks
@@ -489,21 +526,38 @@ object Pipeline {
          |          replace(w.s, ' '||b.x||' '||b.y||' ', ' '||b.x||b.y||' ') AS s
          |        FROM w${r - 1} w CROSS JOIN b$r b)""".stripMargin
     }.mkString(",\n")
-    val rows = (1 to BpeMerges).map(r =>
-      s"SELECT CAST($r AS BIGINT) AS rank, x AS left_sym, y AS right_sym, cnt AS pair_count FROM b$r")
-      .mkString("\nUNION ALL ")
-    s"""WITH w0 AS (
-       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
-       |    ' '||regexp_replace(word, '(.)', '\\1 ', 'g') AS s
-       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-       |  WHERE regexp_full_match(word, '[a-z]+')
-       |  GROUP BY word),
-       |$rounds
-       |$rows""".stripMargin
+
+  /** The shared w0 vocabulary CTE (spaced-char segmentation + corpus
+    * frequency) the p14/p15 oracles both start from.
+    */
+  private def bpeTrainingCtes: String =
+    """w0 AS (
+      |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+      |    ' '||regexp_replace(word, '(.)', '\1 ', 'g') AS s
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE regexp_full_match(word, '[a-z]+')
+      |  GROUP BY word)""".stripMargin
+
+  /** p15: the same 10 training rounds, then piece counts per word joined
+    * back onto the corpus word stream.
+    */
+  private def bpeTokenizeOracleSql: String = {
+    s"""WITH $bpeTrainingCtes,
+       |$bpeRoundCtes,
+       |pieces AS (SELECT word,
+       |             CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS np
+       |           FROM w$BpeMerges),
+       |corpus AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+       |           FROM documents)
+       |SELECT c.lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(p.np) AS BIGINT) AS n_pieces
+       |FROM corpus c JOIN pieces p ON c.word = p.word
+       |GROUP BY c.lang""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
     "p14_bpe_merges" -> bpeOracleSql,
+    "p15_bpe_tokenize" -> bpeTokenizeOracleSql,
     "p12_dsir_weights" ->
       """WITH toks AS (
         |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS t

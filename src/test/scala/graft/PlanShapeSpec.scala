@@ -252,6 +252,17 @@ class PlanShapeSpec extends AnyFunSuite {
     }, "p13's confirm join must not broadcast the eval shingle set")
   }
 
+  test("p15 broadcasts the trained vocab onto one corpus pass") {
+    // the (word -> piece count) table is Heaps-law bounded — it must
+    // BROADCAST (the whole point of tokenizing via a vocab table); a
+    // shuffled join here would re-partition the corpus for no reason
+    val p = planOf("p15_bpe_tokenize")
+    assert(p.contains("BroadcastHashJoin"),
+      "vocab join lost its broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the corpus word stream must not shuffle for the vocab join")
+  }
+
   test("s7 probes the persisted IVF index with dynamic partition pruning") {
     // the layout is partitionBy(centroid_id); the probe list must reach the
     // index scan as a RUNTIME partition filter (reused from the probes
