@@ -181,6 +181,86 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Near-dup audio synthesis — [[synthesizeNearDupPng]]'s WAV twin: odd
+    * doc_ids form groups of four (`base = doc_id - doc_id % 8 + 1`) sharing
+    * one base waveform (mono 16-bit PCM, `base % 200 + 64` frames), with a
+    * per-variant gain bump on every 23rd sample (+512 clamped to 32767) —
+    * the "same recording, slightly re-mastered" case. Pure doc_id
+    * arithmetic, so the oracle predicts each variant's exact samples.
+    */
+  def synthesizeNearDupWav(docId: Long): Array[Byte] = {
+    val base = docId - docId % 8 + 1
+    val variant = ((docId % 8) / 2).toInt
+    val n = (base % 200 + 64).toInt
+    val buf = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(8000 * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(n * 2)
+    var i = 0
+    while (i < n) {
+      val raw = (((i * 131L + base * 97L) * 2654435761L) & 0x7FFFL).toInt
+      val amp = if (i % 23 == variant) math.min(raw + 512, 32767) else raw
+      buf.putShort(amp.toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  final case class AudioHash(doc_id: Long, ehash: Long)
+
+  /** Energy hash — [[aHashOf]]'s audio twin: real RIFF/WAVE chunk walk,
+    * then 64 samples at `w * frames / 64`, bit w set iff
+    * `64 * amp_w > sum(amps)` (the same integer-exact mean threshold — no
+    * float anywhere, so the oracle reproduces it bit-for-bit). 64 samples
+    * read per clip regardless of length.
+    */
+  def eHashOf(docId: Long, media: Array[Byte]): Long = {
+    val buf = java.nio.ByteBuffer.wrap(media)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def ascii(n: Int): String = {
+      val a = new Array[Byte](n); buf.get(a); new String(a, "US-ASCII")
+    }
+    if (ascii(4) != "RIFF") throw new IllegalArgumentException(s"doc $docId: not RIFF")
+    buf.getInt
+    if (ascii(4) != "WAVE") throw new IllegalArgumentException(s"doc $docId: not WAVE")
+    var dataStart = -1
+    var frames = 0
+    while (dataStart < 0 && buf.remaining() >= 8) {
+      val id = ascii(4)
+      val size = buf.getInt
+      if (id == "data") {
+        dataStart = buf.position()
+        frames = size / 2 // mono 16-bit
+      } else buf.position(buf.position() + size + (size & 1))
+    }
+    require(dataStart >= 0 && frames >= 64, s"doc $docId: no usable data chunk")
+    val amps = new Array[Int](64)
+    var total = 0L
+    var w = 0
+    while (w < 64) {
+      val idx = (w.toLong * frames / 64).toInt
+      amps(w) = buf.getShort(dataStart + idx * 2).toInt
+      total += amps(w)
+      w += 1
+    }
+    var hash = 0L
+    w = 0
+    while (w < 64) {
+      if (64L * amps(w) > total) hash |= 1L << w
+      w += 1
+    }
+    hash
+  }
+
+  def audioEHash(media: Dataset[MediaRecord]): Dataset[AudioHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r => AudioHash(r.doc_id, eHashOf(r.doc_id, r.media))))
+  }
+
   final case class ImageHash(doc_id: Long, ahash: Long)
 
   /** Perceptual hash (aHash): decode the real PNG, 8×8 nearest-neighbor
@@ -450,6 +530,38 @@ object Multimodal {
           expr("bit_count(ha ^ hb)").cast("long"))
         .filter(col("hamming") <= 16)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
+    },
+
+    // m4's audio twin: real WAV decode → 64-point energy hash → the same
+    // 4×16-bit band LSH → hamming pairs on band collisions only. With
+    // images (m4), text (d3), and embeddings (d5) this closes the
+    // modality-dedup family — every shape is the same scalable band-join
+    // skeleton with a modality-specific fingerprint in front.
+    "m5_audio_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables(s, dir).documents
+        .select(col("doc_id")).as[Long]
+        .filter(_ % 2 == 1) // the WAV half of the corpus
+        .mapPartitions(_.map(id => MediaRecord(id, synthesizeNearDupWav(id))))
+      val hashes = audioEHash(media).toDF()
+      val bands = hashes.select(col("doc_id"), col("ehash"),
+        explode(sequence(lit(0), lit(3))).as("b"))
+        .select(col("doc_id"), col("ehash"), col("b"),
+          expr("shiftrightunsigned(ehash, 16 * b)")
+            .bitwiseAND(lit(0xFFFFL)).as("bv"))
+      val cand = bands.select(col("b"), col("bv"),
+          col("doc_id").as("doc_a"), col("ehash").as("ha"))
+        .join(bands.select(col("b"), col("bv"),
+          col("doc_id").as("doc_b"), col("ehash").as("hb"))
+          .hint("shuffle_hash"), Seq("b", "bv"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("ha"), col("hb"))
+        .distinct() // a pair may collide in several bands
+      cand
+        .withColumn("hamming",
+          expr("bit_count(ha ^ hb)").cast("long"))
+        .filter(col("hamming") <= 16)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -540,6 +652,43 @@ object Multimodal {
         |bits AS (SELECT g.doc_id, g.idx,
         |           CASE WHEN 64 * g.g > t.t THEN 1 ELSE 0 END AS bit
         |         FROM gray g JOIN tot t USING (doc_id)),
+        |bands AS (SELECT doc_id, idx // 16 AS b,
+        |            CAST(SUM(bit * (1 << (idx % 16))) AS BIGINT) AS bv
+        |          FROM bits GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+        |           AND a.doc_id < b.doc_id),
+        |ham AS (SELECT c.doc_a, c.doc_b,
+        |          CAST(SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS hamming
+        |        FROM cand c
+        |        JOIN bits x ON c.doc_a = x.doc_id
+        |        JOIN bits y ON c.doc_b = y.doc_id AND x.idx = y.idx
+        |        GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 16""".stripMargin,
+    // m5: the WAV synthesis + 64-point energy hash replayed exactly —
+    // sampled idx = (w * n) // 64, raw = ((idx*131 + base*97) * 2654435761)
+    // & 32767, +512-clamped on idx % 23 == variant, mean-threshold bits,
+    // band values and hamming identical to m4's mechanics.
+    "m5_audio_dedup" ->
+      """WITH auds AS (
+        |  SELECT doc_id, doc_id - doc_id % 8 + 1 AS base, (doc_id % 8) // 2 AS var
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |dims AS (SELECT doc_id, base, var, base % 200 + 64 AS n FROM auds),
+        |win AS (SELECT v AS w FROM (SELECT unnest(range(0, 64)) AS v)),
+        |amps AS (
+        |  SELECT doc_id, win.w AS idx,
+        |    CASE WHEN ((win.w * n) // 64) % 23 = var
+        |      THEN LEAST((((((win.w * n) // 64) * 131 + base * 97)
+        |                   * 2654435761) & 32767) + 512, 32767)
+        |      ELSE ((((win.w * n) // 64) * 131 + base * 97)
+        |             * 2654435761) & 32767
+        |    END AS g
+        |  FROM dims CROSS JOIN win),
+        |tot AS (SELECT doc_id, SUM(g) AS t FROM amps GROUP BY doc_id),
+        |bits AS (SELECT a.doc_id, a.idx,
+        |           CASE WHEN 64 * a.g > t.t THEN 1 ELSE 0 END AS bit
+        |         FROM amps a JOIN tot t USING (doc_id)),
         |bands AS (SELECT doc_id, idx // 16 AS b,
         |            CAST(SUM(bit * (1 << (idx % 16))) AS BIGINT) AS bv
         |          FROM bits GROUP BY 1, 2),

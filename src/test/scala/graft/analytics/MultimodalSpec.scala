@@ -63,4 +63,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.aHashOf(82L, Multimodal.synthesizeNearDupPng(82L)) ==
       hashes(1))
   }
+
+  test("eHash: planted near-dup audio variants are close, strangers are far") {
+    // group of 4 around base 81 (odd ids 81,83,85,87 share the waveform)
+    val hashes = Seq(81L, 83L, 85L, 87L).map(id =>
+      Multimodal.eHashOf(id, Multimodal.synthesizeNearDupWav(id)))
+    for (a <- hashes; b <- hashes)
+      assert(java.lang.Long.bitCount(a ^ b) <= 16,
+        s"within-group hamming ${java.lang.Long.bitCount(a ^ b)} > 16")
+    // a different base disagrees on far more bits than the threshold
+    val stranger = Multimodal.eHashOf(201L, Multimodal.synthesizeNearDupWav(201L))
+    assert(java.lang.Long.bitCount(hashes.head ^ stranger) > 16)
+    // deterministic across re-synthesis (content-stable, retry-safe)
+    assert(Multimodal.eHashOf(83L, Multimodal.synthesizeNearDupWav(83L)) ==
+      hashes(1))
+  }
 }
