@@ -261,6 +261,93 @@ object Multimodal {
     media.mapPartitions(_.map(r => AudioHash(r.doc_id, eHashOf(r.doc_id, r.media))))
   }
 
+  /** Near-dup video synthesis — the GVID twin of [[synthesizeNearDupPng]]:
+    * doc_ids form groups of four (`base = doc_id - doc_id % 4`) sharing one
+    * base clip (dims and frame count from `base`), with a per-variant
+    * brightness bump on the spatio-temporal band `(x + y + f) % 23 ==
+    * variant` (+8 per channel, clamped at the encoder's mod-251 ceiling) —
+    * "same clip, re-encoded slightly differently". Pure doc_id arithmetic,
+    * so the oracle predicts each variant's exact bytes.
+    */
+  def synthesizeNearDupVideo(docId: Long): Array[Byte] = {
+    val base = docId - docId % 4
+    val variant = (docId % 4).toInt
+    val width = (base % 13 + 4).toInt
+    val height = (base % 11 + 4).toInt
+    val nframes = (base % 50 + 12).toInt
+    val bb = java.nio.ByteBuffer.allocate(20 + width * height * 3 * nframes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('G'.toByte).put('V'.toByte).put('I'.toByte).put('D'.toByte)
+    bb.putInt(width).putInt(height).putInt(6).putInt(nframes)
+    var f = 0
+    while (f < nframes) {
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          var c = 0
+          while (c < 3) {
+            val v = ((x * 131L + y * 241L + f * 37L + base * 97L + c * 59L)
+              % 251L).toInt
+            val jittered =
+              if ((x + y + f) % 23 == variant) math.min(v + 8, 250) else v
+            bb.put(jittered.toByte)
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      f += 1
+    }
+    bb.array()
+  }
+
+  final case class VideoHash(doc_id: Long, vhash: Long)
+
+  /** Video perceptual hash — [[aHashOf]] extended along time: parse the
+    * GVID header, sample 64 (frame, x, y) points on an 8×8 spatial grid
+    * walked through the clip (`f = i * nframes / 64`), per-point
+    * brightness r+g+b, bit i set iff `64 * v_i > sum(v)` (the same
+    * integer-exact mean threshold). 64 pixels read per clip regardless of
+    * length or resolution.
+    */
+  def vHashOf(docId: Long, media: Array[Byte]): Long = {
+    val bb = java.nio.ByteBuffer.wrap(media)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bb.get() == 'G' && bb.get() == 'V' && bb.get() == 'I' &&
+      bb.get() == 'D', s"doc $docId: not GVID")
+    val w = bb.getInt; val h = bb.getInt; bb.getInt // fps unused
+    val n = bb.getInt
+    require(w > 0 && h > 0 && n > 0 &&
+      media.length >= 20 + w * h * 3 * n, s"doc $docId: truncated container")
+    val v = new Array[Int](64)
+    var total = 0L
+    var i = 0
+    while (i < 64) {
+      val f = (i.toLong * n / 64).toInt
+      val x = (i % 8) * w / 8
+      val y = (i / 8) * h / 8
+      val off = 20 + ((f.toLong * h + y) * w + x).toInt * 3
+      v(i) = (media(off) & 0xFF) + (media(off + 1) & 0xFF) +
+        (media(off + 2) & 0xFF)
+      total += v(i)
+      i += 1
+    }
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (64L * v(i) > total) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  def videoVHash(media: Dataset[MediaRecord]): Dataset[VideoHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r => VideoHash(r.doc_id, vHashOf(r.doc_id, r.media))))
+  }
+
   final case class ImageHash(doc_id: Long, ahash: Long)
 
   /** Perceptual hash (aHash): decode the real PNG, 8×8 nearest-neighbor
@@ -532,6 +619,34 @@ object Multimodal {
         .select(col("doc_a"), col("doc_b"), col("hamming"))
     },
 
+    // m4's video twin: GVID container parse → 64 (frame, x, y) sample
+    // points → the same mean-threshold hash, band LSH and hamming verify.
+    "m6_video_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables(s, dir).documents
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => MediaRecord(id, synthesizeNearDupVideo(id))))
+      val hashes = videoVHash(media).toDF()
+      val bands = hashes.select(col("doc_id"), col("vhash"),
+        explode(sequence(lit(0), lit(3))).as("b"))
+        .select(col("doc_id"), col("vhash"), col("b"),
+          expr("shiftrightunsigned(vhash, 16 * b)")
+            .bitwiseAND(lit(0xFFFFL)).as("bv"))
+      val cand = bands.select(col("b"), col("bv"),
+          col("doc_id").as("doc_a"), col("vhash").as("ha"))
+        .join(bands.select(col("b"), col("bv"),
+          col("doc_id").as("doc_b"), col("vhash").as("hb"))
+          .hint("shuffle_hash"), Seq("b", "bv"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("ha"), col("hb"))
+        .distinct() // a pair may collide in several bands
+      cand
+        .withColumn("hamming",
+          expr("bit_count(ha ^ hb)").cast("long"))
+        .filter(col("hamming") <= 16)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    },
+
     // m4's audio twin: real WAV decode → 64-point energy hash → the same
     // 4×16-bit band LSH → hamming pairs on band collisions only. With
     // images (m4), text (d3), and embeddings (d5) this closes the
@@ -648,6 +763,51 @@ object Multimodal {
         |      ELSE ((px >> 16) & 255) + ((px >> 8) & 255) + (px & 255)
         |    END AS g
         |  FROM pxl),
+        |tot AS (SELECT doc_id, SUM(g) AS t FROM gray GROUP BY doc_id),
+        |bits AS (SELECT g.doc_id, g.idx,
+        |           CASE WHEN 64 * g.g > t.t THEN 1 ELSE 0 END AS bit
+        |         FROM gray g JOIN tot t USING (doc_id)),
+        |bands AS (SELECT doc_id, idx // 16 AS b,
+        |            CAST(SUM(bit * (1 << (idx % 16))) AS BIGINT) AS bv
+        |          FROM bits GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+        |           AND a.doc_id < b.doc_id),
+        |ham AS (SELECT c.doc_a, c.doc_b,
+        |          CAST(SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS hamming
+        |        FROM cand c
+        |        JOIN bits x ON c.doc_a = x.doc_id
+        |        JOIN bits y ON c.doc_b = y.doc_id AND x.idx = y.idx
+        |        GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 16""".stripMargin,
+    // m6: the GVID synthesis + 64-point spatio-temporal hash replayed
+    // exactly — f = (i*n)//64, grid x/y as in m4, per-channel byte =
+    // (x*131 + y*241 + f*37 + base*97 + c*59) % 251, +8-clamped on
+    // (x+y+f) % 23 == variant, mean-threshold bits, m4's band mechanics.
+    "m6_video_dedup" ->
+      """WITH vids AS (
+        |  SELECT doc_id, doc_id - doc_id % 4 AS base, doc_id % 4 AS var
+        |  FROM documents),
+        |dims AS (SELECT doc_id, base, var, base % 13 + 4 AS w,
+        |           base % 11 + 4 AS h, base % 50 + 12 AS n
+        |         FROM vids),
+        |pts AS (SELECT v AS i FROM (SELECT unnest(range(0, 64)) AS v)),
+        |coords AS (
+        |  SELECT doc_id, base, var, pts.i AS idx,
+        |    ((pts.i % 8) * w) // 8 AS x, ((pts.i // 8) * h) // 8 AS y,
+        |    (pts.i * n) // 64 AS f
+        |  FROM dims CROSS JOIN pts),
+        |chan AS (SELECT c.v AS c FROM (SELECT unnest(range(0, 3)) AS v) c),
+        |px AS (
+        |  SELECT doc_id, idx,
+        |    CASE WHEN (x + y + f) % 23 = var
+        |      THEN LEAST((x * 131 + y * 241 + f * 37 + base * 97 + c * 59)
+        |                   % 251 + 8, 250)
+        |      ELSE (x * 131 + y * 241 + f * 37 + base * 97 + c * 59) % 251
+        |    END AS v
+        |  FROM coords CROSS JOIN chan),
+        |gray AS (SELECT doc_id, idx, SUM(v) AS g FROM px GROUP BY 1, 2),
         |tot AS (SELECT doc_id, SUM(g) AS t FROM gray GROUP BY doc_id),
         |bits AS (SELECT g.doc_id, g.idx,
         |           CASE WHEN 64 * g.g > t.t THEN 1 ELSE 0 END AS bit

@@ -78,4 +78,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.eHashOf(83L, Multimodal.synthesizeNearDupWav(83L)) ==
       hashes(1))
   }
+
+  test("vHash: planted near-dup clips are close, strangers are far") {
+    // group of 4 around base 80 (ids 80..83 share the clip)
+    val hashes = Seq(80L, 81L, 82L, 83L).map(id =>
+      Multimodal.vHashOf(id, Multimodal.synthesizeNearDupVideo(id)))
+    for (a <- hashes; b <- hashes)
+      assert(java.lang.Long.bitCount(a ^ b) <= 16,
+        s"within-group hamming ${java.lang.Long.bitCount(a ^ b)} > 16")
+    val stranger = Multimodal.vHashOf(200L, Multimodal.synthesizeNearDupVideo(200L))
+    assert(java.lang.Long.bitCount(hashes.head ^ stranger) > 16)
+    // truncated container fails loudly, not with a wild read
+    val bytes = Multimodal.synthesizeNearDupVideo(80L)
+    assertThrows[IllegalArgumentException](
+      Multimodal.vHashOf(80L, bytes.take(bytes.length / 2)))
+  }
 }
