@@ -223,20 +223,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "docs×rates regressed to a shuffle join")
   }
 
-  test("m4's band self-join shuffles — hash tables are corpus-sized") {
-    // both sides of the band-collision join grow with the corpus; AQE's
+  test("m4/m5/m6 band self-joins shuffle — hash tables are corpus-sized") {
+    // both sides of each band-collision join grow with the corpus; AQE's
     // local broadcast conversion must not hide the only shape that exists
     // at scale (hash-partitioned on the band value)
-    val blocks = nodeBlocks(planOf("m4_image_dedup"))
-    assert(!blocks.exists(_._1 == "CartesianProduct"))
-    assert(!blocks.exists { case (n, b) =>
-      n == "BroadcastHashJoin" &&
-        b.linesIterator.exists(l => l.contains("keys") && l.contains("bv#"))
-    }, "m4 broadcasts a corpus-sized hash-band table")
-    assert(blocks.exists { case (n, b) =>
-      (n == "ShuffledHashJoin" || n == "SortMergeJoin") &&
-        b.linesIterator.exists(l => l.contains("keys") && l.contains("bv#"))
-    }, "m4's band join must be a shuffled equi-join on the band value")
+    for (q <- Seq("m4_image_dedup", "m5_audio_dedup", "m6_video_dedup")) {
+      val blocks = nodeBlocks(planOf(q))
+      assert(!blocks.exists(_._1 == "CartesianProduct"))
+      assert(!blocks.exists { case (n, b) =>
+        n == "BroadcastHashJoin" &&
+          b.linesIterator.exists(l => l.contains("keys") && l.contains("bv#"))
+      }, s"$q broadcasts a corpus-sized hash-band table")
+      assert(blocks.exists { case (n, b) =>
+        (n == "ShuffledHashJoin" || n == "SortMergeJoin") &&
+          b.linesIterator.exists(l => l.contains("keys") && l.contains("bv#"))
+      }, s"$q's band join must be a shuffled equi-join on the band value")
+    }
   }
 
   test("p13's bloom prefilter sits in the scan stage; confirm join shuffles") {
