@@ -178,7 +178,12 @@ object Dedup {
       val withSelf = // small-star also re-attaches each center u itself
         if (large) attach
         else attach.unionByName(mins.select(col("c").as("u"), col("m").as("v")))
-      withSelf.filter(col("u") =!= col("v")).distinct()
+      val out = withSelf.filter(col("u") =!= col("v"))
+      // only the round's FINAL pass dedups (the fixpoint test needs set
+      // semantics); the inter-pass multiset is harmless — neighborhood
+      // minima ignore duplicates — and skipping its distinct saves a
+      // full shuffle per round
+      if (large) out else out.distinct()
     }
     var iter = 0
     var converged = false
