@@ -56,6 +56,35 @@ class DedupSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents matches union-find on a seeded random graph") {
+    import spark.implicits._
+    // 400 nodes, 320 edges from a fixed-seed generator: many components of
+    // mixed shapes — the strongest general-correctness check, independent
+    // of any hand-picked topology
+    val rnd = new scala.util.Random(20260813L)
+    val pairs = Seq.fill(320)((rnd.nextInt(400).toLong, rnd.nextInt(400).toLong))
+      .filter(p => p._1 != p._2)
+    val (labels, iters) = Dedup.connectedComponents(pairs.toDF("doc_a", "doc_b"))
+    assert(iters < 12, s"took $iters rounds")
+    // union-find reference with min-root merging
+    val parent = Array.tabulate(400)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    for ((a, b) <- pairs) {
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    assert(got.keySet == nodes.toSet)
+    for (d <- nodes)
+      assert(got(d) == find(d.toInt).toLong,
+        s"doc $d: got ${got(d)}, union-find says ${find(d.toInt)}")
+  }
+
   test("connectedComponents handles bushy + deep shapes (star, cliques, tree)") {
     import spark.implicits._
     // star at 0; two 6-cliques bridged by one edge; a depth-9 binary tree —
