@@ -108,9 +108,23 @@ object Dedup {
     * RDD resets the stat to the constant session default — round times
     * stay flat and the hinted join strategies don't consult it anyway.
     */
-  private def checkpointSevered(df: DataFrame): DataFrame = {
+  private final case class Severed(df: DataFrame, release: () => Unit)
+
+  private def checkpointSevered(df: DataFrame): Severed = {
     val cp = df.localCheckpoint(true)
-    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    // The MEMORY_AND_DISK blocks backing the checkpoint belong to the
+    // internal RDD inside the LogicalRDD plan node; calling unpersist on
+    // the REBUILT frame is a cache-manager lookup that never finds them,
+    // so a long contraction run would accumulate one materialized edge set
+    // per round until GC. Hand the caller the actual RDD handle instead.
+    // Only release once nothing can re-read the round's edges: the
+    // checkpoint IS the data (lineage is truncated), so a post-release
+    // read would fail rather than recompute.
+    val internal = cp.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    Severed(cp.sparkSession.createDataFrame(cp.rdd, cp.schema),
+      () => internal.foreach(_.unpersist(blocking = false)))
   }
 
   /** Connected components over an undirected pair graph by LARGE-STAR /
@@ -151,18 +165,21 @@ object Dedup {
     // blowup applies to every copy of that subtree (d8: 83 s of driver
     // time for 1146 pairs before severing). One severed copy caps the
     // stats walk at a constant.
-    val pairs0 = checkpointSevered(pairs)
-    // every doc that appears in any pair — the label domain
-    val nodes = checkpointSevered(
+    val Severed(pairs0, releasePairs0) = checkpointSevered(pairs)
+    // every doc that appears in any pair — the label domain. Stays
+    // persisted until the caller consumes `labels` (per-query session
+    // hygiene frees it afterwards).
+    val Severed(nodes, _) = checkpointSevered(
       pairs0.select(col("doc_a").as("doc"))
         .unionByName(pairs0.select(col("doc_b").as("doc")))
         .distinct())
     // canonical directed edges (u > v); both passes preserve the invariant
     // because they re-attach endpoints to a strict minimum
-    var edges = checkpointSevered(
+    var edgesS = checkpointSevered(
       pairs0.select(greatest(col("doc_a"), col("doc_b")).as("u"),
           least(col("doc_a"), col("doc_b")).as("v"))
         .filter(col("u") =!= col("v")).distinct())
+    def edges = edgesS.df
     // one star pass: re-attach the `pick` side of each neighborhood to its
     // minimum. Neighborhoods are read off the symmetric view; the minima
     // table is corpus-sized, so the attach join is shuffle-hinted (the
@@ -193,18 +210,18 @@ object Dedup {
       // size stat, so the plan, per-round optimization time and the stats
       // digit count all stay O(1) across rounds (see the helper's doc for
       // the exponential-stats failure mode this guards).
-      val next = checkpointSevered(starPass(starPass(edges, large = true),
+      val nextS = checkpointSevered(starPass(starPass(edges, large = true),
         large = false))
       // fixpoint test is exact, not probabilistic: both passes are
       // idempotent on a star forest, so E' == E (count carried from last
       // round + anti-join on materialized tables) IS convergence; the
       // anti-join job only runs in rounds where the counts already match
-      val nextCount = next.count()
+      val nextCount = nextS.df.count()
       converged = nextCount == edgeCount &&
-        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+        nextS.df.join(edges, Seq("u", "v"), "left_anti").isEmpty
       edgeCount = nextCount
-      edges.unpersist()
-      edges = next
+      edgesS.release() // frees the superseded round's checkpoint blocks
+      edgesS = nextS
       iter += 1
       if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
         System.err.println(f"[cc] round $iter edges=$edgeCount " +
@@ -220,7 +237,7 @@ object Dedup {
         col("n.doc") === col("s.u"), "left")
       .groupBy(col("n.doc").as("doc"))
       .agg(coalesce(min(col("s.v")), min(col("n.doc"))).as("lbl"))
-    pairs0.unpersist()
+    releasePairs0()
     (labels, iter)
   }
 

@@ -71,8 +71,14 @@ object Pipeline {
       val best = vocab
         .select(col("freq"), split(trim(col("s")), " ").as("a"))
         .filter(size(col("a")) >= 2) // fully-merged words pair nothing
+        // BpePairCap: count only the first 63 adjacent pairs per word,
+        // mirrored in the oracle's range(1, 64) (the Dedup.shingles
+        // convention: any per-word cap must be identical on both sides).
+        // Words are letter-runs so 64+ symbols never occurs in practice,
+        // but an uncapped Spark count against a capped oracle would train
+        // different argmax merges the round a long word appears.
         .select(col("freq"), explode(expr(
-          "transform(sequence(0, size(a)-2), " +
+          "transform(sequence(0, least(size(a)-2, 62)), " +
             "i -> struct(a[i] AS x, a[i+1] AS y))")).as("p"))
         .groupBy(col("p.x").as("x"), col("p.y").as("y"))
         .agg(sum(col("freq")).as("cnt"))
@@ -510,7 +516,11 @@ object Pipeline {
        |$rows""".stripMargin
   }
 
-  /** One p/b/w CTE trio per merge round, shared by the p14/p15 oracles. */
+  /** One p/b/w CTE trio per merge round, shared by the p14/p15 oracles.
+    * range(1, 64) is the oracle half of BpePairCap: both sides count only
+    * the first 63 adjacent pairs per vocabulary word (Spark:
+    * least(size(a)-2, 62) in bpeTrain).
+    */
   private def bpeRoundCtes: String =
     (1 to BpeMerges).map { r =>
       s"""p$r AS (SELECT t.x, t.y, CAST(SUM(t.freq) AS BIGINT) AS cnt

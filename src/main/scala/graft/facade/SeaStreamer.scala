@@ -496,7 +496,7 @@ object SeaStreamer {
                 col("stream_key").isin(streams: _*) ||
                 lit(streams.contains(Envelope.SeaStreamerWildcard)))
           else StdioParser.toEnvelope(spark.read.text(nodeAddr))
-            .where(col("stream_key").isNull ||
+            .where(col("stream_key") === "broadcast" ||
               col("stream_key").isin(streams: _*) ||
               lit(streams.contains(Envelope.SeaStreamerWildcard)))
         case other =>

@@ -109,7 +109,7 @@ object StdioParser {
 
   /** DataFrame form: text lines (column `value`) → envelope columns.
     * Defaults mirror the stdio consumer: absent ts → now, absent key →
-    * broadcast (null), absent shard → 0. Absent seq is filled per key in
+    * the literal `broadcast` stream, absent shard → 0. Absent seq is filled per key in
     * (timestamp, payload-hash) order — a CONTENT-derived key, NOT arrival
     * order: a DataFrame has no stable row order, and the
     * monotonically_increasing_id that would approximate arrival differs
@@ -139,7 +139,10 @@ object StdioParser {
       .withColumn("arrival",
         struct(col("ts"), xxhash64(col("payload"))))
       .select(
-        col("key").as("stream_key"),
+        // keyless lines are the literal `broadcast` stream (lib.rs:60) —
+        // same envelope the live stdio-lines source emits, so a line file
+        // parses identically whether tailed or replayed
+        coalesce(col("key"), lit("broadcast")).as("stream_key"),
         coalesce(col("shard"), lit(0L)).as("shard_id"),
         coalesce(col("seq"),
           (row_number().over(w) - 1).cast("long")).as("sequence"),

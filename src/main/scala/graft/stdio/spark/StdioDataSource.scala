@@ -129,13 +129,19 @@ class StdioMicroBatchStream(options: CaseInsensitiveStringMap)
     } finally in.close()
   }
 
-  override def initialOffset(): Offset =
-    if (latest) { val (p, l) = scanComplete(0L); StdioOffset(p, l) }
-    else StdioOffset(0L, 0L)
+  override def initialOffset(): Offset = {
+    val o =
+      if (latest) { val (p, l) = scanComplete(0L); StdioOffset(p, l) }
+      else StdioOffset(0L, 0L)
+    if (lastPlanned == null) lastPlanned = o
+    o
+  }
 
   override def latestOffset(): Offset = {
-    // any line-boundary base gives a consistent (pos, line) answer — the
-    // cursor only controls how much gets rescanned per trigger
+    // any line-boundary base on the offset chain gives a consistent
+    // (pos, line) answer — the cursor only controls how much gets
+    // rescanned per trigger
+    if (lastPlanned == null) initialOffset()
     val base = lastPlanned
     val (p, l) = scanComplete(base.pos)
     val end = StdioOffset(p, base.line + l)
@@ -145,6 +151,12 @@ class StdioMicroBatchStream(options: CaseInsensitiveStringMap)
 
   /** latestOffset() (no-arg form) has no start parameter; track the last
     * line boundary we've seen so each trigger scans only the new region.
+    * Seeded LAZILY from the first offset Spark hands us: on a restarted
+    * query that is the checkpointed offset (via [[deserializeOffset]]),
+    * on a fresh query [[initialOffset]] — never an independent
+    * construction-time file scan, which could disagree with the
+    * checkpoint's line numbering and make the documented restart-stable
+    * line ordinals jump (ADVICE r7).
     */
   @volatile private var lastPlanned: StdioOffset = null
 
@@ -163,16 +175,14 @@ class StdioMicroBatchStream(options: CaseInsensitiveStringMap)
 
   override def deserializeOffset(json: String): Offset = {
     val o = StdioOffset.fromJson(json)
-    if (lastPlanned == null || o.pos > lastPlanned.pos) lastPlanned = o
+    // seed — or re-anchor downward — from the checkpoint chain, so the
+    // first planned batch after a restart continues the checkpoint's line
+    // numbering exactly (end.line = checkpoint.line + newlines in range)
+    if (lastPlanned == null || o.pos < lastPlanned.pos) lastPlanned = o
     o
   }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
-
-  // initialize the incremental-scan cursor
-  locally {
-    lastPlanned = initialOffset().asInstanceOf[StdioOffset]
-  }
 }
 
 /** Parses `[fromPos, untilPos)` — all complete lines — into envelopes. */

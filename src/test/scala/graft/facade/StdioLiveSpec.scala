@@ -71,6 +71,42 @@ class StdioLiveSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("restart from checkpoint keeps line ordinals continuous (latest)") {
+    // The default sequence is the file line ordinal, documented as
+    // restart-stable: a restarted query must number the first recovered
+    // batch checkpoint.line.., not construction-time-total-line-count..
+    // (ADVICE r7 — the eager lastPlanned seed broke this).
+    val dir = Files.createTempDirectory("stdio-restart")
+    val f = dir.resolve("in.txt")
+    val ckpt = dir.resolve("ckpt").toString
+    val out = dir.resolve("out").toString
+    append(f, "[fruits] pre-1", "[fruits] pre-2") // lines 0,1 — pre-start
+    def start() = spark.readStream.format("stdio-lines")
+      .option("startingOffsets", "latest").option("path", f.toString).load()
+      .select(col("sequence"), col("payload").cast("string").as("p"))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      append(f, "[fruits] live-1") // line 2, first delivered
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // lines appended BETWEEN the runs are recovered on restart and must
+    // continue the checkpoint's numbering
+    append(f, "[fruits] gap-1", "[fruits] gap-2") // lines 3,4
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      append(f, "[fruits] live-2") // line 5
+      q2.processAllAvailable()
+      val got = spark.read.parquet(out)
+        .as[(Long, String)].collect().toSet
+      assert(got == Set(
+        (2L, "live-1"), (3L, "gap-1"), (4L, "gap-2"), (5L, "live-2")))
+    } finally q2.stop()
+  }
+
   test("a partial line without its newline is not delivered yet") {
     val f = Files.createTempDirectory("stdio-live").resolve("in.txt")
     Files.write(f, "[fruits] complete\n[fruits] par".getBytes("UTF-8"),
