@@ -192,17 +192,33 @@ object Similarity {
       // exact decimal L2² against every centroid; argmin with id tie-break
       val cents = broadcast(e.filter(col("vec_id") < K)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb")))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("d2r"), col("centroid_id"))
+      // corpus-wide assignment is an ARGMIN AGGREGATION, not a window
+      // rank: a row_number window would sort-shuffle k× the corpus
+      // (VERDICT r7 #2). min_by(_, struct(...)) computes the right argmin
+      // but its struct ordering buffer falls back to SortAggregate, so the
+      // (d2r, centroid_id) key is packed into ONE long — d2r has 6 dp, so
+      // d2r*1e6 is integral (round, not truncate: the 6-dp grid is not
+      // binary-exact), and centroid ids stay below 2^20 (k is tens of
+      // thousands at corpus scale; d2r*1e6 < 2^42 for any sane embedding
+      // scale, so the shift cannot overflow). A plain MIN over the packed
+      // long plans as whole-stage-codegen HashAggregate with map-side
+      // partial aggregation (guarded in PlanShapeSpec).
       val assigned = e.select(col("vec_id"), col("embedding"))
         .crossJoin(cents)
         .withColumn("d2r", round(dist2Col("embedding", "cemb"), 6))
-        .withColumn("cr", row_number().over(wAssign))
-      val lists = assigned.filter(col("cr") === 1)
-        .select(col("vec_id").as("cid"), col("centroid_id"))
-      val probes = assigned.filter(col("vec_id") < QueryCount &&
-          col("cr") <= 2)
-        .select(col("vec_id").as("qid"), col("centroid_id"))
+      val lists = assigned.groupBy(col("vec_id").as("cid"))
+        .agg(min(round(col("d2r") * lit(1000000d)).cast("long") *
+          lit(1L << 20) + col("centroid_id")).as("pk"))
+        .select(col("cid"),
+          col("pk").bitwiseAND(lit((1L << 20) - 1)).as("centroid_id"))
+      // probe lists are top-`probeLists` smallest, still one hash
+      // aggregation: sort the k-element per-query struct array, slice.
+      // Query-set-bounded (QueryCount × K rows) at any corpus size.
+      val probes = assigned.filter(col("vec_id") < QueryCount)
+        .groupBy(col("vec_id").as("qid"))
+        .agg(slice(array_sort(collect_list(
+          struct(col("d2r"), col("centroid_id")))), 1, probeLists).as("top"))
+        .select(col("qid"), explode(col("top.centroid_id")).as("centroid_id"))
       val corpus = withNorm(
         e.select(col("vec_id").as("cid"), col("embedding").as("ce")), "ce", "cn")
         .join(lists, "cid")
@@ -244,15 +260,24 @@ object Similarity {
     val e = Tables(s, dir).embeddings
     val cents = broadcast(e.filter(col("vec_id") < k)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb")))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d2r"), col("centroid_id"))
-    val assigned = e.select(col("vec_id"), col("embedding"))
+    // argmin as a packed-long MIN (see annIvf for the packing law) —
+    // whole-stage-codegen HashAggregate with map-side partials, no
+    // sort-shuffle of k× the corpus (VERDICT r7 #2). The winning
+    // assignment carries only (vec_id, centroid_id); the vector itself is
+    // re-attached by a keyed shuffle join (the d5 discipline — corpus-sized
+    // sides never broadcast, and carrying the embedding through the agg
+    // buffer would forfeit HashAggregate).
+    val lists = e.select(col("vec_id"), col("embedding"))
       .crossJoin(cents)
       .withColumn("d2r", round(dist2Col("embedding", "cemb"), 6))
-      .withColumn("cr", row_number().over(wAssign))
-      .filter(col("cr") === 1)
-    withNorm(assigned.select(col("vec_id").as("cid"),
-        col("embedding").as("ce"), col("centroid_id")), "ce", "cn")
+      .groupBy(col("vec_id").as("cid"))
+      .agg(min(round(col("d2r") * lit(1000000d)).cast("long") *
+        lit(1L << 20) + col("centroid_id")).as("pk"))
+      .select(col("cid"),
+        col("pk").bitwiseAND(lit((1L << 20) - 1)).as("centroid_id"))
+    val assigned = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .join(lists.hint("shuffle_hash"), "cid")
+    withNorm(assigned, "ce", "cn")
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(ivfIndexPath(s, dir))
   }

@@ -33,10 +33,16 @@ object Transport {
     * corpus. This is the production shape for training-data ingestion: the
     * corpus-scale near-dup join (d3) runs ONCE to seed state; from then on
     * each new document costs only its own signature rows against keyed
-    * state. The ingest log is a single ordered shard (a partition of an
-    * ingest topic — arrival order IS doc order, so batch splits can't
-    * change the outcome); the LSH-bucket state itself is hash-partitioned
-    * across executors, which is where the scale lives.
+    * state. The keeper law is ARRIVAL-ORDER-INDEPENDENT: a bucket's keeper
+    * is the min doc_id ever seen; a batch emits its ids above the merged
+    * min, plus the previous keeper if the batch dethroned it. Every id is
+    * emitted at most once per bucket (a doc signs each band once and
+    * arrives once; the dethroned keeper was never emitted before), so the
+    * final dup set — everything but each bucket's global min — is the same
+    * under any sharding, interleaving, or batch split. The ingest log is
+    * therefore written across `shards` shards in scrambled order, and the
+    * LSH-bucket state itself is hash-partitioned across executors, which
+    * is where the scale lives.
     *
     * Signatures are computed per-ROW as array expressions (Spark allows one
     * stateful op per stream, so no pre-state aggregation): shingles as an
@@ -48,15 +54,20 @@ object Transport {
     * @return distinct doc_ids flagged as duplicates (keepers absent)
     */
   private[analytics] def streamLshDupIds(docs: org.apache.spark.sql.DataFrame,
-      out: String, cap: Long, sinkName: String): org.apache.spark.sql.DataFrame = {
+      out: String, cap: Long, sinkName: String,
+      shards: Int = 4): org.apache.spark.sql.DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    // sharded ingest in scrambled (hash) order — the keeper law above makes
+    // the outcome independent of how the log interleaves or splits
     docs.select(
-      lit("doc").as("stream_key"), lit(0L).as("shard_id"),
+      lit("doc").as("stream_key"),
+      pmod(col("doc_id"), lit(shards.toLong)).as("shard_id"),
       col("doc_id").as("sequence"),
       expr("timestamp'2026-01-01 00:00:00'").as("timestamp"),
       to_json(struct(col("doc_id"), col("text"))).cast("binary").as("payload"))
+      .orderBy(xxhash64(col("doc_id")))
       .write.format("ss").mode("overwrite").save(out)
     val sigExprs = Dedup.MinhashParams.map { case (a, b) =>
       s"array_min(transform(hm, h -> (${a}L * h + ${b}L) % ${Dedup.Prime}L))"
@@ -85,14 +96,15 @@ object Transport {
       .flatMapGroupsWithState(OM.Append(), GroupStateTimeout.NoTimeout())(
         (_: (Int, Long), rows: Iterator[(Long, Int, Long)],
             state: GroupState[Long]) => {
-          // single ordered shard + prefix batches: any id already in
-          // state precedes every id in this batch
-          val ids = rows.map(_._1).toArray.sorted
-          val hadKeeper = state.exists
-          state.update(math.min(
-            state.getOption.getOrElse(Long.MaxValue), ids.head))
-          (if (hadKeeper) ids.iterator else ids.iterator.drop(1))
-            .map(Tuple1(_))
+          // order-free keeper law: keeper = min id ever seen; emit the
+          // batch's ids above the merged min, plus the old keeper if this
+          // batch dethroned it (it was never emitted while it reigned)
+          val ids = rows.map(_._1).toArray
+          val prev = state.getOption
+          val m = math.min(prev.getOrElse(Long.MaxValue), ids.min)
+          state.update(m)
+          (ids.iterator.filter(_ > m) ++
+            prev.iterator.filter(_ > m)).map(Tuple1(_))
         })
     val q = dups.toDF("doc_id")
       .writeStream.outputMode("append")

@@ -278,6 +278,38 @@ class PlanShapeSpec extends AnyFunSuite {
     }, "the pruning filter must sit on the index scan's PartitionFilters")
   }
 
+  test("s3 centroid assignment is an argmin aggregation, not a window sort") {
+    // corpus-wide nearest-centroid assignment must be min_by (map-side
+    // partial HashAggregate) — a row_number window would sort-shuffle
+    // k× the corpus (VERDICT r7 #2). The FINAL top-3 rank window
+    // (partitioned by qid, ordered by cosine) is query-bounded and fine;
+    // what must not exist is any Window ordered by the assignment
+    // distance d2r.
+    val p = planOf("s3_ann_ivf")
+    assert(nodeBlocks(p).exists { case (n, b) =>
+      n == "HashAggregate" && b.contains("partial_min") && b.contains("d2r")
+    }, "assignment lost its map-side partial packed-long argmin")
+    assert(!nodeBlocks(p).exists { case (n, b) =>
+      (n.contains("Window") || n.contains("Sort")) && b.contains("d2r")
+    }, "assignment regressed to a window/sort over the corpus crossJoin " +
+      "(min_by's struct ordering falls back to SortAggregate — keep the " +
+      "packed-long min)")
+  }
+
+  test("s7 index build keeps exactly one argmin row per vector") {
+    // s7Layout shares s3's min_by assignment shape (guarded above); the
+    // integration invariant is that the aggregation kept exactly one
+    // (nearest-centroid) row per corpus vector in the persisted index
+    val dir = TestSession.sfDir
+    val e = analytics.Tables(spark, dir).embeddings
+    analytics.Similarity.s7Layout(spark, dir)
+    val idx = spark.read.parquet( // mirrors the private ivfIndexPath rule
+      java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir")).getPath
+        + "/ivf_index_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+    assert(idx.count() == e.count(), "index must hold one row per vector")
+    assert(idx.select("cid").distinct().count() == e.count())
+  }
+
   test("ss scan splits on beacons and reports pruning in its description") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
