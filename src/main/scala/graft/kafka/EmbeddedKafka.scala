@@ -47,6 +47,26 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4) extends AutoCloseable {
     val batches = mutable.ArrayBuffer.empty[(Long, Array[Byte])]
   }
 
+  /** Fault taps (KafkaFaultSpec only) — each counts DOWN per triggered
+    * request and injects the named failure while positive. A real broker
+    * exhibits all three (process kill, disk corruption, leadership moves);
+    * the embedded one needs switches to do it on demand.
+    */
+  /** Abruptly close the connection mid-frame instead of answering the
+    * next N Fetch requests. */
+  val dropFetches = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Flip a byte inside the served record set of the next N non-empty
+    * Fetch responses (corrupts the batch's CRC'd region). */
+  val corruptFetches = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Refuse the next N Produce partition writes (nothing appended) with
+    * [[failProduceCode]]. */
+  val failProduces = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Error code served while [[failProduces]] is positive. */
+  @volatile var failProduceCode: Int = Err.NotLeaderForPartition
+
+  private def takeFault(tap: java.util.concurrent.atomic.AtomicInteger): Boolean =
+    tap.getAndUpdate(n => math.max(0, n - 1)) > 0
+
   /** topic -> partitions (each an append-only log). */
   private val topics =
     new ConcurrentHashMap[String, Array[Partition]]()
@@ -86,6 +106,14 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4) extends AutoCloseable {
       KafkaWire.readRequest(in) match {
         case None => return
         case Some((apiKey, apiVersion, correlationId, _, body)) =>
+          if (apiKey == Api.Fetch && takeFault(dropFetches)) {
+            // die mid-frame: a few bytes of the size header, then hard
+            // close — the client must see a truncated-frame IOException,
+            // not a parseable reply
+            out.write(Array[Byte](0, 0)); out.flush()
+            socket.close()
+            return
+          }
           val reply = handle(apiKey, apiVersion, body)
           KafkaWire.writeResponse(out, correlationId, reply)
           if (in.available() == 0) out.flush()
@@ -263,8 +291,16 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4) extends AutoCloseable {
             } else {
               www.i16(Err.None).i64(hw).i64(hw) // last_stable = hw (no txns)
               www.array(Seq.empty[Int])((_, _) => ()) // aborted_transactions
+              val rs = if (slices.isEmpty) null else slices.reduce(_ ++ _)
               www.nullableBytes(
-                if (slices.isEmpty) null else slices.reduce(_ ++ _))
+                if (rs != null && takeFault(corruptFetches)) {
+                  // flip one bit of the last record's bytes — inside the
+                  // batch's CRC'd region, so the client's CRC32C check
+                  // must catch it
+                  val c = rs.clone()
+                  c(c.length - 1) = (c(c.length - 1) ^ 0x01).toByte
+                  c
+                } else rs)
             }
         }
       }
@@ -292,6 +328,10 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4) extends AutoCloseable {
         www.i32(p)
         if (p < 0 || p >= t.length)
           www.i16(Err.UnknownTopicOrPartition).i64(-1L).i64(-1L)
+        else if (takeFault(failProduces))
+          // refusal, not failure-after-append: nothing is stored, so a
+          // client replay is duplicate-free by construction
+          www.i16(failProduceCode).i64(-1L).i64(-1L)
         else {
           val decoded =
             try Right(KafkaWire.decodeBatches(recordSet))

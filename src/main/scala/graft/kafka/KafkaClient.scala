@@ -11,6 +11,56 @@ import KafkaWire.{Api, Err, KRecord}
   * uses for the reference's consume/seek/produce surface
   * (sea-streamer-kafka/src/consumer.rs, producer.rs).
   */
+object KafkaClient {
+  /** Self-healing client wrapper — the retry law the reference inherits
+    * from librdkafka (and spells out for redis,
+    * sea-streamer-redis/src/producer.rs:464-507): on a dropped or
+    * truncated connection, reconnect with linear backoff and re-issue the
+    * request; on a RETRIABLE broker error code (the broker did not apply
+    * the request — [[KafkaWire.Err.retriable]]), re-issue on the live
+    * connection. Non-retriable server errors and corrupt-CRC batches
+    * ([[KafkaWire.CorruptBatchException]]) surface immediately: re-sending
+    * cannot change either. Callers keep exactly-once by construction —
+    * fetch cursors only advance after a page decodes, and a produce is
+    * only retried when the broker REFUSED it.
+    */
+  final class Session(mkClient: () => KafkaClient, maxRetries: Int = 5,
+      backoffMs: Long = 20L) extends AutoCloseable {
+    private var client: KafkaClient = null
+
+    def retrying[T](what: String)(f: KafkaClient => T): T = {
+      var attempt = 0
+      while (true) {
+        if (client == null) client = mkClient()
+        try return f(client)
+        catch {
+          case e: java.io.IOException => // dropped / truncated connection
+            try client.close() catch { case _: Throwable => () }
+            client = null
+            attempt += 1
+            if (attempt > maxRetries)
+              throw graft.core.SeaStreamErr.Backend(
+                s"kafka $what: retries exhausted after $maxRetries reconnects", e)
+            Thread.sleep(backoffMs * attempt)
+          case e: KafkaClient#KafkaServerErr
+              if KafkaWire.Err.retriable(e.code) =>
+            attempt += 1
+            if (attempt > maxRetries)
+              throw graft.core.SeaStreamErr.Backend(
+                s"kafka $what: retriable error ${e.code} persisted " +
+                  s"through $maxRetries retries", e)
+            Thread.sleep(backoffMs * attempt)
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
+    override def close(): Unit = {
+      if (client != null) { client.close(); client = null }
+    }
+  }
+}
+
 final class KafkaClient(host: String, port: Int,
     clientId: String = "graft") extends AutoCloseable {
 

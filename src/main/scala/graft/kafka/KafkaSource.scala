@@ -17,8 +17,12 @@ import KafkaWire.KRecord
   */
 object KafkaSource {
 
-  /** Lazy fetch-paged scan over one (topic, partition): [from, until). */
-  private[kafka] def pagedFetch(client: KafkaClient, topic: String,
+  /** Lazy fetch-paged scan over one (topic, partition): [from, until).
+    * Runs through a [[KafkaClient.Session]]: a connection dropped mid-fetch
+    * reconnects and re-asks from `next0`, which only advances after a page
+    * fully decodes — a retry can therefore never re-deliver a row.
+    */
+  private[kafka] def pagedFetch(session: KafkaClient.Session, topic: String,
       part: Int, from: Long, until: Long,
       maxBytes: Int = 1 << 20): Iterator[SeaMessage] =
     new Iterator[SeaMessage] {
@@ -26,7 +30,8 @@ object KafkaSource {
       private var page: Iterator[KRecord] = Iterator.empty
       private var exhausted = from >= until
       private def fetchPage(): Unit = {
-        val (_, recs) = client.fetch(topic, part, next0, maxBytes)
+        val (_, recs) = session.retrying(s"fetch $topic/$part")(
+          _.fetch(topic, part, next0, maxBytes))
         val bounded = recs.takeWhile(_.offset < until)
         if (bounded.isEmpty) exhausted = true
         else {
@@ -91,16 +96,17 @@ object KafkaSource {
     val ranges = planRanges(host, port, topics, afterMs, fromOffset, assign)
     spark.sparkContext.parallelize(ranges, math.max(1, ranges.size))
       .mapPartitions { it =>
-        val opened = graft.core.TaskResources.closeOnTaskCompletion[KafkaClient]()
+        val opened = graft.core.TaskResources
+          .closeOnTaskCompletion[KafkaClient.Session]()
         it.flatMap { case (topic, partition, from, until) =>
-          val client = new KafkaClient(host, port)
-          opened += client
-          val scan = pagedFetch(client, topic, partition, from, until,
+          val session = new KafkaClient.Session(() => new KafkaClient(host, port))
+          opened += session
+          val scan = pagedFetch(session, topic, partition, from, until,
             maxFetchBytes)
           new Iterator[SeaMessage] {
             def hasNext: Boolean = {
               val h = scan.hasNext
-              if (!h) client.close()
+              if (!h) session.close()
               h
             }
             def next(): SeaMessage = scan.next()
@@ -126,7 +132,13 @@ object KafkaSource {
       .as[(String, Long, java.sql.Timestamp, Array[Byte])]
       .foreachPartition { (rows: Iterator[(String, Long, java.sql.Timestamp, Array[Byte])]) =>
         if (rows.nonEmpty) {
-          val client = new KafkaClient(host, port)
+          // produces retry through the session: a RETRIABLE error code
+          // means the broker refused (did not append) the batch, so the
+          // replay is duplicate-free; a reconnect-after-accept is the
+          // standard at-least-once produce gap (the reference shares it
+          // without idempotent producers) — exactly-once sits in the
+          // engine's epoch ledger (ops.ExactlyOnce), not here
+          val session = new KafkaClient.Session(() => new KafkaClient(host, port))
           val known = scala.collection.mutable.Set.empty[String]
           try {
             rows.grouped(batchSize).foreach { chunk =>
@@ -137,16 +149,16 @@ object KafkaSource {
                 (r._1, math.floorMod(r._2, partitions.toLong).toInt)).foreach {
                 case ((topic, part), rs) =>
                   if (known.add(topic)) {
-                    val parts = client.metadata(Seq(topic))
-                      .getOrElse(topic, Seq.empty)
+                    val parts = session.retrying(s"metadata $topic")(
+                      _.metadata(Seq(topic)).getOrElse(topic, Seq.empty))
                     require(parts.size >= partitions,
                       s"topic $topic has ${parts.size} partitions, need $partitions")
                   }
-                  client.produce(topic, part,
-                    rs.map(r => (r._3.getTime, null: Array[Byte], r._4)))
+                  session.retrying(s"produce $topic/$part")(_.produce(topic,
+                    part, rs.map(r => (r._3.getTime, null: Array[Byte], r._4))))
               }
             }
-          } finally client.close()
+          } finally session.close()
         }
       }
   }

@@ -59,8 +59,29 @@ object KafkaWire {
     val OffsetOutOfRange = 1
     val CorruptMessage = 2
     val UnknownTopicOrPartition = 3
+    val LeaderNotAvailable = 5
+    val NotLeaderForPartition = 6
+    val RequestTimedOut = 7
     val UnsupportedVersion = 35
+
+    /** The retriable subset, per the public protocol's error table — a
+      * client may safely re-send the request (the broker did not apply
+      * it); everything else is terminal for the request.
+      */
+    val retriable: Set[Int] = Set(CorruptMessage, UnknownTopicOrPartition,
+      LeaderNotAvailable, NotLeaderForPartition, RequestTimedOut)
   }
+
+  /** Typed CRC failure — the kafka twin of `SsFormat.ChecksumException`:
+    * corruption must surface as a distinct, matchable error, never a
+    * silent skip (which would under-deliver) and never a retry (the bytes
+    * will be identical). Extends IllegalArgumentException so the embedded
+    * broker's produce-side decode guard catches it with the other
+    * malformed-batch failures.
+    */
+  final case class CorruptBatchException(at: Int, stored: Int, computed: Int)
+      extends IllegalArgumentException(
+        f"record batch CRC mismatch at $at: stored 0x$stored%08x computed 0x$computed%08x")
 
   /** Sentinel timestamps for ListOffsets (public semantics). */
   object Ts {
@@ -238,8 +259,8 @@ object KafkaWire {
       val crcStored = r.i32()
       val crc = new java.util.zip.CRC32C
       crc.update(bytes, at + Batch.Attributes, batchLength - 9)
-      require(crc.getValue.toInt == crcStored,
-        f"record batch CRC mismatch at $at: stored 0x$crcStored%08x computed 0x${crc.getValue.toInt}%08x")
+      if (crc.getValue.toInt != crcStored)
+        throw CorruptBatchException(at, crcStored, crc.getValue.toInt)
       val attributes = r.i16v()
       require((attributes & 0x7) == 0, "compressed batches not supported")
       r.i32() // lastOffsetDelta

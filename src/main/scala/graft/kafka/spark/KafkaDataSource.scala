@@ -281,14 +281,15 @@ class KafkaMicroBatchStream(options: CaseInsensitiveStringMap)
 class KafkaPartitionReader(p: KafkaInputPartition)
     extends PartitionReader[InternalRow] {
 
-  private val client = new KafkaClient(p.host, p.port)
+  private val session = new KafkaClient.Session(
+    () => new KafkaClient(p.host, p.port))
   private val scan = graft.kafka.KafkaSource.pagedFetch(
-    client, p.topic, p.partition, p.from, p.until, p.maxFetchBytes)
+    session, p.topic, p.partition, p.from, p.until, p.maxFetchBytes)
   private var current: SeaMessage = _
 
   override def next(): Boolean =
     if (scan.hasNext) { current = scan.next(); true } else false
 
   override def get(): InternalRow = SsRows.toInternalRow(current)
-  override def close(): Unit = client.close()
+  override def close(): Unit = session.close()
 }

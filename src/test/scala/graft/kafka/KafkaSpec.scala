@@ -84,7 +84,7 @@ class KafkaSpec extends AnyFunSuite {
   }
 
   test("byte-capped fetch pages at batch granularity, never zero mid-log") {
-    withBroker { (_, c) =>
+    withBroker { (srv, c) =>
       c.metadata(Seq("t"))
       val big = Array.fill[Byte](4096)('x')
       // one produce per record = one stored batch per record (fetch serves
@@ -93,8 +93,13 @@ class KafkaSpec extends AnyFunSuite {
       val (_, page) = c.fetch("t", 0, 0L, maxBytes = 5000)
       assert(page.nonEmpty && page.size < 8, s"got ${page.size}")
       // pagedFetch walks the whole range through the cap
-      val all = KafkaSource.pagedFetch(c, "t", 0, 0L, 8L, maxBytes = 5000).toSeq
-      assert(all.map(_.sequence) == (0L until 8L))
+      val s = new KafkaClient.Session(
+        () => new KafkaClient(srv.host, srv.port))
+      try {
+        val all = KafkaSource.pagedFetch(s, "t", 0, 0L, 8L,
+          maxBytes = 5000).toSeq
+        assert(all.map(_.sequence) == (0L until 8L))
+      } finally s.close()
     }
   }
 
