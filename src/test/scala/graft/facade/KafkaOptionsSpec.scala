@@ -1,0 +1,126 @@
+package graft.facade
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSession
+import graft.core.SeaStreamErr
+import graft.facade.KafkaOptions._
+import graft.facade.SeaStreamer.{AutoStreamReset, ConsumerOptions}
+
+/** Golden-config laws for the kafka builtin-connector branch: the sandbox
+  * cannot run a secured broker, so the mitigation is pinning the EXACT
+  * option maps handed to `format("kafka")` for every security protocol and
+  * SASL mechanism the reference's connect surface exposes
+  * (sea-streamer-kafka/src/streamer.rs:38-106 — security_protocol,
+  * sasl_mechanism, username/password, custom passthrough).
+  */
+class KafkaOptionsSpec extends AnyFunSuite {
+
+  test("PLAINTEXT: protocol only, nothing else") {
+    assert(securityOptions(SecurityProtocol.Plaintext) ==
+      Map("kafka.security.protocol" -> "PLAINTEXT"))
+  }
+
+  test("SASL_SSL + PLAIN: inline JAAS via PlainLoginModule") {
+    assert(securityOptions(SecurityProtocol.SaslSsl,
+      Some(SaslOptions(SaslMechanism.Plain, Some("alice"), Some("s3cret")))) ==
+      Map(
+        "kafka.security.protocol" -> "SASL_SSL",
+        "kafka.sasl.mechanism" -> "PLAIN",
+        "kafka.sasl.jaas.config" ->
+          """org.apache.kafka.common.security.plain.PlainLoginModule required username="alice" password="s3cret";"""))
+  }
+
+  test("SASL_PLAINTEXT + SCRAM-SHA-256/512: ScramLoginModule JAAS") {
+    for ((mech, name) <- Seq(SaslMechanism.ScramSha256 -> "SCRAM-SHA-256",
+        SaslMechanism.ScramSha512 -> "SCRAM-SHA-512")) {
+      assert(securityOptions(SecurityProtocol.SaslPlaintext,
+        Some(SaslOptions(mech, Some("u"), Some("p")))) ==
+        Map(
+          "kafka.security.protocol" -> "SASL_PLAINTEXT",
+          "kafka.sasl.mechanism" -> name,
+          "kafka.sasl.jaas.config" ->
+            s"""org.apache.kafka.common.security.scram.ScramLoginModule required username="u" password="p";"""))
+    }
+  }
+
+  test("GSSAPI and OAUTHBEARER: mechanism only, never an inline JAAS") {
+    // both need external configs (krb5 / token endpoint) — an inline
+    // username/password JAAS would be wrong even when credentials are given
+    for (mech <- Seq(SaslMechanism.Gssapi, SaslMechanism.OauthBearer)) {
+      val opts = securityOptions(SecurityProtocol.SaslSsl,
+        Some(SaslOptions(mech, Some("u"), Some("p"))))
+      assert(opts == Map(
+        "kafka.security.protocol" -> "SASL_SSL",
+        "kafka.sasl.mechanism" -> mech.value))
+      assert(!opts.contains("kafka.sasl.jaas.config"))
+    }
+  }
+
+  test("custom options pass through verbatim, kafka.-prefixed once") {
+    val opts = securityOptions(SecurityProtocol.Ssl, None, Map(
+      "ssl.truststore.location" -> "/etc/kafka/trust.jks",
+      "kafka.ssl.keystore.password" -> "kp"))
+    assert(opts == Map(
+      "kafka.security.protocol" -> "SSL",
+      "kafka.ssl.truststore.location" -> "/etc/kafka/trust.jks",
+      "kafka.ssl.keystore.password" -> "kp"))
+  }
+
+  test("builtin reader map: live subscribe with reset and security merged") {
+    val sec = securityOptions(SecurityProtocol.SaslSsl,
+      Some(SaslOptions(SaslMechanism.ScramSha512, Some("u"), Some("p"))))
+    val o = SeaStreamer.builtinKafkaReadOptions("broker:9093", "a,b",
+      ConsumerOptions(autoStreamReset = AutoStreamReset.Earliest), sec)
+    assert(o == Map(
+      "kafka.bootstrap.servers" -> "broker:9093",
+      "subscribe" -> "a,b",
+      "startingOffsets" -> "earliest") ++ sec)
+  }
+
+  test("builtin reader map: seek timestamp replaces startingOffsets") {
+    val o = SeaStreamer.builtinKafkaReadOptions("b:9092", "t",
+      ConsumerOptions(seekTimestamp =
+        Some(new java.sql.Timestamp(1234567L))), Map.empty)
+    assert(o == Map(
+      "kafka.bootstrap.servers" -> "b:9092",
+      "subscribe" -> "t",
+      "startingTimestamp" -> "1234567"))
+    assert(!o.contains("startingOffsets"))
+  }
+
+  test("builtin reader map: assign excludes subscribe; bounded read has no reset") {
+    val o = SeaStreamer.builtinKafkaReadOptions("b:9092", "t,u",
+      ConsumerOptions(live = false,
+        assignShards = Some(Seq(("t", 1L), ("t", 0L), ("u", 2L)))), Map.empty)
+    assert(o == Map(
+      "kafka.bootstrap.servers" -> "b:9092",
+      "assign" -> """{"t":[0,1],"u":[2]}"""))
+  }
+
+  test("builtin writer map: bootstrap + security verbatim") {
+    val sec = securityOptions(SecurityProtocol.SaslPlaintext,
+      Some(SaslOptions(SaslMechanism.Plain, Some("u"), Some("p"))))
+    assert(SeaStreamer.builtinKafkaWriteOptions("h1:9092,h2:9092", sec) ==
+      Map("kafka.bootstrap.servers" -> "h1:9092,h2:9092") ++ sec)
+  }
+
+  test("wire driver refuses non-PLAINTEXT security at connect; plaintext and builtin-only backends validate too") {
+    val spark = TestSession.spark
+    // connector jars are absent in this sandbox, so scheme kafka runs the
+    // wire driver — declared PLAINTEXT-only
+    assume(!SeaStreamer.builtinKafkaPresent)
+    val sasl = securityOptions(SecurityProtocol.SaslSsl,
+      Some(SaslOptions(SaslMechanism.Plain, Some("u"), Some("p"))))
+    val e = intercept[SeaStreamErr.Unsupported](
+      SeaStreamer.connect("kafka://localhost:9092", spark, sasl))
+    assert(e.getMessage.contains("PLAINTEXT only"))
+    // an explicit PLAINTEXT map is fine on the wire driver
+    SeaStreamer.connect("kafka://localhost:9092", spark,
+      securityOptions(SecurityProtocol.Plaintext))
+    // backends without a security surface refuse instead of dropping
+    val e2 = intercept[SeaStreamErr.Unsupported](
+      SeaStreamer.connect("redis://localhost:6379", spark, sasl))
+    assert(e2.getMessage.contains("redis"))
+  }
+}
