@@ -49,11 +49,27 @@ object Pipeline {
     * oracle-replayable; same-pair runs are rare in word vocabularies and
     * the round AFTER catches the skipped occurrence.
     */
-  /** The training loop itself; returns (merge table rows, final vocab with
-    * its spaced-symbol segmentation) so [[bpeMerges]] reports the merges
-    * and p15 applies the segmentation corpus-wide.
+  /** Above this vocabulary size the merge loop stays distributed; below it
+    * the loop runs ON THE DRIVER over the collected (word, freq) table.
+    * The merge-count ceiling (VERDICT r7 #4: one driver round-trip per
+    * merge) only binds when the vocab CANNOT fit — at web-corpus scale a
+    * Heaps-law vocab of ~10M words is a few hundred MB, so in practice
+    * the corpus pass is the only distributed stage and a 30k-merge
+    * production vocabulary costs 30k LOCAL rounds, not 30k Spark jobs.
+    * Both paths share the argmax law bit-for-bit (BpeLocalFinishSpec pins
+    * the equality; Spark UTF8String, DuckDB and java.lang.String order
+    * the [a-z]-only symbols identically, and all three `replace`s share
+    * scan-original-continue-after-match semantics).
     */
-  private def bpeTrain(docs: org.apache.spark.sql.DataFrame, rounds: Int)
+  private[analytics] val LocalFinishVocabCap = 2000000L
+
+  /** The training loop itself; returns (merge table rows, final vocab with
+    * its spaced-symbol segmentation — columns (word, freq, s)) so
+    * [[bpeMerges]] reports the merges and p15 applies the segmentation
+    * corpus-wide. `localCap` exists for the equality spec.
+    */
+  private[analytics] def bpeTrain(docs: org.apache.spark.sql.DataFrame,
+      rounds: Int, localCap: Long = LocalFinishVocabCap)
       : (Seq[(Long, String, String, Long)], org.apache.spark.sql.DataFrame) = {
     // materialize the word table: this is the ONE corpus pass — without it
     // every merge round would silently replay the corpus scan through the
@@ -63,6 +79,66 @@ object Pipeline {
       .filter(col("word").rlike("^[a-z]+$")) // symbol guard: merge
       .groupBy("word").agg(count(lit(1)).as("freq")) // literals stay clean
       .localCheckpoint(true)
+    if (words.count() <= localCap) bpeLocalFinish(words, rounds)
+    else bpeDistributedRounds(words, rounds)
+  }
+
+  /** Local finish: the checkpointed vocab collects once and every merge
+    * round is driver-local array work — no per-merge Spark jobs.
+    */
+  private def bpeLocalFinish(words: org.apache.spark.sql.DataFrame,
+      rounds: Int)
+      : (Seq[(Long, String, String, Long)], org.apache.spark.sql.DataFrame) = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val rows = words.as[(String, Long)].collect()
+    // " a b c " spaced-symbol form — identical to the distributed
+    // concat(" ", regexp_replace(word, "(.)", "$1 "))
+    var segs = rows.map { case (w, _) => " " + w.flatMap(c => s"$c ") }
+    val freqs = rows.map(_._2)
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var i = 0
+      while (i < segs.length) {
+        val a = segs(i).trim.split(" ")
+        // BpePairCap: first 63 adjacent pairs, same bound as the
+        // distributed least(size(a)-2, 62) and the oracle's range(1, 64)
+        val until = math.min(a.length - 1, 63)
+        var j = 0
+        while (j < until) {
+          val k = (a(j), a(j + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + freqs(i))
+          j += 1
+        }
+        i += 1
+      }
+      if (counts.isEmpty) {
+        // fully merged vocab: nothing left to pair — mirror the
+        // distributed path, which would throw on the empty argmax
+        throw new java.util.NoSuchElementException(
+          s"BPE round $r: no pairs left to merge")
+      }
+      val ((x, y), cnt) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+      merges += ((r.toLong, x, y, cnt))
+      val from = s" $x $y "
+      val to = s" $x$y "
+      i = 0
+      while (i < segs.length) { segs(i) = segs(i).replace(from, to); i += 1 }
+    }
+    val vocab = rows.indices
+      .map(i => (rows(i)._1, rows(i)._2, segs(i)))
+      .toDF("word", "freq", "s")
+    (merges.result(), vocab)
+  }
+
+  /** Distributed merge rounds — the fallback when the vocab outgrows the
+    * driver: one vocabulary-sized aggregation + 1-row argmax collect per
+    * merge (the d6 convergence-sum pattern).
+    */
+  private def bpeDistributedRounds(words: org.apache.spark.sql.DataFrame,
+      rounds: Int)
+      : (Seq[(Long, String, String, Long)], org.apache.spark.sql.DataFrame) = {
     var vocab = words.withColumn("s",
       concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))
     val merges = scala.collection.mutable.ArrayBuffer
