@@ -154,32 +154,88 @@ object Dedup {
     * come from one hash aggregation, so a crawl-graph supernode's edges
     * are combined map-side rather than piling onto one reducer key.
     *
-    * @param pairs undirected edges as (doc_a, doc_b), one direction per pair
+    * @param pairs undirected edges as (doc_a, doc_b), one direction per
+    *              pair, IRREFLEXIVE (no (a, a) rows — every caller emits
+    *              a < b; the node set is read off the edge endpoints)
     * @return (labels(doc, lbl), rounds-until-converged)
     */
+  /** Below this edge count the component labeling runs ON THE DRIVER
+    * (collect + union-find with min-root, ~16 B/edge → ≤ 64 MB at the
+    * cap) instead of iterating star-contraction rounds: the near-dup
+    * graph is a sliver of the corpus, and at sf0.1 the whole LSSS loop's
+    * cost is fixed per-round job overhead over a few hundred edges. A
+    * 100 TB crawl graph (billions of edges) exceeds the cap and takes the
+    * contraction path — the same fits-the-driver split as
+    * Pipeline.LocalFinishVocabCap, and DedupSpec pins local == distributed
+    * on a seeded random graph.
+    */
+  private[analytics] val LocalCcEdgeCap = 4000000L
+
+  /** Driver-local union-find (path compression, min-id roots — the label
+    * law both paths share).
+    */
+  private def localComponents(edges: Array[(Long, Long)],
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) {
+        val p = parent(x)
+        parent(x) = parent.getOrElse(p, p) // halve the path
+        x = parent(x)
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    nodes.toSeq.map(n => (n, find(n))).toDF("doc", "lbl")
+  }
+
   private[analytics] def connectedComponents(
-      pairs: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
-    // checkpoint the pair table BEFORE any reuse: with a merely-cached
-    // input every downstream plan carries the CALLER's whole pair plan —
-    // for d8 an LSH + 16-way blocked-join union — and the stats-product
-    // blowup applies to every copy of that subtree (d8: 83 s of driver
-    // time for 1146 pairs before severing). One severed copy caps the
-    // stats walk at a constant.
-    val Severed(pairs0, releasePairs0) = checkpointSevered(pairs)
-    // every doc that appears in any pair — the label domain. Stays
-    // persisted until the caller consumes `labels` (per-query session
-    // hygiene frees it afterwards).
-    val Severed(nodes, _) = checkpointSevered(
-      pairs0.select(col("doc_a").as("doc"))
-        .unionByName(pairs0.select(col("doc_b").as("doc")))
-        .distinct())
-    // canonical directed edges (u > v); both passes preserve the invariant
-    // because they re-attach endpoints to a strict minimum
+      pairs: DataFrame, maxIter: Int = 50,
+      localCap: Long = LocalCcEdgeCap): (DataFrame, Int) = {
+    // the caller's pair plan (for d8 an LSH + 16-way blocked-join union)
+    // executes EXACTLY ONCE — directly into the canonical edge checkpoint.
+    // Severing before any reuse also caps the stats walk at a constant: a
+    // merely-cached input would copy the whole pair subtree into every
+    // downstream plan and the stats-product blowup applies to each copy
+    // (d8: 83 s of driver time for 1146 pairs before severing).
+    // Canonical directed edges are u > v; both passes preserve the
+    // invariant because they re-attach endpoints to a strict minimum.
     var edgesS = checkpointSevered(
-      pairs0.select(greatest(col("doc_a"), col("doc_b")).as("u"),
+      pairs.select(greatest(col("doc_a"), col("doc_b")).as("u"),
           least(col("doc_a"), col("doc_b")).as("v"))
         .filter(col("u") =!= col("v")).distinct())
     def edges = edgesS.df
+    val initialCount = edges.count()
+    if (initialCount <= localCap) {
+      // fits-the-driver fast path: the checkpoint already materialized the
+      // (deduped, canonicalized) edge set, so the collect moves exactly
+      // initialCount pairs of longs once; union-find replaces the whole
+      // round loop. Identical labels to the contraction path by the
+      // min-root law (DedupSpec cross-checks both against each other).
+      val arr = edges.select(col("u"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val labels = localComponents(arr, pairs.sparkSession)
+      edgesS.release()
+      return (labels, 0)
+    }
+    // every doc that appears in any pair — the label domain. All callers
+    // emit irreflexive pairs (a < b by construction), so the edge
+    // endpoints ARE the node set; a hypothetical self-pair-only doc would
+    // need the caller to pre-filter (documented contract). Stays persisted
+    // until the caller consumes `labels` (per-query session hygiene frees
+    // it afterwards).
+    val Severed(nodes, _) = checkpointSevered(
+      edges.select(col("u").as("doc"))
+        .unionByName(edges.select(col("v").as("doc")))
+        .distinct())
     // one star pass: re-attach the `pick` side of each neighborhood to its
     // minimum. Neighborhoods are read off the symmetric view; the minima
     // table is corpus-sized, so the attach join is shuffle-hinted (the
@@ -204,7 +260,7 @@ object Dedup {
     }
     var iter = 0
     var converged = false
-    var edgeCount = edges.count()
+    var edgeCount = initialCount
     while (!converged && iter < maxIter) {
       // checkpointSevered: materializes, severs lineage AND resets the
       // size stat, so the plan, per-round optimization time and the stats
@@ -237,7 +293,6 @@ object Dedup {
         col("n.doc") === col("s.u"), "left")
       .groupBy(col("n.doc").as("doc"))
       .agg(coalesce(min(col("s.v")), min(col("n.doc"))).as("lbl"))
-    releasePairs0()
     (labels, iter)
   }
 

@@ -40,7 +40,7 @@ class DedupSpec extends AnyFunSuite {
     // ~200 rounds; large-star halves the path each round, so ~9 incl. the
     // fixpoint-detect round.
     val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val (labels, iters) = Dedup.connectedComponents(pairs)
+    val (labels, iters) = Dedup.connectedComponents(pairs, localCap = -1L)
     assert(iters < 10, s"chain took $iters rounds — star contraction regressed")
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 200 && got.values.forall(_ == 0L))
@@ -64,7 +64,8 @@ class DedupSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(20260813L)
     val pairs = Seq.fill(320)((rnd.nextInt(400).toLong, rnd.nextInt(400).toLong))
       .filter(p => p._1 != p._2)
-    val (labels, iters) = Dedup.connectedComponents(pairs.toDF("doc_a", "doc_b"))
+    val (labels, iters) = Dedup.connectedComponents(
+      pairs.toDF("doc_a", "doc_b"), localCap = -1L)
     assert(iters < 12, s"took $iters rounds")
     // union-find reference with min-root merging
     val parent = Array.tabulate(400)(identity)
@@ -85,6 +86,23 @@ class DedupSpec extends AnyFunSuite {
         s"doc $d: got ${got(d)}, union-find says ${find(d.toInt)}")
   }
 
+  test("local fast path labels identically to the distributed contraction") {
+    import spark.implicits._
+    // same seeded random graph through BOTH paths: the fits-the-driver
+    // union-find (default cap) and the star contraction (cap forced to -1)
+    // must agree on every label — the law that makes the cap a pure
+    // performance knob
+    val rnd = new scala.util.Random(42L)
+    val pairs = Seq.fill(500)((rnd.nextInt(600).toLong, rnd.nextInt(600).toLong))
+      .filter(p => p._1 != p._2).toDF("doc_a", "doc_b")
+    val (localLabels, localIters) = Dedup.connectedComponents(pairs)
+    assert(localIters == 0, "small graph must take the driver-local path")
+    val (distLabels, _) = Dedup.connectedComponents(pairs, localCap = -1L)
+    val l = localLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d = distLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l == d)
+  }
+
   test("connectedComponents handles bushy + deep shapes (star, cliques, tree)") {
     import spark.implicits._
     // star at 0; two 6-cliques bridged by one edge; a depth-9 binary tree —
@@ -96,7 +114,7 @@ class DedupSpec extends AnyFunSuite {
     val tree = (1L until 512L).map(i => (i, (i - 1) / 2))
     val all = (star ++ cliques ++ tree.map { case (a, b) => (a + 1000L, b + 1000L) })
       .toDF("doc_a", "doc_b")
-    val (labels, iters) = Dedup.connectedComponents(all)
+    val (labels, iters) = Dedup.connectedComponents(all, localCap = -1L)
     assert(iters < 10, s"took $iters rounds")
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((1L to 50L).forall(got(_) == 0L) && got(0L) == 0L)
