@@ -20,6 +20,32 @@ object Bench {
       results(name) = (System.nanoTime() - t0) / 1e9
     }
 
+    /** Embedded-server queries (each spins its own in-process broker) swing
+      * ±0.5–1.6 s between clean runs — broker thread scheduling and socket
+      * accepts, not plan cost. Time those 3× and report the MEDIAN so
+      * round-over-round comparison carries signal (method documented in
+      * BENCH_LOCAL.md). Everything else stays single-shot.
+      */
+    val medianOf3 = Set(
+      "i1_iggy_roundtrip", "i2_iggy_admission", "i3_iggy_seek",
+      "k1_kafka_roundtrip", "k2_kafka_seek", "k3_kafka_admission",
+      "k4_kafka_group_resume",
+      "r1_redis_roundtrip", "r2_redis_latest", "r3_redis_sharding",
+      "r4_redis_seek", "r5_redis_admission", "r6_redis_group_recovery",
+      "r7_relay", "t2_ss_stream")
+
+    def timedMedian(name: String)(f: => Unit): Unit = {
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try f catch { case _: Throwable => results(name) = -1.0; return }
+        val dt = (System.nanoTime() - t0) / 1e9
+        GraftSession.releaseCaches(spark)
+        System.gc()
+        dt
+      }
+      results(name) = runs.sorted.apply(1)
+    }
+
     // JVM/codegen/scan warmup so the first timed query isn't charged for
     // session spin-up (the driver compares per-query numbers)
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
@@ -47,7 +73,9 @@ object Bench {
           // recurring cost (the Verify/oracle path runs the combined query)
           timed("s7_layout")(analytics.Similarity.s7Layout(spark, sfDir))
           timed("s7_query")(analytics.Similarity.s7Query(spark, sfDir).count())
-        } else
+        } else if (medianOf3.contains(name))
+          timedMedian(name)(fn(spark, sfDir).count())
+        else
           timed(name)(fn(spark, sfDir).count())
         // queries persist intermediates (e.g. the dedup shingle set); free
         // the blocks outside the timed region so one query's cache can't
@@ -62,6 +90,15 @@ object Bench {
 
     // Transport path: the reference's benchmark shape — 100k messages of
     // 256-byte lorem-ipsum payloads (≈30 MB dump), produce then consume.
+    // Skippable for sf-scaling runs (the xp_ workloads are sf-independent).
+    if (sys.env.contains("SPARK_GRAFT_BENCH_SKIP_XP")) {
+      val qs0 = results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val total0 = results.values.filter(_ >= 0).sum
+      println(s"""{"metric":"total","value":$total0,"unit":"sec","queries":$qs0,"sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
     val benchDir = "/tmp/graft/bench_ss"
     val payload = ("lorem ipsum dolor sit amet " * 10).take(256)
     timed("xp_ss_produce_100k") {

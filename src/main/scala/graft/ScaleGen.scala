@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 test-data amplifier for the scale-evidence gate (BENCH_SF1.md): the
+  * driver only materializes sf ≤ 0.1, so bigger inputs are derived from
+  * sf0.1 by a structure-preserving ×N replication:
+  *
+  *   - documents: replica k rewrites each token t to t+letter(k) iff
+  *     xxhash64(t, k) lands in a 60% bucket — a per-replica token
+  *     BIJECTION, so every within-replica shingle/Jaccard/minhash
+  *     relationship of the original corpus is preserved exactly, while
+  *     cross-replica shingle overlap collapses (≥1 of 3 tokens in any
+  *     3-gram differs with p ≈ 1 − 0.4³ per replica pair). The near-dup
+  *     graph therefore scales ~linearly in N — the honest scaling probe —
+  *     instead of the ×N²-clique blowup naive copying would inject.
+  *   - embeddings: replica k cyclically rotates the 64 dims by k. Cosine
+  *     is invariant under a shared rotation, so within-replica ANN/near-dup
+  *     structure is exact; cross-replica cosines decorrelate.
+  *   - lineitem: plain id-offset copies (scan/agg scaling only).
+  *
+  * Ids offset by k·10⁹ per replica. Usage:
+  * `runMain graft.ScaleGen <srcDir> <outDir> <factor>`.
+  */
+object ScaleGen {
+
+  private val IdOffset = 1000000000L
+
+  private[graft] def amplifyDocuments(src: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { k =>
+      if (k == 0) src
+      else {
+        val letter = ('a' + ((k - 1) % 26)).toChar.toString
+        src.select(
+          (col("doc_id") + lit(k * IdOffset)).as("doc_id"),
+          concat_ws(" ", expr(
+            s"""transform(split(text, ' '),
+               |  t -> IF(pmod(xxhash64(t, $k), 5) < 3,
+               |          concat(t, '$letter'), t))""".stripMargin))
+            .as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }
+    }.reduce(_ unionByName _)
+
+  private[graft] def amplifyEmbeddings(src: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { k =>
+      if (k == 0) src
+      else {
+        val shift = 1 + ((k - 1) % 63) // 1..63: never the identity rotation
+        src.select(
+          (col("vec_id") + lit(k * IdOffset)).as("vec_id"),
+          expr(s"concat(slice(embedding, ${shift + 1}, ${64 - shift}), " +
+            s"slice(embedding, 1, $shift))").as("embedding"),
+          col("label"))
+      }
+    }.reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScaleGen <srcDir> <outDir> <factor>")
+    val (srcDir, outDir, factor) = (args(0), args(1), args(2).toInt)
+    require(factor >= 1 && factor <= 26 * 10, s"bad factor $factor")
+    val spark = GraftSession.get()
+    amplifyDocuments(spark.read.parquet(s"$srcDir/documents.parquet"), factor)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    amplifyEmbeddings(spark.read.parquet(s"$srcDir/embeddings.parquet"), factor)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    (0 until factor).map { k =>
+      if (k == 0) li
+      else li.withColumn("l_orderkey", col("l_orderkey") + lit(k * IdOffset))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    println(s"[scalegen] wrote ${outDir} at factor $factor")
+    spark.stop()
+  }
+}
