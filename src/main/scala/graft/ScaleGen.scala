@@ -15,9 +15,16 @@ import org.apache.spark.sql.functions._
   *     3-gram differs with p ≈ 1 − 0.4³ per replica pair). The near-dup
   *     graph therefore scales ~linearly in N — the honest scaling probe —
   *     instead of the ×N²-clique blowup naive copying would inject.
-  *   - embeddings: replica k cyclically rotates the 64 dims by k. Cosine
-  *     is invariant under a shared rotation, so within-replica ANN/near-dup
-  *     structure is exact; cross-replica cosines decorrelate.
+  *   - embeddings: replica k applies a deterministic per-dimension SIGN
+  *     FLIP (s_i = ±1 from xxhash64(i, k)). dot(s∘x, s∘y) = Σ s_i² x_i y_i
+  *     = dot(x, y), so within-replica cosine structure is EXACT; across
+  *     replicas dot(s∘x, t∘y) has random ± terms and cancels. (Cyclic
+  *     rotation — the first attempt — is NOT decorrelating for
+  *     autocorrelated vectors: a smooth vector shifted by one dim is
+  *     nearly itself, and the sf1 near-dup graph came out 1650× denser
+  *     than linear. The dense graph made a great stress input — it
+  *     exposed the conjunct-reorder trap in Similarity's prefilter — but
+  *     as the SCALING probe it must not inject cross-replica edges.)
   *   - lineitem: plain id-offset copies (scan/agg scaling only).
   *
   * Ids offset by k·10⁹ per replica. Usage:
@@ -46,14 +53,13 @@ object ScaleGen {
   private[graft] def amplifyEmbeddings(src: DataFrame, factor: Int): DataFrame =
     (0 until factor).map { k =>
       if (k == 0) src
-      else {
-        val shift = 1 + ((k - 1) % 63) // 1..63: never the identity rotation
+      else
         src.select(
           (col("vec_id") + lit(k * IdOffset)).as("vec_id"),
-          expr(s"concat(slice(embedding, ${shift + 1}, ${64 - shift}), " +
-            s"slice(embedding, 1, $shift))").as("embedding"),
+          expr(s"""transform(embedding,
+                  |  (v, i) -> IF(pmod(xxhash64(i, $k), 2) = 0, v, -v))"""
+            .stripMargin).as("embedding"),
           col("label"))
-      }
     }.reduce(_ unionByName _)
 
   def main(args: Array[String]): Unit = {

@@ -379,12 +379,19 @@ object Similarity {
           .hint("shuffle_hash"), "vec_b")
       // cheap double prefilter with a wide margin (float error ≪ the margin),
       // then the exact decimal cosine only for the handful of survivors —
-      // the result set is identical, the BigDecimal work drops ~1000×
+      // the result set is identical, the BigDecimal work drops ~1000×.
+      // The guard is a CONDITIONAL, not a separate filter: two stacked
+      // filters become one AND-conjunction when Catalyst pushes them into
+      // the pair join, and conjunct evaluation order is not guaranteed —
+      // at sf1 the optimizer flipped it and ran the decimal dot product on
+      // every candidate pair (5× the whole query). `when` keeps the
+      // short-circuit structural wherever the predicate lands
+      // (PlanShapeSpec pins the shape).
       val scored = paired
-        .filter(approxDotCol("ea", "eb") / (col("na") * col("nb")) >=
-          DupThreshold - DupPrefilterMargin)
         .withColumn("cosine",
-          round(dotCol("ea", "eb") / (col("na") * col("nb")), 6))
+          when(approxDotCol("ea", "eb") / (col("na") * col("nb")) >=
+              DupThreshold - DupPrefilterMargin,
+            round(dotCol("ea", "eb") / (col("na") * col("nb")), 6)))
       scored.filter(col("cosine") >= DupThreshold)
         .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
@@ -446,14 +453,17 @@ object Similarity {
       val K = 16
       val cents = broadcast(e.filter(col("vec_id") < K)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb")))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("d2r"), col("centroid_id"))
+      // packed-long argmin aggregation, not a window rank — a row_number
+      // window would sort-shuffle k× the corpus (see annIvf for the
+      // packing bounds)
       val lists = e.select(col("vec_id"), col("embedding"))
         .crossJoin(cents)
         .withColumn("d2r", round(dist2Col("embedding", "cemb"), 6))
-        .withColumn("cr", row_number().over(wAssign))
-        .filter(col("cr") === 1)
-        .select(col("vec_id"), col("centroid_id"))
+        .groupBy("vec_id")
+        .agg(min(round(col("d2r") * lit(1000000d)).cast("long") *
+          lit(1L << 20) + col("centroid_id")).as("pk"))
+        .select(col("vec_id"),
+          col("pk").bitwiseAND(lit((1L << 20) - 1)).as("centroid_id"))
       val ex = e.select(col("vec_id"),
         posexplode(col("embedding")).as(Seq("d0", "v")))
         .select(col("vec_id"), (col("d0") + 1).as("d"),
@@ -618,14 +628,17 @@ object Similarity {
       val K = k
       val cents = broadcast(e.filter(col("vec_id") < K)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb")))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("d2r"), col("centroid_id"))
+      // packed-long argmin aggregation, not a window rank — a row_number
+      // window would sort-shuffle k× the corpus (see annIvf for the
+      // packing bounds)
       val lists = e.select(col("vec_id"), col("embedding"))
         .crossJoin(cents)
         .withColumn("d2r", round(dist2Col("embedding", "cemb"), 6))
-        .withColumn("cr", row_number().over(wAssign))
-        .filter(col("cr") === 1)
-        .select(col("vec_id"), col("centroid_id"))
+        .groupBy("vec_id")
+        .agg(min(round(col("d2r") * lit(1000000d)).cast("long") *
+          lit(1L << 20) + col("centroid_id")).as("pk"))
+        .select(col("vec_id"),
+          col("pk").bitwiseAND(lit((1L << 20) - 1)).as("centroid_id"))
       // all joins below pair corpus-sized sides — shuffle-hinted so AQE's
       // local broadcast conversion can't hide the only shape that exists at
       // 100 TB (hash-partitioned on cluster/doc keys)
@@ -646,10 +659,12 @@ object Similarity {
         .blockedPairJoin(aSide, bSide, "centroid_id", pairBlocks)
         .filter(col("vec_a") < col("vec_b"))
         .withColumnRenamed("centroid_id", "cluster_id")
-        .filter(approxDotCol("ea", "eb") / (col("na") * col("nb")) >=
-          DupThreshold - DupPrefilterMargin)
+        // conditional guard, not a stacked filter — see embedNearDup for
+        // the conjunct-reorder trap this avoids
         .withColumn("cosine",
-          round(dotCol("ea", "eb") / (col("na") * col("nb")), 6))
+          when(approxDotCol("ea", "eb") / (col("na") * col("nb")) >=
+              DupThreshold - DupPrefilterMargin,
+            round(dotCol("ea", "eb") / (col("na") * col("nb")), 6)))
         .filter(col("cosine") >= DupThreshold)
         .select(col("cluster_id"), col("vec_a"), col("vec_b"), col("cosine"))
       // a doc is dropped if any lower-id cluster-mate is near enough;

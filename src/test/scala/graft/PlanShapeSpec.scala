@@ -241,6 +241,50 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("d5/d7 decimal cosine stays structurally guarded by the double prefilter") {
+    // The cheap double prefilter and the exact decimal cosine both end up
+    // pushed into the pair join; as two stacked filters they became one
+    // AND whose conjunct ORDER Catalyst may flip — at sf1 it did, and the
+    // BigDecimal dot product ran on every candidate pair (5× the query).
+    // The law: a cross-vector sea_fdot_exact may appear ONLY inside a
+    // CaseWhen (whose predicate carries the sea_fdot prefilter) — never as
+    // a bare conjunct the optimizer can reorder. Self-dots (norms) are
+    // exempt, and so is the sea_fdist2_exact assignment mode: centroid
+    // argmin has no threshold to prefilter on (every (vector, centroid)
+    // distance participates in the min) and is k-bounded broadcast work,
+    // not pair-join work.
+    import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Expression}
+    def unguarded(e: Expression): Boolean = e match {
+      case _: CaseWhen => false // below a guard: fine by construction
+      case d: graft.functions.FloatVecDecimal
+          if !d.squaredDiff && !d.left.semanticEquals(d.right) => true
+      case other => other.children.exists(unguarded)
+    }
+    // (d8 is exempt: its pair plan executes eagerly inside
+    // connectedComponents, so the returned labels plan is driver-local —
+    // d5 shares the exact same embedNearDup subtree.)
+    for (q <- Seq("d5_embed_cosine_dup", "d7_semdedup")) {
+      val plan = SparkEntry.queries(q)(spark, TestSession.sfDir)
+        .queryExecution.optimizedPlan
+      val bare = plan.collect {
+        case n if n.expressions.exists(unguarded) => n.nodeName
+      }
+      assert(bare.isEmpty,
+        s"$q evaluates the exact decimal dot product outside its CaseWhen " +
+          s"guard in: ${bare.mkString(", ")} — conjunct reordering can now " +
+          "run it on every candidate pair")
+      val guarded = plan.collect { case n => n.expressions }.flatten
+        .flatMap(_.collect {
+          case c: CaseWhen if c.branches.exists { case (p, v) =>
+            p.exists(_.isInstanceOf[graft.functions.FloatVecDot]) &&
+              v.exists(_.isInstanceOf[graft.functions.FloatVecDecimal])
+          } => c
+        })
+      assert(guarded.nonEmpty,
+        s"$q lost the fast-prefilter CaseWhen entirely")
+    }
+  }
+
   test("p13's bloom prefilter sits in the scan stage; confirm join shuffles") {
     // the fixed-size bloom blob must be a literal predicate on the corpus
     // scan side (no shuffle to apply it), and the exact confirm join is
