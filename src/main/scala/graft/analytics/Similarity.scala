@@ -26,6 +26,10 @@ object Similarity {
   private val QueryCount = 10
   private val TopK = 5
 
+  /** s8 hybrid retrieval: query-doc count and per-side rank-list depth. */
+  private val HybridQueries = 5
+  private val HybridSideN = 20
+
   /** 4 hyperplanes + multi-probe (hamming-1) — calibrated on sf0.01: 57%
     * candidate recall of brute-force top-3 while scanning ~3% of the corpus
     * (random embeddings are the worst case for LSH; real clustered data does
@@ -397,7 +401,100 @@ object Similarity {
   }
 
   /** A `def` (not val): referenced from `queries`' initializer above. */
+  /** Hybrid retrieval (s8): lexical + dense rankings fused with reciprocal-
+    * rank fusion (Cormack et al. 2009, k=60) — "more-like-this" over the
+    * documents×embeddings universe, queries = the first [[HybridQueries]]
+    * ids, top-3 fused results per query.
+    *
+    * Lexical side: integer-scaled idf weights w(t) = (N·1000) div df(t),
+    * score(q,d) = Σ_t qtf·tf·w — the score stays in ℤ so the DuckDB oracle
+    * replays it bit-for-bit (a float BM25 idf would drift in the last ulp
+    * across engines; after rank fusion only the ORDER carries anyway).
+    * Dense side: the exact decimal cosine (same rule as s1).
+    *
+    * 100 TB shapes: postings are term-keyed and corpus-sized (p2's
+    * never-broadcast law) while the query-term table is query-bounded and
+    * broadcast onto them; per-(query, doc) partial sums collapse map-side
+    * into a (qid, doc)-keyed hash agg; each side's top-N uses
+    * [[graft.functions.TopKAggregator]] — an O(k)-state ObjectHashAggregate
+    * with map-side partials — instead of a corpus-wide row_number window,
+    * which would sort-shuffle every candidate into ≤|queries| tasks
+    * (PlanShapeSpec pins the no-window law); fusion then full-outer-joins
+    * two 20-row-per-query lists and ranks the ≤2N survivors.
+    */
+  def hybridSearch(s: SparkSession, dir: String,
+      sideN: Int = HybridSideN): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val e = Tables(s, dir).embeddings
+    // candidate universe: docs carrying an embedding — both sides corpus-
+    // sized, so the id intersection shuffles
+    val toks = docs.join(
+        e.select(col("vec_id").as("doc_id")).hint("shuffle_hash"), "doc_id")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+    val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val nTot = tf.select("doc_id").distinct().agg(count(lit(1)).as("ntot"))
+    val w = dfT.crossJoin(nTot)
+      .select(col("t"), expr("(ntot * 1000) div df").as("w"))
+    // query terms are query-bounded: broadcast them INTO the corpus-sized
+    // weight table, then broadcast the (still query-bounded) weighted form
+    // onto the postings scan
+    val qt = tf.filter(col("doc_id") < HybridQueries)
+      .select(col("doc_id").as("qid"), col("t"), col("tf").as("qtf"))
+    val qw = w.join(broadcast(qt), "t")
+    val lex = tf.join(broadcast(qw), "t")
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy("qid", "doc_id")
+      .agg(sum(col("qtf") * col("tf") * col("w")).as("lex"))
+    val lexTop = lex.groupBy("qid")
+      .agg(graft.functions.TopKAggregator
+        .topKLong(sideN, -col("lex"), col("doc_id")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("i", "x")))
+      .select(col("qid"), col("x._2").as("doc_id"),
+        (col("i") + 1).cast("long").as("lex_rank"))
+    val uni = withNorm(e.join(docs.select(col("doc_id").as("vec_id"))
+        .hint("shuffle_hash"), "vec_id"), "embedding", "nrm")
+    val qs = uni.filter(col("vec_id") < HybridQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val vec = uni.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("nrm").as("cn"))
+      .crossJoin(broadcast(qs))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cosine",
+        round(dotCol("qe", "ce") / (col("qn") * col("cn")), 6))
+    // key 0-cosine+0 (not -cosine): normalizes IEEE -0.0 so a -0.0/+0.0
+    // cosine pair can't order differently from the oracle's SQL DESC
+    val vecTop = vec.groupBy("qid")
+      .agg(graft.functions.TopKAggregator
+        .topKDouble(sideN, lit(0d) - col("cosine") + lit(0d), col("cid"))
+        .as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("i", "x")))
+      .select(col("qid"), col("x._2").as("doc_id"),
+        (col("i") + 1).cast("long").as("vec_rank"))
+    val fused = lexTop.join(vecTop, Seq("qid", "doc_id"), "full_outer")
+      // rrf from the RAW nullable ranks (an absent side contributes 0),
+      // THEN default the ranks to 0 for output
+      .withColumn("rrf",
+        coalesce(expr("1000000000 div (60 + lex_rank)"), lit(0L)) +
+          coalesce(expr("1000000000 div (60 + vec_rank)"), lit(0L)))
+      .withColumn("lex_rank", coalesce(col("lex_rank"), lit(0L)))
+      .withColumn("vec_rank", coalesce(col("vec_rank"), lit(0L)))
+    // ≤ 2·sideN rows per query survive fusion — this window ranks a
+    // bounded list, never the corpus
+    val wr = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("doc_id"), col("lex_rank"), col("vec_rank"),
+        col("rrf"), col("rank"))
+  }
+
   private def moreQueries: Map[String, Relational.Q] = Map(
+    // Hybrid lexical+dense retrieval (doc above).
+    "s8_hybrid_search" -> { (s, dir) => hybridSearch(s, dir) },
+
     // Persisted-IVF serve path: build the partitioned index once, then
     // probe it with dynamic partition pruning. Result-identical to s3
     // (same assignment + scoring rules), so the oracle replays s3's SQL —
@@ -764,6 +861,60 @@ object Similarity {
        |SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 3""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "s8_hybrid_search" ->
+      s"""WITH uni AS (SELECT d.doc_id, d.text, e.embedding
+         |             FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM uni),
+         |toks2 AS (SELECT doc_id, t FROM toks WHERE length(t) > 0),
+         |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM toks2 GROUP BY 1, 2),
+         |dft AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+         |nt AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS ntot FROM tf),
+         |w AS (SELECT t, (ntot * 1000) // df AS w FROM dft CROSS JOIN nt),
+         |qt AS (SELECT doc_id AS qid, t, tf AS qtf FROM tf
+         |       WHERE doc_id < $HybridQueries),
+         |lex AS (SELECT qt.qid, tf.doc_id,
+         |          CAST(SUM(qt.qtf * tf.tf * w.w) AS BIGINT) AS lex
+         |        FROM tf JOIN qt ON tf.t = qt.t JOIN w ON tf.t = w.t
+         |        WHERE tf.doc_id <> qt.qid GROUP BY 1, 2),
+         |lexr AS (SELECT qid, doc_id, ROW_NUMBER() OVER (PARTITION BY qid
+         |           ORDER BY lex DESC, doc_id) AS lex_rank
+         |         FROM lex),
+         |lext AS (SELECT qid, doc_id, lex_rank FROM lexr
+         |         WHERE lex_rank <= $HybridSideN),
+         |exu AS (SELECT u.doc_id AS vec_id, g.i AS d,
+         |          CAST(u.embedding[g.i] AS DOUBLE) AS v
+         |        FROM uni u, (SELECT unnest(range(1, 256)) AS i) g
+         |        WHERE g.i <= len(u.embedding)),
+         |normu AS (SELECT vec_id,
+         |            sqrt(CAST(SUM(CAST(v * v AS DECIMAL(30,15))) AS DOUBLE)) AS nrm
+         |          FROM exu GROUP BY vec_id),
+         |dots AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |           CAST(SUM(CAST(q.v * c.v AS DECIMAL(30,15))) AS DOUBLE) AS dot
+         |         FROM exu q JOIN exu c ON q.d = c.d
+         |         WHERE q.vec_id < $HybridQueries AND q.vec_id <> c.vec_id
+         |         GROUP BY 1, 2),
+         |vecs AS (SELECT qid, cid, ROUND(dot / (nq.nrm * nc.nrm), 6) AS cosine
+         |         FROM dots JOIN normu nq ON qid = nq.vec_id
+         |         JOIN normu nc ON cid = nc.vec_id),
+         |vecr AS (SELECT qid, cid AS doc_id, ROW_NUMBER() OVER (PARTITION BY qid
+         |           ORDER BY cosine DESC, cid) AS vec_rank
+         |         FROM vecs),
+         |vect AS (SELECT qid, doc_id, vec_rank FROM vecr
+         |         WHERE vec_rank <= $HybridSideN),
+         |fused AS (SELECT COALESCE(l.qid, v.qid) AS qid,
+         |            COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         |            COALESCE(l.lex_rank, 0) AS lex_rank,
+         |            COALESCE(v.vec_rank, 0) AS vec_rank,
+         |            COALESCE(1000000000 // (60 + l.lex_rank), 0)
+         |              + COALESCE(1000000000 // (60 + v.vec_rank), 0) AS rrf
+         |          FROM lext l FULL OUTER JOIN vect v
+         |            ON l.qid = v.qid AND l.doc_id = v.doc_id),
+         |ranked AS (SELECT qid, doc_id, lex_rank, vec_rank, rrf,
+         |             ROW_NUMBER() OVER (PARTITION BY qid
+         |               ORDER BY rrf DESC, doc_id) AS rank
+         |           FROM fused)
+         |SELECT qid, doc_id, lex_rank, vec_rank, rrf, rank
+         |FROM ranked WHERE rank <= 3""".stripMargin,
     "s1_knn_brute" ->
       s"""WITH $explodedSql,
          |dots AS (SELECT q.vec_id AS qid, c.vec_id AS cid,

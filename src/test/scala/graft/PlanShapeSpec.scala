@@ -285,6 +285,25 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("s8's per-side top-k aggregates bounded state; only the fused rank windows") {
+    // The lexical and dense top-20-per-query must be the O(k)-state
+    // ObjectHashAggregate (TopKAggregator) — a row_number window there
+    // would sort-shuffle every candidate into ≤|queries| tasks. The single
+    // allowed Window ranks the fused ≤2N-row-per-query list. The postings
+    // and cosine scans meet the query-bounded tables by broadcast; the
+    // corpus-sized universe id-joins stay shuffled.
+    val plan = SparkEntry.queries("s8_hybrid_search")(spark, TestSession.sfDir)
+      .queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 4, // 2 sides × partial+final
+      "per-side top-k lost its ObjectHashAggregate shape")
+    assert("Window".r.findAllIn(plan).size <= 1,
+      "more than the single bounded fusion Window in the s8 plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      "query-bounded tables must broadcast onto the corpus scans")
+    assert(plan.contains("ShuffledHashJoin"),
+      "the corpus-sized universe id-join must not broadcast")
+  }
+
   test("p13's bloom prefilter sits in the scan stage; confirm join shuffles") {
     // the fixed-size bloom blob must be a literal predicate on the corpus
     // scan side (no shuffle to apply it), and the exact confirm join is
