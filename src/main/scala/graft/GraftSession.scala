@@ -52,6 +52,15 @@ object GraftSession {
         "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Driver testdata ships naive-micros timestamps (isAdjustedToUTC =
+      // false). Read them as TimestampType AT THE SCAN instead of letting
+      // them surface as TIMESTAMP_NTZ: the session is pinned UTC so the
+      // instant is identical, and keeping the scan output LTZ means range
+      // filters on o_orderdate/l_shipdate/ts still reach parquet as
+      // PushedFilters — a projection-level NTZ→LTZ cast would sit between
+      // the filter and the scan and defeat pushdown (Tables.t keeps that
+      // cast only as a fallback for sessions not built here).
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // runtime bloom-filter injection OFF: InjectRuntimeFilter embeds a
       // copy of the creation-side plan per injected filter and re-walks
       // size-only stats (BigInt PRODUCTS across join children) over the

@@ -15,8 +15,22 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // Timestamp-typed outputs write as UTC-adjusted parquet, which DuckDB
+      // reads as TIMESTAMPTZ — but the oracle computes over the driver's
+      // naive-micros inputs and yields plain TIMESTAMP. Cast LTZ→NTZ at the
+      // write boundary (UTC session ⇒ same wall-clock values) so both sides
+      // of the compare carry the same type. No-op for the (typical) queries
+      // that project epochs instead of raw timestamps.
+      try {
+        val out = fn(spark, sfDir)
+        import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+        val norm = out.schema.fields.filter(_.dataType == TimestampType)
+          .foldLeft(out) { (df, f) =>
+            df.withColumn(f.name, col(f.name).cast(TimestampNTZType))
+          }
+        norm.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

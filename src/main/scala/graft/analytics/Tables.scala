@@ -10,7 +10,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * need co-location repartition explicitly on their join/agg keys.
   */
 final class Tables(spark: SparkSession, dir: String) {
-  def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  /** Driver testdata has shipped timestamps three ways across rounds:
+    * TIMESTAMP(NANOS) (→ LONG under nanosAsLong, see [[events]]),
+    * UTC-adjusted micros (→ TimestampType), and naive micros
+    * (isAdjustedToUTC=false). Sessions built by [[graft.GraftSession]] read
+    * the naive form as TimestampType at the scan
+    * (`parquet.inferTimestampNTZ.enabled=false` + UTC session — value-
+    * preserving, and timestamp range filters stay pushable). This fold is
+    * the FALLBACK for externally-built sessions where the conf is absent:
+    * correctness holds (same UTC reinterpretation) at the cost of the
+    * projection cast blocking parquet pushdown on that column.
+    */
+  def t(name: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    raw.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(raw) {
+      (df, f) => df.withColumn(f.name, col(f.name).cast(TimestampType))
+    }
+  }
 
   /** events.parquet stores ts as TIMESTAMP(NANOS) which Spark's parquet reader
     * rejects; sessions set spark.sql.legacy.parquet.nanosAsLong=true (see

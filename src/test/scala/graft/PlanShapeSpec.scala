@@ -16,6 +16,11 @@ class PlanShapeSpec extends AnyFunSuite {
   test("q1 pushes its filter and prunes columns at the parquet scan") {
     val p = planOf("q1_agg")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    // the RANGE predicate must push too — IsNotNull alone survives a
+    // projection cast on the column, so it can't detect the scan type
+    // regressing to TIMESTAMP_NTZ (GraftSession pins inferTimestampNTZ off)
+    assert(p.contains("LessThanOrEqual(l_shipdate"),
+      "shipdate range filter no longer reaches the parquet scan")
     assert(p.contains("ReadSchema"))
     assert(!p.contains("l_orderkey"), "unused columns must not be read")
   }
@@ -296,7 +301,10 @@ class PlanShapeSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert("ObjectHashAggregate".r.findAllIn(plan).size >= 4, // 2 sides × partial+final
       "per-side top-k lost its ObjectHashAggregate shape")
-    assert("Window".r.findAllIn(plan).size <= 1,
+    // \b so WindowGroupLimit doesn't count: those nodes are the rank-limit
+    // pushdown trimming each partition to top-3 BEFORE the fusion window's
+    // sort — wanted, not a second corpus window.
+    assert("\\bWindow\\b".r.findAllIn(plan).size <= 1,
       "more than the single bounded fusion Window in the s8 plan")
     assert(plan.contains("BroadcastHashJoin"),
       "query-bounded tables must broadcast onto the corpus scans")
