@@ -31,6 +31,29 @@ final class EmbeddedRedis(
 
   /** Like [[redirects]] but with `ASK` (migration in flight). */
   @volatile var askRedirects: Map[String, String] = Map.empty
+  /** Fault tap (spent per matching command, like EmbeddedKafka's): close
+    * the connection INSTEAD of processing the next N read commands
+    * (XRANGE / XREAD / XREADGROUP) — nothing served, nothing advanced.
+    */
+  val dropReads = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** COUNTDOWN tap: the Nth next XADD (N = the value set) is dropped —
+    * the connection closes instead of processing it, so the fault lands
+    * MID-pipeline after N−1 commands were applied. Nothing is appended for
+    * the dropped command; replies already produced for earlier commands of
+    * the same pipeline are flushed before the close so the client's ack
+    * high-water mark stays exact.
+    */
+  val dropXaddCountdown = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Refuse the next N XADDs (nothing appended) with [[failXaddError]]. */
+  val failXadds = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Error served while [[failXadds]] is positive; default is retriable. */
+  @volatile var failXaddError: String =
+    "TRYAGAIN Multiple keys request during rehashing of slot"
+
+  private def takeFault(tap: java.util.concurrent.atomic.AtomicInteger): Boolean =
+    tap.getAndUpdate(n => math.max(0, n - 1)) > 0
+  private object DropConn extends RuntimeException
+    with scala.util.control.NoStackTrace
   /** Mid-pipeline migration simulation: key -> (commands to still accept,
     * MOVED target) — after the budget is spent every further write bounces.
     */
@@ -96,7 +119,11 @@ final class EmbeddedRedis(
       // batch, not per command (a per-reply flush caps the whole server
       // at socket-syscall rate)
       if (in.available() == 0) out.flush()
-    } catch { case _: Throwable => () } finally socket.close()
+    } catch {
+      case DropConn => // injected fault: deliver buffered replies, then cut
+        try out.flush() catch { case _: Throwable => () }
+      case _: Throwable => ()
+    } finally socket.close()
   }
 
   private def handle(args: Seq[Array[Byte]]): Resp.Value = {
@@ -114,6 +141,11 @@ final class EmbeddedRedis(
       }
     }
     s(0).toUpperCase match {
+      case c0 if (c0 == "XRANGE" || c0 == "XREAD" || c0 == "XREADGROUP") &&
+          takeFault(dropReads) => throw DropConn
+      case "XADD" if dropXaddCountdown.get() > 0 &&
+          dropXaddCountdown.decrementAndGet() == 0 => throw DropConn
+      case "XADD" if takeFault(failXadds) => Resp.Err(failXaddError)
       case "ASKING" => Resp.Simple("OK")
       case "XADD" =>
         val key = s(1)

@@ -48,6 +48,16 @@ final class RedisClient(host: String, port: Int,
     commands.map(_ => Resp.parse(in))
   }
 
+  /** Split pipeline primitives for resumable writers: write a batch, then
+    * drain replies ONE at a time ([[RedisClient.Session.pipelineAcked]]
+    * keeps the ack high-water mark between the two).
+    */
+  private[redis] def writeCommands(cmds: Seq[Seq[Array[Byte]]]): Unit = {
+    cmds.foreach(c => out.write(Resp.encodeCommand(c)))
+    out.flush()
+  }
+  private[redis] def readReplyRaw(): Resp.Value = Resp.parse(in)
+
   private def reply(v: Resp.Value): Resp.Value = v match {
     case Resp.Err(m) => throw RedisClient.RedisError(m)
     case other => other
@@ -58,6 +68,124 @@ final class RedisClient(host: String, port: Int,
 
 object RedisClient {
   final case class RedisError(msg: String) extends RuntimeException(msg)
+
+  /** Error-reply prefixes that mean "the server refused but nothing was
+    * written — try again": redis's transient states (replica still LOADING,
+    * scripting BUSY, cluster TRYAGAIN/CLUSTERDOWN/MASTERDOWN during
+    * failover). MOVED/ASK are NOT here — they carry routing information and
+    * belong to [[RedisClusterClient]]'s redirect loop, not blind retry.
+    */
+  private val RetriablePrefixes =
+    Seq("TRYAGAIN", "LOADING", "BUSY ", "CLUSTERDOWN", "MASTERDOWN")
+  def retriableErr(msg: String): Boolean =
+    RetriablePrefixes.exists(msg.startsWith)
+
+  /** Self-healing connection for long scans and writes — the reference
+    * consumer's reconnect loop (`sea-streamer-redis/src/consumer/node.rs:299-310`)
+    * and the producer's requeue-on-failure machinery
+    * (`sea-streamer-redis/src/producer.rs:464-507`) as one bounded-retry
+    * session. IOExceptions reconnect; transient error replies back off and
+    * retry; both surface [[graft.core.SeaStreamErr.Backend]] once the
+    * budget is spent, so a dead server fails fast instead of hanging.
+    */
+  final class Session(mkClient: () => RedisClient, maxRetries: Int = 5,
+      backoffMs: Long = 20L) extends AutoCloseable {
+    private var client: RedisClient = null
+
+    private def connected(): RedisClient = {
+      if (client == null) client = mkClient()
+      client
+    }
+    private def dropClient(): Unit = {
+      if (client != null) {
+        try client.close() catch { case _: Throwable => () }
+        client = null
+      }
+    }
+    /** Shared budget bookkeeping: sleep, or surface the typed error once
+      * the budget is spent. `attempt` is the caller's counter AFTER
+      * incrementing.
+      */
+    private def backoff(what: String, attempt: Int, cause: Throwable): Unit = {
+      if (attempt > maxRetries)
+        throw graft.core.SeaStreamErr.Backend(cause match {
+          case _: java.io.IOException =>
+            s"redis $what: retries exhausted after $maxRetries reconnects"
+          case e => s"redis $what: transient error persisted through " +
+            s"$maxRetries retries: ${e.getMessage}"
+        }, cause)
+      Thread.sleep(backoffMs * attempt)
+    }
+
+    def retrying[T](what: String)(f: RedisClient => T): T = {
+      var attempt = 0
+      while (true) {
+        try return f(connected())
+        catch {
+          case e: java.io.IOException => // dropped / truncated connection
+            dropClient()
+            attempt += 1
+            backoff(what, attempt, e)
+          case e: RedisError if retriableErr(e.msg) =>
+            attempt += 1
+            backoff(what, attempt, e)
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
+    /** Pipelined write that re-sends ONLY commands not known to have been
+      * applied — never the acknowledged ones (replaying an acked XADD
+      * would duplicate the entry: `ms-*` ids mint a fresh sub-sequence per
+      * append). Replies drain one at a time, each settling its command's
+      * fate: OK → done; transient error → the server refused WITHOUT
+      * applying, requeue just that command (later commands of the batch
+      * were still processed — a blind tail-resend would duplicate them);
+      * fatal error → typed [[FatalReply]], no retry. A connection drop
+      * requeues the refused commands plus the undrained tail. On a real
+      * wire a drop can lose an in-flight append's reply (at-least-once,
+      * same as the reference's requeue, producer.rs:464-507); the law this
+      * method pins is that KNOWN-applied commands are never replayed.
+      */
+    def pipelineAcked(cmds: Seq[Seq[Array[Byte]]], what: String = "xadd"): Unit = {
+      var attempt = 0
+      var pending = cmds
+      while (pending.nonEmpty) {
+        val batch = pending
+        val redo = scala.collection.mutable.ArrayBuffer.empty[Seq[Array[Byte]]]
+        var drained = 0
+        try {
+          val c = connected()
+          c.writeCommands(batch)
+          while (drained < batch.size) {
+            c.readReplyRaw() match {
+              case Resp.Err(m) if retriableErr(m) =>
+                redo += batch(drained); drained += 1
+              case Resp.Err(m) => throw new FatalReply(m)
+              case _ => drained += 1
+            }
+          }
+          pending = redo.toSeq
+          if (pending.nonEmpty) {
+            attempt += 1
+            backoff(what, attempt, RedisError("transient refusals in batch"))
+          }
+        } catch {
+          case e: java.io.IOException =>
+            dropClient()
+            pending = redo.toSeq ++ batch.drop(drained)
+            attempt += 1
+            backoff(what, attempt, e)
+        }
+      }
+    }
+
+    override def close(): Unit = dropClient()
+  }
+
+  /** Non-retriable error reply escaping [[Session.pipelineAcked]] —
+    * wrapped so the retry loop can't mistake it for a transient. */
+  final class FatalReply(msg: String) extends RuntimeException(msg)
 
   /** Bounded retry with short backoff for DRIVER-side calls, which have no
     * task-retry safety net (a blip in offset planning must not kill a

@@ -15,8 +15,14 @@ object RedisSource {
   /** Lazy paged XRANGE over one key: cursors restart exclusive-after the
     * last RAW entry id (never a packed-seq reconstruction, which is lossy
     * past 16 bits of sub-sequence), and only one page is held in memory.
+    *
+    * Runs over a [[RedisClient.Session]], so a connection drop mid-scan
+    * reconnects and re-issues the CURRENT page from the cursor — the cursor
+    * only advances once a page has decoded, which makes the resume
+    * exactly-once (the reference consumer's reconnect loop,
+    * `sea-streamer-redis/src/consumer/node.rs:299-310`).
     */
-  private[redis] def pagedScan(client: RedisClient, key: String,
+  private[redis] def pagedScan(session: RedisClient.Session, key: String,
       stream: String, shard: Long, batch: Int,
       untilId: String = "+", afterId: String = "0-0"): Iterator[SeaMessage] =
     new Iterator[SeaMessage] {
@@ -25,8 +31,8 @@ object RedisSource {
       private var exhausted = false
       private def fetch(): Unit = {
         val entries = RedisStreams.decodeEntriesWithIds(
-          client.command(RedisStreams.xrange(key, cursor, untilId,
-            Some(batch)): _*),
+          session.retrying("xrange")(_.command(
+            RedisStreams.xrange(key, cursor, untilId, Some(batch)): _*)),
           stream, shard)
         if (entries.isEmpty) exhausted = true
         else {
@@ -81,17 +87,17 @@ object RedisSource {
       // an early-terminating consumer (limit, take) stops pulling before
       // exhaustion, so the eager close below never runs — the completion
       // listener guarantees every task-opened socket closes either way
-      val opened = graft.core.TaskResources.closeOnTaskCompletion[RedisClient]()
+      val opened = graft.core.TaskResources.closeOnTaskCompletion[AutoCloseable]()
       it.flatMap { case (key, stream, shard) =>
         val (h, p) = slotMap.flatMap(_.owner(key)).getOrElse((host, port))
-        val client = new RedisClient(h, p)
-        opened += client
-        val scan = pagedScan(client, key, stream, shard, batch,
+        val session = new RedisClient.Session(() => new RedisClient(h, p))
+        opened += session
+        val scan = pagedScan(session, key, stream, shard, batch,
           afterId = afterId)
         new Iterator[SeaMessage] {
           def hasNext: Boolean = {
             val h = scan.hasNext
-            if (!h) client.close()
+            if (!h) session.close()
             h
           }
           def next(): SeaMessage = scan.next()
@@ -149,10 +155,14 @@ object RedisSource {
                 }
               } finally cc.close()
             case None =>
-              val client = new RedisClient(host, port)
+              // resumable session: a drop mid-pipeline replays only the
+              // unacknowledged tail (producer.rs:464-507's requeue law) —
+              // blind batch replay would duplicate already-acked ms-* ids
+              val session = new RedisClient.Session(
+                () => new RedisClient(host, port))
               try rows.grouped(pipelineSize).foreach { chunk =>
-                client.pipeline(chunk.map(cmd))
-              } finally client.close()
+                session.pipelineAcked(chunk.map(cmd))
+              } finally session.close()
           }
         }
       }

@@ -559,12 +559,21 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
 class RedisPartitionReader(p: RedisInputPartition)
     extends PartitionReader[InternalRow] {
 
-  private val client = new RedisClient(p.host, p.port)
+  // plain XRANGE mode rides a reconnecting session (cursor resume is
+  // exactly-once); group mode stays on a bare client — its recovery
+  // path is PEL redelivery across epochs, not an in-scan reconnect.
+  // Both lazy so each mode opens exactly one socket per partition.
+  private var bareOpened = false
+  private lazy val client = {
+    bareOpened = true; new RedisClient(p.host, p.port)
+  }
+  private val session = new RedisClient.Session(
+    () => new RedisClient(p.host, p.port))
   private var current: SeaMessage = _
 
   private val it: Iterator[SeaMessage] = p.group match {
     case Some(g) => groupScan(g)
-    case None => RedisSource.pagedScan(client, p.key, p.stream, p.shard,
+    case None => RedisSource.pagedScan(session, p.key, p.stream, p.shard,
       p.batch, p.untilId, p.afterId)
   }
 
@@ -622,5 +631,8 @@ class RedisPartitionReader(p: RedisInputPartition)
     if (it.hasNext) { current = it.next(); true } else false
 
   override def get(): InternalRow = SsRows.toInternalRow(current)
-  override def close(): Unit = client.close()
+  override def close(): Unit = {
+    session.close()
+    if (bareOpened) client.close()
+  }
 }

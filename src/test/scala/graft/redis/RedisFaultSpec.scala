@@ -1,0 +1,133 @@
+package graft.redis
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fault-path laws for the redis stack — the behaviors the reference
+  * spells out: the consumer's reconnect loop
+  * (sea-streamer-redis/src/consumer/node.rs:299-310) and the producer's
+  * requeue-on-failure machinery (producer.rs:464-507). EmbeddedRedis's
+  * fault taps inject each failure on demand; every law asserts BOTH the
+  * recovery and the absence of duplicates / silent drops — the twin of
+  * KafkaFaultSpec on the RESP side.
+  */
+class RedisFaultSpec extends AnyFunSuite {
+
+  private def withServer[T](f: EmbeddedRedis => T): T = {
+    val srv = new EmbeddedRedis
+    try f(srv) finally srv.close()
+  }
+
+  private def seed(srv: EmbeddedRedis, key: String, n: Int): Unit = {
+    val c = new RedisClient(srv.host, srv.port)
+    try c.pipeline((0 until n).map(i =>
+      RedisStreams.xadd(key, 1000L + i, s"m$i".getBytes(UTF_8))))
+    finally c.close()
+  }
+
+  test("connection drop mid-scan: session resumes from its cursor, no duplicate rows") {
+    withServer { srv =>
+      seed(srv, "t:0", 20)
+      // page size 1 → 20+ XRANGE round trips, so the drops land mid-scan
+      srv.dropReads.set(3)
+      val session = new RedisClient.Session(
+        () => new RedisClient(srv.host, srv.port), backoffMs = 1L)
+      try {
+        val all = RedisSource.pagedScan(session, "t:0", "t", 0L, batch = 1)
+          .toSeq
+        assert(all.size == 20, "a reconnect must deliver every entry")
+        assert(all.map(m => new String(m.payload, UTF_8)) ==
+          (0 until 20).map(i => s"m$i"),
+          "cursor resume must be exactly-once and in order")
+      } finally session.close()
+      assert(srv.dropReads.get() == 0, "all injected drops were consumed")
+    }
+  }
+
+  test("retries exhausted surfaces a typed backend error, not a hang") {
+    withServer { srv =>
+      seed(srv, "t:0", 1)
+      srv.dropReads.set(1000)
+      val session = new RedisClient.Session(
+        () => new RedisClient(srv.host, srv.port),
+        maxRetries = 3, backoffMs = 1L)
+      try {
+        val e = intercept[graft.core.SeaStreamErr.Backend] {
+          RedisSource.pagedScan(session, "t:0", "t", 0L, batch = 1).toSeq
+        }
+        assert(e.getMessage.contains("retries exhausted"))
+      } finally session.close()
+      srv.dropReads.set(0)
+    }
+  }
+
+  test("drop mid-pipeline: writer resends only unapplied XADDs — no duplicates, no holes") {
+    withServer { srv =>
+      // the countdown tap drops the 4th XADD: 3 applied + acked, the 4th
+      // refused-with-nothing-appended, the connection cut (earlier replies
+      // flushed first). The writer must resend exactly entries 4..10.
+      srv.dropXaddCountdown.set(4)
+      val session = new RedisClient.Session(
+        () => new RedisClient(srv.host, srv.port), backoffMs = 1L)
+      try {
+        session.pipelineAcked((0 until 10).map(i =>
+          RedisStreams.xadd("w:0", 2000L + i, s"a$i".getBytes(UTF_8))))
+        // and again with the drop on the FIRST command of the batch
+        srv.dropXaddCountdown.set(1)
+        session.pipelineAcked((0 until 10).map(i =>
+          RedisStreams.xadd("w:0", 3000L + i, s"b$i".getBytes(UTF_8))))
+      } finally session.close()
+      val payloads = srv.entries("w:0").flatMap(_._2).collect {
+        case ("msg", v) => new String(v, UTF_8)
+      }
+      assert(payloads == (0 until 10).map(i => s"a$i") ++
+        (0 until 10).map(i => s"b$i"),
+        "every entry appended exactly once, in send order")
+      assert(srv.dropXaddCountdown.get() == 0)
+    }
+  }
+
+  test("transient error reply retries in place; fatal reply surfaces without retry") {
+    withServer { srv =>
+      // TRYAGAIN on the FIRST command only: y is processed in the same
+      // pipeline pass, so a blind tail-resend would append y twice — the
+      // law is that only the refused command is requeued
+      srv.failXadds.set(1)
+      val session = new RedisClient.Session(
+        () => new RedisClient(srv.host, srv.port), backoffMs = 1L)
+      try {
+        session.pipelineAcked(Seq(
+          RedisStreams.xadd("f:0", 1L, "x".getBytes(UTF_8)),
+          RedisStreams.xadd("f:0", 2L, "y".getBytes(UTF_8))))
+        assert(srv.entries("f:0").size == 2,
+          "refused attempts must not have appended anything extra")
+        // fatal: a non-retriable reply is one attempt, typed, no append
+        srv.failXaddError = "WRONGTYPE Operation against a key holding the wrong kind of value"
+        srv.failXadds.set(1)
+        val e = intercept[RedisClient.FatalReply] {
+          session.pipelineAcked(Seq(
+            RedisStreams.xadd("f:0", 3L, "z".getBytes(UTF_8))))
+        }
+        assert(e.getMessage.startsWith("WRONGTYPE"))
+        assert(srv.entries("f:0").size == 2, "fatal refusal appended nothing")
+        assert(srv.failXadds.get() == 0,
+          "exactly one fatal reply served — no retry consumed more")
+      } finally session.close()
+    }
+  }
+
+  test("boundedRead end-to-end survives injected drops (executor-path law)") {
+    withServer { srv =>
+      seed(srv, "e:0", 50)
+      seed(srv, "e:1", 50)
+      srv.dropReads.set(2)
+      val spark = graft.TestSession.spark
+      val df = RedisSource.boundedRead(spark, srv.host, srv.port,
+        Seq(("e", 0L), ("e", 1L)), batch = 7)
+      assert(df.count() == 100L,
+        "the Spark scan must self-heal through connection drops")
+      assert(srv.dropReads.get() == 0)
+    }
+  }
+}

@@ -133,8 +133,13 @@ class RedisClientSpec extends AnyFunSuite {
         c.pipeline((0 until n).map(_ =>
           RedisStreams.xadd("big:0", 777L, "x".getBytes(UTF_8))))
         // paged scan with a small page MUST terminate and see every entry
-        val scan = RedisSource.pagedScan(c, "big:0", "big", 0L, batch = 4096)
-        assert(scan.size == n)
+        val session = new RedisClient.Session(
+          () => new RedisClient(srv.host, srv.port))
+        try {
+          val scan = RedisSource.pagedScan(session, "big:0", "big", 0L,
+            batch = 4096)
+          assert(scan.size == n)
+        } finally session.close()
       } finally c.close()
     } finally srv.close()
   }
