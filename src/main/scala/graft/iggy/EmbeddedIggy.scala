@@ -29,6 +29,20 @@ final class EmbeddedIggy extends AutoCloseable {
   val port: Int = server.getLocalPort
   val host: String = "127.0.0.1"
 
+  /** Fault tap: close the connection INSTEAD of serving the next N
+    * PollMessages — nothing delivered, no offset advanced.
+    */
+  val dropPolls = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** COUNTDOWN tap: the Nth next SendMessages is dropped — connection cut
+    * BEFORE anything is appended, so a session retry of the same request
+    * is exactly-once (the deterministic stand-in for a refused produce).
+    */
+  val dropSendCountdown = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def takeFault(tap: java.util.concurrent.atomic.AtomicInteger): Boolean =
+    tap.getAndUpdate(n => math.max(0, n - 1)) > 0
+  private object DropConn extends RuntimeException
+    with scala.util.control.NoStackTrace
+
   private final class Topic(val partitions: Array[mutable.ArrayBuffer[Msg]]) {
     val balanced = new AtomicLong(0L)
   }
@@ -85,13 +99,20 @@ final class EmbeddedIggy extends AutoCloseable {
           // batch, not per command (same shape as EmbeddedRedis)
           if (in.available() == 0) out.flush()
       }
-    } catch { case _: Throwable => () } finally socket.close()
+    } catch {
+      case DropConn => // injected fault: deliver buffered replies, then cut
+        try out.flush() catch { case _: Throwable => () }
+      case _: Throwable => ()
+    } finally socket.close()
   }
 
   private def ok(payload: Array[Byte] = Array.emptyByteArray) =
     (Status.Ok, payload)
 
   private def handle(code: Int, payload: Array[Byte]): (Int, Array[Byte]) = {
+    if (code == Cmd.PollMessages && takeFault(dropPolls)) throw DropConn
+    if (code == Cmd.SendMessages && dropSendCountdown.get() > 0 &&
+      dropSendCountdown.decrementAndGet() == 0) throw DropConn
     val r = new IggyWire.Reader(payload)
     code match {
       case Cmd.Ping => ok()

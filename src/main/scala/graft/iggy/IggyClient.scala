@@ -140,3 +140,41 @@ final class IggyClient(host: String, port: Int,
 
   override def close(): Unit = socket.close()
 }
+
+object IggyClient {
+  /** Self-healing connection: reconnect (which re-runs the LOGIN
+    * handshake — the constructor owns it) with bounded backoff on dropped
+    * connections, typed [[graft.core.SeaStreamErr.Backend]] once the
+    * budget is spent. Iggy's status space has no transient "try again"
+    * codes (unlike redis TRYAGAIN / kafka NotLeader), so server errors
+    * always surface — only wire failures retry. The twin of
+    * [[graft.kafka.KafkaClient.Session]] / [[graft.redis.RedisClient.Session]].
+    */
+  final class Session(mkClient: () => IggyClient, maxRetries: Int = 5,
+      backoffMs: Long = 20L) extends AutoCloseable {
+    private var client: IggyClient = null
+
+    def retrying[T](what: String)(f: IggyClient => T): T = {
+      var attempt = 0
+      while (true) {
+        if (client == null) client = mkClient()
+        try return f(client)
+        catch {
+          case e: java.io.IOException => // dropped / truncated connection
+            try client.close() catch { case _: Throwable => () }
+            client = null
+            attempt += 1
+            if (attempt > maxRetries)
+              throw graft.core.SeaStreamErr.Backend(
+                s"iggy $what: retries exhausted after $maxRetries reconnects", e)
+            Thread.sleep(backoffMs * attempt)
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
+    override def close(): Unit = {
+      if (client != null) { client.close(); client = null }
+    }
+  }
+}

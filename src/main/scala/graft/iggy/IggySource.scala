@@ -26,8 +26,16 @@ object IggySource {
     * `group` polls as that consumer group with auto-commit, so the server's
     * stored group offset tracks delivery (IggyAutoCommit::AfterPolling —
     * options.rs:88-97).
+    *
+    * Runs over an [[IggyClient.Session]]: a drop mid-scan reconnects and
+    * re-polls the CURRENT page. Past the first page the cursor is an
+    * explicit AtOffset, so the resume is exactly-once; a first-page retry
+    * re-issues the deterministic start strategy (for group-Next with
+    * auto-commit a lost REPLY can skip the in-flight page — the inherent
+    * at-most-once edge of server-side commit-on-poll, same as the
+    * reference's auto_commit mode).
     */
-  private[iggy] def pagedPoll(client: IggyClient, stream: String,
+  private[iggy] def pagedPoll(session: IggyClient.Session, stream: String,
       topic: String, part: Int, from: PollStrategy, batch: Int,
       group: Option[String] = None): Iterator[SeaMessage] =
     new Iterator[SeaMessage] {
@@ -36,8 +44,9 @@ object IggySource {
       private var page: Iterator[PolledMessage] = Iterator.empty
       private var exhausted = false
       private def fetch(): Unit = {
-        val (_, msgs) = client.pollMessages(stream, topic, part,
-          strategy, batch, consumer, autoCommit = group.isDefined)
+        val (_, msgs) = session.retrying("poll")(_.pollMessages(stream,
+          topic, part, strategy, batch, consumer,
+          autoCommit = group.isDefined))
         if (msgs.isEmpty) exhausted = true
         else {
           strategy = PollStrategy.AtOffset(msgs.last.offset + 1)
@@ -103,16 +112,16 @@ object IggySource {
       .mapPartitions { it =>
         // completion listener: an early-terminating consumer (limit, take)
         // never drains the iterator, so the eager close below is not enough
-        val opened = graft.core.TaskResources.closeOnTaskCompletion[IggyClient]()
+        val opened = graft.core.TaskResources.closeOnTaskCompletion[AutoCloseable]()
         it.flatMap { case (topic, partition) =>
-          val client = new IggyClient(host, port)
-          opened += client
-          val scan = pagedPoll(client, stream, topic, partition, start,
+          val session = new IggyClient.Session(() => new IggyClient(host, port))
+          opened += session
+          val scan = pagedPoll(session, stream, topic, partition, start,
             batch, group)
           new Iterator[SeaMessage] {
             def hasNext: Boolean = {
               val h = scan.hasNext
-              if (!h) client.close()
+              if (!h) session.close()
               h
             }
             def next(): SeaMessage = scan.next()
@@ -146,10 +155,14 @@ object IggySource {
       .as[(String, Long, java.sql.Timestamp, Array[Byte])]
       .foreachPartition { (rows: Iterator[(String, Long, java.sql.Timestamp, Array[Byte])]) =>
         if (rows.nonEmpty) {
-          val client = new IggyClient(host, port)
+          // session: a dropped send retries ITS OWN request after a
+          // reconnect — earlier batches were already acknowledged, so the
+          // known-applied prefix is never replayed (a lost in-flight reply
+          // is at-least-once, as for every request/reply producer)
+          val session = new IggyClient.Session(() => new IggyClient(host, port))
           val created = scala.collection.mutable.Set.empty[String]
           try {
-            client.createStreamIfAbsent(stream)
+            session.retrying("create-stream")(_.createStreamIfAbsent(stream))
             rows.grouped(batchSize).foreach { chunk =>
               // groupBy keeps encounter order inside every group, so the
               // per-key time sort survives the batching
@@ -162,15 +175,16 @@ object IggySource {
                 (r._1, math.floorMod(r._2, partitions.toLong).toInt)).foreach {
                 case ((topic, part), rs) =>
                 if (created.add(topic))
-                  client.createTopicIfAbsent(stream, topic, partitions)
+                  session.retrying("create-topic")(
+                    _.createTopicIfAbsent(stream, topic, partitions))
                 val p =
                   if (balanced) Partitioning.Balanced
                   else Partitioning.PartitionId(part)
-                client.sendMessages(stream, topic, p,
-                  rs.map(r => (r._3.getTime, r._4)))
+                session.retrying("send")(_.sendMessages(stream, topic, p,
+                  rs.map(r => (r._3.getTime, r._4))))
               }
             }
-          } finally client.close()
+          } finally session.close()
         }
       }
   }

@@ -268,7 +268,10 @@ class IggyMicroBatchStream(options: CaseInsensitiveStringMap)
 class IggyPartitionReader(p: IggyInputPartition)
     extends PartitionReader[InternalRow] {
 
-  private val client = new IggyClient(p.host, p.port)
+  // reconnecting session: the cursor is always an explicit AtOffset, so a
+  // drop mid-batch re-polls the current page exactly-once
+  private val session = new IggyClient.Session(
+    () => new IggyClient(p.host, p.port))
   private var current: SeaMessage = _
   private var nextOffset = p.from
   private var page: Iterator[SeaMessage] = Iterator.empty
@@ -276,10 +279,11 @@ class IggyPartitionReader(p: IggyInputPartition)
   private def fetch(): Boolean = {
     if (nextOffset >= p.until) return false
     val want = math.min(p.batch.toLong, p.until - nextOffset).toInt
-    val (_, msgs) = client.pollMessages(p.stream, p.topic, p.partition,
+    val (_, msgs) = session.retrying("poll")(_.pollMessages(
+      p.stream, p.topic, p.partition,
       PollStrategy.AtOffset(nextOffset), want,
       consumer = p.group.map((1, _)).getOrElse((0, "")),
-      autoCommit = p.group.isDefined)
+      autoCommit = p.group.isDefined))
     if (msgs.isEmpty) false
     else {
       nextOffset = msgs.last.offset + 1
@@ -295,5 +299,5 @@ class IggyPartitionReader(p: IggyInputPartition)
   }
 
   override def get(): InternalRow = SsRows.toInternalRow(current)
-  override def close(): Unit = client.close()
+  override def close(): Unit = session.close()
 }
