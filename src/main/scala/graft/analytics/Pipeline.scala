@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -26,6 +26,32 @@ object Pipeline {
     * pipelines tune it per corpus; pinned so the oracle mirrors it.
     */
   private val SpanDfCap = 2
+
+  /** p16 context-window chunking: `ChunkSize`-token windows every
+    * `ChunkStride` tokens (overlap = 64 − 48 = 16). Pinned so the oracle
+    * replays the same windows.
+    */
+  private val ChunkSize = 64
+  private val ChunkStride = 48
+
+  /** p16 body: ChunkSize-token windows every ChunkStride tokens over
+    * whitespace-split documents. Chunk count = ceil(n/stride) so windows
+    * cover every token; the trailing window is short rather than
+    * re-anchored at n−size (re-anchoring would make a chunk's identity
+    * depend on document length — this rule is stateless). Pure map +
+    * explode on one scan: zero shuffles at any corpus size.
+    */
+  private[analytics] def chunkWindows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("a"))
+      .select(col("doc_id"), col("a"),
+        explode(expr(s"sequence(0L, (size(a) + ${ChunkStride - 1}) " +
+          s"div $ChunkStride - 1)")).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * ChunkStride).as("start_token"),
+        expr(s"slice(a, chunk_id * $ChunkStride + 1, $ChunkSize)").as("w"))
+      .select(col("doc_id"), col("chunk_id"), col("start_token"),
+        size(col("w")).cast("long").as("n_tokens"),
+        array_join(col("w"), " ").as("chunk"))
 
   /** Merge rounds for `p14_bpe_merges`; pinned so the oracle replays the
     * same training run.
@@ -178,6 +204,20 @@ object Pipeline {
   }
 
   val queries: Map[String, Relational.Q] = Map(
+    // Context-window chunking — the prep step that turns documents into
+    // overlapping token windows for pretraining sequence packing or RAG
+    // indexing. Windows start every ChunkStride tokens (chunk count =
+    // ceil(n/stride), so the whole document is covered); the trailing
+    // window is simply short rather than re-anchored at n−size —
+    // re-anchoring would make a chunk's identity depend on document
+    // length, this rule is stateless and oracle-replayable. 100 TB shape:
+    // pure map + explode on one corpus scan — zero shuffles, zero joins,
+    // output rows carry (doc_id, chunk_id) so any downstream op can
+    // repartition on whichever it needs.
+    "p16_chunking" -> { (s, dir) =>
+      chunkWindows(Tables(s, dir).documents)
+    },
+
     // BPE tokenizer TRAINING as corpus aggregation: one corpus pass builds
     // the word-frequency table, then every merge round is an aggregation
     // over the VOCABULARY (Heaps-law bounded — orders of magnitude smaller
@@ -642,6 +682,26 @@ object Pipeline {
   }
 
   val oracles: Map[String, String] = Map(
+    // The enumeration bound (4096 candidate windows/doc ≈ 196k tokens at
+    // stride 48) is an ORACLE-side device only — the Spark side computes
+    // the exact chunk count, the bound just has to exceed any document in
+    // the test corpus (same convention as p11's range(1, 1024) gram walk).
+    "p16_chunking" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a
+         |              FROM documents),
+         |st AS (SELECT doc_id, a, g.i AS chunk_id
+         |       FROM toks, (SELECT unnest(range(0, 4096)) AS i) g
+         |       WHERE g.i < (len(a) + ${ChunkStride - 1}) // $ChunkStride)
+         |SELECT doc_id, chunk_id,
+         |  chunk_id * $ChunkStride AS start_token,
+         |  CAST(len(a[chunk_id * $ChunkStride + 1 :
+         |             chunk_id * $ChunkStride + $ChunkSize]) AS BIGINT)
+         |    AS n_tokens,
+         |  array_to_string(a[chunk_id * $ChunkStride + 1 :
+         |                    chunk_id * $ChunkStride + $ChunkSize], ' ')
+         |    AS chunk
+         |FROM st""".stripMargin,
+
     "p14_bpe_merges" -> bpeOracleSql,
     "p15_bpe_tokenize" -> bpeTokenizeOracleSql,
     "p12_dsir_weights" ->

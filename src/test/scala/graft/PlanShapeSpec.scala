@@ -113,6 +113,13 @@ class PlanShapeSpec extends AnyFunSuite {
       "p12 must broadcast the 1024-bucket feature table onto the token scan")
   }
 
+  test("p16 chunking is one map-only corpus pass — no exchange, no join") {
+    val p = planOf("p16_chunking")
+    assert(!p.contains("Exchange"), "chunking must not shuffle")
+    assert(!p.contains("Join"), "chunking must not join")
+    assert(p.contains("Generate"), "the window explode is the only fan-out")
+  }
+
   test("p8 repetition plans only keyed hash aggregations, nothing global") {
     val p = planOf("p8_repetition")
     assert(!p.contains("CartesianProduct"))

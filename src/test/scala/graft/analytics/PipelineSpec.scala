@@ -6,6 +6,27 @@ import org.scalatest.funsuite.AnyFunSuite
 class PipelineSpec extends AnyFunSuite {
   private lazy val spark = TestSession.spark
 
+  test("chunkWindows covers every token with the pinned stride/overlap") {
+    import spark.implicits._
+    // 100 tokens at stride 48 / size 64 → 3 chunks: [0,64), [48,100), [96,100)
+    val text = (0 until 100).map(i => s"w$i").mkString(" ")
+    val docs = Seq((7L, text), (8L, "solo")).toDF("doc_id", "text")
+    val got = Pipeline.chunkWindows(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).sortBy(c => (c._1, c._2))
+    val doc7 = got.filter(_._1 == 7L)
+    assert(doc7.map(c => (c._2, c._3, c._4)).toSeq ==
+      Seq((0L, 0L, 64L), (1L, 48L, 52L), (2L, 96L, 4L)))
+    // overlap law: chunk i's last 16 tokens == chunk i+1's first 16
+    val c0 = doc7(0)._5.split(" "); val c1 = doc7(1)._5.split(" ")
+    assert(c0.takeRight(16).toSeq == c1.take(16).toSeq)
+    // coverage law: the stride-prefixes of all chunks reassemble the doc
+    assert(doc7.flatMap(c => c._5.split(" ").take(48)).toSeq ==
+      (0 until 100).map(i => s"w$i"))
+    // a short doc is exactly one whole-document chunk
+    assert(got.filter(_._1 == 8L).toSeq == Seq((8L, 0L, 0L, 1L, "solo")))
+  }
+
   test("bpeMerges learns frequency-weighted merges with deterministic ties") {
     import spark.implicits._
     // "banana" x3 + "bandana" x1 + "ab" x2; non-[a-z] words contribute no
