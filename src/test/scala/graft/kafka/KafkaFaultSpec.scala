@@ -82,6 +82,19 @@ class KafkaFaultSpec extends AnyFunSuite {
     }
   }
 
+  test("boundedRead end-to-end survives injected drops (executor-path law)") {
+    withBroker { (srv, seed) =>
+      seed.metadata(Seq("e"))
+      seed.produce("e", 0, (0 until 50).map(i => (i.toLong, null, s"m$i".getBytes)))
+      srv.dropFetches.set(2)
+      val spark = graft.TestSession.spark
+      val df = KafkaSource.boundedRead(spark, srv.host, srv.port, Seq("e"))
+      assert(df.count() == 50L,
+        "the Spark scan must self-heal through connection drops")
+      assert(srv.dropFetches.get() == 0)
+    }
+  }
+
   test("refused produce replays without duplicates; fatal codes do not retry") {
     withBroker { (srv, seed) =>
       seed.metadata(Seq("t"))
