@@ -34,6 +34,11 @@ object Pipeline {
   private val ChunkSize = 64
   private val ChunkStride = 48
 
+  /** p17 output shard count. Real pipelines size this to the target file
+    * count (corpus bytes / ~1 GB); pinned so the oracle replays it.
+    */
+  private val ShuffleShards = 8
+
   /** p16 body: ChunkSize-token windows every ChunkStride tokens over
     * whitespace-split documents. Chunk count = ceil(n/stride) so windows
     * cover every token; the trailing window is short rather than
@@ -216,6 +221,30 @@ object Pipeline {
     // repartition on whichever it needs.
     "p16_chunking" -> { (s, dir) =>
       chunkWindows(Tables(s, dir).documents)
+    },
+
+    // Training-order shuffle + output sharding — the step between curation
+    // and writing tokenizer-ready shards: every document gets a
+    // content-stable pseudo-random position so training never sees the
+    // crawl/source order. The order key is an md5-derived hash (the p1/p7
+    // trick), NOT rand(): re-running the job — or retrying one task —
+    // yields byte-identical shards. 100 TB shape: ONE hash-partition
+    // exchange on the shard id, then per-shard sort + row_number — each
+    // window is corpus/nShards (a shard must fit its writer anyway; at
+    // 100 TB you raise ShuffleShards, never the window width). Writing is
+    // `partitionBy(shard)` + files sorted by pos, omitted here because the
+    // oracle compares rows.
+    "p17_shuffle_shards" -> { (s, dir) =>
+      val h = conv(substring(md5(
+        concat(lit("shuf:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long")
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("hv"), col("doc_id"))
+      Tables(s, dir).documents
+        .select(col("doc_id"), h.as("hv"))
+        .withColumn("shard", pmod(col("hv"), lit(ShuffleShards.toLong)))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
     },
 
     // BPE tokenizer TRAINING as corpus aggregation: one corpus pass builds
@@ -701,6 +730,16 @@ object Pipeline {
          |                    chunk_id * $ChunkStride + $ChunkSize], ' ')
          |    AS chunk
          |FROM st""".stripMargin,
+    // 15 hex digits < 2^60, so hv is non-negative and % equals Spark's pmod
+    "p17_shuffle_shards" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  CAST(('0x'||substr(md5('shuf:'||CAST(doc_id AS VARCHAR)),1,15))
+         |    AS BIGINT) AS hv
+         |  FROM documents)
+         |SELECT doc_id, hv % $ShuffleShards AS shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY hv % $ShuffleShards
+         |    ORDER BY hv, doc_id) AS BIGINT) AS pos
+         |FROM h""".stripMargin,
 
     "p14_bpe_merges" -> bpeOracleSql,
     "p15_bpe_tokenize" -> bpeTokenizeOracleSql,

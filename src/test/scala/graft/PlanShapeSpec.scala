@@ -120,6 +120,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Generate"), "the window explode is the only fan-out")
   }
 
+  test("p17 shuffle-shards sorts per shard, never globally") {
+    val p = planOf("p17_shuffle_shards")
+    val blocks = nodeBlocks(p)
+    val exchanges = blocks.filter(_._1 == "Exchange")
+    assert(exchanges.size == 1, "exactly one exchange (on the shard id)")
+    assert(exchanges.head._2.contains("hashpartitioning(shard#"),
+      "the single exchange must hash-partition on the shard id")
+    assert(!p.contains("SinglePartition"),
+      "the position window must be per-shard, not a global sort funnel")
+    assert(!p.contains("rand("), "order key must be content-stable, not rand()")
+  }
+
   test("p8 repetition plans only keyed hash aggregations, nothing global") {
     val p = planOf("p8_repetition")
     assert(!p.contains("CartesianProduct"))
