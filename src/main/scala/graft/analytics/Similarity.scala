@@ -71,6 +71,28 @@ object Similarity {
     df.withColumn(out,
       sqrt(graft.functions.FloatVecDecimal.fdotExact(col(emb), col(emb))))
 
+  /** Per-group top-k over a candidate stream as a BOUNDED aggregation —
+    * [[graft.functions.TopKAggregator]] (O(k) state, ObjectHashAggregate
+    * with map-side partials) instead of `row_number().over(Window)`, which
+    * sort-shuffles EVERY candidate into one task per group: at 10^9 corpus
+    * vectors that funnels the whole corpus through ≤ |queries| tasks. The
+    * ordering is ascending (key, id) — pass a negated score for
+    * descending; ties break on the smaller id, matching
+    * `ORDER BY score DESC, id` exactly. Output: (g, key, id, rank).
+    * PlanShapeSpec pins the no-Window law for every ANN query using this.
+    */
+  private def topKAsc(df: DataFrame, grp: Column, key: Column, id: Column,
+      k: Int): DataFrame =
+    df.groupBy(grp.as("g"))
+      .agg(graft.functions.TopKAggregator.topKDouble(k, key, id).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("i", "x")))
+      .select(col("g"), col("x._1").as("key"), col("x._2").as("id"),
+        (col("i") + 1).cast("long").as("rank"))
+
+  /** Recover a descending-ranked score from its negated aggregator key,
+    * normalizing IEEE -0.0 to +0.0 (the oracle SQL adds `+ 0` to match). */
+  private def unNeg(key: Column): Column = lit(0d) - key + lit(0d)
+
   /** Deterministic pseudo-random hyperplane component in [-1, 1):
     * md5-derived so DuckDB generates the identical planes.
     */
@@ -91,12 +113,12 @@ object Similarity {
         .filter(col("qid") =!= col("cid"))
         .withColumn("cosine",
           round(dotCol("qe", "ce") / (col("qn") * col("cn")), 6))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("cosine").desc, col("cid"))
-      scored
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= TopK)
-        .select(col("qid"), col("cid"), col("cosine"), col("rank"))
+      // top-k per query as a bounded hash aggregation over the corpus scan
+      // (see topKAsc) — the ground-truth scan stays O(corpus) work but
+      // never sort-shuffles the corpus through |queries| window tasks
+      topKAsc(scored, col("qid"), unNeg(col("cosine")), col("cid"), TopK)
+        .select(col("g").as("qid"), col("id").as("cid"),
+          unNeg(col("key")).as("cosine"), col("rank"))
     },
 
     // ANN: random-hyperplane sign bits → bucket; multi-probe the query's
@@ -171,12 +193,18 @@ object Similarity {
         .filter(col("qid") =!= col("cid"))
         .withColumn("cosine",
           round(dotCol("qe", "ce") / (col("qn") * col("cn")), 6))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("cosine").desc, col("cid"))
-      scored
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 3)
-        .select(col("qid"), col("cid"), col("bucket"), col("cosine"), col("rank"))
+      // bounded top-k aggregation over the candidate stream (topKAsc). The
+      // output carries the matched bucket, so it rides the aggregator id:
+      // bucket < 2^numPlanes packs into the low bits, and a pair matches
+      // exactly one mask so (cid, bucket) is unique per (qid, cid) — packed
+      // id order == cid order, preserving the `cosine DESC, cid` tie-break.
+      val packed = scored.withColumn("pid",
+        col("cid") * lit(1L << numPlanes) + col("bucket"))
+      topKAsc(packed, col("qid"), unNeg(col("cosine")), col("pid"), 3)
+        .select(col("g").as("qid"),
+          shiftright(col("id"), numPlanes).as("cid"),
+          col("id").bitwiseAND(lit((1L << numPlanes) - 1)).as("bucket"),
+          unNeg(col("key")).as("cosine"), col("rank"))
   }
 
   /** IVF-style ANN: `k` deterministic coarse centroids (the first k
@@ -235,12 +263,12 @@ object Similarity {
         .filter(col("qid") =!= col("cid"))
         .withColumn("cosine",
           round(dotCol("qe", "ce") / (col("qn") * col("cn")), 6))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("cosine").desc, col("cid"))
-      scored
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 3)
-        .select(col("qid"), col("cid"), col("cosine"), col("rank"))
+      // bounded top-k aggregation over the probed lists (topKAsc) — the
+      // candidate stream is a corpus fraction (probes/k), still far too
+      // large for a per-query window sort at 10^9 vectors
+      topKAsc(scored, col("qid"), unNeg(col("cosine")), col("cid"), 3)
+        .select(col("g").as("qid"), col("id").as("cid"),
+          unNeg(col("key")).as("cosine"), col("rank"))
   }
 
   /** On-disk location of the persisted IVF index — under the PID-namespaced
@@ -302,28 +330,29 @@ object Similarity {
     // QueryCount × K rows, query-set-bounded at any corpus size
     val cents = broadcast(e.filter(col("vec_id") < k)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb")))
-    val wAssign = Window.partitionBy(col("qid"))
-      .orderBy(col("d2r"), col("centroid_id"))
-    val probes = e.filter(col("vec_id") < QueryCount)
+    // nearest-2 probe lists as a bounded top-k aggregation (QueryCount × k
+    // candidate rows — already query-bounded, but topKAsc keeps the whole
+    // query window-free; d2r ASC, centroid_id tie-break matches the
+    // `ORDER BY d2r, centroid_id` rank)
+    val probeCand = e.filter(col("vec_id") < QueryCount)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       .crossJoin(cents)
       .withColumn("d2r", round(dist2Col("qe", "cemb"), 6))
-      .withColumn("cr", row_number().over(wAssign))
-      .filter(col("cr") <= 2)
-      .select(col("qid"), col("centroid_id"))
+    val probes = topKAsc(probeCand, col("qid"), col("d2r"),
+        col("centroid_id"), 2)
+      .select(col("g").as("qid"), col("id").as("centroid_id"))
     val qs = withNorm(
       e.filter(col("vec_id") < QueryCount)
         .select(col("vec_id").as("qid"), col("embedding").as("qe")), "qe", "qn")
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("cid"))
-    idx.join(broadcast(probes), "centroid_id")
+    val scored = idx.join(broadcast(probes), "centroid_id")
       .join(broadcast(qs), "qid")
       .filter(col("qid") =!= col("cid"))
       .withColumn("cosine",
         round(dotCol("qe", "ce") / (col("qn") * col("cn")), 6))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 3)
-      .select(col("qid"), col("cid"), col("cosine"), col("rank"))
+    // bounded top-k over the pruned index scan — see annIvf
+    topKAsc(scored, col("qid"), unNeg(col("cosine")), col("cid"), 3)
+      .select(col("g").as("qid"), col("id").as("cid"),
+        unNeg(col("key")).as("cosine"), col("rank"))
   }
 
   /** Embedding-cosine near-dup over the FULL corpus: LSH buckets
@@ -519,15 +548,15 @@ object Similarity {
       val queriesDf = withNorm(
         e.filter(col("vec_id") < QueryCount)
           .select(col("vec_id").as("qid"), col("embedding").as("qe")), "qe", "qn")
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("cosine").desc, col("cid"))
-      val truth = corpus.crossJoin(broadcast(queriesDf))
+      // ground-truth top-3 via the bounded aggregation (same as s1) — the
+      // brute scan's O(corpus) work is deliberate, the window sort is not
+      val truthScored = corpus.crossJoin(broadcast(queriesDf))
         .filter(col("qid") =!= col("cid"))
         .withColumn("cosine",
           round(dotCol("qe", "ce") / (col("qn") * col("cn")), 6))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("qid"), col("cid"))
+      val truth = topKAsc(truthScored, col("qid"), unNeg(col("cosine")),
+          col("cid"), 3)
+        .select(col("g").as("qid"), col("id").as("cid"))
       val approx = annLsh(s, dir)
         .select(col("qid"), col("cid"), lit(1L).as("hit"))
       truth.join(broadcast(approx), Seq("qid", "cid"), "left")
@@ -582,6 +611,31 @@ object Similarity {
             .cast("decimal(30,15)")).cast("double"), 6).as("shift"))
     },
 
+    // Iterated Lloyd k-means: THREE rounds of [[kmeansRound]], the loop
+    // being the only driver-side action. Each round's k-row centroid table
+    // is localCheckpoint'ed (a distributed materialization, not a collect)
+    // so every round re-enters the identical plan instead of nesting
+    // lineage three deep — at 10^9 vectors each round is one corpus scan +
+    // two map-side-combined aggs, and the checkpoint is k × dim floats.
+    // Output: final round's (centroid_id, n_members, shift).
+    "c2_kmeans_lloyd" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+      // the seed is checkpointed like every inter-round table, so ALL
+      // rounds enter the same plan shape (PlanShapeSpec pins the equality)
+      var cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb"))
+        .localCheckpoint()
+      var out: DataFrame = null
+      for (i <- 1 to 3) {
+        out = kmeansRound(e, cents)
+        // the LAST round stays lazy (it is the returned plan); only the
+        // inter-round centroid tables materialize
+        if (i < 3)
+          cents = out.select(col("centroid_id"), col("cemb")).localCheckpoint()
+      }
+      out.select(col("centroid_id"), col("n_members"), col("shift"))
+    },
+
     // Scalar-quantized ANN (int8): per-vector symmetric quantization
     // q_i = round(v_i * 127 / max|v|), integer dot products select the
     // top-20 candidates per query, exact decimal cosine re-ranks only
@@ -612,12 +666,12 @@ object Similarity {
         .withColumn("idot", expr(
           "aggregate(zip_with(qq, cq, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
         .withColumn("approx", col("idot").cast("double") / (col("nn") * col("cn")))
-      val wc = Window.partitionBy(col("qid"))
-        .orderBy(col("approx").desc, col("cid"))
-      val cand = approx
-        .withColumn("crank", row_number().over(wc))
-        .filter(col("crank") <= Cand)
-        .select(col("qid"), col("cid"))
+      // candidate selection over the CORPUS-sized int8 scan as a bounded
+      // top-k aggregation (topKAsc) — this stream is the whole corpus per
+      // query, the exact shape a row_number window cannot carry at scale
+      val cand = topKAsc(approx, col("qid"), unNeg(col("approx")),
+          col("cid"), Cand)
+        .select(col("g").as("qid"), col("id").as("cid"))
       // exact decimal cosine only for the quantization survivors; the
       // candidate set is bounded by the query set (20 per query), so IT is
       // the broadcast side — the corpus vector table joins by streaming
@@ -632,12 +686,10 @@ object Similarity {
               col("embedding").as("qe"), col("nrm").as("qn0"))), "qid")), "cid")
         .withColumn("cosine",
           round(dotCol("qe", "ce") / (col("qn0") * col("cn0")), 6))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("cosine").desc, col("cid"))
-      scored
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 3)
-        .select(col("qid"), col("cid"), col("cosine"), col("rank"))
+      // rerank of the bounded candidate set — topKAsc keeps s4 window-free
+      topKAsc(scored, col("qid"), unNeg(col("cosine")), col("cid"), 3)
+        .select(col("g").as("qid"), col("id").as("cid"),
+          unNeg(col("key")).as("cosine"), col("rank"))
     },
 
     // Product-quantized ANN (Jégou et al. 2011): split each vector into
@@ -670,11 +722,17 @@ object Similarity {
       val dist = subs.join(cents, Seq("j"))
         .select(col("vec_id"), col("j"), col("code"),
           round(dist2Col("sv", "csv"), 6).as("d2"))
-      val wCode = Window.partitionBy(col("vec_id"), col("j"))
-        .orderBy(col("d2"), col("code"))
-      val codes = dist.withColumn("r", row_number().over(wCode))
-        .filter(col("r") === 1)
-        .select(col("vec_id").as("cid"), col("j"), col("code"))
+      // the ENCODER is a per-(vector, subspace) argmin over 16 codes — a
+      // packed-long MIN (the annIvf packing law: d2 has 6 dp so d2*1e6 is
+      // integral and < 2^42 for 8-dim subvectors; code < 16 ≪ 2^20), which
+      // plans as whole-stage-codegen HashAggregate with map-side partials.
+      // The row_number window it replaces sort-shuffled corpus × 8
+      // subspace partitions (VERDICT r8 #2).
+      val codes = dist.groupBy(col("vec_id").as("cid"), col("j"))
+        .agg(min(round(col("d2") * lit(1000000d)).cast("long") *
+          lit(1L << 20) + col("code")).as("pk"))
+        .select(col("cid"), col("j"),
+          col("pk").bitwiseAND(lit((1L << 20) - 1)).as("code"))
       val lut = broadcast(dist.filter(col("vec_id") < QueryCount)
         .select(col("vec_id").as("qid"), col("j"), col("code"), col("d2")))
       // ADC scan: corpus codes × broadcast LUT, one 8-term sum per (q, c)
@@ -682,11 +740,11 @@ object Similarity {
         .filter(col("qid") =!= col("cid"))
         .groupBy("qid", "cid")
         .agg(sum(col("d2").cast("decimal(30,15)")).cast("double").as("approx"))
-      val wc = Window.partitionBy(col("qid"))
-        .orderBy(col("approx"), col("cid"))
-      val cand = adc.withColumn("cr", row_number().over(wc))
-        .filter(col("cr") <= Cand)
-        .select(col("qid"), col("cid"))
+      // candidate selection over the corpus-sized ADC output as a bounded
+      // top-k aggregation — approx is a distance, so the ASCENDING key is
+      // used directly (`ORDER BY approx, cid`)
+      val cand = topKAsc(adc, col("qid"), col("approx"), col("cid"), Cand)
+        .select(col("g").as("qid"), col("id").as("cid"))
       // exact decimal rerank of the bounded candidate set (broadcast side),
       // corpus vectors stream past it — same shape as s4
       val withVec = withNorm(
@@ -699,13 +757,53 @@ object Similarity {
               col("embedding").as("qe"), col("nrm").as("qn0"))), "qid")), "cid")
         .withColumn("cosine",
           round(dotCol("qe", "ce") / (col("qn0") * col("cn0")), 6))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("cosine").desc, col("cid"))
-      scored
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 3)
-        .select(col("qid"), col("cid"), col("cosine"), col("rank"))
+      // rerank of the bounded candidate set — topKAsc keeps s5 window-free
+      topKAsc(scored, col("qid"), unNeg(col("cosine")), col("cid"), 3)
+        .select(col("g").as("qid"), col("id").as("cid"),
+          unNeg(col("key")).as("cosine"), col("rank"))
     })
+
+  /** One Lloyd round (the iterating form of c1, VERDICT r8 #6): given float
+    * centroids (centroid_id, cemb), assign every vector to its nearest
+    * centroid via the packed-long argmin aggregation, recompute each
+    * centroid as the per-dimension mean of its members, and report the
+    * round's stats. The new components are FLOAT-quantized
+    * (`CAST(mean AS FLOAT)`) so successive rounds keep the codegen'd
+    * ARRAY<FLOAT> distance path AND the DuckDB oracle replays the identical
+    * IEEE double→float rounding — and a float32 centroid table is what a
+    * production index stores anyway. Per round: one corpus scan, one
+    * (vec, centroid) argmin hash-agg, one (centroid, dim)-keyed mean agg —
+    * all map-side-combined; an emptied centroid drops out naturally.
+    * Returns (centroid_id, cemb, n_members, shift).
+    */
+  def kmeansRound(e: DataFrame, cents: DataFrame): DataFrame = {
+    val bc = broadcast(cents.select(col("centroid_id"), col("cemb")))
+    val lists = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(bc)
+      .withColumn("d2r", round(dist2Col("embedding", "cemb"), 6))
+      .groupBy("vec_id")
+      .agg(min(round(col("d2r") * lit(1000000d)).cast("long") *
+        lit(1L << 20) + col("centroid_id")).as("pk"))
+      .select(col("vec_id"),
+        col("pk").bitwiseAND(lit((1L << 20) - 1)).as("centroid_id"))
+    val ex = e.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("d0", "v")))
+      .select(col("vec_id"), (col("d0") + 1).as("d"),
+        col("v").cast("double").as("v"))
+    val means = ex.join(lists.hint("shuffle_hash"), "vec_id")
+      .groupBy("centroid_id", "d")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(30,15)")).as("sv"))
+      .withColumn("mean", col("sv").cast("double") / col("n"))
+    val newc = means.groupBy("centroid_id")
+      .agg(max(col("n")).as("n_members"),
+        expr("transform(array_sort(collect_list(struct(d, mean)))," +
+          " x -> CAST(x.mean AS FLOAT))").as("cemb"))
+    newc.join(bc.select(col("centroid_id"), col("cemb").as("prev")),
+        Seq("centroid_id"))
+      .withColumn("shift", round(dist2Col("cemb", "prev"), 6))
+      .select(col("centroid_id"), col("cemb"), col("n_members"), col("shift"))
+  }
 
   /** SemDeDup (Abbas et al. 2023): cluster the embedding space coarsely,
     * then dedup WITHIN each cluster by exact pairwise cosine — the pair
@@ -822,6 +920,30 @@ object Similarity {
        |        JOIN norms na ON vec_a = na.vec_id
        |        JOIN norms nb ON vec_b = nb.vec_id)""".stripMargin
 
+  /** One unrolled Lloyd round for the c2 oracle: assignment argmin against
+    * `$inCents`, per-(centroid, dim) means, float-quantized next centroids —
+    * the SQL twin of [[kmeansRound]].
+    */
+  private def lloydRoundCte(i: Int): String = {
+    val next = i + 1
+    s"""d2_$i AS (SELECT e.vec_id, c.centroid_id,
+       |           ROUND(CAST(SUM(CAST((e.v - c.v) * (e.v - c.v)
+       |             AS DECIMAL(30,15))) AS DOUBLE), 6) AS d2r
+       |         FROM ex e JOIN cents_$i c ON e.d = c.d
+       |         GROUP BY 1, 2),
+       |l_$i AS (SELECT vec_id, centroid_id FROM (
+       |          SELECT vec_id, centroid_id,
+       |            ROW_NUMBER() OVER (PARTITION BY vec_id
+       |              ORDER BY d2r, centroid_id) AS r
+       |          FROM d2_$i) WHERE r = 1),
+       |m_$i AS (SELECT l.centroid_id, e.d, COUNT(*) AS n,
+       |           CAST(SUM(CAST(e.v AS DECIMAL(30,15))) AS DOUBLE) AS sv
+       |         FROM ex e JOIN l_$i l ON e.vec_id = l.vec_id
+       |         GROUP BY 1, 2),
+       |cents_$next AS (SELECT centroid_id, d,
+       |           CAST(CAST(sv / n AS FLOAT) AS DOUBLE) AS v FROM m_$i)""".stripMargin
+  }
+
   /** IVF probe semantics shared by s3 (inline assignment) and s7 (persisted
     * index): 16 seed centroids, nearest-1 lists, 2-probe queries, exact
     * decimal scoring, top-3 per query.
@@ -850,7 +972,7 @@ object Similarity {
        |         WHERE p.qid <> l.cid
        |         GROUP BY 1, 2),
        |scored AS (SELECT qid, cid,
-       |             ROUND(dot / (nq.nrm * nc.nrm), 6) AS cosine
+       |             ROUND(dot / (nq.nrm * nc.nrm), 6) + 0 AS cosine
        |           FROM dots
        |           JOIN norms nq ON qid = nq.vec_id
        |           JOIN norms nc ON cid = nc.vec_id),
@@ -923,7 +1045,7 @@ object Similarity {
          |         WHERE q.vec_id < $QueryCount AND q.vec_id <> c.vec_id
          |         GROUP BY 1, 2),
          |scored AS (SELECT qid, cid,
-         |             ROUND(dot / (nq.nrm * nc.nrm), 6) AS cosine
+         |             ROUND(dot / (nq.nrm * nc.nrm), 6) + 0 AS cosine
          |           FROM dots
          |           JOIN norms nq ON qid = nq.vec_id
          |           JOIN norms nc ON cid = nc.vec_id),
@@ -959,7 +1081,7 @@ object Similarity {
          |         WHERE q.vec_id < $QueryCount AND q.vec_id <> c.vec_id
          |         GROUP BY 1, 2, 3),
          |scored AS (SELECT qid, cid, bucket,
-         |             ROUND(dot / (nq.nrm * nc.nrm), 6) AS cosine
+         |             ROUND(dot / (nq.nrm * nc.nrm), 6) + 0 AS cosine
          |           FROM dots
          |           JOIN norms nq ON qid = nq.vec_id
          |           JOIN norms nc ON cid = nc.vec_id),
@@ -1012,6 +1134,21 @@ object Similarity {
          |    AS DECIMAL(30,15))) AS DOUBLE), 6) AS shift
          |FROM m2 m JOIN cents c ON m.centroid_id = c.centroid_id AND m.d = c.d
          |GROUP BY m.centroid_id""".stripMargin,
+    // three unrolled Lloyd rounds — float-quantized centroids between
+    // rounds replay Spark's CAST(mean AS FLOAT) bit-for-bit
+    "c2_kmeans_lloyd" ->
+      s"""WITH $explodedSql,
+         |cents_1 AS (SELECT vec_id AS centroid_id, d, v FROM ex WHERE vec_id < 16),
+         |${lloydRoundCte(1)},
+         |${lloydRoundCte(2)},
+         |${lloydRoundCte(3)}
+         |SELECT m.centroid_id, CAST(MAX(m.n) AS BIGINT) AS n_members,
+         |  ROUND(CAST(SUM(CAST((n.v - o.v) * (n.v - o.v)
+         |    AS DECIMAL(30,15))) AS DOUBLE), 6) AS shift
+         |FROM m_3 m
+         |JOIN cents_4 n ON m.centroid_id = n.centroid_id AND m.d = n.d
+         |JOIN cents_3 o ON m.centroid_id = o.centroid_id AND m.d = o.d
+         |GROUP BY m.centroid_id""".stripMargin,
     "s5_ann_pq" ->
       s"""WITH $explodedSql,
          |sub AS (SELECT vec_id, CAST((d - 1) // 8 AS BIGINT) AS j, d, v FROM ex),
@@ -1044,7 +1181,7 @@ object Similarity {
          |         JOIN ex b ON cid = b.vec_id AND a.d = b.d
          |         GROUP BY 1, 2),
          |scored AS (SELECT qid, cid,
-         |             ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+         |             ROUND(dot / (na.nrm * nb.nrm), 6) + 0 AS cosine
          |           FROM dots
          |           JOIN norms na ON qid = na.vec_id
          |           JOIN norms nb ON cid = nb.vec_id),
@@ -1085,7 +1222,7 @@ object Similarity {
          |         JOIN ex c ON cid = c.vec_id AND q.d = c.d
          |         GROUP BY 1, 2),
          |scored AS (SELECT qid, cid,
-         |             ROUND(dot / (nq.nrm * nc.nrm), 6) AS cosine
+         |             ROUND(dot / (nq.nrm * nc.nrm), 6) + 0 AS cosine
          |           FROM dots
          |           JOIN norms nq ON qid = nq.vec_id
          |           JOIN norms nc ON cid = nc.vec_id),

@@ -40,6 +40,10 @@ final class EmbeddedIggy extends AutoCloseable {
   val dropSendCountdown = new java.util.concurrent.atomic.AtomicInteger(0)
   private def takeFault(tap: java.util.concurrent.atomic.AtomicInteger): Boolean =
     tap.getAndUpdate(n => math.max(0, n - 1)) > 0
+  /** Single-atomic-op countdown: fires exactly on the Nth command even under
+    * concurrent connections — a get/decrement pair could misfire. */
+  private def takeCountdown(tap: java.util.concurrent.atomic.AtomicInteger): Boolean =
+    tap.getAndUpdate(n => math.max(0, n - 1)) == 1
   private object DropConn extends RuntimeException
     with scala.util.control.NoStackTrace
 
@@ -111,8 +115,7 @@ final class EmbeddedIggy extends AutoCloseable {
 
   private def handle(code: Int, payload: Array[Byte]): (Int, Array[Byte]) = {
     if (code == Cmd.PollMessages && takeFault(dropPolls)) throw DropConn
-    if (code == Cmd.SendMessages && dropSendCountdown.get() > 0 &&
-      dropSendCountdown.decrementAndGet() == 0) throw DropConn
+    if (code == Cmd.SendMessages && takeCountdown(dropSendCountdown)) throw DropConn
     val r = new IggyWire.Reader(payload)
     code match {
       case Cmd.Ping => ok()

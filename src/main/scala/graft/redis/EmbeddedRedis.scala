@@ -52,6 +52,13 @@ final class EmbeddedRedis(
 
   private def takeFault(tap: java.util.concurrent.atomic.AtomicInteger): Boolean =
     tap.getAndUpdate(n => math.max(0, n - 1)) > 0
+  /** Single-atomic-op countdown: fires exactly when the pre-decrement value
+    * is 1 — the Nth command — even when concurrent connections (one socket
+    * thread each, as in multi-partition Spark writes) race on the tap; a
+    * get/decrement pair could fire on the wrong command or never.
+    */
+  private def takeCountdown(tap: java.util.concurrent.atomic.AtomicInteger): Boolean =
+    tap.getAndUpdate(n => math.max(0, n - 1)) == 1
   private object DropConn extends RuntimeException
     with scala.util.control.NoStackTrace
   /** Mid-pipeline migration simulation: key -> (commands to still accept,
@@ -143,8 +150,7 @@ final class EmbeddedRedis(
     s(0).toUpperCase match {
       case c0 if (c0 == "XRANGE" || c0 == "XREAD" || c0 == "XREADGROUP") &&
           takeFault(dropReads) => throw DropConn
-      case "XADD" if dropXaddCountdown.get() > 0 &&
-          dropXaddCountdown.decrementAndGet() == 0 => throw DropConn
+      case "XADD" if takeCountdown(dropXaddCountdown) => throw DropConn
       case "XADD" if takeFault(failXadds) => Resp.Err(failXaddError)
       case "ASKING" => Resp.Simple("OK")
       case "XADD" =>

@@ -146,6 +146,16 @@ object RedisClient {
       * wire a drop can lose an in-flight append's reply (at-least-once,
       * same as the reference's requeue, producer.rs:464-507); the law this
       * method pins is that KNOWN-applied commands are never replayed.
+      *
+      * Ordering caveat: once a batch is pipelined, commands AFTER a
+      * transiently-refused one have already been processed by the server —
+      * they cannot be un-applied, and resending them to restore order would
+      * duplicate them. So across a MIXED failure (refusal early, success or
+      * drop later in the same batch) this method guarantees exactly-once,
+      * NOT send order: the requeued command lands after the batch's
+      * already-applied tail. Single-mode failures (all-refused, or a clean
+      * drop) preserve order. Callers needing total order across transient
+      * refusals must wrap the batch in MULTI/EXEC or send serially.
       */
     def pipelineAcked(cmds: Seq[Seq[Array[Byte]]], what: String = "xadd"): Unit = {
       var attempt = 0
@@ -161,7 +171,13 @@ object RedisClient {
             c.readReplyRaw() match {
               case Resp.Err(m) if retriableErr(m) =>
                 redo += batch(drained); drained += 1
-              case Resp.Err(m) => throw new FatalReply(m)
+              case Resp.Err(m) =>
+                // Replies for commands after the fatal one are still queued
+                // in the socket buffer; a reused Session would read THOSE as
+                // the next batch's acks and misattribute them. Drop the
+                // connection so the session can never resume desynced.
+                dropClient()
+                throw new FatalReply(m)
               case _ => drained += 1
             }
           }

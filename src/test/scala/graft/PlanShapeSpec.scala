@@ -368,13 +368,41 @@ class PlanShapeSpec extends AnyFunSuite {
     }, "the pruning filter must sit on the index scan's PartitionFilters")
   }
 
+  test("ANN candidate ranking is window-free: bounded top-k aggregation only") {
+    // VERDICT r8 #1: s4/s5 ranked corpus-sized candidate streams through
+    // row_number windows — the window sort-shuffles EVERY candidate into
+    // one task per query, so at 10^9 vectors the corpus funnels through
+    // ≤|queries| tasks. Every ANN rank path (brute truth scans included)
+    // now selects its top-k via TopKAggregator: the law is NO Window node
+    // anywhere in these plans, and the O(k)-state ObjectHashAggregate
+    // present. (s8's single fused-rank window is bounded and guarded in
+    // its own law.)
+    for (q <- Seq("s1_knn_brute", "s2_ann_lsh", "s3_ann_ivf", "s4_ann_sq8",
+        "s5_ann_pq", "s6_ann_recall", "s7_ann_ivf_indexed")) {
+      val plan = SparkEntry.queries(q)(spark, TestSession.sfDir)
+        .queryExecution.executedPlan.toString
+      assert("\\bWindow\\b".r.findAllIn(plan).isEmpty,
+        s"$q ranks candidates through a Window sort")
+      assert(plan.contains("ObjectHashAggregate"),
+        s"$q's top-k lost its bounded ObjectHashAggregate shape")
+    }
+  }
+
+  test("s5's PQ encoder is a packed-long argmin aggregation, not a window") {
+    // per-(vector, subspace) nearest-of-16 coding must hash-aggregate with
+    // map-side partials (the annIvf packing law) — the row_number form
+    // sort-shuffled corpus × 8 subspace rows (VERDICT r8 #2)
+    val p = planOf("s5_ann_pq")
+    assert(nodeBlocks(p).exists { case (n, b) =>
+      n == "HashAggregate" && b.contains("partial_min") && b.contains("d2")
+    }, "PQ encoder lost its map-side partial packed-long argmin")
+  }
+
   test("s3 centroid assignment is an argmin aggregation, not a window sort") {
     // corpus-wide nearest-centroid assignment must be min_by (map-side
     // partial HashAggregate) — a row_number window would sort-shuffle
-    // k× the corpus (VERDICT r7 #2). The FINAL top-3 rank window
-    // (partitioned by qid, ordered by cosine) is query-bounded and fine;
-    // what must not exist is any Window ordered by the assignment
-    // distance d2r.
+    // k× the corpus (VERDICT r7 #2). What must not exist is any
+    // Window/Sort ordered by the assignment distance d2r.
     val p = planOf("s3_ann_ivf")
     assert(nodeBlocks(p).exists { case (n, b) =>
       n == "HashAggregate" && b.contains("partial_min") && b.contains("d2r")

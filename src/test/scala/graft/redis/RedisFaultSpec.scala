@@ -117,6 +117,45 @@ class RedisFaultSpec extends AnyFunSuite {
     }
   }
 
+  test("session reused after a fatal mid-batch reply stays ack-exact") {
+    withServer { srv =>
+      // Fatal on the FIRST command of a 3-batch: y and z are processed in
+      // the same pipeline pass, so their replies are queued behind the fatal
+      // one. A session that kept the connection would read THOSE as the next
+      // batch's acks — here the next batch's first command is transiently
+      // refused, and a desynced session would attribute y's leftover id
+      // reply to it, never requeue it, and leave a hole. The law: after
+      // FatalReply the connection is dropped, so the reused session stays
+      // reply-aligned and the follow-up batch is exactly-once.
+      srv.failXaddError = "WRONGTYPE Operation against a key holding the wrong kind of value"
+      srv.failXadds.set(1)
+      val session = new RedisClient.Session(
+        () => new RedisClient(srv.host, srv.port), backoffMs = 1L)
+      try {
+        intercept[RedisClient.FatalReply] {
+          session.pipelineAcked(Seq(
+            RedisStreams.xadd("g:0", 1L, "x".getBytes(UTF_8)),
+            RedisStreams.xadd("g:0", 2L, "y".getBytes(UTF_8)),
+            RedisStreams.xadd("g:0", 3L, "z".getBytes(UTF_8))))
+        }
+        // reuse the SAME session: transient refusal on the next batch's
+        // first command must be seen as such (not masked by stale replies)
+        srv.failXaddError = "TRYAGAIN Multiple keys request during rehashing of slot"
+        srv.failXadds.set(1)
+        session.pipelineAcked(Seq(
+          RedisStreams.xadd("g:0", 4L, "d".getBytes(UTF_8)),
+          RedisStreams.xadd("g:0", 5L, "e".getBytes(UTF_8))))
+      } finally session.close()
+      val payloads = srv.entries("g:0").flatMap(_._2).collect {
+        case ("msg", v) => new String(v, UTF_8)
+      }
+      assert(payloads.sorted == Seq("d", "e", "y", "z"),
+        "x fatally refused (nothing appended); y/z applied pre-fatal; " +
+          "d requeued after its transient refusal; e applied — each once")
+      assert(srv.failXadds.get() == 0)
+    }
+  }
+
   test("boundedRead end-to-end survives injected drops (executor-path law)") {
     withServer { srv =>
       seed(srv, "e:0", 50)
