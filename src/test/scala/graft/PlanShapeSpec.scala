@@ -414,6 +414,32 @@ class PlanShapeSpec extends AnyFunSuite {
       "packed-long min)")
   }
 
+  test("c2's Lloyd rounds re-enter an identical plan round over round") {
+    // iteration must not nest lineage: each round's k-row centroid table is
+    // localCheckpoint'ed, so round N's plan equals round 1's exactly —
+    // the invariant that makes "more rounds" a constant-shape loop instead
+    // of a deepening plan at 10^9 vectors
+    import org.apache.spark.sql.functions.col
+    val e = analytics.Tables(spark, TestSession.sfDir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val seed = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb"))
+      .localCheckpoint()
+    val r1 = analytics.Similarity.kmeansRound(e, seed)
+    val c1 = r1.select(col("centroid_id"), col("cemb")).localCheckpoint()
+    val r2 = analytics.Similarity.kmeansRound(e, c1)
+    def shape(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect { case n => n.nodeName }
+    assert(shape(r1) == shape(r2),
+      s"round 2 plans differently from round 1:\n${shape(r1)}\n${shape(r2)}")
+    val p = planOf("c2_kmeans_lloyd")
+    assert(nodeBlocks(p).exists { case (n, b) =>
+      n == "HashAggregate" && b.contains("partial_min") && b.contains("d2r")
+    }, "c2 assignment lost its map-side partial packed-long argmin")
+    assert("\\bWindow\\b".r.findAllIn(p).isEmpty,
+      "c2 must not rank through a window")
+  }
+
   test("s7 index build keeps exactly one argmin row per vector") {
     // s7Layout shares s3's min_by assignment shape (guarded above); the
     // integration invariant is that the aggregation kept exactly one
