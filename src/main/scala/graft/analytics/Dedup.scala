@@ -167,7 +167,9 @@ object Dedup {
     * 100 TB crawl graph (billions of edges) exceeds the cap and takes the
     * contraction path — the same fits-the-driver split as
     * Pipeline.LocalFinishVocabCap, and DedupSpec pins local == distributed
-    * on a seeded random graph.
+    * on a seeded random graph. The cap bounds ONE query; concurrent
+    * sessions serialize the resident section via
+    * [[graft.ops.DriverBudget]], so the budget is JVM-wide, not per-query.
     */
   private[analytics] val LocalCcEdgeCap = 4000000L
 
@@ -220,9 +222,13 @@ object Dedup {
       // initialCount pairs of longs once; union-find replaces the whole
       // round loop. Identical labels to the contraction path by the
       // min-root law (DedupSpec cross-checks both against each other).
-      val arr = edges.select(col("u"), col("v")).collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-      val labels = localComponents(arr, pairs.sparkSession)
+      // The resident section holds the JVM-wide DriverBudget permit so
+      // concurrent sessions serialize their peaks instead of stacking them.
+      val labels = graft.ops.DriverBudget.withPermit {
+        val arr = edges.select(col("u"), col("v")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        localComponents(arr, pairs.sparkSession)
+      }
       edgesS.release()
       return (labels, 0)
     }

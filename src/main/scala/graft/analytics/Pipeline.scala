@@ -90,7 +90,9 @@ object Pipeline {
     * Both paths share the argmax law bit-for-bit (BpeLocalFinishSpec pins
     * the equality; Spark UTF8String, DuckDB and java.lang.String order
     * the [a-z]-only symbols identically, and all three `replace`s share
-    * scan-original-continue-after-match semantics).
+    * scan-original-continue-after-match semantics). The cap bounds ONE
+    * query; concurrent sessions serialize the resident section via
+    * [[graft.ops.DriverBudget]], so the budget is JVM-wide, not per-query.
     */
   private[analytics] val LocalFinishVocabCap = 2000000L
 
@@ -119,7 +121,10 @@ object Pipeline {
     */
   private def bpeLocalFinish(words: org.apache.spark.sql.DataFrame,
       rounds: Int)
-      : (Seq[(Long, String, String, Long)], org.apache.spark.sql.DataFrame) = {
+      : (Seq[(Long, String, String, Long)], org.apache.spark.sql.DataFrame) =
+    // resident section under the JVM-wide DriverBudget permit — concurrent
+    // sessions serialize their driver peaks instead of stacking them
+    graft.ops.DriverBudget.withPermit {
     val spark = words.sparkSession
     import spark.implicits._
     val rows = words.as[(String, Long)].collect()
@@ -161,7 +166,7 @@ object Pipeline {
       .map(i => (rows(i)._1, rows(i)._2, segs(i)))
       .toDF("word", "freq", "s")
     (merges.result(), vocab)
-  }
+    }
 
   /** Distributed merge rounds — the fallback when the vocab outgrows the
     * driver: one vocabulary-sized aggregation + 1-row argmax collect per
