@@ -26,6 +26,15 @@ import org.apache.spark.sql.functions._
   *     exposed the conjunct-reorder trap in Similarity's prefilter — but
   *     as the SCALING probe it must not inject cross-replica edges.)
   *   - lineitem: plain id-offset copies (scan/agg scaling only).
+  *   - events: replica k offsets user_id and event_id — users are the
+  *     session/as-of/interval-join keys, so replicas are fully independent
+  *     per-key subproblems (the honest linear-scaling shape for q14/q18/
+  *     q19 and the t5/t9/t10 stream windows); timestamps are kept, so
+  *     time-window groups stay identical with ×N occupancy.
+  *   - orders/customer: o_orderkey offsets in lockstep with lineitem's
+  *     l_orderkey and o_custkey with c_custkey, so every within-replica
+  *     join relationship (q3's star) is preserved exactly and
+  *     cross-replica keys never collide.
   *
   * Ids offset by k·10⁹ per replica. Usage:
   * `runMain graft.ScaleGen <srcDir> <outDir> <factor>`.
@@ -77,6 +86,19 @@ object ScaleGen {
       else li.withColumn("l_orderkey", col("l_orderkey") + lit(k * IdOffset))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    // id-offset replication for the join/streaming families (doc above)
+    def offsetCopies(table: String, idCols: String*): Unit = {
+      val src = spark.read.parquet(s"$srcDir/$table.parquet")
+      (0 until factor).map { k =>
+        if (k == 0) src
+        else idCols.foldLeft(src)((df, c) =>
+          df.withColumn(c, col(c) + lit(k * IdOffset)))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+    }
+    offsetCopies("events", "event_id", "user_id")
+    offsetCopies("orders", "o_orderkey", "o_custkey")
+    offsetCopies("customer", "c_custkey")
     println(s"[scalegen] wrote ${outDir} at factor $factor")
     spark.stop()
   }
