@@ -761,6 +761,81 @@ object Similarity {
       topKAsc(scored, col("qid"), unNeg(col("cosine")), col("cid"), 3)
         .select(col("g").as("qid"), col("id").as("cid"),
           unNeg(col("key")).as("cosine"), col("rank"))
+    },
+
+    // IVF+PQ composite (the FAISS IVFPQ layout, by_residual=false): s3's
+    // coarse inverted lists select WHICH vectors are scanned, s5's PQ codes
+    // decide HOW CHEAPLY — the ADC scan touches only codes in the probed
+    // lists, so the two compressions multiply: probes/k of the corpus ×
+    // 8 bytes/vector. This is the production serving layout at 10^9
+    // vectors (IVF bounds I/O, PQ bounds memory); s3/s5 each prove one
+    // half, s9 proves the composition end-to-end against the oracle.
+    // Plan shapes: both assignments are packed-argmin hash aggregations,
+    // the probe list broadcasts onto the corpus-sized code table (joined
+    // to its lists by a shuffle on the vector key), the LUT is
+    // query-bounded and broadcasts, every rank is a bounded top-k
+    // aggregation — no Window anywhere (PlanShapeSpec law).
+    "s9_ann_ivfpq" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val Cand = 50
+      // ---- IVF half: coarse lists + 2-probe per query (s3's rules) ----
+      val ivfCents = broadcast(e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb")))
+      val assigned = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(ivfCents)
+        .withColumn("d2r", round(dist2Col("embedding", "cemb"), 6))
+      val lists = assigned.groupBy(col("vec_id").as("cid"))
+        .agg(min(round(col("d2r") * lit(1000000d)).cast("long") *
+          lit(1L << 20) + col("centroid_id")).as("pk"))
+        .select(col("cid"),
+          col("pk").bitwiseAND(lit((1L << 20) - 1)).as("centroid_id"))
+      val probes = topKAsc(assigned.filter(col("vec_id") < QueryCount)
+          .select(col("vec_id").as("qid"), col("d2r"), col("centroid_id")),
+          col("qid"), col("d2r"), col("centroid_id"), 2)
+        .select(col("g").as("qid"), col("id").as("centroid_id"))
+      // ---- PQ half: per-subspace codes + query LUT (s5's rules) ----
+      val subs = e.select(col("vec_id"), explode(expr(
+        "transform(sequence(0, 7), j -> struct(CAST(j AS BIGINT) AS j, slice(embedding, j*8+1, 8) AS sv))"))
+        .as("s"))
+        .select(col("vec_id"), col("s.j").as("j"), col("s.sv").as("sv"))
+      val pqCents = broadcast(subs.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("code"), col("j"), col("sv").as("csv")))
+      val dist = subs.join(pqCents, Seq("j"))
+        .select(col("vec_id"), col("j"), col("code"),
+          round(dist2Col("sv", "csv"), 6).as("d2"))
+      val codes = dist.groupBy(col("vec_id").as("cid"), col("j"))
+        .agg(min(round(col("d2") * lit(1000000d)).cast("long") *
+          lit(1L << 20) + col("code")).as("pk"))
+        .select(col("cid"), col("j"),
+          col("pk").bitwiseAND(lit((1L << 20) - 1)).as("code"))
+      val lut = broadcast(dist.filter(col("vec_id") < QueryCount)
+        .select(col("vec_id").as("qid"), col("j"), col("code"), col("d2")))
+      // ---- composition: ADC only inside the probed lists ----
+      // codes and lists are both corpus-sized keyed by the vector id —
+      // the attach shuffles; the 2×|queries|-row probe table broadcasts
+      // onto it, and only surviving (probed) code rows meet the LUT
+      val adc = codes.join(lists.hint("shuffle_hash"), "cid")
+        .join(broadcast(probes), "centroid_id")
+        .join(lut, Seq("qid", "j", "code"))
+        .filter(col("qid") =!= col("cid"))
+        .groupBy("qid", "cid")
+        .agg(sum(col("d2").cast("decimal(30,15)")).cast("double").as("approx"))
+      val cand = topKAsc(adc, col("qid"), col("approx"), col("cid"), Cand)
+        .select(col("g").as("qid"), col("id").as("cid"))
+      // exact decimal rerank of the bounded candidate set — s4/s5's shape
+      val withVec = withNorm(
+        e.select(col("vec_id"), col("embedding")), "embedding", "nrm")
+      val scored = withVec.select(col("vec_id").as("cid"),
+          col("embedding").as("ce"), col("nrm").as("cn0"))
+        .join(broadcast(cand
+          .join(broadcast(withVec.filter(col("vec_id") < QueryCount)
+            .select(col("vec_id").as("qid"),
+              col("embedding").as("qe"), col("nrm").as("qn0"))), "qid")), "cid")
+        .withColumn("cosine",
+          round(dotCol("qe", "ce") / (col("qn0") * col("cn0")), 6))
+      topKAsc(scored, col("qid"), unNeg(col("cosine")), col("cid"), 3)
+        .select(col("g").as("qid"), col("id").as("cid"),
+          unNeg(col("key")).as("cosine"), col("rank"))
     })
 
   /** One Lloyd round (the iterating form of c1, VERDICT r8 #6): given float
@@ -1168,6 +1243,65 @@ object Similarity {
          |        FROM codes c
          |        JOIN dist q ON q.j = c.j AND q.code = c.code
          |        WHERE q.vec_id < $QueryCount AND q.vec_id <> c.cid
+         |        GROUP BY 1, 2),
+         |cand AS (SELECT qid, cid FROM (
+         |           SELECT qid, cid,
+         |             ROW_NUMBER() OVER (PARTITION BY qid
+         |               ORDER BY approx, cid) AS cr
+         |           FROM adc) WHERE cr <= 50),
+         |dots AS (SELECT qid, cid,
+         |           CAST(SUM(CAST(a.v * b.v AS DECIMAL(30,15))) AS DOUBLE) AS dot
+         |         FROM cand
+         |         JOIN ex a ON qid = a.vec_id
+         |         JOIN ex b ON cid = b.vec_id AND a.d = b.d
+         |         GROUP BY 1, 2),
+         |scored AS (SELECT qid, cid,
+         |             ROUND(dot / (na.nrm * nb.nrm), 6) + 0 AS cosine
+         |           FROM dots
+         |           JOIN norms na ON qid = na.vec_id
+         |           JOIN norms nb ON cid = nb.vec_id),
+         |ranked AS (SELECT qid, cid, cosine,
+         |             ROW_NUMBER() OVER (PARTITION BY qid
+         |               ORDER BY cosine DESC, cid) AS rank
+         |           FROM scored)
+         |SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 3""".stripMargin,
+    // IVF probe selection (s3's CTEs) composed with PQ coding/ADC (s5's
+    // CTEs) — the ADC join additionally passes through the probed lists
+    "s9_ann_ivfpq" ->
+      s"""WITH $explodedSql,
+         |ivfc AS (SELECT vec_id AS centroid_id, d, v FROM ex WHERE vec_id < 16),
+         |ivfd2 AS (SELECT e.vec_id, c.centroid_id,
+         |            ROUND(CAST(SUM(CAST((e.v - c.v) * (e.v - c.v)
+         |              AS DECIMAL(30,15))) AS DOUBLE), 6) AS d2r
+         |          FROM ex e JOIN ivfc c ON e.d = c.d
+         |          GROUP BY 1, 2),
+         |ivfra AS (SELECT vec_id, centroid_id,
+         |            ROW_NUMBER() OVER (PARTITION BY vec_id
+         |              ORDER BY d2r, centroid_id) AS cr
+         |          FROM ivfd2),
+         |lists AS (SELECT vec_id AS cid, centroid_id FROM ivfra WHERE cr = 1),
+         |probes AS (SELECT vec_id AS qid, centroid_id FROM ivfra
+         |           WHERE vec_id < $QueryCount AND cr <= 2),
+         |sub AS (SELECT vec_id, CAST((d - 1) // 8 AS BIGINT) AS j, d, v FROM ex),
+         |pqc AS (SELECT vec_id AS code, j, d, v FROM sub WHERE vec_id < 16),
+         |dist AS (SELECT s.vec_id, s.j, c.code,
+         |           ROUND(CAST(SUM(CAST((s.v - c.v) * (s.v - c.v)
+         |             AS DECIMAL(30,15))) AS DOUBLE), 6) AS d2
+         |         FROM sub s JOIN pqc c ON s.j = c.j AND s.d = c.d
+         |         GROUP BY 1, 2, 3),
+         |codes AS (SELECT vec_id AS cid, j, code FROM (
+         |            SELECT vec_id, j, code,
+         |              ROW_NUMBER() OVER (PARTITION BY vec_id, j
+         |                ORDER BY d2, code) AS r
+         |            FROM dist) WHERE r = 1),
+         |adc AS (SELECT q.vec_id AS qid, c.cid,
+         |          CAST(SUM(CAST(q.d2 AS DECIMAL(30,15))) AS DOUBLE) AS approx
+         |        FROM codes c
+         |        JOIN lists l ON c.cid = l.cid
+         |        JOIN probes p ON p.centroid_id = l.centroid_id
+         |        JOIN dist q ON q.vec_id = p.qid AND q.j = c.j
+         |          AND q.code = c.code
+         |        WHERE p.qid <> c.cid
          |        GROUP BY 1, 2),
          |cand AS (SELECT qid, cid FROM (
          |           SELECT qid, cid,

@@ -378,7 +378,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // present. (s8's single fused-rank window is bounded and guarded in
     // its own law.)
     for (q <- Seq("s1_knn_brute", "s2_ann_lsh", "s3_ann_ivf", "s4_ann_sq8",
-        "s5_ann_pq", "s6_ann_recall", "s7_ann_ivf_indexed")) {
+        "s5_ann_pq", "s6_ann_recall", "s7_ann_ivf_indexed", "s9_ann_ivfpq")) {
       val plan = SparkEntry.queries(q)(spark, TestSession.sfDir)
         .queryExecution.executedPlan.toString
       assert("\\bWindow\\b".r.findAllIn(plan).isEmpty,

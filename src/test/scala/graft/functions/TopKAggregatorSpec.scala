@@ -60,4 +60,24 @@ class TopKAggregatorSpec extends AnyFunSuite {
       s"bounded top-k must plan as ObjectHashAggregate (partial+final):\n$phys")
     assert(!phys.contains("Window"), "no window sort on the top-k path")
   }
+
+  test("negated-key recovery normalizes IEEE -0.0 (the ANN cosine round-trip)") {
+    // the ANN queries rank by key = 0 - cosine + 0 and recover the output
+    // score as 0 - key + 0; a ±0.0 cosine must come back as +0.0 on every
+    // path or the oracle compare can hash-mismatch on the sign bit
+    val df = Seq((0L, 0.5, 1L), (0L, -0.0, 2L), (0L, 0.0, 3L), (0L, -0.25, 4L))
+      .toDF("g", "cosine", "id")
+    val got = df.groupBy("g")
+      .agg(TopKAggregator.topKDouble(4,
+        lit(0d) - col("cosine") + lit(0d), col("id")).as("top"))
+      .select(posexplode(col("top")).as(Seq("i", "x")))
+      .select((lit(0d) - col("x._1") + lit(0d)).as("cosine"), col("x._2").as("id"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(got == Seq((0.5, 1L), (0.0, 2L), (0.0, 3L), (-0.25, 4L)),
+      s"order must be cosine DESC with ±0.0 equal, ids break ties: $got")
+    got.filter(_._1 == 0.0).foreach { case (c, _) =>
+      assert(java.lang.Double.doubleToRawLongBits(c) == 0L,
+        "a zero cosine must surface as +0.0, never -0.0")
+    }
+  }
 }
