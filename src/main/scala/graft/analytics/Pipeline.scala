@@ -625,6 +625,58 @@ object Pipeline {
             .as("avg_nll"))
     },
 
+    // Interpolated-bigram LM filtering (p10's production form — CCNet
+    // trains a KenLM on a clean TARGET domain and drops documents the LM
+    // finds surprising; here the target is a fixed source subset of the
+    // corpus itself). Model: p(w2|w1) = 0.7·c12/c1 + 0.3·(c2+1)/(N+V) —
+    // conditional bigram interpolated with an add-one-smoothed unigram
+    // back-off, every count an integer over the target, so the only
+    // float ops are two divisions, one add and ln — each per-term NLL is
+    // rounded to 6 digits BEFORE the decimal-exact sum (the p10/p2 ulp
+    // discipline). Per-doc bigrams cap at the first 1023 (the shingle-cap
+    // convention, mirrored in the oracle's range(1, 1024)). Shapes: the
+    // bigram/unigram tables are vocabulary-sized — shuffle-joined, never
+    // broadcast (the p2/p10 law); scoring is one corpus pass + three
+    // keyed joins + one per-doc agg. At 100 TB the target-domain counts
+    // build once and persist; scoring cost is corpus-linear.
+    "p18_bigram_lm" -> { (s, dir) =>
+      val targetSources = Seq("src0", "src1", "src2", "src3", "src4")
+      val keepNll = 8.0
+      val docs2 = Tables(s, dir).documents
+        .select(col("doc_id"), col("source"),
+          expr("filter(split(text, ' '), t -> length(t) > 0)").as("tok"))
+        .filter(size(col("tok")) >= 2)
+      val bg = docs2.select(col("doc_id"), col("source"), explode(expr(
+          "transform(sequence(0, least(size(tok)-2, 1022))," +
+            " i -> struct(tok[i] AS w1, tok[i+1] AS w2))")).as("b"))
+        .select(col("doc_id"), col("source"),
+          col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val tgtDocs = docs2.filter(col("source").isin(targetSources: _*))
+      val big = bg.filter(col("source").isin(targetSources: _*))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val uni = tgtDocs.select(explode(col("tok")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val nt = uni.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+      // exact op-order parity with the oracle: (0.7·c12)/c1 + (0.3·(c2+1))/(N+V)
+      val p = when(col("c1").isNotNull && col("c12").isNotNull,
+          lit(0.7) * col("c12") / col("c1")).otherwise(lit(0.0)) +
+        lit(0.3) * (coalesce(col("c2"), lit(0L)) + lit(1L)) /
+          (col("n") + col("v"))
+      bg.join(big.hint("shuffle_hash"), Seq("w1", "w2"), "left")
+        .join(uni.select(col("w").as("w1"), col("c").as("c1"))
+          .hint("shuffle_hash"), Seq("w1"), "left")
+        .join(uni.select(col("w").as("w2"), col("c").as("c2"))
+          .hint("shuffle_hash"), Seq("w2"), "left")
+        .crossJoin(nt)
+        .withColumn("vterm",
+          round(log(lit(1.0) / p), 6).cast("decimal(30,15)"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("vterm")).cast("double") / count(lit(1)), 6)
+            .as("avg_nll"))
+        .withColumn("keep", col("avg_nll") <= keepNll)
+    },
+
     // PII scrub: deterministic synthetic PII is injected per doc_id (the
     // test corpus is clean), then removed with the scrub regexes; the query
     // reports detection counts and the size delta — the audit a redaction
@@ -885,6 +937,41 @@ object Pipeline {
         |SELECT r.source, r.n_docs, r.rate_pct,
         |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
         |FROM rates r LEFT JOIN kept k USING (source)""".stripMargin,
+    // interpolated bigram over the src0-src4 target; op-order and the
+    // per-term round-then-decimal-sum mirror the Spark side exactly
+    "p18_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS tok
+        |  FROM documents),
+        |docs2 AS (SELECT * FROM toks WHERE len(tok) >= 2),
+        |bg AS (SELECT doc_id, source, tok[g.i] AS w1, tok[g.i + 1] AS w2
+        |       FROM docs2, (SELECT unnest(range(1, 1024)) AS i) g
+        |       WHERE g.i <= len(tok) - 1),
+        |big AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg
+        |        WHERE source IN ('src0','src1','src2','src3','src4')
+        |        GROUP BY 1, 2),
+        |tu AS (SELECT w, COUNT(*) AS c FROM (
+        |         SELECT unnest(tok) AS w FROM docs2
+        |         WHERE source IN ('src0','src1','src2','src3','src4'))
+        |       GROUP BY 1),
+        |nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |              CAST(COUNT(*) AS BIGINT) AS v FROM tu),
+        |nll AS (SELECT b.doc_id,
+        |          CAST(ROUND(ln(1.0 / (
+        |            CASE WHEN u1.c IS NOT NULL AND bi.c12 IS NOT NULL
+        |                 THEN 0.7 * bi.c12 / u1.c ELSE 0.0 END
+        |            + 0.3 * (COALESCE(u2.c, 0) + 1) / (nt.n + nt.v))), 6)
+        |            AS DECIMAL(30,15)) AS vterm
+        |        FROM bg b
+        |        LEFT JOIN big bi ON b.w1 = bi.w1 AND b.w2 = bi.w2
+        |        LEFT JOIN tu u1 ON b.w1 = u1.w
+        |        LEFT JOIN tu u2 ON b.w2 = u2.w
+        |        CROSS JOIN nt)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(CAST(SUM(vterm) AS DOUBLE) / COUNT(*), 6) AS avg_nll,
+        |  ROUND(CAST(SUM(vterm) AS DOUBLE) / COUNT(*), 6) <= 8.0 AS keep
+        |FROM nll GROUP BY doc_id""".stripMargin,
     "p10_perplexity" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term

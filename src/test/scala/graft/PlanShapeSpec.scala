@@ -182,6 +182,13 @@ class PlanShapeSpec extends AnyFunSuite {
       }
       assert(bad.isEmpty, s"$q broadcasts the vocabulary table")
     }
+    // p18's bigram/unigram LM tables are the same class of unbounded
+    // vocabulary — all three scoring joins must stay shuffled
+    val p18 = nodeBlocks(planOf("p18_bigram_lm")).filter { case (n, b) =>
+      n == "BroadcastHashJoin" && b.linesIterator.exists(l =>
+        l.contains("keys") && (l.contains("w1#") || l.contains("w2#")))
+    }
+    assert(p18.isEmpty, "p18 broadcasts an LM count table")
   }
 
   test("p9 curation chain is one corpus scan; keeper via window, not join") {
