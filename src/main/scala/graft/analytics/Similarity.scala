@@ -636,6 +636,50 @@ object Similarity {
       out.select(col("centroid_id"), col("n_members"), col("shift"))
     },
 
+    // Greedy farthest-point seeding (the deterministic k-center variant of
+    // k-means++ — Gonzalez 1985; completes the k-means story: c3 seeds,
+    // c1 runs a round, c2 iterates). Seed 1 is vector 0; each next seed is
+    // the vector MAXIMIZING its min distance to the chosen set (ties:
+    // smallest vec_id). The state is one corpus-sized (vec_id, embedding,
+    // dmin) table: per round the single picked embedding broadcasts onto
+    // it and dmin updates via `least` — a MAP-ONLY pass, zero shuffles,
+    // localCheckpoint'ed so round plans stay constant (the c2 law). The
+    // argmax needs exactly two scalar collects per round (the max and the
+    // tie-broken id) — O(k) driver traffic total, and the ids ARE the
+    // algorithm's output. At 10^9 vectors each round costs one corpus
+    // map + one agg; k-means|| would batch several picks per pass without
+    // changing any shape here.
+    "c3_kmeans_seed" -> { (s, dir) =>
+      val spark = s
+      import spark.implicits._
+      val e = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+      val K = 8
+      var chosen = Seq(0L)
+      var picks = Seq((1L, 0L, 0d))
+      var state = e.crossJoin(broadcast(e.filter(col("vec_id") === 0L)
+          .select(col("embedding").as("cemb"))))
+        .withColumn("dmin", round(dist2Col("embedding", "cemb"), 6))
+        .drop("cemb")
+        .localCheckpoint()
+      for (r <- 2 to K) {
+        val cands = state.filter(!col("vec_id").isin(chosen: _*))
+        val mx = cands.agg(max(col("dmin"))).head().getDouble(0)
+        val nextId = cands.filter(col("dmin") === mx)
+          .agg(min(col("vec_id"))).head().getLong(0)
+        chosen = chosen :+ nextId
+        picks = picks :+ ((r.toLong, nextId, mx))
+        if (r < K)
+          state = state.crossJoin(broadcast(
+              e.filter(col("vec_id") === nextId)
+                .select(col("embedding").as("cemb"))))
+            .withColumn("dmin", least(col("dmin"),
+              round(dist2Col("embedding", "cemb"), 6)))
+            .drop("cemb")
+            .localCheckpoint()
+      }
+      picks.toDF("seed_rank", "vec_id", "dmin")
+    },
+
     // Scalar-quantized ANN (int8): per-vector symmetric quantization
     // q_i = round(v_i * 127 / max|v|), integer dot products select the
     // top-20 candidates per query, exact decimal cosine re-ranks only
@@ -1019,6 +1063,48 @@ object Similarity {
        |           CAST(CAST(sv / n AS FLOAT) AS DOUBLE) AS v FROM m_$i)""".stripMargin
   }
 
+  /** c3's oracle: the farthest-point seeding unrolled — dm{r} carries each
+    * vector's min distance to the first r seeds, m{r}/p{r} pick round r's
+    * max and its tie-broken id, excluding everything already chosen.
+    */
+  private def kppOracleSql(k: Int): String = {
+    // every per-round CTE is MATERIALIZED: plain CTEs inline at each
+    // reference, and the p-chain's exclusion subqueries reference every
+    // earlier round — un-materialized, the expansion is O(k³) parquet
+    // scans and DuckDB runs out of file handles
+    val sb = new StringBuilder
+    sb.append(s"WITH $explodedSql,\n")
+    sb.append(
+      "dm1 AS MATERIALIZED (SELECT e.vec_id," +
+        " ROUND(CAST(SUM(CAST((e.v - c.v) * (e.v - c.v)" +
+        " AS DECIMAL(30,15))) AS DOUBLE), 6) AS dmin\n" +
+        "        FROM ex e JOIN ex c ON c.vec_id = 0 AND e.d = c.d GROUP BY 1)")
+    for (r <- 2 to k) {
+      val excl = (Seq("0") ++ (2 until r).map(i => s"(SELECT id FROM p$i)"))
+        .map(x => s"vec_id <> $x").mkString(" AND ")
+      sb.append(s",\nm$r AS MATERIALIZED (SELECT MAX(dmin) AS mx" +
+        s" FROM dm${r - 1} WHERE $excl)")
+      sb.append(s",\np$r AS MATERIALIZED (SELECT MIN(vec_id) AS id" +
+        s" FROM dm${r - 1}, m$r WHERE dmin = mx AND $excl)")
+      if (r < k) {
+        sb.append(s",\ndn$r AS MATERIALIZED (SELECT e.vec_id," +
+          " ROUND(CAST(SUM(CAST((e.v - c.v)" +
+          " * (e.v - c.v) AS DECIMAL(30,15))) AS DOUBLE), 6) AS d\n" +
+          s"         FROM ex e JOIN ex c ON c.vec_id = (SELECT id FROM p$r)" +
+          " AND e.d = c.d GROUP BY 1)")
+        sb.append(s",\ndm$r AS MATERIALIZED (SELECT a.vec_id," +
+          " LEAST(a.dmin, b.d) AS dmin" +
+          s" FROM dm${r - 1} a JOIN dn$r b USING (vec_id))")
+      }
+    }
+    sb.append("\nSELECT CAST(1 AS BIGINT) AS seed_rank," +
+      " CAST(0 AS BIGINT) AS vec_id, 0.0 AS dmin")
+    for (r <- 2 to k)
+      sb.append(s"\nUNION ALL SELECT CAST($r AS BIGINT)," +
+        s" (SELECT id FROM p$r), (SELECT mx FROM m$r)")
+    sb.toString
+  }
+
   /** IVF probe semantics shared by s3 (inline assignment) and s7 (persisted
     * index): 16 seed centroids, nearest-1 lists, 2-probe queries, exact
     * decimal scoring, top-3 per query.
@@ -1209,6 +1295,8 @@ object Similarity {
          |    AS DECIMAL(30,15))) AS DOUBLE), 6) AS shift
          |FROM m2 m JOIN cents c ON m.centroid_id = c.centroid_id AND m.d = c.d
          |GROUP BY m.centroid_id""".stripMargin,
+    // farthest-point seeding unrolled to 8 rounds
+    "c3_kmeans_seed" -> kppOracleSql(8),
     // three unrolled Lloyd rounds — float-quantized centroids between
     // rounds replay Spark's CAST(mean AS FLOAT) bit-for-bit
     "c2_kmeans_lloyd" ->
