@@ -31,12 +31,19 @@ object KafkaClient {
     def retrying[T](what: String)(f: KafkaClient => T): T = {
       var attempt = 0
       while (true) {
-        if (client == null) client = mkClient()
-        try return f(client)
-        catch {
+        // Establishment runs INSIDE the try so a connect-time IOException
+        // (broker briefly down between drop and reconnect) consumes the
+        // same retry budget and surfaces typed — mirrors
+        // RedisClient.Session / IggyClient.Session (ADVICE r8 fix class).
+        try {
+          if (client == null) client = mkClient()
+          return f(client)
+        } catch {
           case e: java.io.IOException => // dropped / truncated connection
-            try client.close() catch { case _: Throwable => () }
-            client = null
+            if (client != null) {
+              try client.close() catch { case _: Throwable => () }
+              client = null
+            }
             attempt += 1
             if (attempt > maxRetries)
               throw graft.core.SeaStreamErr.Backend(

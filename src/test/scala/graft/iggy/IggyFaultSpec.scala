@@ -27,6 +27,27 @@ class IggyFaultSpec extends AnyFunSuite {
       Partitioning.PartitionId(0), Seq((1000L + i, s"m$i".getBytes(UTF_8)))))
   }
 
+
+  test("connect-time failure consumes the retry budget and surfaces typed") {
+    // the reconnect loop must own ESTABLISHMENT too: a broker briefly down
+    // between drop and reconnect throws from mkClient, which must retry on
+    // the same budget and surface the same typed error as a mid-call drop
+    val fails = new java.util.concurrent.atomic.AtomicInteger(2)
+    val session = new IggyClient.Session(() =>
+      if (fails.getAndDecrement() > 0)
+        throw new java.io.IOException("connect refused")
+      else null: IggyClient, backoffMs = 1L)
+    try assert(session.retrying("op")(_ => 42) == 42,
+      "connect failures within budget must retry through")
+    finally session.close()
+    val dead = new IggyClient.Session(() =>
+      throw new java.io.IOException("refused"), maxRetries = 2, backoffMs = 1L)
+    val e = intercept[graft.core.SeaStreamErr.Backend] {
+      dead.retrying("op")(_ => ())
+    }
+    assert(e.getMessage.contains("retries exhausted"))
+  }
+
   test("connection drop mid-poll: session resumes at its offset, no duplicate rows") {
     withBroker { (srv, seeder) =>
       seed(seeder, "t", 20)
