@@ -16,9 +16,19 @@ object Bench {
     */
   private def writeQueriesJson(results: collection.Map[String, Double],
       sfDir: String): Unit = {
+    // a SPARK_GRAFT_BENCH_ONLY subset run must not clobber the committed
+    // full-map artifact — unless the caller named an output path explicitly
+    if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY") &&
+        !sys.env.contains("SPARK_GRAFT_BENCH_JSON")) return
     val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "BENCH_QUERIES.json")
-    val lines = s"""  "_sf": "$sfDir"""" +: results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"""  "$k": $v""" }
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val lines = s"""  "_sf": "${esc(sfDir)}"""" +: results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"""  "${esc(k)}": $v""" }
     val body = lines.mkString("{\n", ",\n", "\n}\n")
     try java.nio.file.Files.write(java.nio.file.Paths.get(path),
       body.getBytes("UTF-8"))

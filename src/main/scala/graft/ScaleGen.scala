@@ -99,6 +99,13 @@ object ScaleGen {
     offsetCopies("events", "event_id", "user_id")
     offsetCopies("orders", "o_orderkey", "o_custkey")
     offsetCopies("customer", "c_custkey")
+    // dimension tables copy 1× unchanged — their keys are never offset, so
+    // replication would be wrong, and without them a non-allowlisted query
+    // against the scaled dir hard-fails on a missing parquet (the dir is
+    // now self-contained for EVERY SparkEntry query)
+    for (t <- Seq("region", "nation", "supplier", "part"))
+      spark.read.parquet(s"$srcDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     println(s"[scalegen] wrote ${outDir} at factor $factor")
     spark.stop()
   }

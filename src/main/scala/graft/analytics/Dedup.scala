@@ -168,8 +168,9 @@ object Dedup {
     * contraction path — the same fits-the-driver split as
     * Pipeline.LocalFinishVocabCap, and DedupSpec pins local == distributed
     * on a seeded random graph. The cap bounds ONE query; concurrent
-    * sessions serialize the resident section via
-    * [[graft.ops.DriverBudget]], so the budget is JVM-wide, not per-query.
+    * sessions serialize the collect+union-find PEAK via
+    * [[graft.ops.DriverBudget]] (each query's result labels remain
+    * resident until consumed — see the budget's scaladoc).
     */
   private[analytics] val LocalCcEdgeCap = 4000000L
 

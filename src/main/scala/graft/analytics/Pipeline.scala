@@ -91,8 +91,9 @@ object Pipeline {
     * the equality; Spark UTF8String, DuckDB and java.lang.String order
     * the [a-z]-only symbols identically, and all three `replace`s share
     * scan-original-continue-after-match semantics). The cap bounds ONE
-    * query; concurrent sessions serialize the resident section via
-    * [[graft.ops.DriverBudget]], so the budget is JVM-wide, not per-query.
+    * query; concurrent sessions serialize the collect+merge-loop PEAK via
+    * [[graft.ops.DriverBudget]] (each query's segmented vocab remains
+    * resident until consumed — see the budget's scaladoc).
     */
   private[analytics] val LocalFinishVocabCap = 2000000L
 
@@ -658,6 +659,10 @@ object Pipeline {
         .groupBy("w").agg(count(lit(1)).as("c"))
       val nt = uni.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
       // exact op-order parity with the oracle: (0.7·c12)/c1 + (0.3·(c2+1))/(N+V)
+      // — the oracle's literals carry explicit CAST(.. AS DOUBLE): a bare
+      // 0.7 is DECIMAL(2,1) in DuckDB and the decimal×bigint product is
+      // EXACT there while Spark multiplies doubles, a one-ulp divergence
+      // that flips ROUND(..,6) whenever a term lands on a rounding boundary
       val p = when(col("c1").isNotNull && col("c12").isNotNull,
           lit(0.7) * col("c12") / col("c1")).otherwise(lit(0.0)) +
         lit(0.3) * (coalesce(col("c2"), lit(0L)) + lit(1L)) /
@@ -960,8 +965,10 @@ object Pipeline {
         |nll AS (SELECT b.doc_id,
         |          CAST(ROUND(ln(1.0 / (
         |            CASE WHEN u1.c IS NOT NULL AND bi.c12 IS NOT NULL
-        |                 THEN 0.7 * bi.c12 / u1.c ELSE 0.0 END
-        |            + 0.3 * (COALESCE(u2.c, 0) + 1) / (nt.n + nt.v))), 6)
+        |                 THEN CAST(0.7 AS DOUBLE) * bi.c12 / u1.c
+        |                 ELSE 0.0 END
+        |            + CAST(0.3 AS DOUBLE) * (COALESCE(u2.c, 0) + 1)
+        |              / (nt.n + nt.v))), 6)
         |            AS DECIMAL(30,15)) AS vterm
         |        FROM bg b
         |        LEFT JOIN big bi ON b.w1 = bi.w1 AND b.w2 = bi.w2

@@ -80,6 +80,15 @@ object Similarity {
     * descending; ties break on the smaller id, matching
     * `ORDER BY score DESC, id` exactly. Output: (g, key, id, rank).
     * PlanShapeSpec pins the no-Window law for every ANN query using this.
+    *
+    * Precondition: keys must be non-NaN. A NaN cosine (possible only from
+    * a zero-norm embedding) sorted FIRST under the old `DESC` window and
+    * under the oracle's SQL, but Ordering[Double] puts NaN last ascending —
+    * the aggregator would silently drop it. The embeddings data contract
+    * excludes zero vectors (verified across every driver corpus; s4's
+    * quantizer additionally filters `mabs > 0` explicitly), so no caller
+    * can produce a NaN key today; a caller scoring NULLABLE-norm input
+    * must prefilter like s4 does.
     */
   private def topKAsc(df: DataFrame, grp: Column, key: Column, id: Column,
       k: Int): DataFrame =
@@ -92,6 +101,29 @@ object Similarity {
   /** Recover a descending-ranked score from its negated aggregator key,
     * normalizing IEEE -0.0 to +0.0 (the oracle SQL adds `+ 0` to match). */
   private def unNeg(key: Column): Column = lit(0d) - key + lit(0d)
+
+  /** Packed-long ARGMIN aggregation — THE corpus-wide assignment idiom
+    * (nearest centroid, nearest code): a `row_number` window would
+    * sort-shuffle k× the corpus (VERDICT r7 #2) and `min_by`'s struct
+    * ordering buffer falls back to SortAggregate, so the (distance, id)
+    * key packs into ONE long and a plain MIN plans as whole-stage-codegen
+    * HashAggregate with map-side partial aggregation (PlanShapeSpec
+    * guards). Packing bounds: `d2r` must carry 6 dp (`round(_, 6)`) so
+    * d2r·1e6 is integral — ROUND, not truncate, because the 6-dp grid is
+    * not binary-exact — and < 2^42 for any sane embedding scale; `id`
+    * must stay below 2^20 (centroid/code ids — tens of thousands at
+    * corpus scale, 16 here). Ties break toward the SMALLER id (low bits
+    * of the packed long), matching every oracle's
+    * `ORDER BY d2r, id` rank. Groups by `grp` (aliased columns welcome);
+    * output = grp columns ++ (`out` = the argmin id).
+    */
+  private def packedArgmin(df: DataFrame, grp: Seq[Column], d2r: Column,
+      id: Column, out: String): DataFrame =
+    df.groupBy(grp: _*)
+      .agg(min(round(d2r * lit(1000000d)).cast("long") *
+        lit(1L << 20) + id).as("pk"))
+      .withColumn(out, col("pk").bitwiseAND(lit((1L << 20) - 1)))
+      .drop("pk")
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1):
     * md5-derived so DuckDB generates the identical planes.
@@ -224,25 +256,13 @@ object Similarity {
       // exact decimal L2² against every centroid; argmin with id tie-break
       val cents = broadcast(e.filter(col("vec_id") < K)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb")))
-      // corpus-wide assignment is an ARGMIN AGGREGATION, not a window
-      // rank: a row_number window would sort-shuffle k× the corpus
-      // (VERDICT r7 #2). min_by(_, struct(...)) computes the right argmin
-      // but its struct ordering buffer falls back to SortAggregate, so the
-      // (d2r, centroid_id) key is packed into ONE long — d2r has 6 dp, so
-      // d2r*1e6 is integral (round, not truncate: the 6-dp grid is not
-      // binary-exact), and centroid ids stay below 2^20 (k is tens of
-      // thousands at corpus scale; d2r*1e6 < 2^42 for any sane embedding
-      // scale, so the shift cannot overflow). A plain MIN over the packed
-      // long plans as whole-stage-codegen HashAggregate with map-side
-      // partial aggregation (guarded in PlanShapeSpec).
+      // corpus-wide assignment via the packed-long argmin aggregation
+      // (packedArgmin — map-side-combined HashAggregate, never a window)
       val assigned = e.select(col("vec_id"), col("embedding"))
         .crossJoin(cents)
         .withColumn("d2r", round(dist2Col("embedding", "cemb"), 6))
-      val lists = assigned.groupBy(col("vec_id").as("cid"))
-        .agg(min(round(col("d2r") * lit(1000000d)).cast("long") *
-          lit(1L << 20) + col("centroid_id")).as("pk"))
-        .select(col("cid"),
-          col("pk").bitwiseAND(lit((1L << 20) - 1)).as("centroid_id"))
+      val lists = packedArgmin(assigned, Seq(col("vec_id").as("cid")),
+        col("d2r"), col("centroid_id"), "centroid_id")
       // probe lists are top-`probeLists` smallest, still one hash
       // aggregation: sort the k-element per-query struct array, slice.
       // Query-set-bounded (QueryCount × K rows) at any corpus size.
@@ -292,21 +312,17 @@ object Similarity {
     val e = Tables(s, dir).embeddings
     val cents = broadcast(e.filter(col("vec_id") < k)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb")))
-    // argmin as a packed-long MIN (see annIvf for the packing law) —
-    // whole-stage-codegen HashAggregate with map-side partials, no
-    // sort-shuffle of k× the corpus (VERDICT r7 #2). The winning
-    // assignment carries only (vec_id, centroid_id); the vector itself is
-    // re-attached by a keyed shuffle join (the d5 discipline — corpus-sized
-    // sides never broadcast, and carrying the embedding through the agg
-    // buffer would forfeit HashAggregate).
-    val lists = e.select(col("vec_id"), col("embedding"))
-      .crossJoin(cents)
-      .withColumn("d2r", round(dist2Col("embedding", "cemb"), 6))
-      .groupBy(col("vec_id").as("cid"))
-      .agg(min(round(col("d2r") * lit(1000000d)).cast("long") *
-        lit(1L << 20) + col("centroid_id")).as("pk"))
-      .select(col("cid"),
-        col("pk").bitwiseAND(lit((1L << 20) - 1)).as("centroid_id"))
+    // packed-long argmin assignment (packedArgmin). The winning row
+    // carries only (vec_id, centroid_id); the vector itself is re-attached
+    // by a keyed shuffle join (the d5 discipline — corpus-sized sides
+    // never broadcast, and carrying the embedding through the agg buffer
+    // would forfeit HashAggregate).
+    val lists = packedArgmin(
+      e.select(col("vec_id"), col("embedding"))
+        .crossJoin(cents)
+        .withColumn("d2r", round(dist2Col("embedding", "cemb"), 6)),
+      Seq(col("vec_id").as("cid")), col("d2r"), col("centroid_id"),
+      "centroid_id")
     val assigned = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
       .join(lists.hint("shuffle_hash"), "cid")
     withNorm(assigned, "ce", "cn")
@@ -579,17 +595,12 @@ object Similarity {
       val K = 16
       val cents = broadcast(e.filter(col("vec_id") < K)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb")))
-      // packed-long argmin aggregation, not a window rank — a row_number
-      // window would sort-shuffle k× the corpus (see annIvf for the
-      // packing bounds)
-      val lists = e.select(col("vec_id"), col("embedding"))
-        .crossJoin(cents)
-        .withColumn("d2r", round(dist2Col("embedding", "cemb"), 6))
-        .groupBy("vec_id")
-        .agg(min(round(col("d2r") * lit(1000000d)).cast("long") *
-          lit(1L << 20) + col("centroid_id")).as("pk"))
-        .select(col("vec_id"),
-          col("pk").bitwiseAND(lit((1L << 20) - 1)).as("centroid_id"))
+      // packed-long argmin assignment (packedArgmin), never a window rank
+      val lists = packedArgmin(
+        e.select(col("vec_id"), col("embedding"))
+          .crossJoin(cents)
+          .withColumn("d2r", round(dist2Col("embedding", "cemb"), 6)),
+        Seq(col("vec_id")), col("d2r"), col("centroid_id"), "centroid_id")
       val ex = e.select(col("vec_id"),
         posexplode(col("embedding")).as(Seq("d0", "v")))
         .select(col("vec_id"), (col("d0") + 1).as("d"),
@@ -656,6 +667,13 @@ object Similarity {
       val K = 8
       var chosen = Seq(0L)
       var picks = Seq((1L, 0L, 0d))
+      // each round replaces the corpus-sized state checkpoint; the PREVIOUS
+      // round's blocks are released explicitly (via the internal RDD — the
+      // cache-manager lookup path never finds localCheckpoint blocks, see
+      // Dedup.checkpointSevered) so the loop holds ONE corpus copy, not k
+      def ckRdd(df: DataFrame) = df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
       var state = e.crossJoin(broadcast(e.filter(col("vec_id") === 0L)
           .select(col("embedding").as("cemb"))))
         .withColumn("dmin", round(dist2Col("embedding", "cemb"), 6))
@@ -668,15 +686,19 @@ object Similarity {
           .agg(min(col("vec_id"))).head().getLong(0)
         chosen = chosen :+ nextId
         picks = picks :+ ((r.toLong, nextId, mx))
-        if (r < K)
+        if (r < K) {
+          val prev = state
           state = state.crossJoin(broadcast(
               e.filter(col("vec_id") === nextId)
                 .select(col("embedding").as("cemb"))))
             .withColumn("dmin", least(col("dmin"),
               round(dist2Col("embedding", "cemb"), 6)))
             .drop("cemb")
-            .localCheckpoint()
+            .localCheckpoint() // materializes BEFORE prev is released
+          ckRdd(prev).foreach(_.unpersist(blocking = false))
+        }
       }
+      ckRdd(state).foreach(_.unpersist(blocking = false))
       picks.toDF("seed_rank", "vec_id", "dmin")
     },
 
@@ -766,17 +788,12 @@ object Similarity {
       val dist = subs.join(cents, Seq("j"))
         .select(col("vec_id"), col("j"), col("code"),
           round(dist2Col("sv", "csv"), 6).as("d2"))
-      // the ENCODER is a per-(vector, subspace) argmin over 16 codes — a
-      // packed-long MIN (the annIvf packing law: d2 has 6 dp so d2*1e6 is
-      // integral and < 2^42 for 8-dim subvectors; code < 16 ≪ 2^20), which
-      // plans as whole-stage-codegen HashAggregate with map-side partials.
-      // The row_number window it replaces sort-shuffled corpus × 8
-      // subspace partitions (VERDICT r8 #2).
-      val codes = dist.groupBy(col("vec_id").as("cid"), col("j"))
-        .agg(min(round(col("d2") * lit(1000000d)).cast("long") *
-          lit(1L << 20) + col("code")).as("pk"))
-        .select(col("cid"), col("j"),
-          col("pk").bitwiseAND(lit((1L << 20) - 1)).as("code"))
+      // the ENCODER is a per-(vector, subspace) packed-long argmin
+      // (packedArgmin) — the row_number window it replaced sort-shuffled
+      // corpus × 8 subspace partitions (VERDICT r8 #2)
+      val codes = packedArgmin(dist,
+        Seq(col("vec_id").as("cid"), col("j")), col("d2"), col("code"),
+        "code")
       val lut = broadcast(dist.filter(col("vec_id") < QueryCount)
         .select(col("vec_id").as("qid"), col("j"), col("code"), col("d2")))
       // ADC scan: corpus codes × broadcast LUT, one 8-term sum per (q, c)
@@ -828,11 +845,8 @@ object Similarity {
       val assigned = e.select(col("vec_id"), col("embedding"))
         .crossJoin(ivfCents)
         .withColumn("d2r", round(dist2Col("embedding", "cemb"), 6))
-      val lists = assigned.groupBy(col("vec_id").as("cid"))
-        .agg(min(round(col("d2r") * lit(1000000d)).cast("long") *
-          lit(1L << 20) + col("centroid_id")).as("pk"))
-        .select(col("cid"),
-          col("pk").bitwiseAND(lit((1L << 20) - 1)).as("centroid_id"))
+      val lists = packedArgmin(assigned, Seq(col("vec_id").as("cid")),
+        col("d2r"), col("centroid_id"), "centroid_id")
       val probes = topKAsc(assigned.filter(col("vec_id") < QueryCount)
           .select(col("vec_id").as("qid"), col("d2r"), col("centroid_id")),
           col("qid"), col("d2r"), col("centroid_id"), 2)
@@ -847,11 +861,9 @@ object Similarity {
       val dist = subs.join(pqCents, Seq("j"))
         .select(col("vec_id"), col("j"), col("code"),
           round(dist2Col("sv", "csv"), 6).as("d2"))
-      val codes = dist.groupBy(col("vec_id").as("cid"), col("j"))
-        .agg(min(round(col("d2") * lit(1000000d)).cast("long") *
-          lit(1L << 20) + col("code")).as("pk"))
-        .select(col("cid"), col("j"),
-          col("pk").bitwiseAND(lit((1L << 20) - 1)).as("code"))
+      val codes = packedArgmin(dist,
+        Seq(col("vec_id").as("cid"), col("j")), col("d2"), col("code"),
+        "code")
       val lut = broadcast(dist.filter(col("vec_id") < QueryCount)
         .select(col("vec_id").as("qid"), col("j"), col("code"), col("d2")))
       // ---- composition: ADC only inside the probed lists ----
@@ -897,14 +909,11 @@ object Similarity {
     */
   def kmeansRound(e: DataFrame, cents: DataFrame): DataFrame = {
     val bc = broadcast(cents.select(col("centroid_id"), col("cemb")))
-    val lists = e.select(col("vec_id"), col("embedding"))
-      .crossJoin(bc)
-      .withColumn("d2r", round(dist2Col("embedding", "cemb"), 6))
-      .groupBy("vec_id")
-      .agg(min(round(col("d2r") * lit(1000000d)).cast("long") *
-        lit(1L << 20) + col("centroid_id")).as("pk"))
-      .select(col("vec_id"),
-        col("pk").bitwiseAND(lit((1L << 20) - 1)).as("centroid_id"))
+    val lists = packedArgmin(
+      e.select(col("vec_id"), col("embedding"))
+        .crossJoin(bc)
+        .withColumn("d2r", round(dist2Col("embedding", "cemb"), 6)),
+      Seq(col("vec_id")), col("d2r"), col("centroid_id"), "centroid_id")
     val ex = e.select(col("vec_id"),
       posexplode(col("embedding")).as(Seq("d0", "v")))
       .select(col("vec_id"), (col("d0") + 1).as("d"),
@@ -942,17 +951,12 @@ object Similarity {
       val K = k
       val cents = broadcast(e.filter(col("vec_id") < K)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb")))
-      // packed-long argmin aggregation, not a window rank — a row_number
-      // window would sort-shuffle k× the corpus (see annIvf for the
-      // packing bounds)
-      val lists = e.select(col("vec_id"), col("embedding"))
-        .crossJoin(cents)
-        .withColumn("d2r", round(dist2Col("embedding", "cemb"), 6))
-        .groupBy("vec_id")
-        .agg(min(round(col("d2r") * lit(1000000d)).cast("long") *
-          lit(1L << 20) + col("centroid_id")).as("pk"))
-        .select(col("vec_id"),
-          col("pk").bitwiseAND(lit((1L << 20) - 1)).as("centroid_id"))
+      // packed-long argmin assignment (packedArgmin), never a window rank
+      val lists = packedArgmin(
+        e.select(col("vec_id"), col("embedding"))
+          .crossJoin(cents)
+          .withColumn("d2r", round(dist2Col("embedding", "cemb"), 6)),
+        Seq(col("vec_id")), col("d2r"), col("centroid_id"), "centroid_id")
       // all joins below pair corpus-sized sides — shuffle-hinted so AQE's
       // local broadcast conversion can't hide the only shape that exists at
       // 100 TB (hash-partitioned on cluster/doc keys)

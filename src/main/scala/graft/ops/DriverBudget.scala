@@ -8,11 +8,16 @@ package graft.ops
   * BPE training's local finish ([[graft.analytics.Pipeline]]'s
   * `LocalFinishVocabCap`, a Heaps-law vocab → a few hundred MB). Each cap
   * bounds ONE query; N concurrent sessions in the same driver JVM would
-  * otherwise stack N residencies. This single fair permit serializes the
-  * resident sections, making the caps a JVM-wide budget instead of a
-  * per-query one — the queue cost is bounded by the fast paths' own
-  * premise (seconds of driver work), and the distributed fallbacks never
-  * touch the permit.
+  * otherwise stack N compute peaks on top of each other. This single fair
+  * permit serializes the COLLECT-AND-COMPUTE peaks — the edge collect +
+  * union-find scratch, the vocab collect + per-merge rewrite arrays. What
+  * it deliberately does NOT cover is each query's RESULT (the labels
+  * local relation, the segmented vocab rows): results must outlive the
+  * section to be consumed by the rest of the plan, so concurrent sessions
+  * can still hold one result-sized residual each — smaller than the peak
+  * (no scratch structures), accounted for when sizing the caps. The queue
+  * cost is bounded by the fast paths' own premise (seconds of driver
+  * work), and the distributed fallbacks never touch the permit.
   */
 object DriverBudget {
   private val permit = new java.util.concurrent.Semaphore(1, true)
