@@ -892,6 +892,42 @@ object Similarity {
       topKAsc(scored, col("qid"), unNeg(col("cosine")), col("cid"), 3)
         .select(col("g").as("qid"), col("id").as("cid"),
           unNeg(col("key")).as("cosine"), col("rank"))
+    },
+
+    // Metadata-filtered vector search — the "WHERE lang = 'en' AND
+    // n_chars >= 200" top-k every RAG / curation stack serves. The scalar
+    // predicate lives on the documents table, the vectors on embeddings;
+    // eligibility must be decided BEFORE scoring (pre-filtering), not by
+    // post-filtering an unfiltered top-k: post-filter recall@k is
+    // best-effort (a k-list can drain to fewer than k eligible rows)
+    // while the pre-filtered scan is exact under the predicate and scores
+    // only eligible vectors. Shapes: the predicate reaches the documents
+    // parquet scan as pushed filters (PlanShapeSpec pins PushedFilters —
+    // at 100 TB this is the difference between reading two column chunks
+    // with stats-pruned row groups and reading the corpus); the eligible
+    // ids semi-join onto the vector table with a shuffle hint (eligible
+    // sets are corpus-sized at scale — AQE would broadcast the locally
+    // tiny set and hide the shape); scoring keeps s1's broadcast-query
+    // corpus scan and the bounded top-k aggregation.
+    "s10_filtered_knn" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val e = t.embeddings
+      val eligible = t.documents
+        .filter(col("lang") === "en" && col("n_chars") >= 200)
+        .select(col("doc_id").as("cid"))
+      val corpus = withNorm(
+        e.select(col("vec_id").as("cid"), col("embedding").as("ce")), "ce", "cn")
+        .join(eligible.hint("shuffle_hash"), Seq("cid"), "left_semi")
+      val queriesDf = withNorm(
+        e.filter(col("vec_id") < QueryCount)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe")), "qe", "qn")
+      val scored = corpus.crossJoin(broadcast(queriesDf))
+        .filter(col("qid") =!= col("cid"))
+        .withColumn("cosine",
+          round(dotCol("qe", "ce") / (col("qn") * col("cn")), 6))
+      topKAsc(scored, col("qid"), unNeg(col("cosine")), col("cid"), TopK)
+        .select(col("g").as("qid"), col("id").as("cid"),
+          unNeg(col("key")).as("cosine"), col("rank"))
     })
 
   /** One Lloyd round (the iterating form of c1, VERDICT r8 #6): given float
@@ -1416,6 +1452,27 @@ object Similarity {
          |               ORDER BY cosine DESC, cid) AS rank
          |           FROM scored)
          |SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 3""".stripMargin,
+    // s1's brute-force scan restricted to the predicate-eligible corpus
+    "s10_filtered_knn" ->
+      s"""WITH $explodedSql,
+         |keep AS (SELECT doc_id FROM documents
+         |         WHERE lang = 'en' AND n_chars >= 200),
+         |dots AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |           CAST(SUM(CAST(q.v * c.v AS DECIMAL(30,15))) AS DOUBLE) AS dot
+         |         FROM ex q JOIN ex c ON q.d = c.d
+         |         JOIN keep k ON c.vec_id = k.doc_id
+         |         WHERE q.vec_id < $QueryCount AND q.vec_id <> c.vec_id
+         |         GROUP BY 1, 2),
+         |scored AS (SELECT qid, cid,
+         |             ROUND(dot / (nq.nrm * nc.nrm), 6) + 0 AS cosine
+         |           FROM dots
+         |           JOIN norms nq ON qid = nq.vec_id
+         |           JOIN norms nc ON cid = nc.vec_id),
+         |ranked AS (SELECT qid, cid, cosine,
+         |             ROW_NUMBER() OVER (PARTITION BY qid
+         |               ORDER BY cosine DESC, cid) AS rank
+         |           FROM scored)
+         |SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= $TopK""".stripMargin,
     "s4_ann_sq8" ->
       s"""WITH $explodedSql,
          |scales AS (SELECT vec_id, MAX(abs(v)) AS mabs FROM ex GROUP BY vec_id

@@ -385,7 +385,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // present. (s8's single fused-rank window is bounded and guarded in
     // its own law.)
     for (q <- Seq("s1_knn_brute", "s2_ann_lsh", "s3_ann_ivf", "s4_ann_sq8",
-        "s5_ann_pq", "s6_ann_recall", "s7_ann_ivf_indexed", "s9_ann_ivfpq")) {
+        "s5_ann_pq", "s6_ann_recall", "s7_ann_ivf_indexed", "s9_ann_ivfpq",
+        "s10_filtered_knn")) {
       val plan = SparkEntry.queries(q)(spark, TestSession.sfDir)
         .queryExecution.executedPlan.toString
       assert("\\bWindow\\b".r.findAllIn(plan).isEmpty,
@@ -393,6 +394,24 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(plan.contains("ObjectHashAggregate"),
         s"$q's top-k lost its bounded ObjectHashAggregate shape")
     }
+  }
+
+  test("s10 pushes the metadata predicate into the documents scan and " +
+      "semi-joins eligibility with a shuffle") {
+    // filtered vector search must decide eligibility at the DOCUMENTS
+    // parquet scan (two pushed predicates + a two-column ReadSchema — at
+    // 100 TB this is stats-pruned row groups vs reading the corpus), and
+    // the eligible-id attach onto the vector table must shuffle: eligible
+    // sets are corpus-sized at scale, so an AQE broadcast of the locally
+    // tiny set would hide the shape that matters.
+    val p = planOf("s10_filtered_knn")
+    assert(p.contains("EqualTo(lang,en)"),
+      "lang predicate no longer reaches the documents parquet scan")
+    assert(p.contains("GreaterThanOrEqual(n_chars,200)"),
+      "n_chars predicate no longer reaches the documents parquet scan")
+    assert(!p.contains("text"), "s10 must not read the text column")
+    assert(p.contains("ShuffledHashJoin") && p.contains("LeftSemi"),
+      "eligibility must attach as a shuffled left-semi join")
   }
 
   test("s5's PQ encoder is a packed-long argmin aggregation, not a window") {
