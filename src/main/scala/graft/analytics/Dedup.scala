@@ -390,6 +390,76 @@ object Dedup {
           round(col("jaccard"), 6).as("jaccard"))
     },
 
+    // Incremental cross-corpus fuzzy dedup: the "new crawl batch vs the
+    // existing training corpus" admission gate a continuously-growing
+    // pipeline runs before ingesting data (t14 is its streaming twin; this
+    // is the batch form). Batch = src0-src4 (p18's target-domain split,
+    // reused); every batch doc reports whether it is NOVEL w.r.t. the
+    // reference corpus, plus its best reference match. Shapes at 100 TB:
+    // ONE minhash signature pass over both corpora together (the d3 agg —
+    // signatures are 8 rows/doc), membership split by a shuffled semi/anti
+    // join against the batch-id set (corpus-sized, never broadcast), the
+    // batch×ref band join is O(cross collisions) — strictly cheaper than
+    // d3's full self-join because one side is the (much smaller) batch —
+    // and exact-Jaccard verification touches candidates only. Best-match
+    // selection is two keyed hash aggs (max jaccard, then min ref id at
+    // that jaccard), never a window over the candidate stream.
+    "d10_cross_corpus" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val batchIds = docs.filter(col("source")
+          .isin("src0", "src1", "src2", "src3", "src4"))
+        .select(col("doc_id"))
+      val sh = shingles(docs)
+        .withColumn("hm", md5long(col("s")) % Prime)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val minCols = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
+        min((lit(a.toLong) * col("hm") + lit(b.toLong)) % Prime).as(s"mh$i")
+      }
+      val stackArgs = MinhashParams.indices.map(i => s"$i, mh$i").mkString(", ")
+      val mh = sh.groupBy("doc_id")
+        .agg(minCols.head, minCols.tail: _*)
+        .select(col("doc_id"),
+          expr(s"stack(${MinhashParams.size}, $stackArgs) AS (i, mh)"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // membership split: batch ids are corpus-fraction-sized — shuffled
+      // semi/anti joins, never a broadcast of the id set
+      val mhB = mh.join(batchIds.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+      val mhR = mh.join(batchIds.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+      // cross band join only: batch signatures vs reference signatures
+      val cand = mhB.as("x").hint("shuffle_hash")
+        .join(mhR.as("y"),
+          col("x.i") === col("y.i") && col("x.mh") === col("y.mh"))
+        .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("ref_id"))
+        .distinct()
+      // exact-Jaccard verification restricted to the candidates (d3's shape)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val common = cand
+        .join(sh.select(col("doc_id"), col("s")).hint("shuffle_hash"), "doc_id")
+        .join(sh.select(col("doc_id").as("ref_id"), col("s"))
+          .hint("shuffle_hash"), Seq("ref_id", "s"))
+        .groupBy("doc_id", "ref_id").agg(count(lit(1)).as("common"))
+      val dups = common
+        .join(sizes.toDF("doc_id", "na").hint("shuffle_hash"), "doc_id")
+        .join(sizes.toDF("ref_id", "nb").hint("shuffle_hash"), "ref_id")
+        .withColumn("jaccard",
+          col("common") * lit(1.0) / (col("na") + col("nb") - col("common")))
+        .filter(col("jaccard") >= JaccardThreshold)
+      // best match per batch doc via two keyed hash aggs (no window):
+      // the max jaccard, then the smallest ref id achieving it
+      val bestJ = dups.groupBy("doc_id").agg(max(col("jaccard")).as("bj"))
+      val best = dups.join(bestJ.hint("shuffle_hash"), "doc_id")
+        .filter(col("jaccard") === col("bj"))
+        .groupBy("doc_id")
+        .agg(min(col("ref_id")).as("match_id"),
+          round(max(col("jaccard")), 6).as("match_jaccard"))
+      docs.join(batchIds.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("source"))
+        .join(best.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          col("match_id").isNull.as("novel"),
+          col("match_id"), col("match_jaccard"))
+    },
+
     // Dedup clustering: connected components over the near-dup pair graph
     // (min-label propagation + pointer halving — O(log diameter) rounds).
     // Output: every doc in a component, its cluster id (min doc_id), and
@@ -527,6 +597,42 @@ object Dedup {
          |JOIN est e ON j.doc_a = e.doc_a AND j.doc_b = e.doc_b
          |JOIN cand c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
          |WHERE j.jaccard >= $JaccardThreshold""".stripMargin
+    },
+    // d3's machinery split across the batch/reference boundary: candidates
+    // from the cross band join only, exact Jaccard via the uncapped jac CTE
+    // (order-normalized through LEAST/GREATEST — jac stores doc_a < doc_b),
+    // best match = (max jaccard, min ref id) per batch doc
+    "d10_cross_corpus" -> {
+      val constRows = MinhashParams.zipWithIndex
+        .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
+        .mkString(", ")
+      s"""WITH $jaccardOracleCte,
+         |consts(i, a, b) AS (VALUES $constRows),
+         |hashed AS (SELECT doc_id, s,
+         |    CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % $Prime AS hm FROM sh),
+         |mh AS (SELECT doc_id, i, MIN((a * hm + b) % $Prime) AS mh
+         |       FROM hashed CROSS JOIN consts GROUP BY doc_id, i),
+         |batch AS (SELECT doc_id, source FROM documents
+         |          WHERE source IN ('src0','src1','src2','src3','src4')),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS ref_id
+         |         FROM mh x
+         |         JOIN batch bx ON x.doc_id = bx.doc_id
+         |         JOIN mh y ON x.i = y.i AND x.mh = y.mh
+         |         WHERE y.doc_id NOT IN (SELECT doc_id FROM batch)),
+         |dups AS (SELECT c.doc_id, c.ref_id, j.jaccard
+         |         FROM cand c
+         |         JOIN jac j ON j.doc_a = LEAST(c.doc_id, c.ref_id)
+         |           AND j.doc_b = GREATEST(c.doc_id, c.ref_id)
+         |         WHERE j.jaccard >= $JaccardThreshold),
+         |best AS (SELECT doc_id, MIN(ref_id) AS match_id,
+         |           ROUND(MAX(jaccard), 6) AS match_jaccard
+         |         FROM (SELECT doc_id, ref_id, jaccard,
+         |                 MAX(jaccard) OVER (PARTITION BY doc_id) AS bj
+         |               FROM dups)
+         |         WHERE jaccard = bj GROUP BY doc_id)
+         |SELECT b.doc_id, b.source, best.match_id IS NULL AS novel,
+         |  best.match_id, best.match_jaccard
+         |FROM batch b LEFT JOIN best ON b.doc_id = best.doc_id""".stripMargin
     },
     "d4_simhash" -> simhashOracle,
     // Transitive closure via recursive CTE; cluster = min reachable doc_id.

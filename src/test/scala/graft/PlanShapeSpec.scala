@@ -396,6 +396,26 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("d10 cross-corpus dedup: all unbounded joins shuffle, no window, " +
+      "no cartesian") {
+    // the batch-vs-reference admission gate joins corpus-sized tables
+    // everywhere (signatures, shingle attaches, membership split, best-
+    // match attach) — every one must hash-shuffle (a broadcast of the
+    // locally tiny batch/candidate set would hide the 100 TB shape), the
+    // best-match selection must be keyed aggregation (a per-doc window
+    // over the candidate stream is the s4/s5 scale-killer shape), and
+    // the band join must stay an equi-join
+    val plan = SparkEntry.queries("d10_cross_corpus")(spark, TestSession.sfDir)
+      .queryExecution.executedPlan.toString
+    assert("\\bWindow\\b".r.findAllIn(plan).isEmpty,
+      "d10 ranks matches through a Window")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "an unbounded side regressed to a broadcast join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "the band join must stay an equi-join")
+  }
+
   test("s10 pushes the metadata predicate into the documents scan and " +
       "semi-joins eligibility with a shuffle") {
     // filtered vector search must decide eligibility at the DOCUMENTS
