@@ -39,6 +39,11 @@ object Pipeline {
     */
   private val ShuffleShards = 8
 
+  /** p19's per-source token budget — ~half of each sf0.01 source's ~1350
+    * tokens, so the selection genuinely bisects (production would set this
+    * from the target mixture's per-domain token allocation). */
+  private val BudgetTokens = 700L
+
   /** p16 body: ChunkSize-token windows every ChunkStride tokens over
     * whitespace-split documents. Chunk count = ceil(n/stride) so windows
     * cover every token; the trailing window is short rather than
@@ -227,6 +232,53 @@ object Pipeline {
     // repartition on whichever it needs.
     "p16_chunking" -> { (s, dir) =>
       chunkWindows(Tables(s, dir).documents)
+    },
+
+    // Quality-ranked token-budget selection — per-source corpus mixing
+    // (the FineWeb/Gopher "keep the best N tokens of every dump" step):
+    // within each source, documents are ranked by a COARSE quality bucket
+    // (a2's score rounded to 2 dp; doc_id tie-break) and the ranked prefix
+    // fitting BudgetTokens survives. The coarse bucket is what makes the
+    // selection scale-exact WITHOUT a corpus-wide sort: a naive
+    // `sum over (partition by source order by quality)` window funnels
+    // each source's full corpus slice through one task (the s4/s5
+    // scale-killer). Instead: (1) one map pass scores docs; (2) a
+    // (source, bucket) histogram — ≤101 rows per source by construction —
+    // takes the per-source cumulative window (bounded partitions);
+    // (3) buckets wholly under budget admit their docs via a shuffled
+    // semi-join; (4) only the ONE straddling bucket per source runs a
+    // doc-level prefix window, partitioned by (source, bucket) — bucket-
+    // sized, never source-sized. Equivalence to the naive prefix is exact
+    // because the grid order (bucket DESC, doc_id) IS the ranking order.
+    "p19_budget_select" -> { (s, dir) =>
+      val d = TextAnalysis.qualityTokens(Tables(s, dir).documents, "source")
+        .withColumn("quality_bucket", round(col("quality_score"), 2))
+        .select("doc_id", "source", "n_tokens", "quality_bucket")
+      val hist = d.groupBy("source", "quality_bucket")
+        .agg(sum("n_tokens").as("btoks"))
+      // bounded window: ≤101 rows per source (the 2-dp grid), never docs
+      val wh = Window.partitionBy("source").orderBy(col("quality_bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = hist.withColumn("cum_before",
+        coalesce(sum("btoks").over(wh), lit(0L)))
+      val full = cum.filter(col("cum_before") + col("btoks") <= BudgetTokens)
+        .select("source", "quality_bucket")
+      // histogram-derived tables are source-set-sized — unbounded at
+      // 100 TB (source = domain), so the doc attaches shuffle
+      val fullDocs = d.join(full.hint("shuffle_hash"),
+        Seq("source", "quality_bucket"), "left_semi")
+      val bnd = cum.filter(col("cum_before") < BudgetTokens &&
+          col("cum_before") + col("btoks") > BudgetTokens)
+        .select(col("source"), col("quality_bucket"),
+          (lit(BudgetTokens) - col("cum_before")).as("remaining"))
+      val wb = Window.partitionBy("source", "quality_bucket")
+        .orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+      val bndDocs = d.join(bnd.hint("shuffle_hash"),
+          Seq("source", "quality_bucket"))
+        .withColumn("cum_in", sum("n_tokens").over(wb))
+        .filter(col("cum_in") <= col("remaining"))
+        .select("doc_id", "source", "n_tokens", "quality_bucket")
+      fullDocs.unionByName(bndDocs)
     },
 
     // Training-order shuffle + output sharding — the step between curation
@@ -792,6 +844,23 @@ object Pipeline {
          |                    chunk_id * $ChunkStride + $ChunkSize], ' ')
          |    AS chunk
          |FROM st""".stripMargin,
+    // the NAIVE per-source ranked prefix (one cumulative window over
+    // (bucket DESC, doc_id)) — p19's histogram/boundary split must equal
+    // it exactly; qagg/qual come from TextAnalysis.qualityCte
+    "p19_budget_select" ->
+      s"""WITH ${TextAnalysis.qualityCte},
+         |d AS (SELECT a.doc_id, doc.source, a.n_tokens,
+         |        ROUND(q.quality_score, 2) AS quality_bucket
+         |      FROM qagg a
+         |      JOIN qual q ON a.doc_id = q.doc_id
+         |      JOIN documents doc ON a.doc_id = doc.doc_id),
+         |cum AS (SELECT doc_id, source, n_tokens, quality_bucket,
+         |          SUM(n_tokens) OVER (PARTITION BY source
+         |            ORDER BY quality_bucket DESC, doc_id
+         |            ROWS UNBOUNDED PRECEDING) AS c
+         |        FROM d)
+         |SELECT doc_id, source, n_tokens, quality_bucket
+         |FROM cum WHERE c <= $BudgetTokens""".stripMargin,
     // 15 hex digits < 2^60, so hv is non-negative and % equals Spark's pmod
     "p17_shuffle_shards" ->
       s"""WITH h AS (SELECT doc_id,

@@ -38,6 +38,23 @@ object TextAnalysis {
           (col("n_stop") * lit(1.0) / col("n_tokens")) * 0.5, 6))
       .select(col("doc_id"), col("quality_score"))
 
+  /** a2's quality score + token count with caller-carried columns — the
+    * budget-selection form (p19): same map-only single pass as
+    * [[qualityScore]], but keeps `n_tokens` (the budget unit) and any
+    * extra grouping columns the caller selects on.
+    */
+  private[analytics] def qualityTokens(docs: DataFrame, carry: String*): DataFrame =
+    docs.select(col("doc_id") +: carry.map(col) :+
+        split(col("text"), " ").as("tok"): _*)
+      .withColumn("n_tokens", size(col("tok")).cast("long"))
+      .withColumn("n_stop",
+        expr(s"size(filter(tok, t -> t IN ${sqlList(Stopwords)}))")
+          .cast("long"))
+      .withColumn("quality_score",
+        round((col("n_tokens") / (col("n_tokens") + lit(50.0))) * 0.5 +
+          (col("n_stop") * lit(1.0) / col("n_tokens")) * 0.5, 6))
+      .drop("tok", "n_stop")
+
   /** a2's quality formula as oracle CTEs ending at `qual`
     * (doc_id, quality_score).
     */

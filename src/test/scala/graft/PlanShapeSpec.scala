@@ -396,6 +396,28 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("p19 budget selection windows only bounded partitions: the bucket " +
+      "histogram and the one straddling bucket") {
+    // per-source ranked-prefix selection must NOT run a cumulative window
+    // over each source's full document slice (one task per source = the
+    // s4/s5 funnel). The exact-equivalent split: a cumulative window over
+    // the (source, bucket) HISTOGRAM (≤101 rows per source), and a
+    // doc-level prefix window partitioned by (source, bucket) — only the
+    // straddling bucket's docs reach it. Law: exactly two Windows; the
+    // source-partitioned one consumes the aggregated btoks, never raw
+    // docs; the doc-level one carries the bucket in its partition key.
+    val p = planOf("p19_budget_select")
+    val wins = nodeBlocks(p).filter(_._1 == "Window")
+    // the histogram window may plan once per consumer branch (full +
+    // straddling — it is an O(sources × 101) recompute, not worth a
+    // persist); what must NOT exist is any additional doc-level window
+    val (histWins, docWins) = wins.partition(_._2.contains("btoks"))
+    assert(histWins.nonEmpty,
+      "the per-source cumulative window must run over the bucket histogram")
+    assert(docWins.size == 1 && docWins.head._2.contains("quality_bucket"),
+      "exactly one doc-level prefix window, partitioned by (source, bucket)")
+  }
+
   test("d10 cross-corpus dedup: all unbounded joins shuffle, no window, " +
       "no cartesian") {
     // the batch-vs-reference admission gate joins corpus-sized tables
