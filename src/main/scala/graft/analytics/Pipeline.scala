@@ -251,9 +251,13 @@ object Pipeline {
     // sized, never source-sized. Equivalence to the naive prefix is exact
     // because the grid order (bucket DESC, doc_id) IS the ranking order.
     "p19_budget_select" -> { (s, dir) =>
+      // the scored table feeds three branches (histogram + both doc
+      // attaches) — persist so the tokenize/score map runs once, not 3×
+      // (the jaccardPairs discipline; MEMORY_AND_DISK spills, not OOMs)
       val d = TextAnalysis.qualityTokens(Tables(s, dir).documents, "source")
         .withColumn("quality_bucket", round(col("quality_score"), 2))
         .select("doc_id", "source", "n_tokens", "quality_bucket")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val hist = d.groupBy("source", "quality_bucket")
         .agg(sum("n_tokens").as("btoks"))
       // bounded window: ≤101 rows per source (the 2-dp grid), never docs
