@@ -42,7 +42,7 @@ final class EmbeddedIggy extends AutoCloseable {
     tap.getAndUpdate(n => math.max(0, n - 1)) > 0
   /** Single-atomic-op countdown: fires exactly on the Nth command even under
     * concurrent connections — a get/decrement pair could misfire. */
-  private def takeCountdown(tap: java.util.concurrent.atomic.AtomicInteger): Boolean =
+  private[iggy] def takeCountdown(tap: java.util.concurrent.atomic.AtomicInteger): Boolean =
     tap.getAndUpdate(n => math.max(0, n - 1)) == 1
   private object DropConn extends RuntimeException
     with scala.util.control.NoStackTrace

@@ -57,7 +57,7 @@ final class EmbeddedRedis(
     * thread each, as in multi-partition Spark writes) race on the tap; a
     * get/decrement pair could fire on the wrong command or never.
     */
-  private def takeCountdown(tap: java.util.concurrent.atomic.AtomicInteger): Boolean =
+  private[redis] def takeCountdown(tap: java.util.concurrent.atomic.AtomicInteger): Boolean =
     tap.getAndUpdate(n => math.max(0, n - 1)) == 1
   private object DropConn extends RuntimeException
     with scala.util.control.NoStackTrace

@@ -117,4 +117,32 @@ class IggyFaultSpec extends AnyFunSuite {
       assert(srv.dropPolls.get() == 0)
     }
   }
+
+  test("countdown tap fires exactly once under concurrent connections") {
+    // the twin of RedisFaultSpec's law: iggy's Nth-send drop must trip
+    // exactly once however the per-socket server threads interleave —
+    // one atomic getAndUpdate firing on pre-decrement == 1, never a
+    // non-atomic get/decrement pair
+    val srv = new EmbeddedIggy
+    try {
+      val tap = new java.util.concurrent.atomic.AtomicInteger(64)
+      val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      try {
+        val tasks = (1 to 16).map { _ =>
+          pool.submit(new Runnable {
+            def run(): Unit =
+              (1 to 32).foreach { _ =>
+                if (srv.takeCountdown(tap)) fired.incrementAndGet()
+              }
+          })
+        }
+        tasks.foreach(_.get())
+      } finally pool.shutdown()
+      assert(fired.get() == 1,
+        s"the 64th concurrent command must trip the tap exactly once " +
+          s"(fired ${fired.get()} times)")
+      assert(tap.get() == 0, "the spent tap must stay at zero")
+    } finally srv.close()
+  }
 }

@@ -190,4 +190,33 @@ class RedisFaultSpec extends AnyFunSuite {
       assert(srv.dropReads.get() == 0)
     }
   }
+
+  test("countdown tap fires exactly once under concurrent connections") {
+    // multi-partition Spark writes open one socket per task, each handled
+    // on its own server thread — the Nth-command drop must fire exactly
+    // once no matter how those threads interleave on the tap. A get()>0
+    // && decrementAndGet()==0 pair can fire on the wrong command or never
+    // (two threads both pass the get, both decrement, neither sees 0), so
+    // the tap is one atomic getAndUpdate firing on pre-decrement == 1.
+    withServer { srv =>
+      val tap = new java.util.concurrent.atomic.AtomicInteger(64)
+      val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      try {
+        val tasks = (1 to 16).map { _ =>
+          pool.submit(new Runnable {
+            def run(): Unit =
+              (1 to 32).foreach { _ =>
+                if (srv.takeCountdown(tap)) fired.incrementAndGet()
+              }
+          })
+        }
+        tasks.foreach(_.get())
+      } finally pool.shutdown()
+      assert(fired.get() == 1,
+        s"the 64th concurrent command must trip the tap exactly once " +
+          s"(fired ${fired.get()} times)")
+      assert(tap.get() == 0, "the spent tap must stay at zero")
+    }
+  }
 }
