@@ -59,6 +59,22 @@ object Dedup {
         .as("s"))
       .distinct()
 
+  /** All 8 permutation minima in ONE aggregation over hashed shingle rows
+    * (doc_id, hm), unpivoted to (doc_id, i, mh) — shuffles |shingles| rows
+    * once instead of 8× blown up through a crossJoin with the parameter
+    * table. Shared by d3 / d10 / d11.
+    */
+  private def minhashStack(sh: DataFrame): DataFrame = {
+    val minCols = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a.toLong) * col("hm") + lit(b.toLong)) % Prime).as(s"mh$i")
+    }
+    val stackArgs = MinhashParams.indices.map(i => s"$i, mh$i").mkString(", ")
+    sh.groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        expr(s"stack(${MinhashParams.size}, $stackArgs) AS (i, mh)"))
+  }
+
   /** Exact Jaccard over shared shingles for co-occurring pairs.
     *
     * The CAPPED shingle set feeds three plan branches (per-doc sizes + both
@@ -332,19 +348,9 @@ object Dedup {
       val sh = shingles(Tables(s, dir).documents)
         .withColumn("hm", md5long(col("s")) % Prime)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // all 8 permutation minima in ONE aggregation over the shingle rows,
-      // then unpivoted — shuffles |shingles| rows once instead of 8× blown
-      // up through a crossJoin with the parameter table
-      val minCols = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
-        min((lit(a.toLong) * col("hm") + lit(b.toLong)) % Prime).as(s"mh$i")
-      }
-      val stackArgs = MinhashParams.indices.map(i => s"$i, mh$i").mkString(", ")
       // the signature table is tiny (8 rows/doc) and feeds four join
       // branches — persist it so the aggregation runs once, not per branch
-      val mh = sh.groupBy("doc_id")
-        .agg(minCols.head, minCols.tail: _*)
-        .select(col("doc_id"),
-          expr(s"stack(${MinhashParams.size}, $stackArgs) AS (i, mh)"))
+      val mh = minhashStack(sh)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // LSH band join: equality on (band, minhash) — O(collisions), never the
       // all-pairs O(n²) signature comparison; shuffle-hinted because the
@@ -412,14 +418,7 @@ object Dedup {
       val sh = shingles(docs)
         .withColumn("hm", md5long(col("s")) % Prime)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val minCols = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
-        min((lit(a.toLong) * col("hm") + lit(b.toLong)) % Prime).as(s"mh$i")
-      }
-      val stackArgs = MinhashParams.indices.map(i => s"$i, mh$i").mkString(", ")
-      val mh = sh.groupBy("doc_id")
-        .agg(minCols.head, minCols.tail: _*)
-        .select(col("doc_id"),
-          expr(s"stack(${MinhashParams.size}, $stackArgs) AS (i, mh)"))
+      val mh = minhashStack(sh)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // membership split: batch ids are corpus-fraction-sized — shuffled
       // semi/anti joins, never a broadcast of the id set
@@ -458,6 +457,51 @@ object Dedup {
         .select(col("doc_id"), col("source"),
           col("match_id").isNull.as("novel"),
           col("match_id"), col("match_jaccard"))
+    },
+
+    // LSH S-curve measurement — "measure, don't guess" applied to the
+    // dedup family itself (the d-side twin of s6's ANN recall): for EVERY
+    // co-occurring pair decile of true Jaccard, the fraction the band
+    // join surfaces as candidates. High deciles read as RECALL (must be
+    // ~1 above the dedup threshold), low deciles read as SELECTIVITY (the
+    // band join's false-candidate rate on background pairs — the number
+    // that prices the verify stage). This is the curve a pipeline reads
+    // to size bands/permutations BEFORE committing to a corpus-scale run.
+    // The ground-truth side is the deliberate exact all-pairs join
+    // (uncapped — d3's own verification rule), priced accordingly;
+    // production runs this on a SAMPLE, and the compare join is
+    // pair-keyed and shuffled (truth sets are unbounded at 100 TB).
+    "d11_lsh_recall" -> { (s, dir) =>
+      val sh = shingles(Tables(s, dir).documents)
+        .withColumn("hm", md5long(col("s")) % Prime)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val mh = minhashStack(sh)
+      val cand = mh.as("x").hint("shuffle_hash")
+        .join(mh.as("y"),
+          col("x.i") === col("y.i") && col("x.mh") === col("y.mh") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val common = sh.as("a")
+        .join(sh.as("b").hint("shuffle_hash"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("common"))
+      val truth = common
+        .join(sizes.toDF("doc_a", "na").hint("shuffle_hash"), "doc_a")
+        .join(sizes.toDF("doc_b", "nb").hint("shuffle_hash"), "doc_b")
+        .withColumn("jaccard",
+          col("common") * lit(1.0) / (col("na") + col("nb") - col("common")))
+      truth
+        .join(cand.withColumn("hit", lit(1L)).hint("shuffle_hash"),
+          Seq("doc_a", "doc_b"), "left")
+        .groupBy(floor(round(col("jaccard"), 6) * 10).cast("long")
+          .as("decile"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_candidates"))
+        .withColumn("hit_rate",
+          round(col("n_candidates") / col("n_pairs"), 6))
     },
 
     // Dedup clustering: connected components over the near-dup pair graph
@@ -633,6 +677,31 @@ object Dedup {
          |SELECT b.doc_id, b.source, best.match_id IS NULL AS novel,
          |  best.match_id, best.match_jaccard
          |FROM batch b LEFT JOIN best ON b.doc_id = best.doc_id""".stripMargin
+    },
+    // all co-occurring pair deciles (uncapped jac) left-joined to d3's
+    // band-join candidate set; hit rate per true-similarity decile
+    "d11_lsh_recall" -> {
+      val constRows = MinhashParams.zipWithIndex
+        .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
+        .mkString(", ")
+      s"""WITH $jaccardOracleCte,
+         |consts(i, a, b) AS (VALUES $constRows),
+         |hashed AS (SELECT doc_id, s,
+         |    CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % $Prime AS hm FROM sh),
+         |mh AS (SELECT doc_id, i, MIN((a * hm + b) % $Prime) AS mh
+         |       FROM hashed CROSS JOIN consts GROUP BY doc_id, i),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM mh x JOIN mh y ON x.i = y.i AND x.mh = y.mh
+         |           AND x.doc_id < y.doc_id)
+         |SELECT CAST(FLOOR(ROUND(t.jaccard, 6) * 10) AS BIGINT) AS decile,
+         |  COUNT(*) AS n_pairs,
+         |  CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_candidates,
+         |  ROUND(CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) * 1.0 / COUNT(*), 6) AS hit_rate
+         |FROM jac t
+         |LEFT JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+         |GROUP BY 1""".stripMargin
     },
     "d4_simhash" -> simhashOracle,
     // Transitive closure via recursive CTE; cluster = min reachable doc_id.

@@ -418,24 +418,26 @@ class PlanShapeSpec extends AnyFunSuite {
       "exactly one doc-level prefix window, partitioned by (source, bucket)")
   }
 
-  test("d10 cross-corpus dedup: all unbounded joins shuffle, no window, " +
+  test("d10/d11 dedup evaluators: all unbounded joins shuffle, no window, " +
       "no cartesian") {
-    // the batch-vs-reference admission gate joins corpus-sized tables
-    // everywhere (signatures, shingle attaches, membership split, best-
-    // match attach) — every one must hash-shuffle (a broadcast of the
-    // locally tiny batch/candidate set would hide the 100 TB shape), the
-    // best-match selection must be keyed aggregation (a per-doc window
-    // over the candidate stream is the s4/s5 scale-killer shape), and
-    // the band join must stay an equi-join
-    val plan = SparkEntry.queries("d10_cross_corpus")(spark, TestSession.sfDir)
-      .queryExecution.executedPlan.toString
-    assert("\\bWindow\\b".r.findAllIn(plan).isEmpty,
-      "d10 ranks matches through a Window")
-    assert(!plan.contains("BroadcastHashJoin"),
-      "an unbounded side regressed to a broadcast join")
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"),
-      "the band join must stay an equi-join")
+    // the batch-vs-reference admission gate (d10) and the LSH S-curve
+    // measurement (d11) join corpus-sized tables everywhere (signatures,
+    // shingle attaches, membership split, pair-compare) — every one must
+    // hash-shuffle (a broadcast of the locally tiny batch/candidate set
+    // would hide the 100 TB shape), selection/stats must be keyed
+    // aggregation (a per-doc window over the candidate stream is the
+    // s4/s5 scale-killer shape), and the band join must stay an equi-join
+    for (q <- Seq("d10_cross_corpus", "d11_lsh_recall")) {
+      val plan = SparkEntry.queries(q)(spark, TestSession.sfDir)
+        .queryExecution.executedPlan.toString
+      assert("\\bWindow\\b".r.findAllIn(plan).isEmpty,
+        s"$q ranks matches through a Window")
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"$q: an unbounded side regressed to a broadcast join")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q: the band join must stay an equi-join")
+    }
   }
 
   test("s10 pushes the metadata predicate into the documents scan and " +
