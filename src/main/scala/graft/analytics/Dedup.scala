@@ -412,9 +412,13 @@ object Dedup {
     // that jaccard), never a window over the candidate stream.
     "d10_cross_corpus" -> { (s, dir) =>
       val docs = Tables(s, dir).documents
-      val batchIds = docs.filter(col("source")
+      // one stats-pruned scan (source predicate pushed) yields both the
+      // id set for the splits and the output spine — never a second
+      // corpus scan semi-joined against its own filter
+      val batch = docs.filter(col("source")
           .isin("src0", "src1", "src2", "src3", "src4"))
-        .select(col("doc_id"))
+        .select(col("doc_id"), col("source"))
+      val batchIds = batch.select(col("doc_id"))
       val sh = shingles(docs)
         .withColumn("hm", md5long(col("s")) % Prime)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -451,8 +455,7 @@ object Dedup {
         .groupBy("doc_id")
         .agg(min(col("ref_id")).as("match_id"),
           round(max(col("jaccard")), 6).as("match_jaccard"))
-      docs.join(batchIds.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), col("source"))
+      batch
         .join(best.hint("shuffle_hash"), Seq("doc_id"), "left")
         .select(col("doc_id"), col("source"),
           col("match_id").isNull.as("novel"),
@@ -475,7 +478,10 @@ object Dedup {
       val sh = shingles(Tables(s, dir).documents)
         .withColumn("hm", md5long(col("s")) % Prime)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // both sides of the band self-join consume the signatures — persist
+      // so the aggregation over the shingle table runs once (d3's rule)
       val mh = minhashStack(sh)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = mh.as("x").hint("shuffle_hash")
         .join(mh.as("y"),
           col("x.i") === col("y.i") && col("x.mh") === col("y.mh") &&

@@ -132,25 +132,33 @@ object Similarity {
     ((conv(substring(md5(concat(lit("plane_"), p, lit("_"), d).cast("binary")),
       1, 15), 16, 10).cast("long") % 2001) - 1000) / 1000.0
 
+  /** Brute-force cosine top-k of the standard query set (vec_id <
+    * QueryCount) against `corpus` — a (cid, ce) frame, possibly
+    * pre-filtered (s10). The shared scan behind s1, s6's ground truth,
+    * and s10: broadcast-query corpus pass + the bounded top-k
+    * aggregation (topKAsc) — O(corpus) work by design, but never a
+    * corpus-wide window sort. Output: (qid, cid, cosine, rank).
+    */
+  private def bruteTopK(e: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val corpusN = withNorm(corpus, "ce", "cn")
+    val queriesDf = withNorm(
+      e.filter(col("vec_id") < QueryCount)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")), "qe", "qn")
+    val scored = corpusN.crossJoin(broadcast(queriesDf))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cosine",
+        round(dotCol("qe", "ce") / (col("qn") * col("cn")), 6))
+    topKAsc(scored, col("qid"), unNeg(col("cosine")), col("cid"), k)
+      .select(col("g").as("qid"), col("id").as("cid"),
+        unNeg(col("key")).as("cosine"), col("rank"))
+  }
+
   val queries: Map[String, Relational.Q] = Map[String, Relational.Q](
     // Brute-force cosine top-k: queries (vec_id < 10) × full corpus.
     "s1_knn_brute" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
-      val corpus = withNorm(
-        e.select(col("vec_id").as("cid"), col("embedding").as("ce")), "ce", "cn")
-      val queriesDf = withNorm(
-        e.filter(col("vec_id") < QueryCount)
-          .select(col("vec_id").as("qid"), col("embedding").as("qe")), "qe", "qn")
-      val scored = corpus.crossJoin(broadcast(queriesDf))
-        .filter(col("qid") =!= col("cid"))
-        .withColumn("cosine",
-          round(dotCol("qe", "ce") / (col("qn") * col("cn")), 6))
-      // top-k per query as a bounded hash aggregation over the corpus scan
-      // (see topKAsc) — the ground-truth scan stays O(corpus) work but
-      // never sort-shuffles the corpus through |queries| window tasks
-      topKAsc(scored, col("qid"), unNeg(col("cosine")), col("cid"), TopK)
-        .select(col("g").as("qid"), col("id").as("cid"),
-          unNeg(col("key")).as("cosine"), col("rank"))
+      bruteTopK(e,
+        e.select(col("vec_id").as("cid"), col("embedding").as("ce")), TopK)
     },
 
     // ANN: random-hyperplane sign bits → bucket; multi-probe the query's
@@ -559,20 +567,11 @@ object Similarity {
     // an index build.
     "s6_ann_recall" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
-      val corpus = withNorm(
-        e.select(col("vec_id").as("cid"), col("embedding").as("ce")), "ce", "cn")
-      val queriesDf = withNorm(
-        e.filter(col("vec_id") < QueryCount)
-          .select(col("vec_id").as("qid"), col("embedding").as("qe")), "qe", "qn")
-      // ground-truth top-3 via the bounded aggregation (same as s1) — the
-      // brute scan's O(corpus) work is deliberate, the window sort is not
-      val truthScored = corpus.crossJoin(broadcast(queriesDf))
-        .filter(col("qid") =!= col("cid"))
-        .withColumn("cosine",
-          round(dotCol("qe", "ce") / (col("qn") * col("cn")), 6))
-      val truth = topKAsc(truthScored, col("qid"), unNeg(col("cosine")),
-          col("cid"), 3)
-        .select(col("g").as("qid"), col("id").as("cid"))
+      // ground-truth top-3 via the shared brute scan (bruteTopK — the
+      // O(corpus) work is deliberate, the window sort is not)
+      val truth = bruteTopK(e,
+          e.select(col("vec_id").as("cid"), col("embedding").as("ce")), 3)
+        .select(col("qid"), col("cid"))
       val approx = annLsh(s, dir)
         .select(col("qid"), col("cid"), lit(1L).as("hit"))
       truth.join(broadcast(approx), Seq("qid", "cid"), "left")
@@ -915,19 +914,12 @@ object Similarity {
       val eligible = t.documents
         .filter(col("lang") === "en" && col("n_chars") >= 200)
         .select(col("doc_id").as("cid"))
-      val corpus = withNorm(
-        e.select(col("vec_id").as("cid"), col("embedding").as("ce")), "ce", "cn")
+      // eligibility attaches BEFORE the norm computation, so the exact
+      // decimal self-dot prices only surviving vectors — with a selective
+      // predicate that is most of the scan's cost at 100 TB
+      val corpus = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
         .join(eligible.hint("shuffle_hash"), Seq("cid"), "left_semi")
-      val queriesDf = withNorm(
-        e.filter(col("vec_id") < QueryCount)
-          .select(col("vec_id").as("qid"), col("embedding").as("qe")), "qe", "qn")
-      val scored = corpus.crossJoin(broadcast(queriesDf))
-        .filter(col("qid") =!= col("cid"))
-        .withColumn("cosine",
-          round(dotCol("qe", "ce") / (col("qn") * col("cn")), 6))
-      topKAsc(scored, col("qid"), unNeg(col("cosine")), col("cid"), TopK)
-        .select(col("g").as("qid"), col("id").as("cid"),
-          unNeg(col("key")).as("cosine"), col("rank"))
+      bruteTopK(e, corpus, TopK)
     })
 
   /** One Lloyd round (the iterating form of c1, VERDICT r8 #6): given float

@@ -28,15 +28,7 @@ object TextAnalysis {
     * quality-aware dedup keeper (d9): map-only, no shuffle.
     */
   private[analytics] def qualityScore(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("tok"))
-      .withColumn("n_tokens", size(col("tok")).cast("long"))
-      .withColumn("n_stop",
-        expr(s"size(filter(tok, t -> t IN ${sqlList(Stopwords)}))")
-          .cast("long"))
-      .withColumn("quality_score",
-        round((col("n_tokens") / (col("n_tokens") + lit(50.0))) * 0.5 +
-          (col("n_stop") * lit(1.0) / col("n_tokens")) * 0.5, 6))
-      .select(col("doc_id"), col("quality_score"))
+    qualityTokens(docs).select(col("doc_id"), col("quality_score"))
 
   /** a2's quality score + token count with caller-carried columns — the
     * budget-selection form (p19): same map-only single pass as
