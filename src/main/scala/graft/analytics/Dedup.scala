@@ -361,14 +361,6 @@ object Dedup {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-      // est_sim only for the (few) candidates
-      val est = cand
-        .join(mh.as("x").hint("shuffle_hash"), col("doc_a") === col("x.doc_id"))
-        .join(mh.as("y").hint("shuffle_hash"),
-          col("doc_b") === col("y.doc_id") && col("x.i") === col("y.i"))
-        .groupBy("doc_a", "doc_b")
-        .agg((sum(when(col("x.mh") === col("y.mh"), 1).otherwise(0)) / 8.0)
-          .as("est_sim"))
       // exact-Jaccard verification restricted to the CANDIDATES: attach each
       // side's shingle set by doc key and count matches per pair — at corpus
       // scale this touches |cand| × shingles-per-doc rows, never the full
@@ -385,15 +377,25 @@ object Dedup {
         .join(sh.select(col("doc_id").as("doc_b"), col("s"))
           .hint("shuffle_hash"), Seq("doc_b", "s"))
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-      common
+      val kept = common
         .join(sizes.toDF("doc_a", "na").hint("shuffle_hash"), "doc_a")
         .join(sizes.toDF("doc_b", "nb").hint("shuffle_hash"), "doc_b")
         .withColumn("jaccard",
           col("common") * lit(1.0) / (col("na") + col("nb") - col("common")))
-        .join(est.hint("shuffle_hash"), Seq("doc_a", "doc_b"))
         .filter(col("jaccard") >= JaccardThreshold)
-        .select(col("doc_a"), col("doc_b"), col("est_sim"),
+      // est_sim only for the SURVIVORS: the threshold filter runs before
+      // the signature re-attach, so the 8-row-per-doc double join prices
+      // |kept| pairs (the duplicates), not every band collision — at
+      // corpus scale collisions outnumber survivors by orders of magnitude
+      kept
+        .join(mh.as("x").hint("shuffle_hash"), col("doc_a") === col("x.doc_id"))
+        .join(mh.as("y").hint("shuffle_hash"),
+          col("doc_b") === col("y.doc_id") && col("x.i") === col("y.i"))
+        .groupBy(col("doc_a"), col("doc_b"),
           round(col("jaccard"), 6).as("jaccard"))
+        .agg((sum(when(col("x.mh") === col("y.mh"), 1).otherwise(0)) / 8.0)
+          .as("est_sim"))
+        .select(col("doc_a"), col("doc_b"), col("est_sim"), col("jaccard"))
     },
 
     // Incremental cross-corpus fuzzy dedup: the "new crawl batch vs the
