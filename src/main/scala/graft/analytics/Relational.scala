@@ -90,9 +90,17 @@ object Relational {
       val t = Tables(s, dir)
       val cust = t.customer.filter(col("c_mktsegment") === "BUILDING")
         .select("c_custkey")
+      // NO broadcast hint: customer is a TPC-H table that scales WITH the
+      // corpus (sf×150k rows), not a fixed dimension — a pinned broadcast
+      // ships an ever-growing build side to the driver and every task and
+      // eventually OOMs, where the unhinted planner broadcasts below its
+      // threshold and flips to a shuffled join beyond it (measured: both
+      // joins broadcast at sf0.1, customer flips to SortMergeJoin at the
+      // sf10 probe; local sf10 cost is ~equal either way because the
+      // 60M-row lineitem join dominates — the hint's harm is cluster-side)
       val ord = t.orders
         .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .select("o_orderkey", "o_orderdate")
       t.lineitem
         .join(ord, col("l_orderkey") === col("o_orderkey"))
