@@ -193,8 +193,15 @@ object Relational {
         .groupBy("op").agg(count(lit(1)).as("n"))
     },
 
-    // 5-table star join: revenue by nation (TPC-H Q5 shape). All dims
-    // broadcast; the single shuffle is the lineitem↔orders join.
+    // 5-table star join: revenue by nation (TPC-H Q5 shape). The FIXED
+    // dimensions (nation 25 rows, region 5 — constant at every sf) carry
+    // explicit broadcast hints; supplier and customer are sf-SCALING
+    // tables (sf×10k / sf×150k), so their join strategy is left to the
+    // planner — it broadcasts them below its threshold (the bench-scale
+    // plan is identical to the hinted one; PlanShapeSpec pins it) and
+    // flips to a shuffled join once they outgrow it, which a pinned hint
+    // would prevent (the q3 sf10 lesson). The single guaranteed shuffle
+    // is the lineitem↔orders join.
     "q11_star_join" -> { (s, dir) =>
       val t = Tables(s, dir)
       val ord = t.orders
@@ -203,8 +210,8 @@ object Relational {
         .select("o_orderkey", "o_custkey")
       t.lineitem
         .join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(t.customer.select("c_custkey", "c_nationkey")),
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+        .join(t.customer.select("c_custkey", "c_nationkey"),
           col("o_custkey") === col("c_custkey") &&
             col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
