@@ -46,6 +46,21 @@ object Bench {
       results(name) = (System.nanoTime() - t0) / 1e9
     }
 
+    /** Materialize the FULL result — `df.count()` is not a valid price:
+      * Catalyst optimizes the count plan, eliminating any work the row
+      * COUNT doesn't need. Measured on d10 at sf0.1: count() planned
+      * 2 aggregates + 1 scan (the final unique-key left join and
+      * everything under it eliminated) at 1.29 s, where producing the
+      * result costs 8.71 s / 16 joins / 52 aggregates; map-only scorers
+      * (a1-a4, p16) similarly counted scan rows without ever computing
+      * their output columns. Executing the query's own physical plan via
+      * toRdd prices every column of every row — what a user's write()
+      * would pay (minus the output format).
+      */
+    def force(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.queryExecution.toRdd.count(); ()
+    }
+
     /** Embedded-server queries (each spins its own in-process broker) swing
       * ±0.5–1.6 s between clean runs — broker thread scheduling and socket
       * accepts, not plan cost. Time those 3× and report the MEDIAN so
@@ -93,16 +108,16 @@ object Bench {
         // still runs the combined query).
         if (name == "q22_bucketed_join") {
           timed("q22_layout")(analytics.Relational.q22Layout(spark, sfDir))
-          timed("q22_join")(analytics.Relational.q22Join(spark).count())
+          timed("q22_join")(force(analytics.Relational.q22Join(spark)))
         } else if (name == "s7_ann_ivf_indexed") {
           // same split: the index build is one-time, the probe is the
           // recurring cost (the Verify/oracle path runs the combined query)
           timed("s7_layout")(analytics.Similarity.s7Layout(spark, sfDir))
-          timed("s7_query")(analytics.Similarity.s7Query(spark, sfDir).count())
+          timed("s7_query")(force(analytics.Similarity.s7Query(spark, sfDir)))
         } else if (medianOf3.contains(name))
-          timedMedian(name)(fn(spark, sfDir).count())
+          timedMedian(name)(force(fn(spark, sfDir)))
         else
-          timed(name)(fn(spark, sfDir).count())
+          timed(name)(force(fn(spark, sfDir)))
         // queries persist intermediates (e.g. the dedup shingle set); free
         // the blocks outside the timed region so one query's cache can't
         // squeeze the next one's memory, then a driver GC so the
