@@ -23,7 +23,7 @@ object Dedup {
   /** 60-bit integer from the first 15 hex chars of md5 — deterministic and
     * identical in Spark and DuckDB.
     */
-  private def md5long(c: Column): Column =
+  private[analytics] def md5long(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
   private[analytics] val Prime = 1000000007L
@@ -64,7 +64,7 @@ object Dedup {
     * once instead of 8× blown up through a crossJoin with the parameter
     * table. Shared by d3 / d10 / d11.
     */
-  private def minhashStack(sh: DataFrame): DataFrame = {
+  private[analytics] def minhashStack(sh: DataFrame): DataFrame = {
     val minCols = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a.toLong) * col("hm") + lit(b.toLong)) % Prime).as(s"mh$i")
     }
@@ -73,6 +73,35 @@ object Dedup {
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
         expr(s"stack(${MinhashParams.size}, $stackArgs) AS (i, mh)"))
+  }
+
+  /** LSH band-join candidates at band size `r` — THE selectivity knob the
+    * sf10 gate's analysis names (BENCH_SF1.md): the 8 permutation minima
+    * split into 8/r bands of r consecutive rows, and a pair is a candidate
+    * iff some band matches on ALL r minhashes. P(candidate) for a pair at
+    * Jaccard j is 1−(1−j^r)^(8/r): r=1 (d3/d10/d11's oracle-mirrored
+    * default, ≈8j for small j) maximizes recall; r=2 drops background
+    * collisions to ≈4j² — two orders of magnitude at j≈0.03 — while
+    * keeping ≥96% recall at the 0.5 dedup threshold. At 10⁹ documents the
+    * sub-threshold candidate stream is the verify stage's whole cost, so
+    * production picks r from the measured d11 S-curve. Plan shape is
+    * r-invariant: one keyed aggregation to the band key, one shuffled
+    * equi-join on (band, key). Output: (doc_a, doc_b) distinct.
+    */
+  private[analytics] def bandCandidates(mh: DataFrame, r: Int): DataFrame = {
+    require(r >= 1 && MinhashParams.size % r == 0, s"bad band size $r")
+    // band key = the r (i, mh) rows sorted by i — deterministic under
+    // collect_list's arbitrary order, exact (no hash collisions)
+    val banded = mh
+      .withColumn("b", (col("i") / r).cast("int"))
+      .groupBy("doc_id", "b")
+      .agg(sort_array(collect_list(struct(col("i"), col("mh")))).as("key"))
+    banded.as("x").hint("shuffle_hash")
+      .join(banded.as("y"),
+        col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
   }
 
   /** Exact Jaccard over shared shingles for co-occurring pairs.

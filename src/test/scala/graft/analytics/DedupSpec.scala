@@ -122,4 +122,45 @@ class DedupSpec extends AnyFunSuite {
       (200L to 205L).forall(got(_) == 100L))
     assert((1000L until 1512L).forall(got(_) == 1000L))
   }
+
+  test("banding knob: r=1 equals the d3 band join; r=2 cuts background " +
+      "candidates while keeping every true near-dup pair") {
+    // bandCandidates is the selectivity knob BENCH_SF1's sf10 analysis
+    // names: at band size r a pair at Jaccard j is a candidate with
+    // probability 1-(1-j^r)^(8/r). Laws on the real sf0.001 corpus:
+    // (1) r=1 reproduces EXACTLY the (i, mh) equality join d3/d10/d11 use
+    //     (the oracle-mirrored default);
+    // (2) r=2 shrinks the candidate set (the whole point — the shrinkage
+    //     is the sub-threshold background, which at corpus scale is the
+    //     verify stage's entire cost);
+    // (3) r=2 still surfaces EVERY exact pair at or above the 0.5 dedup
+    //     threshold — recall survives the selectivity gain.
+    import org.apache.spark.sql.functions._
+    val docs = graft.analytics.Tables(spark, TestSession.sfDir).documents
+    val sh = Dedup.shingles(docs)
+      .withColumn("hm", Dedup.md5long(col("s")) % Dedup.Prime)
+      .persist()
+    val mh = Dedup.minhashStack(sh).persist()
+    try {
+      val pairs = (df: org.apache.spark.sql.DataFrame) =>
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val r1 = pairs(Dedup.bandCandidates(mh, 1))
+      val direct = pairs(mh.as("x")
+        .join(mh.as("y"),
+          col("x.i") === col("y.i") && col("x.mh") === col("y.mh") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct())
+      assert(r1 == direct, "r=1 must equal the (i, mh) equality join")
+      val r2 = pairs(Dedup.bandCandidates(mh, 2))
+      assert(r2.subsetOf(r1), "an r=2 band match implies two r=1 matches")
+      assert(r2.size < r1.size,
+        s"r=2 (${r2.size}) must cut candidates vs r=1 (${r1.size})")
+      val truth = pairs(Dedup.jaccardPairs(Dedup.shingles(docs))
+        .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b"))
+      assert(truth.nonEmpty, "corpus must contain planted near-dups")
+      assert(truth.subsetOf(r2),
+        s"r=2 lost true pairs: ${(truth -- r2).take(3)}")
+    } finally { sh.unpersist(); mh.unpersist() }
+  }
 }
