@@ -920,6 +920,51 @@ object Similarity {
       val corpus = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
         .join(eligible.hint("shuffle_hash"), Seq("cid"), "left_semi")
       bruteTopK(e, corpus, TopK)
+    },
+
+    // Embedding-distribution drift monitor — the data-quality gate a
+    // production pipeline runs on every incoming batch BEFORE admitting
+    // its vectors (an upstream encoder change, silent re-normalization, or
+    // corrupted modality shows up as per-dimension drift long before any
+    // downstream metric moves). Batch = src0-src4 (the d10/p18 split);
+    // per dimension: reference mean/std and batch mean via decimal-exact
+    // sums, drift as the standardized mean difference
+    // (batch_mean − ref_mean) / ref_std. Shapes at 100 TB: one corpus
+    // explode, the batch tag attached by a SHUFFLED left join (the id set
+    // is corpus-fraction-sized), then ONE 64-key aggregation with
+    // map-side partials — the whole monitor is a single pass, no windows,
+    // output is dimension-bounded.
+    "s11_embed_drift" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val batchIds = t.documents
+        .filter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
+        .select(col("doc_id").as("vec_id"))
+      val ex = t.embeddings.select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("d0", "v")))
+        .select(col("vec_id"), (col("d0") + 1).cast("long").as("d"),
+          col("v").cast("double").as("v"))
+      val tagged = ex
+        .join(batchIds.withColumn("isb", lit(1L)).hint("shuffle_hash"),
+          Seq("vec_id"), "left")
+        .withColumn("isb", coalesce(col("isb"), lit(0L)))
+      val dec = "decimal(30,15)"
+      tagged.groupBy("d").agg(
+          sum(when(col("isb") === 0, col("v")).cast(dec)).as("rs"),
+          sum(when(col("isb") === 0, col("v") * col("v")).cast(dec)).as("rs2"),
+          count(when(col("isb") === 0, lit(1))).as("rn"),
+          sum(when(col("isb") === 1, col("v")).cast(dec)).as("bs"),
+          count(when(col("isb") === 1, lit(1))).as("bn"))
+        .select(col("d"),
+          (col("rs").cast("double") / col("rn")).as("ref_mean0"),
+          sqrt((col("rs2").cast("double") -
+            col("rs").cast("double") * col("rs").cast("double") / col("rn")) /
+            col("rn")).as("ref_std0"),
+          (col("bs").cast("double") / col("bn")).as("batch_mean0"))
+        .select(col("d"), round(col("ref_mean0"), 6).as("ref_mean"),
+          round(col("ref_std0"), 6).as("ref_std"),
+          round(col("batch_mean0"), 6).as("batch_mean"),
+          round((col("batch_mean0") - col("ref_mean0")) / col("ref_std0"), 6)
+            .as("drift_smd"))
     })
 
   /** One Lloyd round (the iterating form of c1, VERDICT r8 #6): given float
@@ -1444,6 +1489,33 @@ object Similarity {
          |               ORDER BY cosine DESC, cid) AS rank
          |           FROM scored)
          |SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 3""".stripMargin,
+    // per-dimension decimal-sum stats split by the batch membership tag
+    "s11_embed_drift" ->
+      s"""WITH $explodedSql,
+         |b AS (SELECT doc_id FROM documents
+         |      WHERE source IN ('src0','src1','src2','src3','src4')),
+         |t AS (SELECT ex.d, ex.v,
+         |        CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END AS isb
+         |      FROM ex LEFT JOIN b ON ex.vec_id = b.doc_id),
+         |a AS (SELECT d,
+         |        CAST(SUM(CASE WHEN isb = 0
+         |          THEN CAST(v AS DECIMAL(30,15)) END) AS DOUBLE) AS rs,
+         |        CAST(SUM(CASE WHEN isb = 0
+         |          THEN CAST(v * v AS DECIMAL(30,15)) END) AS DOUBLE) AS rs2,
+         |        COUNT(CASE WHEN isb = 0 THEN 1 END) AS rn,
+         |        CAST(SUM(CASE WHEN isb = 1
+         |          THEN CAST(v AS DECIMAL(30,15)) END) AS DOUBLE) AS bs,
+         |        COUNT(CASE WHEN isb = 1 THEN 1 END) AS bn
+         |      FROM t GROUP BY d),
+         |m AS (SELECT d, rs / rn AS ref_mean0,
+         |        sqrt((rs2 - rs * rs / rn) / rn) AS ref_std0,
+         |        bs / bn AS batch_mean0
+         |      FROM a)
+         |SELECT d, ROUND(ref_mean0, 6) AS ref_mean,
+         |  ROUND(ref_std0, 6) AS ref_std,
+         |  ROUND(batch_mean0, 6) AS batch_mean,
+         |  ROUND((batch_mean0 - ref_mean0) / ref_std0, 6) AS drift_smd
+         |FROM m""".stripMargin,
     // s1's brute-force scan restricted to the predicate-eligible corpus
     "s10_filtered_knn" ->
       s"""WITH $explodedSql,

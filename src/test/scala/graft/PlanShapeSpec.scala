@@ -396,6 +396,23 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("s11 drift monitor: one pass, shuffled batch tag, map-side partial " +
+      "aggregation, no window") {
+    // the per-dimension drift stats must be a single corpus pass: the
+    // batch-membership tag attaches by a SHUFFLED join (the id set is
+    // corpus-fraction-sized — a broadcast would hide the 100 TB shape)
+    // and the 64-key aggregation must carry map-side partials
+    val p = planOf("s11_embed_drift")
+    assert(!p.contains("Window"), "s11 must not window")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      "the batch tag must attach by a shuffled join")
+    assert(!p.contains("BroadcastHashJoin"),
+      "the batch id set regressed to a broadcast")
+    assert(nodeBlocks(p).exists { case (n, b) =>
+      n == "HashAggregate" && b.contains("partial_sum")
+    }, "the dimension stats lost map-side partial aggregation")
+  }
+
   test("p19 budget selection windows only bounded partitions: the bucket " +
       "histogram and the one straddling bucket") {
     // per-source ranked-prefix selection must NOT run a cumulative window
