@@ -39,6 +39,9 @@ object Pipeline {
     */
   private val ShuffleShards = 8
 
+  /** p20: held-out eval docs per source. */
+  private val HoldoutK = 5
+
   /** p19's per-source token budget — ~half of each sf0.01 source's ~1350
     * tokens, so the selection genuinely bisects (production would set this
     * from the target mixture's per-domain token allocation). */
@@ -307,6 +310,33 @@ object Pipeline {
         .withColumn("shard", pmod(col("hv"), lit(ShuffleShards.toLong)))
         .withColumn("pos", row_number().over(w).cast("long"))
         .select(col("doc_id"), col("shard"), col("pos"))
+    },
+
+    // Deterministic eval-holdout carve-out — the train/eval split a corpus
+    // needs BEFORE any filtering metric is trusted: exactly `HoldoutK`
+    // docs per source, membership decided by a CONTENT-stable hash (the
+    // p1/p7/p17 discipline, keyed on the text, not the id), so re-runs,
+    // task retries, and re-sharded corpora carve the identical eval set —
+    // and an exact duplicate of an eval document in the training split is
+    // detectable by d1's fingerprint, because membership follows the text.
+    // 100 TB shape: "lowest k hash keys per source" is a bounded top-k
+    // AGGREGATION (TopKLongAgg — O(k) state per source, ObjectHashAggregate
+    // with map-side partials), never `row_number over (partition by source
+    // order by hash)`: that window sort-shuffles each source's entire
+    // corpus slice through ONE task — the s4/s5 scale-killer shape
+    // (VERDICT r8 #1) in stratified-sampling clothing. p1 keeps a RATE per
+    // stratum; this keeps an exact COUNT — the eval-set contract.
+    "p20_eval_holdout" -> { (s, dir) =>
+      val h = conv(substring(md5(
+        concat(lit("holdout:"), col("text"))), 1, 15), 16, 10).cast("long")
+      Tables(s, dir).documents
+        .select(col("source"), col("doc_id"), h.as("h"))
+        .groupBy(col("source"))
+        .agg(graft.functions.TopKAggregator
+          .topKLong(HoldoutK, col("h"), col("doc_id")).as("top"))
+        .select(col("source"), posexplode(col("top")).as(Seq("i", "x")))
+        .select(col("source"), col("x._2").as("doc_id"), col("x._1").as("h"),
+          (col("i") + 1).cast("long").as("rank"))
     },
 
     // BPE tokenizer TRAINING as corpus aggregation: one corpus pass builds
@@ -875,6 +905,17 @@ object Pipeline {
          |  CAST(ROW_NUMBER() OVER (PARTITION BY hv % $ShuffleShards
          |    ORDER BY hv, doc_id) AS BIGINT) AS pos
          |FROM h""".stripMargin,
+
+    // the bounded top-k aggregation must equal the per-source ranked
+    // prefix exactly (hash ASC, doc_id tie-break)
+    "p20_eval_holdout" ->
+      s"""WITH h AS (SELECT source, doc_id,
+         |  CAST(('0x'||substr(md5('holdout:'||text),1,15)) AS BIGINT) AS h
+         |  FROM documents),
+         |r AS (SELECT source, doc_id, h,
+         |  ROW_NUMBER() OVER (PARTITION BY source
+         |    ORDER BY h, doc_id) AS rank FROM h)
+         |SELECT source, doc_id, h, rank FROM r WHERE rank <= $HoldoutK""".stripMargin,
 
     "p14_bpe_merges" -> bpeOracleSql,
     "p15_bpe_tokenize" -> bpeTokenizeOracleSql,

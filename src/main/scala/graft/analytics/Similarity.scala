@@ -320,22 +320,33 @@ object Similarity {
     val e = Tables(s, dir).embeddings
     val cents = broadcast(e.filter(col("vec_id") < k)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb")))
-    // packed-long argmin assignment (packedArgmin). The winning row
-    // carries only (vec_id, centroid_id); the vector itself is re-attached
-    // by a keyed shuffle join (the d5 discipline — corpus-sized sides
-    // never broadcast, and carrying the embedding through the agg buffer
-    // would forfeit HashAggregate).
+    ivfWrite(e, cents, ivfIndexPath(s, dir), "overwrite")
+  }
+
+  /** Assign `part`'s vectors to their nearest frozen centroid and write them
+    * into the partitioned index at `path` (the shared build step behind
+    * [[s7Layout]]'s full build and s12's incremental append). Packed-long
+    * argmin assignment (packedArgmin); the winning row carries only
+    * (vec_id, centroid_id) and the vector is re-attached by a keyed shuffle
+    * join (the d5 discipline — corpus-sized sides never broadcast, and
+    * carrying the embedding through the agg buffer would forfeit
+    * HashAggregate). With `mode = "append"` the job's cost is
+    * O(|part| × k): only the arriving rows are assigned and written — the
+    * existing index bytes are never read or rewritten.
+    */
+  private def ivfWrite(part: DataFrame, cents: DataFrame, path: String,
+      mode: String): Unit = {
     val lists = packedArgmin(
-      e.select(col("vec_id"), col("embedding"))
+      part.select(col("vec_id"), col("embedding"))
         .crossJoin(cents)
         .withColumn("d2r", round(dist2Col("embedding", "cemb"), 6)),
       Seq(col("vec_id").as("cid")), col("d2r"), col("centroid_id"),
       "centroid_id")
-    val assigned = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val assigned = part.select(col("vec_id").as("cid"), col("embedding").as("ce"))
       .join(lists.hint("shuffle_hash"), "cid")
     withNorm(assigned, "ce", "cn")
-      .write.mode("overwrite").partitionBy("centroid_id")
-      .parquet(ivfIndexPath(s, dir))
+      .write.mode(mode).partitionBy("centroid_id")
+      .parquet(path)
   }
 
   /** Probe the persisted index with DYNAMIC PARTITION PRUNING: the probe
@@ -349,15 +360,22 @@ object Similarity {
     */
   def s7Query(s: SparkSession, dir: String, k: Int = 16): DataFrame = {
     val e = Tables(s, dir).embeddings
-    val idx = s.read.parquet(ivfIndexPath(s, dir))
-    // probe selection re-derives only the QUERY vectors' centroid ranks —
-    // QueryCount × K rows, query-set-bounded at any corpus size
     val cents = broadcast(e.filter(col("vec_id") < k)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb")))
-    // nearest-2 probe lists as a bounded top-k aggregation (QueryCount × k
-    // candidate rows — already query-bounded, but topKAsc keeps the whole
-    // query window-free; d2r ASC, centroid_id tie-break matches the
-    // `ORDER BY d2r, centroid_id` rank)
+    ivfProbe(s, e, cents, ivfIndexPath(s, dir))
+  }
+
+  /** Probe a persisted partitioned IVF index with the standard query set —
+    * the shared serve step behind [[s7Query]] and s12. Probe selection
+    * re-derives only the QUERY vectors' centroid ranks (QueryCount × K
+    * rows, query-set-bounded at any corpus size) via a bounded top-k
+    * aggregation (topKAsc — d2r ASC, centroid_id tie-break matches the
+    * `ORDER BY d2r, centroid_id` rank); the probe list broadcasts and its
+    * values become a runtime partition filter on the index scan (DPP).
+    */
+  private def ivfProbe(s: SparkSession, e: DataFrame, cents: DataFrame,
+      path: String): DataFrame = {
+    val idx = s.read.parquet(path)
     val probeCand = e.filter(col("vec_id") < QueryCount)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       .crossJoin(cents)
@@ -377,6 +395,46 @@ object Similarity {
     topKAsc(scored, col("qid"), unNeg(col("cosine")), col("cid"), 3)
       .select(col("g").as("qid"), col("id").as("cid"),
         unNeg(col("key")).as("cosine"), col("rank"))
+  }
+
+  /** s12's arriving-batch membership: a stable ~10% slice of the corpus
+    * standing in for "today's ingest". Modulo on the id (not a hash) so the
+    * DuckDB oracle states it literally.
+    */
+  private def s12BatchPred = pmod(col("vec_id"), lit(10L)) === lit(7L)
+
+  /** s12's FROZEN centroids: the 16 lowest base (non-batch) vec_ids —
+    * vec_id ≤ 16 minus the one batch member (7). Incremental maintenance
+    * means the arriving batch is assigned against the centroids the index
+    * was BUILT with; retraining them would move every existing vector's
+    * assignment and force a rebuild.
+    */
+  private def s12Cents(e: DataFrame): DataFrame =
+    broadcast(e.filter(col("vec_id") <= 16 && !s12BatchPred)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb")))
+
+  /** INCREMENTAL index maintenance — s7's missing half. s7 amortizes the
+    * corpus-wide assignment into a one-time layout; this closes the loop
+    * for a GROWING corpus: a new batch is assigned against the index's
+    * frozen centroids and APPENDED into the partitioned layout — the
+    * upsert job costs O(batch × k) and writes only batch-sized files into
+    * the centroid directories; the existing index bytes are never read or
+    * rewritten. At 100 TB this is the difference between a nightly
+    * full-rebuild (re-shuffling the whole corpus) and a per-batch append
+    * that scales with the INGEST rate. The law the oracle pins: probing
+    * the upserted index ≡ an IVF built from scratch over the full corpus
+    * with the same frozen centroids — the append is invisible to the serve
+    * path (same DPP probe shape as s7, PlanShapeSpec-guarded).
+    */
+  def s12UpsertQuery(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    val path = ivfIndexPath(s, dir) + "_s12"
+    val cents = s12Cents(e)
+    // the standing index: everything that isn't today's batch
+    ivfWrite(e.filter(!s12BatchPred), cents, path, "overwrite")
+    // the incremental upsert: assign ONLY the arriving batch, append
+    ivfWrite(e.filter(s12BatchPred), cents, path, "append")
+    ivfProbe(s, e, cents, path)
   }
 
   /** Embedding-cosine near-dup over the FULL corpus: LSH buckets
@@ -556,6 +614,12 @@ object Similarity {
       s7Layout(s, dir)
       s7Query(s, dir)
     },
+
+    // Incremental index upsert (doc at [[s12UpsertQuery]]): base build +
+    // batch append against frozen centroids, probed like s7. The oracle is
+    // the from-scratch IVF over the full corpus with the same centroids —
+    // proving the append is indistinguishable from a rebuild.
+    "s12_ann_index_upsert" -> { (s, dir) => s12UpsertQuery(s, dir) },
     // ANN recall evaluation — "measure, don't guess" applied to the ANN
     // family itself: brute-force top-3 is ground truth, [[annLsh]]'s top-3
     // is the system under test, output is hits + recall@3 per query. Both
@@ -1186,9 +1250,18 @@ object Similarity {
     * index): 16 seed centroids, nearest-1 lists, 2-probe queries, exact
     * decimal scoring, top-3 per query.
     */
-  private def ivfOracleSql: String =
+  private def ivfOracleSql: String = ivfOracleSql("vec_id < 16")
+
+  /** The IVF replay with the centroid-set predicate as the only knob —
+    * s3/s7 seed from the 16 lowest ids; s12 freezes the 16 lowest BASE
+    * (non-batch) ids and the rest of the replay is identical: result
+    * equivalence between the upserted index and a from-scratch build IS
+    * the operator's law.
+    */
+  private def ivfOracleSql(centsPred: String): String =
     s"""WITH $explodedSql,
-       |cents AS (SELECT vec_id AS centroid_id, d, v FROM ex WHERE vec_id < 16),
+       |cents AS (SELECT vec_id AS centroid_id, d, v FROM ex
+       |          WHERE $centsPred),
        |d2 AS (SELECT e.vec_id, c.centroid_id,
        |         ROUND(CAST(SUM(CAST((e.v - c.v) * (e.v - c.v)
        |           AS DECIMAL(30,15))) AS DOUBLE), 6) AS d2r
@@ -1332,6 +1405,11 @@ object Similarity {
     // the persisted index changes WHERE the assignment cost lands (one-time
     // layout vs every run), not the result — identical SQL is the point
     "s7_ann_ivf_indexed" -> ivfOracleSql,
+    // incremental upsert ≡ from-scratch rebuild with the same frozen
+    // centroids (the 16 lowest base ids — batch rows vec_id % 10 = 7 are
+    // excluded from seeding, exactly as the Spark side freezes them)
+    "s12_ann_index_upsert" ->
+      ivfOracleSql("vec_id <= 16 AND vec_id % 10 <> 7"),
     "d5_embed_cosine_dup" ->
       s"""WITH $embedPairsCte
          |SELECT vec_a, vec_b, cosine FROM cos WHERE cosine >= $DupThreshold""".stripMargin,

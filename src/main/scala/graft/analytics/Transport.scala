@@ -442,6 +442,101 @@ object Transport {
         .agg(count(lit(1)).as("n"), max(col("sequence")).as("max_seq"))
     },
 
+    // Streaming embedding-drift monitor — s11's batch-admission gate moved
+    // to WHERE it actually runs in production: at ingest, before any vector
+    // is admitted. The ingest log carries each vector's batch tag in the
+    // payload (membership is known at produce time); per DIMENSION the
+    // state is five numbers — decimal-exact Σv and Σv² for the reference
+    // side, Σv for the monitored batch, and the two counts — carried
+    // across micro-batches in a GroupState. State size is O(dims), NOT
+    // O(rows): the monitor admits an unbounded stream with 64 state
+    // entries, and because the per-term DECIMAL(30,15) rounding and exact
+    // decimal addition are order-independent, the final stats are
+    // bit-identical to the batch monitor under ANY batch split or arrival
+    // interleaving — the oracle literally reuses s11's SQL. The final
+    // emit per dimension (largest row count) computes the same
+    // standardized-mean-difference columns as s11.
+    "t15_stream_drift" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+      val t = Tables(s, dir)
+      val out = scratch(dir, "t15drift")
+      // batch tag attached at produce time (s11's shuffled-join discipline
+      // applies BEFORE the log: the id set is corpus-fraction-sized)
+      val batchIds = t.documents
+        .filter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
+        .select(col("doc_id").as("vec_id"), lit(1L).as("isb"))
+      t.embeddings
+        .join(batchIds.hint("shuffle_hash"), Seq("vec_id"), "left")
+        .withColumn("isb", coalesce(col("isb"), lit(0L)))
+        .select(
+          lit("emb").as("stream_key"),
+          pmod(col("vec_id"), lit(4L)).as("shard_id"),
+          col("vec_id").as("sequence"),
+          expr("timestamp'2026-01-01 00:00:00'").as("timestamp"),
+          // JSON keeps the float roundtrip exact: Float.toString prints the
+          // shortest digits that parse back to the same float
+          to_json(struct(col("vec_id"), col("isb"), col("embedding")))
+            .cast("binary").as("payload"))
+        .write.format("ss").mode("overwrite").save(out)
+      val cap = math.max(1000L, t.embeddings.count() / 4)
+      val dims = s.readStream.format("ss")
+        .option("maxMessagesPerTrigger", cap.toString)
+        .load(out)
+        .withColumn("j", from_json(col("payload").cast("string"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "vec_id LONG, isb LONG, embedding ARRAY<FLOAT>")))
+        .select(col("j.isb").as("isb"),
+          posexplode(col("j.embedding")).as(Seq("d0", "v")))
+        .select((col("d0") + 1).cast("long").as("d"), col("isb"),
+          col("v").cast("double").as("v"))
+        .as[(Long, Long, Double)]
+      // the exact arithmetic of s11's aggregation, one term at a time:
+      // cast-to-DECIMAL(30,15) of the double term (valueOf → HALF_UP at
+      // scale 15 — Spark's Cast), then exact decimal addition
+      def dec15(x: Double): java.math.BigDecimal =
+        java.math.BigDecimal.valueOf(x)
+          .setScale(15, java.math.RoundingMode.HALF_UP)
+      val updates = dims.groupByKey(_._1)
+        .flatMapGroupsWithState(OM.Update(), GroupStateTimeout.NoTimeout())(
+          (d: Long, rows: Iterator[(Long, Long, Double)],
+              state: GroupState[(java.math.BigDecimal, java.math.BigDecimal,
+                java.math.BigDecimal, Long, Long)]) => {
+            val z = java.math.BigDecimal.ZERO
+            var (rs, rs2, bs, rn, bn) =
+              state.getOption.getOrElse((z, z, z, 0L, 0L))
+            rows.foreach { case (_, isb, v) =>
+              if (isb == 0L) {
+                rs = rs.add(dec15(v)); rs2 = rs2.add(dec15(v * v)); rn += 1
+              } else { bs = bs.add(dec15(v)); bn += 1 }
+            }
+            state.update((rs, rs2, bs, rn, bn))
+            Iterator((d, rs, rs2, bs, rn, bn))
+          })
+      val q = updates.toDF("d", "rs", "rs2", "bs", "rn", "bn")
+        .writeStream.outputMode("update")
+        .format("memory").queryName("t15_drift_sink").start()
+      try q.processAllAvailable() finally q.stop()
+      // final emit per dimension (64 keys — the window is dim-bounded),
+      // then s11's exact output arithmetic on the carried sums
+      val w = Window.partitionBy("d").orderBy((col("rn") + col("bn")).desc)
+      s.table("t15_drift_sink")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("d"),
+          (col("rs").cast("double") / col("rn")).as("ref_mean0"),
+          sqrt((col("rs2").cast("double") -
+            col("rs").cast("double") * col("rs").cast("double") / col("rn")) /
+            col("rn")).as("ref_std0"),
+          (col("bs").cast("double") / col("bn")).as("batch_mean0"))
+        .select(col("d"), round(col("ref_mean0"), 6).as("ref_mean"),
+          round(col("ref_std0"), 6).as("ref_std"),
+          round(col("batch_mean0"), 6).as("batch_mean"),
+          round((col("batch_mean0") - col("ref_mean0")) / col("ref_std0"), 6)
+            .as("drift_smd"))
+    },
+
     // Custom arbitrary state via flatMapGroupsWithState — the
     // KeyValueGroupedDataset escape hatch SURVEY §2.8 reserves for state
     // shapes the built-in operators can't express. A per-key running
@@ -493,6 +588,9 @@ object Transport {
     })
 
   val oracles: Map[String, String] = Map(
+    // the streaming monitor must equal the batch monitor bit-for-bit —
+    // same SQL, different execution model, that identity IS the law
+    "t15_stream_drift" -> Similarity.oracles("s11_embed_drift"),
     "t14_stream_lsh_dedup" -> {
       val constRows = Dedup.MinhashParams.zipWithIndex
         .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }

@@ -375,6 +375,21 @@ class PlanShapeSpec extends AnyFunSuite {
     }, "the pruning filter must sit on the index scan's PartitionFilters")
   }
 
+  test("s12's upserted index serves through the same DPP probe as s7") {
+    // incremental maintenance must be invisible to the serve path: after
+    // the batch append, the probe still reads only the probed centroid
+    // directories via a runtime partition filter — if the append broke the
+    // partition layout (or the probe list stopped broadcasting) the scan
+    // would fall back to reading the whole index
+    val p = planOf("s12_ann_index_upsert")
+    assert(p.contains("dynamicpruning"),
+      "upserted index scan lost its dynamic partition pruning filter")
+    assert(nodeBlocks(p).exists { case (n, b) =>
+      n.startsWith("Scan") && b.contains("PartitionFilters") &&
+        b.contains("dynamicpruning")
+    }, "the pruning filter must sit on the upserted index scan")
+  }
+
   test("ANN candidate ranking is window-free: bounded top-k aggregation only") {
     // VERDICT r8 #1: s4/s5 ranked corpus-sized candidate streams through
     // row_number windows — the window sort-shuffles EVERY candidate into
@@ -386,7 +401,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // its own law.)
     for (q <- Seq("s1_knn_brute", "s2_ann_lsh", "s3_ann_ivf", "s4_ann_sq8",
         "s5_ann_pq", "s6_ann_recall", "s7_ann_ivf_indexed", "s9_ann_ivfpq",
-        "s10_filtered_knn")) {
+        "s10_filtered_knn", "s12_ann_index_upsert")) {
       val plan = SparkEntry.queries(q)(spark, TestSession.sfDir)
         .queryExecution.executedPlan.toString
       assert("\\bWindow\\b".r.findAllIn(plan).isEmpty,
@@ -394,6 +409,21 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(plan.contains("ObjectHashAggregate"),
         s"$q's top-k lost its bounded ObjectHashAggregate shape")
     }
+  }
+
+  test("p20 holdout selection is a bounded top-k aggregation, never a " +
+      "per-source window sort") {
+    // exactly-k-per-source must NOT rank through `row_number over
+    // (partition by source order by hash)` — that window funnels each
+    // source's whole corpus slice through one task; the TopKLongAgg
+    // ObjectHashAggregate keeps O(k) state per source with map-side
+    // partials
+    val plan = SparkEntry.queries("p20_eval_holdout")(spark, TestSession.sfDir)
+      .queryExecution.executedPlan.toString
+    assert("\\bWindow\\b".r.findAllIn(plan).isEmpty,
+      "p20 ranks the holdout through a Window sort")
+    assert(plan.contains("ObjectHashAggregate"),
+      "p20's top-k lost its bounded ObjectHashAggregate shape")
   }
 
   test("s11 drift monitor: one pass, shuffled batch tag, map-side partial " +
@@ -539,6 +569,25 @@ class PlanShapeSpec extends AnyFunSuite {
         + "/ivf_index_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
     assert(idx.count() == e.count(), "index must hold one row per vector")
     assert(idx.select("cid").distinct().count() == e.count())
+  }
+
+  test("s12 upsert appends each batch vector exactly once into the index") {
+    // base overwrite + batch append must together hold exactly one row per
+    // corpus vector — a re-run of the append (or an append that re-wrote
+    // base rows) would duplicate; a dropped batch partition would lose rows
+    import org.apache.spark.sql.functions._
+    val dir = TestSession.sfDir
+    val e = analytics.Tables(spark, dir).embeddings
+    analytics.Similarity.s12UpsertQuery(spark, dir) // runs both writes
+    val idx = spark.read.parquet(
+      java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir")).getPath
+        + "/ivf_index_" + dir.replaceAll("[^a-zA-Z0-9]", "_") + "_s12")
+    assert(idx.count() == e.count(),
+      "upserted index must hold one row per corpus vector")
+    assert(idx.select("cid").distinct().count() == e.count())
+    val nBatch = idx.filter(pmod(col("cid"), lit(10L)) === 7L).count()
+    assert(nBatch == e.filter(pmod(col("vec_id"), lit(10L)) === 7L).count(),
+      "every batch vector must land in the index exactly once")
   }
 
   test("ss scan splits on beacons and reports pruning in its description") {
