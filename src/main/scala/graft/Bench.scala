@@ -114,6 +114,13 @@ object Bench {
           // recurring cost (the Verify/oracle path runs the combined query)
           timed("s7_layout")(analytics.Similarity.s7Layout(spark, sfDir))
           timed("s7_query")(force(analytics.Similarity.s7Query(spark, sfDir)))
+        } else if (name == "s12_ann_index_upsert") {
+          // the base build is the PRE-EXISTING index (setup); the op's
+          // recurring costs — the whole point of incremental maintenance —
+          // are the batch append and the probe, priced separately
+          timed("s12_base")(analytics.Similarity.s12Base(spark, sfDir))
+          timed("s12_upsert")(analytics.Similarity.s12Upsert(spark, sfDir))
+          timed("s12_query")(force(analytics.Similarity.s12Probe(spark, sfDir)))
         } else if (medianOf3.contains(name))
           timedMedian(name)(force(fn(spark, sfDir)))
         else

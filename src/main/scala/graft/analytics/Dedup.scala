@@ -35,6 +35,14 @@ object Dedup {
 
   private val JaccardThreshold = 0.5
 
+  /** d12: max normalized edit distance (1 − edit similarity) for a
+    * candidate pair to count as a character-level near-dup. 0.2 ≡ edit
+    * similarity ≥ 0.8 — on the test corpus this admits exactly the planted
+    * near-dup pairs (background band collisions sit at ~0.7 median
+    * normalized distance).
+    */
+  private val EditDupMaxDist = 0.2
+
   /** Max document-frequency a shingle may have and still participate in
     * `jaccardPairs`. A shingle present in k documents contributes k² rows on
     * ONE shuffle key in the self-join — locally invisible, quadratic at
@@ -427,6 +435,45 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), col("est_sim"), col("jaccard"))
     },
 
+    // Character-level edit-distance verification of LSH candidates — the
+    // dedup family's fifth similarity lens (d2 token Jaccard, d3 signature
+    // estimate, d4 bitwise hamming, d5 embedding cosine): edit distance
+    // catches near-dups that token-level measures blur (whitespace/
+    // punctuation mangling, OCR noise, mid-word edits that shift every
+    // downstream shingle). Two bounds make it affordable at corpus scale:
+    // the LSH band join bounds WHO gets compared (collisions only, never
+    // all pairs), and the per-row THRESHOLD bounds what each comparison
+    // costs — Spark's levenshtein(a, b, t) runs the banded DP and stops at
+    // t (O(t·min(len)) per pair, -1 beyond), so the background collisions
+    // that dominate the candidate stream pay the bounded cost, not the
+    // full O(len²) table. Texts re-attach by doc-keyed shuffled joins (the
+    // d5 discipline — corpus-sized sides never broadcast).
+    "d12_edit_dedup" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val sh = shingles(docs).withColumn("hm", md5long(col("s")) % Prime)
+      val mh = minhashStack(sh)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = mh.as("x").hint("shuffle_hash")
+        .join(mh.as("y"),
+          col("x.i") === col("y.i") && col("x.mh") === col("y.mh") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val texts = docs.select(col("doc_id"), col("text"))
+      cand
+        .join(texts.toDF("doc_a", "ta").hint("shuffle_hash"), "doc_a")
+        .join(texts.toDF("doc_b", "tb").hint("shuffle_hash"), "doc_b")
+        .withColumn("mx", greatest(length(col("ta")), length(col("tb"))))
+        .withColumn("thr", floor(col("mx") * lit(EditDupMaxDist)).cast("int"))
+        // the threshold form returns -1 beyond thr, so `ed >= 0` IS the
+        // distance filter
+        .withColumn("ed", expr("levenshtein(ta, tb, thr)"))
+        .filter(col("ed") >= 0)
+        .select(col("doc_a"), col("doc_b"),
+          col("ed").cast("long").as("edit_dist"),
+          round(lit(1.0) - col("ed") / col("mx"), 6).as("edit_sim"))
+    },
+
     // Incremental cross-corpus fuzzy dedup: the "new crawl batch vs the
     // existing training corpus" admission gate a continuously-growing
     // pipeline runs before ingesting data (t14 is its streaming twin; this
@@ -679,6 +726,33 @@ object Dedup {
          |JOIN cand c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
          |WHERE j.jaccard >= $JaccardThreshold""".stripMargin
     },
+    // d3's band-join candidates verified by character edit distance; the
+    // threshold filter mirrors Spark's levenshtein(a, b, thr) cutoff
+    // (integer distance ≤ floor(0.2·max-length))
+    "d12_edit_dedup" -> {
+      val constRows = MinhashParams.zipWithIndex
+        .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
+        .mkString(", ")
+      s"""WITH $shinglesSql,
+         |consts(i, a, b) AS (VALUES $constRows),
+         |hashed AS (SELECT doc_id, s,
+         |    CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % $Prime AS hm FROM sh),
+         |mh AS (SELECT doc_id, i, MIN((a * hm + b) % $Prime) AS mh
+         |       FROM hashed CROSS JOIN consts GROUP BY doc_id, i),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM mh x JOIN mh y ON x.i = y.i AND x.mh = y.mh
+         |           AND x.doc_id < y.doc_id),
+         |lev AS (SELECT c.doc_a, c.doc_b,
+         |          levenshtein(da.text, db.text) AS ed,
+         |          GREATEST(length(da.text), length(db.text)) AS mx
+         |        FROM cand c
+         |        JOIN documents da ON c.doc_a = da.doc_id
+         |        JOIN documents db ON c.doc_b = db.doc_id)
+         |SELECT doc_a, doc_b, CAST(ed AS BIGINT) AS edit_dist,
+         |  ROUND(1.0 - ed / mx, 6) AS edit_sim
+         |FROM lev WHERE ed <= FLOOR($EditDupMaxDist * mx)""".stripMargin
+    },
+
     // d3's machinery split across the batch/reference boundary: candidates
     // from the cross band join only, exact Jaccard via the uncapped jac CTE
     // (order-normalized through LEAST/GREATEST — jac stores doc_a < doc_b),

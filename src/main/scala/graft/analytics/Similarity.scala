@@ -427,14 +427,33 @@ object Similarity {
     * path (same DPP probe shape as s7, PlanShapeSpec-guarded).
     */
   def s12UpsertQuery(s: SparkSession, dir: String): DataFrame = {
+    s12Base(s, dir)
+    s12Upsert(s, dir)
+    s12Probe(s, dir)
+  }
+
+  /** The standing index: everything that isn't today's batch (setup — at
+    * serve time this already exists on disk).
+    */
+  def s12Base(s: SparkSession, dir: String): Unit = {
     val e = Tables(s, dir).embeddings
-    val path = ivfIndexPath(s, dir) + "_s12"
-    val cents = s12Cents(e)
-    // the standing index: everything that isn't today's batch
-    ivfWrite(e.filter(!s12BatchPred), cents, path, "overwrite")
-    // the incremental upsert: assign ONLY the arriving batch, append
-    ivfWrite(e.filter(s12BatchPred), cents, path, "append")
-    ivfProbe(s, e, cents, path)
+    ivfWrite(e.filter(!s12BatchPred), s12Cents(e),
+      ivfIndexPath(s, dir) + "_s12", "overwrite")
+  }
+
+  /** The incremental upsert — the op's recurring cost: assign ONLY the
+    * arriving batch against the frozen centroids and append.
+    */
+  def s12Upsert(s: SparkSession, dir: String): Unit = {
+    val e = Tables(s, dir).embeddings
+    ivfWrite(e.filter(s12BatchPred), s12Cents(e),
+      ivfIndexPath(s, dir) + "_s12", "append")
+  }
+
+  /** DPP probe over the upserted index (the s7 serve shape). */
+  def s12Probe(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    ivfProbe(s, e, s12Cents(e), ivfIndexPath(s, dir) + "_s12")
   }
 
   /** Embedding-cosine near-dup over the FULL corpus: LSH buckets
@@ -620,6 +639,53 @@ object Similarity {
     // the from-scratch IVF over the full corpus with the same centroids —
     // proving the append is indistinguishable from a rebuild.
     "s12_ann_index_upsert" -> { (s, dir) => s12UpsertQuery(s, dir) },
+
+    // Clustering-quality evaluation — the third leg of the evaluator trio
+    // (s6 measures ANN recall, d11 measures the LSH S-curve, c4 measures
+    // the clustering itself): per cluster, member count, inertia (Σ of the
+    // winning squared distances — THE k-selection curve: run c4 across k
+    // and look for the elbow), mean within-cluster scatter, squared
+    // distance to the nearest other centroid, and their ratio (a
+    // Davies-Bouldin-style dispersion/separation diagnostic — ratios near
+    // or above 1 mark clusters that bleed into a neighbor). Shapes at
+    // 100 TB: the packed-long argmin ALREADY carries the winning distance
+    // in its high bits, so the per-vector (centroid, d2) decode is free —
+    // one broadcast-centroid corpus pass, one k-keyed map-side-combined
+    // agg; the centroid-pair separation table is k²-bounded (k × k, never
+    // corpus-anything) and joins broadcast.
+    "c4_cluster_quality" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val K = 16
+      val cents = broadcast(e.filter(col("vec_id") < K)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb")))
+      val assigned = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(cents)
+        .withColumn("d2r", round(dist2Col("embedding", "cemb"), 6))
+      // packedArgmin inlined so the winning d2r decodes from the packed
+      // long's high bits: pk div 2^20 = round(d2r·10⁶), an exact integer,
+      // and n/10⁶ re-rounds to the identical 6-dp double the oracle holds
+      val win = assigned.groupBy(col("vec_id"))
+        .agg(min(round(col("d2r") * lit(1000000d)).cast("long") *
+          lit(1L << 20) + col("centroid_id")).as("pk"))
+        .select(
+          col("pk").bitwiseAND(lit((1L << 20) - 1)).as("centroid_id"),
+          (shiftright(col("pk"), 20).cast("double") / lit(1000000d)).as("d2r"))
+      val within = win.groupBy("centroid_id").agg(
+          count(lit(1)).as("n_members"),
+          sum(col("d2r").cast("decimal(30,15)")).as("idec"))
+        .select(col("centroid_id"), col("n_members"),
+          round(col("idec").cast("double"), 6).as("inertia"),
+          round(col("idec").cast("double") / col("n_members"), 6).as("avg_d2"))
+      val sep = cents
+        .crossJoin(cents.select(col("centroid_id").as("oid"),
+          col("cemb").as("oemb")))
+        .filter(col("centroid_id") =!= col("oid"))
+        .withColumn("d2o", round(dist2Col("cemb", "oemb"), 6))
+        .groupBy("centroid_id").agg(min(col("d2o")).as("min_sep_d2"))
+      within.join(broadcast(sep), "centroid_id")
+        .withColumn("dispersion_ratio",
+          round(col("avg_d2") / col("min_sep_d2"), 6))
+    },
     // ANN recall evaluation — "measure, don't guess" applied to the ANN
     // family itself: brute-force top-3 is ground truth, [[annLsh]]'s top-3
     // is the system under test, output is hits + recall@3 per query. Both
@@ -1410,6 +1476,40 @@ object Similarity {
     // excluded from seeding, exactly as the Spark side freezes them)
     "s12_ann_index_upsert" ->
       ivfOracleSql("vec_id <= 16 AND vec_id % 10 <> 7"),
+    // the argmin assignment replayed with its winning distance; inertia =
+    // decimal sum of the 6-dp d2r; separation from the k² centroid pairs
+    "c4_cluster_quality" ->
+      s"""WITH $explodedSql,
+         |cents AS (SELECT vec_id AS centroid_id, d, v FROM ex WHERE vec_id < 16),
+         |d2 AS (SELECT e.vec_id, c.centroid_id,
+         |         ROUND(CAST(SUM(CAST((e.v - c.v) * (e.v - c.v)
+         |           AS DECIMAL(30,15))) AS DOUBLE), 6) AS d2r
+         |       FROM ex e JOIN cents c ON e.d = c.d
+         |       GROUP BY 1, 2),
+         |ra AS (SELECT vec_id, centroid_id, d2r,
+         |         ROW_NUMBER() OVER (PARTITION BY vec_id
+         |           ORDER BY d2r, centroid_id) AS cr
+         |       FROM d2),
+         |win AS (SELECT vec_id, centroid_id, d2r FROM ra WHERE cr = 1),
+         |within AS (SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |             SUM(CAST(d2r AS DECIMAL(30,15))) AS idec
+         |           FROM win GROUP BY centroid_id),
+         |w2 AS (SELECT centroid_id, n_members,
+         |         ROUND(CAST(idec AS DOUBLE), 6) AS inertia,
+         |         ROUND(CAST(idec AS DOUBLE) / n_members, 6) AS avg_d2
+         |       FROM within),
+         |cd AS (SELECT a.centroid_id, b.centroid_id AS oid,
+         |         ROUND(CAST(SUM(CAST((a.v - b.v) * (a.v - b.v)
+         |           AS DECIMAL(30,15))) AS DOUBLE), 6) AS d2o
+         |       FROM cents a JOIN cents b
+         |         ON a.d = b.d AND a.centroid_id <> b.centroid_id
+         |       GROUP BY 1, 2),
+         |sep AS (SELECT centroid_id, MIN(d2o) AS min_sep_d2 FROM cd
+         |        GROUP BY centroid_id)
+         |SELECT w2.centroid_id, w2.n_members, w2.inertia, w2.avg_d2,
+         |  sep.min_sep_d2,
+         |  ROUND(w2.avg_d2 / sep.min_sep_d2, 6) AS dispersion_ratio
+         |FROM w2 JOIN sep ON w2.centroid_id = sep.centroid_id""".stripMargin,
     "d5_embed_cosine_dup" ->
       s"""WITH $embedPairsCte
          |SELECT vec_a, vec_b, cosine FROM cos WHERE cosine >= $DupThreshold""".stripMargin,

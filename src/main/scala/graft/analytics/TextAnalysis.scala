@@ -138,6 +138,32 @@ object TextAnalysis {
             regexp_replace(lower(col("text")), "\\s+", " ").cast("binary")),
             1, 15), 16, 10).cast("long").as("fingerprint"),
           col("n_chars"))
+    },
+
+    // Word-entropy quality signal: H = ln(n) − (Σ c·ln c)/n over the
+    // in-doc word histogram — the information-theoretic gibberish /
+    // boilerplate detector the ratio heuristics (a2) miss: keyword-stuffed
+    // or template text collapses toward 0 bits regardless of its stopword
+    // ratio; random token soup pushes toward ln(n_distinct). The a-family
+    // is otherwise log-free by design (see the object doc); a5 needs ln
+    // and follows p10's cross-engine discipline — each per-term c·ln(c)
+    // is rounded to 6 dp BEFORE the decimal-exact sum, so DuckDB replays
+    // it despite libm ulp differences. Shape at 100 TB: one explode, one
+    // (doc, word)-keyed hash agg, one per-doc agg — all map-side
+    // combined, zero joins, zero windows.
+    "a5_entropy" -> { (s, dir) =>
+      val wc = Tables(s, dir).documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      wc.groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum(round(col("c") * log(col("c")), 6).cast("decimal(30,15)"))
+            .as("clnc"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          round(log(col("n_tokens").cast("double")) -
+            col("clnc").cast("double") / col("n_tokens"), 6).as("entropy"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -193,5 +219,18 @@ object TextAnalysis {
       """SELECT doc_id,
         |  CAST(('0x'||substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 15)) AS BIGINT) AS fingerprint,
         |  n_chars
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    // per-term c·ln(c) rounded then decimal-summed (the p10 ln discipline)
+    "a5_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |wc AS (SELECT doc_id, w, COUNT(*) AS c FROM toks
+        |       WHERE length(w) > 0 GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |          CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |          SUM(CAST(ROUND(c * ln(c), 6) AS DECIMAL(30,15))) AS clnc
+        |        FROM wc GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  ROUND(ln(n_tokens) - CAST(clnc AS DOUBLE) / n_tokens, 6) AS entropy
+        |FROM agg""".stripMargin)
 }

@@ -138,6 +138,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "p8 must not sort the corpus in a window")
   }
 
+  test("a5 entropy is keyed hash aggregations only — no join, no window") {
+    // one explode + (doc, word) agg + per-doc agg; any Join node means the
+    // word histogram stopped being computed in-stream
+    val p = planOf("a5_entropy")
+    assert(!p.contains("Join"), "a5 must not join")
+    assert(!p.contains("Window"), "a5 must not window")
+    assert(p.contains("HashAggregate"), "a5 lost its hash aggregation shape")
+  }
+
+  test("c4 cluster quality rides the packed argmin; separation is " +
+      "k-bounded and broadcast") {
+    // the per-vector (centroid, winning-d2) decode must come from the
+    // packed-long MIN's own bits (map-side partial HashAggregate) — a
+    // second corpus pass or a window rank would double the dominant cost;
+    // the k² separation table must broadcast (it is k-bounded at any
+    // corpus size)
+    val p = planOf("c4_cluster_quality")
+    assert(nodeBlocks(p).exists { case (n, b) =>
+      n == "HashAggregate" && b.contains("partial_min") && b.contains("d2r")
+    }, "c4 assignment lost its map-side partial packed-long argmin")
+    assert("\\bWindow\\b".r.findAllIn(p).isEmpty, "c4 must not window")
+    assert(p.contains("BroadcastHashJoin"),
+      "the k-bounded separation join should broadcast")
+  }
+
   test("d3's band/est/verify joins shuffle — no broadcast of unbounded sides") {
     // every join side in d3 (signatures, candidates, shingle sets, sizes) is
     // corpus-sized or candidate-sized — locally tiny, unbounded at scale;
@@ -147,6 +172,26 @@ class PlanShapeSpec extends AnyFunSuite {
       val bcast = blocks.filter { case (n, _) => n == "BroadcastHashJoin" }
       assert(bcast.isEmpty, s"${bcast.size} broadcast joins in $q")
     }
+  }
+
+  test("d12's candidate and text-attach joins shuffle; the edit distance " +
+      "is threshold-bounded") {
+    // same discipline as d3 (signatures and texts are corpus-sized — no
+    // broadcast may hide the shuffle shape), plus d12's own scale bound:
+    // the levenshtein call must carry the per-row threshold argument, so
+    // each background collision pays the banded O(t·len) DP, never the
+    // full O(len²) table
+    val p = planOf("d12_edit_dedup")
+    val bcast = nodeBlocks(p).filter { case (n, _) => n == "BroadcastHashJoin" }
+    assert(bcast.isEmpty, s"${bcast.size} broadcast joins in d12")
+    assert(!p.contains("CartesianProduct"), "d12 plans an all-pairs join")
+    assert("\\bWindow\\b".r.findAllIn(p).isEmpty, "d12 must not window")
+    assert(p.contains("levenshtein(ta"), "edit distance disappeared")
+    // the threshold inlines as `Some(cast(FLOOR(... * 0.2)) as int)` once
+    // the projection collapses — assert the Some(...) third argument, not
+    // the pre-collapse column name
+    assert("levenshtein\\(ta#\\d+, tb#\\d+, Some\\(".r.findFirstIn(p).isDefined,
+      "levenshtein lost its threshold argument — unbounded per-pair DP")
   }
 
   test("q22's bucketed join carries no exchange between scan and join") {
