@@ -112,6 +112,23 @@ object Dedup {
       .distinct()
   }
 
+  /** LSH band-join candidate pairs at band size 1 over a minhash signature
+    * table (doc_id, i, mh) — the shared candidate scheme behind d3's
+    * Jaccard verify and d12's edit-distance verify (d10 runs the same join
+    * across the batch/reference split). Equality on (i, mh) —
+    * O(collisions), never the all-pairs signature comparison;
+    * shuffle-hinted because the signature table is corpus-sized (8
+    * rows/doc — never broadcastable). Band size r > 1 goes through
+    * [[bandCandidates]] (r=1 equivalence law-tested in DedupSpec).
+    */
+  private def lshBandCandidates(mh: DataFrame): DataFrame =
+    mh.as("x").hint("shuffle_hash")
+      .join(mh.as("y"),
+        col("x.i") === col("y.i") && col("x.mh") === col("y.mh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
   /** Exact Jaccard over shared shingles for co-occurring pairs.
     *
     * The CAPPED shingle set feeds three plan branches (per-doc sizes + both
@@ -389,15 +406,8 @@ object Dedup {
       // branches — persist it so the aggregation runs once, not per branch
       val mh = minhashStack(sh)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // LSH band join: equality on (band, minhash) — O(collisions), never the
-      // all-pairs O(n²) signature comparison; shuffle-hinted because the
-      // signature table is corpus-sized (8 rows/doc — never broadcastable)
-      val cand = mh.as("x").hint("shuffle_hash")
-        .join(mh.as("y"),
-          col("x.i") === col("y.i") && col("x.mh") === col("y.mh") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
+      // LSH band join (shared scheme — [[lshBandCandidates]])
+      val cand = lshBandCandidates(mh)
       // exact-Jaccard verification restricted to the CANDIDATES: attach each
       // side's shingle set by doc key and count matches per pair — at corpus
       // scale this touches |cand| × shingles-per-doc rows, never the full
@@ -448,21 +458,26 @@ object Dedup {
     // that dominate the candidate stream pay the bounded cost, not the
     // full O(len²) table. Texts re-attach by doc-keyed shuffled joins (the
     // d5 discipline — corpus-sized sides never broadcast).
+    //
+    // Cross-engine gate boundary: Spark's levenshtein counts CODEPOINTS,
+    // DuckDB's counts BYTES — they agree only on single-byte text, so the
+    // oracle-gated output pins pairs where both texts are single-byte
+    // clean (length == octet_length, mirrored in the SQL). Production use
+    // on multibyte corpora keeps Spark's codepoint semantics; the gate
+    // simply cannot replay those pairs in DuckDB, and silently-divergent
+    // hashes would be worse than a declared boundary.
     "d12_edit_dedup" -> { (s, dir) =>
       val docs = Tables(s, dir).documents
       val sh = shingles(docs).withColumn("hm", md5long(col("s")) % Prime)
       val mh = minhashStack(sh)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cand = mh.as("x").hint("shuffle_hash")
-        .join(mh.as("y"),
-          col("x.i") === col("y.i") && col("x.mh") === col("y.mh") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
+      val cand = lshBandCandidates(mh)
       val texts = docs.select(col("doc_id"), col("text"))
       cand
         .join(texts.toDF("doc_a", "ta").hint("shuffle_hash"), "doc_a")
         .join(texts.toDF("doc_b", "tb").hint("shuffle_hash"), "doc_b")
+        .filter(length(col("ta")) === octet_length(col("ta")) &&
+          length(col("tb")) === octet_length(col("tb")))
         .withColumn("mx", greatest(length(col("ta")), length(col("tb"))))
         .withColumn("thr", floor(col("mx") * lit(EditDupMaxDist)).cast("int"))
         // the threshold form returns -1 beyond thr, so `ed >= 0` IS the
@@ -662,6 +677,29 @@ object Dedup {
        |SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bits""".stripMargin
   }
 
+  /** The minhash signature CTE block (consts → hashed → mh) — the SQL twin
+    * of [[minhashStack]], shared by the d3/d10/d12 oracles. Expects an `sh`
+    * CTE (doc_id, s) in scope.
+    */
+  private def minhashSigSql: String = {
+    val constRows = MinhashParams.zipWithIndex
+      .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
+      .mkString(", ")
+    s"""consts(i, a, b) AS (VALUES $constRows),
+       |hashed AS (SELECT doc_id, s,
+       |    CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % $Prime AS hm FROM sh),
+       |mh AS (SELECT doc_id, i, MIN((a * hm + b) % $Prime) AS mh
+       |       FROM hashed CROSS JOIN consts GROUP BY doc_id, i)""".stripMargin
+  }
+
+  /** The band-1 self-join candidate CTE — the SQL twin of
+    * [[lshBandCandidates]], shared by the d3/d12 oracles.
+    */
+  private val lshCandSql: String =
+    """cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |         FROM mh x JOIN mh y ON x.i = y.i AND x.mh = y.mh
+      |           AND x.doc_id < y.doc_id)""".stripMargin
+
   /** Uncapped form — d3 only (its candidates-only verify join is keyed by
     * (doc, s), so the hot-shingle hazard the cap exists for never applies).
     */
@@ -702,18 +740,9 @@ object Dedup {
          |SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard
          |FROM jac WHERE jaccard >= $JaccardThreshold""".stripMargin,
     "d3_minhash_lsh" -> {
-      val constRows = MinhashParams.zipWithIndex
-        .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
-        .mkString(", ")
       s"""WITH $jaccardOracleCte,
-         |consts(i, a, b) AS (VALUES $constRows),
-         |hashed AS (SELECT doc_id, s,
-         |    CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % $Prime AS hm FROM sh),
-         |mh AS (SELECT doc_id, i, MIN((a * hm + b) % $Prime) AS mh
-         |       FROM hashed CROSS JOIN consts GROUP BY doc_id, i),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |         FROM mh x JOIN mh y ON x.i = y.i AND x.mh = y.mh
-         |           AND x.doc_id < y.doc_id),
+         |$minhashSigSql,
+         |$lshCandSql,
          |est AS (SELECT c.doc_a, c.doc_b,
          |          SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / 8.0 AS est_sim
          |        FROM cand c
@@ -728,26 +757,22 @@ object Dedup {
     },
     // d3's band-join candidates verified by character edit distance; the
     // threshold filter mirrors Spark's levenshtein(a, b, thr) cutoff
-    // (integer distance ≤ floor(0.2·max-length))
+    // (integer distance ≤ floor(0.2·max-length)). Single-byte gate: DuckDB
+    // levenshtein counts BYTES, Spark's counts CODEPOINTS — the
+    // length = strlen predicate (mirrored in the Spark query's
+    // length = octet_length) pins the domain where they agree.
     "d12_edit_dedup" -> {
-      val constRows = MinhashParams.zipWithIndex
-        .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
-        .mkString(", ")
       s"""WITH $shinglesSql,
-         |consts(i, a, b) AS (VALUES $constRows),
-         |hashed AS (SELECT doc_id, s,
-         |    CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % $Prime AS hm FROM sh),
-         |mh AS (SELECT doc_id, i, MIN((a * hm + b) % $Prime) AS mh
-         |       FROM hashed CROSS JOIN consts GROUP BY doc_id, i),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |         FROM mh x JOIN mh y ON x.i = y.i AND x.mh = y.mh
-         |           AND x.doc_id < y.doc_id),
+         |$minhashSigSql,
+         |$lshCandSql,
          |lev AS (SELECT c.doc_a, c.doc_b,
          |          levenshtein(da.text, db.text) AS ed,
          |          GREATEST(length(da.text), length(db.text)) AS mx
          |        FROM cand c
          |        JOIN documents da ON c.doc_a = da.doc_id
-         |        JOIN documents db ON c.doc_b = db.doc_id)
+         |        JOIN documents db ON c.doc_b = db.doc_id
+         |        WHERE length(da.text) = strlen(da.text)
+         |          AND length(db.text) = strlen(db.text))
          |SELECT doc_a, doc_b, CAST(ed AS BIGINT) AS edit_dist,
          |  ROUND(1.0 - ed / mx, 6) AS edit_sim
          |FROM lev WHERE ed <= FLOOR($EditDupMaxDist * mx)""".stripMargin
@@ -758,15 +783,8 @@ object Dedup {
     // (order-normalized through LEAST/GREATEST — jac stores doc_a < doc_b),
     // best match = (max jaccard, min ref id) per batch doc
     "d10_cross_corpus" -> {
-      val constRows = MinhashParams.zipWithIndex
-        .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
-        .mkString(", ")
       s"""WITH $jaccardOracleCte,
-         |consts(i, a, b) AS (VALUES $constRows),
-         |hashed AS (SELECT doc_id, s,
-         |    CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % $Prime AS hm FROM sh),
-         |mh AS (SELECT doc_id, i, MIN((a * hm + b) % $Prime) AS mh
-         |       FROM hashed CROSS JOIN consts GROUP BY doc_id, i),
+         |$minhashSigSql,
          |batch AS (SELECT doc_id, source FROM documents
          |          WHERE source IN ('src0','src1','src2','src3','src4')),
          |cand AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS ref_id
@@ -792,18 +810,9 @@ object Dedup {
     // all co-occurring pair deciles (uncapped jac) left-joined to d3's
     // band-join candidate set; hit rate per true-similarity decile
     "d11_lsh_recall" -> {
-      val constRows = MinhashParams.zipWithIndex
-        .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
-        .mkString(", ")
       s"""WITH $jaccardOracleCte,
-         |consts(i, a, b) AS (VALUES $constRows),
-         |hashed AS (SELECT doc_id, s,
-         |    CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % $Prime AS hm FROM sh),
-         |mh AS (SELECT doc_id, i, MIN((a * hm + b) % $Prime) AS mh
-         |       FROM hashed CROSS JOIN consts GROUP BY doc_id, i),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |         FROM mh x JOIN mh y ON x.i = y.i AND x.mh = y.mh
-         |           AND x.doc_id < y.doc_id)
+         |$minhashSigSql,
+         |$lshCandSql
          |SELECT CAST(FLOOR(ROUND(t.jaccard, 6) * 10) AS BIGINT) AS decile,
          |  COUNT(*) AS n_pairs,
          |  CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)

@@ -119,11 +119,32 @@ object Similarity {
     */
   private def packedArgmin(df: DataFrame, grp: Seq[Column], d2r: Column,
       id: Column, out: String): DataFrame =
-    df.groupBy(grp: _*)
-      .agg(min(round(d2r * lit(1000000d)).cast("long") *
-        lit(1L << 20) + id).as("pk"))
-      .withColumn(out, col("pk").bitwiseAND(lit((1L << 20) - 1)))
+    packedArgminKeyed(df, grp, d2r, id, out, null)
+
+  /** Packing constants — ONE place: 6-dp key grid in the high bits, 20-bit
+    * id field in the low bits (see [[packedArgmin]]'s bounds doc).
+    */
+  private val ArgminIdBits = 20
+  private val ArgminKeyScale = 1000000d
+
+  /** [[packedArgmin]] that ALSO decodes the winning key: pk div 2^20 is
+    * round(d2r·10⁶) — an exact integer — and n/10⁶ re-rounds to the
+    * identical 6-dp double the input carried, so the winning distance is
+    * free (no second pass, no struct buffer). `keyOut = null` skips the
+    * decode (the plain argmin path).
+    */
+  private def packedArgminKeyed(df: DataFrame, grp: Seq[Column], d2r: Column,
+      id: Column, out: String, keyOut: String): DataFrame = {
+    val packed = df.groupBy(grp: _*)
+      .agg(min(round(d2r * lit(ArgminKeyScale)).cast("long") *
+        lit(1L << ArgminIdBits) + id).as("pk"))
+      .withColumn(out, col("pk").bitwiseAND(lit((1L << ArgminIdBits) - 1)))
+    (if (keyOut == null) packed
+     else packed.withColumn(keyOut,
+       shiftright(col("pk"), ArgminIdBits).cast("double") /
+         lit(ArgminKeyScale)))
       .drop("pk")
+  }
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1):
     * md5-derived so DuckDB generates the identical planes.
@@ -661,15 +682,12 @@ object Similarity {
       val assigned = e.select(col("vec_id"), col("embedding"))
         .crossJoin(cents)
         .withColumn("d2r", round(dist2Col("embedding", "cemb"), 6))
-      // packedArgmin inlined so the winning d2r decodes from the packed
-      // long's high bits: pk div 2^20 = round(d2r·10⁶), an exact integer,
-      // and n/10⁶ re-rounds to the identical 6-dp double the oracle holds
-      val win = assigned.groupBy(col("vec_id"))
-        .agg(min(round(col("d2r") * lit(1000000d)).cast("long") *
-          lit(1L << 20) + col("centroid_id")).as("pk"))
-        .select(
-          col("pk").bitwiseAND(lit((1L << 20) - 1)).as("centroid_id"),
-          (shiftright(col("pk"), 20).cast("double") / lit(1000000d)).as("d2r"))
+      // the keyed argmin decodes the winning d2r from the packed long's
+      // high bits (packedArgminKeyed) — the oracle holds the same 6-dp
+      // double, so the decode is exact
+      val win = packedArgminKeyed(assigned, Seq(col("vec_id")),
+          col("d2r"), col("centroid_id"), "centroid_id", "d2r")
+        .select(col("centroid_id"), col("d2r"))
       val within = win.groupBy("centroid_id").agg(
           count(lit(1)).as("n_members"),
           sum(col("d2r").cast("decimal(30,15)")).as("idec"))
