@@ -341,6 +341,23 @@ object Relational {
           dsum(col("l_quantity")).as("sum_qty"))
     },
 
+    // Arbitrary GROUPING SETS — the combos rollup (prefix chain, q7) and
+    // cube (full lattice, q16) cannot express: each single-column marginal
+    // plus the grand total, WITHOUT the pair cell. This is the mixture-
+    // report shape (per-flag totals + per-status totals + overall) in ONE
+    // corpus pass: Catalyst plans Expand (one row per set per input row)
+    // into a single map-side-combined aggregation — at 100 TB that is one
+    // scan + one shuffle versus one of each per report dimension.
+    "q23_grouping_sets" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sum_qty"))
+    },
+
     // Exact percentiles per event type (sort-based `percentile`, linear
     // interpolation — DuckDB's quantile_cont twin). Rounded to 6 decimals:
     // the two engines interpolate with algebraically-equal but
@@ -566,6 +583,13 @@ object Relational {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q23_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
     "q20_percentiles" ->
       """SELECT event_type,
         |  ROUND(quantile_cont(value, 0.5), 6) AS p50,

@@ -138,6 +138,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "p8 must not sort the corpus in a window")
   }
 
+  test("q23 grouping sets is one Expand pass, never a union of scans") {
+    // the three report dimensions (per-flag, per-status, grand total) must
+    // come from ONE corpus scan expanded in-stream — a Union of separate
+    // aggregations would read the table once per set
+    val p = planOf("q23_grouping_sets")
+    assert(p.contains("Expand"), "grouping sets lost the Expand shape")
+    assert(!p.contains("Union"), "q23 regressed to unioned per-set scans")
+    val scans = nodeBlocks(p).count { case (n, _) => n.startsWith("Scan") }
+    assert(scans == 1, s"$scans scans — grouping sets must read once")
+  }
+
   test("a5 entropy is keyed hash aggregations only — no join, no window") {
     // one explode + (doc, word) agg + per-doc agg; any Join node means the
     // word histogram stopped being computed in-stream
