@@ -373,6 +373,40 @@ object Dedup {
     (labels, iter)
   }
 
+  /** Production edit-distance dedup verification: threshold-bounded
+    * CODEPOINT levenshtein over every LSH band candidate — no byte gate.
+    * The candidate join bounds WHO gets compared (collisions only, never
+    * all pairs) and the per-pair threshold bounds what each comparison
+    * costs: Spark's `levenshtein(a, b, t)` runs the banded DP and stops at
+    * t (O(t·min(len)) per pair, -1 beyond), so the background collisions
+    * that dominate the candidate stream pay the bounded cost, not the full
+    * O(len²) table. Texts re-attach by doc-keyed shuffled joins (the d5
+    * discipline — corpus-sized sides never broadcast). Codepoint semantics
+    * are deliberate: the op's targets (OCR noise, punctuation mangling,
+    * mid-word edits) are exactly where non-ASCII text appears, so the
+    * operator must NOT drop multibyte pairs — the oracle wrapper in
+    * [[queries]] applies the single-byte replay gate to the output only.
+    */
+  def editDistanceDedup(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs).withColumn("hm", md5long(col("s")) % Prime)
+    val mh = minhashStack(sh)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = lshBandCandidates(mh)
+    val texts = docs.select(col("doc_id"), col("text"))
+    cand
+      .join(texts.toDF("doc_a", "ta").hint("shuffle_hash"), "doc_a")
+      .join(texts.toDF("doc_b", "tb").hint("shuffle_hash"), "doc_b")
+      .withColumn("mx", greatest(length(col("ta")), length(col("tb"))))
+      .withColumn("thr", floor(col("mx") * lit(EditDupMaxDist)).cast("int"))
+      // the threshold form returns -1 beyond thr, so `ed >= 0` IS the
+      // distance filter
+      .withColumn("ed", expr("levenshtein(ta, tb, thr)"))
+      .filter(col("ed") >= 0)
+      .select(col("doc_a"), col("doc_b"),
+        col("ed").cast("long").as("edit_dist"),
+        round(lit(1.0) - col("ed") / col("mx"), 6).as("edit_sim"))
+  }
+
   /** Shared DuckDB CTEs for shingles and their hashes (word 3-grams). */
   private[analytics] val shinglesSql =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
@@ -460,33 +494,23 @@ object Dedup {
     // d5 discipline — corpus-sized sides never broadcast).
     //
     // Cross-engine gate boundary: Spark's levenshtein counts CODEPOINTS,
-    // DuckDB's counts BYTES — they agree only on single-byte text, so the
-    // oracle-gated output pins pairs where both texts are single-byte
-    // clean (length == octet_length, mirrored in the SQL). Production use
-    // on multibyte corpora keeps Spark's codepoint semantics; the gate
-    // simply cannot replay those pairs in DuckDB, and silently-divergent
-    // hashes would be worse than a declared boundary.
+    // DuckDB's counts BYTES — they agree only on single-byte text. The
+    // PRODUCTION operator ([[editDistanceDedup]]) stays ungated (codepoint
+    // semantics over every LSH candidate — OCR noise and punctuation
+    // mangling are precisely where non-ASCII appears); this verify wrapper
+    // gates the OUTPUT to pairs whose both texts are single-byte clean
+    // (length == octet_length, mirrored in the SQL) because those are the
+    // only pairs DuckDB can replay. A replay boundary in the oracle layer,
+    // not an operator semantic.
     "d12_edit_dedup" -> { (s, dir) =>
       val docs = Tables(s, dir).documents
-      val sh = shingles(docs).withColumn("hm", md5long(col("s")) % Prime)
-      val mh = minhashStack(sh)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cand = lshBandCandidates(mh)
-      val texts = docs.select(col("doc_id"), col("text"))
-      cand
-        .join(texts.toDF("doc_a", "ta").hint("shuffle_hash"), "doc_a")
-        .join(texts.toDF("doc_b", "tb").hint("shuffle_hash"), "doc_b")
-        .filter(length(col("ta")) === octet_length(col("ta")) &&
-          length(col("tb")) === octet_length(col("tb")))
-        .withColumn("mx", greatest(length(col("ta")), length(col("tb"))))
-        .withColumn("thr", floor(col("mx") * lit(EditDupMaxDist)).cast("int"))
-        // the threshold form returns -1 beyond thr, so `ed >= 0` IS the
-        // distance filter
-        .withColumn("ed", expr("levenshtein(ta, tb, thr)"))
-        .filter(col("ed") >= 0)
-        .select(col("doc_a"), col("doc_b"),
-          col("ed").cast("long").as("edit_dist"),
-          round(lit(1.0) - col("ed") / col("mx"), 6).as("edit_sim"))
+      val sb = docs.select(col("doc_id"),
+        (length(col("text")) === octet_length(col("text"))).as("sb"))
+      editDistanceDedup(docs)
+        .join(sb.toDF("doc_a", "sb_a").hint("shuffle_hash"), "doc_a")
+        .join(sb.toDF("doc_b", "sb_b").hint("shuffle_hash"), "doc_b")
+        .filter(col("sb_a") && col("sb_b"))
+        .select(col("doc_a"), col("doc_b"), col("edit_dist"), col("edit_sim"))
     },
 
     // Incremental cross-corpus fuzzy dedup: the "new crawl batch vs the

@@ -330,6 +330,10 @@ object Pipeline {
       val h = conv(substring(md5(
         concat(lit("holdout:"), col("text"))), 1, 15), 16, 10).cast("long")
       Tables(s, dir).documents
+        // a NULL text hashes to NULL, which the non-nullable (Long, Long)
+        // TopK encoder rejects at runtime — filter identically on both
+        // sides (oracle mirrors the predicate)
+        .filter(col("text").isNotNull)
         .select(col("source"), col("doc_id"), h.as("h"))
         .groupBy(col("source"))
         .agg(graft.functions.TopKAggregator
@@ -911,7 +915,7 @@ object Pipeline {
     "p20_eval_holdout" ->
       s"""WITH h AS (SELECT source, doc_id,
          |  CAST(('0x'||substr(md5('holdout:'||text),1,15)) AS BIGINT) AS h
-         |  FROM documents),
+         |  FROM documents WHERE text IS NOT NULL),
          |r AS (SELECT source, doc_id, h,
          |  ROW_NUMBER() OVER (PARTITION BY source
          |    ORDER BY h, doc_id) AS rank FROM h)

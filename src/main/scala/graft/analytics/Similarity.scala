@@ -327,6 +327,16 @@ object Similarity {
     java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath +
       "/ivf_index_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
 
+  /** Test-visible index locations: specs assert against the SAME path rule
+    * the operators write to, never a re-derived inline copy (drift in the
+    * private helper would otherwise silently point assertions at a stale
+    * or missing directory).
+    */
+  private[graft] def s7IndexPath(s: SparkSession, dir: String): String =
+    ivfIndexPath(s, dir)
+  private[graft] def s12IndexPath(s: SparkSession, dir: String): String =
+    ivfIndexPath(s, dir) + "_s12"
+
   /** PERSISTED IVF index — the q22 layout/query split applied to vector
     * search. The build assigns every vector to its nearest centroid (same
     * exact-decimal rule as [[annIvf]]) and writes the corpus
@@ -700,9 +710,12 @@ object Similarity {
         .filter(col("centroid_id") =!= col("oid"))
         .withColumn("d2o", round(dist2Col("cemb", "oemb"), 6))
         .groupBy("centroid_id").agg(min(col("d2o")).as("min_sep_d2"))
+      // nullif guard: two near-identical centroids round min_sep_d2 to 0.0
+      // (d2 < 5e-7), and Infinity/NaN serialize differently across engines
+      // — NULL is the declared degenerate-centroid value on both sides
       within.join(broadcast(sep), "centroid_id")
         .withColumn("dispersion_ratio",
-          round(col("avg_d2") / col("min_sep_d2"), 6))
+          round(col("avg_d2") / nullif(col("min_sep_d2"), lit(0.0)), 6))
     },
     // ANN recall evaluation — "measure, don't guess" applied to the ANN
     // family itself: brute-force top-3 is ground truth, [[annLsh]]'s top-3
@@ -1526,7 +1539,7 @@ object Similarity {
          |        GROUP BY centroid_id)
          |SELECT w2.centroid_id, w2.n_members, w2.inertia, w2.avg_d2,
          |  sep.min_sep_d2,
-         |  ROUND(w2.avg_d2 / sep.min_sep_d2, 6) AS dispersion_ratio
+         |  ROUND(w2.avg_d2 / NULLIF(sep.min_sep_d2, 0), 6) AS dispersion_ratio
          |FROM w2 JOIN sep ON w2.centroid_id = sep.centroid_id""".stripMargin,
     "d5_embed_cosine_dup" ->
       s"""WITH $embedPairsCte

@@ -480,7 +480,11 @@ object Transport {
           to_json(struct(col("vec_id"), col("isb"), col("embedding")))
             .cast("binary").as("payload"))
         .write.format("ss").mode("overwrite").save(out)
-      val cap = math.max(1000L, t.embeddings.count() / 4)
+      // ~4 micro-batches at ANY scale (no floor — the oracle-scale corpus
+      // is 500 vectors, and the op's law is "bit-identical under any batch
+      // split", which only means something if state genuinely carries
+      // across triggers at test scale too; t12's intent)
+      val cap = math.max(1L, t.embeddings.count() / 4)
       val dims = s.readStream.format("ss")
         .option("maxMessagesPerTrigger", cap.toString)
         .load(out)

@@ -620,9 +620,8 @@ class PlanShapeSpec extends AnyFunSuite {
     val dir = TestSession.sfDir
     val e = analytics.Tables(spark, dir).embeddings
     analytics.Similarity.s7Layout(spark, dir)
-    val idx = spark.read.parquet( // mirrors the private ivfIndexPath rule
-      java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir")).getPath
-        + "/ivf_index_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+    val idx = spark.read.parquet(
+      analytics.Similarity.s7IndexPath(spark, dir))
     assert(idx.count() == e.count(), "index must hold one row per vector")
     assert(idx.select("cid").distinct().count() == e.count())
   }
@@ -636,8 +635,7 @@ class PlanShapeSpec extends AnyFunSuite {
     val e = analytics.Tables(spark, dir).embeddings
     analytics.Similarity.s12UpsertQuery(spark, dir) // runs both writes
     val idx = spark.read.parquet(
-      java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir")).getPath
-        + "/ivf_index_" + dir.replaceAll("[^a-zA-Z0-9]", "_") + "_s12")
+      analytics.Similarity.s12IndexPath(spark, dir))
     assert(idx.count() == e.count(),
       "upserted index must hold one row per corpus vector")
     assert(idx.select("cid").distinct().count() == e.count())
