@@ -55,6 +55,84 @@ object Relational {
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
           .as("sum_price"))
 
+  /** EXACT per-group quantiles with O(1) aggregation state per task — the
+    * scale-safe replacement for Spark's `percentile`, whose buffer holds a
+    * value→count map PER GROUP (with few groups, each buffer approaches the
+    * group's distinct-value count on one task: the plan that cannot survive
+    * 100×). Two corpus-touching stages instead:
+    *
+    *  1. range-partition the rows by (g, value, tb) — within a group, slice
+    *     order IS value order, and the `tb` tiebreak spreads heavy
+    *     duplicate-value runs across slices so one hot value can't skew a
+    *     partition (equal values are interchangeable for a quantile, so the
+    *     tiebreak never changes the answer);
+    *  2. per-(slice, group) counts (nParts×|G| rows — tiny) prefix-summed
+    *     into slice offsets, so global ordinal = offset + local rank, where
+    *     the local `row_number` window partitions by (slice, group) — every
+    *     window partition is ONE range slice of ONE group, bounded by
+    *     corpus/nParts, never the whole group.
+    *
+    * Only the ordinals flanking each requested quantile position survive
+    * (≤ 2·|ps| rows per group), and linear interpolation
+    * `v_lo + frac·(v_hi − v_lo)` — the same 0-indexed `h=(n−1)·p` rule as
+    * DuckDB's `quantile_cont` — happens on that result-sized frame. Group
+    * counts come from the slice counts (no second corpus scan); the ranged
+    * frame is persisted so the offsets and the ranked rows read the SAME
+    * physical slice ids (two executions of a range exchange may sample
+    * different bounds — consistency by materialization, not by luck).
+    *
+    * Input: columns `g` (group), `value` (double, nulls dropped — both
+    * engines' quantiles ignore them), `tb` (any orderable tiebreak, e.g. a
+    * row-id hash). Output: long format (g, pname, q, n_g) — one row per
+    * group×quantile, unrounded.
+    */
+  private[graft] def exactGroupQuantiles(in: DataFrame,
+      ps: Seq[(String, Double)]): DataFrame = {
+    val s = in.sparkSession
+    val nParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = in.filter(col("value").isNotNull)
+      .repartitionByRange(nParts, col("g"), col("value"), col("tb"))
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // slice census: nParts×|G| rows — everything below is report-sized
+    val slices = ranged.groupBy("pid", "g").agg(count(lit(1)).as("c"))
+      .persist()
+    val offs = slices.withColumn("off",
+        coalesce(sum(col("c")).over(Window.partitionBy("g").orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("g"), col("off"))
+    val needed = slices.groupBy("g").agg(sum(col("c")).as("n_g"))
+      .select(col("g"), col("n_g"), explode(array(ps.map { case (nm, p) =>
+        struct(lit(nm).as("pname"), lit(p).as("p")) }: _*)).as("pp"))
+      .select(col("g"), col("n_g"), col("pp.pname").as("pname"),
+        col("pp.p").as("p"))
+      .withColumn("h", (col("n_g") - 1).cast("double") * col("p"))
+      .withColumn("lo", floor(col("h")).cast("long") + 1L)
+      .withColumn("hi", least(floor(col("h")).cast("long") + 2L, col("n_g")))
+      .withColumn("frac", col("h") - floor(col("h")))
+    val ords = needed
+      .select(col("g"), explode(array(col("lo"), col("hi"))).as("ord"))
+      .distinct()
+    // global ordinal = slice offset + bounded local rank; only the flanking
+    // ordinals survive the broadcast semi-ish join
+    val picked = ranged
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy("pid", "g").orderBy("value")))
+      .join(broadcast(offs), Seq("pid", "g"))
+      .withColumn("ord", col("off") + col("rn"))
+      .join(broadcast(ords), Seq("g", "ord"))
+      .select(col("g"), col("ord"), col("value"))
+      // report-sized rows, corpus-sized computation: materialize once so
+      // the two flanking joins below don't each re-run the ranked pass
+      .persist()
+    needed
+      .join(broadcast(picked.toDF("g", "lo", "v_lo")), Seq("g", "lo"))
+      .join(broadcast(picked.toDF("g", "hi", "v_hi")), Seq("g", "hi"))
+      .select(col("g"), col("pname"),
+        (col("v_lo") + col("frac") * (col("v_hi") - col("v_lo"))).as("q"),
+        col("n_g"))
+  }
+
   val queries: Map[String, Q] = Map(
     // TPC-H Q1: full-scan partial+final hash agg; only 4 columns read.
     "q1_agg" -> { (s, dir) =>
@@ -358,19 +436,29 @@ object Relational {
           dsum(col("l_quantity")).as("sum_qty"))
     },
 
-    // Exact percentiles per event type (sort-based `percentile`, linear
-    // interpolation — DuckDB's quantile_cont twin). Rounded to 6 decimals:
-    // the two engines interpolate with algebraically-equal but
-    // differently-associated double arithmetic.
+    // EXACT percentiles per event type via two-pass rank selection
+    // ([[exactGroupQuantiles]]) — same answers as DuckDB's quantile_cont,
+    // but with O(1) aggregation state per task where Spark's `percentile`
+    // buffers a per-group value→count map (with 5 event-type groups, each
+    // buffer approaches the group's distinct-value count on ONE task — the
+    // plan that cannot survive 100×). Rounded to 6 decimals: the two
+    // engines interpolate with algebraically-equal but differently-
+    // associated double arithmetic.
     "q20_percentiles" -> { (s, dir) =>
       val t = Tables(s, dir)
-      t.events
-        .groupBy("event_type")
+      val qs = exactGroupQuantiles(
+        t.events.select(col("event_type").as("g"), col("value"),
+          // content-stable tiebreak spreads duplicate-value runs across
+          // range slices (never changes a quantile — equal values are
+          // interchangeable)
+          xxhash64(col("event_id")).as("tb")),
+        Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99))
+      qs.groupBy(col("g").as("event_type"))
         .agg(
-          round(expr("percentile(value, 0.5)"), 6).as("p50"),
-          round(expr("percentile(value, 0.95)"), 6).as("p95"),
-          round(expr("percentile(value, 0.99)"), 6).as("p99"),
-          count(lit(1)).as("n"))
+          round(max(when(col("pname") === "p50", col("q"))), 6).as("p50"),
+          round(max(when(col("pname") === "p95", col("q"))), 6).as("p95"),
+          round(max(when(col("pname") === "p99", col("q"))), 6).as("p99"),
+          max(col("n_g")).as("n"))
     },
 
     // Bucketed co-located join through ops.Bucketing: both sides persisted

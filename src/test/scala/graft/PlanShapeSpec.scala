@@ -32,6 +32,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q20 plans no buffering percentile agg and no whole-group sort") {
+    // Spark's exact `percentile` buffers a value→count map PER GROUP — with
+    // few groups that buffer approaches the group's distinct-value count on
+    // one task. The two-pass rank selection must keep it out of the plan,
+    // and must never sort a whole group through one window partition.
+    val p = planOf("q20_percentiles")
+    assert(!p.toLowerCase.contains("percentile"),
+      "q20 must not plan Spark's value-buffering percentile aggregate")
+    // the corpus-sized rank window partitions by (slice, group): every
+    // window partition is ONE range slice of ONE group (corpus/nParts)
+    assert(p.contains("row_number() windowspecdefinition(pid#"),
+      "q20's rank window must partition by (slice, group), not group alone")
+    // the only group-partitioned window is the prefix-sum over the slice
+    // census (nParts×|G| rows) — recognizable as sum over the census count
+    val gWindows =
+      "windowspecdefinition\\(g#\\d+,".r.findAllIn(p).size
+    val censusWindows =
+      "sum\\(c#\\d+L?\\) windowspecdefinition\\(g#\\d+, pid#".r
+        .findAllIn(p).size
+    assert(gWindows == censusWindows,
+      "a corpus-sized window partitioned by group alone crept into q20")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("LSH candidate generation never plans a cartesian product") {
     // (tiny broadcast cross joins against constant tables — 8 minhash params,
     // plane grids — are deliberate and fine; a CartesianProduct is not)
