@@ -68,15 +68,44 @@ object StreamJoin {
     (queues, out.result())
   }
 
-  /** [[gateCore]] over the flatMapGroupsWithState GroupState API. */
-  private def gateStep(alignKeys: IndexedSeq[String])(
-      arrivals: Iterator[SeaMessage],
-      state: GroupState[FuseState]): Iterator[SeaMessage] = {
-    val (queues, out) = gateCore(alignKeys,
-      state.getOption.map(_.queues).getOrElse(Map.empty), arrivals)
-    state.update(FuseState(queues))
-    out.iterator
+  /** End-of-gate drain: pop everything in global (ts, key) order — the same
+    * rule [[gatedBounded]] applies at end of stream. Used by idle eviction:
+    * eviction bounds STATE, it must not lose data.
+    */
+  private def drainAll(queues0: Map[String, Seq[SeaMessage]]): Vector[SeaMessage] = {
+    var queues = queues0
+    val out = Vector.newBuilder[SeaMessage]
+    while (queues.values.exists(_.nonEmpty)) {
+      val (key, q) = queues.iterator.filter(_._2.nonEmpty)
+        .minBy { case (k, ms) => (ms.head.timestamp.getTime, k) }
+      out += q.head
+      queues = queues.updated(key, q.tail)
+    }
+    out.result()
   }
+
+  /** [[gateCore]] over the flatMapGroupsWithState GroupState API, with
+    * optional idle eviction: when `evictMs` is set and the group has seen no
+    * arrival for that long, the gate releases — buffered messages drain in
+    * the end-of-stream order and the state is dropped (a later arrival
+    * rebuilds it from empty). Off (None) = strict reference parity: the
+    * buffer is unbounded, exactly sea-streamer-fuse/src/lib.rs:12-13's
+    * documented caveat.
+    */
+  private def gateStep(alignKeys: IndexedSeq[String], evictMs: Option[Long])(
+      arrivals: Iterator[SeaMessage],
+      state: GroupState[FuseState]): Iterator[SeaMessage] =
+    if (state.hasTimedOut) {
+      val out = drainAll(state.getOption.map(_.queues).getOrElse(Map.empty))
+      state.remove()
+      out.iterator
+    } else {
+      val (queues, out) = gateCore(alignKeys,
+        state.getOption.map(_.queues).getOrElse(Map.empty), arrivals)
+      state.update(FuseState(queues))
+      evictMs.foreach(state.setTimeoutDuration)
+      out.iterator
+    }
 
   /** Faithful gated merge over an unbounded muxed stream — ONE global merge
     * point, exactly the reference operator's sequential semantics. All state
@@ -86,9 +115,10 @@ object StreamJoin {
     *
     * @param align stream keys that must all be non-empty before emission
     */
-  def gated(muxed: Dataset[SeaMessage], align: Seq[String]): Dataset[SeaMessage] = {
+  def gated(muxed: Dataset[SeaMessage], align: Seq[String],
+      evictAfter: Option[java.time.Duration] = None): Dataset[SeaMessage] = {
     import muxed.sparkSession.implicits._
-    gatedByKey(muxed, align, _ => 0)
+    gatedByKey(muxed, align, _ => 0, evictAfter)
   }
 
   /** Shard-parallel gated merge: `group` partitions the muxed stream into
@@ -100,10 +130,25 @@ object StreamJoin {
     * across groups there is no ordering (they are causally independent, the
     * same contract as the reference's per-shard consumers).
     */
+  /** @param evictAfter optional idle-eviction bound: a group with no arrival
+    *   for this duration releases its gate (buffered messages drain in the
+    *   end-of-stream order, state is dropped). Default OFF — strict parity
+    *   with the reference's documented unbounded buffer
+    *   (sea-streamer-fuse/src/lib.rs:12-13); switch ON in production, where
+    *   a misaligned stream (one key that never arrives) must not grow state
+    *   forever. With eviction on, pair the query with a real trigger
+    *   interval (`Trigger.ProcessingTime`): the engine re-runs batches so
+    *   idle timers can fire, which under the default ASAP trigger is a
+    *   tight loop — and `processAllAvailable()` never unblocks (the
+    *   operator always reports another batch needed), so tests must poll
+    *   the sink instead.
+    */
   def gatedByKey[K](
       muxed: Dataset[SeaMessage],
       align: Seq[String],
-      group: SeaMessage => K)(implicit ke: Encoder[K]): Dataset[SeaMessage] = {
+      group: SeaMessage => K,
+      evictAfter: Option[java.time.Duration] = None)(
+      implicit ke: Encoder[K]): Dataset[SeaMessage] = {
     import muxed.sparkSession.implicits._
     val alignKeys = align.toIndexedSeq
     // state is an opaque per-group blob: a Kryo encoder serializes the
@@ -114,11 +159,13 @@ object StreamJoin {
     // (start such queries from a fresh checkpoint)
     implicit val stateEnc: Encoder[FuseState] =
       org.apache.spark.sql.Encoders.kryo[FuseState]
+    val timeout = evictAfter.map(_ => GroupStateTimeout.ProcessingTimeTimeout)
+      .getOrElse(GroupStateTimeout.NoTimeout)
     muxed
       .groupByKey(group)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
         (_: K, arrivals: Iterator[SeaMessage], state: GroupState[FuseState]) =>
-          gateStep(alignKeys)(arrivals, state)
+          gateStep(alignKeys, evictAfter.map(_.toMillis))(arrivals, state)
       }
   }
 
@@ -129,9 +176,9 @@ object StreamJoin {
     * store provider, which is also the provider the 100 TB shape wants
     * (state beyond executor heap, changelog checkpointing).
     */
-  final class FuseGateProcessor(align: Seq[String])
+  final class FuseGateProcessor(align: Seq[String], evictAfterMs: Long = 0L)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SeaMessage, SeaMessage] {
-    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode}
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode}
     import org.apache.spark.sql.streaming.ValueState
     import org.apache.spark.sql.{Encoders, streaming => ss}
 
@@ -151,20 +198,50 @@ object StreamJoin {
         else Map.empty[String, Seq[SeaMessage]]
       val (queues, out) = gateCore(alignKeys, prior, rows)
       state.update(FuseState(queues))
+      if (evictAfterMs > 0L) {
+        // refresh the idle timer: one live timer per group, re-armed on
+        // every arrival — it fires only after evictAfterMs of silence
+        getHandle.listTimers().toList.foreach(t => getHandle.deleteTimer(t))
+        getHandle.registerTimer(
+          timerValues.getCurrentProcessingTimeInMs() + evictAfterMs)
+      }
       out.iterator
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        timerValues: ss.TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SeaMessage] = {
+      // idle eviction (same law as gateStep's timed-out branch): release
+      // the gate, drain buffered messages in end-of-stream order, drop the
+      // state — a later arrival rebuilds the group from empty
+      val queues =
+        if (state.exists()) state.get().queues
+        else Map.empty[String, Seq[SeaMessage]]
+      state.clear()
+      drainAll(queues).iterator
     }
   }
 
-  /** [[gatedByKey]] on the `transformWithState` runtime (RocksDB-backed). */
+  /** [[gatedByKey]] on the `transformWithState` runtime (RocksDB-backed).
+    * `evictAfter` arms a per-group idle timer (TWS timers + ProcessingTime
+    * mode) with the same release-drain-drop law as the
+    * flatMapGroupsWithState form; None (default) keeps strict reference
+    * parity — unbounded buffer, no timers.
+    */
   def gatedByShardTws(
       muxed: Dataset[SeaMessage],
-      align: Seq[String]): Dataset[SeaMessage] = {
+      align: Seq[String],
+      evictAfter: Option[java.time.Duration] = None): Dataset[SeaMessage] = {
     import muxed.sparkSession.implicits._
     import org.apache.spark.sql.streaming.TimeMode
+    val timeMode =
+      if (evictAfter.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
     muxed
       .groupByKey(_.shard_id)
-      .transformWithState(new FuseGateProcessor(align),
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(
+        new FuseGateProcessor(align, evictAfter.map(_.toMillis).getOrElse(0L)),
+        timeMode, OutputMode.Append())
   }
 
   /** Bounded gated merge driven to completion in-memory — reference law for

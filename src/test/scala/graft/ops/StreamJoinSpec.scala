@@ -147,6 +147,110 @@ class StreamJoinSpec extends AnyFunSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  // NOTE on harness: with eviction on, the state operator reports
+  // shouldRunAnotherBatch=true whenever the batch timestamp advances
+  // (processing-time timers must get a chance to fire), so the engine never
+  // signals noNewData and StreamingQuery.processAllAvailable would block
+  // FOREVER. These tests therefore poll the memory sink with deadlines —
+  // the same reason Spark's own timeout suites drive a manual clock.
+  private def pollUntil(deadlineMs: Long)(done: => Boolean): Unit = {
+    val end = System.currentTimeMillis() + deadlineMs
+    while (!done && System.currentTimeMillis() < end) Thread.sleep(100)
+  }
+
+  test("idle eviction drains a never-aligning group and keeps the stream live") {
+    // the one remaining unbounded-at-scale spot with eviction OFF: a group
+    // gated on a key that never arrives grows state forever. With the knob
+    // ON, the gate releases after the idle timeout — buffered messages
+    // drain in end-of-stream order (bounded state, no data loss) and later
+    // traffic keeps flowing. OFF stays strict reference parity (the
+    // existing gating tests + t3/t8 oracles, which never time out).
+    val spark = TestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+
+    def sh(key: String, shard: Long, items: Seq[Long]): Seq[SeaMessage] =
+      items.map(i => SeaMessage(key, shard, i,
+        new java.sql.Timestamp(i * 1000), Array.emptyByteArray))
+
+    val input = MemoryStream[SeaMessage]
+    val q = StreamJoin
+      .gatedByKey(input.toDS(), align = Seq("a", "b"), _.shard_id,
+        evictAfter = Some(java.time.Duration.ofSeconds(2)))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("fuse_evict_test").start()
+    def rows() = spark.table("fuse_evict_test")
+      .select("shard_id", "stream_key", "sequence")
+      .as[(Long, String, Long)].collect().toSeq
+    try {
+      // shard 0: only 'a' arrives — gate holds while the idle timer runs
+      input.addData(sh("a", 0, Seq(1, 3)))
+      Thread.sleep(300)
+      assert(rows().isEmpty, "gate must hold before the idle timeout")
+
+      // the idle timer fires ~2 s after the arrival batch: the gate
+      // releases and the buffer drains in end-of-stream (ts, key) order
+      pollUntil(30000)(rows().count(_._1 == 0L) == 2)
+      assert(rows().filter(_._1 == 0L) == Seq((0L, "a", 1L), (0L, "a", 3L)),
+        s"evicted group must drain in order, got ${rows()}")
+
+      // the stream is still live after eviction: aligned traffic on
+      // another shard flows straight through
+      input.addData(sh("a", 7, Seq(10)) ++ sh("b", 7, Seq(11)))
+      pollUntil(30000)(rows().exists(_._1 == 7L))
+      assert(rows().filter(_._1 == 7L) == Seq((7L, "a", 10L)),
+        s"live traffic must keep emitting, got ${rows()}")
+
+      // a later arrival rebuilds the evicted group from empty: it gates
+      // afresh, then the next idle timeout drains it again — the
+      // bound-state cycle repeats forever
+      input.addData(sh("a", 0, Seq(20)))
+      pollUntil(30000)(rows().count(_._1 == 0L) == 3)
+      assert(rows().filter(_._1 == 0L).last == ((0L, "a", 20L)),
+        s"rebuilt group must gate afresh and evict again, got ${rows()}")
+    } finally q.stop()
+  }
+
+  test("TWS idle eviction matches the flatMapGroupsWithState eviction law") {
+    val spark = TestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+
+    def sh(key: String, shard: Long, items: Seq[Long]): Seq[SeaMessage] =
+      items.map(i => SeaMessage(key, shard, i,
+        new java.sql.Timestamp(i * 1000), Array.emptyByteArray))
+
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[SeaMessage]
+      val q = StreamJoin
+        .gatedByShardTws(input.toDS(), align = Seq("a", "b"),
+          evictAfter = Some(java.time.Duration.ofSeconds(2)))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("fuse_tws_evict_test").start()
+      def rows() = spark.table("fuse_tws_evict_test")
+        .select("shard_id", "stream_key", "sequence")
+        .as[(Long, String, Long)].collect().toSeq
+      try {
+        input.addData(sh("a", 0, Seq(1, 3)))
+        Thread.sleep(300)
+        assert(rows().isEmpty, "gate must hold before the idle timeout")
+        pollUntil(30000)(rows().count(_._1 == 0L) == 2)
+        assert(rows().filter(_._1 == 0L) == Seq((0L, "a", 1L), (0L, "a", 3L)),
+          s"TWS evicted group must drain in order, got ${rows()}")
+        // live after eviction
+        input.addData(sh("a", 7, Seq(10)) ++ sh("b", 7, Seq(11)))
+        pollUntil(30000)(rows().exists(_._1 == 7L))
+        assert(rows().filter(_._1 == 7L) == Seq((7L, "a", 10L)))
+      } finally q.stop()
+    } finally spark.conf.set(key, prev)
+  }
+
   test("batch merge equals global (ts, key, seq) order") {
     val spark = TestSession.spark
     import spark.implicits._
