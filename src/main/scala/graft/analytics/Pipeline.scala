@@ -79,14 +79,15 @@ object Pipeline {
     * per-round argmax is a 1-row collect (the d6 convergence-sum pattern);
     * the result IS the merge table.
     *
-    * Declared divergence from canonical BPE: the replace consumes the
-    * separator, so in a same-pair RUN (' a n a n ') only alternate
-    * occurrences merge per round — canonical BPE merges every
-    * non-overlapping occurrence. The rule is pinned because Spark's and
-    * DuckDB's literal replace implement it identically (verified on the
-    * overlap cases), which is what makes the training run exactly
-    * oracle-replayable; same-pair runs are rare in word vocabularies and
-    * the round AFTER catches the skipped occurrence.
+    * Merge application is CANONICAL BPE: each round's argmax pair merges
+    * every leftmost non-overlapping occurrence in one pass (a run
+    * ' a n a n a ' becomes ' an an a ', ' a a a a a ' becomes
+    * ' aa aa a '), implemented as the same left fold on all three
+    * evaluation paths — [[mergeCanonical]] on the driver, an
+    * `aggregate()` higher-order function distributed, `list_reduce` in
+    * the DuckDB oracle. (Earlier rounds used a literal
+    * scan-original replace whose consumed separator skipped alternate
+    * occurrences in same-pair runs — a declared divergence, now closed.)
     */
   /** Above this vocabulary size the merge loop stays distributed; below it
     * the loop runs ON THE DRIVER over the collected (word, freq) table.
@@ -124,6 +125,22 @@ object Pipeline {
     if (words.count() <= localCap) bpeLocalFinish(words, rounds)
     else bpeDistributedRounds(words, rounds)
   }
+
+  /** Canonical leftmost non-overlapping application of one merge (x, y) to
+    * a spaced-symbol segmentation " a b c ": left fold — append y directly
+    * when the accumulator ends with an unmerged ` x` and the next symbol is
+    * y, else append ` symbol`. A just-merged xy can never re-match as x
+    * (x ≠ xy), which IS the non-overlap rule; the space guard means only a
+    * whole trailing symbol equal to x matches (symbols are space-separated
+    * and merges concatenate without a space). Shared rule-for-rule with the
+    * distributed `aggregate()` fold and the oracle's `list_reduce` —
+    * [a-z]-only symbols compare identically in java.lang.String,
+    * UTF8String and DuckDB.
+    */
+  private[analytics] def mergeCanonical(seg: String, x: String, y: String): String =
+    seg.trim.split(" ").foldLeft("") { (acc, t) =>
+      if (t == y && acc.endsWith(" " + x)) acc + t else acc + " " + t
+    } + " "
 
   /** Local finish: the checkpointed vocab collects once and every merge
     * round is driver-local array work — no per-merge Spark jobs.
@@ -166,10 +183,8 @@ object Pipeline {
       }
       val ((x, y), cnt) = counts.minBy { case ((x, y), c) => (-c, x, y) }
       merges += ((r.toLong, x, y, cnt))
-      val from = s" $x $y "
-      val to = s" $x$y "
       i = 0
-      while (i < segs.length) { segs(i) = segs(i).replace(from, to); i += 1 }
+      while (i < segs.length) { segs(i) = mergeCanonical(segs(i), x, y); i += 1 }
     }
     val vocab = rows.indices
       .map(i => (rows(i)._1, rows(i)._2, segs(i)))
@@ -208,8 +223,12 @@ object Pipeline {
       val (x, y, cnt) =
         (best.getString(0), best.getString(1), best.getLong(2))
       merges += ((r.toLong, x, y, cnt))
-      vocab = vocab.withColumn("s",
-        expr(s"replace(s, ' $x $y ', ' $x$y ')"))
+      // the distributed half of mergeCanonical: same left fold as an
+      // aggregate() higher-order function (x/y are [a-z]+ — safe to inline)
+      vocab = vocab.withColumn("s", expr(
+        s"concat(aggregate(split(trim(s), ' '), '', (acc, t) -> " +
+          s"CASE WHEN t = '$y' AND endswith(acc, ' $x') " +
+          s"THEN concat(acc, t) ELSE concat(acc, ' ', t) END), ' ')"))
     }
     (merges.toSeq, vocab)
   }
@@ -350,8 +369,9 @@ object Pipeline {
     // 100 TB story: the expensive scan happens once; the iterative part
     // touches only (word, freq, symbols). Merge rule: count adjacent symbol
     // pairs weighted by word frequency, take the (count DESC, pair) argmax,
-    // rewrite the spaced-symbol string — greedy left-to-right
-    // non-overlapping, the same literal-replace semantics DuckDB replays.
+    // rewrite the spaced-symbol string — canonical leftmost non-overlapping
+    // merge application (the mergeCanonical fold, which DuckDB replays via
+    // list_reduce).
     // The per-round argmax is a 1-row collect (the d6 convergence-sum
     // pattern); the output IS the 10-row merge table.
     "p14_bpe_merges" -> { (s, dir) =>
@@ -800,9 +820,9 @@ object Pipeline {
     })
 
   /** The 10-round BPE training replayed as chained CTEs: w{r} is the vocab
-    * after round r's merge, b{r} the round's argmax pair. Same greedy
-    * left-to-right literal replace as the Spark side (verified to share
-    * overlap semantics).
+    * after round r's merge, b{r} the round's argmax pair. Merge application
+    * is the same canonical leftmost non-overlapping fold as the Spark side
+    * ([[mergeCanonical]]), expressed as DuckDB `list_reduce`.
     */
   private def bpeOracleSql: String = {
     val rows = (1 to BpeMerges).map(r =>
@@ -830,7 +850,11 @@ object Pipeline {
          |b$r AS (SELECT x, y, cnt FROM p$r
          |        ORDER BY cnt DESC, x, y LIMIT 1),
          |w$r AS (SELECT w.word, w.freq,
-         |          replace(w.s, ' '||b.x||' '||b.y||' ', ' '||b.x||b.y||' ') AS s
+         |          concat(list_reduce(
+         |            list_prepend('', string_split(trim(w.s), ' ')),
+         |            (acc, t) -> CASE WHEN t = b.y AND ends_with(acc, ' '||b.x)
+         |                        THEN acc || t ELSE acc || ' ' || t END),
+         |            ' ') AS s
          |        FROM w${r - 1} w CROSS JOIN b$r b)""".stripMargin
     }.mkString(",\n")
 

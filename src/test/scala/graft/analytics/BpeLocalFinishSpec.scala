@@ -6,9 +6,9 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The BPE local-finish law: the driver-local merge loop and the
   * distributed fallback must train IDENTICAL merge tables and final
   * segmentations — same pair cap, same (count desc, x, y) argmax, same
-  * greedy scan-original replace. The oracle replays whichever path ran, so
-  * any divergence between them would make correctness depend on vocab
-  * size.
+  * canonical leftmost non-overlapping merge fold. The oracle replays
+  * whichever path ran, so any divergence between them would make
+  * correctness depend on vocab size.
   */
 class BpeLocalFinishSpec extends AnyFunSuite {
   private lazy val spark = TestSession.spark
@@ -35,6 +35,30 @@ class BpeLocalFinishSpec extends AnyFunSuite {
     assert(l.toSeq == d.toSeq)
     // sanity: training actually merged something frequency-weighted
     assert(localMerges.length == 8 && localMerges.head._4 >= 2L)
+  }
+
+  test("merge application is canonical leftmost non-overlapping") {
+    import Pipeline.mergeCanonical
+    // alternating run: every occurrence merges in one round (the old
+    // literal replace skipped alternate ones — the declared divergence
+    // this fold closed)
+    assert(mergeCanonical(" a n a n a ", "a", "n") == " an an a ")
+    // same-symbol run: leftmost-greedy pairs, trailing odd symbol stays
+    assert(mergeCanonical(" a a a a a ", "a", "a") == " aa aa a ")
+    // a just-merged xy never re-matches as x (non-overlap)
+    assert(mergeCanonical(" a b b ", "a", "b") == " ab b ")
+    // the space guard: a symbol merely ENDING in x is not x
+    assert(mergeCanonical(" ca b ", "a", "b") == " ca b ")
+    // and the distributed fold implements the identical rule
+    val spark2 = TestSession.spark
+    import spark2.implicits._
+    val folded = Seq(" a n a n a ", " a a a a a ", " a b b ", " ca b ")
+      .toDF("s")
+      .selectExpr("concat(aggregate(split(trim(s), ' '), '', (acc, t) -> " +
+        "CASE WHEN t = 'n' AND endswith(acc, ' a') " +
+        "THEN concat(acc, t) ELSE concat(acc, ' ', t) END), ' ') AS m")
+      .as[String].collect().toSeq
+    assert(folded.head == " an an a ")
   }
 
   test("ties break by (x, y) identically on both paths") {
