@@ -122,16 +122,18 @@ final class EmbeddedIggy extends AutoCloseable {
 
       case Cmd.LoginUser =>
         val (_, _) = (r.str(), r.str()) // any credentials accepted
+        val (_, _) = (r.lstr(), r.lstr()) // optional version/context
         ok(new IggyWire.Writer().u32(1).result())
 
       case Cmd.GetStream =>
-        val name = r.str()
+        val name = r.identifierName()
         val existing = Option(streams.get(name))
         ok(new IggyWire.Writer()
           .u8(if (existing.isDefined) 1 else 0)
           .u32(existing.map(_.size).getOrElse(0)).result())
 
       case Cmd.CreateStream =>
+        val _streamId = r.u32() // 0 = server-assigned (names key this broker)
         val name = r.str()
         if (streams.putIfAbsent(name,
           new ConcurrentHashMap[String, Topic]()) != null)
@@ -139,7 +141,7 @@ final class EmbeddedIggy extends AutoCloseable {
         else ok()
 
       case Cmd.GetTopic =>
-        val (stream, topic) = (r.str(), r.str())
+        val (stream, topic) = (r.identifierName(), r.identifierName())
         Option(streams.get(stream)).flatMap(s => Option(s.get(topic))) match {
           case None => ok(new IggyWire.Writer().u8(0).u32(0).result())
           case Some(t) =>
@@ -151,7 +153,8 @@ final class EmbeddedIggy extends AutoCloseable {
         }
 
       case Cmd.CreateTopic =>
-        val (stream, topic, parts) = (r.str(), r.str(), r.u32())
+        val stream = r.identifierName()
+        val (topic, parts) = (r.str(), r.u32())
         Option(streams.get(stream)) match {
           case None => (Status.NotFound, Array.emptyByteArray)
           case Some(s) =>
@@ -163,9 +166,10 @@ final class EmbeddedIggy extends AutoCloseable {
         }
 
       case Cmd.SendMessages =>
-        val (stream, topic) = (r.str(), r.str())
+        val (stream, topic) = (r.identifierName(), r.identifierName())
+        // published Partitioning: [kind u8 (1-based)][length u8][value]
         val pKind = r.u8()
-        val pVal = r.bytes()
+        val pVal = { val n = r.u8(); Array.fill(n)(r.u8().toByte) }
         val count = r.u32()
         Option(streams.get(stream)).flatMap(s => Option(s.get(topic))) match {
           case None => (Status.NotFound, Array.emptyByteArray)
@@ -173,12 +177,11 @@ final class EmbeddedIggy extends AutoCloseable {
             val nParts = t.partitions.length
             var i = 0
             while (i < count) {
-              val tsMs = r.u64()
-              val bytes = r.bytes()
+              val (tsMs, bytes) = IggyWire.readSendMessage(r)
               val part = pKind match {
-                case 0 => (t.balanced.getAndIncrement() % nParts).toInt
-                case 1 => math.floorMod(new IggyWire.Reader(pVal).u32(), nParts)
-                case 2 => math.floorMod(java.util.Arrays.hashCode(pVal), nParts)
+                case 1 => (t.balanced.getAndIncrement() % nParts).toInt
+                case 2 => math.floorMod(new IggyWire.Reader(pVal).u32(), nParts)
+                case 3 => math.floorMod(java.util.Arrays.hashCode(pVal), nParts)
                 case _ =>
                   return (Status.Error, Array.emptyByteArray)
               }
@@ -190,9 +193,8 @@ final class EmbeddedIggy extends AutoCloseable {
         }
 
       case Cmd.PollMessages =>
-        val kind = r.u8()
-        val name = r.str()
-        val (stream, topic) = (r.str(), r.str())
+        val (kind, name) = r.consumer()
+        val (stream, topic) = (r.identifierName(), r.identifierName())
         val partition = r.u32()
         val strategy = PollStrategy(r.u8().toByte, r.u64())
         val count = r.u32()
@@ -232,22 +234,22 @@ final class EmbeddedIggy extends AutoCloseable {
             val w = new IggyWire.Writer()
               .u32(partition).u64(tip).u32(slice.length)
             slice.foreach { case (off, m) =>
-              w.u64(off).u64(m.tsMs).bytes(m.payload)
+              IggyWire.writePolledMessage(w, off, m.tsMs, m.payload)
             }
             ok(w.result())
         }
 
       case Cmd.StoreConsumerOffset =>
-        val kind = r.u8(); val name = r.str()
-        val (stream, topic) = (r.str(), r.str())
+        val (kind, name) = r.consumer()
+        val (stream, topic) = (r.identifierName(), r.identifierName())
         val partition = r.u32(); val offset = r.u64()
         offsets.put(s"$kind/$name/$stream/$topic/$partition",
           java.lang.Long.valueOf(offset))
         ok()
 
       case Cmd.GetConsumerOffset =>
-        val kind = r.u8(); val name = r.str()
-        val (stream, topic) = (r.str(), r.str())
+        val (kind, name) = r.consumer()
+        val (stream, topic) = (r.identifierName(), r.identifierName())
         val partition = r.u32()
         storedOffset(kind, name, stream, topic, partition) match {
           case Some(o) => ok(new IggyWire.Writer().u8(1).u64(o).result())
@@ -255,13 +257,17 @@ final class EmbeddedIggy extends AutoCloseable {
         }
 
       case Cmd.CreateConsumerGroup =>
-        val (stream, topic, group) = (r.str(), r.str(), r.str())
+        val (stream, topic) = (r.identifierName(), r.identifierName())
+        val _groupId = r.u32() // 0 = server-assigned (names key this broker)
+        val group = r.str()
         val created = groups.putIfAbsent(s"$stream/$topic/$group",
           mutable.LinkedHashSet.empty[String]) == null
         if (created) ok() else (Status.AlreadyExists, Array.emptyByteArray)
 
       case Cmd.JoinConsumerGroup =>
-        val (stream, topic, group, member) = (r.str(), r.str(), r.str(), r.str())
+        val (stream, topic, group) =
+          (r.identifierName(), r.identifierName(), r.identifierName())
+        val member = r.str()
         Option(groups.get(s"$stream/$topic/$group")) match {
           case None => (Status.NotFound, Array.emptyByteArray)
           case Some(members) =>

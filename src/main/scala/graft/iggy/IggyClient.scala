@@ -33,27 +33,33 @@ final class IggyClient(host: String, port: Int,
     (status, body)
   }
 
+  /** Published LoginUser layout: u8-length credentials plus OPTIONAL
+    * u32-length version/context strings (empty here — the adapter logs in
+    * with bare credentials, streamer.rs:40-57).
+    */
   private def login(user: String, pass: String): Unit =
-    call(Cmd.LoginUser, new IggyWire.Writer().str(user).str(pass).result())
+    call(Cmd.LoginUser, new IggyWire.Writer()
+      .str(user).str(pass).lstr("").lstr("").result())
 
   def ping(): Unit = call(Cmd.Ping, Array.emptyByteArray)
 
   /** True if the stream existed (create_stream_if_not_exists flow:
     * streamer.rs:86-95 does get-then-create; one idempotent call here).
+    * Published create layout: `[stream_id u32 (0 = server-assigned)][name]`.
     */
   def createStreamIfAbsent(stream: String): Boolean =
-    call(Cmd.CreateStream, new IggyWire.Writer().str(stream).result(),
+    call(Cmd.CreateStream, new IggyWire.Writer().u32(0).str(stream).result(),
       Set(Status.Ok, Status.AlreadyExists))._1 == Status.AlreadyExists
 
   def streamExists(stream: String): Boolean = {
     val (_, body) = call(Cmd.GetStream,
-      new IggyWire.Writer().str(stream).result())
+      new IggyWire.Writer().identifier(stream).result())
     new IggyWire.Reader(body).u8() == 1
   }
 
   def createTopicIfAbsent(stream: String, topic: String, partitions: Int): Boolean =
     call(Cmd.CreateTopic, new IggyWire.Writer()
-      .str(stream).str(topic).u32(partitions).result(),
+      .identifier(stream).str(topic).u32(partitions).result(),
       Set(Status.Ok, Status.AlreadyExists))._1 == Status.AlreadyExists
 
   /** Partition tips (next offset per partition); None if the topic is
@@ -61,7 +67,7 @@ final class IggyClient(host: String, port: Int,
     */
   def topicTips(stream: String, topic: String): Option[Array[Long]] = {
     val (_, body) = call(Cmd.GetTopic,
-      new IggyWire.Writer().str(stream).str(topic).result())
+      new IggyWire.Writer().identifier(stream).identifier(topic).result())
     val r = new IggyWire.Reader(body)
     if (r.u8() != 1) None
     else Some(Array.fill(r.u32())(r.u64()))
@@ -69,44 +75,52 @@ final class IggyClient(host: String, port: Int,
 
   /** Batched send: one round-trip per batch (the adapter sends per message,
     * producer.rs:63-117; batching is the Spark-side pipelining).
+    * Partitioning is the published `[kind u8][length u8][value]` with
+    * 1-based kinds; messages are [[IggyWire.writeSendMessage]]'s layout.
     */
   def sendMessages(stream: String, topic: String, partitioning: Partitioning,
       messages: Seq[(Long, Array[Byte])]): Unit = {
-    val w = new IggyWire.Writer().str(stream).str(topic)
+    val w = new IggyWire.Writer().identifier(stream).identifier(topic)
     partitioning match {
-      case Partitioning.Balanced => w.u8(0).bytes(Array.emptyByteArray)
-      case Partitioning.PartitionId(id) =>
-        w.u8(1).bytes(new IggyWire.Writer().u32(id).result())
-      case Partitioning.MessageKey(k) => w.u8(2).bytes(k)
+      case Partitioning.Balanced => w.u8(1).u8(0)
+      case Partitioning.PartitionId(id) => w.u8(2).u8(4).u32(id)
+      case Partitioning.MessageKey(k) =>
+        require(k.length <= 255, "partitioning key too long")
+        w.u8(3).u8(k.length).raw(k)
     }
     w.u32(messages.length)
-    messages.foreach { case (tsMs, bytes) => w.u64(tsMs).bytes(bytes) }
+    messages.foreach { case (tsMs, bytes) =>
+      IggyWire.writeSendMessage(w, tsMs, bytes)
+    }
     call(Cmd.SendMessages, w.result())
     ()
   }
 
   /** One poll: (partition tip, messages). `consumer` is (kind, name) where
-    * kind 0 = standalone consumer, 1 = consumer group.
+    * kind 0 = standalone consumer, 1 = consumer group (encoded as iggy's
+    * 1-based Consumer kinds + Identifier).
     */
   def pollMessages(stream: String, topic: String, partition: Int,
       strategy: PollStrategy, count: Int,
       consumer: (Int, String) = (0, ""), autoCommit: Boolean = false): (Long, Seq[PolledMessage]) = {
     val w = new IggyWire.Writer()
-      .u8(consumer._1).str(consumer._2).str(stream).str(topic)
+      .consumer(consumer._1, consumer._2)
+      .identifier(stream).identifier(topic)
       .u32(partition).u8(strategy.kind.toInt).u64(strategy.value)
       .u32(count).u8(if (autoCommit) 1 else 0)
     val (_, body) = call(Cmd.PollMessages, w.result())
     val r = new IggyWire.Reader(body)
     val _part = r.u32()
     val tip = r.u64()
-    val msgs = Seq.fill(r.u32())(PolledMessage(r.u64(), r.u64(), r.bytes()))
+    val msgs = Seq.fill(r.u32())(IggyWire.readPolledMessage(r))
     (tip, msgs)
   }
 
   def storeOffset(stream: String, topic: String, partition: Int,
       consumer: (Int, String), offset: Long): Unit = {
     call(Cmd.StoreConsumerOffset, new IggyWire.Writer()
-      .u8(consumer._1).str(consumer._2).str(stream).str(topic)
+      .consumer(consumer._1, consumer._2)
+      .identifier(stream).identifier(topic)
       .u32(partition).u64(offset).result())
     ()
   }
@@ -114,26 +128,33 @@ final class IggyClient(host: String, port: Int,
   def getOffset(stream: String, topic: String, partition: Int,
       consumer: (Int, String)): Option[Long] = {
     val (_, body) = call(Cmd.GetConsumerOffset, new IggyWire.Writer()
-      .u8(consumer._1).str(consumer._2).str(stream).str(topic)
+      .consumer(consumer._1, consumer._2)
+      .identifier(stream).identifier(topic)
       .u32(partition).result())
     val r = new IggyWire.Reader(body)
     if (r.u8() == 1) Some(r.u64()) else None
   }
 
+  /** Published create layout: stream/topic references as Identifiers,
+    * `[group_id u32 (0 = server-assigned)][name]`.
+    */
   def createGroupIfAbsent(stream: String, topic: String, group: String): Unit = {
     call(Cmd.CreateConsumerGroup, new IggyWire.Writer()
-      .str(stream).str(topic).str(group).result(),
+      .identifier(stream).identifier(topic).u32(0).str(group).result(),
       Set(Status.Ok, Status.AlreadyExists))
     ()
   }
 
   /** Join; returns (member count, this member's index) — partition p is
-    * owned by member `p % count` (deterministic balanced assignment).
+    * owned by member `p % count` (deterministic balanced assignment; the
+    * trailing member name is a graft extension — real iggy tracks
+    * membership by session).
     */
   def joinGroup(stream: String, topic: String, group: String,
       member: String): (Int, Int) = {
     val (_, body) = call(Cmd.JoinConsumerGroup, new IggyWire.Writer()
-      .str(stream).str(topic).str(group).str(member).result())
+      .identifier(stream).identifier(topic).identifier(group)
+      .str(member).result())
     val r = new IggyWire.Reader(body)
     (r.u32(), r.u32())
   }

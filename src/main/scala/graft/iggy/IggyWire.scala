@@ -9,10 +9,24 @@ import java.nio.charset.StandardCharsets.UTF_8
   * and the command surface the reference adapter drives through the iggy
   * SDK (sea-streamer-iggy/src/streamer.rs:33-258: login, get/create
   * stream+topic, poll_messages, send_messages, consumer offsets, consumer
-  * groups). Payload layouts are THIS library's own compact encodings —
-  * wire interop with a live iggy server is not claimed (offline sandbox);
-  * the parity target is the adapter's SEMANTICS, which the embedded broker
-  * ([[EmbeddedIggy]]) implements and the oracle queries pin.
+  * groups).
+  *
+  * Request layouts follow the PUBLISHED iggy binary protocol where the
+  * adapter exercises it: `Identifier` kind/length/value framing for every
+  * stream/topic/group reference, `Consumer = [kind u8][Identifier]` with
+  * iggy's 1-based kinds, 1-based polling-strategy and partitioning kinds,
+  * LoginUser's optional u32-length version/context strings, u128 message
+  * ids in SendMessages (`[id u128][headers_len u32][length u32][payload]`)
+  * and the full polled-message layout
+  * (`[offset u64][state u8][timestamp u64 µs][id u128][checksum u32]
+  * [headers_len u32][length u32][payload]`, CRC-verified on decode).
+  * Remaining declared divergences (COVERAGE.md): create-command payloads
+  * and RESPONSE payloads are this library's own compact encodings, the
+  * status space is 5 codes, and the embedded broker derives a message's
+  * timestamp from the client-chosen u128 id (event time in µs) where a
+  * real server stamps at append — wire interop with a live iggy server is
+  * still not claimed (offline sandbox); the parity target is the adapter's
+  * SEMANTICS plus these byte layouts, pinned by IggySpec's wire goldens.
   */
 object IggyWire {
 
@@ -41,32 +55,34 @@ object IggyWire {
     val Unauthenticated = 4
   }
 
-  /** Where to start polling (sea-streamer-iggy/src/options.rs:69-82). */
+  /** Where to start polling (sea-streamer-iggy/src/options.rs:69-82).
+    * Kind bytes are iggy's published 1-based numbering. The client-facing
+    * AtTimestamp value is ms (the envelope's resolution); the WIRE carries
+    * µs like iggy — conversion happens at encode/decode.
+    */
   sealed trait PollStrategy { def kind: Byte; def value: Long }
   object PollStrategy {
     /** From a specific per-partition offset (inclusive). */
     final case class AtOffset(offset: Long) extends PollStrategy {
-      val kind = 0: Byte; def value: Long = offset
+      val kind = 1: Byte; def value: Long = offset
     }
-    /** From the first message with `ts_ms >= value` (µs in the reference;
-      * ms here — the envelope's resolution).
-      */
+    /** From the first message with `ts_ms >= ms` (µs on the wire). */
     final case class AtTimestamp(ms: Long) extends PollStrategy {
-      val kind = 1: Byte; def value: Long = ms
+      val kind = 2: Byte; def value: Long = ms * 1000L
     }
     /** From the first message in the partition. */
-    case object First extends PollStrategy { val kind = 2: Byte; val value = 0L }
+    case object First extends PollStrategy { val kind = 3: Byte; val value = 0L }
     /** The LAST `count` messages of the partition. */
-    case object Last extends PollStrategy { val kind = 3: Byte; val value = 0L }
+    case object Last extends PollStrategy { val kind = 4: Byte; val value = 0L }
     /** Continue from the stored consumer/group offset. */
-    case object Next extends PollStrategy { val kind = 4: Byte; val value = 0L }
+    case object Next extends PollStrategy { val kind = 5: Byte; val value = 0L }
 
     def apply(kind: Byte, value: Long): PollStrategy = kind match {
-      case 0 => AtOffset(value)
-      case 1 => AtTimestamp(value)
-      case 2 => First
-      case 3 => Last
-      case 4 => Next
+      case 1 => AtOffset(value)
+      case 2 => AtTimestamp(value / 1000L)
+      case 3 => First
+      case 4 => Last
+      case 5 => Next
       case other => throw new IllegalArgumentException(s"bad strategy kind $other")
     }
   }
@@ -97,10 +113,33 @@ object IggyWire {
       buf.write((v >>> 16) & 0xff); buf.write((v >>> 24) & 0xff); this
     }
     def u64(v: Long): Writer = { u32(v.toInt); u32((v >>> 32).toInt); this }
+    /** u128 LE as (low, high) u64 halves — iggy message ids. */
+    def u128(lo: Long, hi: Long = 0L): Writer = { u64(lo); u64(hi) }
     def str(s: String): Writer = {
       val b = s.getBytes(UTF_8)
       require(b.length <= 255, s"name too long: $s")
       u8(b.length); buf.write(b); this
+    }
+    /** u32-length-prefixed string — LoginUser's optional version/context. */
+    def lstr(s: String): Writer = {
+      val b = s.getBytes(UTF_8); u32(b.length); buf.write(b); this
+    }
+    /** Published `Identifier` framing: `[kind u8][length u8][value]` —
+      * kind 1 = numeric (u32 value), 2 = string (utf8 bytes).
+      */
+    def identifier(name: String): Writer = {
+      val b = name.getBytes(UTF_8)
+      require(b.length <= 255, s"identifier too long: $name")
+      u8(2).u8(b.length); buf.write(b); this
+    }
+    def identifierNum(v: Long): Writer = u8(1).u8(4).u32(v.toInt)
+    /** Published `Consumer` framing: `[kind u8][Identifier]`, kind
+      * 1 = consumer, 2 = consumer group (internal kinds are 0/1). The
+      * default standalone consumer (empty name) is the numeric id 0.
+      */
+    def consumer(kind01: Int, name: String): Writer = {
+      u8(if (kind01 == 1) 2 else 1)
+      if (name.isEmpty) identifierNum(0L) else identifier(name)
     }
     def bytes(b: Array[Byte]): Writer = { u32(b.length); buf.write(b); this }
     def raw(b: Array[Byte]): Writer = { buf.write(b); this }
@@ -110,6 +149,7 @@ object IggyWire {
   final class Reader(payload: Array[Byte]) {
     private var pos = 0
     def remaining: Int = payload.length - pos
+    def skip(n: Int): Unit = pos += n
     def u8(): Int = { val v = payload(pos) & 0xff; pos += 1; v }
     def u32(): Int = {
       val v = (payload(pos) & 0xff) | ((payload(pos + 1) & 0xff) << 8) |
@@ -121,14 +161,92 @@ object IggyWire {
       val hi = u32() & 0xffffffffL
       (hi << 32) | lo
     }
+    def u128(): (Long, Long) = { val lo = u64(); val hi = u64(); (lo, hi) }
     def str(): String = {
       val n = u8()
       val s = new String(payload, pos, n, UTF_8); pos += n; s
+    }
+    def lstr(): String = {
+      val n = u32()
+      val s = new String(payload, pos, n, UTF_8); pos += n; s
+    }
+    /** Left(numeric id) or Right(name). */
+    def identifier(): Either[Long, String] = u8() match {
+      case 1 =>
+        val len = u8()
+        require(len == 4, s"numeric identifier length $len"); Left(u32() & 0xffffffffL)
+      case 2 =>
+        val n = u8()
+        val s = new String(payload, pos, n, UTF_8); pos += n; Right(s)
+      case k => throw new IllegalArgumentException(s"bad identifier kind $k")
+    }
+    /** Identifier surfaced as a lookup name (numeric 0 = the default
+      * standalone consumer's empty name).
+      */
+    def identifierName(): String = identifier() match {
+      case Left(0L) => ""
+      case Left(n) => n.toString
+      case Right(s) => s
+    }
+    /** Inverse of [[Writer.consumer]]: internal (kind01, name). */
+    def consumer(): (Int, String) = {
+      val kind01 = if (u8() == 2) 1 else 0
+      (kind01, identifierName())
     }
     def bytes(): Array[Byte] = {
       val n = u32()
       val b = java.util.Arrays.copyOfRange(payload, pos, pos + n); pos += n; b
     }
+  }
+
+  // ---- message codecs (shared client/broker, golden-pinned) ----
+
+  /** SendMessages message: `[id u128][headers_len u32][length u32]
+    * [payload]` — no client timestamp field in the published layout; the
+    * event time rides the client-CHOSEN u128 id as µs (a legal id choice;
+    * the embedded broker adopts it as the message timestamp, which is the
+    * declared stand-in for a real server's append-time stamping).
+    */
+  def writeSendMessage(w: Writer, tsMs: Long, payload: Array[Byte]): Unit = {
+    w.u128(tsMs * 1000L).u32(0).bytes(payload); ()
+  }
+
+  def readSendMessage(r: Reader): (Long, Array[Byte]) = {
+    val (idLo, _) = r.u128()
+    r.skip(r.u32()) // headers (none sent by this client)
+    (idLo / 1000L, r.bytes())
+  }
+
+  /** Polled message: `[offset u64][state u8][timestamp u64 µs][id u128]
+    * [checksum u32][headers_len u32][length u32][payload]`; state 1 =
+    * available, checksum = CRC32 of the payload.
+    */
+  def writePolledMessage(w: Writer, offset: Long, tsMs: Long,
+      payload: Array[Byte]): Unit = {
+    val crc = new java.util.zip.CRC32
+    crc.update(payload)
+    w.u64(offset).u8(1).u64(tsMs * 1000L).u128(tsMs * 1000L)
+      .u32(crc.getValue.toInt).u32(0).bytes(payload)
+    ()
+  }
+
+  /** CRC-checked decode — a mismatch is a wire failure (the session layer
+    * reconnects and retries, the .ss corrupt-CRC discipline).
+    */
+  def readPolledMessage(r: Reader): PolledMessage = {
+    val offset = r.u64()
+    r.u8() // state
+    val tsUs = r.u64()
+    r.u128() // id (mirrors tsUs — not needed on decode)
+    val checksum = r.u32()
+    r.skip(r.u32()) // headers
+    val payload = r.bytes()
+    val crc = new java.util.zip.CRC32
+    crc.update(payload)
+    if (crc.getValue.toInt != checksum)
+      throw new java.io.IOException(
+        s"iggy: polled message checksum mismatch at offset $offset")
+    PolledMessage(offset, tsUs / 1000L, payload)
   }
 
   // ---- framing ----

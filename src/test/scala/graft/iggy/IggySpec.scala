@@ -46,12 +46,70 @@ class IggySpec extends AnyFunSuite {
     IggyWire.writeResponse(out2, IggyWire.Status.Ok, bytes("ok"))
     assert(out2.toByteArray.toSeq.map(_ & 0xff) ==
       Seq(0x00, 0x00, 0x00, 0x00, 0x02, 0x00, 0x00, 0x00, 'o'.toInt, 'k'.toInt))
-    // login payload: two u8-length-prefixed strings (iggy real adds
-    // version/context fields — a pinned divergence)
-    assert(new IggyWire.Writer().str("iggy").str("iggy").result().toSeq
-      .map(_ & 0xff) ==
+    // login payload: two u8-length credentials + the published OPTIONAL
+    // u32-length version/context strings (empty → u32 0)
+    assert(new IggyWire.Writer().str("iggy").str("iggy").lstr("").lstr("")
+      .result().toSeq.map(_ & 0xff) ==
       (Seq(4) ++ "iggy".getBytes(UTF_8).map(_ & 0xff) ++
-        Seq(4) ++ "iggy".getBytes(UTF_8).map(_ & 0xff)))
+        Seq(4) ++ "iggy".getBytes(UTF_8).map(_ & 0xff) ++
+        Seq(0, 0, 0, 0, 0, 0, 0, 0)))
+  }
+
+  test("published-layout goldens: Identifier, Consumer, send + polled message") {
+    // Identifier: [kind u8 (1=numeric, 2=string)][length u8][value]
+    assert(new IggyWire.Writer().identifier("orders").result().toSeq
+      .map(_ & 0xff) ==
+      (Seq(2, 6) ++ "orders".getBytes(UTF_8).map(_ & 0xff)))
+    assert(new IggyWire.Writer().identifierNum(7L).result().toSeq
+      .map(_ & 0xff) == Seq(1, 4, 7, 0, 0, 0))
+    // Consumer: [kind u8 (1=consumer, 2=group)][Identifier]; the default
+    // standalone consumer is numeric id 0
+    assert(new IggyWire.Writer().consumer(0, "").result().toSeq
+      .map(_ & 0xff) == Seq(1, 1, 4, 0, 0, 0, 0))
+    assert(new IggyWire.Writer().consumer(1, "g1").result().toSeq
+      .map(_ & 0xff) == (Seq(2, 2, 2) ++ "g1".getBytes(UTF_8).map(_ & 0xff)))
+    // both decode back to the internal (kind01, name) pair
+    assert(new IggyWire.Reader(
+      new IggyWire.Writer().consumer(1, "g1").result()).consumer() == ((1, "g1")))
+    assert(new IggyWire.Reader(
+      new IggyWire.Writer().consumer(0, "").result()).consumer() == ((0, "")))
+
+    // send message: [id u128 = event-time µs][headers_len u32 = 0]
+    // [length u32][payload] — no client timestamp field
+    val sw = new IggyWire.Writer()
+    IggyWire.writeSendMessage(sw, tsMs = 3L, "hi".getBytes(UTF_8))
+    assert(sw.result().toSeq.map(_ & 0xff) ==
+      (Seq(0xB8, 0x0B, 0, 0, 0, 0, 0, 0) ++ Seq.fill(8)(0) // id = 3000 µs
+        ++ Seq(0, 0, 0, 0)                                 // headers_len
+        ++ Seq(2, 0, 0, 0) ++ "hi".getBytes(UTF_8).map(_ & 0xff)))
+    assert(IggyWire.readSendMessage(new IggyWire.Reader(sw.result()))
+      ._1 == 3L)
+
+    // polled message: [offset u64][state u8 = 1][timestamp u64 µs]
+    // [id u128][checksum u32][headers_len u32][length u32][payload]
+    val pw = new IggyWire.Writer()
+    IggyWire.writePolledMessage(pw, offset = 9L, tsMs = 3L,
+      "hi".getBytes(UTF_8))
+    val crc = new java.util.zip.CRC32
+    crc.update("hi".getBytes(UTF_8))
+    val c = crc.getValue.toInt
+    assert(pw.result().toSeq.map(_ & 0xff) ==
+      (Seq(9, 0, 0, 0, 0, 0, 0, 0) ++ Seq(1)                // offset, state
+        ++ Seq(0xB8, 0x0B, 0, 0, 0, 0, 0, 0)                // ts 3000 µs
+        ++ Seq(0xB8, 0x0B, 0, 0, 0, 0, 0, 0) ++ Seq.fill(8)(0) // id u128
+        ++ Seq(c & 0xff, (c >>> 8) & 0xff, (c >>> 16) & 0xff, (c >>> 24) & 0xff)
+        ++ Seq(0, 0, 0, 0)                                  // headers_len
+        ++ Seq(2, 0, 0, 0) ++ "hi".getBytes(UTF_8).map(_ & 0xff)))
+    val pm = IggyWire.readPolledMessage(new IggyWire.Reader(pw.result()))
+    assert(pm.offset == 9L && pm.tsMs == 3L &&
+      new String(pm.payload, UTF_8) == "hi")
+
+    // CRC-checked decode: a corrupted payload byte is a typed wire failure
+    val corrupt = pw.result().clone()
+    corrupt(corrupt.length - 1) = 'X'.toByte
+    intercept[java.io.IOException] {
+      IggyWire.readPolledMessage(new IggyWire.Reader(corrupt))
+    }
   }
 
   test("writer/reader primitives are little-endian and roundtrip") {
