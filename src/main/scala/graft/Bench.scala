@@ -65,7 +65,13 @@ object Bench {
       * ±0.5–1.6 s between clean runs — broker thread scheduling and socket
       * accepts, not plan cost. Time those 3× and report the MEDIAN so
       * round-over-round comparison carries signal (method documented in
-      * BENCH_LOCAL.md). Everything else stays single-shot.
+      * BENCH_LOCAL.md). The uncapped-jac dedup family (d3/d10/d11 — the
+      * repo's most expensive entries) gets the same treatment for a
+      * different noise source: BENCH_LOCAL.md documents an 8–13 s
+      * page-cache/GC variance band for d10 on byte-identical code, and a
+      * single-shot reading from that band is what made round 9's committed
+      * artifact contradict its own documentation (VERDICT r9 #1).
+      * Everything else stays single-shot.
       */
     val medianOf3 = Set(
       "i1_iggy_roundtrip", "i2_iggy_admission", "i3_iggy_seek",
@@ -73,7 +79,8 @@ object Bench {
       "k4_kafka_group_resume",
       "r1_redis_roundtrip", "r2_redis_latest", "r3_redis_sharding",
       "r4_redis_seek", "r5_redis_admission", "r6_redis_group_recovery",
-      "r7_relay", "t2_ss_stream")
+      "r7_relay", "t2_ss_stream",
+      "d3_minhash_lsh", "d10_cross_corpus", "d11_lsh_recall")
 
     def timedMedian(name: String)(f: => Unit): Unit = {
       val runs = (1 to 3).map { _ =>
@@ -84,6 +91,10 @@ object Bench {
         System.gc()
         dt
       }
+      // raw readings to stderr: the variance-band receipts BENCH_LOCAL.md's
+      // method needs (the JSON carries only the median)
+      System.err.println(f"[bench] $name median-of-3 raw: " +
+        runs.map(r => f"$r%.2f").mkString(" / "))
       results(name) = runs.sorted.apply(1)
     }
 
