@@ -43,6 +43,9 @@ object Dedup {
     */
   private val EditDupMaxDist = 0.2
 
+  /** d13: the contained side must share ≥ 80% of its shingles. */
+  private val ContainmentThreshold = 0.8
+
   /** Max document-frequency a shingle may have and still participate in
     * `jaccardPairs`. A shingle present in k documents contributes k² rows on
     * ONE shuffle key in the self-join — locally invisible, quadratic at
@@ -430,6 +433,35 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
     },
 
+    // Asymmetric set CONTAINMENT — the dedup lens symmetric Jaccard is
+    // blind to: a short document whose shingles sit almost entirely inside
+    // a much longer one (boilerplate wrapping, quote-heavy expansions, a
+    // page embedded in a crawl of its parent) scores containment(inner in
+    // outer) = common/|inner| ≈ 1 while Jaccard = common/|union| can be
+    // arbitrarily small. One pass over d2's df-capped shingle join
+    // computes BOTH directions (the pair table is collision-bounded;
+    // everything after it is output-sized — the unpivot is an explode, not
+    // a second execution of the join), emitting (inner, outer) rows at
+    // containment ≥ 0.8 with the symmetric jaccard attached and a sym_dup
+    // flag marking which pairs plain d2 would also have caught. 100 TB
+    // shape: identical to d2 (the join IS d2's), plus an output-sized map.
+    "d13_containment" -> { (s, dir) =>
+      val pairs = jaccardPairs(shingles(Tables(s, dir).documents))
+      pairs
+        .select(explode(array(
+          struct(col("doc_a").as("doc_inner"), col("doc_b").as("doc_outer"),
+            (col("common") / col("na")).as("containment"), col("jaccard")),
+          struct(col("doc_b").as("doc_inner"), col("doc_a").as("doc_outer"),
+            (col("common") / col("nb")).as("containment"), col("jaccard"))))
+          .as("e"))
+        .select(col("e.*"))
+        .filter(col("containment") >= ContainmentThreshold)
+        .select(col("doc_inner"), col("doc_outer"),
+          round(col("containment"), 6).as("containment"),
+          round(col("jaccard"), 6).as("jaccard"),
+          (col("jaccard") >= JaccardThreshold).as("sym_dup"))
+    },
+
     // MinHash (8 perms) + LSH band join (band size 1) → candidates →
     // exact-Jaccard verification. est_sim = matching minhashes / 8.
     "d3_minhash_lsh" -> { (s, dir) =>
@@ -763,6 +795,21 @@ object Dedup {
       s"""WITH $jaccardOracleCteCapped
          |SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard
          |FROM jac WHERE jaccard >= $JaccardThreshold""".stripMargin,
+    "d13_containment" ->
+      s"""WITH $jaccardOracleCteCapped,
+         |bothdir AS (SELECT doc_a, doc_b,
+         |              common * 1.0 / sa.n AS ca, common * 1.0 / sb.n AS cb,
+         |              common * 1.0 / (sa.n + sb.n - common) AS j
+         |            FROM pairs
+         |            JOIN sizes sa ON doc_a = sa.doc_id
+         |            JOIN sizes sb ON doc_b = sb.doc_id),
+         |uni AS (SELECT doc_a AS doc_inner, doc_b AS doc_outer,
+         |          ca AS containment, j FROM bothdir
+         |        UNION ALL
+         |        SELECT doc_b, doc_a, cb, j FROM bothdir)
+         |SELECT doc_inner, doc_outer, ROUND(containment, 6) AS containment,
+         |  ROUND(j, 6) AS jaccard, j >= $JaccardThreshold AS sym_dup
+         |FROM uni WHERE containment >= $ContainmentThreshold""".stripMargin,
     "d3_minhash_lsh" -> {
       s"""WITH $jaccardOracleCte,
          |$minhashSigSql,

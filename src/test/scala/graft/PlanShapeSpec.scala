@@ -56,6 +56,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("d13's shingle join and size attaches all shuffle (no broadcast, no cartesian)") {
+    // d13 rides d2's df-capped shingle self-join; every side is
+    // corpus-sized, so a broadcast anywhere is a 100 TB OOM in waiting
+    val p = planOf("d13_containment")
+    assert(!p.contains("BroadcastHashJoin"), "corpus-sized side broadcast in d13")
+    assert(!p.contains("CartesianProduct"))
+    assert("\\bWindow\\b".r.findAllIn(p).isEmpty, "d13 must not window")
+  }
+
   test("LSH candidate generation never plans a cartesian product") {
     // (tiny broadcast cross joins against constant tables — 8 minhash params,
     // plane grids — are deliberate and fine; a CartesianProduct is not)

@@ -26,6 +26,28 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("jaccard") - 1.0) < 1e-9)
   }
 
+  test("d13 containment fires on subset pairs that symmetric Jaccard misses") {
+    import spark.implicits._
+    // doc 1 = a 6-word snippet; doc 2 = the same snippet wrapped in 3× as
+    // much boilerplate. Every one of doc 1's shingles appears in doc 2
+    // (containment = 1.0) while Jaccard = |inner|/|outer| ≈ 0.18 — far
+    // below the d2 threshold. The flag must mark it as NOT a sym dup.
+    val inner = "alpha beta gamma delta epsilon zeta"
+    val outer = s"one two three four five six seven eight $inner " +
+      "nine ten eleven twelve thirteen fourteen fifteen sixteen"
+    val docs = Seq((1L, inner), (2L, outer)).toDF("doc_id", "text")
+    val got = Dedup.jaccardPairs(Dedup.shingles(docs)).collect()
+    assert(got.length == 1)
+    val r = got.head
+    val (na, nb, common) = (r.getAs[Long]("na"), r.getAs[Long]("nb"),
+      r.getAs[Long]("common"))
+    assert(common == na, "every inner shingle must be shared")
+    assert(r.getAs[Double]("jaccard") < 0.5,
+      "the pair must be invisible to symmetric dedup")
+    assert(common.toDouble / math.min(na, nb) >= 0.999)
+    assert(nb > na)
+  }
+
   test("jaccardPairs keeps shingles at exactly the df cap") {
     import spark.implicits._
     // 3 docs share one 3-gram: df=3 <= cap, so all C(3,2)=3 pairs survive.
