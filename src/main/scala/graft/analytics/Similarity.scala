@@ -684,6 +684,36 @@ object Similarity {
     // one broadcast-centroid corpus pass, one k-keyed map-side-combined
     // agg; the centroid-pair separation table is k²-bounded (k × k, never
     // corpus-anything) and joins broadcast.
+    // One-pass k-SELECTION (elbow) curve — c4 generalized across k: the
+    // inertia curve for k ∈ {4, 8, 16} from ONE corpus scan. First-k
+    // seeding makes the candidate centroid sets nest, so the union of all
+    // three sets is 28 broadcast rows tagged by k; the scan cross-joins
+    // once and the packed argmin keys by (k, vec) — three clusterings
+    // priced as one corpus pass + one map-side-combined keyed agg, versus
+    // one full scan per k in the naive sweep. At 100 TB the elbow sweep is
+    // usually skipped because each k re-reads the corpus; this shape makes
+    // the whole curve cost one read. Output: one row per k — THE input a
+    // pipeline plots to pick k before committing to a c2 training run.
+    "c5_kmeans_elbow" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val cents = broadcast(e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb"),
+          explode(array(lit(4L), lit(8L), lit(16L))).as("k"))
+        .filter(col("centroid_id") < col("k")))
+      val assigned = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(cents)
+        .withColumn("d2r", round(dist2Col("embedding", "cemb"), 6))
+      val win = packedArgminKeyed(assigned, Seq(col("k"), col("vec_id")),
+          col("d2r"), col("centroid_id"), "centroid_id", "d2r")
+      win.groupBy("k").agg(
+          count(lit(1)).as("n_vecs"),
+          countDistinct(col("centroid_id")).as("used_centroids"),
+          sum(col("d2r").cast("decimal(30,15)")).as("idec"))
+        .select(col("k"), col("n_vecs"), col("used_centroids"),
+          round(col("idec").cast("double"), 6).as("inertia"),
+          round(col("idec").cast("double") / col("n_vecs"), 6).as("avg_d2"))
+    },
+
     "c4_cluster_quality" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
       val K = 16
@@ -1509,6 +1539,36 @@ object Similarity {
       ivfOracleSql("vec_id <= 16 AND vec_id % 10 <> 7"),
     // the argmin assignment replayed with its winning distance; inertia =
     // decimal sum of the 6-dp d2r; separation from the k² centroid pairs
+    "c5_kmeans_elbow" -> {
+      val ks = Seq(4, 8, 16)
+      val perK = ks.map { k =>
+        s"""cents$k AS (SELECT vec_id AS centroid_id, d, v FROM ex
+           |             WHERE vec_id < $k),
+           |d2$k AS (SELECT e.vec_id, c.centroid_id,
+           |           ROUND(CAST(SUM(CAST((e.v - c.v) * (e.v - c.v)
+           |             AS DECIMAL(30,15))) AS DOUBLE), 6) AS d2r
+           |         FROM ex e JOIN cents$k c ON e.d = c.d
+           |         GROUP BY 1, 2),
+           |ra$k AS (SELECT vec_id, centroid_id, d2r,
+           |           ROW_NUMBER() OVER (PARTITION BY vec_id
+           |             ORDER BY d2r, centroid_id) AS cr
+           |         FROM d2$k),
+           |win$k AS (SELECT vec_id, centroid_id, d2r FROM ra$k WHERE cr = 1),
+           |agg$k AS (SELECT CAST($k AS BIGINT) AS k,
+           |            CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           |            CAST(COUNT(DISTINCT centroid_id) AS BIGINT)
+           |              AS used_centroids,
+           |            SUM(CAST(d2r AS DECIMAL(30,15))) AS idec
+           |          FROM win$k)""".stripMargin
+      }.mkString(",\n")
+      val unions = ks.map(k => s"SELECT * FROM agg$k").mkString(" UNION ALL ")
+      s"""WITH $explodedSql,
+         |$perK
+         |SELECT k, n_vecs, used_centroids,
+         |  ROUND(CAST(idec AS DOUBLE), 6) AS inertia,
+         |  ROUND(CAST(idec AS DOUBLE) / n_vecs, 6) AS avg_d2
+         |FROM ($unions)""".stripMargin
+    },
     "c4_cluster_quality" ->
       s"""WITH $explodedSql,
          |cents AS (SELECT vec_id AS centroid_id, d, v FROM ex WHERE vec_id < 16),

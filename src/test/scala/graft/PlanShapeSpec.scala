@@ -207,6 +207,20 @@ class PlanShapeSpec extends AnyFunSuite {
       "the k-bounded separation join should broadcast")
   }
 
+  test("c5's elbow curve reads the corpus ONCE for all k") {
+    // the operator's point: three clusterings, one scan — a per-k loop
+    // would plan one embeddings FileScan per k. The tagged centroid union
+    // broadcasts; the argmin keyed by (k, vec) keeps the map-side partial.
+    val p = planOf("c5_kmeans_elbow")
+    val scans = nodeBlocks(p).count { case (n, _) => n == "Scan" }
+    assert(scans <= 2, // one corpus scan + the broadcast centroid scan
+      s"c5 must not scan the corpus per k (found $scans parquet scans)")
+    assert(nodeBlocks(p).exists { case (n, b) =>
+      n == "HashAggregate" && b.contains("partial_min")
+    }, "c5 lost its map-side partial packed-long argmin")
+    assert("\\bWindow\\b".r.findAllIn(p).isEmpty, "c5 must not window")
+  }
+
   test("d3's band/est/verify joins shuffle — no broadcast of unbounded sides") {
     // every join side in d3 (signatures, candidates, shingle sets, sizes) is
     // corpus-sized or candidate-sized — locally tiny, unbounded at scale;
