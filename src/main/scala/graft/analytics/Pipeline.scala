@@ -40,7 +40,7 @@ object Pipeline {
   private val ShuffleShards = 8
 
   /** p20: held-out eval docs per source. */
-  private val HoldoutK = 5
+  private[analytics] val HoldoutK = 5
 
   /** p19's per-source token budget — ~half of each sf0.01 source's ~1350
     * tokens, so the selection genuinely bisects (production would set this

@@ -541,6 +541,76 @@ object Transport {
             .as("drift_smd"))
     },
 
+    // Streaming eval-holdout carve-out — p20's batch contract maintained
+    // AT INGEST (the s11→t15 discipline applied to the p20 pair): a
+    // GroupState per source carries the current lowest-k (hash, doc_id)
+    // set across micro-batches — O(k) state per source at any corpus
+    // size, merged in O(k log k) per arrival. Because membership is
+    // content-hash-ranked, after ANY prefix of the stream the state IS
+    // the exact holdout of the data seen so far, and at end-of-log it
+    // must equal p20's batch answer bit-for-bit — the oracle REUSES
+    // p20's SQL, which is the streaming≡batch law. This is how a
+    // continuously-ingesting pipeline keeps a valid eval split without
+    // ever re-running the batch carve-out.
+    "t16_stream_holdout" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+      val t = Tables(s, dir)
+      val out = scratch(dir, "t16holdout")
+      // p20's null-text filter and content hash, attached at produce time
+      val docs = t.documents.filter(col("text").isNotNull)
+      docs.select(
+          col("source").as("stream_key"),
+          pmod(col("doc_id"), lit(4L)).as("shard_id"),
+          col("doc_id").as("sequence"),
+          expr("timestamp'2026-01-01 00:00:00'").as("timestamp"),
+          to_json(struct(col("doc_id"),
+            conv(substring(md5(concat(lit("holdout:"), col("text"))), 1, 15),
+              16, 10).cast("long").as("h"))).cast("binary").as("payload"))
+        .write.format("ss").mode("overwrite").save(out)
+      // ~4 micro-batches at any scale (t15's no-floor discipline: the
+      // cross-trigger carry must be exercised at oracle scale too)
+      val cap = math.max(1L, docs.count() / 4)
+      val src = s.readStream.format("ss")
+        .option("maxMessagesPerTrigger", cap.toString)
+        .load(out)
+        .select(col("stream_key").as("source"),
+          from_json(col("payload").cast("string"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "doc_id LONG, h LONG")).as("j"))
+        .select(col("source"), col("j.h").as("h"), col("j.doc_id").as("doc_id"))
+        .as[(String, Long, Long)]
+      val k = Pipeline.HoldoutK
+      val updates = src.groupByKey(_._1)
+        .flatMapGroupsWithState(OM.Update(), GroupStateTimeout.NoTimeout())(
+          (source: String, rows: Iterator[(String, Long, Long)],
+              state: GroupState[(Long, Seq[(Long, Long)])]) => {
+            var (seen, top) = state.getOption
+              .getOrElse((0L, Seq.empty[(Long, Long)]))
+            rows.foreach { case (_, h, id) =>
+              seen += 1
+              // tuple order = (h, doc_id) — exactly p20's rank order
+              top = ((h, id) +: top).sorted.take(k)
+            }
+            state.update((seen, top))
+            Iterator((source, seen, top))
+          })
+      val q = updates.toDF("source", "seen", "top")
+        .writeStream.outputMode("update")
+        .format("memory").queryName("t16_holdout_sink").start()
+      try q.processAllAvailable() finally q.stop()
+      // final emit per source (largest seen) carries the complete holdout;
+      // the window ranks |sources| × batches rows — report-sized
+      val w = Window.partitionBy("source").orderBy(col("seen").desc)
+      s.table("t16_holdout_sink")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("source"), posexplode(col("top")).as(Seq("i", "x")))
+        .select(col("source"), col("x._2").as("doc_id"), col("x._1").as("h"),
+          (col("i") + 1).cast("long").as("rank"))
+    },
+
     // Custom arbitrary state via flatMapGroupsWithState — the
     // KeyValueGroupedDataset escape hatch SURVEY §2.8 reserves for state
     // shapes the built-in operators can't express. A per-key running
@@ -595,6 +665,9 @@ object Transport {
     // the streaming monitor must equal the batch monitor bit-for-bit —
     // same SQL, different execution model, that identity IS the law
     "t15_stream_drift" -> Similarity.oracles("s11_embed_drift"),
+    // the streaming holdout must equal the batch carve-out EXACTLY —
+    // same SQL, the streaming ≡ batch law
+    "t16_stream_holdout" -> Pipeline.oracles("p20_eval_holdout"),
     "t14_stream_lsh_dedup" -> {
       val constRows = Dedup.MinhashParams.zipWithIndex
         .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
