@@ -33,7 +33,7 @@ object Dedup {
     (387, 1031), (1049, 2477), (2503, 4099), (4111, 8221),
     (8231, 16411), (16417, 32771), (32779, 65537), (65539, 131071))
 
-  private val JaccardThreshold = 0.5
+  private[analytics] val JaccardThreshold = 0.5
 
   /** d12: max normalized edit distance (1 − edit similarity) for a
     * candidate pair to count as a character-level near-dup. 0.2 ≡ edit
@@ -772,7 +772,7 @@ object Dedup {
        |        JOIN sizes sb ON doc_b = sb.doc_id)""".stripMargin
 
   /** df-capped form mirroring [[jaccardPairs]] — d2/d6. */
-  private def jaccardOracleCteCapped: String =
+  private[analytics] def jaccardOracleCteCapped: String =
     s"""$shinglesSql,
        |keep AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= $ShingleDfCap),
        |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),

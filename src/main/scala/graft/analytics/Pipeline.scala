@@ -362,6 +362,41 @@ object Pipeline {
           (col("i") + 1).cast("long").as("rank"))
     },
 
+    // Dedup SURVIVORSHIP report — the integration that closes the
+    // dedup → curation loop: what does the corpus look like AFTER d6's
+    // cluster dedup ships? Per source: docs and tokens before/after, the
+    // kept-token ratio a data-mix planner feeds back into p7's domain
+    // weights (dedup shifts the mix — a source that was 30% duplicates
+    // contributes 30% fewer tokens than the raw census says). Keeper rule
+    // is d6's (cluster = min reachable doc; singletons keep themselves).
+    // 100 TB shape: the expensive part IS d6 (band-bounded pairs +
+    // O(log n) contraction); the report adds one doc-keyed left join
+    // (labels are component-sized, shuffled never broadcast) + one
+    // map-side-combined source agg.
+    "p21_dedup_survivorship" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val pairs = Dedup.jaccardPairs(Dedup.shingles(docs))
+        .filter(col("jaccard") >= Dedup.JaccardThreshold)
+        .select(col("doc_a"), col("doc_b"))
+      val (labels, _) = Dedup.connectedComponents(pairs)
+      docs
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .join(labels.withColumnRenamed("doc", "doc_id").hint("shuffle_hash"),
+          Seq("doc_id"), "left")
+        .withColumn("keeper",
+          col("lbl").isNull || (col("lbl") === col("doc_id")))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("keeper"), 1L).otherwise(0L)).as("n_kept"),
+          sum(col("n_tokens")).as("tokens_total"),
+          sum(when(col("keeper"), col("n_tokens")).otherwise(0L))
+            .as("tokens_kept"))
+        .withColumn("kept_ratio",
+          round(col("tokens_kept") * lit(1.0) / col("tokens_total"), 6))
+    },
+
     // BPE tokenizer TRAINING as corpus aggregation: one corpus pass builds
     // the word-frequency table, then every merge round is an aggregation
     // over the VOCABULARY (Heaps-law bounded — orders of magnitude smaller
@@ -944,6 +979,34 @@ object Pipeline {
          |  ROW_NUMBER() OVER (PARTITION BY source
          |    ORDER BY h, doc_id) AS rank FROM h)
          |SELECT source, doc_id, h, rank FROM r WHERE rank <= $HoldoutK""".stripMargin,
+
+    // d6's transitive-closure labels (recursive CTE) left-joined onto the
+    // full doc census; singletons (no near-dup edge) keep themselves
+    "p21_dedup_survivorship" ->
+      s"""WITH RECURSIVE ${Dedup.jaccardOracleCteCapped},
+         |near AS (SELECT doc_a, doc_b FROM jac
+         |         WHERE jaccard >= ${Dedup.JaccardThreshold}),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM near
+         |          UNION ALL SELECT doc_b, doc_a FROM near),
+         |reach(doc, lbl) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.doc = e.a),
+         |lab AS (SELECT doc AS doc_id, MIN(lbl) AS lbl FROM reach GROUP BY doc),
+         |d AS (SELECT doc_id, source,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |      FROM documents),
+         |f AS (SELECT d.source, d.n_tokens,
+         |        (lab.lbl IS NULL OR lab.lbl = d.doc_id) AS keeper
+         |      FROM d LEFT JOIN lab ON d.doc_id = lab.doc_id)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+         |  CAST(SUM(CASE WHEN keeper THEN n_tokens ELSE 0 END) AS BIGINT)
+         |    AS tokens_kept,
+         |  ROUND(SUM(CASE WHEN keeper THEN n_tokens ELSE 0 END) * 1.0
+         |    / SUM(n_tokens), 6) AS kept_ratio
+         |FROM f GROUP BY source""".stripMargin,
 
     "p14_bpe_merges" -> bpeOracleSql,
     "p15_bpe_tokenize" -> bpeTokenizeOracleSql,
