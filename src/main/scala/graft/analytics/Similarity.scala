@@ -837,6 +837,54 @@ object Similarity {
       out.select(col("centroid_id"), col("n_members"), col("shift"))
     },
 
+    // MINI-BATCH k-means (the batch-deterministic form of Sculley 2010):
+    // each round assigns only a ~20% HASH-SAMPLE of the corpus (content-
+    // stable md5 of the vec id, salted per round so successive rounds see
+    // different slices) and moves each centroid to its sample-members'
+    // mean; a centroid with no sample members KEEPS its position — centers
+    // are never dropped, unlike pure Lloyd where an emptied centroid exits.
+    // This is the 100 TB training path: the dominant per-round cost is
+    // k×dim distance flops per vector plus the assignment/mean shuffles,
+    // and the sample cuts ALL of that to 20% per round (the scan itself
+    // stays full here — a production deployment additionally prunes IO by
+    // partitioning on a persisted sample bucket, the s7 layout trick,
+    // which changes no shape below). Same
+    // per-round machinery as c2 (packed argmin, map-side-combined mean agg,
+    // k-row localCheckpoints keeping every round's plan identical); the
+    // oracle replays the identical salted samples, so determinism is pinned
+    // cross-engine. Output: all k centroids with the final round's sample
+    // member count and shift (0 for untouched centers).
+    "c6_kmeans_minibatch" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+      def sample(r: Int) = e.filter(
+        conv(substring(md5(concat(lit(s"mb$r:"),
+          col("vec_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long") % 5 === 0)
+      var cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb"))
+        .localCheckpoint()
+      var out: DataFrame = null
+      for (i <- 1 to 3) {
+        val ro = kmeansRound(sample(i), cents)
+        if (i < 3)
+          cents = cents.select(col("centroid_id"), col("cemb").as("prev"))
+            .join(ro.select(col("centroid_id"), col("cemb").as("newc")),
+              Seq("centroid_id"), "left")
+            .select(col("centroid_id"),
+              coalesce(col("newc"), col("prev")).as("cemb"))
+            .localCheckpoint()
+        else
+          // untouched centers report zero movement — they ARE the answer
+          // for their slot this round, not absentees
+          out = cents.select(col("centroid_id"))
+            .join(ro, Seq("centroid_id"), "left")
+            .select(col("centroid_id"),
+              coalesce(col("n_members"), lit(0L)).as("n_members"),
+              coalesce(col("shift"), lit(0.0)).as("shift"))
+      }
+      out
+    },
+
     // Greedy farthest-point seeding (the deterministic k-center variant of
     // k-means++ — Gonzalez 1985; completes the k-means story: c3 seeds,
     // c1 runs a round, c2 iterates). Seed 1 is vector 0; each next seed is
@@ -1331,6 +1379,36 @@ object Similarity {
        |           CAST(CAST(sv / n AS FLOAT) AS DOUBLE) AS v FROM m_$i)""".stripMargin
   }
 
+  /** c6's oracle round: [[lloydRoundCte]] restricted to the round's salted
+    * hash-sample, with the centroid table carried by LEFT JOIN + COALESCE
+    * (a center with no sample members keeps its position — mini-batch
+    * never drops centers).
+    */
+  private def minibatchRoundCte(i: Int): String = {
+    val next = i + 1
+    s"""s_$i AS (SELECT * FROM ex
+       |         WHERE CAST(('0x'||substr(md5('mb$i:'||vec_id),1,15)) AS BIGINT)
+       |               % 5 = 0),
+       |d2_$i AS (SELECT e.vec_id, c.centroid_id,
+       |           ROUND(CAST(SUM(CAST((e.v - c.v) * (e.v - c.v)
+       |             AS DECIMAL(30,15))) AS DOUBLE), 6) AS d2r
+       |         FROM s_$i e JOIN cents_$i c ON e.d = c.d
+       |         GROUP BY 1, 2),
+       |l_$i AS (SELECT vec_id, centroid_id FROM (
+       |          SELECT vec_id, centroid_id,
+       |            ROW_NUMBER() OVER (PARTITION BY vec_id
+       |              ORDER BY d2r, centroid_id) AS r
+       |          FROM d2_$i) WHERE r = 1),
+       |m_$i AS (SELECT l.centroid_id, e.d, COUNT(*) AS n,
+       |           CAST(SUM(CAST(e.v AS DECIMAL(30,15))) AS DOUBLE) AS sv
+       |         FROM s_$i e JOIN l_$i l ON e.vec_id = l.vec_id
+       |         GROUP BY 1, 2),
+       |cents_$next AS (SELECT c.centroid_id, c.d,
+       |           COALESCE(CAST(CAST(m.sv / m.n AS FLOAT) AS DOUBLE), c.v) AS v
+       |         FROM cents_$i c LEFT JOIN m_$i m
+       |           ON c.centroid_id = m.centroid_id AND c.d = m.d)""".stripMargin
+  }
+
   /** c3's oracle: the farthest-point seeding unrolled — dm{r} carries each
     * vector's min distance to the first r seeds, m{r}/p{r} pick round r's
     * max and its tie-broken id, excluding everything already chosen.
@@ -1645,6 +1723,20 @@ object Similarity {
     "c3_kmeans_seed" -> kppOracleSql(8),
     // three unrolled Lloyd rounds — float-quantized centroids between
     // rounds replay Spark's CAST(mean AS FLOAT) bit-for-bit
+    "c6_kmeans_minibatch" ->
+      s"""WITH $explodedSql,
+         |cents_1 AS (SELECT vec_id AS centroid_id, d, v FROM ex WHERE vec_id < 16),
+         |${minibatchRoundCte(1)},
+         |${minibatchRoundCte(2)},
+         |${minibatchRoundCte(3)}
+         |SELECT o.centroid_id,
+         |  CAST(COALESCE(MAX(m.n), 0) AS BIGINT) AS n_members,
+         |  ROUND(CAST(SUM(CAST((n.v - o.v) * (n.v - o.v)
+         |    AS DECIMAL(30,15))) AS DOUBLE), 6) AS shift
+         |FROM cents_3 o
+         |JOIN cents_4 n ON o.centroid_id = n.centroid_id AND o.d = n.d
+         |LEFT JOIN m_3 m ON o.centroid_id = m.centroid_id AND o.d = m.d
+         |GROUP BY o.centroid_id""".stripMargin,
     "c2_kmeans_lloyd" ->
       s"""WITH $explodedSql,
          |cents_1 AS (SELECT vec_id AS centroid_id, d, v FROM ex WHERE vec_id < 16),

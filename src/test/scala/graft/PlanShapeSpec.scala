@@ -221,6 +221,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("\\bWindow\\b".r.findAllIn(p).isEmpty, "c5 must not window")
   }
 
+  test("c6's mini-batch round rides the sampled packed argmin, no window") {
+    // the final round's plan (rounds 1-2 are materialized checkpoints by
+    // construction, the c2 discipline): the round-salted md5 sample filter
+    // must gate the corpus BEFORE the k-way distance work, the assignment
+    // must stay the map-side partial packed-long argmin, and no rank
+    // window anywhere
+    val p = planOf("c6_kmeans_minibatch")
+    assert(p.contains("md5"), "c6 lost its deterministic sample filter")
+    assert(nodeBlocks(p).exists { case (n, b) =>
+      n == "HashAggregate" && b.contains("partial_min")
+    }, "c6 lost its map-side partial packed-long argmin")
+    assert("\\bWindow\\b".r.findAllIn(p).isEmpty, "c6 must not window")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("d3's band/est/verify joins shuffle — no broadcast of unbounded sides") {
     // every join side in d3 (signatures, candidates, shingle sets, sizes) is
     // corpus-sized or candidate-sized — locally tiny, unbounded at scale;
