@@ -38,6 +38,12 @@ final class EmbeddedIggy extends AutoCloseable {
     * is exactly-once (the deterministic stand-in for a refused produce).
     */
   val dropSendCountdown = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** COUNTDOWN tap: the Nth message-bearing PollMessages reply has one
+    * payload byte flipped AFTER its checksum was computed — the wire-level
+    * bit-rot the polled-message CRC exists to catch. Nothing server-side
+    * advances, so a reconnect re-fetches the same offsets clean.
+    */
+  val corruptPollCountdown = new java.util.concurrent.atomic.AtomicInteger(0)
   private def takeFault(tap: java.util.concurrent.atomic.AtomicInteger): Boolean =
     tap.getAndUpdate(n => math.max(0, n - 1)) > 0
   /** Single-atomic-op countdown: fires exactly on the Nth command even under
@@ -236,7 +242,13 @@ final class EmbeddedIggy extends AutoCloseable {
             slice.foreach { case (off, m) =>
               IggyWire.writePolledMessage(w, off, m.tsMs, m.payload)
             }
-            ok(w.result())
+            val body = w.result()
+            // flip the reply's LAST byte (inside the final message's
+            // payload, after its CRC was computed) — deterministic bit-rot
+            if (slice.nonEmpty && slice.last._2.payload.nonEmpty &&
+                takeCountdown(corruptPollCountdown))
+              body(body.length - 1) = (body(body.length - 1) ^ 0x01).toByte
+            ok(body)
         }
 
       case Cmd.StoreConsumerOffset =>

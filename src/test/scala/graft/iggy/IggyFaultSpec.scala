@@ -66,6 +66,31 @@ class IggyFaultSpec extends AnyFunSuite {
     }
   }
 
+  test("a corrupted polled payload is caught by its CRC and re-fetched clean") {
+    // end-to-end law for the polled-message checksum: the broker flips one
+    // payload bit AFTER computing the CRC (wire bit-rot), the decode
+    // throws, the session reconnects, and the SAME offset is re-fetched —
+    // every message delivered exactly once with intact bytes, the reader
+    // never sees the corruption
+    withBroker { (srv, seeder) =>
+      seed(seeder, "t", 20)
+      srv.corruptPollCountdown.set(3) // the 3rd poll arrives corrupted
+      val session = new IggyClient.Session(
+        () => new IggyClient(srv.host, srv.port), backoffMs = 1L)
+      try {
+        val all = IggySource.pagedPoll(session, "s", "t", 0,
+          PollStrategy.First, batch = 1).toSeq
+        assert(all.map(_.sequence) == (0L until 20L),
+          "the retry must deliver every offset exactly once")
+        assert(all.map(m => new String(m.payload, UTF_8)) ==
+          (0 until 20).map(i => s"m$i"),
+          "every payload must arrive with intact bytes")
+      } finally session.close()
+      assert(srv.corruptPollCountdown.get() == 0,
+        "the injected corruption was consumed")
+    }
+  }
+
   test("retries exhausted surfaces a typed backend error, not a hang") {
     withBroker { (srv, seeder) =>
       seed(seeder, "t", 1)
