@@ -678,11 +678,15 @@ object Relational {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    // WHERE value IS NOT NULL mirrors exactGroupQuantiles' null drop: n
+    // counts VALUES (not rows), and a group whose values are all NULL
+    // produces no row on either side
     "q20_percentiles" ->
       """SELECT event_type,
         |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
         |  ROUND(quantile_cont(value, 0.95), 6) AS p95,
         |  ROUND(quantile_cont(value, 0.99), 6) AS p99,
         |  COUNT(*) AS n
-        |FROM events GROUP BY event_type""".stripMargin)
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY event_type""".stripMargin)
 }

@@ -40,8 +40,12 @@ final class EmbeddedIggy extends AutoCloseable {
   val dropSendCountdown = new java.util.concurrent.atomic.AtomicInteger(0)
   /** COUNTDOWN tap: the Nth message-bearing PollMessages reply has one
     * payload byte flipped AFTER its checksum was computed — the wire-level
-    * bit-rot the polled-message CRC exists to catch. Nothing server-side
-    * advances, so a reconnect re-fetches the same offsets clean.
+    * bit-rot the polled-message CRC exists to catch. For explicit-cursor
+    * polls (AtOffset/First — every Spark-source page and pagedPoll past
+    * page one) nothing server-side advances, so the reconnect re-fetches
+    * the same offsets clean; a group-Next poll with autoCommit has already
+    * committed when the reply corrupts — the documented at-most-once edge
+    * of commit-on-poll (IggySource.pagedPoll's scaladoc), NOT exactly-once.
     */
   val corruptPollCountdown = new java.util.concurrent.atomic.AtomicInteger(0)
   private def takeFault(tap: java.util.concurrent.atomic.AtomicInteger): Boolean =

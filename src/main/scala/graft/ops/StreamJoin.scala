@@ -70,19 +70,12 @@ object StreamJoin {
 
   /** End-of-gate drain: pop everything in global (ts, key) order — the same
     * rule [[gatedBounded]] applies at end of stream. Used by idle eviction:
-    * eviction bounds STATE, it must not lose data.
+    * eviction bounds STATE, it must not lose data. Expressed through
+    * [[gateCore]] with an EMPTY alignment (the gate is vacuously open until
+    * the queues empty) so there is exactly ONE pop-ordering rule to audit.
     */
-  private def drainAll(queues0: Map[String, Seq[SeaMessage]]): Vector[SeaMessage] = {
-    var queues = queues0
-    val out = Vector.newBuilder[SeaMessage]
-    while (queues.values.exists(_.nonEmpty)) {
-      val (key, q) = queues.iterator.filter(_._2.nonEmpty)
-        .minBy { case (k, ms) => (ms.head.timestamp.getTime, k) }
-      out += q.head
-      queues = queues.updated(key, q.tail)
-    }
-    out.result()
-  }
+  private def drainAll(queues: Map[String, Seq[SeaMessage]]): Vector[SeaMessage] =
+    gateCore(IndexedSeq.empty, queues, Iterator.empty)._2
 
   /** [[gateCore]] over the flatMapGroupsWithState GroupState API, with
     * optional idle eviction: when `evictMs` is set and the group has seen no

@@ -49,16 +49,26 @@ class BpeLocalFinishSpec extends AnyFunSuite {
     assert(mergeCanonical(" a b b ", "a", "b") == " ab b ")
     // the space guard: a symbol merely ENDING in x is not x
     assert(mergeCanonical(" ca b ", "a", "b") == " ca b ")
-    // and the distributed fold implements the identical rule
+    // and the distributed aggregate() fold implements the identical rule
+    // on EVERY edge case, each with the merge pair that exercises it —
+    // the SQL CASE is the path that runs at scale, so every guard
+    // (non-overlap, space boundary, same-symbol run) must be pinned there
     val spark2 = TestSession.spark
     import spark2.implicits._
-    val folded = Seq(" a n a n a ", " a a a a a ", " a b b ", " ca b ")
-      .toDF("s")
-      .selectExpr("concat(aggregate(split(trim(s), ' '), '', (acc, t) -> " +
-        "CASE WHEN t = 'n' AND endswith(acc, ' a') " +
-        "THEN concat(acc, t) ELSE concat(acc, ' ', t) END), ' ') AS m")
-      .as[String].collect().toSeq
-    assert(folded.head == " an an a ")
+    val cases = Seq(
+      (" a n a n a ", "a", "n"),
+      (" a a a a a ", "a", "a"),
+      (" a b b ", "a", "b"),
+      (" ca b ", "a", "b"))
+    cases.foreach { case (seg, x, y) =>
+      val sql = Seq(seg).toDF("s").selectExpr(
+          s"concat(aggregate(split(trim(s), ' '), '', (acc, t) -> " +
+            s"CASE WHEN t = '$y' AND endswith(acc, ' $x') " +
+            s"THEN concat(acc, t) ELSE concat(acc, ' ', t) END), ' ') AS m")
+        .as[String].head()
+      assert(sql == mergeCanonical(seg, x, y),
+        s"SQL fold diverges from mergeCanonical on '$seg' with ($x,$y)")
+    }
   }
 
   test("ties break by (x, y) identically on both paths") {

@@ -67,11 +67,15 @@ class IggyFaultSpec extends AnyFunSuite {
   }
 
   test("a corrupted polled payload is caught by its CRC and re-fetched clean") {
-    // end-to-end law for the polled-message checksum: the broker flips one
-    // payload bit AFTER computing the CRC (wire bit-rot), the decode
-    // throws, the session reconnects, and the SAME offset is re-fetched —
-    // every message delivered exactly once with intact bytes, the reader
-    // never sees the corruption
+    // end-to-end law for the polled-message checksum on the EXPLICIT-cursor
+    // path (AtOffset/First — what the Spark source and every pagedPoll page
+    // past the first use): the broker flips one payload bit AFTER computing
+    // the CRC (wire bit-rot), the decode throws, the session reconnects,
+    // and the SAME offset is re-fetched — every message delivered exactly
+    // once with intact bytes, the reader never sees the corruption.
+    // (A group-Next poll with autoCommit does NOT get this law: the server
+    // committed before the reply corrupted — the documented at-most-once
+    // edge of commit-on-poll, pagedPoll's scaladoc.)
     withBroker { (srv, seeder) =>
       seed(seeder, "t", 20)
       srv.corruptPollCountdown.set(3) // the 3rd poll arrives corrupted
