@@ -461,6 +461,30 @@ object Relational {
           max(col("n_g")).as("n"))
     },
 
+    // Latest-record-per-key compaction — the CDC / SCD-type-1 shape every
+    // warehouse runs continuously (upsert streams compacted to current
+    // state). The scalable form is a plain MAX over a (ts, unique-id, …)
+    // struct: lexicographic struct comparison makes "latest, ties by id"
+    // one aggregate with MAP-SIDE partial_max (the struct buffer keeps it
+    // on SortAggregate rather than the hash path — a per-partition sort by
+    // the grouping key, not by the version history) — versus the naive
+    // `row_number() over (partition by key order by ts desc)`. The part
+    // that matters at 100 TB: the agg shuffles ONE combined row per key;
+    // the window shuffles every version of every key.
+    "q24_latest_event" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.events
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("event_type"), col("value"))
+        .groupBy("user_id")
+        .agg(max(struct(col("us"), col("event_id"), col("event_type"),
+          col("value"))).as("m"))
+        .select(col("user_id"), col("m.us").as("last_us"),
+          col("m.event_id").as("last_event_id"),
+          col("m.event_type").as("last_event_type"),
+          col("m.value").as("last_value"))
+    },
+
     // Bucketed co-located join through ops.Bucketing: both sides persisted
     // bucketed+sorted on the join key, so the join plans with NO exchange —
     // each task reads matching buckets from both tables (the 100 TB answer
@@ -678,6 +702,20 @@ object Relational {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    // the oracle may use the naive window (it is the SEMANTIC spec; the
+    // Spark side's struct-max agg is the scalable equivalent) — ties
+    // cannot happen (event_id unique) but the DESC id tie-break mirrors
+    // the struct comparison anyway
+    "q24_latest_event" ->
+      """WITH e AS (SELECT user_id,
+        |             epoch_us(date_trunc('microseconds', ts)) AS us,
+        |             event_id, event_type, value FROM events),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY us DESC, event_id DESC) AS rk FROM e)
+        |SELECT user_id, us AS last_us, event_id AS last_event_id,
+        |  event_type AS last_event_type, value AS last_value
+        |FROM r WHERE rk = 1""".stripMargin,
+
     // WHERE value IS NOT NULL mirrors exactGroupQuantiles' null drop: n
     // counts VALUES (not rows), and a group whose values are all NULL
     // produces no row on either side

@@ -32,6 +32,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q24's latest-per-key compaction is one windowless partial-max agg") {
+    // the CDC shape: one combined row per key crosses the shuffle — a
+    // row_number window would sort-shuffle every version of every key.
+    // (struct MAX rides SortAggregate — a per-partition sort by the
+    // grouping key; the law is the MAP-SIDE partial, not the agg flavor)
+    val p = planOf("q24_latest_event")
+    assert("\\bWindow\\b".r.findAllIn(p).isEmpty, "q24 must not window")
+    assert(nodeBlocks(p).exists { case (n, b) =>
+      n.endsWith("Aggregate") && b.contains("partial_max")
+    }, "q24 lost its map-side partial struct-max")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "q24 must not globally sort")
+  }
+
   test("q20 plans no buffering percentile agg and no whole-group sort") {
     // Spark's exact `percentile` buffers a value→count map PER GROUP — with
     // few groups that buffer approaches the group's distinct-value count on
