@@ -24,6 +24,10 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   private val QueryCount = 10
+
+  /** s13: candidate pool size and greedy MMR selections per query. */
+  private val MmrPool = 10
+  private val MmrSelect = 3
   private val TopK = 5
 
   /** s8 hybrid retrieval: query-doc count and per-side rank-list depth. */
@@ -180,6 +184,65 @@ object Similarity {
       val e = Tables(s, dir).embeddings
       bruteTopK(e,
         e.select(col("vec_id").as("cid"), col("embedding").as("ce")), TopK)
+    },
+
+    // MMR diversity re-ranking (Carbonell & Goldstein 1998, λ=0.5) — the
+    // RAG retrieval stage between ANN and the context window: from each
+    // query's top-10 cosine pool, greedily pick 3 results maximizing
+    // relevance − λ·max-similarity-to-already-selected. Near-duplicate
+    // passages waste context slots, so a redundant second-best loses to a
+    // less redundant third. 100 TB shape: the expensive part stays the
+    // pool retrieval (s1/s2/s7's own shapes); everything after it is
+    // RESULT-bounded — Q×10 pool rows broadcast onto ONE corpus pass to
+    // attach embeddings, Q×10×9 pairwise sims, greedy rounds as Q-row
+    // argmax aggs (min-struct, never a window over anything corpus-
+    // sized). Selection math is single-op double arithmetic on 6-dp
+    // cosines — bit-identical in DuckDB; ties break by cid.
+    "s13_mmr_rerank" -> { (s, dir) =>
+      val e = Tables(s, dir).embeddings
+      val pool = bruteTopK(e,
+          e.select(col("vec_id").as("cid"), col("embedding").as("ce")),
+          MmrPool)
+        .select(col("qid"), col("cid"), col("cosine"))
+        .persist() // result-bounded; read by the pair join and every round
+      val ce = withNorm(e.select(col("vec_id"), col("embedding")),
+        "embedding", "nrm")
+      val withEmb = ce
+        .join(broadcast(pool.select(col("qid"), col("cid"))),
+          col("vec_id") === col("cid"))
+        .select(col("qid"), col("cid"), col("embedding"), col("nrm"))
+      val pairSim = withEmb.select(col("qid"), col("cid").as("ca"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+        .join(withEmb.select(col("qid"), col("cid").as("cb"),
+          col("embedding").as("eb"), col("nrm").as("nb")), Seq("qid"))
+        .filter(col("ca") =!= col("cb"))
+        .withColumn("sim",
+          round(dotCol("ea", "eb") / (col("na") * col("nb")), 6))
+        .select(col("qid"), col("ca"), col("cb"), col("sim"))
+        .persist()
+      // deterministic per-query argmax: min over (−score, cid) — the
+      // remaining struct fields ride along, never compared (cid unique)
+      def pickBest(scored: DataFrame, rank: Int): DataFrame = scored
+        .groupBy("qid")
+        .agg(min(struct(unNeg(col("score")).as("negs"), col("cid").as("cid"),
+          col("cosine").as("cosine"), col("score").as("score"))).as("m"))
+        .select(col("qid"), col("m.cid").as("cid"),
+          col("m.cosine").as("cosine"), col("m.score").as("score"),
+          lit(rank.toLong).as("mmr_rank"))
+      var all = pickBest(pool.withColumn("score", col("cosine")), 1)
+      for (r <- 2 to MmrSelect) {
+        val remaining = pool.join(all.select(col("qid"), col("cid")),
+          Seq("qid", "cid"), "left_anti")
+        val simToSel = pairSim
+          .join(all.select(col("qid"), col("cid").as("cb")), Seq("qid", "cb"))
+          .groupBy(col("qid"), col("ca").as("cid"))
+          .agg(max(col("sim")).as("maxsim"))
+        val scored = remaining.join(simToSel, Seq("qid", "cid"))
+          .withColumn("score", col("cosine") - lit(0.5) * col("maxsim"))
+        all = all.unionByName(pickBest(scored, r))
+      }
+      all.select(col("qid"), col("cid"), col("cosine"),
+        round(col("score"), 6).as("mmr_score"), col("mmr_rank"))
     },
 
     // ANN: random-hyperplane sign bits → bucket; multi-probe the query's
@@ -1570,6 +1633,68 @@ object Similarity {
          |               ORDER BY cosine DESC, cid) AS rank
          |           FROM scored)
          |SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= $TopK""".stripMargin,
+    // s1's pool CTEs + result-bounded pairwise sims + the three greedy
+    // rounds unrolled (p1/m2/p2/m3/p3) — same single-op double arithmetic
+    // as the Spark side, ties by cid
+    "s13_mmr_rerank" ->
+      s"""WITH $explodedSql,
+         |dots AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |           CAST(SUM(CAST(q.v * c.v AS DECIMAL(30,15))) AS DOUBLE) AS dot
+         |         FROM ex q JOIN ex c ON q.d = c.d
+         |         WHERE q.vec_id < $QueryCount AND q.vec_id <> c.vec_id
+         |         GROUP BY 1, 2),
+         |scored AS (SELECT qid, cid,
+         |             ROUND(dot / (nq.nrm * nc.nrm), 6) + 0 AS cosine
+         |           FROM dots
+         |           JOIN norms nq ON qid = nq.vec_id
+         |           JOIN norms nc ON cid = nc.vec_id),
+         |pool AS (SELECT qid, cid, cosine FROM (
+         |           SELECT qid, cid, cosine, ROW_NUMBER() OVER (
+         |             PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+         |           FROM scored) WHERE rank <= $MmrPool),
+         |pd AS (SELECT x.qid, x.cid AS ca, y.cid AS cb,
+         |         CAST(SUM(CAST(a.v * b.v AS DECIMAL(30,15))) AS DOUBLE) AS dot
+         |       FROM pool x JOIN pool y ON x.qid = y.qid AND x.cid <> y.cid
+         |       JOIN ex a ON a.vec_id = x.cid
+         |       JOIN ex b ON b.vec_id = y.cid AND a.d = b.d
+         |       GROUP BY 1, 2, 3),
+         |psim AS (SELECT qid, ca, cb,
+         |           ROUND(dot / (na.nrm * nb.nrm), 6) + 0 AS sim
+         |         FROM pd
+         |         JOIN norms na ON ca = na.vec_id
+         |         JOIN norms nb ON cb = nb.vec_id),
+         |p1 AS (SELECT qid, cid, cosine, cosine AS score FROM (
+         |         SELECT qid, cid, cosine, ROW_NUMBER() OVER (
+         |           PARTITION BY qid ORDER BY cosine DESC, cid) AS r
+         |         FROM pool) WHERE r = 1),
+         |m2 AS (SELECT t.qid, t.cid, t.cosine,
+         |         t.cosine - 0.5 * s.sim AS score
+         |       FROM pool t
+         |       JOIN p1 ON t.qid = p1.qid AND t.cid <> p1.cid
+         |       JOIN psim s ON s.qid = t.qid AND s.ca = t.cid
+         |         AND s.cb = p1.cid),
+         |p2 AS (SELECT qid, cid, cosine, score FROM (
+         |         SELECT qid, cid, cosine, score, ROW_NUMBER() OVER (
+         |           PARTITION BY qid ORDER BY score DESC, cid) AS r
+         |         FROM m2) WHERE r = 1),
+         |m3 AS (SELECT t.qid, t.cid, t.cosine,
+         |         t.cosine - 0.5 * MAX(s.sim) AS score
+         |       FROM pool t
+         |       JOIN p1 ON t.qid = p1.qid AND t.cid <> p1.cid
+         |       JOIN p2 ON t.qid = p2.qid AND t.cid <> p2.cid
+         |       JOIN psim s ON s.qid = t.qid AND s.ca = t.cid
+         |         AND (s.cb = p1.cid OR s.cb = p2.cid)
+         |       GROUP BY t.qid, t.cid, t.cosine),
+         |p3 AS (SELECT qid, cid, cosine, score FROM (
+         |         SELECT qid, cid, cosine, score, ROW_NUMBER() OVER (
+         |           PARTITION BY qid ORDER BY score DESC, cid) AS r
+         |         FROM m3) WHERE r = 1)
+         |SELECT qid, cid, cosine, ROUND(score, 6) AS mmr_score,
+         |  CAST(1 AS BIGINT) AS mmr_rank FROM p1
+         |UNION ALL SELECT qid, cid, cosine, ROUND(score, 6),
+         |  CAST(2 AS BIGINT) FROM p2
+         |UNION ALL SELECT qid, cid, cosine, ROUND(score, 6),
+         |  CAST(3 AS BIGINT) FROM p3""".stripMargin,
     "s2_ann_lsh" ->
       s"""WITH $explodedSql,
          |planes AS (SELECT p.p, d.d,

@@ -533,7 +533,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // its own law.)
     for (q <- Seq("s1_knn_brute", "s2_ann_lsh", "s3_ann_ivf", "s4_ann_sq8",
         "s5_ann_pq", "s6_ann_recall", "s7_ann_ivf_indexed", "s9_ann_ivfpq",
-        "s10_filtered_knn", "s12_ann_index_upsert")) {
+        "s10_filtered_knn", "s12_ann_index_upsert",
+        // s13's greedy rounds are min-struct argmax aggs over result-sized
+        // frames — same law: the pool + rerank never touch a Window
+        "s13_mmr_rerank")) {
       val plan = SparkEntry.queries(q)(spark, TestSession.sfDir)
         .queryExecution.executedPlan.toString
       assert("\\bWindow\\b".r.findAllIn(plan).isEmpty,
