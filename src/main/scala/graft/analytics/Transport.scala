@@ -611,6 +611,76 @@ object Transport {
           (col("i") + 1).cast("long").as("rank"))
     },
 
+    // Streaming latest-per-key compaction — q24's CDC shape maintained AT
+    // INGEST (the q24→t17 pair completes the batch≡streaming family with
+    // s11→t15 and p20→t16): a GroupState per key holds exactly ONE row —
+    // the current latest (ts, id, …) — merged by the same lexicographic
+    // (us, event_id) rule as q24's struct MAX, so after any stream prefix
+    // the state IS the compacted current-state table of the data seen so
+    // far, and at end-of-log it equals the batch compaction bit-for-bit:
+    // the oracle REUSES q24's SQL. This is how a CDC consumer keeps a
+    // continuously-current dimension without ever re-running the batch
+    // compaction; state is O(#keys) regardless of version-history depth.
+    "t17_stream_latest" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+      val t = Tables(s, dir)
+      val out = scratch(dir, "t17latest")
+      t.events.select(
+          col("event_type").as("stream_key"),
+          pmod(col("user_id"), lit(4)).cast("long").as("shard_id"),
+          col("event_id").as("sequence"),
+          col("ts").as("timestamp"),
+          to_json(struct(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_id"), col("event_type"), col("value")))
+            .cast("binary").as("payload"))
+        .write.format("ss").mode("overwrite").save(out)
+      // ~4 micro-batches at any scale (the t15/t16 no-floor discipline)
+      val cap = math.max(1L, t.events.count() / 4)
+      val src = s.readStream.format("ss")
+        .option("maxMessagesPerTrigger", cap.toString)
+        .load(out)
+        .select(from_json(col("payload").cast("string"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "user_id LONG, us LONG, event_id LONG, " +
+              "event_type STRING, value DOUBLE")).as("j"))
+        .select(col("j.user_id"), col("j.us"), col("j.event_id"),
+          col("j.event_type"), col("j.value"))
+        .as[(Long, Long, Long, String, Double)]
+      val updates = src.groupByKey(_._1)
+        .flatMapGroupsWithState(OM.Update(), GroupStateTimeout.NoTimeout())(
+          (uid: Long, rows: Iterator[(Long, Long, Long, String, Double)],
+              state: GroupState[(Long, Long, Long, String, Double)]) => {
+            // (seen, us, event_id, event_type, value) — q24's (us, id) rule
+            var st = state.getOption
+              .getOrElse((0L, Long.MinValue, Long.MinValue, "", 0.0))
+            rows.foreach { case (_, us, eid, et, v) =>
+              val newer = us > st._2 || (us == st._2 && eid > st._3)
+              st =
+                if (newer) (st._1 + 1, us, eid, et, v)
+                else st.copy(_1 = st._1 + 1)
+            }
+            state.update(st)
+            Iterator((uid, st._1, st._2, st._3, st._4, st._5))
+          })
+      val q = updates
+        .toDF("user_id", "seen", "us", "event_id", "event_type", "value")
+        .writeStream.outputMode("update")
+        .format("memory").queryName("t17_latest_sink").start()
+      try q.processAllAvailable() finally q.stop()
+      // final emit per key (largest seen) carries the compacted row; the
+      // window ranks |keys| × batches rows — compaction-output-sized
+      val w = Window.partitionBy("user_id").orderBy(col("seen").desc)
+      s.table("t17_latest_sink")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("us").as("last_us"),
+          col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"),
+          col("value").as("last_value"))
+    },
+
     // Custom arbitrary state via flatMapGroupsWithState — the
     // KeyValueGroupedDataset escape hatch SURVEY §2.8 reserves for state
     // shapes the built-in operators can't express. A per-key running
@@ -668,6 +738,8 @@ object Transport {
     // the streaming holdout must equal the batch carve-out EXACTLY —
     // same SQL, the streaming ≡ batch law
     "t16_stream_holdout" -> Pipeline.oracles("p20_eval_holdout"),
+    // the streaming compaction must equal q24's batch compaction exactly
+    "t17_stream_latest" -> Relational.oracles("q24_latest_event"),
     "t14_stream_lsh_dedup" -> {
       val constRows = Dedup.MinhashParams.zipWithIndex
         .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
