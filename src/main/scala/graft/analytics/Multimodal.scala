@@ -524,6 +524,44 @@ object Multimodal {
     }
   }
 
+  /** doc_id + ViT patch index (row-major 4×4) + patch brightness sum. */
+  final case class PatchStats(doc_id: Long, patch_id: Long, bright: Long)
+
+  /** ViT-style patch extraction: decode → the same 8×8 nearest-neighbor
+    * sample grid as [[imageFeatures]], regrouped into the 4×4 patch grid a
+    * vision transformer's preprocessor emits (each patch = a 2×2 block of
+    * grid samples, patch_id row-major — the flattening that position
+    * embeddings index). Per-partition batch like every decode stage; only
+    * 64 pixels per image cross the decoder.
+    */
+  def imagePatches(media: Dataset[MediaRecord]): Dataset[PatchStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.flatMap { r =>
+        val img = ImageIO.read(new ByteArrayInputStream(r.media))
+        if (img == null)
+          throw new IllegalArgumentException(s"doc ${r.doc_id}: not an image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        for (py <- 0 until 4; px <- 0 until 4) yield {
+          var s = 0L
+          var sy = 0
+          while (sy < 2) {
+            var sx = 0
+            while (sx < 2) {
+              val gx = px * 2 + sx
+              val gy = py * 2 + sy
+              val v = img.getRGB(gx * w / 8, gy * h / 8) & 0xFFFFFF
+              s += ((v >> 16) & 0xFF) + ((v >> 8) & 0xFF) + (v & 0xFF)
+              sx += 1
+            }
+            sy += 1
+          }
+          PatchStats(r.doc_id, (py * 4 + px).toLong, s)
+        }
+      }
+    }
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     // Binary-column pipeline: synthesize real PNG/WAV bytes per document
     // (executor-side, deterministic), decode them back with the real codecs,
@@ -581,6 +619,26 @@ object Multimodal {
           sum(col("sum_r")).as("sum_r"),
           sum(col("sum_g")).as("sum_g"),
           sum(col("sum_b")).as("sum_b"))
+    },
+
+    // ViT patch grid positional statistics — per patch position across the
+    // corpus: image count and brightness mass. These are the per-position
+    // normalization stats a vision-encoder preprocessing pipeline computes
+    // before training (and the oracle proves the patch FLATTENING is
+    // right: every patch_id's sum must equal the synthesis arithmetic for
+    // exactly its 2×2 grid block, so a transposed or offset patch order —
+    // the classic ViT preprocessing bug — cannot pass). One decode pass,
+    // map-side-combined 16-key agg, zero joins.
+    "m7_image_patches" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables(s, dir).documents
+        .select(col("doc_id")).as[Long]
+        .filter(_ % 2 == 0) // the PNG half of the corpus
+        .mapPartitions(_.map(id => MediaRecord(id, synthesize(id))))
+      imagePatches(media).toDF()
+        .groupBy(col("patch_id"))
+        .agg(count(lit(1)).as("n_imgs"),
+          sum(col("bright")).as("sum_bright"))
     },
 
     // Perceptual-hash image dedup: real PNG bytes (planted near-dup groups
@@ -884,5 +942,26 @@ object Multimodal {
         |  CAST(SUM((v >> 16) & 255) AS BIGINT) AS sum_r,
         |  CAST(SUM((v >> 8) & 255) AS BIGINT) AS sum_g,
         |  CAST(SUM(v & 255) AS BIGINT) AS sum_b
+        |FROM px GROUP BY 1""".stripMargin,
+
+    // m2's pixel-replay CTEs with the grid regrouped into 2×2 patch
+    // blocks: patch_id = (gy // 2) * 4 + (gx // 2), row-major
+    "m7_image_patches" ->
+      """WITH imgs AS (
+        |  SELECT doc_id, doc_id % 97 + 8 AS w, doc_id * 3 % 71 + 8 AS h
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |grid AS (
+        |  SELECT gx.v AS gx, gy.v AS gy
+        |  FROM (SELECT unnest(range(0, 8)) AS v) gx,
+        |       (SELECT unnest(range(0, 8)) AS v) gy),
+        |px AS (
+        |  SELECT doc_id, (gy // 2) * 4 + (gx // 2) AS patch_id,
+        |    (((gx * w) // 8 * 31 + (gy * h) // 8 * 17 + doc_id)
+        |      * 2654435761) & 16777215 AS v
+        |  FROM imgs CROSS JOIN grid)
+        |SELECT CAST(patch_id AS BIGINT) AS patch_id,
+        |  CAST(COUNT(*) // 4 AS BIGINT) AS n_imgs,
+        |  CAST(SUM(((v >> 16) & 255) + ((v >> 8) & 255) + (v & 255))
+        |    AS BIGINT) AS sum_bright
         |FROM px GROUP BY 1""".stripMargin)
 }
