@@ -362,6 +362,36 @@ object Pipeline {
           (col("i") + 1).cast("long").as("rank"))
     },
 
+    // Temperature-adjusted sampling mix (the Gopher/PaLM pretraining
+    // knob): per source, the raw token share p_i and the T=2 mixture
+    // weight w_i = p_i^(1/T) / Σ p_j^(1/T) — temperature flattens the
+    // distribution so small high-value domains are not drowned by the
+    // web-crawl bulk; eff_epochs = how many times the source would be
+    // seen under a fixed token budget at that weight (> 1 flags a source
+    // the mix will over-repeat — the overfitting check run before every
+    // mix change). 100 TB shape: one corpus token census (map-side keyed
+    // agg), then everything is |sources|-sized with the totals broadcast;
+    // the sqrt sum goes through DECIMAL(30,15) so partial-agg order can't
+    // perturb low bits (the money-sum discipline).
+    "p22_temperature_mix" -> { (s, dir) =>
+      val tok = Tables(s, dir).documents
+        .filter(col("text").isNotNull)
+        .groupBy("source")
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      val tot = tok.agg(
+        sum(col("n_tokens")).as("tot"),
+        sum(sqrt(col("n_tokens").cast("double")).cast("decimal(30,15)"))
+          .cast("double").as("sroot"))
+      tok.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tokens"),
+          round(col("n_tokens") / col("tot"), 6).as("raw_share"),
+          round(sqrt(col("n_tokens").cast("double")) / col("sroot"), 6)
+            .as("temp_share"),
+          round(lit(BudgetTokens.toDouble)
+            * (sqrt(col("n_tokens").cast("double")) / col("sroot"))
+            / col("n_tokens"), 6).as("eff_epochs"))
+    },
+
     // Dedup SURVIVORSHIP report — the integration that closes the
     // dedup → curation loop: what does the corpus look like AFTER d6's
     // cluster dedup ships? Per source: docs and tokens before/after, the
@@ -979,6 +1009,25 @@ object Pipeline {
          |  ROW_NUMBER() OVER (PARTITION BY source
          |    ORDER BY h, doc_id) AS rank FROM h)
          |SELECT source, doc_id, h, rank FROM r WHERE rank <= $HoldoutK""".stripMargin,
+
+    // same decimal-summed sqrt and the same explicit association as the
+    // Spark side: budget * (sqrt_i / sroot) / n_tokens
+    "p22_temperature_mix" ->
+      s"""WITH tok AS (SELECT source,
+         |              CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+         |                AS n_tokens
+         |            FROM documents WHERE text IS NOT NULL
+         |            GROUP BY source),
+         |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot,
+         |          CAST(SUM(CAST(sqrt(n_tokens) AS DECIMAL(30,15)))
+         |            AS DOUBLE) AS sroot
+         |        FROM tok)
+         |SELECT source, n_tokens,
+         |  ROUND(n_tokens / tot, 6) AS raw_share,
+         |  ROUND(sqrt(n_tokens) / sroot, 6) AS temp_share,
+         |  ROUND($BudgetTokens.0 * (sqrt(n_tokens) / sroot) / n_tokens, 6)
+         |    AS eff_epochs
+         |FROM tok CROSS JOIN tot""".stripMargin,
 
     // d6's transitive-closure labels (recursive CTE) left-joined onto the
     // full doc census; singletons (no near-dup edge) keep themselves

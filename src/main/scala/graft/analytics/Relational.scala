@@ -485,6 +485,37 @@ object Relational {
           col("m.value").as("last_value"))
     },
 
+    // Ordered-event FUNNEL analysis (view → click → purchase): how many
+    // users progressed through each stage IN ORDER (first view strictly
+    // before first click strictly before first purchase). The scalable
+    // form is conditional-min aggregation — one keyed agg computes each
+    // user's first timestamp per stage, one global agg counts the ordered
+    // comparisons — versus the naive forms (per-user ORDER BY window, or
+    // one self-join per funnel edge), which sort or replicate the full
+    // event history. At 100 TB: one shuffle keyed by user, one row per
+    // user into the final count; NULL comparisons fall out of the strict
+    // `<` on both engines identically.
+    "q25_funnel" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.events
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", unix_micros(col("ts"))))
+            .as("t_view"),
+          min(when(col("event_type") === "click", unix_micros(col("ts"))))
+            .as("t_click"),
+          min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+            .as("t_purchase"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("n_view"),
+          sum(when(col("t_view") < col("t_click"), 1L).otherwise(0L))
+            .as("n_view_click"),
+          sum(when(col("t_view") < col("t_click") &&
+            col("t_click") < col("t_purchase"), 1L).otherwise(0L))
+            .as("n_full_funnel"))
+    },
+
     // Bucketed co-located join through ops.Bucketing: both sides persisted
     // bucketed+sorted on the join key, so the join plans with NO exchange —
     // each task reads matching buckets from both tables (the 100 TB answer
@@ -702,6 +733,24 @@ object Relational {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    "q25_funnel" ->
+      """WITH per AS (SELECT user_id,
+        |  MIN(CASE WHEN event_type = 'view'
+        |        THEN epoch_us(date_trunc('microseconds', ts)) END) AS t_view,
+        |  MIN(CASE WHEN event_type = 'click'
+        |        THEN epoch_us(date_trunc('microseconds', ts)) END) AS t_click,
+        |  MIN(CASE WHEN event_type = 'purchase'
+        |        THEN epoch_us(date_trunc('microseconds', ts)) END) AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_view,
+        |  CAST(SUM(CASE WHEN t_view < t_click THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_view_click,
+        |  CAST(SUM(CASE WHEN t_view < t_click AND t_click < t_purchase
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+        |FROM per""".stripMargin,
+
     // the oracle may use the naive window (it is the SEMANTIC spec; the
     // Spark side's struct-max agg is the scalable equivalent) — ties
     // cannot happen (event_id unique) but the DESC id tie-break mirrors

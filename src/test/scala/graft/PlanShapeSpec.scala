@@ -46,6 +46,18 @@ class PlanShapeSpec extends AnyFunSuite {
       "q24 must not globally sort")
   }
 
+  test("q25's funnel is two aggregates — no window, no per-edge self-join") {
+    // the naive funnel forms sort the event history per user (window) or
+    // replicate it once per funnel edge (self-joins); the conditional-min
+    // form shuffles ONE row per user between two hash aggregates
+    val p = planOf("q25_funnel")
+    assert("\\bWindow\\b".r.findAllIn(p).isEmpty, "q25 must not window")
+    assert(!p.contains("Join"), "q25 must not join")
+    assert(nodeBlocks(p).exists { case (n, b) =>
+      n == "HashAggregate" && b.contains("partial_min")
+    }, "q25 lost its map-side conditional-min partials")
+  }
+
   test("q20 plans no buffering percentile agg and no whole-group sort") {
     // Spark's exact `percentile` buffers a value→count map PER GROUP — with
     // few groups that buffer approaches the group's distinct-value count on
