@@ -125,6 +125,11 @@ object Bench {
           // recurring cost (the Verify/oracle path runs the combined query)
           timed("s7_layout")(analytics.Similarity.s7Layout(spark, sfDir))
           timed("s7_query")(force(analytics.Similarity.s7Query(spark, sfDir)))
+        } else if (name == "d14_dedup_index") {
+          // same split as s7/q22: the index build is one-time, the batch
+          // query is the recurring cost the operator exists to shrink
+          timed("d14_build")(analytics.Dedup.d14Build(spark, sfDir))
+          timed("d14_query")(force(analytics.Dedup.d14Query(spark, sfDir)))
         } else if (name == "s12_ann_index_upsert") {
           // the base build is the PRE-EXISTING index (setup); the op's
           // recurring costs — the whole point of incremental maintenance —

@@ -410,6 +410,109 @@ object Dedup {
         round(lit(1.0) - col("ed") / col("mx"), 6).as("edit_sim"))
   }
 
+  /** The sources d10/d14 treat as the arriving crawl batch. */
+  private val BatchSources = Seq("src0", "src1", "src2", "src3", "src4")
+
+  /** d14 index BUILD: the reference corpus's dedup index persisted once —
+    * the minhash band table written BUCKETED on the composite band key
+    * (bk = i·Prime + mh; mh < Prime makes it injective, so a bk equi-join
+    * IS the (i, mh) band join), plus the ref shingle set and per-doc sizes
+    * the verify stage needs. s12's amortization applied to dedup: d10
+    * re-signs the whole reference corpus on EVERY batch; after this build,
+    * a batch pays only for itself.
+    */
+  private[graft] def d14Build(s: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val docs = Tables(s, dir).documents
+    val ref = docs.filter(!col("source").isin(BatchSources: _*))
+    val shR = shingles(ref).withColumn("hm", md5long(col("s")) % Prime)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mhR = minhashStack(shR)
+    graft.ops.Bucketing.writeBucketed(
+      mhR.select((col("i") * Prime + col("mh")).as("bk"),
+        col("doc_id").as("ref_id")), "d14_ref_bands", "bk", 8)
+    graft.ops.Bucketing.writeBucketed(
+      shR.select(col("doc_id").as("ref_id"), col("s")),
+      "d14_ref_shingles", "ref_id", 8)
+    graft.ops.Bucketing.writeBucketed(
+      shR.groupBy(col("doc_id").as("ref_id")).agg(count(lit(1)).as("nb")),
+      "d14_ref_sizes", "ref_id", 8)
+    shR.unpersist()
+  }
+
+  /** d14 recurring QUERY: the arriving batch against the STORED index. The
+    * batch's (batch-sized) band table drops into the SAME bucket layout, so
+    * the candidate join plans with NO exchange on either side — the q22
+    * trick; the verify stage touches only candidate-keyed slices of the
+    * stored shingle table (shuffled joins — index sides are corpus-sized).
+    * Result must equal d10's full recompute exactly.
+    */
+  private[graft] def d14Query(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables(s, dir).documents
+    val batchDocs = docs.filter(col("source").isin(BatchSources: _*))
+    val batch = batchDocs.select(col("doc_id"), col("source"))
+    val shB = shingles(batchDocs)
+      .withColumn("hm", md5long(col("s")) % Prime)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mhB = minhashStack(shB)
+    graft.ops.Bucketing.writeBucketed(
+      mhB.select((col("i") * Prime + col("mh")).as("bk"), col("doc_id")),
+      "d14_batch_bands", "bk", 8)
+    val cand = graft.ops.Bucketing
+      .bucketedJoin(s, "d14_batch_bands", "d14_ref_bands", "bk")
+      .select(col("doc_id"), col("ref_id")).distinct()
+    val sizesB = shB.groupBy("doc_id").agg(count(lit(1)).as("na"))
+    val common = cand
+      .join(shB.select(col("doc_id"), col("s")).hint("shuffle_hash"),
+        "doc_id")
+      .join(s.table("d14_ref_shingles").hint("shuffle_hash"),
+        Seq("ref_id", "s"))
+      .groupBy("doc_id", "ref_id").agg(count(lit(1)).as("common"))
+    val dups = common
+      .join(sizesB.hint("shuffle_hash"), "doc_id")
+      .join(s.table("d14_ref_sizes").hint("shuffle_hash"), "ref_id")
+      .withColumn("jaccard",
+        col("common") * lit(1.0) / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= JaccardThreshold)
+    val bestJ = dups.groupBy("doc_id").agg(max(col("jaccard")).as("bj"))
+    val best = dups.join(bestJ.hint("shuffle_hash"), "doc_id")
+      .filter(col("jaccard") === col("bj"))
+      .groupBy("doc_id")
+      .agg(min(col("ref_id")).as("match_id"),
+        round(max(col("jaccard")), 6).as("match_jaccard"))
+    batch.join(best.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        col("match_id").isNull.as("novel"),
+        col("match_id"), col("match_jaccard"))
+  }
+
+  /** d10's oracle, shared verbatim by d14 (index ≡ recompute law). */
+  private def d10OracleSql: String =
+    s"""WITH $jaccardOracleCte,
+       |$minhashSigSql,
+       |batch AS (SELECT doc_id, source FROM documents
+       |          WHERE source IN ('src0','src1','src2','src3','src4')),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS ref_id
+       |         FROM mh x
+       |         JOIN batch bx ON x.doc_id = bx.doc_id
+       |         JOIN mh y ON x.i = y.i AND x.mh = y.mh
+       |         WHERE y.doc_id NOT IN (SELECT doc_id FROM batch)),
+       |dups AS (SELECT c.doc_id, c.ref_id, j.jaccard
+       |         FROM cand c
+       |         JOIN jac j ON j.doc_a = LEAST(c.doc_id, c.ref_id)
+       |           AND j.doc_b = GREATEST(c.doc_id, c.ref_id)
+       |         WHERE j.jaccard >= $JaccardThreshold),
+       |best AS (SELECT doc_id, MIN(ref_id) AS match_id,
+       |           ROUND(MAX(jaccard), 6) AS match_jaccard
+       |         FROM (SELECT doc_id, ref_id, jaccard,
+       |                 MAX(jaccard) OVER (PARTITION BY doc_id) AS bj
+       |               FROM dups)
+       |         WHERE jaccard = bj GROUP BY doc_id)
+       |SELECT b.doc_id, b.source, best.match_id IS NULL AS novel,
+       |  best.match_id, best.match_jaccard
+       |FROM batch b LEFT JOIN best ON b.doc_id = best.doc_id""".stripMargin
+
   /** Shared DuckDB CTEs for shingles and their hashes (word 3-grams). */
   private[analytics] val shinglesSql =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
@@ -609,6 +712,19 @@ object Dedup {
         .select(col("doc_id"), col("source"),
           col("match_id").isNull.as("novel"),
           col("match_id"), col("match_jaccard"))
+    },
+
+    // Persisted incremental-dedup INDEX — s12's build/serve amortization +
+    // q22's bucketing applied to d10: the reference corpus's signatures,
+    // shingles and sizes are written ONCE ([[d14Build]]); every arriving
+    // batch then dedups against the stored index ([[d14Query]]) paying
+    // only for itself — d10 re-signs the whole reference corpus per batch.
+    // The band join is exchange-free (both band tables bucketed on the
+    // injective composite key), and the oracle is d10's SQL VERBATIM:
+    // index ≡ recompute is the law, exactly s12's upsert ≡ rebuild.
+    "d14_dedup_index" -> { (s, dir) =>
+      d14Build(s, dir)
+      d14Query(s, dir)
     },
 
     // LSH S-curve measurement — "measure, don't guess" applied to the
@@ -853,31 +969,10 @@ object Dedup {
     // from the cross band join only, exact Jaccard via the uncapped jac CTE
     // (order-normalized through LEAST/GREATEST — jac stores doc_a < doc_b),
     // best match = (max jaccard, min ref id) per batch doc
-    "d10_cross_corpus" -> {
-      s"""WITH $jaccardOracleCte,
-         |$minhashSigSql,
-         |batch AS (SELECT doc_id, source FROM documents
-         |          WHERE source IN ('src0','src1','src2','src3','src4')),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS ref_id
-         |         FROM mh x
-         |         JOIN batch bx ON x.doc_id = bx.doc_id
-         |         JOIN mh y ON x.i = y.i AND x.mh = y.mh
-         |         WHERE y.doc_id NOT IN (SELECT doc_id FROM batch)),
-         |dups AS (SELECT c.doc_id, c.ref_id, j.jaccard
-         |         FROM cand c
-         |         JOIN jac j ON j.doc_a = LEAST(c.doc_id, c.ref_id)
-         |           AND j.doc_b = GREATEST(c.doc_id, c.ref_id)
-         |         WHERE j.jaccard >= $JaccardThreshold),
-         |best AS (SELECT doc_id, MIN(ref_id) AS match_id,
-         |           ROUND(MAX(jaccard), 6) AS match_jaccard
-         |         FROM (SELECT doc_id, ref_id, jaccard,
-         |                 MAX(jaccard) OVER (PARTITION BY doc_id) AS bj
-         |               FROM dups)
-         |         WHERE jaccard = bj GROUP BY doc_id)
-         |SELECT b.doc_id, b.source, best.match_id IS NULL AS novel,
-         |  best.match_id, best.match_jaccard
-         |FROM batch b LEFT JOIN best ON b.doc_id = best.doc_id""".stripMargin
-    },
+    "d10_cross_corpus" -> d10OracleSql,
+    // the persisted-index path must reproduce d10's recompute EXACTLY —
+    // index ≡ recompute, the s12 upsert-≡-rebuild discipline
+    "d14_dedup_index" -> d10OracleSql,
     // all co-occurring pair deciles (uncapped jac) left-joined to d3's
     // band-join candidate set; hit rate per true-similarity decile
     "d11_lsh_recall" -> {

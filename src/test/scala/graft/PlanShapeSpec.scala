@@ -302,6 +302,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"$exchanges hash exchanges — bucket layout unused")
   }
 
+  test("d14's candidate band join reads both bucket layouts with no exchange") {
+    // the operator's point: after the one-time index build, a batch's band
+    // join against the STORED reference bands re-partitions NOTHING — both
+    // sides read pre-bucketed on the composite band key
+    val spark2 = spark
+    val dir = TestSession.sfDir
+    analytics.Dedup.d14Build(spark2, dir)
+    val p = analytics.Dedup.d14Query(spark2, dir)
+      .queryExecution.explainString(FormattedMode)
+    val smj = nodeBlocks(p).filter { case (n, b) =>
+      n == "SortMergeJoin" && b.contains("bk")
+    }
+    assert(smj.nonEmpty, "the band join lost its bucketed sort-merge shape")
+    // no hash exchange may feed the band join: find any Exchange keyed on
+    // bk — bucketed inputs need none
+    assert(!nodeBlocks(p).exists { case (n, b) =>
+      n == "Exchange" && b.contains("hashpartitioning(bk")
+    }, "the band join re-partitioned a bucketed input")
+    assert("\\bWindow\\b".r.findAllIn(p).isEmpty, "d14 must not window")
+  }
+
   test("q21's salted join shuffles on (key, salt) — salt must reach the join") {
     // a broadcast here would bypass the very shuffle the salt spreads; the
     // join keys must include the salt column or the hot key still lands on
