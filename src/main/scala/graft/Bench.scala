@@ -130,6 +130,17 @@ object Bench {
           // query is the recurring cost the operator exists to shrink
           timed("d14_build")(analytics.Dedup.d14Build(spark, sfDir))
           timed("d14_query")(force(analytics.Dedup.d14Query(spark, sfDir)))
+        } else if (name == "d14_upsert") {
+          // the build is setup (priced under d14_build) and wave 1 is
+          // d14_query's already-priced shape; the incremental loop's OWN
+          // recurring costs are the append of wave 1's survivors and wave
+          // 2's query against the grown index
+          analytics.Dedup.d14Build(spark, sfDir)
+          val w1 = analytics.Dedup.d14Query(spark, sfDir, Seq("src0", "src1"))
+          timed("d14_append")(
+            analytics.Dedup.d14Append(spark, sfDir, w1.filter(col("novel"))))
+          timed("d14_grown_query")(force(
+            analytics.Dedup.d14Query(spark, sfDir, Seq("src2", "src3", "src4"))))
         } else if (name == "s12_ann_index_upsert") {
           // the base build is the PRE-EXISTING index (setup); the op's
           // recurring costs — the whole point of incremental maintenance —

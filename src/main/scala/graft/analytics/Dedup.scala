@@ -132,25 +132,43 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
+  /** One capped-shingle frame per (session, shingle plan). Five operators
+    * verify over the SAME capped shingle set (d2, d6, d9, d13, p21), and a
+    * per-call persist would cache up to five identical copies of it in one
+    * Verify session. Keyed by the canonicalized input plan (same dataset
+    * dir → same plan → same blocks; synthetic spec frames key separately),
+    * so every caller shares one set of blocks. A `clearCache` between
+    * queries (Bench) drops the blocks but not the memo entry — the
+    * storage-level check in [[jaccardPairs]] re-persists on next use.
+    */
+  private val cappedShingleMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]()
+
   /** Exact Jaccard over shared shingles for co-occurring pairs.
     *
     * The CAPPED shingle set feeds three plan branches (per-doc sizes + both
     * sides of the self-join), so it persists here (MEMORY_AND_DISK —
     * executors spill, not OOM) instead of replaying the
-    * explode+distinct+cap shuffles per branch. Only d2/d6 call this (d3
-    * has its own candidates-only verify), so there is no double-cache
-    * hazard. The query session frees the blocks via `clearCache` (Bench)
-    * or session teardown (Verify).
+    * explode+distinct+cap shuffles per branch — and since d2, d6, d9, d13
+    * and p21 all call this over the same corpus, the persisted frame is
+    * memoized per (session, input plan) so one session holds ONE copy, not
+    * five. The query session frees the blocks via `clearCache` (Bench) or
+    * session teardown (Verify).
     */
   private[analytics] def jaccardPairs(shRaw: DataFrame): DataFrame = {
-    // df-cap: drop stop-shingles BEFORE the self-join (see ShingleDfCap).
-    // The df table is vocabulary-sized — unbounded, so the semi-join is
-    // shuffle-hinted like every other corpus-scale side.
-    val keep = shRaw.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= ShingleDfCap)
-      .select("s")
-    val sh = shRaw.join(keep.hint("shuffle_hash"), Seq("s"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val memoKey = (shRaw.sparkSession, shRaw.queryExecution.analyzed.canonicalized)
+    val sh = cappedShingleMemo.computeIfAbsent(memoKey, _ => {
+      // df-cap: drop stop-shingles BEFORE the self-join (see ShingleDfCap).
+      // The df table is vocabulary-sized — unbounded, so the semi-join is
+      // shuffle-hinted like every other corpus-scale side.
+      val keep = shRaw.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= ShingleDfCap)
+        .select("s")
+      shRaw.join(keep.hint("shuffle_hash"), Seq("s"), "left_semi")
+    })
+    if (sh.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the per-doc sizes table is corpus-sized — locally tiny, unbounded at
     // scale, so the attach joins are shuffle-hinted (AQE would otherwise
     // broadcast it and hide the shape that matters at 100 TB)
@@ -413,6 +431,15 @@ object Dedup {
   /** The sources d10/d14 treat as the arriving crawl batch. */
   private val BatchSources = Seq("src0", "src1", "src2", "src3", "src4")
 
+  /** Catalog name of one of d14's bucketed index tables, scoped to the
+    * dataset dir (ivfIndexPath's rule): building against one dir and
+    * querying another in the same session must address DIFFERENT indexes —
+    * a fixed name would silently serve the wrong corpus's bands to the
+    * split d14Build/d14Query/d14Append API.
+    */
+  private[graft] def d14Table(name: String, dir: String): String =
+    name + "_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+
   /** d14 index BUILD: the reference corpus's dedup index persisted once —
     * the minhash band table written BUCKETED on the composite band key
     * (bk = i·Prime + mh; mh < Prime makes it injective, so a bk equi-join
@@ -430,14 +457,54 @@ object Dedup {
     val mhR = minhashStack(shR)
     graft.ops.Bucketing.writeBucketed(
       mhR.select((col("i") * Prime + col("mh")).as("bk"),
-        col("doc_id").as("ref_id")), "d14_ref_bands", "bk", 8)
+        col("doc_id").as("ref_id")), d14Table("d14_ref_bands", dir), "bk", 8)
     graft.ops.Bucketing.writeBucketed(
       shR.select(col("doc_id").as("ref_id"), col("s")),
-      "d14_ref_shingles", "ref_id", 8)
+      d14Table("d14_ref_shingles", dir), "ref_id", 8)
     graft.ops.Bucketing.writeBucketed(
       shR.groupBy(col("doc_id").as("ref_id")).agg(count(lit(1)).as("nb")),
-      "d14_ref_sizes", "ref_id", 8)
+      d14Table("d14_ref_sizes", dir), "ref_id", 8)
     shR.unpersist()
+  }
+
+  /** d14 index APPEND — the incremental half that makes the persisted
+    * index live: the ACCEPTED (novel) documents of a just-deduped batch
+    * are signed and written into the same three bucket layouts with
+    * append mode, so the NEXT batch dedups against this batch's survivors
+    * too. Cost is O(accepted batch): one shingle pass over the accepted
+    * docs only — the existing index bytes are never read or rewritten
+    * (new files land inside the same buckets; reads group files by bucket
+    * id, so the band join stays exchange-free). This is s12's
+    * exactly-once-append discipline applied to dedup: at 100 TB it is the
+    * difference between re-signing the whole reference corpus per crawl
+    * batch (d10) and paying only for the ingest.
+    */
+  private[graft] def d14Append(s: org.apache.spark.sql.SparkSession,
+      dir: String, acceptedIds: org.apache.spark.sql.DataFrame): Unit = {
+    val docs = Tables(s, dir).documents
+    // the accepted set is usually DERIVED from the index tables this
+    // append writes into (d14Query's novel flag reads all three) — an
+    // unsevered plan would make each append job read its own target.
+    // localCheckpoint materializes the batch-sized id list eagerly and
+    // truncates the lineage, exactly what a production pipeline holds at
+    // this point anyway (the batch's admission verdict).
+    val ids = acceptedIds.select(col("doc_id")).localCheckpoint(true)
+    // accepted ids are batch-sized but corpus-unbounded — shuffled
+    // semi-join, never a broadcast of an id set that grows with ingest
+    val acc = docs.join(ids.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+    val shA = shingles(acc).withColumn("hm", md5long(col("s")) % Prime)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mhA = minhashStack(shA)
+    graft.ops.Bucketing.appendBucketed(
+      mhA.select((col("i") * Prime + col("mh")).as("bk"),
+        col("doc_id").as("ref_id")), d14Table("d14_ref_bands", dir), "bk", 8)
+    graft.ops.Bucketing.appendBucketed(
+      shA.select(col("doc_id").as("ref_id"), col("s")),
+      d14Table("d14_ref_shingles", dir), "ref_id", 8)
+    graft.ops.Bucketing.appendBucketed(
+      shA.groupBy(col("doc_id").as("ref_id")).agg(count(lit(1)).as("nb")),
+      d14Table("d14_ref_sizes", dir), "ref_id", 8)
+    shA.unpersist()
   }
 
   /** d14 recurring QUERY: the arriving batch against the STORED index. The
@@ -448,9 +515,10 @@ object Dedup {
     * Result must equal d10's full recompute exactly.
     */
   private[graft] def d14Query(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
+      dir: String,
+      sources: Seq[String] = BatchSources): org.apache.spark.sql.DataFrame = {
     val docs = Tables(s, dir).documents
-    val batchDocs = docs.filter(col("source").isin(BatchSources: _*))
+    val batchDocs = docs.filter(col("source").isin(sources: _*))
     val batch = batchDocs.select(col("doc_id"), col("source"))
     val shB = shingles(batchDocs)
       .withColumn("hm", md5long(col("s")) % Prime)
@@ -458,20 +526,22 @@ object Dedup {
     val mhB = minhashStack(shB)
     graft.ops.Bucketing.writeBucketed(
       mhB.select((col("i") * Prime + col("mh")).as("bk"), col("doc_id")),
-      "d14_batch_bands", "bk", 8)
+      d14Table("d14_batch_bands", dir), "bk", 8)
     val cand = graft.ops.Bucketing
-      .bucketedJoin(s, "d14_batch_bands", "d14_ref_bands", "bk")
+      .bucketedJoin(s, d14Table("d14_batch_bands", dir),
+        d14Table("d14_ref_bands", dir), "bk")
       .select(col("doc_id"), col("ref_id")).distinct()
     val sizesB = shB.groupBy("doc_id").agg(count(lit(1)).as("na"))
     val common = cand
       .join(shB.select(col("doc_id"), col("s")).hint("shuffle_hash"),
         "doc_id")
-      .join(s.table("d14_ref_shingles").hint("shuffle_hash"),
+      .join(s.table(d14Table("d14_ref_shingles", dir)).hint("shuffle_hash"),
         Seq("ref_id", "s"))
       .groupBy("doc_id", "ref_id").agg(count(lit(1)).as("common"))
     val dups = common
       .join(sizesB.hint("shuffle_hash"), "doc_id")
-      .join(s.table("d14_ref_sizes").hint("shuffle_hash"), "ref_id")
+      .join(s.table(d14Table("d14_ref_sizes", dir)).hint("shuffle_hash"),
+        "ref_id")
       .withColumn("jaccard",
         col("common") * lit(1.0) / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= JaccardThreshold)
@@ -512,6 +582,55 @@ object Dedup {
        |SELECT b.doc_id, b.source, best.match_id IS NULL AS novel,
        |  best.match_id, best.match_jaccard
        |FROM batch b LEFT JOIN best ON b.doc_id = best.doc_id""".stripMargin
+
+  /** d14_upsert's oracle: the two-wave cascade recomputed from scratch —
+    * wave one (src0/src1) against the original reference, its novel
+    * survivors joined INTO the reference, wave two (src2-4) against the
+    * grown set. Append-then-query on the Spark side must equal this full
+    * recompute exactly (s12's upsert ≡ rebuild law).
+    */
+  private def d14UpsertOracleSql: String =
+    s"""WITH $jaccardOracleCte,
+       |$minhashSigSql,
+       |wave1 AS (SELECT doc_id FROM documents
+       |          WHERE source IN ('src0','src1')),
+       |wave2 AS (SELECT doc_id, source FROM documents
+       |          WHERE source IN ('src2','src3','src4')),
+       |refs AS (SELECT doc_id FROM documents
+       |         WHERE source NOT IN ('src0','src1','src2','src3','src4')),
+       |cand1 AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS ref_id
+       |          FROM mh x
+       |          JOIN wave1 bx ON x.doc_id = bx.doc_id
+       |          JOIN mh y ON x.i = y.i AND x.mh = y.mh
+       |          JOIN refs r ON y.doc_id = r.doc_id),
+       |dup1 AS (SELECT DISTINCT c.doc_id
+       |         FROM cand1 c
+       |         JOIN jac j ON j.doc_a = LEAST(c.doc_id, c.ref_id)
+       |           AND j.doc_b = GREATEST(c.doc_id, c.ref_id)
+       |         WHERE j.jaccard >= $JaccardThreshold),
+       |grown AS (SELECT doc_id FROM refs
+       |          UNION ALL
+       |          SELECT doc_id FROM wave1
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM dup1)),
+       |cand2 AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS ref_id
+       |          FROM mh x
+       |          JOIN wave2 bx ON x.doc_id = bx.doc_id
+       |          JOIN mh y ON x.i = y.i AND x.mh = y.mh
+       |          JOIN grown g ON y.doc_id = g.doc_id),
+       |dups AS (SELECT c.doc_id, c.ref_id, j.jaccard
+       |         FROM cand2 c
+       |         JOIN jac j ON j.doc_a = LEAST(c.doc_id, c.ref_id)
+       |           AND j.doc_b = GREATEST(c.doc_id, c.ref_id)
+       |         WHERE j.jaccard >= $JaccardThreshold),
+       |best AS (SELECT doc_id, MIN(ref_id) AS match_id,
+       |           ROUND(MAX(jaccard), 6) AS match_jaccard
+       |         FROM (SELECT doc_id, ref_id, jaccard,
+       |                 MAX(jaccard) OVER (PARTITION BY doc_id) AS bj
+       |               FROM dups)
+       |         WHERE jaccard = bj GROUP BY doc_id)
+       |SELECT b.doc_id, b.source, best.match_id IS NULL AS novel,
+       |  best.match_id, best.match_jaccard
+       |FROM wave2 b LEFT JOIN best ON b.doc_id = best.doc_id""".stripMargin
 
   /** Shared DuckDB CTEs for shingles and their hashes (word 3-grams). */
   private[analytics] val shinglesSql =
@@ -725,6 +844,22 @@ object Dedup {
     "d14_dedup_index" -> { (s, dir) =>
       d14Build(s, dir)
       d14Query(s, dir)
+    },
+
+    // d14's INCREMENTAL loop closed: the crawl arrives in TWO waves. Wave
+    // one (src0/src1) dedups against the stored reference index; its
+    // ACCEPTED (novel) documents are APPENDED into the index
+    // ([[d14Append]] — O(accepted) work, existing index bytes untouched);
+    // wave two (src2-4) then dedups against the GROWN index and can match
+    // wave one's survivors — the thing d14_dedup_index alone could not do.
+    // The oracle recomputes the whole two-wave cascade from scratch in
+    // SQL: append-then-query ≡ full recompute over the grown reference,
+    // s12's upsert ≡ rebuild discipline applied to dedup.
+    "d14_upsert" -> { (s, dir) =>
+      d14Build(s, dir)
+      val wave1 = d14Query(s, dir, Seq("src0", "src1"))
+      d14Append(s, dir, wave1.filter(col("novel")))
+      d14Query(s, dir, Seq("src2", "src3", "src4"))
     },
 
     // LSH S-curve measurement — "measure, don't guess" applied to the
@@ -973,6 +1108,8 @@ object Dedup {
     // the persisted-index path must reproduce d10's recompute EXACTLY —
     // index ≡ recompute, the s12 upsert-≡-rebuild discipline
     "d14_dedup_index" -> d10OracleSql,
+    // append-then-query ≡ full recompute over the grown reference
+    "d14_upsert" -> d14UpsertOracleSql,
     // all co-occurring pair deciles (uncapped jac) left-joined to d3's
     // band-join candidate set; hit rate per true-similarity decile
     "d11_lsh_recall" -> {

@@ -39,6 +39,26 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** Append into an existing bucketed table created by [[writeBucketed]] —
+    * the grow path for persisted indexes. The batch's rows land as NEW
+    * files inside the same bucket layout (the existing index bytes are
+    * never read or rewritten), and reads group files by bucket id, so a
+    * [[bucketedJoin]] over the grown table still plans with no Exchange —
+    * multiple files per bucket cost a per-task sort, never a shuffle.
+    * Spark validates the (numBuckets, key) spec against the catalog entry,
+    * so a drifted layout fails loudly instead of silently mis-bucketing.
+    */
+  def appendBucketed(
+      df: DataFrame,
+      table: String,
+      key: String,
+      numBuckets: Int): Unit =
+    df.write
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .mode(SaveMode.Append)
+      .saveAsTable(table)
+
   /** Join two bucketed tables on their bucket key (plan should carry no
     * hash-partition Exchange when both are bucketed the same way). The
     * merge hint pins the sort-merge strategy the bucket layout exists for —

@@ -323,6 +323,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("\\bWindow\\b".r.findAllIn(p).isEmpty, "d14 must not window")
   }
 
+  test("d14 append grows the index by each accepted doc exactly once") {
+    // the s12 exactly-once-append law applied to the dedup index: build +
+    // one wave's append must leave exactly one sizes row per reference doc
+    // plus one per accepted survivor — a re-run that re-wrote existing
+    // rows would duplicate, a dropped bucket file would lose docs. The
+    // appended batch must also SERVE: wave two's query over the grown
+    // index still plans its band join exchange-free.
+    import org.apache.spark.sql.functions.col
+    val dir = TestSession.sfDir
+    analytics.Dedup.d14Build(spark, dir)
+    val before = spark.table(
+      analytics.Dedup.d14Table("d14_ref_sizes", dir)).count()
+    val wave1 = analytics.Dedup.d14Query(spark, dir, Seq("src0", "src1"))
+    val accepted = wave1.filter(col("novel")).select("doc_id")
+    val nAccepted = accepted.count()
+    assert(nAccepted > 0, "fixture must accept at least one wave-1 doc")
+    analytics.Dedup.d14Append(spark, dir, accepted)
+    val sizes = spark.table(analytics.Dedup.d14Table("d14_ref_sizes", dir))
+    assert(sizes.count() == before + nAccepted,
+      "append must add exactly one sizes row per accepted doc")
+    assert(sizes.select("ref_id").distinct().count() == before + nAccepted,
+      "every indexed doc must appear exactly once")
+    assert(accepted.join(sizes,
+      accepted("doc_id") === sizes("ref_id"), "left_anti").count() == 0,
+      "every accepted doc must be present in the grown index")
+    val p2 = analytics.Dedup.d14Query(spark, dir, Seq("src2", "src3", "src4"))
+      .queryExecution.explainString(FormattedMode)
+    assert(!nodeBlocks(p2).exists { case (n, b) =>
+      n == "Exchange" && b.contains("hashpartitioning(bk")
+    }, "the grown band join re-partitioned a bucketed input")
+  }
+
   test("q21's salted join shuffles on (key, salt) — salt must reach the join") {
     // a broadcast here would bypass the very shuffle the salt spreads; the
     // join keys must include the salt column or the hot key still lands on
