@@ -2,7 +2,7 @@ package graft.iggy
 
 import java.net.{InetAddress, ServerSocket}
 import java.util.concurrent.ConcurrentHashMap
-import java.util.concurrent.atomic.AtomicLong
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 
 import scala.collection.mutable
 
@@ -12,8 +12,14 @@ import IggyWire.{Cmd, PollStrategy, Status}
   * streams contain topics, topics contain partitions, each partition an
   * append-only log with dense u64 offsets; consumer/group offset storage;
   * balanced (round-robin) / partition-id / message-key partitioning;
-  * offset / timestamp / first / last / next polling. Multi-connection (one
-  * thread per accept) because every Spark task opens its own connection.
+  * offset / timestamp / first / last / next polling, plus the published
+  * `partition_id = 0` form where the SERVER selects the partition (the
+  * reference adapter's poll loop passes `None`, streamer.rs:216-225).
+  * Replies carry the published response payloads ([[IggyWire]]'s response
+  * codecs) and the published numeric status space; every connection is
+  * assigned a client id at accept (iggy's session model — consumer-group
+  * membership is keyed by it). Multi-connection (one thread per accept)
+  * because every Spark task opens its own connection.
   *
   * Mirrors the server model the reference adapter drives through the iggy
   * SDK (sea-streamer-iggy/src/streamer.rs:74-258). Lives in main (not test)
@@ -28,6 +34,8 @@ final class EmbeddedIggy extends AutoCloseable {
   private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
   val port: Int = server.getLocalPort
   val host: String = "127.0.0.1"
+
+  private def nowUs: Long = System.currentTimeMillis() * 1000L
 
   /** Fault tap: close the connection INSTEAD of serving the next N
     * PollMessages — nothing delivered, no offset advanced.
@@ -57,34 +65,72 @@ final class EmbeddedIggy extends AutoCloseable {
   private object DropConn extends RuntimeException
     with scala.util.control.NoStackTrace
 
-  private final class Topic(val partitions: Array[mutable.ArrayBuffer[Msg]]) {
-    val balanced = new AtomicLong(0L)
+  /** One partition's log. The instance is its own monitor for buf+bytes. */
+  private final class Part {
+    val createdAtUs: Long = nowUs
+    val buf = mutable.ArrayBuffer.empty[Msg]
+    var bytes = 0L
   }
 
-  /** stream -> topic -> Topic */
-  private val streams =
-    new ConcurrentHashMap[String, ConcurrentHashMap[String, Topic]]()
-  /** "kind/name/stream/topic/partition" -> stored offset */
+  private final class Topic(val id: Int, val name: String, nParts: Int,
+      val replicationFactor: Int) {
+    val createdAtUs: Long = nowUs
+    val partitions: Array[Part] = Array.fill(nParts)(new Part)
+    val balanced = new AtomicLong(0L)
+    /** Server-selected-partition rotation for `partition_id = 0` polls. */
+    val pollRotation = new AtomicLong(0L)
+    def messagesCount: Long =
+      partitions.map(p => p.synchronized(p.buf.length.toLong)).sum
+    def sizeBytes: Long = partitions.map(p => p.synchronized(p.bytes)).sum
+    def base: IggyWire.TopicBase = IggyWire.TopicBase(id, createdAtUs,
+      partitions.length, 0, 0L, replicationFactor, sizeBytes, messagesCount,
+      name)
+  }
+
+  private final class StreamS(val id: Int, val name: String) {
+    val createdAtUs: Long = nowUs
+    val topics = new ConcurrentHashMap[String, Topic]()
+    val topicSeq = new AtomicInteger(0)
+    def base: IggyWire.StreamBase = {
+      import scala.jdk.CollectionConverters._
+      val ts = topics.values.asScala
+      IggyWire.StreamBase(id, createdAtUs, topics.size,
+        ts.map(_.sizeBytes).sum, ts.map(_.messagesCount).sum, name)
+    }
+  }
+
+  private final class Group(val id: Int, val name: String) {
+    /** Member CLIENT ids in join order (iggy's session-keyed membership). */
+    val members = mutable.LinkedHashSet.empty[Long]
+  }
+
+  private val streams = new ConcurrentHashMap[String, StreamS]()
+  private val streamSeq = new AtomicInteger(0)
+  /** "kind/name/stream/topic/partitionIdx" -> stored offset */
   private val offsets = new ConcurrentHashMap[String, java.lang.Long]()
-  /** "stream/topic/group" -> ordered member names */
-  private val groups = new ConcurrentHashMap[String, mutable.LinkedHashSet[String]]()
+  /** "stream/topic/group" -> group */
+  private val groups = new ConcurrentHashMap[String, Group]()
+  private val groupSeq = new AtomicInteger(0)
+  private val clientSeq = new AtomicLong(0L)
   @volatile private var closed = false
 
   def topicPartitionCount(stream: String, topic: String): Int =
-    Option(streams.get(stream)).flatMap(s => Option(s.get(topic)))
-      .map(_.partitions.length).getOrElse(0)
+    topicOf(stream, topic).map(_.partitions.length).getOrElse(0)
 
   def messages(stream: String, topic: String, partition: Int): Seq[(Long, Array[Byte])] =
-    Option(streams.get(stream)).flatMap(s => Option(s.get(topic))) match {
+    topicOf(stream, topic) match {
       case Some(t) if partition < t.partitions.length =>
-        val buf = t.partitions(partition)
-        buf.synchronized { buf.toSeq.map(m => (m.tsMs, m.payload)) }
+        val p = t.partitions(partition)
+        p.synchronized { p.buf.toSeq.map(m => (m.tsMs, m.payload)) }
       case _ => Seq.empty
     }
 
   def storedOffset(kind: Int, name: String, stream: String, topic: String,
       partition: Int): Option[Long] =
     Option(offsets.get(s"$kind/$name/$stream/$topic/$partition")).map(_.longValue)
+
+  private def topicOf(stream: String, topic: String): Option[Topic] =
+    Option(streams.get(stream)).flatMap(s => Option(s.topics.get(topic)))
 
   private val acceptor = new Thread(() => {
     try while (!closed) {
@@ -98,6 +144,9 @@ final class EmbeddedIggy extends AutoCloseable {
   private def serve(socket: java.net.Socket): Unit = {
     val in = IggyWire.buffered(socket.getInputStream)
     val out = IggyWire.buffered(socket.getOutputStream)
+    // iggy's session model: the server assigns a client id per connection
+    val clientId = clientSeq.incrementAndGet()
+    val address = String.valueOf(socket.getRemoteSocketAddress)
     var authed = false
     try while (!closed) {
       IggyWire.readRequest(in) match {
@@ -106,7 +155,7 @@ final class EmbeddedIggy extends AutoCloseable {
           val (status, reply) =
             if (!authed && code != Cmd.Ping && code != Cmd.LoginUser)
               (Status.Unauthenticated, Array.emptyByteArray)
-            else handle(code, payload)
+            else handle(clientId, address, code, payload)
           if (code == Cmd.LoginUser && status == Status.Ok) authed = true
           IggyWire.writeResponse(out, status, reply)
           // flush when the client's pipeline drained — one syscall per
@@ -122,8 +171,10 @@ final class EmbeddedIggy extends AutoCloseable {
 
   private def ok(payload: Array[Byte] = Array.emptyByteArray) =
     (Status.Ok, payload)
+  private def err(status: Int) = (status, Array.emptyByteArray)
 
-  private def handle(code: Int, payload: Array[Byte]): (Int, Array[Byte]) = {
+  private def handle(clientId: Long, address: String, code: Int,
+      payload: Array[Byte]): (Int, Array[Byte]) = {
     if (code == Cmd.PollMessages && takeFault(dropPolls)) throw DropConn
     if (code == Cmd.SendMessages && takeCountdown(dropSendCountdown)) throw DropConn
     val r = new IggyWire.Reader(payload)
@@ -133,45 +184,73 @@ final class EmbeddedIggy extends AutoCloseable {
       case Cmd.LoginUser =>
         val (_, _) = (r.str(), r.str()) // any credentials accepted
         val (_, _) = (r.lstr(), r.lstr()) // optional version/context
+        // IdentityInfo: [user_id u32]
         ok(new IggyWire.Writer().u32(1).result())
+
+      case Cmd.GetMe =>
+        import scala.jdk.CollectionConverters._
+        // joined groups as (stream id, topic id, group id) triples
+        val joined = groups.asScala.toSeq.collect {
+          case (key, g) if g.members.synchronized(g.members.contains(clientId)) =>
+            val Array(sn, tn, _) = key.split("/", 3)
+            (Option(streams.get(sn)).map(_.id).getOrElse(0),
+              topicOf(sn, tn).map(_.id).getOrElse(0), g.id)
+        }.sortBy(_._3)
+        val w = new IggyWire.Writer()
+        IggyWire.writeClientInfo(w, IggyWire.ClientInfo(
+          clientId, 1L, 1, address, joined))
+        ok(w.result())
 
       case Cmd.GetStream =>
         val name = r.identifierName()
-        val existing = Option(streams.get(name))
-        ok(new IggyWire.Writer()
-          .u8(if (existing.isDefined) 1 else 0)
-          .u32(existing.map(_.size).getOrElse(0)).result())
+        Option(streams.get(name)) match {
+          case None => err(Status.StreamNameNotFound)
+          case Some(s) =>
+            import scala.jdk.CollectionConverters._
+            val w = new IggyWire.Writer()
+            IggyWire.writeStreamBase(w, s.base)
+            s.topics.values.asScala.toSeq.sortBy(_.id)
+              .foreach(t => IggyWire.writeTopicBase(w, t.base))
+            ok(w.result())
+        }
 
       case Cmd.CreateStream =>
         val _streamId = r.u32() // 0 = server-assigned (names key this broker)
         val name = r.str()
         if (streams.putIfAbsent(name,
-          new ConcurrentHashMap[String, Topic]()) != null)
-          (Status.AlreadyExists, Array.emptyByteArray)
+          new StreamS(streamSeq.incrementAndGet(), name)) != null)
+          err(Status.StreamNameAlreadyExists)
         else ok()
 
       case Cmd.GetTopic =>
         val (stream, topic) = (r.identifierName(), r.identifierName())
-        Option(streams.get(stream)).flatMap(s => Option(s.get(topic))) match {
-          case None => ok(new IggyWire.Writer().u8(0).u32(0).result())
+        topicOf(stream, topic) match {
+          case None => err(Status.TopicNameNotFound)
           case Some(t) =>
-            val w = new IggyWire.Writer().u8(1).u32(t.partitions.length)
-            t.partitions.foreach { buf =>
-              w.u64(buf.synchronized(buf.length.toLong)) // tip = next offset
+            val w = new IggyWire.Writer()
+            IggyWire.writeTopicBase(w, t.base)
+            t.partitions.zipWithIndex.foreach { case (p, i) =>
+              val (n, sz) = p.synchronized((p.buf.length.toLong, p.bytes))
+              IggyWire.writePartitionBlock(w, IggyWire.PartitionBlock(
+                i + 1, p.createdAtUs, 1, math.max(0L, n - 1), sz, n))
             }
             ok(w.result())
         }
 
       case Cmd.CreateTopic =>
         val stream = r.identifierName()
-        val (topic, parts) = (r.str(), r.u32())
+        val _topicId = r.u32() // 0 = server-assigned
+        val parts = r.u32()
+        val _expiry = r.u32(); val _maxSize = r.u64()
+        val replication = math.max(1, r.u8())
+        val topic = r.str()
         Option(streams.get(stream)) match {
-          case None => (Status.NotFound, Array.emptyByteArray)
+          case None => err(Status.StreamNameNotFound)
           case Some(s) =>
-            if (parts <= 0) (Status.Error, Array.emptyByteArray)
-            else if (s.putIfAbsent(topic, new Topic(
-              Array.fill(parts)(mutable.ArrayBuffer.empty[Msg]))) != null)
-              (Status.AlreadyExists, Array.emptyByteArray)
+            if (parts <= 0) err(Status.Error)
+            else if (s.topics.putIfAbsent(topic, new Topic(
+              s.topicSeq.incrementAndGet(), topic, parts, replication)) != null)
+              err(Status.TopicNameAlreadyExists)
             else ok()
         }
 
@@ -181,8 +260,8 @@ final class EmbeddedIggy extends AutoCloseable {
         val pKind = r.u8()
         val pVal = { val n = r.u8(); Array.fill(n)(r.u8().toByte) }
         val count = r.u32()
-        Option(streams.get(stream)).flatMap(s => Option(s.get(topic))) match {
-          case None => (Status.NotFound, Array.emptyByteArray)
+        topicOf(stream, topic) match {
+          case None => err(Status.TopicNameNotFound)
           case Some(t) =>
             val nParts = t.partitions.length
             var i = 0
@@ -190,13 +269,16 @@ final class EmbeddedIggy extends AutoCloseable {
               val (tsMs, bytes) = IggyWire.readSendMessage(r)
               val part = pKind match {
                 case 1 => (t.balanced.getAndIncrement() % nParts).toInt
-                case 2 => math.floorMod(new IggyWire.Reader(pVal).u32(), nParts)
+                case 2 => // explicit 1-based partition id
+                  val id = new IggyWire.Reader(pVal).u32()
+                  if (id < 1 || id > nParts)
+                    return err(Status.PartitionNotFound)
+                  id - 1
                 case 3 => math.floorMod(java.util.Arrays.hashCode(pVal), nParts)
-                case _ =>
-                  return (Status.Error, Array.emptyByteArray)
+                case _ => return err(Status.Error)
               }
-              val buf = t.partitions(part)
-              buf.synchronized { buf += Msg(tsMs, bytes) }
+              val p = t.partitions(part)
+              p.synchronized { p.buf += Msg(tsMs, bytes); p.bytes += bytes.length }
               i += 1
             }
             ok()
@@ -205,17 +287,24 @@ final class EmbeddedIggy extends AutoCloseable {
       case Cmd.PollMessages =>
         val (kind, name) = r.consumer()
         val (stream, topic) = (r.identifierName(), r.identifierName())
-        val partition = r.u32()
+        val partitionId = r.u32() // 1-based; 0 = server selects
         val strategy = PollStrategy(r.u8().toByte, r.u64())
         val count = r.u32()
         val autoCommit = r.u8() == 1
-        Option(streams.get(stream)).flatMap(s => Option(s.get(topic))) match {
-          case None => (Status.NotFound, Array.emptyByteArray)
-          case Some(t) if partition >= t.partitions.length =>
-            (Status.NotFound, Array.emptyByteArray)
+        topicOf(stream, topic) match {
+          case None => err(Status.TopicNameNotFound)
+          case Some(t) if partitionId > t.partitions.length =>
+            err(Status.PartitionNotFound)
           case Some(t) =>
-            val buf = t.partitions(partition)
-            val (tip, slice) = buf.synchronized {
+            // partition 0: the server picks — round-robin rotation, the
+            // reference adapter's `partition_id: None` poll loop
+            val partition =
+              if (partitionId == 0)
+                (t.pollRotation.getAndIncrement() % t.partitions.length).toInt
+              else partitionId - 1
+            val p = t.partitions(partition)
+            val (last, slice) = p.synchronized {
+              val buf = p.buf
               val len = buf.length.toLong
               val from: Long = strategy match {
                 case PollStrategy.AtOffset(o) => o
@@ -236,13 +325,14 @@ final class EmbeddedIggy extends AutoCloseable {
               }
               val lo = math.min(math.max(0L, from), len).toInt
               val hi = math.min(len, lo.toLong + count).toInt
-              (len, (lo until hi).map(i => (i.toLong, buf(i))))
+              (math.max(0L, len - 1), (lo until hi).map(i => (i.toLong, buf(i))))
             }
             if (autoCommit && slice.nonEmpty)
               offsets.put(s"$kind/$name/$stream/$topic/$partition",
                 java.lang.Long.valueOf(slice.last._1))
+            // published envelope: [partition_id][current_offset][count]
             val w = new IggyWire.Writer()
-              .u32(partition).u64(tip).u32(slice.length)
+              .u32(partition + 1).u64(last).u32(slice.length)
             slice.foreach { case (off, m) =>
               IggyWire.writePolledMessage(w, off, m.tsMs, m.payload)
             }
@@ -258,43 +348,72 @@ final class EmbeddedIggy extends AutoCloseable {
       case Cmd.StoreConsumerOffset =>
         val (kind, name) = r.consumer()
         val (stream, topic) = (r.identifierName(), r.identifierName())
-        val partition = r.u32(); val offset = r.u64()
-        offsets.put(s"$kind/$name/$stream/$topic/$partition",
+        val partitionId = r.u32(); val offset = r.u64()
+        offsets.put(s"$kind/$name/$stream/$topic/${partitionId - 1}",
           java.lang.Long.valueOf(offset))
         ok()
 
       case Cmd.GetConsumerOffset =>
         val (kind, name) = r.consumer()
         val (stream, topic) = (r.identifierName(), r.identifierName())
-        val partition = r.u32()
+        val partitionId = r.u32()
+        val partition = partitionId - 1
         storedOffset(kind, name, stream, topic, partition) match {
-          case Some(o) => ok(new IggyWire.Writer().u8(1).u64(o).result())
-          case None => ok(new IggyWire.Writer().u8(0).u64(0L).result())
+          case Some(o) =>
+            val current = topicOf(stream, topic)
+              .filter(_.partitions.length > partition)
+              .map { t =>
+                val p = t.partitions(partition)
+                math.max(0L, p.synchronized(p.buf.length.toLong) - 1)
+              }.getOrElse(0L)
+            val w = new IggyWire.Writer()
+            IggyWire.writeConsumerOffsetInfo(w,
+              IggyWire.ConsumerOffsetInfo(partitionId, current, o))
+            ok(w.result())
+          case None => err(Status.ResourceNotFound)
         }
 
       case Cmd.CreateConsumerGroup =>
         val (stream, topic) = (r.identifierName(), r.identifierName())
         val _groupId = r.u32() // 0 = server-assigned (names key this broker)
         val group = r.str()
-        val created = groups.putIfAbsent(s"$stream/$topic/$group",
-          mutable.LinkedHashSet.empty[String]) == null
-        if (created) ok() else (Status.AlreadyExists, Array.emptyByteArray)
+        if (topicOf(stream, topic).isEmpty) err(Status.TopicNameNotFound)
+        else if (groups.putIfAbsent(s"$stream/$topic/$group",
+          new Group(groupSeq.incrementAndGet(), group)) != null)
+          err(Status.ConsumerGroupNameAlreadyExists)
+        else ok()
+
+      case Cmd.GetConsumerGroup =>
+        val (stream, topic, group) =
+          (r.identifierName(), r.identifierName(), r.identifierName())
+        (topicOf(stream, topic), Option(groups.get(s"$stream/$topic/$group"))) match {
+          case (Some(t), Some(g)) =>
+            val members = g.members.synchronized(g.members.toSeq)
+            val n = math.max(1, members.size)
+            // deterministic balanced assignment: member i owns the 1-based
+            // partition ids p with (p - 1) % members == i
+            val w = new IggyWire.Writer()
+            IggyWire.writeGroupDetails(w, IggyWire.GroupDetails(
+              g.id, t.partitions.length, g.name,
+              members.zipWithIndex.map { case (cid, i) =>
+                IggyWire.GroupMember(cid,
+                  (1 to t.partitions.length).filter(p => (p - 1) % n == i))
+              }))
+            ok(w.result())
+          case _ => err(Status.ConsumerGroupNameNotFound)
+        }
 
       case Cmd.JoinConsumerGroup =>
         val (stream, topic, group) =
           (r.identifierName(), r.identifierName(), r.identifierName())
-        val member = r.str()
         Option(groups.get(s"$stream/$topic/$group")) match {
-          case None => (Status.NotFound, Array.emptyByteArray)
-          case Some(members) =>
-            val (n, idx) = members.synchronized {
-              members += member
-              (members.size, members.iterator.indexOf(member))
-            }
-            ok(new IggyWire.Writer().u32(n).u32(idx).result())
+          case None => err(Status.ConsumerGroupNameNotFound)
+          case Some(g) =>
+            g.members.synchronized { g.members += clientId }
+            ok()
         }
 
-      case _ => (Status.Error, Array.emptyByteArray)
+      case _ => err(Status.InvalidCommand)
     }
   }
 

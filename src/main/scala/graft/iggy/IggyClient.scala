@@ -49,28 +49,54 @@ final class IggyClient(host: String, port: Int,
     */
   def createStreamIfAbsent(stream: String): Boolean =
     call(Cmd.CreateStream, new IggyWire.Writer().u32(0).str(stream).result(),
-      Set(Status.Ok, Status.AlreadyExists))._1 == Status.AlreadyExists
+      Set(Status.Ok, Status.StreamNameAlreadyExists))
+      ._1 == Status.StreamNameAlreadyExists
 
-  def streamExists(stream: String): Boolean = {
-    val (_, body) = call(Cmd.GetStream,
-      new IggyWire.Writer().identifier(stream).result())
-    new IggyWire.Reader(body).u8() == 1
-  }
+  /** Existence by STATUS (the published protocol reports a missing stream
+    * as StreamNameNotFound with an empty payload; found returns the
+    * StreamDetails block).
+    */
+  def streamExists(stream: String): Boolean =
+    call(Cmd.GetStream,
+      new IggyWire.Writer().identifier(stream).result(),
+      Set(Status.Ok, Status.StreamNameNotFound))._1 == Status.Ok
 
+  /** Published create-option block: `[stream Identifier][topic_id u32
+    * (0 = server-assigned)][partitions_count u32][message_expiry u32
+    * (0 = server default)][max_topic_size u64 (0 = server default)]
+    * [replication_factor u8 (0 = server default)][name]` — the defaults
+    * the reference adapter passes (CompressionAlgorithm::None /
+    * IggyExpiry::ServerDefault / MaxTopicSize::ServerDefault,
+    * streamer.rs:119-129).
+    */
   def createTopicIfAbsent(stream: String, topic: String, partitions: Int): Boolean =
     call(Cmd.CreateTopic, new IggyWire.Writer()
-      .identifier(stream).str(topic).u32(partitions).result(),
-      Set(Status.Ok, Status.AlreadyExists))._1 == Status.AlreadyExists
+      .identifier(stream).u32(0).u32(partitions)
+      .u32(0).u64(0L).u8(0).str(topic).result(),
+      Set(Status.Ok, Status.TopicNameAlreadyExists))
+      ._1 == Status.TopicNameAlreadyExists
 
   /** Partition tips (next offset per partition); None if the topic is
-    * missing. Drives offset planning in the Spark sources.
+    * missing. Drives offset planning in the Spark sources. Decoded from
+    * the published TopicDetails block — partition blocks carry the LAST
+    * offset plus a message count ([[IggyWire.PartitionBlock.tip]] derives
+    * the planning cursor), ordered by their 1-based partition ids.
     */
   def topicTips(stream: String, topic: String): Option[Array[Long]] = {
-    val (_, body) = call(Cmd.GetTopic,
-      new IggyWire.Writer().identifier(stream).identifier(topic).result())
-    val r = new IggyWire.Reader(body)
-    if (r.u8() != 1) None
-    else Some(Array.fill(r.u32())(r.u64()))
+    val (status, body) = call(Cmd.GetTopic,
+      new IggyWire.Writer().identifier(stream).identifier(topic).result(),
+      Set(Status.Ok, Status.TopicNameNotFound))
+    if (status != Status.Ok) None
+    else {
+      val r = new IggyWire.Reader(body)
+      val base = IggyWire.readTopicBase(r)
+      val tips = new Array[Long](base.partitionsCount)
+      (0 until base.partitionsCount).foreach { _ =>
+        val p = IggyWire.readPartitionBlock(r)
+        tips(p.id - 1) = p.tip
+      }
+      Some(tips)
+    }
   }
 
   /** Batched send: one round-trip per batch (the adapter sends per message,
@@ -83,7 +109,8 @@ final class IggyClient(host: String, port: Int,
     val w = new IggyWire.Writer().identifier(stream).identifier(topic)
     partitioning match {
       case Partitioning.Balanced => w.u8(1).u8(0)
-      case Partitioning.PartitionId(id) => w.u8(2).u8(4).u32(id)
+      // explicit partition ids are 1-based on the wire
+      case Partitioning.PartitionId(id) => w.u8(2).u8(4).u32(id + 1)
       case Partitioning.MessageKey(k) =>
         require(k.length <= 255, "partitioning key too long")
         w.u8(3).u8(k.length).raw(k)
@@ -96,9 +123,13 @@ final class IggyClient(host: String, port: Int,
     ()
   }
 
-  /** One poll: (partition tip, messages). `consumer` is (kind, name) where
-    * kind 0 = standalone consumer, 1 = consumer group (encoded as iggy's
-    * 1-based Consumer kinds + Identifier).
+  /** One poll: (the partition's current/last offset, messages). `consumer`
+    * is (kind, name) where kind 0 = standalone consumer, 1 = consumer
+    * group (encoded as iggy's 1-based Consumer kinds + Identifier).
+    * `partition` is this library's 0-based index, +1 on the wire (iggy
+    * partition ids are 1-based; wire 0 = the server selects — pass
+    * `partition = -1` for that published form, the reference poll loop's
+    * `partition_id: None`).
     */
   def pollMessages(stream: String, topic: String, partition: Int,
       strategy: PollStrategy, count: Int,
@@ -106,14 +137,14 @@ final class IggyClient(host: String, port: Int,
     val w = new IggyWire.Writer()
       .consumer(consumer._1, consumer._2)
       .identifier(stream).identifier(topic)
-      .u32(partition).u8(strategy.kind.toInt).u64(strategy.value)
+      .u32(partition + 1).u8(strategy.kind.toInt).u64(strategy.value)
       .u32(count).u8(if (autoCommit) 1 else 0)
     val (_, body) = call(Cmd.PollMessages, w.result())
     val r = new IggyWire.Reader(body)
     val _part = r.u32()
-    val tip = r.u64()
+    val current = r.u64()
     val msgs = Seq.fill(r.u32())(IggyWire.readPolledMessage(r))
-    (tip, msgs)
+    (current, msgs)
   }
 
   def storeOffset(stream: String, topic: String, partition: Int,
@@ -121,18 +152,24 @@ final class IggyClient(host: String, port: Int,
     call(Cmd.StoreConsumerOffset, new IggyWire.Writer()
       .consumer(consumer._1, consumer._2)
       .identifier(stream).identifier(topic)
-      .u32(partition).u64(offset).result())
+      .u32(partition + 1).u64(offset).result())
     ()
   }
 
+  /** Stored offset, or None when never stored (the published protocol
+    * reports that as an error status with an empty payload; found returns
+    * the ConsumerOffsetInfo block).
+    */
   def getOffset(stream: String, topic: String, partition: Int,
       consumer: (Int, String)): Option[Long] = {
-    val (_, body) = call(Cmd.GetConsumerOffset, new IggyWire.Writer()
+    val (status, body) = call(Cmd.GetConsumerOffset, new IggyWire.Writer()
       .consumer(consumer._1, consumer._2)
       .identifier(stream).identifier(topic)
-      .u32(partition).result())
-    val r = new IggyWire.Reader(body)
-    if (r.u8() == 1) Some(r.u64()) else None
+      .u32(partition + 1).result(),
+      Set(Status.Ok, Status.ResourceNotFound))
+    if (status != Status.Ok) None
+    else Some(IggyWire.readConsumerOffsetInfo(
+      new IggyWire.Reader(body)).storedOffset)
   }
 
   /** Published create layout: stream/topic references as Identifiers,
@@ -141,22 +178,41 @@ final class IggyClient(host: String, port: Int,
   def createGroupIfAbsent(stream: String, topic: String, group: String): Unit = {
     call(Cmd.CreateConsumerGroup, new IggyWire.Writer()
       .identifier(stream).identifier(topic).u32(0).str(group).result(),
-      Set(Status.Ok, Status.AlreadyExists))
+      Set(Status.Ok, Status.ConsumerGroupNameAlreadyExists))
     ()
   }
 
-  /** Join; returns (member count, this member's index) — partition p is
-    * owned by member `p % count` (deterministic balanced assignment; the
-    * trailing member name is a graft extension — real iggy tracks
-    * membership by session).
+  /** This connection's server-assigned client id (GetMe → ClientInfo) —
+    * consumer-group membership is keyed by it, iggy's session model.
     */
-  def joinGroup(stream: String, topic: String, group: String,
-      member: String): (Int, Int) = {
-    val (_, body) = call(Cmd.JoinConsumerGroup, new IggyWire.Writer()
-      .identifier(stream).identifier(topic).identifier(group)
-      .str(member).result())
-    val r = new IggyWire.Reader(body)
-    (r.u32(), r.u32())
+  lazy val clientId: Long = {
+    val (_, body) = call(Cmd.GetMe, Array.emptyByteArray)
+    IggyWire.readClientInfo(new IggyWire.Reader(body)).clientId
+  }
+
+  /** The group's published details block (members in join order, each
+    * carrying its deterministic balanced 1-based partition assignment).
+    */
+  def getGroup(stream: String, topic: String,
+      group: String): Option[IggyWire.GroupDetails] = {
+    val (status, body) = call(Cmd.GetConsumerGroup, new IggyWire.Writer()
+      .identifier(stream).identifier(topic).identifier(group).result(),
+      Set(Status.Ok, Status.ConsumerGroupNameNotFound))
+    if (status != Status.Ok) None
+    else Some(IggyWire.readGroupDetails(new IggyWire.Reader(body)))
+  }
+
+  /** Join (published request: three Identifiers, empty reply — membership
+    * is keyed by this connection's client id); returns (member count,
+    * this member's index) read back from the group's details block.
+    */
+  def joinGroup(stream: String, topic: String, group: String): (Int, Int) = {
+    call(Cmd.JoinConsumerGroup, new IggyWire.Writer()
+      .identifier(stream).identifier(topic).identifier(group).result())
+    val g = getGroup(stream, topic, group).getOrElse(
+      throw new IggyServerErr(Status.ConsumerGroupNameNotFound,
+        s"iggy: group $group vanished after join"))
+    (g.members.size, g.members.indexWhere(_.clientId == clientId))
   }
 
   override def close(): Unit = socket.close()

@@ -20,19 +20,39 @@ import java.nio.charset.StandardCharsets.UTF_8
   * and the full polled-message layout
   * (`[offset u64][state u8][timestamp u64 µs][id u128][checksum u32]
   * [headers_len u32][length u32][payload]`, CRC-verified on decode).
-  * Remaining declared divergences (COVERAGE.md): create-command payloads
-  * and RESPONSE payloads are this library's own compact encodings, the
-  * status space is 5 codes, and the embedded broker derives a message's
-  * timestamp from the client-chosen u128 id (event time in µs) where a
-  * real server stamps at append — wire interop with a live iggy server is
-  * still not claimed (offline sandbox); the parity target is the adapter's
-  * SEMANTICS plus these byte layouts, pinned by IggySpec's wire goldens.
+  * RESPONSE payloads follow the same published protocol revision as the
+  * requests (the classic binary layout whose polled message is
+  * `[offset][state][timestamp][id][checksum][headers][payload]`):
+  * LoginUser returns `IdentityInfo = [user_id u32]`, GetStream a
+  * StreamDetails block (stream base + its topic bases), GetTopic a
+  * TopicDetails block (topic base + per-partition blocks carrying
+  * `current_offset`), PollMessages the
+  * `[partition_id u32][current_offset u64][messages_count u32][messages]`
+  * envelope, GetConsumerOffset a
+  * `[partition_id u32][current_offset u64][stored_offset u64]`
+  * ConsumerOffsetInfo, GetMe a ClientInfoDetails block, GetConsumerGroup
+  * a ConsumerGroupDetails block (base + members with their 1-based
+  * partition ids), and the mutating commands (create/send/store/join)
+  * return empty payloads. Error statuses use iggy's published numeric
+  * error-code space (40 Unauthenticated, 1010/1012 stream, 2011/2013
+  * topic, 3007 partition, 5002/5003 consumer-group, 20 resource-not-found
+  * for absent consumer offsets). Partition ids are 1-based ON THE WIRE
+  * (0 = server-selected in PollMessages), converted at the codec boundary
+  * from this library's 0-based indexes.
+  *
+  * Remaining declared divergences (COVERAGE.md): the embedded broker
+  * derives a message's timestamp from the client-chosen u128 id (event
+  * time in µs) where a real server stamps at append, and a live iggy
+  * server binary is unexercised (offline sandbox) — the parity target is
+  * the adapter's SEMANTICS plus these byte layouts, pinned by IggySpec's
+  * wire goldens.
   */
 object IggyWire {
 
   /** Command codes follow iggy's public command numbering. */
   object Cmd {
     val Ping = 1
+    val GetMe = 20
     val LoginUser = 38
     val PollMessages = 100
     val SendMessages = 101
@@ -42,17 +62,32 @@ object IggyWire {
     val CreateStream = 202
     val GetTopic = 300
     val CreateTopic = 302
+    val GetConsumerGroup = 600
     val CreateConsumerGroup = 602
     val JoinConsumerGroup = 604
   }
 
-  /** Response status codes (0 = OK; the rest are this library's own). */
+  /** Response status codes from iggy's published numeric error space
+    * (0 = OK; error enum discriminants). Only the codes this stack can
+    * actually raise are listed.
+    */
   object Status {
     val Ok = 0
     val Error = 1
-    val AlreadyExists = 2
-    val NotFound = 3
-    val Unauthenticated = 4
+    val InvalidCommand = 3
+    /** Generic absent-resource code — raised for a consumer offset that
+      * was never stored (the one lookup with no domain-specific code).
+      */
+    val ResourceNotFound = 20
+    val Unauthenticated = 40
+    val InvalidCredentials = 42
+    val StreamNameNotFound = 1010
+    val StreamNameAlreadyExists = 1012
+    val TopicNameNotFound = 2011
+    val TopicNameAlreadyExists = 2013
+    val PartitionNotFound = 3007
+    val ConsumerGroupNameNotFound = 5002
+    val ConsumerGroupNameAlreadyExists = 5003
   }
 
   /** Where to start polling (sea-streamer-iggy/src/options.rs:69-82).
@@ -247,6 +282,129 @@ object IggyWire {
       throw new java.io.IOException(
         s"iggy: polled message checksum mismatch at offset $offset")
     PolledMessage(offset, tsUs / 1000L, payload)
+  }
+
+  // ---- response-payload codecs (published layouts, golden-pinned) ----
+
+  /** Stream base block: `[id u32][created_at u64 µs][topics_count u32]
+    * [size_bytes u64][messages_count u64][name u8-str]`. A StreamDetails
+    * payload is this base followed by one topic base per topic.
+    */
+  final case class StreamBase(id: Int, createdAtUs: Long, topicsCount: Int,
+      sizeBytes: Long, messagesCount: Long, name: String)
+
+  def writeStreamBase(w: Writer, s: StreamBase): Unit = {
+    w.u32(s.id).u64(s.createdAtUs).u32(s.topicsCount)
+      .u64(s.sizeBytes).u64(s.messagesCount).str(s.name)
+    ()
+  }
+
+  def readStreamBase(r: Reader): StreamBase =
+    StreamBase(r.u32(), r.u64(), r.u32(), r.u64(), r.u64(), r.str())
+
+  /** Topic base block: `[id u32][created_at u64 µs][partitions_count u32]
+    * [message_expiry u32 s (0 = server default)][max_topic_size u64
+    * (0 = server default)][replication_factor u8 (0 = server default)]
+    * [size_bytes u64][messages_count u64][name u8-str]`. A TopicDetails
+    * payload is this base followed by one partition block per partition.
+    */
+  final case class TopicBase(id: Int, createdAtUs: Long, partitionsCount: Int,
+      messageExpiry: Int, maxTopicSize: Long, replicationFactor: Int,
+      sizeBytes: Long, messagesCount: Long, name: String)
+
+  def writeTopicBase(w: Writer, t: TopicBase): Unit = {
+    w.u32(t.id).u64(t.createdAtUs).u32(t.partitionsCount)
+      .u32(t.messageExpiry).u64(t.maxTopicSize).u8(t.replicationFactor)
+      .u64(t.sizeBytes).u64(t.messagesCount).str(t.name)
+    ()
+  }
+
+  def readTopicBase(r: Reader): TopicBase =
+    TopicBase(r.u32(), r.u64(), r.u32(), r.u32(), r.u64(), r.u8(),
+      r.u64(), r.u64(), r.str())
+
+  /** Partition block: `[id u32 (1-based)][created_at u64 µs]
+    * [segments_count u32][current_offset u64][size_bytes u64]
+    * [messages_count u64]`. `current_offset` is the LAST appended offset —
+    * 0 both for an empty partition and one message; `messages_count`
+    * disambiguates (iggy's own convention).
+    */
+  final case class PartitionBlock(id: Int, createdAtUs: Long,
+      segmentsCount: Int, currentOffset: Long, sizeBytes: Long,
+      messagesCount: Long) {
+    /** Next offset to be assigned (this library's planning cursor). */
+    def tip: Long = if (messagesCount == 0L) 0L else currentOffset + 1L
+  }
+
+  def writePartitionBlock(w: Writer, p: PartitionBlock): Unit = {
+    w.u32(p.id).u64(p.createdAtUs).u32(p.segmentsCount)
+      .u64(p.currentOffset).u64(p.sizeBytes).u64(p.messagesCount)
+    ()
+  }
+
+  def readPartitionBlock(r: Reader): PartitionBlock =
+    PartitionBlock(r.u32(), r.u64(), r.u32(), r.u64(), r.u64(), r.u64())
+
+  /** `[partition_id u32][current_offset u64][stored_offset u64]`. */
+  final case class ConsumerOffsetInfo(partitionId: Int, currentOffset: Long,
+      storedOffset: Long)
+
+  def writeConsumerOffsetInfo(w: Writer, o: ConsumerOffsetInfo): Unit = {
+    w.u32(o.partitionId).u64(o.currentOffset).u64(o.storedOffset)
+    ()
+  }
+
+  def readConsumerOffsetInfo(r: Reader): ConsumerOffsetInfo =
+    ConsumerOffsetInfo(r.u32(), r.u64(), r.u64())
+
+  /** Consumer-group member block: `[id u32 (the member's client id)]
+    * [partitions_count u32][partition ids u32 × count (1-based)]`.
+    */
+  final case class GroupMember(clientId: Long, partitionIds: Seq[Int])
+
+  /** ConsumerGroupDetails: `[id u32][partitions_count u32]
+    * [members_count u32][name u8-str]` + member blocks.
+    */
+  final case class GroupDetails(id: Int, partitionsCount: Int,
+      name: String, members: Seq[GroupMember])
+
+  def writeGroupDetails(w: Writer, g: GroupDetails): Unit = {
+    w.u32(g.id).u32(g.partitionsCount).u32(g.members.size).str(g.name)
+    g.members.foreach { m =>
+      w.u32(m.clientId.toInt).u32(m.partitionIds.size)
+      m.partitionIds.foreach(w.u32)
+    }
+  }
+
+  def readGroupDetails(r: Reader): GroupDetails = {
+    val (id, parts, n, name) = (r.u32(), r.u32(), r.u32(), r.str())
+    GroupDetails(id, parts, name, Seq.fill(n) {
+      val cid = r.u32() & 0xffffffffL
+      GroupMember(cid, Seq.fill(r.u32())(r.u32()))
+    })
+  }
+
+  /** ClientInfoDetails (GetMe): `[client_id u32][user_id u32]
+    * [transport u8 (1 = TCP)][address u32-len str]
+    * [consumer_groups_count u32]` + per joined group
+    * `[stream_id u32][topic_id u32][group_id u32]`.
+    */
+  final case class ClientInfo(clientId: Long, userId: Long, transport: Int,
+      address: String, groups: Seq[(Int, Int, Int)])
+
+  def writeClientInfo(w: Writer, c: ClientInfo): Unit = {
+    w.u32(c.clientId.toInt).u32(c.userId.toInt).u8(c.transport)
+      .lstr(c.address).u32(c.groups.size)
+    c.groups.foreach { case (s, t, g) => w.u32(s).u32(t).u32(g) }
+  }
+
+  def readClientInfo(r: Reader): ClientInfo = {
+    val cid = r.u32() & 0xffffffffL
+    val uid = r.u32() & 0xffffffffL
+    val transport = r.u8()
+    val addr = r.lstr()
+    ClientInfo(cid, uid, transport, addr,
+      Seq.fill(r.u32())((r.u32(), r.u32(), r.u32())))
   }
 
   // ---- framing ----

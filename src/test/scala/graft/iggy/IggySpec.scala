@@ -112,6 +112,74 @@ class IggySpec extends AnyFunSuite {
     }
   }
 
+  test("response-direction goldens: published payload layouts and status space") {
+    // the published numeric error-code space (iggy error discriminants)
+    assert(IggyWire.Status.Unauthenticated == 40)
+    assert(IggyWire.Status.InvalidCredentials == 42)
+    assert(IggyWire.Status.ResourceNotFound == 20)
+    assert(IggyWire.Status.StreamNameNotFound == 1010)
+    assert(IggyWire.Status.StreamNameAlreadyExists == 1012)
+    assert(IggyWire.Status.TopicNameNotFound == 2011)
+    assert(IggyWire.Status.TopicNameAlreadyExists == 2013)
+    assert(IggyWire.Status.PartitionNotFound == 3007)
+    assert(IggyWire.Status.ConsumerGroupNameNotFound == 5002)
+    assert(IggyWire.Status.ConsumerGroupNameAlreadyExists == 5003)
+
+    // stream base: [id u32][created_at u64][topics u32][size u64]
+    // [messages u64][name u8-str]
+    val sw = new IggyWire.Writer()
+    IggyWire.writeStreamBase(sw,
+      IggyWire.StreamBase(2, 0x10L, 1, 0x20L, 3L, "s"))
+    assert(sw.result().toSeq.map(_ & 0xff) ==
+      (Seq(2, 0, 0, 0) ++ Seq(0x10, 0, 0, 0, 0, 0, 0, 0) ++ Seq(1, 0, 0, 0)
+        ++ Seq(0x20, 0, 0, 0, 0, 0, 0, 0) ++ Seq(3, 0, 0, 0, 0, 0, 0, 0)
+        ++ Seq(1, 's'.toInt)))
+    assert(IggyWire.readStreamBase(new IggyWire.Reader(sw.result())) ==
+      IggyWire.StreamBase(2, 0x10L, 1, 0x20L, 3L, "s"))
+
+    // topic base: [id][created_at][partitions][expiry u32][max_size u64]
+    // [replication u8][size u64][messages u64][name]
+    val tb = IggyWire.TopicBase(7, 0x11L, 4, 0, 0L, 1, 0x30L, 9L, "t")
+    val tw = new IggyWire.Writer()
+    IggyWire.writeTopicBase(tw, tb)
+    assert(tw.result().length == 4 + 8 + 4 + 4 + 8 + 1 + 8 + 8 + 2)
+    assert(IggyWire.readTopicBase(new IggyWire.Reader(tw.result())) == tb)
+
+    // partition block: [id 1-based][created_at][segments][current_offset]
+    // [size][messages]; tip derives the planning cursor
+    val pb = IggyWire.PartitionBlock(1, 0x12L, 1, 5L, 0x40L, 6L)
+    val pw = new IggyWire.Writer()
+    IggyWire.writePartitionBlock(pw, pb)
+    assert(pw.result().length == 4 + 8 + 4 + 8 + 8 + 8)
+    assert(IggyWire.readPartitionBlock(new IggyWire.Reader(pw.result())) == pb)
+    assert(pb.tip == 6L)
+    assert(IggyWire.PartitionBlock(1, 0L, 1, 0L, 0L, 0L).tip == 0L)
+    assert(IggyWire.PartitionBlock(1, 0L, 1, 0L, 0L, 1L).tip == 1L)
+
+    // consumer offset info: [partition u32][current u64][stored u64]
+    val ow = new IggyWire.Writer()
+    IggyWire.writeConsumerOffsetInfo(ow,
+      IggyWire.ConsumerOffsetInfo(1, 9L, 3L))
+    assert(ow.result().toSeq.map(_ & 0xff) ==
+      (Seq(1, 0, 0, 0) ++ Seq(9, 0, 0, 0, 0, 0, 0, 0)
+        ++ Seq(3, 0, 0, 0, 0, 0, 0, 0)))
+
+    // group details: [id][partitions][members][name] + member blocks of
+    // [client id u32][count u32][1-based partition ids]
+    val gd = IggyWire.GroupDetails(1, 4, "g", Seq(
+      IggyWire.GroupMember(10L, Seq(1, 3)), IggyWire.GroupMember(11L, Seq(2, 4))))
+    val gw = new IggyWire.Writer()
+    IggyWire.writeGroupDetails(gw, gd)
+    assert(IggyWire.readGroupDetails(new IggyWire.Reader(gw.result())) == gd)
+
+    // client info: [client u32][user u32][transport u8][address u32-str]
+    // [groups u32] + [stream][topic][group] triples
+    val ci = IggyWire.ClientInfo(5L, 1L, 1, "127.0.0.1:1", Seq((1, 2, 3)))
+    val cw = new IggyWire.Writer()
+    IggyWire.writeClientInfo(cw, ci)
+    assert(IggyWire.readClientInfo(new IggyWire.Reader(cw.result())) == ci)
+  }
+
   test("writer/reader primitives are little-endian and roundtrip") {
     val w = new IggyWire.Writer()
       .u8(7).u32(0x01020304).u64(0x0102030405060708L).str("topic")
@@ -187,8 +255,9 @@ class IggySpec extends AnyFunSuite {
       c.createTopicIfAbsent("s", "t", 1)
       c.sendMessages("s", "t", Partitioning.PartitionId(0),
         (0 until 10).map(i => (100L * i, bytes(s"m$i"))))
-      val (tip, first) = c.pollMessages("s", "t", 0, PollStrategy.First, 3)
-      assert(tip == 10L)
+      val (current, first) = c.pollMessages("s", "t", 0, PollStrategy.First, 3)
+      // published envelope carries the partition's LAST offset
+      assert(current == 9L)
       assert(first.map(_.offset) == Seq(0L, 1L, 2L))
       val (_, at) = c.pollMessages("s", "t", 0, PollStrategy.AtOffset(7), 100)
       assert(at.map(_.offset) == Seq(7L, 8L, 9L))
@@ -227,16 +296,44 @@ class IggySpec extends AnyFunSuite {
     }
   }
 
-  test("consumer groups: join hands out deterministic member indices") {
+  test("wire partition 0 lets the server select (the adapter's None poll)") {
     withServer { (_, c) =>
+      c.createStreamIfAbsent("s")
+      c.createTopicIfAbsent("s", "t", 2)
+      c.sendMessages("s", "t", Partitioning.PartitionId(0), Seq((1L, bytes("a"))))
+      c.sendMessages("s", "t", Partitioning.PartitionId(1), Seq((2L, bytes("b"))))
+      // client partition -1 → wire partition_id 0 → the broker rotates
+      // round-robin, exactly the reference poll loop's `partition_id: None`
+      // (streamer.rs:216-225)
+      val got = (0 until 2).flatMap {
+        _ => c.pollMessages("s", "t", -1, PollStrategy.First, 10)._2
+          .map(m => new String(m.payload, UTF_8))
+      }
+      assert(got.toSet == Set("a", "b"))
+    }
+  }
+
+  test("consumer groups: join hands out deterministic member indices") {
+    withServer { (srv, c) =>
       c.createStreamIfAbsent("s")
       c.createTopicIfAbsent("s", "t", 4)
       c.createGroupIfAbsent("s", "t", "g")
       c.createGroupIfAbsent("s", "t", "g") // idempotent
-      assert(c.joinGroup("s", "t", "g", "m0") == (1, 0))
-      assert(c.joinGroup("s", "t", "g", "m1") == (2, 1))
-      // rejoin is stable
-      assert(c.joinGroup("s", "t", "g", "m0") == (2, 0))
+      // membership is keyed by the CONNECTION's client id (iggy's session
+      // model) — each member is its own client connection
+      val m1 = new IggyClient(srv.host, srv.port)
+      try {
+        assert(c.joinGroup("s", "t", "g") == ((1, 0)))
+        assert(m1.joinGroup("s", "t", "g") == ((2, 1)))
+        // rejoin from the same connection is stable
+        assert(c.joinGroup("s", "t", "g") == ((2, 0)))
+        // the details block carries each member's balanced 1-based
+        // partition assignment
+        val g = c.getGroup("s", "t", "g").get
+        assert(g.partitionsCount == 4 && g.name == "g")
+        assert(g.members.map(_.partitionIds) == Seq(Seq(1, 3), Seq(2, 4)))
+        assert(g.members.map(_.clientId) == Seq(c.clientId, m1.clientId))
+      } finally m1.close()
       // group offsets are shared across members (kind 1)
       c.sendMessages("s", "t", Partitioning.PartitionId(0),
         (0 until 6).map(i => (i.toLong, bytes(s"m$i"))))
