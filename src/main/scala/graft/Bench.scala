@@ -141,6 +141,12 @@ object Bench {
             analytics.Dedup.d14Append(spark, sfDir, w1.filter(col("novel"))))
           timed("d14_grown_query")(force(
             analytics.Dedup.d14Query(spark, sfDir, Seq("src2", "src3", "src4"))))
+        } else if (name == "s13_mmr_indexed") {
+          // the layout build is s7's one-time job (priced as s7_layout);
+          // the recurring cost is the serving path: DPP probe + MMR
+          analytics.Similarity.s7Layout(spark, sfDir)
+          timed("s13_indexed_serve")(force(
+            analytics.Similarity.s13IndexedServe(spark, sfDir)))
         } else if (name == "s12_ann_index_upsert") {
           // the base build is the PRE-EXISTING index (setup); the op's
           // recurring costs — the whole point of incremental maintenance —

@@ -164,6 +164,59 @@ object Similarity {
     * aggregation (topKAsc) — O(corpus) work by design, but never a
     * corpus-wide window sort. Output: (qid, cid, cosine, rank).
     */
+  /** s13's greedy MMR selection over a retrieved pool (qid, cid, cosine) —
+    * shared by the bruteTopK form (s13_mmr_rerank, the ground-truth pool)
+    * and the IVF-probe form (s13_mmr_indexed, the serving composition).
+    * Everything here is RESULT-bounded: Q×pool rows broadcast onto ONE
+    * corpus pass to attach embeddings, Q×pool×(pool−1) pairwise sims,
+    * greedy rounds as Q-row argmax aggs (min-struct, never a window over
+    * anything corpus-sized). Selection math is single-op double arithmetic
+    * on 6-dp cosines — bit-identical in DuckDB; ties break by cid.
+    */
+  private def mmrRerank(e: DataFrame, poolRaw: DataFrame): DataFrame = {
+    val pool = poolRaw
+      .select(col("qid"), col("cid"), col("cosine"))
+      .persist() // result-bounded; read by the pair join and every round
+    val ce = withNorm(e.select(col("vec_id"), col("embedding")),
+      "embedding", "nrm")
+    val withEmb = ce
+      .join(broadcast(pool.select(col("qid"), col("cid"))),
+        col("vec_id") === col("cid"))
+      .select(col("qid"), col("cid"), col("embedding"), col("nrm"))
+    val pairSim = withEmb.select(col("qid"), col("cid").as("ca"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      .join(withEmb.select(col("qid"), col("cid").as("cb"),
+        col("embedding").as("eb"), col("nrm").as("nb")), Seq("qid"))
+      .filter(col("ca") =!= col("cb"))
+      .withColumn("sim",
+        round(dotCol("ea", "eb") / (col("na") * col("nb")), 6))
+      .select(col("qid"), col("ca"), col("cb"), col("sim"))
+      .persist()
+    // deterministic per-query argmax: min over (−score, cid) — the
+    // remaining struct fields ride along, never compared (cid unique)
+    def pickBest(scored: DataFrame, rank: Int): DataFrame = scored
+      .groupBy("qid")
+      .agg(min(struct(unNeg(col("score")).as("negs"), col("cid").as("cid"),
+        col("cosine").as("cosine"), col("score").as("score"))).as("m"))
+      .select(col("qid"), col("m.cid").as("cid"),
+        col("m.cosine").as("cosine"), col("m.score").as("score"),
+        lit(rank.toLong).as("mmr_rank"))
+    var all = pickBest(pool.withColumn("score", col("cosine")), 1)
+    for (r <- 2 to MmrSelect) {
+      val remaining = pool.join(all.select(col("qid"), col("cid")),
+        Seq("qid", "cid"), "left_anti")
+      val simToSel = pairSim
+        .join(all.select(col("qid"), col("cid").as("cb")), Seq("qid", "cb"))
+        .groupBy(col("qid"), col("ca").as("cid"))
+        .agg(max(col("sim")).as("maxsim"))
+      val scored = remaining.join(simToSel, Seq("qid", "cid"))
+        .withColumn("score", col("cosine") - lit(0.5) * col("maxsim"))
+      all = all.unionByName(pickBest(scored, r))
+    }
+    all.select(col("qid"), col("cid"), col("cosine"),
+      round(col("score"), 6).as("mmr_score"), col("mmr_rank"))
+  }
+
   private def bruteTopK(e: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val corpusN = withNorm(corpus, "ce", "cn")
     val queriesDf = withNorm(
@@ -200,49 +253,22 @@ object Similarity {
     // cosines — bit-identical in DuckDB; ties break by cid.
     "s13_mmr_rerank" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
-      val pool = bruteTopK(e,
-          e.select(col("vec_id").as("cid"), col("embedding").as("ce")),
-          MmrPool)
-        .select(col("qid"), col("cid"), col("cosine"))
-        .persist() // result-bounded; read by the pair join and every round
-      val ce = withNorm(e.select(col("vec_id"), col("embedding")),
-        "embedding", "nrm")
-      val withEmb = ce
-        .join(broadcast(pool.select(col("qid"), col("cid"))),
-          col("vec_id") === col("cid"))
-        .select(col("qid"), col("cid"), col("embedding"), col("nrm"))
-      val pairSim = withEmb.select(col("qid"), col("cid").as("ca"),
-          col("embedding").as("ea"), col("nrm").as("na"))
-        .join(withEmb.select(col("qid"), col("cid").as("cb"),
-          col("embedding").as("eb"), col("nrm").as("nb")), Seq("qid"))
-        .filter(col("ca") =!= col("cb"))
-        .withColumn("sim",
-          round(dotCol("ea", "eb") / (col("na") * col("nb")), 6))
-        .select(col("qid"), col("ca"), col("cb"), col("sim"))
-        .persist()
-      // deterministic per-query argmax: min over (−score, cid) — the
-      // remaining struct fields ride along, never compared (cid unique)
-      def pickBest(scored: DataFrame, rank: Int): DataFrame = scored
-        .groupBy("qid")
-        .agg(min(struct(unNeg(col("score")).as("negs"), col("cid").as("cid"),
-          col("cosine").as("cosine"), col("score").as("score"))).as("m"))
-        .select(col("qid"), col("m.cid").as("cid"),
-          col("m.cosine").as("cosine"), col("m.score").as("score"),
-          lit(rank.toLong).as("mmr_rank"))
-      var all = pickBest(pool.withColumn("score", col("cosine")), 1)
-      for (r <- 2 to MmrSelect) {
-        val remaining = pool.join(all.select(col("qid"), col("cid")),
-          Seq("qid", "cid"), "left_anti")
-        val simToSel = pairSim
-          .join(all.select(col("qid"), col("cid").as("cb")), Seq("qid", "cb"))
-          .groupBy(col("qid"), col("ca").as("cid"))
-          .agg(max(col("sim")).as("maxsim"))
-        val scored = remaining.join(simToSel, Seq("qid", "cid"))
-          .withColumn("score", col("cosine") - lit(0.5) * col("maxsim"))
-        all = all.unionByName(pickBest(scored, r))
-      }
-      all.select(col("qid"), col("cid"), col("cosine"),
-        round(col("score"), 6).as("mmr_score"), col("mmr_rank"))
+      mmrRerank(e, bruteTopK(e,
+        e.select(col("vec_id").as("cid"), col("embedding").as("ce")),
+        MmrPool))
+    },
+
+    // The production RAG serving composition (VERDICT r10 #3): the MMR
+    // pool comes from the PERSISTED IVF index's DPP probe instead of a
+    // full-corpus bruteTopK pass — retrieve (s7's probe, top-MmrPool over
+    // the probed centroid partitions only) → re-rank (s13's machinery,
+    // result-bounded). At 100 TB the pool stage reads probes/K of the
+    // corpus; everything downstream is Q×10-sized. The oracle replays the
+    // whole composition: IVF probe pool in SQL, then the same three
+    // greedy rounds.
+    "s13_mmr_indexed" -> { (s, dir) =>
+      s7Layout(s, dir)
+      s13IndexedServe(s, dir)
     },
 
     // ANN: random-hyperplane sign bits → bucket; multi-probe the query's
@@ -468,7 +494,7 @@ object Similarity {
     * values become a runtime partition filter on the index scan (DPP).
     */
   private def ivfProbe(s: SparkSession, e: DataFrame, cents: DataFrame,
-      path: String): DataFrame = {
+      path: String, k: Int = 3): DataFrame = {
     val idx = s.read.parquet(path)
     val probeCand = e.filter(col("vec_id") < QueryCount)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
@@ -486,9 +512,21 @@ object Similarity {
       .withColumn("cosine",
         round(dotCol("qe", "ce") / (col("qn") * col("cn")), 6))
     // bounded top-k over the pruned index scan — see annIvf
-    topKAsc(scored, col("qid"), unNeg(col("cosine")), col("cid"), 3)
+    topKAsc(scored, col("qid"), unNeg(col("cosine")), col("cid"), k)
       .select(col("g").as("qid"), col("id").as("cid"),
         unNeg(col("key")).as("cosine"), col("rank"))
+  }
+
+  /** s13_mmr_indexed's SERVE path given an existing s7 layout: top-MmrPool
+    * off the DPP-probed index, then the result-bounded MMR re-rank — the
+    * recurring cost of the RAG retrieve-then-re-rank composition (the
+    * layout build is s7's one-time job, priced separately in Bench).
+    */
+  private[graft] def s13IndexedServe(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    val cents = broadcast(e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb")))
+    mmrRerank(e, ivfProbe(s, e, cents, ivfIndexPath(s, dir), k = MmrPool))
   }
 
   /** s12's arriving-batch membership: a stable ~10% slice of the corpus
@@ -1528,7 +1566,19 @@ object Similarity {
     */
   private def ivfOracleSql(centsPred: String): String =
     s"""WITH $explodedSql,
-       |cents AS (SELECT vec_id AS centroid_id, d, v FROM ex
+       |${ivfScoredCtes(centsPred)},
+       |ranked AS (SELECT qid, cid, cosine,
+       |             ROW_NUMBER() OVER (PARTITION BY qid
+       |               ORDER BY cosine DESC, cid) AS rank
+       |           FROM scored)
+       |SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 3""".stripMargin
+
+  /** The IVF probe replay up to a `scored(qid, cid, cosine)` CTE —
+    * expects `ex`/`norms` in scope; shared by the s3/s7/s12 oracles and
+    * s13_mmr_indexed's pool stage.
+    */
+  private def ivfScoredCtes(centsPred: String): String =
+    s"""cents AS (SELECT vec_id AS centroid_id, d, v FROM ex
        |          WHERE $centsPred),
        |d2 AS (SELECT e.vec_id, c.centroid_id,
        |         ROUND(CAST(SUM(CAST((e.v - c.v) * (e.v - c.v)
@@ -1554,12 +1604,56 @@ object Similarity {
        |             ROUND(dot / (nq.nrm * nc.nrm), 6) + 0 AS cosine
        |           FROM dots
        |           JOIN norms nq ON qid = nq.vec_id
-       |           JOIN norms nc ON cid = nc.vec_id),
-       |ranked AS (SELECT qid, cid, cosine,
-       |             ROW_NUMBER() OVER (PARTITION BY qid
-       |               ORDER BY cosine DESC, cid) AS rank
-       |           FROM scored)
-       |SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 3""".stripMargin
+       |           JOIN norms nc ON cid = nc.vec_id)""".stripMargin
+
+  /** The MMR replay from a `pool(qid, cid, cosine)` CTE down to the final
+    * three-round selection — expects `ex`/`norms`/`pool` in scope; shared
+    * by s13_mmr_rerank (bruteTopK pool) and s13_mmr_indexed (IVF pool).
+    */
+  private def mmrTailSql: String =
+    s"""pd AS (SELECT x.qid, x.cid AS ca, y.cid AS cb,
+       |         CAST(SUM(CAST(a.v * b.v AS DECIMAL(30,15))) AS DOUBLE) AS dot
+       |       FROM pool x JOIN pool y ON x.qid = y.qid AND x.cid <> y.cid
+       |       JOIN ex a ON a.vec_id = x.cid
+       |       JOIN ex b ON b.vec_id = y.cid AND a.d = b.d
+       |       GROUP BY 1, 2, 3),
+       |psim AS (SELECT qid, ca, cb,
+       |           ROUND(dot / (na.nrm * nb.nrm), 6) + 0 AS sim
+       |         FROM pd
+       |         JOIN norms na ON ca = na.vec_id
+       |         JOIN norms nb ON cb = nb.vec_id),
+       |p1 AS (SELECT qid, cid, cosine, cosine AS score FROM (
+       |         SELECT qid, cid, cosine, ROW_NUMBER() OVER (
+       |           PARTITION BY qid ORDER BY cosine DESC, cid) AS r
+       |         FROM pool) WHERE r = 1),
+       |m2 AS (SELECT t.qid, t.cid, t.cosine,
+       |         t.cosine - 0.5 * s.sim AS score
+       |       FROM pool t
+       |       JOIN p1 ON t.qid = p1.qid AND t.cid <> p1.cid
+       |       JOIN psim s ON s.qid = t.qid AND s.ca = t.cid
+       |         AND s.cb = p1.cid),
+       |p2 AS (SELECT qid, cid, cosine, score FROM (
+       |         SELECT qid, cid, cosine, score, ROW_NUMBER() OVER (
+       |           PARTITION BY qid ORDER BY score DESC, cid) AS r
+       |         FROM m2) WHERE r = 1),
+       |m3 AS (SELECT t.qid, t.cid, t.cosine,
+       |         t.cosine - 0.5 * MAX(s.sim) AS score
+       |       FROM pool t
+       |       JOIN p1 ON t.qid = p1.qid AND t.cid <> p1.cid
+       |       JOIN p2 ON t.qid = p2.qid AND t.cid <> p2.cid
+       |       JOIN psim s ON s.qid = t.qid AND s.ca = t.cid
+       |         AND (s.cb = p1.cid OR s.cb = p2.cid)
+       |       GROUP BY t.qid, t.cid, t.cosine),
+       |p3 AS (SELECT qid, cid, cosine, score FROM (
+       |         SELECT qid, cid, cosine, score, ROW_NUMBER() OVER (
+       |           PARTITION BY qid ORDER BY score DESC, cid) AS r
+       |         FROM m3) WHERE r = 1)
+       |SELECT qid, cid, cosine, ROUND(score, 6) AS mmr_score,
+       |  CAST(1 AS BIGINT) AS mmr_rank FROM p1
+       |UNION ALL SELECT qid, cid, cosine, ROUND(score, 6),
+       |  CAST(2 AS BIGINT) FROM p2
+       |UNION ALL SELECT qid, cid, cosine, ROUND(score, 6),
+       |  CAST(3 AS BIGINT) FROM p3""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "s8_hybrid_search" ->
@@ -1634,8 +1728,8 @@ object Similarity {
          |           FROM scored)
          |SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= $TopK""".stripMargin,
     // s1's pool CTEs + result-bounded pairwise sims + the three greedy
-    // rounds unrolled (p1/m2/p2/m3/p3) — same single-op double arithmetic
-    // as the Spark side, ties by cid
+    // rounds unrolled (p1/m2/p2/m3/p3 in mmrTailSql) — same single-op
+    // double arithmetic as the Spark side, ties by cid
     "s13_mmr_rerank" ->
       s"""WITH $explodedSql,
          |dots AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
@@ -1652,49 +1746,17 @@ object Similarity {
          |           SELECT qid, cid, cosine, ROW_NUMBER() OVER (
          |             PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
          |           FROM scored) WHERE rank <= $MmrPool),
-         |pd AS (SELECT x.qid, x.cid AS ca, y.cid AS cb,
-         |         CAST(SUM(CAST(a.v * b.v AS DECIMAL(30,15))) AS DOUBLE) AS dot
-         |       FROM pool x JOIN pool y ON x.qid = y.qid AND x.cid <> y.cid
-         |       JOIN ex a ON a.vec_id = x.cid
-         |       JOIN ex b ON b.vec_id = y.cid AND a.d = b.d
-         |       GROUP BY 1, 2, 3),
-         |psim AS (SELECT qid, ca, cb,
-         |           ROUND(dot / (na.nrm * nb.nrm), 6) + 0 AS sim
-         |         FROM pd
-         |         JOIN norms na ON ca = na.vec_id
-         |         JOIN norms nb ON cb = nb.vec_id),
-         |p1 AS (SELECT qid, cid, cosine, cosine AS score FROM (
-         |         SELECT qid, cid, cosine, ROW_NUMBER() OVER (
-         |           PARTITION BY qid ORDER BY cosine DESC, cid) AS r
-         |         FROM pool) WHERE r = 1),
-         |m2 AS (SELECT t.qid, t.cid, t.cosine,
-         |         t.cosine - 0.5 * s.sim AS score
-         |       FROM pool t
-         |       JOIN p1 ON t.qid = p1.qid AND t.cid <> p1.cid
-         |       JOIN psim s ON s.qid = t.qid AND s.ca = t.cid
-         |         AND s.cb = p1.cid),
-         |p2 AS (SELECT qid, cid, cosine, score FROM (
-         |         SELECT qid, cid, cosine, score, ROW_NUMBER() OVER (
-         |           PARTITION BY qid ORDER BY score DESC, cid) AS r
-         |         FROM m2) WHERE r = 1),
-         |m3 AS (SELECT t.qid, t.cid, t.cosine,
-         |         t.cosine - 0.5 * MAX(s.sim) AS score
-         |       FROM pool t
-         |       JOIN p1 ON t.qid = p1.qid AND t.cid <> p1.cid
-         |       JOIN p2 ON t.qid = p2.qid AND t.cid <> p2.cid
-         |       JOIN psim s ON s.qid = t.qid AND s.ca = t.cid
-         |         AND (s.cb = p1.cid OR s.cb = p2.cid)
-         |       GROUP BY t.qid, t.cid, t.cosine),
-         |p3 AS (SELECT qid, cid, cosine, score FROM (
-         |         SELECT qid, cid, cosine, score, ROW_NUMBER() OVER (
-         |           PARTITION BY qid ORDER BY score DESC, cid) AS r
-         |         FROM m3) WHERE r = 1)
-         |SELECT qid, cid, cosine, ROUND(score, 6) AS mmr_score,
-         |  CAST(1 AS BIGINT) AS mmr_rank FROM p1
-         |UNION ALL SELECT qid, cid, cosine, ROUND(score, 6),
-         |  CAST(2 AS BIGINT) FROM p2
-         |UNION ALL SELECT qid, cid, cosine, ROUND(score, 6),
-         |  CAST(3 AS BIGINT) FROM p3""".stripMargin,
+         |$mmrTailSql""".stripMargin,
+    // the serving composition: the IVF probe replay feeds the pool, then
+    // the identical MMR tail — retrieve-from-index, re-rank
+    "s13_mmr_indexed" ->
+      s"""WITH $explodedSql,
+         |${ivfScoredCtes("vec_id < 16")},
+         |pool AS (SELECT qid, cid, cosine FROM (
+         |           SELECT qid, cid, cosine, ROW_NUMBER() OVER (
+         |             PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+         |           FROM scored) WHERE rank <= $MmrPool),
+         |$mmrTailSql""".stripMargin,
     "s2_ann_lsh" ->
       s"""WITH $explodedSql,
          |planes AS (SELECT p.p, d.d,

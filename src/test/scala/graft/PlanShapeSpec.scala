@@ -572,6 +572,20 @@ class PlanShapeSpec extends AnyFunSuite {
     }, "the pruning filter must sit on the index scan's PartitionFilters")
   }
 
+  test("s13_mmr_indexed retrieves its pool through the s7 DPP probe") {
+    // the serving composition's point: the MMR pool must come off the
+    // PRUNED index scan (probes/K of the corpus), not a full-corpus pass —
+    // the same runtime partition filter law as s7/s12, now guarding the
+    // retrieve half of retrieve-then-re-rank
+    val p = planOf("s13_mmr_indexed")
+    assert(p.contains("dynamicpruning"),
+      "the MMR pool's index scan lost its dynamic partition pruning filter")
+    assert(nodeBlocks(p).exists { case (n, b) =>
+      n.startsWith("Scan") && b.contains("PartitionFilters") &&
+        b.contains("dynamicpruning")
+    }, "the pruning filter must sit on the pool's index scan")
+  }
+
   test("s12's upserted index serves through the same DPP probe as s7") {
     // incremental maintenance must be invisible to the serve path: after
     // the batch append, the probe still reads only the probed centroid
@@ -601,7 +615,7 @@ class PlanShapeSpec extends AnyFunSuite {
         "s10_filtered_knn", "s12_ann_index_upsert",
         // s13's greedy rounds are min-struct argmax aggs over result-sized
         // frames — same law: the pool + rerank never touch a Window
-        "s13_mmr_rerank")) {
+        "s13_mmr_rerank", "s13_mmr_indexed")) {
       val plan = SparkEntry.queries(q)(spark, TestSession.sfDir)
         .queryExecution.executedPlan.toString
       assert("\\bWindow\\b".r.findAllIn(plan).isEmpty,
