@@ -647,14 +647,19 @@ object Transport {
               "event_type STRING, value DOUBLE")).as("j"))
         .select(col("j.user_id"), col("j.us"), col("j.event_id"),
           col("j.event_type"), col("j.value"))
-        .as[(Long, Long, Long, String, Double)]
+        // value is NULLABLE in the events schema (q20's null-hardening
+        // lesson): decode as Option so a null value survives the json
+        // round-trip instead of blowing up the primitive-Double encoder —
+        // the reused q24 oracle passes NULLs through, so must the stream
+        .as[(Long, Long, Long, String, Option[Double])]
       val updates = src.groupByKey(_._1)
         .flatMapGroupsWithState(OM.Update(), GroupStateTimeout.NoTimeout())(
-          (uid: Long, rows: Iterator[(Long, Long, Long, String, Double)],
-              state: GroupState[(Long, Long, Long, String, Double)]) => {
+          (uid: Long, rows: Iterator[(Long, Long, Long, String, Option[Double])],
+              state: GroupState[(Long, Long, Long, String, Option[Double])]) => {
             // (seen, us, event_id, event_type, value) — q24's (us, id) rule
             var st = state.getOption
-              .getOrElse((0L, Long.MinValue, Long.MinValue, "", 0.0))
+              .getOrElse((0L, Long.MinValue, Long.MinValue, "",
+                None: Option[Double]))
             rows.foreach { case (_, us, eid, et, v) =>
               val newer = us > st._2 || (us == st._2 && eid > st._3)
               st =
