@@ -24,8 +24,24 @@ import graft.kafka.{EmbeddedKafka, KafkaSource}
   */
 object KafkaTransport {
 
+  /** k1-k4 run with SASL/PLAIN ON (the auth surface sits under the
+    * hash-compare gate, not just a spec): the embedded listener requires
+    * these credentials, the bounded paths authenticate through
+    * KafkaClient's KIP-152 handshake, and the streaming reads carry the
+    * exact option strings [[graft.facade.KafkaOptions.securityOptions]]
+    * emits — mechanism + JAAS line, parsed back by the wire driver.
+    */
+  private val SaslCreds = ("graft", "graft-secret")
+
+  private def saslOpts: Map[String, String] = {
+    import graft.facade.KafkaOptions._
+    securityOptions(SecurityProtocol.SaslPlaintext,
+      Some(SaslOptions(SaslMechanism.Plain,
+        Some(SaslCreds._1), Some(SaslCreds._2))))
+  }
+
   private def withServer[T](f: EmbeddedKafka => T): T = {
-    val srv = new EmbeddedKafka
+    val srv = new EmbeddedKafka(credentials = Some(SaslCreds))
     try f(srv) finally srv.close()
   }
 
@@ -38,9 +54,10 @@ object KafkaTransport {
     "k1_kafka_roundtrip" -> { (s, dir) =>
       withServer { srv =>
         val t = Tables(s, dir)
-        KafkaSource.write(Transport.envelopeOf(t), srv.host, srv.port)
+        KafkaSource.write(Transport.envelopeOf(t), srv.host, srv.port,
+          sasl = Some(SaslCreds))
         val replay = KafkaSource.boundedRead(s, srv.host, srv.port,
-          Transport.eventTypes).localCheckpoint(true)
+          Transport.eventTypes, sasl = Some(SaslCreds)).localCheckpoint(true)
         Transport.aggregate(replay, withDistinct = true)
       }
     },
@@ -55,9 +72,11 @@ object KafkaTransport {
           .agg(min(unix_millis(col("ts"))).as("lo"),
             max(unix_millis(col("ts"))).as("hi")).head()
         val cutoff = (bounds.getLong(0) + bounds.getLong(1)) / 2
-        KafkaSource.write(Transport.envelopeOf(t), srv.host, srv.port)
+        KafkaSource.write(Transport.envelopeOf(t), srv.host, srv.port,
+          sasl = Some(SaslCreds))
         val sought = KafkaSource.boundedRead(s, srv.host, srv.port,
-          Transport.eventTypes, afterMs = Some(cutoff)).localCheckpoint(true)
+          Transport.eventTypes, afterMs = Some(cutoff),
+          sasl = Some(SaslCreds)).localCheckpoint(true)
         Transport.aggregate(sought, withDistinct = false)
       }
     },
@@ -75,8 +94,10 @@ object KafkaTransport {
           .agg(min(unix_millis(col("ts"))).as("lo"),
             max(unix_millis(col("ts"))).as("hi")).head()
         val cutoff = (bounds.getLong(0) + bounds.getLong(1)) / 2
-        KafkaSource.write(Transport.envelopeOf(t), srv.host, srv.port)
-        val c = new graft.kafka.KafkaClient(srv.host, srv.port)
+        KafkaSource.write(Transport.envelopeOf(t), srv.host, srv.port,
+          sasl = Some(SaslCreds))
+        val c = new graft.kafka.KafkaClient(srv.host, srv.port,
+          sasl = Some(SaslCreds))
         try {
           c.findCoordinator("g_oracle")
           val meta = c.metadata(Transport.eventTypes)
@@ -95,6 +116,7 @@ object KafkaTransport {
             .option("topics", Transport.eventTypes.mkString(","))
             .option("startingOffsets", "earliest") // overridden by the group
             .option("group", "g_oracle")
+            .options(saslOpts)
             .load(), withDistinct = false)
           .writeStream.outputMode("complete")
           .format("memory").queryName("k4_kafka_group_sink").start()
@@ -110,13 +132,15 @@ object KafkaTransport {
       withServer { srv =>
         val t = Tables(s, dir)
         val cap = math.max(1000L, t.events.count() / 4)
-        KafkaSource.write(Transport.envelopeOf(t), srv.host, srv.port)
+        KafkaSource.write(Transport.envelopeOf(t), srv.host, srv.port,
+          sasl = Some(SaslCreds))
         val q = Transport.aggregate(
           s.readStream.format("kafka-wire")
             .option("host", srv.host).option("port", srv.port.toString)
             .option("topics", Transport.eventTypes.mkString(","))
             .option("startingOffsets", "earliest")
             .option("maxOffsetsPerTrigger", cap.toString)
+            .options(saslOpts)
             .load(), withDistinct = false)
           .writeStream.outputMode("complete")
           .format("memory").queryName("k3_kafka_admission_sink").start()

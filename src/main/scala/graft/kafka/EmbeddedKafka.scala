@@ -24,7 +24,14 @@ import KafkaWire.{Api, Err, KRecord, Ts}
   * putting the whole wire path under the hash-compare gate. An embedded
   * verification backend, not a production store.
   */
-final class EmbeddedKafka(autoCreatePartitions: Int = 4) extends AutoCloseable {
+/** @param credentials when set, this listener REQUIRES SASL/PLAIN: only
+  *   ApiVersions and the KIP-152 handshake pair are served before a
+  *   successful SaslAuthenticate; any other pre-auth request closes the
+  *   channel (a real SASL listener's behavior), and a failed authenticate
+  *   replies with SaslAuthenticationFailed then closes. None = PLAINTEXT.
+  */
+final class EmbeddedKafka(autoCreatePartitions: Int = 4,
+    credentials: Option[(String, String)] = None) extends AutoCloseable {
   require(autoCreatePartitions > 0, "autoCreatePartitions must be positive")
 
   private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
@@ -102,6 +109,7 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4) extends AutoCloseable {
   private def serve(socket: java.net.Socket): Unit = {
     val in = KafkaWire.buffered(socket.getInputStream)
     val out = KafkaWire.buffered(socket.getOutputStream)
+    var authed = credentials.isEmpty
     try while (!closed) {
       KafkaWire.readRequest(in) match {
         case None => return
@@ -114,11 +122,60 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4) extends AutoCloseable {
             socket.close()
             return
           }
-          val reply = handle(apiKey, apiVersion, body)
+          // a SASL listener terminates unauthenticated data requests
+          // without a reply (only ApiVersions + the handshake pair are
+          // servable pre-auth)
+          if (!authed && apiKey != Api.ApiVersions &&
+              apiKey != Api.SaslHandshake && apiKey != Api.SaslAuthenticate) {
+            socket.close(); return
+          }
+          var failedAuth = false
+          val reply = apiKey match {
+            case Api.SaslHandshake if credentials.isDefined =>
+              saslHandshakeV1(apiVersion, body)
+            case Api.SaslAuthenticate if credentials.isDefined =>
+              val (rep, ok) = saslAuthenticateV0(apiVersion, body)
+              if (ok) authed = true else failedAuth = true
+              rep
+            case Api.SaslHandshake | Api.SaslAuthenticate =>
+              // PLAINTEXT listener: SASL is an illegal state here
+              new KafkaWire.Writer().i16(Err.IllegalSaslState)
+                .array(Seq.empty[Int])((_, _) => ()).result()
+            case _ => handle(apiKey, apiVersion, body)
+          }
           KafkaWire.writeResponse(out, correlationId, reply)
+          if (failedAuth) { out.flush(); socket.close(); return }
           if (in.available() == 0) out.flush()
       }
     } catch { case _: Throwable => () } finally socket.close()
+  }
+
+  /** SaslHandshake v1: error_code + enabled mechanisms (PLAIN only). */
+  private def saslHandshakeV1(apiVersion: Int, body: Array[Byte]): Array[Byte] = {
+    val mech = new KafkaWire.Reader(body).str()
+    val err =
+      if (apiVersion != 1) Err.UnsupportedVersion
+      else if (mech != "PLAIN") Err.UnsupportedSaslMechanism
+      else Err.None
+    new KafkaWire.Writer().i16(err)
+      .array(Seq("PLAIN"))((w, m) => { w.str(m); () }).result()
+  }
+
+  /** SaslAuthenticate v0: error_code + error_message + auth_bytes; the
+    * PLAIN initial response is validated against the listener credentials.
+    */
+  private def saslAuthenticateV0(apiVersion: Int,
+      body: Array[Byte]): (Array[Byte], Boolean) = {
+    val token = new KafkaWire.Reader(body).nullableBytes()
+    val ok = apiVersion == 0 &&
+      KafkaWire.parsePlainToken(Option(token).getOrElse(Array.emptyByteArray))
+        .contains(credentials.get)
+    val w = new KafkaWire.Writer()
+    if (ok) w.i16(Err.None).nullableStr(null)
+    else w.i16(Err.SaslAuthenticationFailed)
+      .nullableStr("Authentication failed: invalid credentials")
+    w.nullableBytes(Array.emptyByteArray)
+    (w.result(), ok)
   }
 
   private def handle(apiKey: Int, apiVersion: Int,

@@ -69,7 +69,8 @@ object KafkaClient {
 }
 
 final class KafkaClient(host: String, port: Int,
-    clientId: String = "graft") extends AutoCloseable {
+    clientId: String = "graft",
+    sasl: Option[(String, String)] = None) extends AutoCloseable {
 
   private val socket = new Socket(host, port)
   socket.setTcpNoDelay(true)
@@ -93,6 +94,30 @@ final class KafkaClient(host: String, port: Int,
     val (gotId, body) = KafkaWire.readResponse(in)
     require(gotId == id, s"kafka correlation mismatch: sent $id got $gotId")
     new KafkaWire.Reader(body)
+  }
+
+  // authenticate before anything else can use the channel — the KIP-152
+  // sequence: SaslHandshake v1 (mechanism negotiation), then the PLAIN
+  // initial response inside a header-framed SaslAuthenticate v0. The
+  // constructor owns it so a Session reconnect re-authenticates, exactly
+  // like the iggy/redis session handshakes.
+  sasl.foreach { case (user, pass) => authenticate(user, pass) }
+
+  private def authenticate(user: String, pass: String): Unit = {
+    val hr = call(Api.SaslHandshake)(_.str("PLAIN"))
+    val herr = hr.i16v()
+    Seq.fill(hr.arrayCount())(hr.str()) // broker's enabled mechanisms
+    if (herr != Err.None) fail(herr, "SaslHandshake(PLAIN)")
+    val ar = call(Api.SaslAuthenticate)(
+      _.nullableBytes(KafkaWire.plainToken(user, pass)))
+    val aerr = ar.i16v()
+    val msg = ar.nullableStr()
+    if (aerr != Err.None)
+      throw new KafkaServerErr(aerr,
+        s"SaslAuthenticate failed: kafka error $aerr" +
+          (if (msg == null) "" else s" ($msg)"))
+    ar.nullableBytes() // server's final SASL bytes (empty for PLAIN)
+    ()
   }
 
   /** ApiVersions v0 → api_key -> (min, max). The bootstrap check: a broker

@@ -57,8 +57,9 @@ object KafkaSource {
     */
   private def planRanges(host: String, port: Int, topics: Seq[String],
       afterMs: Option[Long], fromOffset: Option[Long],
-      assign: Option[Seq[(String, Long)]]): Seq[(String, Int, Long, Long)] = {
-    val c = new KafkaClient(host, port)
+      assign: Option[Seq[(String, Long)]],
+      sasl: Option[(String, String)]): Seq[(String, Int, Long, Long)] = {
+    val c = new KafkaClient(host, port, sasl = sasl)
     try {
       val meta = c.metadata(topics)
       topics.flatMap { t =>
@@ -91,15 +92,18 @@ object KafkaSource {
       topics: Seq[String], afterMs: Option[Long] = None,
       fromOffset: Option[Long] = None,
       maxFetchBytes: Int = 1 << 20,
-      assign: Option[Seq[(String, Long)]] = None): DataFrame = {
+      assign: Option[Seq[(String, Long)]] = None,
+      sasl: Option[(String, String)] = None): DataFrame = {
     import spark.implicits._
-    val ranges = planRanges(host, port, topics, afterMs, fromOffset, assign)
+    val ranges = planRanges(host, port, topics, afterMs, fromOffset, assign,
+      sasl)
     spark.sparkContext.parallelize(ranges, math.max(1, ranges.size))
       .mapPartitions { it =>
         val opened = graft.core.TaskResources
           .closeOnTaskCompletion[KafkaClient.Session]()
         it.flatMap { case (topic, partition, from, until) =>
-          val session = new KafkaClient.Session(() => new KafkaClient(host, port))
+          val session = new KafkaClient.Session(
+            () => new KafkaClient(host, port, sasl = sasl))
           opened += session
           val scan = pagedFetch(session, topic, partition, from, until,
             maxFetchBytes)
@@ -123,7 +127,8 @@ object KafkaSource {
     * broker's Metadata path.
     */
   def write(df: DataFrame, host: String, port: Int, partitions: Int = 4,
-      batchSize: Int = 1000): Unit = {
+      batchSize: Int = 1000,
+      sasl: Option[(String, String)] = None): Unit = {
     import df.sparkSession.implicits._
     import org.apache.spark.sql.functions.{col, lit, pmod}
     df.select("stream_key", "shard_id", "timestamp", "payload")
@@ -138,7 +143,8 @@ object KafkaSource {
           // standard at-least-once produce gap (the reference shares it
           // without idempotent producers) — exactly-once sits in the
           // engine's epoch ledger (ops.ExactlyOnce), not here
-          val session = new KafkaClient.Session(() => new KafkaClient(host, port))
+          val session = new KafkaClient.Session(
+            () => new KafkaClient(host, port, sasl = sasl))
           val known = scala.collection.mutable.Set.empty[String]
           try {
             rows.grouped(batchSize).foreach { chunk =>

@@ -40,7 +40,9 @@ object KafkaWire {
     val OffsetCommit = 8
     val OffsetFetch = 9
     val FindCoordinator = 10
+    val SaslHandshake = 17
     val ApiVersions = 18
+    val SaslAuthenticate = 36
   }
 
   /** Version pinned per API (see table above; the group-offset trio —
@@ -50,7 +52,11 @@ object KafkaWire {
   val Versions: Map[Int, Short] = Map(
     Api.Produce -> 3, Api.Fetch -> 4, Api.ListOffsets -> 1,
     Api.Metadata -> 1, Api.OffsetCommit -> 2, Api.OffsetFetch -> 1,
-    Api.FindCoordinator -> 0, Api.ApiVersions -> 0)
+    Api.FindCoordinator -> 0, Api.ApiVersions -> 0,
+    // the KIP-152 authentication pair: handshake v1 switches the channel
+    // to header-framed SaslAuthenticate exchanges (v0's raw-token framing
+    // is the pre-KIP legacy this driver does not speak)
+    Api.SaslHandshake -> 1, Api.SaslAuthenticate -> 0)
     .map { case (k, v) => k -> v.toShort }
 
   /** Public Kafka error codes (the subset this surface can produce). */
@@ -62,7 +68,10 @@ object KafkaWire {
     val LeaderNotAvailable = 5
     val NotLeaderForPartition = 6
     val RequestTimedOut = 7
+    val UnsupportedSaslMechanism = 33
+    val IllegalSaslState = 34
     val UnsupportedVersion = 35
+    val SaslAuthenticationFailed = 58
 
     /** The retriable subset, per the public protocol's error table — a
       * client may safely re-send the request (the broker did not apply
@@ -87,6 +96,32 @@ object KafkaWire {
   object Ts {
     val Latest = -1L
     val Earliest = -2L
+  }
+
+  /** SASL/PLAIN initial response per RFC 4616:
+    * `[authzid] NUL authcid NUL passwd` — empty authorization id (the
+    * authenticated user authorizes as itself, the usual Kafka deployment).
+    */
+  def plainToken(username: String, password: String): Array[Byte] = {
+    val u = username.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val p = password.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[Byte](2 + u.length + p.length)
+    System.arraycopy(u, 0, out, 1, u.length)
+    System.arraycopy(p, 0, out, 2 + u.length, p.length)
+    out
+  }
+
+  /** Inverse of [[plainToken]] — (authcid, passwd); None if not a valid
+    * three-part NUL-separated PLAIN message.
+    */
+  def parsePlainToken(token: Array[Byte]): Option[(String, String)] = {
+    val parts = {
+      val cuts = token.zipWithIndex.collect { case (0, i) => i }
+      if (cuts.length != 2) return None
+      Seq(token.slice(cuts(0) + 1, cuts(1)), token.drop(cuts(1) + 1))
+    }
+    Some((new String(parts(0), java.nio.charset.StandardCharsets.UTF_8),
+      new String(parts(1), java.nio.charset.StandardCharsets.UTF_8)))
   }
 
   /** One record as (offset, timestamp-ms, key, value); key may be null. */

@@ -97,7 +97,8 @@ object KafkaOffsetV2 {
 
 final case class KafkaInputPartition(
     host: String, port: Int, topic: String, partition: Int,
-    from: Long, until: Long, maxFetchBytes: Int)
+    from: Long, until: Long, maxFetchBytes: Int,
+    sasl: Option[(String, String)] = None)
   extends InputPartition
 
 class KafkaMicroBatchStream(options: CaseInsensitiveStringMap)
@@ -110,6 +111,29 @@ class KafkaMicroBatchStream(options: CaseInsensitiveStringMap)
       "kafka-wire requires a `topics` option"))
     .split(',').map(_.trim).filter(_.nonEmpty).toSeq
   private val maxFetchBytes = options.getInt("maxFetchBytes", 1 << 20)
+
+  /** SASL/PLAIN credentials off KafkaOptions.securityOptions' surface:
+    * `kafka.sasl.mechanism` + the JAAS config line's username/password.
+    * The wire driver speaks PLAIN only — other mechanisms fail loudly at
+    * planning instead of silently connecting unauthenticated.
+    */
+  private val sasl: Option[(String, String)] = {
+    val mech = Option(options.get("kafka.sasl.mechanism"))
+    val jaas = Option(options.get("kafka.sasl.jaas.config"))
+    (mech, jaas) match {
+      case (None, None) => None
+      case (Some(m), Some(j)) =>
+        require(m == "PLAIN",
+          s"kafka-wire driver supports SASL PLAIN only, got $m")
+        val user = "username=\"([^\"]*)\"".r.findFirstMatchIn(j)
+        val pass = "password=\"([^\"]*)\"".r.findFirstMatchIn(j)
+        require(user.isDefined && pass.isDefined,
+          "kafka.sasl.jaas.config must carry username and password")
+        Some((user.get.group(1), pass.get.group(1)))
+      case _ => throw new IllegalArgumentException(
+        "SASL needs both kafka.sasl.mechanism and kafka.sasl.jaas.config")
+    }
+  }
   private val latest = options.getOrDefault("startingOffsets", "earliest")
     .equalsIgnoreCase("latest")
   private val startingTimestamp: Option[Long] = {
@@ -164,7 +188,7 @@ class KafkaMicroBatchStream(options: CaseInsensitiveStringMap)
 
   /** Driver-side planning calls ride one short-lived connection. */
   private def withClient[T](f: KafkaClient => T): T = {
-    val c = new KafkaClient(host, port)
+    val c = new KafkaClient(host, port, sasl = sasl)
     try f(c) finally c.close()
   }
 
@@ -253,7 +277,7 @@ class KafkaMicroBatchStream(options: CaseInsensitiveStringMap)
       val until = e.getOrElse((t, p), from)
       if (until <= from) None
       else Some(KafkaInputPartition(host, port, t, p, from, until,
-        maxFetchBytes))
+        maxFetchBytes, sasl))
     }.toArray
   }
 
@@ -282,7 +306,7 @@ class KafkaPartitionReader(p: KafkaInputPartition)
     extends PartitionReader[InternalRow] {
 
   private val session = new KafkaClient.Session(
-    () => new KafkaClient(p.host, p.port))
+    () => new KafkaClient(p.host, p.port, sasl = p.sasl))
   private val scan = graft.kafka.KafkaSource.pagedFetch(
     session, p.topic, p.partition, p.from, p.until, p.maxFetchBytes)
   private var current: SeaMessage = _

@@ -14,6 +14,51 @@ class KafkaSpec extends AnyFunSuite {
     try f(srv, c) finally { c.close(); srv.close() }
   }
 
+  test("SASL PLAIN: good credentials open the channel, bad ones fail typed, " +
+      "unauthenticated data requests are cut") {
+    val srv = new EmbeddedKafka(credentials = Some(("alice", "s3cret")))
+    try {
+      // good: the KIP-152 handshake (SaslHandshake v1 → SaslAuthenticate
+      // v0 with the RFC 4616 PLAIN token) runs in the constructor, then
+      // the channel serves data APIs normally
+      val c = new KafkaClient(srv.host, srv.port,
+        sasl = Some(("alice", "s3cret")))
+      try {
+        assert(c.apiVersions().contains(KafkaWire.Api.SaslHandshake))
+        assert(c.metadata(Seq("t"))("t") == Seq(0, 1, 2, 3))
+      } finally c.close()
+      // bad password: SaslAuthenticationFailed (58) surfaces typed from
+      // the constructor — no half-authenticated client escapes
+      val e = intercept[RuntimeException] {
+        new KafkaClient(srv.host, srv.port, sasl = Some(("alice", "wrong")))
+      }
+      assert(e.getMessage.contains(
+        s"kafka error ${KafkaWire.Err.SaslAuthenticationFailed}"),
+        s"unexpected failure: ${e.getMessage}")
+      // no credentials at all: ApiVersions still serves (bootstrap), but
+      // the first data request is cut without a reply — the SASL
+      // listener's terminate-on-unauthenticated behavior
+      val c2 = new KafkaClient(srv.host, srv.port)
+      try {
+        assert(c2.apiVersions().nonEmpty)
+        intercept[java.io.IOException] { c2.metadata(Seq("t")) }
+      } finally c2.close()
+    } finally srv.close()
+  }
+
+  test("SASL PLAIN round-trips the produce/fetch path end-to-end") {
+    val srv = new EmbeddedKafka(credentials = Some(("u", "p")))
+    try {
+      val c = new KafkaClient(srv.host, srv.port, sasl = Some(("u", "p")))
+      try {
+        c.metadata(Seq("t"))
+        assert(c.produce("t", 0, Seq((10L, null, "a".getBytes))) == 0L)
+        val (hw, recs) = c.fetch("t", 0, 0L)
+        assert(hw == 1L && recs.map(r => new String(r.value)) == Seq("a"))
+      } finally c.close()
+    } finally srv.close()
+  }
+
   test("api versions negotiation lists the pinned surface") {
     withBroker { (_, c) =>
       val vs = c.apiVersions()
