@@ -557,6 +557,97 @@ object Dedup {
         col("match_id"), col("match_jaccard"))
   }
 
+  /** d10's shared front half: the batch spine, the persisted capped-free
+    * shingle/signature tables, and the batch×reference candidate stage
+    * with the LSH banding knob `r` (rows per band). r = 1 is the direct
+    * (i, mh) equi-join — d10_cross_corpus's exact plan; r > 1 groups each
+    * signature into 8/r sorted band keys, thinning the collision stream
+    * at the S-curve-priced recall cost d11 measures (the production
+    * instrument for the collision-amplifier superlinearity the sf10
+    * analyses name). Returns (batch spine, persisted shingles, candidates).
+    */
+  private def d10Parts(s: org.apache.spark.sql.SparkSession, dir: String,
+      r: Int): (DataFrame, DataFrame, DataFrame) = {
+    require(r >= 1 && MinhashParams.size % r == 0, s"bad band size $r")
+    val docs = Tables(s, dir).documents
+    // one stats-pruned scan (source predicate pushed) yields both the
+    // id set for the splits and the output spine — never a second
+    // corpus scan semi-joined against its own filter
+    val batch = docs.filter(col("source")
+        .isin("src0", "src1", "src2", "src3", "src4"))
+      .select(col("doc_id"), col("source"))
+    val batchIds = batch.select(col("doc_id"))
+    val sh = shingles(docs)
+      .withColumn("hm", md5long(col("s")) % Prime)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mh = minhashStack(sh)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // membership split: batch ids are corpus-fraction-sized — shuffled
+    // semi/anti joins, never a broadcast of the id set
+    val mhB = mh.join(batchIds.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+    val mhR = mh.join(batchIds.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+    // cross band join only: batch signatures vs reference signatures
+    val cand =
+      if (r == 1)
+        mhB.as("x").hint("shuffle_hash")
+          .join(mhR.as("y"),
+            col("x.i") === col("y.i") && col("x.mh") === col("y.mh"))
+          .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("ref_id"))
+          .distinct()
+      else {
+        // bandCandidates' key scheme across the corpus split: r (i, mh)
+        // rows per sorted band key, equality on (band, key)
+        def banded(m: DataFrame): DataFrame = m
+          .withColumn("b", (col("i") / r).cast("int"))
+          .groupBy("doc_id", "b")
+          .agg(sort_array(collect_list(struct(col("i"), col("mh")))).as("key"))
+        banded(mhB).as("x").hint("shuffle_hash")
+          .join(banded(mhR).as("y"),
+            col("x.b") === col("y.b") && col("x.key") === col("y.key"))
+          .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("ref_id"))
+          .distinct()
+      }
+    (batch, sh, cand)
+  }
+
+  /** d10 with the banding knob surfaced — r = 1 IS d10_cross_corpus. */
+  private[graft] def d10With(s: org.apache.spark.sql.SparkSession,
+      dir: String, r: Int): DataFrame = {
+    val (batch, sh, cand) = d10Parts(s, dir, r)
+    // exact-Jaccard verification restricted to the candidates (d3's shape)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(sh.select(col("doc_id"), col("s")).hint("shuffle_hash"), "doc_id")
+      .join(sh.select(col("doc_id").as("ref_id"), col("s"))
+        .hint("shuffle_hash"), Seq("ref_id", "s"))
+      .groupBy("doc_id", "ref_id").agg(count(lit(1)).as("common"))
+    val dups = common
+      .join(sizes.toDF("doc_id", "na").hint("shuffle_hash"), "doc_id")
+      .join(sizes.toDF("ref_id", "nb").hint("shuffle_hash"), "ref_id")
+      .withColumn("jaccard",
+        col("common") * lit(1.0) / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= JaccardThreshold)
+    // best match per batch doc via two keyed hash aggs (no window):
+    // the max jaccard, then the smallest ref id achieving it
+    val bestJ = dups.groupBy("doc_id").agg(max(col("jaccard")).as("bj"))
+    val best = dups.join(bestJ.hint("shuffle_hash"), "doc_id")
+      .filter(col("jaccard") === col("bj"))
+      .groupBy("doc_id")
+      .agg(min(col("ref_id")).as("match_id"),
+        round(max(col("jaccard")), 6).as("match_jaccard"))
+    batch
+      .join(best.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        col("match_id").isNull.as("novel"),
+        col("match_id"), col("match_jaccard"))
+  }
+
+  /** The candidate-stream size at band size r — the collision receipt for
+    * BENCH_SF1's banding-knob subsection (measured, not asserted).
+    */
+  private[graft] def d10CandidateCount(s: org.apache.spark.sql.SparkSession,
+      dir: String, r: Int): Long = d10Parts(s, dir, r)._3.count()
+
   /** d10's oracle, shared verbatim by d14 (index ≡ recompute law). */
   private def d10OracleSql: String =
     s"""WITH $jaccardOracleCte,
@@ -781,57 +872,7 @@ object Dedup {
     // and exact-Jaccard verification touches candidates only. Best-match
     // selection is two keyed hash aggs (max jaccard, then min ref id at
     // that jaccard), never a window over the candidate stream.
-    "d10_cross_corpus" -> { (s, dir) =>
-      val docs = Tables(s, dir).documents
-      // one stats-pruned scan (source predicate pushed) yields both the
-      // id set for the splits and the output spine — never a second
-      // corpus scan semi-joined against its own filter
-      val batch = docs.filter(col("source")
-          .isin("src0", "src1", "src2", "src3", "src4"))
-        .select(col("doc_id"), col("source"))
-      val batchIds = batch.select(col("doc_id"))
-      val sh = shingles(docs)
-        .withColumn("hm", md5long(col("s")) % Prime)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val mh = minhashStack(sh)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // membership split: batch ids are corpus-fraction-sized — shuffled
-      // semi/anti joins, never a broadcast of the id set
-      val mhB = mh.join(batchIds.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
-      val mhR = mh.join(batchIds.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
-      // cross band join only: batch signatures vs reference signatures
-      val cand = mhB.as("x").hint("shuffle_hash")
-        .join(mhR.as("y"),
-          col("x.i") === col("y.i") && col("x.mh") === col("y.mh"))
-        .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("ref_id"))
-        .distinct()
-      // exact-Jaccard verification restricted to the candidates (d3's shape)
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val common = cand
-        .join(sh.select(col("doc_id"), col("s")).hint("shuffle_hash"), "doc_id")
-        .join(sh.select(col("doc_id").as("ref_id"), col("s"))
-          .hint("shuffle_hash"), Seq("ref_id", "s"))
-        .groupBy("doc_id", "ref_id").agg(count(lit(1)).as("common"))
-      val dups = common
-        .join(sizes.toDF("doc_id", "na").hint("shuffle_hash"), "doc_id")
-        .join(sizes.toDF("ref_id", "nb").hint("shuffle_hash"), "ref_id")
-        .withColumn("jaccard",
-          col("common") * lit(1.0) / (col("na") + col("nb") - col("common")))
-        .filter(col("jaccard") >= JaccardThreshold)
-      // best match per batch doc via two keyed hash aggs (no window):
-      // the max jaccard, then the smallest ref id achieving it
-      val bestJ = dups.groupBy("doc_id").agg(max(col("jaccard")).as("bj"))
-      val best = dups.join(bestJ.hint("shuffle_hash"), "doc_id")
-        .filter(col("jaccard") === col("bj"))
-        .groupBy("doc_id")
-        .agg(min(col("ref_id")).as("match_id"),
-          round(max(col("jaccard")), 6).as("match_jaccard"))
-      batch
-        .join(best.hint("shuffle_hash"), Seq("doc_id"), "left")
-        .select(col("doc_id"), col("source"),
-          col("match_id").isNull.as("novel"),
-          col("match_id"), col("match_jaccard"))
-    },
+    "d10_cross_corpus" -> { (s, dir) => d10With(s, dir, 1) },
 
     // Persisted incremental-dedup INDEX — s12's build/serve amortization +
     // q22's bucketing applied to d10: the reference corpus's signatures,
