@@ -611,6 +611,80 @@ object Transport {
           (col("i") + 1).cast("long").as("rank"))
     },
 
+    // Streaming contamination scrub — p13's bloom-prefiltered benchmark
+    // check maintained AT INGEST (the p13→t18 pair extends the
+    // batch≡streaming family): the bench suite is static by premise, so
+    // its shingle set builds ONCE batch-side and its fixed-size bloom
+    // blob rides the stream plan as a literal — each arriving document
+    // explodes to doc-local-distinct shingles (array_distinct BEFORE the
+    // explode: stateless, no streaming DISTINCT), the codegen'd
+    // might_contain prefilter drops the overwhelming clean majority with
+    // NO shuffle and NO state, and only bloom survivors cross the
+    // stream-static confirm semi-join (false positives die there; false
+    // negatives don't exist). Streaming disallows chained aggregates, so
+    // the per-(lang, doc) running hit count emits in update mode (t16's
+    // sink-finish discipline; counts are monotone, so each group's final
+    // state is its max emission) and the report-sized lang rollup runs
+    // batch-side. State is O(contaminated docs) — the hit sliver, by
+    // premise — and the oracle is p13's SQL verbatim: the streaming scrub
+    // must equal the batch check bit-for-bit after end-of-log.
+    "t18_stream_contamination" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val out = scratch(dir, "t18contam")
+      val docs = t.documents
+      // static side: the bench shingle set + its bloom (p13's two-phase)
+      val bench = Dedup.shingles(docs)
+        .filter(pmod(col("doc_id"), lit(97L)) === 0L)
+        .select(col("s")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val blob = bench.agg(graft.functions.BloomFunctions
+        .bloomAgg(xxhash64(col("s")), 50000L, 400000L).as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+      val streamed = docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0L)
+      streamed.select(
+          col("source").as("stream_key"),
+          pmod(col("doc_id"), lit(4L)).as("shard_id"),
+          col("doc_id").as("sequence"),
+          expr("timestamp'2026-01-01 00:00:00'").as("timestamp"),
+          to_json(struct(col("doc_id"), col("lang"), col("text")))
+            .cast("binary").as("payload"))
+        .write.format("ss").mode("overwrite").save(out)
+      // ~4 micro-batches at any scale (t15's no-floor discipline)
+      val cap = math.max(1L, streamed.count() / 4)
+      val hits = s.readStream.format("ss")
+        .option("maxMessagesPerTrigger", cap.toString)
+        .load(out)
+        .select(from_json(col("payload").cast("string"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id LONG, lang STRING, text STRING")).as("j"))
+        .select(col("j.doc_id"), col("j.lang"),
+          split(col("j.text"), " ").as("tok"))
+        .filter(size(col("tok")) >= 3)
+        // doc-local distinct via array_distinct — same (doc_id, s) set as
+        // Dedup.shingles' global distinct, without streaming-side state
+        .select(col("doc_id"), col("lang"), explode(array_distinct(expr(
+          "transform(sequence(0, least(size(tok)-3, 1022)), " +
+            "i -> concat_ws(' ', slice(tok, i+1, 3)))"))).as("s"))
+        .filter(graft.functions.BloomFunctions
+          .mightContain(lit(blob), xxhash64(col("s"))))
+        // exact confirm: stream-static semi-join; the bench side is
+        // eval-sized — too big to broadcast by premise (p13's law)
+        .join(bench.hint("shuffle_hash"), Seq("s"), "left_semi")
+      val q = hits
+        .groupBy(col("lang"), col("doc_id"))
+        .agg(count(lit(1)).as("n_sh"))
+        .writeStream.outputMode("update")
+        .format("memory").queryName("t18_contam_sink").start()
+      try q.processAllAvailable() finally q.stop()
+      // each group's final (cumulative) count = its max emission; the
+      // lang rollup ranks hit-doc-sized rows — report-sized
+      s.table("t18_contam_sink")
+        .groupBy("lang", "doc_id").agg(max(col("n_sh")).as("n_sh"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_contam_docs"),
+          sum(col("n_sh")).as("n_shared_shingles"))
+    },
+
     // Streaming latest-per-key compaction — q24's CDC shape maintained AT
     // INGEST (the q24→t17 pair completes the batch≡streaming family with
     // s11→t15 and p20→t16): a GroupState per key holds exactly ONE row —
@@ -745,6 +819,9 @@ object Transport {
     "t16_stream_holdout" -> Pipeline.oracles("p20_eval_holdout"),
     // the streaming compaction must equal q24's batch compaction exactly
     "t17_stream_latest" -> Relational.oracles("q24_latest_event"),
+    // the streaming scrub must equal p13's batch contamination check —
+    // same SQL, the streaming ≡ batch law
+    "t18_stream_contamination" -> Pipeline.oracles("p13_bloom_contamination"),
     "t14_stream_lsh_dedup" -> {
       val constRows = Dedup.MinhashParams.zipWithIndex
         .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
