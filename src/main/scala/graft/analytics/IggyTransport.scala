@@ -84,11 +84,81 @@ object IggyTransport {
           Transport.eventTypes, afterMs = Some(cutoff)).localCheckpoint(true)
         Transport.aggregate(sought, withDistinct = false)
       }
+    },
+
+    // Group-resume law (k4/r6's discipline on this backend): a prior
+    // member STORED each partition's last-delivered offset — resolved
+    // deterministically as the message before the first with
+    // ts >= cutoff+1 (the Timestamp strategy's own binary search, so the
+    // committed point is exact) — and a `group`-anchored stream must
+    // resume exactly past it, delivering the same strict suffix the seek
+    // law defines (i3's oracle). The stream keeps committing as it drains
+    // (poll auto-commit, the AfterPolling mode the reference defaults to,
+    // options.rs:136).
+    "i4_iggy_group_resume" -> { (s, dir) =>
+      withServer { srv =>
+        val t = Tables(s, dir)
+        val bounds = t.events
+          .agg(min(unix_millis(col("ts"))).as("lo"),
+            max(unix_millis(col("ts"))).as("hi")).head()
+        val cutoff = (bounds.getLong(0) + bounds.getLong(1)) / 2
+        IggySource.write(Transport.envelopeOf(t), srv.host, srv.port)
+        val c = new graft.iggy.IggyClient(srv.host, srv.port)
+        try {
+          val g = (1, "g_oracle")
+          Transport.eventTypes.foreach { topic =>
+            c.createGroupIfAbsent(IggySource.DefaultStream, topic, "g_oracle")
+            val nParts = c.topicTips(IggySource.DefaultStream, topic)
+              .map(_.length).getOrElse(0)
+            (0 until nParts).foreach { p =>
+              // first offset with ts >= cutoff+1; its predecessor is the
+              // last delivered message of the "previous member"
+              val (_, first) = c.pollMessages(IggySource.DefaultStream,
+                topic, p, graft.iggy.IggyWire.PollStrategy
+                  .AtTimestamp(cutoff + 1), 1)
+              first.headOption.map(_.offset) match {
+                case Some(off) if off > 0 =>
+                  c.storeOffset(IggySource.DefaultStream, topic, p, g, off - 1)
+                case Some(_) => () // suffix starts at 0: nothing delivered
+                case None =>
+                  // whole partition precedes the cutoff: all delivered
+                  val tip = c.topicTips(IggySource.DefaultStream, topic)
+                    .map(_.apply(p)).getOrElse(0L)
+                  if (tip > 0) c.storeOffset(IggySource.DefaultStream,
+                    topic, p, g, tip - 1)
+              }
+            }
+          }
+        } finally c.close()
+        val q = Transport.aggregate(
+          s.readStream.format("iggy-stream")
+            .option("host", srv.host).option("port", srv.port.toString)
+            .option("topics", Transport.eventTypes.mkString(","))
+            .option("startingOffsets", "earliest") // overridden by the group
+            .option("group", "g_oracle")
+            .load(), withDistinct = false)
+          .writeStream.outputMode("complete")
+          .format("memory").queryName("i4_iggy_group_sink").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("i4_iggy_group_sink")
+      }
     })
 
   val oracles: Map[String, String] = Map(
     "i1_iggy_roundtrip" -> Transport.aggregateOracle(withDistinct = true),
     "i2_iggy_admission" -> Transport.aggregateOracle(withDistinct = false),
+    // the resumed stream delivers i3's strict suffix exactly
+    "i4_iggy_group_resume" ->
+      """WITH b AS (
+        |  SELECT (epoch_ms(min(date_trunc('milliseconds', ts))) +
+        |          epoch_ms(max(date_trunc('milliseconds', ts)))) // 2 AS cutoff
+        |  FROM events)
+        |SELECT event_type AS stream_key, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  MAX(event_id) AS max_event_id
+        |FROM events, b
+        |WHERE epoch_ms(date_trunc('milliseconds', ts)) > b.cutoff
+        |GROUP BY event_type""".stripMargin,
     "i3_iggy_seek" ->
       """WITH b AS (
         |  SELECT (epoch_ms(min(date_trunc('milliseconds', ts))) +

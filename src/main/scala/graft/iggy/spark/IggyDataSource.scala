@@ -195,14 +195,28 @@ class IggyMicroBatchStream(options: CaseInsensitiveStringMap)
       case None if latest => tips()
       case None => tips().map { case (k, _) => k -> 0L }
     }
-    group.foreach { g =>
-      withClient { c =>
-        topics.foreach { t =>
-          c.createGroupIfAbsent(stream, t, g)
+    val resolved = group match {
+      // group RESUME (k4/r6's law on this backend): a group-anchored
+      // stream continues AFTER the server's stored offset wherever one
+      // exists — the stored offset is the last DELIVERED message (the
+      // broker's Next semantics), so the start id is stored+1; partitions
+      // with no stored offset keep the strategy-derived anchor. An
+      // explicit timestamp seek overrides the stored cursor.
+      case Some(g) if startingTimestamp.isEmpty =>
+        withClient { c =>
+          topics.foreach(t => c.createGroupIfAbsent(stream, t, g))
+          ids.map { case ((t, p), anchor) =>
+            (t, p) -> c.getOffset(stream, t, p, (1, g))
+              .map(_ + 1L).getOrElse(anchor)
+          }
         }
-      }
+      case _ =>
+        group.foreach { g =>
+          withClient(c => topics.foreach(t => c.createGroupIfAbsent(stream, t, g)))
+        }
+        ids
     }
-    IggyOffset(ids)
+    IggyOffset(resolved)
   }
 
   override def getDefaultReadLimit: ReadLimit =
