@@ -164,6 +164,46 @@ object TextAnalysis {
         .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
           round(log(col("n_tokens").cast("double")) -
             col("clnc").cast("double") / col("n_tokens"), 6).as("entropy"))
+    },
+
+    // Repetition signals (the Gopher repetition filters, Rae et al. 2021
+    // §A1.1, adapted to single-line documents): type-token ratio, the top
+    // word's frequency share, and the top bigram's share — the signal
+    // that catches looping/boilerplate generators that length and
+    // stopword checks (a2) miss. Everything is doc-local: two
+    // explode→keyed-hash-agg passes (words, bigrams; map-side partials,
+    // no corpus-wide state) folded to one row per doc and joined
+    // doc-keyed. The "top" share needs only the MAX count — tie-free, no
+    // argmax struct, no window. Bigram positions cap at 4095 (the
+    // shingles idiom, mirrored in the oracle's range) so a pathological
+    // document bounds its own row count. Docs with <2 tokens carry no
+    // bigram and drop from the report on both engines (inner join).
+    "a6_repetition" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val wc = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      val wd = wc.groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+          max("c").as("topw"))
+      val bg = docs
+        .select(col("doc_id"), split(col("text"), " ").as("tok"))
+        .filter(size(col("tok")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, least(size(tok)-2, 4094)), " +
+            "i -> concat_ws(' ', slice(tok, i+1, 2)))")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      val bd = bg.groupBy("doc_id")
+        .agg(sum("c").as("n_bigrams"), max("c").as("topb"))
+      wd.join(bd.hint("shuffle_hash"), "doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("n_distinct") * lit(1.0) / col("n_tokens"), 6).as("ttr"),
+          round(col("topw") * lit(1.0) / col("n_tokens"), 6)
+            .as("top_word_frac"),
+          round(col("topb") * lit(1.0) / col("n_bigrams"), 6)
+            .as("top_bigram_frac"),
+          (col("topb") * lit(1.0) / col("n_bigrams") > 0.04).as("repetitive"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -232,5 +272,31 @@ object TextAnalysis {
         |        FROM wc GROUP BY doc_id)
         |SELECT doc_id, n_tokens, n_distinct,
         |  ROUND(ln(n_tokens) - CAST(clnc AS DOUBLE) / n_tokens, 6) AS entropy
-        |FROM agg""".stripMargin)
+        |FROM agg""".stripMargin,
+
+    // word + bigram top-share replay; bigram positions capped at 4095 to
+    // mirror the Spark side's transform(sequence(...)) bound
+    "a6_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |wc AS (SELECT doc_id, w, COUNT(*) AS c FROM toks
+        |       WHERE length(w) > 0 GROUP BY 1, 2),
+        |wd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |         CAST(MAX(c) AS BIGINT) AS topw
+        |       FROM wc GROUP BY doc_id),
+        |tk AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |bg AS (SELECT doc_id, tok[g.i]||' '||tok[g.i+1] AS g
+        |       FROM tk, (SELECT unnest(range(1, 4096)) AS i) g
+        |       WHERE g.i + 1 <= len(tok)),
+        |bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        |bd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        |         CAST(MAX(c) AS BIGINT) AS topb
+        |       FROM bc GROUP BY doc_id)
+        |SELECT w.doc_id, w.n_tokens,
+        |  ROUND(w.n_distinct * 1.0 / w.n_tokens, 6) AS ttr,
+        |  ROUND(w.topw * 1.0 / w.n_tokens, 6) AS top_word_frac,
+        |  ROUND(b.topb * 1.0 / b.n_bigrams, 6) AS top_bigram_frac,
+        |  (b.topb * 1.0 / b.n_bigrams) > 0.04 AS repetitive
+        |FROM wd w JOIN bd b USING (doc_id)""".stripMargin)
 }

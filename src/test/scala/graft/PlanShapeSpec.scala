@@ -217,6 +217,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), "a5 lost its hash aggregation shape")
   }
 
+  test("a6 repetition: two keyed hash-agg passes, one doc-keyed shuffled " +
+      "join, no window") {
+    // word and bigram histograms each fold to one row per doc via
+    // map-side-partial hash aggs; the only join is the doc-keyed merge of
+    // the two per-doc frames — shuffled, never a broadcast of a
+    // corpus-sized side; "top share" needs only MAX, so no window rank
+    val p = planOf("a6_repetition")
+    assert(!p.contains("Window"), "a6 must not window")
+    assert(!p.contains("BroadcastHashJoin"),
+      "a6's per-doc frames are corpus-sized — they must not broadcast")
+    assert(p.contains("HashAggregate"), "a6 lost its hash aggregation shape")
+    val joins = nodeBlocks(p).count { case (n, _) => n.contains("Join") }
+    assert(joins == 1, s"$joins joins — a6 merges exactly two per-doc frames")
+  }
+
   test("c4 cluster quality rides the packed argmin; separation is " +
       "k-bounded and broadcast") {
     // the per-vector (centroid, winning-d2) decode must come from the
