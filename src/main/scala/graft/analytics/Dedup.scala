@@ -58,6 +58,12 @@ object Dedup {
     */
   private[analytics] val ShingleDfCap = 256L
 
+  /** d15: max document-frequency for an 8-token window fingerprint —
+    * tighter than [[ShingleDfCap]] because an exact 8-gram present in
+    * >64 docs is boilerplate, which substring dedup deliberately ignores.
+    */
+  private[analytics] val SubstringDfCap = 64L
+
   /** doc_id + distinct word-3gram shingles. */
   private[analytics] def shingles(docs: DataFrame): DataFrame =
     docs
@@ -746,6 +752,50 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
     },
 
+    // EXACT-SUBSTRING duplication via 8-token window fingerprints — the
+    // Spark-practical form of the suffix-array dedup in Lee et al. 2021
+    // ("Deduplicating Training Data Makes Language Models Better"): two
+    // documents sharing ANY 8-token window share an exact substring of
+    // ≥ 8 tokens, and the count of shared distinct windows lower-bounds
+    // the duplicated span mass. This is a different LENS than d2/d13:
+    // 3-gram Jaccard measures set overlap (background pairs share many
+    // common 3-grams), while an 8-token run is so specific that on clean
+    // data the window equi-join is near-collision-free — its output IS
+    // the duplication evidence, no similarity threshold needed. df-cap 64
+    // (tighter than ShingleDfCap: an 8-gram in >64 docs is boilerplate —
+    // licence headers, navigation chrome — which substring dedup
+    // deliberately ignores). 100 TB shape: d2's class — ONE df-capped
+    // fingerprint equi-join, O(collisions) never O(n²); per-doc window
+    // counts attach by doc-keyed shuffled joins; dup_frac = shared
+    // windows / smaller doc's windows, the span-mass estimate the
+    // drop-decision reads.
+    "d15_substring_dup" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val g = docs
+        .select(col("doc_id"), split(col("text"), " ").as("tok"))
+        .filter(size(col("tok")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, least(size(tok)-8, 1022)), " +
+            "i -> concat_ws(' ', slice(tok, i+1, 8)))")).as("s"))
+        .distinct()
+      val keep = g.groupBy("s").agg(count(lit(1)).as("c"))
+        .filter(col("c") <= SubstringDfCap).select("s")
+      val kept = g.join(keep.hint("shuffle_hash"), Seq("s"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = kept.as("a")
+        .join(kept.as("b").hint("shuffle_hash"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared_windows"))
+      pairs
+        .join(sizes.toDF("doc_a", "na").hint("shuffle_hash"), "doc_a")
+        .join(sizes.toDF("doc_b", "nb").hint("shuffle_hash"), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("n_shared_windows"),
+          round(col("n_shared_windows") * lit(1.0) /
+            least(col("na"), col("nb")), 6).as("dup_frac"))
+    },
+
     // Asymmetric set CONTAINMENT — the dedup lens symmetric Jaccard is
     // blind to: a short document whose shingles sit almost entirely inside
     // a much longer one (boilerplate wrapping, quote-heavy expansions, a
@@ -1087,6 +1137,29 @@ object Dedup {
       s"""WITH $jaccardOracleCteCapped
          |SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard
          |FROM jac WHERE jaccard >= $JaccardThreshold""".stripMargin,
+    // the 8-token window replay: same position cap (range(1,1024) ≡
+    // sequence(0, least(size-8, 1022))), same df-cap, same pair join
+    "d15_substring_dup" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tok
+        |             FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        tok[w.i]||' '||tok[w.i+1]||' '||tok[w.i+2]||' '||tok[w.i+3]
+        |          ||' '||tok[w.i+4]||' '||tok[w.i+5]||' '||tok[w.i+6]
+        |          ||' '||tok[w.i+7] AS s
+        |      FROM tk, (SELECT unnest(range(1, 1024)) AS i) w
+        |      WHERE w.i + 7 <= len(tok)),
+        |keep AS (SELECT s FROM g GROUP BY s HAVING COUNT(*) <= $SubstringDfCap),
+        |kept AS (SELECT g.doc_id, g.s FROM g JOIN keep USING (s)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        CAST(COUNT(*) AS BIGINT) AS n_shared_windows
+        |      FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_shared_windows,
+        |  ROUND(n_shared_windows * 1.0 / LEAST(sa.n, sb.n), 6) AS dup_frac
+        |FROM p
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id""".stripMargin,
     "d13_containment" ->
       s"""WITH $jaccardOracleCteCapped,
          |bothdir AS (SELECT doc_a, doc_b,

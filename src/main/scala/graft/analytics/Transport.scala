@@ -685,6 +685,90 @@ object Transport {
           sum(col("n_sh")).as("n_shared_shingles"))
     },
 
+    // Streaming k-means assignment — c1's single Lloyd round maintained
+    // AT INGEST (the c1→t19 pair): the FROZEN seed centroids are
+    // k-bounded, so they ride the stream plan as a 16-struct array
+    // literal (a k-row driver collect, c3's O(1)-collect class — never a
+    // corpus read) and each arriving vector assigns STATELESSLY via a
+    // fold over that literal — same 6-dp-rounded exact-decimal distance
+    // (FloatVecDecimal) and same smaller-id tie rule as packedArgmin, no
+    // per-row agg, no window. The only streaming state is the
+    // (centroid, dim) running count/decimal-sum table — O(K×dims) at any
+    // corpus size — emitted in update mode; the k-row means/shift finish
+    // runs batch-side (counts are monotone, so max-struct picks each
+    // group's last emission). After end-of-log the result must equal
+    // c1's batch round bit-for-bit: the oracle IS c1's SQL.
+    "t19_stream_assign" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val out = scratch(dir, "t19assign")
+      val e = t.embeddings
+      val centRows = e.filter(col("vec_id") < 16)
+        .select(col("vec_id"), col("embedding")).collect()
+        .sortBy(_.getLong(0))
+      val centLit = array(centRows.map { r =>
+        struct(lit(r.getLong(0)).as("cid"),
+          typedLit(r.getSeq[Float](1)).as("cemb"))
+      }: _*)
+      e.select(
+          lit("emb").as("stream_key"),
+          pmod(col("vec_id"), lit(4L)).as("shard_id"),
+          col("vec_id").as("sequence"),
+          expr("timestamp'2026-01-01 00:00:00'").as("timestamp"),
+          // JSON keeps the float roundtrip exact (t15's discipline)
+          to_json(struct(col("vec_id"), col("embedding")))
+            .cast("binary").as("payload"))
+        .write.format("ss").mode("overwrite").save(out)
+      val cap = math.max(1L, e.count() / 4)
+      val assigned = s.readStream.format("ss")
+        .option("maxMessagesPerTrigger", cap.toString)
+        .load(out)
+        .withColumn("j", from_json(col("payload").cast("string"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "vec_id LONG, embedding ARRAY<FLOAT>")))
+        .select(col("j.embedding").as("emb"))
+        // stateless argmin: strict-less fold in ascending-id order ==
+        // packedArgmin's (round(d2r,6), id) min — ties keep the earlier
+        // (smaller) centroid id
+        .withColumn("centroid_id",
+          org.apache.spark.sql.functions.aggregate(centLit,
+          struct(lit(Double.MaxValue).as("best"), lit(-1L).as("cid")),
+          (acc, c) => {
+            val d2 = round(graft.functions.FloatVecDecimal
+              .fdist2Exact(c.getField("cemb"), col("emb")), 6)
+            when(d2 < acc.getField("best"),
+              struct(d2.as("best"), c.getField("cid").as("cid")))
+              .otherwise(acc)
+          }).getField("cid"))
+      val q = assigned
+        .select(col("centroid_id"), posexplode(col("emb")).as(Seq("d0", "v")))
+        .select(col("centroid_id"), (col("d0") + 1).as("d"),
+          col("v").cast("double").as("v"))
+        .groupBy("centroid_id", "d")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast("decimal(30,15)")).as("sv"))
+        .writeStream.outputMode("update")
+        .format("memory").queryName("t19_assign_sink").start()
+      try q.processAllAvailable() finally q.stop()
+      // batch-side finish (K×dims rows): last emission per group via
+      // max-struct on the monotone count, then c1's exact means/shift
+      val fin = s.table("t19_assign_sink")
+        .groupBy("centroid_id", "d")
+        .agg(max(struct(col("n"), col("sv"))).as("m"))
+        .select(col("centroid_id"), col("d"), col("m.n").as("n"),
+          col("m.sv").as("sv"))
+        .withColumn("mean", col("sv").cast("double") / col("n"))
+      val oldD = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("centroid_id"),
+          posexplode(col("embedding")).as(Seq("d0", "ov")))
+        .select(col("centroid_id"), (col("d0") + 1).as("d"),
+          col("ov").cast("double").as("ov"))
+      fin.join(oldD, Seq("centroid_id", "d"))
+        .groupBy("centroid_id")
+        .agg(max(col("n")).as("n_members"),
+          round(sum(((col("mean") - col("ov")) * (col("mean") - col("ov")))
+            .cast("decimal(30,15)")).cast("double"), 6).as("shift"))
+    },
+
     // Streaming latest-per-key compaction — q24's CDC shape maintained AT
     // INGEST (the q24→t17 pair completes the batch≡streaming family with
     // s11→t15 and p20→t16): a GroupState per key holds exactly ONE row —
@@ -822,6 +906,8 @@ object Transport {
     // the streaming scrub must equal p13's batch contamination check —
     // same SQL, the streaming ≡ batch law
     "t18_stream_contamination" -> Pipeline.oracles("p13_bloom_contamination"),
+    // the streaming assignment round must equal c1's batch round exactly
+    "t19_stream_assign" -> Similarity.oracles("c1_kmeans"),
     "t14_stream_lsh_dedup" -> {
       val constRows = Dedup.MinhashParams.zipWithIndex
         .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }

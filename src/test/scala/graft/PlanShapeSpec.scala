@@ -91,6 +91,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("\\bWindow\\b".r.findAllIn(p).isEmpty, "d13 must not window")
   }
 
+  test("d15's window-fingerprint join and size attaches all shuffle") {
+    // the 8-gram equi-join's sides are corpus-sized (d2's class): a
+    // broadcast anywhere is a 100 TB OOM in waiting, and the pair/size
+    // rollups are keyed hash aggs — never a window
+    val p = planOf("d15_substring_dup")
+    assert(!p.contains("BroadcastHashJoin"), "corpus-sized side broadcast in d15")
+    assert(!p.contains("CartesianProduct"))
+    assert("\\bWindow\\b".r.findAllIn(p).isEmpty, "d15 must not window")
+  }
+
   test("LSH candidate generation never plans a cartesian product") {
     // (tiny broadcast cross joins against constant tables — 8 minhash params,
     // plane grids — are deliberate and fine; a CartesianProduct is not)
