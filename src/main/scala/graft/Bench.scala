@@ -136,9 +136,15 @@ object Bench {
           // recurring costs are the append of wave 1's survivors and wave
           // 2's query against the grown index
           analytics.Dedup.d14Build(spark, sfDir)
-          val w1 = analytics.Dedup.d14Query(spark, sfDir, Seq("src0", "src1"))
+          // materialize wave 1's admission verdict BEFORE the timed append:
+          // d14Query returns a lazy plan, and d14Append's own checkpoint of
+          // the accepted ids would otherwise charge wave 1's whole band
+          // join + Jaccard verify to the append receipt
+          val w1Accepted = analytics.Dedup
+            .d14Query(spark, sfDir, Seq("src0", "src1"))
+            .filter(col("novel")).select(col("doc_id")).localCheckpoint(true)
           timed("d14_append")(
-            analytics.Dedup.d14Append(spark, sfDir, w1.filter(col("novel"))))
+            analytics.Dedup.d14Append(spark, sfDir, w1Accepted))
           timed("d14_grown_query")(force(
             analytics.Dedup.d14Query(spark, sfDir, Seq("src2", "src3", "src4"))))
         } else if (name == "s13_mmr_indexed") {

@@ -138,18 +138,37 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-  /** One capped-shingle frame per (session, shingle plan). Five operators
-    * verify over the SAME capped shingle set (d2, d6, d9, d13, p21), and a
-    * per-call persist would cache up to five identical copies of it in one
-    * Verify session. Keyed by the canonicalized input plan (same dataset
-    * dir → same plan → same blocks; synthetic spec frames key separately),
-    * so every caller shares one set of blocks. A `clearCache` between
-    * queries (Bench) drops the blocks but not the memo entry — the
-    * storage-level check in [[jaccardPairs]] re-persists on next use.
+  /** One capped-shingle frame per (session, shingle plan, input files).
+    * Five operators verify over the SAME capped shingle set (d2, d6, d9,
+    * d13, p21), and a per-call persist would cache up to five identical
+    * copies of it in one Verify session. Keyed by the canonicalized input
+    * plan (same dataset dir → same plan → same blocks; synthetic spec
+    * frames key separately), so every caller shares one set of blocks. A
+    * `clearCache` between queries (Bench) drops the blocks but not the
+    * memo entry — the storage-level check in [[jaccardPairs]] re-persists
+    * on next use. Two lifecycle guards (both latent hazards, neither
+    * reachable from Bench/Verify's static-dir single-session flows):
+    * the outer map holds sessions WEAKLY, so a stopped, dereferenced
+    * session's entries are GC-reclaimable instead of pinned for the JVM
+    * lifetime; and the key includes the input-file listing hash, because
+    * InMemoryFileIndex equality is rootPaths-based — a fresh read of a
+    * REWRITTEN dataset dir canonicalizes to the same plan but must not
+    * memo-hit a frame whose file listing was snapshotted pre-rewrite.
     */
-  private val cappedShingleMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession,
-      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]()
+  private val cappedShingleMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[
+        (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long),
+        DataFrame]]())
+
+  /** Order-insensitive hash of a frame's input-file listing (public
+    * `Dataset.inputFiles` — parquet rewrites mint fresh part-file UUIDs,
+    * so a rewritten dir always changes this). Empty/in-memory inputs
+    * hash to 0 and key purely on the canonicalized plan.
+    */
+  private def inputFilesHash(df: DataFrame): Long =
+    df.inputFiles.foldLeft(0L)((h, f) => h ^ scala.util.hashing.MurmurHash3
+      .stringHash(f).toLong)
 
   /** Exact Jaccard over shared shingles for co-occurring pairs.
     *
@@ -163,8 +182,19 @@ object Dedup {
     * session teardown (Verify).
     */
   private[analytics] def jaccardPairs(shRaw: DataFrame): DataFrame = {
-    val memoKey = (shRaw.sparkSession, shRaw.queryExecution.analyzed.canonicalized)
-    val sh = cappedShingleMemo.computeIfAbsent(memoKey, _ => {
+    val sessionMemo = cappedShingleMemo.synchronized {
+      var m = cappedShingleMemo.get(shRaw.sparkSession)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[
+          (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long),
+          DataFrame]()
+        cappedShingleMemo.put(shRaw.sparkSession, m)
+      }
+      m
+    }
+    val memoKey =
+      (shRaw.queryExecution.analyzed.canonicalized, inputFilesHash(shRaw))
+    val sh = sessionMemo.computeIfAbsent(memoKey, _ => {
       // df-cap: drop stop-shingles BEFORE the self-join (see ShingleDfCap).
       // The df table is vocabulary-sized — unbounded, so the semi-join is
       // shuffle-hinted like every other corpus-scale side.
@@ -441,10 +471,16 @@ object Dedup {
     * dataset dir (ivfIndexPath's rule): building against one dir and
     * querying another in the same session must address DIFFERENT indexes —
     * a fixed name would silently serve the wrong corpus's bands to the
-    * split d14Build/d14Query/d14Append API.
+    * split d14Build/d14Query/d14Append API. The sanitized dir alone is NOT
+    * injective (`/tmp/a-b` and `/tmp/a_b` both sanitize to `_tmp_a_b`), so
+    * an md5 prefix of the RAW dir string disambiguates — without it two
+    * distinct corpora could silently share one index.
     */
-  private[graft] def d14Table(name: String, dir: String): String =
-    name + "_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+  private[graft] def d14Table(name: String, dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    name + "_" + dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + h
+  }
 
   /** d14 index BUILD: the reference corpus's dedup index persisted once —
     * the minhash band table written BUCKETED on the composite band key

@@ -144,8 +144,13 @@ final class EmbeddedIggy extends AutoCloseable {
   private def serve(socket: java.net.Socket): Unit = {
     val in = IggyWire.buffered(socket.getInputStream)
     val out = IggyWire.buffered(socket.getOutputStream)
-    // iggy's session model: the server assigns a client id per connection
-    val clientId = clientSeq.incrementAndGet()
+    // iggy's session model: the server assigns a client id per connection.
+    // ClientInfo/GroupMember ids are u32 ON THE WIRE (IggyWire
+    // writeGroupDetails/writeClientInfo), so the generator is constrained
+    // to u32 space here — an unconstrained Long would silently alias two
+    // members after wire truncation and break joinGroup's clientId
+    // membership lookup.
+    val clientId = clientSeq.incrementAndGet() & 0xffffffffL
     val address = String.valueOf(socket.getRemoteSocketAddress)
     var authed = false
     try while (!closed) {

@@ -368,9 +368,16 @@ object IggyWire {
   final case class GroupDetails(id: Int, partitionsCount: Int,
       name: String, members: Seq[GroupMember])
 
+  /** Member client ids are u32 ON THE WIRE — a loud bound check instead
+    * of a silent `.toInt` truncation, which would alias members above
+    * 2^32 and break membership lookups (id generators must stay in u32
+    * space, as EmbeddedIggy's clientSeq does).
+    */
   def writeGroupDetails(w: Writer, g: GroupDetails): Unit = {
     w.u32(g.id).u32(g.partitionsCount).u32(g.members.size).str(g.name)
     g.members.foreach { m =>
+      require(m.clientId >= 0L && m.clientId <= 0xffffffffL,
+        s"GroupMember.clientId ${m.clientId} outside the u32 wire bound")
       w.u32(m.clientId.toInt).u32(m.partitionIds.size)
       m.partitionIds.foreach(w.u32)
     }
@@ -393,6 +400,8 @@ object IggyWire {
       address: String, groups: Seq[(Int, Int, Int)])
 
   def writeClientInfo(w: Writer, c: ClientInfo): Unit = {
+    require(c.clientId >= 0L && c.clientId <= 0xffffffffL,
+      s"ClientInfo.clientId ${c.clientId} outside the u32 wire bound")
     w.u32(c.clientId.toInt).u32(c.userId.toInt).u8(c.transport)
       .lstr(c.address).u32(c.groups.size)
     c.groups.foreach { case (s, t, g) => w.u32(s).u32(t).u32(g) }

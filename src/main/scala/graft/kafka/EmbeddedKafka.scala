@@ -137,10 +137,18 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4,
               val (rep, ok) = saslAuthenticateV0(apiVersion, body)
               if (ok) authed = true else failedAuth = true
               rep
-            case Api.SaslHandshake | Api.SaslAuthenticate =>
-              // PLAINTEXT listener: SASL is an illegal state here
+            case Api.SaslHandshake =>
+              // PLAINTEXT listener: SASL is an illegal state here —
+              // handshake-shaped reply (error_code + mechanisms array)
               new KafkaWire.Writer().i16(Err.IllegalSaslState)
                 .array(Seq.empty[Int])((_, _) => ()).result()
+            case Api.SaslAuthenticate =>
+              // same illegal state, but authenticate-SHAPED (error_code +
+              // error_message + auth_bytes) — a client that reached
+              // authenticate must not be handed a handshake body to parse
+              new KafkaWire.Writer().i16(Err.IllegalSaslState)
+                .nullableStr("SASL not enabled on this listener")
+                .nullableBytes(null).result()
             case _ => handle(apiKey, apiVersion, body)
           }
           KafkaWire.writeResponse(out, correlationId, reply)

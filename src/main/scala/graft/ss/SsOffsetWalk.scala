@@ -75,4 +75,38 @@ object SsOffsetWalk {
       else End(end, end - walkFrom, probes)
     } finally reader.close()
   }
+
+  /** Row-capped safe end: the end offset of the `maxRows`-th complete
+    * frame at/after `from` (or of the last complete frame when the file
+    * holds fewer). Returns the end plus the number of frames admitted, so
+    * a shared budget drains across files like [[safeEnd]]'s byte budget.
+    *
+    * Unlike the byte budget — O(#beacon-probes + beaconInterval) driver
+    * work — a row cap must COUNT frames, so this walk skims exactly the
+    * admitted frames' headers: O(cap) header seeks per (file, trigger),
+    * Kafka's `maxOffsetsPerTrigger` planning class paid in seeks because
+    * ss offsets are bytes, not row numbers. At ingest scale prefer
+    * `maxBytesPerTrigger`; the row cap exists for semantic parity
+    * (deterministic row-counted micro-batches).
+    */
+  def safeEndRows(path: String, from: Long, maxRows: Long): (End, Long) = {
+    val size = new java.io.File(path).length()
+    if (size <= SsFormat.HeaderSize || maxRows <= 0L) return (End(from, 0L, 0), 0L)
+    val start = math.max(from, SsFormat.HeaderSize.toLong)
+    if (start >= size) return (End(from, 0L, 0), 0L)
+    val reader =
+      SsReader.openAtOffset(path, start, verifyChecksum = false, skim = true)
+    try {
+      val walkFrom = reader.currentOffset
+      var end = walkFrom
+      var rows = 0L
+      var done = false
+      while (!done && rows < maxRows) reader.next() match {
+        case Some(rec) => end = rec.endOffset; rows += 1
+        case None => done = true
+      }
+      if (end <= start) (End(from, 0L, 0), 0L)
+      else ((End(end, end - walkFrom, 0)), rows)
+    } finally reader.close()
+  }
 }

@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxBytes, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxBytes, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -20,7 +20,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.core.{Envelope, SeaMessage}
-import graft.ss.{SsFormat, SsReader, SsSurveyor, SsWriter}
+import graft.ss.{SsFormat, SsOffsetWalk, SsReader, SsSurveyor, SsWriter}
 
 /** `spark.read.format("ss")` / `readStream` / `writeStream` for the `.ss`
   * seekable container (SURVEY.md §2.2; format spec
@@ -40,7 +40,9 @@ import graft.ss.{SsFormat, SsReader, SsSurveyor, SsWriter}
   * Options: `subscribe` (comma-separated stream keys; `*` = all),
   * `verifyChecksum` (default true), `beaconInterval` (write side),
   * `startingOffsets` earliest|latest, `maxBytesPerTrigger` (streaming
-  * admission control — per-micro-batch byte budget).
+  * admission control — per-micro-batch byte budget), `maxMessagesPerTrigger`
+  * (row-counted admission, Kafka `maxOffsetsPerTrigger` semantics;
+  * mutually exclusive with the byte budget).
   */
 class SsDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "ss"
@@ -389,6 +391,26 @@ class SsMicroBatchStream(path: String, options: CaseInsensitiveStringMap)
     }
   }
 
+  /** Row-counted admission — Kafka's `maxOffsetsPerTrigger` semantics (the
+    * cap the t14–t19 streaming operators and the redis/iggy/kafka sources
+    * share). ss offsets are bytes, so honoring a row cap costs an O(cap)
+    * frame-header skim per trigger (SsOffsetWalk.safeEndRows) instead of
+    * the byte budget's O(beaconInterval) — at ingest scale prefer
+    * `maxBytesPerTrigger`; mutually exclusive with it.
+    */
+  private val maxMessagesPerTrigger: Option[Long] = {
+    val v = options.get("maxMessagesPerTrigger")
+    if (v == null || v.isEmpty) None
+    else {
+      val n = v.toLong
+      if (n <= 0) throw new IllegalArgumentException(
+        s"maxMessagesPerTrigger must be positive, got $n")
+      if (maxBytesPerTrigger.isDefined) throw new IllegalArgumentException(
+        "maxMessagesPerTrigger and maxBytesPerTrigger are mutually exclusive")
+      Some(n)
+    }
+  }
+
   /** `startingOffsets`: `earliest` (default, replay whole file) or `latest`
     * (Live mode — only frames appended after the query starts; the
     * reference's AutoStreamReset / StreamMode law, SURVEY §2.4).
@@ -426,7 +448,9 @@ class SsMicroBatchStream(path: String, options: CaseInsensitiveStringMap)
     * budget-sized batches; the Kafka `maxOffsetsPerTrigger` pattern).
     */
   override def getDefaultReadLimit: ReadLimit =
-    maxBytesPerTrigger.map(ReadLimit.maxBytes).getOrElse(ReadLimit.allAvailable())
+    maxBytesPerTrigger.map(ReadLimit.maxBytes)
+      .orElse(maxMessagesPerTrigger.map(ReadLimit.maxRows))
+      .getOrElse(ReadLimit.allAvailable())
 
   /** Frame-exact per-file ends with BOUNDED driver work: metadata
     * (`File.length`) plus a beacon-entry walk of only the tail interval
@@ -438,19 +462,35 @@ class SsMicroBatchStream(path: String, options: CaseInsensitiveStringMap)
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val prev = start.asInstanceOf[SsOffset]
-    // Budget is shared across files in listing order, so a multi-part store
-    // drains front-to-back instead of N files × budget each.
-    var budget = limit match {
-      case b: ReadMaxBytes => b.maxBytes()
-      case _ => Long.MaxValue
+    // Budget (bytes or rows) is shared across files in listing order, so a
+    // multi-part store drains front-to-back instead of N files × budget
+    // each.
+    limit match {
+      case r: ReadMaxRows =>
+        var rowBudget = r.maxRows()
+        val updated = SsDataSource.listFiles(path).map { f =>
+          val startOff = prev.files.getOrElse(f.getPath, 0L)
+          val (endRes, taken) =
+            if (rowBudget <= 0L) (SsOffsetWalk.End(startOff, 0L, 0), 0L)
+            else SsOffsetWalk.safeEndRows(f.getPath, startOff, rowBudget)
+          rowBudget -= taken
+          f.getPath -> math.max(startOff, endRes.offset)
+        }.toMap
+        SsOffset(updated)
+      case _ =>
+        var budget = limit match {
+          case b: ReadMaxBytes => b.maxBytes()
+          case _ => Long.MaxValue
+        }
+        val updated = SsDataSource.listFiles(path).map { f =>
+          val startOff = prev.files.getOrElse(f.getPath, 0L)
+          val end = if (budget <= 0L) startOff else safeEnd(f, startOff, budget)
+          budget -= math.max(0L,
+            end - math.max(startOff, SsFormat.HeaderSize.toLong))
+          f.getPath -> end
+        }.toMap
+        SsOffset(updated)
     }
-    val updated = SsDataSource.listFiles(path).map { f =>
-      val startOff = prev.files.getOrElse(f.getPath, 0L)
-      val end = if (budget <= 0L) startOff else safeEnd(f, startOff, budget)
-      budget -= math.max(0L, end - math.max(startOff, SsFormat.HeaderSize.toLong))
-      f.getPath -> end
-    }.toMap
-    SsOffset(updated)
   }
 
   override def latestOffset(): Offset =

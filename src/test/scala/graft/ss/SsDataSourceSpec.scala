@@ -115,6 +115,76 @@ class SsDataSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maxMessagesPerTrigger admits EXACTLY cap rows per micro-batch") {
+    val dir = Files.createTempDirectory("ssadmrows").toFile
+    val path = s"$dir/adm.ss"
+    val w = new SsWriter(new FileOutputStream(path), "adm.ss", 1024, 0L)
+    (0 until 500).foreach { i =>
+      w.write(SeaMessage("adm", 0, i.toLong, ts(1000L + i), s"m$i".getBytes))
+    }
+    w.close()
+
+    val q = spark.readStream.format("ss")
+      .option("maxMessagesPerTrigger", "125")
+      .load(dir.toString)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ss_adm_rows_test").start()
+    try {
+      q.processAllAvailable()
+      val seqs = spark.table("ss_adm_rows_test")
+        .select("sequence").as[Long].collect().sorted
+      assert(seqs.toSeq == (0L until 500L), "row admission lost rows")
+      // row-counted semantics are EXACT (unlike the byte budget's
+      // one-frame overshoot): 500 rows at cap 125 is four full batches —
+      // the t14–t19 operators' "~4 micro-batches" contract
+      val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0).toSeq
+      assert(sizes == Seq(125L, 125L, 125L, 125L),
+        s"expected 4 exact cap-sized batches, got ${sizes.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("maxMessagesPerTrigger shares one row budget across files") {
+    val dir = Files.createTempDirectory("ssadmmulti").toFile
+    for (p <- 0 until 2) {
+      val w = new SsWriter(
+        new FileOutputStream(s"$dir/part-$p.ss"), s"part-$p.ss", 1024, 0L)
+      (0 until 100).foreach { i =>
+        w.write(SeaMessage("adm", p, i.toLong, ts(1000L + i), s"m$i".getBytes))
+      }
+      w.close()
+    }
+    val q = spark.readStream.format("ss")
+      .option("maxMessagesPerTrigger", "80")
+      .load(dir.toString)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ss_adm_multi_test").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("ss_adm_multi_test").count() == 200L)
+      val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0).toSeq
+      // 200 rows / cap 80 → 80, 80, 40: the budget drains front-to-back
+      // across BOTH files per trigger, never N-files × budget
+      assert(sizes.forall(_ <= 80L),
+        s"a trigger exceeded the shared row budget: ${sizes.mkString(",")}")
+      assert(sizes.sum == 200L)
+    } finally q.stop()
+  }
+
+  test("maxMessagesPerTrigger and maxBytesPerTrigger are mutually exclusive") {
+    val dir = Files.createTempDirectory("ssadmboth").toFile
+    val w = new SsWriter(new FileOutputStream(s"$dir/x.ss"), "x.ss", 1024, 0L)
+    w.write(SeaMessage("adm", 0, 0L, ts(1000L), "m".getBytes)); w.close()
+    val ex = intercept[Exception] {
+      val q = spark.readStream.format("ss")
+        .option("maxMessagesPerTrigger", "10")
+        .option("maxBytesPerTrigger", "1024")
+        .load(dir.toString)
+        .writeStream.format("memory").queryName("ss_adm_both").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("maxBytesPerTrigger restart resumes from checkpoint, never behind it") {
     val dir = Files.createTempDirectory("ssadmr").toFile
     val dst = Files.createTempDirectory("ssadmr-dst").toString
