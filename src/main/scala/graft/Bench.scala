@@ -147,6 +147,19 @@ object Bench {
             analytics.Dedup.d14Append(spark, sfDir, w1Accepted))
           timed("d14_grown_query")(force(
             analytics.Dedup.d14Query(spark, sfDir, Seq("src2", "src3", "src4"))))
+        } else if (name == "d16_index_compact") {
+          // build/append are d14's already-priced shapes; the op's OWN
+          // recurring costs are the compaction rewrite — O(index bytes),
+          // no re-signing — and the recurring query over the compacted
+          // one-file-per-bucket layout
+          analytics.Dedup.d14Build(spark, sfDir)
+          val w1acc = analytics.Dedup
+            .d14Query(spark, sfDir, Seq("src0", "src1"))
+            .filter(col("novel")).select(col("doc_id")).localCheckpoint(true)
+          analytics.Dedup.d14Append(spark, sfDir, w1acc)
+          timed("d16_compact")(analytics.Dedup.d14Compact(spark, sfDir))
+          timed("d16_compacted_query")(force(
+            analytics.Dedup.d14Query(spark, sfDir, Seq("src2", "src3", "src4"))))
         } else if (name == "s13_mmr_indexed") {
           // the layout build is s7's one-time job (priced as s7_layout);
           // the recurring cost is the serving path: DPP probe + MMR

@@ -549,6 +549,26 @@ object Dedup {
     shA.unpersist()
   }
 
+  /** d14 index COMPACTION — the lifecycle pass between [[d14Append]] waves:
+    * each append lands batch-sized files inside the bucket layouts, so
+    * after N waves every bucket holds N small files and the exchange-free
+    * band join degrades into a small-files scan (N file-opens per bucket
+    * per query). Compaction rewrites each index table back to one file per
+    * bucket under the SAME (key, numBuckets) spec — O(index bytes) read +
+    * write, no re-signing, no corpus scan — and must be invisible to the
+    * recurring query: compact-then-query ≡ query (the d16 oracle reuses
+    * the upsert cascade's SQL verbatim).
+    */
+  private[graft] def d14Compact(s: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    graft.ops.Bucketing.compactBucketed(
+      s, d14Table("d14_ref_bands", dir), "bk", 8)
+    graft.ops.Bucketing.compactBucketed(
+      s, d14Table("d14_ref_shingles", dir), "ref_id", 8)
+    graft.ops.Bucketing.compactBucketed(
+      s, d14Table("d14_ref_sizes", dir), "ref_id", 8)
+  }
+
   /** d14 recurring QUERY: the arriving batch against the STORED index. The
     * batch's (batch-sized) band table drops into the SAME bucket layout, so
     * the candidate join plans with NO exchange on either side — the q22
@@ -989,6 +1009,22 @@ object Dedup {
       d14Query(s, dir, Seq("src2", "src3", "src4"))
     },
 
+    // d14's index LIFECYCLE closed: build, dedup wave one, append its
+    // survivors (the bucket layouts now hold one small file per bucket per
+    // wave), COMPACT back to one file per bucket ([[d14Compact]] —
+    // O(index) rewrite, exactly-once via write-then-swap), then run wave
+    // two against the compacted index. The oracle is d14_upsert's SQL
+    // VERBATIM: compaction must be invisible to the recurring query —
+    // same rows, same plan shape (PlanShapeSpec pins the exchange-free
+    // band join AND the one-file-per-bucket layout after the pass).
+    "d16_index_compact" -> { (s, dir) =>
+      d14Build(s, dir)
+      val wave1 = d14Query(s, dir, Seq("src0", "src1"))
+      d14Append(s, dir, wave1.filter(col("novel")))
+      d14Compact(s, dir)
+      d14Query(s, dir, Seq("src2", "src3", "src4"))
+    },
+
     // LSH S-curve measurement — "measure, don't guess" applied to the
     // dedup family itself (the d-side twin of s6's ANN recall): for EVERY
     // co-occurring pair decile of true Jaccard, the fraction the band
@@ -1260,6 +1296,8 @@ object Dedup {
     "d14_dedup_index" -> d10OracleSql,
     // append-then-query ≡ full recompute over the grown reference
     "d14_upsert" -> d14UpsertOracleSql,
+    // compaction is invisible to the recurring query: same cascade SQL
+    "d16_index_compact" -> d14UpsertOracleSql,
     // all co-occurring pair deciles (uncapped jac) left-joined to d3's
     // band-join candidate set; hit rate per true-similarity decile
     "d11_lsh_recall" -> {

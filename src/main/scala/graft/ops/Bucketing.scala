@@ -59,6 +59,75 @@ object Bucketing {
       .mode(SaveMode.Append)
       .saveAsTable(table)
 
+  /** Data files currently backing a managed bucketed table (hidden/marker
+    * files excluded) — the observability hook for compaction policy: after
+    * N [[appendBucketed]] waves each bucket holds N small files, and the
+    * exchange-free read degrades into a small-files scan.
+    */
+  def tableDataFileCount(spark: SparkSession, table: String): Int = {
+    val loc = new java.io.File(
+      java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir"))
+        .getPath + "/" + table.toLowerCase)
+    Option(loc.listFiles()).map(_.count(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    ).getOrElse(0)
+  }
+
+  /** Compact a bucketed table back to ONE file per bucket, same
+    * (key, numBuckets) spec — the lifecycle pass that keeps a
+    * [[appendBucketed]]-grown index readable at one file-open per bucket
+    * after a year of daily waves. Cost is O(index): one read + one write
+    * of the table's own bytes, no recomputation of what they hold.
+    *
+    * Exactly-once by write-then-swap, the scratch table playing the epoch
+    * marker's role (s12's ledger discipline): the rewrite first fully
+    * commits under `table__compact` — a crash before that leaves the
+    * original untouched and a rerun starts over. Only then does the
+    * catalog swap run (DROP + RENAME, both metadata-only directory moves);
+    * a crash between them leaves the committed scratch table as the
+    * recovery marker, and the entry check below finishes the swap on the
+    * next call instead of re-running the rewrite.
+    *
+    * The rewrite is EXCHANGE-FREE: forcing the bucketed scan (see
+    * [[forceBucketedScan]]) makes the read one task per bucket, so each
+    * write task holds exactly one bucket's rows → one file per bucket with
+    * no shuffle — compaction is a per-bucket file merge, not a repartition
+    * job. (A `repartition(n, key)` would NOT do this: the planner drops it
+    * as already-satisfied against the bucketed scan's partitioning, and
+    * AQE's DisableUnnecessaryBucketedScan then un-buckets the scan because
+    * the v1 write sits outside the adaptive plan — leaving mixed-bucket
+    * tasks and a file per (task, bucket) pair.)
+    */
+  def compactBucketed(
+      spark: SparkSession,
+      table: String,
+      key: String,
+      numBuckets: Int): Unit = {
+    val tmp = table + "__compact"
+    if (spark.catalog.tableExists(tmp) && !spark.catalog.tableExists(table)) {
+      // crash between DROP and RENAME: the committed scratch IS the data
+      spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+      return
+    }
+    forceBucketedScan(spark) {
+      writeBucketed(spark.table(table), tmp, key, numBuckets)
+    }
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+  }
+
+  /** Run `body` with auto-bucketed-scan disablement OFF, so a bucketed
+    * table read plans one task per bucket even when no join/agg demands
+    * the clustering — the alignment [[compactBucketed]]'s one-file-per-
+    * bucket rewrite depends on.
+    */
+  private def forceBucketedScan[T](spark: SparkSession)(body: => T): T = {
+    val k = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(k, "true")
+    spark.conf.set(k, "false")
+    try body finally spark.conf.set(k, prev)
+  }
+
   /** Join two bucketed tables on their bucket key (plan should carry no
     * hash-partition Exchange when both are bucketed the same way). The
     * merge hint pins the sort-merge strategy the bucket layout exists for —

@@ -380,6 +380,65 @@ class PlanShapeSpec extends AnyFunSuite {
     }, "the grown band join re-partitioned a bucketed input")
   }
 
+  test("d16 compaction restores one file per bucket and stays exchange-free") {
+    // the index-lifecycle law: appends accumulate one small file per bucket
+    // per wave; compaction must (a) rewrite each table back to exactly
+    // numBuckets data files, (b) change NOTHING the query sees — same rows,
+    // same exchange-free bucketed band join (the d16 oracle pins the full
+    // equality against the recomputed cascade; this law pins the layout)
+    import org.apache.spark.sql.functions.col
+    val dir = TestSession.sfDir
+    analytics.Dedup.d14Build(spark, dir)
+    val wave1 = analytics.Dedup.d14Query(spark, dir, Seq("src0", "src1"))
+    analytics.Dedup.d14Append(spark, dir, wave1.filter(col("novel")))
+    val bands = analytics.Dedup.d14Table("d14_ref_bands", dir)
+    assert(graft.ops.Bucketing.tableDataFileCount(spark, bands) > 8,
+      "fixture must start with multi-file buckets (build + one append)")
+    val beforeRows = analytics.Dedup
+      .d14Query(spark, dir, Seq("src2", "src3", "src4"))
+      .orderBy("doc_id").collect().toSeq
+    analytics.Dedup.d14Compact(spark, dir)
+    for (t <- Seq("d14_ref_bands", "d14_ref_shingles", "d14_ref_sizes")) {
+      val n = graft.ops.Bucketing.tableDataFileCount(
+        spark, analytics.Dedup.d14Table(t, dir))
+      assert(n == 8, s"$t holds $n data files after compaction, want 8")
+    }
+    val after = analytics.Dedup.d14Query(spark, dir, Seq("src2", "src3", "src4"))
+    assert(after.orderBy("doc_id").collect().toSeq == beforeRows,
+      "compaction changed the recurring query's rows")
+    val p = after.queryExecution.explainString(FormattedMode)
+    assert(!nodeBlocks(p).exists { case (n, b) =>
+      n == "Exchange" && b.contains("hashpartitioning(bk")
+    }, "the compacted band join re-partitioned a bucketed input")
+  }
+
+  test("compactBucketed swap is crash-recoverable from the scratch table") {
+    // the exactly-once discipline's recovery half: a crash between DROP
+    // and RENAME leaves only the committed scratch table; the next call
+    // must finish the swap from it instead of failing or re-rewriting
+    import spark.implicits._
+    val t = "compact_crash_spec"
+    graft.ops.Bucketing.writeBucketed(
+      (0 until 100).map(i => (i.toLong, s"v$i")).toDF("k", "v"), t, "k", 4)
+    graft.ops.Bucketing.appendBucketed(
+      (100 until 120).map(i => (i.toLong, s"v$i")).toDF("k", "v"), t, "k", 4)
+    // simulate the crash window: rewrite committed under the scratch name,
+    // original dropped, rename never ran (the forced-bucketed-scan rewrite
+    // compactBucketed itself performs)
+    val ak = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    spark.conf.set(ak, "false")
+    try graft.ops.Bucketing.writeBucketed(
+      spark.table(t), t + "__compact", "k", 4)
+    finally spark.conf.set(ak, "true")
+    spark.sql(s"DROP TABLE `$t`")
+    graft.ops.Bucketing.compactBucketed(spark, t, "k", 4)
+    assert(spark.table(t).count() == 120L)
+    assert(graft.ops.Bucketing.tableDataFileCount(spark, t) == 4)
+    assert(!spark.catalog.tableExists(t + "__compact"),
+      "recovery must consume the scratch table")
+    spark.sql(s"DROP TABLE `$t`")
+  }
+
   test("q21's salted join shuffles on (key, salt) — salt must reach the join") {
     // a broadcast here would bypass the very shuffle the salt spreads; the
     // join keys must include the salt column or the hot key still lands on
