@@ -160,6 +160,12 @@ object Bench {
           timed("d16_compact")(analytics.Dedup.d14Compact(spark, sfDir))
           timed("d16_compacted_query")(force(
             analytics.Dedup.d14Query(spark, sfDir, Seq("src2", "src3", "src4"))))
+        } else if (name == "t20_stream_index_dedup") {
+          // the index build is d14_build's already-priced one-time job; the
+          // op's OWN recurring cost is the ingest stream + batch-side finish
+          analytics.Dedup.d14Build(spark, sfDir)
+          timed("t20_stream_index_dedup")(force(
+            analytics.Transport.t20IndexDedupStream(spark, sfDir)))
         } else if (name == "s13_mmr_indexed") {
           // the layout build is s7's one-time job (priced as s7_layout);
           // the recurring cost is the serving path: DPP probe + MMR

@@ -140,6 +140,129 @@ object Transport {
        |FROM events GROUP BY event_type""".stripMargin
   }
 
+  /** t20's streaming half (the index must already exist — `Dedup.d14Build`
+    * or an append-grown layout): near-dup admission AT INGEST against the
+    * PERSISTED dedup index.
+    *
+    * Per arriving doc the 8 minhash band keys are computed STATELESSLY
+    * (t14's expression scheme — a permutation min over the raw shingle
+    * list equals the min over the distinct set), thinned by a bloom built
+    * over the STORED band keys (index-sized, no false negatives — a key
+    * the bloom rejects is definitively absent from the index), and
+    * left-joined stream-static against the bucketed band table: the static
+    * side reads its bucket layout with NO exchange (PlanShapeSpec law —
+    * only the stream side repartitions, into the bucket count). The
+    * streaming stage carries ZERO state (stateless projection + join,
+    * append mode): a doc is one message, so its collision rows are final
+    * within its own micro-batch and a clean doc emits exactly one
+    * null-candidate spine row. The Jaccard verify + best-match finish runs
+    * batch-side over the sink's collision SLIVER (bloom + band premise)
+    * against the stored shingle/size tables — and the result must equal
+    * [[Dedup.d14Query]] bit-for-bit: the oracle is d14_dedup_index's SQL
+    * verbatim (the t15–t18 streaming ≡ batch discipline).
+    */
+  private[graft] def t20IndexDedupStream(s: SparkSession, dir: String,
+      inspect: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _ => ()): DataFrame = {
+    val out = scratch(dir, "t20idx")
+    val t = Tables(s, dir)
+    val batchDocs = t.documents.filter(col("source")
+      .isin("src0", "src1", "src2", "src3", "src4"))
+    batchDocs.select(
+        col("source").as("stream_key"),
+        pmod(col("doc_id"), lit(4L)).as("shard_id"),
+        col("doc_id").as("sequence"),
+        expr("timestamp'2026-01-01 00:00:00'").as("timestamp"),
+        to_json(struct(col("doc_id"), col("source"), col("text")))
+          .cast("binary").as("payload"))
+      .write.format("ss").mode("overwrite").save(out)
+    val bandsTable = Dedup.d14Table("d14_ref_bands", dir)
+    // bloom over the STORED band keys — one aggregation over the bucket
+    // layout (index-sized, not corpus-sized); the blob rides the stream
+    // plan as a literal (t18's pattern; a cluster run would broadcast it)
+    val nBands = s.table(bandsTable).count()
+    val blob = s.table(bandsTable)
+      .agg(graft.functions.BloomFunctions
+        .bloomAgg(xxhash64(col("bk")), nBands, nBands * 8L).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    // ~4 micro-batches at any scale (the t15–t19 no-floor discipline)
+    val cap = math.max(1L, batchDocs.count() / 4)
+    val sigExprs = Dedup.MinhashParams.map { case (a, b) =>
+      s"array_min(transform(hm, h -> (${a}L * h + ${b}L) % ${Dedup.Prime}L))"
+    }.mkString(", ")
+    val enriched = s.readStream.format("ss")
+      .option("maxMessagesPerTrigger", cap.toString)
+      .load(out)
+      .select(from_json(col("payload").cast("string"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id LONG, source STRING, text STRING")).as("j"))
+      .select(col("j.doc_id").as("doc_id"), col("j.source").as("source"),
+        split(col("j.text"), " ").as("tok"))
+      // doc-local distinct (t18's rule): same (doc, s) set as
+      // Dedup.shingles' global distinct, no streaming-side state
+      .withColumn("sh", expr(
+        "CASE WHEN size(tok) >= 3 THEN " +
+          "array_distinct(transform(sequence(0, least(size(tok)-3, 1022)), " +
+          "i -> concat_ws(' ', slice(tok, i+1, 3)))) " +
+          "ELSE array() END"))
+      .withColumn("hm", expr(
+        "transform(sh, x -> cast(conv(substring(md5(cast(x AS binary)), " +
+          s"1, 15), 16, 10) AS bigint) % ${Dedup.Prime}L)"))
+      // d14's injective composite band key bk = i·Prime + mh per
+      // permutation; empty docs sign nothing (array_min of empty = null)
+      .withColumn("bks", expr(
+        s"transform(array($sigExprs), (m, i) -> cast(i AS bigint) * ${Dedup.Prime}L + m)"))
+      .withColumn("cand_bks", org.apache.spark.sql.functions.filter(
+        col("bks"), x => x.isNotNull && graft.functions.BloomFunctions
+          .mightContain(lit(blob), xxhash64(x))))
+      .select(col("doc_id"), col("source"), col("sh"),
+        size(col("sh")).as("na"),
+        explode_outer(col("cand_bks")).as("bk"))
+    val bands = s.table(bandsTable).hint("merge")
+    val joined = enriched.as("x")
+      .join(bands.as("y"), col("x.bk") === col("y.bk"), "left_outer")
+      .select(col("x.doc_id"), col("x.source"), col("x.na"),
+        // the sink carries shingle arrays ONLY on the collision sliver
+        when(col("y.ref_id").isNotNull, col("x.sh")).as("sh"),
+        col("y.ref_id"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("t20_idx_sink").start()
+    try { q.processAllAvailable(); inspect(q) } finally q.stop()
+    // batch-side finish over the hit sliver: d14Query's verify shape with
+    // the stream's per-doc shingle arrays in place of the batch shingle
+    // rows; index sides are corpus-sized — shuffled joins, never broadcast.
+    // localCheckpoint severs the finished stream's MemoryPlan out of the
+    // lineage: the sink view is read by TWO branches (spine + pairs) that
+    // re-join on doc_id, and MemoryPlan is not self-join-deduplicable the
+    // way table relations are (conflicting-reference analysis failure)
+    val sink = s.table("t20_idx_sink").localCheckpoint(true)
+    val spine = sink.select("doc_id", "source").distinct()
+    val pairs = sink.filter(col("ref_id").isNotNull)
+      .groupBy("doc_id", "ref_id")
+      .agg(first(col("sh")).as("sh"), first(col("na")).as("na"))
+    val common = pairs
+      .join(s.table(Dedup.d14Table("d14_ref_shingles", dir))
+        .hint("shuffle_hash"), "ref_id")
+      .filter(array_contains(col("sh"), col("s")))
+      .groupBy("doc_id", "ref_id", "na").agg(count(lit(1)).as("common"))
+    val dups = common
+      .join(s.table(Dedup.d14Table("d14_ref_sizes", dir))
+        .hint("shuffle_hash"), "ref_id")
+      .withColumn("jaccard",
+        col("common") * lit(1.0) / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= Dedup.JaccardThreshold)
+    // best match per doc in ONE keyed agg: lexicographic max over
+    // (jaccard, −ref_id) IS d14Query's (max jaccard, then min ref id) rule
+    val best = dups.groupBy("doc_id")
+      .agg(max(struct(col("jaccard"), (-col("ref_id")).as("nref"))).as("m"))
+      .select(col("doc_id"), (-col("m.nref")).as("match_id"),
+        round(col("m.jaccard"), 6).as("match_jaccard"))
+    spine.join(best.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        col("match_id").isNull.as("novel"),
+        col("match_id"), col("match_jaccard"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     // Batch path: ss sink (one part per task) → beacon-split ss scan.
     "t1_ss_roundtrip" -> { (s, dir) =>
@@ -769,6 +892,18 @@ object Transport {
             .cast("decimal(30,15)")).cast("double"), 6).as("shift"))
     },
 
+    // Near-dup admission AT INGEST against the PERSISTED d14 index — the
+    // production gate the d14 family builds toward (t13's stream-static
+    // pattern with the stored band table as the static side, bloom-fronted
+    // like t18): build the index once, then the arriving crawl stream
+    // dedups against it per micro-batch. See [[t20IndexDedupStream]]; the
+    // oracle IS d14_dedup_index's SQL verbatim — stream-vs-stored-index ≡
+    // the batch recompute, the t15/t16/t17/t18 discipline.
+    "t20_stream_index_dedup" -> { (s, dir) =>
+      Dedup.d14Build(s, dir)
+      t20IndexDedupStream(s, dir)
+    },
+
     // Streaming latest-per-key compaction — q24's CDC shape maintained AT
     // INGEST (the q24→t17 pair completes the batch≡streaming family with
     // s11→t15 and p20→t16): a GroupState per key holds exactly ONE row —
@@ -908,6 +1043,8 @@ object Transport {
     "t18_stream_contamination" -> Pipeline.oracles("p13_bloom_contamination"),
     // the streaming assignment round must equal c1's batch round exactly
     "t19_stream_assign" -> Similarity.oracles("c1_kmeans"),
+    // stream-vs-stored-index dedup must equal the batch recurring query
+    "t20_stream_index_dedup" -> Dedup.oracles("d14_dedup_index"),
     "t14_stream_lsh_dedup" -> {
       val constRows = Dedup.MinhashParams.zipWithIndex
         .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
