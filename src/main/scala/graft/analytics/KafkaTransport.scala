@@ -24,19 +24,22 @@ import graft.kafka.{EmbeddedKafka, KafkaSource}
   */
 object KafkaTransport {
 
-  /** k1-k4 run with SASL/PLAIN ON (the auth surface sits under the
-    * hash-compare gate, not just a spec): the embedded listener requires
-    * these credentials, the bounded paths authenticate through
-    * KafkaClient's KIP-152 handshake, and the streaming reads carry the
-    * exact option strings [[graft.facade.KafkaOptions.securityOptions]]
+  /** k1-k4 run with SASL/SCRAM-SHA-256 ON (the auth surface sits under
+    * the hash-compare gate, not just a spec): the embedded listener
+    * requires these credentials, the bounded paths run the full RFC 5802
+    * exchange through KafkaClient's KIP-152 handshake — client proof
+    * verified broker-side against the StoredKey, server signature
+    * verified client-side (mutual auth) — and the streaming reads carry
+    * the exact option strings [[graft.facade.KafkaOptions.securityOptions]]
     * emits — mechanism + JAAS line, parsed back by the wire driver.
     */
   private val SaslCreds = ("graft", "graft-secret")
+  private val Mech = graft.kafka.KafkaWire.Scram.Sha256
 
   private def saslOpts: Map[String, String] = {
     import graft.facade.KafkaOptions._
     securityOptions(SecurityProtocol.SaslPlaintext,
-      Some(SaslOptions(SaslMechanism.Plain,
+      Some(SaslOptions(SaslMechanism.ScramSha256,
         Some(SaslCreds._1), Some(SaslCreds._2))))
   }
 
@@ -55,9 +58,9 @@ object KafkaTransport {
       withServer { srv =>
         val t = Tables(s, dir)
         KafkaSource.write(Transport.envelopeOf(t), srv.host, srv.port,
-          sasl = Some(SaslCreds))
+          sasl = Some(SaslCreds), saslMechanism = Mech)
         val replay = KafkaSource.boundedRead(s, srv.host, srv.port,
-          Transport.eventTypes, sasl = Some(SaslCreds)).localCheckpoint(true)
+          Transport.eventTypes, sasl = Some(SaslCreds), saslMechanism = Mech).localCheckpoint(true)
         Transport.aggregate(replay, withDistinct = true)
       }
     },
@@ -73,10 +76,10 @@ object KafkaTransport {
             max(unix_millis(col("ts"))).as("hi")).head()
         val cutoff = (bounds.getLong(0) + bounds.getLong(1)) / 2
         KafkaSource.write(Transport.envelopeOf(t), srv.host, srv.port,
-          sasl = Some(SaslCreds))
+          sasl = Some(SaslCreds), saslMechanism = Mech)
         val sought = KafkaSource.boundedRead(s, srv.host, srv.port,
           Transport.eventTypes, afterMs = Some(cutoff),
-          sasl = Some(SaslCreds)).localCheckpoint(true)
+          sasl = Some(SaslCreds), saslMechanism = Mech).localCheckpoint(true)
         Transport.aggregate(sought, withDistinct = false)
       }
     },
@@ -95,9 +98,9 @@ object KafkaTransport {
             max(unix_millis(col("ts"))).as("hi")).head()
         val cutoff = (bounds.getLong(0) + bounds.getLong(1)) / 2
         KafkaSource.write(Transport.envelopeOf(t), srv.host, srv.port,
-          sasl = Some(SaslCreds))
+          sasl = Some(SaslCreds), saslMechanism = Mech)
         val c = new graft.kafka.KafkaClient(srv.host, srv.port,
-          sasl = Some(SaslCreds))
+          sasl = Some(SaslCreds), saslMechanism = Mech)
         try {
           c.findCoordinator("g_oracle")
           val meta = c.metadata(Transport.eventTypes)
@@ -133,7 +136,7 @@ object KafkaTransport {
         val t = Tables(s, dir)
         val cap = math.max(1000L, t.events.count() / 4)
         KafkaSource.write(Transport.envelopeOf(t), srv.host, srv.port,
-          sasl = Some(SaslCreds))
+          sasl = Some(SaslCreds), saslMechanism = Mech)
         val q = Transport.aggregate(
           s.readStream.format("kafka-wire")
             .option("host", srv.host).option("port", srv.port.toString)

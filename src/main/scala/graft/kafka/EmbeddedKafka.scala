@@ -24,11 +24,16 @@ import KafkaWire.{Api, Err, KRecord, Ts}
   * putting the whole wire path under the hash-compare gate. An embedded
   * verification backend, not a production store.
   */
-/** @param credentials when set, this listener REQUIRES SASL/PLAIN: only
-  *   ApiVersions and the KIP-152 handshake pair are served before a
-  *   successful SaslAuthenticate; any other pre-auth request closes the
-  *   channel (a real SASL listener's behavior), and a failed authenticate
-  *   replies with SaslAuthenticationFailed then closes. None = PLAINTEXT.
+/** @param credentials when set, this listener REQUIRES SASL (PLAIN,
+  *   SCRAM-SHA-256 or SCRAM-SHA-512 — the client picks via the KIP-152
+  *   handshake): only ApiVersions and the handshake/authenticate pair are
+  *   served before a successful exchange; any other pre-auth request
+  *   closes the channel (a real SASL listener's behavior), and a failed
+  *   authenticate replies with SaslAuthenticationFailed then closes.
+  *   SCRAM runs the full RFC 5802 exchange — the broker holds only the
+  *   per-connection salted-password derivation (StoredKey/ServerKey) and
+  *   verifies the client proof without ever seeing a cleartext key on the
+  *   wire. None = PLAINTEXT.
   */
 final class EmbeddedKafka(autoCreatePartitions: Int = 4,
     credentials: Option[(String, String)] = None) extends AutoCloseable {
@@ -110,6 +115,11 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4,
     val in = KafkaWire.buffered(socket.getInputStream)
     val out = KafkaWire.buffered(socket.getOutputStream)
     var authed = credentials.isEmpty
+    // per-connection SASL negotiation: the handshook mechanism, and for
+    // SCRAM the mid-exchange state (client-first-bare, server-first,
+    // salted password, full nonce) between the two authenticate rounds
+    var saslMech: String = null
+    var scramState: (String, String, Array[Byte], String) = null
     try while (!closed) {
       KafkaWire.readRequest(in) match {
         case None => return
@@ -132,10 +142,18 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4,
           var failedAuth = false
           val reply = apiKey match {
             case Api.SaslHandshake if credentials.isDefined =>
-              saslHandshakeV1(apiVersion, body)
+              val (rep, mech) = saslHandshakeV1(apiVersion, body)
+              saslMech = mech.orNull
+              scramState = null
+              rep
             case Api.SaslAuthenticate if credentials.isDefined =>
-              val (rep, ok) = saslAuthenticateV0(apiVersion, body)
-              if (ok) authed = true else failedAuth = true
+              val (rep, ok, st) =
+                saslAuthenticateV0(apiVersion, body, saslMech, scramState)
+              scramState = st
+              // SCRAM's first round answers with server-first (ok=false,
+              // state set) — only a FAILED terminal round closes
+              if (ok) authed = true
+              else if (st == null) failedAuth = true
               rep
             case Api.SaslHandshake =>
               // PLAINTEXT listener: SASL is an illegal state here —
@@ -158,32 +176,101 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4,
     } catch { case _: Throwable => () } finally socket.close()
   }
 
-  /** SaslHandshake v1: error_code + enabled mechanisms (PLAIN only). */
-  private def saslHandshakeV1(apiVersion: Int, body: Array[Byte]): Array[Byte] = {
+  private val EnabledMechanisms = "PLAIN" +: KafkaWire.Scram.Mechanisms
+
+  /** SaslHandshake v1: error_code + enabled mechanisms; returns the
+    * negotiated mechanism when accepted.
+    */
+  private def saslHandshakeV1(apiVersion: Int,
+      body: Array[Byte]): (Array[Byte], Option[String]) = {
     val mech = new KafkaWire.Reader(body).str()
     val err =
       if (apiVersion != 1) Err.UnsupportedVersion
-      else if (mech != "PLAIN") Err.UnsupportedSaslMechanism
+      else if (!EnabledMechanisms.contains(mech)) Err.UnsupportedSaslMechanism
       else Err.None
-    new KafkaWire.Writer().i16(err)
-      .array(Seq("PLAIN"))((w, m) => { w.str(m); () }).result()
+    val rep = new KafkaWire.Writer().i16(err)
+      .array(EnabledMechanisms)((w, m) => { w.str(m); () }).result()
+    (rep, if (err == Err.None) Some(mech) else None)
   }
 
-  /** SaslAuthenticate v0: error_code + error_message + auth_bytes; the
-    * PLAIN initial response is validated against the listener credentials.
+  private def saslFailure(msg: String): Array[Byte] =
+    new KafkaWire.Writer().i16(Err.SaslAuthenticationFailed)
+      .nullableStr(msg).nullableBytes(Array.emptyByteArray).result()
+
+  private def saslOk(authBytes: Array[Byte]): Array[Byte] =
+    new KafkaWire.Writer().i16(Err.None).nullableStr(null)
+      .nullableBytes(authBytes).result()
+
+  /** SaslAuthenticate v0 (error_code + error_message + auth_bytes),
+    * dispatched on the handshook mechanism. Returns (reply, authenticated,
+    * next scram state): PLAIN terminates in one round; SCRAM's first round
+    * replies server-first with state set, its second verifies the client
+    * proof against the StoredKey (never the cleartext key) and replies
+    * `v=<ServerSignature>` for the client's mutual-auth check.
     */
-  private def saslAuthenticateV0(apiVersion: Int,
-      body: Array[Byte]): (Array[Byte], Boolean) = {
-    val token = new KafkaWire.Reader(body).nullableBytes()
-    val ok = apiVersion == 0 &&
-      KafkaWire.parsePlainToken(Option(token).getOrElse(Array.emptyByteArray))
-        .contains(credentials.get)
-    val w = new KafkaWire.Writer()
-    if (ok) w.i16(Err.None).nullableStr(null)
-    else w.i16(Err.SaslAuthenticationFailed)
-      .nullableStr("Authentication failed: invalid credentials")
-    w.nullableBytes(Array.emptyByteArray)
-    (w.result(), ok)
+  private def saslAuthenticateV0(apiVersion: Int, body: Array[Byte],
+      mech: String, state: (String, String, Array[Byte], String))
+      : (Array[Byte], Boolean, (String, String, Array[Byte], String)) = {
+    val token = Option(new KafkaWire.Reader(body).nullableBytes())
+      .getOrElse(Array.emptyByteArray)
+    if (apiVersion != 0 || mech == null)
+      return (new KafkaWire.Writer().i16(Err.IllegalSaslState)
+        .nullableStr("authenticate before handshake")
+        .nullableBytes(Array.emptyByteArray).result(), false, null)
+    mech match {
+      case "PLAIN" =>
+        val ok = KafkaWire.parsePlainToken(token).contains(credentials.get)
+        if (ok) (saslOk(Array.emptyByteArray), true, null)
+        else (saslFailure("Authentication failed: invalid credentials"),
+          false, null)
+      case m =>
+        val scram = KafkaWire.Scram(m)
+        import KafkaWire.Scram.{attrs, b64, unb64, authMessage,
+          clientFinalWithoutProof, serverFirst, unescapeName}
+        val msg = new String(token, java.nio.charset.StandardCharsets.UTF_8)
+        if (state == null) {
+          // client-first: gs2 header pinned to `n,,` (no channel binding)
+          if (!msg.startsWith("n,,"))
+            return (saslFailure("channel binding not supported"), false, null)
+          val bare = msg.drop(3)
+          val a = attrs(bare)
+          val (user, cnonce) = (a.get("n").map(unescapeName), a.get("r"))
+          if (user.isEmpty || cnonce.isEmpty)
+            return (saslFailure("malformed client-first"), false, null)
+          if (!user.contains(credentials.get._1))
+            return (saslFailure("unknown user"), false, null)
+          val salt = new Array[Byte](16)
+          new java.security.SecureRandom().nextBytes(salt)
+          val nonce = cnonce.get +
+            java.util.UUID.randomUUID().toString.replace("-", "")
+          val iterations = 4096
+          val sf = serverFirst(nonce, salt, iterations)
+          val saltedPw = scram.hi(credentials.get._2, salt, iterations)
+          (saslOk(sf.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+            false, (bare, sf, saltedPw, nonce))
+        } else {
+          val (cfb, sf, saltedPw, nonce) = state
+          val a = attrs(msg)
+          val proofIdx = msg.lastIndexOf(",p=")
+          val okShape = proofIdx >= 0 && a.get("c").contains("biws") &&
+            a.get("r").contains(nonce)
+          // AuthMessage uses the client's ACTUAL final-without-proof bytes
+          // (everything before ",p="), per RFC 5802's definition
+          val auth = authMessage(cfb, sf,
+            if (proofIdx >= 0) msg.substring(0, proofIdx)
+            else clientFinalWithoutProof(nonce))
+          val ok = okShape && a.get("p").exists(p =>
+            scram.verifyClientProof(scram.storedKey(saltedPw), auth,
+              unb64(p)))
+          if (ok)
+            (saslOk(s"v=${b64(scram.serverSignature(saltedPw, auth))}"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+              true, null)
+          else
+            (saslFailure("Authentication failed: invalid SCRAM proof"),
+              false, null)
+        }
+    }
   }
 
   private def handle(apiKey: Int, apiVersion: Int,

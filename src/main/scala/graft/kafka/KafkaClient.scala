@@ -1,6 +1,7 @@
 package graft.kafka
 
 import java.net.Socket
+import java.nio.charset.StandardCharsets.UTF_8
 
 import KafkaWire.{Api, Err, KRecord}
 
@@ -70,7 +71,8 @@ object KafkaClient {
 
 final class KafkaClient(host: String, port: Int,
     clientId: String = "graft",
-    sasl: Option[(String, String)] = None) extends AutoCloseable {
+    sasl: Option[(String, String)] = None,
+    saslMechanism: String = "PLAIN") extends AutoCloseable {
 
   private val socket = new Socket(host, port)
   socket.setTcpNoDelay(true)
@@ -97,27 +99,69 @@ final class KafkaClient(host: String, port: Int,
   }
 
   // authenticate before anything else can use the channel — the KIP-152
-  // sequence: SaslHandshake v1 (mechanism negotiation), then the PLAIN
-  // initial response inside a header-framed SaslAuthenticate v0. The
-  // constructor owns it so a Session reconnect re-authenticates, exactly
-  // like the iggy/redis session handshakes.
-  sasl.foreach { case (user, pass) => authenticate(user, pass) }
+  // sequence: SaslHandshake v1 (mechanism negotiation), then the
+  // mechanism's exchange inside header-framed SaslAuthenticate round
+  // trips (one for PLAIN's initial response, two for SCRAM's
+  // first/final). The constructor owns it so a Session reconnect
+  // re-authenticates, exactly like the iggy/redis session handshakes.
+  sasl.foreach { case (user, pass) =>
+    authenticate(user, pass, saslMechanism)
+  }
 
-  private def authenticate(user: String, pass: String): Unit = {
-    val hr = call(Api.SaslHandshake)(_.str("PLAIN"))
-    val herr = hr.i16v()
-    Seq.fill(hr.arrayCount())(hr.str()) // broker's enabled mechanisms
-    if (herr != Err.None) fail(herr, "SaslHandshake(PLAIN)")
-    val ar = call(Api.SaslAuthenticate)(
-      _.nullableBytes(KafkaWire.plainToken(user, pass)))
+  /** One SaslAuthenticate round trip: token out, server's auth bytes back
+    * (or a typed failure carrying the broker's error + message).
+    */
+  private def saslRound(token: Array[Byte]): Array[Byte] = {
+    val ar = call(Api.SaslAuthenticate)(_.nullableBytes(token))
     val aerr = ar.i16v()
     val msg = ar.nullableStr()
     if (aerr != Err.None)
       throw new KafkaServerErr(aerr,
         s"SaslAuthenticate failed: kafka error $aerr" +
           (if (msg == null) "" else s" ($msg)"))
-    ar.nullableBytes() // server's final SASL bytes (empty for PLAIN)
-    ()
+    ar.nullableBytes()
+  }
+
+  private def authenticate(user: String, pass: String,
+      mechanism: String): Unit = {
+    val hr = call(Api.SaslHandshake)(_.str(mechanism))
+    val herr = hr.i16v()
+    Seq.fill(hr.arrayCount())(hr.str()) // broker's enabled mechanisms
+    if (herr != Err.None) fail(herr, s"SaslHandshake($mechanism)")
+    mechanism match {
+      case "PLAIN" =>
+        saslRound(KafkaWire.plainToken(user, pass)) // final bytes empty
+        ()
+      case m if KafkaWire.Scram.Mechanisms.contains(m) =>
+        val scram = KafkaWire.Scram(m)
+        import KafkaWire.Scram.{attrs, b64, unb64, authMessage,
+          clientFirstBare, clientFinalWithoutProof}
+        val cnonce = java.util.UUID.randomUUID().toString.replace("-", "")
+        val cfb = clientFirstBare(user, cnonce)
+        val sf = new String(saslRound(("n,," + cfb).getBytes(UTF_8)), UTF_8)
+        val a = attrs(sf)
+        val nonce = a("r")
+        // the server must EXTEND our nonce (replay defense, RFC 5802 §5)
+        if (!nonce.startsWith(cnonce) || nonce == cnonce)
+          throw new KafkaServerErr(Err.SaslAuthenticationFailed,
+            "SCRAM server-first nonce does not extend the client nonce")
+        val saltedPw = scram.hi(pass, unb64(a("s")), a("i").toInt)
+        val cfwp = clientFinalWithoutProof(nonce)
+        val auth = authMessage(cfb, sf, cfwp)
+        val proof = scram.clientProof(saltedPw, auth)
+        val sfin = new String(
+          saslRound(s"$cfwp,p=${b64(proof)}".getBytes(UTF_8)), UTF_8)
+        // MUTUAL auth: a broker that doesn't hold the salted password
+        // cannot forge v — reject the channel instead of trusting it
+        val ok = attrs(sfin).get("v").exists(v =>
+          java.security.MessageDigest.isEqual(
+            unb64(v), scram.serverSignature(saltedPw, auth)))
+        if (!ok)
+          throw new KafkaServerErr(Err.SaslAuthenticationFailed,
+            "SCRAM server signature mismatch — mutual authentication failed")
+      case m => throw new IllegalArgumentException(
+        s"unsupported SASL mechanism: $m")
+    }
   }
 
   /** ApiVersions v0 → api_key -> (min, max). The bootstrap check: a broker

@@ -58,8 +58,10 @@ object KafkaSource {
   private def planRanges(host: String, port: Int, topics: Seq[String],
       afterMs: Option[Long], fromOffset: Option[Long],
       assign: Option[Seq[(String, Long)]],
-      sasl: Option[(String, String)]): Seq[(String, Int, Long, Long)] = {
-    val c = new KafkaClient(host, port, sasl = sasl)
+      sasl: Option[(String, String)],
+      saslMechanism: String): Seq[(String, Int, Long, Long)] = {
+    val c = new KafkaClient(host, port, sasl = sasl,
+      saslMechanism = saslMechanism)
     try {
       val meta = c.metadata(topics)
       topics.flatMap { t =>
@@ -93,17 +95,19 @@ object KafkaSource {
       fromOffset: Option[Long] = None,
       maxFetchBytes: Int = 1 << 20,
       assign: Option[Seq[(String, Long)]] = None,
-      sasl: Option[(String, String)] = None): DataFrame = {
+      sasl: Option[(String, String)] = None,
+      saslMechanism: String = "PLAIN"): DataFrame = {
     import spark.implicits._
     val ranges = planRanges(host, port, topics, afterMs, fromOffset, assign,
-      sasl)
+      sasl, saslMechanism)
     spark.sparkContext.parallelize(ranges, math.max(1, ranges.size))
       .mapPartitions { it =>
         val opened = graft.core.TaskResources
           .closeOnTaskCompletion[KafkaClient.Session]()
         it.flatMap { case (topic, partition, from, until) =>
           val session = new KafkaClient.Session(
-            () => new KafkaClient(host, port, sasl = sasl))
+            () => new KafkaClient(host, port, sasl = sasl,
+              saslMechanism = saslMechanism))
           opened += session
           val scan = pagedFetch(session, topic, partition, from, until,
             maxFetchBytes)
@@ -128,7 +132,8 @@ object KafkaSource {
     */
   def write(df: DataFrame, host: String, port: Int, partitions: Int = 4,
       batchSize: Int = 1000,
-      sasl: Option[(String, String)] = None): Unit = {
+      sasl: Option[(String, String)] = None,
+      saslMechanism: String = "PLAIN"): Unit = {
     import df.sparkSession.implicits._
     import org.apache.spark.sql.functions.{col, lit, pmod}
     df.select("stream_key", "shard_id", "timestamp", "payload")
@@ -144,7 +149,8 @@ object KafkaSource {
           // without idempotent producers) — exactly-once sits in the
           // engine's epoch ledger (ops.ExactlyOnce), not here
           val session = new KafkaClient.Session(
-            () => new KafkaClient(host, port, sasl = sasl))
+            () => new KafkaClient(host, port, sasl = sasl,
+              saslMechanism = saslMechanism))
           val known = scala.collection.mutable.Set.empty[String]
           try {
             rows.grouped(batchSize).foreach { chunk =>

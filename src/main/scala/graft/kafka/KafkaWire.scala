@@ -124,6 +124,109 @@ object KafkaWire {
       new String(parts(1), java.nio.charset.StandardCharsets.UTF_8)))
   }
 
+  /** SASL/SCRAM (RFC 5802, SHA-256 per RFC 7677) — BOTH halves of the
+    * exchange as pure JDK crypto (PBKDF2 / HMAC / message digest), carried
+    * over Kafka's KIP-152 header-framed SaslAuthenticate round trips:
+    *
+    *   client-first  `n,,n=<user>,r=<cnonce>`
+    *   server-first  `r=<cnonce+snonce>,s=<b64 salt>,i=<iterations>`
+    *   client-final  `c=biws,r=<nonce>,p=<b64 ClientProof>`
+    *   server-final  `v=<b64 ServerSignature>` (mutual auth — the client
+    *                 MUST verify, a fake broker cannot forge it without
+    *                 the salted password)
+    *
+    * The gs2 header is pinned to `n,,` (no channel binding — Kafka's
+    * SCRAM, which never uses it), so the channel-binding attribute in
+    * client-final is the constant `biws` = base64("n,,").
+    */
+  final class Scram(val mechanism: String) {
+    private val (kdf, mac, digest, bits) = mechanism match {
+      case "SCRAM-SHA-256" =>
+        ("PBKDF2WithHmacSHA256", "HmacSHA256", "SHA-256", 256)
+      case "SCRAM-SHA-512" =>
+        ("PBKDF2WithHmacSHA512", "HmacSHA512", "SHA-512", 512)
+      case m => throw new IllegalArgumentException(s"not a SCRAM mechanism: $m")
+    }
+
+    /** Hi(password, salt, i) — PBKDF2 with the mechanism's HMAC. */
+    def hi(password: String, salt: Array[Byte], iterations: Int): Array[Byte] =
+      javax.crypto.SecretKeyFactory.getInstance(kdf)
+        .generateSecret(new javax.crypto.spec.PBEKeySpec(
+          password.toCharArray, salt, iterations, bits)).getEncoded
+
+    def hmac(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+      val m = javax.crypto.Mac.getInstance(mac)
+      m.init(new javax.crypto.spec.SecretKeySpec(key, mac))
+      m.doFinal(data)
+    }
+
+    def h(b: Array[Byte]): Array[Byte] =
+      java.security.MessageDigest.getInstance(digest).digest(b)
+
+    def clientKey(saltedPw: Array[Byte]): Array[Byte] =
+      hmac(saltedPw, "Client Key".getBytes(UTF_8))
+    def storedKey(saltedPw: Array[Byte]): Array[Byte] = h(clientKey(saltedPw))
+    def serverKey(saltedPw: Array[Byte]): Array[Byte] =
+      hmac(saltedPw, "Server Key".getBytes(UTF_8))
+
+    def xor(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      require(a.length == b.length, "xor operand length mismatch")
+      a.indices.map(i => (a(i) ^ b(i)).toByte).toArray
+    }
+
+    def clientProof(saltedPw: Array[Byte], authMessage: String): Array[Byte] =
+      xor(clientKey(saltedPw),
+        hmac(storedKey(saltedPw), authMessage.getBytes(UTF_8)))
+
+    /** Server-side proof check from the STORED key only (a real broker
+      * never holds the cleartext client key): recover
+      * ClientKey = proof XOR HMAC(StoredKey, AuthMessage) and require
+      * H(ClientKey) == StoredKey. Constant-time compare.
+      */
+    def verifyClientProof(storedK: Array[Byte], authMessage: String,
+        proof: Array[Byte]): Boolean = {
+      if (proof.length != storedK.length) return false
+      val recovered = xor(proof, hmac(storedK, authMessage.getBytes(UTF_8)))
+      java.security.MessageDigest.isEqual(h(recovered), storedK)
+    }
+
+    def serverSignature(saltedPw: Array[Byte], authMessage: String): Array[Byte] =
+      hmac(serverKey(saltedPw), authMessage.getBytes(UTF_8))
+  }
+
+  object Scram {
+    val Sha256 = "SCRAM-SHA-256"
+    val Sha512 = "SCRAM-SHA-512"
+    val Mechanisms: Seq[String] = Seq(Sha256, Sha512)
+    def apply(mechanism: String): Scram = new Scram(mechanism)
+
+    def b64(b: Array[Byte]): String =
+      java.util.Base64.getEncoder.encodeToString(b)
+    def unb64(s: String): Array[Byte] = java.util.Base64.getDecoder.decode(s)
+
+    /** saslname escaping (RFC 5802 §5.1): '=' → "=3D", ',' → "=2C". */
+    def escapeName(n: String): String =
+      n.replace("=", "=3D").replace(",", "=2C")
+    def unescapeName(n: String): String =
+      n.replace("=2C", ",").replace("=3D", "=")
+
+    def clientFirstBare(user: String, cnonce: String): String =
+      s"n=${escapeName(user)},r=$cnonce"
+    def serverFirst(nonce: String, salt: Array[Byte], iterations: Int): String =
+      s"r=$nonce,s=${b64(salt)},i=$iterations"
+    def clientFinalWithoutProof(nonce: String): String = s"c=biws,r=$nonce"
+    def authMessage(clientFirstBare: String, serverFirst: String,
+        clientFinalWithoutProof: String): String =
+      s"$clientFirstBare,$serverFirst,$clientFinalWithoutProof"
+
+    /** `k=v,k=v` attribute list → map (values may contain '='; only the
+      * first is the separator, per the RFC's one-letter attribute names).
+      */
+    def attrs(msg: String): Map[String, String] =
+      msg.split(",").filter(_.length >= 2)
+        .map(kv => kv.substring(0, 1) -> kv.substring(2)).toMap
+  }
+
   /** One record as (offset, timestamp-ms, key, value); key may be null. */
   final case class KRecord(offset: Long, tsMs: Long,
       key: Array[Byte], value: Array[Byte])

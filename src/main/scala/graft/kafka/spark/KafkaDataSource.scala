@@ -98,7 +98,8 @@ object KafkaOffsetV2 {
 final case class KafkaInputPartition(
     host: String, port: Int, topic: String, partition: Int,
     from: Long, until: Long, maxFetchBytes: Int,
-    sasl: Option[(String, String)] = None)
+    sasl: Option[(String, String)] = None,
+    saslMechanism: String = "PLAIN")
   extends InputPartition
 
 class KafkaMicroBatchStream(options: CaseInsensitiveStringMap)
@@ -112,19 +113,23 @@ class KafkaMicroBatchStream(options: CaseInsensitiveStringMap)
     .split(',').map(_.trim).filter(_.nonEmpty).toSeq
   private val maxFetchBytes = options.getInt("maxFetchBytes", 1 << 20)
 
-  /** SASL/PLAIN credentials off KafkaOptions.securityOptions' surface:
+  /** SASL credentials off KafkaOptions.securityOptions' surface:
     * `kafka.sasl.mechanism` + the JAAS config line's username/password.
-    * The wire driver speaks PLAIN only — other mechanisms fail loudly at
-    * planning instead of silently connecting unauthenticated.
+    * The wire driver speaks PLAIN and SCRAM-SHA-256/512 (the full RFC
+    * 5802 exchange) — other mechanisms fail loudly at planning instead of
+    * silently connecting unauthenticated.
     */
+  private val saslMechanism: String =
+    Option(options.get("kafka.sasl.mechanism")).getOrElse("PLAIN")
   private val sasl: Option[(String, String)] = {
     val mech = Option(options.get("kafka.sasl.mechanism"))
     val jaas = Option(options.get("kafka.sasl.jaas.config"))
     (mech, jaas) match {
       case (None, None) => None
       case (Some(m), Some(j)) =>
-        require(m == "PLAIN",
-          s"kafka-wire driver supports SASL PLAIN only, got $m")
+        require(m == "PLAIN" || graft.kafka.KafkaWire.Scram.Mechanisms
+          .contains(m),
+          s"kafka-wire driver supports PLAIN/SCRAM-SHA-256/512 only, got $m")
         val user = "username=\"([^\"]*)\"".r.findFirstMatchIn(j)
         val pass = "password=\"([^\"]*)\"".r.findFirstMatchIn(j)
         require(user.isDefined && pass.isDefined,
@@ -188,7 +193,8 @@ class KafkaMicroBatchStream(options: CaseInsensitiveStringMap)
 
   /** Driver-side planning calls ride one short-lived connection. */
   private def withClient[T](f: KafkaClient => T): T = {
-    val c = new KafkaClient(host, port, sasl = sasl)
+    val c = new KafkaClient(host, port, sasl = sasl,
+      saslMechanism = saslMechanism)
     try f(c) finally c.close()
   }
 
@@ -277,7 +283,7 @@ class KafkaMicroBatchStream(options: CaseInsensitiveStringMap)
       val until = e.getOrElse((t, p), from)
       if (until <= from) None
       else Some(KafkaInputPartition(host, port, t, p, from, until,
-        maxFetchBytes, sasl))
+        maxFetchBytes, sasl, saslMechanism))
     }.toArray
   }
 
@@ -306,7 +312,8 @@ class KafkaPartitionReader(p: KafkaInputPartition)
     extends PartitionReader[InternalRow] {
 
   private val session = new KafkaClient.Session(
-    () => new KafkaClient(p.host, p.port, sasl = p.sasl))
+    () => new KafkaClient(p.host, p.port, sasl = p.sasl,
+      saslMechanism = p.saslMechanism))
   private val scan = graft.kafka.KafkaSource.pagedFetch(
     session, p.topic, p.partition, p.from, p.until, p.maxFetchBytes)
   private var current: SeaMessage = _

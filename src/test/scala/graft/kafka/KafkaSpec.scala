@@ -46,6 +46,63 @@ class KafkaSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("SASL SCRAM-SHA-256/512: full RFC 5802 exchange, bad credentials " +
+      "fail typed, wrong mechanism rejected at handshake") {
+    val srv = new EmbeddedKafka(credentials = Some(("alice", "s3cret")))
+    try {
+      for (mech <- KafkaWire.Scram.Mechanisms) {
+        // good: client-first/server-first/client-final/server-final with
+        // proof verified broker-side and the server signature verified
+        // client-side (mutual auth) — then the channel serves data APIs
+        val c = new KafkaClient(srv.host, srv.port,
+          sasl = Some(("alice", "s3cret")), saslMechanism = mech)
+        try assert(c.metadata(Seq("t"))("t") == Seq(0, 1, 2, 3),
+          s"$mech channel did not open") finally c.close()
+        // bad password: the PROOF fails (the password never crosses the
+        // wire — unlike PLAIN there is no token to compare, only crypto)
+        val e = intercept[RuntimeException] {
+          new KafkaClient(srv.host, srv.port,
+            sasl = Some(("alice", "wrong")), saslMechanism = mech)
+        }
+        assert(e.getMessage.contains(
+          s"kafka error ${KafkaWire.Err.SaslAuthenticationFailed}"),
+          s"$mech unexpected failure: ${e.getMessage}")
+      }
+      // unknown mechanism: UnsupportedSaslMechanism (33) at the handshake
+      val e2 = intercept[RuntimeException] {
+        new KafkaClient(srv.host, srv.port,
+          sasl = Some(("alice", "s3cret")), saslMechanism = "SCRAM-SHA-1")
+      }
+      assert(e2.getMessage.contains("SCRAM-SHA-1") ||
+        e2.getMessage.contains("not a SCRAM mechanism"),
+        s"unexpected failure: ${e2.getMessage}")
+    } finally srv.close()
+  }
+
+  test("SCRAM crypto laws: proof verifies, tampered proof and forged " +
+      "server signature do not") {
+    val scram = KafkaWire.Scram(KafkaWire.Scram.Sha256)
+    val salt = Array.tabulate[Byte](16)(_.toByte)
+    val sp = scram.hi("s3cret", salt, 4096)
+    val cfb = KafkaWire.Scram.clientFirstBare("alice", "cnonce1")
+    val sf = KafkaWire.Scram.serverFirst("cnonce1snonce2", salt, 4096)
+    val auth = KafkaWire.Scram.authMessage(cfb, sf,
+      KafkaWire.Scram.clientFinalWithoutProof("cnonce1snonce2"))
+    val proof = scram.clientProof(sp, auth)
+    assert(scram.verifyClientProof(scram.storedKey(sp), auth, proof))
+    // any flipped bit in the proof must fail the StoredKey check
+    val bad = proof.clone(); bad(0) = (bad(0) ^ 1).toByte
+    assert(!scram.verifyClientProof(scram.storedKey(sp), auth, bad))
+    // a different password derives a different server signature — the
+    // client's mutual-auth check would reject a forging broker
+    val spWrong = scram.hi("wrong", salt, 4096)
+    assert(!java.util.Arrays.equals(
+      scram.serverSignature(sp, auth), scram.serverSignature(spWrong, auth)))
+    // saslname escaping round-trips the RFC's two special characters
+    assert(KafkaWire.Scram.unescapeName(
+      KafkaWire.Scram.escapeName("a=b,c")) == "a=b,c")
+  }
+
   test("SASL PLAIN round-trips the produce/fetch path end-to-end") {
     val srv = new EmbeddedKafka(credentials = Some(("u", "p")))
     try {
