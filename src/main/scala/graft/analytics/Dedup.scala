@@ -194,20 +194,31 @@ object Dedup {
     }
     val memoKey =
       (shRaw.queryExecution.analyzed.canonicalized, inputFilesHash(shRaw))
-    val sh = sessionMemo.computeIfAbsent(memoKey, _ => {
-      // df-cap: drop stop-shingles BEFORE the self-join (see ShingleDfCap).
-      // The df table is vocabulary-sized — unbounded, so the semi-join is
-      // shuffle-hinted like every other corpus-scale side.
-      val keep = shRaw.groupBy("s").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= ShingleDfCap)
-        .select("s")
-      shRaw.join(keep.hint("shuffle_hash"), Seq("s"), "left_semi")
-    })
+    val sh = sessionMemo.computeIfAbsent(memoKey,
+      _ => cappedShingles(shRaw, ShingleDfCap))
     if (sh.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the per-doc sizes table is corpus-sized — locally tiny, unbounded at
-    // scale, so the attach joins are shuffle-hinted (AQE would otherwise
-    // broadcast it and hide the shape that matters at 100 TB)
+    jaccardFromCapped(sh)
+  }
+
+  /** The df-capped shingle set at cap `cap` — drop stop-shingles BEFORE
+    * the self-join (see [[ShingleDfCap]]). The df table is
+    * vocabulary-sized — unbounded, so the semi-join is shuffle-hinted like
+    * every other corpus-scale side.
+    */
+  private def cappedShingles(shRaw: DataFrame, cap: Long): DataFrame = {
+    val keep = shRaw.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap)
+      .select("s")
+    shRaw.join(keep.hint("shuffle_hash"), Seq("s"), "left_semi")
+  }
+
+  /** [[jaccardPairs]]' tail over an already-capped (and persisted) shingle
+    * set. The per-doc sizes table is corpus-sized — locally tiny,
+    * unbounded at scale, so the attach joins are shuffle-hinted (AQE would
+    * otherwise broadcast it and hide the shape that matters at 100 TB).
+    */
+  private def jaccardFromCapped(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = sh.as("a")
       .join(sh.as("b").hint("shuffle_hash"),
@@ -222,6 +233,54 @@ object Dedup {
       .withColumn("jaccard",
         col("common") * lit(1.0) / (col("na") + col("nb") - col("common")))
   }
+
+  /** [[jaccardPairs]] with the df-cap knob surfaced (no memo — each cap is
+    * its own run): cap = [[ShingleDfCap]] IS the oracle-mirrored default.
+    * The knob receipt for the d2/d13 family: banding (r) bounds d10's
+    * collision stream, the df-cap bounds the shingle self-join's — a
+    * shingle at df k contributes k² pair rows on ONE shuffle key, so
+    * halving the cap bounds the worst key's quadratic toll at the cost of
+    * ignoring mid-frequency shingles in the Jaccard/containment estimate.
+    */
+  private[graft] def jaccardPairsWith(shRaw: DataFrame,
+      cap: Long): DataFrame = {
+    val sh = cappedShingles(shRaw, cap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    jaccardFromCapped(sh)
+  }
+
+  /** d13's output projection over a jaccard-pair table: both directions of
+    * the containment unpivot, thresholded, with the sym_dup flag.
+    */
+  private def d13Project(pairs: DataFrame): DataFrame =
+    pairs
+      .select(explode(array(
+        struct(col("doc_a").as("doc_inner"), col("doc_b").as("doc_outer"),
+          (col("common") / col("na")).as("containment"), col("jaccard")),
+        struct(col("doc_b").as("doc_inner"), col("doc_a").as("doc_outer"),
+          (col("common") / col("nb")).as("containment"), col("jaccard"))))
+        .as("e"))
+      .select(col("e.*"))
+      .filter(col("containment") >= ContainmentThreshold)
+      .select(col("doc_inner"), col("doc_outer"),
+        round(col("containment"), 6).as("containment"),
+        round(col("jaccard"), 6).as("jaccard"),
+        (col("jaccard") >= JaccardThreshold).as("sym_dup"))
+
+  /** d13 with the df-cap knob surfaced — cap = [[ShingleDfCap]] IS
+    * d13_containment (DedupSpec pins the equality). The DfCapProbe
+    * harness prices this knob at sf10 the way BandingProbe priced d10's r.
+    */
+  private[graft] def d13With(s: org.apache.spark.sql.SparkSession,
+      dir: String, cap: Long): DataFrame =
+    d13Project(jaccardPairsWith(shingles(Tables(s, dir).documents), cap))
+
+  /** The co-occurring-pair stream size at cap — the collision receipt for
+    * BENCH_SF1's df-cap subsection (measured, not asserted).
+    */
+  private[graft] def d13PairCount(s: org.apache.spark.sql.SparkSession,
+      dir: String, cap: Long): Long =
+    jaccardPairsWith(shingles(Tables(s, dir).documents), cap).count()
 
   /** Materialize AND fully sever `df`: localCheckpoint truncates the RDD
     * lineage but copies the PRODUCING plan's size estimate onto the
@@ -865,20 +924,7 @@ object Dedup {
     // flag marking which pairs plain d2 would also have caught. 100 TB
     // shape: identical to d2 (the join IS d2's), plus an output-sized map.
     "d13_containment" -> { (s, dir) =>
-      val pairs = jaccardPairs(shingles(Tables(s, dir).documents))
-      pairs
-        .select(explode(array(
-          struct(col("doc_a").as("doc_inner"), col("doc_b").as("doc_outer"),
-            (col("common") / col("na")).as("containment"), col("jaccard")),
-          struct(col("doc_b").as("doc_inner"), col("doc_a").as("doc_outer"),
-            (col("common") / col("nb")).as("containment"), col("jaccard"))))
-          .as("e"))
-        .select(col("e.*"))
-        .filter(col("containment") >= ContainmentThreshold)
-        .select(col("doc_inner"), col("doc_outer"),
-          round(col("containment"), 6).as("containment"),
-          round(col("jaccard"), 6).as("jaccard"),
-          (col("jaccard") >= JaccardThreshold).as("sym_dup"))
+      d13Project(jaccardPairs(shingles(Tables(s, dir).documents)))
     },
 
     // MinHash (8 perms) + LSH band join (band size 1) → candidates →

@@ -56,6 +56,26 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.jaccardPairs(Dedup.shingles(docs)).count() == 3)
   }
 
+  test("df-cap knob: cap=ShingleDfCap equals d13_containment; a tighter " +
+      "cap shrinks the pair stream on the real corpus") {
+    // the d10With(r=1)≡d3 discipline applied to the df-cap family: the
+    // parameterized path at the oracle-mirrored default must BE the d13
+    // query, and halving the cap must not grow the co-occurring pair
+    // stream (the collision workload DfCapProbe prices at sf10)
+    val dir = graft.TestSession.sfDir
+    val k = Seq("doc_inner", "doc_outer", "containment", "jaccard", "sym_dup")
+    val a = Dedup.d13With(spark, dir, Dedup.ShingleDfCap)
+      .orderBy(k.head, k.tail: _*).collect().map(_.toSeq).toSeq
+    val b = graft.SparkEntry.queries("d13_containment")(spark, dir)
+      .orderBy(k.head, k.tail: _*).collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty && a == b,
+      "d13With at the default cap diverged from d13_containment")
+    val pairsDefault = Dedup.d13PairCount(spark, dir, Dedup.ShingleDfCap)
+    val pairsTight = Dedup.d13PairCount(spark, dir, Dedup.ShingleDfCap / 2)
+    assert(pairsTight <= pairsDefault,
+      s"tighter cap grew the pair stream: $pairsTight > $pairsDefault")
+  }
+
   test("connectedComponents converges in O(log n) rounds on a 200-doc chain") {
     import spark.implicits._
     // worst-case diameter: 0-1-2-...-199. Plain min-label propagation needs
