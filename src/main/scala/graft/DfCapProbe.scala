@@ -25,12 +25,17 @@ object DfCapProbe {
     spark.read.parquet(s"$sfDir/documents.parquet").count()
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    def run(cap: Long) = {
+    def run(cap: Long): Set[(Long, Long)] = {
       val t0 = System.nanoTime()
       val out = analytics.Dedup.d13With(spark, sfDir, cap)
         .localCheckpoint(true)
       val dt = (System.nanoTime() - t0) / 1e9
       val rows = out.count()
+      // the output PAIR-KEY set, collected before the cache release frees
+      // the checkpoint blocks (output-sized — 52k rows at sf10, a probe-
+      // only driver action)
+      val keys = out.select(col("doc_inner"), col("doc_outer")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
       GraftSession.releaseCaches(spark)
       System.gc()
       // the collision receipt, separately (re-derives the pair stage only —
@@ -42,15 +47,12 @@ object DfCapProbe {
       System.gc()
       println(f"[dfcap] sf=$sfDir cap=$cap runtime=$dt%.2f s " +
         f"pairs=$nPairs pairStageOnly=$pairDt%.2f s outRows=$rows")
-      out
+      keys
     }
-    val outA = run(capA)
-    val outB = run(capB)
-    val key = Seq("doc_inner", "doc_outer").map(col)
-    val lostAtB = outA.select(key: _*).except(outB.select(key: _*)).count()
-    val gainedAtB = outB.select(key: _*).except(outA.select(key: _*)).count()
-    println(s"[dfcap] capA=$capA capB=$capB lostAtB=$lostAtB " +
-      s"gainedAtB=$gainedAtB")
+    val keysA = run(capA)
+    val keysB = run(capB)
+    println(s"[dfcap] capA=$capA capB=$capB " +
+      s"lostAtB=${(keysA -- keysB).size} gainedAtB=${(keysB -- keysA).size}")
     spark.stop()
   }
 }
