@@ -893,13 +893,20 @@ object Dedup {
           "transform(sequence(0, least(size(tok)-8, 1022)), " +
             "i -> concat_ws(' ', slice(tok, i+1, 8)))")).as("s"))
         .distinct()
+      // the window vocabulary and the window self-join are corpus×corpus
+      // on WIDE keys (8-gram strings run ~3× a 3-gram's bytes): sort-merge
+      // (spillable) instead of shuffle-hash — at sf10 the hash build of a
+      // 32nd of the window table no longer fits an executor's share, the
+      // exact failure a 1000-executor run would hit (measured: the
+      // shuffle_hash variant dies with "not enough memory to build hash
+      // map" at sf10; d2's narrower 3-gram joins clear the same bar)
       val keep = g.groupBy("s").agg(count(lit(1)).as("c"))
         .filter(col("c") <= SubstringDfCap).select("s")
-      val kept = g.join(keep.hint("shuffle_hash"), Seq("s"), "left_semi")
+      val kept = g.join(keep.hint("merge"), Seq("s"), "left_semi")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = kept.as("a")
-        .join(kept.as("b").hint("shuffle_hash"),
+        .join(kept.as("b").hint("merge"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("n_shared_windows"))

@@ -155,11 +155,17 @@ object Transport {
     * streaming stage carries ZERO state (stateless projection + join,
     * append mode): a doc is one message, so its collision rows are final
     * within its own micro-batch and a clean doc emits exactly one
-    * null-candidate spine row. The Jaccard verify + best-match finish runs
-    * batch-side over the sink's collision SLIVER (bloom + band premise)
-    * against the stored shingle/size tables — and the result must equal
-    * [[Dedup.d14Query]] bit-for-bit: the oracle is d14_dedup_index's SQL
-    * verbatim (the t15–t18 streaming ≡ batch discipline).
+    * null-candidate spine row — and every sink row is the bounded-width
+    * triple (doc_id, source, ref_id), never payload-derived data (the
+    * sf10 lesson: shipping shingle arrays through the sink is a driver-
+    * heap bomb). The Jaccard verify + best-match finish runs batch-side:
+    * the collision docs' shingle rows are RE-READ from the log restricted
+    * to the sliver (the bytes are at rest; an object-store re-read of the
+    * hit sliver is what a production admission gate does), then joined
+    * against the stored shingle/size tables in exactly [[Dedup.d14Query]]'s
+    * verify shape — and the result must equal d14Query bit-for-bit: the
+    * oracle is d14_dedup_index's SQL verbatim (the t15–t18 streaming ≡
+    * batch discipline).
     */
   private[graft] def t20IndexDedupStream(s: SparkSession, dir: String,
       inspect: org.apache.spark.sql.streaming.StreamingQuery => Unit =
@@ -215,37 +221,55 @@ object Transport {
       .withColumn("cand_bks", org.apache.spark.sql.functions.filter(
         col("bks"), x => x.isNotNull && graft.functions.BloomFunctions
           .mightContain(lit(blob), xxhash64(x))))
-      .select(col("doc_id"), col("source"), col("sh"),
-        size(col("sh")).as("na"),
+      .select(col("doc_id"), col("source"),
         explode_outer(col("cand_bks")).as("bk"))
     val bands = s.table(bandsTable).hint("merge")
+    // the sink carries ONLY (doc_id, source, ref_id) — bounded-width rows
+    // at any scale (a first cut shipped each collision row's shingle
+    // ARRAY to the sink and died on driver heap at sf10; the verify stage
+    // re-reads the sliver docs' payloads from the log instead — the bytes
+    // are already at rest, and an object-store re-read of the hit sliver
+    // is exactly what a production admission gate does)
     val joined = enriched.as("x")
       .join(bands.as("y"), col("x.bk") === col("y.bk"), "left_outer")
-      .select(col("x.doc_id"), col("x.source"), col("x.na"),
-        // the sink carries shingle arrays ONLY on the collision sliver
-        when(col("y.ref_id").isNotNull, col("x.sh")).as("sh"),
-        col("y.ref_id"))
+      .select(col("x.doc_id"), col("x.source"), col("y.ref_id"))
     val q = joined.writeStream.outputMode("append")
       .format("memory").queryName("t20_idx_sink").start()
     try { q.processAllAvailable(); inspect(q) } finally q.stop()
-    // batch-side finish over the hit sliver: d14Query's verify shape with
-    // the stream's per-doc shingle arrays in place of the batch shingle
-    // rows; index sides are corpus-sized — shuffled joins, never broadcast.
-    // localCheckpoint severs the finished stream's MemoryPlan out of the
-    // lineage: the sink view is read by TWO branches (spine + pairs) that
-    // re-join on doc_id, and MemoryPlan is not self-join-deduplicable the
-    // way table relations are (conflicting-reference analysis failure)
+    // batch-side finish over the hit sliver: EXACTLY d14Query's verify
+    // shape, with the batch side's shingle rows re-read from the ss log
+    // restricted to the collision docs (shuffled semi-join — the sliver
+    // is batch-fraction-sized but corpus-unbounded). localCheckpoint
+    // severs the finished stream's MemoryPlan out of the lineage: the
+    // sink view is read by TWO branches (spine + pairs) that re-join on
+    // doc_id, and MemoryPlan is not self-join-deduplicable the way table
+    // relations are (conflicting-reference analysis failure)
     val sink = s.table("t20_idx_sink").localCheckpoint(true)
     val spine = sink.select("doc_id", "source").distinct()
     val pairs = sink.filter(col("ref_id").isNotNull)
-      .groupBy("doc_id", "ref_id")
-      .agg(first(col("sh")).as("sh"), first(col("na")).as("na"))
+      .select("doc_id", "ref_id").distinct()
+    val candDocs = pairs.select("doc_id").distinct()
+    // the sliver docs' distinct shingle rows, straight from the log bytes
+    val shC = s.read.format("ss").load(out)
+      .select(from_json(col("payload").cast("string"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id LONG, source STRING, text STRING")).as("j"))
+      .select(col("j.doc_id").as("doc_id"),
+        split(col("j.text"), " ").as("tok"))
+      .filter(size(col("tok")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, least(size(tok)-3, 1022)), " +
+          "i -> concat_ws(' ', slice(tok, i+1, 3)))"))).as("s"))
+      .join(candDocs.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizesC = shC.groupBy("doc_id").agg(count(lit(1)).as("na"))
     val common = pairs
+      .join(shC.hint("shuffle_hash"), "doc_id")
       .join(s.table(Dedup.d14Table("d14_ref_shingles", dir))
-        .hint("shuffle_hash"), "ref_id")
-      .filter(array_contains(col("sh"), col("s")))
-      .groupBy("doc_id", "ref_id", "na").agg(count(lit(1)).as("common"))
+        .hint("shuffle_hash"), Seq("ref_id", "s"))
+      .groupBy("doc_id", "ref_id").agg(count(lit(1)).as("common"))
     val dups = common
+      .join(sizesC.hint("shuffle_hash"), "doc_id")
       .join(s.table(Dedup.d14Table("d14_ref_sizes", dir))
         .hint("shuffle_hash"), "ref_id")
       .withColumn("jaccard",

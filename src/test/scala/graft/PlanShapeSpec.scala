@@ -99,6 +99,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastHashJoin"), "corpus-sized side broadcast in d15")
     assert(!p.contains("CartesianProduct"))
     assert("\\bWindow\\b".r.findAllIn(p).isEmpty, "d15 must not window")
+    // the corpus×corpus window joins must be SORT-MERGE (spillable): a
+    // shuffled-hash build of a wide-key window-table partition dies at
+    // sf10 ("not enough memory to build hash map" — the measured round-12
+    // failure), and at 1000 executors the same bar applies
+    assert(nodeBlocks(p).exists { case (n, b) =>
+      n == "SortMergeJoin" && b.contains("s#")
+    }, "the window self-join lost its spillable sort-merge shape")
   }
 
   test("LSH candidate generation never plans a cartesian product") {
