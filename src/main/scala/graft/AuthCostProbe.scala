@@ -20,32 +20,43 @@ object AuthCostProbe {
     val creds = ("u", "p")
 
     def cycles(srv: kafka.EmbeddedKafka, sasl: Option[(String, String)],
-        mech: String, n: Int): Double = {
+        mech: String, n: Int,
+        tls: Option[kafka.KafkaTls.Client] = None): Double = {
       val t0 = System.nanoTime()
       (0 until n).foreach { _ =>
         val c = new kafka.KafkaClient(srv.host, srv.port, sasl = sasl,
-          saslMechanism = mech)
+          saslMechanism = mech, tls = tls)
         c.apiVersions()
         c.close()
       }
       (System.nanoTime() - t0) / 1e6 / n
     }
 
+    val (tlsServer, tlsClient) = kafka.KafkaTls.ephemeral
     val authSrv = new kafka.EmbeddedKafka(credentials = Some(creds))
     val openSrv = new kafka.EmbeddedKafka()
+    val sslSrv = new kafka.EmbeddedKafka(credentials = Some(creds),
+      tls = Some(tlsServer))
     try {
       // JIT + socket warmup on every path before any timed pass
       cycles(openSrv, None, "PLAIN", 30)
       cycles(authSrv, Some(creds), "PLAIN", 30)
       cycles(authSrv, Some(creds), "SCRAM-SHA-256", 30)
+      cycles(sslSrv, Some(creds), "SCRAM-SHA-256", 30, Some(tlsClient))
       val none = cycles(openSrv, None, "PLAIN", 200)
       val plain = cycles(authSrv, Some(creds), "PLAIN", 200)
       val scram = cycles(authSrv, Some(creds), "SCRAM-SHA-256", 200)
+      // SASL_SSL: a fresh TLS 1.3 handshake (EC key exchange, no session
+      // resumption — every short-lived task connection is a cold client)
+      // wrapping the same SCRAM exchange
+      val saslSsl = cycles(sslSrv, Some(creds), "SCRAM-SHA-256", 200,
+        Some(tlsClient))
       println(f"[authcost] kafka per-connection ms (connect+auth+" +
         f"ApiVersions): none=$none%.3f plain=$plain%.3f " +
-        f"scram256=$scram%.3f  (plain adds ${plain - none}%.3f, " +
-        f"scram adds ${scram - none}%.3f)")
-    } finally { authSrv.close(); openSrv.close() }
+        f"scram256=$scram%.3f sasl_ssl_scram256=$saslSsl%.3f  " +
+        f"(plain adds ${plain - none}%.3f, scram adds ${scram - none}%.3f, " +
+        f"tls adds ${saslSsl - scram}%.3f)")
+    } finally { authSrv.close(); openSrv.close(); sslSrv.close() }
 
     // iggy decode attribution: encode one polled message once, decode it
     // N times (fresh Reader per decode, as the client does per message)

@@ -24,27 +24,35 @@ import graft.kafka.{EmbeddedKafka, KafkaSource}
   */
 object KafkaTransport {
 
-  /** k1-k4 run with SASL/SCRAM-SHA-256 ON (the auth surface sits under
-    * the hash-compare gate, not just a spec): the embedded listener
-    * requires these credentials, the bounded paths run the full RFC 5802
-    * exchange through KafkaClient's KIP-152 handshake — client proof
-    * verified broker-side against the StoredKey, server signature
-    * verified client-side (mutual auth) — and the streaming reads carry
-    * the exact option strings [[graft.facade.KafkaOptions.securityOptions]]
-    * emits — mechanism + JAAS line, parsed back by the wire driver.
+  /** k1-k4 run over SASL_SSL — SCRAM-SHA-256 inside a TLS channel (the
+    * full `security.protocol` stack sits under the hash-compare gate, not
+    * just a spec): the embedded listener speaks TLS from an ephemeral
+    * keytool-generated keystore AND requires these credentials; every
+    * connection handshakes TLS (trust from the paired truststore,
+    * endpoint identification on), then runs the RFC 5802 exchange through
+    * KafkaClient's KIP-152 handshake — client proof verified broker-side
+    * against the StoredKey, server signature verified client-side (mutual
+    * auth). The streaming reads carry the exact option strings
+    * [[graft.facade.KafkaOptions.securityOptions]] emits — protocol +
+    * truststore pair + mechanism + JAAS line, parsed back by the wire
+    * driver. (On a real cluster the truststore file ships to executors
+    * via `--files`; local[32] shares the filesystem.)
     */
   private val SaslCreds = ("graft", "graft-secret")
   private val Mech = graft.kafka.KafkaWire.Scram.Sha256
+  private lazy val (tlsServer, tlsClient) = graft.kafka.KafkaTls.ephemeral
 
   private def saslOpts: Map[String, String] = {
     import graft.facade.KafkaOptions._
-    securityOptions(SecurityProtocol.SaslPlaintext,
+    securityOptions(SecurityProtocol.SaslSsl,
       Some(SaslOptions(SaslMechanism.ScramSha256,
-        Some(SaslCreds._1), Some(SaslCreds._2))))
+        Some(SaslCreds._1), Some(SaslCreds._2))),
+      Some(SslOptions(tlsClient.truststore, Some(tlsClient.password))))
   }
 
   private def withServer[T](f: EmbeddedKafka => T): T = {
-    val srv = new EmbeddedKafka(credentials = Some(SaslCreds))
+    val srv = new EmbeddedKafka(credentials = Some(SaslCreds),
+      tls = Some(tlsServer))
     try f(srv) finally srv.close()
   }
 
@@ -58,9 +66,9 @@ object KafkaTransport {
       withServer { srv =>
         val t = Tables(s, dir)
         KafkaSource.write(Transport.envelopeOf(t), srv.host, srv.port,
-          sasl = Some(SaslCreds), saslMechanism = Mech)
+          sasl = Some(SaslCreds), saslMechanism = Mech, tls = Some(tlsClient))
         val replay = KafkaSource.boundedRead(s, srv.host, srv.port,
-          Transport.eventTypes, sasl = Some(SaslCreds), saslMechanism = Mech).localCheckpoint(true)
+          Transport.eventTypes, sasl = Some(SaslCreds), saslMechanism = Mech, tls = Some(tlsClient)).localCheckpoint(true)
         Transport.aggregate(replay, withDistinct = true)
       }
     },
@@ -76,10 +84,10 @@ object KafkaTransport {
             max(unix_millis(col("ts"))).as("hi")).head()
         val cutoff = (bounds.getLong(0) + bounds.getLong(1)) / 2
         KafkaSource.write(Transport.envelopeOf(t), srv.host, srv.port,
-          sasl = Some(SaslCreds), saslMechanism = Mech)
+          sasl = Some(SaslCreds), saslMechanism = Mech, tls = Some(tlsClient))
         val sought = KafkaSource.boundedRead(s, srv.host, srv.port,
           Transport.eventTypes, afterMs = Some(cutoff),
-          sasl = Some(SaslCreds), saslMechanism = Mech).localCheckpoint(true)
+          sasl = Some(SaslCreds), saslMechanism = Mech, tls = Some(tlsClient)).localCheckpoint(true)
         Transport.aggregate(sought, withDistinct = false)
       }
     },
@@ -98,9 +106,9 @@ object KafkaTransport {
             max(unix_millis(col("ts"))).as("hi")).head()
         val cutoff = (bounds.getLong(0) + bounds.getLong(1)) / 2
         KafkaSource.write(Transport.envelopeOf(t), srv.host, srv.port,
-          sasl = Some(SaslCreds), saslMechanism = Mech)
+          sasl = Some(SaslCreds), saslMechanism = Mech, tls = Some(tlsClient))
         val c = new graft.kafka.KafkaClient(srv.host, srv.port,
-          sasl = Some(SaslCreds), saslMechanism = Mech)
+          sasl = Some(SaslCreds), saslMechanism = Mech, tls = Some(tlsClient))
         try {
           c.findCoordinator("g_oracle")
           val meta = c.metadata(Transport.eventTypes)
@@ -136,7 +144,7 @@ object KafkaTransport {
         val t = Tables(s, dir)
         val cap = math.max(1000L, t.events.count() / 4)
         KafkaSource.write(Transport.envelopeOf(t), srv.host, srv.port,
-          sasl = Some(SaslCreds), saslMechanism = Mech)
+          sasl = Some(SaslCreds), saslMechanism = Mech, tls = Some(tlsClient))
         val q = Transport.aggregate(
           s.readStream.format("kafka-wire")
             .option("host", srv.host).option("port", srv.port.toString)

@@ -29,12 +29,25 @@ object KafkaOptions {
       username: Option[String] = None,
       password: Option[String] = None)
 
+  /** TLS trust material for SSL / SASL_SSL — the client-side half of the
+    * `security.protocol` surface (librdkafka's `ssl.ca.location` class of
+    * configs, mapped to the Java client's truststore pair).
+    */
+  final case class SslOptions(
+      truststoreLocation: String,
+      truststorePassword: Option[String] = None)
+
   /** Spark reader/writer options for a secured cluster. */
   def securityOptions(
       protocol: SecurityProtocol,
       sasl: Option[SaslOptions] = None,
+      ssl: Option[SslOptions] = None,
       custom: Map[String, String] = Map.empty): Map[String, String] = {
     val base = Map("kafka.security.protocol" -> protocol.value)
+    val sslOpts = ssl.toSeq.flatMap { s =>
+      Seq("kafka.ssl.truststore.location" -> s.truststoreLocation) ++
+        s.truststorePassword.map("kafka.ssl.truststore.password" -> _)
+    }
     val saslOpts = sasl.toSeq.flatMap { s =>
       // login module must match the mechanism (PlainLoginModule only speaks
       // PLAIN); GSSAPI/OAUTHBEARER need external configs, no inline JAAS
@@ -56,6 +69,6 @@ object KafkaOptions {
     val customOpts = custom.map { case (k, v) =>
       (if (k.startsWith("kafka.")) k else s"kafka.$k") -> v
     }
-    base ++ saslOpts ++ customOpts
+    base ++ saslOpts ++ sslOpts ++ customOpts
   }
 }

@@ -34,12 +34,23 @@ import KafkaWire.{Api, Err, KRecord, Ts}
   *   per-connection salted-password derivation (StoredKey/ServerKey) and
   *   verifies the client proof without ever seeing a cleartext key on the
   *   wire. None = PLAINTEXT.
+  * @param tls when set, the listener speaks TLS from the configured PKCS12
+  *   keystore ([[KafkaTls]]): combined with `credentials` this is
+  *   SASL_SSL, alone it is SSL — the four `security.protocol` modes of
+  *   the reference's option surface (streamer.rs:52-66). The SASL frames
+  *   are byte-identical inside the channel; nothing below the socket
+  *   layer changes.
   */
 final class EmbeddedKafka(autoCreatePartitions: Int = 4,
-    credentials: Option[(String, String)] = None) extends AutoCloseable {
+    credentials: Option[(String, String)] = None,
+    tls: Option[KafkaTls.Server] = None) extends AutoCloseable {
   require(autoCreatePartitions > 0, "autoCreatePartitions must be positive")
 
-  private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
+  private val server: ServerSocket = tls match {
+    case Some(t) =>
+      KafkaTls.serverSocket(t, 16, InetAddress.getLoopbackAddress)
+    case None => new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
+  }
   val port: Int = server.getLocalPort
   val host: String = "127.0.0.1"
   /** node_id this single-broker cluster advertises in Metadata. */
@@ -112,6 +123,10 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4,
   acceptor.start()
 
   private def serve(socket: java.net.Socket): Unit = {
+    // on a TLS listener the handshake runs on first IO from THIS socket:
+    // NODELAY must be on before that, or every handshake flight eats a
+    // Nagle/delayed-ACK stall (~40 ms measured)
+    socket.setTcpNoDelay(true)
     val in = KafkaWire.buffered(socket.getInputStream)
     val out = KafkaWire.buffered(socket.getOutputStream)
     var authed = credentials.isEmpty

@@ -72,10 +72,24 @@ object KafkaClient {
 final class KafkaClient(host: String, port: Int,
     clientId: String = "graft",
     sasl: Option[(String, String)] = None,
-    saslMechanism: String = "PLAIN") extends AutoCloseable {
+    saslMechanism: String = "PLAIN",
+    tls: Option[KafkaTls.Client] = None) extends AutoCloseable {
 
-  private val socket = new Socket(host, port)
+  // security.protocol decomposed: TLS wraps the socket (handshake eager —
+  // trust/endpoint failures surface here), SASL then runs INSIDE the
+  // channel unchanged — SSL / SASL_SSL / SASL_PLAINTEXT / PLAINTEXT are
+  // the four (tls, sasl) combinations (streamer.rs:52-66)
+  private val socket: Socket = tls match {
+    case Some(t) => KafkaTls.clientSocket(t, host, port)
+    case None => new Socket(host, port)
+  }
   socket.setTcpNoDelay(true)
+
+  /** Negotiated TLS protocol (e.g. "TLSv1.3"), None on plaintext. */
+  def tlsProtocol: Option[String] = socket match {
+    case s: javax.net.ssl.SSLSocket => Some(s.getSession.getProtocol)
+    case _ => None
+  }
   private val in = KafkaWire.buffered(socket.getInputStream)
   private val out = KafkaWire.buffered(socket.getOutputStream)
   private var correlation = 0

@@ -59,9 +59,10 @@ object KafkaSource {
       afterMs: Option[Long], fromOffset: Option[Long],
       assign: Option[Seq[(String, Long)]],
       sasl: Option[(String, String)],
-      saslMechanism: String): Seq[(String, Int, Long, Long)] = {
+      saslMechanism: String,
+      tls: Option[KafkaTls.Client]): Seq[(String, Int, Long, Long)] = {
     val c = new KafkaClient(host, port, sasl = sasl,
-      saslMechanism = saslMechanism)
+      saslMechanism = saslMechanism, tls = tls)
     try {
       val meta = c.metadata(topics)
       topics.flatMap { t =>
@@ -96,10 +97,11 @@ object KafkaSource {
       maxFetchBytes: Int = 1 << 20,
       assign: Option[Seq[(String, Long)]] = None,
       sasl: Option[(String, String)] = None,
-      saslMechanism: String = "PLAIN"): DataFrame = {
+      saslMechanism: String = "PLAIN",
+      tls: Option[KafkaTls.Client] = None): DataFrame = {
     import spark.implicits._
     val ranges = planRanges(host, port, topics, afterMs, fromOffset, assign,
-      sasl, saslMechanism)
+      sasl, saslMechanism, tls)
     spark.sparkContext.parallelize(ranges, math.max(1, ranges.size))
       .mapPartitions { it =>
         val opened = graft.core.TaskResources
@@ -107,7 +109,7 @@ object KafkaSource {
         it.flatMap { case (topic, partition, from, until) =>
           val session = new KafkaClient.Session(
             () => new KafkaClient(host, port, sasl = sasl,
-              saslMechanism = saslMechanism))
+              saslMechanism = saslMechanism, tls = tls))
           opened += session
           val scan = pagedFetch(session, topic, partition, from, until,
             maxFetchBytes)
@@ -133,7 +135,8 @@ object KafkaSource {
   def write(df: DataFrame, host: String, port: Int, partitions: Int = 4,
       batchSize: Int = 1000,
       sasl: Option[(String, String)] = None,
-      saslMechanism: String = "PLAIN"): Unit = {
+      saslMechanism: String = "PLAIN",
+      tls: Option[KafkaTls.Client] = None): Unit = {
     import df.sparkSession.implicits._
     import org.apache.spark.sql.functions.{col, lit, pmod}
     df.select("stream_key", "shard_id", "timestamp", "payload")
@@ -150,7 +153,7 @@ object KafkaSource {
           // engine's epoch ledger (ops.ExactlyOnce), not here
           val session = new KafkaClient.Session(
             () => new KafkaClient(host, port, sasl = sasl,
-              saslMechanism = saslMechanism))
+              saslMechanism = saslMechanism, tls = tls))
           val known = scala.collection.mutable.Set.empty[String]
           try {
             rows.grouped(batchSize).foreach { chunk =>

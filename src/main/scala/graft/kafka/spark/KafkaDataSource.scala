@@ -99,7 +99,8 @@ final case class KafkaInputPartition(
     host: String, port: Int, topic: String, partition: Int,
     from: Long, until: Long, maxFetchBytes: Int,
     sasl: Option[(String, String)] = None,
-    saslMechanism: String = "PLAIN")
+    saslMechanism: String = "PLAIN",
+    tls: Option[graft.kafka.KafkaTls.Client] = None)
   extends InputPartition
 
 class KafkaMicroBatchStream(options: CaseInsensitiveStringMap)
@@ -138,6 +139,26 @@ class KafkaMicroBatchStream(options: CaseInsensitiveStringMap)
       case _ => throw new IllegalArgumentException(
         "SASL needs both kafka.sasl.mechanism and kafka.sasl.jaas.config")
     }
+  }
+  /** `security.protocol` SSL / SASL_SSL turns the TLS socket layer on;
+    * the truststore options mirror the Kafka client's
+    * `ssl.truststore.location`/`password`. SASL_SSL additionally requires
+    * the JAAS credentials above — the mechanisms are orthogonal layers
+    * (TLS wraps the socket, SASL runs inside it).
+    */
+  private val tls: Option[graft.kafka.KafkaTls.Client] = {
+    val proto = Option(options.get("kafka.security.protocol"))
+      .map(_.toUpperCase).getOrElse(
+        if (sasl.isDefined) "SASL_PLAINTEXT" else "PLAINTEXT")
+    if (proto == "SSL" || proto == "SASL_SSL") {
+      require(proto != "SASL_SSL" || sasl.isDefined,
+        "SASL_SSL requires kafka.sasl.mechanism + kafka.sasl.jaas.config")
+      val loc = Option(options.get("kafka.ssl.truststore.location"))
+        .getOrElse(throw new IllegalArgumentException(
+          s"$proto requires kafka.ssl.truststore.location"))
+      Some(graft.kafka.KafkaTls.Client(loc,
+        Option(options.get("kafka.ssl.truststore.password")).getOrElse("")))
+    } else None
   }
   private val latest = options.getOrDefault("startingOffsets", "earliest")
     .equalsIgnoreCase("latest")
@@ -194,7 +215,7 @@ class KafkaMicroBatchStream(options: CaseInsensitiveStringMap)
   /** Driver-side planning calls ride one short-lived connection. */
   private def withClient[T](f: KafkaClient => T): T = {
     val c = new KafkaClient(host, port, sasl = sasl,
-      saslMechanism = saslMechanism)
+      saslMechanism = saslMechanism, tls = tls)
     try f(c) finally c.close()
   }
 
@@ -283,7 +304,7 @@ class KafkaMicroBatchStream(options: CaseInsensitiveStringMap)
       val until = e.getOrElse((t, p), from)
       if (until <= from) None
       else Some(KafkaInputPartition(host, port, t, p, from, until,
-        maxFetchBytes, sasl, saslMechanism))
+        maxFetchBytes, sasl, saslMechanism, tls))
     }.toArray
   }
 
@@ -313,7 +334,7 @@ class KafkaPartitionReader(p: KafkaInputPartition)
 
   private val session = new KafkaClient.Session(
     () => new KafkaClient(p.host, p.port, sasl = p.sasl,
-      saslMechanism = p.saslMechanism))
+      saslMechanism = p.saslMechanism, tls = p.tls))
   private val scan = graft.kafka.KafkaSource.pagedFetch(
     session, p.topic, p.partition, p.from, p.until, p.maxFetchBytes)
   private var current: SeaMessage = _

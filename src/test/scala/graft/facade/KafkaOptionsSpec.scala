@@ -58,13 +58,26 @@ class KafkaOptionsSpec extends AnyFunSuite {
   }
 
   test("custom options pass through verbatim, kafka.-prefixed once") {
-    val opts = securityOptions(SecurityProtocol.Ssl, None, Map(
+    val opts = securityOptions(SecurityProtocol.Ssl, None, None, Map(
       "ssl.truststore.location" -> "/etc/kafka/trust.jks",
       "kafka.ssl.keystore.password" -> "kp"))
     assert(opts == Map(
       "kafka.security.protocol" -> "SSL",
       "kafka.ssl.truststore.location" -> "/etc/kafka/trust.jks",
       "kafka.ssl.keystore.password" -> "kp"))
+  }
+
+  test("SSL + SslOptions: truststore pair lands as the Java client keys") {
+    assert(securityOptions(SecurityProtocol.Ssl,
+      ssl = Some(SslOptions("/etc/kafka/trust.p12", Some("tp")))) == Map(
+      "kafka.security.protocol" -> "SSL",
+      "kafka.ssl.truststore.location" -> "/etc/kafka/trust.p12",
+      "kafka.ssl.truststore.password" -> "tp"))
+    // password optional (a PEM-style CA bundle has none)
+    assert(securityOptions(SecurityProtocol.SaslSsl,
+      Some(SaslOptions(SaslMechanism.ScramSha256, Some("u"), Some("p"))),
+      Some(SslOptions("/t.p12"))).get("kafka.ssl.truststore.location")
+      .contains("/t.p12"))
   }
 
   test("builtin reader map: live subscribe with reset and security merged") {

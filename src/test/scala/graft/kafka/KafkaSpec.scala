@@ -46,6 +46,74 @@ class KafkaSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("SSL: TLS listener round-trips produce/fetch with a trusting " +
+      "client; plaintext and untrusting clients never reach the protocol") {
+    val (server, trust) = KafkaTls.ephemeral
+    val srv = new EmbeddedKafka(tls = Some(server))
+    try {
+      // trusting client: eager handshake in the constructor, then the
+      // whole wire protocol runs inside the channel unchanged
+      val c = new KafkaClient(srv.host, srv.port, tls = Some(trust))
+      try {
+        assert(c.tlsProtocol.exists(_.startsWith("TLSv1")),
+          s"not a TLS channel: ${c.tlsProtocol}")
+        val base = c.produce("t", 0, Seq((1000L, null, "x".getBytes)))
+        assert(base == 0L)
+        val (hw, recs) = c.fetch("t", 0, 0L)
+        assert(hw == 1L && recs.map(r => new String(r.value)) == Seq("x"))
+      } finally c.close()
+      // plaintext client: its first frame is not a TLS hello — the
+      // listener answers with a TLS alert / close, which the plaintext
+      // client can only see as a dead channel (IOException) or a
+      // garbage frame (the alert bytes fail frame validation) — never a
+      // parseable kafka reply it could mistake for success
+      val failure = intercept[Exception] {
+        val c2 = new KafkaClient(srv.host, srv.port)
+        try c2.apiVersions() finally c2.close()
+      }
+      assert(failure.isInstanceOf[java.io.IOException] ||
+        failure.isInstanceOf[IllegalArgumentException],
+        s"unexpected: $failure")
+      // untrusting client: a DIFFERENT trust root (fresh generated pair)
+      // must fail the handshake at construction — certificate trust is
+      // the configured truststore's, never the JVM default CAs
+      val (_, wrongTrust) = KafkaTls.generate()
+      intercept[javax.net.ssl.SSLHandshakeException] {
+        new KafkaClient(srv.host, srv.port, tls = Some(wrongTrust))
+      }
+    } finally srv.close()
+  }
+
+  test("SASL_SSL: the KIP-152 SCRAM exchange runs unchanged inside the " +
+      "TLS channel; bad credentials still fail typed over TLS") {
+    val (server, trust) = KafkaTls.ephemeral
+    val srv = new EmbeddedKafka(credentials = Some(("alice", "s3cret")),
+      tls = Some(server))
+    try {
+      val c = new KafkaClient(srv.host, srv.port,
+        sasl = Some(("alice", "s3cret")),
+        saslMechanism = KafkaWire.Scram.Sha512, tls = Some(trust))
+      try {
+        assert(c.tlsProtocol.exists(_.startsWith("TLSv1")))
+        assert(c.metadata(Seq("t"))("t") == Seq(0, 1, 2, 3))
+      } finally c.close()
+      val e = intercept[RuntimeException] {
+        new KafkaClient(srv.host, srv.port, sasl = Some(("alice", "nope")),
+          saslMechanism = KafkaWire.Scram.Sha512, tls = Some(trust))
+      }
+      assert(e.getMessage.contains(
+        s"kafka error ${KafkaWire.Err.SaslAuthenticationFailed}"),
+        s"unexpected failure: ${e.getMessage}")
+      // TLS alone is not authentication: an unauthenticated-but-trusting
+      // client bootstraps ApiVersions and is cut on its first data request
+      val c3 = new KafkaClient(srv.host, srv.port, tls = Some(trust))
+      try {
+        assert(c3.apiVersions().nonEmpty)
+        intercept[java.io.IOException] { c3.metadata(Seq("t")) }
+      } finally c3.close()
+    } finally srv.close()
+  }
+
   test("SASL SCRAM-SHA-256/512: full RFC 5802 exchange, bad credentials " +
       "fail typed, wrong mechanism rejected at handshake") {
     val srv = new EmbeddedKafka(credentials = Some(("alice", "s3cret")))
