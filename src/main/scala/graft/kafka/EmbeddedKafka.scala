@@ -191,7 +191,15 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4,
     } catch { case _: Throwable => () } finally socket.close()
   }
 
-  private val EnabledMechanisms = "PLAIN" +: KafkaWire.Scram.Mechanisms
+  private val EnabledMechanisms =
+    "PLAIN" +: KafkaWire.Scram.Mechanisms :+ "OAUTHBEARER"
+
+  /** Sentinel mid-exchange state for OAUTHBEARER's failure flow: the
+    * error challenge was sent, the next client round (the RFC's dummy
+    * 0x01 response) must terminate with error 58.
+    */
+  private val OAuthFailPending: (String, String, Array[Byte], String) =
+    ("OAUTHBEARER", "", Array.emptyByteArray, "")
 
   /** SaslHandshake v1: error_code + enabled mechanisms; returns the
     * negotiated mechanism when accepted.
@@ -238,6 +246,25 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4,
         if (ok) (saslOk(Array.emptyByteArray), true, null)
         else (saslFailure("Authentication failed: invalid credentials"),
           false, null)
+      case "OAUTHBEARER" =>
+        // unsecured-bearer validation (KIP-255's non-production default):
+        // frame shape, alg=none JWS, principal == the configured user,
+        // token not expired. Failure follows the RFC's two-step: error
+        // challenge as a SUCCESSFUL round, then error 58 on the client's
+        // dummy response.
+        if (state eq OAuthFailPending)
+          return (saslFailure("Authentication failed: invalid_token"),
+            false, null)
+        val nowSec = System.currentTimeMillis() / 1000L
+        val principal = for {
+          tok <- KafkaWire.OAuth.parseInitialResponse(token)
+          (sub, exp) <- KafkaWire.OAuth.parseUnsecured(tok)
+          if exp > nowSec
+        } yield sub
+        if (principal.contains(credentials.get._1))
+          (saslOk(Array.emptyByteArray), true, null)
+        else
+          (saslOk(KafkaWire.OAuth.ErrorChallenge), false, OAuthFailPending)
       case m =>
         val scram = KafkaWire.Scram(m)
         import KafkaWire.Scram.{attrs, b64, unb64, authMessage,

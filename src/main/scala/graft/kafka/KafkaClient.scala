@@ -173,6 +173,24 @@ final class KafkaClient(host: String, port: Int,
         if (!ok)
           throw new KafkaServerErr(Err.SaslAuthenticationFailed,
             "SCRAM server signature mismatch — mutual authentication failed")
+      case "OAUTHBEARER" =>
+        // RFC 7628 over KIP-152: the unsecured bearer flow (KIP-255's
+        // non-production default) — `user` is the token principal, the
+        // password plays no part. An ok reply carries empty auth bytes;
+        // an error CHALLENGE (JSON) arrives as a *successful* round whose
+        // auth bytes are non-empty — the client must answer the dummy
+        // 0x01 response, and the next round fails typed (error 58)
+        val token = KafkaWire.OAuth.unsecuredJwt(user,
+          System.currentTimeMillis() / 1000L, lifetimeSec = 3600L)
+        val reply = saslRound(KafkaWire.OAuth.initialResponse(token))
+        if (reply != null && reply.nonEmpty) {
+          saslRound(KafkaWire.OAuth.DummyResponse)
+          // a server that answers the dummy response with success is
+          // violating the RFC's failure flow — refuse the channel
+          throw new KafkaServerErr(Err.SaslAuthenticationFailed,
+            "OAUTHBEARER error challenge followed by acceptance: " +
+              new String(reply, UTF_8))
+        }
       case m => throw new IllegalArgumentException(
         s"unsupported SASL mechanism: $m")
     }

@@ -124,6 +124,77 @@ object KafkaWire {
       new String(parts(1), java.nio.charset.StandardCharsets.UTF_8)))
   }
 
+  /** SASL/OAUTHBEARER (RFC 7628) with the UNSECURED bearer tokens Kafka
+    * ships for non-production use (KIP-255's default unsecured JWS:
+    * `{"alg":"none"}` header, principal + lifetime claims, empty
+    * signature) — the token flow a real deployment replaces with an
+    * OIDC provider while keeping these exact wire frames:
+    *
+    *   client-initial  `n,,` SP* 0x01 `auth=Bearer <token>` 0x01 0x01
+    *   server-ok       empty auth bytes
+    *   server-error    a JSON challenge (`{"status":"invalid_token"}`);
+    *                   the client answers one 0x01 byte (the RFC's dummy
+    *                   response) and the NEXT round fails with error 58
+    */
+  object OAuth {
+    private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
+    def b64url(b: Array[Byte]): String =
+      java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(b)
+    def unb64url(s: String): Array[Byte] =
+      java.util.Base64.getUrlDecoder.decode(s)
+
+    /** Unsecured JWS (alg=none, empty signature) carrying the principal
+      * and an `[iat, exp]` second-resolution lifetime.
+      */
+    def unsecuredJwt(principal: String, nowSec: Long,
+        lifetimeSec: Long): String =
+      b64url("""{"alg":"none"}""".getBytes(Utf8)) + "." +
+        b64url((s"""{"sub":"$principal","iat":$nowSec,""" +
+          s""""exp":${nowSec + lifetimeSec}}""").getBytes(Utf8)) + "."
+
+    /** RFC 7628 §3.1 initial client response (gs2 header pinned `n,,`,
+      * no authzid — same deployment shape as [[plainToken]]).
+      */
+    def initialResponse(token: String): Array[Byte] =
+      ("n,,\u0001auth=Bearer " + token + "\u0001\u0001").getBytes(Utf8)
+
+    /** Extract the bearer token out of an initial response; None when
+      * the frame shape is wrong.
+      */
+    def parseInitialResponse(bytes: Array[Byte]): Option[String] = {
+      val s = new String(bytes, Utf8)
+      if (!s.startsWith("n,,\u0001") || !s.endsWith("\u0001\u0001"))
+        return None
+      val kv = s.stripPrefix("n,,\u0001").stripSuffix("\u0001\u0001")
+      if (kv.startsWith("auth=Bearer ")) Some(kv.stripPrefix("auth=Bearer "))
+      else None
+    }
+
+    /** Parse an unsecured JWS → (principal, expSec): the header must be
+      * alg=none (a SIGNED token is refused by the unsecured validator —
+      * Kafka's behavior), claims must carry sub + exp.
+      */
+    def parseUnsecured(token: String): Option[(String, Long)] = try {
+      val parts = token.split("\\.", -1)
+      if (parts.length != 3 || parts(2).nonEmpty) return None
+      val header = new String(unb64url(parts(0)), Utf8)
+      if (!"\"alg\"\\s*:\\s*\"none\"".r.findFirstIn(header).isDefined)
+        return None
+      val claims = new String(unb64url(parts(1)), Utf8)
+      for {
+        sub <- "\"sub\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(claims)
+          .map(_.group(1))
+        exp <- "\"exp\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(claims)
+          .map(_.group(1).toLong)
+      } yield (sub, exp)
+    } catch { case _: IllegalArgumentException => None } // malformed b64url
+
+    /** The server-side error challenge + the client's dummy reply. */
+    val ErrorChallenge: Array[Byte] =
+      """{"status":"invalid_token"}""".getBytes(Utf8)
+    val DummyResponse: Array[Byte] = Array[Byte](0x01)
+  }
+
   /** SASL/SCRAM (RFC 5802, SHA-256 per RFC 7677) — BOTH halves of the
     * exchange as pure JDK crypto (PBKDF2 / HMAC / message digest), carried
     * over Kafka's KIP-152 header-framed SaslAuthenticate round trips:

@@ -147,6 +147,81 @@ class KafkaSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("SASL OAUTHBEARER: unsecured bearer flow authenticates the right " +
+      "principal; wrong principal walks the RFC 7628 failure rounds") {
+    val srv = new EmbeddedKafka(credentials = Some(("svc-etl", "unused")))
+    try {
+      // right principal: one round, empty server auth bytes, channel open
+      val c = new KafkaClient(srv.host, srv.port,
+        sasl = Some(("svc-etl", "")), saslMechanism = "OAUTHBEARER")
+      try assert(c.metadata(Seq("t"))("t") == Seq(0, 1, 2, 3))
+      finally c.close()
+      // wrong principal: the error challenge arrives as a SUCCESSFUL
+      // round (RFC 7628 §3.2.3), the client answers the dummy 0x01, and
+      // the NEXT round fails with SaslAuthenticationFailed (58)
+      val e = intercept[RuntimeException] {
+        new KafkaClient(srv.host, srv.port, sasl = Some(("intruder", "")),
+          saslMechanism = "OAUTHBEARER")
+      }
+      assert(e.getMessage.contains(
+        s"kafka error ${KafkaWire.Err.SaslAuthenticationFailed}"),
+        s"unexpected failure: ${e.getMessage}")
+    } finally srv.close()
+  }
+
+  test("OAUTHBEARER token laws: frame + unsecured-JWS codec round-trips; " +
+      "expired and signed tokens are refused") {
+    import KafkaWire.OAuth._
+    val tok = unsecuredJwt("alice", nowSec = 1000L, lifetimeSec = 60L)
+    // frame round-trip
+    assert(parseInitialResponse(initialResponse(tok)).contains(tok))
+    assert(parseInitialResponse("garbage".getBytes).isEmpty)
+    // claims round-trip
+    assert(parseUnsecured(tok).contains(("alice", 1060L)))
+    // a SIGNED token (non-empty third part) must be refused by the
+    // unsecured validator — Kafka's behavior, and the safety line that
+    // keeps alg-none validation from ever accepting a real token
+    assert(parseUnsecured(tok + "c2ln").isEmpty)
+    // alg != none refused
+    val hs256 = b64url("""{"alg":"HS256"}""".getBytes) + "." +
+      tok.split("\\.", -1)(1) + "."
+    assert(parseUnsecured(hs256).isEmpty)
+    // malformed base64 never throws out of the validator
+    assert(parseUnsecured("!!.!!.").isEmpty)
+    // expiry is enforced broker-side: an EXPIRED token for the RIGHT
+    // principal walks the same failure rounds (error challenge → dummy
+    // response → 58). KafkaClient mints live tokens only, so hand-drive
+    // the KIP-152 exchange over a raw socket
+    val srv = new EmbeddedKafka(credentials = Some(("alice", "")))
+    val sock = new java.net.Socket(srv.host, srv.port)
+    try {
+      val in = KafkaWire.buffered(sock.getInputStream)
+      val out = KafkaWire.buffered(sock.getOutputStream)
+      var corr = 0
+      def call(api: Int)(body: KafkaWire.Writer => Unit): KafkaWire.Reader = {
+        corr += 1
+        val w = new KafkaWire.Writer; body(w)
+        KafkaWire.writeRequest(out, api, KafkaWire.Versions(api).toInt,
+          corr, "spec", w.result())
+        out.flush()
+        val (id, rep) = KafkaWire.readResponse(in)
+        assert(id == corr)
+        new KafkaWire.Reader(rep)
+      }
+      val hs = call(KafkaWire.Api.SaslHandshake)(_.str("OAUTHBEARER"))
+      assert(hs.i16v() == KafkaWire.Err.None)
+      val expired = unsecuredJwt("alice", nowSec = 1000L, lifetimeSec = 1L)
+      val r1 = call(KafkaWire.Api.SaslAuthenticate)(
+        _.nullableBytes(initialResponse(expired)))
+      assert(r1.i16v() == KafkaWire.Err.None); r1.nullableStr()
+      assert(new String(r1.nullableBytes()).contains("invalid_token"),
+        "expired token must draw the RFC 7628 error challenge")
+      val r2 = call(KafkaWire.Api.SaslAuthenticate)(
+        _.nullableBytes(DummyResponse))
+      assert(r2.i16v() == KafkaWire.Err.SaslAuthenticationFailed)
+    } finally { sock.close(); srv.close() }
+  }
+
   test("SCRAM crypto laws: proof verifies, tampered proof and forged " +
       "server signature do not") {
     val scram = KafkaWire.Scram(KafkaWire.Scram.Sha256)
