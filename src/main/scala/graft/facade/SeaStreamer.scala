@@ -189,32 +189,71 @@ object SeaStreamer {
   /** `security` is the connect-level option surface
     * ([[KafkaOptions.securityOptions]] output, streamer.rs:38-106): on the
     * kafka builtin driver it passes through verbatim to every reader and
-    * writer; the wire driver is PLAINTEXT-only by declaration and refuses
-    * anything else AT CONNECT (the reference errors at connect for an
-    * unusable security config too); other backends have no security
-    * surface and refuse a non-empty map rather than silently dropping it.
+    * writer; the wire driver validates it AT CONNECT against what it
+    * actually speaks — all four `security.protocol` modes with
+    * PLAIN/SCRAM-SHA-256/512 credentials ([[graft.kafka.KafkaSecurity]];
+    * GSSAPI/OAUTHBEARER have no inline-JAAS surface and are refused here,
+    * exactly as the reference errors at connect for an unusable security
+    * config); other backends have no security surface and refuse a
+    * non-empty map rather than silently dropping it.
     */
   def connect(uri: String, spark: SparkSession,
       security: Map[String, String] = Map.empty): Connection = {
     val streamer = StreamerUri.parse(uri)
-    val scheme = streamer.protocol.getOrElse(
+    val rawScheme = streamer.protocol.getOrElse(
       throw SeaStreamErr.Connect(s"no protocol in '$uri'"))
+    // `rediss` IS the redis backend with the TLS socket layer on
+    // (sea-streamer-redis/src/connection.rs:131-136) — one backend, two
+    // schemes, exactly the reference's dispatch
+    val scheme = if (rawScheme == "rediss") "redis" else rawScheme
+    val RedisSslKeys = Set("redis.ssl.truststore.location",
+      "redis.ssl.truststore.password", "redis.ssl.verify.hostname")
+    val redisTls: Option[graft.redis.RedisClient.Tls] =
+      if (rawScheme != "rediss") None
+      else Some(graft.redis.RedisClient.Tls(
+        graft.core.TlsChannel.Client(
+          security.getOrElse("redis.ssl.truststore.location",
+            throw SeaStreamErr.Unsupported(
+              "rediss requires redis.ssl.truststore.location")),
+          security.getOrElse("redis.ssl.truststore.password", "")),
+        verifyHostname = security
+          .getOrElse("redis.ssl.verify.hostname", "true").toBoolean))
     if (security.nonEmpty) {
-      val protocol = security.getOrElse("kafka.security.protocol", "PLAINTEXT")
-      if (scheme != "kafka")
+      if (rawScheme == "rediss") {
+        val stray = security.keySet -- RedisSslKeys
+        if (stray.nonEmpty)
+          throw SeaStreamErr.Unsupported(
+            s"rediss supports only the redis.ssl.* options, got: " +
+              stray.toSeq.sorted.mkString(", "))
+      } else if (scheme != "kafka")
         throw SeaStreamErr.Unsupported(
           s"security options on the '$scheme' backend")
-      if (!builtinKafkaPresent && protocol != "PLAINTEXT")
-        throw SeaStreamErr.Unsupported(
-          s"security protocol $protocol on the kafka wire driver " +
-            "(PLAINTEXT only; install the kafka connector jars)")
+      else if (!builtinKafkaPresent) {
+        // the wire driver: parse NOW so an unusable config (GSSAPI, a
+        // missing truststore key, protocol/credential mismatch) fails at
+        // connect, not at first read
+        try graft.kafka.KafkaSecurity.parse(security)
+        catch { case e: IllegalArgumentException =>
+          throw SeaStreamErr.Unsupported(
+            s"kafka wire driver security: ${e.getMessage}")
+        }
+      }
     }
-    new Connection(spark, scheme, streamer, security)
+    new Connection(spark, scheme, streamer, security, redisTls)
   }
 
   final class Connection(
       spark: SparkSession, scheme: String, streamer: StreamerUri,
-      security: Map[String, String] = Map.empty) {
+      security: Map[String, String] = Map.empty,
+      redisTls: Option[graft.redis.RedisClient.Tls] = None) {
+
+    /** The rediss options for the `redis-stream` DataSource (live path). */
+    private def redisTlsOptions: Map[String, String] =
+      redisTls.map { t =>
+        Map("ssl.truststore.location" -> t.conf.truststore,
+          "ssl.truststore.password" -> t.conf.password,
+          "ssl.verify.hostname" -> t.verifyHostname.toString)
+      }.getOrElse(Map.empty)
 
     private def stripScheme(n: String): String = {
       val i = n.indexOf("://")
@@ -373,7 +412,10 @@ object SeaStreamer {
           val assignOpt = opts.assignShards
             .map(_.map(p => s"${p._1}:${p._2}").mkString(","))
           if (opts.live) {
+            // the kafka-wire DataSource parses the same security strings
+            // (KafkaSecurity) — pass the connect-level map through
             val base0 = spark.readStream.format("kafka-wire")
+              .options(security)
               .option("host", host).option("port", port.toString)
               .option("topics", subscribe)
             val base = assignOpt.fold(base0)(base0.option("assign", _))
@@ -385,11 +427,15 @@ object SeaStreamer {
                 if (opts.autoStreamReset == AutoStreamReset.Earliest)
                   "earliest" else "latest"))
               .load()
-          } else
+          } else {
+            val sec = graft.kafka.KafkaSecurity.parse(security)
             graft.kafka.KafkaSource.boundedRead(spark, host, port, streams,
               afterMs = opts.seekTimestamp.map(_.getTime),
               fromOffset = opts.rewindSeqNo,
-              assign = opts.assignShards)
+              assign = opts.assignShards,
+              sasl = sec.sasl, saslMechanism = sec.saslMechanism,
+              tls = sec.tls)
+          }
         case "redis" =>
           if (streams.contains(Envelope.SeaStreamerWildcard))
             throw SeaStreamErr.Unsupported(
@@ -412,6 +458,7 @@ object SeaStreamer {
               if (opts.autoStreamReset == AutoStreamReset.Earliest) "earliest"
               else "latest"
             val base = spark.readStream.format("redis-stream")
+              .options(redisTlsOptions)
               .option("host", host).option("port", port.toString)
               .option("streams", subscribe)
               .option("shards", opts.redisShards.toString)
@@ -442,7 +489,7 @@ object SeaStreamer {
               // SCAN every master for the streams' shard keys (the slot map
               // usually knows more nodes than the seed list), then read them
               val sweepNodes = seeds.map { ss =>
-                val cc = new graft.redis.RedisClusterClient(ss)
+                val cc = new graft.redis.RedisClusterClient(ss, redisTls)
                 try {
                   val m = try Some(cc.bootstrapSlots())
                           catch { case scala.util.control.NonFatal(_) => None }
@@ -452,14 +499,15 @@ object SeaStreamer {
               val found = sweepNodes
                 .flatMap { case (h, p) =>
                   graft.redis.RedisClient.retrying() {
-                    val c = new graft.redis.RedisClient(h, p)
+                    val c = new graft.redis.RedisClient(h, p, tls = redisTls)
                     try streams.flatMap(st =>
                       graft.redis.RedisStreams.discoverShardKeys(c, st))
                     finally c.close()
                   }
                 }.distinct.sortBy(_._1)
               graft.redis.RedisSource.boundedReadKeys(spark, host, port,
-                found, afterMs = pushMs, clusterSeeds = seeds)
+                found, afterMs = pushMs, clusterSeeds = seeds,
+                tls = redisTls)
             } else
               graft.redis.RedisSource.boundedRead(spark, host, port,
                 opts.assignShards.getOrElse(
@@ -467,7 +515,8 @@ object SeaStreamer {
                     .map(sh => (st, sh)))),
                 sharded = sharded,
                 afterMs = pushMs,
-                clusterSeeds = seeds)
+                clusterSeeds = seeds,
+                tls = redisTls)
           }
         case "iggy" =>
           // stream keys are iggy TOPICS inside the namespace stream; the
@@ -559,7 +608,7 @@ object SeaStreamer {
         throw SeaStreamErr.InvalidStreamKey(stream)
       validIggyStream(iggyStream)
       new Producer(spark, scheme, allNodeAddrs, Some(stream), redisShards,
-        iggyPartitions, iggyStream, security)
+        iggyPartitions, iggyStream, security, redisTls)
     }
 
     /** Generic producer: stream key comes from each row. */
@@ -568,7 +617,7 @@ object SeaStreamer {
         iggyStream: String = graft.iggy.IggySource.DefaultStream): Producer = {
       validIggyStream(iggyStream)
       new Producer(spark, scheme, allNodeAddrs, None, redisShards,
-        iggyPartitions, iggyStream, security)
+        iggyPartitions, iggyStream, security, redisTls)
     }
 
     /** The iggy namespace stream follows the same key grammar as stream
@@ -624,7 +673,11 @@ object SeaStreamer {
       /** Kafka builtin driver: connect-level security options, passed
         * through verbatim ([[KafkaOptions.securityOptions]]).
         */
-      security: Map[String, String] = Map.empty) {
+      security: Map[String, String] = Map.empty,
+      /** `rediss://`: TLS client config for every redis connection this
+        * producer opens (None on plain `redis://`).
+        */
+      redisTls: Option[graft.redis.RedisClient.Tls] = None) {
 
     private def node: String = nodes.head
     private def redisSharded: Boolean = redisShards > 1
@@ -808,7 +861,10 @@ object SeaStreamer {
               nodes.mkString(","), security)).save()
         case "kafka" => // connector jars absent: this library's wire client
           val (host, port) = SeaStreamer.hostPort(node, 9092)
-          graft.kafka.KafkaSource.write(out, host, port)
+          val sec = graft.kafka.KafkaSecurity.parse(security)
+          graft.kafka.KafkaSource.write(out, host, port,
+            sasl = sec.sasl, saslMechanism = sec.saslMechanism,
+            tls = sec.tls)
         case "redis" =>
           val (host, port) = SeaStreamer.hostPort(node, 6379)
           // multi-node URI = cluster: keys routed to their slot owners
@@ -818,7 +874,8 @@ object SeaStreamer {
             clusterSeeds =
               if (nodes.size > 1)
                 Some(nodes.map(SeaStreamer.hostPort(_, 6379)))
-              else None)
+              else None,
+            tls = redisTls)
         case "iggy" =>
           // topic = stream key, partition = shard % iggyPartitions, topics
           // created on demand (create_stream/topic_if_not_exists defaults,

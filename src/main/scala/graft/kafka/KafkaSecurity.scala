@@ -1,0 +1,63 @@
+package graft.kafka
+
+/** One parser for the wire driver's security option surface — the strings
+  * [[graft.facade.KafkaOptions.securityOptions]] emits (the builtin
+  * connector's exact names: `kafka.security.protocol`,
+  * `kafka.sasl.mechanism`, `kafka.sasl.jaas.config`,
+  * `kafka.ssl.truststore.location`/`password`), parsed back into the wire
+  * client's (sasl, mechanism, tls) triple. Shared by the `kafka-wire`
+  * DataSource (CaseInsensitiveStringMap) and the facade's bounded
+  * read/write paths (plain Map) so the two can never drift.
+  */
+object KafkaSecurity {
+
+  final case class Wire(
+      sasl: Option[(String, String)],
+      saslMechanism: String,
+      tls: Option[graft.core.TlsChannel.Client])
+
+  /** Protocols the wire driver speaks end-to-end. */
+  val WireProtocols: Set[String] =
+    Set("PLAINTEXT", "SASL_PLAINTEXT", "SSL", "SASL_SSL")
+
+  /** Parse from a string-keyed lookup. Fails loudly on anything the wire
+    * driver cannot actually do — never silently connects unauthenticated
+    * or unencrypted.
+    */
+  def parse(get: String => Option[String]): Wire = {
+    val mechOpt = get("kafka.sasl.mechanism")
+    val jaas = get("kafka.sasl.jaas.config")
+    val sasl: Option[(String, String)] = (mechOpt, jaas) match {
+      case (None, None) => None
+      case (Some(m), Some(j)) =>
+        require(m == "PLAIN" || KafkaWire.Scram.Mechanisms.contains(m),
+          s"kafka-wire driver supports PLAIN/SCRAM-SHA-256/512 via JAAS " +
+            s"options, got $m")
+        val user = "username=\"([^\"]*)\"".r.findFirstMatchIn(j)
+        val pass = "password=\"([^\"]*)\"".r.findFirstMatchIn(j)
+        require(user.isDefined && pass.isDefined,
+          "kafka.sasl.jaas.config must carry username and password")
+        Some((user.get.group(1), pass.get.group(1)))
+      case _ => throw new IllegalArgumentException(
+        "SASL needs both kafka.sasl.mechanism and kafka.sasl.jaas.config")
+    }
+    val proto = get("kafka.security.protocol").map(_.toUpperCase)
+      .getOrElse(if (sasl.isDefined) "SASL_PLAINTEXT" else "PLAINTEXT")
+    require(WireProtocols.contains(proto),
+      s"unknown security protocol $proto")
+    require(!(proto.startsWith("SASL") ^ sasl.isDefined),
+      s"$proto inconsistent with the SASL options " +
+        "(SASL_* requires mechanism+JAAS; SSL/PLAINTEXT forbid them)")
+    val tls =
+      if (proto == "SSL" || proto == "SASL_SSL") {
+        val loc = get("kafka.ssl.truststore.location")
+          .getOrElse(throw new IllegalArgumentException(
+            s"$proto requires kafka.ssl.truststore.location"))
+        Some(graft.core.TlsChannel.Client(loc,
+          get("kafka.ssl.truststore.password").getOrElse("")))
+      } else None
+    Wire(sasl, mechOpt.getOrElse("PLAIN"), tls)
+  }
+
+  def parse(options: Map[String, String]): Wire = parse(options.get _)
+}

@@ -114,52 +114,18 @@ class KafkaMicroBatchStream(options: CaseInsensitiveStringMap)
     .split(',').map(_.trim).filter(_.nonEmpty).toSeq
   private val maxFetchBytes = options.getInt("maxFetchBytes", 1 << 20)
 
-  /** SASL credentials off KafkaOptions.securityOptions' surface:
-    * `kafka.sasl.mechanism` + the JAAS config line's username/password.
-    * The wire driver speaks PLAIN and SCRAM-SHA-256/512 (the full RFC
-    * 5802 exchange) — other mechanisms fail loudly at planning instead of
-    * silently connecting unauthenticated.
+  /** The full wire security surface — `security.protocol` (all four
+    * modes: TLS wraps the socket, SASL runs inside it as orthogonal
+    * layers) + mechanism + JAAS + truststore, parsed by the shared
+    * [[graft.kafka.KafkaSecurity]] so the DataSource and the facade's
+    * bounded paths can never drift. Fails loudly at planning — never
+    * silently connects unauthenticated or unencrypted.
     */
-  private val saslMechanism: String =
-    Option(options.get("kafka.sasl.mechanism")).getOrElse("PLAIN")
-  private val sasl: Option[(String, String)] = {
-    val mech = Option(options.get("kafka.sasl.mechanism"))
-    val jaas = Option(options.get("kafka.sasl.jaas.config"))
-    (mech, jaas) match {
-      case (None, None) => None
-      case (Some(m), Some(j)) =>
-        require(m == "PLAIN" || graft.kafka.KafkaWire.Scram.Mechanisms
-          .contains(m),
-          s"kafka-wire driver supports PLAIN/SCRAM-SHA-256/512 only, got $m")
-        val user = "username=\"([^\"]*)\"".r.findFirstMatchIn(j)
-        val pass = "password=\"([^\"]*)\"".r.findFirstMatchIn(j)
-        require(user.isDefined && pass.isDefined,
-          "kafka.sasl.jaas.config must carry username and password")
-        Some((user.get.group(1), pass.get.group(1)))
-      case _ => throw new IllegalArgumentException(
-        "SASL needs both kafka.sasl.mechanism and kafka.sasl.jaas.config")
-    }
-  }
-  /** `security.protocol` SSL / SASL_SSL turns the TLS socket layer on;
-    * the truststore options mirror the Kafka client's
-    * `ssl.truststore.location`/`password`. SASL_SSL additionally requires
-    * the JAAS credentials above — the mechanisms are orthogonal layers
-    * (TLS wraps the socket, SASL runs inside it).
-    */
-  private val tls: Option[graft.kafka.KafkaTls.Client] = {
-    val proto = Option(options.get("kafka.security.protocol"))
-      .map(_.toUpperCase).getOrElse(
-        if (sasl.isDefined) "SASL_PLAINTEXT" else "PLAINTEXT")
-    if (proto == "SSL" || proto == "SASL_SSL") {
-      require(proto != "SASL_SSL" || sasl.isDefined,
-        "SASL_SSL requires kafka.sasl.mechanism + kafka.sasl.jaas.config")
-      val loc = Option(options.get("kafka.ssl.truststore.location"))
-        .getOrElse(throw new IllegalArgumentException(
-          s"$proto requires kafka.ssl.truststore.location"))
-      Some(graft.kafka.KafkaTls.Client(loc,
-        Option(options.get("kafka.ssl.truststore.password")).getOrElse("")))
-    } else None
-  }
+  private val wireSecurity = graft.kafka.KafkaSecurity.parse(
+    k => Option(options.get(k)))
+  private val saslMechanism: String = wireSecurity.saslMechanism
+  private val sasl: Option[(String, String)] = wireSecurity.sasl
+  private val tls: Option[graft.kafka.KafkaTls.Client] = wireSecurity.tls
   private val latest = options.getOrDefault("startingOffsets", "earliest")
     .equalsIgnoreCase("latest")
   private val startingTimestamp: Option[Long] = {

@@ -26,7 +26,13 @@ final class EmbeddedRedis(
     /** `CLUSTER SLOTS` topology: (startSlot, endSlot, host, port) ranges.
       * Empty = standalone node (CLUSTER SLOTS answers an empty array).
       */
-    @volatile var slots: Seq[(Int, Int, String, Int)] = Seq.empty)
+    @volatile var slots: Seq[(Int, Int, String, Int)] = Seq.empty,
+    /** When set, the listener speaks TLS from this PKCS12 keystore — the
+      * server half of the reference's `rediss://` scheme
+      * (sea-streamer-redis/src/connection.rs:131-136); RESP is
+      * byte-identical inside the channel.
+      */
+    tls: Option[graft.core.TlsChannel.Server] = None)
     extends AutoCloseable {
 
   /** Like [[redirects]] but with `ASK` (migration in flight). */
@@ -65,7 +71,11 @@ final class EmbeddedRedis(
     * MOVED target) — after the budget is spent every further write bounces.
     */
   @volatile var bounceAfter: Map[String, (Int, String)] = Map.empty
-  private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
+  private val server: ServerSocket = tls match {
+    case Some(t) => graft.core.TlsChannel.serverSocket(t, 16,
+      InetAddress.getLoopbackAddress)
+    case None => new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
+  }
   val port: Int = server.getLocalPort
   val host: String = "127.0.0.1"
 
@@ -110,6 +120,9 @@ final class EmbeddedRedis(
   acceptor.start()
 
   private def serve(socket: java.net.Socket): Unit = {
+    // on a TLS listener the handshake runs on first IO: NODELAY before
+    // that, or every handshake flight eats a Nagle/delayed-ACK stall
+    socket.setTcpNoDelay(true)
     val in = Resp.buffered(socket.getInputStream)
     val out = Resp.buffered(socket.getOutputStream)
     try while (!closed) {

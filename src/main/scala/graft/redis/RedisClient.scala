@@ -8,13 +8,31 @@ import java.nio.charset.StandardCharsets.UTF_8
   * machinery because a task's lifetime IS the pool.
   */
 final class RedisClient(host: String, port: Int,
-    connectTimeoutMs: Int = 5000, soTimeoutMs: Int = 30000)
+    connectTimeoutMs: Int = 5000, soTimeoutMs: Int = 30000,
+    tls: Option[RedisClient.Tls] = None)
     extends AutoCloseable {
 
-  private val socket = new Socket()
-  socket.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+  // `rediss://` support (sea-streamer-redis/src/connection.rs:131-136):
+  // TLS wraps the socket, RESP runs inside the channel unchanged.
+  // `verifyHostname=false` is the reference's
+  // disable_hostname_verification knob — the chain is still verified
+  // against the truststore, only the name check is waived.
+  private val socket: Socket = tls match {
+    case Some(t) => graft.core.TlsChannel.clientSocket(t.conf, host, port,
+      verifyHostname = t.verifyHostname, connectTimeoutMs = connectTimeoutMs)
+    case None =>
+      val s = new Socket()
+      s.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+      s.setTcpNoDelay(true)
+      s
+  }
   socket.setSoTimeout(soTimeoutMs)
-  socket.setTcpNoDelay(true)
+
+  /** Negotiated TLS protocol (e.g. "TLSv1.3"), None on plaintext. */
+  def tlsProtocol: Option[String] = socket match {
+    case s: javax.net.ssl.SSLSocket => Some(s.getSession.getProtocol)
+    case _ => None
+  }
   private val in = Resp.buffered(socket.getInputStream)
   private val out = Resp.buffered(socket.getOutputStream)
 
@@ -68,6 +86,15 @@ final class RedisClient(host: String, port: Int,
 
 object RedisClient {
   final case class RedisError(msg: String) extends RuntimeException(msg)
+
+  /** `rediss://` client config — truststore + the reference's ONE tls
+    * knob, `disable_hostname_verification`
+    * (sea-streamer-redis/src/connection.rs:131-136), spelled positively.
+    * Plain strings + a Boolean so it rides `InputPartition` / closure
+    * serialization to executors.
+    */
+  final case class Tls(conf: graft.core.TlsChannel.Client,
+      verifyHostname: Boolean = true)
 
   /** Error-reply prefixes that mean "the server refused but nothing was
     * written — try again": redis's transient states (replica still LOADING,

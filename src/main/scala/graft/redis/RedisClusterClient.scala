@@ -79,7 +79,8 @@ final class RedisSlotMap(ranges: Seq[(Int, Int, String, Int)]) {
   * naturally node-sticky: after bootstrap (or the first MOVED) the cached
   * owner serves every later command for that key without extra hops.
   */
-final class RedisClusterClient(seeds: Seq[(String, Int)])
+final class RedisClusterClient(seeds: Seq[(String, Int)],
+    tls: Option[RedisClient.Tls] = None)
     extends AutoCloseable {
   require(seeds.nonEmpty, "at least one cluster seed node required")
 
@@ -89,7 +90,8 @@ final class RedisClusterClient(seeds: Seq[(String, Int)])
   private val MaxRedirects = 5
 
   private def clientFor(node: (String, Int)): RedisClient =
-    clients.getOrElseUpdate(node, new RedisClient(node._1, node._2))
+    clients.getOrElseUpdate(node,
+      new RedisClient(node._1, node._2, tls = tls))
 
   /** Fetch the full topology from the first reachable seed. An empty reply
     * (standalone node) leaves lazy MOVED learning in place.

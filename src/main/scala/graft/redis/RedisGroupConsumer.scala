@@ -21,11 +21,12 @@ import graft.core.SeaMessage
 final class RedisGroupConsumer(
     host: String, port: Int,
     stream: String, shard: Long, sharded: Boolean,
-    group: String, consumer: String) extends AutoCloseable {
+    group: String, consumer: String,
+    tls: Option[RedisClient.Tls] = None) extends AutoCloseable {
   import RedisGroupConsumer.Delivered
 
   private val key = RedisStreams.shardedKey(stream, shard, sharded)
-  private val client = new RedisClient(host, port)
+  private val client = new RedisClient(host, port, tls = tls)
 
   /** Idempotent group creation from the earliest entry (MKSTREAM). */
   def create(): Unit =

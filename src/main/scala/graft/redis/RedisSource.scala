@@ -59,11 +59,12 @@ object RedisSource {
   def boundedRead(spark: SparkSession, host: String, port: Int,
       shards: Seq[(String, Long)], sharded: Boolean = true,
       batch: Int = 1000, afterMs: Option[Long] = None,
-      clusterSeeds: Option[Seq[(String, Int)]] = None): DataFrame =
+      clusterSeeds: Option[Seq[(String, Int)]] = None,
+      tls: Option[RedisClient.Tls] = None): DataFrame =
     boundedReadKeys(spark, host, port,
       shards.map { case (st, sh) =>
         (RedisStreams.shardedKey(st, sh, sharded), st, sh)
-      }, batch, afterMs, clusterSeeds)
+      }, batch, afterMs, clusterSeeds, tls)
 
   /** [[boundedRead]] over EXPLICIT redis keys — the shape SCAN-based shard
     * discovery produces (key names already known, shard parsed from the
@@ -72,7 +73,8 @@ object RedisSource {
   def boundedReadKeys(spark: SparkSession, host: String, port: Int,
       keys: Seq[(String, String, Long)],
       batch: Int = 1000, afterMs: Option[Long] = None,
-      clusterSeeds: Option[Seq[(String, Int)]] = None): DataFrame = {
+      clusterSeeds: Option[Seq[(String, Int)]] = None,
+      tls: Option[RedisClient.Tls] = None): DataFrame = {
     import spark.implicits._
     val sc = spark.sparkContext
     val afterId = afterMs.map(RedisStreams.seekAfterId).getOrElse("0-0")
@@ -81,7 +83,7 @@ object RedisSource {
       // bootstrap); a mid-scan rebalance would need a reconnect — rare
       // enough that the task retry is the recovery path
       val slotMap = clusterSeeds.map { seeds =>
-        val cc = new RedisClusterClient(seeds)
+        val cc = new RedisClusterClient(seeds, tls)
         try cc.bootstrapSlots() finally cc.close()
       }
       // an early-terminating consumer (limit, take) stops pulling before
@@ -90,7 +92,8 @@ object RedisSource {
       val opened = graft.core.TaskResources.closeOnTaskCompletion[AutoCloseable]()
       it.flatMap { case (key, stream, shard) =>
         val (h, p) = slotMap.flatMap(_.owner(key)).getOrElse((host, port))
-        val session = new RedisClient.Session(() => new RedisClient(h, p))
+        val session = new RedisClient.Session(
+          () => new RedisClient(h, p, tls = tls))
         opened += session
         val scan = pagedScan(session, key, stream, shard, batch,
           afterId = afterId)
@@ -123,7 +126,8 @@ object RedisSource {
     */
   def write(df: DataFrame, host: String, port: Int,
       sharded: Boolean = true, pipelineSize: Int = 100,
-      clusterSeeds: Option[Seq[(String, Int)]] = None): Unit = {
+      clusterSeeds: Option[Seq[(String, Int)]] = None,
+      tls: Option[RedisClient.Tls] = None): Unit = {
     import df.sparkSession.implicits._
     import org.apache.spark.sql.functions.col
     val keyCols =
@@ -142,7 +146,7 @@ object RedisSource {
             RedisStreams.shardedKey(r._1, r._2, sharded)
           clusterSeeds match {
             case Some(seeds) =>
-              val cc = new RedisClusterClient(seeds)
+              val cc = new RedisClusterClient(seeds, tls)
               try {
                 try cc.bootstrapSlots()
                 catch { case scala.util.control.NonFatal(_) => () } // lazy MOVED fallback
@@ -159,7 +163,7 @@ object RedisSource {
               // unacknowledged tail (producer.rs:464-507's requeue law) —
               // blind batch replay would duplicate already-acked ms-* ids
               val session = new RedisClient.Session(
-                () => new RedisClient(host, port))
+                () => new RedisClient(host, port, tls = tls))
               try rows.grouped(pipelineSize).foreach { chunk =>
                 session.pipelineAcked(chunk.map(cmd))
               } finally session.close()

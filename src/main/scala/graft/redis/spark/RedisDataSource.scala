@@ -115,7 +115,8 @@ object RedisOffset {
 final case class RedisInputPartition(
     host: String, port: Int, key: String, stream: String, shard: Long,
     afterId: String, untilId: String, batch: Int,
-    group: Option[String], consumer: String) extends InputPartition
+    group: Option[String], consumer: String,
+    tls: Option[RedisClient.Tls] = None) extends InputPartition
 
 class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
     extends MicroBatchStream with SupportsAdmissionControl {
@@ -170,6 +171,16 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
   private val claimMinIdleMs = options.getLong("claimMinIdleMs", 60000L)
   private val claimIntervalMs = options.getLong("claimIntervalMs", 30000L)
   private val clusterMode = options.getBoolean("cluster", false)
+  /** `rediss://`'s client half on the options surface: truststore pair +
+    * the reference's disable_hostname_verification knob (spelled
+    * positively); RESP is byte-identical inside the channel.
+    */
+  private val tls: Option[RedisClient.Tls] =
+    Option(options.get("ssl.truststore.location")).map { loc =>
+      RedisClient.Tls(graft.core.TlsChannel.Client(loc,
+        Option(options.get("ssl.truststore.password")).getOrElse("")),
+        verifyHostname = options.getBoolean("ssl.verify.hostname", true))
+    }
 
   private val seeds: Seq[(String, Int)] = {
     val ns = options.get("nodes")
@@ -186,7 +197,7 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
   private lazy val slotMap: Option[RedisSlotMap] =
     if (!clusterMode) None
     else {
-      val cc = new RedisClusterClient(seeds)
+      val cc = new RedisClusterClient(seeds, tls)
       try Some(cc.bootstrapSlots()).filterNot(_.isEmpty)
       finally cc.close()
     }
@@ -211,7 +222,7 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
       val sweepNodes = slotMap.map(_.nodes).getOrElse(seeds)
       val found = sweepNodes.flatMap { case (h, p) =>
         RedisClient.retrying() {
-          val c = new RedisClient(h, p)
+          val c = new RedisClient(h, p, tls = tls)
           try streams.flatMap(st => RedisStreams.discoverShardKeys(c, st))
           finally c.close()
         }
@@ -255,7 +266,7 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
     ks.groupBy { case (k, _, _) => nodeFor(k) }.toSeq.sortBy(_._1)
       .flatMap { case ((h, p), nodeKeys) =>
         RedisClient.retrying() {
-          val client = new RedisClient(h, p)
+          val client = new RedisClient(h, p, tls = tls)
           try f(client, nodeKeys) finally client.close()
         }
       }
@@ -511,7 +522,7 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
       else {
         val (h, p) = nodeFor(k)
         Some(RedisInputPartition(h, p, k, stream, shard,
-          after, until, batch, group, consumerName))
+          after, until, batch, group, consumerName, tls))
       }
     }.toArray
   }
@@ -565,10 +576,10 @@ class RedisPartitionReader(p: RedisInputPartition)
   // Both lazy so each mode opens exactly one socket per partition.
   private var bareOpened = false
   private lazy val client = {
-    bareOpened = true; new RedisClient(p.host, p.port)
+    bareOpened = true; new RedisClient(p.host, p.port, tls = p.tls)
   }
   private val session = new RedisClient.Session(
-    () => new RedisClient(p.host, p.port))
+    () => new RedisClient(p.host, p.port, tls = p.tls))
   private var current: SeaMessage = _
 
   private val it: Iterator[SeaMessage] = p.group match {

@@ -118,16 +118,31 @@ class KafkaOptionsSpec extends AnyFunSuite {
       Map("kafka.bootstrap.servers" -> "h1:9092,h2:9092") ++ sec)
   }
 
-  test("wire driver refuses non-PLAINTEXT security at connect; plaintext and builtin-only backends validate too") {
+  test("wire driver validates security at connect: speaks all four " +
+      "protocols, refuses unusable configs loudly") {
     val spark = TestSession.spark
     // connector jars are absent in this sandbox, so scheme kafka runs the
-    // wire driver — declared PLAINTEXT-only
+    // wire driver — which now speaks PLAINTEXT/SASL_PLAINTEXT/SSL/SASL_SSL
     assume(!SeaStreamer.builtinKafkaPresent)
     val sasl = securityOptions(SecurityProtocol.SaslSsl,
       Some(SaslOptions(SaslMechanism.Plain, Some("u"), Some("p"))))
+    // SASL_SSL without a truststore is UNUSABLE — refused at connect,
+    // not at first read (the reference's connect-time error law)
     val e = intercept[SeaStreamErr.Unsupported](
       SeaStreamer.connect("kafka://localhost:9092", spark, sasl))
-    assert(e.getMessage.contains("PLAINTEXT only"))
+    assert(e.getMessage.contains("truststore"))
+    // a complete SASL_SSL config connects (validation only — no broker)
+    SeaStreamer.connect("kafka://localhost:9092", spark,
+      securityOptions(SecurityProtocol.SaslSsl,
+        Some(SaslOptions(SaslMechanism.ScramSha256, Some("u"), Some("p"))),
+        Some(SslOptions("/tmp/trust.p12", Some("pw")))))
+    // GSSAPI has no JAAS surface on the wire driver — protocol/credential
+    // mismatch is refused (SASL_* without credentials)
+    val eg = intercept[SeaStreamErr.Unsupported](
+      SeaStreamer.connect("kafka://localhost:9092", spark,
+        securityOptions(SecurityProtocol.SaslPlaintext,
+          Some(SaslOptions(SaslMechanism.Gssapi, Some("u"), Some("p"))))))
+    assert(eg.getMessage.toLowerCase.contains("sasl"))
     // an explicit PLAINTEXT map is fine on the wire driver
     SeaStreamer.connect("kafka://localhost:9092", spark,
       securityOptions(SecurityProtocol.Plaintext))
@@ -135,5 +150,34 @@ class KafkaOptionsSpec extends AnyFunSuite {
     val e2 = intercept[SeaStreamErr.Unsupported](
       SeaStreamer.connect("redis://localhost:6379", spark, sasl))
     assert(e2.getMessage.contains("redis"))
+  }
+
+  test("facade bounded read + send run end-to-end over SASL_SSL on the " +
+      "wire driver") {
+    val spark = TestSession.spark
+    assume(!SeaStreamer.builtinKafkaPresent)
+    val (server, trust) = graft.core.TlsChannel.ephemeral
+    val srv = new graft.kafka.EmbeddedKafka(
+      credentials = Some(("svc", "pw")), tls = Some(server))
+    try {
+      val sec = securityOptions(SecurityProtocol.SaslSsl,
+        Some(SaslOptions(SaslMechanism.ScramSha256, Some("svc"),
+          Some("pw"))),
+        Some(SslOptions(trust.truststore, Some(trust.password))))
+      val conn = SeaStreamer.connect(
+        s"kafka://${srv.host}:${srv.port}", spark, sec)
+      import spark.implicits._
+      val df = Seq(
+        ("ev", 0L, 0L, new java.sql.Timestamp(1000), "a".getBytes),
+        ("ev", 0L, 1L, new java.sql.Timestamp(2000), "b".getBytes))
+        .toDF("stream_key", "shard_id", "sequence", "timestamp", "payload")
+      conn.createGenericProducer().send(df)
+      val got = conn.createConsumer(Seq("ev"),
+        SeaStreamer.ConsumerOptions(live = false))
+        .collect().map(r => new String(r.getAs[Array[Byte]]("payload")))
+        .sorted.toSeq
+      assert(got == Seq("a", "b"),
+        "SASL_SSL bounded round-trip lost messages")
+    } finally srv.close()
   }
 }
