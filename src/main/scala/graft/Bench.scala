@@ -166,6 +166,13 @@ object Bench {
           analytics.Dedup.d14Build(spark, sfDir)
           timed("t20_stream_index_dedup")(force(
             analytics.Transport.t20IndexDedupStream(spark, sfDir)))
+        } else if (name == "t21_stream_query_serve") {
+          // the layout build is s7's one-time job (priced as s7_layout);
+          // the op's OWN recurring cost is the request stream + per-batch
+          // DPP serve + MMR
+          analytics.Similarity.s7Layout(spark, sfDir)
+          timed("t21_stream_query_serve")(force(
+            analytics.Transport.t21QueryServeStream(spark, sfDir)))
         } else if (name == "s13_mmr_indexed") {
           // the layout build is s7's one-time job (priced as s7_layout);
           // the recurring cost is the serving path: DPP probe + MMR

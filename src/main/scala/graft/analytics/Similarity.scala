@@ -494,18 +494,27 @@ object Similarity {
     * values become a runtime partition filter on the index scan (DPP).
     */
   private def ivfProbe(s: SparkSession, e: DataFrame, cents: DataFrame,
-      path: String, k: Int = 3): DataFrame = {
+      path: String, k: Int = 3): DataFrame =
+    ivfProbeFor(s,
+      e.filter(col("vec_id") < QueryCount)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+      cents, path, k)
+
+  /** [[ivfProbe]] over an EXPLICIT query frame `(qid, qe)` — the shape a
+    * serving request stream produces (t21 serves micro-batches of query
+    * ids through this exact plan; the standard query set above is just
+    * one such frame).
+    */
+  private def ivfProbeFor(s: SparkSession, queries: DataFrame,
+      cents: DataFrame, path: String, k: Int = 3): DataFrame = {
     val idx = s.read.parquet(path)
-    val probeCand = e.filter(col("vec_id") < QueryCount)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val probeCand = queries
       .crossJoin(cents)
       .withColumn("d2r", round(dist2Col("qe", "cemb"), 6))
     val probes = topKAsc(probeCand, col("qid"), col("d2r"),
         col("centroid_id"), 2)
       .select(col("g").as("qid"), col("id").as("centroid_id"))
-    val qs = withNorm(
-      e.filter(col("vec_id") < QueryCount)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe")), "qe", "qn")
+    val qs = withNorm(queries, "qe", "qn")
     val scored = idx.join(broadcast(probes), "centroid_id")
       .join(broadcast(qs), "qid")
       .filter(col("qid") =!= col("cid"))
@@ -527,6 +536,29 @@ object Similarity {
     val cents = broadcast(e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb")))
     mmrRerank(e, ivfProbe(s, e, cents, ivfIndexPath(s, dir), k = MmrPool))
+  }
+
+  /** The standard query-set size (t21's stream writes exactly these ids). */
+  private[graft] def standardQueryCount: Int = QueryCount
+
+  /** [[s13IndexedServe]] for an EXPLICIT query-id frame (`qid` LONG) —
+    * the per-micro-batch serve t21 runs at ingest: query vectors join
+    * from the static embeddings table (the feature-store lookup a serving
+    * request makes), the pool comes off the DPP-probed persisted index,
+    * and the MMR re-rank is per-qid independent — which is WHY serving a
+    * partition of the queries equals the batch serve restricted to it
+    * (the t21 streaming ≡ batch law's structural premise).
+    */
+  private[graft] def s13ServeQueryIds(s: SparkSession, dir: String,
+      queryIds: DataFrame): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    val cents = broadcast(e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb")))
+    val queries = e.join(queryIds.select(col("qid")).hint("broadcast"),
+        col("vec_id") === col("qid"))
+      .select(col("qid"), col("embedding").as("qe"))
+    mmrRerank(e,
+      ivfProbeFor(s, queries, cents, ivfIndexPath(s, dir), k = MmrPool))
   }
 
   /** s12's arriving-batch membership: a stable ~10% slice of the corpus

@@ -287,6 +287,65 @@ object Transport {
         col("match_id"), col("match_jaccard"))
   }
 
+  /** t21 — streaming ANN SERVE against the persisted IVF index: t20 is
+    * the ingest half of a production vector system (admit documents
+    * against the stored index), this is the QUERY half — serve requests
+    * arrive as a stream and each micro-batch runs EXACTLY
+    * s13_mmr_indexed's retrieve-then-re-rank plan (`foreachBatch`, so the
+    * per-batch plan is a BATCH plan and the DPP partition pruning on the
+    * index scan applies — a stream-static join could not prune). The
+    * request carries the query id; the vector joins from the static
+    * embeddings table (the feature-store lookup a serving request makes).
+    * MMR is per-qid independent, so serving a PARTITION of the queries
+    * equals the batch serve restricted to it — after end-of-log the
+    * accumulated results must equal [[Similarity.s13IndexedServe]]
+    * bit-for-bit: the oracle is s13_mmr_indexed's SQL verbatim (the
+    * t15–t20 streaming ≡ batch discipline). The streaming stage carries
+    * ZERO state; per-batch work is (batch × probes/K of the corpus) +
+    * result-bounded re-rank — the serve cost tracks the REQUEST rate,
+    * never the corpus.
+    */
+  private[graft] def t21QueryServeStream(s: SparkSession, dir: String,
+      inspect: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _ => (),
+      inspectServe: org.apache.spark.sql.DataFrame => Unit = _ => ())
+      : org.apache.spark.sql.DataFrame = {
+    Similarity.s7Layout(s, dir)
+    val out = scratch(dir, "t21serve")
+    val results = scratch(dir, "t21served")
+    val n = Similarity.standardQueryCount.toLong
+    s.range(n).select(
+        lit("queries").as("stream_key"), lit(0L).as("shard_id"),
+        col("id").as("sequence"),
+        expr("timestamp'2026-01-01 00:00:00'").as("timestamp"),
+        to_json(struct(col("id").as("qid"))).cast("binary").as("payload"))
+      .write.format("ss").mode("overwrite").save(out)
+    // small query set, still ≥2 genuine micro-batch boundaries (the
+    // t15–t20 no-floor discipline scaled to a request stream)
+    val cap = math.max(1L, n / 4)
+    val src = s.readStream.format("ss")
+      .option("maxMessagesPerTrigger", cap.toString)
+      .load(out)
+      .select(from_json(col("payload").cast("string"),
+        org.apache.spark.sql.types.StructType.fromDDL("qid LONG")).as("j"))
+      .select(col("j.qid"))
+    // a stale results dir from a prior run must not leak into the append
+    val fs = new org.apache.hadoop.fs.Path(results)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(results), true)
+    val q = src.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: java.lang.Long) =>
+        if (!b.isEmpty) {
+          val served = Similarity.s13ServeQueryIds(s, dir, b)
+          inspectServe(served)
+          served.write.mode("append").parquet(results)
+        }
+      }.start()
+    try { q.processAllAvailable(); inspect(q) } finally q.stop()
+    s.read.parquet(results)
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     // Batch path: ss sink (one part per task) → beacon-split ss scan.
     "t1_ss_roundtrip" -> { (s, dir) =>
@@ -928,6 +987,10 @@ object Transport {
       t20IndexDedupStream(s, dir)
     },
 
+    // Streaming ANN serve off the persisted IVF index (t20's query-side
+    // twin; oracle = s13_mmr_indexed's SQL verbatim).
+    "t21_stream_query_serve" -> { (s, dir) => t21QueryServeStream(s, dir) },
+
     // Streaming latest-per-key compaction — q24's CDC shape maintained AT
     // INGEST (the q24→t17 pair completes the batch≡streaming family with
     // s11→t15 and p20→t16): a GroupState per key holds exactly ONE row —
@@ -1069,6 +1132,7 @@ object Transport {
     "t19_stream_assign" -> Similarity.oracles("c1_kmeans"),
     // stream-vs-stored-index dedup must equal the batch recurring query
     "t20_stream_index_dedup" -> Dedup.oracles("d14_dedup_index"),
+    "t21_stream_query_serve" -> Similarity.oracles("s13_mmr_indexed"),
     "t14_stream_lsh_dedup" -> {
       val constRows = Dedup.MinhashParams.zipWithIndex
         .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
