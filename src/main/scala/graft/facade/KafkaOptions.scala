@@ -50,17 +50,25 @@ object KafkaOptions {
     }
     val saslOpts = sasl.toSeq.flatMap { s =>
       // login module must match the mechanism (PlainLoginModule only speaks
-      // PLAIN); GSSAPI/OAUTHBEARER need external configs, no inline JAAS
-      val module = s.mechanism match {
-        case SaslMechanism.Plain =>
-          Some("org.apache.kafka.common.security.plain.PlainLoginModule")
-        case SaslMechanism.ScramSha256 | SaslMechanism.ScramSha512 =>
-          Some("org.apache.kafka.common.security.scram.ScramLoginModule")
-        case _ => None
-      }
-      val jaas = (module, s.username, s.password) match {
-        case (Some(m), Some(u), Some(p)) => Seq("kafka.sasl.jaas.config" ->
-          (s"""$m required username="$u" password="$p";"""))
+      // PLAIN); OAUTHBEARER's non-production convention carries the
+      // principal as the unsecured login module's sub claim (KIP-255 —
+      // a real deployment swaps the module config for its OIDC endpoint);
+      // GSSAPI needs an external krb5 config, never an inline JAAS
+      val jaas = (s.mechanism, s.username, s.password) match {
+        case (SaslMechanism.Plain, Some(u), Some(p)) =>
+          Seq("kafka.sasl.jaas.config" ->
+            ("org.apache.kafka.common.security.plain.PlainLoginModule " +
+              s"""required username="$u" password="$p";"""))
+        case (SaslMechanism.ScramSha256 | SaslMechanism.ScramSha512,
+            Some(u), Some(p)) =>
+          Seq("kafka.sasl.jaas.config" ->
+            ("org.apache.kafka.common.security.scram.ScramLoginModule " +
+              s"""required username="$u" password="$p";"""))
+        case (SaslMechanism.OauthBearer, Some(u), _) =>
+          Seq("kafka.sasl.jaas.config" ->
+            ("org.apache.kafka.common.security.oauthbearer." +
+              "OAuthBearerLoginModule required " +
+              s"""unsecuredLoginStringClaim_sub="$u";"""))
         case _ => Seq.empty
       }
       Seq("kafka.sasl.mechanism" -> s.mechanism.value) ++ jaas

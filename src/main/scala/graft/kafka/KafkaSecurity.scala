@@ -29,10 +29,19 @@ object KafkaSecurity {
     val jaas = get("kafka.sasl.jaas.config")
     val sasl: Option[(String, String)] = (mechOpt, jaas) match {
       case (None, None) => None
+      case (Some("OAUTHBEARER"), Some(j)) =>
+        // the Java client's non-production convention (KIP-255): the
+        // unsecured login module's sub claim IS the principal; no
+        // password exists on this mechanism
+        val sub = "unsecuredLoginStringClaim_sub=\"([^\"]*)\""
+          .r.findFirstMatchIn(j)
+        require(sub.isDefined, "OAUTHBEARER jaas must carry " +
+          "unsecuredLoginStringClaim_sub (the unsecured-bearer principal)")
+        Some((sub.get.group(1), ""))
       case (Some(m), Some(j)) =>
         require(m == "PLAIN" || KafkaWire.Scram.Mechanisms.contains(m),
-          s"kafka-wire driver supports PLAIN/SCRAM-SHA-256/512 via JAAS " +
-            s"options, got $m")
+          s"kafka-wire driver supports PLAIN/SCRAM-SHA-256/512/" +
+            s"OAUTHBEARER via JAAS options, got $m")
         val user = "username=\"([^\"]*)\"".r.findFirstMatchIn(j)
         val pass = "password=\"([^\"]*)\"".r.findFirstMatchIn(j)
         require(user.isDefined && pass.isDefined,

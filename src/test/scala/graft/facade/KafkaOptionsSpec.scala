@@ -44,17 +44,58 @@ class KafkaOptionsSpec extends AnyFunSuite {
     }
   }
 
-  test("GSSAPI and OAUTHBEARER: mechanism only, never an inline JAAS") {
-    // both need external configs (krb5 / token endpoint) — an inline
-    // username/password JAAS would be wrong even when credentials are given
-    for (mech <- Seq(SaslMechanism.Gssapi, SaslMechanism.OauthBearer)) {
-      val opts = securityOptions(SecurityProtocol.SaslSsl,
-        Some(SaslOptions(mech, Some("u"), Some("p"))))
-      assert(opts == Map(
-        "kafka.security.protocol" -> "SASL_SSL",
-        "kafka.sasl.mechanism" -> mech.value))
-      assert(!opts.contains("kafka.sasl.jaas.config"))
-    }
+  test("GSSAPI: mechanism only, never an inline JAAS (needs a krb5 " +
+      "config); OAUTHBEARER: the unsecured login module's sub claim") {
+    val opts = securityOptions(SecurityProtocol.SaslSsl,
+      Some(SaslOptions(SaslMechanism.Gssapi, Some("u"), Some("p"))))
+    assert(opts == Map(
+      "kafka.security.protocol" -> "SASL_SSL",
+      "kafka.sasl.mechanism" -> "GSSAPI"))
+    assert(!opts.contains("kafka.sasl.jaas.config"))
+    // OAUTHBEARER's non-production convention (KIP-255): the username IS
+    // the unsecured-bearer principal; no password rides the JAAS line
+    val oauth = securityOptions(SecurityProtocol.SaslPlaintext,
+      Some(SaslOptions(SaslMechanism.OauthBearer, Some("svc-etl"),
+        Some("ignored"))))
+    assert(oauth == Map(
+      "kafka.security.protocol" -> "SASL_PLAINTEXT",
+      "kafka.sasl.mechanism" -> "OAUTHBEARER",
+      "kafka.sasl.jaas.config" ->
+        ("org.apache.kafka.common.security.oauthbearer." +
+          """OAuthBearerLoginModule required """ +
+          """unsecuredLoginStringClaim_sub="svc-etl";""")))
+    assert(!oauth("kafka.sasl.jaas.config").contains("ignored"),
+      "a password must never leak into the OAUTHBEARER JAAS line")
+  }
+
+  test("facade bounded round-trip over OAUTHBEARER on the wire driver") {
+    val spark = TestSession.spark
+    assume(!SeaStreamer.builtinKafkaPresent)
+    val srv = new graft.kafka.EmbeddedKafka(
+      credentials = Some(("svc-etl", "")))
+    try {
+      val sec = securityOptions(SecurityProtocol.SaslPlaintext,
+        Some(SaslOptions(SaslMechanism.OauthBearer, Some("svc-etl"))))
+      val conn = SeaStreamer.connect(
+        s"kafka://${srv.host}:${srv.port}", spark, sec)
+      import spark.implicits._
+      val df = Seq(
+        ("ev", 0L, 0L, new java.sql.Timestamp(1000), "a".getBytes))
+        .toDF("stream_key", "shard_id", "sequence", "timestamp", "payload")
+      conn.createGenericProducer().send(df)
+      val got = conn.createConsumer(Seq("ev"),
+        SeaStreamer.ConsumerOptions(live = false))
+        .collect().map(r => new String(r.getAs[Array[Byte]]("payload")))
+      assert(got.toSeq == Seq("a"))
+      // the wrong principal is refused across the same full path
+      val bad = securityOptions(SecurityProtocol.SaslPlaintext,
+        Some(SaslOptions(SaslMechanism.OauthBearer, Some("intruder"))))
+      intercept[Exception] {
+        SeaStreamer.connect(s"kafka://${srv.host}:${srv.port}", spark, bad)
+          .createConsumer(Seq("ev"),
+            SeaStreamer.ConsumerOptions(live = false)).collect()
+      }
+    } finally srv.close()
   }
 
   test("custom options pass through verbatim, kafka.-prefixed once") {

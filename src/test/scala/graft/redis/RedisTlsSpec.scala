@@ -74,6 +74,36 @@ class RedisTlsSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("LIVE redis-stream source reads over TLS — the Tls config rides " +
+      "InputPartition serialization to executor tasks") {
+    val spark = graft.TestSession.spark
+    val (server, trust) = TlsChannel.ephemeral
+    val srv = new EmbeddedRedis(tls = Some(server))
+    try {
+      val w = new RedisClient(srv.host, srv.port,
+        tls = Some(RedisClient.Tls(trust)))
+      try (1 to 5).foreach(i =>
+        w.commandS("XADD", "ev", s"$i-1",
+          RedisStreams.DefaultMessageField, s"p$i"))
+      finally w.close()
+      val q = spark.readStream.format("redis-stream")
+        .option("host", srv.host).option("port", srv.port.toString)
+        .option("streams", "ev").option("shards", "1")
+        .option("startingOffsets", "earliest")
+        .option("ssl.truststore.location", trust.truststore)
+        .option("ssl.truststore.password", trust.password)
+        .load()
+        .writeStream.outputMode("append")
+        .format("memory").queryName("rediss_live_sink").start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.table("rediss_live_sink")
+        .collect().map(r => new String(r.getAs[Array[Byte]]("payload")))
+        .sorted.toSeq
+      assert(got == Seq("p1", "p2", "p3", "p4", "p5"),
+        s"live TLS read lost messages: $got")
+    } finally srv.close()
+  }
+
   test("facade rediss:// runs bounded write + read end-to-end over TLS; " +
       "config laws hold") {
     val spark = graft.TestSession.spark
