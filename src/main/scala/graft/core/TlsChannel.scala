@@ -109,12 +109,19 @@ object TlsChannel {
     try {
       // BEFORE the handshake (the ~40 ms Nagle stall, see header)
       s.setTcpNoDelay(true)
+      // the eager handshake READS — it must carry a timeout or a server
+      // that accepts TCP and never answers the ClientHello (wedged
+      // broker, half-open LB backend) hangs every caller forever; the
+      // connect timeout bounds only the TCP connect. Callers re-set
+      // their own soTimeout after construction.
+      s.setSoTimeout(if (connectTimeoutMs > 0) connectTimeoutMs else 30000)
       if (verifyHostname) {
         val params = s.getSSLParameters
         params.setEndpointIdentificationAlgorithm("HTTPS")
         s.setSSLParameters(params)
       }
       s.startHandshake()
+      s.setSoTimeout(0) // restore the blocking default post-handshake
     } catch {
       case e: Throwable =>
         try s.close() catch { case _: Throwable => () }

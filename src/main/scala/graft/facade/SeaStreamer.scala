@@ -191,11 +191,14 @@ object SeaStreamer {
     * kafka builtin driver it passes through verbatim to every reader and
     * writer; the wire driver validates it AT CONNECT against what it
     * actually speaks — all four `security.protocol` modes with
-    * PLAIN/SCRAM-SHA-256/512 credentials ([[graft.kafka.KafkaSecurity]];
-    * GSSAPI/OAUTHBEARER have no inline-JAAS surface and are refused here,
-    * exactly as the reference errors at connect for an unusable security
-    * config); other backends have no security surface and refuse a
-    * non-empty map rather than silently dropping it.
+    * PLAIN/SCRAM-SHA-256/512 credentials or OAUTHBEARER's
+    * unsecured-bearer JAAS ([[graft.kafka.KafkaSecurity]]; GSSAPI has no
+    * inline-JAAS surface and is refused here, exactly as the reference
+    * errors at connect for an unusable security config). `rediss://`
+    * carries its TLS trust material as `redis.ssl.*` keys
+    * ([[graft.redis.RedisSecurity]]); all other backends have no
+    * security surface and refuse a non-empty map rather than silently
+    * dropping it.
     */
   def connect(uri: String, spark: SparkSession,
       security: Map[String, String] = Map.empty): Connection = {
@@ -206,21 +209,26 @@ object SeaStreamer {
     // (sea-streamer-redis/src/connection.rs:131-136) — one backend, two
     // schemes, exactly the reference's dispatch
     val scheme = if (rawScheme == "rediss") "redis" else rawScheme
-    val RedisSslKeys = Set("redis.ssl.truststore.location",
-      "redis.ssl.truststore.password", "redis.ssl.verify.hostname")
+    import graft.redis.RedisSecurity
+    // redis.ssl.* connect keys parse through the ONE shared spelling
+    // (RedisSecurity — also the DataSource's parse side); any malformed
+    // value surfaces as the facade's typed error, never a raw parse
+    // exception
     val redisTls: Option[graft.redis.RedisClient.Tls] =
       if (rawScheme != "rediss") None
-      else Some(graft.redis.RedisClient.Tls(
-        graft.core.TlsChannel.Client(
-          security.getOrElse("redis.ssl.truststore.location",
-            throw SeaStreamErr.Unsupported(
-              "rediss requires redis.ssl.truststore.location")),
-          security.getOrElse("redis.ssl.truststore.password", "")),
-        verifyHostname = security
-          .getOrElse("redis.ssl.verify.hostname", "true").toBoolean))
+      else {
+        val parsed =
+          try RedisSecurity.parse(k =>
+            security.get(RedisSecurity.ConnectPrefix + k))
+          catch { case e: IllegalArgumentException =>
+            throw SeaStreamErr.Unsupported(s"rediss security: ${e.getMessage}")
+          }
+        Some(parsed.getOrElse(throw SeaStreamErr.Unsupported(
+          "rediss requires redis." + RedisSecurity.TruststoreLocation)))
+      }
     if (security.nonEmpty) {
       if (rawScheme == "rediss") {
-        val stray = security.keySet -- RedisSslKeys
+        val stray = security.keySet -- RedisSecurity.ConnectKeys
         if (stray.nonEmpty)
           throw SeaStreamErr.Unsupported(
             s"rediss supports only the redis.ssl.* options, got: " +
@@ -247,13 +255,12 @@ object SeaStreamer {
       security: Map[String, String] = Map.empty,
       redisTls: Option[graft.redis.RedisClient.Tls] = None) {
 
-    /** The rediss options for the `redis-stream` DataSource (live path). */
+    /** The rediss options for the `redis-stream` DataSource (live path) —
+      * emitted by the same [[graft.redis.RedisSecurity]] spelling the
+      * DataSource parses.
+      */
     private def redisTlsOptions: Map[String, String] =
-      redisTls.map { t =>
-        Map("ssl.truststore.location" -> t.conf.truststore,
-          "ssl.truststore.password" -> t.conf.password,
-          "ssl.verify.hostname" -> t.verifyHostname.toString)
-      }.getOrElse(Map.empty)
+      redisTls.map(graft.redis.RedisSecurity.options).getOrElse(Map.empty)
 
     private def stripScheme(n: String): String = {
       val i = n.indexOf("://")

@@ -118,8 +118,16 @@ final class KafkaClient(host: String, port: Int,
   // trips (one for PLAIN's initial response, two for SCRAM's
   // first/final). The constructor owns it so a Session reconnect
   // re-authenticates, exactly like the iggy/redis session handshakes.
+  // An auth failure must CLOSE the (possibly TLS) socket before the
+  // exception escapes: no caller can close a half-constructed client,
+  // and a Session retry loop against rotated credentials would
+  // otherwise orphan one connection per attempt until fd exhaustion.
   sasl.foreach { case (user, pass) =>
-    authenticate(user, pass, saslMechanism)
+    try authenticate(user, pass, saslMechanism)
+    catch { case e: Throwable =>
+      try socket.close() catch { case _: Throwable => () }
+      throw e
+    }
   }
 
   /** One SaslAuthenticate round trip: token out, server's auth bytes back

@@ -50,7 +50,8 @@ object KafkaSecurity {
       case _ => throw new IllegalArgumentException(
         "SASL needs both kafka.sasl.mechanism and kafka.sasl.jaas.config")
     }
-    val proto = get("kafka.security.protocol").map(_.toUpperCase)
+    val proto = get("kafka.security.protocol")
+      .map(_.toUpperCase(java.util.Locale.ROOT))
       .getOrElse(if (sasl.isDefined) "SASL_PLAINTEXT" else "PLAINTEXT")
     require(WireProtocols.contains(proto),
       s"unknown security protocol $proto")

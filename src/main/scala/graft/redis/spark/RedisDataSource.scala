@@ -12,7 +12,7 @@ import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.core.{Envelope, SeaMessage}
-import graft.redis.{RedisClient, RedisClusterClient, RedisSlotMap, RedisSource, RedisStreams, Resp}
+import graft.redis.{RedisClient, RedisClusterClient, RedisSecurity, RedisSlotMap, RedisSource, RedisStreams, Resp}
 import graft.ss.spark.SsRows
 
 /** `spark.readStream.format("redis-stream")` — live micro-batch consumer
@@ -171,16 +171,12 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
   private val claimMinIdleMs = options.getLong("claimMinIdleMs", 60000L)
   private val claimIntervalMs = options.getLong("claimIntervalMs", 30000L)
   private val clusterMode = options.getBoolean("cluster", false)
-  /** `rediss://`'s client half on the options surface: truststore pair +
-    * the reference's disable_hostname_verification knob (spelled
-    * positively); RESP is byte-identical inside the channel.
+  /** `rediss://`'s client half on the options surface
+    * ([[RedisSecurity]] — the one spelling shared with the facade's
+    * emit side); RESP is byte-identical inside the channel.
     */
   private val tls: Option[RedisClient.Tls] =
-    Option(options.get("ssl.truststore.location")).map { loc =>
-      RedisClient.Tls(graft.core.TlsChannel.Client(loc,
-        Option(options.get("ssl.truststore.password")).getOrElse("")),
-        verifyHostname = options.getBoolean("ssl.verify.hostname", true))
-    }
+    RedisSecurity.parse(k => Option(options.get(k)))
 
   private val seeds: Seq[(String, Int)] = {
     val ns = options.get("nodes")

@@ -22,6 +22,7 @@ class StreamQueryServeSpec extends AnyFunSuite {
 
   test("t21 streaming serve == s13 batch serve, zero state, multi-batch, " +
       "DPP kept per batch") {
+    Similarity.s7Layout(spark, dir)
     var batches = 0
     var stateRows = -1L
     val servePlans = scala.collection.mutable.ArrayBuffer.empty[String]
