@@ -116,6 +116,37 @@ class KafkaFaultSpec extends AnyFunSuite {
     }
   }
 
+  test("fault recovery holds over SASL_SSL: a dropped TLS connection " +
+      "re-handshakes, re-authenticates and resumes exactly-once") {
+    // the Session's mkClient closure must carry the FULL security config:
+    // a reconnect that came back plaintext or unauthenticated would be
+    // cut by the listener and read as data loss
+    val (server, trust) = KafkaTls.ephemeral
+    val creds = ("svc", "pw")
+    val srv = new EmbeddedKafka(credentials = Some(creds),
+      tls = Some(server))
+    try {
+      val mk = () => new KafkaClient(srv.host, srv.port,
+        sasl = Some(creds), saslMechanism = KafkaWire.Scram.Sha256,
+        tls = Some(trust))
+      val seed = mk()
+      try {
+        seed.metadata(Seq("t"))
+        (0 until 20).foreach(i =>
+          seed.produce("t", 0, Seq((i.toLong, null, s"m$i".getBytes))))
+      } finally seed.close()
+      srv.dropFetches.set(3)
+      val session = new KafkaClient.Session(mk, backoffMs = 1L)
+      try {
+        val all = KafkaSource.pagedFetch(session, "t", 0, 0L, 20L,
+          maxBytes = 1).toSeq
+        assert(all.map(_.sequence) == (0L until 20L),
+          "a TLS reconnect must deliver every offset exactly once")
+      } finally session.close()
+      assert(srv.dropFetches.get() == 0, "all injected drops were consumed")
+    } finally srv.close()
+  }
+
   test("refused produce replays without duplicates; fatal codes do not retry") {
     withBroker { (srv, seed) =>
       seed.metadata(Seq("t"))

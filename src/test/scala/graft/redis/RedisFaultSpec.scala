@@ -66,6 +66,34 @@ class RedisFaultSpec extends AnyFunSuite {
     }
   }
 
+  test("fault recovery holds over rediss: a dropped TLS connection " +
+      "re-handshakes and resumes the scan cursor exactly-once") {
+    // the Session's mkClient closure must carry the TLS config — a
+    // reconnect that came back plaintext would be cut by the TLS
+    // listener and read as data loss
+    val (server, trust) = graft.core.TlsChannel.ephemeral
+    val srv = new EmbeddedRedis(tls = Some(server))
+    try {
+      val w = new RedisClient(srv.host, srv.port,
+        tls = Some(RedisClient.Tls(trust)))
+      try w.pipeline((0 until 20).map(i =>
+        RedisStreams.xadd("t:0", 1000L + i, s"m$i".getBytes(UTF_8))))
+      finally w.close()
+      srv.dropReads.set(3)
+      val session = new RedisClient.Session(
+        () => new RedisClient(srv.host, srv.port,
+          tls = Some(RedisClient.Tls(trust))), backoffMs = 1L)
+      try {
+        val all = RedisSource.pagedScan(session, "t:0", "t", 0L, batch = 1)
+          .toSeq
+        assert(all.map(m => new String(m.payload, UTF_8)) ==
+          (0 until 20).map(i => s"m$i"),
+          "TLS cursor resume must be exactly-once and in order")
+      } finally session.close()
+      assert(srv.dropReads.get() == 0, "all injected drops were consumed")
+    } finally srv.close()
+  }
+
   test("retries exhausted surfaces a typed backend error, not a hang") {
     withServer { srv =>
       seed(srv, "t:0", 1)
