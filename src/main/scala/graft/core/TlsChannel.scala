@@ -31,12 +31,20 @@ object TlsChannel {
 
   /** Client-side config — plain strings so it rides Spark's
     * `InputPartition` serialization to executors; the SSLContext is built
-    * (and cached) where the socket is opened.
+    * (and cached) where the socket is opened. `keystore` (path, password)
+    * adds a client CERTIFICATE for mutual TLS — the kafka
+    * `ssl.keystore.*` surface.
     */
-  final case class Client(truststore: String, password: String)
+  final case class Client(truststore: String, password: String,
+      keystore: Option[(String, String)] = None)
 
-  /** Listener-side config: PKCS12 keystore holding the key pair. */
-  final case class Server(keystore: String, password: String)
+  /** Listener-side config: PKCS12 keystore holding the key pair.
+    * `clientAuth` (truststore path, password) switches the listener to
+    * MUTUAL TLS: connections must present a certificate chaining to that
+    * truststore or the handshake is refused (`ssl.client.auth=required`).
+    */
+  final case class Server(keystore: String, password: String,
+      clientAuth: Option[(String, String)] = None)
 
   private def loadStore(path: String, password: String): KeyStore = {
     val ks = KeyStore.getInstance("PKCS12")
@@ -50,8 +58,14 @@ object TlsChannel {
     val kmf = KeyManagerFactory.getInstance(
       KeyManagerFactory.getDefaultAlgorithm)
     kmf.init(ks, cfg.password.toCharArray)
+    val tms = cfg.clientAuth.map { case (path, pw) =>
+      val tmf = TrustManagerFactory.getInstance(
+        TrustManagerFactory.getDefaultAlgorithm)
+      tmf.init(loadStore(path, pw))
+      tmf.getTrustManagers
+    }.orNull
     val ctx = SSLContext.getInstance("TLS")
-    ctx.init(kmf.getKeyManagers, null, null)
+    ctx.init(kmf.getKeyManagers, tms, null)
     ctx
   }
 
@@ -61,29 +75,40 @@ object TlsChannel {
     * configuration-sized.
     */
   private val clientContexts =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Long, Long),
+    new java.util.concurrent.ConcurrentHashMap[(Client, Long, Long),
       SSLContext]
 
   private def clientContext(cfg: Client): SSLContext = {
     val f = new java.io.File(cfg.truststore)
     clientContexts.computeIfAbsent(
-      (cfg.truststore, cfg.password, f.length, f.lastModified), _ => {
+      (cfg, f.length, f.lastModified), _ => {
         // trust ONLY the configured truststore — never the JVM default CAs
         val tmf = TrustManagerFactory.getInstance(
           TrustManagerFactory.getDefaultAlgorithm)
         tmf.init(loadStore(cfg.truststore, cfg.password))
+        // a client keystore presents our certificate when the listener
+        // requires mutual TLS
+        val kms = cfg.keystore.map { case (path, pw) =>
+          val kmf = KeyManagerFactory.getInstance(
+            KeyManagerFactory.getDefaultAlgorithm)
+          kmf.init(loadStore(path, pw), pw.toCharArray)
+          kmf.getKeyManagers
+        }.orNull
         val ctx = SSLContext.getInstance("TLS")
-        ctx.init(null, tmf.getTrustManagers, null)
+        ctx.init(kms, tmf.getTrustManagers, null)
         ctx
       })
   }
 
   /** TLS listener socket for the embedded brokers. */
   def serverSocket(cfg: Server, backlog: Int,
-      addr: InetAddress): ServerSocket =
-    serverContext(cfg).getServerSocketFactory
+      addr: InetAddress): ServerSocket = {
+    val s = serverContext(cfg).getServerSocketFactory
       .createServerSocket(0, backlog, addr)
       .asInstanceOf[SSLServerSocket]
+    if (cfg.clientAuth.isDefined) s.setNeedClientAuth(true)
+    s
+  }
 
   /** Connect + handshake a client socket EAGERLY, so trust and
     * endpoint-identification failures surface at construction (where the
@@ -175,4 +200,38 @@ object TlsChannel {
     * untrusting-client law, calls [[generate]] directly).
     */
   lazy val ephemeral: (Server, Client) = generate()
+
+  /** A MUTUAL-TLS set: the [[generate]] server pair plus a client
+    * key pair, cross-trusted — the listener requires certificates
+    * chaining to the client cert (`ssl.client.auth=required`), the
+    * client presents its keystore (`ssl.keystore.*`).
+    */
+  def generateMutual(): (Server, Client) = {
+    val (server, clientTrust) = generate()
+    val dir: Path = Files.createTempDirectory("graft-mtls")
+    dir.toFile.deleteOnExit()
+    val pw = "graft-" + java.util.UUID.randomUUID().toString.take(8)
+    val clientKeys = dir.resolve("client.p12").toString
+    val clientCert = dir.resolve("client.pem").toString
+    val serverTrustsClient = dir.resolve("clients.p12").toString
+    def keytool(args: String*): Unit = {
+      val p = new ProcessBuilder(("keytool" +: args): _*)
+        .redirectErrorStream(true).start()
+      val outBytes = p.getInputStream.readAllBytes()
+      if (p.waitFor() != 0)
+        throw new IllegalStateException("keytool failed: " +
+          new String(outBytes, java.nio.charset.StandardCharsets.UTF_8))
+    }
+    keytool("-genkeypair", "-alias", "client", "-keyalg", "EC",
+      "-groupname", "secp256r1", "-dname", "CN=graft-client",
+      "-validity", "2", "-storetype", "PKCS12",
+      "-keystore", clientKeys, "-storepass", pw, "-keypass", pw)
+    keytool("-exportcert", "-alias", "client", "-keystore", clientKeys,
+      "-storepass", pw, "-rfc", "-file", clientCert)
+    keytool("-importcert", "-alias", "client", "-noprompt",
+      "-storetype", "PKCS12", "-keystore", serverTrustsClient,
+      "-storepass", pw, "-file", clientCert)
+    (server.copy(clientAuth = Some((serverTrustsClient, pw))),
+      clientTrust.copy(keystore = Some((clientKeys, pw))))
+  }
 }

@@ -63,8 +63,12 @@ object KafkaSecurity {
         val loc = get("kafka.ssl.truststore.location")
           .getOrElse(throw new IllegalArgumentException(
             s"$proto requires kafka.ssl.truststore.location"))
+        // ssl.keystore.* presents a client certificate — mutual TLS
+        // against an `ssl.client.auth=required` listener
+        val keystore = get("kafka.ssl.keystore.location").map(ks =>
+          (ks, get("kafka.ssl.keystore.password").getOrElse("")))
         Some(graft.core.TlsChannel.Client(loc,
-          get("kafka.ssl.truststore.password").getOrElse("")))
+          get("kafka.ssl.truststore.password").getOrElse(""), keystore))
       } else None
     Wire(sasl, mechOpt.getOrElse("PLAIN"), tls)
   }

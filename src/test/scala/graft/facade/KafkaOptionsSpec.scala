@@ -68,6 +68,34 @@ class KafkaOptionsSpec extends AnyFunSuite {
       "a password must never leak into the OAUTHBEARER JAAS line")
   }
 
+  test("facade over MUTUAL TLS: ssl.keystore.* rides the custom-option " +
+      "passthrough into the wire driver") {
+    val spark = TestSession.spark
+    assume(!SeaStreamer.builtinKafkaPresent)
+    val (server, client) = graft.core.TlsChannel.generateMutual()
+    val srv = new graft.kafka.EmbeddedKafka(tls = Some(server))
+    try {
+      // the reference surface for client certs is librdkafka's custom
+      // options (add_custom_option passthrough) — same shape here
+      val sec = securityOptions(SecurityProtocol.Ssl,
+        ssl = Some(SslOptions(client.truststore, Some(client.password))),
+        custom = Map(
+          "ssl.keystore.location" -> client.keystore.get._1,
+          "ssl.keystore.password" -> client.keystore.get._2))
+      val conn = SeaStreamer.connect(
+        s"kafka://${srv.host}:${srv.port}", spark, sec)
+      import spark.implicits._
+      val df = Seq(
+        ("ev", 0L, 0L, new java.sql.Timestamp(1000), "a".getBytes))
+        .toDF("stream_key", "shard_id", "sequence", "timestamp", "payload")
+      conn.createGenericProducer().send(df)
+      val got = conn.createConsumer(Seq("ev"),
+        SeaStreamer.ConsumerOptions(live = false))
+        .collect().map(r => new String(r.getAs[Array[Byte]]("payload")))
+      assert(got.toSeq == Seq("a"), "mTLS bounded round-trip lost messages")
+    } finally srv.close()
+  }
+
   test("facade bounded round-trip over OAUTHBEARER on the wire driver") {
     val spark = TestSession.spark
     assume(!SeaStreamer.builtinKafkaPresent)

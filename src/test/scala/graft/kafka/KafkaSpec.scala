@@ -84,6 +84,37 @@ class KafkaSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("mutual TLS: an ssl.client.auth=required listener serves only " +
+      "clients presenting a trusted certificate") {
+    val (server, client) = graft.core.TlsChannel.generateMutual()
+    val srv = new EmbeddedKafka(tls = Some(server))
+    try {
+      // certificate presented: full round trip
+      val c = new KafkaClient(srv.host, srv.port, tls = Some(client))
+      try {
+        assert(c.tlsProtocol.exists(_.startsWith("TLSv1")))
+        assert(c.produce("t", 0, Seq((1L, null, "x".getBytes))) == 0L)
+      } finally c.close()
+      // trusting client WITHOUT a certificate: refused. Under TLS 1.3
+      // the server's certificate_required alert can land at the
+      // handshake OR on the first read after it — either way no kafka
+      // bytes are ever served
+      val bare = client.copy(keystore = None)
+      intercept[Exception] {
+        val c2 = new KafkaClient(srv.host, srv.port, tls = Some(bare))
+        try c2.apiVersions() finally c2.close()
+      }
+      // a certificate the listener does NOT trust (fresh key pair) is
+      // equally refused — client auth verifies the chain, not presence
+      val (_, rogue) = graft.core.TlsChannel.generateMutual()
+      val rogueCert = client.copy(keystore = rogue.keystore)
+      intercept[Exception] {
+        val c3 = new KafkaClient(srv.host, srv.port, tls = Some(rogueCert))
+        try c3.apiVersions() finally c3.close()
+      }
+    } finally srv.close()
+  }
+
   test("SASL_SSL: the KIP-152 SCRAM exchange runs unchanged inside the " +
       "TLS channel; bad credentials still fail typed over TLS") {
     val (server, trust) = KafkaTls.ephemeral
