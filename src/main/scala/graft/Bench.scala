@@ -307,6 +307,33 @@ object Bench {
       } finally srv.close()
     }
 
+    // the SAME kafka workload over TLS — the receipt behind BENCH_SF1's
+    // "encryption rides AES-GCM at memory speed" note: the delta vs the
+    // plaintext pair above is the whole bulk-encryption + per-connection
+    // handshake price at 100k × 256 B
+    {
+      val (tlsServer, tlsClient) = graft.core.TlsChannel.ephemeral
+      val srv = new graft.kafka.EmbeddedKafka(tls = Some(tlsServer))
+      try {
+        val env = spark.range(100000)
+          .select(
+            lit("bench").as("stream_key"),
+            (col("id") % 4).as("shard_id"),
+            col("id").as("sequence"),
+            timestamp_millis(lit(1700000000000L) + col("id")).as("timestamp"),
+            lit(payload.getBytes("UTF-8")).as("payload"))
+        timed("xp_kafka_tls_produce_100k") {
+          graft.kafka.KafkaSource.write(env, srv.host, srv.port,
+            tls = Some(tlsClient))
+        }
+        timed("xp_kafka_tls_consume_100k") {
+          val n = graft.kafka.KafkaSource.boundedRead(spark, srv.host,
+            srv.port, Seq("bench"), tls = Some(tlsClient)).count()
+          require(n == 100000L, s"expected 100k kafka TLS messages, got $n")
+        }
+      } finally srv.close()
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
