@@ -334,6 +334,32 @@ object Bench {
       } finally srv.close()
     }
 
+    // the SAME kafka workload with gzip batch compression — the codec's
+    // CPU price vs the plaintext pair, and the wire-byte saving that buys
+    // at 100 TB (the 256-B repetitive payload compresses ~10×; cross-rack
+    // replication and long-haul mirroring pay bytes, not CPU)
+    {
+      val srv = new graft.kafka.EmbeddedKafka
+      try {
+        val env = spark.range(100000)
+          .select(
+            lit("bench").as("stream_key"),
+            (col("id") % 4).as("shard_id"),
+            col("id").as("sequence"),
+            timestamp_millis(lit(1700000000000L) + col("id")).as("timestamp"),
+            lit(payload.getBytes("UTF-8")).as("payload"))
+        timed("xp_kafka_gzip_produce_100k") {
+          graft.kafka.KafkaSource.write(env, srv.host, srv.port,
+            compression = "gzip")
+        }
+        timed("xp_kafka_gzip_consume_100k") {
+          val n = graft.kafka.KafkaSource.boundedRead(spark, srv.host,
+            srv.port, Seq("bench")).count()
+          require(n == 100000L, s"expected 100k kafka gzip messages, got $n")
+        }
+      } finally srv.close()
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum

@@ -871,7 +871,12 @@ object SeaStreamer {
           val sec = graft.kafka.KafkaSecurity.parse(security)
           graft.kafka.KafkaSource.write(out, host, port,
             sasl = sec.sasl, saslMechanism = sec.saslMechanism,
-            tls = sec.tls)
+            tls = sec.tls,
+            // the reference producer's compression.type option
+            // (sea-streamer-kafka/src/producer.rs:85-86) through the same
+            // kafka.-prefixed passthrough the builtin connector uses
+            compression =
+              security.getOrElse("kafka.compression.type", "none"))
         case "redis" =>
           val (host, port) = SeaStreamer.hostPort(node, 6379)
           // multi-node URI = cluster: keys routed to their slot owners

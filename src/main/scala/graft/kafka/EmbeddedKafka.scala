@@ -93,6 +93,17 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4,
   /** topic -> partitions (each an append-only log). */
   private val topics =
     new ConcurrentHashMap[String, Array[Partition]]()
+
+  /** Codec bits of each stored batch, in log order — test hook for the
+    * producer-compression-preserved law (real brokers keep producer
+    * compression on the log under the compression.type=producer default).
+    */
+  private[graft] def storedBatchCodecs(topic: String, partition: Int): Seq[Int] =
+    topics.get(topic) match {
+      case null => Seq.empty
+      case t => t(partition).synchronized(
+        t(partition).batches.map(b => KafkaWire.batchCodec(b._2)).toSeq)
+    }
   /** "group/topic/partition" -> committed offset (= next to read). */
   private val groupOffsets =
     new ConcurrentHashMap[String, java.lang.Long]()
@@ -540,11 +551,16 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4,
                 recs.foreach(rec =>
                   part.records += Stored(rec.tsMs, rec.key, rec.value))
                 // store the batch re-encoded at its ASSIGNED base offset
-                // (what a real log segment holds); served verbatim by Fetch
+                // (what a real log segment holds); served verbatim by
+                // Fetch, PRESERVING the producer's compression codec —
+                // real brokers keep producer compression on the log
+                // (compression.type=producer default) rather than
+                // recompressing
                 if (recs.nonEmpty)
                   part.batches += ((b, KafkaWire.encodeBatch(
                     recs.zipWithIndex.map { case (rc, i) =>
-                      KRecord(b + i, rc.tsMs, rc.key, rc.value) })))
+                      KRecord(b + i, rc.tsMs, rc.key, rc.value) },
+                    KafkaWire.batchCodec(recordSet))))
                 b
               }
               www.i16(Err.None).i64(base).i64(-1L) // log_append_time: create-time

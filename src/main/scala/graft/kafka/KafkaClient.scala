@@ -305,11 +305,12 @@ final class KafkaClient(host: String, port: Int,
     * the caller's event times (create-time semantics).
     */
   def produce(topic: String, partition: Int,
-      records: Seq[(Long, Array[Byte], Array[Byte])]): Long = {
+      records: Seq[(Long, Array[Byte], Array[Byte])],
+      codec: Int = KafkaWire.Codec.None): Long = {
     require(records.nonEmpty, "produce: empty batch")
     val batch = KafkaWire.encodeBatch(records.zipWithIndex.map {
       case ((tsMs, key, value), i) => KRecord(i.toLong, tsMs, key, value)
-    })
+    }, codec)
     val r = call(Api.Produce) { w =>
       w.nullableStr(null) // transactional_id
       w.i16(-1)           // acks = all

@@ -136,7 +136,10 @@ object KafkaSource {
       batchSize: Int = 1000,
       sasl: Option[(String, String)] = None,
       saslMechanism: String = "PLAIN",
-      tls: Option[KafkaTls.Client] = None): Unit = {
+      tls: Option[KafkaTls.Client] = None,
+      compression: String = "none"): Unit = {
+    // fail on an unknown/unsupported codec BEFORE any executor work
+    val codec = KafkaWire.Codec.of(compression)
     import df.sparkSession.implicits._
     import org.apache.spark.sql.functions.{col, lit, pmod}
     df.select("stream_key", "shard_id", "timestamp", "payload")
@@ -170,7 +173,8 @@ object KafkaSource {
                       s"topic $topic has ${parts.size} partitions, need $partitions")
                   }
                   session.retrying(s"produce $topic/$part")(_.produce(topic,
-                    part, rs.map(r => (r._3.getTime, null: Array[Byte], r._4))))
+                    part, rs.map(r => (r._3.getTime, null: Array[Byte], r._4)),
+                    codec))
               }
             }
           } finally session.close()

@@ -403,23 +403,48 @@ object KafkaWire {
     val Overhead = 61       // first record starts here
   }
 
-  /** Encode records (ascending offsets) as ONE v2 batch. No compression
-    * (attributes 0), no producer id (idempotence is the checkpoint's job in
-    * this engine — SURVEY §2.6).
+  /** Batch compression codecs (attributes bits 0–2 of the v2 layout; the
+    * reference's `compression.type` producer option,
+    * sea-streamer-kafka/src/producer.rs:52,85-86,311-317). The wire driver
+    * speaks none and gzip end-to-end (gzip is the one codec the JDK
+    * carries); snappy/lz4/zstd are refused loudly at option parse AND at
+    * batch decode — never a silent misread of a compressed payload.
     */
-  def encodeBatch(records: Seq[KRecord]): Array[Byte] = {
+  object Codec {
+    val None = 0
+    val Gzip = 1
+    /** `compression.type` value → attributes codec bits. */
+    def of(name: String): Int = name.toLowerCase(java.util.Locale.ROOT) match {
+      case "none" => None
+      case "gzip" => Gzip
+      case other => throw new IllegalArgumentException(
+        s"compression.type $other: the wire driver speaks none/gzip " +
+          "(snappy/lz4/zstd need codec libraries the JDK does not carry)")
+    }
+  }
+
+  /** The codec bits of the FIRST batch in a record set (0 for empty) —
+    * what a broker preserving producer compression keys off. */
+  def batchCodec(recordSet: Array[Byte]): Int =
+    if (recordSet == null || recordSet.length < Batch.Attributes + 2) Codec.None
+    else ((recordSet(Batch.Attributes) & 0xff) << 8 |
+      (recordSet(Batch.Attributes + 1) & 0xff)) & 0x7
+
+  /** Encode records (ascending offsets) as ONE v2 batch. Per the published
+    * layout, compression covers the serialized records only — the 61-byte
+    * batch header (through the record count) stays plain so brokers can
+    * read offsets/counts without inflating — and the CRC32C is computed
+    * over the compressed bytes. No producer id (idempotence is the
+    * checkpoint's job in this engine — SURVEY §2.6).
+    */
+  def encodeBatch(records: Seq[KRecord],
+      codec: Int = Codec.None): Array[Byte] = {
     require(records.nonEmpty, "empty batch")
+    require(codec == Codec.None || codec == Codec.Gzip,
+      s"unsupported batch codec $codec (none/gzip)")
     val baseOffset = records.head.offset
     val baseTs = records.head.tsMs
-    val body = new Writer // attributes .. records (the CRC'd region)
-    body.i16(0) // attributes: no compression, create-time timestamps
-    body.i32((records.last.offset - baseOffset).toInt) // lastOffsetDelta
-    body.i64(baseTs)
-    body.i64(records.map(_.tsMs).max)
-    body.i64(-1L) // producerId
-    body.i16(-1)  // producerEpoch
-    body.i32(-1)  // baseSequence
-    body.i32(records.length)
+    val recs = new Writer // the records blob (the compressible region)
     records.foreach { r =>
       val rec = new Writer
       rec.i8(0) // record attributes
@@ -431,9 +456,27 @@ object KafkaWire {
       else { rec.varint(r.value.length); rec.raw(r.value) }
       rec.varint(0) // headers
       val recBytes = rec.result()
-      body.varint(recBytes.length)
-      body.raw(recBytes)
+      recs.varint(recBytes.length)
+      recs.raw(recBytes)
     }
+    val recordBytes =
+      if (codec == Codec.None) recs.result()
+      else {
+        val bos = new java.io.ByteArrayOutputStream
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(recs.result()); gz.close()
+        bos.toByteArray
+      }
+    val body = new Writer // attributes .. records (the CRC'd region)
+    body.i16(codec) // attributes: codec bits 0-2, create-time timestamps
+    body.i32((records.last.offset - baseOffset).toInt) // lastOffsetDelta
+    body.i64(baseTs)
+    body.i64(records.map(_.tsMs).max)
+    body.i64(-1L) // producerId
+    body.i16(-1)  // producerEpoch
+    body.i32(-1)  // baseSequence
+    body.i32(records.length)
+    body.raw(recordBytes)
     val crcRegion = body.result()
     val crc = new java.util.zip.CRC32C
     crc.update(crcRegion)
@@ -471,32 +514,46 @@ object KafkaWire {
       if (crc.getValue.toInt != crcStored)
         throw CorruptBatchException(at, crcStored, crc.getValue.toInt)
       val attributes = r.i16v()
-      require((attributes & 0x7) == 0, "compressed batches not supported")
+      val codec = attributes & 0x7
+      require(codec == Codec.None || codec == Codec.Gzip,
+        s"batch codec $codec not supported (none/gzip; snappy/lz4/zstd " +
+          "need codec libraries the JDK does not carry)")
       r.i32() // lastOffsetDelta
       val baseTs = r.i64()
       r.i64() // maxTimestamp
       r.i64(); r.i16v(); r.i32() // producerId/epoch/baseSequence
       val count = r.i32()
       val isControl = (attributes & 0x20) != 0
+      // compressed batches: inflate the records region (everything after
+      // the 61-byte plain header) and parse the same record layout from
+      // the inflated blob; CRC above already verified the compressed bytes
+      val rr =
+        if (codec == Codec.None) r
+        else {
+          val compressed = r.rawBytes(at + 12 + batchLength - r.position)
+          val gz = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(compressed))
+          new Reader(gz.readAllBytes(), 0)
+        }
       var i = 0
       while (i < count) {
-        val len = r.varint()
-        val end = r.position + len
-        r.i8() // record attributes
-        val tsDelta = r.varlong()
-        val offDelta = r.varint()
-        val keyLen = r.varint()
-        val key = if (keyLen < 0) null else r.rawBytes(keyLen)
-        val valLen = r.varint()
-        val value = if (valLen < 0) null else r.rawBytes(valLen)
-        val headers = r.varint()
+        val len = rr.varint()
+        val end = rr.position + len
+        rr.i8() // record attributes
+        val tsDelta = rr.varlong()
+        val offDelta = rr.varint()
+        val keyLen = rr.varint()
+        val key = if (keyLen < 0) null else rr.rawBytes(keyLen)
+        val valLen = rr.varint()
+        val value = if (valLen < 0) null else rr.rawBytes(valLen)
+        val headers = rr.varint()
         var h = 0
         while (h < headers) { // skip headers
-          val kl = r.varint(); r.rawBytes(kl)
-          val vl = r.varint(); if (vl >= 0) r.rawBytes(vl)
+          val kl = rr.varint(); rr.rawBytes(kl)
+          val vl = rr.varint(); if (vl >= 0) rr.rawBytes(vl)
           h += 1
         }
-        require(r.position == end, s"record length mismatch at batch $at record $i")
+        require(rr.position == end, s"record length mismatch at batch $at record $i")
         if (!isControl)
           out += KRecord(baseOffset + offDelta, baseTs + tsDelta, key, value)
         i += 1

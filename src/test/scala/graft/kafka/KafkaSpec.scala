@@ -323,6 +323,30 @@ class KafkaSpec extends AnyFunSuite {
     }
   }
 
+  test("gzip produce: records round-trip over the socket, the log keeps " +
+      "the producer's codec, and a plain consumer never notices") {
+    withBroker { (srv, c) =>
+      c.metadata(Seq("t"))
+      // gzip and plain batches interleave in one partition's log — the
+      // broker stores each AS PRODUCED (compression.type=producer default)
+      assert(c.produce("t", 1,
+        (0 until 50).map(i => (i * 10L, null, s"payload $i padding".getBytes)),
+        KafkaWire.Codec.Gzip) == 0L)
+      assert(c.produce("t", 1, Seq((999L, null, "plain".getBytes))) == 50L)
+      assert(srv.storedBatchCodecs("t", 1) ==
+        Seq(KafkaWire.Codec.Gzip, KafkaWire.Codec.None))
+      // the SAME fetch path decodes both transparently
+      val (hw, recs) = c.fetch("t", 1, 0L)
+      assert(hw == 51L && recs.size == 51)
+      assert(recs.map(_.offset) == (0L to 50L))
+      assert(new String(recs(7).value) == "payload 7 padding")
+      assert(new String(recs(50).value) == "plain")
+      // mid-offset fetch still lands inside the compressed batch: the
+      // broker serves the whole stored batch, the client trims the prefix
+      assert(c.fetch("t", 1, 30L)._2.map(_.offset) == (30L to 50L))
+    }
+  }
+
   test("fetch from a mid offset starts exactly there") {
     withBroker { (_, c) =>
       c.metadata(Seq("t"))

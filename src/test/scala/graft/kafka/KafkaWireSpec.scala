@@ -120,4 +120,67 @@ class KafkaWireSpec extends AnyFunSuite {
     wb.nullableBytes(null)
     assert(wb.result().toSeq == Seq.fill(4)(0xff.toByte))
   }
+
+  // ---- compression (attributes bits 0-2; the reference's
+  //      compression.type producer option, producer.rs:85-86) ----
+
+  test("gzip batch: codec bit set, plain 61-byte header, gzip magic, " +
+    "CRC over the compressed bytes, decode inverts") {
+    val recs = Seq(
+      KRecord(40L, 1700000000000L, null, ("lorem " * 40).getBytes),
+      KRecord(41L, 1700000000100L, "k".getBytes, ("ipsum " * 40).getBytes),
+      KRecord(42L, 1700000000200L, null, null))
+    val b = KafkaWire.encodeBatch(recs, KafkaWire.Codec.Gzip)
+    // attributes = 1 (gzip), header layout unchanged: count 3 at 57
+    assert(java.nio.ByteBuffer.wrap(b, Batch.Attributes, 2).getShort == 1)
+    assert(KafkaWire.batchCodec(b) == KafkaWire.Codec.Gzip)
+    assert(java.nio.ByteBuffer.wrap(b, 57, 4).getInt == 3)
+    // the records region starts with the RFC 1952 gzip magic 1f 8b
+    assert((b(Batch.Overhead) & 0xff) == 0x1f &&
+      (b(Batch.Overhead + 1) & 0xff) == 0x8b)
+    // CRC32C at 17 covers [attributes, end) OVER THE COMPRESSED BYTES
+    val crc = new java.util.zip.CRC32C
+    crc.update(b, Batch.Attributes, b.length - Batch.Attributes)
+    assert(java.nio.ByteBuffer.wrap(b, Batch.Crc, 4).getInt == crc.getValue.toInt)
+    val got = KafkaWire.decodeBatches(b)
+    assert(got.map(_.offset) == Seq(40L, 41L, 42L))
+    assert(got.map(_.tsMs) == recs.map(_.tsMs))
+    assert(new String(got(0).value) == "lorem " * 40)
+    assert(new String(got(1).key) == "k" && got(2).value == null)
+    // and compressible payloads actually shrink on the wire
+    assert(b.length < KafkaWire.encodeBatch(recs).length / 2)
+  }
+
+  test("plain and gzip batches interleave in one record set") {
+    val p = KafkaWire.encodeBatch(Seq(KRecord(0L, 10L, null, "a".getBytes)))
+    val g = KafkaWire.encodeBatch(
+      Seq(KRecord(1L, 20L, null, "b".getBytes)), KafkaWire.Codec.Gzip)
+    val got = KafkaWire.decodeBatches(p ++ g)
+    assert(got.map(r => (r.offset, new String(r.value))) ==
+      Seq((0L, "a"), (1L, "b")))
+    assert(KafkaWire.batchCodec(p) == 0 && KafkaWire.batchCodec(p ++ g) == 0)
+  }
+
+  test("corruption inside the compressed region fails the batch CRC loudly") {
+    val b = KafkaWire.encodeBatch(
+      Seq(KRecord(0L, 10L, null, ("x" * 100).getBytes)), KafkaWire.Codec.Gzip)
+    b(Batch.Overhead + 12) = (b(Batch.Overhead + 12) ^ 0x40).toByte
+    assertThrows[KafkaWire.CorruptBatchException](KafkaWire.decodeBatches(b))
+  }
+
+  test("snappy/lz4/zstd refused loudly at option parse AND batch decode") {
+    assert(KafkaWire.Codec.of("none") == 0 && KafkaWire.Codec.of("GZIP") == 1)
+    for (name <- Seq("snappy", "lz4", "zstd"))
+      assertThrows[IllegalArgumentException](KafkaWire.Codec.of(name))
+    // a batch whose attributes claim codec 2 (snappy) must be refused at
+    // decode, not misread: rewrite attributes and re-stamp the CRC so the
+    // refusal is the codec check itself
+    val b = KafkaWire.encodeBatch(Seq(KRecord(0L, 10L, null, "a".getBytes)))
+    b(Batch.Attributes + 1) = 2
+    val crc = new java.util.zip.CRC32C
+    crc.update(b, Batch.Attributes, b.length - Batch.Attributes)
+    java.nio.ByteBuffer.wrap(b, Batch.Crc, 4).putInt(crc.getValue.toInt)
+    val e = intercept[IllegalArgumentException](KafkaWire.decodeBatches(b))
+    assert(e.getMessage.contains("codec 2"))
+  }
 }
