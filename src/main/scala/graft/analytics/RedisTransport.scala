@@ -3,7 +3,7 @@ package graft.analytics
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.redis.{EmbeddedRedis, RedisGroupConsumer, RedisSource}
+import graft.redis.{EmbeddedRedis, RedisClient, RedisGroupConsumer, RedisSource}
 
 /** Redis-backend queries under the DuckDB oracle gate: each round-trips the
   * `events` table through the embedded RESP server — pipelined XADD producer
@@ -34,8 +34,18 @@ object RedisTransport {
   /** Far enough that every re-sent entry id sorts after the backlog. */
   private val LatestShiftMs = 6311520000000L // ≈ 200 years
 
+  /** r1–r7 run WITH authentication on — every connection the producer,
+    * bounded reader, micro-batch source and group consumer open AUTHs
+    * first (the k-family's run-with-security-on discipline, here with the
+    * reference's username/password connect options).
+    */
+  private val OracleUser = "oracle"
+  private val OraclePass = "r-family-gate"
+  private[analytics] val OracleAuth =
+    Some(RedisClient.Auth(Some(OracleUser), OraclePass))
+
   private def withServer[T](f: EmbeddedRedis => T): T = {
-    val srv = new EmbeddedRedis
+    val srv = new EmbeddedRedis(auth = Some((OracleUser, OraclePass)))
     try f(srv) finally srv.close()
   }
 
@@ -48,9 +58,10 @@ object RedisTransport {
     "r1_redis_roundtrip" -> { (s, dir) =>
       withServer { srv =>
         val t = Tables(s, dir)
-        RedisSource.write(Transport.envelopeOf(t), srv.host, srv.port)
+        RedisSource.write(Transport.envelopeOf(t), srv.host, srv.port,
+          auth = OracleAuth)
         val replay = RedisSource.boundedRead(s, srv.host, srv.port,
-          allShards(4)).localCheckpoint(true)
+          allShards(4), auth = OracleAuth).localCheckpoint(true)
         Transport.aggregate(replay, withDistinct = true)
       }
     },
@@ -67,10 +78,11 @@ object RedisTransport {
         // law is that Latest sees none of it), so a 1/10 sample per key
         // keeps the wire cost at one pass instead of two
         RedisSource.write(env.filter(pmod(col("sequence"), lit(10)) === 0),
-          srv.host, srv.port)
+          srv.host, srv.port, auth = OracleAuth)
         val q = Transport.aggregate(
           s.readStream.format("redis-stream")
             .option("host", srv.host).option("port", srv.port.toString)
+            .option("username", OracleUser).option("password", OraclePass)
             .option("streams", Transport.eventTypes.mkString(","))
             .option("shards", "4")
             .option("startingOffsets", "latest")
@@ -82,7 +94,7 @@ object RedisTransport {
           RedisSource.write(
             env.withColumn("timestamp",
               timestamp_millis(unix_millis(col("timestamp")) + LatestShiftMs)),
-            srv.host, srv.port)
+            srv.host, srv.port, auth = OracleAuth)
           q.processAllAvailable()
         } finally q.stop()
         s.table("r2_redis_latest_sink")
@@ -97,9 +109,9 @@ object RedisTransport {
         val env = graft.ops.Sharders.applyShard(
           Transport.envelopeOf(Tables(s, dir)),
           graft.ops.Sharders.roundRobin(3))
-        RedisSource.write(env, srv.host, srv.port)
+        RedisSource.write(env, srv.host, srv.port, auth = OracleAuth)
         val back = RedisSource.boundedRead(s, srv.host, srv.port,
-          allShards(3)).localCheckpoint(true)
+          allShards(3), auth = OracleAuth).localCheckpoint(true)
         back
           .withColumn("j", from_json(col("payload").cast("string"),
             org.apache.spark.sql.types.StructType.fromDDL(
@@ -123,9 +135,11 @@ object RedisTransport {
           .agg(min(unix_millis(col("ts"))).as("lo"),
             max(unix_millis(col("ts"))).as("hi")).head()
         val cutoff = (bounds.getLong(0) + bounds.getLong(1)) / 2
-        RedisSource.write(Transport.envelopeOf(t), srv.host, srv.port)
+        RedisSource.write(Transport.envelopeOf(t), srv.host, srv.port,
+          auth = OracleAuth)
         val sought = RedisSource.boundedRead(s, srv.host, srv.port,
-          allShards(4), afterMs = Some(cutoff)).localCheckpoint(true)
+          allShards(4), afterMs = Some(cutoff),
+          auth = OracleAuth).localCheckpoint(true)
         Transport.aggregate(sought, withDistinct = false)
       }
     },
@@ -140,10 +154,12 @@ object RedisTransport {
       withServer { srv =>
         val t = Tables(s, dir)
         val cap = math.max(1000L, t.events.count() / 4)
-        RedisSource.write(Transport.envelopeOf(t), srv.host, srv.port)
+        RedisSource.write(Transport.envelopeOf(t), srv.host, srv.port,
+          auth = OracleAuth)
         val q = Transport.aggregate(
           s.readStream.format("redis-stream")
             .option("host", srv.host).option("port", srv.port.toString)
+            .option("username", OracleUser).option("password", OraclePass)
             .option("streams", Transport.eventTypes.mkString(","))
             .option("shards", "4")
             .option("startingOffsets", "earliest")
@@ -165,13 +181,16 @@ object RedisTransport {
     "r6_redis_group_recovery" -> { (s, dir) =>
       withServer { srv =>
         val t = Tables(s, dir)
-        RedisSource.write(Transport.envelopeOf(t), srv.host, srv.port)
+        RedisSource.write(Transport.envelopeOf(t), srv.host, srv.port,
+          auth = OracleAuth)
         val dead = new RedisGroupConsumer(srv.host, srv.port,
-          "click", 0L, sharded = true, "g_oracle", "dead-consumer")
+          "click", 0L, sharded = true, "g_oracle", "dead-consumer",
+          auth = OracleAuth)
         try { dead.create(); dead.fetch(100) } finally dead.close()
         val q = Transport.aggregate(
           s.readStream.format("redis-stream")
             .option("host", srv.host).option("port", srv.port.toString)
+            .option("username", OracleUser).option("password", OraclePass)
             .option("streams", Transport.eventTypes.mkString(","))
             .option("shards", "4")
             .option("startingOffsets", "earliest")
@@ -198,9 +217,10 @@ object RedisTransport {
       // crossing backends: .ss container -> redis streams -> aggregate,
       // so the oracle pins BOTH codecs plus the envelope invariants that
       // survive the hop (key/shard/ms-timestamp/payload)
-      RedisSource.write(s.read.format("ss").load(out), srv.host, srv.port)
+      RedisSource.write(s.read.format("ss").load(out), srv.host, srv.port,
+        auth = OracleAuth)
       val replay = RedisSource.boundedRead(s, srv.host, srv.port,
-        allShards(4)).localCheckpoint(true)
+        allShards(4), auth = OracleAuth).localCheckpoint(true)
       Transport.aggregate(replay, withDistinct = true)
     }
   }

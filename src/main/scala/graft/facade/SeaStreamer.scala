@@ -226,13 +226,31 @@ object SeaStreamer {
         Some(parsed.getOrElse(throw SeaStreamErr.Unsupported(
           "rediss requires redis." + RedisSecurity.TruststoreLocation)))
       }
+    // AUTH credentials — the reference's username/password connect options
+    // (sea-streamer-redis/src/streamer.rs:23-24,140-152), valid on BOTH
+    // redis:// and rediss:// (credentials and encryption are orthogonal)
+    val redisAuth: Option[graft.redis.RedisClient.Auth] =
+      if (scheme != "redis") None
+      else
+        try RedisSecurity.parseAuth(k =>
+          security.get(RedisSecurity.ConnectPrefix + k))
+        catch { case e: IllegalArgumentException =>
+          throw SeaStreamErr.Unsupported(s"redis security: ${e.getMessage}")
+        }
     if (security.nonEmpty) {
-      if (rawScheme == "rediss") {
-        val stray = security.keySet -- RedisSecurity.ConnectKeys
+      if (scheme == "redis") {
+        val allowed =
+          if (rawScheme == "rediss") RedisSecurity.ConnectKeys
+          else Set(RedisSecurity.ConnectPrefix + RedisSecurity.Username,
+            RedisSecurity.ConnectPrefix + RedisSecurity.Password)
+        val stray = security.keySet -- allowed
         if (stray.nonEmpty)
           throw SeaStreamErr.Unsupported(
-            s"rediss supports only the redis.ssl.* options, got: " +
-              stray.toSeq.sorted.mkString(", "))
+            (if (rawScheme == "rediss")
+              s"rediss supports only the redis.ssl.*/credential options"
+            else s"redis supports only the credential options " +
+              "(redis.username/redis.password; TLS needs rediss://)") +
+              s", got: " + stray.toSeq.sorted.mkString(", "))
       } else if (scheme != "kafka")
         throw SeaStreamErr.Unsupported(
           s"security options on the '$scheme' backend")
@@ -247,20 +265,23 @@ object SeaStreamer {
         }
       }
     }
-    new Connection(spark, scheme, streamer, security, redisTls)
+    new Connection(spark, scheme, streamer, security, redisTls, redisAuth)
   }
 
   final class Connection(
       spark: SparkSession, scheme: String, streamer: StreamerUri,
       security: Map[String, String] = Map.empty,
-      redisTls: Option[graft.redis.RedisClient.Tls] = None) {
+      redisTls: Option[graft.redis.RedisClient.Tls] = None,
+      redisAuth: Option[graft.redis.RedisClient.Auth] = None) {
 
     /** The rediss options for the `redis-stream` DataSource (live path) —
       * emitted by the same [[graft.redis.RedisSecurity]] spelling the
       * DataSource parses.
       */
     private def redisTlsOptions: Map[String, String] =
-      redisTls.map(graft.redis.RedisSecurity.options).getOrElse(Map.empty)
+      redisTls.map(graft.redis.RedisSecurity.options).getOrElse(Map.empty) ++
+        redisAuth.map(graft.redis.RedisSecurity.authOptions)
+          .getOrElse(Map.empty)
 
     private def stripScheme(n: String): String = {
       val i = n.indexOf("://")
@@ -496,7 +517,8 @@ object SeaStreamer {
               // SCAN every master for the streams' shard keys (the slot map
               // usually knows more nodes than the seed list), then read them
               val sweepNodes = seeds.map { ss =>
-                val cc = new graft.redis.RedisClusterClient(ss, redisTls)
+                val cc = new graft.redis.RedisClusterClient(ss, redisTls,
+                  redisAuth)
                 try {
                   val m = try Some(cc.bootstrapSlots())
                           catch { case scala.util.control.NonFatal(_) => None }
@@ -506,7 +528,8 @@ object SeaStreamer {
               val found = sweepNodes
                 .flatMap { case (h, p) =>
                   graft.redis.RedisClient.retrying() {
-                    val c = new graft.redis.RedisClient(h, p, tls = redisTls)
+                    val c = new graft.redis.RedisClient(h, p,
+                      tls = redisTls, auth = redisAuth)
                     try streams.flatMap(st =>
                       graft.redis.RedisStreams.discoverShardKeys(c, st))
                     finally c.close()
@@ -514,7 +537,7 @@ object SeaStreamer {
                 }.distinct.sortBy(_._1)
               graft.redis.RedisSource.boundedReadKeys(spark, host, port,
                 found, afterMs = pushMs, clusterSeeds = seeds,
-                tls = redisTls)
+                tls = redisTls, auth = redisAuth)
             } else
               graft.redis.RedisSource.boundedRead(spark, host, port,
                 opts.assignShards.getOrElse(
@@ -523,7 +546,7 @@ object SeaStreamer {
                 sharded = sharded,
                 afterMs = pushMs,
                 clusterSeeds = seeds,
-                tls = redisTls)
+                tls = redisTls, auth = redisAuth)
           }
         case "iggy" =>
           // stream keys are iggy TOPICS inside the namespace stream; the
@@ -615,7 +638,7 @@ object SeaStreamer {
         throw SeaStreamErr.InvalidStreamKey(stream)
       validIggyStream(iggyStream)
       new Producer(spark, scheme, allNodeAddrs, Some(stream), redisShards,
-        iggyPartitions, iggyStream, security, redisTls)
+        iggyPartitions, iggyStream, security, redisTls, redisAuth)
     }
 
     /** Generic producer: stream key comes from each row. */
@@ -624,7 +647,7 @@ object SeaStreamer {
         iggyStream: String = graft.iggy.IggySource.DefaultStream): Producer = {
       validIggyStream(iggyStream)
       new Producer(spark, scheme, allNodeAddrs, None, redisShards,
-        iggyPartitions, iggyStream, security, redisTls)
+        iggyPartitions, iggyStream, security, redisTls, redisAuth)
     }
 
     /** The iggy namespace stream follows the same key grammar as stream
@@ -684,7 +707,9 @@ object SeaStreamer {
       /** `rediss://`: TLS client config for every redis connection this
         * producer opens (None on plain `redis://`).
         */
-      redisTls: Option[graft.redis.RedisClient.Tls] = None) {
+      redisTls: Option[graft.redis.RedisClient.Tls] = None,
+      /** AUTH credentials for every redis connection this producer opens. */
+      redisAuth: Option[graft.redis.RedisClient.Auth] = None) {
 
     private def node: String = nodes.head
     private def redisSharded: Boolean = redisShards > 1
@@ -838,7 +863,7 @@ object SeaStreamer {
       if (nodes.size > 1) {
         // cluster: route each shard key to its slot owner like the writes do
         val cc = new graft.redis.RedisClusterClient(
-          nodes.map(SeaStreamer.hostPort(_, 6379)))
+          nodes.map(SeaStreamer.hostPort(_, 6379)), redisTls, redisAuth)
         try {
           try cc.bootstrapSlots()
           catch { case scala.util.control.NonFatal(_) => () }
@@ -846,7 +871,8 @@ object SeaStreamer {
         } finally cc.close()
       } else {
         val (host, port) = SeaStreamer.hostPort(node, 6379)
-        val client = new graft.redis.RedisClient(host, port)
+        val client = new graft.redis.RedisClient(host, port,
+          tls = redisTls, auth = redisAuth)
         try keys.map(key => num(client.command(cmd(key): _*))).sum
         finally client.close()
       }
@@ -887,7 +913,7 @@ object SeaStreamer {
               if (nodes.size > 1)
                 Some(nodes.map(SeaStreamer.hostPort(_, 6379)))
               else None,
-            tls = redisTls)
+            tls = redisTls, auth = redisAuth)
         case "iggy" =>
           // topic = stream key, partition = shard % iggyPartitions, topics
           // created on demand (create_stream/topic_if_not_exists defaults,

@@ -32,7 +32,13 @@ final class EmbeddedRedis(
       * (sea-streamer-redis/src/connection.rs:131-136); RESP is
       * byte-identical inside the channel.
       */
-    tls: Option[graft.core.TlsChannel.Server] = None)
+    tls: Option[graft.core.TlsChannel.Server] = None,
+    /** When set, connections must AUTH before any other command — redis's
+      * requirepass/ACL gate with the real reply grammar: `NOAUTH` on an
+      * unauthenticated command, `WRONGPASS` on a bad pair, the legacy
+      * 2-arg `AUTH password` accepted for the `default` user.
+      */
+    auth: Option[(String, String)] = None)
     extends AutoCloseable {
 
   /** Like [[redirects]] but with `ASK` (migration in flight). */
@@ -125,6 +131,35 @@ final class EmbeddedRedis(
     socket.setTcpNoDelay(true)
     val in = Resp.buffered(socket.getInputStream)
     val out = Resp.buffered(socket.getOutputStream)
+    // authentication is PER CONNECTION, like real redis: each accepted
+    // socket starts unauthenticated and must AUTH before anything else
+    var authed = auth.isEmpty
+    def gated(cmd: Seq[Array[Byte]]): Resp.Value = {
+      val name = if (cmd.isEmpty) "" else new String(cmd.head, UTF_8).toUpperCase
+      if (name == "AUTH") {
+        // real reply grammar: 2-arg form targets the `default` user,
+        // 3-arg form names one; a server with no password set refuses
+        // the command outright
+        val pair = cmd.map(new String(_, UTF_8)) match {
+          case Seq(_, p) => Some(("default", p))
+          case Seq(_, u, p) => Some((u, p))
+          case _ => None
+        }
+        (auth, pair) match {
+          case (None, _) => Resp.Err(
+            "ERR Client sent AUTH, but no password is set. Did you mean " +
+              "AUTH <username> <password>?")
+          case (_, None) => Resp.Err("ERR wrong number of arguments for " +
+            "'auth' command")
+          case (Some((eu, ep)), Some((u, p))) =>
+            if (u == eu && p == ep) { authed = true; Resp.Simple("OK") }
+            else Resp.Err("WRONGPASS invalid username-password pair or " +
+              "user is disabled.")
+        }
+      }
+      else if (!authed) Resp.Err("NOAUTH Authentication required.")
+      else handle(cmd)
+    }
     try while (!closed) {
       val cmd = Resp.parse(in) match {
         case Resp.Arr(items) => items.map {
@@ -133,7 +168,7 @@ final class EmbeddedRedis(
         }
         case other => throw new IllegalArgumentException(s"bad command $other")
       }
-      val reply = handle(cmd)
+      val reply = gated(cmd)
       out.write(Resp.encodeValue(reply))
       // flush only when the pipeline drained — one syscall per client
       // batch, not per command (a per-reply flush caps the whole server

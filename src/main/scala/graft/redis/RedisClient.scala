@@ -9,7 +9,8 @@ import java.nio.charset.StandardCharsets.UTF_8
   */
 final class RedisClient(host: String, port: Int,
     connectTimeoutMs: Int = 5000, soTimeoutMs: Int = 30000,
-    tls: Option[RedisClient.Tls] = None)
+    tls: Option[RedisClient.Tls] = None,
+    auth: Option[RedisClient.Auth] = None)
     extends AutoCloseable {
 
   // `rediss://` support (sea-streamer-redis/src/connection.rs:131-136):
@@ -35,6 +36,19 @@ final class RedisClient(host: String, port: Int,
   }
   private val in = Resp.buffered(socket.getInputStream)
   private val out = Resp.buffered(socket.getOutputStream)
+
+  // AUTH runs eagerly in the constructor (the reference sets
+  // username/password on the connection info so every connection
+  // authenticates before its first command —
+  // sea-streamer-redis/src/connection.rs:141-146). Legacy 2-arg AUTH when
+  // no username (the `default` ACL user); 3-arg otherwise. A WRONGPASS /
+  // ERR reply surfaces typed here — no half-authenticated client escapes.
+  auth.foreach { a =>
+    a.username match {
+      case Some(u) => commandS("AUTH", u, a.password)
+      case None => commandS("AUTH", a.password)
+    }
+  }
 
   /** One command, one reply. */
   def command(args: Array[Byte]*): Resp.Value = {
@@ -95,6 +109,14 @@ object RedisClient {
     */
   final case class Tls(conf: graft.core.TlsChannel.Client,
       verifyHostname: Boolean = true)
+
+  /** Connect-time credentials — the reference's username/password connect
+    * options (sea-streamer-redis/src/streamer.rs:23-24,140-152). `None`
+    * username = the legacy 2-arg `AUTH password` against the `default`
+    * ACL user. Plain strings so it rides partition/closure serialization
+    * to executors like [[Tls]].
+    */
+  final case class Auth(username: Option[String], password: String)
 
   /** Error-reply prefixes that mean "the server refused but nothing was
     * written — try again": redis's transient states (replica still LOADING,

@@ -80,7 +80,8 @@ final class RedisSlotMap(ranges: Seq[(Int, Int, String, Int)]) {
   * owner serves every later command for that key without extra hops.
   */
 final class RedisClusterClient(seeds: Seq[(String, Int)],
-    tls: Option[RedisClient.Tls] = None)
+    tls: Option[RedisClient.Tls] = None,
+    auth: Option[RedisClient.Auth] = None)
     extends AutoCloseable {
   require(seeds.nonEmpty, "at least one cluster seed node required")
 
@@ -91,7 +92,7 @@ final class RedisClusterClient(seeds: Seq[(String, Int)],
 
   private def clientFor(node: (String, Int)): RedisClient =
     clients.getOrElseUpdate(node,
-      new RedisClient(node._1, node._2, tls = tls))
+      new RedisClient(node._1, node._2, tls = tls, auth = auth))
 
   /** Fetch the full topology from the first reachable seed. An empty reply
     * (standalone node) leaves lazy MOVED learning in place.

@@ -22,11 +22,12 @@ final class RedisGroupConsumer(
     host: String, port: Int,
     stream: String, shard: Long, sharded: Boolean,
     group: String, consumer: String,
-    tls: Option[RedisClient.Tls] = None) extends AutoCloseable {
+    tls: Option[RedisClient.Tls] = None,
+    auth: Option[RedisClient.Auth] = None) extends AutoCloseable {
   import RedisGroupConsumer.Delivered
 
   private val key = RedisStreams.shardedKey(stream, shard, sharded)
-  private val client = new RedisClient(host, port, tls = tls)
+  private val client = new RedisClient(host, port, tls = tls, auth = auth)
 
   /** Idempotent group creation from the earliest entry (MKSTREAM). */
   def create(): Unit =

@@ -13,11 +13,17 @@ object RedisSecurity {
   val TruststoreLocation = "ssl.truststore.location"
   val TruststorePassword = "ssl.truststore.password"
   val VerifyHostname = "ssl.verify.hostname"
+  /** The reference's username/password connect options
+    * (sea-streamer-redis/src/streamer.rs:23-24,140-152) as option strings.
+    */
+  val Username = "username"
+  val Password = "password"
 
   /** The facade's connect-level prefix (`redis.ssl.*`). */
   val ConnectPrefix = "redis."
   val ConnectKeys: Set[String] =
-    Set(TruststoreLocation, TruststorePassword, VerifyHostname)
+    Set(TruststoreLocation, TruststorePassword, VerifyHostname,
+      Username, Password)
       .map(ConnectPrefix + _)
 
   /** Parse from a string-keyed lookup (bare keys). A present truststore
@@ -40,6 +46,18 @@ object RedisSecurity {
         verifyHostname = verify)
     }
 
+  /** Parse connect credentials (bare keys). A password turns AUTH on;
+    * a username without a password fails loudly — redis has no
+    * password-less ACL login on this surface.
+    */
+  def parseAuth(get: String => Option[String]): Option[RedisClient.Auth] =
+    (get(Username), get(Password)) match {
+      case (_, Some(p)) => Some(RedisClient.Auth(get(Username), p))
+      case (Some(u), None) => throw new IllegalArgumentException(
+        s"redis username '$u' given without a password")
+      case (None, None) => None
+    }
+
   /** Inverse of [[parse]] (bare keys) — the options the facade hands the
     * `redis-stream` DataSource.
     */
@@ -47,4 +65,9 @@ object RedisSecurity {
     TruststoreLocation -> tls.conf.truststore,
     TruststorePassword -> tls.conf.password,
     VerifyHostname -> tls.verifyHostname.toString)
+
+  /** Inverse of [[parseAuth]] (bare keys). */
+  def authOptions(auth: RedisClient.Auth): Map[String, String] =
+    Map(Password -> auth.password) ++
+      auth.username.map(Username -> _).toMap
 }

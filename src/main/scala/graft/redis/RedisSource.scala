@@ -60,11 +60,12 @@ object RedisSource {
       shards: Seq[(String, Long)], sharded: Boolean = true,
       batch: Int = 1000, afterMs: Option[Long] = None,
       clusterSeeds: Option[Seq[(String, Int)]] = None,
-      tls: Option[RedisClient.Tls] = None): DataFrame =
+      tls: Option[RedisClient.Tls] = None,
+      auth: Option[RedisClient.Auth] = None): DataFrame =
     boundedReadKeys(spark, host, port,
       shards.map { case (st, sh) =>
         (RedisStreams.shardedKey(st, sh, sharded), st, sh)
-      }, batch, afterMs, clusterSeeds, tls)
+      }, batch, afterMs, clusterSeeds, tls, auth)
 
   /** [[boundedRead]] over EXPLICIT redis keys — the shape SCAN-based shard
     * discovery produces (key names already known, shard parsed from the
@@ -74,7 +75,8 @@ object RedisSource {
       keys: Seq[(String, String, Long)],
       batch: Int = 1000, afterMs: Option[Long] = None,
       clusterSeeds: Option[Seq[(String, Int)]] = None,
-      tls: Option[RedisClient.Tls] = None): DataFrame = {
+      tls: Option[RedisClient.Tls] = None,
+      auth: Option[RedisClient.Auth] = None): DataFrame = {
     import spark.implicits._
     val sc = spark.sparkContext
     val afterId = afterMs.map(RedisStreams.seekAfterId).getOrElse("0-0")
@@ -83,7 +85,7 @@ object RedisSource {
       // bootstrap); a mid-scan rebalance would need a reconnect — rare
       // enough that the task retry is the recovery path
       val slotMap = clusterSeeds.map { seeds =>
-        val cc = new RedisClusterClient(seeds, tls)
+        val cc = new RedisClusterClient(seeds, tls, auth)
         try cc.bootstrapSlots() finally cc.close()
       }
       // an early-terminating consumer (limit, take) stops pulling before
@@ -93,7 +95,7 @@ object RedisSource {
       it.flatMap { case (key, stream, shard) =>
         val (h, p) = slotMap.flatMap(_.owner(key)).getOrElse((host, port))
         val session = new RedisClient.Session(
-          () => new RedisClient(h, p, tls = tls))
+          () => new RedisClient(h, p, tls = tls, auth = auth))
         opened += session
         val scan = pagedScan(session, key, stream, shard, batch,
           afterId = afterId)
@@ -127,7 +129,8 @@ object RedisSource {
   def write(df: DataFrame, host: String, port: Int,
       sharded: Boolean = true, pipelineSize: Int = 100,
       clusterSeeds: Option[Seq[(String, Int)]] = None,
-      tls: Option[RedisClient.Tls] = None): Unit = {
+      tls: Option[RedisClient.Tls] = None,
+      auth: Option[RedisClient.Auth] = None): Unit = {
     import df.sparkSession.implicits._
     import org.apache.spark.sql.functions.col
     val keyCols =
@@ -146,7 +149,7 @@ object RedisSource {
             RedisStreams.shardedKey(r._1, r._2, sharded)
           clusterSeeds match {
             case Some(seeds) =>
-              val cc = new RedisClusterClient(seeds, tls)
+              val cc = new RedisClusterClient(seeds, tls, auth)
               try {
                 try cc.bootstrapSlots()
                 catch { case scala.util.control.NonFatal(_) => () } // lazy MOVED fallback
@@ -163,7 +166,7 @@ object RedisSource {
               // unacknowledged tail (producer.rs:464-507's requeue law) —
               // blind batch replay would duplicate already-acked ms-* ids
               val session = new RedisClient.Session(
-                () => new RedisClient(host, port, tls = tls))
+                () => new RedisClient(host, port, tls = tls, auth = auth))
               try rows.grouped(pipelineSize).foreach { chunk =>
                 session.pipelineAcked(chunk.map(cmd))
               } finally session.close()

@@ -116,7 +116,8 @@ final case class RedisInputPartition(
     host: String, port: Int, key: String, stream: String, shard: Long,
     afterId: String, untilId: String, batch: Int,
     group: Option[String], consumer: String,
-    tls: Option[RedisClient.Tls] = None) extends InputPartition
+    tls: Option[RedisClient.Tls] = None,
+    auth: Option[RedisClient.Auth] = None) extends InputPartition
 
 class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
     extends MicroBatchStream with SupportsAdmissionControl {
@@ -177,6 +178,11 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
     */
   private val tls: Option[RedisClient.Tls] =
     RedisSecurity.parse(k => Option(options.get(k)))
+  /** AUTH credentials on the same options surface ([[RedisSecurity]]) —
+    * every connection this source opens authenticates first.
+    */
+  private val auth: Option[RedisClient.Auth] =
+    RedisSecurity.parseAuth(k => Option(options.get(k)))
 
   private val seeds: Seq[(String, Int)] = {
     val ns = options.get("nodes")
@@ -193,7 +199,7 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
   private lazy val slotMap: Option[RedisSlotMap] =
     if (!clusterMode) None
     else {
-      val cc = new RedisClusterClient(seeds, tls)
+      val cc = new RedisClusterClient(seeds, tls, auth)
       try Some(cc.bootstrapSlots()).filterNot(_.isEmpty)
       finally cc.close()
     }
@@ -218,7 +224,7 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
       val sweepNodes = slotMap.map(_.nodes).getOrElse(seeds)
       val found = sweepNodes.flatMap { case (h, p) =>
         RedisClient.retrying() {
-          val c = new RedisClient(h, p, tls = tls)
+          val c = new RedisClient(h, p, tls = tls, auth = auth)
           try streams.flatMap(st => RedisStreams.discoverShardKeys(c, st))
           finally c.close()
         }
@@ -262,7 +268,7 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
     ks.groupBy { case (k, _, _) => nodeFor(k) }.toSeq.sortBy(_._1)
       .flatMap { case ((h, p), nodeKeys) =>
         RedisClient.retrying() {
-          val client = new RedisClient(h, p, tls = tls)
+          val client = new RedisClient(h, p, tls = tls, auth = auth)
           try f(client, nodeKeys) finally client.close()
         }
       }
@@ -518,7 +524,7 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
       else {
         val (h, p) = nodeFor(k)
         Some(RedisInputPartition(h, p, k, stream, shard,
-          after, until, batch, group, consumerName, tls))
+          after, until, batch, group, consumerName, tls, auth))
       }
     }.toArray
   }
@@ -572,10 +578,11 @@ class RedisPartitionReader(p: RedisInputPartition)
   // Both lazy so each mode opens exactly one socket per partition.
   private var bareOpened = false
   private lazy val client = {
-    bareOpened = true; new RedisClient(p.host, p.port, tls = p.tls)
+    bareOpened = true; new RedisClient(p.host, p.port, tls = p.tls,
+      auth = p.auth)
   }
   private val session = new RedisClient.Session(
-    () => new RedisClient(p.host, p.port, tls = p.tls))
+    () => new RedisClient(p.host, p.port, tls = p.tls, auth = p.auth))
   private var current: SeaMessage = _
 
   private val it: Iterator[SeaMessage] = p.group match {
