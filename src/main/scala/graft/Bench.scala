@@ -160,12 +160,28 @@ object Bench {
           timed("d16_compact")(analytics.Dedup.d14Compact(spark, sfDir))
           timed("d16_compacted_query")(force(
             analytics.Dedup.d14Query(spark, sfDir, Seq("src2", "src3", "src4"))))
+        } else if (name == "d17_index_forget") {
+          // the build is d14's already-priced one-time job; the op's OWN
+          // cost is the takedown rewrite — O(index bytes) anti-join through
+          // the compaction swap, NO re-signing — plus the recurring query
+          // over the reduced index (which must read like d14_query)
+          analytics.Dedup.d14Build(spark, sfDir)
+          timed("d17_forget")(analytics.Dedup.d14Forget(spark, sfDir,
+            analytics.Dedup.ForgottenSources))
+          timed("d17_post_query")(force(analytics.Dedup.d14Query(spark, sfDir)))
         } else if (name == "t20_stream_index_dedup") {
           // the index build is d14_build's already-priced one-time job; the
           // op's OWN recurring cost is the ingest stream + batch-side finish
           analytics.Dedup.d14Build(spark, sfDir)
           timed("t20_stream_index_dedup")(force(
             analytics.Transport.t20IndexDedupStream(spark, sfDir)))
+        } else if (name == "t22_stream_index_grow") {
+          // the index build is d14_build's already-priced one-time job; the
+          // op's OWN recurring cost is the ingest loop — per-wave admission
+          // (d14QueryFrame) PLUS the O(accepted) appends that grow the index
+          analytics.Dedup.d14Build(spark, sfDir)
+          timed("t22_stream_index_grow")(force(
+            analytics.Transport.t22IndexGrowStream(spark, sfDir)))
         } else if (name == "t21_stream_query_serve") {
           // the layout build is s7's one-time job (priced as s7_layout);
           // the op's OWN recurring cost is the request stream + per-batch

@@ -628,6 +628,34 @@ object Dedup {
       s, d14Table("d14_ref_sizes", dir), "ref_id", 8)
   }
 
+  /** d14 index FORGET — the takedown half of the lifecycle: remove every
+    * indexed document of the named sources from all three bucket layouts,
+    * so the recurring query can never again match against them. This is
+    * the operation a training-data pipeline owes its sources (a licensing
+    * withdrawal, a right-to-be-forgotten order, a poisoned-crawl
+    * rollback): the forgotten docs must stop being dedup witnesses — a
+    * batch doc whose ONLY near-match was forgotten must re-admit as novel.
+    *
+    * Cost is O(index bytes): one anti-join rewrite per table through the
+    * same write-then-swap machinery as compaction (exactly-once, bucket
+    * spec preserved — the recurring band join stays exchange-free). The
+    * alternative — rebuild without the source — pays the full corpus
+    * re-sign + shuffle; at 100 TB the rewrite reads and writes only the
+    * index (a few % of corpus bytes), and doubles as a compaction.
+    * The forgotten id set is takedown-sized but unbounded (a whole
+    * source), so it joins shuffled, never broadcast.
+    */
+  private[graft] def d14Forget(s: org.apache.spark.sql.SparkSession,
+      dir: String, sources: Seq[String]): Unit = {
+    val gone = Tables(s, dir).documents
+      .filter(col("source").isin(sources: _*))
+      .select(col("doc_id").as("ref_id")).localCheckpoint(true)
+    for ((t, k) <- Seq(("d14_ref_bands", "bk"),
+        ("d14_ref_shingles", "ref_id"), ("d14_ref_sizes", "ref_id")))
+      graft.ops.Bucketing.rewriteBucketed(s, d14Table(t, dir), k, 8)(
+        _.join(gone.hint("shuffle_hash"), Seq("ref_id"), "left_anti"))
+  }
+
   /** d14 recurring QUERY: the arriving batch against the STORED index. The
     * batch's (batch-sized) band table drops into the SAME bucket layout, so
     * the candidate join plans with NO exchange on either side — the q22
@@ -672,6 +700,53 @@ object Dedup {
       .groupBy("doc_id")
       .agg(min(col("ref_id")).as("match_id"),
         round(max(col("jaccard")), 6).as("match_jaccard"))
+    batch.join(best.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        col("match_id").isNull.as("novel"),
+        col("match_id"), col("match_jaccard"))
+  }
+
+  /** [[d14Query]]'s verify cascade over an IN-MEMORY batch frame — the
+    * per-micro-batch admission shape t22's ingest loop runs. Identical
+    * semantics to d14Query; the one plan difference is deliberate: a
+    * micro-batch is not worth a bucketed-table write, so the batch side
+    * shuffles INTO the stored bands' bucket partitioning (one batch-sized
+    * exchange) while the index side still reads its buckets exchange-free.
+    *
+    * @param batchDocs (doc_id, source, text) rows — a micro-batch's
+    *                  parsed payloads, never a corpus
+    */
+  private[graft] def d14QueryFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String, batchDocs: DataFrame): DataFrame = {
+    val batch = batchDocs.select(col("doc_id"), col("source"))
+    val shB = shingles(batchDocs)
+      .withColumn("hm", md5long(col("s")) % Prime)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mhB = minhashStack(shB)
+    val cand = mhB
+      .select((col("i") * Prime + col("mh")).as("bk"), col("doc_id"))
+      .join(s.table(d14Table("d14_ref_bands", dir)).hint("merge"), Seq("bk"))
+      .select(col("doc_id"), col("ref_id")).distinct()
+    val sizesB = shB.groupBy("doc_id").agg(count(lit(1)).as("na"))
+    val common = cand
+      .join(shB.select(col("doc_id"), col("s")).hint("shuffle_hash"),
+        "doc_id")
+      .join(s.table(d14Table("d14_ref_shingles", dir)).hint("shuffle_hash"),
+        Seq("ref_id", "s"))
+      .groupBy("doc_id", "ref_id").agg(count(lit(1)).as("common"))
+    val dups = common
+      .join(sizesB.hint("shuffle_hash"), "doc_id")
+      .join(s.table(d14Table("d14_ref_sizes", dir)).hint("shuffle_hash"),
+        "ref_id")
+      .withColumn("jaccard",
+        col("common") * lit(1.0) / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= JaccardThreshold)
+    // best match per doc in ONE keyed agg (t20's rule): lexicographic max
+    // over (jaccard, −ref_id) IS (max jaccard, then min ref_id)
+    val best = dups.groupBy("doc_id")
+      .agg(max(struct(col("jaccard"), (-col("ref_id")).as("nref"))).as("m"))
+      .select(col("doc_id"), (-col("m.nref")).as("match_id"),
+        round(col("m.jaccard"), 6).as("match_jaccard"))
     batch.join(best.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"),
         col("match_id").isNull.as("novel"),
@@ -795,6 +870,46 @@ object Dedup {
        |  best.match_id, best.match_jaccard
        |FROM batch b LEFT JOIN best ON b.doc_id = best.doc_id""".stripMargin
 
+  /** The reference sources d17's takedown removes from the index (~13% of
+    * the indexed docs at any sf — a whole-licensor withdrawal, not a
+    * single-doc edge case).
+    */
+  private[graft] val ForgottenSources = Seq("src5", "src6")
+
+  /** d17's oracle: d10's dedup recomputed from scratch with the forgotten
+    * sources EXCLUDED from the reference side — forget-then-query on the
+    * Spark side must equal the rebuild-without recompute exactly.
+    */
+  private def d17ForgetOracleSql: String = {
+    val gone = ForgottenSources.map(s => s"'$s'").mkString(",")
+    s"""WITH $jaccardOracleCte,
+       |$minhashSigSql,
+       |batch AS (SELECT doc_id, source FROM documents
+       |          WHERE source IN ('src0','src1','src2','src3','src4')),
+       |refs AS (SELECT doc_id FROM documents
+       |         WHERE source NOT IN ('src0','src1','src2','src3','src4')
+       |           AND source NOT IN ($gone)),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS ref_id
+       |         FROM mh x
+       |         JOIN batch bx ON x.doc_id = bx.doc_id
+       |         JOIN mh y ON x.i = y.i AND x.mh = y.mh
+       |         JOIN refs r ON y.doc_id = r.doc_id),
+       |dups AS (SELECT c.doc_id, c.ref_id, j.jaccard
+       |         FROM cand c
+       |         JOIN jac j ON j.doc_a = LEAST(c.doc_id, c.ref_id)
+       |           AND j.doc_b = GREATEST(c.doc_id, c.ref_id)
+       |         WHERE j.jaccard >= $JaccardThreshold),
+       |best AS (SELECT doc_id, MIN(ref_id) AS match_id,
+       |           ROUND(MAX(jaccard), 6) AS match_jaccard
+       |         FROM (SELECT doc_id, ref_id, jaccard,
+       |                 MAX(jaccard) OVER (PARTITION BY doc_id) AS bj
+       |               FROM dups)
+       |         WHERE jaccard = bj GROUP BY doc_id)
+       |SELECT b.doc_id, b.source, best.match_id IS NULL AS novel,
+       |  best.match_id, best.match_jaccard
+       |FROM batch b LEFT JOIN best ON b.doc_id = best.doc_id""".stripMargin
+  }
+
   /** d14_upsert's oracle: the two-wave cascade recomputed from scratch —
     * wave one (src0/src1) against the original reference, its novel
     * survivors joined INTO the reference, wave two (src2-4) against the
@@ -843,6 +958,65 @@ object Dedup {
        |SELECT b.doc_id, b.source, best.match_id IS NULL AS novel,
        |  best.match_id, best.match_jaccard
        |FROM wave2 b LEFT JOIN best ON b.doc_id = best.doc_id""".stripMargin
+
+  /** t22's oracle: [[d14UpsertOracleSql]]'s two-wave cascade extended to
+    * emit BOTH waves' admission verdicts — the streaming ingest loop
+    * accumulates wave 1's verdicts (vs the original reference) and wave
+    * 2's (vs the reference grown by wave 1's survivors), so the oracle
+    * recomputes exactly that union from scratch.
+    */
+  private[analytics] def d14TwoWaveOracleSql: String =
+    s"""WITH $jaccardOracleCte,
+       |$minhashSigSql,
+       |wave1 AS (SELECT doc_id, source FROM documents
+       |          WHERE source IN ('src0','src1')),
+       |wave2 AS (SELECT doc_id, source FROM documents
+       |          WHERE source IN ('src2','src3','src4')),
+       |refs AS (SELECT doc_id FROM documents
+       |         WHERE source NOT IN ('src0','src1','src2','src3','src4')),
+       |cand1 AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS ref_id
+       |          FROM mh x
+       |          JOIN wave1 bx ON x.doc_id = bx.doc_id
+       |          JOIN mh y ON x.i = y.i AND x.mh = y.mh
+       |          JOIN refs r ON y.doc_id = r.doc_id),
+       |dup1 AS (SELECT c.doc_id, c.ref_id, j.jaccard
+       |         FROM cand1 c
+       |         JOIN jac j ON j.doc_a = LEAST(c.doc_id, c.ref_id)
+       |           AND j.doc_b = GREATEST(c.doc_id, c.ref_id)
+       |         WHERE j.jaccard >= $JaccardThreshold),
+       |best1 AS (SELECT doc_id, MIN(ref_id) AS match_id,
+       |            ROUND(MAX(jaccard), 6) AS match_jaccard
+       |          FROM (SELECT doc_id, ref_id, jaccard,
+       |                  MAX(jaccard) OVER (PARTITION BY doc_id) AS bj
+       |                FROM dup1)
+       |          WHERE jaccard = bj GROUP BY doc_id),
+       |grown AS (SELECT doc_id FROM refs
+       |          UNION ALL
+       |          SELECT doc_id FROM wave1
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM dup1)),
+       |cand2 AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS ref_id
+       |          FROM mh x
+       |          JOIN wave2 bx ON x.doc_id = bx.doc_id
+       |          JOIN mh y ON x.i = y.i AND x.mh = y.mh
+       |          JOIN grown g ON y.doc_id = g.doc_id),
+       |dups AS (SELECT c.doc_id, c.ref_id, j.jaccard
+       |         FROM cand2 c
+       |         JOIN jac j ON j.doc_a = LEAST(c.doc_id, c.ref_id)
+       |           AND j.doc_b = GREATEST(c.doc_id, c.ref_id)
+       |         WHERE j.jaccard >= $JaccardThreshold),
+       |best2 AS (SELECT doc_id, MIN(ref_id) AS match_id,
+       |            ROUND(MAX(jaccard), 6) AS match_jaccard
+       |          FROM (SELECT doc_id, ref_id, jaccard,
+       |                  MAX(jaccard) OVER (PARTITION BY doc_id) AS bj
+       |                FROM dups)
+       |          WHERE jaccard = bj GROUP BY doc_id)
+       |SELECT w.doc_id, w.source, best1.match_id IS NULL AS novel,
+       |  best1.match_id, best1.match_jaccard
+       |FROM wave1 w LEFT JOIN best1 ON w.doc_id = best1.doc_id
+       |UNION ALL
+       |SELECT w.doc_id, w.source, best2.match_id IS NULL AS novel,
+       |  best2.match_id, best2.match_jaccard
+       |FROM wave2 w LEFT JOIN best2 ON w.doc_id = best2.doc_id""".stripMargin
 
   /** Shared DuckDB CTEs for shingles and their hashes (word 3-grams). */
   private[analytics] val shinglesSql =
@@ -1076,6 +1250,21 @@ object Dedup {
       d14Append(s, dir, wave1.filter(col("novel")))
       d14Compact(s, dir)
       d14Query(s, dir, Seq("src2", "src3", "src4"))
+    },
+
+    // d14's TAKEDOWN closed: build the index, FORGET two reference
+    // sources ([[d14Forget]] — the licensing-withdrawal / right-to-be-
+    // forgotten pass: O(index) anti-join rewrite, bucket spec preserved,
+    // exactly-once via the compaction swap), then run the batch against
+    // the reduced index. The oracle recomputes dedup from scratch with
+    // the forgotten sources EXCLUDED from the reference set: forget ≡
+    // rebuild-without is the law — a batch doc whose only near-match
+    // was forgotten must re-admit as novel, and a forgotten doc can
+    // never be a match_id.
+    "d17_index_forget" -> { (s, dir) =>
+      d14Build(s, dir)
+      d14Forget(s, dir, ForgottenSources)
+      d14Query(s, dir)
     },
 
     // LSH S-curve measurement — "measure, don't guess" applied to the
@@ -1351,6 +1540,7 @@ object Dedup {
     "d14_upsert" -> d14UpsertOracleSql,
     // compaction is invisible to the recurring query: same cascade SQL
     "d16_index_compact" -> d14UpsertOracleSql,
+    "d17_index_forget" -> d17ForgetOracleSql,
     // all co-occurring pair deciles (uncapped jac) left-joined to d3's
     // band-join candidate set; hit rate per true-similarity decile
     "d11_lsh_recall" -> {

@@ -348,6 +348,84 @@ object Transport {
     s.read.parquet(results)
   }
 
+  /** t22 — the full streaming INGEST loop over the persisted dedup index:
+    * t20 admits arriving documents against the stored index but never
+    * grows it; production ingest does both — each micro-batch's verdicts
+    * are computed against the CURRENT index and its accepted (novel)
+    * documents are appended ([[Dedup.d14Append]], O(accepted)), so later
+    * batches dedup against earlier batches' survivors. `foreachBatch`
+    * makes each trigger a batch plan (the t21 pattern): the admission
+    * cascade is [[Dedup.d14QueryFrame]] — index side exchange-free off
+    * its buckets, batch side one batch-sized shuffle — and the verdict is
+    * checkpoint-severed BEFORE the append so the lazy plan can never
+    * observe its own wave's writes.
+    *
+    * The two waves arrive as real arrival-time micro-batches (wave 2 is
+    * appended to the live-tailed log after wave 1's trigger completes),
+    * so after end-of-log the accumulated verdicts must equal the batch
+    * two-wave cascade recomputed from scratch — d14_upsert's law at
+    * ingest; the oracle extends that SQL to emit BOTH waves' verdicts.
+    */
+  private[graft] def t22IndexGrowStream(s: SparkSession, dir: String,
+      inspect: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _ => ()): DataFrame = {
+    val out = scratch(dir, "t22grow")
+    val results = scratch(dir, "t22grown")
+    val t = Tables(s, dir)
+    def wave(sources: Seq[String]) = t.documents
+      .filter(col("source").isin(sources: _*))
+      .select(
+        lit("ingest").as("stream_key"),
+        pmod(col("doc_id"), lit(4L)).as("shard_id"),
+        col("doc_id").as("sequence"),
+        expr("timestamp'2026-01-01 00:00:00'").as("timestamp"),
+        to_json(struct(col("doc_id"), col("source"), col("text")))
+          .cast("binary").as("payload"))
+    wave(Seq("src0", "src1")).write.format("ss")
+      .mode("overwrite").save(out)
+    val fs = new org.apache.hadoop.fs.Path(results)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(results), true)
+    val src = s.readStream.format("ss").load(out)
+      .select(from_json(col("payload").cast("string"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id LONG, source STRING, text STRING")).as("j"))
+      .select(col("j.doc_id"), col("j.source"), col("j.text"))
+    // the loop MUTATES the index, so an epoch replay after a crash would
+    // re-append wave survivors (duplicated index rows) — the marker
+    // ledger makes the whole body (verdict write + append) exactly-once
+    // per epoch, the same discipline the kafka transactional producer
+    // stands in for (ops.ExactlyOnce)
+    val ledger = scratch(dir, "t22ledger")
+    val fs2 = new org.apache.hadoop.fs.Path(ledger)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs2.delete(new org.apache.hadoop.fs.Path(ledger), true)
+    val body: (DataFrame, Long) => Unit = (b, _) =>
+      if (!b.isEmpty) {
+        // admission against the index AS OF this trigger; materialized
+        // (lineage severed) before the append below mutates the tables
+        val verdict = Dedup.d14QueryFrame(s, dir, b)
+          .localCheckpoint(true)
+        verdict.write.mode("append").parquet(results)
+        Dedup.d14Append(s, dir,
+          verdict.filter(col("novel")).select("doc_id"))
+      }
+    val wrapped = graft.ops.ExactlyOnce.epochOnce(ledger)(body)
+    val q = src.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], id: java.lang.Long) =>
+        wrapped(b.toDF(), id)
+      }.start()
+    try {
+      q.processAllAvailable() // trigger 1 = wave 1 (the log's content now)
+      wave(Seq("src2", "src3", "src4")).write.format("ss")
+        .mode("append").save(out)
+      q.processAllAvailable() // trigger 2 = wave 2 (the appended tail)
+      inspect(q)
+    } finally q.stop()
+    s.read.parquet(results)
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     // Batch path: ss sink (one part per task) → beacon-split ss scan.
     "t1_ss_roundtrip" -> { (s, dir) =>
@@ -996,6 +1074,14 @@ object Transport {
       t21QueryServeStream(s, dir)
     },
 
+    // The full ingest loop: admit AND grow the persisted index per
+    // micro-batch — d14_upsert's two-wave cascade driven by arrival time
+    // (oracle = that cascade's SQL extended to both waves' verdicts).
+    "t22_stream_index_grow" -> { (s, dir) =>
+      Dedup.d14Build(s, dir)
+      t22IndexGrowStream(s, dir)
+    },
+
     // Streaming latest-per-key compaction — q24's CDC shape maintained AT
     // INGEST (the q24→t17 pair completes the batch≡streaming family with
     // s11→t15 and p20→t16): a GroupState per key holds exactly ONE row —
@@ -1138,6 +1224,7 @@ object Transport {
     // stream-vs-stored-index dedup must equal the batch recurring query
     "t20_stream_index_dedup" -> Dedup.oracles("d14_dedup_index"),
     "t21_stream_query_serve" -> Similarity.oracles("s13_mmr_indexed"),
+    "t22_stream_index_grow" -> Dedup.d14TwoWaveOracleSql,
     "t14_stream_lsh_dedup" -> {
       val constRows = Dedup.MinhashParams.zipWithIndex
         .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }

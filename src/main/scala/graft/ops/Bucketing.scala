@@ -102,7 +102,22 @@ object Bucketing {
       spark: SparkSession,
       table: String,
       key: String,
-      numBuckets: Int): Unit = {
+      numBuckets: Int): Unit =
+    rewriteBucketed(spark, table, key, numBuckets)(identity)
+
+  /** Rewrite a bucketed table in place under the SAME (key, numBuckets)
+    * spec through `transform` — the shared machinery behind compaction
+    * (identity transform → one file per bucket) and index deletion (an
+    * anti-join transform → the takedown pass). Exactly-once via
+    * write-then-swap: the transformed copy commits fully into a scratch
+    * table before the original is dropped, and a crash between DROP and
+    * RENAME recovers on the next call (the committed scratch IS the data).
+    */
+  def rewriteBucketed(
+      spark: SparkSession,
+      table: String,
+      key: String,
+      numBuckets: Int)(transform: DataFrame => DataFrame): Unit = {
     val tmp = table + "__compact"
     if (spark.catalog.tableExists(tmp) && !spark.catalog.tableExists(table)) {
       // crash between DROP and RENAME: the committed scratch IS the data
@@ -110,7 +125,7 @@ object Bucketing {
       return
     }
     forceBucketedScan(spark) {
-      writeBucketed(spark.table(table), tmp, key, numBuckets)
+      writeBucketed(transform(spark.table(table)), tmp, key, numBuckets)
     }
     spark.sql(s"DROP TABLE `$table`")
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")

@@ -893,6 +893,46 @@ class PlanShapeSpec extends AnyFunSuite {
       "every batch vector must land in the index exactly once")
   }
 
+  test("d17 forget removes the forgotten docs from every layout, keeps " +
+      "the survivors bit-exact, and the recurring query stays exchange-free") {
+    // the takedown law: after d14Forget, (a) no forgotten ref_id survives
+    // in any of the three index tables, (b) every OTHER indexed doc's rows
+    // are untouched, (c) the rewrite preserved the bucket spec — one file
+    // per bucket (it doubles as a compaction) and the band join plans
+    // with no exchange (the d17 oracle pins forget ≡ rebuild-without;
+    // this law pins the mechanism)
+    import org.apache.spark.sql.functions.col
+    val dir = TestSession.sfDir
+    analytics.Dedup.d14Build(spark, dir)
+    val gone = analytics.Tables(spark, dir).documents
+      .filter(col("source").isin(analytics.Dedup.ForgottenSources: _*))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(gone.nonEmpty, "fixture must index at least one forgotten doc")
+    val sizesT = analytics.Dedup.d14Table("d14_ref_sizes", dir)
+    val beforeIds = spark.table(sizesT).select("ref_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(gone.subsetOf(beforeIds), "forgotten docs must start indexed")
+    analytics.Dedup.d14Forget(spark, dir,
+      analytics.Dedup.ForgottenSources)
+    for (t <- Seq("d14_ref_bands", "d14_ref_shingles", "d14_ref_sizes")) {
+      val table = analytics.Dedup.d14Table(t, dir)
+      assert(spark.table(table)
+        .filter(col("ref_id").isin(gone.toSeq: _*)).count() == 0,
+        s"$t still holds forgotten docs")
+      assert(graft.ops.Bucketing.tableDataFileCount(spark, table) == 8,
+        s"$t lost its one-file-per-bucket layout in the rewrite")
+    }
+    val afterIds = spark.table(sizesT).select("ref_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(afterIds == beforeIds -- gone,
+      "forget must remove exactly the forgotten docs, nothing else")
+    val p = analytics.Dedup.d14Query(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+    assert(!nodeBlocks(p).exists { case (n, b) =>
+      n == "Exchange" && b.contains("hashpartitioning(bk")
+    }, "the post-forget band join re-partitioned a bucketed input")
+  }
+
   test("ss scan splits on beacons and reports pruning in its description") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
