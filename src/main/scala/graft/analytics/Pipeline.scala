@@ -373,6 +373,51 @@ object Pipeline {
     // agg), then everything is |sources|-sized with the totals broadcast;
     // the sqrt sum goes through DECIMAL(30,15) so partial-agg order can't
     // perturb low bits (the money-sum discipline).
+    // Naive Bayes quality classifier — the fastText-style curation gate
+    // (train on curated-vs-raw seed sources, score the unlabeled corpus
+    // by token log-likelihood ratio, keep score > 0). This is the
+    // supervised twin of p12's DSIR importance weights and the classifier
+    // half of the classic quality-filter pipeline step. Everything is
+    // integer counts + two smoothed log terms: per-token
+    // llr = ln((cp+1)/(Np+V)) − ln((cn+1)/(Nn+V)), rounded to 6 digits
+    // BEFORE the decimal-exact per-doc sum (the p10/p18 ulp discipline).
+    // Shapes: the two class-count tables and their union vocabulary are
+    // vocabulary-sized — shuffle-joined, never broadcast (the p2/p10
+    // law); the 3-row stats frame rides a crossJoin literal; scoring is
+    // one corpus pass + one keyed join + one per-doc agg. At 100 TB the
+    // class counts train once over the seed slice and persist; scoring
+    // cost is corpus-linear.
+    "p23_quality_classifier" -> { (s, dir) =>
+      val pos = Seq("src0", "src1", "src2", "src3", "src4")
+      val neg = Seq("src15", "src16", "src17", "src18", "src19")
+      val toks = Tables(s, dir).documents
+        .select(col("doc_id"), col("source"),
+          explode(expr("filter(split(text, ' '), t -> length(t) > 0)"))
+            .as("w"))
+      val posTf = toks.filter(col("source").isin(pos: _*))
+        .groupBy("w").agg(count(lit(1)).as("cp"))
+      val negTf = toks.filter(col("source").isin(neg: _*))
+        .groupBy("w").agg(count(lit(1)).as("cn"))
+      val vocab = posTf.join(negTf.hint("shuffle_hash"), Seq("w"),
+        "full_outer")
+      val stats = vocab.agg(
+        sum(coalesce(col("cp"), lit(0L))).as("np"),
+        sum(coalesce(col("cn"), lit(0L))).as("nn"),
+        count(lit(1)).as("v"))
+      toks.filter(!col("source").isin(pos ++ neg: _*))
+        .join(vocab.hint("shuffle_hash"), Seq("w"), "left")
+        .crossJoin(stats)
+        .withColumn("llr", round(
+          log((coalesce(col("cp"), lit(0L)) + lit(1L)).cast("double") /
+            (col("np") + col("v"))) -
+            log((coalesce(col("cn"), lit(0L)) + lit(1L)).cast("double") /
+              (col("nn") + col("v"))), 6).cast("decimal(30,15)"))
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(sum(col("llr")).cast("double"), 6).as("llr_score"))
+        .withColumn("keep", col("llr_score") > 0.0)
+    },
+
     "p22_temperature_mix" -> { (s, dir) =>
       val tok = Tables(s, dir).documents
         .filter(col("text").isNotNull)
@@ -1178,6 +1223,38 @@ object Pipeline {
 
   /** A `def` (not val): referenced from `oracles`' initializer above. */
   private def moreOracles: Map[String, String] = Map(
+    "p23_quality_classifier" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_filter(string_split(text, ' '),
+        |                       t -> length(t) > 0)) AS w
+        |  FROM documents),
+        |pt AS (SELECT w, COUNT(*) AS cp FROM toks
+        |       WHERE source IN ('src0','src1','src2','src3','src4')
+        |       GROUP BY 1),
+        |ng AS (SELECT w, COUNT(*) AS cn FROM toks
+        |       WHERE source IN ('src15','src16','src17','src18','src19')
+        |       GROUP BY 1),
+        |vocab AS (SELECT COALESCE(pt.w, ng.w) AS w, pt.cp, ng.cn
+        |          FROM pt FULL OUTER JOIN ng ON pt.w = ng.w),
+        |st AS (SELECT CAST(SUM(COALESCE(cp, 0)) AS BIGINT) AS np,
+        |              CAST(SUM(COALESCE(cn, 0)) AS BIGINT) AS nn,
+        |              CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+        |llr AS (
+        |  SELECT t.doc_id, t.source,
+        |    CAST(ROUND(
+        |      ln(CAST(COALESCE(vb.cp, 0) + 1 AS DOUBLE) / (st.np + st.v)) -
+        |      ln(CAST(COALESCE(vb.cn, 0) + 1 AS DOUBLE) / (st.nn + st.v)),
+        |      6) AS DECIMAL(30,15)) AS term
+        |  FROM toks t
+        |  LEFT JOIN vocab vb ON t.w = vb.w
+        |  CROSS JOIN st
+        |  WHERE t.source NOT IN ('src0','src1','src2','src3','src4',
+        |                         'src15','src16','src17','src18','src19'))
+        |SELECT doc_id, source, COUNT(*) AS n_tokens,
+        |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS llr_score,
+        |  ROUND(CAST(SUM(term) AS DOUBLE), 6) > 0.0 AS keep
+        |FROM llr GROUP BY doc_id, source""".stripMargin,
     "p7_domain_mix" ->
       """WITH counts AS (
         |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),

@@ -893,6 +893,25 @@ class PlanShapeSpec extends AnyFunSuite {
       "every batch vector must land in the index exactly once")
   }
 
+  test("p23's class-count and vocabulary joins shuffle; scoring is one " +
+      "pass, no window") {
+    // the p2/p10 law applied to the classifier: token-count tables are
+    // vocabulary-sized (unbounded at 100 TB) — every join over them must
+    // shuffle, never broadcast; the 3-number stats frame is the one
+    // legitimate broadcast (crossJoin literal); and the per-doc score is
+    // a keyed hash agg, never a window
+    val p = analytics.Pipeline.queries("p23_quality_classifier")(
+      spark, TestSession.sfDir).queryExecution.explainString(FormattedMode)
+    val broadcasts = nodeBlocks(p).filter(_._1 == "BroadcastExchange")
+    assert(broadcasts.size <= 1,
+      s"vocabulary-sized side broadcast: ${broadcasts.map(_._2).mkString}")
+    assert("\\bWindow\\b".r.findAllIn(p).isEmpty, "p23 must not window")
+    assert(nodeBlocks(p).exists { case (n, b) =>
+      n.contains("Join") && b.contains("w#") }
+      || p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"vocabulary join missing from plan:\n$p")
+  }
+
   test("d17 forget removes the forgotten docs from every layout, keeps " +
       "the survivors bit-exact, and the recurring query stays exchange-free") {
     // the takedown law: after d14Forget, (a) no forgotten ref_id survives
