@@ -182,6 +182,12 @@ object Bench {
           analytics.Dedup.d14Build(spark, sfDir)
           timed("t22_stream_index_grow")(force(
             analytics.Transport.t22IndexGrowStream(spark, sfDir)))
+        } else if (name == "t23_stream_quality_gate") {
+          // one timed number: train + model persist + the scoring stream
+          // (training is vocabulary-sized — part of the op's honest price,
+          // unlike d14/s7's corpus-sized index builds)
+          timed("t23_stream_quality_gate")(force(
+            analytics.Transport.t23QualityGateStream(spark, sfDir)))
         } else if (name == "t21_stream_query_serve") {
           // the layout build is s7's one-time job (priced as s7_layout);
           // the op's OWN recurring cost is the request stream + per-batch

@@ -241,6 +241,61 @@ object Pipeline {
     bpeTrain(docs, rounds)._1.toDF("rank", "left_sym", "right_sym", "pair_count")
   }
 
+  /** p23's seed labels: positive = curated sources, negative = raw. */
+  private[analytics] val P23Pos = Seq("src0", "src1", "src2", "src3", "src4")
+  private[analytics] val P23Neg =
+    Seq("src15", "src16", "src17", "src18", "src19")
+  private[analytics] val P23Seeds: Seq[String] = P23Pos ++ P23Neg
+
+  /** (doc_id, source, token) rows — p23's shared tokenization. */
+  private[analytics] def p23Tokens(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      explode(expr("filter(split(text, ' '), t -> length(t) > 0)")).as("w"))
+
+  /** Train the classifier: the vocabulary table (w, cp, cn) and its
+    * 1-row stats frame (np, nn, v). Both sides of the full-outer count
+    * join are vocabulary-sized — shuffled, never broadcast.
+    */
+  private[analytics] def p23Train(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+    val toks = p23Tokens(Tables(s, dir).documents)
+    val posTf = toks.filter(col("source").isin(P23Pos: _*))
+      .groupBy("w").agg(count(lit(1)).as("cp"))
+    val negTf = toks.filter(col("source").isin(P23Neg: _*))
+      .groupBy("w").agg(count(lit(1)).as("cn"))
+    val vocab = posTf.join(negTf.hint("shuffle_hash"), Seq("w"),
+      "full_outer")
+    val stats = vocab.agg(
+      sum(coalesce(col("cp"), lit(0L))).as("np"),
+      sum(coalesce(col("cn"), lit(0L))).as("nn"),
+      count(lit(1)).as("v"))
+    (vocab, stats)
+  }
+
+  /** Score (doc_id, source, w) token rows against the trained model —
+    * the ONE scoring expression p23 (batch) and t23 (ingest) share, so
+    * the two can never drift: add-1-smoothed per-token LLR, rounded to 6
+    * digits BEFORE the decimal-exact per-doc sum (the p10/p18 ulp
+    * discipline), keep = score > 0.
+    */
+  private[analytics] def p23Score(toks: org.apache.spark.sql.DataFrame,
+      vocab: org.apache.spark.sql.DataFrame,
+      stats: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    toks.join(vocab.hint("shuffle_hash"), Seq("w"), "left")
+      .crossJoin(stats)
+      .withColumn("llr", round(
+        log((coalesce(col("cp"), lit(0L)) + lit(1L)).cast("double") /
+          (col("np") + col("v"))) -
+          log((coalesce(col("cn"), lit(0L)) + lit(1L)).cast("double") /
+            (col("nn") + col("v"))), 6).cast("decimal(30,15)"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("llr")).cast("double"), 6).as("llr_score"))
+      .withColumn("keep", col("llr_score") > 0.0)
+
   val queries: Map[String, Relational.Q] = Map(
     // Context-window chunking — the prep step that turns documents into
     // overlapping token windows for pretraining sequence packing or RAG
@@ -388,34 +443,10 @@ object Pipeline {
     // class counts train once over the seed slice and persist; scoring
     // cost is corpus-linear.
     "p23_quality_classifier" -> { (s, dir) =>
-      val pos = Seq("src0", "src1", "src2", "src3", "src4")
-      val neg = Seq("src15", "src16", "src17", "src18", "src19")
-      val toks = Tables(s, dir).documents
-        .select(col("doc_id"), col("source"),
-          explode(expr("filter(split(text, ' '), t -> length(t) > 0)"))
-            .as("w"))
-      val posTf = toks.filter(col("source").isin(pos: _*))
-        .groupBy("w").agg(count(lit(1)).as("cp"))
-      val negTf = toks.filter(col("source").isin(neg: _*))
-        .groupBy("w").agg(count(lit(1)).as("cn"))
-      val vocab = posTf.join(negTf.hint("shuffle_hash"), Seq("w"),
-        "full_outer")
-      val stats = vocab.agg(
-        sum(coalesce(col("cp"), lit(0L))).as("np"),
-        sum(coalesce(col("cn"), lit(0L))).as("nn"),
-        count(lit(1)).as("v"))
-      toks.filter(!col("source").isin(pos ++ neg: _*))
-        .join(vocab.hint("shuffle_hash"), Seq("w"), "left")
-        .crossJoin(stats)
-        .withColumn("llr", round(
-          log((coalesce(col("cp"), lit(0L)) + lit(1L)).cast("double") /
-            (col("np") + col("v"))) -
-            log((coalesce(col("cn"), lit(0L)) + lit(1L)).cast("double") /
-              (col("nn") + col("v"))), 6).cast("decimal(30,15)"))
-        .groupBy("doc_id", "source")
-        .agg(count(lit(1)).as("n_tokens"),
-          round(sum(col("llr")).cast("double"), 6).as("llr_score"))
-        .withColumn("keep", col("llr_score") > 0.0)
+      val (vocab, stats) = p23Train(s, dir)
+      val toks = p23Tokens(Tables(s, dir).documents)
+        .filter(!col("source").isin(P23Seeds: _*))
+      p23Score(toks, vocab, stats)
     },
 
     "p22_temperature_mix" -> { (s, dir) =>

@@ -426,6 +426,71 @@ object Transport {
     s.read.parquet(results)
   }
 
+  /** t23 — p23's quality gate AT INGEST: the classifier trains batch-side
+    * over the seed sources and its artifacts persist (the vocabulary
+    * table as parquet — the "ship the model to the gate" step; the 3-long
+    * stats row as literals), then arriving documents score per
+    * micro-batch through EXACTLY [[Pipeline.p23Score]]'s expression
+    * (`foreachBatch`, so each trigger is a batch plan and the
+    * vocabulary join is a plain shuffled equi-join against the stored
+    * model). Zero streaming state — a document's tokens arrive inside
+    * its own payload row, so the per-doc aggregation never crosses a
+    * trigger boundary. After end-of-log the accumulated scores must
+    * equal the batch classifier bit-for-bit: the oracle is p23's SQL
+    * VERBATIM (the t15–t22 streaming ≡ batch discipline).
+    */
+  private[graft] def t23QualityGateStream(s: SparkSession, dir: String,
+      inspect: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _ => ()): DataFrame = {
+    val out = scratch(dir, "t23gate")
+    val results = scratch(dir, "t23scored")
+    val model = scratch(dir, "t23model")
+    // train once, persist the model artifact (vocabulary-sized — a table,
+    // never a literal; the stats row IS 3 longs, the legitimate literal)
+    val (vocab, stats) = Pipeline.p23Train(s, dir)
+    vocab.write.mode("overwrite").parquet(model)
+    val statsRow = stats.head()
+    val statsLit = s.range(1).select(
+      lit(statsRow.getLong(0)).as("np"),
+      lit(statsRow.getLong(1)).as("nn"),
+      lit(statsRow.getLong(2)).as("v"))
+    val t = Tables(s, dir)
+    t.documents.filter(!col("source").isin(Pipeline.P23Seeds: _*))
+      .select(
+        lit("ingest").as("stream_key"),
+        pmod(col("doc_id"), lit(4L)).as("shard_id"),
+        col("doc_id").as("sequence"),
+        expr("timestamp'2026-01-01 00:00:00'").as("timestamp"),
+        to_json(struct(col("doc_id"), col("source"), col("text")))
+          .cast("binary").as("payload"))
+      .write.format("ss").mode("overwrite").save(out)
+    val fs = new org.apache.hadoop.fs.Path(results)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(results), true)
+    // ~4 genuine micro-batches at any scale (the t-family no-floor rule)
+    val cap = math.max(1L,
+      t.documents.filter(!col("source").isin(Pipeline.P23Seeds: _*))
+        .count() / 4)
+    val src = s.readStream.format("ss")
+      .option("maxMessagesPerTrigger", cap.toString)
+      .load(out)
+      .select(from_json(col("payload").cast("string"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id LONG, source STRING, text STRING")).as("j"))
+      .select(col("j.doc_id"), col("j.source"), col("j.text"))
+    val q = src.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: java.lang.Long) =>
+        if (!b.isEmpty) {
+          val toks = Pipeline.p23Tokens(b.toDF())
+          Pipeline.p23Score(toks, s.read.parquet(model), statsLit)
+            .write.mode("append").parquet(results)
+        }
+      }.start()
+    try { q.processAllAvailable(); inspect(q) } finally q.stop()
+    s.read.parquet(results)
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     // Batch path: ss sink (one part per task) → beacon-split ss scan.
     "t1_ss_roundtrip" -> { (s, dir) =>
@@ -1082,6 +1147,12 @@ object Transport {
       t22IndexGrowStream(s, dir)
     },
 
+    // p23's quality classifier maintained at ingest (train batch-side,
+    // ship the model to the gate; oracle = p23's SQL verbatim).
+    "t23_stream_quality_gate" -> { (s, dir) =>
+      t23QualityGateStream(s, dir)
+    },
+
     // Streaming latest-per-key compaction — q24's CDC shape maintained AT
     // INGEST (the q24→t17 pair completes the batch≡streaming family with
     // s11→t15 and p20→t16): a GroupState per key holds exactly ONE row —
@@ -1225,6 +1296,7 @@ object Transport {
     "t20_stream_index_dedup" -> Dedup.oracles("d14_dedup_index"),
     "t21_stream_query_serve" -> Similarity.oracles("s13_mmr_indexed"),
     "t22_stream_index_grow" -> Dedup.d14TwoWaveOracleSql,
+    "t23_stream_quality_gate" -> Pipeline.oracles("p23_quality_classifier"),
     "t14_stream_lsh_dedup" -> {
       val constRows = Dedup.MinhashParams.zipWithIndex
         .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
