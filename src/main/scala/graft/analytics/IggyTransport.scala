@@ -24,8 +24,15 @@ import graft.iggy.{EmbeddedIggy, IggySource}
   */
 object IggyTransport {
 
+  /** i1–i4 run WITH authentication on — every connection the producer,
+    * bounded reader, micro-batch source and group client open must
+    * LoginUser with NON-default credentials first (the k/r families'
+    * run-with-security-on discipline).
+    */
+  private val OracleAuth = ("oracle", "i-family-gate")
+
   private def withServer[T](f: EmbeddedIggy => T): T = {
-    val srv = new EmbeddedIggy
+    val srv = new EmbeddedIggy(credentials = OracleAuth)
     try f(srv) finally srv.close()
   }
 
@@ -36,9 +43,10 @@ object IggyTransport {
     "i1_iggy_roundtrip" -> { (s, dir) =>
       withServer { srv =>
         val t = Tables(s, dir)
-        IggySource.write(Transport.envelopeOf(t), srv.host, srv.port)
+        IggySource.write(Transport.envelopeOf(t), srv.host, srv.port,
+          auth = OracleAuth)
         val replay = IggySource.boundedRead(s, srv.host, srv.port,
-          Transport.eventTypes).localCheckpoint(true)
+          Transport.eventTypes, auth = OracleAuth).localCheckpoint(true)
         // iggy re-sequences: offsets are dense per partition, so the
         // envelope aggregate checks payload content, not raw sequence —
         // the payload carries the original event_id
@@ -54,10 +62,13 @@ object IggyTransport {
       withServer { srv =>
         val t = Tables(s, dir)
         val cap = math.max(1000L, t.events.count() / 4)
-        IggySource.write(Transport.envelopeOf(t), srv.host, srv.port)
+        IggySource.write(Transport.envelopeOf(t), srv.host, srv.port,
+          auth = OracleAuth)
         val q = Transport.aggregate(
           s.readStream.format("iggy-stream")
             .option("host", srv.host).option("port", srv.port.toString)
+            .option("username", OracleAuth._1)
+            .option("password", OracleAuth._2)
             .option("topics", Transport.eventTypes.mkString(","))
             .option("startingOffsets", "earliest")
             .option("maxMessagesPerTrigger", cap.toString)
@@ -79,9 +90,11 @@ object IggyTransport {
           .agg(min(unix_millis(col("ts"))).as("lo"),
             max(unix_millis(col("ts"))).as("hi")).head()
         val cutoff = (bounds.getLong(0) + bounds.getLong(1)) / 2
-        IggySource.write(Transport.envelopeOf(t), srv.host, srv.port)
+        IggySource.write(Transport.envelopeOf(t), srv.host, srv.port,
+          auth = OracleAuth)
         val sought = IggySource.boundedRead(s, srv.host, srv.port,
-          Transport.eventTypes, afterMs = Some(cutoff)).localCheckpoint(true)
+          Transport.eventTypes, afterMs = Some(cutoff),
+          auth = OracleAuth).localCheckpoint(true)
         Transport.aggregate(sought, withDistinct = false)
       }
     },
@@ -102,8 +115,10 @@ object IggyTransport {
           .agg(min(unix_millis(col("ts"))).as("lo"),
             max(unix_millis(col("ts"))).as("hi")).head()
         val cutoff = (bounds.getLong(0) + bounds.getLong(1)) / 2
-        IggySource.write(Transport.envelopeOf(t), srv.host, srv.port)
-        val c = new graft.iggy.IggyClient(srv.host, srv.port)
+        IggySource.write(Transport.envelopeOf(t), srv.host, srv.port,
+          auth = OracleAuth)
+        val c = new graft.iggy.IggyClient(srv.host, srv.port,
+          username = OracleAuth._1, password = OracleAuth._2)
         try {
           val g = (1, "g_oracle")
           Transport.eventTypes.foreach { topic =>
@@ -133,6 +148,8 @@ object IggyTransport {
         val q = Transport.aggregate(
           s.readStream.format("iggy-stream")
             .option("host", srv.host).option("port", srv.port.toString)
+            .option("username", OracleAuth._1)
+            .option("password", OracleAuth._2)
             .option("topics", Transport.eventTypes.mkString(","))
             .option("startingOffsets", "earliest") // overridden by the group
             .option("group", "g_oracle")

@@ -237,8 +237,22 @@ object SeaStreamer {
         catch { case e: IllegalArgumentException =>
           throw SeaStreamErr.Unsupported(s"redis security: ${e.getMessage}")
         }
+    // iggy LoginUser credentials — the reference's connection-string
+    // user:pass (sea-streamer-iggy/src/streamer.rs:51); default is the
+    // server's bootstrap root user iggy/iggy
+    val iggyAuth: (String, String) =
+      if (scheme != "iggy") ("iggy", "iggy")
+      else (security.getOrElse("iggy.username", "iggy"),
+        security.getOrElse("iggy.password", "iggy"))
     if (security.nonEmpty) {
-      if (scheme == "redis") {
+      if (scheme == "iggy") {
+        val stray = security.keySet -- Set("iggy.username", "iggy.password")
+        if (stray.nonEmpty)
+          throw SeaStreamErr.Unsupported(
+            s"iggy supports only the credential options " +
+              "(iggy.username/iggy.password), got: " +
+              stray.toSeq.sorted.mkString(", "))
+      } else if (scheme == "redis") {
         val allowed =
           if (rawScheme == "rediss") RedisSecurity.ConnectKeys
           else Set(RedisSecurity.ConnectPrefix + RedisSecurity.Username,
@@ -265,14 +279,16 @@ object SeaStreamer {
         }
       }
     }
-    new Connection(spark, scheme, streamer, security, redisTls, redisAuth)
+    new Connection(spark, scheme, streamer, security, redisTls, redisAuth,
+      iggyAuth)
   }
 
   final class Connection(
       spark: SparkSession, scheme: String, streamer: StreamerUri,
       security: Map[String, String] = Map.empty,
       redisTls: Option[graft.redis.RedisClient.Tls] = None,
-      redisAuth: Option[graft.redis.RedisClient.Auth] = None) {
+      redisAuth: Option[graft.redis.RedisClient.Auth] = None,
+      iggyAuth: (String, String) = ("iggy", "iggy")) {
 
     /** The rediss options for the `redis-stream` DataSource (live path) —
       * emitted by the same [[graft.redis.RedisSecurity]] spelling the
@@ -569,6 +585,8 @@ object SeaStreamer {
               else "latest"
             val base0 = spark.readStream.format("iggy-stream")
               .option("host", host).option("port", port.toString)
+              .option("username", iggyAuth._1)
+              .option("password", iggyAuth._2)
               .option("stream", opts.iggyStream)
               .option("topics", subscribe)
             val base = assignOpt.fold(base0)(base0.option("assign", _))
@@ -594,7 +612,8 @@ object SeaStreamer {
               // generic >= residual in createConsumer stays (a no-op on the
               // pruned scan)
               fromOffset = opts.rewindSeqNo,
-              assign = opts.assignShards)
+              assign = opts.assignShards,
+              auth = iggyAuth)
         case "stdio" =>
           // distributed stdin does not exist: the node address is a line
           // FILE — Replay reads it bounded, Live TAILS it (the reference's
@@ -638,7 +657,7 @@ object SeaStreamer {
         throw SeaStreamErr.InvalidStreamKey(stream)
       validIggyStream(iggyStream)
       new Producer(spark, scheme, allNodeAddrs, Some(stream), redisShards,
-        iggyPartitions, iggyStream, security, redisTls, redisAuth)
+        iggyPartitions, iggyStream, security, redisTls, redisAuth, iggyAuth)
     }
 
     /** Generic producer: stream key comes from each row. */
@@ -647,7 +666,7 @@ object SeaStreamer {
         iggyStream: String = graft.iggy.IggySource.DefaultStream): Producer = {
       validIggyStream(iggyStream)
       new Producer(spark, scheme, allNodeAddrs, None, redisShards,
-        iggyPartitions, iggyStream, security, redisTls, redisAuth)
+        iggyPartitions, iggyStream, security, redisTls, redisAuth, iggyAuth)
     }
 
     /** The iggy namespace stream follows the same key grammar as stream
@@ -709,7 +728,9 @@ object SeaStreamer {
         */
       redisTls: Option[graft.redis.RedisClient.Tls] = None,
       /** AUTH credentials for every redis connection this producer opens. */
-      redisAuth: Option[graft.redis.RedisClient.Auth] = None) {
+      redisAuth: Option[graft.redis.RedisClient.Auth] = None,
+      /** LoginUser credentials for every iggy connection. */
+      iggyAuth: (String, String) = ("iggy", "iggy")) {
 
     private def node: String = nodes.head
     private def redisSharded: Boolean = redisShards > 1
@@ -920,7 +941,7 @@ object SeaStreamer {
           // sea-streamer-iggy/src/options.rs:325-330)
           val (host, port) = SeaStreamer.hostPort(node, 8090)
           graft.iggy.IggySource.write(out, host, port, stream = iggyStream,
-            partitions = iggyPartitions)
+            partitions = iggyPartitions, auth = iggyAuth)
         case "stdio" =>
           // producer line format. The stdio contract means THIS process's
           // stdout (the reference's singleton stdout thread,

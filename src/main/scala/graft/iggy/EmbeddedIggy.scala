@@ -28,7 +28,13 @@ import IggyWire.{Cmd, PollStrategy, Status}
   * under the hash-compare gate. It is an embedded verification backend,
   * not a production store.
   */
-final class EmbeddedIggy extends AutoCloseable {
+final class EmbeddedIggy(
+    /** The one root user this server accepts — iggy's bootstrap default
+      * (`iggy`/`iggy`); wrong pairs are refused with the published
+      * InvalidCredentials status (42), and every other command before a
+      * successful login stays behind the Unauthenticated gate (40).
+      */
+    credentials: (String, String) = ("iggy", "iggy")) extends AutoCloseable {
   import EmbeddedIggy.Msg
 
   private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
@@ -187,10 +193,13 @@ final class EmbeddedIggy extends AutoCloseable {
       case Cmd.Ping => ok()
 
       case Cmd.LoginUser =>
-        val (_, _) = (r.str(), r.str()) // any credentials accepted
+        val (user, pass) = (r.str(), r.str())
         val (_, _) = (r.lstr(), r.lstr()) // optional version/context
-        // IdentityInfo: [user_id u32]
-        ok(new IggyWire.Writer().u32(1).result())
+        if ((user, pass) != credentials)
+          (Status.InvalidCredentials, Array.emptyByteArray)
+        else
+          // IdentityInfo: [user_id u32]
+          ok(new IggyWire.Writer().u32(1).result())
 
       case Cmd.GetMe =>
         import scala.jdk.CollectionConverters._

@@ -69,8 +69,9 @@ object IggySource {
     * like a Kafka metadata request).
     */
   private def topicParts(host: String, port: Int, stream: String,
-      topics: Seq[String]): Seq[(String, Int)] = {
-    val c = new IggyClient(host, port)
+      topics: Seq[String], auth: (String, String)): Seq[(String, Int)] = {
+    val c = new IggyClient(host, port, username = auth._1,
+      password = auth._2)
     try topics.map(t => (t, c.topicTips(stream, t).map(_.length).getOrElse(0)))
     finally c.close()
   }
@@ -96,9 +97,12 @@ object IggySource {
         * dropped at planning — never polled (shard = iggy partition, so
         * the facade's (stream, shard) pairs map 1:1).
         */
-      assign: Option[Seq[(String, Long)]] = None): DataFrame = {
+      assign: Option[Seq[(String, Long)]] = None,
+      /** LoginUser credentials — the reference's connection-string
+        * user:pass (streamer.rs:51; iggy's bootstrap default). */
+      auth: (String, String) = ("iggy", "iggy")): DataFrame = {
     import spark.implicits._
-    val parts = topicParts(host, port, stream, topics)
+    val parts = topicParts(host, port, stream, topics, auth)
       .flatMap { case (t, n) => (0 until n).map(p => (t, p)) }
       .filter { case (t, p) =>
         assign.forall(_.exists(a => a._1 == t && a._2 == p.toLong)) }
@@ -114,7 +118,9 @@ object IggySource {
         // never drains the iterator, so the eager close below is not enough
         val opened = graft.core.TaskResources.closeOnTaskCompletion[AutoCloseable]()
         it.flatMap { case (topic, partition) =>
-          val session = new IggyClient.Session(() => new IggyClient(host, port))
+          val session = new IggyClient.Session(() =>
+            new IggyClient(host, port, username = auth._1,
+              password = auth._2))
           opened += session
           val scan = pagedPoll(session, stream, topic, partition, start,
             batch, group)
@@ -143,7 +149,8 @@ object IggySource {
     */
   def write(df: DataFrame, host: String, port: Int,
       stream: String = DefaultStream, partitions: Int = 4,
-      batchSize: Int = 1000, balanced: Boolean = false): Unit = {
+      batchSize: Int = 1000, balanced: Boolean = false,
+      auth: (String, String) = ("iggy", "iggy")): Unit = {
     import df.sparkSession.implicits._
     import org.apache.spark.sql.functions.{col, lit, pmod}
     df.select("stream_key", "shard_id", "timestamp", "payload")
@@ -159,7 +166,9 @@ object IggySource {
           // reconnect — earlier batches were already acknowledged, so the
           // known-applied prefix is never replayed (a lost in-flight reply
           // is at-least-once, as for every request/reply producer)
-          val session = new IggyClient.Session(() => new IggyClient(host, port))
+          val session = new IggyClient.Session(() =>
+            new IggyClient(host, port, username = auth._1,
+              password = auth._2))
           val created = scala.collection.mutable.Set.empty[String]
           try {
             session.retrying("create-stream")(_.createStreamIfAbsent(stream))

@@ -103,7 +103,8 @@ object IggyOffset {
 
 final case class IggyInputPartition(
     host: String, port: Int, stream: String, topic: String, partition: Int,
-    from: Long, until: Long, batch: Int, group: Option[String])
+    from: Long, until: Long, batch: Int, group: Option[String],
+    user: String = "iggy", password: String = "iggy")
   extends InputPartition
 
 class IggyMicroBatchStream(options: CaseInsensitiveStringMap)
@@ -112,6 +113,10 @@ class IggyMicroBatchStream(options: CaseInsensitiveStringMap)
   private val host = Option(options.get("host")).getOrElse("127.0.0.1")
   private val port = options.getInt("port", 8090)
   private val stream = options.getOrDefault("stream", IggySource.DefaultStream)
+  // LoginUser credentials on the options surface (iggy's bootstrap
+  // default) — every connection this source opens logs in with them
+  private val user = options.getOrDefault("username", "iggy")
+  private val password = options.getOrDefault("password", "iggy")
   private val topics = Option(options.get("topics"))
     .getOrElse(throw new IllegalArgumentException(
       "iggy-stream requires a `topics` option"))
@@ -161,7 +166,7 @@ class IggyMicroBatchStream(options: CaseInsensitiveStringMap)
     * recreated on failure (planning has no task-retry net).
     */
   private def withClient[T](f: IggyClient => T): T = {
-    val c = new IggyClient(host, port)
+    val c = new IggyClient(host, port, username = user, password = password)
     try f(c) finally c.close()
   }
 
@@ -263,7 +268,7 @@ class IggyMicroBatchStream(options: CaseInsensitiveStringMap)
       val until = e.getOrElse((t, p), from)
       if (until <= from) None
       else Some(IggyInputPartition(host, port, stream, t, p, from, until,
-        batch, group))
+        batch, group, user, password))
     }.toArray
   }
 
@@ -285,7 +290,8 @@ class IggyPartitionReader(p: IggyInputPartition)
   // reconnecting session: the cursor is always an explicit AtOffset, so a
   // drop mid-batch re-polls the current page exactly-once
   private val session = new IggyClient.Session(
-    () => new IggyClient(p.host, p.port))
+    () => new IggyClient(p.host, p.port, username = p.user,
+      password = p.password))
   private var current: SeaMessage = _
   private var nextOffset = p.from
   private var page: Iterator[SeaMessage] = Iterator.empty

@@ -215,6 +215,77 @@ class IggySpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("credentials are VERIFIED: wrong pair fails typed with status 42, " +
+      "a failed login does not open the session, non-default creds work") {
+    val srv = new EmbeddedIggy(credentials = ("alice", "s3cret"))
+    try {
+      // wrong password: the constructor's LoginUser surfaces the
+      // published InvalidCredentials status — no half-authenticated
+      // client escapes
+      val e = intercept[Exception] {
+        new IggyClient(srv.host, srv.port,
+          username = "alice", password = "wrong")
+      }
+      assert(e.getMessage.contains("42"), e.getMessage)
+      // a failed login must not flip the session to authenticated: the
+      // next command on the same socket is still gated
+      val s = new java.net.Socket(srv.host, srv.port)
+      try {
+        val out = s.getOutputStream
+        IggyWire.writeRequest(out, IggyWire.Cmd.LoginUser,
+          new IggyWire.Writer().str("alice").str("wrong")
+            .lstr("").lstr("").result())
+        out.flush()
+        val (st1, _) = IggyWire.readResponse(s.getInputStream)
+        assert(st1 == IggyWire.Status.InvalidCredentials)
+        IggyWire.writeRequest(out, IggyWire.Cmd.GetStream,
+          new IggyWire.Writer().str("x").result())
+        out.flush()
+        val (st2, _) = IggyWire.readResponse(s.getInputStream)
+        assert(st2 == IggyWire.Status.Unauthenticated)
+      } finally s.close()
+      // the right pair opens the full surface
+      val c = new IggyClient(srv.host, srv.port,
+        username = "alice", password = "s3cret")
+      try { c.ping(); c.createStreamIfAbsent("s") } finally c.close()
+      // the default iggy/iggy pair is WRONG on this server
+      val e2 = intercept[Exception](new IggyClient(srv.host, srv.port))
+      assert(e2.getMessage.contains("42"))
+    } finally srv.close()
+  }
+
+  test("facade iggy.username/iggy.password options carry the login " +
+      "end-to-end; stray security options are refused at connect") {
+    import graft.facade.SeaStreamer
+    val spark = graft.TestSession.spark
+    import spark.implicits._
+    val srv = new EmbeddedIggy(credentials = ("alice", "s3cret"))
+    try {
+      val conn = SeaStreamer.connect(s"iggy://${srv.host}:${srv.port}",
+        spark, Map("iggy.username" -> "alice", "iggy.password" -> "s3cret"))
+      val env = (0 until 8).map { i =>
+        ("s0", 0L, i.toLong,
+          new java.sql.Timestamp(1700000000000L + i * 1000L),
+          s"p$i".getBytes("UTF-8"))
+      }.toDF("stream_key", "shard_id", "sequence", "timestamp", "payload")
+      conn.createGenericProducer().send(env)
+      val replay = conn.createConsumer(Seq("s0"),
+        SeaStreamer.ConsumerOptions(live = false,
+          autoStreamReset = SeaStreamer.AutoStreamReset.Earliest))
+      assert(replay.count() == 8)
+      // wrong credentials surface typed from the read path, not a hang
+      intercept[Exception] {
+        SeaStreamer.connect(s"iggy://${srv.host}:${srv.port}", spark)
+          .createConsumer(Seq("s0"),
+            SeaStreamer.ConsumerOptions(live = false)).count()
+      }
+      intercept[graft.core.SeaStreamErr.Unsupported] {
+        SeaStreamer.connect(s"iggy://${srv.host}:${srv.port}", spark,
+          Map("iggy.ssl" -> "true"))
+      }
+    } finally srv.close()
+  }
+
   test("create stream/topic are idempotent through the IfAbsent helpers") {
     withServer { (_, c) =>
       assert(!c.createStreamIfAbsent("s"))
