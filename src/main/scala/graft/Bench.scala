@@ -182,6 +182,11 @@ object Bench {
           analytics.Dedup.d14Build(spark, sfDir)
           timed("t22_stream_index_grow")(force(
             analytics.Transport.t22IndexGrowStream(spark, sfDir)))
+        } else if (name == "t24_stream_media_ingest") {
+          // one timed number: the media ingest stream (synthesis + decode
+          // ride per-batch executor work; no separate one-time build)
+          timed("t24_stream_media_ingest")(force(
+            analytics.Transport.t24MediaIngestStream(spark, sfDir)))
         } else if (name == "t23_stream_quality_gate") {
           // one timed number: train + model persist + the scoring stream
           // (training is vocabulary-sized — part of the op's honest price,

@@ -491,6 +491,63 @@ object Transport {
     s.read.parquet(results)
   }
 
+  /** t24 — multimodal ingest: m1's decode-and-validate pass maintained at
+    * arrival time, completing the streaming ≡ batch matrix across every
+    * family (text t13–t18, index t20/t22, quality t23, media here). The
+    * envelope's BINARY payload column is the natural home for opaque
+    * media — the PNG/WAV bytes ride the stream as-is, and each
+    * micro-batch decodes them with the SAME real codecs as the batch op
+    * ([[Multimodal.decodeBatch]], mapPartitions byte-level work — the one
+    * sanctioned mapPartitions class). Zero streaming state; per-record
+    * metadata appends to the results table and the end-of-log aggregate
+    * must equal m1's bit-for-bit (oracle = m1's SQL verbatim). This is
+    * the production media-ingest gate: corrupt objects fail the decode
+    * loudly AT INGEST, before they poison a training shard.
+    */
+  private[graft] def t24MediaIngestStream(s: SparkSession, dir: String,
+      inspect: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _ => ()): DataFrame = {
+    import s.implicits._
+    val out = scratch(dir, "t24media")
+    val results = scratch(dir, "t24meta")
+    val docs = Tables(s, dir).documents.select(col("doc_id")).as[Long]
+    docs
+      .mapPartitions(_.map(id => (
+        "media", id % 4, id,
+        new java.sql.Timestamp(1767225600000L), Multimodal.synthesize(id))))
+      .toDF("stream_key", "shard_id", "sequence", "timestamp", "payload")
+      .write.format("ss").mode("overwrite").save(out)
+    val fs = new org.apache.hadoop.fs.Path(results)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(results), true)
+    val cap = math.max(1L, docs.count() / 4)
+    val src = s.readStream.format("ss")
+      .option("maxMessagesPerTrigger", cap.toString)
+      .load(out)
+      .select(col("sequence").as("doc_id"), col("payload"))
+    val q = src.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: java.lang.Long) =>
+        if (!b.isEmpty) {
+          val media = b.select(col("doc_id"), col("payload"))
+            .as[(Long, Array[Byte])]
+            .map { case (id, bytes) => Multimodal.MediaRecord(id, bytes) }
+          Multimodal.decodeBatch(media).toDF()
+            .write.mode("append").parquet(results)
+        }
+      }.start()
+    try { q.processAllAvailable(); inspect(q) } finally q.stop()
+    // end-of-log finish: m1's exact aggregate over the accumulated metadata
+    s.read.parquet(results)
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("width")).as("sum_width"),
+        sum(col("height")).as("sum_height"),
+        sum(col("channels")).as("sum_channels"),
+        sum(col("frames")).as("sum_frames"),
+        max(col("sample_rate")).as("max_rate"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     // Batch path: ss sink (one part per task) → beacon-split ss scan.
     "t1_ss_roundtrip" -> { (s, dir) =>
@@ -1153,6 +1210,12 @@ object Transport {
       t23QualityGateStream(s, dir)
     },
 
+    // m1's media decode-and-validate maintained at ingest (binary media
+    // payloads on the envelope; oracle = m1's SQL verbatim).
+    "t24_stream_media_ingest" -> { (s, dir) =>
+      t24MediaIngestStream(s, dir)
+    },
+
     // Streaming latest-per-key compaction — q24's CDC shape maintained AT
     // INGEST (the q24→t17 pair completes the batch≡streaming family with
     // s11→t15 and p20→t16): a GroupState per key holds exactly ONE row —
@@ -1297,6 +1360,7 @@ object Transport {
     "t21_stream_query_serve" -> Similarity.oracles("s13_mmr_indexed"),
     "t22_stream_index_grow" -> Dedup.d14TwoWaveOracleSql,
     "t23_stream_quality_gate" -> Pipeline.oracles("p23_quality_classifier"),
+    "t24_stream_media_ingest" -> Multimodal.oracles("m1_media_decode"),
     "t14_stream_lsh_dedup" -> {
       val constRows = Dedup.MinhashParams.zipWithIndex
         .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
