@@ -58,6 +58,34 @@ object AuthCostProbe {
         f"tls adds ${saslSsl - scram}%.3f)")
     } finally { authSrv.close(); openSrv.close(); sslSrv.close() }
 
+    // redis per-connection AUTH attribution (round 12's credential
+    // surface): connect + PING with and without the constructor AUTH —
+    // the price every short-lived task connection pays on a secured
+    // server is ONE extra round trip
+    {
+      def rcycles(srv: redis.EmbeddedRedis,
+          auth: Option[redis.RedisClient.Auth], n: Int): Double = {
+        val t0 = System.nanoTime()
+        (0 until n).foreach { _ =>
+          val c = new redis.RedisClient(srv.host, srv.port, auth = auth)
+          c.commandS("PING")
+          c.close()
+        }
+        (System.nanoTime() - t0) / 1e6 / n
+      }
+      val open = new redis.EmbeddedRedis()
+      val gated = new redis.EmbeddedRedis(auth = Some(("u", "p")))
+      try {
+        rcycles(open, None, 30)
+        rcycles(gated, Some(redis.RedisClient.Auth(Some("u"), "p")), 30)
+        val none = rcycles(open, None, 200)
+        val authd = rcycles(gated,
+          Some(redis.RedisClient.Auth(Some("u"), "p")), 200)
+        println(f"[authcost] redis per-connection ms (connect+PING): " +
+          f"none=$none%.3f auth=$authd%.3f (AUTH adds ${authd - none}%.3f)")
+      } finally { open.close(); gated.close() }
+    }
+
     // iggy decode attribution: encode one polled message once, decode it
     // N times (fresh Reader per decode, as the client does per message)
     val payload = Array.tabulate[Byte](256)(i => (i * 31).toByte)
