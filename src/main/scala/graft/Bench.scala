@@ -387,6 +387,30 @@ object Bench {
       } finally srv.close()
     }
 
+    // and with zstd — the codec modern pipelines default to (KIP-110):
+    // near-gzip ratio at a fraction of the compress CPU
+    {
+      val srv = new graft.kafka.EmbeddedKafka
+      try {
+        val env = spark.range(100000)
+          .select(
+            lit("bench").as("stream_key"),
+            (col("id") % 4).as("shard_id"),
+            col("id").as("sequence"),
+            timestamp_millis(lit(1700000000000L) + col("id")).as("timestamp"),
+            lit(payload.getBytes("UTF-8")).as("payload"))
+        timed("xp_kafka_zstd_produce_100k") {
+          graft.kafka.KafkaSource.write(env, srv.host, srv.port,
+            compression = "zstd")
+        }
+        timed("xp_kafka_zstd_consume_100k") {
+          val n = graft.kafka.KafkaSource.boundedRead(spark, srv.host,
+            srv.port, Seq("bench")).count()
+          require(n == 100000L, s"expected 100k kafka zstd messages, got $n")
+        }
+      } finally srv.close()
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum

@@ -406,20 +406,49 @@ object KafkaWire {
   /** Batch compression codecs (attributes bits 0–2 of the v2 layout; the
     * reference's `compression.type` producer option,
     * sea-streamer-kafka/src/producer.rs:52,85-86,311-317). The wire driver
-    * speaks none and gzip end-to-end (gzip is the one codec the JDK
-    * carries); snappy/lz4/zstd are refused loudly at option parse AND at
-    * batch decode — never a silent misread of a compressed payload.
+    * speaks the full published matrix — none/gzip/snappy/lz4/zstd — using
+    * the same codec libraries Apache Kafka itself links (JDK zlib,
+    * snappy-java's xerial-framed streams, lz4-java's LZ4 Frame v1.5.1
+    * streams, zstd-jni): bytes produced here are readable by a real
+    * broker's decoder and vice versa. Reserved codec bits 5–7 are refused
+    * loudly at batch decode — never a silent misread.
     */
   object Codec {
     val None = 0
     val Gzip = 1
+    val Snappy = 2
+    val Lz4 = 3
+    val Zstd = 4
     /** `compression.type` value → attributes codec bits. */
     def of(name: String): Int = name.toLowerCase(java.util.Locale.ROOT) match {
       case "none" => None
       case "gzip" => Gzip
+      case "snappy" => Snappy
+      case "lz4" => Lz4
+      case "zstd" => Zstd
       case other => throw new IllegalArgumentException(
-        s"compression.type $other: the wire driver speaks none/gzip " +
-          "(snappy/lz4/zstd need codec libraries the JDK does not carry)")
+        s"compression.type $other: the published codec matrix is " +
+          "none/gzip/snappy/lz4/zstd")
+    }
+
+    /** Wrap `out` in `codec`'s compressor (the exact stream classes the
+      * Apache Kafka client uses per codec).
+      */
+    def wrap(codec: Int, out: OutputStream): OutputStream = codec match {
+      case Gzip => new java.util.zip.GZIPOutputStream(out)
+      case Snappy => new org.xerial.snappy.SnappyOutputStream(out)
+      case Lz4 => new net.jpountz.lz4.LZ4FrameOutputStream(out)
+      case Zstd => new com.github.luben.zstd.ZstdOutputStream(out)
+      case c => throw new IllegalArgumentException(s"batch codec $c")
+    }
+
+    /** Inverse of [[wrap]] for the decode side. */
+    def unwrap(codec: Int, in: InputStream): InputStream = codec match {
+      case Gzip => new java.util.zip.GZIPInputStream(in)
+      case Snappy => new org.xerial.snappy.SnappyInputStream(in)
+      case Lz4 => new net.jpountz.lz4.LZ4FrameInputStream(in)
+      case Zstd => new com.github.luben.zstd.ZstdInputStream(in)
+      case c => throw new IllegalArgumentException(s"batch codec $c")
     }
   }
 
@@ -440,8 +469,8 @@ object KafkaWire {
   def encodeBatch(records: Seq[KRecord],
       codec: Int = Codec.None): Array[Byte] = {
     require(records.nonEmpty, "empty batch")
-    require(codec == Codec.None || codec == Codec.Gzip,
-      s"unsupported batch codec $codec (none/gzip)")
+    require(codec >= Codec.None && codec <= Codec.Zstd,
+      s"unsupported batch codec $codec (none/gzip/snappy/lz4/zstd)")
     val baseOffset = records.head.offset
     val baseTs = records.head.tsMs
     val recs = new Writer // the records blob (the compressible region)
@@ -463,8 +492,8 @@ object KafkaWire {
       if (codec == Codec.None) recs.result()
       else {
         val bos = new java.io.ByteArrayOutputStream
-        val gz = new java.util.zip.GZIPOutputStream(bos)
-        gz.write(recs.result()); gz.close()
+        val cs = Codec.wrap(codec, bos)
+        cs.write(recs.result()); cs.close()
         bos.toByteArray
       }
     val body = new Writer // attributes .. records (the CRC'd region)
@@ -515,9 +544,9 @@ object KafkaWire {
         throw CorruptBatchException(at, crcStored, crc.getValue.toInt)
       val attributes = r.i16v()
       val codec = attributes & 0x7
-      require(codec == Codec.None || codec == Codec.Gzip,
-        s"batch codec $codec not supported (none/gzip; snappy/lz4/zstd " +
-          "need codec libraries the JDK does not carry)")
+      require(codec >= Codec.None && codec <= Codec.Zstd,
+        s"batch codec $codec not supported (reserved attributes bits — " +
+          "the published matrix ends at zstd=4)")
       r.i32() // lastOffsetDelta
       val baseTs = r.i64()
       r.i64() // maxTimestamp
@@ -531,9 +560,9 @@ object KafkaWire {
         if (codec == Codec.None) r
         else {
           val compressed = r.rawBytes(at + 12 + batchLength - r.position)
-          val gz = new java.util.zip.GZIPInputStream(
+          val cs = Codec.unwrap(codec,
             new java.io.ByteArrayInputStream(compressed))
-          new Reader(gz.readAllBytes(), 0)
+          new Reader(cs.readAllBytes(), 0)
         }
       var i = 0
       while (i < count) {

@@ -75,32 +75,39 @@ class KafkaFacadeSpec extends AnyFunSuite {
     }
   }
 
-  test("kafka.compression.type=gzip through the options surface: gzip " +
-      "batches on the log, the same consumer path round-trips; snappy " +
-      "refused before any executor work") {
+  test("kafka.compression.type through the options surface: every " +
+      "published codec lands on the log with its bits and the plain " +
+      "consumer path round-trips; unknown codecs refused before any " +
+      "executor work") {
+    for (codecName <- Seq("gzip", "snappy", "lz4", "zstd")) {
+      val srv = new EmbeddedKafka
+      try {
+        val conn = SeaStreamer.connect(s"kafka://${srv.host}:${srv.port}",
+          spark, Map("kafka.compression.type" -> codecName))
+        conn.createGenericProducer().send(mkEnvelope(40))
+        // every produced batch carries the codec bits (partitions 0-3)
+        val want = graft.kafka.KafkaWire.Codec.of(codecName)
+        val codecs = (0 until 4).flatMap(p => srv.storedBatchCodecs("s0", p))
+        assert(codecs.nonEmpty && codecs.forall(_ == want),
+          s"expected all-$codecName log, got $codecs")
+        // a connection WITHOUT the option reads it back identically
+        val plainConn = SeaStreamer.connect(
+          s"kafka://${srv.host}:${srv.port}", spark)
+        val replay = plainConn.createConsumer(Seq("s0", "s1"),
+          ConsumerOptions(live = false,
+            autoStreamReset = AutoStreamReset.Earliest))
+        assert(replay.count() == 40, s"$codecName round-trip")
+      } finally srv.close()
+    }
+    // names outside the published matrix are refused loudly at write time
     val srv = new EmbeddedKafka
     try {
-      val conn = SeaStreamer.connect(s"kafka://${srv.host}:${srv.port}",
-        spark, Map("kafka.compression.type" -> "gzip"))
-      conn.createGenericProducer().send(mkEnvelope(40))
-      // every produced batch carries the gzip codec bit (partitions 0-3)
-      val codecs = (0 until 4).flatMap(p => srv.storedBatchCodecs("s0", p))
-      assert(codecs.nonEmpty && codecs.forall(_ == graft.kafka.KafkaWire.Codec.Gzip),
-        s"expected all-gzip log, got $codecs")
-      // a connection WITHOUT the option reads it back identically
-      val plainConn = SeaStreamer.connect(
-        s"kafka://${srv.host}:${srv.port}", spark)
-      val replay = plainConn.createConsumer(Seq("s0", "s1"),
-        ConsumerOptions(live = false,
-          autoStreamReset = AutoStreamReset.Earliest))
-      assert(replay.count() == 40)
-      // codecs the JDK cannot speak are refused loudly at write time
       val e = intercept[IllegalArgumentException] {
         SeaStreamer.connect(s"kafka://${srv.host}:${srv.port}", spark,
-          Map("kafka.compression.type" -> "snappy"))
+          Map("kafka.compression.type" -> "lzma"))
           .createGenericProducer().send(mkEnvelope(4))
       }
-      assert(e.getMessage.contains("snappy"))
+      assert(e.getMessage.contains("lzma"))
     } finally srv.close()
   }
 

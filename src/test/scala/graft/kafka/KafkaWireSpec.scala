@@ -168,19 +168,64 @@ class KafkaWireSpec extends AnyFunSuite {
     assertThrows[KafkaWire.CorruptBatchException](KafkaWire.decodeBatches(b))
   }
 
-  test("snappy/lz4/zstd refused loudly at option parse AND batch decode") {
+  test("snappy/lz4/zstd batches: codec bits, library framing magic, " +
+    "CRC over the compressed bytes, decode inverts, payloads shrink") {
+    val recs = Seq(
+      KRecord(40L, 1700000000000L, null, ("lorem " * 40).getBytes),
+      KRecord(41L, 1700000000100L, "k".getBytes, ("ipsum " * 40).getBytes),
+      KRecord(42L, 1700000000200L, null, null))
+    val plainLen = KafkaWire.encodeBatch(recs).length
+    // each codec's records region must open with ITS library's framing
+    // magic — the interop pin: these are the byte signatures a real
+    // broker's decoder dispatches on (xerial snappy header, LZ4 Frame
+    // magic 0x184D2204 LE, zstd magic 0xFD2FB528 LE)
+    val magics = Map(
+      KafkaWire.Codec.Snappy -> Seq(0x82, 'S', 'N', 'A', 'P', 'P', 'Y'),
+      KafkaWire.Codec.Lz4 -> Seq(0x04, 0x22, 0x4d, 0x18),
+      KafkaWire.Codec.Zstd -> Seq(0x28, 0xb5, 0x2f, 0xfd))
+    for ((codec, magic) <- magics) {
+      val b = KafkaWire.encodeBatch(recs, codec)
+      assert(java.nio.ByteBuffer.wrap(b, Batch.Attributes, 2)
+        .getShort == codec, s"codec bits for $codec")
+      assert(KafkaWire.batchCodec(b) == codec)
+      assert(java.nio.ByteBuffer.wrap(b, 57, 4).getInt == 3)
+      assert(magic.zipWithIndex.forall { case (m, i) =>
+        (b(Batch.Overhead + i) & 0xff) == (m.toInt & 0xff) },
+        s"framing magic for codec $codec")
+      val crc = new java.util.zip.CRC32C
+      crc.update(b, Batch.Attributes, b.length - Batch.Attributes)
+      assert(java.nio.ByteBuffer.wrap(b, Batch.Crc, 4).getInt ==
+        crc.getValue.toInt)
+      val got = KafkaWire.decodeBatches(b)
+      assert(got.map(_.offset) == Seq(40L, 41L, 42L))
+      assert(new String(got(0).value) == "lorem " * 40)
+      assert(new String(got(1).key) == "k" && got(2).value == null)
+      assert(b.length < plainLen, s"codec $codec did not shrink")
+    }
+    // all five batches interleave in one record set
+    val set = (KafkaWire.Codec.None to KafkaWire.Codec.Zstd).map { c =>
+      KafkaWire.encodeBatch(
+        Seq(KRecord(c.toLong, 10L + c, null, s"p$c".getBytes)), c)
+    }.reduce(_ ++ _)
+    assert(KafkaWire.decodeBatches(set)
+      .map(r => (r.offset, new String(r.value))) ==
+      (0 to 4).map(c => (c.toLong, s"p$c")))
+  }
+
+  test("reserved codec bits and unknown names refused loudly") {
     assert(KafkaWire.Codec.of("none") == 0 && KafkaWire.Codec.of("GZIP") == 1)
-    for (name <- Seq("snappy", "lz4", "zstd"))
-      assertThrows[IllegalArgumentException](KafkaWire.Codec.of(name))
-    // a batch whose attributes claim codec 2 (snappy) must be refused at
+    assert(KafkaWire.Codec.of("snappy") == 2 &&
+      KafkaWire.Codec.of("lz4") == 3 && KafkaWire.Codec.of("ZSTD") == 4)
+    assertThrows[IllegalArgumentException](KafkaWire.Codec.of("lzma"))
+    // a batch whose attributes claim reserved codec 5 must be refused at
     // decode, not misread: rewrite attributes and re-stamp the CRC so the
     // refusal is the codec check itself
     val b = KafkaWire.encodeBatch(Seq(KRecord(0L, 10L, null, "a".getBytes)))
-    b(Batch.Attributes + 1) = 2
+    b(Batch.Attributes + 1) = 5
     val crc = new java.util.zip.CRC32C
     crc.update(b, Batch.Attributes, b.length - Batch.Attributes)
     java.nio.ByteBuffer.wrap(b, Batch.Crc, 4).putInt(crc.getValue.toInt)
     val e = intercept[IllegalArgumentException](KafkaWire.decodeBatches(b))
-    assert(e.getMessage.contains("codec 2"))
+    assert(e.getMessage.contains("codec 5"))
   }
 }
