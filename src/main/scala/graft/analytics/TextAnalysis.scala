@@ -64,6 +64,50 @@ object TextAnalysis {
        |          (n_stop * 1.0 / n_tokens) * 0.5, 6) AS quality_score
        |  FROM qagg)""".stripMargin
 
+  /** a7's PII pattern battery (the Dolma/CCNet scrub set reduced to the
+    * patterns whose semantics are identical in Java regex and the
+    * oracle's RE2): email addresses, IPv4 literals, and bare digit runs
+    * (numeric identifiers — the pattern that actually fires in an event
+    * log's payload). Shared verbatim by the t25 ingest gate.
+    */
+  private[analytics] val PiiEmail =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  private[analytics] val PiiIpv4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  private[analytics] val PiiDigits = "[0-9]+"
+
+  /** a7's scrub as a reusable map-only projection over an event frame
+    * (event_id, user_id, props): consistent pseudonymization of the user
+    * key (salted-hash prefix — joins still line up, the raw id leaves the
+    * dataset) + the pattern battery counted per row + character-level
+    * masking of digits in the free-text payload. Single codegen'd pass,
+    * no shuffle, no UDF — every regexp is a native Catalyst expression.
+    */
+  private[analytics] def piiScrub(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"),
+      substring(md5(concat(lit("graft"), col("user_id").cast("string"))),
+        1, 16).as("pseudo_user"),
+      regexp_count(col("props"), lit(PiiDigits)).cast("long")
+        .as("n_digit_runs"),
+      regexp_count(col("props"), lit(PiiEmail)).cast("long").as("n_emails"),
+      regexp_count(col("props"), lit(PiiIpv4)).cast("long").as("n_ipv4"),
+      regexp_replace(col("props"), "[0-9]", "#").as("props_masked"))
+      .withColumn("has_pii",
+        col("n_digit_runs") + col("n_emails") + col("n_ipv4") > 0)
+
+  /** a7's oracle SQL (DuckDB RE2 side of the same battery). */
+  private[analytics] val PiiOracleSql: String =
+    s"""SELECT event_id,
+       |  substr(md5('graft'||CAST(user_id AS VARCHAR)), 1, 16) AS pseudo_user,
+       |  CAST(len(regexp_extract_all(props, '$PiiDigits')) AS BIGINT) AS n_digit_runs,
+       |  CAST(len(regexp_extract_all(props, '$PiiEmail')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(props, '$PiiIpv4')) AS BIGINT) AS n_ipv4,
+       |  regexp_replace(props, '[0-9]', '#', 'g') AS props_masked,
+       |  (len(regexp_extract_all(props, '$PiiDigits')) +
+       |   len(regexp_extract_all(props, '$PiiEmail')) +
+       |   len(regexp_extract_all(props, '$PiiIpv4'))) > 0 AS has_pii
+       |FROM events""".stripMargin
+
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("(", ", ", ")")
 
@@ -204,6 +248,54 @@ object TextAnalysis {
           round(col("topb") * lit(1.0) / col("n_bigrams"), 6)
             .as("top_bigram_frac"),
           (col("topb") * lit(1.0) / col("n_bigrams") > 0.04).as("repetitive"))
+    },
+
+    // k-anonymity audit — the verification half of the privacy pair (a7
+    // de-identifies; a8 PROVES the released log hides every individual in
+    // a crowd of >= k on its quasi-identifiers). QI = (event_type, time
+    // bucket); the generalization lattice is the real mechanism reduced
+    // to two rungs: groups of >= k release at hour granularity (level 0);
+    // smaller groups RE-generalize to day (level 1) and release there if
+    // the coarser crowd reaches k, else they are suppressed and reported
+    // as such (never silently dropped — the auditor's contract). Shape:
+    // one hash-agg per rung over the sliver the finer rung rejected, a
+    // union of two group-sized frames — no window, no join back to rows;
+    // scales as the number of GROUPS, not events.
+    "a8_k_anonymity" -> { (s, dir) =>
+      val k = 50L
+      val byHour = Tables(s, dir).events
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      // buckets export as epoch seconds (q8's precedent: the oracle reads
+      // the nanos parquet natively, so a raw timestamp column would
+      // dtype-mismatch at the gate)
+      val released0 = byHour.filter(col("n") >= k)
+        .select(col("event_type"),
+          unix_timestamp(col("bucket")).as("bucket_epoch"),
+          lit(0).as("level"), col("n"), lit(false).as("suppressed"))
+      val byDay = byHour.filter(col("n") < k)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("bucket")).as("bucket"))
+        .agg(sum(col("n")).as("n"))
+      val released1 = byDay
+        .select(col("event_type"),
+          unix_timestamp(col("bucket")).as("bucket_epoch"),
+          lit(1).as("level"), col("n"), (col("n") < k).as("suppressed"))
+      released0.unionAll(released1)
+    },
+
+    // Event-log pseudonymization (p4's complement: p4 redacts PII from a
+    // free-text corpus, a7 de-identifies a STRUCTURED log while keeping
+    // it joinable): salted-hash pseudonyms for user_id — referential
+    // integrity survives, the raw id leaves the dataset — plus the
+    // email/IPv4/digit-run battery counted per row and digits masked
+    // character-level in the payload. Map-only single codegen'd projection — the 100 TB
+    // shape is "free": no shuffle, no join, no state; the scan is the
+    // cost. t25 runs this same expression at ingest.
+    "a7_pseudonymize" -> { (s, dir) =>
+      piiScrub(Tables(s, dir).events
+        .select(col("event_id"), col("user_id"), col("props")))
     })
 
   val oracles: Map[String, String] = Map(
@@ -298,5 +390,26 @@ object TextAnalysis {
         |  ROUND(w.topw * 1.0 / w.n_tokens, 6) AS top_word_frac,
         |  ROUND(b.topb * 1.0 / b.n_bigrams, 6) AS top_bigram_frac,
         |  (b.topb * 1.0 / b.n_bigrams) > 0.04 AS repetitive
-        |FROM wd w JOIN bd b USING (doc_id)""".stripMargin)
+        |FROM wd w JOIN bd b USING (doc_id)""".stripMargin,
+
+    "a7_pseudonymize" -> PiiOracleSql,
+
+    // the two-rung lattice replayed as CTEs; day groups re-aggregate ONLY
+    // the hour groups below k, mirroring the Spark sliver re-group
+    "a8_k_anonymity" ->
+      """WITH by_hour AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |by_day AS (
+        |  SELECT event_type, date_trunc('day', bucket) AS bucket,
+        |    CAST(SUM(n) AS BIGINT) AS n
+        |  FROM by_hour WHERE n < 50 GROUP BY 1, 2)
+        |SELECT event_type, CAST(epoch(bucket) AS BIGINT) AS bucket_epoch,
+        |  0 AS level, n, false AS suppressed
+        |FROM by_hour WHERE n >= 50
+        |UNION ALL
+        |SELECT event_type, CAST(epoch(bucket) AS BIGINT) AS bucket_epoch,
+        |  1 AS level, n, (n < 50) AS suppressed
+        |FROM by_day""".stripMargin)
 }

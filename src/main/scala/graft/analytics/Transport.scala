@@ -548,6 +548,51 @@ object Transport {
         max(col("sample_rate")).as("max_rate"))
   }
 
+  /** t25 — a7's event-log pseudonymization maintained AT INGEST: the
+    * de-identification gate a privacy-conscious pipeline runs before any
+    * event ever lands in storage (scrub-on-write, so raw identifiers
+    * never persist). Same discipline as t23/t24: the scrub is a7's
+    * SHARED map-only expression applied per micro-batch — zero streaming
+    * state, cost tracks ingest rate, and the oracle is a7's SQL
+    * verbatim (streaming ≡ batch).
+    */
+  private[graft] def t25PseudonymizeStream(s: SparkSession, dir: String,
+      inspect: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _ => ()): DataFrame = {
+    val out = scratch(dir, "t25pii")
+    val results = scratch(dir, "t25scrubbed")
+    val t = Tables(s, dir)
+    t.events.select(
+        col("event_type").as("stream_key"),
+        pmod(col("user_id"), lit(4)).cast("long").as("shard_id"),
+        col("event_id").as("sequence"),
+        col("ts").as("timestamp"),
+        to_json(struct(col("event_id"), col("user_id"), col("props")))
+          .cast("binary").as("payload"))
+      .write.format("ss").mode("overwrite").save(out)
+    val fs = new org.apache.hadoop.fs.Path(results)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(results), true)
+    // ~4 genuine micro-batches at any scale (the t-family no-floor rule)
+    val cap = math.max(1L, t.events.count() / 4)
+    val src = s.readStream.format("ss")
+      .option("maxMessagesPerTrigger", cap.toString)
+      .load(out)
+      .select(from_json(col("payload").cast("string"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id LONG, user_id LONG, props STRING")).as("j"))
+      .select(col("j.event_id"), col("j.user_id"), col("j.props"))
+    val q = src.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: java.lang.Long) =>
+        if (!b.isEmpty)
+          TextAnalysis.piiScrub(b.toDF())
+            .write.mode("append").parquet(results)
+      }.start()
+    try { q.processAllAvailable(); inspect(q) } finally q.stop()
+    s.read.parquet(results)
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     // Batch path: ss sink (one part per task) → beacon-split ss scan.
     "t1_ss_roundtrip" -> { (s, dir) =>
@@ -1216,6 +1261,12 @@ object Transport {
       t24MediaIngestStream(s, dir)
     },
 
+    // a7's event-log pseudonymization maintained at ingest (scrub-on-
+    // write; oracle = a7's SQL verbatim).
+    "t25_stream_pseudonymize" -> { (s, dir) =>
+      t25PseudonymizeStream(s, dir)
+    },
+
     // Streaming latest-per-key compaction — q24's CDC shape maintained AT
     // INGEST (the q24→t17 pair completes the batch≡streaming family with
     // s11→t15 and p20→t16): a GroupState per key holds exactly ONE row —
@@ -1361,6 +1412,7 @@ object Transport {
     "t22_stream_index_grow" -> Dedup.d14TwoWaveOracleSql,
     "t23_stream_quality_gate" -> Pipeline.oracles("p23_quality_classifier"),
     "t24_stream_media_ingest" -> Multimodal.oracles("m1_media_decode"),
+    "t25_stream_pseudonymize" -> TextAnalysis.oracles("a7_pseudonymize"),
     "t14_stream_lsh_dedup" -> {
       val constRows = Dedup.MinhashParams.zipWithIndex
         .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
