@@ -285,6 +285,34 @@ object TextAnalysis {
       released0.unionAll(released1)
     },
 
+    // Differential-privacy release — the third rung of the privacy
+    // ladder (a7 de-identifies rows, a8 proves crowd sizes, a9 releases
+    // only NOISED aggregates so even the crowd counts stop leaking
+    // membership): per-type event counts + Laplace(sensitivity=1, ε=1)
+    // noise via the inverse CDF. The uniform draw is hash-SEEDED
+    // (md5 of the group key → 52 mantissa bits → exact power-of-two
+    // division) so the oracle can replay the release bit-for-bit; a
+    // production release swaps the seed string for a secret drawn per
+    // publication — the mechanism, sensitivity accounting, and plan
+    // shape are the operator. One hash-agg + per-group scalar math:
+    // scales as GROUPS, the noise costs nothing at any corpus size.
+    "a9_dp_release" -> { (s, dir) =>
+      val eps = 1.0
+      // u in (-0.5, 0.5): 52 md5 bits + half-ulp offset keeps ln's
+      // argument strictly positive on both engines
+      val u = ((conv(substring(md5(concat(lit("dp"),
+        col("event_type"))), 1, 13), 16, 10).cast("long") + lit(0.5)) /
+        lit(4503599627370496.0) - lit(0.5)).as("u")
+      Tables(s, dir).events
+        .groupBy("event_type").agg(count(lit(1)).as("n_true"))
+        .select(col("event_type"), lit(eps).as("epsilon"),
+          col("n_true"), u)
+        .select(col("event_type"), col("epsilon"),
+          round(col("n_true") +
+            -(lit(1.0) / col("epsilon")) * signum(col("u")) *
+              log(lit(1.0) - lit(2.0) * abs(col("u"))), 6).as("n_noisy"))
+    },
+
     // Event-log pseudonymization (p4's complement: p4 redacts PII from a
     // free-text corpus, a7 de-identifies a STRUCTURED log while keeping
     // it joinable): salted-hash pseudonyms for user_id — referential
@@ -393,6 +421,21 @@ object TextAnalysis {
         |FROM wd w JOIN bd b USING (doc_id)""".stripMargin,
 
     "a7_pseudonymize" -> PiiOracleSql,
+
+    // the seeded Laplace inverse-CDF replayed: same md5 bits, same exact
+    // power-of-two division, same single-expression double chain
+    "a9_dp_release" ->
+      """WITH c AS (
+        |  SELECT event_type, COUNT(*) AS n_true FROM events GROUP BY 1),
+        |u AS (
+        |  SELECT event_type, n_true,
+        |    (CAST(('0x'||substr(md5('dp'||event_type), 1, 13)) AS BIGINT)
+        |      + 0.5) / 4503599627370496.0 - 0.5 AS u
+        |  FROM c)
+        |SELECT event_type, CAST(1.0 AS DOUBLE) AS epsilon,
+        |  ROUND(n_true + -(1.0 / 1.0) * sign(u) * ln(1 - 2 * abs(u)), 6)
+        |    AS n_noisy
+        |FROM u""".stripMargin,
 
     // the two-rung lattice replayed as CTEs; day groups re-aggregate ONLY
     // the hour groups below k, mirroring the Spark sliver re-group

@@ -109,6 +109,33 @@ class PseudonymizeSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("a9 dp-release laws: true counts never leave, noise is real and " +
+      "per-group, the release is replayable, the plan is one hash-agg") {
+    val rel = TextAnalysis.queries("a9_dp_release")(spark, dir)
+    // the release schema carries NO raw count — the privacy contract
+    assert(rel.columns.toSeq == Seq("event_type", "epsilon", "n_noisy"))
+    val truth = Tables(spark, dir).events
+      .groupBy("event_type").agg(count(lit(1)).as("n_true"))
+    val j = rel.join(truth, "event_type")
+      .select(col("event_type"), (col("n_noisy") - col("n_true")).as("z"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    // every group is actually perturbed, within Laplace(1)'s practical
+    // range (the 52-bit seed cannot reach the ±36 tail), and the seeded
+    // draws differ across groups
+    assert(j.forall { case (_, z) => z != 0.0 && math.abs(z) < 36.0 },
+      s"noise out of range: ${j.toSeq}")
+    assert(j.map(_._2).distinct.length == j.length, "noise reused across groups")
+    // replayable: the seeded mechanism is deterministic run-to-run
+    val again = TextAnalysis.queries("a9_dp_release")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(rel.collect().map(_.toSeq).toSet == again)
+    // plan: one hash-agg rung, no join, no window; noise math is
+    // projection-side
+    val s = rel.queryExecution.executedPlan.toString
+    assert(!s.contains("Join") && !s.contains("Window"),
+      s"a9 plan joins/windows:\n$s")
+  }
+
   test("t25 ingest scrub == a7 batch scrub, multi-batch, zero state") {
     var batches = 0
     var stateRows = -1L
