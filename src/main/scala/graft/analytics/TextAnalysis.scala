@@ -108,6 +108,31 @@ object TextAnalysis {
        |   len(regexp_extract_all(props, '$PiiIpv4'))) > 0 AS has_pii
        |FROM events""".stripMargin
 
+  /** a8's generalization lattice over final (event_type, hour-bucket, n)
+    * counts: release at hour where the crowd reaches k, re-generalize the
+    * sub-k sliver to day, suppress LOUDLY below k at day. Group-sized
+    * math; shared verbatim by the t26 ingest audit. Buckets export as
+    * epoch seconds (q8's precedent: the oracle reads the nanos parquet
+    * natively, so a raw timestamp column would dtype-mismatch at the
+    * gate).
+    */
+  private[analytics] def kAnonLattice(byHour: DataFrame): DataFrame = {
+    val k = 50L
+    val released0 = byHour.filter(col("n") >= k)
+      .select(col("event_type"),
+        unix_timestamp(col("bucket")).as("bucket_epoch"),
+        lit(0).as("level"), col("n"), lit(false).as("suppressed"))
+    val byDay = byHour.filter(col("n") < k)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("bucket")).as("bucket"))
+      .agg(sum(col("n")).as("n"))
+    val released1 = byDay
+      .select(col("event_type"),
+        unix_timestamp(col("bucket")).as("bucket_epoch"),
+        lit(1).as("level"), col("n"), (col("n") < k).as("suppressed"))
+    released0.unionAll(released1)
+  }
+
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("(", ", ", ")")
 
@@ -262,27 +287,10 @@ object TextAnalysis {
     // union of two group-sized frames — no window, no join back to rows;
     // scales as the number of GROUPS, not events.
     "a8_k_anonymity" -> { (s, dir) =>
-      val k = 50L
-      val byHour = Tables(s, dir).events
+      kAnonLattice(Tables(s, dir).events
         .groupBy(col("event_type"),
           date_trunc("hour", col("ts")).as("bucket"))
-        .agg(count(lit(1)).as("n"))
-      // buckets export as epoch seconds (q8's precedent: the oracle reads
-      // the nanos parquet natively, so a raw timestamp column would
-      // dtype-mismatch at the gate)
-      val released0 = byHour.filter(col("n") >= k)
-        .select(col("event_type"),
-          unix_timestamp(col("bucket")).as("bucket_epoch"),
-          lit(0).as("level"), col("n"), lit(false).as("suppressed"))
-      val byDay = byHour.filter(col("n") < k)
-        .groupBy(col("event_type"),
-          date_trunc("day", col("bucket")).as("bucket"))
-        .agg(sum(col("n")).as("n"))
-      val released1 = byDay
-        .select(col("event_type"),
-          unix_timestamp(col("bucket")).as("bucket_epoch"),
-          lit(1).as("level"), col("n"), (col("n") < k).as("suppressed"))
-      released0.unionAll(released1)
+        .agg(count(lit(1)).as("n")))
     },
 
     // Differential-privacy release — the third rung of the privacy

@@ -1267,6 +1267,49 @@ object Transport {
       t25PseudonymizeStream(s, dir)
     },
 
+    // Streaming k-anonymity audit — a8 maintained AT INGEST (the a8→t26
+    // pair): the privacy officer's live view of which QI crowds are
+    // releasable as events arrive. A streaming groupBy over the
+    // (event_type, hour) quasi-identifier keeps ONE running count per
+    // group (state O(groups) — the QI grid, never the event count),
+    // emitted in update mode (t16/t18's sink-finish discipline: counts
+    // are monotone, each group's final state is its max emission); the
+    // two-rung generalization lattice is a8's SHARED group-sized batch
+    // math over the final counts. After end-of-log the release equals
+    // the batch audit bit-for-bit: the oracle is a8's SQL verbatim.
+    "t26_stream_k_anonymity" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val out = scratch(dir, "t26kanon")
+      t.events.select(
+          col("event_type").as("stream_key"),
+          pmod(col("user_id"), lit(4)).cast("long").as("shard_id"),
+          col("event_id").as("sequence"),
+          col("ts").as("timestamp"),
+          to_json(struct(col("event_type"),
+            unix_micros(col("ts")).as("us"))).cast("binary").as("payload"))
+        .write.format("ss").mode("overwrite").save(out)
+      // ~4 genuine micro-batches at any scale (the t-family no-floor rule)
+      val cap = math.max(1L, t.events.count() / 4)
+      val src = s.readStream.format("ss")
+        .option("maxMessagesPerTrigger", cap.toString)
+        .load(out)
+        .select(from_json(col("payload").cast("string"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "event_type STRING, us LONG")).as("j"))
+        .select(col("j.event_type"),
+          timestamp_micros(col("j.us")).as("ts"))
+      val q = src
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.outputMode("update")
+        .format("memory").queryName("t26_kanon_sink").start()
+      try q.processAllAvailable() finally q.stop()
+      TextAnalysis.kAnonLattice(
+        s.table("t26_kanon_sink")
+          .groupBy("event_type", "bucket").agg(max(col("n")).as("n")))
+    },
+
     // Streaming latest-per-key compaction — q24's CDC shape maintained AT
     // INGEST (the q24→t17 pair completes the batch≡streaming family with
     // s11→t15 and p20→t16): a GroupState per key holds exactly ONE row —
@@ -1413,6 +1456,7 @@ object Transport {
     "t23_stream_quality_gate" -> Pipeline.oracles("p23_quality_classifier"),
     "t24_stream_media_ingest" -> Multimodal.oracles("m1_media_decode"),
     "t25_stream_pseudonymize" -> TextAnalysis.oracles("a7_pseudonymize"),
+    "t26_stream_k_anonymity" -> TextAnalysis.oracles("a8_k_anonymity"),
     "t14_stream_lsh_dedup" -> {
       val constRows = Dedup.MinhashParams.zipWithIndex
         .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }

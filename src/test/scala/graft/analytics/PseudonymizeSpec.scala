@@ -136,6 +136,19 @@ class PseudonymizeSpec extends AnyFunSuite {
       s"a9 plan joins/windows:\n$s")
   }
 
+  test("t26 ingest k-anonymity audit == a8 batch audit bit-for-bit " +
+      "after end-of-log") {
+    val streamRows = Transport.queries("t26_stream_k_anonymity")(spark, dir)
+      .orderBy("event_type", "bucket_epoch", "level")
+      .collect().map(_.toSeq).toSeq
+    val batchRows = TextAnalysis.queries("a8_k_anonymity")(spark, dir)
+      .orderBy("event_type", "bucket_epoch", "level")
+      .collect().map(_.toSeq).toSeq
+    assert(streamRows.nonEmpty, "t26 returned no rows")
+    assert(streamRows == batchRows,
+      "the live audit diverged from the batch lattice")
+  }
+
   test("t25 ingest scrub == a7 batch scrub, multi-batch, zero state") {
     var batches = 0
     var stateRows = -1L
