@@ -449,6 +449,42 @@ object Pipeline {
       p23Score(toks, vocab, stats)
     },
 
+    // Dataset profiler — the data-quality census every pipeline runs
+    // before pointing a training job at a new drop: per-column row/null/
+    // distinct counts and min/max, in ONE corpus scan. Rendering contract
+    // (so the report is one homogeneous table): min/max computed in the
+    // NATIVE type then rendered to string; timestamps render as epoch
+    // micros (engine-portable — never a format string). Shape: a single
+    // multi-aggregate pass (Spark plans the N countDistincts via one
+    // Expand — scan once, not once per column) folded to a column-count-
+    // sized report by stack(). At 100 TB the scan is the cost and it is
+    // paid exactly once.
+    "p24_profile" -> { (s, dir) =>
+      val ev = Tables(s, dir).events
+      val colsR: Seq[(String, Column)] = Seq(
+        "event_id" -> col("event_id"),
+        "ts" -> unix_micros(col("ts")),
+        "user_id" -> col("user_id"),
+        "event_type" -> col("event_type"),
+        "value" -> col("value"),
+        "props" -> col("props"))
+      val aggs = colsR.flatMap { case (n, c) => Seq(
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"nn_$n"),
+        countDistinct(c).as(s"nd_$n"),
+        min(c).cast("string").as(s"mn_$n"),
+        max(c).cast("string").as(s"mx_$n"))
+      }
+      val allAggs = count(lit(1)).as("n_rows") +: aggs
+      val one = ev.agg(allAggs.head, allAggs.tail: _*)
+      val stackArgs = colsR.map { case (n, _) =>
+        s"'$n', nn_$n, nd_$n, mn_$n, mx_$n" }.mkString(", ")
+      one.selectExpr("n_rows",
+        s"stack(${colsR.size}, $stackArgs) AS " +
+          "(col_name, n_nulls, n_distinct, min_s, max_s)")
+        .select(col("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+    },
+
     "p22_temperature_mix" -> { (s, dir) =>
       val tok = Tables(s, dir).documents
         .filter(col("text").isNotNull)
@@ -1254,6 +1290,23 @@ object Pipeline {
 
   /** A `def` (not val): referenced from `oracles`' initializer above. */
   private def moreOracles: Map[String, String] = Map(
+    // per-column census replayed (same rendering contract: native-typed
+    // min/max cast to VARCHAR, timestamps as epoch micros)
+    "p24_profile" -> {
+      val cols = Seq(
+        ("event_id", "event_id"), ("ts", "epoch_us(ts)"),
+        ("user_id", "user_id"), ("event_type", "event_type"),
+        ("value", "value"), ("props", "props"))
+      cols.map { case (n, e) =>
+        s"""SELECT '$n' AS col_name, COUNT(*) AS n_rows,
+           |  CAST(COUNT(*) - COUNT($e) AS BIGINT) AS n_nulls,
+           |  CAST(COUNT(DISTINCT $e) AS BIGINT) AS n_distinct,
+           |  CAST(MIN($e) AS VARCHAR) AS min_s,
+           |  CAST(MAX($e) AS VARCHAR) AS max_s
+           |FROM events""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "")
+    },
+
     "p23_quality_classifier" ->
       """WITH toks AS (
         |  SELECT doc_id, source,

@@ -51,4 +51,31 @@ class PipelineSpec extends AnyFunSuite {
     // round 3: (b,an) = 3+1 = 4 beats (an,ana) = 3 and (a,b) = 2.
     assert(got(2) == (3L, "b", "an", 4L))
   }
+
+  test("p24 profile laws: one corpus scan for the whole census, every " +
+      "column reported, counts consistent, min <= max in native order") {
+    val spark2 = graft.TestSession.spark
+    val out = Pipeline.queries("p24_profile")(spark2,
+      graft.TestSession.sfDir)
+    val rows = out.collect()
+    assert(rows.map(_.getString(0)).toSet ==
+      Set("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val total = Tables(spark2, graft.TestSession.sfDir).events.count()
+    assert(rows.forall(_.getLong(1) == total), "n_rows inconsistent")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= total)
+      assert(r.getLong(3) >= 1L && r.getLong(3) <= total)
+      assert(r.getString(4) != null && r.getString(5) != null)
+    }
+    // id columns: distinct count of the key column equals the row count
+    assert(rows.find(_.getString(0) == "event_id").get.getLong(3) == total)
+    // the entire multi-distinct census reads the corpus ONCE (Spark
+    // plans the N countDistincts via a single Expand over one scan)
+    // AQE prints Final and Initial plans; count scans in the final only
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"p24 scanned the corpus $scans times:\n$plan")
+    assert(plan.contains("Expand"), "expected the multi-distinct Expand")
+  }
 }
