@@ -449,6 +449,38 @@ object Pipeline {
       p23Score(toks, vocab, stats)
     },
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis A-ES,
+    // the mixing-selection primitive: draw a fixed-size sample per source
+    // with inclusion probability proportional to a2's quality score —
+    // how a curated subcorpus gets drawn from a raw drop without a
+    // global sort over quality). Each doc gets key = ln(u)/w (monotone
+    // in u^(1/w), the A-ES key, without the pow); u is hash-SEEDED (the
+    // a9 discipline: md5 → 52 mantissa bits → exact power-of-two
+    // division) so the draw replays bit-for-bit — production swaps the
+    // seed per draw. Keys round to 6dp BEFORE ranking with doc_id as the
+    // tiebreak, so an engine ulp in ln can never flip a rank. Shape: one
+    // map pass for w and the key, then a top-10-per-source rank window —
+    // partitions are SOURCE-sized (the p2 precedent: bounded strata,
+    // never a global sort), and only sample×sources rows leave.
+    "p25_weighted_sample" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val q = TextAnalysis
+        .qualityTokens(Tables(s, dir).documents, "source")
+        .select(col("doc_id"), col("source"), col("quality_score"))
+      val u = (conv(substring(md5(concat(lit("ws"),
+        col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long") +
+        lit(0.5)) / lit(4503599627370496.0)
+      val keyed = q.withColumn("sample_key",
+        round(log(u) / col("quality_score"), 6))
+      val w = Window.partitionBy("source")
+        .orderBy(col("sample_key").desc, col("doc_id"))
+      keyed
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("source"), col("doc_id"), col("quality_score"),
+          col("sample_key"), col("rank"))
+    },
+
     // Dataset profiler — the data-quality census every pipeline runs
     // before pointing a training job at a new drop: per-column row/null/
     // distinct counts and min/max, in ONE corpus scan. Rendering contract
@@ -1306,6 +1338,24 @@ object Pipeline {
            |FROM events""".stripMargin
       }.mkString("", "\nUNION ALL\n", "")
     },
+
+    // the A-ES draw replayed: a2's quality CTEs for w, the same seeded
+    // 52-bit uniform, the same round-before-rank + doc_id tiebreak
+    "p25_weighted_sample" ->
+      s"""WITH ${TextAnalysis.qualityCte},
+         |k AS (
+         |  SELECT d.source, q.doc_id, q.quality_score,
+         |    ROUND(ln((CAST(('0x'||substr(md5('ws'||CAST(q.doc_id AS VARCHAR)), 1, 13))
+         |          AS BIGINT) + 0.5) / 4503599627370496.0)
+         |      / q.quality_score, 6) AS sample_key
+         |  FROM qual q JOIN documents d USING (doc_id)),
+         |r AS (
+         |  SELECT source, doc_id, quality_score, sample_key,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY sample_key DESC, doc_id) AS BIGINT) AS rank
+         |  FROM k)
+         |SELECT source, doc_id, quality_score, sample_key, rank
+         |FROM r WHERE rank <= 10""".stripMargin,
 
     "p23_quality_classifier" ->
       """WITH toks AS (

@@ -78,4 +78,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(scans == 1, s"p24 scanned the corpus $scans times:\n$plan")
     assert(plan.contains("Expand"), "expected the multi-distinct Expand")
   }
+
+  test("p25 weighted-sample laws: 10 per source, the draw replays, and " +
+      "quality genuinely biases selection upward") {
+    val spark2 = graft.TestSession.spark
+    val dir2 = graft.TestSession.sfDir
+    val out = Pipeline.queries("p25_weighted_sample")(spark2, dir2).cache()
+    try {
+      // fixed-size without replacement, per stratum
+      val sizes = out.groupBy("source").count().collect()
+      assert(sizes.nonEmpty && sizes.forall(_.getLong(1) == 10L))
+      assert(out.select("doc_id").distinct().count() == out.count())
+      // replayable: the seeded draw is deterministic run-to-run
+      val again = Pipeline.queries("p25_weighted_sample")(spark2, dir2)
+        .collect().map(_.toSeq).toSet
+      assert(out.collect().map(_.toSeq).toSet == again)
+      // the weight does its job: the sampled docs' mean quality exceeds
+      // the corpus mean (A-ES inclusion probability rises with w)
+      import org.apache.spark.sql.functions.{avg, col}
+      val sampled = out.agg(avg(col("quality_score"))).head().getDouble(0)
+      val corpus = TextAnalysis
+        .qualityTokens(Tables(spark2, dir2).documents)
+        .agg(avg(col("quality_score"))).head().getDouble(0)
+      assert(sampled > corpus,
+        s"weighted draw not biased: sample mean $sampled vs corpus $corpus")
+    } finally out.unpersist()
+  }
 }
