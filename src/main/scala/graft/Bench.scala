@@ -169,6 +169,16 @@ object Bench {
           timed("d17_forget")(analytics.Dedup.d14Forget(spark, sfDir,
             analytics.Dedup.ForgottenSources))
           timed("d17_post_query")(force(analytics.Dedup.d14Query(spark, sfDir)))
+        } else if (name == "s14_index_forget") {
+          // the build is s7_layout's already-priced one-time job; the op's
+          // OWN cost is the takedown rewrite — O(index bytes), no
+          // re-assignment — plus the recurring DPP serve over the reduced
+          // index (which must read like s7_query)
+          analytics.Similarity.s14Setup(spark, sfDir)
+          timed("s14_forget")(analytics.Similarity.s14Forget(spark,
+            analytics.Similarity.s14IndexPath(spark, sfDir)))
+          timed("s14_post_serve")(force(
+            analytics.Similarity.s14Serve(spark, sfDir)))
         } else if (name == "t20_stream_index_dedup") {
           // the index build is d14_build's already-priced one-time job; the
           // op's OWN recurring cost is the ingest stream + batch-side finish

@@ -620,6 +620,64 @@ object Similarity {
     ivfProbe(s, e, s12Cents(e), ivfIndexPath(s, dir) + "_s12")
   }
 
+  /** s14's takedown slice: a stable ~10% of the corpus (a departed
+    * tenant's vectors / a revoked-consent batch). */
+  private def s14ForgetPred = pmod(col("vec_id"), lit(10L)) === lit(3L)
+
+  private[graft] def s14IndexPath(s: SparkSession, dir: String): String =
+    ivfIndexPath(s, dir) + "_s14"
+
+  /** s14 takedown rewrite — the ANN side of d17's forget (the index
+    * lifecycle's last op on this family: build s7, upsert s12, probe
+    * s7/s13/t21, compact n/a — one file per partition by construction —
+    * and now FORGET). Deleting vectors from the persisted IVF index is a
+    * partition-layout-preserving rewrite WITHOUT the forgotten ids:
+    * O(index bytes), the corpus-wide assignment job never re-runs
+    * (centroids are frozen parameters, not index members — d17's rule).
+    * The alternative is s7Layout's full rebuild, which pays the n×k
+    * assignment again. localCheckpoint severs lineage before the
+    * same-path overwrite (the d14Forget swap discipline).
+    */
+  private[graft] def s14Forget(s: SparkSession, path: String): Unit = {
+    val kept = s.read.parquet(path)
+      .filter(pmod(col("cid"), lit(10L)) =!= lit(3L))
+      .localCheckpoint(true)
+    kept.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+  }
+
+  /** build (setup) → forget → DPP serve; the serve result must equal a
+    * from-scratch index built without the forgotten vectors (the s12
+    * upsert ≡ rebuild discipline, takedown direction). Forgotten query
+    * ids stop being served — a departed tenant neither appears in
+    * results NOR queries the index.
+    */
+  def s14ForgetQuery(s: SparkSession, dir: String): DataFrame = {
+    s14Setup(s, dir)
+    s14Forget(s, s14IndexPath(s, dir))
+    s14Serve(s, dir)
+  }
+
+  /** The standing full index at s14's path (setup — at takedown time this
+    * already exists on disk; Bench prices it under s7_layout's class). */
+  private[graft] def s14Setup(s: SparkSession, dir: String): Unit = {
+    val e = Tables(s, dir).embeddings
+    val cents = broadcast(e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb")))
+    ivfWrite(e, cents, s14IndexPath(s, dir), "overwrite")
+  }
+
+  /** The recurring DPP serve over the post-forget index; forgotten query
+    * ids are no longer served. */
+  private[graft] def s14Serve(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    val cents = broadcast(e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb")))
+    ivfProbeFor(s,
+      e.filter(col("vec_id") < QueryCount && !s14ForgetPred)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+      cents, s14IndexPath(s, dir))
+  }
+
   /** Embedding-cosine near-dup over the FULL corpus: LSH buckets
     * (`numPlanes` planes + hamming-1 multi-probe) generate candidate
     * pairs, exact cosine keeps pairs >= 0.35. The whole-corpus pair join
@@ -803,6 +861,7 @@ object Similarity {
     // the from-scratch IVF over the full corpus with the same centroids —
     // proving the append is indistinguishable from a rebuild.
     "s12_ann_index_upsert" -> { (s, dir) => s12UpsertQuery(s, dir) },
+    "s14_index_forget" -> { (s, dir) => s14ForgetQuery(s, dir) },
 
     // Clustering-quality evaluation — the third leg of the evaluator trio
     // (s6 measures ANN recall, d11 measures the LSH S-curve, c4 measures
@@ -1596,9 +1655,10 @@ object Similarity {
     * equivalence between the upserted index and a from-scratch build IS
     * the operator's law.
     */
-  private def ivfOracleSql(centsPred: String): String =
+  private def ivfOracleSql(centsPred: String,
+      memberPred: String = "TRUE"): String =
     s"""WITH $explodedSql,
-       |${ivfScoredCtes(centsPred)},
+       |${ivfScoredCtes(centsPred, memberPred)},
        |ranked AS (SELECT qid, cid, cosine,
        |             ROW_NUMBER() OVER (PARTITION BY qid
        |               ORDER BY cosine DESC, cid) AS rank
@@ -1609,7 +1669,8 @@ object Similarity {
     * expects `ex`/`norms` in scope; shared by the s3/s7/s12 oracles and
     * s13_mmr_indexed's pool stage.
     */
-  private def ivfScoredCtes(centsPred: String): String =
+  private def ivfScoredCtes(centsPred: String,
+      memberPred: String = "TRUE"): String =
     s"""cents AS (SELECT vec_id AS centroid_id, d, v FROM ex
        |          WHERE $centsPred),
        |d2 AS (SELECT e.vec_id, c.centroid_id,
@@ -1621,9 +1682,11 @@ object Similarity {
        |         ROW_NUMBER() OVER (PARTITION BY vec_id
        |           ORDER BY d2r, centroid_id) AS cr
        |       FROM d2),
-       |lists AS (SELECT vec_id AS cid, centroid_id FROM ra WHERE cr = 1),
+       |lists AS (SELECT vec_id AS cid, centroid_id FROM ra
+       |          WHERE cr = 1 AND ($memberPred)),
        |probes AS (SELECT vec_id AS qid, centroid_id FROM ra
-       |           WHERE vec_id < $QueryCount AND cr <= 2),
+       |           WHERE vec_id < $QueryCount AND cr <= 2
+       |             AND ($memberPred)),
        |dots AS (SELECT p.qid, l.cid,
        |           CAST(SUM(CAST(q.v * c.v AS DECIMAL(30,15))) AS DOUBLE) AS dot
        |         FROM probes p
@@ -1834,6 +1897,10 @@ object Similarity {
     // excluded from seeding, exactly as the Spark side freezes them)
     "s12_ann_index_upsert" ->
       ivfOracleSql("vec_id <= 16 AND vec_id % 10 <> 7"),
+    // forget ≡ rebuild-without: same frozen 16 seeds, members and served
+    // queries exclude the takedown slice
+    "s14_index_forget" ->
+      ivfOracleSql("vec_id < 16", "vec_id % 10 <> 3"),
     // the argmin assignment replayed with its winning distance; inertia =
     // decimal sum of the 6-dp d2r; separation from the k² centroid pairs
     "c5_kmeans_elbow" -> {

@@ -692,6 +692,27 @@ class PlanShapeSpec extends AnyFunSuite {
     }, "the pruning filter must sit on the upserted index scan")
   }
 
+  test("s14's post-forget index serves through the same DPP probe, and " +
+      "the takedown is total: forgotten ids neither serve nor query") {
+    // the takedown twin of the s12 law: deleting vectors must preserve
+    // the partition layout (the rewrite is partitionBy(centroid_id)), so
+    // the probe still prunes; and the forgotten slice must be gone from
+    // BOTH sides of the serve — results and query set
+    val df = graft.SparkEntry.queries("s14_index_forget")(
+      graft.TestSession.spark, graft.TestSession.sfDir)
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(p.contains("dynamicpruning"),
+      "post-forget index scan lost its dynamic partition pruning filter")
+    assert(nodeBlocks(p).exists { case (n, b) =>
+      n.startsWith("Scan") && b.contains("PartitionFilters") &&
+        b.contains("dynamicpruning")
+    }, "the pruning filter must sit on the post-forget index scan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) % 10 != 3 && r.getLong(1) % 10 != 3),
+      "a forgotten id survived the takedown (as qid or cid)")
+  }
+
   test("ANN candidate ranking is window-free: bounded top-k aggregation only") {
     // VERDICT r8 #1: s4/s5 ranked corpus-sized candidate streams through
     // row_number windows — the window sort-shuffles EVERY candidate into
