@@ -296,6 +296,18 @@ object Pipeline {
         round(sum(col("llr")).cast("double"), 6).as("llr_score"))
       .withColumn("keep", col("llr_score") > 0.0)
 
+  /** p25's A-ES sampling key ln(u)/w — monotone in u^(1/w) without the
+    * pow; u is the hash-seeded 52-bit uniform (a9's discipline), rounded
+    * 6dp so an engine ulp in ln can never flip a rank. Shared verbatim by
+    * the t27 ingest sampler.
+    */
+  private[analytics] def aesKey(docId: Column, w: Column): Column = {
+    val u = (conv(substring(md5(concat(lit("ws"),
+      docId.cast("string"))), 1, 13), 16, 10).cast("long") +
+      lit(0.5)) / lit(4503599627370496.0)
+    round(log(u) / w, 6)
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     // Context-window chunking — the prep step that turns documents into
     // overlapping token windows for pretraining sequence packing or RAG
@@ -467,11 +479,8 @@ object Pipeline {
       val q = TextAnalysis
         .qualityTokens(Tables(s, dir).documents, "source")
         .select(col("doc_id"), col("source"), col("quality_score"))
-      val u = (conv(substring(md5(concat(lit("ws"),
-        col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long") +
-        lit(0.5)) / lit(4503599627370496.0)
       val keyed = q.withColumn("sample_key",
-        round(log(u) / col("quality_score"), 6))
+        aesKey(col("doc_id"), col("quality_score")))
       val w = Window.partitionBy("source")
         .orderBy(col("sample_key").desc, col("doc_id"))
       keyed

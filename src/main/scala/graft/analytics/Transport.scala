@@ -1267,6 +1267,79 @@ object Transport {
       t25PseudonymizeStream(s, dir)
     },
 
+    // Streaming weighted sampler — p25's A-ES draw maintained AT INGEST
+    // (the p25→t27 pair; t16's holdout is the unweighted cousin): each
+    // arriving document computes its quality and sampling key through the
+    // SHARED expressions (a2's formula, p25's aesKey) statelessly, and a
+    // per-source GroupState holds only the current top-10 keys — the
+    // fixed-size sample of everything seen so far, at any corpus size.
+    // A-ES is one-pass by construction (key = ln(u)/w is assigned once
+    // per item, the sample is the running top-k), which is exactly what
+    // makes the batch draw and the ingest draw the same draw: the oracle
+    // is p25's SQL verbatim.
+    "t27_stream_sample" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+      val t = Tables(s, dir)
+      val out = scratch(dir, "t27sample")
+      t.documents.select(
+          col("source").as("stream_key"),
+          pmod(col("doc_id"), lit(4L)).as("shard_id"),
+          col("doc_id").as("sequence"),
+          expr("timestamp'2026-01-01 00:00:00'").as("timestamp"),
+          to_json(struct(col("doc_id"), col("text")))
+            .cast("binary").as("payload"))
+        .write.format("ss").mode("overwrite").save(out)
+      // ~4 genuine micro-batches at any scale (the t-family no-floor rule)
+      val cap = math.max(1L, t.documents.count() / 4)
+      val decoded = s.readStream.format("ss")
+        .option("maxMessagesPerTrigger", cap.toString)
+        .load(out)
+        .select(col("stream_key").as("source"),
+          from_json(col("payload").cast("string"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "doc_id LONG, text STRING")).as("j"))
+        .select(col("source"), col("j.doc_id").as("doc_id"),
+          col("j.text").as("text"))
+      // quality + key at ingest, via the SAME shared expressions as the
+      // batch draw (stateless projections — streaming-safe)
+      val keyed = TextAnalysis.qualityTokens(decoded, "source")
+        .select(col("source"), col("doc_id"), col("quality_score"),
+          Pipeline.aesKey(col("doc_id"), col("quality_score"))
+            .as("sample_key"))
+        .as[(String, Long, Double, Double)]
+      val updates = keyed.groupByKey(_._1)
+        .flatMapGroupsWithState(OM.Update(), GroupStateTimeout.NoTimeout())(
+          (source: String, rows: Iterator[(String, Long, Double, Double)],
+              state: GroupState[(Long, Seq[(Double, Long, Double)])]) => {
+            var (seen, top) = state.getOption
+              .getOrElse((0L, Seq.empty[(Double, Long, Double)]))
+            rows.foreach { case (_, id, q, key) =>
+              seen += 1
+              // tuple order = (-key, doc_id): key DESC then id ASC —
+              // exactly p25's rank order
+              top = ((-key, id, q) +: top).sorted.take(10)
+            }
+            state.update((seen, top))
+            Iterator((source, seen, top))
+          })
+      val q = updates.toDF("source", "seen", "top")
+        .writeStream.outputMode("update")
+        .format("memory").queryName("t27_sample_sink").start()
+      try q.processAllAvailable() finally q.stop()
+      // final emit per source (largest seen) carries the complete sample;
+      // the window ranks |sources| × batches rows — report-sized
+      val w = Window.partitionBy("source").orderBy(col("seen").desc)
+      s.table("t27_sample_sink")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("source"), posexplode(col("top")).as(Seq("i", "x")))
+        .select(col("source"), col("x._2").as("doc_id"),
+          col("x._3").as("quality_score"), (-col("x._1")).as("sample_key"),
+          (col("i") + 1).cast("long").as("rank"))
+    },
+
     // Streaming k-anonymity audit — a8 maintained AT INGEST (the a8→t26
     // pair): the privacy officer's live view of which QI crowds are
     // releasable as events arrive. A streaming groupBy over the
@@ -1457,6 +1530,7 @@ object Transport {
     "t24_stream_media_ingest" -> Multimodal.oracles("m1_media_decode"),
     "t25_stream_pseudonymize" -> TextAnalysis.oracles("a7_pseudonymize"),
     "t26_stream_k_anonymity" -> TextAnalysis.oracles("a8_k_anonymity"),
+    "t27_stream_sample" -> Pipeline.oracles("p25_weighted_sample"),
     "t14_stream_lsh_dedup" -> {
       val constRows = Dedup.MinhashParams.zipWithIndex
         .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }

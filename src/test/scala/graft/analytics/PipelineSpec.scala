@@ -104,4 +104,19 @@ class PipelineSpec extends AnyFunSuite {
         s"weighted draw not biased: sample mean $sampled vs corpus $corpus")
     } finally out.unpersist()
   }
+
+  test("t27 ingest sample == p25 batch draw bit-for-bit after end-of-log") {
+    // A-ES is one-pass by construction: the running top-k of the ingest
+    // stream must BE the batch draw — same keys, same ranks, same docs
+    val spark2 = graft.TestSession.spark
+    val dir2 = graft.TestSession.sfDir
+    val streamRows = Transport.queries("t27_stream_sample")(spark2, dir2)
+      .orderBy("source", "rank").collect().map(_.toSeq).toSeq
+    val batchRows = Pipeline.queries("p25_weighted_sample")(spark2, dir2)
+      .select("source", "doc_id", "quality_score", "sample_key", "rank")
+      .orderBy("source", "rank").collect().map(_.toSeq).toSeq
+    assert(streamRows.nonEmpty, "t27 returned no rows")
+    assert(streamRows == batchRows,
+      "the ingest-time draw diverged from the batch draw")
+  }
 }
