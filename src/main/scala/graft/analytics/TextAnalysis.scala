@@ -133,6 +133,27 @@ object TextAnalysis {
     released0.unionAll(released1)
   }
 
+  /** a9's noise finish over final (event_type, n_true) counts: Laplace
+    * (sensitivity=1, ε=1) via the inverse CDF, hash-seeded uniform
+    * (md5 → 52 mantissa bits + half-ulp offset → u strictly inside
+    * (-0.5, 0.5), so ln's argument stays positive on both engines).
+    * Group-count-sized scalar math; shared verbatim by the t28 ingest
+    * release.
+    */
+  private[analytics] def dpRelease(counts: DataFrame): DataFrame = {
+    val eps = 1.0
+    val u = ((conv(substring(md5(concat(lit("dp"),
+      col("event_type"))), 1, 13), 16, 10).cast("long") + lit(0.5)) /
+      lit(4503599627370496.0) - lit(0.5)).as("u")
+    counts
+      .select(col("event_type"), lit(eps).as("epsilon"),
+        col("n_true"), u)
+      .select(col("event_type"), col("epsilon"),
+        round(col("n_true") +
+          -(lit(1.0) / col("epsilon")) * signum(col("u")) *
+            log(lit(1.0) - lit(2.0) * abs(col("u"))), 6).as("n_noisy"))
+  }
+
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("(", ", ", ")")
 
@@ -305,20 +326,8 @@ object TextAnalysis {
     // shape are the operator. One hash-agg + per-group scalar math:
     // scales as GROUPS, the noise costs nothing at any corpus size.
     "a9_dp_release" -> { (s, dir) =>
-      val eps = 1.0
-      // u in (-0.5, 0.5): 52 md5 bits + half-ulp offset keeps ln's
-      // argument strictly positive on both engines
-      val u = ((conv(substring(md5(concat(lit("dp"),
-        col("event_type"))), 1, 13), 16, 10).cast("long") + lit(0.5)) /
-        lit(4503599627370496.0) - lit(0.5)).as("u")
-      Tables(s, dir).events
-        .groupBy("event_type").agg(count(lit(1)).as("n_true"))
-        .select(col("event_type"), lit(eps).as("epsilon"),
-          col("n_true"), u)
-        .select(col("event_type"), col("epsilon"),
-          round(col("n_true") +
-            -(lit(1.0) / col("epsilon")) * signum(col("u")) *
-              log(lit(1.0) - lit(2.0) * abs(col("u"))), 6).as("n_noisy"))
+      dpRelease(Tables(s, dir).events
+        .groupBy("event_type").agg(count(lit(1)).as("n_true")))
     },
 
     // Event-log pseudonymization (p4's complement: p4 redacts PII from a

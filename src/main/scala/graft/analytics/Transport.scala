@@ -1267,6 +1267,42 @@ object Transport {
       t25PseudonymizeStream(s, dir)
     },
 
+    // Streaming DP release — a9 maintained AT INGEST (the a9→t28 pair
+    // completes the privacy ladder's streaming mirror: t25 scrubs rows,
+    // t26 audits crowds, t28 keeps the RELEASABLE aggregate current as
+    // events arrive): a streaming groupBy keeps one running true count
+    // per event_type (state O(types)), and a9's SHARED noise finish runs
+    // batch-side over the final counts. Seeded noise depends only on the
+    // group key, so the release after any stream prefix is the correct
+    // DP release OF that prefix — and at end-of-log it equals the batch
+    // release bit-for-bit (oracle = a9's SQL verbatim). True counts
+    // never leave the streaming state.
+    "t28_stream_dp_release" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val out = scratch(dir, "t28dp")
+      t.events.select(
+          col("event_type").as("stream_key"),
+          pmod(col("user_id"), lit(4)).cast("long").as("shard_id"),
+          col("event_id").as("sequence"),
+          col("ts").as("timestamp"),
+          col("event_type").cast("binary").as("payload"))
+        .write.format("ss").mode("overwrite").save(out)
+      // ~4 genuine micro-batches at any scale (the t-family no-floor rule)
+      val cap = math.max(1L, t.events.count() / 4)
+      val src = s.readStream.format("ss")
+        .option("maxMessagesPerTrigger", cap.toString)
+        .load(out)
+        .select(col("payload").cast("string").as("event_type"))
+      val q = src.groupBy("event_type")
+        .agg(count(lit(1)).as("n_true"))
+        .writeStream.outputMode("update")
+        .format("memory").queryName("t28_dp_sink").start()
+      try q.processAllAvailable() finally q.stop()
+      TextAnalysis.dpRelease(
+        s.table("t28_dp_sink")
+          .groupBy("event_type").agg(max(col("n_true")).as("n_true")))
+    },
+
     // Streaming weighted sampler — p25's A-ES draw maintained AT INGEST
     // (the p25→t27 pair; t16's holdout is the unweighted cousin): each
     // arriving document computes its quality and sampling key through the
@@ -1531,6 +1567,7 @@ object Transport {
     "t25_stream_pseudonymize" -> TextAnalysis.oracles("a7_pseudonymize"),
     "t26_stream_k_anonymity" -> TextAnalysis.oracles("a8_k_anonymity"),
     "t27_stream_sample" -> Pipeline.oracles("p25_weighted_sample"),
+    "t28_stream_dp_release" -> TextAnalysis.oracles("a9_dp_release"),
     "t14_stream_lsh_dedup" -> {
       val constRows = Dedup.MinhashParams.zipWithIndex
         .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }

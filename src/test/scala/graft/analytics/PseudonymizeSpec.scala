@@ -166,4 +166,15 @@ class PseudonymizeSpec extends AnyFunSuite {
     assert(stateRows == 0L,
       s"the stateless scrub stage held $stateRows state rows")
   }
+
+  test("t28 ingest dp release == a9 batch release bit-for-bit after " +
+      "end-of-log") {
+    val streamRows = Transport.queries("t28_stream_dp_release")(spark, dir)
+      .orderBy("event_type").collect().map(_.toSeq).toSeq
+    val batchRows = TextAnalysis.queries("a9_dp_release")(spark, dir)
+      .orderBy("event_type").collect().map(_.toSeq).toSeq
+    assert(streamRows.nonEmpty, "t28 returned no rows")
+    assert(streamRows == batchRows,
+      "the live release diverged from the batch release")
+  }
 }
