@@ -179,6 +179,13 @@ object Bench {
             analytics.Similarity.s14IndexPath(spark, sfDir)))
           timed("s14_post_serve")(force(
             analytics.Similarity.s14Serve(spark, sfDir)))
+        } else if (name == "s15_index_stats") {
+          // the index build is s7_layout's already-priced one-time job;
+          // the op's OWN recurring cost is the census — which must read
+          // the layout (partition column only), never the corpus
+          analytics.Similarity.s7Layout(spark, sfDir)
+          timed("s15_census")(force(
+            analytics.Similarity.s15Stats(spark, sfDir)))
         } else if (name == "t20_stream_index_dedup") {
           // the index build is d14_build's already-priced one-time job; the
           // op's OWN recurring cost is the ingest stream + batch-side finish

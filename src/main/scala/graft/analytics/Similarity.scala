@@ -678,6 +678,39 @@ object Similarity {
       cents, s14IndexPath(s, dir))
   }
 
+  /** ANN index census — the observability op the index lifecycle needs
+    * in production (build s7 → upsert s12 → probe s7/s13/t21 → compact /
+    * forget d16-style → and now WATCH): per-centroid member count and
+    * load factor (members × K / total; 1.0 = perfectly balanced). A
+    * skewed centroid is a hot partition for every DPP probe that lands
+    * on it — the serve latency tail — and sustained load factors ≫ 1 are
+    * the re-seed signal (the data drifted away from the frozen
+    * centroids; s11 watches the embedding distribution, s15 watches what
+    * that drift did to the LAYOUT). At 10^9 vectors the census must
+    * never touch the corpus: this plan scans only the persisted index,
+    * and only its PARTITION column — the scan's ReadSchema is empty
+    * (law-pinned in PlanShapeSpec), so the job reads directory metadata
+    * plus row counts, not vector bytes. K stays the seeding contract
+    * (16), so a centroid that won zero members still reads as absent
+    * rather than silently renormalizing the factor.
+    */
+  def s15Stats(s: SparkSession, dir: String): DataFrame = {
+    val counts = s.read.parquet(ivfIndexPath(s, dir))
+      .groupBy(col("centroid_id").cast("long").as("centroid_id"))
+      .agg(count(lit(1)).as("members"))
+    val tot = counts.agg(sum(col("members")).as("tot"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("centroid_id"), col("members"),
+        (round(col("members") * lit(16.0) / col("tot"), 6) + lit(0.0))
+          .as("load"))
+  }
+
+  /** build (one-time, s7's priced job) → census. */
+  def s15StatsQuery(s: SparkSession, dir: String): DataFrame = {
+    s7Layout(s, dir)
+    s15Stats(s, dir)
+  }
+
   /** Embedding-cosine near-dup over the FULL corpus: LSH buckets
     * (`numPlanes` planes + hamming-1 multi-probe) generate candidate
     * pairs, exact cosine keeps pairs >= 0.35. The whole-corpus pair join
@@ -862,6 +895,12 @@ object Similarity {
     // proving the append is indistinguishable from a rebuild.
     "s12_ann_index_upsert" -> { (s, dir) => s12UpsertQuery(s, dir) },
     "s14_index_forget" -> { (s, dir) => s14ForgetQuery(s, dir) },
+
+    // Index census (doc at [[s15Stats]]): per-centroid member counts +
+    // load factor off the persisted layout alone — the oracle replays the
+    // assignment from the corpus, the operator reads only the index's
+    // partition column; equality IS the layout-matches-assignment law.
+    "s15_index_stats" -> { (s, dir) => s15StatsQuery(s, dir) },
 
     // Clustering-quality evaluation — the third leg of the evaluator trio
     // (s6 measures ANN recall, d11 measures the LSH S-curve, c4 measures
@@ -1665,11 +1704,12 @@ object Similarity {
        |           FROM scored)
        |SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 3""".stripMargin
 
-  /** The IVF probe replay up to a `scored(qid, cid, cosine)` CTE —
-    * expects `ex`/`norms` in scope; shared by the s3/s7/s12 oracles and
-    * s13_mmr_indexed's pool stage.
+  /** The IVF assignment replay up to a `lists(cid, centroid_id)` CTE —
+    * expects `ex` in scope; shared by the probe replay below and
+    * s15_index_stats' census (which needs the membership, not the
+    * scoring).
     */
-  private def ivfScoredCtes(centsPred: String,
+  private def ivfListsCtes(centsPred: String,
       memberPred: String = "TRUE"): String =
     s"""cents AS (SELECT vec_id AS centroid_id, d, v FROM ex
        |          WHERE $centsPred),
@@ -1683,7 +1723,15 @@ object Similarity {
        |           ORDER BY d2r, centroid_id) AS cr
        |       FROM d2),
        |lists AS (SELECT vec_id AS cid, centroid_id FROM ra
-       |          WHERE cr = 1 AND ($memberPred)),
+       |          WHERE cr = 1 AND ($memberPred))""".stripMargin
+
+  /** The IVF probe replay up to a `scored(qid, cid, cosine)` CTE —
+    * expects `ex`/`norms` in scope; shared by the s3/s7/s12 oracles and
+    * s13_mmr_indexed's pool stage.
+    */
+  private def ivfScoredCtes(centsPred: String,
+      memberPred: String = "TRUE"): String =
+    s"""${ivfListsCtes(centsPred, memberPred)},
        |probes AS (SELECT vec_id AS qid, centroid_id FROM ra
        |           WHERE vec_id < $QueryCount AND cr <= 2
        |             AND ($memberPred)),
@@ -1901,6 +1949,18 @@ object Similarity {
     // queries exclude the takedown slice
     "s14_index_forget" ->
       ivfOracleSql("vec_id < 16", "vec_id % 10 <> 3"),
+    // the census read off the persisted layout must equal the assignment
+    // replayed from the corpus — members × 16 / total through exact
+    // double division (both factors < 2^53) then the house 6-dp round
+    "s15_index_stats" ->
+      s"""WITH $explodedSql,
+         |${ivfListsCtes("vec_id < 16")},
+         |counts AS (SELECT centroid_id, COUNT(*) AS members
+         |           FROM lists GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(members) AS DOUBLE) AS tot FROM counts)
+         |SELECT c.centroid_id, CAST(c.members AS BIGINT) AS members,
+         |       ROUND(c.members * 16.0 / t.tot, 6) + 0 AS load
+         |FROM counts c, tot t""".stripMargin,
     // the argmin assignment replayed with its winning distance; inertia =
     // decimal sum of the 6-dp d2r; separation from the k² centroid pairs
     "c5_kmeans_elbow" -> {

@@ -713,6 +713,32 @@ class PlanShapeSpec extends AnyFunSuite {
       "a forgotten id survived the takedown (as qid or cid)")
   }
 
+  test("s15's index census reads the layout, never the corpus: one index " +
+      "scan with an EMPTY ReadSchema") {
+    // the census's whole point at 10^9 vectors: per-centroid counts come
+    // from the partition directories + row counts — zero vector bytes,
+    // zero corpus scan. Laws: the only file scan in the plan is the
+    // persisted index (no embeddings.parquet), and that scan's ReadSchema
+    // is struct<> (only the partition column feeds the agg).
+    val df = SparkEntry.queries("s15_index_stats")(spark, TestSession.sfDir)
+    val p = df.queryExecution.explainString(FormattedMode)
+    val scans = nodeBlocks(p).filter(_._1.startsWith("Scan"))
+    assert(scans.nonEmpty)
+    assert(scans.forall(_._2.contains("ivf_index")),
+      "the census scanned something other than the persisted index")
+    assert(!p.contains("embeddings.parquet"),
+      "the census must never rescan the corpus")
+    assert(scans.forall(_._2.contains("ReadSchema: struct<>")),
+      "the census read data columns — counts must come from the layout")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row total must broadcast, not cartesian")
+    val rows = df.collect()
+    assert(rows.map(_.getLong(1)).sum ==
+      spark.read.parquet(graft.analytics.Similarity
+        .s7IndexPath(spark, TestSession.sfDir)).count(),
+      "census member counts must sum to the index size")
+  }
+
   test("ANN candidate ranking is window-free: bounded top-k aggregation only") {
     // VERDICT r8 #1: s4/s5 ranked corpus-sized candidate streams through
     // row_number windows — the window sort-shuffles EVERY candidate into
