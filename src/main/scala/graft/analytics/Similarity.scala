@@ -1087,31 +1087,16 @@ object Similarity {
     // member count and shift (0 for untouched centers).
     "c6_kmeans_minibatch" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
-      def sample(r: Int) = e.filter(
-        conv(substring(md5(concat(lit(s"mb$r:"),
-          col("vec_id").cast("string"))), 1, 15), 16, 10)
-          .cast("long") % 5 === 0)
       var cents = e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb"))
         .localCheckpoint()
       var out: DataFrame = null
       for (i <- 1 to 3) {
-        val ro = kmeansRound(sample(i), cents)
+        val ro = kmeansRound(minibatchSample(e, i), cents)
         if (i < 3)
-          cents = cents.select(col("centroid_id"), col("cemb").as("prev"))
-            .join(ro.select(col("centroid_id"), col("cemb").as("newc")),
-              Seq("centroid_id"), "left")
-            .select(col("centroid_id"),
-              coalesce(col("newc"), col("prev")).as("cemb"))
-            .localCheckpoint()
+          cents = minibatchCarry(cents, ro).localCheckpoint()
         else
-          // untouched centers report zero movement — they ARE the answer
-          // for their slot this round, not absentees
-          out = cents.select(col("centroid_id"))
-            .join(ro, Seq("centroid_id"), "left")
-            .select(col("centroid_id"),
-              coalesce(col("n_members"), lit(0L)).as("n_members"),
-              coalesce(col("shift"), lit(0.0)).as("shift"))
+          out = minibatchStats(cents, ro)
       }
       out
     },
@@ -1436,6 +1421,40 @@ object Similarity {
           round((col("batch_mean0") - col("ref_mean0")) / col("ref_std0"), 6)
             .as("drift_smd"))
     })
+
+  /** c6's salted ~20% hash-sample for round r — content-stable md5 of the
+    * vec id so the oracle replays it; shared with t29's ingest waves (at
+    * ingest, the arriving wave IS the mini-batch).
+    */
+  private[analytics] def minibatchSample(e: DataFrame, r: Int): DataFrame =
+    e.filter(
+      conv(substring(md5(concat(lit(s"mb$r:"),
+        col("vec_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 5 === 0)
+
+  /** Mini-batch carry-forward: a centroid with no sample members KEEPS its
+    * position — centers are never dropped (Sculley's rule; shared by c6
+    * and t29).
+    */
+  private[analytics] def minibatchCarry(cents: DataFrame,
+      ro: DataFrame): DataFrame =
+    cents.select(col("centroid_id"), col("cemb").as("prev"))
+      .join(ro.select(col("centroid_id"), col("cemb").as("newc")),
+        Seq("centroid_id"), "left")
+      .select(col("centroid_id"),
+        coalesce(col("newc"), col("prev")).as("cemb"))
+
+  /** The round's reportable stats over ALL k slots — untouched centers
+    * report zero movement (they ARE the answer for their slot this round,
+    * not absentees; shared by c6 and t29).
+    */
+  private[analytics] def minibatchStats(cents: DataFrame,
+      ro: DataFrame): DataFrame =
+    cents.select(col("centroid_id"))
+      .join(ro, Seq("centroid_id"), "left")
+      .select(col("centroid_id"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        coalesce(col("shift"), lit(0.0)).as("shift"))
 
   /** One Lloyd round (the iterating form of c1, VERDICT r8 #6): given float
     * centroids (centroid_id, cemb), assign every vector to its nearest

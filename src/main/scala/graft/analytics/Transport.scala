@@ -426,6 +426,72 @@ object Transport {
     s.read.parquet(results)
   }
 
+  /** t29 — c6's mini-batch k-means with the MODEL UPDATE maintained at
+    * ingest (the training-at-ingest ladder complete: t19 runs INFERENCE
+    * at ingest against frozen centroids, t22 grows an INDEX at ingest,
+    * t29 trains the MODEL itself): each arriving wave IS the mini-batch —
+    * Sculley's online form is exactly "update centers on each arriving
+    * batch" — so the three salted samples c6 draws by hash arrive as
+    * three real arrival-time micro-batches. Per trigger the body runs
+    * EXACTLY [[Similarity.kmeansRound]] (batch ids join their vectors
+    * from the static corpus — t21's feature-store lookup), carries
+    * untouched centers forward by [[Similarity.minibatchCarry]], and the
+    * model lives across triggers as a k-row localCheckpoint: state is
+    * O(K×dims) at ANY corpus size, and every trigger's plan is the
+    * constant c2/c6 round shape. After end-of-log the model stats must
+    * equal the batch mini-batch run bit-for-bit — the oracle is
+    * c6_kmeans_minibatch's SQL VERBATIM (the t15–t28 streaming ≡ batch
+    * discipline applied to training itself).
+    */
+  private[graft] def t29KmeansStream(s: SparkSession, dir: String,
+      inspect: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _ => (),
+      inspectModel: DataFrame => Unit = _ => ()): DataFrame = {
+    val out = scratch(dir, "t29km")
+    val e = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+    // wave r carries only the arriving vec ids; sequence is offset per
+    // wave so the live-tailed log stays append-monotone even when a
+    // vector recurs in a later sample
+    def wave(r: Int) = Similarity.minibatchSample(e, r).select(
+      lit("train").as("stream_key"),
+      pmod(col("vec_id"), lit(4L)).as("shard_id"),
+      (lit(r * 1000000000L) + col("vec_id")).as("sequence"),
+      expr("timestamp'2026-01-01 00:00:00'").as("timestamp"),
+      to_json(struct(col("vec_id"))).cast("binary").as("payload"))
+    wave(1).write.format("ss").mode("overwrite").save(out)
+    var cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb"))
+      .localCheckpoint()
+    var lastOut: DataFrame = null
+    val src = s.readStream.format("ss").load(out)
+      .select(from_json(col("payload").cast("string"),
+        org.apache.spark.sql.types.StructType.fromDDL("vec_id LONG")).as("j"))
+      .select(col("j.vec_id"))
+    val q = src.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: java.lang.Long) =>
+        if (!b.isEmpty) {
+          val batch = b.join(e, "vec_id")
+          val ro = Similarity.kmeansRound(batch, cents)
+          // the round's stats against the PRE-update model — c6's output
+          // contract for its final round
+          lastOut = Similarity.minibatchStats(cents, ro)
+            .localCheckpoint(true)
+          inspectModel(cents)
+          cents = Similarity.minibatchCarry(cents, ro).localCheckpoint(true)
+        }
+      }.start()
+    try {
+      q.processAllAvailable() // trigger 1 = wave 1 (the log's content now)
+      for (r <- 2 to 3) {
+        wave(r).write.format("ss").mode("append").save(out)
+        q.processAllAvailable() // trigger r = wave r (the appended tail)
+      }
+      inspect(q)
+    } finally q.stop()
+    lastOut
+  }
+
   /** t23 — p23's quality gate AT INGEST: the classifier trains batch-side
     * over the seed sources and its artifacts persist (the vocabulary
     * table as parquet — the "ship the model to the gate" step; the 3-long
@@ -1303,6 +1369,12 @@ object Transport {
           .groupBy("event_type").agg(max(col("n_true")).as("n_true")))
     },
 
+    // Streaming mini-batch k-means — the MODEL UPDATE maintained at
+    // ingest (doc at [[t29KmeansStream]]): each arriving wave is the
+    // mini-batch, per trigger the shared kmeansRound moves the centers,
+    // state is the k-row model itself. Oracle = c6's SQL verbatim.
+    "t29_stream_kmeans" -> { (s, dir) => t29KmeansStream(s, dir) },
+
     // Streaming weighted sampler — p25's A-ES draw maintained AT INGEST
     // (the p25→t27 pair; t16's holdout is the unweighted cousin): each
     // arriving document computes its quality and sampling key through the
@@ -1568,6 +1640,7 @@ object Transport {
     "t26_stream_k_anonymity" -> TextAnalysis.oracles("a8_k_anonymity"),
     "t27_stream_sample" -> Pipeline.oracles("p25_weighted_sample"),
     "t28_stream_dp_release" -> TextAnalysis.oracles("a9_dp_release"),
+    "t29_stream_kmeans" -> Similarity.oracles("c6_kmeans_minibatch"),
     "t14_stream_lsh_dedup" -> {
       val constRows = Dedup.MinhashParams.zipWithIndex
         .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
