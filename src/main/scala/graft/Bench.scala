@@ -76,7 +76,7 @@ object Bench {
     val medianOf3 = Set(
       "i1_iggy_roundtrip", "i2_iggy_admission", "i3_iggy_seek",
       "k1_kafka_roundtrip", "k2_kafka_seek", "k3_kafka_admission",
-      "k4_kafka_group_resume",
+      "k4_kafka_group_resume", "k5_kafka_zstd_roundtrip",
       "r1_redis_roundtrip", "r2_redis_latest", "r3_redis_sharding",
       "r4_redis_seek", "r5_redis_admission", "r6_redis_group_recovery",
       "r7_relay", "t2_ss_stream",

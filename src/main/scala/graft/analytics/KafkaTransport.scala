@@ -73,6 +73,26 @@ object KafkaTransport {
       }
     },
 
+    // Compressed round-trip law: `compression.type=zstd` on the producer,
+    // the broker stores each batch AS PRODUCED (the compression.type=
+    // producer default), and the fetch decode reads the codec from every
+    // batch's own attributes bits — so the whole compressed path (frame,
+    // CRC32C over the COMPRESSED records, unwrap on fetch) sits under the
+    // hash-compare gate, inside the same SASL_SSL channel as k1. The
+    // oracle IS k1's: compression must be invisible to the data.
+    "k5_kafka_zstd_roundtrip" -> { (s, dir) =>
+      withServer { srv =>
+        val t = Tables(s, dir)
+        KafkaSource.write(Transport.envelopeOf(t), srv.host, srv.port,
+          sasl = Some(SaslCreds), saslMechanism = Mech,
+          tls = Some(tlsClient), compression = "zstd")
+        val replay = KafkaSource.boundedRead(s, srv.host, srv.port,
+          Transport.eventTypes, sasl = Some(SaslCreds),
+          saslMechanism = Mech, tls = Some(tlsClient)).localCheckpoint(true)
+        Transport.aggregate(replay, withDistinct = true)
+      }
+    },
+
     // Seek law (`timestamp > T`, strictly greater): T = the midpoint of the
     // events time range, pushed into ListOffsets' first-ts>=T+1 lookup —
     // no post-filter, no fetch of the pre-seek prefix.
@@ -162,6 +182,10 @@ object KafkaTransport {
 
   val oracles: Map[String, String] = Map(
     "k1_kafka_roundtrip" -> Transport.aggregateOracle(withDistinct = true),
+    // compression is invisible to the data: the zstd path must hash-match
+    // the identical uncompressed aggregate
+    "k5_kafka_zstd_roundtrip" ->
+      Transport.aggregateOracle(withDistinct = true),
     "k3_kafka_admission" -> Transport.aggregateOracle(withDistinct = false),
     // same cutoff law as the iggy/redis seek oracles: epochs at ms
     // resolution, strictly greater than the midpoint
