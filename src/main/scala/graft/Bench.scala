@@ -179,6 +179,13 @@ object Bench {
             analytics.Similarity.s14IndexPath(spark, sfDir)))
           timed("s14_post_serve")(force(
             analytics.Similarity.s14Serve(spark, sfDir)))
+        } else if (name == "d18_band_stats") {
+          // the index build is d14_build's already-priced one-time job;
+          // the op's OWN recurring cost is the census — an index agg,
+          // never a dedup run
+          analytics.Dedup.d14Build(spark, sfDir)
+          timed("d18_census")(force(
+            analytics.Dedup.d18Census(spark, sfDir)))
         } else if (name == "s15_index_stats") {
           // the index build is s7_layout's already-priced one-time job;
           // the op's OWN recurring cost is the census — which must read

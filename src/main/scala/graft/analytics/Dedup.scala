@@ -541,6 +541,21 @@ object Dedup {
     name + "_" + dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + h
   }
 
+  /** d18's census body over the standing index (the build is d14's
+    * one-time job — Bench prices only this recurring agg): collision-size
+    * histogram of the persisted band table. The heavy groupBy(bk) rides
+    * the bucket layout exchange-free; the second agg is histogram-sized.
+    */
+  private[graft] def d18Census(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val per = s.table(d14Table("d14_ref_bands", dir))
+      .groupBy("bk").agg(count(lit(1)).as("colliders"))
+    per.groupBy("colliders").agg(count(lit(1)).as("n_keys"))
+      .select(col("colliders"), col("n_keys"),
+        (col("n_keys") * expr("colliders * (colliders - 1) DIV 2"))
+          .cast("long").as("cand_pairs"))
+  }
+
   /** d14 index BUILD: the reference corpus's dedup index persisted once —
     * the minhash band table written BUCKETED on the composite band key
     * (bk = i·Prime + mh; mh < Prime makes it injective, so a bk equi-join
@@ -1220,6 +1235,22 @@ object Dedup {
       d14Query(s, dir)
     },
 
+    // Dedup-index collision census (s15's twin for d14's index — the
+    // d-family lifecycle's observability op): the histogram of band-key
+    // collision sizes read from the PERSISTED bands table alone.
+    // SUM(cand_pairs) IS the collision toll every d10/d14 banding receipt
+    // in BENCH_SF1 measures by RUNNING the dedup — this reads it from the
+    // index in one agg, which is how a production owner decides when to
+    // turn the banding knob (d10With(r)) or tighten the df-cap WITHOUT
+    // paying a full dedup run. The heavy agg (groupBy bk) rides the
+    // bucket layout exchange-free; the second agg is histogram-sized.
+    // Oracle replays the band table from the corpus — census ≡ assignment
+    // is the same layout-matches-recompute law as s15.
+    "d18_band_stats" -> { (s, dir) =>
+      d14Build(s, dir)
+      d18Census(s, dir)
+    },
+
     // d14's INCREMENTAL loop closed: the crawl arrives in TWO waves. Wave
     // one (src0/src1) dedups against the stored reference index; its
     // ACCEPTED (novel) documents are APPENDED into the index
@@ -1536,6 +1567,21 @@ object Dedup {
     // the persisted-index path must reproduce d10's recompute EXACTLY —
     // index ≡ recompute, the s12 upsert-≡-rebuild discipline
     "d14_dedup_index" -> d10OracleSql,
+    // the census read off the persisted bands must equal the band table
+    // replayed from the corpus (the s15 layout-matches-recompute law)
+    "d18_band_stats" ->
+      s"""WITH $shinglesSql,
+         |$minhashSigSql,
+         |refs AS (SELECT doc_id FROM documents
+         |         WHERE source NOT IN ('src0','src1','src2','src3','src4')),
+         |bands AS (SELECT CAST(x.i AS BIGINT) * $Prime + x.mh AS bk,
+         |                 x.doc_id
+         |          FROM mh x JOIN refs r ON x.doc_id = r.doc_id),
+         |per AS (SELECT bk, COUNT(*) AS colliders FROM bands GROUP BY bk)
+         |SELECT colliders, COUNT(*) AS n_keys,
+         |  CAST(COUNT(*) * (colliders * (colliders - 1) // 2) AS BIGINT)
+         |    AS cand_pairs
+         |FROM per GROUP BY colliders""".stripMargin,
     // append-then-query ≡ full recompute over the grown reference
     "d14_upsert" -> d14UpsertOracleSql,
     // compaction is invisible to the recurring query: same cascade SQL

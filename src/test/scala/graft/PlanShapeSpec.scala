@@ -739,6 +739,31 @@ class PlanShapeSpec extends AnyFunSuite {
       "census member counts must sum to the index size")
   }
 
+  test("d18's collision census reads the bands table, never the corpus, " +
+      "and the bk agg rides the bucket layout exchange-free") {
+    // s15's discipline on the dedup index: the histogram that prices
+    // banding-knob decisions must cost an index agg, not a dedup run.
+    // Laws: no documents scan; the heavy groupBy(bk) has NO Exchange
+    // below it (the bands table is bucketed on bk) — the plan's only
+    // exchange is the histogram-sized second stage.
+    val df = SparkEntry.queries("d18_band_stats")(spark, TestSession.sfDir)
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("documents.parquet"),
+      "the census must never rescan the corpus")
+    // FormattedMode prints each node twice (tree line + detail header);
+    // count tree nodes only
+    assert("Exchange \\(\\d+\\)".r.findAllIn(p).size <= 1,
+      "the bk aggregation lost its bucket-layout exchange-free read")
+    assert(p.contains("Bucketed: true"),
+      "the bands scan stopped reading through the bucket layout")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val idx = spark.table(graft.analytics.Dedup.d14Table(
+      "d14_ref_bands", TestSession.sfDir))
+    assert(rows.map(r => r.getLong(0) * r.getLong(1)).sum == idx.count(),
+      "histogram row mass must sum to the band table size")
+  }
+
   test("ANN candidate ranking is window-free: bounded top-k aggregation only") {
     // VERDICT r8 #1: s4/s5 ranked corpus-sized candidate streams through
     // row_number windows — the window sort-shuffles EVERY candidate into
