@@ -24,7 +24,7 @@ import graft.kafka.{EmbeddedKafka, KafkaSource}
   */
 object KafkaTransport {
 
-  /** k1-k4 run over SASL_SSL — SCRAM-SHA-256 inside a TLS channel (the
+  /** k1-k5 run over SASL_SSL — SCRAM-SHA-256 inside a TLS channel (the
     * full `security.protocol` stack sits under the hash-compare gate, not
     * just a spec): the embedded listener speaks TLS from an ephemeral
     * keytool-generated keystore AND requires these credentials; every
@@ -56,22 +56,30 @@ object KafkaTransport {
     try f(srv) finally srv.close()
   }
 
+  /** The k1/k5 round-trip body — produce everything, bounded-read
+    * everything back, aggregate the decoded payloads — with the producer
+    * codec as the one varying knob, so the two entries can never drift.
+    */
+  private def roundTrip(s: org.apache.spark.sql.SparkSession, dir: String,
+      compression: String): org.apache.spark.sql.DataFrame =
+    withServer { srv =>
+      val t = Tables(s, dir)
+      KafkaSource.write(Transport.envelopeOf(t), srv.host, srv.port,
+        sasl = Some(SaslCreds), saslMechanism = Mech,
+        tls = Some(tlsClient), compression = compression)
+      val replay = KafkaSource.boundedRead(s, srv.host, srv.port,
+        Transport.eventTypes, sasl = Some(SaslCreds), saslMechanism = Mech,
+        tls = Some(tlsClient)).localCheckpoint(true)
+      Transport.aggregate(replay, withDistinct = true)
+    }
+
   val queries: Map[String, Relational.Q] = Map(
     // Round-trip law: produce everything (4 partitions per topic, partition
     // = shard % 4), bounded-read everything back. localCheckpoint
     // materializes the replay before the server closes. Kafka re-sequences
     // (offsets are dense per partition), so the aggregate checks payload
     // content, not raw sequence — the payload carries the event_id.
-    "k1_kafka_roundtrip" -> { (s, dir) =>
-      withServer { srv =>
-        val t = Tables(s, dir)
-        KafkaSource.write(Transport.envelopeOf(t), srv.host, srv.port,
-          sasl = Some(SaslCreds), saslMechanism = Mech, tls = Some(tlsClient))
-        val replay = KafkaSource.boundedRead(s, srv.host, srv.port,
-          Transport.eventTypes, sasl = Some(SaslCreds), saslMechanism = Mech, tls = Some(tlsClient)).localCheckpoint(true)
-        Transport.aggregate(replay, withDistinct = true)
-      }
-    },
+    "k1_kafka_roundtrip" -> { (s, dir) => roundTrip(s, dir, "none") },
 
     // Compressed round-trip law: `compression.type=zstd` on the producer,
     // the broker stores each batch AS PRODUCED (the compression.type=
@@ -80,18 +88,7 @@ object KafkaTransport {
     // CRC32C over the COMPRESSED records, unwrap on fetch) sits under the
     // hash-compare gate, inside the same SASL_SSL channel as k1. The
     // oracle IS k1's: compression must be invisible to the data.
-    "k5_kafka_zstd_roundtrip" -> { (s, dir) =>
-      withServer { srv =>
-        val t = Tables(s, dir)
-        KafkaSource.write(Transport.envelopeOf(t), srv.host, srv.port,
-          sasl = Some(SaslCreds), saslMechanism = Mech,
-          tls = Some(tlsClient), compression = "zstd")
-        val replay = KafkaSource.boundedRead(s, srv.host, srv.port,
-          Transport.eventTypes, sasl = Some(SaslCreds),
-          saslMechanism = Mech, tls = Some(tlsClient)).localCheckpoint(true)
-        Transport.aggregate(replay, withDistinct = true)
-      }
-    },
+    "k5_kafka_zstd_roundtrip" -> { (s, dir) => roundTrip(s, dir, "zstd") },
 
     // Seek law (`timestamp > T`, strictly greater): T = the midpoint of the
     // events time range, pushed into ListOffsets' first-ts>=T+1 lookup —

@@ -467,28 +467,50 @@ object Transport {
       .select(from_json(col("payload").cast("string"),
         org.apache.spark.sql.types.StructType.fromDDL("vec_id LONG")).as("j"))
       .select(col("j.vec_id"))
-    val q = src.writeStream.outputMode("append")
-      .foreachBatch { (b: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], _: java.lang.Long) =>
-        if (!b.isEmpty) {
-          val batch = b.join(e, "vec_id")
-          val ro = Similarity.kmeansRound(batch, cents)
-          // the round's stats against the PRE-update model — c6's output
-          // contract for its final round
-          lastOut = Similarity.minibatchStats(cents, ro)
-            .localCheckpoint(true)
-          inspectModel(cents)
-          cents = Similarity.minibatchCarry(cents, ro).localCheckpoint(true)
-        }
-      }.start()
-    try {
-      q.processAllAvailable() // trigger 1 = wave 1 (the log's content now)
-      for (r <- 2 to 3) {
-        wave(r).write.format("ss").mode("append").save(out)
-        q.processAllAvailable() // trigger r = wave r (the appended tail)
-      }
-      inspect(q)
-    } finally q.stop()
+    // one checkpointed query RUN per wave (publish while no query is
+    // polling): the `.ss` publish renames part files sequentially, so a
+    // continuously-running trigger could admit a PREFIX of a mid-publish
+    // wave as its own micro-batch — splitting one mini-batch into two
+    // model updates and diverging from c6. The checkpoint carries the
+    // committed offset across restarts, so each run's single trigger is
+    // exactly the newly-published wave.
+    val ckpt = scratch(dir, "t29ckpt")
+    val fsC = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fsC.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    def drainWave(): Unit = {
+      var fired = false
+      val q = src.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: java.lang.Long) =>
+          if (!b.isEmpty) {
+            fired = true
+            val batch = b.join(e, "vec_id")
+            // ONE eager k-row checkpoint runs the heavy round lineage
+            // once; stats and carry both derive from it (k-row joins)
+            val ro = Similarity.kmeansRound(batch, cents)
+              .localCheckpoint(true)
+            // the round's stats against the PRE-update model — c6's
+            // output contract for its final round
+            lastOut = Similarity.minibatchStats(cents, ro)
+            inspectModel(cents)
+            cents = Similarity.minibatchCarry(cents, ro).localCheckpoint(true)
+          }
+        }.start()
+      try { q.processAllAvailable(); inspect(q) } finally q.stop()
+      // an empty wave is still a ROUND to c6: every center untouched,
+      // zero members, zero shift (minibatchStats' coalesce on an empty
+      // round) — mirror that so stream ≡ batch holds on any corpus
+      if (!fired)
+        lastOut = cents.select(col("centroid_id"),
+          lit(0L).as("n_members"), lit(0.0).as("shift"))
+    }
+    drainWave() // run 1 = wave 1 (the log's content now)
+    for (r <- 2 to 3) {
+      wave(r).write.format("ss").mode("append").save(out)
+      drainWave() // run r = wave r (the appended tail)
+    }
     lastOut
   }
 

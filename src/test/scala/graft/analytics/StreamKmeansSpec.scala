@@ -18,11 +18,11 @@ class StreamKmeansSpec extends AnyFunSuite {
   test("t29 streamed model update == c6 batch mini-batch run bit-for-bit," +
       " with a 16-row model at every trigger across >= 3 triggers") {
     var triggers = 0
-    var maxModelRows = 0L
+    var modelSizes = List.empty[Long]
     val stream = Transport.t29KmeansStream(spark, dir,
       inspectModel = { m =>
         triggers += 1
-        maxModelRows = math.max(maxModelRows, m.count())
+        modelSizes ::= m.count()
       })
       .orderBy("centroid_id").collect().map(_.toSeq).toSeq
     val batch = SparkEntry.queries("c6_kmeans_minibatch")(spark, dir)
@@ -32,7 +32,9 @@ class StreamKmeansSpec extends AnyFunSuite {
       "the streamed model update diverged from c6's batch run")
     assert(triggers >= 3,
       s"expected the three waves as three real triggers, saw $triggers")
-    assert(maxModelRows == 16L,
-      s"the cross-trigger model must stay exactly K rows, saw $maxModelRows")
+    // EVERY trigger's model is exactly K rows — a max-only check would
+    // let a shrinking model (e.g. the carry join dropping centers) pass
+    assert(modelSizes.nonEmpty && modelSizes.forall(_ == 16L),
+      s"the cross-trigger model must stay exactly K rows, saw $modelSizes")
   }
 }
