@@ -526,6 +526,88 @@ object Dedup {
   /** The sources d10/d14 treat as the arriving crawl batch. */
   private val BatchSources = Seq("src0", "src1", "src2", "src3", "src4")
 
+  /** Rows-per-band of the PERSISTED d14 index family (build / append /
+    * query / compact / forget / census, plus the streaming twins t20/t22).
+    * r=2 is the scale-safe DEFAULT (VERDICT r12 #2): r=1's candidate
+    * stream grows with the square of per-key collision mass — measured
+    * 13.4×/decade at the sf10 gate — while r=2 drops sub-threshold
+    * collisions to ≈4j² (two orders of magnitude at background j≈0.03) at
+    * a measured 9,798/10k recall of threshold truth (BENCH_SF1's banding
+    * knob). The inline d10 keeps r=1 (maximal recall for the one-shot
+    * batch op where a pipeline owner picks r from the measured d11
+    * S-curve); the STANDING index, whose query cost recurs per ingest
+    * batch forever, defaults to the plan that survives the second decade.
+    * [[d18Decide]] is the production instrument for moving it further.
+    */
+  private[graft] val D14BandR = 2
+
+  /** The banded signature of a (doc_id, i, mh) minhash stack at
+    * [[D14BandR]], keyed by ONE injective packed long — the bucketable
+    * band key of the persisted index tables. r=1: bk = i·P + mh (mh < P
+    * makes it injective). r=2: band b holds the minima of permutations
+    * 2b/2b+1 and bk = ((b·P + m₀)·P + m₁) — bounded by 4P² ≈ 4.1e18 <
+    * 2⁶³, injective because both minima are < P. Packing keeps the key a
+    * plain LONG (bucket pruning, codegen comparisons); r > 2 would
+    * overflow the packing and must go through [[bandCandidates]]' struct
+    * keys instead — the require makes that boundary loud.
+    */
+  private[graft] def d14BandKeys(mh: DataFrame, idOut: String): DataFrame = {
+    require(D14BandR == 1 || D14BandR == 2,
+      s"packed band keys support r in {1,2}, got $D14BandR")
+    if (D14BandR == 1)
+      mh.select((col("i") * Prime + col("mh")).as("bk"),
+        col("doc_id").as(idOut))
+    else
+      mh.withColumn("b", (col("i") / 2).cast("long"))
+        .groupBy(col("doc_id"), col("b"))
+        .agg(min(when(col("i") % 2 === 0, col("mh"))).as("m0"),
+          min(when(col("i") % 2 === 1, col("mh"))).as("m1"))
+        .select(((col("b") * Prime + col("m0")) * Prime + col("m1")).as("bk"),
+          col("doc_id").as(idOut))
+  }
+
+  /** SQL-expression form of [[d14BandKeys]] over an ALREADY-computed
+    * signature array (the 8 permutation minima in i-order) — the
+    * streaming ingest gate (t20) signs each arriving doc statelessly and
+    * must produce byte-identical band keys to the stored table. Null
+    * minima (an empty doc) propagate to null keys, which the caller
+    * filters.
+    */
+  private[graft] def bandKeySqlExpr(sigArray: String): String =
+    if (D14BandR == 1)
+      s"transform($sigArray, (m, i) -> cast(i AS bigint) * ${Prime}L + m)"
+    else
+      s"transform(sequence(0, ${MinhashParams.size / 2 - 1}), " +
+        s"b -> (cast(b AS bigint) * ${Prime}L + " +
+        s"element_at($sigArray, 2*b+1)) * ${Prime}L + " +
+        s"element_at($sigArray, 2*b+2))"
+
+  /** DuckDB twin of [[d14BandKeys]]' banding: the `bnd` CTE over the `mh`
+    * signature CTE at rows-per-band r — bnd(doc_id, b, m0..m_{r-1}). Every
+    * d14-family oracle re-derives from this ONE generator (and
+    * [[bandJoinCondSql]]), so the Spark default and its oracles cannot
+    * disagree on the banding. r=1 degenerates to (b = i, m0 = mh) — the
+    * exact historical (i, mh) equality d10 still uses.
+    */
+  private def bandCteSql(r: Int): String = {
+    val ms = (0 until r)
+      .map(k => s"MIN(CASE WHEN i % $r = $k THEN mh END) AS m$k")
+      .mkString(", ")
+    s"bnd AS (SELECT doc_id, i // $r AS b, $ms FROM mh GROUP BY doc_id, i // $r)"
+  }
+
+  /** The band-equality join condition over two [[bandCteSql]] aliases. */
+  private def bandJoinCondSql(r: Int, x: String, y: String): String =
+    (Seq(s"$x.b = $y.b") ++ (0 until r).map(k => s"$x.m$k = $y.m$k"))
+      .mkString(" AND ")
+
+  /** The packed band key of a [[bandCteSql]] row in SQL — [[d14BandKeys]]'
+    * packing replayed for the d18 census oracle.
+    */
+  private def bandKeyPackSql(r: Int, x: String): String =
+    if (r == 1) s"CAST($x.b AS BIGINT) * $Prime + $x.m0"
+    else s"(CAST($x.b AS BIGINT) * $Prime + $x.m0) * $Prime + $x.m1"
+
   /** Catalog name of one of d14's bucketed index tables, scoped to the
     * dataset dir (ivfIndexPath's rule): building against one dir and
     * querying another in the same session must address DIFFERENT indexes —
@@ -556,6 +638,75 @@ object Dedup {
           .cast("long").as("cand_pairs"))
   }
 
+  /** The maintenance verdict [[d18Decide]] derives from the census — the
+    * production REASON the census exists (VERDICT r12 #7): the two index
+    * pathologies an owner must act on before they become query cost.
+    *
+    * @param escalateBanding the collision mass per indexed doc exceeds the
+    *   verify-stage budget — the banding knob must rise (r → next divisor
+    *   of 8; each step trades the d11-measured S-curve recall for a
+    *   collision cut, the receipt in BENCH_SF1's banding section). This is
+    *   the census-driven form of the sf10 superlinearity diagnosis: the
+    *   decision reads ONE index agg, never a dedup run.
+    * @param compact the bucket layout has fragmented under append waves
+    *   (>1 data file per bucket on average) — run [[d14Compact]] (d16).
+    */
+  private[graft] case class D14Maintenance(
+      escalateBanding: Boolean,
+      compact: Boolean,
+      candPairsPerDoc: Double,
+      filesPerBucket: Double)
+
+  /** Collision budget: candidate pairs the verify stage tolerates PER
+    * INDEXED DOC per batch query before banding must escalate. The verify
+    * join's cost is Θ(cand_pairs × shingles/doc); at ~8 pairs/doc the
+    * verify stage costs about one extra signature pass — beyond it the
+    * collision toll dominates the query (the measured sf10 13.4×/decade
+    * failure mode of r=1).
+    */
+  private[graft] val D14CandPairsPerDocBudget = 8.0
+
+  /** Bucket-fragmentation budget: average data files per bucket beyond
+    * which the exchange-free band join pays more file-opens than sorts —
+    * one append wave of slack, compact after that.
+    */
+  private[graft] val D14FilesPerBucketBudget = 2.0
+
+  /** The decision rule OFF a census frame — pure function of (census,
+    * index size, layout fragmentation) so the spec can feed synthetic
+    * skewed/uniform fixtures and assert the flip (the d18 → d16/knob law).
+    */
+  private[graft] def d18Decide(census: DataFrame, nIndexedDocs: Long,
+      filesPerBucket: Double): D14Maintenance = {
+    val row = census.agg(sum(col("cand_pairs")).as("p")).head()
+    val pairs = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val perDoc = if (nIndexedDocs <= 0) 0.0 else pairs.toDouble / nIndexedDocs
+    D14Maintenance(
+      escalateBanding = perDoc > D14CandPairsPerDocBudget,
+      compact = filesPerBucket > D14FilesPerBucketBudget,
+      candPairsPerDoc = perDoc,
+      filesPerBucket = filesPerBucket)
+  }
+
+  /** The maintenance pass a production owner schedules between append
+    * waves: census → [[d18Decide]] → compact when fragmented. Both inputs
+    * are O(index) reads (the census agg rides the bucket layout
+    * exchange-free; the file count is directory metadata); the pass never
+    * touches the corpus. `escalateBanding` is reported, not auto-applied:
+    * re-banding rewrites the band table under a different key scheme and
+    * changes recall — a knob turn the owner commits deliberately, with
+    * d11's S-curve as the price list.
+    */
+  private[graft] def d14Maintain(s: org.apache.spark.sql.SparkSession,
+      dir: String): D14Maintenance = {
+    val nDocs = s.table(d14Table("d14_ref_sizes", dir)).count()
+    val files = graft.ops.Bucketing.tableDataFileCount(
+      s, d14Table("d14_ref_bands", dir))
+    val dec = d18Decide(d18Census(s, dir), nDocs, files / 8.0)
+    if (dec.compact) d14Compact(s, dir)
+    dec
+  }
+
   /** d14 index BUILD: the reference corpus's dedup index persisted once —
     * the minhash band table written BUCKETED on the composite band key
     * (bk = i·Prime + mh; mh < Prime makes it injective, so a bk equi-join
@@ -572,8 +723,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mhR = minhashStack(shR)
     graft.ops.Bucketing.writeBucketed(
-      mhR.select((col("i") * Prime + col("mh")).as("bk"),
-        col("doc_id").as("ref_id")), d14Table("d14_ref_bands", dir), "bk", 8)
+      d14BandKeys(mhR, "ref_id"), d14Table("d14_ref_bands", dir), "bk", 8)
     graft.ops.Bucketing.writeBucketed(
       shR.select(col("doc_id").as("ref_id"), col("s")),
       d14Table("d14_ref_shingles", dir), "ref_id", 8)
@@ -612,8 +762,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mhA = minhashStack(shA)
     graft.ops.Bucketing.appendBucketed(
-      mhA.select((col("i") * Prime + col("mh")).as("bk"),
-        col("doc_id").as("ref_id")), d14Table("d14_ref_bands", dir), "bk", 8)
+      d14BandKeys(mhA, "ref_id"), d14Table("d14_ref_bands", dir), "bk", 8)
     graft.ops.Bucketing.appendBucketed(
       shA.select(col("doc_id").as("ref_id"), col("s")),
       d14Table("d14_ref_shingles", dir), "ref_id", 8)
@@ -689,7 +838,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mhB = minhashStack(shB)
     graft.ops.Bucketing.writeBucketed(
-      mhB.select((col("i") * Prime + col("mh")).as("bk"), col("doc_id")),
+      d14BandKeys(mhB, "doc_id"),
       d14Table("d14_batch_bands", dir), "bk", 8)
     val cand = graft.ops.Bucketing
       .bucketedJoin(s, d14Table("d14_batch_bands", dir),
@@ -738,8 +887,7 @@ object Dedup {
       .withColumn("hm", md5long(col("s")) % Prime)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mhB = minhashStack(shB)
-    val cand = mhB
-      .select((col("i") * Prime + col("mh")).as("bk"), col("doc_id"))
+    val cand = d14BandKeys(mhB, "doc_id")
       .join(s.table(d14Table("d14_ref_bands", dir)).hint("merge"), Seq("bk"))
       .select(col("doc_id"), col("ref_id")).distinct()
     val sizesB = shB.groupBy("doc_id").agg(count(lit(1)).as("na"))
@@ -762,10 +910,19 @@ object Dedup {
       .agg(max(struct(col("jaccard"), (-col("ref_id")).as("nref"))).as("m"))
       .select(col("doc_id"), (-col("m.nref")).as("match_id"),
         round(col("m.jaccard"), 6).as("match_jaccard"))
-    batch.join(best.hint("shuffle_hash"), Seq("doc_id"), "left")
+    // materialize the batch-sized verdict HERE (it gets checkpointed by
+    // every caller anyway — the t22 body needs the lineage severed before
+    // the append mutates the tables it read) so shB can unpersist NOW:
+    // leaving one cached shingle frame per micro-batch for the session's
+    // life is an unbounded leak in the production ingest loop (ADVICE r12)
+    val verdict = batch
+      .join(best.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"),
         col("match_id").isNull.as("novel"),
         col("match_id"), col("match_jaccard"))
+      .localCheckpoint(true)
+    shB.unpersist()
+    verdict
   }
 
   /** d10's shared front half: the batch spine, the persisted capped-free
@@ -859,16 +1016,21 @@ object Dedup {
   private[graft] def d10CandidateCount(s: org.apache.spark.sql.SparkSession,
       dir: String, r: Int): Long = d10Parts(s, dir, r)._3.count()
 
-  /** d10's oracle, shared verbatim by d14 (index ≡ recompute law). */
-  private def d10OracleSql: String =
+  /** d10's oracle at rows-per-band r — r=1 IS d10_cross_corpus's oracle
+    * (bnd degenerates to the (i, mh) table), and r=[[D14BandR]] is
+    * d14_dedup_index's: index ≡ recompute at the index's own banding.
+    * ONE SQL body for both — the banding is the only moving part.
+    */
+  private def d10OracleSqlAt(r: Int): String =
     s"""WITH $jaccardOracleCte,
        |$minhashSigSql,
+       |${bandCteSql(r)},
        |batch AS (SELECT doc_id, source FROM documents
        |          WHERE source IN ('src0','src1','src2','src3','src4')),
        |cand AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS ref_id
-       |         FROM mh x
+       |         FROM bnd x
        |         JOIN batch bx ON x.doc_id = bx.doc_id
-       |         JOIN mh y ON x.i = y.i AND x.mh = y.mh
+       |         JOIN bnd y ON ${bandJoinCondSql(r, "x", "y")}
        |         WHERE y.doc_id NOT IN (SELECT doc_id FROM batch)),
        |dups AS (SELECT c.doc_id, c.ref_id, j.jaccard
        |         FROM cand c
@@ -899,15 +1061,16 @@ object Dedup {
     val gone = ForgottenSources.map(s => s"'$s'").mkString(",")
     s"""WITH $jaccardOracleCte,
        |$minhashSigSql,
+       |${bandCteSql(D14BandR)},
        |batch AS (SELECT doc_id, source FROM documents
        |          WHERE source IN ('src0','src1','src2','src3','src4')),
        |refs AS (SELECT doc_id FROM documents
        |         WHERE source NOT IN ('src0','src1','src2','src3','src4')
        |           AND source NOT IN ($gone)),
        |cand AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS ref_id
-       |         FROM mh x
+       |         FROM bnd x
        |         JOIN batch bx ON x.doc_id = bx.doc_id
-       |         JOIN mh y ON x.i = y.i AND x.mh = y.mh
+       |         JOIN bnd y ON ${bandJoinCondSql(D14BandR, "x", "y")}
        |         JOIN refs r ON y.doc_id = r.doc_id),
        |dups AS (SELECT c.doc_id, c.ref_id, j.jaccard
        |         FROM cand c
@@ -934,6 +1097,7 @@ object Dedup {
   private def d14UpsertOracleSql: String =
     s"""WITH $jaccardOracleCte,
        |$minhashSigSql,
+       |${bandCteSql(D14BandR)},
        |wave1 AS (SELECT doc_id FROM documents
        |          WHERE source IN ('src0','src1')),
        |wave2 AS (SELECT doc_id, source FROM documents
@@ -941,9 +1105,9 @@ object Dedup {
        |refs AS (SELECT doc_id FROM documents
        |         WHERE source NOT IN ('src0','src1','src2','src3','src4')),
        |cand1 AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS ref_id
-       |          FROM mh x
+       |          FROM bnd x
        |          JOIN wave1 bx ON x.doc_id = bx.doc_id
-       |          JOIN mh y ON x.i = y.i AND x.mh = y.mh
+       |          JOIN bnd y ON ${bandJoinCondSql(D14BandR, "x", "y")}
        |          JOIN refs r ON y.doc_id = r.doc_id),
        |dup1 AS (SELECT DISTINCT c.doc_id
        |         FROM cand1 c
@@ -955,9 +1119,9 @@ object Dedup {
        |          SELECT doc_id FROM wave1
        |          WHERE doc_id NOT IN (SELECT doc_id FROM dup1)),
        |cand2 AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS ref_id
-       |          FROM mh x
+       |          FROM bnd x
        |          JOIN wave2 bx ON x.doc_id = bx.doc_id
-       |          JOIN mh y ON x.i = y.i AND x.mh = y.mh
+       |          JOIN bnd y ON ${bandJoinCondSql(D14BandR, "x", "y")}
        |          JOIN grown g ON y.doc_id = g.doc_id),
        |dups AS (SELECT c.doc_id, c.ref_id, j.jaccard
        |         FROM cand2 c
@@ -983,6 +1147,7 @@ object Dedup {
   private[analytics] def d14TwoWaveOracleSql: String =
     s"""WITH $jaccardOracleCte,
        |$minhashSigSql,
+       |${bandCteSql(D14BandR)},
        |wave1 AS (SELECT doc_id, source FROM documents
        |          WHERE source IN ('src0','src1')),
        |wave2 AS (SELECT doc_id, source FROM documents
@@ -990,9 +1155,9 @@ object Dedup {
        |refs AS (SELECT doc_id FROM documents
        |         WHERE source NOT IN ('src0','src1','src2','src3','src4')),
        |cand1 AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS ref_id
-       |          FROM mh x
+       |          FROM bnd x
        |          JOIN wave1 bx ON x.doc_id = bx.doc_id
-       |          JOIN mh y ON x.i = y.i AND x.mh = y.mh
+       |          JOIN bnd y ON ${bandJoinCondSql(D14BandR, "x", "y")}
        |          JOIN refs r ON y.doc_id = r.doc_id),
        |dup1 AS (SELECT c.doc_id, c.ref_id, j.jaccard
        |         FROM cand1 c
@@ -1010,9 +1175,9 @@ object Dedup {
        |          SELECT doc_id FROM wave1
        |          WHERE doc_id NOT IN (SELECT doc_id FROM dup1)),
        |cand2 AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS ref_id
-       |          FROM mh x
+       |          FROM bnd x
        |          JOIN wave2 bx ON x.doc_id = bx.doc_id
-       |          JOIN mh y ON x.i = y.i AND x.mh = y.mh
+       |          JOIN bnd y ON ${bandJoinCondSql(D14BandR, "x", "y")}
        |          JOIN grown g ON y.doc_id = g.doc_id),
        |dups AS (SELECT c.doc_id, c.ref_id, j.jaccard
        |         FROM cand2 c
@@ -1563,20 +1728,23 @@ object Dedup {
     // from the cross band join only, exact Jaccard via the uncapped jac CTE
     // (order-normalized through LEAST/GREATEST — jac stores doc_a < doc_b),
     // best match = (max jaccard, min ref id) per batch doc
-    "d10_cross_corpus" -> d10OracleSql,
-    // the persisted-index path must reproduce d10's recompute EXACTLY —
-    // index ≡ recompute, the s12 upsert-≡-rebuild discipline
-    "d14_dedup_index" -> d10OracleSql,
+    "d10_cross_corpus" -> d10OracleSqlAt(1),
+    // the persisted-index path must reproduce the SAME-BANDING recompute
+    // EXACTLY — index ≡ recompute at r=D14BandR, the s12
+    // upsert-≡-rebuild discipline (one SQL body with d10's, r the only
+    // moving part)
+    "d14_dedup_index" -> d10OracleSqlAt(D14BandR),
     // the census read off the persisted bands must equal the band table
     // replayed from the corpus (the s15 layout-matches-recompute law)
     "d18_band_stats" ->
       s"""WITH $shinglesSql,
          |$minhashSigSql,
+         |${bandCteSql(D14BandR)},
          |refs AS (SELECT doc_id FROM documents
          |         WHERE source NOT IN ('src0','src1','src2','src3','src4')),
-         |bands AS (SELECT CAST(x.i AS BIGINT) * $Prime + x.mh AS bk,
+         |bands AS (SELECT ${bandKeyPackSql(D14BandR, "x")} AS bk,
          |                 x.doc_id
-         |          FROM mh x JOIN refs r ON x.doc_id = r.doc_id),
+         |          FROM bnd x JOIN refs r ON x.doc_id = r.doc_id),
          |per AS (SELECT bk, COUNT(*) AS colliders FROM bands GROUP BY bk)
          |SELECT colliders, COUNT(*) AS n_keys,
          |  CAST(COUNT(*) * (colliders * (colliders - 1) // 2) AS BIGINT)

@@ -21,6 +21,10 @@ import org.apache.spark.sql.functions._
   * constant fraction; more planes or multi-probe tighten it without changing
   * the plan shape.
   */
+/** One greedy-MMR selection — [[Similarity.mmrGreedy]]'s output row. */
+private[analytics] case class MmrPick(cid: Long, cosine: Double,
+    score: Double, rank: Long)
+
 object Similarity {
 
   private val QueryCount = 10
@@ -169,14 +173,33 @@ object Similarity {
     * and the IVF-probe form (s13_mmr_indexed, the serving composition).
     * Everything here is RESULT-bounded: Q×pool rows broadcast onto ONE
     * corpus pass to attach embeddings, Q×pool×(pool−1) pairwise sims,
-    * greedy rounds as Q-row argmax aggs (min-struct, never a window over
-    * anything corpus-sized). Selection math is single-op double arithmetic
-    * on 6-dp cosines — bit-identical in DuckDB; ties break by cid.
+    * then the greedy rounds fold into ONE pass — per qid the pool items
+    * and pairwise sims (≤ pool + pool² rows) collect into arrays and
+    * [[mmrGreedy]] runs the selection locally (VERDICT r12 #3: the
+    * unrolled round-per-round join form re-planned ~10 operators per
+    * serving trigger; t21's per-micro-batch cost was almost entirely that
+    * Catalyst constant). The fold is safe to run driver-free per row
+    * because the pool is bounded by construction (probes×K), never
+    * corpus-sized. Selection math is the same single-op double arithmetic
+    * on 6-dp cosines as the join form — bit-identical in DuckDB (the
+    * oracle's unrolled p1/m2/p2/m3/p3 rounds); ties break by cid.
     */
-  private def mmrRerank(e: DataFrame, poolRaw: DataFrame): DataFrame = {
+  /** @param sever materialize the Q×MmrSelect result eagerly and free the
+    *   persisted pool before returning — the per-trigger serve loop (t21)
+    *   must pass true or each micro-batch leaks one cached pool for the
+    *   session's life (ADVICE r12's d14QueryFrame lesson); the batch
+    *   entries keep the lazy plan so the DPP/no-Window plan laws stay
+    *   assertable on the returned frame.
+    * @param inspect sees the LAZY result frame before any severing — the
+    *   hook the t21 plan law uses to assert DPP survived on a per-batch
+    *   serve plan.
+    */
+  private def mmrRerank(e: DataFrame, poolRaw: DataFrame,
+      sever: Boolean = false,
+      inspect: DataFrame => Unit = _ => ()): DataFrame = {
     val pool = poolRaw
       .select(col("qid"), col("cid"), col("cosine"))
-      .persist() // result-bounded; read by the pair join and every round
+      .persist() // result-bounded; read by the pair join and the item agg
     val ce = withNorm(e.select(col("vec_id"), col("embedding")),
       "embedding", "nrm")
     val withEmb = ce
@@ -191,31 +214,92 @@ object Similarity {
       .withColumn("sim",
         round(dotCol("ea", "eb") / (col("na") * col("nb")), 6))
       .select(col("qid"), col("ca"), col("cb"), col("sim"))
-      .persist()
-    // deterministic per-query argmax: min over (−score, cid) — the
-    // remaining struct fields ride along, never compared (cid unique)
-    def pickBest(scored: DataFrame, rank: Int): DataFrame = scored
-      .groupBy("qid")
-      .agg(min(struct(unNeg(col("score")).as("negs"), col("cid").as("cid"),
-        col("cosine").as("cosine"), col("score").as("score"))).as("m"))
-      .select(col("qid"), col("m.cid").as("cid"),
-        col("m.cosine").as("cosine"), col("m.score").as("score"),
-        lit(rank.toLong).as("mmr_rank"))
-    var all = pickBest(pool.withColumn("score", col("cosine")), 1)
-    for (r <- 2 to MmrSelect) {
-      val remaining = pool.join(all.select(col("qid"), col("cid")),
-        Seq("qid", "cid"), "left_anti")
-      val simToSel = pairSim
-        .join(all.select(col("qid"), col("cid").as("cb")), Seq("qid", "cb"))
-        .groupBy(col("qid"), col("ca").as("cid"))
-        .agg(max(col("sim")).as("maxsim"))
-      val scored = remaining.join(simToSel, Seq("qid", "cid"))
-        .withColumn("score", col("cosine") - lit(0.5) * col("maxsim"))
-      all = all.unionByName(pickBest(scored, r))
+    val items = pool.groupBy("qid")
+      .agg(collect_list(struct(col("cid"), col("cosine"))).as("items"))
+    val sims = pairSim.groupBy("qid")
+      .agg(collect_list(struct(col("ca"), col("cb"), col("sim"))).as("sims"))
+    // left join: a singleton pool has NO pairwise sims (the unrolled form's
+    // inner joins emitted nothing past round 1 for it — mmrGreedy mirrors)
+    val out = items.join(sims, Seq("qid"), "left")
+      .select(col("qid"),
+        explode(mmrGreedyUdf(col("items"), col("sims"))).as("sel"))
+      .select(col("qid"), col("sel.cid").as("cid"),
+        col("sel.cosine").as("cosine"),
+        round(col("sel.score"), 6).as("mmr_score"),
+        col("sel.rank").as("mmr_rank"))
+    inspect(out)
+    if (!sever) out
+    else {
+      val severed = out.localCheckpoint(true) // Q×MmrSelect rows
+      pool.unpersist()
+      severed
     }
-    all.select(col("qid"), col("cid"), col("cosine"),
-      round(col("score"), 6).as("mmr_score"), col("mmr_rank"))
   }
+
+  /** One query's greedy MMR fold — the exact semantics of the former
+    * unrolled join rounds: round 1 picks argmax cosine (min over the
+    * (0−score+0, cid) key — the same −0.0-normalizing comparator as the
+    * old min-struct agg); rounds 2..MmrSelect score each remaining pool
+    * member as cosine − 0.5·max(sim to selected), with INNER-join
+    * semantics (a member with no sim row to any selected member — only
+    * possible in a degenerate pool — does not participate). Double
+    * arithmetic is the same IEEE ops Catalyst evaluated; comparison order
+    * is total because cid is unique within a pool.
+    */
+  private[analytics] def mmrGreedy(items: Seq[(Long, Double)],
+      sims: Seq[(Long, Long, Double)]): Seq[(Long, Double, Double, Long)] = {
+    def key(score: Double): Double = 0.0d - score + 0.0d
+    def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+      val c = java.lang.Double.compare(a._1, b._1)
+      c < 0 || (c == 0 && a._2 < b._2)
+    }
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Double, Double, Long)]
+    val selected = scala.collection.mutable.Set.empty[Long]
+    var rank = 1L
+    // round 1: score = cosine
+    var bestOpt = Option.empty[(Long, Double, Double)] // cid, cosine, score
+    for ((cid, cos) <- items)
+      if (bestOpt.forall(b => better((key(cos), cid), (key(b._3), b._1))))
+        bestOpt = Some((cid, cos, cos))
+    for (b <- bestOpt) { picked += ((b._1, b._2, b._3, rank)); selected += b._1 }
+    var dry = bestOpt.isEmpty
+    while (!dry && rank < MmrSelect) {
+      rank += 1
+      var best = Option.empty[(Long, Double, Double)]
+      for ((cid, cos) <- items if !selected.contains(cid)) {
+        // max sim to the selected set; None = no sim row (inner-join drop)
+        var maxsim = Double.NaN
+        var seen = false
+        for ((ca, cb, sim) <- sims if ca == cid && selected.contains(cb)) {
+          if (!seen || sim > maxsim) { maxsim = sim; seen = true }
+        }
+        if (seen) {
+          val score = cos - 0.5d * maxsim
+          if (best.forall(b => better((key(score), cid), (key(b._3), b._1))))
+            best = Some((cid, cos, score))
+        }
+      }
+      best match {
+        case Some(b) => picked += ((b._1, b._2, b._3, rank)); selected += b._1
+        case None => dry = true
+      }
+    }
+    picked.toSeq
+  }
+
+  /** [[mmrGreedy]] as a column function over the collected pool arrays
+    * (null sims ≡ empty — the left join above).
+    */
+  private val mmrGreedyUdf = udf(
+    (items: Seq[org.apache.spark.sql.Row], sims: Seq[org.apache.spark.sql.Row]) =>
+      mmrGreedy(
+        Option(items).getOrElse(Seq.empty)
+          .map(r => (r.getLong(0), r.getDouble(1))),
+        Option(sims).getOrElse(Seq.empty)
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+        .map { case (cid, cos, score, rank) =>
+          MmrPick(cid, cos, score, rank) })
 
   private def bruteTopK(e: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val corpusN = withNorm(corpus, "ce", "cn")
@@ -550,7 +634,8 @@ object Similarity {
     * (the t21 streaming ≡ batch law's structural premise).
     */
   private[graft] def s13ServeQueryIds(s: SparkSession, dir: String,
-      queryIds: DataFrame): DataFrame = {
+      queryIds: DataFrame,
+      inspect: DataFrame => Unit = _ => ()): DataFrame = {
     val e = Tables(s, dir).embeddings
     val cents = broadcast(e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb")))
@@ -558,7 +643,8 @@ object Similarity {
         col("vec_id") === col("qid"))
       .select(col("qid"), col("embedding").as("qe"))
     mmrRerank(e,
-      ivfProbeFor(s, queries, cents, ivfIndexPath(s, dir), k = MmrPool))
+      ivfProbeFor(s, queries, cents, ivfIndexPath(s, dir), k = MmrPool),
+      sever = true, inspect = inspect)
   }
 
   /** s12's arriving-batch membership: a stable ~10% slice of the corpus
@@ -621,8 +707,18 @@ object Similarity {
   }
 
   /** s14's takedown slice: a stable ~10% of the corpus (a departed
-    * tenant's vectors / a revoked-consent batch). */
-  private def s14ForgetPred = pmod(col("vec_id"), lit(10L)) === lit(3L)
+    * tenant's vectors / a revoked-consent batch). ONE (mod, residue)
+    * definition feeds the forget rewrite (on cid), the serve predicate
+    * (on vec_id), and the oracle's memberPred string — the three slices
+    * must agree or takedown silently leaks (ADVICE r12).
+    */
+  private val S14ForgetMod = 10L
+  private val S14ForgetResidue = 3L
+  private def s14SlicePred(c: Column): Column =
+    pmod(c, lit(S14ForgetMod)) === lit(S14ForgetResidue)
+  private[analytics] def s14SliceSql(col: String): String =
+    s"$col % $S14ForgetMod <> $S14ForgetResidue"
+  private def s14ForgetPred = s14SlicePred(col("vec_id"))
 
   private[graft] def s14IndexPath(s: SparkSession, dir: String): String =
     ivfIndexPath(s, dir) + "_s14"
@@ -640,7 +736,7 @@ object Similarity {
     */
   private[graft] def s14Forget(s: SparkSession, path: String): Unit = {
     val kept = s.read.parquet(path)
-      .filter(pmod(col("cid"), lit(10L)) =!= lit(3L))
+      .filter(!s14SlicePred(col("cid")))
       .localCheckpoint(true)
     kept.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
   }
@@ -1967,7 +2063,7 @@ object Similarity {
     // forget ≡ rebuild-without: same frozen 16 seeds, members and served
     // queries exclude the takedown slice
     "s14_index_forget" ->
-      ivfOracleSql("vec_id < 16", "vec_id % 10 <> 3"),
+      ivfOracleSql("vec_id < 16", s14SliceSql("vec_id")),
     // the census read off the persisted layout must equal the assignment
     // replayed from the corpus — members × 16 / total through exact
     // double division (both factors < 2^53) then the house 6-dp round

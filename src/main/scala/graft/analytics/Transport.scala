@@ -214,10 +214,12 @@ object Transport {
       .withColumn("hm", expr(
         "transform(sh, x -> cast(conv(substring(md5(cast(x AS binary)), " +
           s"1, 15), 16, 10) AS bigint) % ${Dedup.Prime}L)"))
-      // d14's injective composite band key bk = i·Prime + mh per
-      // permutation; empty docs sign nothing (array_min of empty = null)
-      .withColumn("bks", expr(
-        s"transform(array($sigExprs), (m, i) -> cast(i AS bigint) * ${Dedup.Prime}L + m)"))
+      // d14's injective packed band keys at the index's own banding
+      // (Dedup.D14BandR — the stream side MUST sign with the stored
+      // table's exact key scheme); empty docs sign nothing (array_min of
+      // empty = null, which propagates to null keys)
+      .withColumn("sig", expr(s"array($sigExprs)"))
+      .withColumn("bks", expr(Dedup.bandKeySqlExpr("sig")))
       .withColumn("cand_bks", org.apache.spark.sql.functions.filter(
         col("bks"), x => x.isNotNull && graft.functions.BloomFunctions
           .mightContain(lit(blob), xxhash64(x))))
@@ -339,8 +341,9 @@ object Transport {
       .foreachBatch { (b: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], _: java.lang.Long) =>
         if (!b.isEmpty) {
-          val served = Similarity.s13ServeQueryIds(s, dir, b)
-          inspectServe(served)
+          // inspectServe sees the LAZY serve plan (the DPP law hook);
+          // the returned frame is already materialized + pool-freed
+          val served = Similarity.s13ServeQueryIds(s, dir, b, inspectServe)
           served.write.mode("append").parquet(results)
         }
       }.start()
@@ -402,10 +405,11 @@ object Transport {
     fs2.delete(new org.apache.hadoop.fs.Path(ledger), true)
     val body: (DataFrame, Long) => Unit = (b, _) =>
       if (!b.isEmpty) {
-        // admission against the index AS OF this trigger; materialized
-        // (lineage severed) before the append below mutates the tables
+        // admission against the index AS OF this trigger; d14QueryFrame
+        // returns the verdict already materialized + lineage-severed, so
+        // the append below can never be observed by the plan that read
+        // the pre-append tables
         val verdict = Dedup.d14QueryFrame(s, dir, b)
-          .localCheckpoint(true)
         verdict.write.mode("append").parquet(results)
         Dedup.d14Append(s, dir,
           verdict.filter(col("novel")).select("doc_id"))

@@ -42,6 +42,11 @@ object KafkaWire {
     val FindCoordinator = 10
     val SaslHandshake = 17
     val ApiVersions = 18
+    val InitProducerId = 22
+    val AddPartitionsToTxn = 24
+    val AddOffsetsToTxn = 25
+    val EndTxn = 26
+    val TxnOffsetCommit = 28
     val SaslAuthenticate = 36
   }
 
@@ -56,7 +61,13 @@ object KafkaWire {
     // the KIP-152 authentication pair: handshake v1 switches the channel
     // to header-framed SaslAuthenticate exchanges (v0's raw-token framing
     // is the pre-KIP legacy this driver does not speak)
-    Api.SaslHandshake -> 1, Api.SaslAuthenticate -> 0)
+    Api.SaslHandshake -> 1, Api.SaslAuthenticate -> 0,
+    // the KIP-98 transactions quintet, pre-flexible versions: the five
+    // requests behind the reference producer's init/begin/commit/abort/
+    // send_offsets_to_transaction surface (producer.rs:236-301); EndTxn
+    // v1 is v0's schema with throttle-time semantics finalized
+    Api.InitProducerId -> 0, Api.AddPartitionsToTxn -> 0,
+    Api.AddOffsetsToTxn -> 0, Api.EndTxn -> 1, Api.TxnOffsetCommit -> 0)
     .map { case (k, v) => k -> v.toShort }
 
   /** Public Kafka error codes (the subset this surface can produce). */
@@ -71,6 +82,15 @@ object KafkaWire {
     val UnsupportedSaslMechanism = 33
     val IllegalSaslState = 34
     val UnsupportedVersion = 35
+    /** A produce/txn request carried a producer epoch older than the
+      * coordinator's — the KIP-98 FENCE: a re-initialized transactional id
+      * bumps the epoch, and the zombie's writes die with this code.
+      */
+    val InvalidProducerEpoch = 47
+    /** A transactional operation out of sequence (produce to a partition
+      * never added to the txn, EndTxn for an unknown transactional id).
+      */
+    val InvalidTxnState = 48
     val SaslAuthenticationFailed = 58
 
     /** The retriable subset, per the public protocol's error table — a
@@ -463,11 +483,17 @@ object KafkaWire {
     * layout, compression covers the serialized records only — the 61-byte
     * batch header (through the record count) stays plain so brokers can
     * read offsets/counts without inflating — and the CRC32C is computed
-    * over the compressed bytes. No producer id (idempotence is the
-    * checkpoint's job in this engine — SURVEY §2.6).
+    * over the compressed bytes. Producer id / epoch / base sequence
+    * default to the non-idempotent sentinels (-1); the transactional
+    * producer path sets all three plus the KIP-98 transactional attribute
+    * bit (0x10). `control` marks a transaction-marker batch (attribute
+    * bit 0x20) — broker-written, never producer-written.
     */
   def encodeBatch(records: Seq[KRecord],
-      codec: Int = Codec.None): Array[Byte] = {
+      codec: Int = Codec.None,
+      producerId: Long = -1L, producerEpoch: Int = -1,
+      baseSequence: Int = -1, transactional: Boolean = false,
+      control: Boolean = false): Array[Byte] = {
     require(records.nonEmpty, "empty batch")
     require(codec >= Codec.None && codec <= Codec.Zstd,
       s"unsupported batch codec $codec (none/gzip/snappy/lz4/zstd)")
@@ -497,13 +523,16 @@ object KafkaWire {
         bos.toByteArray
       }
     val body = new Writer // attributes .. records (the CRC'd region)
-    body.i16(codec) // attributes: codec bits 0-2, create-time timestamps
+    // attributes: codec bits 0-2, create-time timestamps, bit 4
+    // transactional, bit 5 control
+    body.i16(codec | (if (transactional) 0x10 else 0) |
+      (if (control) 0x20 else 0))
     body.i32((records.last.offset - baseOffset).toInt) // lastOffsetDelta
     body.i64(baseTs)
     body.i64(records.map(_.tsMs).max)
-    body.i64(-1L) // producerId
-    body.i16(-1)  // producerEpoch
-    body.i32(-1)  // baseSequence
+    body.i64(producerId)
+    body.i16(producerEpoch)
+    body.i32(baseSequence)
     body.i32(records.length)
     body.raw(recordBytes)
     val crcRegion = body.result()
@@ -518,6 +547,41 @@ object KafkaWire {
     w.raw(crcRegion)
     w.result()
   }
+
+  /** Control-record types (the KIP-98 transaction markers a broker writes
+    * into the log at EndTxn; key schema = [version INT16, type INT16]).
+    */
+  object Control {
+    val Abort = 0
+    val Commit = 1
+  }
+
+  /** One transaction-marker batch: a single control record whose key is
+    * (version 0, type commit/abort) and whose value is the end-txn marker
+    * (version 0, coordinator epoch) — the exact on-log layout a consumer's
+    * read_committed filter keys off. Marker batches carry the owning
+    * producer's id/epoch and BOTH the transactional and control bits.
+    */
+  def encodeControlBatch(offset: Long, tsMs: Long, producerId: Long,
+      producerEpoch: Int, commit: Boolean): Array[Byte] = {
+    val key = new Writer().i16(0)
+      .i16(if (commit) Control.Commit else Control.Abort).result()
+    val value = new Writer().i16(0).i32(0).result() // version, coord epoch
+    encodeBatch(Seq(KRecord(offset, tsMs, key, value)),
+      producerId = producerId, producerEpoch = producerEpoch,
+      transactional = true, control = true)
+  }
+
+  /** One decoded v2 batch with its header metadata — what the
+    * read_committed filter and the broker's per-batch produce validation
+    * need beyond the flat record view. `controlType` is
+    * [[Control.Abort]]/[[Control.Commit]] for control batches, -1 for
+    * data.
+    */
+  final case class BatchInfo(baseOffset: Long, lastOffset: Long,
+      producerId: Long, producerEpoch: Int, baseSequence: Int,
+      codec: Int, transactional: Boolean, control: Boolean,
+      controlType: Int, records: Seq[KRecord])
 
   /** Decode a record set (zero or more concatenated v2 batches), verifying
     * magic and CRC32C of every batch. Throws on corruption — a silent skip

@@ -205,4 +205,74 @@ class DedupSpec extends AnyFunSuite {
         s"r=2 lost true pairs: ${(truth -- r2).take(3)}")
     } finally { sh.unpersist(); mh.unpersist() }
   }
+
+  test("d14's packed band key is injective: the bk equi-join equals the " +
+      "struct-key band join at D14BandR") {
+    // the persisted index packs each band's (b, m0[, m1]) into ONE long so
+    // the table buckets on a plain column; the law is zero collisions in
+    // practice AND in construction: joining two corpora's packed keys must
+    // yield exactly the pairs the exact struct-key band join yields
+    import org.apache.spark.sql.functions._
+    val docs = graft.analytics.Tables(spark, TestSession.sfDir).documents
+    val sh = Dedup.shingles(docs)
+      .withColumn("hm", Dedup.md5long(col("s")) % Dedup.Prime)
+      .persist()
+    val mh = Dedup.minhashStack(sh).persist()
+    try {
+      val viaPacked = Dedup.d14BandKeys(mh, "doc_a").as("x")
+        .join(Dedup.d14BandKeys(mh, "doc_b").as("y"),
+          col("x.bk") === col("y.bk") && col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaStruct = Dedup.bandCandidates(mh, Dedup.D14BandR)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaPacked == viaStruct,
+        "packed band keys diverged from the exact struct band join")
+    } finally { sh.unpersist(); mh.unpersist() }
+  }
+
+  test("d18 census drives maintenance: a skewed-band fixture flips the " +
+      "banding escalation, a fragmented layout flips (and runs) compaction") {
+    import spark.implicits._
+    // --- decision rule off synthetic censuses (the pure-function law) ---
+    // uniform: every band key has ONE member — zero candidate pairs
+    val uniform = Seq((1L, 800L, 0L)).toDF("colliders", "n_keys", "cand_pairs")
+    val calm = Dedup.d18Decide(uniform, nIndexedDocs = 100,
+      filesPerBucket = 1.0)
+    assert(!calm.escalateBanding && !calm.compact,
+      s"healthy index must need no maintenance, got $calm")
+    // skewed: one hot band key with 1000 colliders over a 100-doc index —
+    // 499500 verify pairs / 100 docs ≫ the 8-pairs/doc budget
+    val skewed = Seq((1000L, 1L, 499500L), (1L, 700L, 0L))
+      .toDF("colliders", "n_keys", "cand_pairs")
+    val hot = Dedup.d18Decide(skewed, nIndexedDocs = 100,
+      filesPerBucket = 1.0)
+    assert(hot.escalateBanding,
+      s"a skewed census must demand the banding knob, got $hot")
+    assert(!hot.compact, "skew alone must not trigger a layout rewrite")
+    // fragmentation flips the compact half independently
+    val frag = Dedup.d18Decide(uniform, 100, filesPerBucket = 5.0)
+    assert(frag.compact && !frag.escalateBanding, s"got $frag")
+    // --- d14Maintain ties the census to d16's compaction for real ---
+    import org.apache.spark.sql.functions.col
+    val dir = TestSession.sfDir
+    Dedup.d14Build(spark, dir)
+    val w1 = Dedup.d14Query(spark, dir, Seq("src0", "src1"))
+    Dedup.d14Append(spark, dir,
+      w1.filter(col("novel")).select("doc_id"))
+    val bandsT = Dedup.d14Table("d14_ref_bands", dir)
+    val grown = graft.ops.Bucketing.tableDataFileCount(spark, bandsT)
+    assert(grown > 16, s"append must fragment the 8-bucket layout ($grown)")
+    val dec = Dedup.d14Maintain(spark, dir)
+    assert(dec.compact, s"fragmented layout must decide compact, got $dec")
+    assert(graft.ops.Bucketing.tableDataFileCount(spark, bandsT) == 8,
+      "d14Maintain must have compacted back to one file per bucket")
+    // the healthy corpus sits under the collision budget at D14BandR=2 —
+    // the default banding IS the maintained state
+    assert(!dec.escalateBanding,
+      s"r=${Dedup.D14BandR} must satisfy the collision budget here, got $dec")
+    // and a second maintain is a no-op (already compact)
+    val dec2 = Dedup.d14Maintain(spark, dir)
+    assert(!dec2.compact && !dec2.escalateBanding, s"got $dec2")
+  }
 }
