@@ -81,6 +81,43 @@ object KafkaTransport {
     // content, not raw sequence — the payload carries the event_id.
     "k1_kafka_roundtrip" -> { (s, dir) => roundTrip(s, dir, "none") },
 
+    // Transactions-on-the-wire law (KIP-98; the reference producer's
+    // init/begin/commit/abort surface, producer.rs:236-301): a rolled-back
+    // producer's records are written into the SAME logs as the real data —
+    // poisoned copies (shifted event_ids, negated values) produced under a
+    // transaction that ABORTS both before and after the committed pass,
+    // which itself runs transactionally (pid/epoch/sequence batches,
+    // AddPartitionsToTxn, EndTxn markers). The read_committed consumer
+    // must reconstruct exactly the committed data: LSO-bounded fetches,
+    // aborted-range filtering off the broker's (pid, first_offset) index,
+    // markers skipped — any leak breaks n/sum/max in the hash. The oracle
+    // IS k1's: transactions must be invisible to committed data.
+    "k6_kafka_txn" -> { (s, dir) =>
+      withServer { srv =>
+        val t = Tables(s, dir)
+        val poison = t.events.select(
+          col("event_type").as("stream_key"),
+          pmod(col("user_id"), lit(4)).cast("long").as("shard_id"),
+          (col("event_id") + 10000000L).as("sequence"),
+          col("ts").as("timestamp"),
+          to_json(struct((col("event_id") + 10000000L).as("event_id"),
+            (-col("value")).as("value"))).cast("binary").as("payload"))
+        KafkaSource.writeTransactional(poison, srv.host, srv.port,
+          txnIdPrefix = "k6-rollback-pre", commit = false,
+          sasl = Some(SaslCreds), saslMechanism = Mech, tls = Some(tlsClient))
+        KafkaSource.writeTransactional(Transport.envelopeOf(t), srv.host,
+          srv.port, txnIdPrefix = "k6-commit", commit = true,
+          sasl = Some(SaslCreds), saslMechanism = Mech, tls = Some(tlsClient))
+        KafkaSource.writeTransactional(poison, srv.host, srv.port,
+          txnIdPrefix = "k6-rollback-post", commit = false,
+          sasl = Some(SaslCreds), saslMechanism = Mech, tls = Some(tlsClient))
+        val replay = KafkaSource.boundedRead(s, srv.host, srv.port,
+          Transport.eventTypes, sasl = Some(SaslCreds), saslMechanism = Mech,
+          tls = Some(tlsClient), readCommitted = true).localCheckpoint(true)
+        Transport.aggregate(replay, withDistinct = true)
+      }
+    },
+
     // Compressed round-trip law: `compression.type=zstd` on the producer,
     // the broker stores each batch AS PRODUCED (the compression.type=
     // producer default), and the fetch decode reads the codec from every
@@ -183,6 +220,9 @@ object KafkaTransport {
     // the identical uncompressed aggregate
     "k5_kafka_zstd_roundtrip" ->
       Transport.aggregateOracle(withDistinct = true),
+    // the aborted transactions must be invisible: read_committed replay
+    // of the txn-produced log hash-matches k1's plain aggregate
+    "k6_kafka_txn" -> Transport.aggregateOracle(withDistinct = true),
     "k3_kafka_admission" -> Transport.aggregateOracle(withDistinct = false),
     // same cutoff law as the iggy/redis seek oracles: epochs at ms
     // resolution, strictly greater than the midpoint

@@ -56,19 +56,44 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4,
   /** node_id this single-broker cluster advertises in Metadata. */
   val nodeId: Int = 0
 
-  private final case class Stored(tsMs: Long, key: Array[Byte], value: Array[Byte])
+  private final case class Stored(tsMs: Long, key: Array[Byte],
+      value: Array[Byte], control: Boolean = false)
 
   /** One partition: the decoded records (for ListOffsets' timestamp scan)
     * AND the produced batches AS RECEIVED, re-encoded at their assigned
     * base offsets. Fetch serves whole stored batches like a real broker's
     * zero-copy path — so a batch can START BEFORE the asked offset and the
     * client's prefix-trim is a live code path, not dead fidelity.
+    * Transaction markers occupy log offsets like any record (control rows
+    * in `records` keep the offset arithmetic dense).
     */
   private final class Partition {
     val records = mutable.ArrayBuffer.empty[Stored]
     /** (baseOffset, encoded v2 batch bytes). */
     val batches = mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+    /** producerId -> first offset of that pid's OPEN transaction here. */
+    val ongoingTxn = mutable.Map.empty[Long, Long]
+    /** Completed ABORTED transactions: (producerId, firstOffset) — the
+      * index Fetch serves to read_committed consumers. */
+    val abortedTxns = mutable.ArrayBuffer.empty[(Long, Long)]
+    /** Last stable offset: nothing at/after an open transaction's first
+      * offset is stable (KIP-98's LSO law). */
+    def lso: Long =
+      if (ongoingTxn.isEmpty) records.length.toLong
+      else ongoingTxn.values.min
   }
+
+  /** Transaction-coordinator state per transactional id: the fencing
+    * (pid, epoch) mapping, the partitions added to the CURRENT transaction,
+    * and group offsets staged by TxnOffsetCommit (visible only at commit —
+    * the send_offsets_to_transaction contract, producer.rs:282-301).
+    */
+  private final class TxnState(val pid: Long, var epoch: Int) {
+    val parts = mutable.Set.empty[(String, Int)]
+    val stagedOffsets = mutable.Map.empty[String, Long] // "group/topic/p"
+  }
+  private val txns = new ConcurrentHashMap[String, TxnState]()
+  private val nextPid = new java.util.concurrent.atomic.AtomicLong(1000L)
 
   /** Fault taps (KafkaFaultSpec only) — each counts DOWN per triggered
     * request and injects the named failure while positive. A real broker
@@ -344,8 +369,199 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4,
       case Api.OffsetCommit => offsetCommitV2(body)
       case Api.OffsetFetch => offsetFetchV1(body)
       case Api.FindCoordinator => findCoordinatorV0(body)
+      case Api.InitProducerId => initProducerIdV0(body)
+      case Api.AddPartitionsToTxn => addPartitionsToTxnV0(body)
+      case Api.AddOffsetsToTxn => addOffsetsToTxnV0(body)
+      case Api.EndTxn => endTxnV1(body)
+      case Api.TxnOffsetCommit => txnOffsetCommitV0(body)
       case _ => unsupported(apiKey)
     }
+  }
+
+  // ---- KIP-98 transactions (the coordinator + log halves) ----
+
+  /** Append one transaction-marker batch to `part` under its lock and
+    * settle the pid's open range: aborts index (pid, firstOffset) for the
+    * read_committed fetch path; commits just close. The marker occupies a
+    * real log offset (a control Stored row).
+    */
+  private def writeMarker(part: Partition, pid: Long, epoch: Int,
+      commit: Boolean): Unit = part.synchronized {
+    val off = part.records.length.toLong
+    part.records += Stored(System.currentTimeMillis(), null, null,
+      control = true)
+    part.batches += ((off,
+      KafkaWire.encodeControlBatch(off, System.currentTimeMillis(), pid,
+        epoch, commit)))
+    part.ongoingTxn.remove(pid).foreach { first =>
+      if (!commit) part.abortedTxns += ((pid, first))
+    }
+  }
+
+  /** Abort every partition of the state's CURRENT transaction (the
+    * coordinator's recovery move on re-init) and drop its staged offsets.
+    */
+  private def abortOngoing(st: TxnState): Unit = {
+    st.parts.foreach { case (topic, p) =>
+      Option(topics.get(topic)).filter(p < _.length)
+        .foreach(t => writeMarker(t(p), st.pid, st.epoch, commit = false))
+    }
+    st.parts.clear()
+    st.stagedOffsets.clear()
+  }
+
+  /** InitProducerId v0: allocate (or re-fence) the transactional id's
+    * producer. A re-init BUMPS the epoch — every in-flight request from
+    * the previous incarnation dies with INVALID_PRODUCER_EPOCH — and
+    * aborts any transaction that incarnation left open (the crash-recovery
+    * contract init_transactions documents, producer.rs:236-241). A null
+    * transactional id gets a fresh one-shot pid (idempotent-only mode).
+    */
+  private def initProducerIdV0(body: Array[Byte]): Array[Byte] = {
+    val r = new KafkaWire.Reader(body)
+    val txnId = r.nullableStr()
+    r.i32() // transaction_timeout_ms
+    val (pid, epoch) =
+      if (txnId == null) (nextPid.getAndIncrement(), 0)
+      else txns.synchronized {
+        val st = txns.get(txnId)
+        if (st == null) {
+          val fresh = new TxnState(nextPid.getAndIncrement(), 0)
+          txns.put(txnId, fresh)
+          (fresh.pid, fresh.epoch)
+        } else {
+          abortOngoing(st)
+          st.epoch += 1
+          (st.pid, st.epoch)
+        }
+      }
+    new KafkaWire.Writer().i32(0).i16(Err.None).i64(pid).i16(epoch).result()
+  }
+
+  /** The fencing check every transactional request runs: unknown id →
+    * INVALID_TXN_STATE; stale (or future) epoch / wrong pid →
+    * INVALID_PRODUCER_EPOCH; else the live state.
+    */
+  private def txnCheck(txnId: String, pid: Long,
+      epoch: Int): Either[Int, TxnState] = {
+    val st = if (txnId == null) null else txns.get(txnId)
+    if (st == null) Left(Err.InvalidTxnState)
+    else if (st.pid != pid || st.epoch != epoch)
+      Left(Err.InvalidProducerEpoch)
+    else Right(st)
+  }
+
+  /** AddPartitionsToTxn v0: register partitions into the current txn
+    * (auto-creating topics like Metadata does) — produce to an unadded
+    * partition is INVALID_TXN_STATE, exactly the ordering begin → add →
+    * produce → end the real coordinator enforces.
+    */
+  private def addPartitionsToTxnV0(body: Array[Byte]): Array[Byte] = {
+    val r = new KafkaWire.Reader(body)
+    val txnId = r.str()
+    val pid = r.i64()
+    val epoch = r.i16v()
+    val asked = Seq.fill(r.arrayCount()) {
+      val topic = r.str()
+      topic -> Seq.fill(r.arrayCount())(r.i32())
+    }
+    val check = txnCheck(txnId, pid, epoch)
+    val w = new KafkaWire.Writer
+    w.i32(0) // throttle_time_ms
+    w.array(asked) { case (ww, (topic, parts)) =>
+      ww.str(topic)
+      ww.array(parts) { (www, p) =>
+        val err = check match {
+          case Left(e) => e
+          case Right(st) =>
+            val t = autoCreate(topic)
+            if (p < 0 || p >= t.length) Err.UnknownTopicOrPartition
+            else { st.synchronized(st.parts += ((topic, p))); Err.None }
+        }
+        www.i32(p).i16(err)
+      }
+    }
+    w.result()
+  }
+
+  /** AddOffsetsToTxn v0: registers the group's offsets topic into the txn
+    * (this single-broker coordinator needs only the fencing validation —
+    * the staged offsets themselves arrive via TxnOffsetCommit).
+    */
+  private def addOffsetsToTxnV0(body: Array[Byte]): Array[Byte] = {
+    val r = new KafkaWire.Reader(body)
+    val txnId = r.str()
+    val pid = r.i64()
+    val epoch = r.i16v()
+    r.str() // group_id
+    val err = txnCheck(txnId, pid, epoch).left.toOption.getOrElse(Err.None)
+    new KafkaWire.Writer().i32(0).i16(err).result()
+  }
+
+  /** TxnOffsetCommit v0: STAGE group offsets under the transaction — they
+    * become visible to OffsetFetch only when EndTxn commits, and vanish on
+    * abort (the exactly-once consume-transform-produce loop's other half).
+    */
+  private def txnOffsetCommitV0(body: Array[Byte]): Array[Byte] = {
+    val r = new KafkaWire.Reader(body)
+    val txnId = r.str()
+    val group = r.str()
+    val pid = r.i64()
+    val epoch = r.i16v()
+    val asked = Seq.fill(r.arrayCount()) {
+      val topic = r.str()
+      topic -> Seq.fill(r.arrayCount()) {
+        val p = r.i32(); val off = r.i64(); r.nullableStr()
+        (p, off)
+      }
+    }
+    val check = txnCheck(txnId, pid, epoch)
+    val w = new KafkaWire.Writer
+    w.i32(0) // throttle_time_ms
+    w.array(asked) { case (ww, (topic, parts)) =>
+      ww.str(topic)
+      ww.array(parts) { case (www, (p, off)) =>
+        val err = check match {
+          case Left(e) => e
+          case Right(st) =>
+            st.synchronized(
+              st.stagedOffsets(s"$group/$topic/$p") = off)
+            Err.None
+        }
+        www.i32(p).i16(err)
+      }
+    }
+    w.result()
+  }
+
+  /** EndTxn v1: write the commit/abort marker into every partition the
+    * transaction touched, settle the aborted index, and publish (commit)
+    * or drop (abort) the staged group offsets. The txn's partition set
+    * clears — the next begin starts empty.
+    */
+  private def endTxnV1(body: Array[Byte]): Array[Byte] = {
+    val r = new KafkaWire.Reader(body)
+    val txnId = r.str()
+    val pid = r.i64()
+    val epoch = r.i16v()
+    val commit = r.i8() != 0
+    val err = txnCheck(txnId, pid, epoch) match {
+      case Left(e) => e
+      case Right(st) =>
+        st.synchronized {
+          st.parts.foreach { case (topic, p) =>
+            Option(topics.get(topic)).filter(p < _.length)
+              .foreach(t => writeMarker(t(p), pid, epoch, commit))
+          }
+          if (commit) st.stagedOffsets.foreach { case (k, off) =>
+            groupOffsets.put(k, java.lang.Long.valueOf(off))
+          }
+          st.parts.clear()
+          st.stagedOffsets.clear()
+        }
+        Err.None
+    }
+    new KafkaWire.Writer().i32(0).i16(err).result()
   }
 
   private def unsupported(apiKey: Int): Array[Byte] =
@@ -428,7 +644,9 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4,
                 case Ts.Earliest => (-1L, 0L)
                 case Ts.Latest => (-1L, buf.length.toLong)
                 case wanted =>
-                  buf.indexWhere(_.tsMs >= wanted) match {
+                  // markers occupy offsets but are not data — the seek law
+                  // resolves to the first DATA record at/after the ts
+                  buf.indexWhere(r => !r.control && r.tsMs >= wanted) match {
                     case -1 => (-1L, -1L) // none: no offset for that ts yet
                     case i => (buf(i).tsMs, i.toLong)
                   }
@@ -441,13 +659,19 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4,
     w.result()
   }
 
-  /** Fetch v4: one re-encoded v2 batch per partition from fetch_offset,
+  /** Fetch v4: whole stored batches per partition from fetch_offset,
     * sized by partition_max_bytes but never empty when data exists (the
     * at-least-one-record rule that prevents big-message stalls).
+    * isolation_level 1 (read_committed) serves only up to the LSO and
+    * attaches the aborted-transaction index (producer_id, first_offset) —
+    * the client-side filter drops aborted ranges using the markers in the
+    * served bytes (KIP-98's consumer half).
     */
   private def fetchV4(body: Array[Byte]): Array[Byte] = {
     val r = new KafkaWire.Reader(body)
-    r.i32(); r.i32(); r.i32(); r.i32(); r.i8() // replica/wait/min/max/isolation
+    r.i32(); r.i32(); r.i32(); r.i32() // replica/wait/min/max
+    val isolation = r.i8()
+    val readCommitted = isolation == 1
     val asked = Seq.fill(r.arrayCount()) {
       val topic = r.str()
       topic -> Seq.fill(r.arrayCount())((r.i32(), r.i64(), r.i32()))
@@ -469,10 +693,12 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4,
             // fetch_offset (the real broker's zero-copy path): the first
             // batch may begin before the asked offset — trimming that
             // prefix is the CLIENT's job (KafkaClient.fetch dropWhile)
-            val (hw, slices) = part.synchronized {
+            val (hw, lso, aborted, slices) = part.synchronized {
               val len = part.records.length.toLong
+              val stable = part.lso
+              val limit = if (readCommitted) stable else len
               if (fetchOffset < 0 || fetchOffset > len)
-                (len, null)
+                (len, stable, Seq.empty[(Long, Long)], null)
               else {
                 var bytes = 0L
                 val out = Seq.newBuilder[Array[Byte]]
@@ -480,22 +706,28 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4,
                 if (bi < 0) bi = 0
                 var n = 0
                 while (bi < part.batches.length &&
+                    part.batches(bi)._1 < limit &&
                     (n == 0 || bytes < math.max(1, maxBytes))) {
                   val (_, b) = part.batches(bi)
                   out += b
                   bytes += b.length
                   bi += 1; n += 1
                 }
-                (len, if (fetchOffset == len) Seq.empty else out.result())
+                (len, stable,
+                  if (readCommitted) part.abortedTxns.toSeq
+                  else Seq.empty[(Long, Long)],
+                  if (fetchOffset >= limit) Seq.empty else out.result())
               }
             }
             if (slices == null) {
-              www.i16(Err.OffsetOutOfRange).i64(hw).i64(hw)
+              www.i16(Err.OffsetOutOfRange).i64(hw).i64(lso)
               www.array(Seq.empty[Int])((_, _) => ())
               www.nullableBytes(null)
             } else {
-              www.i16(Err.None).i64(hw).i64(hw) // last_stable = hw (no txns)
-              www.array(Seq.empty[Int])((_, _) => ()) // aborted_transactions
+              www.i16(Err.None).i64(hw).i64(lso)
+              www.array(aborted) { case (w4, (pid, first)) =>
+                w4.i64(pid).i64(first)
+              }
               val rs = if (slices.isEmpty) null else slices.reduce(_ ++ _)
               www.nullableBytes(
                 if (rs != null && takeFault(corruptFetches)) {
@@ -514,11 +746,18 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4,
   }
 
   /** Produce v3: decode each partition's record set (CRC-verified), append,
-    * assign dense offsets, reply base_offset per partition.
+    * assign dense offsets, reply base_offset per partition. Batches store
+    * INDIVIDUALLY, each re-encoded at its assigned base offset with its
+    * OWN codec and producer fields (a multi-batch produce with mixed
+    * codecs keeps every batch's codec — real brokers never re-label under
+    * the first batch's attributes). Transactional batches are validated
+    * against the coordinator: stale epoch fences (47), a partition never
+    * added to the txn refuses (48), and the first accepted batch opens the
+    * pid's LSO-blocking range.
     */
   private def produceV3(body: Array[Byte]): Array[Byte] = {
     val r = new KafkaWire.Reader(body)
-    r.nullableStr() // transactional_id
+    val txnId = r.nullableStr()
     r.i16v() // acks (this broker always behaves as acks=all)
     r.i32() // timeout_ms
     val asked = Seq.fill(r.arrayCount()) {
@@ -539,31 +778,55 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4,
           www.i16(failProduceCode).i64(-1L).i64(-1L)
         else {
           val decoded =
-            try Right(KafkaWire.decodeBatches(recordSet))
+            try Right(KafkaWire.decodeBatchesInfo(recordSet))
             catch { case e: IllegalArgumentException => Left(e) }
           decoded match {
             case Left(_) =>
               www.i16(Err.CorruptMessage).i64(-1L).i64(-1L)
-            case Right(recs) =>
-              val part = t(p)
-              val base = part.synchronized {
-                val b = part.records.length.toLong
-                recs.foreach(rec =>
-                  part.records += Stored(rec.tsMs, rec.key, rec.value))
-                // store the batch re-encoded at its ASSIGNED base offset
-                // (what a real log segment holds); served verbatim by
-                // Fetch, PRESERVING the producer's compression codec —
-                // real brokers keep producer compression on the log
-                // (compression.type=producer default) rather than
-                // recompressing
-                if (recs.nonEmpty)
-                  part.batches += ((b, KafkaWire.encodeBatch(
-                    recs.zipWithIndex.map { case (rc, i) =>
-                      KRecord(b + i, rc.tsMs, rc.key, rc.value) },
-                    KafkaWire.batchCodec(recordSet))))
-                b
+            case Right(batches) =>
+              // transactional validation BEFORE anything appends — a
+              // produce is atomic per partition (all batches or none)
+              val txnErr: Int =
+                if (batches.exists(_.control)) Err.InvalidTxnState
+                else if (batches.exists(_.transactional)) {
+                  if (txnId == null) Err.InvalidTxnState
+                  else txnCheck(txnId, batches.head.producerId,
+                      batches.head.producerEpoch) match {
+                    case Left(e) => e
+                    case Right(st) =>
+                      if (st.synchronized(st.parts.contains((topic, p))))
+                        Err.None
+                      else Err.InvalidTxnState
+                  }
+                } else Err.None
+              if (txnErr != Err.None)
+                www.i16(txnErr).i64(-1L).i64(-1L)
+              else {
+                val part = t(p)
+                val base = part.synchronized {
+                  val first = part.records.length.toLong
+                  batches.foreach { bi =>
+                    val b = part.records.length.toLong
+                    bi.records.foreach(rec =>
+                      part.records += Stored(rec.tsMs, rec.key, rec.value))
+                    // store each batch re-encoded at its ASSIGNED base
+                    // offset (what a real log segment holds); served
+                    // verbatim by Fetch, PRESERVING the producer's
+                    // compression codec and producer/txn fields —
+                    // compression.type=producer semantics
+                    if (bi.records.nonEmpty)
+                      part.batches += ((b, KafkaWire.encodeBatch(
+                        bi.records.zipWithIndex.map { case (rc, i) =>
+                          KRecord(b + i, rc.tsMs, rc.key, rc.value) },
+                        bi.codec, bi.producerId, bi.producerEpoch,
+                        bi.baseSequence, bi.transactional)))
+                    if (bi.transactional)
+                      part.ongoingTxn.getOrElseUpdate(bi.producerId, b)
+                  }
+                  first
+                }
+                www.i16(Err.None).i64(base).i64(-1L) // create-time semantics
               }
-              www.i16(Err.None).i64(base).i64(-1L) // log_append_time: create-time
           }
         }
       }

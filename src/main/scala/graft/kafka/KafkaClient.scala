@@ -273,12 +273,31 @@ final class KafkaClient(host: String, port: Int,
     */
   def fetch(topic: String, partition: Int, offset: Long,
       maxBytes: Int = 1 << 20): (Long, Seq[KRecord]) = {
+    val (end, _, recs) = fetchIso(topic, partition, offset, maxBytes,
+      readCommitted = false)
+    (end, recs)
+  }
+
+  /** [[fetch]] with the isolation knob and an explicit SCAN CURSOR:
+    * returns (endOffset, nextOffset, records) where endOffset is the high
+    * watermark (read_uncommitted) or the LAST STABLE OFFSET
+    * (read_committed — nothing at/after an open transaction is readable),
+    * and nextOffset is the offset AFTER the last batch served — the
+    * position a pager must advance to even when every served record was
+    * filtered out (aborted data, control markers): advancing by record
+    * offsets alone would stall forever on an all-aborted page.
+    * read_committed applies [[KafkaWire.filterCommitted]] over the
+    * response's aborted-transaction index (KIP-98's consumer half).
+    */
+  def fetchIso(topic: String, partition: Int, offset: Long,
+      maxBytes: Int = 1 << 20,
+      readCommitted: Boolean = false): (Long, Long, Seq[KRecord]) = {
     val r = call(Api.Fetch) { w =>
       w.i32(-1)      // replica_id
       w.i32(0)       // max_wait_ms: don't block, micro-batch planning polls
       w.i32(1)       // min_bytes
       w.i32(maxBytes)
-      w.i8(0)        // isolation: read_uncommitted (no txns on this path)
+      w.i8(if (readCommitted) 1 else 0)
       w.array(Seq(topic)) { (ww, t) =>
         ww.str(t)
         ww.array(Seq(partition))((www, p) => www.i32(p).i64(offset).i32(maxBytes))
@@ -291,13 +310,20 @@ final class KafkaClient(host: String, port: Int,
     r.i32()
     val err = r.i16v()
     val hw = r.i64()
-    r.i64() // last_stable_offset
-    Seq.fill(r.arrayCount())((r.i64(), r.i64())) // aborted_transactions
+    val lso = r.i64()
+    val aborted = Seq.fill(r.arrayCount())((r.i64(), r.i64()))
     val recordSet = r.nullableBytes()
     if (err != Err.None) fail(err, s"Fetch($topic/$partition@$offset)")
+    val batches = KafkaWire.decodeBatchesInfo(recordSet)
+    val next = if (batches.isEmpty) offset
+      else math.max(offset, batches.map(_.lastOffset).max + 1)
+    val recs =
+      if (readCommitted) KafkaWire.filterCommitted(batches, aborted)
+      else batches.filterNot(_.control).flatMap(_.records)
     // batches re-deliver from their base offset; trim the pre-asked prefix
     // (a real broker returns whole batches containing the asked offset)
-    (hw, KafkaWire.decodeBatches(recordSet).dropWhile(_.offset < offset))
+    (if (readCommitted) lso else hw, next,
+      recs.dropWhile(_.offset < offset))
   }
 
   /** Produce v3 of one batch to one (topic, partition) → assigned base
@@ -306,13 +332,32 @@ final class KafkaClient(host: String, port: Int,
     */
   def produce(topic: String, partition: Int,
       records: Seq[(Long, Array[Byte], Array[Byte])],
-      codec: Int = KafkaWire.Codec.None): Long = {
+      codec: Int = KafkaWire.Codec.None): Long =
+    produceBatch(topic, partition, records, codec, null, -1L, -1, -1)
+
+  /** Transactional produce: the batch carries the producer's (pid, epoch,
+    * baseSequence) and the KIP-98 transactional attribute bit, and the
+    * request carries the transactional id — the broker fences stale
+    * epochs (error 47) and refuses partitions not added to the txn (48).
+    */
+  def produceTxn(topic: String, partition: Int,
+      records: Seq[(Long, Array[Byte], Array[Byte])],
+      txnId: String, producerId: Long, producerEpoch: Int,
+      baseSequence: Int, codec: Int = KafkaWire.Codec.None): Long =
+    produceBatch(topic, partition, records, codec, txnId, producerId,
+      producerEpoch, baseSequence)
+
+  private def produceBatch(topic: String, partition: Int,
+      records: Seq[(Long, Array[Byte], Array[Byte])], codec: Int,
+      txnId: String, producerId: Long, producerEpoch: Int,
+      baseSequence: Int): Long = {
     require(records.nonEmpty, "produce: empty batch")
     val batch = KafkaWire.encodeBatch(records.zipWithIndex.map {
       case ((tsMs, key, value), i) => KRecord(i.toLong, tsMs, key, value)
-    }, codec)
+    }, codec, producerId, producerEpoch, baseSequence,
+      transactional = txnId != null)
     val r = call(Api.Produce) { w =>
-      w.nullableStr(null) // transactional_id
+      w.nullableStr(txnId)
       w.i16(-1)           // acks = all
       w.i32(30000)        // timeout_ms
       w.array(Seq(topic)) { (ww, t) =>
@@ -328,6 +373,107 @@ final class KafkaClient(host: String, port: Int,
     val base = r.i64()
     if (err != Err.None) fail(err, s"Produce($topic/$partition)")
     base
+  }
+
+  // ---- KIP-98 transactions (the reference producer's surface,
+  //      producer.rs:236-301, spoken directly on the wire) ----
+
+  /** InitProducerId v0 → (producerId, producerEpoch). Re-initializing an
+    * existing transactional id bumps the epoch (fencing any zombie
+    * incarnation) and aborts the transaction it left open.
+    */
+  def initProducerId(txnId: String,
+      txnTimeoutMs: Int = 60000): (Long, Int) = {
+    val r = call(Api.InitProducerId)(
+      _.nullableStr(txnId).i32(txnTimeoutMs))
+    r.i32() // throttle_time_ms
+    val err = r.i16v()
+    if (err != Err.None) fail(err, s"InitProducerId($txnId)")
+    (r.i64(), r.i16v())
+  }
+
+  /** AddPartitionsToTxn v0: must precede any transactional produce to the
+    * named partitions — the coordinator tracks what the markers must
+    * cover at EndTxn.
+    */
+  def addPartitionsToTxn(txnId: String, producerId: Long,
+      producerEpoch: Int, parts: Seq[(String, Int)]): Unit = {
+    val byTopic = parts.groupBy(_._1).toSeq.sortBy(_._1)
+    val r = call(Api.AddPartitionsToTxn) { w =>
+      w.str(txnId).i64(producerId).i16(producerEpoch)
+      w.array(byTopic) { case (ww, (topic, ps)) =>
+        ww.str(topic)
+        ww.array(ps)((www, tp) => www.i32(tp._2))
+      }
+    }
+    r.i32() // throttle_time_ms
+    Seq.fill(r.arrayCount()) {
+      r.str()
+      Seq.fill(r.arrayCount()) {
+        val p = r.i32()
+        val err = r.i16v()
+        if (err != Err.None)
+          fail(err, s"AddPartitionsToTxn($txnId, partition $p)")
+      }
+    }
+    ()
+  }
+
+  /** AddOffsetsToTxn v0: registers a consumer group's offsets into the
+    * transaction (the first half of send_offsets_to_transaction).
+    */
+  def addOffsetsToTxn(txnId: String, producerId: Long, producerEpoch: Int,
+      group: String): Unit = {
+    val r = call(Api.AddOffsetsToTxn)(
+      _.str(txnId).i64(producerId).i16(producerEpoch).str(group))
+    r.i32() // throttle_time_ms
+    val err = r.i16v()
+    if (err != Err.None) fail(err, s"AddOffsetsToTxn($txnId, $group)")
+  }
+
+  /** TxnOffsetCommit v0: stage group offsets under the transaction — they
+    * publish at commit and vanish on abort (the second half of
+    * send_offsets_to_transaction; the exactly-once consume-transform-
+    * produce loop's read-position leg).
+    */
+  def txnOffsetCommit(txnId: String, group: String, producerId: Long,
+      producerEpoch: Int, offsets: Map[(String, Int), Long]): Unit = {
+    require(offsets.nonEmpty, "txnOffsetCommit: nothing to commit")
+    val byTopic = offsets.toSeq.groupBy(_._1._1).toSeq.sortBy(_._1)
+    val r = call(Api.TxnOffsetCommit) { w =>
+      w.str(txnId).str(group).i64(producerId).i16(producerEpoch)
+      w.array(byTopic) { case (ww, (topic, ps)) =>
+        ww.str(topic)
+        ww.array(ps) { case (www, ((_, p), off)) =>
+          www.i32(p).i64(off).nullableStr(null)
+        }
+      }
+    }
+    r.i32() // throttle_time_ms
+    Seq.fill(r.arrayCount()) {
+      r.str()
+      Seq.fill(r.arrayCount()) {
+        val p = r.i32()
+        val err = r.i16v()
+        if (err != Err.None)
+          fail(err, s"TxnOffsetCommit($txnId, $group, partition $p)")
+      }
+    }
+    ()
+  }
+
+  /** EndTxn v1: commit (true) or abort (false) the open transaction —
+    * the broker writes the markers and settles the aborted index.
+    */
+  def endTxn(txnId: String, producerId: Long, producerEpoch: Int,
+      commit: Boolean): Unit = {
+    val r = call(Api.EndTxn)(
+      _.str(txnId).i64(producerId).i16(producerEpoch)
+        .i8(if (commit) 1 else 0))
+    r.i32() // throttle_time_ms
+    val err = r.i16v()
+    if (err != Err.None)
+      fail(err, s"EndTxn($txnId, commit=$commit)")
   }
 
   /** FindCoordinator v0 → the group's coordinating broker (this embedded

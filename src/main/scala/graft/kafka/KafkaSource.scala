@@ -20,28 +20,33 @@ object KafkaSource {
   /** Lazy fetch-paged scan over one (topic, partition): [from, until).
     * Runs through a [[KafkaClient.Session]]: a connection dropped mid-fetch
     * reconnects and re-asks from `next0`, which only advances after a page
-    * fully decodes — a retry can therefore never re-deliver a row.
+    * fully decodes — a retry can therefore never re-deliver a row. The
+    * cursor advances by BATCH extent (fetchIso's nextOffset), not by
+    * record offsets: under read_committed an entire page can be aborted
+    * data + markers yielding zero records, and a record-offset cursor
+    * would stall forever on it.
     */
   private[kafka] def pagedFetch(session: KafkaClient.Session, topic: String,
       part: Int, from: Long, until: Long,
-      maxBytes: Int = 1 << 20): Iterator[SeaMessage] =
+      maxBytes: Int = 1 << 20,
+      readCommitted: Boolean = false): Iterator[SeaMessage] =
     new Iterator[SeaMessage] {
       private var next0 = from
       private var page: Iterator[KRecord] = Iterator.empty
       private var exhausted = from >= until
       private def fetchPage(): Unit = {
-        val (_, recs) = session.retrying(s"fetch $topic/$part")(
-          _.fetch(topic, part, next0, maxBytes))
+        val (_, next, recs) = session.retrying(s"fetch $topic/$part")(
+          _.fetchIso(topic, part, next0, maxBytes, readCommitted))
         val bounded = recs.takeWhile(_.offset < until)
-        if (bounded.isEmpty) exhausted = true
+        if (next <= next0) exhausted = true // nothing served: end of range
         else {
-          next0 = bounded.last.offset + 1
+          next0 = math.min(next, until)
           if (next0 >= until) exhausted = true
           page = bounded.iterator
         }
       }
       def hasNext: Boolean = {
-        if (!page.hasNext && !exhausted) fetchPage()
+        while (!page.hasNext && !exhausted) fetchPage()
         page.hasNext
       }
       def next(): SeaMessage = {
@@ -98,7 +103,8 @@ object KafkaSource {
       assign: Option[Seq[(String, Long)]] = None,
       sasl: Option[(String, String)] = None,
       saslMechanism: String = "PLAIN",
-      tls: Option[KafkaTls.Client] = None): DataFrame = {
+      tls: Option[KafkaTls.Client] = None,
+      readCommitted: Boolean = false): DataFrame = {
     import spark.implicits._
     val ranges = planRanges(host, port, topics, afterMs, fromOffset, assign,
       sasl, saslMechanism, tls)
@@ -112,7 +118,7 @@ object KafkaSource {
               saslMechanism = saslMechanism, tls = tls))
           opened += session
           val scan = pagedFetch(session, topic, partition, from, until,
-            maxFetchBytes)
+            maxFetchBytes, readCommitted)
           new Iterator[SeaMessage] {
             def hasNext: Boolean = {
               val h = scan.hasNext
@@ -178,6 +184,62 @@ object KafkaSource {
               }
             }
           } finally session.close()
+        }
+      }
+  }
+
+  /** [[write]] through the KIP-98 transactional producer: each task runs
+    * ONE transaction covering all its produces (transactional id =
+    * `txnIdPrefix-taskPartition` — unique per task so parallel writers
+    * never fence each other, exactly the id scheme a Spark exactly-once
+    * Kafka sink uses), committed or ABORTED at the end. `commit = false`
+    * is the rolled-back-producer shape: the records land in the log,
+    * followed by abort markers, and a read_committed consumer must never
+    * see them — k6's oracle law.
+    */
+  def writeTransactional(df: DataFrame, host: String, port: Int,
+      txnIdPrefix: String, commit: Boolean,
+      partitions: Int = 4, batchSize: Int = 1000,
+      sasl: Option[(String, String)] = None,
+      saslMechanism: String = "PLAIN",
+      tls: Option[KafkaTls.Client] = None,
+      compression: String = "none"): Unit = {
+    val codec = KafkaWire.Codec.of(compression)
+    import df.sparkSession.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    df.select("stream_key", "shard_id", "timestamp", "payload")
+      .repartition(col("stream_key"), pmod(col("shard_id"), lit(partitions.toLong)))
+      .sortWithinPartitions(col("timestamp"))
+      .as[(String, Long, java.sql.Timestamp, Array[Byte])]
+      .foreachPartition { (rows: Iterator[(String, Long, java.sql.Timestamp, Array[Byte])]) =>
+        if (rows.nonEmpty) {
+          val client = new KafkaClient(host, port, sasl = sasl,
+            saslMechanism = saslMechanism, tls = tls)
+          try {
+            val txnId = txnIdPrefix + "-" +
+              org.apache.spark.TaskContext.getPartitionId()
+            val producer = new KafkaTxnProducer(client, txnId)
+              .initTransactions()
+            producer.begin()
+            val known = scala.collection.mutable.Set.empty[String]
+            rows.grouped(batchSize).foreach { chunk =>
+              chunk.groupBy(r =>
+                (r._1, math.floorMod(r._2, partitions.toLong).toInt)).foreach {
+                case ((topic, part), rs) =>
+                  if (known.add(topic)) {
+                    val parts = client.metadata(Seq(topic))
+                      .getOrElse(topic, Seq.empty)
+                    require(parts.size >= partitions,
+                      s"topic $topic has ${parts.size} partitions, need $partitions")
+                  }
+                  producer.send(topic, part,
+                    rs.map(r => (r._3.getTime, null: Array[Byte], r._4)),
+                    codec)
+              }
+            }
+            if (commit) producer.commit() else producer.abort()
+            ()
+          } finally client.close()
         }
       }
   }

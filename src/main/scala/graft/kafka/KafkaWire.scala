@@ -585,11 +585,23 @@ object KafkaWire {
 
   /** Decode a record set (zero or more concatenated v2 batches), verifying
     * magic and CRC32C of every batch. Throws on corruption — a silent skip
-    * would under-deliver.
+    * would under-deliver. Control batches are dropped (the plain
+    * read_uncommitted data view); [[decodeBatchesInfo]] is the
+    * batch-granular form the transactional paths use.
     */
-  def decodeBatches(bytes: Array[Byte]): Seq[KRecord] = {
+  def decodeBatches(bytes: Array[Byte]): Seq[KRecord] =
+    decodeBatchesInfo(bytes).filterNot(_.control).flatMap(_.records)
+
+  /** [[decodeBatches]] preserving per-batch headers: base/last offsets,
+    * producer id/epoch/sequence, codec, transactional/control bits, and
+    * the control type of marker batches — everything the broker's produce
+    * validation (per-batch, never collapsed: a multi-batch produce with
+    * mixed codecs keeps each batch's own) and the client's read_committed
+    * filter need. Control batches KEEP their record (the marker) here.
+    */
+  def decodeBatchesInfo(bytes: Array[Byte]): Seq[BatchInfo] = {
     if (bytes == null) return Seq.empty
-    val out = Seq.newBuilder[KRecord]
+    val out = Seq.newBuilder[BatchInfo]
     var at = 0
     // a truncated trailing batch (Kafka allows partial final batches in
     // fetch responses) is dropped, never parsed
@@ -611,12 +623,15 @@ object KafkaWire {
       require(codec >= Codec.None && codec <= Codec.Zstd,
         s"batch codec $codec not supported (reserved attributes bits — " +
           "the published matrix ends at zstd=4)")
-      r.i32() // lastOffsetDelta
+      val lastOffsetDelta = r.i32()
       val baseTs = r.i64()
       r.i64() // maxTimestamp
-      r.i64(); r.i16v(); r.i32() // producerId/epoch/baseSequence
+      val producerId = r.i64()
+      val producerEpoch = r.i16v()
+      val baseSequence = r.i32()
       val count = r.i32()
       val isControl = (attributes & 0x20) != 0
+      val isTxn = (attributes & 0x10) != 0
       // compressed batches: inflate the records region (everything after
       // the 61-byte plain header) and parse the same record layout from
       // the inflated blob; CRC above already verified the compressed bytes
@@ -628,6 +643,7 @@ object KafkaWire {
             new java.io.ByteArrayInputStream(compressed))
           new Reader(cs.readAllBytes(), 0)
         }
+      val recs = Seq.newBuilder[KRecord]
       var i = 0
       while (i < count) {
         val len = rr.varint()
@@ -647,11 +663,50 @@ object KafkaWire {
           h += 1
         }
         require(rr.position == end, s"record length mismatch at batch $at record $i")
-        if (!isControl)
-          out += KRecord(baseOffset + offDelta, baseTs + tsDelta, key, value)
+        recs += KRecord(baseOffset + offDelta, baseTs + tsDelta, key, value)
         i += 1
       }
+      val records = recs.result()
+      // control type from the marker record's key (version, type)
+      val controlType =
+        if (!isControl || records.isEmpty || records.head.key == null ||
+            records.head.key.length < 4) -1
+        else new Reader(records.head.key, 2).i16v()
+      out += BatchInfo(baseOffset, baseOffset + lastOffsetDelta,
+        producerId, producerEpoch, baseSequence, codec, isTxn, isControl,
+        controlType, records)
       at += 12 + batchLength
+    }
+    out.result()
+  }
+
+  /** The client half of read_committed (KIP-98): given the fetch
+    * response's aborted-transaction index `(producerId, firstOffset)` and
+    * the served batches in log order, drop every data batch that belongs
+    * to an aborted transaction — a transactional batch from pid P is
+    * aborted when an index entry (P, f) with f <= batch.baseOffset is
+    * open, and P's abort MARKER batch closes it. Commit markers and
+    * non-transactional batches pass through; control records never
+    * surface. This mirrors the Java consumer's aborted-transaction walk.
+    */
+  def filterCommitted(batches: Seq[BatchInfo],
+      aborted: Seq[(Long, Long)]): Seq[KRecord] = {
+    val pending = scala.collection.mutable.Map.empty[Long,
+      scala.collection.mutable.Queue[Long]]
+    aborted.sortBy(_._2).foreach { case (pid, first) =>
+      pending.getOrElseUpdate(pid,
+        scala.collection.mutable.Queue.empty[Long]).enqueue(first)
+    }
+    val open = scala.collection.mutable.Set.empty[Long]
+    val out = Seq.newBuilder[KRecord]
+    batches.sortBy(_.baseOffset).foreach { b =>
+      pending.get(b.producerId).foreach { q =>
+        while (q.nonEmpty && q.head <= b.baseOffset) { q.dequeue(); open += b.producerId }
+      }
+      if (b.control) {
+        if (b.controlType == Control.Abort) open -= b.producerId
+      } else if (!(b.transactional && open.contains(b.producerId)))
+        out ++= b.records
     }
     out.result()
   }

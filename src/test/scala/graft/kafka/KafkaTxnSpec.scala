@@ -1,0 +1,209 @@
+package graft.kafka
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** KIP-98 transactions-on-the-wire laws (VERDICT r12 #4): the reference
+  * producer's init/begin/commit/abort/send_offsets surface
+  * (sea-streamer-kafka/src/producer.rs:236-301) spoken via InitProducerId /
+  * AddPartitionsToTxn / AddOffsetsToTxn / TxnOffsetCommit / EndTxn v1,
+  * transactional record batches, and the read_committed consumer half
+  * (LSO bounds + aborted-range filtering off the broker's index).
+  */
+class KafkaTxnSpec extends AnyFunSuite {
+
+  private def withBroker[T](f: (EmbeddedKafka, KafkaClient) => T): T = {
+    val srv = new EmbeddedKafka
+    val c = new KafkaClient(srv.host, srv.port)
+    try f(srv, c) finally { c.close(); srv.close() }
+  }
+
+  private def values(recs: Seq[KafkaWire.KRecord]): Seq[String] =
+    recs.map(r => new String(r.value, "UTF-8"))
+
+  test("committed txn is visible; aborted txn is invisible under " +
+      "read_committed but present (data only) under read_uncommitted") {
+    withBroker { (_, c) =>
+      c.metadata(Seq("t"))
+      val good = new KafkaTxnProducer(c, "good").initTransactions()
+      val bad = new KafkaTxnProducer(c, "bad").initTransactions()
+      // interleave: aborted data sits BETWEEN committed batches, so the
+      // filter walks open/close ranges mid-log, not just a suffix
+      good.begin()
+      good.send("t", 0, Seq((1L, null, "c1".getBytes)))
+      bad.begin()
+      bad.send("t", 0, Seq((2L, null, "x1".getBytes),
+        (3L, null, "x2".getBytes)))
+      good.send("t", 0, Seq((4L, null, "c2".getBytes)))
+      bad.abort()
+      good.send("t", 0, Seq((5L, null, "c3".getBytes)))
+      good.commit()
+      // read_committed: exactly the committed values, in offset order
+      val (lso, _, rc) = c.fetchIso("t", 0, 0L, readCommitted = true)
+      assert(values(rc) == Seq("c1", "x1", "x2", "c2", "c3")
+        .filterNot(_.startsWith("x")), s"leaked: ${values(rc)}")
+      // LSO == hw once every txn ended: markers occupy offsets
+      // (3 data + 2 aborted + 2 markers = 7 log slots)
+      assert(lso == 7L, s"lso $lso")
+      // read_uncommitted sees aborted DATA too, but never control rows
+      val (_, ru) = c.fetch("t", 0, 0L)
+      assert(values(ru) == Seq("c1", "x1", "x2", "c2", "c3"))
+    }
+  }
+
+  test("LSO blocks read_committed at an open transaction; commit releases") {
+    withBroker { (_, c) =>
+      c.metadata(Seq("t"))
+      val p = new KafkaTxnProducer(c, "open").initTransactions()
+      p.begin()
+      p.send("t", 0, Seq((1L, null, "pending".getBytes)))
+      // open txn: nothing stable — read_committed serves no records and
+      // reports LSO 0 (the txn's first offset)
+      val (lso0, next0, rc0) = c.fetchIso("t", 0, 0L, readCommitted = true)
+      assert(lso0 == 0L && rc0.isEmpty && next0 == 0L,
+        s"unstable data leaked: lso=$lso0 recs=${values(rc0)}")
+      // read_uncommitted sees it immediately
+      assert(values(c.fetch("t", 0, 0L)._2) == Seq("pending"))
+      p.commit()
+      val (lso1, _, rc1) = c.fetchIso("t", 0, 0L, readCommitted = true)
+      assert(lso1 == 2L && values(rc1) == Seq("pending"))
+    }
+  }
+
+  test("fencing: re-init bumps the epoch, the zombie's produce and endTxn " +
+      "die with INVALID_PRODUCER_EPOCH, and its open txn is aborted") {
+    withBroker { (_, c) =>
+      c.metadata(Seq("t"))
+      val (pid, e0) = c.initProducerId("app-1")
+      c.addPartitionsToTxn("app-1", pid, e0, Seq(("t", 0)))
+      c.produceTxn("t", 0, Seq((1L, null, "zombie".getBytes)),
+        "app-1", pid, e0, 0)
+      // the crashed producer's successor re-initializes: same pid, epoch+1,
+      // and the orphaned open txn is aborted by the coordinator
+      val (pid2, e1) = c.initProducerId("app-1")
+      assert(pid2 == pid && e1 == e0 + 1, s"got ($pid2, $e1)")
+      val (_, _, rc) = c.fetchIso("t", 0, 0L, readCommitted = true)
+      assert(rc.isEmpty, s"orphaned txn leaked: ${values(rc)}")
+      // zombie produce: fenced
+      val ep = intercept[RuntimeException] {
+        c.addPartitionsToTxn("app-1", pid, e0, Seq(("t", 0)))
+      }
+      assert(ep.getMessage.contains(
+        s"kafka error ${KafkaWire.Err.InvalidProducerEpoch}"),
+        ep.getMessage)
+      val ee = intercept[RuntimeException] {
+        c.endTxn("app-1", pid, e0, commit = true)
+      }
+      assert(ee.getMessage.contains(
+        s"kafka error ${KafkaWire.Err.InvalidProducerEpoch}"), ee.getMessage)
+    }
+  }
+
+  test("produce to a partition never added to the txn is INVALID_TXN_STATE; " +
+      "so is a transactional batch with no transactional id") {
+    withBroker { (_, c) =>
+      c.metadata(Seq("t"))
+      val (pid, e) = c.initProducerId("app-2")
+      val err = intercept[RuntimeException] {
+        c.produceTxn("t", 0, Seq((1L, null, "early".getBytes)),
+          "app-2", pid, e, 0)
+      }
+      assert(err.getMessage.contains(
+        s"kafka error ${KafkaWire.Err.InvalidTxnState}"), err.getMessage)
+      val err2 = intercept[RuntimeException] {
+        c.endTxn("nobody", 1L, 0, commit = true)
+      }
+      assert(err2.getMessage.contains(
+        s"kafka error ${KafkaWire.Err.InvalidTxnState}"), err2.getMessage)
+    }
+  }
+
+  test("send_offsets_to_transaction: staged group offsets publish at " +
+      "commit and vanish on abort") {
+    withBroker { (_, c) =>
+      c.metadata(Seq("t"))
+      c.findCoordinator("g")
+      val p = new KafkaTxnProducer(c, "etl").initTransactions()
+      // abort path: the staged read position must NOT appear
+      p.begin()
+      p.send("t", 0, Seq((1L, null, "a".getBytes)))
+      p.sendOffsetsToTransaction("g", Map(("src", 0) -> 41L))
+      p.abort()
+      assert(c.fetchOffsets("g", Map("src" -> Seq(0))).isEmpty,
+        "aborted txn leaked its staged offsets")
+      // commit path: offset + data land atomically
+      p.begin()
+      p.send("t", 0, Seq((2L, null, "b".getBytes)))
+      p.sendOffsetsToTransaction("g", Map(("src", 0) -> 42L))
+      p.commit()
+      assert(c.fetchOffsets("g", Map("src" -> Seq(0))) ==
+        Map(("src", 0) -> 42L))
+      val (_, _, rc) = c.fetchIso("t", 0, 0L, readCommitted = true)
+      assert(values(rc) == Seq("b"))
+    }
+  }
+
+  test("paged read_committed scan advances through all-aborted pages " +
+      "instead of stalling (batch-extent cursor)") {
+    withBroker { (srv, c) =>
+      c.metadata(Seq("t"))
+      val bad = new KafkaTxnProducer(c, "bulk-abort").initTransactions()
+      bad.begin()
+      // a large aborted run: enough bytes that a small-maxBytes pager
+      // must cross multiple pages containing ZERO committed records
+      (0 until 50).foreach { i =>
+        bad.send("t", 0, Seq((i.toLong, null,
+          ("junk" + i).getBytes)))
+      }
+      bad.abort()
+      val good = new KafkaTxnProducer(c, "tail-commit").initTransactions()
+      good.begin()
+      good.send("t", 0, Seq((100L, null, "real".getBytes)))
+      good.commit()
+      val session = new KafkaClient.Session(
+        () => new KafkaClient(srv.host, srv.port))
+      try {
+        val got = KafkaSource.pagedFetch(session, "t", 0, 0L,
+          srv.logSize("t", 0), maxBytes = 64, readCommitted = true).toSeq
+        assert(got.map(m => new String(m.payload, "UTF-8")) == Seq("real"),
+          s"got ${got.size} messages")
+      } finally session.close()
+    }
+  }
+
+  test("mixed-codec multi-batch produce keeps every batch's own codec on " +
+      "the log (never re-labeled under the first batch's attributes)") {
+    withBroker { (srv, c) =>
+      c.metadata(Seq("t"))
+      // one produce request carrying TWO batches with different codecs
+      val b1 = KafkaWire.encodeBatch(
+        Seq(KafkaWire.KRecord(0L, 1L, null, "plain".getBytes)),
+        KafkaWire.Codec.None)
+      val b2 = KafkaWire.encodeBatch(
+        Seq(KafkaWire.KRecord(0L, 2L, null, "zipped".getBytes)),
+        KafkaWire.Codec.Gzip)
+      // hand-built produce v3 with the concatenated record set
+      val w = new KafkaWire.Writer
+      w.nullableStr(null).i16(-1).i32(30000)
+      w.array(Seq("t")) { (ww, t) =>
+        ww.str(t)
+        ww.array(Seq(0))((www, p) => www.i32(p).nullableBytes(b1 ++ b2))
+      }
+      val sock = new java.net.Socket(srv.host, srv.port)
+      try {
+        val out = KafkaWire.buffered(sock.getOutputStream)
+        KafkaWire.writeRequest(out, KafkaWire.Api.Produce, 3, 1, "spec",
+          w.result())
+        out.flush()
+        val (_, body) = KafkaWire.readResponse(
+          KafkaWire.buffered(sock.getInputStream))
+        val r = new KafkaWire.Reader(body)
+        r.arrayCount(); r.str(); r.arrayCount(); r.i32()
+        assert(r.i16v() == KafkaWire.Err.None)
+      } finally sock.close()
+      assert(srv.storedBatchCodecs("t", 0) ==
+        Seq(KafkaWire.Codec.None, KafkaWire.Codec.Gzip),
+        s"codecs: ${srv.storedBatchCodecs("t", 0)}")
+      assert(values(c.fetch("t", 0, 0L)._2) == Seq("plain", "zipped"))
+    }
+  }
+}
