@@ -27,8 +27,12 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    val lines = s"""  "_sf": "${esc(sfDir)}"""" +: results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"""  "${esc(k)}": $v""" }
+    // self-declare the query-set size so tools/check.py can pin the
+    // entry-count invariant against the artifact (VERDICT r12 #6)
+    val lines = s"""  "_sf": "${esc(sfDir)}"""" +:
+      s"""  "_nqueries": ${SparkEntry.queries.size}""" +:
+      results.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"""  "${esc(k)}": $v""" }
     val body = lines.mkString("{\n", ",\n", "\n}\n")
     try java.nio.file.Files.write(java.nio.file.Paths.get(path),
       body.getBytes("UTF-8"))
@@ -76,7 +80,7 @@ object Bench {
     val medianOf3 = Set(
       "i1_iggy_roundtrip", "i2_iggy_admission", "i3_iggy_seek",
       "k1_kafka_roundtrip", "k2_kafka_seek", "k3_kafka_admission",
-      "k4_kafka_group_resume", "k5_kafka_zstd_roundtrip",
+      "k4_kafka_group_resume", "k5_kafka_zstd_roundtrip", "k6_kafka_txn",
       "r1_redis_roundtrip", "r2_redis_latest", "r3_redis_sharding",
       "r4_redis_seek", "r5_redis_admission", "r6_redis_group_recovery",
       "r7_relay", "t2_ss_stream",

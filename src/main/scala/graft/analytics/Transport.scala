@@ -396,9 +396,12 @@ object Transport {
       .select(col("j.doc_id"), col("j.source"), col("j.text"))
     // the loop MUTATES the index, so an epoch replay after a crash would
     // re-append wave survivors (duplicated index rows) — the marker
-    // ledger makes the whole body (verdict write + append) exactly-once
-    // per epoch, the same discipline the kafka transactional producer
-    // stands in for (ops.ExactlyOnce)
+    // ledger skips every COMPLETED epoch on replay (at-least-once with
+    // idempotent skip: a crash in the window between the verdict/append
+    // writes and the marker rename re-runs the body once, the residual
+    // window ExactlyOnce's contract documents; the kafka transactional
+    // producer closes even that window by making the marker and the
+    // writes one atomic commit — see KafkaTxnProducer)
     val ledger = scratch(dir, "t22ledger")
     val fs2 = new org.apache.hadoop.fs.Path(ledger)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -415,18 +418,32 @@ object Transport {
           verdict.filter(col("novel")).select("doc_id"))
       }
     val wrapped = graft.ops.ExactlyOnce.epochOnce(ledger)(body)
-    val q = src.writeStream.outputMode("append")
-      .foreachBatch { (b: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], id: java.lang.Long) =>
-        wrapped(b.toDF(), id)
-      }.start()
-    try {
-      q.processAllAvailable() // trigger 1 = wave 1 (the log's content now)
-      wave(Seq("src2", "src3", "src4")).write.format("ss")
-        .mode("append").save(out)
-      q.processAllAvailable() // trigger 2 = wave 2 (the appended tail)
-      inspect(q)
-    } finally q.stop()
+    // one checkpointed query RUN per wave, published while no query is
+    // polling (t29's fix, applied here for the same reason): the `.ss`
+    // publish renames part files sequentially, so a continuously-running
+    // trigger could admit a PREFIX of a mid-publish wave as its own
+    // micro-batch — splitting one wave's admission into two index-growth
+    // steps and diverging from the two-wave oracle. The checkpoint
+    // carries committed offsets (and batch ids, which key the ledger)
+    // across the restarts, so each run's single trigger is exactly the
+    // newly-published wave.
+    val ckpt = scratch(dir, "t22ckpt")
+    val fsC = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fsC.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    def drainWave(): Unit = {
+      val q = src.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], id: java.lang.Long) =>
+          wrapped(b.toDF(), id)
+        }.start()
+      try { q.processAllAvailable(); inspect(q) } finally q.stop()
+    }
+    drainWave() // run 1 = wave 1 (the log's content now)
+    wave(Seq("src2", "src3", "src4")).write.format("ss")
+      .mode("append").save(out)
+    drainWave() // run 2 = wave 2 (the appended tail)
     s.read.parquet(results)
   }
 

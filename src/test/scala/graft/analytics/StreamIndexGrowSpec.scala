@@ -23,9 +23,11 @@ class StreamIndexGrowSpec extends AnyFunSuite {
     Dedup.d14Build(spark, dir)
     val sizesT = Dedup.d14Table("d14_ref_sizes", dir)
     val refCount = spark.table(sizesT).count()
+    // t22 runs one checkpointed query PER WAVE (the t29 mid-publish-race
+    // fix), so inspect fires once per run — accumulate across runs
     var batches = 0
     val out = Transport.t22IndexGrowStream(spark, dir, q => {
-      batches = q.recentProgress.count(_.numInputRows > 0)
+      batches += q.recentProgress.count(_.numInputRows > 0)
     }).localCheckpoint(true)
     assert(batches == 2, s"expected the two arrival waves, got $batches")
     // bit-for-bit vs the batch cascade (the oracle's law, pinned in-spec

@@ -56,7 +56,54 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: {e}")
             n_fail += 1
     print(f"\n{n_pass} passed, {n_fail} failed")
-    return 1 if n_fail else 0
+    bad_counts = check_counts(oracle, n_pass + n_fail)
+    return 1 if (n_fail or bad_counts) else 0
+
+
+def check_counts(oracle, n_results):
+    """Entry-count invariants (VERDICT r12 #6): the declared query set
+    (oracle_sql.json — Verify always dumps the FULL map), the README's
+    advertised count, BENCH_LOCAL.md's latest header, and
+    BENCH_QUERIES.json's self-declared _nqueries must all agree — five
+    regen passes in round 12 each changed counts and the headers had to
+    be hand-corrected twice. Prints one loud line per disagreement and
+    fails the gate. Header checks are skipped gracefully when the file
+    doesn't carry the expected marker (a fresh repo), never silently when
+    it does.
+    """
+    import os
+    import re
+    n = len(oracle)
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bad = 0
+
+    def complain(what, got):
+        nonlocal bad
+        print(f"COUNT-MISMATCH {what}: declares {got}, "
+              f"oracle_sql.json has {n} queries")
+        bad += 1
+
+    readme = os.path.join(here, "README.md")
+    if os.path.exists(readme):
+        m = re.search(r"(\d+) queries hash-compared", open(readme).read())
+        if m and int(m.group(1)) != n:
+            complain("README.md", int(m.group(1)))
+
+    bl = os.path.join(here, "BENCH_LOCAL.md")
+    if os.path.exists(bl):
+        m = re.search(r"(\d+) oracle entries", open(bl).read())
+        if m and int(m.group(1)) != n:
+            complain("BENCH_LOCAL.md latest header", int(m.group(1)))
+
+    bq = os.path.join(here, "BENCH_QUERIES.json")
+    if os.path.exists(bq):
+        decl = json.load(open(bq)).get("_nqueries")
+        if decl is not None and int(decl) != n:
+            complain("BENCH_QUERIES.json _nqueries", int(decl))
+
+    if bad == 0:
+        print(f"COUNTS OK ({n} queries declared everywhere)")
+    return bad
 
 
 if __name__ == "__main__":
