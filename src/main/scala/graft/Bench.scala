@@ -46,7 +46,12 @@ object Bench {
 
     def timed(name: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
-      try f catch { case _: Throwable => results(name) = -1.0; return }
+      // a failed entry records -1 but must NOT fail silently: the -1 is
+      // an artifact-of-record datum and needs its cause on stderr
+      try f catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: $e")
+        results(name) = -1.0; return
+      }
       results(name) = (System.nanoTime() - t0) / 1e9
     }
 
@@ -89,7 +94,10 @@ object Bench {
     def timedMedian(name: String)(f: => Unit): Unit = {
       val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try f catch { case _: Throwable => results(name) = -1.0; return }
+        try f catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e")
+          results(name) = -1.0; return
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         GraftSession.releaseCaches(spark)
         System.gc()
