@@ -56,6 +56,33 @@ object KafkaTransport {
     try f(srv) finally srv.close()
   }
 
+  /** The k6/k7 transactional log: poisoned copies (shifted event_ids,
+    * negated values) produced under transactions that ABORT both before
+    * and after the committed pass, which itself runs transactionally —
+    * any leak through a read_committed consumer breaks n/sum/max in the
+    * oracle hash.
+    */
+  private def txnPoisonedLog(s: org.apache.spark.sql.SparkSession,
+      dir: String, srv: EmbeddedKafka): Unit = {
+    val t = Tables(s, dir)
+    val poison = t.events.select(
+      col("event_type").as("stream_key"),
+      pmod(col("user_id"), lit(4)).cast("long").as("shard_id"),
+      (col("event_id") + 10000000L).as("sequence"),
+      col("ts").as("timestamp"),
+      to_json(struct((col("event_id") + 10000000L).as("event_id"),
+        (-col("value")).as("value"))).cast("binary").as("payload"))
+    KafkaSource.writeTransactional(poison, srv.host, srv.port,
+      txnIdPrefix = "ktxn-rollback-pre", commit = false,
+      sasl = Some(SaslCreds), saslMechanism = Mech, tls = Some(tlsClient))
+    KafkaSource.writeTransactional(Transport.envelopeOf(t), srv.host,
+      srv.port, txnIdPrefix = "ktxn-commit", commit = true,
+      sasl = Some(SaslCreds), saslMechanism = Mech, tls = Some(tlsClient))
+    KafkaSource.writeTransactional(poison, srv.host, srv.port,
+      txnIdPrefix = "ktxn-rollback-post", commit = false,
+      sasl = Some(SaslCreds), saslMechanism = Mech, tls = Some(tlsClient))
+  }
+
   /** The k1/k5 round-trip body — produce everything, bounded-read
     * everything back, aggregate the decoded payloads — with the producer
     * codec as the one varying knob, so the two entries can never drift.
@@ -94,27 +121,37 @@ object KafkaTransport {
     // IS k1's: transactions must be invisible to committed data.
     "k6_kafka_txn" -> { (s, dir) =>
       withServer { srv =>
-        val t = Tables(s, dir)
-        val poison = t.events.select(
-          col("event_type").as("stream_key"),
-          pmod(col("user_id"), lit(4)).cast("long").as("shard_id"),
-          (col("event_id") + 10000000L).as("sequence"),
-          col("ts").as("timestamp"),
-          to_json(struct((col("event_id") + 10000000L).as("event_id"),
-            (-col("value")).as("value"))).cast("binary").as("payload"))
-        KafkaSource.writeTransactional(poison, srv.host, srv.port,
-          txnIdPrefix = "k6-rollback-pre", commit = false,
-          sasl = Some(SaslCreds), saslMechanism = Mech, tls = Some(tlsClient))
-        KafkaSource.writeTransactional(Transport.envelopeOf(t), srv.host,
-          srv.port, txnIdPrefix = "k6-commit", commit = true,
-          sasl = Some(SaslCreds), saslMechanism = Mech, tls = Some(tlsClient))
-        KafkaSource.writeTransactional(poison, srv.host, srv.port,
-          txnIdPrefix = "k6-rollback-post", commit = false,
-          sasl = Some(SaslCreds), saslMechanism = Mech, tls = Some(tlsClient))
+        txnPoisonedLog(s, dir, srv)
         val replay = KafkaSource.boundedRead(s, srv.host, srv.port,
           Transport.eventTypes, sasl = Some(SaslCreds), saslMechanism = Mech,
           tls = Some(tlsClient), readCommitted = true).localCheckpoint(true)
         Transport.aggregate(replay, withDistinct = true)
+      }
+    },
+
+    // k6's STREAMING twin: the same poisoned transactional log consumed
+    // through format("kafka-wire") with `isolation.level=read_committed`
+    // (the builtin connector's knob) under bounded admission — the LSO
+    // caps every trigger's planned end offsets, the partition readers
+    // drop aborted ranges mid-page, and the accumulated aggregate must
+    // hash-match the plain committed data across the micro-batch seams.
+    "k7_kafka_txn_stream" -> { (s, dir) =>
+      withServer { srv =>
+        txnPoisonedLog(s, dir, srv)
+        val cap = math.max(1000L, Tables(s, dir).events.count() / 4)
+        val q = Transport.aggregate(
+          s.readStream.format("kafka-wire")
+            .option("host", srv.host).option("port", srv.port.toString)
+            .option("topics", Transport.eventTypes.mkString(","))
+            .option("startingOffsets", "earliest")
+            .option("maxOffsetsPerTrigger", cap.toString)
+            .option("isolation.level", "read_committed")
+            .options(saslOpts)
+            .load(), withDistinct = false)
+          .writeStream.outputMode("complete")
+          .format("memory").queryName("k7_kafka_txn_sink").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("k7_kafka_txn_sink")
       }
     },
 
@@ -223,6 +260,9 @@ object KafkaTransport {
     // the aborted transactions must be invisible: read_committed replay
     // of the txn-produced log hash-matches k1's plain aggregate
     "k6_kafka_txn" -> Transport.aggregateOracle(withDistinct = true),
+    // the streaming form under bounded admission — same invisibility law
+    // across micro-batch seams (k3's oracle shape)
+    "k7_kafka_txn_stream" -> Transport.aggregateOracle(withDistinct = false),
     "k3_kafka_admission" -> Transport.aggregateOracle(withDistinct = false),
     // same cutoff law as the iggy/redis seek oracles: epochs at ms
     // resolution, strictly greater than the midpoint

@@ -100,7 +100,8 @@ final case class KafkaInputPartition(
     from: Long, until: Long, maxFetchBytes: Int,
     sasl: Option[(String, String)] = None,
     saslMechanism: String = "PLAIN",
-    tls: Option[graft.kafka.KafkaTls.Client] = None)
+    tls: Option[graft.kafka.KafkaTls.Client] = None,
+    readCommitted: Boolean = false)
   extends InputPartition
 
 class KafkaMicroBatchStream(options: CaseInsensitiveStringMap)
@@ -159,6 +160,24 @@ class KafkaMicroBatchStream(options: CaseInsensitiveStringMap)
     if (v == null || v.isEmpty) None else Some(v)
   }
 
+  /** `isolation.level` (the builtin connector's `kafka.isolation.level`,
+    * KIP-98's consumer half): `read_committed` plans every trigger's end
+    * offsets at the LAST STABLE OFFSET instead of the high watermark —
+    * an OPEN transaction bounds the stream (its region is simply not yet
+    * admitted; the next trigger after EndTxn picks it up) rather than
+    * wedging or leaking — and the partition readers fetch with
+    * isolation_level=1, dropping aborted ranges via the broker's
+    * (pid, first_offset) index + the on-log markers.
+    */
+  private val readCommitted: Boolean =
+    options.getOrDefault("isolation.level", "read_uncommitted")
+      .toLowerCase(java.util.Locale.ROOT) match {
+      case "read_uncommitted" => false
+      case "read_committed" => true
+      case other => throw new IllegalArgumentException(
+        s"isolation.level must be read_uncommitted or read_committed, got $other")
+    }
+
   /** Manual partition assign (`Consumer::assign`): `"topic:0,topic:2"`
     * pins the subscription to exactly those partitions. The pin prunes the
     * SCAN, not the result — unassigned partitions are never listed,
@@ -185,13 +204,21 @@ class KafkaMicroBatchStream(options: CaseInsensitiveStringMap)
     try f(c) finally c.close()
   }
 
-  /** Tips = next offset per partition: one Metadata + a ListOffsets sweep. */
+  /** Tips = next offset per partition: one Metadata + a ListOffsets sweep.
+    * Under read_committed the tip is the LSO (one empty fetch at the hw
+    * resolves it — O(#partitions) per trigger, no data bytes served).
+    */
   private def tips(): Map[(String, Int), Long] =
     withClient { c =>
       val meta = c.metadata(topics)
       topics.flatMap { t =>
         meta.getOrElse(t, Seq.empty).filter(keep(t, _)).map { p =>
-          (t, p) -> c.listOffset(t, p, KafkaWire.Ts.Latest).getOrElse(0L)
+          val hw = c.listOffset(t, p, KafkaWire.Ts.Latest).getOrElse(0L)
+          val end =
+            if (!readCommitted) hw
+            else c.fetchIso(t, p, hw, maxBytes = 1,
+              readCommitted = true)._1
+          (t, p) -> end
         }
       }.toMap
     }
@@ -270,7 +297,7 @@ class KafkaMicroBatchStream(options: CaseInsensitiveStringMap)
       val until = e.getOrElse((t, p), from)
       if (until <= from) None
       else Some(KafkaInputPartition(host, port, t, p, from, until,
-        maxFetchBytes, sasl, saslMechanism, tls))
+        maxFetchBytes, sasl, saslMechanism, tls, readCommitted))
     }.toArray
   }
 
@@ -302,7 +329,8 @@ class KafkaPartitionReader(p: KafkaInputPartition)
     () => new KafkaClient(p.host, p.port, sasl = p.sasl,
       saslMechanism = p.saslMechanism, tls = p.tls))
   private val scan = graft.kafka.KafkaSource.pagedFetch(
-    session, p.topic, p.partition, p.from, p.until, p.maxFetchBytes)
+    session, p.topic, p.partition, p.from, p.until, p.maxFetchBytes,
+    p.readCommitted)
   private var current: SeaMessage = _
 
   override def next(): Boolean =

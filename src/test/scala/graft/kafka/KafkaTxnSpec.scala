@@ -170,6 +170,44 @@ class KafkaTxnSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming read_committed: an OPEN transaction bounds the stream " +
+      "at the LSO without wedging it; EndTxn releases the region on the " +
+      "next trigger") {
+    val spark = graft.TestSession.spark
+    val srv = new EmbeddedKafka
+    val c = new KafkaClient(srv.host, srv.port)
+    try {
+      c.metadata(Seq("t"))
+      // committed prefix, then an OPEN transaction on the same partition
+      c.produce("t", 0, Seq((1L, null, "before".getBytes("UTF-8"))))
+      val p = new KafkaTxnProducer(c, "open-stream").initTransactions()
+      p.begin()
+      p.send("t", 0, Seq((2L, null, "pending".getBytes("UTF-8"))))
+      val q = spark.readStream.format("kafka-wire")
+        .option("host", srv.host).option("port", srv.port.toString)
+        .option("topics", "t")
+        .option("startingOffsets", "earliest")
+        .option("isolation.level", "read_committed")
+        .load()
+        .selectExpr("cast(payload as string) AS v")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("k7_open_txn_sink").start()
+      try {
+        // the open txn must NOT wedge processAllAvailable: the LSO bounds
+        // what latestOffset admits, so the stream drains and idles
+        q.processAllAvailable()
+        assert(spark.table("k7_open_txn_sink").collect()
+          .map(_.getString(0)).toSeq == Seq("before"),
+          "unstable data crossed the LSO into the stream")
+        p.commit()
+        q.processAllAvailable()
+        assert(spark.table("k7_open_txn_sink").orderBy("v").collect()
+          .map(_.getString(0)).toSeq == Seq("before", "pending"),
+          "committing did not release the region to the next trigger")
+      } finally q.stop()
+    } finally { c.close(); srv.close() }
+  }
+
   test("mixed-codec multi-batch produce keeps every batch's own codec on " +
       "the log (never re-labeled under the first batch's attributes)") {
     withBroker { (srv, c) =>
