@@ -71,6 +71,75 @@ object Pipeline {
     */
   private val BpeMerges = 10
 
+  /** p26: contaminated-window fraction above which a training doc is a
+    * wholesale eval copy and DROPS; any contamination below it STRIPS
+    * (remove the seen spans, keep the doc) — the GPT-3/PaLM two-tier
+    * decontamination policy. Kept as an exact RATIONAL (num/den = 1/5 ≡
+    * 0.2) so the threshold test is integer arithmetic in BOTH engines —
+    * never a comparison against a rounded double.
+    */
+  private[analytics] val DecontamDropNum = 1L
+  private[analytics] val DecontamDropDen = 5L
+
+  /** p26's eval-suite membership: doc_id % 7 == 0 — wide enough that the
+    * corpus's planted near-dups cross the split (the oracle fixture then
+    * exercises both keep and drop; the strip tier — a partial quoter —
+    * does not occur in the synthetic corpus at 8-gram specificity and is
+    * law-pinned on a constructed fixture in PipelineSpec).
+    */
+  private[analytics] val DecontamEvalMod = 7L
+
+  /** p26's body over any (doc_id, source, text) frame — the real corpus
+    * for the oracle, constructed fixtures for the tier-boundary spec.
+    */
+  private[analytics] def ngramDecontam(docs: DataFrame): DataFrame = {
+    val g = docs
+      .select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .filter(size(col("tok")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, least(size(tok)-8, 1022)), " +
+          "i -> concat_ws(' ', slice(tok, i+1, 8)))")).as("s"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bench = g.filter(pmod(col("doc_id"), lit(DecontamEvalMod)) === 0L)
+      .select(col("s")).distinct()
+    val train = g.filter(pmod(col("doc_id"), lit(DecontamEvalMod)) =!= 0L)
+    val nw = train.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+    // bench is distinct on s, so the semi-join keeps each contaminated
+    // window exactly once — n_contam counts WINDOWS, not pairs
+    val nc = train.join(bench.hint("shuffle_hash"), Seq("s"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contam"))
+    decontamVerdict(
+      docs.filter(pmod(col("doc_id"), lit(DecontamEvalMod)) =!= 0L)
+        .select(col("doc_id"), col("source"))
+        .join(nw.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .withColumn("n_windows", coalesce(col("n_windows"), lit(0L))),
+      nc)
+  }
+
+  /** p26's verdict tail over a (doc_id, source, n_windows) spine and a
+    * (doc_id, n_contam) hit sliver — shared by the batch op and its
+    * streaming twin (t30), so the two tiers can never drift.
+    */
+  private[analytics] def decontamVerdict(spine: DataFrame,
+      hits: DataFrame): DataFrame =
+    spine
+      .join(hits.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .withColumn("n_contam", coalesce(col("n_contam"), lit(0L)))
+      .withColumn("contam_frac",
+        when(col("n_windows") === 0L, lit(0.0))
+          .otherwise(round(col("n_contam") * lit(1.0) / col("n_windows"), 6)))
+      // the drop test is INTEGER arithmetic (5·contam > windows ≡
+      // frac > 1/5) — never a comparison against a rounded double,
+      // which could flip at the threshold between engines
+      .withColumn("verdict",
+        when(col("n_contam") * lit(DecontamDropDen) >
+            col("n_windows") * lit(DecontamDropNum), lit("drop"))
+          .when(col("n_contam") > 0L, lit("strip"))
+          .otherwise(lit("keep")))
+      .select(col("doc_id"), col("source"), col("n_windows"),
+        col("n_contam"), col("contam_frac"), col("verdict"))
+
   /** BPE merge training over a document corpus. One corpus pass builds the
     * word-frequency table; each merge round aggregates adjacent-symbol pair
     * counts over the VOCABULARY (Heaps-law bounded — orders of magnitude
@@ -716,6 +785,26 @@ object Pipeline {
         .withColumn("keep", col("boilerplate_ratio") < 0.5)
     },
 
+    // N-GRAM eval decontamination with a per-document VERDICT — the
+    // GPT-3 / PaLM "seen-gram" method (GPT-3 App. C; PaLM App. D):
+    // p6/p13 COUNT contaminated docs by 3-gram overlap, but production
+    // decontamination keys on LONG n-grams (8–13 tokens — so specific
+    // that one shared window proves an eval passage was seen) and must
+    // emit a DECISION per training doc: DROP a wholesale eval copy
+    // (contamination above the fraction threshold), STRIP a doc that
+    // quotes an eval passage (remove those spans, keep the rest), KEEP
+    // the clean majority. 8-token windows here (d15/p11's fingerprint
+    // scheme — the window vocabulary is shared machinery). 100 TB shape:
+    // one windows pass over the corpus, ONE semi-join against the
+    // eval-side window set (eval-sized — too big to broadcast by p13's
+    // premise, so shuffle-pinned; the LEFT side never re-shuffles
+    // beyond its doc-keyed aggs), and the verdict is output-sized math
+    // on the doc spine (docs too short to window are clean by
+    // construction and stay in the report).
+    "p26_ngram_decontam" -> { (s, dir) =>
+      ngramDecontam(Tables(s, dir).documents)
+    },
+
     // Stratified downsampling: keep 10% of the dominant language, 50% of the
     // rest — per-stratum rates over a content-stable hash, so the sample is
     // identical on every run/retry and never shuffles the corpus (pure
@@ -1252,6 +1341,38 @@ object Pipeline {
          |    / COUNT(*)) < 0.5 AS keep
          |FROM g8 JOIN df8 USING (g)
          |GROUP BY doc_id""".stripMargin
+    },
+    // the seen-gram replay: DISTINCT 8-token windows (position cap
+    // mirrored), eval = the %97 slice, train side left-joined back onto
+    // the doc spine so short/clean docs keep their verdict rows
+    "p26_ngram_decontam" -> {
+      val gram = (0 until 8).map(j => s"tok[w.i+$j]").mkString("||' '||")
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+         |g AS (SELECT DISTINCT doc_id, $gram AS s
+         |      FROM tk, (SELECT unnest(range(1, 1024)) AS i) w
+         |      WHERE w.i + 7 <= len(tok)),
+         |bench AS (SELECT DISTINCT s FROM g WHERE doc_id % $DecontamEvalMod = 0),
+         |tr AS (SELECT doc_id, s FROM g WHERE doc_id % $DecontamEvalMod <> 0),
+         |nw AS (SELECT doc_id, COUNT(*) AS n_windows FROM tr GROUP BY doc_id),
+         |nc AS (SELECT tr.doc_id, COUNT(*) AS n_contam
+         |       FROM tr JOIN bench USING (s) GROUP BY tr.doc_id)
+         |SELECT d.doc_id, d.source,
+         |  CAST(COALESCE(nw.n_windows, 0) AS BIGINT) AS n_windows,
+         |  CAST(COALESCE(nc.n_contam, 0) AS BIGINT) AS n_contam,
+         |  CASE WHEN COALESCE(nw.n_windows, 0) = 0 THEN 0.0
+         |       ELSE ROUND(COALESCE(nc.n_contam, 0) * 1.0 / nw.n_windows, 6)
+         |  END AS contam_frac,
+         |  CASE WHEN COALESCE(nc.n_contam, 0) * $DecontamDropDen
+         |            > COALESCE(nw.n_windows, 0) * $DecontamDropNum
+         |         THEN 'drop'
+         |       WHEN COALESCE(nc.n_contam, 0) > 0 THEN 'strip'
+         |       ELSE 'keep'
+         |  END AS verdict
+         |FROM documents d
+         |LEFT JOIN nw ON d.doc_id = nw.doc_id
+         |LEFT JOIN nc ON d.doc_id = nc.doc_id
+         |WHERE d.doc_id % $DecontamEvalMod <> 0""".stripMargin
     },
     "p1_stratified_sample" ->
       """SELECT lang, COUNT(*) AS n_kept,

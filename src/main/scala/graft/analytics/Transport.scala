@@ -447,6 +447,80 @@ object Transport {
     s.read.parquet(results)
   }
 
+  /** t30 — p26's n-gram eval-decontamination VERDICT gate at ingest (see
+    * the registry entry's doc): eval windows + bloom build batch-side,
+    * arriving docs window themselves statelessly, bloom survivors confirm
+    * against the static window set, per-doc hit counts accumulate in
+    * update mode (state O(contaminated sliver)), and the shared
+    * [[Pipeline.decontamVerdict]] runs batch-side over a spine re-read
+    * from the log bytes (t20's pattern). Verdicts ≡ p26 after end-of-log.
+    */
+  private[graft] def t30DecontamStream(s: SparkSession, dir: String,
+      inspect: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _ => ()): DataFrame = {
+    val t = Tables(s, dir)
+    val out = scratch(dir, "t30decon")
+    val docs = t.documents
+    val winExpr = "transform(sequence(0, least(size(tok)-8, 1022)), " +
+      "i -> concat_ws(' ', slice(tok, i+1, 8)))"
+    val bench = docs
+      .filter(pmod(col("doc_id"), lit(Pipeline.DecontamEvalMod)) === 0L)
+      .select(split(col("text"), " ").as("tok"))
+      .filter(size(col("tok")) >= 8)
+      .select(explode(expr(winExpr)).as("s")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBench = math.max(1L, bench.count())
+    val blob = bench.agg(graft.functions.BloomFunctions
+      .bloomAgg(xxhash64(col("s")), nBench, nBench * 8L).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val streamed = docs
+      .filter(pmod(col("doc_id"), lit(Pipeline.DecontamEvalMod)) =!= 0L)
+    streamed.select(
+        col("source").as("stream_key"),
+        pmod(col("doc_id"), lit(4L)).as("shard_id"),
+        col("doc_id").as("sequence"),
+        expr("timestamp'2026-01-01 00:00:00'").as("timestamp"),
+        to_json(struct(col("doc_id"), col("source"), col("text")))
+          .cast("binary").as("payload"))
+      .write.format("ss").mode("overwrite").save(out)
+    val cap = math.max(1L, streamed.count() / 4)
+    val payloadSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, source STRING, text STRING")
+    val hits = s.readStream.format("ss")
+      .option("maxMessagesPerTrigger", cap.toString)
+      .load(out)
+      .select(from_json(col("payload").cast("string"), payloadSchema)
+        .as("j"))
+      .select(col("j.doc_id").as("doc_id"),
+        split(col("j.text"), " ").as("tok"))
+      .filter(size(col("tok")) >= 8)
+      .select(col("doc_id"),
+        explode(array_distinct(expr(winExpr))).as("s"))
+      .filter(graft.functions.BloomFunctions
+        .mightContain(lit(blob), xxhash64(col("s"))))
+      .join(bench.hint("shuffle_hash"), Seq("s"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contam"))
+    val q = hits.writeStream.outputMode("update")
+      .format("memory").queryName("t30_decon_sink").start()
+    try { q.processAllAvailable(); inspect(q) } finally q.stop()
+    // batch-side finish: each group's final cumulative count = its max
+    // emission; the spine + per-doc DISTINCT window count re-derive
+    // from the log bytes in one stateless pass
+    val sink = s.table("t30_decon_sink")
+      .groupBy("doc_id").agg(max(col("n_contam")).as("n_contam"))
+    val spine = s.read.format("ss").load(out)
+      .select(from_json(col("payload").cast("string"), payloadSchema)
+        .as("j"))
+      .select(col("j.doc_id").as("doc_id"), col("j.source").as("source"),
+        split(col("j.text"), " ").as("tok"))
+      .withColumn("n_windows",
+        when(size(col("tok")) >= 8,
+          size(array_distinct(expr(winExpr))).cast("long"))
+          .otherwise(lit(0L)))
+      .select("doc_id", "source", "n_windows")
+    Pipeline.decontamVerdict(spine, sink)
+  }
+
   /** t29 — c6's mini-batch k-means with the MODEL UPDATE maintained at
     * ingest (the training-at-ingest ladder complete: t19 runs INFERENCE
     * at ingest against frozen centroids, t22 grows an INDEX at ingest,
@@ -1247,6 +1321,25 @@ object Transport {
           sum(col("n_sh")).as("n_shared_shingles"))
     },
 
+    // N-gram eval-DECONTAMINATION at ingest (the p26→t30 pair, closing
+    // the contamination family's streaming matrix: t18 streams the
+    // 3-gram COUNTING check, this streams the 8-token seen-gram VERDICT
+    // — the gate a training pipeline runs before a doc reaches a shard).
+    // The eval suite is static by premise: its distinct 8-token window
+    // set builds once batch-side and an index-sized bloom rides the
+    // stream plan; each arriving doc windows itself doc-locally
+    // (array_distinct before explode — stateless), the bloom drops the
+    // clean majority with no shuffle, survivors confirm against the
+    // static window set (false positives die, false negatives can't
+    // exist), and the per-doc hit count accumulates in update mode —
+    // state O(contaminated docs), the sliver. The verdict math runs
+    // batch-side through the SHARED Pipeline.decontamVerdict over a
+    // spine re-derived from the log bytes (t20's re-read pattern; the
+    // per-doc window count is a stateless expression). After end-of-log
+    // the verdicts must equal p26 bit-for-bit — the oracle is p26's SQL
+    // verbatim.
+    "t30_stream_decontam" -> { (s, dir) => t30DecontamStream(s, dir) },
+
     // Streaming k-means assignment — c1's single Lloyd round maintained
     // AT INGEST (the c1→t19 pair): the FROZEN seed centroids are
     // k-bounded, so they ride the stream plan as a 16-struct array
@@ -1677,6 +1770,8 @@ object Transport {
     "t20_stream_index_dedup" -> Dedup.oracles("d14_dedup_index"),
     "t21_stream_query_serve" -> Similarity.oracles("s13_mmr_indexed"),
     "t22_stream_index_grow" -> Dedup.d14TwoWaveOracleSql,
+    // decontamination-at-ingest ≡ the batch decontamination pass
+    "t30_stream_decontam" -> Pipeline.oracles("p26_ngram_decontam"),
     "t23_stream_quality_gate" -> Pipeline.oracles("p23_quality_classifier"),
     "t24_stream_media_ingest" -> Multimodal.oracles("m1_media_decode"),
     "t25_stream_pseudonymize" -> TextAnalysis.oracles("a7_pseudonymize"),

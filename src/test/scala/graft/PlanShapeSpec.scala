@@ -639,6 +639,22 @@ class PlanShapeSpec extends AnyFunSuite {
     }, "p13's confirm join must not broadcast the eval shingle set")
   }
 
+  test("p26 decontamination: window joins all shuffle (the eval window " +
+      "set is eval-sized by premise), no window op, no cartesian") {
+    // the seen-gram confirm is ONE shuffled semi-join of corpus windows
+    // against the eval set; the verdict tail is doc-keyed left joins —
+    // nothing here may broadcast an unbounded side, sort through a
+    // Window, or go all-pairs
+    val p = planOf("p26_ngram_decontam")
+    val blocks = nodeBlocks(p)
+    assert(!blocks.exists { case (n, b) =>
+      n == "BroadcastHashJoin" &&
+        b.linesIterator.exists(l => l.contains("keys") && l.contains("s#"))
+    }, "p26's window join must not broadcast the eval window set")
+    assert("\\bWindow\\b".r.findAllIn(p).isEmpty, "p26 must not window")
+    assert(!p.contains("CartesianProduct"), "p26 went all-pairs")
+  }
+
   test("p15 broadcasts the trained vocab onto one corpus pass") {
     // the (word -> piece count) table is Heaps-law bounded — it must
     // BROADCAST (the whole point of tokenizing via a vocab table); a

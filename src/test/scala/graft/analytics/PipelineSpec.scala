@@ -119,4 +119,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(streamRows == batchRows,
       "the ingest-time draw diverged from the batch draw")
   }
+
+  test("p26 decontamination tiers: wholesale copy drops, a partial quoter " +
+      "strips, exactly-at-threshold strips (strict >), clean and " +
+      "too-short-to-window docs keep, eval docs never report") {
+    import spark.implicits._
+    // the sf0.01 oracle fixture exercises keep+drop (planted near-dups
+    // cross the %7 eval split) but contains no PARTIAL quoter at 8-gram
+    // specificity — this constructed corpus pins all three tiers and both
+    // boundary cases
+    val e = (1 to 20).map(i => s"e$i") // the eval doc's tokens
+    val docs = Seq(
+      // eval suite member (id % 7 == 0)
+      (7L, "eval", e.mkString(" ")),
+      // wholesale eval copy + one token: nearly every window seen -> drop
+      (1L, "train", (e :+ "x").mkString(" ")),
+      // 100 clean tokens then ONE full 8-token eval quote: exactly one of
+      // its 101 windows is seen (boundary-spanning windows mix clean and
+      // eval tokens and match nothing) -> strip
+      (2L, "train",
+        ((1 to 100).map(i => s"c$i") ++ e.take(8)).mkString(" ")),
+      // exactly AT the 1/5 threshold: 12 tokens = quote + 4 clean gives
+      // 5 windows, 1 seen -> 1*5 > 5*1 is FALSE -> strip, not drop (the
+      // drop test is strictly greater)
+      (3L, "train", (e.take(8) ++ Seq("z1", "z2", "z3", "z4")).mkString(" ")),
+      // clean 20 tokens -> keep
+      (4L, "train", (1 to 20).map(i => s"k$i").mkString(" ")),
+      // 5 tokens: no 8-token window exists -> keep with zero windows
+      (5L, "train", "a b c d e"),
+      // a second eval member that is itself a copy of E (id % 7 == 0):
+      // eval docs are the SUITE, never reported rows
+      (14L, "eval", e.mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val got = Pipeline.ngramDecontam(docs)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getString(5))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L),
+      s"spine must be exactly the train docs, got ${got.keySet}")
+    assert(got(1L)._4 == "drop", s"wholesale copy: ${got(1L)}")
+    assert(got(1L)._1 == 14L && got(1L)._2 == 13L,
+      s"copy shares all but the x-spanning windows: ${got(1L)}")
+    assert(got(2L) == ((101L, 1L, 0.009901, "strip")), s"${got(2L)}")
+    assert(got(3L) == ((5L, 1L, 0.2, "strip")),
+      s"at-threshold must strip (strict >): ${got(3L)}")
+    assert(got(4L)._4 == "keep" && got(4L)._2 == 0L)
+    assert(got(5L) == ((0L, 0L, 0.0, "keep")),
+      s"short doc must keep with zero windows: ${got(5L)}")
+  }
 }
