@@ -73,6 +73,14 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4,
     val batches = mutable.ArrayBuffer.empty[(Long, Array[Byte])]
     /** producerId -> first offset of that pid's OPEN transaction here. */
     val ongoingTxn = mutable.Map.empty[Long, Long]
+    /** Idempotent-producer dedup state: pid -> (epoch, firstSeq, lastSeq,
+      * baseOffset) of the LAST accepted batch — the one-deep form of the
+      * real broker's 5-batch producer-state cache. A resend of exactly
+      * that batch answers its original base offset WITHOUT appending
+      * (produce-retry becomes exactly-once); an older duplicate is error
+      * 46, a sequence gap error 45, a bumped epoch resets to 0.
+      */
+    val producerSeq = mutable.Map.empty[Long, (Int, Int, Int, Long)]
     /** Completed ABORTED transactions: (producerId, firstOffset) — the
       * index Fetch serves to read_committed consumers. */
     val abortedTxns = mutable.ArrayBuffer.empty[(Long, Long)]
@@ -803,29 +811,76 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4,
                 www.i16(txnErr).i64(-1L).i64(-1L)
               else {
                 val part = t(p)
-                val base = part.synchronized {
-                  val first = part.records.length.toLong
-                  batches.foreach { bi =>
-                    val b = part.records.length.toLong
-                    bi.records.foreach(rec =>
-                      part.records += Stored(rec.tsMs, rec.key, rec.value))
-                    // store each batch re-encoded at its ASSIGNED base
-                    // offset (what a real log segment holds); served
-                    // verbatim by Fetch, PRESERVING the producer's
-                    // compression codec and producer/txn fields —
-                    // compression.type=producer semantics
-                    if (bi.records.nonEmpty)
-                      part.batches += ((b, KafkaWire.encodeBatch(
-                        bi.records.zipWithIndex.map { case (rc, i) =>
-                          KRecord(b + i, rc.tsMs, rc.key, rc.value) },
-                        bi.codec, bi.producerId, bi.producerEpoch,
-                        bi.baseSequence, bi.transactional)))
-                    if (bi.transactional)
-                      part.ongoingTxn.getOrElseUpdate(bi.producerId, b)
+                val (seqErr, base) = part.synchronized {
+                  // phase 1 — KIP-98 idempotence: validate every batch's
+                  // sequence against a SIMULATED cursor so the partition
+                  // produce stays atomic (any error appends nothing);
+                  // an exact resend of the last accepted batch becomes a
+                  // DEDUPLICATED success (original base offset, no
+                  // append) — the produce-retry exactly-once half
+                  var sim = part.producerSeq.toMap
+                  var err = 0
+                  // per batch: None = append, Some(base) = deduplicated
+                  val acts = batches.map { bi =>
+                    if (err != 0 || bi.producerId < 0 || bi.baseSequence < 0)
+                      None
+                    else {
+                      val lastSeq = bi.baseSequence + bi.records.length - 1
+                      sim.get(bi.producerId) match {
+                        case Some((e, f, l, b0)) if bi.producerEpoch == e =>
+                          if (bi.baseSequence == l + 1) {
+                            sim += bi.producerId ->
+                              ((e, bi.baseSequence, lastSeq, -1L))
+                            None
+                          } else if (bi.baseSequence == f && lastSeq == l)
+                            Some(b0) // exact resend of the cached batch
+                          else if (bi.baseSequence <= l) {
+                            err = Err.DuplicateSequenceNumber; None
+                          } else {
+                            err = Err.OutOfOrderSequenceNumber; None
+                          }
+                        case Some((e, _, _, _)) if bi.producerEpoch < e =>
+                          err = Err.InvalidProducerEpoch; None
+                        case _ => // new pid, or a bumped epoch: reset
+                          sim += bi.producerId ->
+                            ((bi.producerEpoch, bi.baseSequence, lastSeq, -1L))
+                          None
+                      }
+                    }
                   }
-                  first
+                  if (err != 0) (err, -1L)
+                  else {
+                    var reply = -1L
+                    batches.zip(acts).foreach {
+                      case (bi, Some(cached)) =>
+                        if (reply < 0) reply = cached
+                      case (bi, None) =>
+                        val b = part.records.length.toLong
+                        if (reply < 0) reply = b
+                        bi.records.foreach(rec =>
+                          part.records += Stored(rec.tsMs, rec.key, rec.value))
+                        // store each batch re-encoded at its ASSIGNED base
+                        // offset (what a real log segment holds); served
+                        // verbatim by Fetch, PRESERVING the producer's
+                        // compression codec and producer/txn fields —
+                        // compression.type=producer semantics
+                        if (bi.records.nonEmpty)
+                          part.batches += ((b, KafkaWire.encodeBatch(
+                            bi.records.zipWithIndex.map { case (rc, i) =>
+                              KRecord(b + i, rc.tsMs, rc.key, rc.value) },
+                            bi.codec, bi.producerId, bi.producerEpoch,
+                            bi.baseSequence, bi.transactional)))
+                        if (bi.producerId >= 0 && bi.baseSequence >= 0)
+                          part.producerSeq(bi.producerId) =
+                            ((bi.producerEpoch, bi.baseSequence,
+                              bi.baseSequence + bi.records.length - 1, b))
+                        if (bi.transactional)
+                          part.ongoingTxn.getOrElseUpdate(bi.producerId, b)
+                    }
+                    (Err.None, reply)
+                  }
                 }
-                www.i16(Err.None).i64(base).i64(-1L) // create-time semantics
+                www.i16(seqErr).i64(base).i64(-1L) // create-time semantics
               }
           }
         }

@@ -82,6 +82,15 @@ object KafkaWire {
     val UnsupportedSaslMechanism = 33
     val IllegalSaslState = 34
     val UnsupportedVersion = 35
+    /** An idempotent produce skipped ahead of the broker's expected
+      * sequence (a batch was lost in between) — the producer must
+      * re-establish or fail the txn (KIP-98 idempotence).
+      */
+    val OutOfOrderSequenceNumber = 45
+    /** An idempotent produce re-sent a sequence range OLDER than the
+      * broker's dedup cache — cannot be safely deduplicated.
+      */
+    val DuplicateSequenceNumber = 46
     /** A produce/txn request carried a producer epoch older than the
       * coordinator's — the KIP-98 FENCE: a re-initialized transactional id
       * bumps the epoch, and the zombie's writes die with this code.

@@ -170,6 +170,61 @@ class KafkaTxnSpec extends AnyFunSuite {
     }
   }
 
+  test("idempotent producer: an exact batch resend deduplicates (same " +
+      "base offset, nothing re-appended); a gap is 45; a stale duplicate " +
+      "is 46; an epoch bump resets sequences") {
+    withBroker { (srv, c) =>
+      c.metadata(Seq("t"))
+      val (pid, e) = c.initProducerId("idem")
+      c.addPartitionsToTxn("idem", pid, e, Seq(("t", 0)))
+      val recs = Seq((1L, null: Array[Byte], "a".getBytes("UTF-8")),
+        (2L, null: Array[Byte], "b".getBytes("UTF-8")))
+      val base1 = c.produceTxn("t", 0, recs, "idem", pid, e, 0)
+      // the produce-retry path: the SAME batch again (seq 0..1) must
+      // answer the ORIGINAL base offset and append nothing
+      val again = c.produceTxn("t", 0, recs, "idem", pid, e, 0)
+      assert(again == base1, s"resend re-appended: $base1 vs $again")
+      assert(srv.logSize("t", 0) == 2L,
+        s"dedup failed: log grew to ${srv.logSize("t", 0)}")
+      // next-in-order continues
+      val base2 = c.produceTxn("t", 0,
+        Seq((3L, null: Array[Byte], "c".getBytes("UTF-8"))),
+        "idem", pid, e, 2)
+      assert(base2 == 2L)
+      // a GAP (skipping sequence 3) is OutOfOrderSequenceNumber
+      val gap = intercept[RuntimeException] {
+        c.produceTxn("t", 0,
+          Seq((9L, null: Array[Byte], "z".getBytes("UTF-8"))),
+          "idem", pid, e, 7)
+      }
+      assert(gap.getMessage.contains(
+        s"kafka error ${KafkaWire.Err.OutOfOrderSequenceNumber}"),
+        gap.getMessage)
+      // a STALE duplicate (older than the cached batch) is
+      // DuplicateSequenceNumber — too old to dedup safely
+      val stale = intercept[RuntimeException] {
+        c.produceTxn("t", 0, recs, "idem", pid, e, 0)
+      }
+      assert(stale.getMessage.contains(
+        s"kafka error ${KafkaWire.Err.DuplicateSequenceNumber}"),
+        stale.getMessage)
+      c.endTxn("idem", pid, e, commit = true)
+      // epoch bump (re-init) RESETS sequences to 0 — the new incarnation
+      // starts its own numbering
+      val (pid2, e2) = c.initProducerId("idem")
+      assert(pid2 == pid && e2 == e + 1)
+      c.addPartitionsToTxn("idem", pid2, e2, Seq(("t", 0)))
+      val b3 = c.produceTxn("t", 0,
+        Seq((4L, null: Array[Byte], "d".getBytes("UTF-8"))),
+        "idem", pid2, e2, 0)
+      c.endTxn("idem", pid2, e2, commit = true)
+      assert(b3 >= 3L)
+      // the committed view holds exactly one copy of everything
+      val (_, _, rc) = c.fetchIso("t", 0, 0L, readCommitted = true)
+      assert(values(rc) == Seq("a", "b", "c", "d"), values(rc).toString)
+    }
+  }
+
   test("streaming read_committed: an OPEN transaction bounds the stream " +
       "at the LSO without wedging it; EndTxn releases the region on the " +
       "next trigger") {
