@@ -91,7 +91,9 @@ def check_counts(oracle, n_results):
 
     bl = os.path.join(here, "BENCH_LOCAL.md")
     if os.path.exists(bl):
-        m = re.search(r"(\d+) oracle entries", open(bl).read())
+        # whitespace-tolerant: markdown reflows can break the phrase
+        # across lines
+        m = re.search(r"(\d+)\s+oracle\s+entries", open(bl).read())
         if m and int(m.group(1)) != n:
             complain("BENCH_LOCAL.md latest header", int(m.group(1)))
 
