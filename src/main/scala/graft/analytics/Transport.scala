@@ -503,6 +503,11 @@ object Transport {
     val q = hits.writeStream.outputMode("update")
       .format("memory").queryName("t30_decon_sink").start()
     try { q.processAllAvailable(); inspect(q) } finally q.stop()
+    // the eval window set's last consumer is the stream's confirm join —
+    // free it here (the batch finish below reads only the sink + log);
+    // leaving one cached eval frame per ingest run is the leak class
+    // ADVICE r12 flagged on d14QueryFrame
+    bench.unpersist()
     // batch-side finish: each group's final cumulative count = its max
     // emission; the spine + per-doc DISTINCT window count re-derive
     // from the log bytes in one stateless pass

@@ -81,9 +81,15 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4,
       * 46, a sequence gap error 45, a bumped epoch resets to 0.
       */
     val producerSeq = mutable.Map.empty[Long, (Int, Int, Int, Long)]
-    /** Completed ABORTED transactions: (producerId, firstOffset) — the
-      * index Fetch serves to read_committed consumers. */
-    val abortedTxns = mutable.ArrayBuffer.empty[(Long, Long)]
+    /** Completed ABORTED transactions: (producerId, firstOffset,
+      * markerOffset) — the index Fetch serves to read_committed
+      * consumers, SCOPED by marker position: an entry whose abort marker
+      * lies at or before the fetch offset must not be served, or the
+      * client-side walk would re-open a long-closed range and drop the
+      * same producer's LATER COMMITTED batches (the real broker's
+      * transaction index is range-scoped the same way).
+      */
+    val abortedTxns = mutable.ArrayBuffer.empty[(Long, Long, Long)]
     /** Last stable offset: nothing at/after an open transaction's first
       * offset is stable (KIP-98's LSO law). */
     def lso: Long =
@@ -402,7 +408,7 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4,
       KafkaWire.encodeControlBatch(off, System.currentTimeMillis(), pid,
         epoch, commit)))
     part.ongoingTxn.remove(pid).foreach { first =>
-      if (!commit) part.abortedTxns += ((pid, first))
+      if (!commit) part.abortedTxns += ((pid, first, off))
     }
   }
 
@@ -722,7 +728,13 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4,
                   bi += 1; n += 1
                 }
                 (len, stable,
-                  if (readCommitted) part.abortedTxns.toSeq
+                  // only aborted ranges whose MARKER lies beyond the
+                  // fetch offset — a range fully before the page is
+                  // settled history and must not re-open its pid
+                  if (readCommitted)
+                    part.abortedTxns.toSeq
+                      .filter(_._3 > fetchOffset)
+                      .map(a => (a._1, a._2))
                   else Seq.empty[(Long, Long)],
                   if (fetchOffset >= limit) Seq.empty else out.result())
               }
@@ -793,20 +805,27 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4,
               www.i16(Err.CorruptMessage).i64(-1L).i64(-1L)
             case Right(batches) =>
               // transactional validation BEFORE anything appends — a
-              // produce is atomic per partition (all batches or none)
+              // produce is atomic per partition (all batches or none),
+              // and EVERY transactional batch fences individually: a
+              // multi-batch request mixing a live producer's batch with
+              // a zombie's must die on the zombie's epoch, and a
+              // non-transactional batch riding along must not be
+              // validated against the coordinator at all
               val txnErr: Int =
                 if (batches.exists(_.control)) Err.InvalidTxnState
-                else if (batches.exists(_.transactional)) {
-                  if (txnId == null) Err.InvalidTxnState
-                  else txnCheck(txnId, batches.head.producerId,
-                      batches.head.producerEpoch) match {
-                    case Left(e) => e
-                    case Right(st) =>
-                      if (st.synchronized(st.parts.contains((topic, p))))
-                        Err.None
-                      else Err.InvalidTxnState
+                else batches.filter(_.transactional)
+                  .foldLeft(Err.None) { (acc, bi) =>
+                    if (acc != Err.None) acc
+                    else if (txnId == null) Err.InvalidTxnState
+                    else txnCheck(txnId, bi.producerId,
+                        bi.producerEpoch) match {
+                      case Left(e) => e
+                      case Right(st) =>
+                        if (st.synchronized(st.parts.contains((topic, p))))
+                          Err.None
+                        else Err.InvalidTxnState
+                    }
                   }
-                } else Err.None
               if (txnErr != Err.None)
                 www.i16(txnErr).i64(-1L).i64(-1L)
               else {

@@ -26,12 +26,17 @@ final class KafkaTxnProducer(client: KafkaClient, txnId: String) {
   def producerId: Long = pid
   def producerEpoch: Int = epoch
 
-  /** InitProducerId: acquire (or re-fence) the (pid, epoch). */
+  /** InitProducerId: acquire (or re-fence) the (pid, epoch). A bumped
+    * epoch RESTARTS sequence numbering at 0 on every partition —
+    * carrying the old incarnation's sequences into the new epoch would
+    * read as a giant sequence gap (OUT_OF_ORDER) on a real broker.
+    */
   def initTransactions(): this.type = {
     val (p, e) = client.initProducerId(txnId)
     pid = p; epoch = e
     inTxn = false
     added.clear()
+    seq.clear()
     this
   }
 

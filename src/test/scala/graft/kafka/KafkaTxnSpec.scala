@@ -170,6 +170,41 @@ class KafkaTxnSpec extends AnyFunSuite {
     }
   }
 
+  test("aborted-txn index is marker-scoped: a page starting AFTER a " +
+      "producer's abort marker must not re-open the range and drop the " +
+      "same producer's later COMMITTED data") {
+    // the consume-transform-produce reuse pattern: ONE producer aborts a
+    // txn, then commits the next on the same partition. A paged
+    // read_committed scan whose page begins past the abort marker would,
+    // under an unscoped index, see (pid, first=0), mark the pid open with
+    // no closing marker in the page, and silently drop the committed data
+    withBroker { (srv, c) =>
+      c.metadata(Seq("t"))
+      val p = new KafkaTxnProducer(c, "reuse").initTransactions()
+      p.begin()
+      p.send("t", 0, Seq((1L, null, "bad".getBytes("UTF-8"))))
+      p.abort() // data@0, marker@1
+      p.begin()
+      p.send("t", 0, Seq((2L, null, "good".getBytes("UTF-8"))))
+      p.commit() // data@2, marker@3
+      // page starting exactly at the committed data (past the marker)
+      val (_, _, page) = c.fetchIso("t", 0, 2L, readCommitted = true)
+      assert(values(page) == Seq("good"),
+        s"committed data dropped by a re-opened aborted range: " +
+          s"${values(page)}")
+      // a tiny-page scan over the whole log also yields exactly the
+      // committed record
+      val session = new KafkaClient.Session(
+        () => new KafkaClient(srv.host, srv.port))
+      try {
+        val got = KafkaSource.pagedFetch(session, "t", 0, 0L,
+          srv.logSize("t", 0), maxBytes = 1, readCommitted = true).toSeq
+        assert(got.map(m => new String(m.payload, "UTF-8")) == Seq("good"),
+          s"paged scan diverged: ${got.size} messages")
+      } finally session.close()
+    }
+  }
+
   test("idempotent producer: an exact batch resend deduplicates (same " +
       "base offset, nothing re-appended); a gap is 45; a stale duplicate " +
       "is 46; an epoch bump resets sequences") {

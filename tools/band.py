@@ -18,6 +18,10 @@ def main(new_path, old_path, thresh=0.0):
               and new[k] > 0 and old[k] > 0
               and max(new[k], old[k]) >= thresh]
     ratios = {k: new[k] / old[k] for k in common}
+    if not ratios:
+        print("no common positive entries — artifacts are not comparable")
+        print("BAND VIOLATION (0.85-1.20)")
+        return 1
     med = statistics.median(ratios.values())
     print(f"common entries: {len(common)}  median ratio: {med:.3f}")
     movers = sorted((r, k) for k, r in ratios.items()

@@ -56,11 +56,11 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: {e}")
             n_fail += 1
     print(f"\n{n_pass} passed, {n_fail} failed")
-    bad_counts = check_counts(oracle, n_pass + n_fail)
+    bad_counts = check_counts(oracle)
     return 1 if (n_fail or bad_counts) else 0
 
 
-def check_counts(oracle, n_results):
+def check_counts(oracle):
     """Entry-count invariants (VERDICT r12 #6): the declared query set
     (oracle_sql.json — Verify always dumps the FULL map), the README's
     advertised count, BENCH_LOCAL.md's latest header, and
