@@ -68,6 +68,40 @@ class LiveBrokerSpec extends AnyFunSuite {
     } finally c.close()
   }
 
+  test("kafka: k6-shape transactions against a live broker (BROKERS_URL)") {
+    // the txn surface is the least embedded-validated part of the wire
+    // driver — the day a real Apache broker exists, this closes the
+    // KIP-98 gap end-to-end: commit visible, abort invisible under
+    // read_committed, markers skipped
+    val ep = endpoint("kafka", "KAFKA_BROKERS_URL")
+    assume(ep.isDefined, "no live kafka broker configured — skipping")
+    val (host, port) = ep.get
+    val topic = uniqueKey("graft_live_txn")
+    val c = new kafka.KafkaClient(host, port)
+    try {
+      val parts = c.metadata(Seq(topic)).getOrElse(topic, Seq.empty)
+      assume(parts.nonEmpty, s"broker did not auto-create $topic")
+      val p = parts.head
+      val good = new kafka.KafkaTxnProducer(c, topic + "-good")
+        .initTransactions()
+      val bad = new kafka.KafkaTxnProducer(c, topic + "-bad")
+        .initTransactions()
+      bad.begin()
+      bad.send(topic, p, Seq((1L, null, "poison".getBytes("UTF-8"))))
+      bad.abort()
+      good.begin()
+      good.send(topic, p, Seq((2L, null, "real".getBytes("UTF-8"))))
+      good.commit()
+      val (_, _, rc) = c.fetchIso(topic, p, 0L, readCommitted = true)
+      assert(rc.map(r => new String(r.value, "UTF-8")) == Seq("real"),
+        s"read_committed leaked: ${rc.map(r => new String(r.value, "UTF-8"))}")
+      // read_uncommitted sees both data records (control rows never)
+      val (_, ru) = c.fetch(topic, p, 0L)
+      assert(ru.map(r => new String(r.value, "UTF-8")) ==
+        Seq("poison", "real"))
+    } finally c.close()
+  }
+
   test("redis: r1-shape roundtrip against a live broker (BROKERS_URL)") {
     val ep = endpoint("redis", "REDIS_BROKERS_URL")
     assume(ep.isDefined, "no live redis broker configured — skipping")
