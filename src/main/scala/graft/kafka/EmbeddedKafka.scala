@@ -443,7 +443,12 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4,
           val fresh = new TxnState(nextPid.getAndIncrement(), 0)
           txns.put(txnId, fresh)
           (fresh.pid, fresh.epoch)
-        } else {
+        } else st.synchronized {
+          // st.synchronized (inside txns — the lock order everywhere is
+          // txns → st → part, so this can't deadlock) serializes the
+          // re-init against an in-flight EndTxn from the old incarnation
+          // that already passed txnCheck: without it the two could
+          // interleave and double-write markers for the same pid
           abortOngoing(st)
           st.epoch += 1
           (st.pid, st.epoch)

@@ -65,7 +65,8 @@ object KafkaSource {
       assign: Option[Seq[(String, Long)]],
       sasl: Option[(String, String)],
       saslMechanism: String,
-      tls: Option[KafkaTls.Client]): Seq[(String, Int, Long, Long)] = {
+      tls: Option[KafkaTls.Client],
+      readCommitted: Boolean): Seq[(String, Int, Long, Long)] = {
     val c = new KafkaClient(host, port, sasl = sasl,
       saslMechanism = saslMechanism, tls = tls)
     try {
@@ -74,7 +75,16 @@ object KafkaSource {
         meta.getOrElse(t, Seq.empty)
           .filter(p => assign.forall(_.exists(a => a._1 == t && a._2 == p.toLong)))
           .map { p =>
-          val until = c.listOffset(t, p, KafkaWire.Ts.Latest).getOrElse(0L)
+          val hw = c.listOffset(t, p, KafkaWire.Ts.Latest).getOrElse(0L)
+          // Under read_committed the readable tip is the LAST STABLE
+          // OFFSET, not the high watermark: with an OPEN transaction
+          // parked below the hw, a [from, hw) plan would page forever at
+          // the LSO getting empty committed fetches and silently
+          // under-deliver. One empty fetch at the hw resolves the LSO
+          // (the tips() probe pattern in KafkaDataSource).
+          val until =
+            if (!readCommitted) hw
+            else c.fetchIso(t, p, hw, maxBytes = 1, readCommitted = true)._1
           val from = afterMs match {
             // seek law is strictly `>`: first offset with ts >= ms+1
             // (consumer.rs:464-494 pushes the ms into offsets_for_times)
@@ -107,7 +117,7 @@ object KafkaSource {
       readCommitted: Boolean = false): DataFrame = {
     import spark.implicits._
     val ranges = planRanges(host, port, topics, afterMs, fromOffset, assign,
-      sasl, saslMechanism, tls)
+      sasl, saslMechanism, tls, readCommitted)
     spark.sparkContext.parallelize(ranges, math.max(1, ranges.size))
       .mapPartitions { it =>
         val opened = graft.core.TaskResources

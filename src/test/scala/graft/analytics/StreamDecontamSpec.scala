@@ -24,8 +24,13 @@ class StreamDecontamSpec extends AnyFunSuite {
     // with the inspection closure instead
     val out = Transport.t30DecontamStream(spark, dir, q => {
       batches = q.recentProgress.count(_.numInputRows > 0)
+      // foldLeft, not .max: recentProgress is a bounded buffer and can
+      // hold zero entries with state operators — an empty .max would turn
+      // a coverage gap into an UnsupportedOperationException instead of
+      // this spec's own assertion message
       stateRows = q.recentProgress
-        .flatMap(_.stateOperators.map(_.numRowsTotal)).max
+        .flatMap(_.stateOperators.map(_.numRowsTotal))
+        .foldLeft(stateRows)(math.max)
     })
     val streamRows = out.orderBy("doc_id").collect().map(_.toSeq).toSeq
     val batchRows = Pipeline.ngramDecontam(
