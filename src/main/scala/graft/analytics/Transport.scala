@@ -183,6 +183,12 @@ object Transport {
           .cast("binary").as("payload"))
       .write.format("ss").mode("overwrite").save(out)
     val bandsTable = Dedup.d14Table("d14_ref_bands", dir)
+    // the stream signs arriving docs with bandKeySqlExpr at the DEFAULT
+    // band size — fail loudly if the standing index was escalated to a
+    // wider banding (bk alone is not the full key at r > 2)
+    require(Dedup.d14IndexR(s, dir) == Dedup.D14BandR,
+      s"stream gate signs at r=${Dedup.D14BandR} but the index is banded " +
+        s"at r=${Dedup.d14IndexR(s, dir)}")
     // bloom over the STORED band keys — one aggregation over the bucket
     // layout (index-sized, not corpus-sized); the blob rides the stream
     // plan as a literal (t18's pattern; a cluster run would broadcast it)

@@ -355,6 +355,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("\\bWindow\\b".r.findAllIn(p).isEmpty, "d14 must not window")
   }
 
+  test("the ESCALATED (r=4) band join stays exchange-free: the k2 key " +
+      "remainder rides the bk bucket layout") {
+    // the candidate join stays keyed on the bucketed bk alone (joining on
+    // (bk, k2) directly would trip requireAllClusterKeysForCoPartition
+    // and re-shuffle both sides); the k2 remainder applies as a post-join
+    // filter — escalation changes recall, never the plan's scale shape
+    val dir = TestSession.sfDir
+    analytics.Dedup.d14Build(spark, dir)
+    analytics.Dedup.d14Rebuild(spark, dir, 4)
+    try {
+      val p = analytics.Dedup.d14Query(spark, dir)
+        .queryExecution.explainString(FormattedMode)
+      val smj = nodeBlocks(p).filter { case (n, b) =>
+        n == "SortMergeJoin" && b.contains("bk")
+      }
+      assert(smj.nonEmpty, "the escalated band join lost its bucketed " +
+        "sort-merge shape")
+      assert(p.contains("k2"), "the k2 key-remainder filter is missing " +
+        "from the escalated plan")
+      assert(!nodeBlocks(p).exists { case (n, b) =>
+        n == "Exchange" && b.contains("hashpartitioning(bk")
+      }, "the escalated band join re-partitioned a bucketed input")
+    } finally analytics.Dedup.d14Rebuild(spark, dir, analytics.Dedup.D14BandR)
+  }
+
   test("d14 append grows the index by each accepted doc exactly once") {
     // the s12 exactly-once-append law applied to the dedup index: build +
     // one wave's append must leave exactly one sizes row per reference doc

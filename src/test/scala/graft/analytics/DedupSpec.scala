@@ -275,4 +275,87 @@ class DedupSpec extends AnyFunSuite {
     val dec2 = Dedup.d14Maintain(spark, dir)
     assert(!dec2.compact && !dec2.escalateBanding, s"got $dec2")
   }
+
+  test("d14Rebuild re-bands the persisted index from its own keys: " +
+      "rebuild(4) equals a fresh r=4 signing, rebuild back equals the " +
+      "original, and (bk, k2) at r=4 is the exact struct band join") {
+    import org.apache.spark.sql.functions._
+    val dir = TestSession.sfDir
+    Dedup.d14Build(spark, dir) // at the default banding
+    val bandsT = Dedup.d14Table("d14_ref_bands", dir)
+    def rows(): Set[Seq[Any]] = spark.table(bandsT).collect()
+      .map(_.toSeq.map {
+        case a: scala.collection.Seq[_] => a.toList
+        case v => v
+      }).toSet
+    val orig = rows()
+    Dedup.d14Rebuild(spark, dir, 4)
+    assert(Dedup.d14IndexR(spark, dir) == 4, "meta must record the new r")
+    // the rebuilt table equals signing the reference corpus at r=4 from
+    // scratch — the unpack∘repack roundtrip loses nothing
+    val ref = Tables(spark, dir).documents
+      .filter(!col("source").isin("src0", "src1", "src2", "src3", "src4"))
+    val sh = Dedup.shingles(ref)
+      .withColumn("hm", Dedup.md5long(col("s")) % Dedup.Prime)
+    val fresh = Dedup.d14BandKeys(Dedup.minhashStack(sh), "ref_id", 4)
+      .collect().map(_.toSeq.map {
+        case a: scala.collection.Seq[_] => a.toList
+        case v => v
+      }).toSet
+    assert(rows() == fresh, "rebuild(4) diverged from a fresh r=4 signing")
+    // (bk, k2) equality at r=4 IS the exact struct band join — the
+    // escalated oracle's tuple law, not a hash approximation
+    val mh = Dedup.minhashStack(sh).persist()
+    try {
+      val viaSplit = Dedup.d14BandKeys(mh, "doc_a", 4).as("x")
+        .join(Dedup.d14BandKeys(mh, "doc_b", 4).as("y"),
+          col("x.bk") === col("y.bk") && col("x.k2") === col("y.k2") &&
+            col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaStruct = Dedup.bandCandidates(mh, 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaSplit == viaStruct,
+        "split (bk, k2) keys diverged from the exact struct band join")
+    } finally mh.unpersist()
+    // and the knob turns back: rebuild(D14BandR) restores the original
+    Dedup.d14Rebuild(spark, dir, Dedup.D14BandR)
+    assert(Dedup.d14IndexR(spark, dir) == Dedup.D14BandR)
+    assert(rows() == orig, "rebuild back did not restore the r=2 table")
+  }
+
+  test("escalation actually rewrites: a hot-banded index flips d18's " +
+      "verdict and d14Maintain re-bands it — queries against the " +
+      "escalated index equal the r=4 recompute") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = TestSession.sfDir
+    Dedup.d14Build(spark, dir)
+    val bandsT = Dedup.d14Table("d14_ref_bands", dir)
+    // poison the band table with 200 synthetic docs colliding in EVERY
+    // band (valid r=2 packs, so the rebuild can unpack them): the census
+    // goes from healthy to ~100 cand-pairs/doc, far past the budget.
+    // They exist only in the bands table — the verify stage's shingle
+    // join drops them, so answers stay pure.
+    val P = Dedup.Prime
+    val hot = (0 until 200).flatMap(i => (0 until 4).map(b =>
+      ((b.toLong * P + 10 + b) * P + 20 + b, 5000000L + i)))
+      .toDF("bk", "ref_id")
+    graft.ops.Bucketing.appendBucketed(hot, bandsT, "bk", 8)
+    val dec = Dedup.d14Maintain(spark, dir)
+    assert(dec.escalateBanding,
+      s"hot bands must flip the escalation verdict, got $dec")
+    assert(Dedup.d14IndexR(spark, dir) == 2 * Dedup.D14BandR,
+      "d14Maintain must have re-banded the index to the next r")
+    assert(spark.table(bandsT).columns.contains("k2"),
+      "the escalated table must carry the k2 key remainder")
+    // the escalated index answers exactly the r=4 from-scratch recompute
+    val got = Dedup.d14Query(spark, dir)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val want = Dedup.d10With(spark, dir, 2 * Dedup.D14BandR)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got == want, "escalated-index query diverged from the r=4 " +
+      "recompute")
+    Dedup.d14Build(spark, dir) // restore the default index for later suites
+  }
 }
