@@ -199,6 +199,44 @@ final class KafkaClient(host: String, port: Int,
             "OAUTHBEARER error challenge followed by acceptance: " +
               new String(reply, UTF_8))
         }
+      case "GSSAPI" =>
+        // RFC 4752 Kerberos v5 over KIP-152, via the JRE's own SASL/JGSS
+        // stack (no library beyond the JDK): credentials come from the
+        // ambient Kerberos environment — a kinit ticket cache or keytab
+        // named by the standard krb5 system properties
+        // (java.security.krb5.conf, javax.security.auth.useSubjectCredsOnly
+        // =false to read the native ccache). `user`/`pass` play no part;
+        // the principal is whoever the cache says. The service principal
+        // is <service>/<host> with service from KAFKA_GSSAPI_SERVICE
+        // (default "kafka" — the broker's sasl.kerberos.service.name).
+        val service = sys.props.get("graft.kafka.gssapi.service")
+          .orElse(sys.env.get("KAFKA_GSSAPI_SERVICE")).getOrElse("kafka")
+        val sc = javax.security.sasl.Sasl.createSaslClient(
+          Array("GSSAPI"), null, service, host,
+          new java.util.HashMap[String, AnyRef](), null)
+        if (sc == null)
+          throw new KafkaServerErr(Err.SaslAuthenticationFailed,
+            "no GSSAPI SaslClient available in this JRE")
+        try {
+          var resp: Array[Byte] =
+            if (sc.hasInitialResponse) sc.evaluateChallenge(Array.empty)
+            else Array.empty
+          var rounds = 0
+          while (!sc.isComplete) {
+            rounds += 1
+            if (rounds > 10)
+              throw new KafkaServerErr(Err.SaslAuthenticationFailed,
+                "GSSAPI negotiation did not converge")
+            val challenge = saslRound(resp)
+            resp =
+              if (sc.isComplete) Array.empty
+              else sc.evaluateChallenge(
+                if (challenge == null) Array.empty else challenge)
+          }
+          // the security-layer acceptance token may complete client-side
+          // with bytes still owed to the server
+          if (resp != null && resp.nonEmpty) { saslRound(resp); () }
+        } finally sc.dispose()
       case m => throw new IllegalArgumentException(
         s"unsupported SASL mechanism: $m")
     }

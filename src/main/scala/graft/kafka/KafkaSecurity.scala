@@ -29,6 +29,12 @@ object KafkaSecurity {
     val jaas = get("kafka.sasl.jaas.config")
     val sasl: Option[(String, String)] = (mechOpt, jaas) match {
       case (None, None) => None
+      case (Some("GSSAPI"), _) =>
+        // Kerberos carries no inline credentials: the JGSS bid reads the
+        // ambient ticket cache/keytab (krb5 system properties), exactly
+        // like the Java client's sasl.kerberos.* convention — the (user,
+        // pass) pair is a placeholder the mechanism never reads
+        Some(("", ""))
       case (Some("OAUTHBEARER"), Some(j)) =>
         // the Java client's non-production convention (KIP-255): the
         // unsecured login module's sub claim IS the principal; no
@@ -41,7 +47,8 @@ object KafkaSecurity {
       case (Some(m), Some(j)) =>
         require(m == "PLAIN" || KafkaWire.Scram.Mechanisms.contains(m),
           s"kafka-wire driver supports PLAIN/SCRAM-SHA-256/512/" +
-            s"OAUTHBEARER via JAAS options, got $m")
+            s"OAUTHBEARER via JAAS options (GSSAPI via the ambient " +
+            s"krb5 environment), got $m")
         val user = "username=\"([^\"]*)\"".r.findFirstMatchIn(j)
         val pass = "password=\"([^\"]*)\"".r.findFirstMatchIn(j)
         require(user.isDefined && pass.isDefined,

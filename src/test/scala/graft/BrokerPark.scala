@@ -20,11 +20,22 @@ object BrokerPark {
     val k = new kafka.EmbeddedKafka
     val r = new redis.EmbeddedRedis
     val i = new iggy.EmbeddedIggy
+    // a two-node cluster topology split at the slot midpoint, for the
+    // REDIS_CLUSTER_BROKERS_URL leg
+    val ca = new redis.EmbeddedRedis
+    val cb = new redis.EmbeddedRedis
+    val mid = redis.RedisCluster.HashSlots / 2
+    val slots = Seq((0, mid - 1, ca.host, ca.port),
+      (mid, redis.RedisCluster.HashSlots - 1, cb.host, cb.port))
+    ca.slots = slots
+    cb.slots = slots
     try {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
-        s"kafka=${k.port} redis=${r.port} iggy=${i.port}\n")
-      println(s"[park] kafka=${k.port} redis=${r.port} iggy=${i.port}")
+        s"kafka=${k.port} redis=${r.port} iggy=${i.port} " +
+          s"rediscluster=${ca.host}:${ca.port},${cb.host}:${cb.port}\n")
+      println(s"[park] kafka=${k.port} redis=${r.port} iggy=${i.port} " +
+        s"rediscluster=${ca.host}:${ca.port},${cb.host}:${cb.port}")
       Thread.sleep(holdSec * 1000L)
-    } finally { k.close(); r.close(); i.close() }
+    } finally { k.close(); r.close(); i.close(); ca.close(); cb.close() }
   }
 }

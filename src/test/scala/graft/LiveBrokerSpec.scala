@@ -102,6 +102,165 @@ class LiveBrokerSpec extends AnyFunSuite {
     } finally c.close()
   }
 
+  test("kafka: k2-shape seek against a live broker — offsets_for_times " +
+      "returns the first offset at/after the target, strict-suffix law") {
+    val ep = endpoint("kafka", "KAFKA_BROKERS_URL")
+    assume(ep.isDefined, "no live kafka broker configured — skipping")
+    val (host, port) = ep.get
+    val topic = uniqueKey("graft_live_seek")
+    val c = new kafka.KafkaClient(host, port)
+    try {
+      val parts = c.metadata(Seq(topic)).getOrElse(topic, Seq.empty)
+      assume(parts.nonEmpty, s"broker did not auto-create $topic")
+      val p = parts.head
+      val t0 = 1700000000000L
+      val base = c.produce(topic, p,
+        (0 until N).map(i => (t0 + 10L * i, null: Array[Byte],
+          s"seek-$i".getBytes("UTF-8"))))
+      // the facade's strict `>` law pushes ms+1 into offsets_for_times:
+      // target BETWEEN records → next record; ON a record → that record
+      assert(c.listOffset(topic, p, t0 + 45L + 1L).contains(base + 5),
+        "seek between records must land on the next record")
+      assert(c.listOffset(topic, p, t0 + 50L + 1L).contains(base + 6),
+        "strictly-greater seek on an exact timestamp must skip it")
+      assert(c.listOffset(topic, p, t0 + 10L * N).isEmpty,
+        "seek past the tip must answer no-offset, not the tip")
+      // earliest/latest sentinels agree with the produced extent
+      assert(c.listOffset(topic, p, kafka.KafkaWire.Ts.Earliest)
+        .contains(base))
+      assert(c.listOffset(topic, p, kafka.KafkaWire.Ts.Latest)
+        .contains(base + N))
+      // and the sought fetch yields exactly the strict suffix
+      val (_, recs) = c.fetch(topic, p, base + 6)
+      assert(recs.map(r => new String(r.value, "UTF-8")) ==
+        (6 until N).map(i => s"seek-$i"))
+    } finally c.close()
+  }
+
+  test("kafka: k4-shape group commit/resume against a live broker") {
+    val ep = endpoint("kafka", "KAFKA_BROKERS_URL")
+    assume(ep.isDefined, "no live kafka broker configured — skipping")
+    val (host, port) = ep.get
+    val topic = uniqueKey("graft_live_grp")
+    val group = topic + "_g"
+    val c = new kafka.KafkaClient(host, port)
+    try {
+      val parts = c.metadata(Seq(topic)).getOrElse(topic, Seq.empty)
+      assume(parts.nonEmpty, s"broker did not auto-create $topic")
+      val p = parts.head
+      val base = c.produce(topic, p,
+        (0 until N).map(i => (1700000000000L + i, null: Array[Byte],
+          s"grp-$i".getBytes("UTF-8"))))
+      // a prior member committed mid-stream; a resuming member must read
+      // exactly the suffix from the committed point
+      c.findCoordinator(group)
+      c.commitOffsets(group, Map((topic, p) -> (base + 4)))
+      val committed = c.fetchOffsets(group, Map(topic -> Seq(p)))
+      assert(committed.get((topic, p)).contains(base + 4),
+        s"commit did not round-trip: $committed")
+      val (_, recs) = c.fetch(topic, p, committed((topic, p)))
+      assert(recs.map(r => new String(r.value, "UTF-8")) ==
+        (4 until N).map(i => s"grp-$i"))
+      // an uncommitted group reads as absent, never as zero
+      assert(c.fetchOffsets(group + "_none", Map(topic -> Seq(p))).isEmpty)
+    } finally c.close()
+  }
+
+  test("kafka: k5-shape zstd produce/fetch against a live broker") {
+    val ep = endpoint("kafka", "KAFKA_BROKERS_URL")
+    assume(ep.isDefined, "no live kafka broker configured — skipping")
+    val (host, port) = ep.get
+    val topic = uniqueKey("graft_live_zstd")
+    val c = new kafka.KafkaClient(host, port)
+    try {
+      val parts = c.metadata(Seq(topic)).getOrElse(topic, Seq.empty)
+      assume(parts.nonEmpty, s"broker did not auto-create $topic")
+      val p = parts.head
+      // compressible payloads so a broker-side recompression mismatch or
+      // CRC-over-compressed-records bug would corrupt visibly
+      val payloads = (0 until N).map(i => ("z" * 100 + s"|$i").getBytes("UTF-8"))
+      val base = c.produce(topic, p,
+        payloads.zipWithIndex.map { case (v, i) =>
+          (1700000000000L + i, null: Array[Byte], v) },
+        kafka.KafkaWire.Codec.Zstd)
+      val (_, recs) = c.fetch(topic, p, base)
+      assert(recs.map(r => new String(r.value, "UTF-8")) ==
+        payloads.map(new String(_, "UTF-8")),
+        "zstd round trip corrupted payloads")
+    } finally c.close()
+  }
+
+  test("kafka: k8-shape offsets-in-txn against a live broker — the EOS " +
+      "sink's ledger publishes at commit, vanishes on abort, fences") {
+    val ep = endpoint("kafka", "KAFKA_BROKERS_URL")
+    assume(ep.isDefined, "no live kafka broker configured — skipping")
+    val (host, port) = ep.get
+    val topic = uniqueKey("graft_live_eos")
+    val ledger = topic + "-ledger"
+    val group = topic + "_g"
+    val c = new kafka.KafkaClient(host, port)
+    try {
+      val parts = c.metadata(Seq(topic, ledger)).getOrElse(topic, Seq.empty)
+      assume(parts.nonEmpty, s"broker did not auto-create $topic")
+      val p = parts.head
+      c.findCoordinator(group)
+      // epoch 0: produce + stage watermark, ABORT — neither visible
+      val w = new kafka.KafkaTxnProducer(c, topic + "-w0").initTransactions()
+      w.begin()
+      w.send(topic, p, Seq((1L, null, "torn".getBytes("UTF-8"))))
+      w.sendOffsetsToTransaction(group, Map((ledger, 0) -> 1L))
+      w.abort()
+      assert(c.fetchOffsets(group, Map(ledger -> Seq(0))).isEmpty,
+        "aborted txn leaked its staged watermark")
+      // epoch 0 replay: produce + stage + COMMIT — both visible atomically
+      w.begin()
+      w.send(topic, p, Seq((2L, null, "real".getBytes("UTF-8"))))
+      w.sendOffsetsToTransaction(group, Map((ledger, 0) -> 1L))
+      w.commit()
+      assert(c.fetchOffsets(group, Map(ledger -> Seq(0)))
+        .get((ledger, 0)).contains(1L), "committed watermark missing")
+      val (_, _, rc) = c.fetchIso(topic, p, 0L, readCommitted = true)
+      assert(rc.map(r => new String(r.value, "UTF-8")) == Seq("real"),
+        "read_committed view diverged from exactly-once truth")
+      // restart fencing: a new incarnation bumps the epoch; the zombie dies
+      val w2 = new kafka.KafkaTxnProducer(c, topic + "-w0").initTransactions()
+      w2.begin()
+      val err = intercept[kafka.KafkaClient#KafkaServerErr] {
+        w.begin(); w.send(topic, p, Seq((3L, null, "stale".getBytes("UTF-8"))))
+      }
+      assert(err.code == kafka.KafkaWire.Err.InvalidProducerEpoch ||
+        err.code == kafka.KafkaWire.Err.InvalidTxnState,
+        s"zombie produce must die fenced, got $err")
+      w2.abort()
+    } finally c.close()
+  }
+
+  test("kafka: GSSAPI readiness against a kerberized broker " +
+      "(KAFKA_GSSAPI_BROKERS_URL + ambient krb5 credentials)") {
+    // the one §2 component the sandbox cannot validate (no KDC): the
+    // moment a kerberized listener + kinit cache exist, this leg runs the
+    // full RFC 4752 bid (JRE JGSS) and a k1-shape roundtrip through it.
+    // Requires java.security.krb5.conf (or KRB5_CONFIG) and
+    // -Djavax.security.auth.useSubjectCredsOnly=false for a native ccache.
+    val ep = endpoint("kafka", "KAFKA_GSSAPI_BROKERS_URL")
+    assume(ep.isDefined, "no kerberized kafka broker configured — skipping")
+    val (host, port) = ep.get
+    val topic = uniqueKey("graft_live_gss")
+    val c = new kafka.KafkaClient(host, port,
+      sasl = Some(("", "")), saslMechanism = "GSSAPI")
+    try {
+      val parts = c.metadata(Seq(topic)).getOrElse(topic, Seq.empty)
+      assume(parts.nonEmpty, s"broker did not auto-create $topic")
+      val p = parts.head
+      val base = c.produce(topic, p,
+        (0 until N).map(i => (1700000000000L + i, null: Array[Byte],
+          s"gss-$i".getBytes("UTF-8"))))
+      val (_, recs) = c.fetch(topic, p, base)
+      assert(recs.take(N).map(r => new String(r.value, "UTF-8")) ==
+        (0 until N).map(i => s"gss-$i"))
+    } finally c.close()
+  }
+
   test("redis: r1-shape roundtrip against a live broker (BROKERS_URL)") {
     val ep = endpoint("redis", "REDIS_BROKERS_URL")
     assume(ep.isDefined, "no live redis broker configured — skipping")
@@ -124,6 +283,72 @@ class LiveBrokerSpec extends AnyFunSuite {
       // cleanup so re-runs don't accumulate on the live instance (XTRIM
       // MAXLEN 0 — the stream-native form; DEL isn't guaranteed here)
       c.command(redis.RedisStreams.xtrimMaxLen(key, 0): _*)
+    } finally c.close()
+  }
+
+  test("redis: r6-shape consumer-group create/read/ack/resume against a " +
+      "live broker") {
+    val ep = endpoint("redis", "REDIS_BROKERS_URL")
+    assume(ep.isDefined, "no live redis broker configured — skipping")
+    val (host, port) = ep.get
+    val stream = uniqueKey("graft_live_grp")
+    val group = "g1"
+    val key = redis.RedisStreams.shardedKey(stream, 0L, sharded = false)
+    val c = new redis.RedisClient(host, port)
+    val c1 = new redis.RedisGroupConsumer(host, port, stream, 0L,
+      sharded = false, group, "c1")
+    val c2 = new redis.RedisGroupConsumer(host, port, stream, 0L,
+      sharded = false, group, "c2")
+    try {
+      (0 until N).foreach { i =>
+        c.command(redis.RedisStreams.xadd(key, 1700000000000L + i,
+          s"grp-$i".getBytes("UTF-8")): _*)
+      }
+      c1.create()
+      val first = c1.fetch(4)
+      assert(first.length == 4, s"first member read ${first.length}/4")
+      assert(c1.ack(first) == 4L, "XACK settled fewer than delivered")
+      // a SECOND member resumes at the group cursor: the remaining
+      // suffix, nothing re-delivered
+      val rest = c2.fetch(N)
+      assert(rest.length == N - 4,
+        s"resume read ${rest.length}, expected ${N - 4}")
+      assert((first ++ rest).map(_.id).distinct.length == N,
+        "group delivery lost or duplicated entries")
+      c.command(redis.RedisStreams.xtrimMaxLen(key, 0): _*)
+    } finally { c1.close(); c2.close(); c.close() }
+  }
+
+  test("redis: cluster-routed reads against a live cluster " +
+      "(REDIS_CLUSTER_BROKERS_URL) — CRC16 slots + MOVED redirects") {
+    // the embedded two-node cluster spec proves the routing logic; this
+    // leg points the same client at a real cluster, where slot ownership,
+    // MOVED storms during resharding, and hash tags are the broker's
+    val url = sys.env.get("REDIS_CLUSTER_BROKERS_URL").filter(_.trim.nonEmpty)
+    assume(url.isDefined, "no live redis cluster configured — skipping")
+    val seeds = url.get.stripPrefix("redis://").split(",").toSeq.map { s =>
+      val hp = s.split(":", 2)
+      (hp(0), hp.lift(1).map(_.toInt).getOrElse(6379))
+    }
+    val c = new redis.RedisClusterClient(seeds)
+    try {
+      // keys chosen to land in DIFFERENT slots (no hash tag), so at least
+      // two nodes serve when the cluster has >1 master
+      val keys = (0 until 8).map(i => uniqueKey(s"graft_live_cl$i"))
+      keys.zipWithIndex.foreach { case (k, i) =>
+        c.command(k, redis.RedisStreams.xadd(k, 1700000000000L + i,
+          s"cl-$i".getBytes("UTF-8")): _*)
+      }
+      keys.zipWithIndex.foreach { case (k, i) =>
+        val got = c.command(k, redis.RedisStreams.xrange(k): _*)
+        val entries = got match {
+          case redis.Resp.Arr(items) => items
+          case other => fail(s"unexpected XRANGE reply for $k: $other")
+        }
+        assert(entries.length == 1, s"$k round trip lost the entry")
+      }
+      keys.foreach(k =>
+        c.command(k, redis.RedisStreams.xtrimMaxLen(k, 0): _*))
     } finally c.close()
   }
 

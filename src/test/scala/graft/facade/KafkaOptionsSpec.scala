@@ -205,13 +205,13 @@ class KafkaOptionsSpec extends AnyFunSuite {
       securityOptions(SecurityProtocol.SaslSsl,
         Some(SaslOptions(SaslMechanism.ScramSha256, Some("u"), Some("p"))),
         Some(SslOptions("/tmp/trust.p12", Some("pw")))))
-    // GSSAPI has no JAAS surface on the wire driver — protocol/credential
-    // mismatch is refused (SASL_* without credentials)
-    val eg = intercept[SeaStreamErr.Unsupported](
-      SeaStreamer.connect("kafka://localhost:9092", spark,
-        securityOptions(SecurityProtocol.SaslPlaintext,
-          Some(SaslOptions(SaslMechanism.Gssapi, Some("u"), Some("p"))))))
-    assert(eg.getMessage.toLowerCase.contains("sasl"))
+    // GSSAPI carries no inline JAAS credentials — the wire driver now
+    // accepts the mechanism (the RFC 4752 bid reads the ambient krb5
+    // environment at handshake time), so a GSSAPI map CONNECTS; only the
+    // handshake against a kerberized listener can fail it
+    SeaStreamer.connect("kafka://localhost:9092", spark,
+      securityOptions(SecurityProtocol.SaslPlaintext,
+        Some(SaslOptions(SaslMechanism.Gssapi, None, None))))
     // an explicit PLAINTEXT map is fine on the wire driver
     SeaStreamer.connect("kafka://localhost:9092", spark,
       securityOptions(SecurityProtocol.Plaintext))
