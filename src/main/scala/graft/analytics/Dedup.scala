@@ -607,6 +607,24 @@ object Dedup {
     * minima (an empty doc) propagate to null keys, which the caller
     * filters.
     */
+  /** [[bandKeySqlExpr]]'s escalated-index form: the banded signature at
+    * r > 2 as an array of (bk, k2) structs — byte-identical keys to
+    * [[d14BandKeys]]' split scheme, for the streaming gate to probe an
+    * index that [[d14Rebuild]] escalated. Null minima (an empty doc)
+    * propagate into null bk, which the caller filters.
+    */
+  private[graft] def bandStructsSqlExpr(sigArray: String, r: Int): String = {
+    require(r == 4 || r == 8, s"struct band keys are the r > 2 form, got $r")
+    val nb = MinhashParams.size / r
+    s"transform(sequence(0, ${nb - 1}), b -> named_struct(" +
+      s"'bk', (cast(b AS bigint) * ${Prime}L + " +
+      s"element_at($sigArray, $r*b+1)) * ${Prime}L + " +
+      s"element_at($sigArray, $r*b+2), " +
+      s"'k2', transform(sequence(1, ${r / 2 - 1}), " +
+      s"j -> element_at($sigArray, $r*b+2*j+1) * ${Prime}L + " +
+      s"element_at($sigArray, $r*b+2*j+2))))"
+  }
+
   private[graft] def bandKeySqlExpr(sigArray: String): String =
     if (D14BandR == 1)
       s"transform($sigArray, (m, i) -> cast(i AS bigint) * ${Prime}L + m)"

@@ -183,12 +183,10 @@ object Transport {
           .cast("binary").as("payload"))
       .write.format("ss").mode("overwrite").save(out)
     val bandsTable = Dedup.d14Table("d14_ref_bands", dir)
-    // the stream signs arriving docs with bandKeySqlExpr at the DEFAULT
-    // band size — fail loudly if the standing index was escalated to a
-    // wider banding (bk alone is not the full key at r > 2)
-    require(Dedup.d14IndexR(s, dir) == Dedup.D14BandR,
-      s"stream gate signs at r=${Dedup.D14BandR} but the index is banded " +
-        s"at r=${Dedup.d14IndexR(s, dir)}")
+    // the stream signs arriving docs at the STORED index's own banding
+    // (the meta table d14Rebuild maintains): packed-long keys at r ≤ 2,
+    // (bk, k2) split keys when the index was escalated past the packing
+    val idxR = Dedup.d14IndexR(s, dir)
     // bloom over the STORED band keys — one aggregation over the bucket
     // layout (index-sized, not corpus-sized); the blob rides the stream
     // plan as a literal (t18's pattern; a cluster run would broadcast it)
@@ -220,17 +218,32 @@ object Transport {
       .withColumn("hm", expr(
         "transform(sh, x -> cast(conv(substring(md5(cast(x AS binary)), " +
           s"1, 15), 16, 10) AS bigint) % ${Dedup.Prime}L)"))
-      // d14's injective packed band keys at the index's own banding
-      // (Dedup.D14BandR — the stream side MUST sign with the stored
-      // table's exact key scheme); empty docs sign nothing (array_min of
-      // empty = null, which propagates to null keys)
+      // d14's band keys at the index's OWN banding (the stream side MUST
+      // sign with the stored table's exact key scheme); empty docs sign
+      // nothing (array_min of empty = null, which propagates to null keys)
       .withColumn("sig", expr(s"array($sigExprs)"))
-      .withColumn("bks", expr(Dedup.bandKeySqlExpr("sig")))
-      .withColumn("cand_bks", org.apache.spark.sql.functions.filter(
-        col("bks"), x => x.isNotNull && graft.functions.BloomFunctions
-          .mightContain(lit(blob), xxhash64(x))))
-      .select(col("doc_id"), col("source"),
-        explode_outer(col("cand_bks")).as("bk"))
+    val probed =
+      if (idxR <= 2)
+        enriched
+          .withColumn("bks", expr(Dedup.bandKeySqlExpr("sig")))
+          .withColumn("cand_bks", org.apache.spark.sql.functions.filter(
+            col("bks"), x => x.isNotNull && graft.functions.BloomFunctions
+              .mightContain(lit(blob), xxhash64(x))))
+          .select(col("doc_id"), col("source"),
+            explode_outer(col("cand_bks")).as("bk"))
+      else
+        // escalated index: (bk, k2) split keys — bloom still thins on the
+        // bk prefix; the k2 remainder rides to the join as an equality
+        enriched
+          .withColumn("bands", expr(Dedup.bandStructsSqlExpr("sig", idxR)))
+          .withColumn("cand_bands", org.apache.spark.sql.functions.filter(
+            col("bands"), x => x("bk").isNotNull &&
+              graft.functions.BloomFunctions
+                .mightContain(lit(blob), xxhash64(x("bk")))))
+          .select(col("doc_id"), col("source"),
+            explode_outer(col("cand_bands")).as("band"))
+          .select(col("doc_id"), col("source"),
+            col("band.bk").as("bk"), col("band.k2").as("k2b"))
     val bands = s.table(bandsTable).hint("merge")
     // the sink carries ONLY (doc_id, source, ref_id) — bounded-width rows
     // at any scale (a first cut shipped each collision row's shingle
@@ -238,8 +251,11 @@ object Transport {
     // re-reads the sliver docs' payloads from the log instead — the bytes
     // are already at rest, and an object-store re-read of the hit sliver
     // is exactly what a production admission gate does)
-    val joined = enriched.as("x")
-      .join(bands.as("y"), col("x.bk") === col("y.bk"), "left_outer")
+    val joinCond =
+      if (idxR <= 2) col("x.bk") === col("y.bk")
+      else col("x.bk") === col("y.bk") && col("x.k2b") === col("y.k2")
+    val joined = probed.as("x")
+      .join(bands.as("y"), joinCond, "left_outer")
       .select(col("x.doc_id"), col("x.source"), col("y.ref_id"))
     val q = joined.writeStream.outputMode("append")
       .format("memory").queryName("t20_idx_sink").start()

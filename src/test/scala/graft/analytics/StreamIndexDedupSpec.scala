@@ -49,4 +49,22 @@ class StreamIndexDedupSpec extends AnyFunSuite {
     assert(finalPlan.contains("Bucketed: true"),
       s"the static band table lost its bucketed scan:\n$finalPlan")
   }
+
+  test("t20 against an ESCALATED (r=4) index still equals the batch " +
+      "query — the stream gate signs with (bk, k2) split keys") {
+    // the maintenance loop's streaming half: after d14Maintain/d14Rebuild
+    // escalates the standing index, the ingest gate reads the meta r and
+    // probes with the same split keys the batch candidate join uses
+    Dedup.d14Build(spark, dir)
+    Dedup.d14Rebuild(spark, dir, 4)
+    try {
+      val streamRows = Transport.t20IndexDedupStream(spark, dir)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val batchRows = Dedup.d14Query(spark, dir)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(streamRows.nonEmpty, "t20 returned no rows at r=4")
+      assert(streamRows == batchRows,
+        "escalated-index ingest gate diverged from the batch query")
+    } finally Dedup.d14Rebuild(spark, dir, Dedup.D14BandR)
+  }
 }
