@@ -86,7 +86,7 @@ object Bench {
       "i1_iggy_roundtrip", "i2_iggy_admission", "i3_iggy_seek",
       "k1_kafka_roundtrip", "k2_kafka_seek", "k3_kafka_admission",
       "k4_kafka_group_resume", "k5_kafka_zstd_roundtrip", "k6_kafka_txn",
-      "k7_kafka_txn_stream", "k8_kafka_eos_sink",
+      "k7_kafka_txn_stream", "k8_kafka_eos_sink", "k9_kafka_eos_relay",
       "r1_redis_roundtrip", "r2_redis_latest", "r3_redis_sharding",
       "r4_redis_seek", "r5_redis_admission", "r6_redis_group_recovery",
       "r7_relay", "t2_ss_stream",

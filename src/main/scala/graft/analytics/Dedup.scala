@@ -1232,10 +1232,16 @@ object Dedup {
     * grown set. Append-then-query on the Spark side must equal this full
     * recompute exactly (s12's upsert ≡ rebuild law).
     */
-  private def d14UpsertOracleSql: String =
+  private def d14UpsertOracleSql: String = d14UpsertOracleSqlAt(D14BandR)
+
+  /** The two-wave upsert cascade at band size r — r = D14BandR is
+    * d14_upsert/d16's oracle; r = 4 is d20's (the incremental loop run
+    * entirely on an ESCALATED index).
+    */
+  private def d14UpsertOracleSqlAt(r: Int): String =
     s"""WITH $jaccardOracleCte,
        |$minhashSigSql,
-       |${bandCteSql(D14BandR)},
+       |${bandCteSql(r)},
        |wave1 AS (SELECT doc_id FROM documents
        |          WHERE source IN ('src0','src1')),
        |wave2 AS (SELECT doc_id, source FROM documents
@@ -1245,7 +1251,7 @@ object Dedup {
        |cand1 AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS ref_id
        |          FROM bnd x
        |          JOIN wave1 bx ON x.doc_id = bx.doc_id
-       |          JOIN bnd y ON ${bandJoinCondSql(D14BandR, "x", "y")}
+       |          JOIN bnd y ON ${bandJoinCondSql(r, "x", "y")}
        |          JOIN refs r ON y.doc_id = r.doc_id),
        |dup1 AS (SELECT DISTINCT c.doc_id
        |         FROM cand1 c
@@ -1259,7 +1265,7 @@ object Dedup {
        |cand2 AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS ref_id
        |          FROM bnd x
        |          JOIN wave2 bx ON x.doc_id = bx.doc_id
-       |          JOIN bnd y ON ${bandJoinCondSql(D14BandR, "x", "y")}
+       |          JOIN bnd y ON ${bandJoinCondSql(r, "x", "y")}
        |          JOIN grown g ON y.doc_id = g.doc_id),
        |dups AS (SELECT c.doc_id, c.ref_id, j.jaccard
        |         FROM cand2 c
@@ -1581,6 +1587,22 @@ object Dedup {
     // s12's upsert ≡ rebuild discipline applied to dedup.
     "d14_upsert" -> { (s, dir) =>
       d14Build(s, dir)
+      val wave1 = d14Query(s, dir, Seq("src0", "src1"))
+      d14Append(s, dir, wave1.filter(col("novel")))
+      d14Query(s, dir, Seq("src2", "src3", "src4"))
+    },
+
+    // The INCREMENTAL loop on an ESCALATED index: build at the default
+    // banding, re-band to r=4 (d19's knob turn), then run the full
+    // two-wave upsert cascade against it — wave one dedups and appends
+    // its survivors (d14Append signs at the stored r=4, split keys and
+    // all), wave two dedups against the GROWN escalated index. The
+    // oracle is the upsert cascade's SQL AT r=4: escalation must be
+    // invisible to the lifecycle's semantics (same one-generator
+    // discipline as d14_upsert/d16 — r the only moving part).
+    "d20_upsert_r4" -> { (s, dir) =>
+      d14Build(s, dir)
+      d14Rebuild(s, dir, 4)
       val wave1 = d14Query(s, dir, Seq("src0", "src1"))
       d14Append(s, dir, wave1.filter(col("novel")))
       d14Query(s, dir, Seq("src2", "src3", "src4"))
@@ -1909,6 +1931,9 @@ object Dedup {
          |FROM per GROUP BY colliders""".stripMargin,
     // append-then-query ≡ full recompute over the grown reference
     "d14_upsert" -> d14UpsertOracleSql,
+    // the same cascade on the ESCALATED index: rebuild(4) + upsert ≡
+    // full recompute at r=4
+    "d20_upsert_r4" -> d14UpsertOracleSqlAt(4),
     // compaction is invisible to the recurring query: same cascade SQL
     "d16_index_compact" -> d14UpsertOracleSql,
     "d17_index_forget" -> d17ForgetOracleSql,

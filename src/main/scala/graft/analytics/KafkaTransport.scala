@@ -229,6 +229,50 @@ object KafkaTransport {
       }
     },
 
+    // The broker-anchored exactly-once relay — the reference's
+    // consume-transform-produce loop with send_offsets_to_transaction
+    // staging the REAL source offsets (producer.rs:236-301), NO Spark
+    // checkpoint anywhere: the resume point IS the consumer group's
+    // committed offset, published atomically with the relayed data. The
+    // events envelope lands in SOURCE topics; bounded relay epochs move
+    // it to the sink topics (~4 epochs via the per-partition cap), with
+    // a crash injected mid-epoch (one partition's relay dies after
+    // producing + staging, before commit). The drain loop re-runs: the
+    // crashed range's data was aborted at the fence, its offset never
+    // moved, the replay re-relays exactly it — and the read_committed
+    // sink must hash-match the plain aggregate (no distinct to mask
+    // duplicates, count(*) to catch loss).
+    "k9_kafka_eos_relay" -> { (s, dir) =>
+      withServer { srv =>
+        val t = Tables(s, dir)
+        val src = Transport.envelopeOf(t)
+          .withColumn("stream_key", concat(lit("src_"), col("stream_key")))
+        KafkaSource.write(src, srv.host, srv.port,
+          sasl = Some(SaslCreds), saslMechanism = Mech, tls = Some(tlsClient))
+        val srcTopics = Transport.eventTypes.map("src_" + _)
+        // per-partition cap: 20 (topic, partition) ranges at any sf —
+        // total/4 per epoch spreads the drain over ~4 epochs
+        val cap = math.max(20L, t.events.count() / 20 / 4)
+        graft.kafka.KafkaEosSink.arm("k9-relay-crash")
+        val crashed = try {
+          graft.kafka.KafkaEosRelay.relayOnce(s, srv.host, srv.port,
+            srcTopics, _.stripPrefix("src_"), "g_k9_relay", "k9eos", cap,
+            sasl = Some(SaslCreds), saslMechanism = Mech,
+            tls = Some(tlsClient), crashBeforeCommit = Some("k9-relay-crash"))
+          false
+        } catch { case _: Exception => true }
+        require(crashed && !graft.kafka.KafkaEosSink.armed("k9-relay-crash"),
+          "the injected mid-relay crash did not fire")
+        graft.kafka.KafkaEosRelay.relayAll(s, srv.host, srv.port,
+          srcTopics, _.stripPrefix("src_"), "g_k9_relay", "k9eos", cap,
+          sasl = Some(SaslCreds), saslMechanism = Mech, tls = Some(tlsClient))
+        val replay = KafkaSource.boundedRead(s, srv.host, srv.port,
+          Transport.eventTypes, sasl = Some(SaslCreds), saslMechanism = Mech,
+          tls = Some(tlsClient), readCommitted = true).localCheckpoint(true)
+        Transport.aggregate(replay, withDistinct = false)
+      }
+    },
+
     // Compressed round-trip law: `compression.type=zstd` on the producer,
     // the broker stores each batch AS PRODUCED (the compression.type=
     // producer default), and the fetch decode reads the codec from every
@@ -341,6 +385,9 @@ object KafkaTransport {
     // committed-epoch driver crash (two restarts), the read_committed
     // sink equals the plain aggregate — no distinct to mask duplicates
     "k8_kafka_eos_sink" -> Transport.aggregateOracle(withDistinct = false),
+    // the broker-anchored relay under the same exactly-once law: resume
+    // from group offsets alone (no checkpoint), injected mid-relay crash
+    "k9_kafka_eos_relay" -> Transport.aggregateOracle(withDistinct = false),
     "k3_kafka_admission" -> Transport.aggregateOracle(withDistinct = false),
     // same cutoff law as the iggy/redis seek oracles: epochs at ms
     // resolution, strictly greater than the midpoint

@@ -1,0 +1,136 @@
+package graft.kafka
+
+import org.apache.spark.sql.SparkSession
+
+/** Exactly-once Kafka→Kafka relay — the reference's consume-transform-
+  * produce loop in its PUREST form (sea-streamer-kafka/src/producer.rs:
+  * 236-301, `send_offsets_to_transaction` staging the REAL source
+  * offsets): no Spark checkpoint anywhere — the resume point IS the
+  * consumer group's committed offset, and it publishes atomically with
+  * the relayed data because it is staged INSIDE the transaction.
+  *
+  * [[KafkaEosSink]] is the Spark-idiomatic half (foreachBatch epochs,
+  * Spark's offset WAL drives replay, the ledger makes replay idempotent);
+  * this is the broker-anchored half: kill the driver, lose the
+  * checkpoint directory entirely, restart anywhere — the group offsets
+  * say exactly what was relayed, and nothing else is needed.
+  *
+  * One epoch ([[relayOnce]]) plans per-(topic, partition) ranges
+  * [committed, min(tip, committed + cap)) on the driver (Metadata +
+  * OffsetFetch + ListOffsets — O(#partitions) RPCs, no data), then each
+  * range relays in its own task: init (fences the slot's previous
+  * incarnation, aborting any open txn), re-read the committed offset
+  * AFTER the fence (a zombie can no longer move it — skip if this range
+  * already landed), begin → fetch pages → produce to the destination
+  * topic at the SAME partition (order-preserving) → stage the range's
+  * end offset under the group → commit. A crash anywhere before the
+  * commit leaves data invisible (aborted at the next init) and the
+  * offset unmoved — the next epoch re-relays the same range.
+  * [[relayAll]] loops epochs until a pass moves nothing.
+  *
+  * Scale shape: tasks are independent single-connection relays, one per
+  * (topic, partition) — data bytes never touch the driver; `cap` bounds
+  * per-epoch transaction size (a real deployment's
+  * `transaction.timeout.ms` pressure valve).
+  */
+object KafkaEosRelay {
+
+  /** One bounded exactly-once relay epoch; returns rows relayed (0 =
+    * fully drained). `dst` maps source topic → destination topic (must
+    * differ). `crashBeforeCommit` is [[KafkaEosSink.arm]]'s failpoint —
+    * exactly one task dies after producing + staging, before commit.
+    */
+  def relayOnce(spark: SparkSession, host: String, port: Int,
+      topics: Seq[String], dst: String => String, group: String,
+      txnIdPrefix: String, cap: Long = 100000L,
+      maxFetchBytes: Int = 1 << 20,
+      sasl: Option[(String, String)] = None,
+      saslMechanism: String = "PLAIN",
+      tls: Option[KafkaTls.Client] = None,
+      crashBeforeCommit: Option[String] = None): Long = {
+    require(cap > 0, "cap must be positive")
+    val planner = new KafkaClient(host, port, sasl = sasl,
+      saslMechanism = saslMechanism, tls = tls)
+    val ranges = try {
+      planner.findCoordinator(group)
+      val meta = planner.metadata(topics)
+      topics.flatMap { t =>
+        require(dst(t) != t, s"relay destination of $t must differ")
+        val parts = meta.getOrElse(t, Seq.empty)
+        val committed = if (parts.isEmpty) Map.empty[(String, Int), Long]
+          else planner.fetchOffsets(group, Map(t -> parts))
+        parts.map { p =>
+          val tip = planner.listOffset(t, p, KafkaWire.Ts.Latest)
+            .getOrElse(0L)
+          val from = committed.getOrElse((t, p), 0L)
+          (t, p, from, math.min(tip, from + cap))
+        }
+      }.filter(r => r._4 > r._3)
+    } finally planner.close()
+    if (ranges.isEmpty) 0L
+    else spark.sparkContext.parallelize(ranges, ranges.size)
+      .map { case (topic, part, from, until) =>
+        val client = new KafkaClient(host, port, sasl = sasl,
+          saslMechanism = saslMechanism, tls = tls)
+        try {
+          // fence FIRST, read the resume point second: after the epoch
+          // bump no zombie commit can advance (or abort-drop) the offset
+          // this task is about to trust
+          val producer = new KafkaTxnProducer(client,
+            s"$txnIdPrefix-$topic-$part").initTransactions()
+          client.findCoordinator(group)
+          val committed = client.fetchOffsets(group, Map(topic -> Seq(part)))
+            .getOrElse((topic, part), 0L)
+          if (committed >= until) 0L // range already landed — replay skip
+          else {
+            val to = dst(topic)
+            val dstParts = client.metadata(Seq(to)).getOrElse(to, Seq.empty)
+            require(dstParts.size > part,
+              s"destination $to lacks partition $part")
+            producer.begin()
+            var next = math.max(from, committed)
+            var n = 0L
+            while (next < until) {
+              val (_, page, recs) =
+                client.fetchIso(topic, part, next, maxFetchBytes)
+              if (page <= next) next = until // source truncated under us
+              else {
+                val keep = recs.takeWhile(_.offset < until)
+                if (keep.nonEmpty) {
+                  producer.send(to, part,
+                    keep.map(r => (r.tsMs, r.key, r.value)))
+                  n += keep.length
+                }
+                next = math.min(page, until)
+              }
+            }
+            producer.sendOffsetsToTransaction(group,
+              Map((topic, part) -> until))
+            if (crashBeforeCommit.exists(KafkaEosSink.fire))
+              throw new IllegalStateException(
+                s"injected crash: relay $topic/$part [$from,$until) " +
+                  "produced + staged, not committed")
+            producer.commit()
+            n
+          }
+        } finally client.close()
+      }.sum().toLong
+  }
+
+  /** Drain the source completely: epochs until one moves nothing. */
+  def relayAll(spark: SparkSession, host: String, port: Int,
+      topics: Seq[String], dst: String => String, group: String,
+      txnIdPrefix: String, cap: Long = 100000L,
+      sasl: Option[(String, String)] = None,
+      saslMechanism: String = "PLAIN",
+      tls: Option[KafkaTls.Client] = None): Long = {
+    var total = 0L
+    var moved = -1L
+    while (moved != 0L) {
+      moved = relayOnce(spark, host, port, topics, dst, group, txnIdPrefix,
+        cap, sasl = sasl, saslMechanism = saslMechanism, tls = tls)
+      total += moved
+    }
+    total
+  }
+}

@@ -59,6 +59,7 @@ object KafkaEosSink {
   private val failpoints =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   def arm(token: String): Unit = { failpoints.add(token); () }
+  def armed(token: String): Boolean = failpoints.contains(token)
   private[kafka] def fire(token: String): Boolean = failpoints.remove(token)
 
   /** Write one micro-batch (epoch) exactly-once. `df` is envelope-shaped

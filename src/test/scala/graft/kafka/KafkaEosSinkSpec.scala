@@ -87,6 +87,42 @@ class KafkaEosSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("relay: bounded epochs drain exactly-once off group offsets " +
+      "alone — idempotent when drained, capped per epoch, crash-before-" +
+      "commit re-relays the same range with no loss or duplication") {
+    withBroker { (srv, c) =>
+      c.metadata(Seq("src", "dst"))
+      val vals = (0 until 20).map(i => s"m$i")
+      vals.zipWithIndex.foreach { case (v, i) =>
+        c.produce("src", 0, Seq((1000L + i, null, v.getBytes("UTF-8"))))
+      }
+      val relay = (crash: Option[String]) =>
+        KafkaEosRelay.relayOnce(spark, srv.host, srv.port, Seq("src"),
+          _ => "dst", "g_relay", "rel", cap = 6L,
+          crashBeforeCommit = crash)
+      // epoch 1: capped at 6
+      assert(relay(None) == 6L, "cap must bound the epoch")
+      assert(c.fetchOffsets("g_relay", Map("src" -> Seq(0)))
+        .get(("src", 0)).contains(6L), "offset must publish with the data")
+      // epoch 2 crashes after produce+stage, before commit: nothing moves
+      KafkaEosSink.arm("relay-crash")
+      intercept[Exception](relay(Some("relay-crash")))
+      assert(c.fetchOffsets("g_relay", Map("src" -> Seq(0)))
+        .get(("src", 0)).contains(6L),
+        "a crashed epoch must not advance the resume point")
+      // drain: the crashed range re-relays (its aborted copy is fenced
+      // away), then the rest; a further pass moves nothing
+      val moved = KafkaEosRelay.relayAll(spark, srv.host, srv.port,
+        Seq("src"), _ => "dst", "g_relay", "rel", cap = 6L)
+      assert(moved == 14L, s"drain relayed $moved, expected 14")
+      assert(relay(None) == 0L, "a drained source must relay nothing")
+      // exactly-once: the read_committed view is the source, once each
+      val (_, _, rc) = c.fetchIso("dst", 0, 0L, readCommitted = true)
+      assert(rc.map(r => new String(r.value, "UTF-8")) == vals,
+        "relay lost, duplicated, or reordered rows")
+    }
+  }
+
   test("zombie writer fencing: a stale incarnation holding a slot's " +
       "transactional id cannot commit after the restarted writer re-inits " +
       "— its rows never become visible") {
