@@ -318,6 +318,16 @@ class DedupSpec extends AnyFunSuite {
       assert(viaSplit == viaStruct,
         "split (bk, k2) keys diverged from the exact struct band join")
     } finally mh.unpersist()
+    // r=8 too — "any r" means every divisor of the signature width:
+    // one band of all 8 minima (near-exact dup detection), k2 three wide
+    Dedup.d14Rebuild(spark, dir, 8)
+    assert(Dedup.d14IndexR(spark, dir) == 8)
+    val fresh8 = Dedup.d14BandKeys(Dedup.minhashStack(sh), "ref_id", 8)
+      .collect().map(_.toSeq.map {
+        case a: scala.collection.Seq[_] => a.toList
+        case v => v
+      }).toSet
+    assert(rows() == fresh8, "rebuild(8) diverged from a fresh r=8 signing")
     // and the knob turns back: rebuild(D14BandR) restores the original
     Dedup.d14Rebuild(spark, dir, Dedup.D14BandR)
     assert(Dedup.d14IndexR(spark, dir) == Dedup.D14BandR)
