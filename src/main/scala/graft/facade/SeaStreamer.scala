@@ -824,12 +824,52 @@ object SeaStreamer {
       * exactly-once via the marker ledger ([[graft.ops.ExactlyOnce]]) — the
       * Spark-native analogue of the reference's Kafka transactional
       * producer; point it next to the checkpoint.
+      *
+      * `kafkaTransactionalId` (kafka wire driver only) upgrades the live
+      * producer to the REAL thing instead of the analogue: each epoch
+      * writes through [[graft.kafka.KafkaEosSink]] — per-slot KIP-98
+      * transactions carrying the epoch watermark as an offsets-in-txn
+      * ledger under the group `<id>-ledger`, restart fencing on the
+      * stable `<id>-<slot>` transactional ids, idempotent epoch replay.
+      * This is the reference producer's `transaction` surface
+      * (sea-streamer-kafka/src/producer.rs:236-301) composed into the
+      * streaming send path; a read_committed consumer of the sink sees
+      * exactly-once output across any crash/restart pattern (k8's law).
       */
     def sendStream(df: DataFrame, checkpointLocation: String,
-        exactlyOnceLedger: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+        exactlyOnceLedger: Option[String] = None,
+        kafkaTransactionalId: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
       scheme match {
         case "redis" | "kafka" | "file" | "iggy" => ()
         case other => throw SeaStreamErr.Unsupported(s"live producer on '$other'")
+      }
+      if (kafkaTransactionalId.isDefined && scheme != "kafka")
+        throw SeaStreamErr.Unsupported(
+          s"kafkaTransactionalId on '$scheme' (kafka only)")
+      if (kafkaTransactionalId.isDefined && exactlyOnceLedger.isDefined)
+        throw SeaStreamErr.Unsupported(
+          "choose ONE exactly-once mechanism: the kafka transactional " +
+            "producer or the marker ledger")
+      if (kafkaTransactionalId.isDefined) {
+        // transactions are the wire driver's surface — the builtin
+        // connector's sink has no transactional mode to delegate to
+        val (host, port) = SeaStreamer.hostPort(node, 9092)
+        val sec = graft.kafka.KafkaSecurity.parse(security)
+        val compression = security.getOrElse("kafka.compression.type", "none")
+        val txnId = kafkaTransactionalId.get
+        val out0 = anchor match {
+          case Some(key) => df.withColumn("stream_key", lit(key))
+          case None => df
+        }
+        return out0.writeStream
+          .option("checkpointLocation", checkpointLocation)
+          .foreachBatch { (batch: DataFrame, epochId: Long) =>
+            graft.kafka.KafkaEosSink.writeEpoch(batch, host, port,
+              txnIdPrefix = txnId, ledgerGroup = s"$txnId-ledger",
+              epochId = epochId, sasl = sec.sasl,
+              saslMechanism = sec.saslMechanism, tls = sec.tls,
+              compression = compression)
+          }.start()
       }
       if (scheme == "file" && exactlyOnceLedger.isEmpty) {
         // the ss streaming sink is already exactly-once (epoch-keyed parts)

@@ -177,6 +177,46 @@ class KafkaFacadeSpec extends AnyFunSuite {
     }
   }
 
+  test("facade live producer with kafkaTransactionalId: the reference's " +
+      "transactional producer surface — epochs land as KIP-98 txns with " +
+      "the offsets-in-txn ledger") {
+    withBroker { (srv, conn) =>
+      conn.createGenericProducer().send(mkEnvelope(24))
+      val live = conn.createConsumer(Seq("s0", "s1"),
+        ConsumerOptions(live = true,
+          autoStreamReset = AutoStreamReset.Earliest))
+        .withColumn("stream_key",
+          regexp_replace(col("stream_key"), "^s", "d"))
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("ktxn_facade").toString
+      val q = conn.createGenericProducer()
+        .sendStream(live, ckpt, kafkaTransactionalId = Some("facade-eos"))
+      try q.processAllAvailable() finally q.stop()
+      // every relayed row is visible to a read_committed scan (all the
+      // sink's transactions committed), exactly once
+      val c = new graft.kafka.KafkaClient(srv.host, srv.port)
+      try {
+        val vals = Seq("d0", "d1").flatMap(t => (0 until 4).flatMap(p =>
+          c.fetchIso(t, p, 0L, readCommitted = true)._3
+            .map(r => new String(r.value, "UTF-8"))))
+        assert(vals.sorted == (0 until 24).map(i => s"p$i").sorted,
+          s"transactional facade sink lost/duplicated rows: $vals")
+        // the epoch ledger committed atomically with the data
+        val marks = c.fetchOffsets("facade-eos-ledger",
+          Map(graft.kafka.KafkaEosSink.ledgerTopic("facade-eos") ->
+            (0 until 8)))
+        assert(marks.nonEmpty && marks.values.forall(_ >= 1L),
+          s"missing epoch watermarks: $marks")
+      } finally c.close()
+      // mechanism exclusivity and scheme gating are typed errors
+      intercept[graft.core.SeaStreamErr.Unsupported] {
+        conn.createGenericProducer().sendStream(live, ckpt,
+          exactlyOnceLedger = Some("/tmp/x"),
+          kafkaTransactionalId = Some("facade-eos"))
+      }
+    }
+  }
+
   test("kafka assign prunes the bounded fetch PLAN to the pinned partitions") {
     withBroker { (srv, conn) =>
       conn.createGenericProducer().send(mkEnvelope(40))
