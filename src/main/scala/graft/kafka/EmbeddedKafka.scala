@@ -105,9 +105,38 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4,
   private final class TxnState(val pid: Long, var epoch: Int) {
     val parts = mutable.Set.empty[(String, Int)]
     val stagedOffsets = mutable.Map.empty[String, Long] // "group/topic/p"
+    // transaction.timeout.ms from InitProducerId + the last transactional
+    // activity — the coordinator's expiry clock
+    var timeoutMs: Int = 60000
+    @volatile var lastTouchMs: Long = System.currentTimeMillis()
+    def touch(): Unit = lastTouchMs = System.currentTimeMillis()
   }
   private val txns = new ConcurrentHashMap[String, TxnState]()
   private val nextPid = new java.util.concurrent.atomic.AtomicLong(1000L)
+
+  /** Coordinator-side transaction expiry (the real broker's
+    * `transaction.timeout.ms` abort): a producer that crashed and never
+    * restarts must not wedge read_committed forever — past the timeout
+    * the coordinator aborts its open transaction (markers written, LSO
+    * released) and BUMPS the epoch, so a late zombie request dies with
+    * INVALID_PRODUCER_EPOCH exactly as if a re-init had fenced it. Swept
+    * on every fetch and every transactional request (a single-threaded
+    * test broker needs no background reaper thread).
+    */
+  private def expireTxns(): Unit = {
+    val now = System.currentTimeMillis()
+    txns.synchronized {
+      txns.forEach { (_, st) =>
+        st.synchronized {
+          if ((st.parts.nonEmpty || st.stagedOffsets.nonEmpty) &&
+              now - st.lastTouchMs > st.timeoutMs) {
+            abortOngoing(st)
+            st.epoch += 1
+          }
+        }
+      }
+    }
+  }
 
   /** Fault taps (KafkaFaultSpec only) — each counts DOWN per triggered
     * request and injects the named failure while positive. A real broker
@@ -434,13 +463,14 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4,
   private def initProducerIdV0(body: Array[Byte]): Array[Byte] = {
     val r = new KafkaWire.Reader(body)
     val txnId = r.nullableStr()
-    r.i32() // transaction_timeout_ms
+    val timeoutMs = r.i32() // transaction_timeout_ms
     val (pid, epoch) =
       if (txnId == null) (nextPid.getAndIncrement(), 0)
       else txns.synchronized {
         val st = txns.get(txnId)
         if (st == null) {
           val fresh = new TxnState(nextPid.getAndIncrement(), 0)
+          if (timeoutMs > 0) fresh.timeoutMs = timeoutMs
           txns.put(txnId, fresh)
           (fresh.pid, fresh.epoch)
         } else st.synchronized {
@@ -451,6 +481,8 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4,
           // interleave and double-write markers for the same pid
           abortOngoing(st)
           st.epoch += 1
+          if (timeoutMs > 0) st.timeoutMs = timeoutMs
+          st.touch()
           (st.pid, st.epoch)
         }
       }
@@ -467,7 +499,7 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4,
     if (st == null) Left(Err.InvalidTxnState)
     else if (st.pid != pid || st.epoch != epoch)
       Left(Err.InvalidProducerEpoch)
-    else Right(st)
+    else { st.touch(); Right(st) }
   }
 
   /** AddPartitionsToTxn v0: register partitions into the current txn
@@ -687,6 +719,7 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4,
     * served bytes (KIP-98's consumer half).
     */
   private def fetchV4(body: Array[Byte]): Array[Byte] = {
+    expireTxns() // the coordinator's transaction.timeout.ms sweep
     val r = new KafkaWire.Reader(body)
     r.i32(); r.i32(); r.i32(); r.i32() // replica/wait/min/max
     val isolation = r.i8()

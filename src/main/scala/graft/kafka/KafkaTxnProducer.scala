@@ -16,7 +16,14 @@ package graft.kafka
   * per (topic, partition) across the producer's life, as the idempotent
   * producer requires.
   */
-final class KafkaTxnProducer(client: KafkaClient, txnId: String) {
+final class KafkaTxnProducer(client: KafkaClient, txnId: String,
+    /** `transaction.timeout.ms` sent with InitProducerId: past this much
+      * transactional inactivity the COORDINATOR aborts the open txn and
+      * bumps the epoch (releasing the LSO a crashed producer would
+      * otherwise hold forever) — any later request from this incarnation
+      * dies with INVALID_PRODUCER_EPOCH.
+      */
+    txnTimeoutMs: Int = 60000) {
   private var pid: Long = -1L
   private var epoch: Int = -1
   private var inTxn = false
@@ -32,7 +39,7 @@ final class KafkaTxnProducer(client: KafkaClient, txnId: String) {
     * read as a giant sequence gap (OUT_OF_ORDER) on a real broker.
     */
   def initTransactions(): this.type = {
-    val (p, e) = client.initProducerId(txnId)
+    val (p, e) = client.initProducerId(txnId, txnTimeoutMs)
     pid = p; epoch = e
     inTxn = false
     added.clear()

@@ -260,6 +260,44 @@ class KafkaTxnSpec extends AnyFunSuite {
     }
   }
 
+  test("transaction.timeout.ms: the coordinator aborts a crashed " +
+      "producer's open txn — LSO releases without a restart, the zombie " +
+      "dies fenced") {
+    withBroker { (_, c) =>
+      c.metadata(Seq("t"))
+      c.produce("t", 0, Seq((1L, null, "before".getBytes("UTF-8"))))
+      val p = new KafkaTxnProducer(c, "crashed", txnTimeoutMs = 120)
+        .initTransactions()
+      p.begin()
+      p.send("t", 0, Seq((2L, null, "orphan".getBytes("UTF-8"))))
+      // open txn: the stable region stops at its first offset
+      val (lso0, _, rc0) = c.fetchIso("t", 0, 0L, readCommitted = true)
+      assert(lso0 == 1L && values(rc0) == Seq("before"))
+      // the producer now CRASHES (no abort, no re-init). Past the
+      // timeout, any fetch sweeps the coordinator: the txn aborts,
+      // markers land, the LSO releases WITHOUT anyone restarting
+      Thread.sleep(250)
+      val (lso1, _, rc1) = c.fetchIso("t", 0, 0L, readCommitted = true)
+      assert(values(rc1) == Seq("before"),
+        s"expired txn's data leaked: ${values(rc1)}")
+      assert(lso1 == 3L, // data + orphan + abort marker, all stable now
+        s"expiry did not release the LSO (lso=$lso1)")
+      // the expiry bumped the epoch: the crashed incarnation is fenced
+      val err = intercept[KafkaClient#KafkaServerErr] {
+        p.send("t", 0, Seq((3L, null, "late".getBytes("UTF-8"))))
+      }
+      assert(err.code == KafkaWire.Err.InvalidProducerEpoch,
+        s"zombie must die fenced after expiry, got $err")
+      // a fresh init recovers the id and can transact again
+      p.initTransactions()
+      p.begin()
+      p.send("t", 0, Seq((4L, null, "recovered".getBytes("UTF-8"))))
+      p.commit()
+      val (_, _, rc2) = c.fetchIso("t", 0, 0L, readCommitted = true)
+      assert(values(rc2) == Seq("before", "recovered"))
+    }
+  }
+
   test("streaming read_committed: an OPEN transaction bounds the stream " +
       "at the LSO without wedging it; EndTxn releases the region on the " +
       "next trigger") {
