@@ -68,6 +68,14 @@ object KafkaEosSink {
     * Call from `foreachBatch { (batch, epochId) => writeEpoch(batch, …,
     * epochId) }`; epochIds must be the monotone batch ids Spark replays
     * stably from its checkpoint.
+    *
+    * INVARIANT: `numSlots` (and `partitions`) must stay FIXED across
+    * restarts of the same checkpoint lineage — the per-slot ledger only
+    * covers a replayed row if the replay hashes it onto the SAME slot,
+    * which deterministic repartitioning guarantees exactly when the slot
+    * count is unchanged. Changing either mid-lineage is a resharding
+    * migration: drain (let every epoch commit), then restart with a new
+    * `txnIdPrefix`.
     */
   def writeEpoch(df: DataFrame, host: String, port: Int,
       txnIdPrefix: String, ledgerGroup: String, epochId: Long,
