@@ -123,6 +123,79 @@ class KafkaEosSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized crash storm (sink): any sequence of mid-epoch crashes " +
+      "and replays drains to exactly-once — seeded, 6 epochs, repeated " +
+      "arbitrary failures per epoch") {
+    withBroker { (srv, c) =>
+      c.metadata(Seq("t"))
+      val rnd = new scala.util.Random(42)
+      val slices = (0 until 6).map { e =>
+        envelope((0 until 10).map { j =>
+          val i = e * 10 + j
+          ("t", (i % 8).toLong, i + 1L, f"v$i%02d")
+        })
+      }
+      var crashes = 0
+      for (e <- 0 until 6) {
+        var done = false
+        var attempts = 0
+        while (!done) {
+          attempts += 1
+          assert(attempts <= 10, s"epoch $e would not converge")
+          // keep crashing at random until the dice say commit (a bounded
+          // storm: the last allowed attempt always runs clean)
+          val crash = attempts < 9 && rnd.nextBoolean()
+          val tok = s"storm-$e-$attempts"
+          if (crash) { KafkaEosSink.arm(tok); crashes += 1 }
+          try {
+            KafkaEosSink.writeEpoch(slices(e), srv.host, srv.port,
+              "eosstorm", "gstorm", e.toLong,
+              crashBeforeCommit = if (crash) Some(tok) else None)
+            done = true
+          } catch { case _: Exception => () }
+        }
+      }
+      assert(crashes > 3, s"storm too calm ($crashes crashes) — reseed")
+      val vs = committedValues(c, "t")
+      assert(vs.sorted == (0 until 60).map(i => f"v$i%02d"),
+        s"crash storm broke exactly-once: ${vs.size} rows, " +
+          s"dupes=${vs.diff(vs.distinct).distinct}")
+    }
+  }
+
+  test("randomized crash storm (relay): repeated mid-relay crashes at " +
+      "random epochs drain to exactly-once off group offsets alone") {
+    withBroker { (srv, c) =>
+      c.metadata(Seq("src", "dst"))
+      val vals = (0 until 40).map(i => f"m$i%02d")
+      vals.zipWithIndex.foreach { case (v, i) =>
+        c.produce("src", 0, Seq((1000L + i, null, v.getBytes("UTF-8"))))
+      }
+      var drained = false
+      var crashes = 0
+      var guard = 0
+      while (!drained) {
+        guard += 1
+        assert(guard <= 40, "relay storm would not converge")
+        // alternate crash/clean: EVERY epoch gets one failed attempt
+        // before it lands — the densest storm the fencing must survive
+        val crash = guard < 30 && guard % 2 == 1
+        val tok = s"rstorm-$guard"
+        if (crash) { KafkaEosSink.arm(tok); crashes += 1 }
+        try {
+          val moved = KafkaEosRelay.relayOnce(spark, srv.host, srv.port,
+            Seq("src"), _ => "dst", "g_storm", "rstorm", cap = 7L,
+            crashBeforeCommit = if (crash) Some(tok) else None)
+          if (moved == 0L) drained = true
+        } catch { case _: Exception => () }
+      }
+      assert(crashes > 2, s"storm too calm ($crashes) — reseed")
+      val (_, _, rc) = c.fetchIso("dst", 0, 0L, readCommitted = true)
+      assert(rc.map(r => new String(r.value, "UTF-8")) == vals,
+        "relay crash storm lost, duplicated, or reordered rows")
+    }
+  }
+
   test("zombie writer fencing: a stale incarnation holding a slot's " +
       "transactional id cannot commit after the restarted writer re-inits " +
       "— its rows never become visible") {
