@@ -87,6 +87,7 @@ object Bench {
       "k1_kafka_roundtrip", "k2_kafka_seek", "k3_kafka_admission",
       "k4_kafka_group_resume", "k5_kafka_zstd_roundtrip", "k6_kafka_txn",
       "k7_kafka_txn_stream", "k8_kafka_eos_sink", "k9_kafka_eos_relay",
+      "k10_kafka_eos_pipeline",
       "r1_redis_roundtrip", "r2_redis_latest", "r3_redis_sharding",
       "r4_redis_seek", "r5_redis_admission", "r6_redis_group_recovery",
       "r7_relay", "t2_ss_stream",

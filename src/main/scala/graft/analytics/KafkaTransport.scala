@@ -229,6 +229,73 @@ object KafkaTransport {
       }
     },
 
+    // The CAPSTONE chain — transport + analytics + exactly-once output in
+    // one pipeline, the production ingest story end-to-end: events stream
+    // in from SOURCE topics over the wire driver, each epoch runs a
+    // QUALITY GATE (parse the payload, admit value > 50 — t23's
+    // admission shape fused into the sink path), and the admitted sliver
+    // lands in the sink topics through the KIP-98 exactly-once sink,
+    // surviving an injected mid-epoch crash. The oracle is the gated
+    // aggregate straight off the parquet: any loss, duplication, or gate
+    // drift across the crash/restart breaks n/sum/max.
+    "k10_kafka_eos_pipeline" -> { (s, dir) =>
+      withServer { srv =>
+        val t = Tables(s, dir)
+        val src = Transport.envelopeOf(t)
+          .withColumn("stream_key", concat(lit("src_"), col("stream_key")))
+        KafkaSource.write(src, srv.host, srv.port,
+          sasl = Some(SaslCreds), saslMechanism = Mech, tls = Some(tlsClient))
+        val cap = math.max(250L, t.events.count() / 4)
+        val ckpt = Transport.scratch(dir, "k10ckpt")
+        val fsC = new org.apache.hadoop.fs.Path(ckpt)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsC.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+        graft.kafka.KafkaEosSink.arm("k10-task-crash")
+        var restarts = 0
+        var done = false
+        while (!done) {
+          val q = s.readStream.format("kafka-wire")
+            .option("host", srv.host).option("port", srv.port.toString)
+            .option("topics",
+              Transport.eventTypes.map("src_" + _).mkString(","))
+            .option("startingOffsets", "earliest")
+            .option("maxOffsetsPerTrigger", cap.toString)
+            .options(saslOpts)
+            .load()
+            .writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: org.apache.spark.sql.Dataset[
+                org.apache.spark.sql.Row], id: java.lang.Long) =>
+              val gated = b.toDF()
+                .withColumn("stream_key", expr("substring(stream_key, 5)"))
+                .withColumn("j", from_json(col("payload").cast("string"),
+                  org.apache.spark.sql.types.StructType.fromDDL(
+                    "event_id LONG, value DOUBLE")))
+                .filter(col("j.value") > 50)
+                .drop("j")
+              graft.kafka.KafkaEosSink.writeEpoch(gated,
+                srv.host, srv.port, txnIdPrefix = "k10eos",
+                ledgerGroup = "g_k10_ledger", epochId = id,
+                sasl = Some(SaslCreds), saslMechanism = Mech,
+                tls = Some(tlsClient),
+                crashBeforeCommit =
+                  if (id >= 1L) Some("k10-task-crash") else None)
+            }.start()
+          try { q.processAllAvailable(); done = true }
+          catch { case _: Exception =>
+            restarts += 1
+            require(restarts <= 5, s"eos pipeline kept crashing ($restarts)")
+          } finally q.stop()
+        }
+        require(restarts == 1,
+          s"expected the injected crash to fire once, saw $restarts")
+        val replay = KafkaSource.boundedRead(s, srv.host, srv.port,
+          Transport.eventTypes, sasl = Some(SaslCreds), saslMechanism = Mech,
+          tls = Some(tlsClient), readCommitted = true).localCheckpoint(true)
+        Transport.aggregate(replay, withDistinct = false)
+      }
+    },
+
     // The broker-anchored exactly-once relay — the reference's
     // consume-transform-produce loop with send_offsets_to_transaction
     // staging the REAL source offsets (producer.rs:236-301), NO Spark
@@ -388,6 +455,14 @@ object KafkaTransport {
     // the broker-anchored relay under the same exactly-once law: resume
     // from group offsets alone (no checkpoint), injected mid-relay crash
     "k9_kafka_eos_relay" -> Transport.aggregateOracle(withDistinct = false),
+    // the gated chain: only the admitted sliver (value > 50 — the same
+    // double both engines compare, JSON round-trip is bit-exact) may
+    // reach the sink, exactly once, across the injected crash
+    "k10_kafka_eos_pipeline" ->
+      """SELECT event_type AS stream_key, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  MAX(event_id) AS max_event_id
+        |FROM events WHERE value > 50 GROUP BY event_type""".stripMargin,
     "k3_kafka_admission" -> Transport.aggregateOracle(withDistinct = false),
     // same cutoff law as the iggy/redis seek oracles: epochs at ms
     // resolution, strictly greater than the midpoint
