@@ -101,6 +101,74 @@ object RedisTransport {
       }
     },
 
+    // Exactly-once Spark→redis sink (k8's law on the primitive redis
+    // actually has — MULTI/EXEC): the envelope streams in from SOURCE
+    // streams under bounded admission (~4 epochs); each epoch lands in
+    // the sink streams through RedisSource.writeExactlyOnce — per writer
+    // slot ONE MULTI queueing every XADD plus the slot's bumped epoch
+    // watermark (a plain ledger key), committed atomically at EXEC. TWO
+    // crashes inject: a task dies with its MULTI queued but UN-EXECed
+    // (the connection takes the queue with it — nothing applied, the
+    // watermark unmoved), and the driver dies after a fully-committed
+    // epoch (the replay must skip per slot via the ledger). After both
+    // restarts the sink readback hash-matches the plain aggregate — no
+    // distinct masking duplicates.
+    "r8_redis_eos_sink" -> { (s, dir) =>
+      withServer { srv =>
+        val t = Tables(s, dir)
+        val src = Transport.envelopeOf(t)
+          .withColumn("stream_key", concat(lit("src_"), col("stream_key")))
+        RedisSource.write(src, srv.host, srv.port, auth = OracleAuth)
+        val cap = math.max(250L, t.events.count() / 4)
+        val ckpt = Transport.scratch(dir, "r8ckpt")
+        val fsC = new org.apache.hadoop.fs.Path(ckpt)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fsC.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+        graft.ops.Failpoints.arm("r8-task-crash")
+        var epochCrashArmed = true
+        var restarts = 0
+        var done = false
+        while (!done) {
+          val q = s.readStream.format("redis-stream")
+            .option("host", srv.host).option("port", srv.port.toString)
+            .option("username", OracleUser).option("password", OraclePass)
+            .option("streams",
+              Transport.eventTypes.map("src_" + _).mkString(","))
+            .option("shards", "4")
+            .option("startingOffsets", "earliest")
+            .option("maxEntriesPerTrigger", cap.toString)
+            .load()
+            .writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (b: org.apache.spark.sql.Dataset[
+                org.apache.spark.sql.Row], id: java.lang.Long) =>
+              RedisSource.writeExactlyOnce(
+                b.toDF().withColumn("stream_key",
+                  expr("substring(stream_key, 5)")),
+                srv.host, srv.port, ledgerPrefix = "r8eos", epochId = id,
+                auth = OracleAuth,
+                crashBeforeCommit =
+                  if (id >= 1L) Some("r8-task-crash") else None)
+              if (id >= 2L && epochCrashArmed) {
+                epochCrashArmed = false
+                throw new IllegalStateException(
+                  s"injected crash: epoch $id committed, checkpoint not")
+              }
+            }.start()
+          try { q.processAllAvailable(); done = true }
+          catch { case _: Exception =>
+            restarts += 1
+            require(restarts <= 5, s"redis eos sink kept crashing ($restarts)")
+          } finally q.stop()
+        }
+        require(restarts == 2,
+          s"expected both injected crashes to fire, saw $restarts restarts")
+        val replay = RedisSource.boundedRead(s, srv.host, srv.port,
+          allShards(4), auth = OracleAuth).localCheckpoint(true)
+        Transport.aggregate(replay, withDistinct = false)
+      }
+    },
+
     // Sharding law: round-robin sharder (seq % 3) on the producer, shards
     // recovered from the `stream:N` key names on the consumer — per-shard
     // counts/maxima must match grouping the raw events by event_id % 3.
@@ -227,6 +295,10 @@ object RedisTransport {
 
   val oracles: Map[String, String] = Map(
     "r7_relay" -> Transport.aggregateOracle(withDistinct = true),
+    // MULTI/EXEC exactly-once truth: after a queued-not-EXECed task crash
+    // AND a committed-epoch driver crash, the sink equals the plain
+    // aggregate — no distinct to mask duplicates
+    "r8_redis_eos_sink" -> Transport.aggregateOracle(withDistinct = false),
     "r1_redis_roundtrip" -> Transport.aggregateOracle(withDistinct = true),
     "r2_redis_latest" -> Transport.aggregateOracle(withDistinct = false),
     "r3_redis_sharding" ->

@@ -50,17 +50,15 @@ object KafkaEosSink {
     */
   def ledgerTopic(txnIdPrefix: String): String = s"$txnIdPrefix-ledger"
 
-  /** Test-only failpoints: `arm(token)` then pass the token as
-    * `crashBeforeCommit` — exactly ONE task (the atomic winner of the
-    * `remove`) dies after producing + staging its watermark but BEFORE
-    * commit, simulating a mid-epoch crash. Single-JVM scope (local mode /
-    * specs); production callers never arm anything.
+  /** Test-only failpoints — the shared [[graft.ops.Failpoints]] registry
+    * (these aliases keep the original call sites): `arm(token)` then pass
+    * the token as `crashBeforeCommit` — exactly ONE task dies after
+    * producing + staging its watermark but BEFORE commit.
     */
-  private val failpoints =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  def arm(token: String): Unit = { failpoints.add(token); () }
-  def armed(token: String): Boolean = failpoints.contains(token)
-  private[kafka] def fire(token: String): Boolean = failpoints.remove(token)
+  def arm(token: String): Unit = graft.ops.Failpoints.arm(token)
+  def armed(token: String): Boolean = graft.ops.Failpoints.armed(token)
+  private[kafka] def fire(token: String): Boolean =
+    graft.ops.Failpoints.fire(token)
 
   /** Write one micro-batch (epoch) exactly-once. `df` is envelope-shaped
     * (stream_key, shard_id, timestamp, payload); topic = stream_key,

@@ -102,7 +102,17 @@ final class EmbeddedRedis(
     new ConcurrentHashMap[String, ConcurrentHashMap[String, PelEntry]]()
   private val lastMs = new ConcurrentHashMap[String, java.lang.Long]()
   private val subSeq = new ConcurrentHashMap[String, java.lang.Long]()
+  /** Plain string keyspace (GET/SET) — the epoch-ledger keys the MULTI
+    * exactly-once producer stores beside its stream entries. */
+  private val kv = new ConcurrentHashMap[String, Array[Byte]]()
+  /** EXEC runs its queued block under this lock — all-or-nothing
+    * application, the single-threaded-redis atomicity the MULTI producer
+    * depends on (a connection that dies pre-EXEC discards its queue,
+    * exactly real redis's contract). */
+  private val txLock = new Object
   @volatile private var closed = false
+
+  def kvGet(key: String): Option[Array[Byte]] = Option(kv.get(key))
 
   def entries(key: String): Seq[(String, Seq[(String, Array[Byte])])] =
     Option(streams.get(key)) match {
@@ -160,6 +170,9 @@ final class EmbeddedRedis(
       else if (!authed) Resp.Err("NOAUTH Authentication required.")
       else handle(cmd)
     }
+    // MULTI/EXEC transaction queue — per connection, like real redis: a
+    // connection that drops before EXEC takes its queue with it
+    var txQueue: scala.collection.mutable.ArrayBuffer[Seq[Array[Byte]]] = null
     try while (!closed) {
       val cmd = Resp.parse(in) match {
         case Resp.Arr(items) => items.map {
@@ -168,7 +181,32 @@ final class EmbeddedRedis(
         }
         case other => throw new IllegalArgumentException(s"bad command $other")
       }
-      val reply = gated(cmd)
+      val name =
+        if (cmd.isEmpty) "" else new String(cmd.head, UTF_8).toUpperCase
+      val reply =
+        if (!authed && name != "AUTH") gated(cmd) // NOAUTH grammar
+        else name match {
+          case "MULTI" =>
+            if (txQueue != null) Resp.Err("ERR MULTI calls can not be nested")
+            else {
+              txQueue = scala.collection.mutable.ArrayBuffer.empty
+              Resp.Simple("OK")
+            }
+          case "DISCARD" =>
+            if (txQueue == null) Resp.Err("ERR DISCARD without MULTI")
+            else { txQueue = null; Resp.Simple("OK") }
+          case "EXEC" =>
+            if (txQueue == null) Resp.Err("ERR EXEC without MULTI")
+            else {
+              val q = txQueue.toSeq
+              txQueue = null
+              txLock.synchronized { Resp.Arr(q.map(gated)) }
+            }
+          case _ if txQueue != null =>
+            txQueue += cmd
+            Resp.Simple("QUEUED")
+          case _ => gated(cmd)
+        }
       out.write(Resp.encodeValue(reply))
       // flush only when the pipeline drained — one syscall per client
       // batch, not per command (a per-reply flush caps the whole server
@@ -409,6 +447,12 @@ final class EmbeddedRedis(
         Resp.Arr(Seq(Resp.Bulk("0".getBytes(UTF_8)),
           Resp.Arr(ks.map(k => Resp.Bulk(k.getBytes(UTF_8))))))
       case "PING" => Resp.Simple("PONG")
+      case "SET" =>
+        kv.put(s(1), args(2))
+        Resp.Simple("OK")
+      case "GET" =>
+        Option(kv.get(s(1))).map(Resp.Bulk(_): Resp.Value)
+          .getOrElse(Resp.NullBulk)
       case other => Resp.Err(s"ERR unknown command '$other'")
     }
   }

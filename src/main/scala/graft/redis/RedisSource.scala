@@ -126,6 +126,88 @@ object RedisSource {
     * batch against the new owner (the reference producer's redirect loop,
     * producer.rs:428-507).
     */
+  /** Exactly-once Spark → redis sink for one micro-batch (epoch) — the
+    * redis half of [[graft.kafka.KafkaEosSink]]'s contract, built on the
+    * primitive redis actually has: MULTI/EXEC. The batch repartitions
+    * onto FIXED writer slots (a replayed epoch lands every row on the
+    * same slot); each non-empty slot first reads its epoch watermark (a
+    * plain ledger key `{prefix}:slot:{n}`) — already past this epoch →
+    * idempotent SKIP — else queues every XADD plus the bumped watermark
+    * SET inside ONE MULTI and commits them atomically at EXEC. A crash
+    * anywhere before EXEC takes the connection and its queue with it
+    * (real redis's contract): no entries, no watermark, and the epoch
+    * replay re-lands the slot. Same invariant as the kafka sink: slot
+    * count must stay fixed across restarts of a checkpoint lineage.
+    *
+    * Call from `foreachBatch { (b, id) => writeExactlyOnce(b, …, id) }`.
+    * Scale shape: slots are independent single-connection writers; the
+    * ledger costs one GET per slot per epoch; MULTI bounds per-epoch
+    * atomicity to a slot's rows (a real deployment sizes slots so a
+    * transaction stays proxy/latency-friendly).
+    */
+  def writeExactlyOnce(df: DataFrame, host: String, port: Int,
+      ledgerPrefix: String, epochId: Long,
+      sharded: Boolean = true, numSlots: Int = 8,
+      tls: Option[RedisClient.Tls] = None,
+      auth: Option[RedisClient.Auth] = None,
+      crashBeforeCommit: Option[String] = None): Unit = {
+    import df.sparkSession.implicits._
+    import org.apache.spark.sql.functions.col
+    val keyCols =
+      if (sharded) Seq(col("stream_key"), col("shard_id"))
+      else Seq(col("stream_key"))
+    df.select("stream_key", "shard_id", "timestamp", "payload")
+      .repartition(numSlots, keyCols: _*)
+      .sortWithinPartitions(col("timestamp"))
+      .as[(String, Long, java.sql.Timestamp, Array[Byte])]
+      .foreachPartition { (rows: Iterator[(String, Long, java.sql.Timestamp, Array[Byte])]) =>
+        if (rows.nonEmpty) {
+          val slot = org.apache.spark.TaskContext.getPartitionId()
+          val ledger = s"$ledgerPrefix:slot:$slot"
+          val client = new RedisClient(host, port, tls = tls, auth = auth)
+          try {
+            val committed = client.command(RedisStreams.get(ledger): _*) match {
+              case Resp.Bulk(bs) => new String(bs, "UTF-8").toLong
+              case _ => 0L
+            }
+            if (committed < epochId + 1) {
+              // queue in BOUNDED pipeline chunks — writing a whole epoch
+              // before reading any reply deadlocks once the server's
+              // reply bytes outgrow the socket buffers (server blocks
+              // writing +QUEUED, stops reading, client blocks writing);
+              // chunking keeps in-flight replies O(chunk), the same
+              // discipline as the plain producer's pipelineAcked
+              client.command(RedisStreams.multi: _*)
+              rows.grouped(500).foreach { chunk =>
+                val queued = client.pipeline(chunk.map { r =>
+                  RedisStreams.xadd(
+                    RedisStreams.shardedKey(r._1, r._2, sharded),
+                    r._3.getTime, r._4)
+                })
+                queued.collectFirst { case Resp.Err(m) =>
+                  throw new IllegalStateException(s"MULTI queue refused: $m")
+                }
+              }
+              // the watermark queues LAST; EXEC goes separately so the
+              // injected crash dies with a full queue and an un-issued
+              // commit — the tightest window
+              client.command(
+                RedisStreams.set(ledger, (epochId + 1).toString): _*)
+              if (crashBeforeCommit.exists(graft.ops.Failpoints.fire))
+                throw new IllegalStateException(
+                  s"injected crash: redis slot $slot epoch $epochId " +
+                    "queued, not EXECed")
+              client.command(RedisStreams.exec: _*) match {
+                case Resp.Err(m) =>
+                  throw new IllegalStateException(s"EXEC failed: $m")
+                case _ => ()
+              }
+            } // else: replayed epoch, slot already committed — skip
+          } finally client.close()
+        }
+      }
+  }
+
   def write(df: DataFrame, host: String, port: Int,
       sharded: Boolean = true, pipelineSize: Int = 100,
       clusterSeeds: Option[Seq[(String, Int)]] = None,

@@ -199,6 +199,14 @@ object RedisStreams {
   def xtrimMinId(key: String, minId: String): Seq[Array[Byte]] =
     Seq(b("XTRIM"), b(key), b("MINID"), b("~"), b(minId))
 
+  // ---- transactions + plain keys (the MULTI exactly-once producer) ------
+  def multi: Seq[Array[Byte]] = Seq(b("MULTI"))
+  def exec: Seq[Array[Byte]] = Seq(b("EXEC"))
+  def discard: Seq[Array[Byte]] = Seq(b("DISCARD"))
+  def set(key: String, value: String): Seq[Array[Byte]] =
+    Seq(b("SET"), b(key), b(value))
+  def get(key: String): Seq[Array[Byte]] = Seq(b("GET"), b(key))
+
   // ---- reply decoders ----------------------------------------------------
 
   /** XRANGE reply: `[[id, [f1, v1, ...]], ...]` → (raw entry id, envelope

@@ -319,6 +319,50 @@ class LiveBrokerSpec extends AnyFunSuite {
     } finally { c1.close(); c2.close(); c.close() }
   }
 
+  test("redis: r8-shape MULTI/EXEC exactly-once against a live broker — " +
+      "queued-then-dropped applies nothing, EXEC applies entries + " +
+      "watermark atomically") {
+    val ep = endpoint("redis", "REDIS_BROKERS_URL")
+    assume(ep.isDefined, "no live redis broker configured — skipping")
+    val (host, port) = ep.get
+    val key = uniqueKey("graft_live_eos")
+    val ledger = key + ":ledger"
+    val c = new redis.RedisClient(host, port)
+    try {
+      // a queued-but-dropped MULTI must apply nothing (the crash window)
+      val dying = new redis.RedisClient(host, port)
+      dying.command(redis.RedisStreams.multi: _*)
+      dying.command(redis.RedisStreams.xadd(key, 1700000000000L,
+        "torn".getBytes("UTF-8")): _*)
+      dying.close()
+      // entries + watermark land atomically at EXEC
+      c.command(redis.RedisStreams.multi: _*)
+      (0 until N).foreach { i =>
+        c.command(redis.RedisStreams.xadd(key, 1700000000000L + i,
+          s"eos-$i".getBytes("UTF-8")): _*)
+      }
+      c.command(redis.RedisStreams.set(ledger, "1"): _*)
+      c.command(redis.RedisStreams.exec: _*) match {
+        case redis.Resp.Arr(rs) => assert(rs.length == N + 1)
+        case other => fail(s"EXEC reply: $other")
+      }
+      val got = c.command(redis.RedisStreams.xrange(key): _*) match {
+        case redis.Resp.Arr(items) => items
+        case other => fail(s"unexpected XRANGE reply: $other")
+      }
+      assert(got.length == N, s"dropped-queue leak or lost EXEC entries: " +
+        s"${got.length} (want $N, torn must be absent)")
+      assert(c.command(redis.RedisStreams.get(ledger): _*) match {
+        case redis.Resp.Bulk(bs) => new String(bs, "UTF-8") == "1"
+        case _ => false
+      }, "watermark did not publish with the entries")
+      c.command(redis.RedisStreams.xtrimMaxLen(key, 0): _*)
+      // cleanup on a real instance; the embedded stand-in has no DEL
+      try { c.commandS("DEL", ledger); () }
+      catch { case _: redis.RedisClient.RedisError => () }
+    } finally c.close()
+  }
+
   test("redis: cluster-routed reads against a live cluster " +
       "(REDIS_CLUSTER_BROKERS_URL) — CRC16 slots + MOVED redirects") {
     // the embedded two-node cluster spec proves the routing logic; this
