@@ -105,11 +105,24 @@ final class EmbeddedRedis(
   /** Plain string keyspace (GET/SET) — the epoch-ledger keys the MULTI
     * exactly-once producer stores beside its stream entries. */
   private val kv = new ConcurrentHashMap[String, Array[Byte]]()
-  /** EXEC runs its queued block under this lock — all-or-nothing
-    * application, the single-threaded-redis atomicity the MULTI producer
-    * depends on (a connection that dies pre-EXEC discards its queue,
-    * exactly real redis's contract). */
+  /** EVERY command's apply runs under this lock — real redis is
+    * single-threaded, so (a) an EXEC'd queue applies all-or-nothing with
+    * no concurrent reader observing a half-applied MULTI, and (b) the
+    * WATCH version snapshot, the EXEC version check, and every
+    * intervening write are totally ordered (a connection that dies
+    * pre-EXEC discards its queue, exactly real redis's contract). Cheap
+    * for a test server; nothing in [[handle]] blocks. */
   private val txLock = new Object
+  /** Per-key modification counter driving WATCH/EXEC optimistic locking:
+    * bumped (under [[txLock]]) by every command that mutates the key, so
+    * EXEC aborts (nil) iff a watched key moved since WATCH — including a
+    * move by the watcher's own rival attempt, the zombie-fencing case the
+    * exactly-once MULTI producer leans on. */
+  private val keyVersion = new ConcurrentHashMap[String, java.lang.Long]()
+  private def bumpVersion(key: String): Unit =
+    keyVersion.merge(key, 1L, (a, b) => a + b)
+  private def versionOf(key: String): Long =
+    Option(keyVersion.get(key)).map(_.longValue).getOrElse(0L)
   @volatile private var closed = false
 
   def kvGet(key: String): Option[Array[Byte]] = Option(kv.get(key))
@@ -173,6 +186,10 @@ final class EmbeddedRedis(
     // MULTI/EXEC transaction queue — per connection, like real redis: a
     // connection that drops before EXEC takes its queue with it
     var txQueue: scala.collection.mutable.ArrayBuffer[Seq[Array[Byte]]] = null
+    // WATCH snapshot — per connection: key -> version at WATCH time.
+    // EXEC aborts with nil iff any entry no longer matches (real redis's
+    // optimistic CAS; cleared by EXEC either way, DISCARD, and UNWATCH)
+    var watched: Map[String, Long] = Map.empty
     try while (!closed) {
       val cmd = Resp.parse(in) match {
         case Resp.Arr(items) => items.map {
@@ -194,18 +211,35 @@ final class EmbeddedRedis(
             }
           case "DISCARD" =>
             if (txQueue == null) Resp.Err("ERR DISCARD without MULTI")
-            else { txQueue = null; Resp.Simple("OK") }
+            else { txQueue = null; watched = Map.empty; Resp.Simple("OK") }
+          case "WATCH" =>
+            if (txQueue != null) Resp.Err("ERR WATCH inside MULTI is not allowed")
+            else if (cmd.length < 2)
+              Resp.Err("ERR wrong number of arguments for 'watch' command")
+            else txLock.synchronized {
+              watched ++= cmd.drop(1).map(k =>
+                new String(k, UTF_8) -> versionOf(new String(k, UTF_8)))
+              Resp.Simple("OK")
+            }
+          case "UNWATCH" =>
+            watched = Map.empty
+            Resp.Simple("OK")
           case "EXEC" =>
             if (txQueue == null) Resp.Err("ERR EXEC without MULTI")
             else {
               val q = txQueue.toSeq
               txQueue = null
-              txLock.synchronized { Resp.Arr(q.map(gated)) }
+              txLock.synchronized {
+                val clean = watched.forall { case (k, v) => versionOf(k) == v }
+                watched = Map.empty
+                if (clean) Resp.Arr(q.map(gated))
+                else Resp.NullArr // a watched key moved: abort, apply nothing
+              }
             }
           case _ if txQueue != null =>
             txQueue += cmd
             Resp.Simple("QUEUED")
-          case _ => gated(cmd)
+          case _ => txLock.synchronized { gated(cmd) }
         }
       out.write(Resp.encodeValue(reply))
       // flush only when the pipeline drained — one syscall per client
@@ -219,7 +253,26 @@ final class EmbeddedRedis(
     } finally socket.close()
   }
 
+  /** Which arg holds the key a command MUTATES (for WATCH versioning). */
+  private def mutatedKeyIndex(name: String): Int = name match {
+    case "XADD" | "SET" | "XTRIM" | "XACK" | "XDEL" => 1
+    case "XGROUP" => 2
+    case _ => -1
+  }
+
   private def handle(args: Seq[Array[Byte]]): Resp.Value = {
+    val out = handle0(args)
+    // a refused command (Err) mutated nothing; DropConn faults throw past
+    // this point, so they bump nothing either
+    if (!out.isInstanceOf[Resp.Err] && args.nonEmpty) {
+      val idx = mutatedKeyIndex(new String(args.head, UTF_8).toUpperCase)
+      if (idx > 0 && args.length > idx)
+        bumpVersion(new String(args(idx), UTF_8))
+    }
+    out
+  }
+
+  private def handle0(args: Seq[Array[Byte]]): Resp.Value = {
     def s(i: Int) = new String(args(i), UTF_8)
     if (args.length > 1 && redirects.contains(s(1)))
       return Resp.Err(s"MOVED 0 ${redirects(s(1))}")

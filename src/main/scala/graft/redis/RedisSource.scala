@@ -126,18 +126,77 @@ object RedisSource {
     * batch against the new owner (the reference producer's redirect loop,
     * producer.rs:428-507).
     */
+  /** One slot-epoch commit attempt: WATCH the ledger, read the epoch
+    * watermark, queue the slot's commands plus the bumped watermark SET in
+    * one MULTI, EXEC. Returns true iff THIS attempt's EXEC landed; false
+    * on the two idempotent skips — the slot was already committed
+    * (replayed epoch), or a RIVAL attempt of the same (slot, epoch) won
+    * the race and our EXEC came back nil.
+    *
+    * The WATCH is the zombie fence (the redis analogue of
+    * [[graft.kafka.KafkaEosSink]]'s transactional-id epoch bump): a Spark
+    * speculative task, or a first attempt deemed dead whose connection is
+    * actually alive, races the retry to the same ledger key. Both pass
+    * the GET check, but the first EXEC moves the watched key, so the
+    * loser's EXEC returns nil and applies NOTHING — redis's optimistic
+    * CAS, exactly its documented WATCH/MULTI contract.
+    */
+  private[redis] def commitSlotEpoch(client: RedisClient, ledger: String,
+      epochId: Long, cmds: Iterator[Seq[Array[Byte]]],
+      beforeExec: () => Unit = () => ()): Boolean = {
+    client.command(RedisStreams.watch(ledger): _*) match {
+      case Resp.Err(m) => throw new IllegalStateException(s"WATCH refused: $m")
+      case _ => ()
+    }
+    val committed = client.command(RedisStreams.get(ledger): _*) match {
+      case Resp.Bulk(bs) => new String(bs, "UTF-8").toLong
+      case _ => 0L
+    }
+    if (committed >= epochId + 1) {
+      // replayed epoch, already committed — drop the watch and skip
+      client.command(RedisStreams.unwatch: _*)
+      false
+    } else {
+      // queue in BOUNDED pipeline chunks — writing a whole epoch before
+      // reading any reply deadlocks once the server's reply bytes outgrow
+      // the socket buffers (server blocks writing +QUEUED, stops reading,
+      // client blocks writing); chunking keeps in-flight replies O(chunk),
+      // the same discipline as the plain producer's pipelineAcked
+      client.command(RedisStreams.multi: _*)
+      cmds.grouped(500).foreach { chunk =>
+        client.pipeline(chunk).collectFirst { case Resp.Err(m) =>
+          throw new IllegalStateException(s"MULTI queue refused: $m")
+        }
+      }
+      // the watermark queues LAST; EXEC goes separately so an injected
+      // crash dies with a full queue and an un-issued commit — the
+      // tightest window
+      client.command(RedisStreams.set(ledger, (epochId + 1).toString): _*)
+      beforeExec()
+      client.command(RedisStreams.exec: _*) match {
+        case Resp.Err(m) => throw new IllegalStateException(s"EXEC failed: $m")
+        case Resp.NullArr => false // a rival attempt won — fenced clean
+        case _ => true
+      }
+    }
+  }
+
   /** Exactly-once Spark → redis sink for one micro-batch (epoch) — the
     * redis half of [[graft.kafka.KafkaEosSink]]'s contract, built on the
-    * primitive redis actually has: MULTI/EXEC. The batch repartitions
-    * onto FIXED writer slots (a replayed epoch lands every row on the
-    * same slot); each non-empty slot first reads its epoch watermark (a
-    * plain ledger key `{prefix}:slot:{n}`) — already past this epoch →
-    * idempotent SKIP — else queues every XADD plus the bumped watermark
-    * SET inside ONE MULTI and commits them atomically at EXEC. A crash
-    * anywhere before EXEC takes the connection and its queue with it
-    * (real redis's contract): no entries, no watermark, and the epoch
-    * replay re-lands the slot. Same invariant as the kafka sink: slot
-    * count must stay fixed across restarts of a checkpoint lineage.
+    * primitives redis actually has: WATCH + MULTI/EXEC. The batch
+    * repartitions onto FIXED writer slots (a replayed epoch lands every
+    * row on the same slot); each non-empty slot WATCHes its epoch
+    * watermark (a plain ledger key `{prefix}:slot:{n}`), reads it —
+    * already past this epoch → idempotent SKIP — else queues every XADD
+    * plus the bumped watermark SET inside ONE MULTI and commits them
+    * atomically at EXEC. A crash anywhere before EXEC takes the
+    * connection and its queue with it (real redis's contract): no
+    * entries, no watermark, and the epoch replay re-lands the slot.
+    * Concurrent attempts of the same (slot, epoch) — speculative tasks,
+    * alive-but-presumed-dead zombies — are fenced by the WATCH: exactly
+    * one EXEC lands, every rival's returns nil ([[commitSlotEpoch]]).
+    * Same invariant as the kafka sink: slot count must stay fixed across
+    * restarts of a checkpoint lineage.
     *
     * Call from `foreachBatch { (b, id) => writeExactlyOnce(b, …, id) }`.
     * Scale shape: slots are independent single-connection writers; the
@@ -165,45 +224,19 @@ object RedisSource {
           val slot = org.apache.spark.TaskContext.getPartitionId()
           val ledger = s"$ledgerPrefix:slot:$slot"
           val client = new RedisClient(host, port, tls = tls, auth = auth)
-          try {
-            val committed = client.command(RedisStreams.get(ledger): _*) match {
-              case Resp.Bulk(bs) => new String(bs, "UTF-8").toLong
-              case _ => 0L
-            }
-            if (committed < epochId + 1) {
-              // queue in BOUNDED pipeline chunks — writing a whole epoch
-              // before reading any reply deadlocks once the server's
-              // reply bytes outgrow the socket buffers (server blocks
-              // writing +QUEUED, stops reading, client blocks writing);
-              // chunking keeps in-flight replies O(chunk), the same
-              // discipline as the plain producer's pipelineAcked
-              client.command(RedisStreams.multi: _*)
-              rows.grouped(500).foreach { chunk =>
-                val queued = client.pipeline(chunk.map { r =>
-                  RedisStreams.xadd(
-                    RedisStreams.shardedKey(r._1, r._2, sharded),
-                    r._3.getTime, r._4)
-                })
-                queued.collectFirst { case Resp.Err(m) =>
-                  throw new IllegalStateException(s"MULTI queue refused: $m")
-                }
-              }
-              // the watermark queues LAST; EXEC goes separately so the
-              // injected crash dies with a full queue and an un-issued
-              // commit — the tightest window
-              client.command(
-                RedisStreams.set(ledger, (epochId + 1).toString): _*)
+          // landed-or-skipped is irrelevant here: both are success states
+          try { commitSlotEpoch(client, ledger, epochId,
+            rows.map { r =>
+              RedisStreams.xadd(
+                RedisStreams.shardedKey(r._1, r._2, sharded),
+                r._3.getTime, r._4)
+            },
+            beforeExec = () =>
               if (crashBeforeCommit.exists(graft.ops.Failpoints.fire))
                 throw new IllegalStateException(
                   s"injected crash: redis slot $slot epoch $epochId " +
-                    "queued, not EXECed")
-              client.command(RedisStreams.exec: _*) match {
-                case Resp.Err(m) =>
-                  throw new IllegalStateException(s"EXEC failed: $m")
-                case _ => ()
-              }
-            } // else: replayed epoch, slot already committed — skip
-          } finally client.close()
+                    "queued, not EXECed")); () }
+          finally client.close()
         }
       }
   }

@@ -206,6 +206,8 @@ object RedisStreams {
   def set(key: String, value: String): Seq[Array[Byte]] =
     Seq(b("SET"), b(key), b(value))
   def get(key: String): Seq[Array[Byte]] = Seq(b("GET"), b(key))
+  def watch(keys: String*): Seq[Array[Byte]] = b("WATCH") +: keys.map(b)
+  def unwatch: Seq[Array[Byte]] = Seq(b("UNWATCH"))
 
   // ---- reply decoders ----------------------------------------------------
 

@@ -114,4 +114,86 @@ class RedisEosSpec extends AnyFunSuite {
         "replay after a queued-not-EXECed crash broke exactly-once")
     } finally srv.close()
   }
+
+  test("embedded WATCH grammar: EXEC nils out iff a watched key moved, " +
+      "UNWATCH and EXEC clear the watch, WATCH inside MULTI refuses") {
+    val srv = new EmbeddedRedis
+    val c = new RedisClient(srv.host, srv.port)
+    val w = new RedisClient(srv.host, srv.port)
+    try {
+      // clean path: watched key untouched -> EXEC applies
+      assert(c.command(RedisStreams.watch("wk"): _*) == Resp.Simple("OK"))
+      c.command(RedisStreams.multi: _*)
+      c.command(RedisStreams.set("other", "1"): _*)
+      assert(c.command(RedisStreams.exec: _*).isInstanceOf[Resp.Arr])
+      // dirty path: another connection moves the watched key -> nil
+      c.command(RedisStreams.watch("wk"): _*)
+      w.command(RedisStreams.set("wk", "moved"): _*)
+      c.command(RedisStreams.multi: _*)
+      c.command(RedisStreams.set("wk", "mine"): _*)
+      assert(c.command(RedisStreams.exec: _*) == Resp.NullArr)
+      assert(srv.kvGet("wk").map(new String(_, "UTF-8")).contains("moved"),
+        "an aborted EXEC applied its queue")
+      // the abort cleared the watch: a fresh MULTI sails through
+      c.command(RedisStreams.multi: _*)
+      c.command(RedisStreams.set("wk", "mine2"): _*)
+      assert(c.command(RedisStreams.exec: _*).isInstanceOf[Resp.Arr])
+      // UNWATCH drops the snapshot before MULTI
+      c.command(RedisStreams.watch("wk"): _*)
+      w.command(RedisStreams.set("wk", "moved2"): _*)
+      assert(c.command(RedisStreams.unwatch: _*) == Resp.Simple("OK"))
+      c.command(RedisStreams.multi: _*)
+      c.command(RedisStreams.set("wk", "mine3"): _*)
+      assert(c.command(RedisStreams.exec: _*).isInstanceOf[Resp.Arr])
+      // WATCH inside MULTI is a grammar error (real redis)
+      c.command(RedisStreams.multi: _*)
+      assert(intercept[RedisClient.RedisError](
+        c.command(RedisStreams.watch("wk"): _*))
+        .msg.contains("WATCH inside MULTI"))
+      c.command(RedisStreams.discard: _*)
+    } finally { c.close(); w.close(); srv.close() }
+  }
+
+  test("zombie fence: two concurrent attempts of the same (slot, epoch) — " +
+      "exactly one EXEC lands, the rival nils out and applies nothing") {
+    val srv = new EmbeddedRedis
+    val a = new RedisClient(srv.host, srv.port)
+    val b = new RedisClient(srv.host, srv.port)
+    try {
+      val ledger = "race:slot:0"
+      def cmds(tag: String) = Iterator.single(
+        RedisStreams.xadd("race-t:0", 1L, tag.getBytes("UTF-8")))
+      // attempt A is the stalled-but-alive zombie (a speculative task, or
+      // a first attempt Spark deemed dead whose connection survived): it
+      // watches, reads the ledger, queues its MULTI, then stalls just
+      // before EXEC while attempt B — the retry — runs the whole protocol
+      // and commits. A's EXEC must then nil out, NOT double-apply.
+      val aQueued = new java.util.concurrent.CountDownLatch(1)
+      val bDone = new java.util.concurrent.CountDownLatch(1)
+      @volatile var aLanded = true
+      @volatile var aFailed: Throwable = null
+      val zombie = new Thread(() => {
+        try aLanded = RedisSource.commitSlotEpoch(a, ledger, 0L,
+          cmds("zombie"),
+          beforeExec = () => { aQueued.countDown(); bDone.await() })
+        catch { case t: Throwable => aFailed = t }
+      }, "eos-zombie")
+      zombie.start()
+      assert(aQueued.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      val bLanded = RedisSource.commitSlotEpoch(b, ledger, 0L, cmds("retry"))
+      bDone.countDown()
+      zombie.join(10000)
+      assert(aFailed == null, s"zombie attempt threw: $aFailed")
+      assert(bLanded && !aLanded,
+        s"exactly one attempt must land (a=$aLanded b=$bLanded)")
+      val vals = srv.entries("race-t:0")
+        .flatMap(_._2.map { case (_, bs) => new String(bs, "UTF-8") })
+      assert(vals == Seq("retry"), s"fence leaked entries: $vals")
+      assert(srv.kvGet(ledger).map(new String(_, "UTF-8")).contains("1"))
+      // the loser's task retry replays the epoch: ledger says committed,
+      // so it skips idempotently
+      assert(!RedisSource.commitSlotEpoch(a, ledger, 0L, cmds("again")))
+      assert(srv.entries("race-t:0").length == 1)
+    } finally { a.close(); b.close(); srv.close() }
+  }
 }
