@@ -60,8 +60,16 @@ object KafkaEosRelay {
         val committed = if (parts.isEmpty) Map.empty[(String, Int), Long]
           else planner.fetchOffsets(group, Map(t -> parts))
         parts.map { p =>
-          val tip = planner.listOffset(t, p, KafkaWire.Ts.Latest)
+          // the relayable tip is the LAST STABLE OFFSET, not the high
+          // watermark: pointed at a transactional source (this repo's own
+          // KafkaEosSink output is the natural chain), a hw-planned range
+          // would page into open transactions; one empty read_committed
+          // fetch at the hw resolves the LSO (KafkaSource.planRanges'
+          // probe pattern)
+          val hw = planner.listOffset(t, p, KafkaWire.Ts.Latest)
             .getOrElse(0L)
+          val tip = planner.fetchIso(t, p, hw, maxBytes = 1,
+            readCommitted = true)._1
           val from = committed.getOrElse((t, p), 0L)
           (t, p, from, math.min(tip, from + cap))
         }
@@ -91,10 +99,28 @@ object KafkaEosRelay {
             var next = math.max(from, committed)
             var n = 0L
             while (next < until) {
+              // read_committed: an exactly-once relay must never forward
+              // aborted or still-open transactions from its source; the
+              // nextOffset cursor (not record offsets) advances past
+              // all-aborted pages and control markers without stalling
               val (_, page, recs) =
-                client.fetchIso(topic, part, next, maxFetchBytes)
-              if (page <= next) next = until // source truncated under us
-              else {
+                client.fetchIso(topic, part, next, maxFetchBytes,
+                  readCommitted = true)
+              if (page <= next) {
+                // an empty page below an LSO-capped `until` has exactly
+                // one legitimate cause: retention truncated the log under
+                // us. Confirm against the log-start offset before
+                // skipping — fast-forwarding for any OTHER cause would
+                // silently lose data while still committing the offset
+                val logStart = client
+                  .listOffset(topic, part, KafkaWire.Ts.Earliest)
+                  .getOrElse(0L)
+                if (logStart > next) next = math.min(logStart, until)
+                else throw new IllegalStateException(
+                  s"relay stalled: $topic/$part fetch at $next returned " +
+                    s"no progress (page=$page) but log starts at " +
+                    s"$logStart — refusing to skip unrelayed records")
+              } else {
                 val keep = recs.takeWhile(_.offset < until)
                 if (keep.nonEmpty) {
                   producer.send(to, part,

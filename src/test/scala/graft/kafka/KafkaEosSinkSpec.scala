@@ -123,6 +123,49 @@ class KafkaEosSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("relay honors source transaction isolation: aborted records never " +
+      "relay (no stall crossing them), an open transaction caps the epoch " +
+      "at the LSO, and committing it unlocks the remainder exactly once") {
+    withBroker { (srv, c) =>
+      c.metadata(Seq("src", "dst"))
+      // committed prefix
+      (0 until 3).foreach(i =>
+        c.produce("src", 0, Seq((100L + i, null, s"m$i".getBytes("UTF-8")))))
+      // an ABORTED transaction parked mid-log: its records occupy offsets
+      // the cursor must cross without forwarding OR stalling
+      val ab = new KafkaTxnProducer(c, "rel-ab").initTransactions()
+      ab.begin()
+      ab.send("src", 0, Seq((200L, null, "bad1".getBytes("UTF-8")),
+        (201L, null, "bad2".getBytes("UTF-8"))))
+      ab.abort()
+      // more committed data above the aborted range
+      (3 until 6).foreach(i =>
+        c.produce("src", 0, Seq((100L + i, null, s"m$i".getBytes("UTF-8")))))
+      // an OPEN transaction parks the LSO here...
+      val open = new KafkaTxnProducer(c, "rel-open").initTransactions()
+      open.begin()
+      open.send("src", 0, Seq((300L, null, "late1".getBytes("UTF-8"))))
+      // ...with committed rows ABOVE it, unreadable until it resolves
+      c.produce("src", 0, Seq((400L, null, "m6".getBytes("UTF-8"))))
+      def relay() = KafkaEosRelay.relayAll(spark, srv.host, srv.port,
+        Seq("src"), _ => "dst", "g_iso", "reliso")
+      def dstVals = c.fetchIso("dst", 0, 0L, readCommitted = true)._3
+        .map(r => new String(r.value, "UTF-8"))
+      // first drain: exactly the committed-below-LSO rows — the aborted
+      // pair filtered, the plan capped at the LSO, and the group offset
+      // NOT advanced past rows the relay never saw
+      assert(relay() == 6L, "expected the 6 committed rows below the LSO")
+      assert(dstVals == (0 until 6).map(i => s"m$i"),
+        s"aborted records leaked or committed rows lost: $dstVals")
+      // resolving the open txn unlocks the tail, relayed exactly once
+      open.commit()
+      assert(relay() == 2L, "expected the unlocked tail (late1 + m6)")
+      assert(dstVals ==
+        Seq("m0", "m1", "m2", "m3", "m4", "m5", "late1", "m6"),
+        s"post-commit drain broke exactly-once: $dstVals")
+    }
+  }
+
   test("randomized crash storm (sink): any sequence of mid-epoch crashes " +
       "and replays drains to exactly-once — seeded, 6 epochs, repeated " +
       "arbitrary failures per epoch") {
