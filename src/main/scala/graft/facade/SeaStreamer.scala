@@ -835,10 +835,28 @@ object SeaStreamer {
       * (sea-streamer-kafka/src/producer.rs:236-301) composed into the
       * streaming send path; a read_committed consumer of the sink sees
       * exactly-once output across any crash/restart pattern (k8's law).
+      *
+      * `redisLedgerPrefix` (redis driver only) is the same upgrade on the
+      * primitives redis has: each epoch writes through
+      * [[graft.redis.RedisSource.writeExactlyOnce]] — per-slot WATCH +
+      * MULTI/EXEC transactions with the epoch watermark as a plain ledger
+      * key under this prefix, zombie attempts fenced by the WATCH (r8's
+      * law). The three exactly-once mechanisms are mutually exclusive.
+      *
+      * `eosSlots` is the fixed writer-slot count BOTH transactional sinks
+      * repartition onto — it is part of the checkpoint lineage (a slot's
+      * ledger records what that slot committed), so it must NEVER change
+      * across restarts of the same checkpoint; pick it once per pipeline.
+      * `kafkaEosPartitions` is the destination-partition spread of the
+      * kafka sink (`shard_id % partitions`); the topic must have at least
+      * that many partitions.
       */
     def sendStream(df: DataFrame, checkpointLocation: String,
         exactlyOnceLedger: Option[String] = None,
-        kafkaTransactionalId: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+        kafkaTransactionalId: Option[String] = None,
+        redisLedgerPrefix: Option[String] = None,
+        eosSlots: Int = 8,
+        kafkaEosPartitions: Int = 4): org.apache.spark.sql.streaming.StreamingQuery = {
       scheme match {
         case "redis" | "kafka" | "file" | "iggy" => ()
         case other => throw SeaStreamErr.Unsupported(s"live producer on '$other'")
@@ -846,10 +864,33 @@ object SeaStreamer {
       if (kafkaTransactionalId.isDefined && scheme != "kafka")
         throw SeaStreamErr.Unsupported(
           s"kafkaTransactionalId on '$scheme' (kafka only)")
-      if (kafkaTransactionalId.isDefined && exactlyOnceLedger.isDefined)
+      if (redisLedgerPrefix.isDefined && scheme != "redis")
+        throw SeaStreamErr.Unsupported(
+          s"redisLedgerPrefix on '$scheme' (redis only)")
+      if (Seq(exactlyOnceLedger, kafkaTransactionalId, redisLedgerPrefix)
+        .count(_.isDefined) > 1)
         throw SeaStreamErr.Unsupported(
           "choose ONE exactly-once mechanism: the kafka transactional " +
-            "producer or the marker ledger")
+            "producer, the redis WATCH+MULTI sink, or the marker ledger")
+      require(eosSlots > 0, "eosSlots must be positive")
+      if (redisLedgerPrefix.isDefined) {
+        val (host, port) = SeaStreamer.hostPort(node, 6379)
+        val prefix = redisLedgerPrefix.get
+        val slots = eosSlots
+        val sharded = redisSharded
+        val (tls0, auth0) = (redisTls, redisAuth)
+        val out0 = anchor match {
+          case Some(key) => df.withColumn("stream_key", lit(key))
+          case None => df
+        }
+        return out0.writeStream
+          .option("checkpointLocation", checkpointLocation)
+          .foreachBatch { (batch: DataFrame, epochId: Long) =>
+            graft.redis.RedisSource.writeExactlyOnce(batch, host, port,
+              ledgerPrefix = prefix, epochId = epochId, sharded = sharded,
+              numSlots = slots, tls = tls0, auth = auth0)
+          }.start()
+      }
       if (kafkaTransactionalId.isDefined) {
         // transactions are the wire driver's surface — the builtin
         // connector's sink has no transactional mode to delegate to
@@ -866,7 +907,8 @@ object SeaStreamer {
           .foreachBatch { (batch: DataFrame, epochId: Long) =>
             graft.kafka.KafkaEosSink.writeEpoch(batch, host, port,
               txnIdPrefix = txnId, ledgerGroup = s"$txnId-ledger",
-              epochId = epochId, sasl = sec.sasl,
+              epochId = epochId, partitions = kafkaEosPartitions,
+              numSlots = eosSlots, sasl = sec.sasl,
               saslMechanism = sec.saslMechanism, tls = sec.tls,
               compression = compression)
           }.start()

@@ -214,6 +214,10 @@ class KafkaFacadeSpec extends AnyFunSuite {
           exactlyOnceLedger = Some("/tmp/x"),
           kafkaTransactionalId = Some("facade-eos"))
       }
+      intercept[graft.core.SeaStreamErr.Unsupported] {
+        conn.createGenericProducer().sendStream(live, ckpt,
+          redisLedgerPrefix = Some("feos")) // redis mechanism, kafka scheme
+      }
     }
   }
 

@@ -112,6 +112,56 @@ class RedisClusterProducerSpec extends AnyFunSuite {
       } finally q.stop()
     } finally srv.close()
   }
+
+  test("live producer with redisLedgerPrefix: epochs land as WATCH+MULTI " +
+      "transactions with the epoch ledger; mechanisms are exclusive") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val srv = new EmbeddedRedis
+    try {
+      val conn = SeaStreamer.connect(s"redis://${srv.host}:${srv.port}", spark)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[(String, Long, java.sql.Timestamp, Array[Byte])]
+      val ckpt = Files.createTempDirectory("reos_ckpt").toString
+      val frame = input.toDF()
+        .toDF("stream_key", "shard_id", "timestamp", "payload")
+        .selectExpr("stream_key", "shard_id",
+          "cast(0 as long) as sequence", "timestamp", "payload")
+      val producer = conn.createGenericProducer()
+      val q = producer.sendStream(frame, ckpt,
+        redisLedgerPrefix = Some("feos"), eosSlots = 4)
+      try {
+        input.addData(Seq.tabulate(10)(i =>
+          ("txout", 0L, new java.sql.Timestamp(9000L + i),
+            s"v$i".getBytes(UTF_8))))
+        q.processAllAvailable()
+        assert(srv.entries("txout").size == 10)
+        // the epoch watermark committed atomically with the entries, on
+        // the facade-chosen slot count
+        val marks = (0 until 4).flatMap(sl =>
+          srv.kvGet(s"feos:slot:$sl").map(new String(_, UTF_8).toLong))
+        assert(marks.nonEmpty && marks.forall(_ >= 1L),
+          s"missing epoch watermarks: $marks")
+        input.addData(Seq.tabulate(5)(i =>
+          ("txout", 0L, new java.sql.Timestamp(9100L + i),
+            s"w$i".getBytes(UTF_8))))
+        q.processAllAvailable()
+        assert(srv.entries("txout").size == 15,
+          "second epoch lost or duplicated rows")
+      } finally q.stop()
+      // mechanism exclusivity and scheme gating are typed errors
+      intercept[graft.core.SeaStreamErr.Unsupported] {
+        producer.sendStream(frame, ckpt,
+          exactlyOnceLedger = Some("/tmp/x"),
+          redisLedgerPrefix = Some("feos"))
+      }
+      intercept[graft.core.SeaStreamErr.Unsupported] {
+        producer.sendStream(frame, ckpt,
+          kafkaTransactionalId = Some("kx"),
+          redisLedgerPrefix = Some("feos"))
+      }
+    } finally srv.close()
+  }
 }
 
 /** Redirect edge semantics: a mid-pipeline slot migration must replay ONLY
