@@ -169,6 +169,54 @@ object RedisTransport {
       }
     },
 
+    // Cluster-sharded exactly-once sink — r8's law on the path a real
+    // deployment runs at scale: a two-node slot-split cluster, the
+    // envelope committed in three epochs through writeExactlyOnceCluster
+    // (per-KEY WATCH-fenced MULTI transactions, each with a {hash-tagged}
+    // ledger co-slotted on the key's owner node). Epoch 0 first dies with
+    // a key-transaction queued but un-EXECed (nothing applied, its ledger
+    // unmoved; keys that committed before the crash stay) and replays;
+    // epoch 1 is re-applied verbatim after committing (every key must
+    // skip via its ledger). The union of both nodes' readbacks must
+    // hash-match ONE plain copy of events — no distinct masking.
+    "r9_redis_eos_cluster" -> { (s, dir) =>
+      val a = new EmbeddedRedis(auth = Some((OracleUser, OraclePass)))
+      val b = new EmbeddedRedis(auth = Some((OracleUser, OraclePass)))
+      try {
+        val mid = graft.redis.RedisCluster.HashSlots / 2
+        val topo = Seq((0, mid - 1, a.host, a.port),
+          (mid, graft.redis.RedisCluster.HashSlots - 1, b.host, b.port))
+        a.slots = topo; b.slots = topo
+        val seeds = Seq((a.host, a.port), (b.host, b.port))
+        val env = Transport.envelopeOf(Tables(s, dir)).localCheckpoint(true)
+        def slice(e: Int) =
+          env.filter(pmod(col("sequence"), lit(3)) === e)
+        graft.ops.Failpoints.arm("r9-task-crash")
+        val crashed =
+          try {
+            RedisSource.writeExactlyOnceCluster(slice(0), seeds, "r9eos",
+              0L, auth = OracleAuth,
+              crashBeforeCommit = Some("r9-task-crash"))
+            false
+          } catch { case _: Exception => true }
+        require(crashed, "injected cluster-sink crash must fire")
+        RedisSource.writeExactlyOnceCluster(slice(0), seeds, "r9eos", 0L,
+          auth = OracleAuth) // replay: crashed keys land, committed skip
+        RedisSource.writeExactlyOnceCluster(slice(1), seeds, "r9eos", 1L,
+          auth = OracleAuth)
+        RedisSource.writeExactlyOnceCluster(slice(1), seeds, "r9eos", 1L,
+          auth = OracleAuth) // committed-epoch replay: every key skips
+        RedisSource.writeExactlyOnceCluster(slice(2), seeds, "r9eos", 2L,
+          auth = OracleAuth)
+        val replay = RedisSource.boundedRead(s, a.host, a.port,
+          allShards(4), auth = OracleAuth)
+          .unionByName(RedisSource.boundedRead(s, b.host, b.port,
+            allShards(4), auth = OracleAuth))
+          .localCheckpoint(true)
+        Transport.aggregate(replay, withDistinct = false)
+      } finally { a.close(); b.close() }
+    },
+
     // Sharding law: round-robin sharder (seq % 3) on the producer, shards
     // recovered from the `stream:N` key names on the consumer — per-shard
     // counts/maxima must match grouping the raw events by event_id % 3.
@@ -299,6 +347,9 @@ object RedisTransport {
     // AND a committed-epoch driver crash, the sink equals the plain
     // aggregate — no distinct to mask duplicates
     "r8_redis_eos_sink" -> Transport.aggregateOracle(withDistinct = false),
+    // cluster twin: per-key transactions across a slot-split cluster
+    // drain crash + replay to exactly one plain copy of events
+    "r9_redis_eos_cluster" -> Transport.aggregateOracle(withDistinct = false),
     "r1_redis_roundtrip" -> Transport.aggregateOracle(withDistinct = true),
     "r2_redis_latest" -> Transport.aggregateOracle(withDistinct = false),
     "r3_redis_sharding" ->

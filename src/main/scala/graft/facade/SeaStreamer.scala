@@ -874,7 +874,6 @@ object SeaStreamer {
             "producer, the redis WATCH+MULTI sink, or the marker ledger")
       require(eosSlots > 0, "eosSlots must be positive")
       if (redisLedgerPrefix.isDefined) {
-        val (host, port) = SeaStreamer.hostPort(node, 6379)
         val prefix = redisLedgerPrefix.get
         val slots = eosSlots
         val sharded = redisSharded
@@ -883,13 +882,26 @@ object SeaStreamer {
           case Some(key) => df.withColumn("stream_key", lit(key))
           case None => df
         }
+        // multi-node connect = cluster, like every other redis write path:
+        // the sink switches to per-key {hash-tagged} transactions so MULTI
+        // stays single-slot legal on the owning node
+        val body: (DataFrame, Long) => Unit =
+          if (nodes.size > 1) {
+            val seeds = nodes.map(SeaStreamer.hostPort(_, 6379))
+            (batch, epochId) =>
+              graft.redis.RedisSource.writeExactlyOnceCluster(batch, seeds,
+                ledgerPrefix = prefix, epochId = epochId, sharded = sharded,
+                tls = tls0, auth = auth0)
+          } else {
+            val (host, port) = SeaStreamer.hostPort(node, 6379)
+            (batch, epochId) =>
+              graft.redis.RedisSource.writeExactlyOnce(batch, host, port,
+                ledgerPrefix = prefix, epochId = epochId, sharded = sharded,
+                numSlots = slots, tls = tls0, auth = auth0)
+          }
         return out0.writeStream
           .option("checkpointLocation", checkpointLocation)
-          .foreachBatch { (batch: DataFrame, epochId: Long) =>
-            graft.redis.RedisSource.writeExactlyOnce(batch, host, port,
-              ledgerPrefix = prefix, epochId = epochId, sharded = sharded,
-              numSlots = slots, tls = tls0, auth = auth0)
-          }.start()
+          .foreachBatch(body).start()
       }
       if (kafkaTransactionalId.isDefined) {
         // transactions are the wire driver's surface — the builtin

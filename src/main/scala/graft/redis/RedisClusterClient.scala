@@ -203,5 +203,34 @@ final class RedisClusterClient(seeds: Seq[(String, Int)],
   def ownerOf(key: String): Option[(String, Int)] =
     owner.get(key).orElse(slotMap.flatMap(_.owner(key)))
 
+  /** A connection PINNED to a key's believed owner — for WATCH/MULTI
+    * sequences, which must stay on ONE socket for their whole lifetime
+    * (cluster transactions are single-slot AND single-connection; routing
+    * mid-transaction would strand the queue). The caller owns redirect
+    * handling: on a MOVED, [[noteMoved]] + retry the WHOLE transaction on
+    * a fresh [[connectionFor]] — nothing applied, EXEC never ran.
+    */
+  def connectionFor(key: String): RedisClient = clientFor(routeFor(key))
+
+  /** Drop (and close) the cached connection to a key's believed owner —
+    * used when a transaction aborted mid-protocol and the socket may hold
+    * an open MULTI queue that would swallow the next caller's commands.
+    */
+  def quarantineConnectionOf(key: String): Unit = {
+    val node = routeFor(key)
+    clients.remove(node).foreach { c =>
+      try c.close() catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  /** Learn a key's new owner from a server MOVED/ASK error message;
+    * returns true when the message carried a target.
+    */
+  def noteMoved(key: String, errMsg: String): Boolean =
+    movedTarget(errMsg) match {
+      case Some(target) => owner(key) = target; true
+      case None => false
+    }
+
   override def close(): Unit = clients.values.foreach(_.close())
 }

@@ -141,7 +141,7 @@ object RedisSource {
     * loser's EXEC returns nil and applies NOTHING — redis's optimistic
     * CAS, exactly its documented WATCH/MULTI contract.
     */
-  private[redis] def commitSlotEpoch(client: RedisClient, ledger: String,
+  private[graft] def commitSlotEpoch(client: RedisClient, ledger: String,
       epochId: Long, cmds: Iterator[Seq[Array[Byte]]],
       beforeExec: () => Unit = () => ()): Boolean = {
     client.command(RedisStreams.watch(ledger): _*) match {
@@ -176,6 +176,12 @@ object RedisSource {
       client.command(RedisStreams.exec: _*) match {
         case Resp.Err(m) => throw new IllegalStateException(s"EXEC failed: $m")
         case Resp.NullArr => false // a rival attempt won — fenced clean
+        case Resp.Arr(rs) =>
+          // real redis refuses a mis-slotted command at QUEUE time, but a
+          // queued-then-failed element must still surface, not vanish
+          rs.collectFirst { case Resp.Err(m) =>
+            throw new IllegalStateException(s"EXEC element failed: $m") }
+          true
         case _ => true
       }
     }
@@ -237,6 +243,91 @@ object RedisSource {
                   s"injected crash: redis slot $slot epoch $epochId " +
                     "queued, not EXECed")); () }
           finally client.close()
+        }
+      }
+  }
+
+  /** Cluster-sharded exactly-once sink — [[writeExactlyOnce]]'s scale
+    * path. Cluster MULTI is only legal when every touched key lives in
+    * ONE hash slot, so the atomic unit shrinks from a Spark writer slot
+    * to one redis KEY per epoch: each key's XADDs commit together with a
+    * per-key ledger `prefix:{key}` whose hash TAG is the key itself —
+    * same slot by construction (CRC16 of the braced tag equals CRC16 of
+    * the bare key), and the stream key's public name is untouched, so
+    * consumers read exactly what the single-node sink writes.
+    *
+    * The batch repartitions on the redis key (deterministic across epoch
+    * replays), each task groups its rows by key in time order and runs
+    * the same WATCH-fenced [[commitSlotEpoch]] per key against the key's
+    * owner node. A MOVED bounce (slot migrated) refreshes the routing and
+    * retries the WHOLE key-transaction on a fresh connection — safe
+    * because nothing applies until EXEC, and the bounced connection is
+    * quarantined in case it holds an open MULTI queue. Replay skips
+    * committed keys via their ledgers; the WATCH fences concurrent rivals
+    * exactly as on a single node.
+    *
+    * Scale story: per-key transactions and their ledgers spread across
+    * every cluster node, so the single-node sink's one-apply-thread wall
+    * becomes N nodes applying in parallel — the sharding the r8 family's
+    * sf10 decade receipt points at.
+    */
+  def writeExactlyOnceCluster(df: DataFrame, seeds: Seq[(String, Int)],
+      ledgerPrefix: String, epochId: Long,
+      sharded: Boolean = true,
+      tls: Option[RedisClient.Tls] = None,
+      auth: Option[RedisClient.Auth] = None,
+      crashBeforeCommit: Option[String] = None): Unit = {
+    import df.sparkSession.implicits._
+    import org.apache.spark.sql.functions.col
+    val keyCols =
+      if (sharded) Seq(col("stream_key"), col("shard_id"))
+      else Seq(col("stream_key"))
+    df.select("stream_key", "shard_id", "timestamp", "payload")
+      .repartition(keyCols: _*)
+      .sortWithinPartitions(col("timestamp"))
+      .as[(String, Long, java.sql.Timestamp, Array[Byte])]
+      .foreachPartition { (rows: Iterator[(String, Long, java.sql.Timestamp, Array[Byte])]) =>
+        if (rows.nonEmpty) {
+          val cc = new RedisClusterClient(seeds, tls, auth)
+          try {
+            try cc.bootstrapSlots()
+            catch { case scala.util.control.NonFatal(_) => () } // lazy MOVED fallback
+            // group this task's rows by redis key; iterator order (time
+            // within the partition) survives into each key's buffer
+            val byKey = new java.util.LinkedHashMap[
+              String, scala.collection.mutable.ArrayBuffer[Seq[Array[Byte]]]]()
+            rows.foreach { r =>
+              val key = RedisStreams.shardedKey(r._1, r._2, sharded)
+              byKey.computeIfAbsent(key,
+                _ => scala.collection.mutable.ArrayBuffer.empty) +=
+                RedisStreams.xadd(key, r._3.getTime, r._4)
+            }
+            byKey.forEach { (key, cmds) =>
+              val ledger = s"$ledgerPrefix:{$key}"
+              var attempts = 0
+              var done = false
+              while (!done) {
+                val client = cc.connectionFor(key)
+                try {
+                  commitSlotEpoch(client, ledger, epochId, cmds.iterator,
+                    beforeExec = () =>
+                      if (crashBeforeCommit.exists(graft.ops.Failpoints.fire))
+                        throw new IllegalStateException(
+                          s"injected crash: redis key $key epoch $epochId " +
+                            "queued, not EXECed"))
+                  done = true
+                } catch {
+                  case e: RedisClient.RedisError
+                      if e.msg.startsWith("MOVED") && attempts < 5 =>
+                    attempts += 1
+                    cc.quarantineConnectionOf(key)
+                    if (!cc.noteMoved(key, e.msg))
+                      try cc.bootstrapSlots()
+                      catch { case scala.util.control.NonFatal(_) => () }
+                }
+              }
+            }
+          } finally cc.close()
         }
       }
   }

@@ -396,6 +396,62 @@ class LiveBrokerSpec extends AnyFunSuite {
     } finally c.close()
   }
 
+  test("redis: cluster-sharded exactly-once key-transaction against a " +
+      "live cluster — the {hash-tagged} ledger co-slots with its key, " +
+      "WATCH fences a rival attempt, replay skips") {
+    val url = sys.env.get("REDIS_CLUSTER_BROKERS_URL").filter(_.trim.nonEmpty)
+    assume(url.isDefined, "no live redis cluster configured — skipping")
+    val seeds = url.get.stripPrefix("redis://").split(",").toSeq.map { s =>
+      val hp = s.split(":", 2)
+      (hp(0), hp.lift(1).map(_.toInt).getOrElse(6379))
+    }
+    val key = uniqueKey("graft_live_ceos")
+    val ledger = s"graft_ceos:{$key}"
+    assert(redis.RedisCluster.hashSlot(ledger) ==
+      redis.RedisCluster.hashSlot(key),
+      "braced tag must put the ledger in its key's slot")
+    val cc = new redis.RedisClusterClient(seeds)
+    try {
+      try cc.bootstrapSlots()
+      catch { case scala.util.control.NonFatal(_) => () }
+      val conn = cc.connectionFor(key)
+      // epoch 0 commits entries + ledger atomically on the owner node
+      assert(redis.RedisSource.commitSlotEpoch(conn, ledger, 0L,
+        Iterator.tabulate(N)(i => redis.RedisStreams.xadd(key,
+          1700000000000L + i, s"ce-$i".getBytes("UTF-8")))))
+      // replay of the committed epoch skips
+      assert(!redis.RedisSource.commitSlotEpoch(conn, ledger, 0L,
+        Iterator.single(redis.RedisStreams.xadd(key, 1700000001000L,
+          "dup".getBytes("UTF-8")))))
+      // rival fence on epoch 1: a second connection watches + queues
+      // first, the winner commits, the rival's EXEC must nil out
+      val (rh, rp) = cc.routeFor(key)
+      val rival = new redis.RedisClient(rh, rp)
+      try {
+        rival.command(redis.RedisStreams.watch(ledger): _*)
+        rival.command(redis.RedisStreams.get(ledger): _*)
+        rival.command(redis.RedisStreams.multi: _*)
+        rival.command(redis.RedisStreams.xadd(key, 1700000002000L,
+          "rival".getBytes("UTF-8")): _*)
+        assert(redis.RedisSource.commitSlotEpoch(conn, ledger, 1L,
+          Iterator.single(redis.RedisStreams.xadd(key, 1700000003000L,
+            "e1".getBytes("UTF-8")))))
+        rival.command(redis.RedisStreams.set(ledger, "2"): _*)
+        assert(rival.command(redis.RedisStreams.exec: _*) ==
+          redis.Resp.NullArr, "rival EXEC must nil out after the fence")
+      } finally rival.close()
+      val got = conn.command(redis.RedisStreams.xrange(key): _*) match {
+        case redis.Resp.Arr(items) => items
+        case other => fail(s"unexpected XRANGE reply: $other")
+      }
+      assert(got.length == N + 1,
+        s"expected $N + 1 entries (no dup/rival), got ${got.length}")
+      conn.command(redis.RedisStreams.xtrimMaxLen(key, 0): _*)
+      try { conn.commandS("DEL", ledger); () }
+      catch { case _: redis.RedisClient.RedisError => () }
+    } finally cc.close()
+  }
+
   test("iggy: i1-shape roundtrip against a live broker (BROKERS_URL)") {
     val ep = endpoint("iggy", "IGGY_BROKERS_URL")
     assume(ep.isDefined, "no live iggy broker configured — skipping")

@@ -196,4 +196,83 @@ class RedisEosSpec extends AnyFunSuite {
       assert(srv.entries("race-t:0").length == 1)
     } finally { a.close(); b.close(); srv.close() }
   }
+
+  test("cluster sink: per-key transactions land on the owning node with " +
+      "a co-slotted ledger, replay skips, crash-before-EXEC recovers to " +
+      "exactly one copy") {
+    val a = new EmbeddedRedis
+    val b = new EmbeddedRedis
+    try {
+      val mid = RedisCluster.HashSlots / 2
+      val slots = Seq((0, mid - 1, a.host, a.port),
+        (mid, RedisCluster.HashSlots - 1, b.host, b.port))
+      a.slots = slots; b.slots = slots
+      val seeds = Seq((a.host, a.port), (b.host, b.port))
+      val keys = (0L until 4L).map(sh =>
+        RedisStreams.shardedKey("t", sh, sharded = true))
+      def nodeOf(key: String): EmbeddedRedis =
+        if (RedisCluster.hashSlot(key) < mid) a else b
+      // the slot split must actually exercise BOTH nodes
+      assert(keys.map(nodeOf).distinct.size == 2, s"keys all co-slotted")
+      val rows = envelope(Seq(("t", 0L, 1L, "a0"), ("t", 1L, 2L, "a1"),
+        ("t", 2L, 3L, "a2"), ("t", 3L, 4L, "a3")))
+      RedisSource.writeExactlyOnceCluster(rows, seeds, "ceos", 0L)
+      def valueOf(key: String): Seq[String] =
+        nodeOf(key).entries(key).map(e => new String(e._2.head._2, "UTF-8"))
+      // every key's entries sit on ITS owner node…
+      assert(keys.flatMap(valueOf).sorted == Seq("a0", "a1", "a2", "a3"))
+      // …the other node holds nothing for it, and the ledger co-slots
+      keys.foreach { k =>
+        val other = if (nodeOf(k) eq a) b else a
+        assert(other.entries(k).isEmpty, s"$k leaked to the wrong node")
+        assert(RedisCluster.hashSlot(s"ceos:{$k}") == RedisCluster.hashSlot(k),
+          "ledger must share the key's hash slot")
+        assert(nodeOf(k).kvGet(s"ceos:{$k}")
+          .map(new String(_, "UTF-8")).contains("1"), s"missing ledger for $k")
+      }
+      // replayed epoch: every key skips via its ledger
+      RedisSource.writeExactlyOnceCluster(rows, seeds, "ceos", 0L)
+      assert(keys.flatMap(valueOf).sorted == Seq("a0", "a1", "a2", "a3"),
+        "a replayed committed epoch duplicated entries")
+      // crash before EXEC: nothing from the crashed key-txn applies; the
+      // replay lands exactly one copy
+      graft.ops.Failpoints.arm("ceos-crash")
+      val next = envelope(Seq(("t", 0L, 5L, "b0"), ("t", 1L, 6L, "b1"),
+        ("t", 2L, 7L, "b2"), ("t", 3L, 8L, "b3")))
+      val thrown = intercept[Exception] {
+        RedisSource.writeExactlyOnceCluster(next, seeds, "ceos", 1L,
+          crashBeforeCommit = Some("ceos-crash"))
+      }
+      assert(Iterator.iterate(thrown: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(8)
+        .exists(t => String.valueOf(t.getMessage).contains("injected crash")),
+        s"wrong failure: $thrown")
+      RedisSource.writeExactlyOnceCluster(next, seeds, "ceos", 1L)
+      assert(keys.flatMap(valueOf).sorted ==
+        Seq("a0", "a1", "a2", "a3", "b0", "b1", "b2", "b3"),
+        "crash + replay broke exactly-once on the cluster path")
+    } finally { a.close(); b.close() }
+  }
+
+  test("cluster sink: a MOVED bounce mid-protocol quarantines the " +
+      "connection and retries the whole key-transaction on the new owner") {
+    val a = new EmbeddedRedis
+    val b = new EmbeddedRedis
+    try {
+      // no slot map: routing starts at the seed (a); a answers MOVED for
+      // the LEDGER key at WATCH time — before anything could apply —
+      // naming b as the owner; the retry must land the whole transaction
+      // (entries + ledger) on b, exactly once
+      val key = RedisStreams.shardedKey("mv", 0L, sharded = true)
+      val ledger = s"meos:{$key}"
+      a.redirects = Map(ledger -> s"${b.host}:${b.port}")
+      val rows = envelope(Seq(("mv", 0L, 1L, "x0"), ("mv", 0L, 2L, "x1")))
+      RedisSource.writeExactlyOnceCluster(rows, Seq((a.host, a.port)),
+        "meos", 0L)
+      assert(a.entries(key).isEmpty, "bounced transaction applied on a")
+      assert(b.entries(key).map(e => new String(e._2.head._2, "UTF-8")) ==
+        Seq("x0", "x1"), "retry did not land atomically on the new owner")
+      assert(b.kvGet(ledger).map(new String(_, "UTF-8")).contains("1"))
+    } finally { a.close(); b.close() }
+  }
 }
