@@ -548,34 +548,46 @@ object Dedup {
     * 4P² ≈ 4.1e18 < 2⁶³, injective because both minima are < P. Packing
     * keeps the key a plain LONG (bucket pruning, codegen comparisons).
     *
-    * r ∈ {4, 8} (d18's escalation targets — VERDICT r13 #2) can't fit one
+    * r > 2 (d18's escalation targets — VERDICT r13 #2) can't fit one
     * long: the key SPLITS into the same injective bk prefix (band + first
     * two minima) plus `k2`, an array of the remaining minima packed
     * pairwise (each mᵢ·P + mᵢ₊₁ < P² < 2⁶³). (bk, k2) together stay
     * injective on the full minima tuple, bk alone still buckets (a join
     * keyed (bk, k2) rides a bk-bucketed layout exchange-free —
     * HashPartitioning(bk) satisfies the clustered distribution), and k2
-    * equality makes the join EXACT tuple equality, so the r=4 oracle is
+    * equality makes the join EXACT tuple equality, so the r>2 oracle is
     * the same bandJoinCondSql tuple law as r≤2, never a hash
     * approximation. r ≤ 2 emits NO k2 column — the default index layout
     * is byte-identical to the receipted one.
+    *
+    * ANY r in 1..8 is legal (VERDICT r14 #4), not just the divisors of
+    * the permutation count: when 8 % r != 0 the LAST band is ragged
+    * (fewer than r minima) and its absent positions pack as a 0 pad —
+    * sound because pad positions are a deterministic function of (band,
+    * r), so a pad only ever compares against the pad at the same position
+    * on the other side, never against a genuine minimum. The same pad
+    * closes an odd r's half-empty final k2 pair. (The oracle twin is
+    * null-safe minima equality in bandJoinCondSql.)
     */
   private[graft] def d14BandKeys(mh: DataFrame, idOut: String,
       r: Int = D14BandR): DataFrame = {
-    require(Seq(1, 2, 4, 8).contains(r),
-      s"band size $r must divide ${MinhashParams.size}")
+    require(r >= 1 && r <= MinhashParams.size,
+      s"band size $r must be in 1..${MinhashParams.size}")
     if (r == 1)
       mh.select((col("i") * Prime + col("mh")).as("bk"),
         col("doc_id").as(idOut))
     else {
       val mins = (0 until r).map(k =>
         min(when(col("i") % r === k, col("mh"))).as(s"m$k"))
+      // a ragged band's missing minima (and an odd r's missing final pair
+      // partner) pad as 0 — see the pad-position argument above
+      def mc(k: Int) =
+        if (k < r) coalesce(col(s"m$k"), lit(0L)) else lit(0L)
       val packed = mh.withColumn("b", (col("i") / r).cast("long"))
         .groupBy(col("doc_id"), col("b"))
         .agg(mins.head, mins.tail: _*)
-        .withColumn("bk", (col("b") * Prime + col("m0")) * Prime + col("m1"))
-      val tail = (1 until r / 2).map(j =>
-        col(s"m${2 * j}") * Prime + col(s"m${2 * j + 1}"))
+        .withColumn("bk", (col("b") * Prime + col("m0")) * Prime + mc(1))
+      val tail = (2 until r by 2).map(k => mc(k) * Prime + mc(k + 1))
       if (tail.isEmpty)
         packed.select(col("bk"), col("doc_id").as(idOut))
       else
@@ -614,15 +626,20 @@ object Dedup {
     * propagate into null bk, which the caller filters.
     */
   private[graft] def bandStructsSqlExpr(sigArray: String, r: Int): String = {
-    require(r == 4 || r == 8, s"struct band keys are the r > 2 form, got $r")
-    val nb = MinhashParams.size / r
+    require(r >= 3 && r <= MinhashParams.size,
+      s"struct band keys are the r > 2 form, got $r")
+    val nb = (MinhashParams.size + r - 1) / r // ragged last band when 8 % r != 0
+    val nK2 = (r - 1) / 2
+    // d14BandKeys' 0 pad for positions past the signature (ragged band)
+    // or past r (an odd r's half-empty final pair) — try_element_at
+    // covers the former, the CASE guard the latter
+    def el(idx: String) = s"coalesce(try_element_at($sigArray, $idx), 0L)"
     s"transform(sequence(0, ${nb - 1}), b -> named_struct(" +
       s"'bk', (cast(b AS bigint) * ${Prime}L + " +
-      s"element_at($sigArray, $r*b+1)) * ${Prime}L + " +
-      s"element_at($sigArray, $r*b+2), " +
-      s"'k2', transform(sequence(1, ${r / 2 - 1}), " +
-      s"j -> element_at($sigArray, $r*b+2*j+1) * ${Prime}L + " +
-      s"element_at($sigArray, $r*b+2*j+2))))"
+      s"element_at($sigArray, $r*b+1)) * ${Prime}L + ${el(s"$r*b+2")}, " +
+      s"'k2', transform(sequence(1, $nK2), " +
+      s"j -> ${el(s"$r*b+2*j+1")} * ${Prime}L + " +
+      s"(CASE WHEN 2*j+1 < $r THEN ${el(s"$r*b+2*j+2")} ELSE 0L END))))"
   }
 
   private[graft] def bandKeySqlExpr(sigArray: String): String =
@@ -648,9 +665,15 @@ object Dedup {
     s"bnd AS (SELECT doc_id, i // $r AS b, $ms FROM mh GROUP BY doc_id, i // $r)"
   }
 
-  /** The band-equality join condition over two [[bandCteSql]] aliases. */
+  /** The band-equality join condition over two [[bandCteSql]] aliases.
+    * Minima equality is NULL-SAFE: when 8 % r != 0 the ragged last band's
+    * absent positions are NULL in the CTE (and a 0 pad on the Spark side),
+    * and a pad position only ever faces the pad at the same position —
+    * `IS NOT DISTINCT FROM` makes the oracle agree with the pad equality.
+    */
   private def bandJoinCondSql(r: Int, x: String, y: String): String =
-    (Seq(s"$x.b = $y.b") ++ (0 until r).map(k => s"$x.m$k = $y.m$k"))
+    (Seq(s"$x.b = $y.b") ++
+      (0 until r).map(k => s"$x.m$k IS NOT DISTINCT FROM $y.m$k"))
       .mkString(" AND ")
 
   /** The packed band key of a [[bandCteSql]] row in SQL — [[d14BandKeys]]'
@@ -658,7 +681,8 @@ object Dedup {
     */
   private def bandKeyPackSql(r: Int, x: String): String =
     if (r == 1) s"CAST($x.b AS BIGINT) * $Prime + $x.m0"
-    else s"(CAST($x.b AS BIGINT) * $Prime + $x.m0) * $Prime + $x.m1"
+    else s"(CAST($x.b AS BIGINT) * $Prime + $x.m0) * $Prime + " +
+      s"COALESCE($x.m1, 0)" // ragged-band pad, d14BandKeys' 0
 
   /** Catalog name of one of d14's bucketed index tables, scoped to the
     * dataset dir (ivfIndexPath's rule): building against one dir and
@@ -710,7 +734,8 @@ object Dedup {
   private[graft] def d14Rebuild(s: org.apache.spark.sql.SparkSession,
       dir: String, rNew: Int): Unit = {
     val rOld = d14IndexR(s, dir)
-    require(Seq(1, 2, 4, 8).contains(rNew), s"bad band size $rNew")
+    require(rNew >= 1 && rNew <= MinhashParams.size,
+      s"band size $rNew must be in 1..${MinhashParams.size}")
     if (rOld != rNew) {
       val P = Prime
       graft.ops.Bucketing.rewriteBucketed(
@@ -721,22 +746,27 @@ object Dedup {
               expr(s"CAST(bk DIV ${P}L AS INT)").as("i"),
               expr(s"bk % ${P}L").as("mh"))
           else {
-            // bk = (b·P + m0)·P + m1; k2[j] = m_{2j+2}·P + m_{2j+3}
+            // bk = (b·P + m0)·P + m1; k2[j] = m_{2j+2}·P + m_{2j+3} —
+            // unpacked per band POSITION `o` (0-based offset within the
+            // band); positions past rOld (an odd rOld's final pair pad)
+            // or past the 8 permutations (a ragged last band's pads) are
+            // 0 pads, not minima, and are filtered out below
             val head = s"array(" +
-              s"named_struct('i', CAST($rOld * (bk DIV ${P * P}L) AS INT), " +
-              s"'mh', (bk DIV ${P}L) % ${P}L), " +
-              s"named_struct('i', CAST($rOld * (bk DIV ${P * P}L) + 1 AS INT), " +
-              s"'mh', bk % ${P}L))"
+              s"named_struct('o', 0, 'mh', (bk DIV ${P}L) % ${P}L), " +
+              s"named_struct('o', 1, 'mh', bk % ${P}L))"
             val pairs =
-              if (rOld == 2) head
+              if (!bands.columns.contains("k2")) head
               else s"concat($head, flatten(transform(k2, (e, j) -> array(" +
-                s"named_struct('i', CAST($rOld * (bk DIV ${P * P}L) + 2*j + 2 AS INT), " +
-                s"'mh', e DIV ${P}L), " +
-                s"named_struct('i', CAST($rOld * (bk DIV ${P * P}L) + 2*j + 3 AS INT), " +
-                s"'mh', e % ${P}L)))))"
+                s"named_struct('o', 2*j + 2, 'mh', e DIV ${P}L), " +
+                s"named_struct('o', 2*j + 3, 'mh', e % ${P}L)))))"
             bands.select(col("ref_id").as("doc_id"),
+                expr(s"bk DIV ${P * P}L").as("b"),
                 explode(expr(pairs)).as("p"))
-              .select(col("doc_id"), col("p.i").as("i"), col("p.mh").as("mh"))
+              .filter(col("p.o") < rOld &&
+                col("b") * rOld + col("p.o") < MinhashParams.size)
+              .select(col("doc_id"),
+                (col("b") * rOld + col("p.o")).cast("int").as("i"),
+                col("p.mh").as("mh"))
           }
         d14BandKeys(stack, "ref_id", rNew)
       }
@@ -1576,6 +1606,19 @@ object Dedup {
       d14Query(s, dir)
     },
 
+    // The rebuild's r-restriction LIFTED (VERDICT r14 #4): re-band to
+    // r=3 — a width that does NOT divide the 8 permutations, so the last
+    // band is RAGGED (two minima, one 0 pad) and the final k2 pair is
+    // half-empty — then query at the stored banding. The oracle is d10's
+    // SQL body at r=3 with null-safe minima equality: the padded split
+    // keys must produce exactly the from-scratch r=3 candidates, pads
+    // matching pads and nothing else.
+    "d21_rebuild_r3" -> { (s, dir) =>
+      d14Build(s, dir)
+      d14Rebuild(s, dir, 3)
+      d14Query(s, dir)
+    },
+
     // d14's INCREMENTAL loop closed: the crawl arrives in TWO waves. Wave
     // one (src0/src1) dedups against the stored reference index; its
     // ACCEPTED (novel) documents are APPENDED into the index
@@ -1913,6 +1956,8 @@ object Dedup {
     // escalated index ≡ recompute at the escalated banding — same one
     // SQL body, r=4 the only moving part
     "d19_rebuild_r4" -> d10OracleSqlAt(4),
+    // any-r rebuild: ragged last band + padded final pair ≡ recompute
+    "d21_rebuild_r3" -> d10OracleSqlAt(3),
     // the census read off the persisted bands must equal the band table
     // replayed from the corpus (the s15 layout-matches-recompute law)
     "d18_band_stats" ->
