@@ -162,6 +162,55 @@ class RedisClusterProducerSpec extends AnyFunSuite {
       }
     } finally srv.close()
   }
+
+  test("live producer with redisLedgerPrefix on a multi-node URI routes " +
+      "the CLUSTER sink: per-key transactions on the owner nodes, " +
+      "hash-tagged ledgers co-slotted") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val a = new EmbeddedRedis
+    val b = new EmbeddedRedis
+    try {
+      val mid = RedisCluster.HashSlots / 2
+      val topo = Seq((0, mid - 1, a.host, a.port),
+        (mid, RedisCluster.HashSlots - 1, b.host, b.port))
+      a.slots = topo; b.slots = topo
+      val conn = SeaStreamer.connect(
+        s"redis://${a.host}:${a.port},${b.host}:${b.port}", spark)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[(String, Long, java.sql.Timestamp, Array[Byte])]
+      val ckpt = Files.createTempDirectory("ceos_ckpt").toString
+      val frame = input.toDF()
+        .toDF("stream_key", "shard_id", "timestamp", "payload")
+        .selectExpr("stream_key", "shard_id",
+          "cast(0 as long) as sequence", "timestamp", "payload")
+      // default producer is unsharded (redisShards = 1): keys are the
+      // bare stream names — pick one stream per cluster half so the law
+      // actually exercises BOTH owner nodes
+      def nodeOf(key: String): EmbeddedRedis =
+        if (RedisCluster.hashSlot(key) < mid) a else b
+      val pool = (0 until 64).map(i => s"c$i")
+      val keys = Seq(
+        pool.find(k => RedisCluster.hashSlot(k) < mid).get,
+        pool.find(k => RedisCluster.hashSlot(k) >= mid).get)
+      val q = conn.createGenericProducer().sendStream(frame, ckpt,
+        redisLedgerPrefix = Some("fceos"))
+      try {
+        input.addData((0 until 10).map(i =>
+          (keys(i % 2), 0L, new java.sql.Timestamp(9000L + i),
+            s"v$i".getBytes(UTF_8))))
+        q.processAllAvailable()
+        keys.foreach { k =>
+          assert(nodeOf(k).entries(k).size == 5, s"$k missing entries")
+          val other = if (nodeOf(k) eq a) b else a
+          assert(other.entries(k).isEmpty, s"$k leaked to the wrong node")
+          assert(nodeOf(k).kvGet(s"fceos:{$k}")
+            .map(new String(_, UTF_8)).contains("1"),
+            s"missing co-slotted ledger for $k")
+        }
+      } finally q.stop()
+    } finally { a.close(); b.close() }
+  }
 }
 
 /** Redirect edge semantics: a mid-pipeline slot migration must replay ONLY
