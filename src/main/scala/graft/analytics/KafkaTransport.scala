@@ -320,6 +320,23 @@ object KafkaTransport {
         // per-partition cap: 20 (topic, partition) ranges at any sf —
         // total/4 per epoch spreads the drain over ~4 epochs
         val cap = math.max(20L, t.events.count() / 20 / 4)
+        // POISON the source mid-log with an aborted transaction (round
+        // 15): the relay reads read_committed with LSO-capped plans, so
+        // these records must never reach the sink — if they did, the
+        // oracle hash (one plain copy of events) would break
+        val poison = new graft.kafka.KafkaClient(srv.host, srv.port,
+          sasl = Some(SaslCreds), saslMechanism = Mech,
+          tls = Some(tlsClient))
+        try {
+          val p = new graft.kafka.KafkaTxnProducer(poison, "k9-poison")
+            .initTransactions()
+          p.begin()
+          srcTopics.foreach(topic => p.send(topic, 0,
+            (0 until 5).map(i =>
+              (1000L + i, null, s"""{"event_id":$i,"value":9.9}"""
+                .getBytes("UTF-8")))))
+          p.abort()
+        } finally poison.close()
         graft.kafka.KafkaEosSink.arm("k9-relay-crash")
         val crashed = try {
           graft.kafka.KafkaEosRelay.relayOnce(s, srv.host, srv.port,

@@ -380,6 +380,26 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally analytics.Dedup.d14Rebuild(spark, dir, analytics.Dedup.D14BandR)
   }
 
+  test("an ODD banding (r=3, ragged last band) keeps the same " +
+      "exchange-free bucketed join shape — pads change recall, never " +
+      "the plan") {
+    val dir = TestSession.sfDir
+    analytics.Dedup.d14Build(spark, dir)
+    analytics.Dedup.d14Rebuild(spark, dir, 3)
+    try {
+      val p = analytics.Dedup.d14Query(spark, dir)
+        .queryExecution.explainString(FormattedMode)
+      assert(nodeBlocks(p).exists { case (n, b) =>
+        n == "SortMergeJoin" && b.contains("bk")
+      }, "the r=3 band join lost its bucketed sort-merge shape")
+      assert(p.contains("k2"),
+        "the k2 key-remainder filter is missing from the r=3 plan")
+      assert(!nodeBlocks(p).exists { case (n, b) =>
+        n == "Exchange" && b.contains("hashpartitioning(bk")
+      }, "the r=3 band join re-partitioned a bucketed input")
+    } finally analytics.Dedup.d14Rebuild(spark, dir, analytics.Dedup.D14BandR)
+  }
+
   test("d14 append grows the index by each accepted doc exactly once") {
     // the s12 exactly-once-append law applied to the dedup index: build +
     // one wave's append must leave exactly one sizes row per reference doc
