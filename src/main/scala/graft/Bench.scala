@@ -89,7 +89,7 @@ object Bench {
       "k7_kafka_txn_stream", "k8_kafka_eos_sink", "k9_kafka_eos_relay",
       "k10_kafka_eos_pipeline",
       "r1_redis_roundtrip", "r2_redis_latest", "r3_redis_sharding",
-      "r8_redis_eos_sink", "r9_redis_eos_cluster",
+      "r8_redis_eos_sink", "r9_redis_eos_cluster", "r10_kafka_redis_eos",
       "r4_redis_seek", "r5_redis_admission", "r6_redis_group_recovery",
       "r7_relay", "t2_ss_stream",
       "d3_minhash_lsh", "d10_cross_corpus", "d11_lsh_recall")

@@ -296,6 +296,73 @@ object KafkaTransport {
       }
     },
 
+    // The DESTINATION-anchored exactly-once relay: kafka source → redis
+    // sink with the resume point INSIDE the destination store — each
+    // (topic, partition)'s committed source offset lives in a redis
+    // ledger key (`r10eos:{topic/part}`) and advances ATOMICALLY with
+    // the relayed entries in one WATCH-fenced MULTI/EXEC (the
+    // consume-kafka/write-store-with-offsets-in-store production
+    // pattern; no Spark checkpoint, no kafka group anywhere). The kafka
+    // source carries k9's aborted-transaction poison (the relay reads
+    // read_committed and plans at the LSO — forwarding any poisoned
+    // record breaks the hash); one range's relay crashes with its MULTI
+    // queued but un-EXECed (nothing lands, the ledger holds), and the
+    // drain re-relays exactly that range. Both securities stay on:
+    // SCRAM-inside-TLS on the kafka side, AUTH on the redis side.
+    "r10_kafka_redis_eos" -> { (s, dir) =>
+      withServer { srv =>
+        val redisSrv = new graft.redis.EmbeddedRedis(
+          auth = Some(("oracle", "r-family-gate")))
+        try {
+          val t = Tables(s, dir)
+          val src = Transport.envelopeOf(t)
+            .withColumn("stream_key", concat(lit("src_"), col("stream_key")))
+          KafkaSource.write(src, srv.host, srv.port,
+            sasl = Some(SaslCreds), saslMechanism = Mech,
+            tls = Some(tlsClient))
+          val srcTopics = Transport.eventTypes.map("src_" + _)
+          val poison = new graft.kafka.KafkaClient(srv.host, srv.port,
+            sasl = Some(SaslCreds), saslMechanism = Mech,
+            tls = Some(tlsClient))
+          try {
+            val p = new graft.kafka.KafkaTxnProducer(poison, "r10-poison")
+              .initTransactions()
+            p.begin()
+            srcTopics.foreach(topic => p.send(topic, 0,
+              (0 until 5).map(i =>
+                (1000L + i, null, s"""{"event_id":$i,"value":9.9}"""
+                  .getBytes("UTF-8")))))
+            p.abort()
+          } finally poison.close()
+          val cap = math.max(20L, t.events.count() / 20 / 4)
+          graft.ops.Failpoints.arm("r10-relay-crash")
+          val crashed = try {
+            graft.redis.RedisEosRelay.relayOnce(s, srv.host, srv.port,
+              srcTopics, _.stripPrefix("src_"),
+              redisSrv.host, redisSrv.port, "r10eos", cap,
+              sasl = Some(SaslCreds), saslMechanism = Mech,
+              kafkaTls = Some(tlsClient),
+              redisAuth = RedisTransport.OracleAuth,
+              crashBeforeCommit = Some("r10-relay-crash"))
+            false
+          } catch { case _: Exception => true }
+          require(crashed, "the injected mid-relay crash did not fire")
+          graft.redis.RedisEosRelay.relayAll(s, srv.host, srv.port,
+            srcTopics, _.stripPrefix("src_"),
+            redisSrv.host, redisSrv.port, "r10eos", cap,
+            sasl = Some(SaslCreds), saslMechanism = Mech,
+            kafkaTls = Some(tlsClient),
+            redisAuth = RedisTransport.OracleAuth)
+          val shards = Transport.eventTypes
+            .flatMap(st => (0L until 4L).map(sh => (st, sh)))
+          val replay = graft.redis.RedisSource.boundedRead(s,
+            redisSrv.host, redisSrv.port, shards,
+            auth = RedisTransport.OracleAuth).localCheckpoint(true)
+          Transport.aggregate(replay, withDistinct = false)
+        } finally redisSrv.close()
+      }
+    },
+
     // The broker-anchored exactly-once relay — the reference's
     // consume-transform-produce loop with send_offsets_to_transaction
     // staging the REAL source offsets (producer.rs:236-301), NO Spark
@@ -472,6 +539,9 @@ object KafkaTransport {
     // the broker-anchored relay under the same exactly-once law: resume
     // from group offsets alone (no checkpoint), injected mid-relay crash
     "k9_kafka_eos_relay" -> Transport.aggregateOracle(withDistinct = false),
+    // destination-anchored relay: offsets-in-redis, crash + poison
+    // drain to exactly one plain copy of events
+    "r10_kafka_redis_eos" -> Transport.aggregateOracle(withDistinct = false),
     // the gated chain: only the admitted sliver (value > 50 — the same
     // double both engines compare, JSON round-trip is bit-exact) may
     // reach the sink, exactly once, across the injected crash

@@ -452,6 +452,42 @@ class LiveBrokerSpec extends AnyFunSuite {
     } finally cc.close()
   }
 
+  test("kafka→redis: r10-shape destination-anchored exactly-once relay " +
+      "against BOTH live brokers — offsets-in-redis, atomic with entries") {
+    val kep = endpoint("kafka", "KAFKA_BROKERS_URL")
+    val rep = endpoint("redis", "REDIS_BROKERS_URL")
+    assume(kep.isDefined && rep.isDefined,
+      "needs BOTH a live kafka and a live redis broker — skipping")
+    val (kh, kp) = kep.get
+    val (rh, rp) = rep.get
+    val topic = uniqueKey("graft_live_r10")
+    val prefix = uniqueKey("graft_r10led")
+    val kc = new kafka.KafkaClient(kh, kp)
+    val rc = new redis.RedisClient(rh, rp)
+    try {
+      kc.metadata(Seq(topic))
+      (0 until N).foreach(i => kc.produce(topic, 0,
+        Seq((1700000000000L + i, null, s"r10-$i".getBytes("UTF-8")))))
+      val moved = redis.RedisEosRelay.relayAll(
+        graft.TestSession.spark, kh, kp, Seq(topic), _ => topic + "_dst",
+        rh, rp, prefix)
+      assert(moved == N, s"relayed $moved, want $N")
+      // idempotent off the redis ledger alone
+      assert(redis.RedisEosRelay.relayAll(graft.TestSession.spark,
+        kh, kp, Seq(topic), _ => topic + "_dst", rh, rp, prefix) == 0L)
+      val key = redis.RedisStreams
+        .shardedKey(topic + "_dst", 0L, sharded = true)
+      val got = rc.command(redis.RedisStreams.xrange(key): _*) match {
+        case redis.Resp.Arr(items) => items
+        case other => fail(s"unexpected XRANGE reply: $other")
+      }
+      assert(got.length == N, s"relay landed ${got.length}, want $N")
+      rc.command(redis.RedisStreams.xtrimMaxLen(key, 0): _*)
+      try { rc.commandS("DEL", s"$prefix:{$topic/0}"); () }
+      catch { case _: redis.RedisClient.RedisError => () }
+    } finally { kc.close(); rc.close() }
+  }
+
   test("iggy: i1-shape roundtrip against a live broker (BROKERS_URL)") {
     val ep = endpoint("iggy", "IGGY_BROKERS_URL")
     assume(ep.isDefined, "no live iggy broker configured — skipping")

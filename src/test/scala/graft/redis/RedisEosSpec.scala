@@ -254,6 +254,50 @@ class RedisEosSpec extends AnyFunSuite {
     } finally { a.close(); b.close() }
   }
 
+  test("kafka→redis relay: entries + source offset commit atomically in " +
+      "one MULTI, a crash before EXEC moves nothing, the drain resumes " +
+      "off the redis ledger alone, a drained source relays zero") {
+    val k = new graft.kafka.EmbeddedKafka
+    val r = new EmbeddedRedis
+    val kc = new graft.kafka.KafkaClient(k.host, k.port)
+    try {
+      kc.metadata(Seq("src"))
+      val vals = (0 until 20).map(i => s"m$i")
+      vals.zipWithIndex.foreach { case (v, i) =>
+        kc.produce("src", 0, Seq((1000L + i, null, v.getBytes("UTF-8"))))
+      }
+      val spark0 = spark
+      def relay(crash: Option[String]) =
+        RedisEosRelay.relayOnce(spark0, k.host, k.port, Seq("src"),
+          _ => "dst", r.host, r.port, "rel", cap = 6L,
+          crashBeforeCommit = crash)
+      def ledger = r.kvGet("rel:{src/0}").map(new String(_, "UTF-8"))
+      def entries = r.entries(RedisStreams.shardedKey("dst", 0L, true))
+        .map(e => new String(e._2.head._2, "UTF-8"))
+      // epoch 1: capped at 6; offset publishes WITH the entries
+      assert(relay(None) == 6L, "cap must bound the epoch")
+      assert(ledger.contains("6") && entries.size == 6)
+      // epoch 2 crashes with the MULTI queued, before EXEC: the
+      // connection takes the queue with it — no entries, ledger holds
+      graft.ops.Failpoints.arm("rel-crash")
+      intercept[Exception](relay(Some("rel-crash")))
+      assert(ledger.contains("6") && entries.size == 6,
+        "a crashed epoch moved the ledger or leaked entries")
+      // drain resumes off the ledger: the crashed range re-relays, then
+      // the rest; a further pass moves nothing
+      val moved = RedisEosRelay.relayAll(spark0, k.host, k.port,
+        Seq("src"), _ => "dst", r.host, r.port, "rel", cap = 6L)
+      assert(moved == 14L, s"drain relayed $moved, expected 14")
+      assert(relay(None) == 0L, "a drained source must relay nothing")
+      assert(entries == vals,
+        "relay lost, duplicated, or reordered records")
+      // ledger co-slots with any destination key it would share a
+      // cluster transaction with (the hash-tag discipline)
+      assert(RedisCluster.hashSlot("rel:{src/0}") ==
+        RedisCluster.hashSlot("src/0"))
+    } finally { kc.close(); k.close(); r.close() }
+  }
+
   test("cluster sink: a MOVED bounce mid-protocol quarantines the " +
       "connection and retries the whole key-transaction on the new owner") {
     val a = new EmbeddedRedis
