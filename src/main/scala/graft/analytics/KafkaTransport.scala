@@ -363,6 +363,61 @@ object KafkaTransport {
       }
     },
 
+    // The redis→kafka exactly-once ingest — the relay matrix's fourth
+    // corner: the destination is transactional, so the SOURCE cursor
+    // stages inside the kafka transaction (send_offsets_to_transaction,
+    // producer.rs:236-301) with the packed redis entry id
+    // ((ms << 16) | sub_seq, message.rs:27-64) as the committed "offset"
+    // of synthetic coordinate (stream, shard) — entries and resume point
+    // publish atomically at commit, no Spark checkpoint, no redis-side
+    // state. The events envelope lands in source redis streams (AUTH
+    // on); bounded ingest epochs move it into kafka topics under
+    // SCRAM-inside-TLS, with one shard's relay crashing after producing
+    // + staging, before commit (its data aborts at the next fence, its
+    // cursor never moves); the drain re-relays exactly that range, and
+    // the read_committed read-back must hash-match one plain copy.
+    "k11_redis_kafka_eos" -> { (s, dir) =>
+      withServer { srv =>
+        val redisSrv = new graft.redis.EmbeddedRedis(
+          auth = Some(("oracle", "r-family-gate")))
+        try {
+          val t = Tables(s, dir)
+          val src = Transport.envelopeOf(t)
+            .withColumn("stream_key", concat(lit("src_"), col("stream_key")))
+          graft.redis.RedisSource.write(src, redisSrv.host, redisSrv.port,
+            auth = RedisTransport.OracleAuth)
+          val shards = Transport.eventTypes.map("src_" + _)
+            .flatMap(st => (0L until 4L).map(sh => (st, sh)))
+          val cap = math.max(20L, t.events.count() / 20 / 4)
+          graft.kafka.KafkaEosSink.arm("k11-ingest-crash")
+          val crashed = try {
+            graft.kafka.KafkaEosIngest.relayOnce(s,
+              redisSrv.host, redisSrv.port, shards, _.stripPrefix("src_"),
+              srv.host, srv.port, "g_k11_ingest", "k11eos", cap,
+              sasl = Some(SaslCreds), saslMechanism = Mech,
+              kafkaTls = Some(tlsClient),
+              redisAuth = RedisTransport.OracleAuth,
+              crashBeforeCommit = Some("k11-ingest-crash"))
+            false
+          } catch { case _: Exception => true }
+          require(crashed &&
+            !graft.kafka.KafkaEosSink.armed("k11-ingest-crash"),
+            "the injected mid-ingest crash did not fire")
+          graft.kafka.KafkaEosIngest.relayAll(s,
+            redisSrv.host, redisSrv.port, shards, _.stripPrefix("src_"),
+            srv.host, srv.port, "g_k11_ingest", "k11eos", cap,
+            sasl = Some(SaslCreds), saslMechanism = Mech,
+            kafkaTls = Some(tlsClient),
+            redisAuth = RedisTransport.OracleAuth)
+          val replay = KafkaSource.boundedRead(s, srv.host, srv.port,
+            Transport.eventTypes, sasl = Some(SaslCreds),
+            saslMechanism = Mech, tls = Some(tlsClient),
+            readCommitted = true).localCheckpoint(true)
+          Transport.aggregate(replay, withDistinct = false)
+        } finally redisSrv.close()
+      }
+    },
+
     // The broker-anchored exactly-once relay — the reference's
     // consume-transform-produce loop with send_offsets_to_transaction
     // staging the REAL source offsets (producer.rs:236-301), NO Spark
@@ -542,6 +597,7 @@ object KafkaTransport {
     // destination-anchored relay: offsets-in-redis, crash + poison
     // drain to exactly one plain copy of events
     "r10_kafka_redis_eos" -> Transport.aggregateOracle(withDistinct = false),
+    "k11_redis_kafka_eos" -> Transport.aggregateOracle(withDistinct = false),
     // the gated chain: only the admitted sliver (value > 50 — the same
     // double both engines compare, JSON round-trip is bit-exact) may
     // reach the sink, exactly once, across the injected crash

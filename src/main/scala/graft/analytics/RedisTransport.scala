@@ -217,6 +217,45 @@ object RedisTransport {
       } finally { a.close(); b.close() }
     },
 
+    // The redis→redis exactly-once pump — the relay matrix corner where
+    // both ends are redis streams (DR mirroring, region moves): each
+    // source (stream, shard)'s cursor — the packed next-unrelayed entry
+    // id — lives in a DESTINATION-side ledger key `r11eos:{stream/shard}`
+    // and advances atomically with the relayed entries in one
+    // WATCH-fenced MULTI/EXEC on the destination server. Source and
+    // destination are SEPARATE embedded servers (both AUTH'd); one
+    // shard's pump crashes with its MULTI queued but un-EXECed (nothing
+    // lands, the cursor holds), the drain re-relays exactly that range,
+    // and the destination readback must hash-match one plain copy.
+    "r11_redis_redis_eos" -> { (s, dir) =>
+      val a = new EmbeddedRedis(auth = Some((OracleUser, OraclePass)))
+      val b = new EmbeddedRedis(auth = Some((OracleUser, OraclePass)))
+      try {
+        val t = Tables(s, dir)
+        val src = Transport.envelopeOf(t)
+          .withColumn("stream_key", concat(lit("src_"), col("stream_key")))
+        RedisSource.write(src, a.host, a.port, auth = OracleAuth)
+        val shards = Transport.eventTypes.map("src_" + _)
+          .flatMap(st => (0L until 4L).map(sh => (st, sh)))
+        val cap = math.max(20L, t.events.count() / 20 / 4)
+        graft.ops.Failpoints.arm("r11-pump-crash")
+        val crashed = try {
+          graft.redis.RedisEosPump.relayOnce(s, a.host, a.port, shards,
+            _.stripPrefix("src_"), b.host, b.port, "r11eos", cap,
+            srcAuth = OracleAuth, dstAuth = OracleAuth,
+            crashBeforeCommit = Some("r11-pump-crash"))
+          false
+        } catch { case _: Exception => true }
+        require(crashed, "the injected mid-pump crash did not fire")
+        graft.redis.RedisEosPump.relayAll(s, a.host, a.port, shards,
+          _.stripPrefix("src_"), b.host, b.port, "r11eos", cap,
+          srcAuth = OracleAuth, dstAuth = OracleAuth)
+        val replay = RedisSource.boundedRead(s, b.host, b.port,
+          allShards(4), auth = OracleAuth).localCheckpoint(true)
+        Transport.aggregate(replay, withDistinct = false)
+      } finally { a.close(); b.close() }
+    },
+
     // Sharding law: round-robin sharder (seq % 3) on the producer, shards
     // recovered from the `stream:N` key names on the consumer — per-shard
     // counts/maxima must match grouping the raw events by event_id % 3.
@@ -350,6 +389,7 @@ object RedisTransport {
     // cluster twin: per-key transactions across a slot-split cluster
     // drain crash + replay to exactly one plain copy of events
     "r9_redis_eos_cluster" -> Transport.aggregateOracle(withDistinct = false),
+    "r11_redis_redis_eos" -> Transport.aggregateOracle(withDistinct = false),
     "r1_redis_roundtrip" -> Transport.aggregateOracle(withDistinct = true),
     "r2_redis_latest" -> Transport.aggregateOracle(withDistinct = false),
     "r3_redis_sharding" ->

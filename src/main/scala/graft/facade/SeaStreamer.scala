@@ -677,6 +677,130 @@ object SeaStreamer {
     private def validIggyStream(name: String): Unit =
       if (!Envelope.isValidStreamKey(name) || name.isEmpty)
         throw SeaStreamErr.InvalidStreamKey(name)
+
+    // relay-dispatch accessors (read by SeaStreamer.relayExactlyOnce)
+    private[facade] def relayScheme: String = scheme
+    private[facade] def relaySpark: SparkSession = spark
+    private[facade] def relayNodes: Seq[String] = allNodeAddrs
+    private[facade] def relayKafkaSecurity: graft.kafka.KafkaSecurity.Wire =
+      graft.kafka.KafkaSecurity.parse(security)
+    private[facade] def relayRedisTls: Option[graft.redis.RedisClient.Tls] =
+      redisTls
+    private[facade] def relayRedisAuth: Option[graft.redis.RedisClient.Auth] =
+      redisAuth
+  }
+
+  /** Exactly-once relay between two connected backends — ONE surface over
+    * the four-engine matrix, dispatched on the (source, destination)
+    * scheme pair the way the reference's socket crate dispatches
+    * per-backend (sea-streamer-socket/src/streamer.rs:21-45):
+    *
+    *   - kafka→kafka: [[graft.kafka.KafkaEosRelay]] — resume point = the
+    *     consumer group's offsets, staged inside the destination
+    *     transaction (producer.rs:236-301);
+    *   - kafka→redis: [[graft.redis.RedisEosRelay]] — resume point = a
+    *     destination ledger key, atomic with the entries in one
+    *     WATCH-fenced MULTI/EXEC;
+    *   - redis→kafka: [[graft.kafka.KafkaEosIngest]] — the packed entry-id
+    *     cursor (message.rs:27-64) rides the group-offset staging;
+    *   - redis→redis: [[graft.redis.RedisEosPump]] — destination-ledger
+    *     cursor, the DR-mirror shape.
+    *
+    * `anchor` names the durable resume point: on kafka destinations it is
+    * the consumer group AND the transactional-id prefix (`anchor` /
+    * `"$anchor-txn"`); on redis destinations, the ledger key prefix. Reuse
+    * the same anchor to resume; change it to restart from the beginning.
+    * `rename` maps each source stream/topic to its destination name —
+    * identity is refused when both ends share a broker (a relay into its
+    * own source would chase its own appends forever). `redisShards` is
+    * the shard fan of redis SOURCES (redis shards live in key names, not
+    * broker metadata — the consumer must name them, consumer/shard.rs:
+    * 34-36); it is ignored for kafka sources, whose partitions come from
+    * Metadata. Drains the source completely; returns records relayed.
+    *
+    * The file/stdio/iggy backends have no transactional or
+    * compare-and-set primitive to anchor a destination-side resume point
+    * on, and multi-node (cluster) endpoints need the hash-slot-aware
+    * writer ([[graft.redis.RedisSource.writeExactlyOnceCluster]]) — both
+    * refuse with typed errors rather than silently downgrading the
+    * exactly-once contract.
+    */
+  def relayExactlyOnce(source: Connection, destination: Connection,
+      streams: Seq[String], anchor: String,
+      rename: String => String = identity,
+      redisShards: Int = 4, cap: Long = 100000L): Long = {
+    if (streams.isEmpty) throw SeaStreamErr.StreamKeyEmpty
+    streams.foreach { s =>
+      if (!Envelope.isValidStreamKey(s))
+        throw SeaStreamErr.InvalidStreamKey(s)
+    }
+    require(redisShards > 0, "redisShards must be positive")
+    val (ss, ds) = (source.relayScheme, destination.relayScheme)
+    Seq("source" -> ss, "destination" -> ds).foreach { case (end, sc) =>
+      if (sc != "kafka" && sc != "redis")
+        throw SeaStreamErr.Unsupported(
+          s"relayExactlyOnce $end on the '$sc' backend — no transactional" +
+            " or compare-and-set primitive to anchor the resume point on")
+    }
+    Seq("source" -> source, "destination" -> destination).foreach {
+      case (end, c) =>
+        if (c.relayNodes.size != 1)
+          throw SeaStreamErr.Unsupported(
+            s"relayExactlyOnce $end must be a single node, got " +
+              s"${c.relayNodes.mkString(",")} (redis clusters relay via " +
+              "RedisSource.writeExactlyOnceCluster's hash-slot form)")
+    }
+    val sameEndpoint = ss == ds && source.relayNodes == destination.relayNodes
+    if (sameEndpoint) streams.foreach { s =>
+      if (rename(s) == s)
+        throw SeaStreamErr.Unsupported(
+          s"relaying '$s' into itself on the same broker would chase its" +
+            " own appends — rename must map it to a different name")
+    }
+    val spark = source.relaySpark
+    val shardList = streams.flatMap(st =>
+      (0L until redisShards.toLong).map(sh => (st, sh)))
+    (ss, ds) match {
+      case ("kafka", "kafka") =>
+        if (!sameEndpoint)
+          throw SeaStreamErr.Unsupported(
+            "cross-cluster kafka→kafka relay is not supported: the group " +
+              "offsets staged in the transaction live on the SOURCE " +
+              "cluster, so both ends must be one cluster")
+        val (host, port) = hostPort(source.relayNodes.head, 9092)
+        val sec = source.relayKafkaSecurity
+        graft.kafka.KafkaEosRelay.relayAll(spark, host, port, streams,
+          rename, group = anchor, txnIdPrefix = s"$anchor-txn", cap = cap,
+          sasl = sec.sasl, saslMechanism = sec.saslMechanism, tls = sec.tls)
+      case ("kafka", "redis") =>
+        val (kh, kp) = hostPort(source.relayNodes.head, 9092)
+        val (rh, rp) = hostPort(destination.relayNodes.head, 6379)
+        val sec = source.relayKafkaSecurity
+        graft.redis.RedisEosRelay.relayAll(spark, kh, kp, streams, rename,
+          rh, rp, ledgerPrefix = anchor, cap = cap,
+          sasl = sec.sasl, saslMechanism = sec.saslMechanism,
+          kafkaTls = sec.tls, redisTls = destination.relayRedisTls,
+          redisAuth = destination.relayRedisAuth)
+      case ("redis", "kafka") =>
+        val (rh, rp) = hostPort(source.relayNodes.head, 6379)
+        val (kh, kp) = hostPort(destination.relayNodes.head, 9092)
+        val sec = destination.relayKafkaSecurity
+        graft.kafka.KafkaEosIngest.relayAll(spark, rh, rp, shardList,
+          rename, kh, kp, group = anchor, txnIdPrefix = s"$anchor-txn",
+          cap = cap, sasl = sec.sasl, saslMechanism = sec.saslMechanism,
+          kafkaTls = sec.tls, redisTls = source.relayRedisTls,
+          redisAuth = source.relayRedisAuth)
+      case ("redis", "redis") =>
+        val (ah, ap) = hostPort(source.relayNodes.head, 6379)
+        val (bh, bp) = hostPort(destination.relayNodes.head, 6379)
+        graft.redis.RedisEosPump.relayAll(spark, ah, ap, shardList,
+          rename, bh, bp, ledgerPrefix = anchor, cap = cap,
+          srcTls = source.relayRedisTls, srcAuth = source.relayRedisAuth,
+          dstTls = destination.relayRedisTls,
+          dstAuth = destination.relayRedisAuth)
+      case other =>
+        throw SeaStreamErr.Unsupported(s"relayExactlyOnce $other")
+    }
   }
 
   final class Committer(opts: ConsumerOptions) {

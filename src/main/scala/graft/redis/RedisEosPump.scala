@@ -1,0 +1,178 @@
+package graft.redis
+
+import org.apache.spark.sql.SparkSession
+
+/** Exactly-once Redis→Redis pump — the last corner of the EOS relay
+  * matrix ([[graft.kafka.KafkaEosRelay]] kafka→kafka,
+  * [[RedisEosRelay]] kafka→redis, [[graft.kafka.KafkaEosIngest]]
+  * redis→kafka). Both ends are redis streams, so the resume point is
+  * DESTINATION-anchored exactly as in [[RedisEosRelay]]: each source
+  * (stream, shard) keeps the packed id of its next unrelayed entry
+  * (sea-streamer-redis/src/message.rs:27-64's `(ms << 16) | sub_seq`
+  * SeqNo) in a destination-side ledger key `prefix:{<stream>/<shard>}`,
+  * and every relay transaction commits the shard's entries AND the
+  * advanced cursor in ONE WATCH-fenced MULTI/EXEC on the destination.
+  * Kill everything but the destination redis, restart anywhere — the
+  * ledger says exactly what landed. (Mirroring across redis instances —
+  * DR replicas, region moves, stream re-sharding — is precisely where
+  * this shape earns its keep: no third system holds the cursor.)
+  *
+  * One epoch ([[relayOnce]]) plans per-(stream, shard) ranges on the
+  * driver (source `XREVRANGE key + - COUNT 1` tip probes + destination
+  * ledger GETs — O(#shards) RPCs, no data), then each shard relays in
+  * its own task: WATCH the ledger, re-read the cursor UNDER the watch
+  * (a rival attempt — speculative task, stalled-but-alive zombie — can
+  * no longer win silently: the first EXEC moves the watched key, every
+  * other EXEC nils out), page the source `XRANGE` from the unpacked
+  * cursor, queue every destination XADD plus the advanced-cursor SET in
+  * one MULTI, EXEC. A crash before EXEC takes the queue with it —
+  * nothing lands, the cursor holds, the next epoch re-relays the same
+  * range. [[relayAll]] loops until an epoch moves nothing.
+  *
+  * The ledger key hash-tags the braced `<stream>/<shard>` pair; on a
+  * destination CLUSTER the per-shard transaction must keep entries and
+  * ledger in one hash slot ([[RedisSource.writeExactlyOnceCluster]]'s
+  * per-key tag pattern) — this single-node form keeps the reference
+  * consumer's `stream:shard` destination key naming readable instead.
+  *
+  * Scale shape: tasks are independent single-connection relays, one per
+  * (stream, shard) — data bytes never touch the driver; `cap` bounds
+  * the per-epoch MULTI (redis holds the whole queue in memory until
+  * EXEC), and the tip is pinned at plan time so a live source producer
+  * never turns an epoch into an unbounded chase.
+  */
+object RedisEosPump {
+
+  private def ledgerKey(prefix: String, stream: String, shard: Long): String =
+    s"$prefix:{$stream/$shard}"
+
+  private def cursorOf(v: Resp.Value): Long = v match {
+    case Resp.Bulk(bs) => new String(bs, "UTF-8").toLong
+    case _ => 0L
+  }
+
+  /** One bounded exactly-once pump epoch; returns entries relayed
+    * (0 = drained to the planned tips). `streamOf` maps source stream →
+    * destination stream name (must differ when both ends are the same
+    * server); the shard id carries over. `crashBeforeCommit` is
+    * [[graft.ops.Failpoints]]' one-shot token — the matching task dies
+    * with its MULTI queued, before EXEC.
+    */
+  def relayOnce(spark: SparkSession,
+      srcHost: String, srcPort: Int, shards: Seq[(String, Long)],
+      streamOf: String => String,
+      dstHost: String, dstPort: Int, ledgerPrefix: String,
+      cap: Long = 100000L, page: Int = 1000,
+      srcTls: Option[RedisClient.Tls] = None,
+      srcAuth: Option[RedisClient.Auth] = None,
+      dstTls: Option[RedisClient.Tls] = None,
+      dstAuth: Option[RedisClient.Auth] = None,
+      crashBeforeCommit: Option[String] = None): Long = {
+    require(cap > 0, "cap must be positive")
+    require(page > 0, "page must be positive")
+    val src = new RedisClient(srcHost, srcPort, tls = srcTls, auth = srcAuth)
+    val dst = new RedisClient(dstHost, dstPort, tls = dstTls, auth = dstAuth)
+    val ranges = try {
+      shards.flatMap { case (stream, shard) =>
+        val key = RedisStreams.shardedKey(stream, shard, sharded = true)
+        src.command(RedisStreams.xrevrangeTip(key): _*) match {
+          case v: Resp.Arr =>
+            RedisStreams.decodeEntriesWithIds(v, stream, shard)
+              .headOption.flatMap { case (rawId, _) =>
+                val (ms, sub) = RedisStreams.parseEntryId(rawId)
+                val tipNext = RedisStreams.packSeqNo(ms, sub) + 1L
+                val cursor = cursorOf(dst.command(
+                  RedisStreams.get(ledgerKey(ledgerPrefix, stream, shard)): _*))
+                if (tipNext > cursor) Some((stream, shard, tipNext))
+                else None
+              }
+          case _ => None
+        }
+      }
+    } finally { src.close(); dst.close() }
+    if (ranges.isEmpty) 0L
+    else spark.sparkContext.parallelize(ranges, ranges.size)
+      .map { case (stream, shard, tipNext) =>
+        val sc = new RedisClient(srcHost, srcPort, tls = srcTls, auth = srcAuth)
+        val dc = new RedisClient(dstHost, dstPort, tls = dstTls, auth = dstAuth)
+        try {
+          val ledger = ledgerKey(ledgerPrefix, stream, shard)
+          // WATCH FIRST, then re-read the cursor under the watch: the
+          // driver's planning GET is advisory only — a rival attempt that
+          // lands after it cannot be missed, because its EXEC moved this
+          // key and ours would nil out
+          dc.command(RedisStreams.watch(ledger): _*)
+          val committed = cursorOf(dc.command(RedisStreams.get(ledger): _*))
+          if (committed >= tipNext) {
+            dc.command(RedisStreams.unwatch: _*)
+            0L // range already landed — replay/rival skip
+          } else {
+            val srcKey = RedisStreams.shardedKey(stream, shard, sharded = true)
+            val dstKey = RedisStreams.shardedKey(streamOf(stream), shard,
+              sharded = true)
+            dc.command(RedisStreams.multi: _*)
+            var start = RedisStreams.entryId(committed >>> 16, committed & 0xFFFFL)
+            var lastPacked = committed - 1L
+            var n = 0L
+            var drained = false
+            while (!drained && n < cap) {
+              val want = math.min(page.toLong, cap - n).toInt
+              val entries = RedisStreams.decodeEntriesWithIds(
+                sc.command(RedisStreams.xrange(srcKey, start, "+", Some(want)): _*),
+                stream, shard)
+              val keep = entries.takeWhile(_._2.sequence < tipNext)
+              if (keep.nonEmpty) {
+                keep.grouped(500).foreach { chunk =>
+                  dc.pipeline(chunk.map { case (_, m) =>
+                    RedisStreams.xadd(dstKey, m.timestamp.getTime, m.payload)
+                  }).collectFirst { case Resp.Err(m) =>
+                    throw new IllegalStateException(s"MULTI queue refused: $m")
+                  }
+                }
+                n += keep.length
+                lastPacked = keep.last._2.sequence
+                start = RedisStreams.idSuccessor(keep.last._1)
+              }
+              drained = keep.length < want || keep.length < entries.length
+            }
+            if (n == 0L) { dc.command(RedisStreams.discard: _*); 0L }
+            else {
+              // the advanced cursor queues LAST, inside the same MULTI —
+              // entries and resume point commit atomically at EXEC
+              dc.command(RedisStreams.set(ledger, (lastPacked + 1L).toString): _*)
+              if (crashBeforeCommit.exists(graft.ops.Failpoints.fire))
+                throw new IllegalStateException(
+                  s"injected crash: pump $stream/$shard queued, not EXECed")
+              dc.command(RedisStreams.exec: _*) match {
+                case Resp.Err(m) =>
+                  throw new IllegalStateException(s"EXEC failed: $m")
+                case Resp.NullArr => 0L // a rival attempt won — fenced clean
+                case _ => n
+              }
+            }
+          }
+        } finally { sc.close(); dc.close() }
+      }.sum().toLong
+  }
+
+  /** Drain the source completely: epochs until one moves nothing. */
+  def relayAll(spark: SparkSession,
+      srcHost: String, srcPort: Int, shards: Seq[(String, Long)],
+      streamOf: String => String,
+      dstHost: String, dstPort: Int, ledgerPrefix: String,
+      cap: Long = 100000L, page: Int = 1000,
+      srcTls: Option[RedisClient.Tls] = None,
+      srcAuth: Option[RedisClient.Auth] = None,
+      dstTls: Option[RedisClient.Tls] = None,
+      dstAuth: Option[RedisClient.Auth] = None): Long = {
+    var total = 0L
+    var moved = -1L
+    while (moved != 0L) {
+      moved = relayOnce(spark, srcHost, srcPort, shards, streamOf,
+        dstHost, dstPort, ledgerPrefix, cap, page,
+        srcTls = srcTls, srcAuth = srcAuth, dstTls = dstTls, dstAuth = dstAuth)
+      total += moved
+    }
+    total
+  }
+}

@@ -488,6 +488,72 @@ class LiveBrokerSpec extends AnyFunSuite {
     } finally { kc.close(); rc.close() }
   }
 
+  test("redis→kafka: k11-shape exactly-once ingest against BOTH live " +
+      "brokers — the packed redis cursor rides the kafka transaction's " +
+      "group-offset staging") {
+    val kep = endpoint("kafka", "KAFKA_BROKERS_URL")
+    val rep = endpoint("redis", "REDIS_BROKERS_URL")
+    assume(kep.isDefined && rep.isDefined,
+      "needs BOTH a live kafka and a live redis broker — skipping")
+    val (kh, kp) = kep.get
+    val (rh, rp) = rep.get
+    val stream = uniqueKey("graft_live_k11")
+    val group = uniqueKey("graft_k11g")
+    val kc = new kafka.KafkaClient(kh, kp)
+    val rc = new redis.RedisClient(rh, rp)
+    try {
+      val key = redis.RedisStreams.shardedKey(stream, 0L, sharded = true)
+      (0 until N).foreach(i => rc.command(redis.RedisStreams.xadd(
+        key, 1700000000000L + i, s"k11-$i".getBytes("UTF-8")): _*))
+      kc.metadata(Seq(stream + "_dst")) // auto-create the destination
+      val moved = kafka.KafkaEosIngest.relayAll(graft.TestSession.spark,
+        rh, rp, Seq((stream, 0L)), _ => stream + "_dst",
+        kh, kp, group, uniqueKey("k11txn"))
+      assert(moved == N, s"ingested $moved, want $N")
+      // idempotent off the staged group offset alone
+      assert(kafka.KafkaEosIngest.relayAll(graft.TestSession.spark,
+        rh, rp, Seq((stream, 0L)), _ => stream + "_dst",
+        kh, kp, group, uniqueKey("k11txn2")) == 0L)
+      val got = kc.fetchIso(stream + "_dst", 0, 0L, readCommitted = true)._3
+        .map(r => new String(r.value, "UTF-8"))
+      assert(got == (0 until N).map(i => s"k11-$i"),
+        s"ingest lost, duplicated, or reordered: $got")
+      rc.command(redis.RedisStreams.xtrimMaxLen(key, 0): _*)
+    } finally { kc.close(); rc.close() }
+  }
+
+  test("redis→redis: r11-shape exactly-once pump against a live broker — " +
+      "destination-ledger cursor, atomic with entries") {
+    val ep = endpoint("redis", "REDIS_BROKERS_URL")
+    assume(ep.isDefined, "no live redis broker configured — skipping")
+    val (host, port) = ep.get
+    val stream = uniqueKey("graft_live_r11")
+    val prefix = uniqueKey("graft_r11led")
+    val rc = new redis.RedisClient(host, port)
+    try {
+      val srcKey = redis.RedisStreams.shardedKey(stream, 0L, sharded = true)
+      (0 until N).foreach(i => rc.command(redis.RedisStreams.xadd(
+        srcKey, 1700000000000L + i, s"r11-$i".getBytes("UTF-8")): _*))
+      val moved = redis.RedisEosPump.relayAll(graft.TestSession.spark,
+        host, port, Seq((stream, 0L)), _ + "_mirror", host, port, prefix)
+      assert(moved == N, s"pumped $moved, want $N")
+      assert(redis.RedisEosPump.relayAll(graft.TestSession.spark,
+        host, port, Seq((stream, 0L)), _ + "_mirror", host, port,
+        prefix) == 0L, "a drained source must pump nothing")
+      val dstKey = redis.RedisStreams
+        .shardedKey(stream + "_mirror", 0L, sharded = true)
+      val got = rc.command(redis.RedisStreams.xrange(dstKey): _*) match {
+        case redis.Resp.Arr(items) => items
+        case other => fail(s"unexpected XRANGE reply: $other")
+      }
+      assert(got.length == N, s"pump landed ${got.length}, want $N")
+      Seq(srcKey, dstKey).foreach(k =>
+        rc.command(redis.RedisStreams.xtrimMaxLen(k, 0): _*))
+      try { rc.commandS("DEL", s"$prefix:{$stream/0}"); () }
+      catch { case _: redis.RedisClient.RedisError => () }
+    } finally rc.close()
+  }
+
   test("iggy: i1-shape roundtrip against a live broker (BROKERS_URL)") {
     val ep = endpoint("iggy", "IGGY_BROKERS_URL")
     assume(ep.isDefined, "no live iggy broker configured — skipping")

@@ -1,0 +1,114 @@
+package graft.facade
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.SeaStreamErr
+import graft.kafka.{EmbeddedKafka, KafkaClient}
+import graft.redis.{EmbeddedRedis, RedisClient, RedisStreams, Resp}
+
+/** Laws of the facade's unified exactly-once relay surface: one
+  * `relayExactlyOnce(source, destination)` over the four-engine matrix,
+  * scheme-pair dispatched like the reference's socket crate — plus the
+  * typed-error contract for pairs the matrix cannot anchor.
+  */
+class RelayFacadeSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSession.spark
+
+  private def seedRedis(rc: RedisClient, stream: String, n: Int): Unit = {
+    val key = RedisStreams.shardedKey(stream, 0L, sharded = true)
+    (0 until n).foreach(i => rc.command(RedisStreams.xadd(
+      key, 4000L + i, s"v$i".getBytes("UTF-8")): _*))
+  }
+
+  test("all four corners drain through the one facade surface and " +
+      "resume idempotently off their anchors") {
+    val k = new EmbeddedKafka
+    val r = new EmbeddedRedis
+    val r2 = new EmbeddedRedis
+    val kc = new KafkaClient(k.host, k.port)
+    val rc = new RedisClient(r.host, r.port)
+    try {
+      val kconn = SeaStreamer.connect(s"kafka://${k.host}:${k.port}", spark)
+      val rconn = SeaStreamer.connect(s"redis://${r.host}:${r.port}", spark)
+      val r2conn = SeaStreamer.connect(s"redis://${r2.host}:${r2.port}", spark)
+      // kafka→kafka (same cluster, renamed)
+      kc.metadata(Seq("fk"))
+      (0 until 5).foreach(i => kc.produce("fk", 0,
+        Seq((100L + i, null, s"k$i".getBytes("UTF-8")))))
+      assert(SeaStreamer.relayExactlyOnce(kconn, kconn, Seq("fk"),
+        anchor = "fa1", rename = _ + "_out") == 5L)
+      assert(SeaStreamer.relayExactlyOnce(kconn, kconn, Seq("fk"),
+        anchor = "fa1", rename = _ + "_out") == 0L, "anchor must resume")
+      assert(kc.fetchIso("fk_out", 0, 0L, readCommitted = true)._3
+        .map(x => new String(x.value, "UTF-8")) == (0 until 5).map("k" + _))
+      // kafka→redis
+      assert(SeaStreamer.relayExactlyOnce(kconn, rconn, Seq("fk"),
+        anchor = "fa2") == 5L)
+      assert(SeaStreamer.relayExactlyOnce(kconn, rconn, Seq("fk"),
+        anchor = "fa2") == 0L)
+      assert(r.entries(RedisStreams.shardedKey("fk", 0L, true)).length == 5)
+      // redis→kafka
+      seedRedis(rc, "fr", 4)
+      assert(SeaStreamer.relayExactlyOnce(rconn, kconn, Seq("fr"),
+        anchor = "fa3") == 4L)
+      assert(SeaStreamer.relayExactlyOnce(rconn, kconn, Seq("fr"),
+        anchor = "fa3") == 0L)
+      assert(kc.fetchIso("fr", 0, 0L, readCommitted = true)._3
+        .map(x => new String(x.value, "UTF-8")) == (0 until 4).map("v" + _))
+      // redis→redis (cross-server, same name allowed)
+      assert(SeaStreamer.relayExactlyOnce(rconn, r2conn, Seq("fr"),
+        anchor = "fa4") == 4L)
+      assert(SeaStreamer.relayExactlyOnce(rconn, r2conn, Seq("fr"),
+        anchor = "fa4") == 0L)
+      assert(r2.entries(RedisStreams.shardedKey("fr", 0L, true)).length == 4)
+      // a FRESH anchor restarts from the beginning (the resume point is
+      // the anchor's, not the stream's)
+      assert(SeaStreamer.relayExactlyOnce(rconn, r2conn, Seq("fr"),
+        anchor = "fa5", rename = _ + "_again") == 4L)
+    } finally { kc.close(); rc.close(); k.close(); r.close(); r2.close() }
+  }
+
+  test("typed errors: self-relay on a shared broker, cross-cluster " +
+      "kafka→kafka, non-anchorable backends, clusters, empty/invalid keys") {
+    val k = new EmbeddedKafka
+    val k2 = new EmbeddedKafka
+    val r = new EmbeddedRedis
+    try {
+      val kconn = SeaStreamer.connect(s"kafka://${k.host}:${k.port}", spark)
+      val k2conn = SeaStreamer.connect(s"kafka://${k2.host}:${k2.port}", spark)
+      val rconn = SeaStreamer.connect(s"redis://${r.host}:${r.port}", spark)
+      val fconn = SeaStreamer.connect("file:///tmp/relay-spec", spark)
+      // identity rename into the same broker: refused for BOTH same-scheme
+      // pairs (it would chase its own appends)
+      Seq(kconn -> kconn, rconn -> rconn).foreach { case (a, b) =>
+        assert(intercept[SeaStreamErr.Unsupported](
+          SeaStreamer.relayExactlyOnce(a, b, Seq("t"), anchor = "x"))
+          .getMessage.contains("into itself"))
+      }
+      // cross-cluster kafka→kafka: the staged group offsets live on the
+      // source cluster — refused, not silently downgraded
+      assert(intercept[SeaStreamErr.Unsupported](
+        SeaStreamer.relayExactlyOnce(kconn, k2conn, Seq("t"), anchor = "x"))
+        .getMessage.contains("cross-cluster"))
+      // file has no transactional/CAS primitive to anchor on
+      Seq(fconn -> kconn, kconn -> fconn).foreach { case (a, b) =>
+        assert(intercept[SeaStreamErr.Unsupported](
+          SeaStreamer.relayExactlyOnce(a, b, Seq("t"), anchor = "x"))
+          .getMessage.contains("backend"))
+      }
+      // multi-node endpoints route to the cluster-aware writer instead
+      val cconn = SeaStreamer.connect(
+        s"redis://${r.host}:${r.port},${r.host}:${r.port + 1}", spark)
+      assert(intercept[SeaStreamErr.Unsupported](
+        SeaStreamer.relayExactlyOnce(kconn, cconn, Seq("t"), anchor = "x"))
+        .getMessage.contains("single node"))
+      // stream-key grammar holds at the facade boundary
+      intercept[SeaStreamErr.StreamKeyEmpty.type](
+        SeaStreamer.relayExactlyOnce(kconn, rconn, Seq.empty, anchor = "x"))
+      intercept[SeaStreamErr.InvalidStreamKey](
+        SeaStreamer.relayExactlyOnce(kconn, rconn, Seq("bad key!"),
+          anchor = "x"))
+    } finally { k.close(); k2.close(); r.close() }
+  }
+}

@@ -1,0 +1,128 @@
+package graft.redis
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Laws of the exactly-once Redis→Redis pump: destination-anchored
+  * cursor (packed source entry id in a destination ledger key), entries
+  * + cursor atomic in one WATCH-fenced MULTI/EXEC, crash-before-EXEC
+  * recovery, rival-attempt fencing via the watched ledger, and hash-tag
+  * co-slotting for the cluster form.
+  */
+class RedisEosPumpSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSession.spark
+
+  private def seed(rc: RedisClient, stream: String, shard: Long,
+      vals: Seq[(Long, String)]): Unit = {
+    val key = RedisStreams.shardedKey(stream, shard, sharded = true)
+    vals.foreach { case (ms, v) =>
+      rc.command(RedisStreams.xadd(key, ms, v.getBytes("UTF-8")): _*)
+    }
+  }
+
+  private def values(srv: EmbeddedRedis, stream: String,
+      shard: Long): Seq[String] =
+    srv.entries(RedisStreams.shardedKey(stream, shard, sharded = true))
+      .map(e => new String(e._2.head._2, "UTF-8"))
+
+  test("pump relays cap-bounded epochs across servers; entries + cursor " +
+      "commit atomically, a crash before EXEC moves nothing, the drain " +
+      "resumes off the destination ledger alone, order survives") {
+    val a = new EmbeddedRedis
+    val b = new EmbeddedRedis
+    val src = new RedisClient(a.host, a.port)
+    try {
+      val vals = (0 until 20).map(i => s"m$i")
+      // two milliseconds of ids — sub-seq packing and rollover under gate
+      seed(src, "s", 0L, vals.zipWithIndex.map {
+        case (v, i) => (1000L + i / 10, v)
+      })
+      val spark0 = spark
+      def pump(crash: Option[String]) =
+        RedisEosPump.relayOnce(spark0, a.host, a.port, Seq(("s", 0L)),
+          _ => "d", b.host, b.port, "pmp", cap = 6L,
+          crashBeforeCommit = crash)
+      def ledger = b.kvGet("pmp:{s/0}").map(new String(_, "UTF-8").toLong)
+      assert(pump(None) == 6L, "cap must bound the epoch")
+      assert(ledger.contains(RedisStreams.packSeqNo(1000L, 5L) + 1L),
+        s"cursor $ledger is not packed(last of epoch 1) + 1")
+      assert(values(b, "d", 0L) == vals.take(6))
+      // crash with the MULTI queued, before EXEC: the connection takes
+      // the queue with it — no entries, cursor holds
+      graft.ops.Failpoints.arm("pmp-crash")
+      intercept[Exception](pump(Some("pmp-crash")))
+      assert(values(b, "d", 0L) == vals.take(6) &&
+        ledger.contains(RedisStreams.packSeqNo(1000L, 5L) + 1L),
+        "a crashed epoch moved the ledger or leaked entries")
+      val moved = RedisEosPump.relayAll(spark0, a.host, a.port,
+        Seq(("s", 0L)), _ => "d", b.host, b.port, "pmp", cap = 6L)
+      assert(moved == 14L, s"drain pumped $moved, expected 14")
+      assert(pump(None) == 0L, "a drained source must pump nothing")
+      assert(values(b, "d", 0L) == vals,
+        "pump lost, duplicated, or reordered records")
+      // the source server never grew destination state (separate ends)
+      assert(a.entries(RedisStreams.shardedKey("d", 0L, true)).isEmpty)
+      // ledger hash-tags co-slot with the braced pair (cluster discipline)
+      assert(RedisCluster.hashSlot("pmp:{s/0}") ==
+        RedisCluster.hashSlot("s/0"))
+    } finally { src.close(); a.close(); b.close() }
+  }
+
+  test("rival fencing: an attempt whose MULTI is queued loses to a rival " +
+      "that commits first — its EXEC nils out against the watched ledger " +
+      "and applies nothing; exactly one copy lands") {
+    val a = new EmbeddedRedis
+    val b = new EmbeddedRedis
+    val src = new RedisClient(a.host, a.port)
+    val zombie = new RedisClient(b.host, b.port)
+    try {
+      seed(src, "z", 0L, Seq((5000L, "only")))
+      val spark0 = spark
+      // the zombie attempt: WATCH the ledger, read the cursor, queue its
+      // XADD + SET — then stall (a speculative task, or a first attempt
+      // Spark deemed dead whose connection survived)
+      val ledger = "zp:{z/0}"
+      zombie.command(RedisStreams.watch(ledger): _*)
+      assert(zombie.command(RedisStreams.get(ledger): _*) == Resp.NullBulk,
+        "the ledger must not exist before any attempt commits")
+      zombie.command(RedisStreams.multi: _*)
+      zombie.command(RedisStreams.xadd(
+        RedisStreams.shardedKey("zd", 0L, true), 5000L,
+        "zombie-copy".getBytes("UTF-8")): _*)
+      zombie.command(RedisStreams.set(ledger,
+        (RedisStreams.packSeqNo(5000L, 0L) + 1L).toString): _*)
+      // the retry runs the whole protocol and commits
+      assert(RedisEosPump.relayOnce(spark0, a.host, a.port, Seq(("z", 0L)),
+        _ => "zd", b.host, b.port, "zp") == 1L)
+      // the zombie's EXEC nils out — the watched ledger moved
+      assert(zombie.command(RedisStreams.exec: _*) == Resp.NullArr,
+        "the rival's EXEC must nil out against the moved ledger")
+      assert(values(b, "zd", 0L) == Seq("only"),
+        "fencing leaked a duplicate copy")
+      // and a replay pass skips off the committed cursor
+      assert(RedisEosPump.relayOnce(spark0, a.host, a.port, Seq(("z", 0L)),
+        _ => "zd", b.host, b.port, "zp") == 0L)
+    } finally { src.close(); zombie.close(); a.close(); b.close() }
+  }
+
+  test("same-server pump: streamOf must steer to a different stream; " +
+      "cursors are per (stream, shard) so multi-shard drains interleave " +
+      "independently") {
+    val srv = new EmbeddedRedis
+    val rc = new RedisClient(srv.host, srv.port)
+    try {
+      seed(rc, "m", 0L, Seq((1L, "a0"), (2L, "a1"), (3L, "a2")))
+      seed(rc, "m", 1L, Seq((1L, "b0"), (2L, "b1")))
+      val spark0 = spark
+      val moved = RedisEosPump.relayAll(spark0, srv.host, srv.port,
+        Seq(("m", 0L), ("m", 1L)), _ + "_mirror",
+        srv.host, srv.port, "mp", cap = 2L)
+      assert(moved == 5L, s"pumped $moved, expected 5")
+      assert(values(srv, "m_mirror", 0L) == Seq("a0", "a1", "a2"))
+      assert(values(srv, "m_mirror", 1L) == Seq("b0", "b1"))
+      // per-shard cursors landed independently
+      assert(srv.kvGet("mp:{m/0}").isDefined &&
+        srv.kvGet("mp:{m/1}").isDefined)
+    } finally { rc.close(); srv.close() }
+  }
+}
