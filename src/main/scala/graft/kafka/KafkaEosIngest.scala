@@ -37,6 +37,17 @@ import graft.redis.{RedisClient, RedisStreams, Resp}
   * next fence) and the cursor unmoved — the next epoch re-relays the
   * same range. [[relayAll]] loops until an epoch moves nothing.
   *
+  * Fence races resolve IN the task: a rival incarnation of this slot —
+  * typically a killed-but-still-running task of a failed prior epoch
+  * whose own init lands AFTER this task's — bumps the producer epoch,
+  * and this attempt's next transactional RPC dies with
+  * INVALID_PRODUCER_EPOCH. Nothing of the fenced attempt survives (its
+  * open txn aborted at the rival's init), so the task re-runs its whole
+  * body: a fresh init re-fences the rival, the post-fence cursor read
+  * absorbs anything the rival managed to commit, and the remainder
+  * relays. Retries are bounded (each rival incarnation can fence at most
+  * once — after OUR re-init its next RPC dies) and the bound fails loud.
+  *
   * Scale shape: tasks are independent single-connection relays, one per
   * (stream, shard) — data bytes never touch the driver; `cap` bounds the
   * per-epoch transaction (the `transaction.timeout.ms` pressure valve),
@@ -62,7 +73,8 @@ object KafkaEosIngest {
       kafkaTls: Option[KafkaTls.Client] = None,
       redisTls: Option[RedisClient.Tls] = None,
       redisAuth: Option[RedisClient.Auth] = None,
-      crashBeforeCommit: Option[String] = None): Long = {
+      crashBeforeCommit: Option[String] = None,
+      raceAfterFence: Option[String] = None): Long = {
     require(cap > 0, "cap must be positive")
     require(page > 0, "page must be positive")
     val planner = new KafkaClient(kafkaHost, kafkaPort, sasl = sasl,
@@ -96,68 +108,102 @@ object KafkaEosIngest {
     if (ranges.isEmpty) 0L
     else spark.sparkContext.parallelize(ranges, ranges.size)
       .map { case (stream, shard, _, tipNext) =>
-        val kc = new KafkaClient(kafkaHost, kafkaPort, sasl = sasl,
-          saslMechanism = saslMechanism, tls = kafkaTls)
         val rc = new RedisClient(redisHost, redisPort,
           tls = redisTls, auth = redisAuth)
-        try {
-          // fence FIRST, read the cursor second: after the epoch bump no
-          // zombie of this slot can commit a transaction (and with it a
-          // cursor move) this task would miss
-          val producer = new KafkaTxnProducer(kc,
-            s"$txnIdPrefix-$stream-$shard").initTransactions()
-          kc.findCoordinator(group)
-          val committed = kc.fetchOffsets(group, Map(stream -> Seq(shard.toInt)))
-            .getOrElse((stream, shard.toInt), 0L)
-          if (committed >= tipNext) 0L // range already landed — replay skip
-          else {
-            val topic = topicOf(stream)
-            val dstParts = kc.metadata(Seq(topic)).getOrElse(topic, Seq.empty)
-            require(dstParts.size > shard,
-              s"destination $topic lacks partition $shard")
-            val key = RedisStreams.shardedKey(stream, shard, sharded = true)
-            var start = RedisStreams.entryId(committed >>> 16, committed & 0xFFFFL)
-            var lastPacked = committed - 1L
-            var n = 0L
-            var drained = false
-            while (!drained && n < cap) {
-              val want = math.min(page.toLong, cap - n).toInt
-              val entries = RedisStreams.decodeEntriesWithIds(
-                rc.command(RedisStreams.xrange(key, start, "+", Some(want)): _*),
-                stream, shard)
-              // stop at the PLANNED tip: entries appended after planning
-              // belong to the next epoch (bounded-transaction law)
-              val keep = entries.takeWhile(_._2.sequence < tipNext)
-              if (keep.nonEmpty) {
-                if (n == 0L) producer.begin() // lazily — an XTRIMmed-empty
-                  // range must not open (then have to abort) a transaction
-                producer.send(topic, shard.toInt,
-                  keep.map { case (rawId, m) =>
-                    (m.timestamp.getTime,
-                      rawId.getBytes("UTF-8"), m.payload)
-                  })
-                n += keep.length
-                lastPacked = keep.last._2.sequence
-                start = RedisStreams.idSuccessor(keep.last._1)
-              }
-              drained = keep.length < want || keep.length < entries.length
-            }
-            if (n == 0L) 0L
+        def attempt(): Long = {
+          val kc = new KafkaClient(kafkaHost, kafkaPort, sasl = sasl,
+            saslMechanism = saslMechanism, tls = kafkaTls)
+          try {
+            // fence FIRST, read the cursor second: after the epoch bump no
+            // zombie of this slot can commit a transaction (and with it a
+            // cursor move) this task would miss
+            val producer = new KafkaTxnProducer(kc,
+              s"$txnIdPrefix-$stream-$shard").initTransactions()
+            kc.findCoordinator(group)
+            val committed = kc.fetchOffsets(group, Map(stream -> Seq(shard.toInt)))
+              .getOrElse((stream, shard.toInt), 0L)
+            raceAfterFence.foreach(graft.ops.Failpoints.fireHook)
+            if (committed >= tipNext) 0L // range already landed — replay skip
             else {
-              // the cursor stages INSIDE the transaction: entries and
-              // resume point publish atomically at commit, vanish on abort
-              producer.sendOffsetsToTransaction(group,
-                Map((stream, shard.toInt) -> (lastPacked + 1L)))
-              if (crashBeforeCommit.exists(KafkaEosSink.fire))
-                throw new IllegalStateException(
-                  s"injected crash: ingest $stream/$shard produced + " +
-                    "staged, not committed")
-              producer.commit()
-              n
+              val topic = topicOf(stream)
+              val dstParts = kc.metadata(Seq(topic)).getOrElse(topic, Seq.empty)
+              require(dstParts.size > shard,
+                s"destination $topic lacks partition $shard")
+              val key = RedisStreams.shardedKey(stream, shard, sharded = true)
+              var start = RedisStreams.entryId(committed >>> 16, committed & 0xFFFFL)
+              var lastPacked = committed - 1L
+              var n = 0L
+              var drained = false
+              while (!drained && n < cap) {
+                val want = math.min(page.toLong, cap - n).toInt
+                val entries = RedisStreams.decodeEntriesWithIds(
+                  rc.command(RedisStreams.xrange(key, start, "+", Some(want)): _*),
+                  stream, shard)
+                // stop at the PLANNED tip: entries appended after planning
+                // belong to the next epoch (bounded-transaction law)
+                val keep = entries.takeWhile(_._2.sequence < tipNext)
+                if (keep.nonEmpty) {
+                  if (n == 0L) producer.begin() // lazily — an XTRIMmed-empty
+                    // range must not open (then have to abort) a transaction
+                  producer.send(topic, shard.toInt,
+                    keep.map { case (rawId, m) =>
+                      (m.timestamp.getTime,
+                        rawId.getBytes("UTF-8"), m.payload)
+                    })
+                  n += keep.length
+                  lastPacked = keep.last._2.sequence
+                  start = RedisStreams.idSuccessor(keep.last._1)
+                }
+                drained = keep.length < want || keep.length < entries.length
+              }
+              if (n == 0L) 0L
+              else {
+                // the cursor stages INSIDE the transaction: entries and
+                // resume point publish atomically at commit, vanish on abort
+                producer.sendOffsetsToTransaction(group,
+                  Map((stream, shard.toInt) -> (lastPacked + 1L)))
+                if (crashBeforeCommit.exists(KafkaEosSink.fire))
+                  throw new IllegalStateException(
+                    s"injected crash: ingest $stream/$shard produced + " +
+                      "staged, not committed")
+                producer.commit()
+                n
+              }
             }
-          }
-        } finally { kc.close(); rc.close() }
+          } finally kc.close()
+        }
+        try retryFenced(s"ingest $stream/$shard")(attempt())
+        finally rc.close()
       }.sum().toLong
+  }
+
+  /** Run `body`; on INVALID_PRODUCER_EPOCH — a rival incarnation of the
+    * slot fenced this attempt mid-transaction, leaving nothing of it
+    * visible — back off and re-run (the fresh init re-fences the rival,
+    * the post-fence cursor read absorbs anything the rival committed).
+    * Each rival incarnation can fence at most once (after OUR re-init its
+    * next RPC dies), so the bound only trips under a genuinely contended
+    * slot — two live drivers relaying the same ranges — and then it
+    * fails LOUD.
+    */
+  private[kafka] def retryFenced(what: String, maxRetries: Int = 5)(
+      body: => Long): Long = {
+    var attempts = 0
+    while (true) {
+      try return body
+      catch {
+        case e: KafkaClient#KafkaServerErr
+            if e.code == KafkaWire.Err.InvalidProducerEpoch =>
+          attempts += 1
+          if (attempts > maxRetries)
+            throw new IllegalStateException(
+              s"$what: fenced $attempts times — a live rival keeps " +
+                "re-initializing this transactional id (two concurrent " +
+                "relays of the same ranges?)", e)
+          Thread.sleep(100L * attempts)
+      }
+    }
+    -1L // unreachable
   }
 
   /** Drain the source completely: epochs until one moves nothing. */

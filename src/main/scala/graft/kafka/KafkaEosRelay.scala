@@ -32,6 +32,15 @@ import org.apache.spark.sql.SparkSession
   * (topic, partition) — data bytes never touch the driver; `cap` bounds
   * per-epoch transaction size (a real deployment's
   * `transaction.timeout.ms` pressure valve).
+  *
+  * Fence races resolve IN the task ([[KafkaEosIngest.retryFenced]]): a
+  * rival incarnation of the slot — typically a killed-but-still-running
+  * task of a failed prior epoch whose init lands AFTER this task's —
+  * bumps the producer epoch and this attempt's next transactional RPC
+  * dies with INVALID_PRODUCER_EPOCH. Nothing of the fenced attempt
+  * survives, so the task re-runs its whole body: re-init (re-fencing the
+  * rival), re-read the committed offset (absorbing anything the rival
+  * committed), relay the remainder. Bounded, loud past the bound.
   */
 object KafkaEosRelay {
 
@@ -47,7 +56,8 @@ object KafkaEosRelay {
       sasl: Option[(String, String)] = None,
       saslMechanism: String = "PLAIN",
       tls: Option[KafkaTls.Client] = None,
-      crashBeforeCommit: Option[String] = None): Long = {
+      crashBeforeCommit: Option[String] = None,
+      raceAfterFence: Option[String] = None): Long = {
     require(cap > 0, "cap must be positive")
     val planner = new KafkaClient(host, port, sasl = sasl,
       saslMechanism = saslMechanism, tls = tls)
@@ -78,6 +88,7 @@ object KafkaEosRelay {
     if (ranges.isEmpty) 0L
     else spark.sparkContext.parallelize(ranges, ranges.size)
       .map { case (topic, part, from, until) =>
+        def attempt(): Long = {
         val client = new KafkaClient(host, port, sasl = sasl,
           saslMechanism = saslMechanism, tls = tls)
         try {
@@ -89,6 +100,7 @@ object KafkaEosRelay {
           client.findCoordinator(group)
           val committed = client.fetchOffsets(group, Map(topic -> Seq(part)))
             .getOrElse((topic, part), 0L)
+          raceAfterFence.foreach(graft.ops.Failpoints.fireHook)
           if (committed >= until) 0L // range already landed — replay skip
           else {
             val to = dst(topic)
@@ -140,6 +152,8 @@ object KafkaEosRelay {
             n
           }
         } finally client.close()
+        }
+        KafkaEosIngest.retryFenced(s"relay $topic/$part")(attempt())
       }.sum().toLong
   }
 

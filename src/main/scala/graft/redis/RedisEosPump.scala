@@ -67,7 +67,8 @@ object RedisEosPump {
       srcAuth: Option[RedisClient.Auth] = None,
       dstTls: Option[RedisClient.Tls] = None,
       dstAuth: Option[RedisClient.Auth] = None,
-      crashBeforeCommit: Option[String] = None): Long = {
+      crashBeforeCommit: Option[String] = None,
+      raceAfterRead: Option[String] = None): Long = {
     require(cap > 0, "cap must be positive")
     require(page > 0, "page must be positive")
     val src = new RedisClient(srcHost, srcPort, tls = srcTls, auth = srcAuth)
@@ -95,7 +96,7 @@ object RedisEosPump {
       .map { case (stream, shard, tipNext) =>
         val sc = new RedisClient(srcHost, srcPort, tls = srcTls, auth = srcAuth)
         val dc = new RedisClient(dstHost, dstPort, tls = dstTls, auth = dstAuth)
-        try {
+        def attempt(): Long = {
           val ledger = ledgerKey(ledgerPrefix, stream, shard)
           // WATCH FIRST, then re-read the cursor under the watch: the
           // driver's planning GET is advisory only — a rival attempt that
@@ -103,6 +104,7 @@ object RedisEosPump {
           // key and ours would nil out
           dc.command(RedisStreams.watch(ledger): _*)
           val committed = cursorOf(dc.command(RedisStreams.get(ledger): _*))
+          raceAfterRead.foreach(graft.ops.Failpoints.fireHook)
           if (committed >= tipNext) {
             dc.command(RedisStreams.unwatch: _*)
             0L // range already landed — replay/rival skip
@@ -146,11 +148,34 @@ object RedisEosPump {
               dc.command(RedisStreams.exec: _*) match {
                 case Resp.Err(m) =>
                   throw new IllegalStateException(s"EXEC failed: $m")
-                case Resp.NullArr => 0L // a rival attempt won — fenced clean
+                case Resp.NullArr => -1L // a rival won the watched ledger
                 case _ => n
               }
             }
           }
+        }
+        // a nil'd EXEC means a rival attempt (a killed-but-alive task of
+        // a failed prior epoch) committed FIRST and moved the ledger.
+        // Its commit may cover less than OUR planned tip (its epoch
+        // planned earlier), so "skip" would under-deliver: re-run the
+        // body — the re-read cursor absorbs the rival's commit and only
+        // the remainder relays. Each rival moves the cursor strictly
+        // forward, so retries are bounded by the rival count; past the
+        // bound (two live pumps fighting over the same ranges) fail LOUD.
+        try {
+          var relayed = -1L
+          var attempts = 0
+          while (relayed < 0L) {
+            relayed = attempt()
+            if (relayed < 0L) {
+              attempts += 1
+              require(attempts <= 5,
+                s"pump $stream/$shard: EXEC nil'd $attempts times — a " +
+                  "live rival keeps moving the ledger (two concurrent " +
+                  "pumps of the same ranges?)")
+            }
+          }
+          relayed
         } finally { sc.close(); dc.close() }
       }.sum().toLong
   }

@@ -64,7 +64,8 @@ object RedisEosRelay {
       kafkaTls: Option[KafkaTls.Client] = None,
       redisTls: Option[RedisClient.Tls] = None,
       redisAuth: Option[RedisClient.Auth] = None,
-      crashBeforeCommit: Option[String] = None): Long = {
+      crashBeforeCommit: Option[String] = None,
+      raceAfterRead: Option[String] = None): Long = {
     require(cap > 0, "cap must be positive")
     val planner = new KafkaClient(kafkaHost, kafkaPort, sasl = sasl,
       saslMechanism = saslMechanism, tls = kafkaTls)
@@ -95,7 +96,7 @@ object RedisEosRelay {
           saslMechanism = saslMechanism, tls = kafkaTls)
         val rc = new RedisClient(redisHost, redisPort,
           tls = redisTls, auth = redisAuth)
-        try {
+        def attempt(): Long = {
           val ledger = ledgerKey(ledgerPrefix, topic, part)
           // WATCH FIRST, then re-read the resume point under the watch:
           // the driver's planning GET is advisory only — a rival attempt
@@ -106,6 +107,7 @@ object RedisEosRelay {
             case Resp.Bulk(bs) => new String(bs, "UTF-8").toLong
             case _ => 0L
           }
+          raceAfterRead.foreach(graft.ops.Failpoints.fireHook)
           if (committed >= until) {
             rc.command(RedisStreams.unwatch: _*)
             0L // range already landed — replay/rival skip
@@ -152,10 +154,32 @@ object RedisEosRelay {
             rc.command(RedisStreams.exec: _*) match {
               case Resp.Err(m) =>
                 throw new IllegalStateException(s"EXEC failed: $m")
-              case Resp.NullArr => 0L // a rival attempt won — fenced clean
+              case Resp.NullArr => -1L // a rival won the watched ledger
               case _ => n
             }
           }
+        }
+        // a nil'd EXEC means a rival attempt (a killed-but-alive task of
+        // a failed prior epoch) committed FIRST and moved the ledger. Its
+        // commit may cover less than OUR `until` (its epoch planned
+        // earlier), so "skip" would under-deliver: re-run the body — the
+        // re-read offset absorbs the rival's commit, only the remainder
+        // relays. Each rival moves the ledger strictly forward, so
+        // retries are bounded by the rival count; past the bound fail LOUD.
+        try {
+          var relayed = -1L
+          var attempts = 0
+          while (relayed < 0L) {
+            relayed = attempt()
+            if (relayed < 0L) {
+              attempts += 1
+              require(attempts <= 5,
+                s"relay $topic/$part: EXEC nil'd $attempts times — a " +
+                  "live rival keeps moving the ledger (two concurrent " +
+                  "relays of the same ranges?)")
+            }
+          }
+          relayed
         } finally { kc.close(); rc.close() }
       }.sum().toLong
   }

@@ -81,6 +81,67 @@ class KafkaEosIngestSpec extends AnyFunSuite {
     } finally { kc.close(); rc.close(); k.close(); r.close() }
   }
 
+  test("a rival incarnation fencing this attempt mid-transaction resolves " +
+      "IN the task: the retry re-fences, relays once, nothing duplicates") {
+    val k = new EmbeddedKafka
+    val r = new EmbeddedRedis
+    val kc = new KafkaClient(k.host, k.port)
+    val rc = new RedisClient(r.host, r.port)
+    try {
+      val key = RedisStreams.shardedKey("rz", 0L, sharded = true)
+      (0 until 5).foreach(i => rc.command(
+        RedisStreams.xadd(key, 4000L + i, s"z$i".getBytes("UTF-8")): _*))
+      // the rival: an incarnation whose init lands AFTER the task's fence
+      // but BEFORE its produce — exactly the window a killed-but-alive
+      // task from a failed prior epoch occupies. Its init bumps the
+      // epoch, so the legitimate attempt's produce dies fenced (47) and
+      // must re-run its body rather than fail the job (local mode has no
+      // task retries).
+      graft.ops.Failpoints.armHook("rz-race") { () =>
+        val zc = new KafkaClient(k.host, k.port)
+        try { new KafkaTxnProducer(zc, "rz-txn-rz-0").initTransactions(); () }
+        finally zc.close()
+      }
+      kc.metadata(Seq("rz_dst"))
+      val moved = KafkaEosIngest.relayOnce(graft.TestSession.spark,
+        r.host, r.port, Seq(("rz", 0L)), _ => "rz_dst",
+        k.host, k.port, "g_rz", "rz-txn",
+        raceAfterFence = Some("rz-race"))
+      assert(moved == 5L,
+        s"the fenced attempt must retry in-task and land, moved $moved")
+      assert(committedValues(kc, "rz_dst") == (0 until 5).map("z" + _),
+        "the fence race duplicated or lost records")
+      // the cursor landed with the retry's transaction
+      assert(KafkaEosIngest.relayOnce(graft.TestSession.spark,
+        r.host, r.port, Seq(("rz", 0L)), _ => "rz_dst",
+        k.host, k.port, "g_rz", "rz-txn") == 0L)
+    } finally { kc.close(); rc.close(); k.close(); r.close() }
+  }
+
+  test("kafka→kafka relay under the same fence race: the task retries and " +
+      "the drain stays exactly-once") {
+    val k = new EmbeddedKafka
+    val kc = new KafkaClient(k.host, k.port)
+    try {
+      kc.metadata(Seq("rr", "rr_dst"))
+      (0 until 6).foreach(i => kc.produce("rr", 0,
+        Seq((100L + i, null, s"r$i".getBytes("UTF-8")))))
+      graft.ops.Failpoints.armHook("rr-race") { () =>
+        val zc = new KafkaClient(k.host, k.port)
+        try { new KafkaTxnProducer(zc, "rr-txn-rr-0").initTransactions(); () }
+        finally zc.close()
+      }
+      val moved = KafkaEosRelay.relayOnce(graft.TestSession.spark,
+        k.host, k.port, Seq("rr"), _ + "_dst", "g_rr", "rr-txn",
+        raceAfterFence = Some("rr-race"))
+      assert(moved == 6L,
+        s"the fenced relay must retry in-task and land, moved $moved")
+      assert(committedValues(kc, "rr_dst") == (0 until 6).map("r" + _))
+      assert(KafkaEosRelay.relayOnce(graft.TestSession.spark,
+        k.host, k.port, Seq("rr"), _ + "_dst", "g_rr", "rr-txn") == 0L)
+    } finally { kc.close(); k.close() }
+  }
+
   test("a committed relay replays as an idempotent skip: the fence-then-" +
       "read-cursor order makes a second attempt of a landed range a no-op") {
     val k = new EmbeddedKafka

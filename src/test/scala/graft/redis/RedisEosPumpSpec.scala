@@ -105,6 +105,46 @@ class RedisEosPumpSpec extends AnyFunSuite {
     } finally { src.close(); zombie.close(); a.close(); b.close() }
   }
 
+  test("nil'd EXEC re-runs the body: a rival that commits a SHORTER " +
+      "range between the cursor read and EXEC is absorbed, the retry " +
+      "relays only the remainder — no loss, no duplicates") {
+    val a = new EmbeddedRedis
+    val b = new EmbeddedRedis
+    val src = new RedisClient(a.host, a.port)
+    try {
+      val vals = (0 until 6).map(i => s"n$i")
+      seed(src, "nr", 0L, vals.zipWithIndex.map { case (v, i) => (7000L + i, v) })
+      // the rival: commits entries [0, 2) plus the matching cursor in its
+      // own transaction between the pump's cursor read and its EXEC —
+      // exactly what a killed-but-alive task of an earlier epoch (planned
+      // at an older, shorter tip) does. The pump's EXEC must nil, and a
+      // plain "skip" would LOSE entries [2, 6): the retry has to re-read
+      // and relay the remainder.
+      graft.ops.Failpoints.armHook("nr-race") { () =>
+        val rival = new RedisClient(b.host, b.port)
+        try {
+          rival.command(RedisStreams.multi: _*)
+          (0 until 2).foreach(i => rival.command(RedisStreams.xadd(
+            RedisStreams.shardedKey("nd", 0L, true), 7000L + i,
+            s"n$i".getBytes("UTF-8")): _*))
+          rival.command(RedisStreams.set("np:{nr/0}",
+            (RedisStreams.packSeqNo(7001L, 0L) + 1L).toString): _*)
+          rival.command(RedisStreams.exec: _*)
+          ()
+        } finally rival.close()
+      }
+      val moved = RedisEosPump.relayOnce(spark, a.host, a.port,
+        Seq(("nr", 0L)), _ => "nd", b.host, b.port, "np",
+        raceAfterRead = Some("nr-race"))
+      assert(moved == 4L,
+        s"retry must relay exactly the remainder (4), moved $moved")
+      assert(values(b, "nd", 0L) == vals,
+        "the nil-retry lost, duplicated, or reordered records")
+      assert(RedisEosPump.relayOnce(spark, a.host, a.port,
+        Seq(("nr", 0L)), _ => "nd", b.host, b.port, "np") == 0L)
+    } finally { src.close(); a.close(); b.close() }
+  }
+
   test("same-server pump: streamOf must steer to a different stream; " +
       "cursors are per (stream, shard) so multi-shard drains interleave " +
       "independently") {

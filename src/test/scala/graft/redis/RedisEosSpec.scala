@@ -298,6 +298,47 @@ class RedisEosSpec extends AnyFunSuite {
     } finally { kc.close(); k.close(); r.close() }
   }
 
+  test("kafka→redis relay: a nil'd EXEC re-runs the body — a rival that " +
+      "commits a SHORTER range between the offset read and EXEC is " +
+      "absorbed, the retry relays only the remainder") {
+    val k = new graft.kafka.EmbeddedKafka
+    val r = new EmbeddedRedis
+    val kc = new graft.kafka.KafkaClient(k.host, k.port)
+    try {
+      kc.metadata(Seq("nsrc"))
+      val vals = (0 until 6).map(i => s"w$i")
+      vals.zipWithIndex.foreach { case (v, i) =>
+        kc.produce("nsrc", 0, Seq((1000L + i, null, v.getBytes("UTF-8"))))
+      }
+      // the rival commits offsets [0, 2) + ledger "2" between the relay's
+      // offset read and its EXEC (a killed-but-alive task of an earlier,
+      // shorter-planned epoch); a skip-on-nil would lose offsets [2, 6)
+      graft.ops.Failpoints.armHook("nw-race") { () =>
+        val rival = new RedisClient(r.host, r.port)
+        try {
+          rival.command(RedisStreams.multi: _*)
+          (0 until 2).foreach(i => rival.command(RedisStreams.xadd(
+            RedisStreams.shardedKey("ndst", 0L, true), 1000L + i,
+            s"w$i".getBytes("UTF-8")): _*))
+          rival.command(RedisStreams.set("nw:{nsrc/0}", "2"): _*)
+          rival.command(RedisStreams.exec: _*)
+          ()
+        } finally rival.close()
+      }
+      val moved = RedisEosRelay.relayOnce(graft.TestSession.spark,
+        k.host, k.port, Seq("nsrc"), _ => "ndst", r.host, r.port, "nw",
+        raceAfterRead = Some("nw-race"))
+      assert(moved == 4L,
+        s"retry must relay exactly the remainder (4), moved $moved")
+      val got = r.entries(RedisStreams.shardedKey("ndst", 0L, true))
+        .map(e => new String(e._2.head._2, "UTF-8"))
+      assert(got == vals, s"nil-retry lost/duplicated records: $got")
+      assert(RedisEosRelay.relayOnce(graft.TestSession.spark,
+        k.host, k.port, Seq("nsrc"), _ => "ndst", r.host, r.port,
+        "nw") == 0L)
+    } finally { kc.close(); k.close(); r.close() }
+  }
+
   test("cluster sink: a MOVED bounce mid-protocol quarantines the " +
       "connection and retries the whole key-transaction on the new owner") {
     val a = new EmbeddedRedis
