@@ -803,6 +803,151 @@ object SeaStreamer {
     }
   }
 
+  /** One coordinate's relay progress, from [[relayLag]]. `tip` and
+    * `cursor` share the relay's own position space — dense offsets for a
+    * kafka source (tip = the LAST STABLE OFFSET: aborted and still-open
+    * transactions are not relayable and must not count as lag), packed
+    * entry ids (`(ms << 16) | sub_seq`) for a redis source; `cursor` is
+    * the next-unrelayed position from the anchor (0 when the relay has
+    * never run). `behindRecords` is the pending position count for kafka
+    * sources — offsets, exactly kafka's own lag metric: slots occupied
+    * by aborted transactions and control markers count (they are
+    * positions the relay must still traverse), while records of a
+    * still-OPEN transaction never do (the tip is the LSO). Absent for
+    * redis sources (entry ids are sparse; counting would scan the
+    * backlog).
+    * `behindMs` is the backlog's time span, newest-pending minus
+    * oldest-pending entry timestamp — present for redis sources (ids
+    * carry their ms), absent for kafka (offset→time needs a fetch).
+    * A drained coordinate reads behind 0 / Some(0).
+    */
+  final case class RelayLag(tip: Long, cursor: Long,
+      behindRecords: Option[Long], behindMs: Option[Long]) {
+    def drained: Boolean = cursor >= tip
+  }
+
+  /** Progress probe for an exactly-once relay — the operational
+    * consumer-lag metric over the [[relayExactlyOnce]] matrix, measured
+    * with the SAME O(#coordinates) planning RPCs and the same isolation
+    * rules the relay itself plans with (a kafka source's tip is the LSO,
+    * so poisoned/open transactions never read as lag; a redis source's
+    * tip is the `XREVRANGE … COUNT 1` probe). Driver-side only — no
+    * Spark job, no data movement. Same scheme/endpoint validation and
+    * `anchor` semantics as the relay; coordinates are (stream/topic,
+    * shard/partition).
+    */
+  def relayLag(source: Connection, destination: Connection,
+      streams: Seq[String], anchor: String,
+      redisShards: Int = 4): Map[(String, Long), RelayLag] = {
+    if (streams.isEmpty) throw SeaStreamErr.StreamKeyEmpty
+    streams.foreach { s =>
+      if (!Envelope.isValidStreamKey(s))
+        throw SeaStreamErr.InvalidStreamKey(s)
+    }
+    require(redisShards > 0, "redisShards must be positive")
+    val (ss, ds) = (source.relayScheme, destination.relayScheme)
+    Seq("source" -> ss, "destination" -> ds).foreach { case (end, sc) =>
+      if (sc != "kafka" && sc != "redis")
+        throw SeaStreamErr.Unsupported(
+          s"relayLag $end on the '$sc' backend — only the relay matrix's" +
+            " backends carry an anchored resume point to measure")
+    }
+    Seq("source" -> source, "destination" -> destination).foreach {
+      case (end, c) =>
+        if (c.relayNodes.size != 1)
+          throw SeaStreamErr.Unsupported(
+            s"relayLag $end must be a single node, got " +
+              c.relayNodes.mkString(","))
+    }
+    // the anchor side: where each coordinate's committed cursor lives
+    def cursors(coords: Seq[(String, Long)]): Map[(String, Long), Long] =
+      if (ds == "kafka") {
+        val (kh, kp) = hostPort(destination.relayNodes.head, 9092)
+        val sec = destination.relayKafkaSecurity
+        val c = new graft.kafka.KafkaClient(kh, kp, sasl = sec.sasl,
+          saslMechanism = sec.saslMechanism, tls = sec.tls)
+        try {
+          c.findCoordinator(anchor)
+          c.fetchOffsets(anchor, coords.groupBy(_._1).map {
+            case (st, ps) => st -> ps.map(_._2.toInt)
+          }).map { case ((t, p), off) => (t, p.toLong) -> off }
+        } finally c.close()
+      } else {
+        val (rh, rp) = hostPort(destination.relayNodes.head, 6379)
+        val c = new graft.redis.RedisClient(rh, rp,
+          tls = destination.relayRedisTls, auth = destination.relayRedisAuth)
+        try coords.flatMap { case (st, sh) =>
+          c.command(graft.redis.RedisStreams.get(s"$anchor:{$st/$sh}"): _*) match {
+            case graft.redis.Resp.Bulk(bs) =>
+              Some((st, sh) -> new String(bs, "UTF-8").toLong)
+            case _ => None
+          }
+        }.toMap finally c.close()
+      }
+    if (ss == "kafka") {
+      val (kh, kp) = hostPort(source.relayNodes.head, 9092)
+      val sec = source.relayKafkaSecurity
+      val c = new graft.kafka.KafkaClient(kh, kp, sasl = sec.sasl,
+        saslMechanism = sec.saslMechanism, tls = sec.tls)
+      val tips = try {
+        val meta = c.metadata(streams)
+        streams.flatMap { t =>
+          meta.getOrElse(t, Seq.empty).map { p =>
+            val hw = c.listOffset(t, p, graft.kafka.KafkaWire.Ts.Latest)
+              .getOrElse(0L)
+            val lso = c.fetchIso(t, p, hw, maxBytes = 1,
+              readCommitted = true)._1
+            (t, p.toLong) -> lso
+          }
+        }.toMap
+      } finally c.close()
+      val cur = cursors(tips.keys.toSeq)
+      tips.map { case (coord, tip) =>
+        val at = cur.getOrElse(coord, 0L)
+        coord -> RelayLag(tip, at,
+          behindRecords = Some(math.max(0L, tip - at)), behindMs = None)
+      }
+    } else {
+      import graft.redis.{RedisStreams, Resp}
+      val (rh, rp) = hostPort(source.relayNodes.head, 6379)
+      val coords = streams.flatMap(st =>
+        (0L until redisShards.toLong).map(sh => (st, sh)))
+      val cur = cursors(coords)
+      val c = new graft.redis.RedisClient(rh, rp,
+        tls = source.relayRedisTls, auth = source.relayRedisAuth)
+      try coords.map { case (st, sh) =>
+        val key = RedisStreams.shardedKey(st, sh, sharded = true)
+        val tipNext = c.command(RedisStreams.xrevrangeTip(key): _*) match {
+          case v: Resp.Arr =>
+            RedisStreams.decodeEntriesWithIds(v, st, sh).headOption
+              .map { case (rawId, _) =>
+                val (ms, sub) = RedisStreams.parseEntryId(rawId)
+                RedisStreams.packSeqNo(ms, sub) + 1L
+              }.getOrElse(0L)
+          case _ => 0L
+        }
+        val at = cur.getOrElse((st, sh), 0L)
+        val behindMs =
+          if (at >= tipNext) 0L
+          else {
+            // oldest pending = first entry at/after the cursor; its ms to
+            // the tip's ms is the backlog's time span
+            val start = RedisStreams.entryId(at >>> 16, at & 0xFFFFL)
+            c.command(RedisStreams.xrange(key, start, "+", Some(1)): _*) match {
+              case v: Resp.Arr =>
+                RedisStreams.decodeEntriesWithIds(v, st, sh).headOption
+                  .map { case (rawId, _) =>
+                    ((tipNext - 1L) >>> 16) - RedisStreams.parseEntryId(rawId)._1
+                  }.getOrElse(0L)
+              case _ => 0L
+            }
+          }
+        (st, sh) -> RelayLag(tipNext, at,
+          behindRecords = None, behindMs = Some(behindMs))
+      }.toMap finally c.close()
+    }
+  }
+
   final class Committer(opts: ConsumerOptions) {
     import SeaStreamer.{AutoCommit => AC}
 

@@ -69,6 +69,79 @@ class RelayFacadeSpec extends AnyFunSuite {
     } finally { kc.close(); rc.close(); k.close(); r.close(); r2.close() }
   }
 
+  test("relayLag: kafka pending counts positions (aborted slots included, " +
+      "kafka's own lag semantics) capped at the LSO (open txns never " +
+      "read as lag); redis pending is the backlog's ms span; a drained " +
+      "relay reads zero everywhere") {
+    val k = new EmbeddedKafka
+    val r = new EmbeddedRedis
+    val kc = new KafkaClient(k.host, k.port)
+    val rc = new RedisClient(r.host, r.port)
+    try {
+      val kconn = SeaStreamer.connect(s"kafka://${k.host}:${k.port}", spark)
+      val rconn = SeaStreamer.connect(s"redis://${r.host}:${r.port}", spark)
+      // kafka source: 7 plain records, an ABORTED-complete transaction
+      // (5 records + marker — these occupy offsets 7..12 and COUNT as
+      // pending positions, exactly kafka's own lag semantics), then an
+      // OPEN transaction (5 records) — the tip must stop at the LSO, so
+      // the open data never reads as lag
+      kc.metadata(Seq("lg"))
+      (0 until 7).foreach(i => kc.produce("lg", 0,
+        Seq((100L + i, null, s"l$i".getBytes("UTF-8")))))
+      val poison = new graft.kafka.KafkaTxnProducer(kc, "lg-poison")
+        .initTransactions()
+      poison.begin()
+      poison.send("lg", 0, (0 until 5).map(i =>
+        (900L + i, null, s"poison$i".getBytes("UTF-8"))))
+      poison.abort()
+      val open = new graft.kafka.KafkaTxnProducer(kc, "lg-open")
+        .initTransactions()
+      open.begin()
+      open.send("lg", 0, (0 until 5).map(i =>
+        (950L + i, null, s"open$i".getBytes("UTF-8"))))
+      val before = SeaStreamer.relayLag(kconn, rconn, Seq("lg"), "lga")
+      assert(before(("lg", 0L)).behindRecords.contains(13L),
+        "pending = 13 offsets (7 plain + 5 aborted + marker), LSO-capped " +
+          s"before the open txn: ${before(("lg", 0L))}")
+      assert(!before(("lg", 0L)).drained)
+      assert(before(("lg", 1L)).drained, "an empty partition reads drained")
+      SeaStreamer.relayExactlyOnce(kconn, rconn, Seq("lg"), anchor = "lga")
+      val after = SeaStreamer.relayLag(kconn, rconn, Seq("lg"), "lga")
+      assert(after.values.forall(l =>
+        l.drained && l.behindRecords.forall(_ == 0L)),
+        s"a drained relay must read zero lag: $after")
+      open.abort() // release the LSO so nothing holds the broker open
+      // redis source: entries spanning ms 5000..5040 on shard 0; lag is
+      // the backlog's time span (newest minus oldest PENDING), records
+      // deliberately absent (ids are sparse)
+      val key = RedisStreams.shardedKey("lr", 0L, sharded = true)
+      Seq(5000L, 5025L, 5040L).foreach(ms => rc.command(
+        RedisStreams.xadd(key, ms, s"m$ms".getBytes("UTF-8")): _*))
+      val rb = SeaStreamer.relayLag(rconn, kconn, Seq("lr"), "lrg",
+        redisShards = 1)
+      assert(rb(("lr", 0L)).behindMs.contains(40L) &&
+        rb(("lr", 0L)).behindRecords.isEmpty,
+        s"redis lag must be the 40 ms backlog span: ${rb(("lr", 0L))}")
+      kc.metadata(Seq("lr"))
+      SeaStreamer.relayExactlyOnce(rconn, kconn, Seq("lr"), anchor = "lrg",
+        redisShards = 1)
+      val ra = SeaStreamer.relayLag(rconn, kconn, Seq("lr"), "lrg",
+        redisShards = 1)
+      assert(ra(("lr", 0L)).drained && ra(("lr", 0L)).behindMs.contains(0L),
+        s"a drained redis relay must read zero span: $ra")
+      // partially relayed: a rival-committed prefix moves the cursor; the
+      // span shrinks to newest-pending minus oldest-PENDING
+      rc.command(RedisStreams.set("pl:{lr/0}",
+        (RedisStreams.packSeqNo(5025L, 0L) + 1L).toString): _*)
+      val partial = SeaStreamer.relayLag(rconn, rconn, Seq("lr"), "pl",
+        redisShards = 1)
+      assert(partial(("lr", 0L)).behindMs.contains(0L) &&
+        !partial(("lr", 0L)).drained,
+        s"only the 5040 entry pends — span 0, not drained: " +
+          partial(("lr", 0L)))
+    } finally { kc.close(); rc.close(); k.close(); r.close() }
+  }
+
   test("typed errors: self-relay on a shared broker, cross-cluster " +
       "kafka→kafka, non-anchorable backends, clusters, empty/invalid keys") {
     val k = new EmbeddedKafka
