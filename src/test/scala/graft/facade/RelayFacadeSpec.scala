@@ -142,6 +142,37 @@ class RelayFacadeSpec extends AnyFunSuite {
     } finally { kc.close(); rc.close(); k.close(); r.close() }
   }
 
+  test("security threads through the facade relay: an AUTH'd redis end " +
+      "relays and measures with credentials from the connect options; " +
+      "wrong credentials surface as the client's typed AUTH error") {
+    val k = new EmbeddedKafka
+    val r = new EmbeddedRedis(auth = Some(("relay", "relay-secret")))
+    val kc = new KafkaClient(k.host, k.port)
+    try {
+      val kconn = SeaStreamer.connect(s"kafka://${k.host}:${k.port}", spark)
+      val rconn = SeaStreamer.connect(s"redis://${r.host}:${r.port}", spark,
+        Map("redis.username" -> "relay", "redis.password" -> "relay-secret"))
+      kc.metadata(Seq("sa"))
+      (0 until 3).foreach(i => kc.produce("sa", 0,
+        Seq((100L + i, null, s"s$i".getBytes("UTF-8")))))
+      assert(SeaStreamer.relayExactlyOnce(kconn, rconn, Seq("sa"),
+        anchor = "saa") == 3L)
+      assert(SeaStreamer.relayLag(kconn, rconn, Seq("sa"), "saa")
+        .values.forall(_.drained))
+      assert(r.entries(RedisStreams.shardedKey("sa", 0L, true)).length == 3)
+      // wrong credentials: the RESP AUTH failure surfaces typed, not as a
+      // silent empty relay
+      val bad = SeaStreamer.connect(s"redis://${r.host}:${r.port}", spark,
+        Map("redis.username" -> "relay", "redis.password" -> "nope"))
+      intercept[Exception] {
+        SeaStreamer.relayExactlyOnce(kconn, bad, Seq("sa"),
+          anchor = "sab", rename = _ + "_x")
+      }
+      assert(r.entries(RedisStreams.shardedKey("sa_x", 0L, true)).isEmpty,
+        "a failed AUTH must relay nothing")
+    } finally { kc.close(); k.close(); r.close() }
+  }
+
   test("typed errors: self-relay on a shared broker, cross-cluster " +
       "kafka→kafka, non-anchorable backends, clusters, empty/invalid keys") {
     val k = new EmbeddedKafka
