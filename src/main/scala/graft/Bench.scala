@@ -87,10 +87,10 @@ object Bench {
       "k1_kafka_roundtrip", "k2_kafka_seek", "k3_kafka_admission",
       "k4_kafka_group_resume", "k5_kafka_zstd_roundtrip", "k6_kafka_txn",
       "k7_kafka_txn_stream", "k8_kafka_eos_sink", "k9_kafka_eos_relay",
-      "k10_kafka_eos_pipeline", "k11_redis_kafka_eos",
+      "k10_kafka_eos_pipeline", "k11_redis_kafka_eos", "k12_ss_kafka_eos",
       "r1_redis_roundtrip", "r2_redis_latest", "r3_redis_sharding",
       "r8_redis_eos_sink", "r9_redis_eos_cluster", "r10_kafka_redis_eos",
-      "r11_redis_redis_eos",
+      "r11_redis_redis_eos", "r12_ss_redis_eos",
       "r4_redis_seek", "r5_redis_admission", "r6_redis_group_recovery",
       "r7_relay", "t2_ss_stream",
       "d3_minhash_lsh", "d10_cross_corpus", "d11_lsh_recall")

@@ -418,6 +418,49 @@ object KafkaTransport {
       }
     },
 
+    // The `.ss` file → kafka exactly-once shipper — the file backend as
+    // a relay SOURCE (the reference's file backend exists to dump a
+    // stream and replay it; this ships the dump into kafka without loss
+    // or duplication). The envelope lands in a format("ss") directory
+    // (one part file per writing partition); each file's frame-exact
+    // BYTE cursor stages inside the kafka transaction under the group,
+    // epochs are byte-capped (~4 per file), one file's ship crashes
+    // after producing + staging (its data aborts at the next fence, its
+    // cursor never moves), and the drained read_committed read-back must
+    // hash-match one plain copy — all under SCRAM-inside-TLS.
+    "k12_ss_kafka_eos" -> { (s, dir) =>
+      withServer { srv =>
+        val t = Tables(s, dir)
+        val out = Transport.scratch(dir, "k12ss")
+        Transport.envelopeOf(t)
+          .withColumn("stream_key", concat(lit("src_"), col("stream_key")))
+          .write.format("ss").mode("overwrite").save(out)
+        val files = new java.io.File(out).listFiles()
+          .filter(_.getName.endsWith(".ss")).sortBy(_.getName)
+        val paths = files.map(_.getAbsolutePath).toSeq
+        val cap = math.max(8192L, files.map(_.length()).max / 4)
+        graft.ops.Failpoints.arm("k12-ship-crash")
+        val crashed = try {
+          graft.ss.SsEosShip.shipKafkaOnce(s, paths, _.stripPrefix("src_"),
+            srv.host, srv.port, "g_k12_ship", "k12ship", capBytes = cap,
+            sasl = Some(SaslCreds), saslMechanism = Mech,
+            tls = Some(tlsClient),
+            crashBeforeCommit = Some("k12-ship-crash"))
+          false
+        } catch { case _: Exception => true }
+        require(crashed, "the injected mid-ship crash did not fire")
+        graft.ss.SsEosShip.shipKafkaAll(s, paths, _.stripPrefix("src_"),
+          srv.host, srv.port, "g_k12_ship", "k12ship", capBytes = cap,
+          sasl = Some(SaslCreds), saslMechanism = Mech,
+          tls = Some(tlsClient))
+        val replay = KafkaSource.boundedRead(s, srv.host, srv.port,
+          Transport.eventTypes, sasl = Some(SaslCreds),
+          saslMechanism = Mech, tls = Some(tlsClient),
+          readCommitted = true).localCheckpoint(true)
+        Transport.aggregate(replay, withDistinct = false)
+      }
+    },
+
     // The broker-anchored exactly-once relay — the reference's
     // consume-transform-produce loop with send_offsets_to_transaction
     // staging the REAL source offsets (producer.rs:236-301), NO Spark
@@ -598,6 +641,7 @@ object KafkaTransport {
     // drain to exactly one plain copy of events
     "r10_kafka_redis_eos" -> Transport.aggregateOracle(withDistinct = false),
     "k11_redis_kafka_eos" -> Transport.aggregateOracle(withDistinct = false),
+    "k12_ss_kafka_eos" -> Transport.aggregateOracle(withDistinct = false),
     // the gated chain: only the admitted sliver (value > 50 — the same
     // double both engines compare, JSON round-trip is bit-exact) may
     // reach the sink, exactly once, across the injected crash

@@ -256,6 +256,41 @@ object RedisTransport {
       } finally { a.close(); b.close() }
     },
 
+    // The `.ss` file → redis exactly-once shipper (k12's redis twin):
+    // per-file byte cursors live in WATCH-fenced `r12ship:{file}` ledger
+    // keys and advance atomically with the shipped entries in one
+    // MULTI/EXEC; a crash with the MULTI queued but un-EXECed moves
+    // nothing, the drain re-ships exactly that file's range, and the
+    // destination readback must hash-match one plain copy (AUTH on).
+    "r12_ss_redis_eos" -> { (s, dir) =>
+      withServer { srv =>
+        val t = Tables(s, dir)
+        val out = Transport.scratch(dir, "r12ss")
+        Transport.envelopeOf(t)
+          .withColumn("stream_key", concat(lit("src_"), col("stream_key")))
+          .write.format("ss").mode("overwrite").save(out)
+        val files = new java.io.File(out).listFiles()
+          .filter(_.getName.endsWith(".ss")).sortBy(_.getName)
+        val paths = files.map(_.getAbsolutePath).toSeq
+        val cap = math.max(8192L, files.map(_.length()).max / 4)
+        graft.ops.Failpoints.arm("r12-ship-crash")
+        val crashed = try {
+          graft.ss.SsEosShip.shipRedisOnce(s, paths, _.stripPrefix("src_"),
+            srv.host, srv.port, "r12ship", capBytes = cap,
+            auth = OracleAuth,
+            crashBeforeCommit = Some("r12-ship-crash"))
+          false
+        } catch { case _: Exception => true }
+        require(crashed, "the injected mid-ship crash did not fire")
+        graft.ss.SsEosShip.shipRedisAll(s, paths, _.stripPrefix("src_"),
+          srv.host, srv.port, "r12ship", capBytes = cap,
+          auth = OracleAuth)
+        val replay = RedisSource.boundedRead(s, srv.host, srv.port,
+          allShards(4), auth = OracleAuth).localCheckpoint(true)
+        Transport.aggregate(replay, withDistinct = false)
+      }
+    },
+
     // Sharding law: round-robin sharder (seq % 3) on the producer, shards
     // recovered from the `stream:N` key names on the consumer — per-shard
     // counts/maxima must match grouping the raw events by event_id % 3.
@@ -390,6 +425,7 @@ object RedisTransport {
     // drain crash + replay to exactly one plain copy of events
     "r9_redis_eos_cluster" -> Transport.aggregateOracle(withDistinct = false),
     "r11_redis_redis_eos" -> Transport.aggregateOracle(withDistinct = false),
+    "r12_ss_redis_eos" -> Transport.aggregateOracle(withDistinct = false),
     "r1_redis_roundtrip" -> Transport.aggregateOracle(withDistinct = true),
     "r2_redis_latest" -> Transport.aggregateOracle(withDistinct = false),
     "r3_redis_sharding" ->

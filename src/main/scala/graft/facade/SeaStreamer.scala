@@ -718,12 +718,17 @@ object SeaStreamer {
     * 34-36); it is ignored for kafka sources, whose partitions come from
     * Metadata. Drains the source completely; returns records relayed.
     *
-    * The file/stdio/iggy backends have no transactional or
-    * compare-and-set primitive to anchor a destination-side resume point
-    * on, and multi-node (cluster) endpoints need the hash-slot-aware
-    * writer ([[graft.redis.RedisSource.writeExactlyOnceCluster]]) — both
-    * refuse with typed errors rather than silently downgrading the
-    * exactly-once contract.
+    * A `.ss` FILE directory is a valid SOURCE — the fifth and sixth
+    * corners, [[graft.ss.SsEosShip]] (log shipping: one frame-exact byte
+    * cursor per part file, anchored in the destination; pass `streams =
+    * Seq("*")` to ship everything, or name a subscription subset —
+    * skipped frames consume positions without shipping, like aborted
+    * slots on a kafka source). As a DESTINATION file/stdio/iggy stay
+    * refused — no transactional or compare-and-set primitive to anchor
+    * a resume point on — and multi-node (cluster) endpoints need the
+    * hash-slot-aware writer
+    * ([[graft.redis.RedisSource.writeExactlyOnceCluster]]): typed errors
+    * rather than a silently downgraded exactly-once contract.
     */
   def relayExactlyOnce(source: Connection, destination: Connection,
       streams: Seq[String], anchor: String,
@@ -731,17 +736,20 @@ object SeaStreamer {
       redisShards: Int = 4, cap: Long = 100000L): Long = {
     if (streams.isEmpty) throw SeaStreamErr.StreamKeyEmpty
     streams.foreach { s =>
-      if (!Envelope.isValidStreamKey(s))
+      if (s != "*" && !Envelope.isValidStreamKey(s))
         throw SeaStreamErr.InvalidStreamKey(s)
     }
     require(redisShards > 0, "redisShards must be positive")
     val (ss, ds) = (source.relayScheme, destination.relayScheme)
-    Seq("source" -> ss, "destination" -> ds).foreach { case (end, sc) =>
-      if (sc != "kafka" && sc != "redis")
-        throw SeaStreamErr.Unsupported(
-          s"relayExactlyOnce $end on the '$sc' backend — no transactional" +
-            " or compare-and-set primitive to anchor the resume point on")
-    }
+    if (ss != "kafka" && ss != "redis" && ss != "file")
+      throw SeaStreamErr.Unsupported(
+        s"relayExactlyOnce source on the '$ss' backend — no anchored" +
+          " cursor space to resume from")
+    if (ds != "kafka" && ds != "redis")
+      throw SeaStreamErr.Unsupported(
+        s"relayExactlyOnce destination on the '$ds' backend — no " +
+          "transactional or compare-and-set primitive to anchor the " +
+          "resume point on")
     Seq("source" -> source, "destination" -> destination).foreach {
       case (end, c) =>
         if (c.relayNodes.size != 1)
@@ -760,6 +768,16 @@ object SeaStreamer {
     val spark = source.relaySpark
     val shardList = streams.flatMap(st =>
       (0L until redisShards.toLong).map(sh => (st, sh)))
+    def ssPaths: Seq[String] = {
+      val dir = new java.io.File(source.relayNodes.head)
+      val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".ss")).sortBy(_.getName)
+      if (parts.isEmpty) throw SeaStreamErr.Connect(
+        s"no .ss part files under ${dir.getPath}")
+      parts.map(_.getAbsolutePath).toSeq
+    }
+    def ssFilter: Option[Set[String]] =
+      if (streams == Seq("*")) None else Some(streams.toSet)
     (ss, ds) match {
       case ("kafka", "kafka") =>
         if (!sameEndpoint)
@@ -798,6 +816,19 @@ object SeaStreamer {
           srcTls = source.relayRedisTls, srcAuth = source.relayRedisAuth,
           dstTls = destination.relayRedisTls,
           dstAuth = destination.relayRedisAuth)
+      case ("file", "kafka") =>
+        val (kh, kp) = hostPort(destination.relayNodes.head, 9092)
+        val sec = destination.relayKafkaSecurity
+        graft.ss.SsEosShip.shipKafkaAll(spark, ssPaths, rename, kh, kp,
+          group = anchor, txnIdPrefix = s"$anchor-txn",
+          onlyStreams = ssFilter, sasl = sec.sasl,
+          saslMechanism = sec.saslMechanism, tls = sec.tls)
+      case ("file", "redis") =>
+        val (rh, rp) = hostPort(destination.relayNodes.head, 6379)
+        graft.ss.SsEosShip.shipRedisAll(spark, ssPaths, rename, rh, rp,
+          ledgerPrefix = anchor, onlyStreams = ssFilter,
+          tls = destination.relayRedisTls,
+          auth = destination.relayRedisAuth)
       case other =>
         throw SeaStreamErr.Unsupported(s"relayExactlyOnce $other")
     }
@@ -819,10 +850,14 @@ object SeaStreamer {
     * `behindMs` is the backlog's time span, newest-pending minus
     * oldest-pending entry timestamp — present for redis sources (ids
     * carry their ms), absent for kafka (offset→time needs a fetch).
-    * A drained coordinate reads behind 0 / Some(0).
+    * For `.ss` FILE sources the coordinate is (file name, 0), tip/cursor
+    * are frame-exact byte offsets (tip = the last COMPLETE frame's end —
+    * a live appender's torn tail is never lag), and `behindBytes` is
+    * their distance. A drained coordinate reads behind 0 / Some(0).
     */
   final case class RelayLag(tip: Long, cursor: Long,
-      behindRecords: Option[Long], behindMs: Option[Long]) {
+      behindRecords: Option[Long], behindMs: Option[Long],
+      behindBytes: Option[Long] = None) {
     def drained: Boolean = cursor >= tip
   }
 
@@ -841,17 +876,19 @@ object SeaStreamer {
       redisShards: Int = 4): Map[(String, Long), RelayLag] = {
     if (streams.isEmpty) throw SeaStreamErr.StreamKeyEmpty
     streams.foreach { s =>
-      if (!Envelope.isValidStreamKey(s))
+      if (s != "*" && !Envelope.isValidStreamKey(s))
         throw SeaStreamErr.InvalidStreamKey(s)
     }
     require(redisShards > 0, "redisShards must be positive")
     val (ss, ds) = (source.relayScheme, destination.relayScheme)
-    Seq("source" -> ss, "destination" -> ds).foreach { case (end, sc) =>
-      if (sc != "kafka" && sc != "redis")
-        throw SeaStreamErr.Unsupported(
-          s"relayLag $end on the '$sc' backend — only the relay matrix's" +
-            " backends carry an anchored resume point to measure")
-    }
+    if (ss != "kafka" && ss != "redis" && ss != "file")
+      throw SeaStreamErr.Unsupported(
+        s"relayLag source on the '$ss' backend — no anchored cursor " +
+          "space to measure")
+    if (ds != "kafka" && ds != "redis")
+      throw SeaStreamErr.Unsupported(
+        s"relayLag destination on the '$ds' backend — only the relay " +
+          "matrix's destinations carry the anchored resume point")
     Seq("source" -> source, "destination" -> destination).foreach {
       case (end, c) =>
         if (c.relayNodes.size != 1)
@@ -884,7 +921,40 @@ object SeaStreamer {
           }
         }.toMap finally c.close()
       }
-    if (ss == "kafka") {
+    if (ss == "file") {
+      import graft.ss.SsOffsetWalk
+      val dir = new java.io.File(source.relayNodes.head)
+      val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".ss")).sortBy(_.getName)
+      val coords = parts.map(f => (f.getName, 0L)).toSeq
+      // the shipper's redis ledger key is `anchor:{<file>}` (no shard
+      // suffix — a file is one coordinate); the kafka side shares the
+      // generic (name, 0) group-offset coordinate
+      val cur =
+        if (ds == "kafka") cursors(coords)
+        else {
+          val (rh, rp) = hostPort(destination.relayNodes.head, 6379)
+          val c = new graft.redis.RedisClient(rh, rp,
+            tls = destination.relayRedisTls,
+            auth = destination.relayRedisAuth)
+          try coords.flatMap { case (name, sh) =>
+            c.command(graft.redis.RedisStreams.get(s"$anchor:{$name}"): _*) match {
+              case graft.redis.Resp.Bulk(bs) =>
+                Some((name, sh) -> new String(bs, "UTF-8").toLong)
+              case _ => None
+            }
+          }.toMap finally c.close()
+        }
+      parts.map { f =>
+        val at = cur.getOrElse((f.getName, 0L), 0L)
+        // safeEnd returns `at` itself when nothing new is readable, so a
+        // drained (or torn-tail-only) file reads tip == cursor
+        val tip = SsOffsetWalk.safeEnd(f.getAbsolutePath, at).offset
+        (f.getName, 0L) -> RelayLag(tip, at,
+          behindRecords = None, behindMs = None,
+          behindBytes = Some(math.max(0L, tip - at)))
+      }.toMap
+    } else if (ss == "kafka") {
       val (kh, kp) = hostPort(source.relayNodes.head, 9092)
       val sec = source.relayKafkaSecurity
       val c = new graft.kafka.KafkaClient(kh, kp, sasl = sec.sasl,

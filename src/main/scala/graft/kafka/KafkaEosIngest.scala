@@ -186,7 +186,7 @@ object KafkaEosIngest {
     * slot — two live drivers relaying the same ranges — and then it
     * fails LOUD.
     */
-  private[kafka] def retryFenced(what: String, maxRetries: Int = 5)(
+  private[graft] def retryFenced(what: String, maxRetries: Int = 5)(
       body: => Long): Long = {
     var attempts = 0
     while (true) {

@@ -554,6 +554,73 @@ class LiveBrokerSpec extends AnyFunSuite {
     } finally rc.close()
   }
 
+  test("file→kafka: k12-shape exactly-once ship against a live broker — " +
+      "the frame-exact byte cursor stages in the kafka transaction") {
+    val ep = endpoint("kafka", "KAFKA_BROKERS_URL")
+    assume(ep.isDefined, "no live kafka broker configured — skipping")
+    val (host, port) = ep.get
+    val stream = uniqueKey("graft_live_k12")
+    val group = uniqueKey("graft_k12g")
+    val dir = java.nio.file.Files.createTempDirectory("livek12")
+      .toFile.getAbsolutePath
+    val w = new ss.SsWriter(
+      new java.io.FileOutputStream(s"$dir/live.ss"), "live.ss", 1024, 0L)
+    (0 until N).foreach(i => w.write(core.SeaMessage(stream, 0L, i.toLong,
+      new java.sql.Timestamp(1700000000000L + i),
+      s"k12-$i".getBytes("UTF-8"))))
+    w.close()
+    val kc = new kafka.KafkaClient(host, port)
+    try {
+      kc.metadata(Seq(stream + "_dst"))
+      val moved = ss.SsEosShip.shipKafkaAll(graft.TestSession.spark,
+        Seq(s"$dir/live.ss"), _ => stream + "_dst", host, port,
+        group, uniqueKey("k12txn"))
+      assert(moved == N, s"shipped $moved, want $N")
+      assert(ss.SsEosShip.shipKafkaAll(graft.TestSession.spark,
+        Seq(s"$dir/live.ss"), _ => stream + "_dst", host, port,
+        group, uniqueKey("k12txn2")) == 0L,
+        "a drained file must ship nothing")
+      val got = kc.fetchIso(stream + "_dst", 0, 0L, readCommitted = true)._3
+        .map(r => new String(r.value, "UTF-8"))
+      assert(got == (0 until N).map(i => s"k12-$i"),
+        s"ship lost, duplicated, or reordered: $got")
+    } finally kc.close()
+  }
+
+  test("file→redis: r12-shape exactly-once ship against a live broker — " +
+      "byte cursor in a WATCH-fenced destination ledger") {
+    val ep = endpoint("redis", "REDIS_BROKERS_URL")
+    assume(ep.isDefined, "no live redis broker configured — skipping")
+    val (host, port) = ep.get
+    val stream = uniqueKey("graft_live_r12")
+    val prefix = uniqueKey("graft_r12led")
+    val dir = java.nio.file.Files.createTempDirectory("liver12")
+      .toFile.getAbsolutePath
+    val w = new ss.SsWriter(
+      new java.io.FileOutputStream(s"$dir/live.ss"), "live.ss", 1024, 0L)
+    (0 until N).foreach(i => w.write(core.SeaMessage(stream, 0L, i.toLong,
+      new java.sql.Timestamp(1700000000000L + i),
+      s"r12-$i".getBytes("UTF-8"))))
+    w.close()
+    val rc = new redis.RedisClient(host, port)
+    try {
+      val moved = ss.SsEosShip.shipRedisAll(graft.TestSession.spark,
+        Seq(s"$dir/live.ss"), identity, host, port, prefix)
+      assert(moved == N, s"shipped $moved, want $N")
+      assert(ss.SsEosShip.shipRedisAll(graft.TestSession.spark,
+        Seq(s"$dir/live.ss"), identity, host, port, prefix) == 0L)
+      val key = redis.RedisStreams.shardedKey(stream, 0L, sharded = true)
+      val got = rc.command(redis.RedisStreams.xrange(key): _*) match {
+        case redis.Resp.Arr(items) => items
+        case other => fail(s"unexpected XRANGE reply: $other")
+      }
+      assert(got.length == N, s"ship landed ${got.length}, want $N")
+      rc.command(redis.RedisStreams.xtrimMaxLen(key, 0): _*)
+      try { rc.commandS("DEL", s"$prefix:{live.ss}"); () }
+      catch { case _: redis.RedisClient.RedisError => () }
+    } finally rc.close()
+  }
+
   test("iggy: i1-shape roundtrip against a live broker (BROKERS_URL)") {
     val ep = endpoint("iggy", "IGGY_BROKERS_URL")
     assume(ep.isDefined, "no live iggy broker configured — skipping")

@@ -142,6 +142,50 @@ class RelayFacadeSpec extends AnyFunSuite {
     } finally { kc.close(); rc.close(); k.close(); r.close() }
   }
 
+  test("file corners: a .ss directory ships through the one facade " +
+      "surface into both brokers, '*' means everything, a named subset " +
+      "filters, lag reads pending bytes per part file and drains to zero") {
+    val k = new EmbeddedKafka
+    val r = new EmbeddedRedis
+    val kc = new KafkaClient(k.host, k.port)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("relayss")
+        .toFile.getAbsolutePath
+      val w = new graft.ss.SsWriter(
+        new java.io.FileOutputStream(s"$dir/part-0.ss"), "part-0.ss", 1024, 0L)
+      (0 until 6).foreach(i => w.write(graft.core.SeaMessage(
+        if (i % 2 == 0) "fa" else "fb", 0L, i.toLong,
+        new java.sql.Timestamp(1000L + i), s"f$i".getBytes("UTF-8"))))
+      w.close()
+      val fconn = SeaStreamer.connect(s"file://$dir", spark)
+      val kconn = SeaStreamer.connect(s"kafka://${k.host}:${k.port}", spark)
+      val rconn = SeaStreamer.connect(s"redis://${r.host}:${r.port}", spark)
+      kc.metadata(Seq("fa", "fb"))
+      // pending bytes before any ship; coordinate is the part file
+      val lag0 = SeaStreamer.relayLag(fconn, kconn, Seq("*"), "fk")
+      assert(lag0(("part-0.ss", 0L)).behindBytes.exists(_ > 0L) &&
+        !lag0(("part-0.ss", 0L)).drained, s"unshipped file must lag: $lag0")
+      // '*' ships everything into kafka
+      assert(SeaStreamer.relayExactlyOnce(fconn, kconn, Seq("*"),
+        anchor = "fk") == 6L)
+      assert(SeaStreamer.relayLag(fconn, kconn, Seq("*"), "fk")
+        .values.forall(l => l.drained && l.behindBytes.contains(0L)))
+      assert(SeaStreamer.relayExactlyOnce(fconn, kconn, Seq("*"),
+        anchor = "fk") == 0L, "a drained directory must ship zero")
+      // a named subset into redis: fb only; fa positions consumed
+      assert(SeaStreamer.relayExactlyOnce(fconn, rconn, Seq("fb"),
+        anchor = "fr") == 3L)
+      assert(r.entries(RedisStreams.shardedKey("fb", 0L, true)).length == 3)
+      assert(r.entries(RedisStreams.shardedKey("fa", 0L, true)).isEmpty)
+      assert(SeaStreamer.relayLag(fconn, rconn, Seq("*"), "fr")
+        .values.forall(_.drained), "filtered positions count as consumed")
+      // file as a DESTINATION stays refused
+      assert(intercept[SeaStreamErr.Unsupported](
+        SeaStreamer.relayExactlyOnce(kconn, fconn, Seq("fa"), anchor = "x"))
+        .getMessage.contains("destination"))
+    } finally { kc.close(); k.close(); r.close() }
+  }
+
   test("security threads through the facade relay: an AUTH'd redis end " +
       "relays and measures with credentials from the connect options; " +
       "wrong credentials surface as the client's typed AUTH error") {
@@ -195,12 +239,15 @@ class RelayFacadeSpec extends AnyFunSuite {
       assert(intercept[SeaStreamErr.Unsupported](
         SeaStreamer.relayExactlyOnce(kconn, k2conn, Seq("t"), anchor = "x"))
         .getMessage.contains("cross-cluster"))
-      // file has no transactional/CAS primitive to anchor on
-      Seq(fconn -> kconn, kconn -> fconn).foreach { case (a, b) =>
-        assert(intercept[SeaStreamErr.Unsupported](
-          SeaStreamer.relayExactlyOnce(a, b, Seq("t"), anchor = "x"))
-          .getMessage.contains("backend"))
-      }
+      // a file DESTINATION has no transactional/CAS primitive to anchor
+      // on; a file SOURCE is valid (the shipper) but an empty directory
+      // fails loud at connect-shape, never a silent zero-relay
+      assert(intercept[SeaStreamErr.Unsupported](
+        SeaStreamer.relayExactlyOnce(kconn, fconn, Seq("t"), anchor = "x"))
+        .getMessage.contains("destination"))
+      assert(intercept[SeaStreamErr.Connect](
+        SeaStreamer.relayExactlyOnce(fconn, kconn, Seq("t"), anchor = "x"))
+        .getMessage.contains(".ss part files"))
       // multi-node endpoints route to the cluster-aware writer instead
       val cconn = SeaStreamer.connect(
         s"redis://${r.host}:${r.port},${r.host}:${r.port + 1}", spark)
