@@ -527,7 +527,14 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4,
           case Right(st) =>
             val t = autoCreate(topic)
             if (p < 0 || p >= t.length) Err.UnknownTopicOrPartition
-            else { st.synchronized(st.parts += ((topic, p))); Err.None }
+            else st.synchronized {
+              // epoch re-check inside the lock: a rival re-init landing
+              // after txnCheck must fence this registration, not let a
+              // stale incarnation pollute the NEW transaction's set
+              if (st.pid != pid || st.epoch != epoch)
+                Err.InvalidProducerEpoch
+              else { st.parts += ((topic, p)); Err.None }
+            }
         }
         www.i32(p).i16(err)
       }
@@ -574,10 +581,16 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4,
       ww.array(parts) { case (www, (p, off)) =>
         val err = check match {
           case Left(e) => e
-          case Right(st) =>
-            st.synchronized(
-              st.stagedOffsets(s"$group/$topic/$p") = off)
-            Err.None
+          case Right(st) => st.synchronized {
+            // epoch re-check inside the lock: a zombie's staged offsets
+            // must never ride the NEW incarnation's commit
+            if (st.pid != pid || st.epoch != epoch)
+              Err.InvalidProducerEpoch
+            else {
+              st.stagedOffsets(s"$group/$topic/$p") = off
+              Err.None
+            }
+          }
         }
         www.i32(p).i16(err)
       }
@@ -600,17 +613,25 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4,
       case Left(e) => e
       case Right(st) =>
         st.synchronized {
-          st.parts.foreach { case (topic, p) =>
-            Option(topics.get(topic)).filter(p < _.length)
-              .foreach(t => writeMarker(t(p), pid, epoch, commit))
+          // epoch re-check inside the lock: a rival re-init between
+          // txnCheck and here already aborted this transaction — a stale
+          // EndTxn must fence, not double-write markers or publish the
+          // new incarnation's staging
+          if (st.pid != pid || st.epoch != epoch)
+            Err.InvalidProducerEpoch
+          else {
+            st.parts.foreach { case (topic, p) =>
+              Option(topics.get(topic)).filter(p < _.length)
+                .foreach(t => writeMarker(t(p), pid, epoch, commit))
+            }
+            if (commit) st.stagedOffsets.foreach { case (k, off) =>
+              groupOffsets.put(k, java.lang.Long.valueOf(off))
+            }
+            st.parts.clear()
+            st.stagedOffsets.clear()
+            Err.None
           }
-          if (commit) st.stagedOffsets.foreach { case (k, off) =>
-            groupOffsets.put(k, java.lang.Long.valueOf(off))
-          }
-          st.parts.clear()
-          st.stagedOffsets.clear()
         }
-        Err.None
     }
     new KafkaWire.Writer().i32(0).i16(err).result()
   }
@@ -858,10 +879,19 @@ final class EmbeddedKafka(autoCreatePartitions: Int = 4,
                     else txnCheck(txnId, bi.producerId,
                         bi.producerEpoch) match {
                       case Left(e) => e
-                      case Right(st) =>
-                        if (st.synchronized(st.parts.contains((topic, p))))
-                          Err.None
+                      case Right(st) => st.synchronized {
+                        // re-validate the epoch INSIDE the lock: a rival
+                        // re-init (which clears parts and bumps under
+                        // st.synchronized) landing between txnCheck and
+                        // the parts check must read as the FENCE (47),
+                        // never as a never-registered partition (48) —
+                        // the fenced producer's retry protocol keys on 47
+                        if (st.pid != bi.producerId ||
+                            st.epoch != bi.producerEpoch)
+                          Err.InvalidProducerEpoch
+                        else if (st.parts.contains((topic, p))) Err.None
                         else Err.InvalidTxnState
+                      }
                     }
                   }
               if (txnErr != Err.None)

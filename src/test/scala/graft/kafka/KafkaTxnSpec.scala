@@ -98,6 +98,45 @@ class KafkaTxnSpec extends AnyFunSuite {
     }
   }
 
+  test("fence-error fidelity: a producer fenced AFTER registering reads " +
+      "47 on produce (never 48 — re-init cleared the partition set, but " +
+      "the fence is the cause), and a zombie's staged offsets never ride " +
+      "the new incarnation's commit") {
+    withBroker { (_, c) =>
+      c.metadata(Seq("t"))
+      val (pid, e0) = c.initProducerId("app-f")
+      c.addPartitionsToTxn("app-f", pid, e0, Seq(("t", 0)))
+      c.findCoordinator("g-f")
+      c.addOffsetsToTxn("app-f", pid, e0, "g-f")
+      c.txnOffsetCommit("app-f", "g-f", pid, e0, Map(("src", 0) -> 42L))
+      // the rival re-init clears parts + staged offsets and bumps
+      val (_, e1) = c.initProducerId("app-f")
+      assert(e1 == e0 + 1)
+      // zombie produce to its FORMERLY-registered partition: the fence
+      // (47), not "partition never added" (48) — retryFenced keys on 47
+      val ep = intercept[RuntimeException] {
+        c.produceTxn("t", 0, Seq((1L, null, "z".getBytes)),
+          "app-f", pid, e0, 0)
+      }
+      assert(ep.getMessage.contains(
+        s"kafka error ${KafkaWire.Err.InvalidProducerEpoch}"), ep.getMessage)
+      // zombie staging: refused with the fence too
+      val eo = intercept[RuntimeException] {
+        c.txnOffsetCommit("app-f", "g-f", pid, e0, Map(("src", 0) -> 43L))
+      }
+      assert(eo.getMessage.contains(
+        s"kafka error ${KafkaWire.Err.InvalidProducerEpoch}"), eo.getMessage)
+      // the new incarnation's commit publishes NOTHING of the zombie's
+      // staging (the re-init dropped it)
+      c.addPartitionsToTxn("app-f", pid, e1, Seq(("t", 0)))
+      c.produceTxn("t", 0, Seq((2L, null, "live".getBytes)),
+        "app-f", pid, e1, 0)
+      c.endTxn("app-f", pid, e1, commit = true)
+      assert(c.fetchOffsets("g-f", Map("src" -> Seq(0))).isEmpty,
+        "a zombie's staged offsets rode the new incarnation's commit")
+    }
+  }
+
   test("produce to a partition never added to the txn is INVALID_TXN_STATE; " +
       "so is a transactional batch with no transactional id") {
     withBroker { (_, c) =>
