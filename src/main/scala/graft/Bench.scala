@@ -84,6 +84,7 @@ object Bench {
       */
     val medianOf3 = Set(
       "i1_iggy_roundtrip", "i2_iggy_admission", "i3_iggy_seek",
+      "i5_iggy_kafka_eos", "i6_iggy_redis_eos",
       "k1_kafka_roundtrip", "k2_kafka_seek", "k3_kafka_admission",
       "k4_kafka_group_resume", "k5_kafka_zstd_roundtrip", "k6_kafka_txn",
       "k7_kafka_txn_stream", "k8_kafka_eos_sink", "k9_kafka_eos_relay",

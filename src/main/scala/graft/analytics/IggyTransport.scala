@@ -2,7 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.functions._
 
-import graft.iggy.{EmbeddedIggy, IggySource}
+import graft.iggy.{EmbeddedIggy, IggyEosRelay, IggySource}
 
 /** Iggy-backend queries under the DuckDB oracle gate: each round-trips the
   * `events` table through the embedded iggy-model broker — batched
@@ -159,9 +159,92 @@ object IggyTransport {
         try q.processAllAvailable() finally q.stop()
         s.table("i4_iggy_group_sink")
       }
+    },
+
+    // The iggy→kafka exactly-once relay — the last seekable backend as a
+    // relay-matrix source: iggy's dense per-partition offsets make the
+    // cursor a plain next-offset, staged inside the kafka transaction
+    // under the group with the source (topic, partition) as coordinate.
+    // The envelope lands in iggy (auth on); bounded epochs move it into
+    // kafka under SCRAM-inside-TLS; one partition's relay crashes after
+    // producing + staging (its data aborts at the next fence, cursor
+    // unmoved); the drained read_committed read-back must hash-match one
+    // plain copy.
+    "i5_iggy_kafka_eos" -> { (s, dir) =>
+      withServer { srv =>
+        val ksrv = new graft.kafka.EmbeddedKafka(
+          credentials = Some(("graft", "graft-secret")),
+          tls = Some(graft.kafka.KafkaTls.ephemeral._1))
+        try {
+          val t = Tables(s, dir)
+          IggySource.write(Transport.envelopeOf(t), srv.host, srv.port,
+            auth = OracleAuth)
+          val cap = math.max(20L, t.events.count() / 20 / 4)
+          val tlsC = graft.kafka.KafkaTls.ephemeral._2
+          val creds = Some(("graft", "graft-secret"))
+          val mech = graft.kafka.KafkaWire.Scram.Sha256
+          graft.ops.Failpoints.arm("i5-relay-crash")
+          val crashed = try {
+            IggyEosRelay.relayKafkaOnce(s, srv.host, srv.port,
+              IggySource.DefaultStream, Transport.eventTypes, (t: String) => t,
+              ksrv.host, ksrv.port, "g_i5", "i5eos", cap,
+              iggyAuth = OracleAuth, sasl = creds, saslMechanism = mech,
+              tls = Some(tlsC), crashBeforeCommit = Some("i5-relay-crash"))
+            false
+          } catch { case _: Exception => true }
+          require(crashed, "the injected mid-relay crash did not fire")
+          IggyEosRelay.relayKafkaAll(s, srv.host, srv.port,
+            IggySource.DefaultStream, Transport.eventTypes, (t: String) => t,
+            ksrv.host, ksrv.port, "g_i5", "i5eos", cap,
+            iggyAuth = OracleAuth, sasl = creds, saslMechanism = mech,
+            tls = Some(tlsC))
+          val replay = graft.kafka.KafkaSource.boundedRead(s, ksrv.host,
+            ksrv.port, Transport.eventTypes, sasl = creds,
+            saslMechanism = mech, tls = Some(tlsC),
+            readCommitted = true).localCheckpoint(true)
+          Transport.aggregate(replay, withDistinct = false)
+        } finally ksrv.close()
+      }
+    },
+
+    // The iggy→redis twin: the next-offset cursor lives in a
+    // WATCH-fenced `i6eos:{topic/part}` destination ledger, atomic with
+    // the relayed entries in one MULTI/EXEC; same crash + drain gate.
+    "i6_iggy_redis_eos" -> { (s, dir) =>
+      withServer { srv =>
+        val rsrv = new graft.redis.EmbeddedRedis(
+          auth = Some(("oracle", "r-family-gate")))
+        try {
+          val t = Tables(s, dir)
+          IggySource.write(Transport.envelopeOf(t), srv.host, srv.port,
+            auth = OracleAuth)
+          val cap = math.max(20L, t.events.count() / 20 / 4)
+          val rAuth = RedisTransport.OracleAuth
+          graft.ops.Failpoints.arm("i6-relay-crash")
+          val crashed = try {
+            IggyEosRelay.relayRedisOnce(s, srv.host, srv.port,
+              IggySource.DefaultStream, Transport.eventTypes, (t: String) => t,
+              rsrv.host, rsrv.port, "i6eos", cap, iggyAuth = OracleAuth,
+              auth = rAuth, crashBeforeCommit = Some("i6-relay-crash"))
+            false
+          } catch { case _: Exception => true }
+          require(crashed, "the injected mid-relay crash did not fire")
+          IggyEosRelay.relayRedisAll(s, srv.host, srv.port,
+            IggySource.DefaultStream, Transport.eventTypes, (t: String) => t,
+            rsrv.host, rsrv.port, "i6eos", cap, iggyAuth = OracleAuth,
+            auth = rAuth)
+          val shards = Transport.eventTypes
+            .flatMap(st => (0L until 4L).map(sh => (st, sh)))
+          val replay = graft.redis.RedisSource.boundedRead(s, rsrv.host,
+            rsrv.port, shards, auth = rAuth).localCheckpoint(true)
+          Transport.aggregate(replay, withDistinct = false)
+        } finally rsrv.close()
+      }
     })
 
   val oracles: Map[String, String] = Map(
+    "i5_iggy_kafka_eos" -> Transport.aggregateOracle(withDistinct = false),
+    "i6_iggy_redis_eos" -> Transport.aggregateOracle(withDistinct = false),
     "i1_iggy_roundtrip" -> Transport.aggregateOracle(withDistinct = true),
     "i2_iggy_admission" -> Transport.aggregateOracle(withDistinct = false),
     // the resumed stream delivers i3's strict suffix exactly

@@ -688,6 +688,7 @@ object SeaStreamer {
       redisTls
     private[facade] def relayRedisAuth: Option[graft.redis.RedisClient.Auth] =
       redisAuth
+    private[facade] def relayIggyAuth: (String, String) = iggyAuth
   }
 
   /** Exactly-once relay between two connected backends — ONE surface over
@@ -718,15 +719,16 @@ object SeaStreamer {
     * 34-36); it is ignored for kafka sources, whose partitions come from
     * Metadata. Drains the source completely; returns records relayed.
     *
-    * A `.ss` FILE directory is a valid SOURCE — the fifth and sixth
-    * corners, [[graft.ss.SsEosShip]] (log shipping: one frame-exact byte
-    * cursor per part file, anchored in the destination; pass `streams =
-    * Seq("*")` to ship everything, or name a subscription subset —
-    * skipped frames consume positions without shipping, like aborted
-    * slots on a kafka source). As a DESTINATION file/stdio/iggy stay
-    * refused — no transactional or compare-and-set primitive to anchor
-    * a resume point on — and multi-node (cluster) endpoints need the
-    * hash-slot-aware writer
+    * Every seekable backend is a valid SOURCE: a `.ss` FILE directory
+    * ships via [[graft.ss.SsEosShip]] (log shipping: one frame-exact
+    * byte cursor per part file; pass `streams = Seq("*")` to ship
+    * everything, or name a subscription subset — skipped frames consume
+    * positions without shipping, like aborted slots on a kafka source),
+    * and an iggy endpoint relays via [[graft.iggy.IggyEosRelay]] (dense
+    * per-partition offsets, the default `graft` namespace stream). As a
+    * DESTINATION file/stdio/iggy stay refused — no transactional or
+    * compare-and-set primitive to anchor a resume point on — and
+    * multi-node (cluster) endpoints need the hash-slot-aware writer
     * ([[graft.redis.RedisSource.writeExactlyOnceCluster]]): typed errors
     * rather than a silently downgraded exactly-once contract.
     */
@@ -741,7 +743,7 @@ object SeaStreamer {
     }
     require(redisShards > 0, "redisShards must be positive")
     val (ss, ds) = (source.relayScheme, destination.relayScheme)
-    if (ss != "kafka" && ss != "redis" && ss != "file")
+    if (ss != "kafka" && ss != "redis" && ss != "file" && ss != "iggy")
       throw SeaStreamErr.Unsupported(
         s"relayExactlyOnce source on the '$ss' backend — no anchored" +
           " cursor space to resume from")
@@ -758,6 +760,10 @@ object SeaStreamer {
               s"${c.relayNodes.mkString(",")} (redis clusters relay via " +
               "RedisSource.writeExactlyOnceCluster's hash-slot form)")
     }
+    if (streams.contains("*") && ss != "file")
+      throw SeaStreamErr.Unsupported(
+        s"the '*' wildcard relays only from file directories (their part" +
+          s" files carry every stream); a '$ss' source needs explicit names")
     val sameEndpoint = ss == ds && source.relayNodes == destination.relayNodes
     if (sameEndpoint) streams.foreach { s =>
       if (rename(s) == s)
@@ -829,6 +835,24 @@ object SeaStreamer {
           ledgerPrefix = anchor, onlyStreams = ssFilter,
           tls = destination.relayRedisTls,
           auth = destination.relayRedisAuth)
+      case ("iggy", "kafka") =>
+        val (ih, ip) = hostPort(source.relayNodes.head, 8090)
+        val (kh, kp) = hostPort(destination.relayNodes.head, 9092)
+        val sec = destination.relayKafkaSecurity
+        graft.iggy.IggyEosRelay.relayKafkaAll(spark, ih, ip,
+          graft.iggy.IggySource.DefaultStream, streams, rename, kh, kp,
+          group = anchor, txnIdPrefix = s"$anchor-txn", cap = cap,
+          iggyAuth = source.relayIggyAuth, sasl = sec.sasl,
+          saslMechanism = sec.saslMechanism, tls = sec.tls)
+      case ("iggy", "redis") =>
+        val (ih, ip) = hostPort(source.relayNodes.head, 8090)
+        val (rh, rp) = hostPort(destination.relayNodes.head, 6379)
+        graft.iggy.IggyEosRelay.relayRedisAll(spark, ih, ip,
+          graft.iggy.IggySource.DefaultStream, streams, rename, rh, rp,
+          ledgerPrefix = anchor, cap = cap,
+          iggyAuth = source.relayIggyAuth,
+          tls = destination.relayRedisTls,
+          auth = destination.relayRedisAuth)
       case other =>
         throw SeaStreamErr.Unsupported(s"relayExactlyOnce $other")
     }
@@ -881,7 +905,7 @@ object SeaStreamer {
     }
     require(redisShards > 0, "redisShards must be positive")
     val (ss, ds) = (source.relayScheme, destination.relayScheme)
-    if (ss != "kafka" && ss != "redis" && ss != "file")
+    if (ss != "kafka" && ss != "redis" && ss != "file" && ss != "iggy")
       throw SeaStreamErr.Unsupported(
         s"relayLag source on the '$ss' backend — no anchored cursor " +
           "space to measure")
@@ -889,6 +913,10 @@ object SeaStreamer {
       throw SeaStreamErr.Unsupported(
         s"relayLag destination on the '$ds' backend — only the relay " +
           "matrix's destinations carry the anchored resume point")
+    if (streams.contains("*") && ss != "file")
+      throw SeaStreamErr.Unsupported(
+        s"the '*' wildcard measures only file directories; a '$ss' " +
+          "source needs explicit names")
     Seq("source" -> source, "destination" -> destination).foreach {
       case (end, c) =>
         if (c.relayNodes.size != 1)
@@ -954,6 +982,23 @@ object SeaStreamer {
           behindRecords = None, behindMs = None,
           behindBytes = Some(math.max(0L, tip - at)))
       }.toMap
+    } else if (ss == "iggy") {
+      val (ih, ip) = hostPort(source.relayNodes.head, 8090)
+      val c = new graft.iggy.IggyClient(ih, ip,
+        username = source.relayIggyAuth._1,
+        password = source.relayIggyAuth._2)
+      val tips = try streams.flatMap { t =>
+        c.topicTips(graft.iggy.IggySource.DefaultStream, t).toSeq
+          .flatMap(_.zipWithIndex.map { case (tip, p) =>
+            (t, p.toLong) -> tip
+          })
+      }.toMap finally c.close()
+      val cur = cursors(tips.keys.toSeq)
+      tips.map { case (coord, tip) =>
+        val at = cur.getOrElse(coord, 0L)
+        coord -> RelayLag(tip, at,
+          behindRecords = Some(math.max(0L, tip - at)), behindMs = None)
+      }
     } else if (ss == "kafka") {
       val (kh, kp) = hostPort(source.relayNodes.head, 9092)
       val sec = source.relayKafkaSecurity

@@ -621,6 +621,80 @@ class LiveBrokerSpec extends AnyFunSuite {
     } finally rc.close()
   }
 
+  test("iggy→kafka: i5-shape exactly-once relay against BOTH live " +
+      "brokers — the dense offset cursor stages in the kafka transaction") {
+    val iep = endpoint("iggy", "IGGY_BROKERS_URL")
+    val kep = endpoint("kafka", "KAFKA_BROKERS_URL")
+    assume(iep.isDefined && kep.isDefined,
+      "needs BOTH a live iggy and a live kafka broker — skipping")
+    val (ih, ip) = iep.get
+    val (kh, kp) = kep.get
+    val topic = uniqueKey("graft_live_i5")
+    val group = uniqueKey("graft_i5g")
+    val (iu, ipw) = (sys.env.getOrElse("IGGY_USER", "iggy"),
+      sys.env.getOrElse("IGGY_PASSWORD", "iggy"))
+    val ic = new iggy.IggyClient(ih, ip, username = iu, password = ipw)
+    val kc = new kafka.KafkaClient(kh, kp)
+    try {
+      ic.createStreamIfAbsent("graft")
+      ic.createTopicIfAbsent("graft", topic, 1)
+      (0 until N).foreach(i => ic.sendMessages("graft", topic,
+        iggy.IggyWire.Partitioning.PartitionId(0),
+        Seq((1700000000000L + i, s"i5-$i".getBytes("UTF-8")))))
+      kc.metadata(Seq(topic + "_dst"))
+      val moved = iggy.IggyEosRelay.relayKafkaAll(graft.TestSession.spark,
+        ih, ip, "graft", Seq(topic), _ + "_dst", kh, kp, group,
+        uniqueKey("i5txn"), iggyAuth = (iu, ipw))
+      assert(moved == N, s"relayed $moved, want $N")
+      assert(iggy.IggyEosRelay.relayKafkaAll(graft.TestSession.spark,
+        ih, ip, "graft", Seq(topic), _ + "_dst", kh, kp, group,
+        uniqueKey("i5txn2"), iggyAuth = (iu, ipw)) == 0L)
+      val got = kc.fetchIso(topic + "_dst", 0, 0L, readCommitted = true)._3
+        .map(r => new String(r.value, "UTF-8"))
+      assert(got == (0 until N).map(i => s"i5-$i"),
+        s"relay lost, duplicated, or reordered: $got")
+    } finally { ic.close(); kc.close() }
+  }
+
+  test("iggy→redis: i6-shape exactly-once relay against BOTH live " +
+      "brokers — offset cursor in a WATCH-fenced destination ledger") {
+    val iep = endpoint("iggy", "IGGY_BROKERS_URL")
+    val rep = endpoint("redis", "REDIS_BROKERS_URL")
+    assume(iep.isDefined && rep.isDefined,
+      "needs BOTH a live iggy and a live redis broker — skipping")
+    val (ih, ip) = iep.get
+    val (rh, rp) = rep.get
+    val topic = uniqueKey("graft_live_i6")
+    val prefix = uniqueKey("graft_i6led")
+    val (iu, ipw) = (sys.env.getOrElse("IGGY_USER", "iggy"),
+      sys.env.getOrElse("IGGY_PASSWORD", "iggy"))
+    val ic = new iggy.IggyClient(ih, ip, username = iu, password = ipw)
+    val rc = new redis.RedisClient(rh, rp)
+    try {
+      ic.createStreamIfAbsent("graft")
+      ic.createTopicIfAbsent("graft", topic, 1)
+      (0 until N).foreach(i => ic.sendMessages("graft", topic,
+        iggy.IggyWire.Partitioning.PartitionId(0),
+        Seq((1700000000000L + i, s"i6-$i".getBytes("UTF-8")))))
+      val moved = iggy.IggyEosRelay.relayRedisAll(graft.TestSession.spark,
+        ih, ip, "graft", Seq(topic), _ => topic, rh, rp, prefix,
+        iggyAuth = (iu, ipw))
+      assert(moved == N, s"relayed $moved, want $N")
+      assert(iggy.IggyEosRelay.relayRedisAll(graft.TestSession.spark,
+        ih, ip, "graft", Seq(topic), _ => topic, rh, rp, prefix,
+        iggyAuth = (iu, ipw)) == 0L)
+      val key = redis.RedisStreams.shardedKey(topic, 0L, sharded = true)
+      val got = rc.command(redis.RedisStreams.xrange(key): _*) match {
+        case redis.Resp.Arr(items) => items
+        case other => fail(s"unexpected XRANGE reply: $other")
+      }
+      assert(got.length == N, s"relay landed ${got.length}, want $N")
+      rc.command(redis.RedisStreams.xtrimMaxLen(key, 0): _*)
+      try { rc.commandS("DEL", s"$prefix:{$topic/0}"); () }
+      catch { case _: redis.RedisClient.RedisError => () }
+    } finally { ic.close(); rc.close() }
+  }
+
   test("iggy: i1-shape roundtrip against a live broker (BROKERS_URL)") {
     val ep = endpoint("iggy", "IGGY_BROKERS_URL")
     assume(ep.isDefined, "no live iggy broker configured — skipping")

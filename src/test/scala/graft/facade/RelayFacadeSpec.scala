@@ -186,6 +186,48 @@ class RelayFacadeSpec extends AnyFunSuite {
     } finally { kc.close(); k.close(); r.close() }
   }
 
+  test("iggy corners: an iggy endpoint relays through the one facade " +
+      "surface into both brokers with record-counted lag; the wildcard " +
+      "is refused off file sources") {
+    val ig = new graft.iggy.EmbeddedIggy
+    val k = new EmbeddedKafka
+    val r = new EmbeddedRedis
+    val ic = new graft.iggy.IggyClient(ig.host, ig.port)
+    val kc = new KafkaClient(k.host, k.port)
+    try {
+      ic.createStreamIfAbsent("graft")
+      ic.createTopicIfAbsent("graft", "iq", 1)
+      (0 until 5).foreach(i => ic.sendMessages("graft", "iq",
+        graft.iggy.IggyWire.Partitioning.PartitionId(0),
+        Seq((1000L + i, s"q$i".getBytes("UTF-8")))))
+      val iconn = SeaStreamer.connect(s"iggy://${ig.host}:${ig.port}", spark)
+      val kconn = SeaStreamer.connect(s"kafka://${k.host}:${k.port}", spark)
+      val rconn = SeaStreamer.connect(s"redis://${r.host}:${r.port}", spark)
+      kc.metadata(Seq("iq"))
+      val lag0 = SeaStreamer.relayLag(iconn, kconn, Seq("iq"), "iga")
+      assert(lag0(("iq", 0L)).behindRecords.contains(5L), s"$lag0")
+      assert(SeaStreamer.relayExactlyOnce(iconn, kconn, Seq("iq"),
+        anchor = "iga") == 5L)
+      assert(SeaStreamer.relayLag(iconn, kconn, Seq("iq"), "iga")
+        .values.forall(l => l.drained && l.behindRecords.contains(0L)))
+      assert(SeaStreamer.relayExactlyOnce(iconn, kconn, Seq("iq"),
+        anchor = "iga") == 0L, "a drained iggy source must relay zero")
+      // the redis corner, with its own anchor
+      assert(SeaStreamer.relayExactlyOnce(iconn, rconn, Seq("iq"),
+        anchor = "igr") == 5L)
+      assert(r.entries(RedisStreams.shardedKey("iq", 0L, true)).length == 5)
+      assert(SeaStreamer.relayLag(iconn, rconn, Seq("iq"), "igr")
+        .values.forall(_.drained))
+      // iggy stays refused as a DESTINATION, and '*' off non-file sources
+      assert(intercept[SeaStreamErr.Unsupported](
+        SeaStreamer.relayExactlyOnce(kconn, iconn, Seq("iq"), anchor = "x"))
+        .getMessage.contains("destination"))
+      assert(intercept[SeaStreamErr.Unsupported](
+        SeaStreamer.relayExactlyOnce(iconn, kconn, Seq("*"), anchor = "x"))
+        .getMessage.contains("wildcard"))
+    } finally { ic.close(); kc.close(); ig.close(); k.close(); r.close() }
+  }
+
   test("security threads through the facade relay: an AUTH'd redis end " +
       "relays and measures with credentials from the connect options; " +
       "wrong credentials surface as the client's typed AUTH error") {
