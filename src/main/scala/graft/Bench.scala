@@ -372,6 +372,26 @@ object Bench {
             srv.port, Seq("bench")).count()
           require(n == 100000L, s"expected 100k kafka messages, got $n")
         }
+        // the reference benchmark's RELAY workload (consume + produce,
+        // benchmark/README.md) priced through the EXACTLY-ONCE matrix:
+        // the same 100k messages drain kafka→kafka transactionally
+        // (KIP-98 txn per epoch, offsets staged in-txn) and then
+        // kafka→redis (WATCH-fenced destination ledger) — the full EOS
+        // machinery, not a bare forward, is what a production relay pays
+        timed("xp_eos_relay_kafka_100k") {
+          val n = graft.kafka.KafkaEosRelay.relayAll(spark, srv.host,
+            srv.port, Seq("bench"), _ + "_out", "g_xp_relay", "xprelay")
+          require(n == 100000L, s"expected 100k relayed, got $n")
+        }
+        locally {
+          val rsrv = new graft.redis.EmbeddedRedis
+          try timed("xp_eos_relay_redis_100k") {
+            val n = graft.redis.RedisEosRelay.relayAll(spark, srv.host,
+              srv.port, Seq("bench"), _ => "bench_r", rsrv.host, rsrv.port,
+              "xprled")
+            require(n == 100000L, s"expected 100k relayed, got $n")
+          } finally rsrv.close()
+        }
       } finally srv.close()
     }
 
