@@ -735,7 +735,15 @@ object SeaStreamer {
   def relayExactlyOnce(source: Connection, destination: Connection,
       streams: Seq[String], anchor: String,
       rename: String => String = identity,
-      redisShards: Int = 4, cap: Long = 100000L): Long = {
+      redisShards: Int = 4, cap: Long = 100000L,
+      /** Per-epoch transaction bound for FILE sources, in BYTES (file
+        * cursors are byte offsets; `cap` bounds the broker sources in
+        * records). */
+      fileCapBytes: Long = 64L << 20,
+      /** Destination partition fan for file→kafka (frames map to
+        * `floorMod(shard_id, filePartitions)` — KafkaEosSink's rule;
+        * broker sources carry their partition 1:1 instead). */
+      filePartitions: Int = 4): Long = {
     if (streams.isEmpty) throw SeaStreamErr.StreamKeyEmpty
     streams.foreach { s =>
       if (s != "*" && !Envelope.isValidStreamKey(s))
@@ -764,6 +772,10 @@ object SeaStreamer {
       throw SeaStreamErr.Unsupported(
         s"the '*' wildcard relays only from file directories (their part" +
           s" files carry every stream); a '$ss' source needs explicit names")
+    if (streams.contains("*") && streams.size > 1)
+      throw SeaStreamErr.Unsupported(
+        "'*' mixed with named streams is ambiguous — it would read as a " +
+          "LITERAL stream key in the filter; pass '*' alone or only names")
     val sameEndpoint = ss == ds && source.relayNodes == destination.relayNodes
     if (sameEndpoint) streams.foreach { s =>
       if (rename(s) == s)
@@ -827,12 +839,14 @@ object SeaStreamer {
         val sec = destination.relayKafkaSecurity
         graft.ss.SsEosShip.shipKafkaAll(spark, ssPaths, rename, kh, kp,
           group = anchor, txnIdPrefix = s"$anchor-txn",
+          capBytes = fileCapBytes, partitions = filePartitions,
           onlyStreams = ssFilter, sasl = sec.sasl,
           saslMechanism = sec.saslMechanism, tls = sec.tls)
       case ("file", "redis") =>
         val (rh, rp) = hostPort(destination.relayNodes.head, 6379)
         graft.ss.SsEosShip.shipRedisAll(spark, ssPaths, rename, rh, rp,
-          ledgerPrefix = anchor, onlyStreams = ssFilter,
+          ledgerPrefix = anchor, capBytes = fileCapBytes,
+          onlyStreams = ssFilter,
           tls = destination.relayRedisTls,
           auth = destination.relayRedisAuth)
       case ("iggy", "kafka") =>
@@ -974,7 +988,11 @@ object SeaStreamer {
           }.toMap finally c.close()
         }
       parts.map { f =>
-        val at = cur.getOrElse((f.getName, 0L), 0L)
+        // a never-shipped file's cursor reads 0, but the first frame
+        // starts AFTER the 128-byte container header — floor the pending
+        // computation there so behindBytes is frame bytes, not header
+        val at = math.max(cur.getOrElse((f.getName, 0L), 0L),
+          graft.ss.SsFormat.HeaderSize.toLong)
         // safeEnd returns `at` itself when nothing new is readable, so a
         // drained (or torn-tail-only) file reads tip == cursor
         val tip = SsOffsetWalk.safeEnd(f.getAbsolutePath, at).offset

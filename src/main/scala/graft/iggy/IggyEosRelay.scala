@@ -168,10 +168,17 @@ object IggyEosRelay {
           } else {
             val dstKey = RedisStreams.shardedKey(streamOf(topic),
               part.toLong, sharded = true)
+            // destination tip ms floor (pre-MULTI read): a pre-existing
+            // or cross-epoch-higher destination id would make real redis
+            // refuse the lower explicit id inside EXEC while the cursor
+            // SET still landed
+            var lastMs = RedisStreams.decodeEntriesWithIds(
+              rc.command(RedisStreams.xrevrangeTip(dstKey): _*), "", 0L)
+              .headOption.map(e =>
+                RedisStreams.parseEntryId(e._1)._1).getOrElse(0L)
             rc.command(RedisStreams.multi: _*)
             var next = committed
             var n = 0L
-            var lastMs = 0L
             while (next < tipNext) {
               val want = math.min(page.toLong, tipNext - next).toInt
               val (_, msgs) = ic.pollMessages(iggyStream, topic, part,
@@ -183,12 +190,11 @@ object IggyEosRelay {
                     s" planned tip $tipNext returned nothing")
               keep.grouped(500).foreach { chunk =>
                 rc.pipeline(chunk.map { m =>
-                  // per-key ms clamp (redis's monotonic-id rule; iggy
-                  // offsets are ts-monotone per partition by the sink's
-                  // discipline, but a foreign producer need not be)
-                  val ms = math.max(m.tsMs, lastMs)
-                  lastMs = ms
-                  RedisStreams.xadd(dstKey, ms, m.payload)
+                  // running clamp on top of the floor (iggy offsets are
+                  // ts-monotone per partition by the sink's discipline,
+                  // but a foreign producer need not be)
+                  lastMs = math.max(m.tsMs, lastMs)
+                  RedisStreams.xadd(dstKey, lastMs, m.payload)
                 }).collectFirst { case Resp.Err(msg) =>
                   throw new IllegalStateException(
                     s"MULTI queue refused: $msg")
@@ -205,7 +211,14 @@ object IggyEosRelay {
               case Resp.Err(m) =>
                 throw new IllegalStateException(s"EXEC failed: $m")
               case Resp.NullArr => -1L // a rival won the watched ledger
-              case _ => n
+              case Resp.Arr(rs) =>
+                rs.collectFirst { case Resp.Err(m) =>
+                  throw new IllegalStateException(
+                    s"EXEC element refused (state needs repair): $m")
+                }
+                n
+              case other =>
+                throw new IllegalStateException(s"EXEC reply: $other")
             }
           }
         }

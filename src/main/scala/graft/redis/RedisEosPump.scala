@@ -112,6 +112,14 @@ object RedisEosPump {
             val srcKey = RedisStreams.shardedKey(stream, shard, sharded = true)
             val dstKey = RedisStreams.shardedKey(streamOf(stream), shard,
               sharded = true)
+            // destination tip ms floor (read pre-MULTI): source ids are
+            // monotone per key, but a pre-existing destination stream may
+            // sit higher — real redis would refuse the lower explicit id
+            // inside EXEC while the cursor SET still landed
+            var lastMs = RedisStreams.decodeEntriesWithIds(
+              dc.command(RedisStreams.xrevrangeTip(dstKey): _*), "", 0L)
+              .headOption.map(e =>
+                RedisStreams.parseEntryId(e._1)._1).getOrElse(0L)
             dc.command(RedisStreams.multi: _*)
             var start = RedisStreams.entryId(committed >>> 16, committed & 0xFFFFL)
             var lastPacked = committed - 1L
@@ -126,7 +134,8 @@ object RedisEosPump {
               if (keep.nonEmpty) {
                 keep.grouped(500).foreach { chunk =>
                   dc.pipeline(chunk.map { case (_, m) =>
-                    RedisStreams.xadd(dstKey, m.timestamp.getTime, m.payload)
+                    lastMs = math.max(m.timestamp.getTime, lastMs)
+                    RedisStreams.xadd(dstKey, lastMs, m.payload)
                   }).collectFirst { case Resp.Err(m) =>
                     throw new IllegalStateException(s"MULTI queue refused: $m")
                   }
@@ -149,7 +158,14 @@ object RedisEosPump {
                 case Resp.Err(m) =>
                   throw new IllegalStateException(s"EXEC failed: $m")
                 case Resp.NullArr => -1L // a rival won the watched ledger
-                case _ => n
+                case Resp.Arr(rs) =>
+                  rs.collectFirst { case Resp.Err(m) =>
+                    throw new IllegalStateException(
+                      s"EXEC element refused (state needs repair): $m")
+                  }
+                  n
+                case other =>
+                  throw new IllegalStateException(s"EXEC reply: $other")
               }
             }
           }

@@ -115,6 +115,16 @@ object RedisEosRelay {
             val stream = streamOf(topic)
             val key = RedisStreams.shardedKey(stream, part.toLong,
               sharded = true)
+            // the destination key's current tip ms, read BEFORE the MULTI
+            // opens (a plain read while WATCHing is fine): kafka record
+            // timestamps need not be monotonic, and real redis REFUSES a
+            // lower explicit `<ms>-*` id — refused INSIDE an EXEC, the
+            // cursor SET would still land while entries silently didn't.
+            // Clamp every id to max(record ts, floor, running max).
+            var lastMs = RedisStreams.decodeEntriesWithIds(
+              rc.command(RedisStreams.xrevrangeTip(key): _*), "", 0L)
+              .headOption.map(e =>
+                RedisStreams.parseEntryId(e._1)._1).getOrElse(0L)
             rc.command(RedisStreams.multi: _*)
             var next = committed
             var n = 0L
@@ -134,12 +144,13 @@ object RedisEosRelay {
               } else {
                 val keep = recs.takeWhile(_.offset < until)
                 keep.grouped(500).foreach { chunk =>
-                  rc.pipeline(chunk.map(r =>
-                    RedisStreams.xadd(key, r.tsMs, r.value)))
-                    .collectFirst { case Resp.Err(m) =>
-                      throw new IllegalStateException(
-                        s"MULTI queue refused: $m")
-                    }
+                  rc.pipeline(chunk.map { r =>
+                    lastMs = math.max(r.tsMs, lastMs)
+                    RedisStreams.xadd(key, lastMs, r.value)
+                  }).collectFirst { case Resp.Err(m) =>
+                    throw new IllegalStateException(
+                      s"MULTI queue refused: $m")
+                  }
                 }
                 n += keep.length
                 next = math.min(page, until)
@@ -155,7 +166,17 @@ object RedisEosRelay {
               case Resp.Err(m) =>
                 throw new IllegalStateException(s"EXEC failed: $m")
               case Resp.NullArr => -1L // a rival won the watched ledger
-              case _ => n
+              case Resp.Arr(rs) =>
+                // EXEC executes every queued command even when one errors
+                // (real redis) — an element error means entries were
+                // refused while the ledger SET landed: LOUD, never silent
+                rs.collectFirst { case Resp.Err(m) =>
+                  throw new IllegalStateException(
+                    s"EXEC element refused (state needs repair): $m")
+                }
+                n
+              case other =>
+                throw new IllegalStateException(s"EXEC reply: $other")
             }
           }
         }

@@ -2,52 +2,71 @@ package graft.ss
 
 import org.apache.spark.sql.SparkSession
 
-import graft.kafka.{KafkaClient, KafkaEosIngest, KafkaTls, KafkaTxnProducer,
-  KafkaWire}
+import graft.kafka.{KafkaClient, KafkaEosIngest, KafkaTls, KafkaTxnProducer}
 import graft.redis.{RedisClient, RedisStreams, Resp}
 
 /** Exactly-once `.ss` file → broker shipper — the relay matrix extended
   * to the reference's file backend as a SOURCE (log shipping: the file
-  * backend exists to dump a stream to disk and replay it later,
+  * backend exists to dump a stream to disk and replay it,
   * sea-streamer-file/src/lib.rs; shipping that dump into kafka/redis
   * without loss or duplication is the production follow-up). A file
   * destination stays refused across the matrix — the filesystem has no
   * transaction or compare-and-set to anchor a resume point on.
   *
   * The cursor is the file's FRAME-EXACT BYTE OFFSET after the last
-  * shipped frame, one cursor per part file (identified by file NAME, so
-  * a relocated directory resumes), anchored in the destination exactly
-  * like the other corners: staged under the consumer group inside the
-  * kafka transaction, or SET in a WATCH-fenced `prefix:{file}` ledger
-  * key atomically with the redis entries. No Spark checkpoint, no
+  * shipped frame, one cursor per part file — identified by file NAME,
+  * so a relocated directory resumes; two files sharing a name would
+  * alias one cursor and fence each other, so the planners REQUIRE
+  * unique names — anchored in the destination exactly like the other
+  * corners: staged under the consumer group inside the kafka
+  * transaction, or SET in a WATCH-fenced `prefix:{file}` ledger key
+  * atomically with the redis entries. No Spark checkpoint, no
   * source-side state — the file itself never changes.
   *
-  * One epoch ([[shipOnce]]) plans per-file ranges on the driver
-  * ([[SsOffsetWalk.safeEnd]] caps the tip at the last COMPLETE frame —
-  * a live appender's torn tail is never shipped — and `capBytes` bounds
-  * the per-epoch transaction), then each file ships in its own task,
-  * sequentially reading `[cursor, until)` — the per-file sequential
-  * read IS the medium; parallelism comes from the file count, exactly
-  * how a `format("ss")` directory lays out one part file per writing
-  * partition. Kafka tasks fence-then-read like [[KafkaEosIngest]]
-  * (rival incarnations resolve in-task via
+  * One epoch ([[shipKafkaOnce]] / [[shipRedisOnce]]) plans per-file
+  * ranges on the driver ([[SsOffsetWalk.safeEnd]] caps the tip at the
+  * last COMPLETE frame — a live appender's torn tail is never shipped —
+  * and `capBytes` bounds the per-epoch transaction), then each file
+  * ships in its own task, sequentially reading `[cursor, until)` — the
+  * per-file sequential read IS the medium; parallelism comes from the
+  * file count, exactly how a `format("ss")` directory lays out one part
+  * file per writing partition. Kafka tasks fence-then-read like
+  * [[KafkaEosIngest]] (rival incarnations resolve in-task via
   * [[KafkaEosIngest.retryFenced]]); redis tasks WATCH-then-read with
-  * the nil-means-rival retry.
+  * the nil-means-rival retry. A fully-FILTERED range still advances its
+  * cursor under the same fencing (an offsets-only kafka transaction /
+  * the same WATCH-fenced SET) — a plain unfenced commit could be
+  * rewound by a fenced zombie.
   *
   * Destination mapping: topic/stream = `renameTo(stream_key)`,
   * partition = `floorMod(shard_id, partitions)` (the
   * [[graft.kafka.KafkaEosSink]] mapping); redis keys are
-  * `stream:shard`. Redis entry ids clamp each key's ms to monotone
-  * (real redis refuses non-monotonic explicit ids; FRAME ORDER is the
-  * contract worth keeping — the payload carries its own time).
-  * `onlyStreams` optionally ships a subscription subset; skipped frames
-  * still advance the cursor (they are consumed positions, exactly like
-  * aborted slots on a kafka source).
+  * `stream:shard`. Redis entry ids must be monotone per key (real
+  * redis REFUSES a lower explicit `<ms>-*` id — and an XADD refused
+  * INSIDE an EXEC does not roll the rest back, so the cursor SET would
+  * land while frames silently didn't), so each key's ms floor is read
+  * from the DESTINATION stream's current tip before queueing and
+  * clamped monotone across frames AND epochs; any residual EXEC
+  * element error fails LOUD. `onlyStreams` optionally ships a
+  * subscription subset; skipped frames still advance the cursor (they
+  * are consumed positions, exactly like aborted slots on a kafka
+  * source).
   */
 object SsEosShip {
 
   private def fileKey(path: String): String =
     new java.io.File(path).getName
+
+  /** Cursor identity is the NAME — refuse aliasing loud at plan time. */
+  private def requireUniqueKeys(paths: Seq[String]): Unit = {
+    val dup = paths.map(fileKey).groupBy(identity).collect {
+      case (k, vs) if vs.size > 1 => k
+    }
+    require(dup.isEmpty,
+      s"cursor keys are file NAMES and these collide across the given " +
+        s"paths: ${dup.mkString(", ")} — rename the files or ship the " +
+        "directories under different anchors")
+  }
 
   /** Run `f` over the frames of `[from, until)` (stream-filtered), with
     * the reader closed either way — takeWhile stops short of exhausting
@@ -63,9 +82,9 @@ object SsEosShip {
   }
 
   /** One bounded exactly-once ship epoch into KAFKA; returns frames
-    * shipped (0 = drained to the planned tips — note a fully-filtered
-    * range still counts its cursor advance as progress via the records
-    * it skipped, so `shipAll` terminates).
+    * shipped (a fully-filtered range ships 0 frames while its cursor
+    * still advances — [[shipKafkaAll]] keys on planned ranges, not
+    * frame counts, so filtering never wedges the drain).
     */
   def shipKafkaOnce(spark: SparkSession, paths: Seq[String],
       topicOf: String => String,
@@ -75,11 +94,21 @@ object SsEosShip {
       sasl: Option[(String, String)] = None,
       saslMechanism: String = "PLAIN",
       tls: Option[KafkaTls.Client] = None,
-      crashBeforeCommit: Option[String] = None): Long = {
+      crashBeforeCommit: Option[String] = None): Long =
+    runKafka(spark, planKafka(paths, kafkaHost, kafkaPort, group, capBytes,
+      sasl, saslMechanism, tls), topicOf, kafkaHost, kafkaPort, group,
+      txnIdPrefix, page, partitions, onlyStreams, sasl, saslMechanism, tls,
+      crashBeforeCommit)
+
+  private def planKafka(paths: Seq[String], kafkaHost: String,
+      kafkaPort: Int, group: String, capBytes: Long,
+      sasl: Option[(String, String)], saslMechanism: String,
+      tls: Option[KafkaTls.Client]): Seq[(String, Long)] = {
     require(capBytes > 0, "capBytes must be positive")
+    requireUniqueKeys(paths)
     val planner = new KafkaClient(kafkaHost, kafkaPort, sasl = sasl,
       saslMechanism = saslMechanism, tls = tls)
-    val ranges = try {
+    try {
       planner.findCoordinator(group)
       val committed = planner.fetchOffsets(group,
         paths.map(p => fileKey(p) -> Seq(0)).toMap)
@@ -89,6 +118,14 @@ object SsEosShip {
         if (until > from) Some((p, until)) else None
       }
     } finally planner.close()
+  }
+
+  private def runKafka(spark: SparkSession, ranges: Seq[(String, Long)],
+      topicOf: String => String, kafkaHost: String, kafkaPort: Int,
+      group: String, txnIdPrefix: String, page: Int, partitions: Int,
+      onlyStreams: Option[Set[String]], sasl: Option[(String, String)],
+      saslMechanism: String, tls: Option[KafkaTls.Client],
+      crashBeforeCommit: Option[String]): Long = {
     if (ranges.isEmpty) 0L
     else spark.sparkContext.parallelize(ranges, ranges.size)
       .map { case (path, until) =>
@@ -127,22 +164,18 @@ object SsEosShip {
                       n += rs.length
                     }
                 })
-              if (n == 0L) {
-                // every frame in range was filtered out: advance the
-                // cursor plainly (no data to make transactional)
-                producer.abort()
-                kc.commitOffsets(group, Map((key, 0) -> until))
-                0L
-              } else {
-                producer.sendOffsetsToTransaction(group,
-                  Map((key, 0) -> until))
-                if (crashBeforeCommit.exists(graft.ops.Failpoints.fire))
-                  throw new IllegalStateException(
-                    s"injected crash: ship $key produced + staged, " +
-                      "not committed")
-                producer.commit()
-                n
-              }
+              // the cursor advance stays FENCED even when every frame was
+              // filtered out: an offsets-only transaction (legal KIP-98)
+              // publishes it atomically — a plain OffsetCommit here could
+              // be rewound by a fenced zombie's late commit
+              producer.sendOffsetsToTransaction(group,
+                Map((key, 0) -> until))
+              if (crashBeforeCommit.exists(graft.ops.Failpoints.fire))
+                throw new IllegalStateException(
+                  s"injected crash: ship $key produced + staged, " +
+                    "not committed")
+              producer.commit()
+              n
             }
           } finally kc.close()
         }
@@ -160,25 +193,43 @@ object SsEosShip {
       onlyStreams: Option[Set[String]] = None,
       tls: Option[RedisClient.Tls] = None,
       auth: Option[RedisClient.Auth] = None,
-      crashBeforeCommit: Option[String] = None): Long = {
+      crashBeforeCommit: Option[String] = None): Long =
+    runRedis(spark, planRedis(paths, redisHost, redisPort, ledgerPrefix,
+      capBytes, tls, auth), streamOf, redisHost, redisPort, ledgerPrefix,
+      onlyStreams, tls, auth, crashBeforeCommit)
+
+  private def planRedis(paths: Seq[String], redisHost: String,
+      redisPort: Int, ledgerPrefix: String, capBytes: Long,
+      tls: Option[RedisClient.Tls],
+      auth: Option[RedisClient.Auth]): Seq[(String, Long)] = {
     require(capBytes > 0, "capBytes must be positive")
+    requireUniqueKeys(paths)
     val ledgers = new RedisClient(redisHost, redisPort, tls = tls, auth = auth)
-    val ranges = try {
-      paths.flatMap { p =>
-        val from = ledgers.command(
-          RedisStreams.get(s"$ledgerPrefix:{${fileKey(p)}}"): _*) match {
-          case Resp.Bulk(bs) => new String(bs, "UTF-8").toLong
-          case _ => 0L
-        }
-        val until = SsOffsetWalk.safeEnd(p, from, capBytes).offset
-        if (until > from) Some((p, until)) else None
+    try paths.flatMap { p =>
+      val from = ledgers.command(
+        RedisStreams.get(s"$ledgerPrefix:{${fileKey(p)}}"): _*) match {
+        case Resp.Bulk(bs) => new String(bs, "UTF-8").toLong
+        case _ => 0L
       }
+      val until = SsOffsetWalk.safeEnd(p, from, capBytes).offset
+      if (until > from) Some((p, until)) else None
     } finally ledgers.close()
+  }
+
+  private def runRedis(spark: SparkSession, ranges: Seq[(String, Long)],
+      streamOf: String => String, redisHost: String, redisPort: Int,
+      ledgerPrefix: String, onlyStreams: Option[Set[String]],
+      tls: Option[RedisClient.Tls], auth: Option[RedisClient.Auth],
+      crashBeforeCommit: Option[String]): Long = {
     if (ranges.isEmpty) 0L
     else spark.sparkContext.parallelize(ranges, ranges.size)
       .map { case (path, until) =>
         val ledger = s"$ledgerPrefix:{${fileKey(path)}}"
         val rc = new RedisClient(redisHost, redisPort, tls = tls, auth = auth)
+        // a second connection reads destination-tip ms floors: the main
+        // connection holds an open MULTI (reads on it would queue)
+        val reader = new RedisClient(redisHost, redisPort,
+          tls = tls, auth = auth)
         def attempt(): Long = {
           rc.command(RedisStreams.watch(ledger): _*)
           val committed = rc.command(RedisStreams.get(ledger): _*) match {
@@ -190,9 +241,16 @@ object SsEosShip {
             0L
           } else {
             rc.command(RedisStreams.multi: _*)
-            // per-key ms clamp: frame order is the contract; real redis
-            // refuses a non-monotonic explicit id
+            // per-key ms floor = the DESTINATION stream's current tip
+            // (cross-epoch monotonicity: real redis refuses a lower
+            // explicit id, and a refusal inside EXEC would not stop the
+            // cursor SET from landing), then clamped monotone per frame
             val lastMs = scala.collection.mutable.Map.empty[String, Long]
+            def floorOf(k: String): Long =
+              RedisStreams.decodeEntriesWithIds(
+                reader.command(RedisStreams.xrevrangeTip(k): _*), "", 0L)
+                .headOption.map(e =>
+                  RedisStreams.parseEntryId(e._1)._1).getOrElse(0L)
             var n = 0L
             eachFrames(path, committed, until, onlyStreams)(_
               .grouped(500).foreach { chunk =>
@@ -201,7 +259,7 @@ object SsEosShip {
                     streamOf(r.message.stream_key), r.message.shard_id,
                     sharded = true)
                   val ms = math.max(r.message.timestamp.getTime,
-                    lastMs.getOrElse(k, 0L))
+                    lastMs.getOrElseUpdate(k, floorOf(k)))
                   lastMs(k) = ms
                   n += 1
                   RedisStreams.xadd(k, ms, r.message.payload)
@@ -217,7 +275,19 @@ object SsEosShip {
               case Resp.Err(m) =>
                 throw new IllegalStateException(s"EXEC failed: $m")
               case Resp.NullArr => -1L // a rival won the watched ledger
-              case _ => n
+              case Resp.Arr(rs) =>
+                // EXEC executes every queued command even when one errors
+                // (real redis's contract) — an element error here means
+                // entries were refused while the cursor SET still landed:
+                // surface it LOUD (prevented by construction for the
+                // id-monotonicity class via the floor above)
+                rs.collectFirst { case Resp.Err(m) =>
+                  throw new IllegalStateException(
+                    s"EXEC element refused (state needs repair): $m")
+                }
+                n
+              case other =>
+                throw new IllegalStateException(s"EXEC reply: $other")
             }
           }
         }
@@ -234,13 +304,14 @@ object SsEosShip {
             }
           }
           shipped
-        } finally rc.close()
+        } finally { rc.close(); reader.close() }
       }.sum().toLong
   }
 
-  /** Drain to the files' current safe ends: epochs until one moves no
-    * bytes. (Frame counts can read 0 on a fully-filtered epoch while the
-    * cursor still advances, so the loop keys on planned ranges instead.)
+  /** Drain to the files' current safe ends: epochs until the PLAN is
+    * empty (frame counts can read 0 on a fully-filtered epoch while the
+    * cursor still advances, so the loop keys on planned ranges — one
+    * cursor sweep per epoch, shared with the epoch's own planning).
     */
   def shipKafkaAll(spark: SparkSession, paths: Seq[String],
       topicOf: String => String,
@@ -251,15 +322,14 @@ object SsEosShip {
       saslMechanism: String = "PLAIN",
       tls: Option[KafkaTls.Client] = None): Long = {
     var total = 0L
-    var progressed = true
-    while (progressed) {
-      val before = kafkaCursors(paths, kafkaHost, kafkaPort, group,
+    var ranges = planKafka(paths, kafkaHost, kafkaPort, group, capBytes,
+      sasl, saslMechanism, tls)
+    while (ranges.nonEmpty) {
+      total += runKafka(spark, ranges, topicOf, kafkaHost, kafkaPort,
+        group, txnIdPrefix, page, partitions, onlyStreams,
+        sasl, saslMechanism, tls, crashBeforeCommit = None)
+      ranges = planKafka(paths, kafkaHost, kafkaPort, group, capBytes,
         sasl, saslMechanism, tls)
-      total += shipKafkaOnce(spark, paths, topicOf, kafkaHost, kafkaPort,
-        group, txnIdPrefix, capBytes, page, partitions, onlyStreams,
-        sasl, saslMechanism, tls)
-      progressed = kafkaCursors(paths, kafkaHost, kafkaPort, group,
-        sasl, saslMechanism, tls) != before
     }
     total
   }
@@ -273,39 +343,14 @@ object SsEosShip {
       tls: Option[RedisClient.Tls] = None,
       auth: Option[RedisClient.Auth] = None): Long = {
     var total = 0L
-    var progressed = true
-    while (progressed) {
-      val before = redisCursors(paths, redisHost, redisPort, ledgerPrefix,
-        tls, auth)
-      total += shipRedisOnce(spark, paths, streamOf, redisHost, redisPort,
-        ledgerPrefix, capBytes, onlyStreams, tls, auth)
-      progressed = redisCursors(paths, redisHost, redisPort, ledgerPrefix,
-        tls, auth) != before
+    var ranges = planRedis(paths, redisHost, redisPort, ledgerPrefix,
+      capBytes, tls, auth)
+    while (ranges.nonEmpty) {
+      total += runRedis(spark, ranges, streamOf, redisHost, redisPort,
+        ledgerPrefix, onlyStreams, tls, auth, crashBeforeCommit = None)
+      ranges = planRedis(paths, redisHost, redisPort, ledgerPrefix,
+        capBytes, tls, auth)
     }
     total
-  }
-
-  private def kafkaCursors(paths: Seq[String], host: String, port: Int,
-      group: String, sasl: Option[(String, String)], mech: String,
-      tls: Option[KafkaTls.Client]): Map[(String, Int), Long] = {
-    val c = new KafkaClient(host, port, sasl = sasl, saslMechanism = mech,
-      tls = tls)
-    try {
-      c.findCoordinator(group)
-      c.fetchOffsets(group, paths.map(p => fileKey(p) -> Seq(0)).toMap)
-    } finally c.close()
-  }
-
-  private def redisCursors(paths: Seq[String], host: String, port: Int,
-      prefix: String, tls: Option[RedisClient.Tls],
-      auth: Option[RedisClient.Auth]): Map[String, Long] = {
-    val c = new RedisClient(host, port, tls = tls, auth = auth)
-    try paths.flatMap { p =>
-      c.command(RedisStreams.get(s"$prefix:{${fileKey(p)}}"): _*) match {
-        case Resp.Bulk(bs) =>
-          Some(fileKey(p) -> new String(bs, "UTF-8").toLong)
-        case _ => None
-      }
-    }.toMap finally c.close()
   }
 }

@@ -179,10 +179,28 @@ class RelayFacadeSpec extends AnyFunSuite {
       assert(r.entries(RedisStreams.shardedKey("fa", 0L, true)).isEmpty)
       assert(SeaStreamer.relayLag(fconn, rconn, Seq("*"), "fr")
         .values.forall(_.drained), "filtered positions count as consumed")
-      // file as a DESTINATION stays refused
+      // the lag's pending bytes exclude the 128-byte container header:
+      // a fresh one-frame directory reads exactly the frame bytes
+      val dir2 = java.nio.file.Files.createTempDirectory("relayss2")
+        .toFile.getAbsolutePath
+      val w2 = new graft.ss.SsWriter(
+        new java.io.FileOutputStream(s"$dir2/one.ss"), "one.ss", 1024, 0L)
+      w2.write(graft.core.SeaMessage("h", 0L, 0L,
+        new java.sql.Timestamp(1L), "h".getBytes("UTF-8")))
+      w2.close()
+      val frameBytes = new java.io.File(s"$dir2/one.ss").length() -
+        graft.ss.SsFormat.HeaderSize
+      val f2 = SeaStreamer.connect(s"file://$dir2", spark)
+      assert(SeaStreamer.relayLag(f2, kconn, Seq("*"), "h2")(("one.ss", 0L))
+        .behindBytes.contains(frameBytes),
+        "pending bytes must exclude the container header")
+      // file as a DESTINATION stays refused; '*' mixed with names refused
       assert(intercept[SeaStreamErr.Unsupported](
         SeaStreamer.relayExactlyOnce(kconn, fconn, Seq("fa"), anchor = "x"))
         .getMessage.contains("destination"))
+      assert(intercept[SeaStreamErr.Unsupported](
+        SeaStreamer.relayExactlyOnce(fconn, kconn, Seq("fa", "*"),
+          anchor = "x")).getMessage.contains("ambiguous"))
     } finally { kc.close(); k.close(); r.close() }
   }
 

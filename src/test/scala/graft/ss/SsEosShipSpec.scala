@@ -128,6 +128,71 @@ class SsEosShipSpec extends AnyFunSuite {
     } finally r.close()
   }
 
+  test("redis destination safety: a pre-existing HIGHER destination tip " +
+      "floors every shipped id (real redis would refuse a lower explicit " +
+      "id inside EXEC while the cursor SET still landed); an EXEC element " +
+      "refusal fails LOUD, never a silent cursor advance") {
+    val dir = Files.createTempDirectory("sseos4").toFile.getAbsolutePath
+    val path = s"$dir/floor.ss"
+    val w = new SsWriter(new FileOutputStream(path), "floor.ss", 1024, 0L)
+    (0 until 4).foreach(i => w.write(SeaMessage("f", 0L, i.toLong,
+      ts(100L + i), s"f$i".getBytes("UTF-8"))))
+    w.close()
+    val r = new EmbeddedRedis
+    val rc = new graft.redis.RedisClient(r.host, r.port)
+    try {
+      // the destination stream already holds an entry at ms 9999 — far
+      // above every frame's ts
+      val key = RedisStreams.shardedKey("f", 0L, sharded = true)
+      rc.command(RedisStreams.xadd(key, 9999L, "pre".getBytes("UTF-8")): _*)
+      assert(SsEosShip.shipRedisAll(spark, Seq(path), identity,
+        r.host, r.port, "fl") == 4L)
+      val ids = r.entries(key).map(_._1)
+      assert(ids.length == 5 && ids.sliding(2).forall {
+        case Seq(a, b) => RedisStreams.idCompare(a, b) < 0
+        case _ => true
+      }, s"ids must stay monotone above the pre-existing tip: $ids")
+      assert(ids.tail.forall(id =>
+        RedisStreams.parseEntryId(id)._1 >= 9999L),
+        s"shipped ids must clamp to the destination floor: $ids")
+      // element-level EXEC refusal: inject one XADD failure inside the
+      // apply — the ship must throw, not report success
+      val path2 = s"$dir/loud.ss"
+      val w2 = new SsWriter(new FileOutputStream(path2), "loud.ss", 1024, 0L)
+      w2.write(SeaMessage("g", 0L, 0L, ts(5L), "g0".getBytes("UTF-8")))
+      w2.close()
+      r.failXadds.set(1)
+      val thrown = intercept[Exception] {
+        SsEosShip.shipRedisOnce(spark, Seq(path2), identity,
+          r.host, r.port, "fl2")
+      }
+      assert(Iterator.iterate(thrown: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(8).exists(t =>
+          String.valueOf(t.getMessage).contains("EXEC element refused")),
+        s"an EXEC element error must surface loud: $thrown")
+    } finally { rc.close(); r.close() }
+  }
+
+  test("cursor keys are file NAMES: colliding basenames across paths " +
+      "refuse loud at plan time instead of aliasing one cursor") {
+    val d1 = Files.createTempDirectory("sscol1").toFile.getAbsolutePath
+    val d2 = Files.createTempDirectory("sscol2").toFile.getAbsolutePath
+    Seq(d1, d2).foreach { d =>
+      val w = new SsWriter(new FileOutputStream(s"$d/part-0.ss"),
+        "part-0.ss", 1024, 0L)
+      w.write(SeaMessage("x", 0L, 0L, ts(1L), "x".getBytes("UTF-8")))
+      w.close()
+    }
+    val k = new EmbeddedKafka
+    try {
+      val e = intercept[IllegalArgumentException] {
+        SsEosShip.shipKafkaAll(spark, Seq(s"$d1/part-0.ss", s"$d2/part-0.ss"),
+          identity, k.host, k.port, "gcol", "col")
+      }
+      assert(e.getMessage.contains("collide"), e.getMessage)
+    } finally k.close()
+  }
+
   test("live tail: a torn (incomplete) trailing frame never ships; " +
       "completing it unlocks exactly the tail") {
     val dir = Files.createTempDirectory("sseos3").toFile.getAbsolutePath
