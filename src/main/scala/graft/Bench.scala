@@ -39,6 +39,34 @@ object Bench {
     catch { case _: java.io.IOException => () } // artifact is best-effort
   }
 
+  /** The driver captures only the TAIL (~2000 chars) of the bench stdout
+    * and parses the last JSON object out of it — with ~200 per-query
+    * doubles the full one-line map runs >5000 chars, so its head gets
+    * truncated out of the window (sbt's `[success]` epilogue eats the
+    * tail too) and the driver records `parsed: null` (it did in r14 AND
+    * r15). The PRINTED line therefore compacts `queries` to the
+    * transport entries (`xp_*` — the ones BASELINE.md prices) plus
+    * per-family totals, ~1 kB; the full per-query map is the committed
+    * BENCH_QUERIES.json artifact, which `detail` points at.
+    */
+  private def printCompactLine(results: collection.Map[String, Double],
+      sfDir: String): Unit = {
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val (xp, rest) = results.toSeq.partition(_._1.startsWith("xp_"))
+    val families = rest
+      .groupBy { case (k, _) => k.split('_')(0).takeWhile(!_.isDigit) }
+      .toSeq.sortBy(_._1)
+      .map { case (f, kvs) =>
+        s""""${f}_family_total":${r3(kvs.map(_._2).filter(_ >= 0).sum)}"""
+      }
+    val qs = (xp.sortBy(_._1).map { case (k, v) => s""""$k":${r3(v)}""" }
+      ++ families).mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""queries":$qs,"nqueries":${results.size},""" +
+      s""""detail":"BENCH_QUERIES.json","sf":"$sfDir"}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
@@ -273,11 +301,8 @@ object Bench {
     // 256-byte lorem-ipsum payloads (≈30 MB dump), produce then consume.
     // Skippable for sf-scaling runs (the xp_ workloads are sf-independent).
     if (sys.env.contains("SPARK_GRAFT_BENCH_SKIP_XP")) {
-      val qs0 = results.map { case (k, v) => "\"" + k + "\":" + v }
-        .mkString("{", ",", "}")
-      val total0 = results.values.filter(_ >= 0).sum
-      println(s"""{"metric":"total","value":$total0,"unit":"sec","queries":$qs0,"sf":"$sfDir"}""")
       writeQueriesJson(results, sfDir)
+      printCompactLine(results, sfDir)
       spark.stop()
       return
     }
@@ -472,11 +497,8 @@ object Bench {
       } finally srv.close()
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     writeQueriesJson(results, sfDir)
+    printCompactLine(results, sfDir)
     spark.stop()
   }
 }

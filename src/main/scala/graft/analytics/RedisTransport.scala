@@ -291,6 +291,52 @@ object RedisTransport {
       }
     },
 
+    // The relay-lag probe under the oracle gate (the one round-15 relay
+    // surface that was spec-gated only): the consumer-lag metric over the
+    // EOS matrix, measured through the FACADE against a HALF-relayed
+    // redis→redis pump. The envelope assigns every entry a UNIQUE per-key
+    // ms (1700000000000 + event_id), which makes the packed-id space
+    // exact in SQL: tip = max-ms·2^16 + 1; after one epoch capped at
+    // `cap` entries/shard the cursor is the cap-th entry's packed
+    // successor; behindMs is the backlog's time span (newest minus
+    // oldest PENDING entry ms). DuckDB recomputes all three from the raw
+    // events parquet with window functions and the hash must match —
+    // positions, spans and drained flags per (stream, shard).
+    "r13_relay_lag" -> { (s, dir) =>
+      val a = new EmbeddedRedis(auth = Some((OracleUser, OraclePass)))
+      val b = new EmbeddedRedis(auth = Some((OracleUser, OraclePass)))
+      try {
+        import s.implicits._
+        val t = Tables(s, dir)
+        val env = t.events.select(
+          concat(lit("lag_"), col("event_type")).as("stream_key"),
+          pmod(col("event_id"), lit(4)).cast("long").as("shard_id"),
+          col("event_id").as("sequence"),
+          timestamp_millis(lit(1700000000000L) + col("event_id"))
+            .as("timestamp"),
+          col("event_id").cast("string").cast("binary").as("payload"))
+        RedisSource.write(env, a.host, a.port, auth = OracleAuth)
+        val streams = Transport.eventTypes.map("lag_" + _)
+        val shards = streams.flatMap(st => (0L until 4L).map(sh => (st, sh)))
+        val cap = math.max(20L, t.events.count() / 80L)
+        graft.redis.RedisEosPump.relayOnce(s, a.host, a.port, shards,
+          identity, b.host, b.port, "r13lag", cap,
+          srcAuth = OracleAuth, dstAuth = OracleAuth)
+        val sec = Map("redis.username" -> OracleUser,
+          "redis.password" -> OraclePass)
+        val ca = graft.facade.SeaStreamer.connect(
+          s"redis://${a.host}:${a.port}", s, sec)
+        val cb = graft.facade.SeaStreamer.connect(
+          s"redis://${b.host}:${b.port}", s, sec)
+        val lag = graft.facade.SeaStreamer.relayLag(ca, cb, streams,
+          "r13lag")
+        lag.toSeq.collect { case ((st, sh), l) if l.tip > 0 =>
+          (st, sh, l.tip, l.cursor, l.behindMs.getOrElse(-1L), l.drained)
+        }.toDF("stream_key", "shard_id", "tip", "cursor", "behind_ms",
+          "drained")
+      } finally { a.close(); b.close() }
+    },
+
     // Sharding law: round-robin sharder (seq % 3) on the producer, shards
     // recovered from the `stream:N` key names on the consumer — per-shard
     // counts/maxima must match grouping the raw events by event_id % 3.
@@ -426,6 +472,34 @@ object RedisTransport {
     "r9_redis_eos_cluster" -> Transport.aggregateOracle(withDistinct = false),
     "r11_redis_redis_eos" -> Transport.aggregateOracle(withDistinct = false),
     "r12_ss_redis_eos" -> Transport.aggregateOracle(withDistinct = false),
+    // relayLag recomputed from the raw events: unique per-key ms makes
+    // packed ids exact (sub_seq always 0 — tip/cursor are ms·2^16 + 1)
+    "r13_relay_lag" ->
+      """WITH env AS (
+        |  SELECT 'lag_' || event_type AS stream_key,
+        |         CAST(event_id % 4 AS BIGINT) AS shard_id,
+        |         1700000000000 + event_id AS ms
+        |  FROM events
+        |), ranked AS (
+        |  SELECT stream_key, shard_id, ms,
+        |         row_number() OVER (PARTITION BY stream_key, shard_id
+        |                            ORDER BY ms) AS rn
+        |  FROM env
+        |), cap AS (
+        |  SELECT GREATEST(20, (SELECT COUNT(*) FROM events) // 80) AS c
+        |)
+        |SELECT stream_key, shard_id,
+        |  MAX(ms) * 65536 + 1 AS tip,
+        |  CASE WHEN COUNT(*) <= (SELECT c FROM cap)
+        |       THEN MAX(ms) * 65536 + 1
+        |       ELSE MAX(CASE WHEN rn = (SELECT c FROM cap) THEN ms END)
+        |            * 65536 + 1 END AS cursor,
+        |  CASE WHEN COUNT(*) <= (SELECT c FROM cap) THEN 0
+        |       ELSE MAX(ms) -
+        |            MAX(CASE WHEN rn = (SELECT c FROM cap) + 1 THEN ms END)
+        |       END AS behind_ms,
+        |  COUNT(*) <= (SELECT c FROM cap) AS drained
+        |FROM ranked GROUP BY stream_key, shard_id""".stripMargin,
     "r1_redis_roundtrip" -> Transport.aggregateOracle(withDistinct = true),
     "r2_redis_latest" -> Transport.aggregateOracle(withDistinct = false),
     "r3_redis_sharding" ->

@@ -776,12 +776,50 @@ object SeaStreamer {
       throw SeaStreamErr.Unsupported(
         "'*' mixed with named streams is ambiguous — it would read as a " +
           "LITERAL stream key in the filter; pass '*' alone or only names")
-    val sameEndpoint = ss == ds && source.relayNodes == destination.relayNodes
+    // BEST-EFFORT endpoint identity: normalize each node by resolving its
+    // host (so `localhost:6379` and `127.0.0.1:6379` compare EQUAL — a
+    // literal string compare would let an aliased self-relay through, and
+    // the relay would then chase its own appends, duplicating the stream
+    // unboundedly per epoch) and by filling the scheme's default port.
+    // Two DNS names fronting one broker through different VIPs can still
+    // compare unequal — an exact guard needs a broker-identity probe
+    // (kafka cluster id / redis run_id), which costs a connection here;
+    // the guard is documented best-effort, not a safety invariant.
+    def normalizedNodes(c: Connection): Set[(String, Int)] = {
+      val defPort = c.relayScheme match {
+        case "kafka" => 9092
+        case "iggy" => 8090
+        case _ => 6379
+      }
+      c.relayNodes.map { n =>
+        val (h, p) = hostPort(n, defPort)
+        val addr =
+          try java.net.InetAddress.getByName(h).getHostAddress
+          catch { case _: java.net.UnknownHostException => h.toLowerCase }
+        (addr, p)
+      }.toSet
+    }
+    val sameEndpoint = ss == ds && ss != "file" &&
+      normalizedNodes(source) == normalizedNodes(destination)
     if (sameEndpoint) streams.foreach { s =>
       if (rename(s) == s)
         throw SeaStreamErr.Unsupported(
           s"relaying '$s' into itself on the same broker would chase its" +
             " own appends — rename must map it to a different name")
+    }
+    // a redis DESTINATION keys entries by rename(stream):shard, one relay
+    // task per source coordinate — a NON-injective rename would hand one
+    // destination key to several concurrent writers (the multi-writer
+    // hazard the file shipper defuses by WATCHing its key set); refuse at
+    // plan time instead of fencing forever
+    if (ds == "redis" && !streams.contains("*")) {
+      val dup = streams.groupBy(rename).collect {
+        case (d, srcs) if srcs.size > 1 => s"${srcs.mkString(" and ")} → '$d'"
+      }
+      if (dup.nonEmpty)
+        throw SeaStreamErr.Unsupported(
+          "relayExactlyOnce onto redis needs an INJECTIVE rename (one " +
+            "destination stream per source): " + dup.mkString("; "))
     }
     val spark = source.relaySpark
     val shardList = streams.flatMap(st =>
@@ -1054,6 +1092,10 @@ object SeaStreamer {
           case v: Resp.Arr =>
             RedisStreams.decodeEntriesWithIds(v, st, sh).headOption
               .map { case (rawId, _) =>
+                // the probe shares the relays' packed-cursor space, so it
+                // shares their 64k/ms saturation refusal (aliased packing
+                // would mis-report lag as drained)
+                RedisStreams.guardSubSeq(rawId)
                 val (ms, sub) = RedisStreams.parseEntryId(rawId)
                 RedisStreams.packSeqNo(ms, sub) + 1L
               }.getOrElse(0L)

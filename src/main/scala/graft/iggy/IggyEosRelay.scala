@@ -160,18 +160,20 @@ object IggyEosRelay {
         val rc = new RedisClient(redisHost, redisPort, tls = tls, auth = auth)
         val ledger = ledgerKey(topic, part)
         def attempt(): Long = {
-          rc.command(RedisStreams.watch(ledger): _*)
+          val dstKey = RedisStreams.shardedKey(streamOf(topic),
+            part.toLong, sharded = true)
+          // WATCH the ledger AND the destination key: a foreign writer
+          // pushing the destination tip between the floor read below and
+          // EXEC nils us BEFORE anything applies, instead of real redis
+          // refusing the lower explicit id inside the EXEC while the
+          // cursor SET still landed (erasable by task retry — silent loss)
+          rc.command(RedisStreams.watch(ledger, dstKey): _*)
           val committed = cursorOf(rc.command(RedisStreams.get(ledger): _*))
           if (committed >= tipNext) {
             rc.command(RedisStreams.unwatch: _*)
             0L
           } else {
-            val dstKey = RedisStreams.shardedKey(streamOf(topic),
-              part.toLong, sharded = true)
-            // destination tip ms floor (pre-MULTI read): a pre-existing
-            // or cross-epoch-higher destination id would make real redis
-            // refuse the lower explicit id inside EXEC while the cursor
-            // SET still landed
+            // destination tip ms floor, read UNDER the watch (pre-MULTI)
             var lastMs = RedisStreams.decodeEntriesWithIds(
               rc.command(RedisStreams.xrevrangeTip(dstKey): _*), "", 0L)
               .headOption.map(e =>

@@ -95,6 +95,8 @@ object KafkaEosIngest {
           case v: Resp.Arr =>
             RedisStreams.decodeEntriesWithIds(v, stream, shard)
               .headOption.flatMap { case (rawId, _) =>
+                // the cursor rides the PACKED id: saturation aliases it
+                RedisStreams.guardSubSeq(rawId)
                 val (ms, sub) = RedisStreams.parseEntryId(rawId)
                 val tipNext = RedisStreams.packSeqNo(ms, sub) + 1L
                 val from = committed.getOrElse((stream, shard.toInt), 0L)
@@ -130,6 +132,10 @@ object KafkaEosIngest {
               require(dstParts.size > shard,
                 s"destination $topic lacks partition $shard")
               val key = RedisStreams.shardedKey(stream, shard, sharded = true)
+              // exact BECAUSE of guardSubSeq: every entry that ever
+              // advanced this cursor had sub < 0xFFFF, where packing is
+              // bijective — reconstructing a wire id from a packed SeqNo
+              // is otherwise forbidden (packSeqNo's doc)
               var start = RedisStreams.entryId(committed >>> 16, committed & 0xFFFFL)
               var lastPacked = committed - 1L
               var n = 0L
@@ -142,6 +148,12 @@ object KafkaEosIngest {
                 // stop at the PLANNED tip: entries appended after planning
                 // belong to the next epoch (bounded-transaction law)
                 val keep = entries.takeWhile(_._2.sequence < tipNext)
+                // the 64k/ms/shard ceiling, checked on every RELAYED
+                // entry (the tip guard alone misses saturated mid-range
+                // ids)
+                keep.foreach { case (rawId, _) =>
+                  RedisStreams.guardSubSeq(rawId)
+                }
                 if (keep.nonEmpty) {
                   if (n == 0L) producer.begin() // lazily — an XTRIMmed-empty
                     // range must not open (then have to abort) a transaction

@@ -309,14 +309,42 @@ final class EmbeddedRedis(
         val fields = args.drop(3).grouped(2).collect {
           case Seq(f, v) => (new String(f, UTF_8), v)
         }.toSeq
-        val id = idArg match {
-          case "*" => nextId(key, System.currentTimeMillis())
-          case spec if spec.endsWith("-*") => nextId(key, spec.dropRight(2).toLong)
-          case explicit => explicit
-        }
         val buf = streams.computeIfAbsent(key, _ => mutable.ArrayBuffer.empty)
-        buf.synchronized { buf += ((id, fields)) }
-        Resp.Bulk(id.getBytes(UTF_8))
+        // id resolution, the monotonicity CHECK, the append, and the
+        // last-id bump are one atomic step per key (real redis is
+        // single-threaded; concurrent XADDs must not interleave between
+        // check and append, or the buffer's id order breaks)
+        buf.synchronized {
+          val top = topIdOf(key)
+          val resolved: Either[Resp.Value, (Long, Long)] = idArg match {
+            case "*" =>
+              val ms = math.max(System.currentTimeMillis(), top.fold(0L)(_._1))
+              Right((ms, if (top.exists(_._1 == ms)) top.get._2 + 1L else 0L))
+            case spec if spec.endsWith("-*") =>
+              // real redis REFUSES a `<ms>-*` whose ms sits below the
+              // stream's top-item ms — it does NOT clamp (the clamp this
+              // server used to apply hid the relay engines' whole
+              // ms-floor/WATCH machinery from every embedded test)
+              val ms = spec.dropRight(2).toLong
+              if (top.exists(_._1 > ms)) Left(Resp.Err(XaddSmallerErr))
+              else Right((ms,
+                if (top.exists(_._1 == ms)) top.get._2 + 1L else 0L))
+            case explicit =>
+              val (ms, seq) = RedisStreams.parseEntryId(explicit)
+              if (top.exists(t => t._1 > ms || (t._1 == ms && t._2 >= seq)))
+                Left(Resp.Err(XaddSmallerErr))
+              else Right((ms, seq))
+          }
+          resolved match {
+            case Left(err) => err
+            case Right((ms, seq)) =>
+              val id = s"$ms-$seq"
+              buf += ((id, fields))
+              lastMs.put(key, ms)
+              subSeq.put(key, seq)
+              Resp.Bulk(id.getBytes(UTF_8))
+          }
+        }
       case "XRANGE" =>
         val key = s(1)
         val start = s(2)
@@ -497,6 +525,22 @@ final class EmbeddedRedis(
             Resp.Num((before - buf.length).toLong)
           }
         }
+      case "XDEL" =>
+        // XDEL key id [id ...] — removes entries; the stream's last_id
+        // (the XADD refusal bar) deliberately does NOT lower, matching
+        // real redis
+        val key = s(1)
+        val ids = args.drop(2).map(new String(_, UTF_8)).toSet
+        Option(streams.get(key)) match {
+          case None => Resp.Num(0L)
+          case Some(buf) => buf.synchronized {
+            val before = buf.length
+            val kept = buf.filterNot(e => ids.contains(e._1))
+            buf.clear()
+            buf ++= kept
+            Resp.Num((before - buf.length).toLong)
+          }
+        }
       case "SCAN" =>
         // SCAN cursor [MATCH pat] [COUNT n] [TYPE t] — answers in one page
         // (cursor always returns 0); every key here is a stream
@@ -521,14 +565,20 @@ final class EmbeddedRedis(
     }
   }
 
-  private def nextId(key: String, ms: Long): String = {
-    val safeMs = math.max(ms, Option(lastMs.get(key)).fold(0L)(_.longValue))
-    val sub =
-      if (Option(lastMs.get(key)).contains(java.lang.Long.valueOf(safeMs)))
-        subSeq.merge(key, 1L, (a, b) => a + b)
-      else { lastMs.put(key, safeMs); subSeq.put(key, 0L); 0L }
-    s"$safeMs-$sub"
-  }
+  /** Real redis's XADD refusal text, verbatim — callers pattern-match
+    * error classes, so the wording is part of the fidelity contract. */
+  private val XaddSmallerErr: String =
+    "ERR The ID specified in XADD is equal or smaller than the target " +
+      "stream top item"
+
+  /** The stream's last-ASSIGNED id — real redis's `last_id`, which an
+    * XDEL of the tip entry does NOT lower, so it lives in
+    * [[lastMs]]/[[subSeq]] rather than being re-derived from the entry
+    * buffer. Explicit-id XADDs bump it too (they used to bypass it).
+    */
+  private def topIdOf(key: String): Option[(Long, Long)] =
+    Option(lastMs.get(key)).map(ms =>
+      (ms.longValue, Option(subSeq.get(key)).fold(0L)(_.longValue)))
 
   /** First index whose id is >= `bound` (entries id-ordered). */
   private def searchAtOrAbove(

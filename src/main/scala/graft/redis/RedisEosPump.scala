@@ -68,7 +68,13 @@ object RedisEosPump {
       dstTls: Option[RedisClient.Tls] = None,
       dstAuth: Option[RedisClient.Auth] = None,
       crashBeforeCommit: Option[String] = None,
-      raceAfterRead: Option[String] = None): Long = {
+      raceAfterRead: Option[String] = None,
+      /** [[graft.ops.Failpoints.armHook]] token fired with the MULTI
+        * fully queued, JUST before EXEC — the widest window between the
+        * floor read and the commit, where a foreign write to the
+        * destination key must nil the EXEC (it is WATCHed), never let
+        * real redis refuse entries inside it. */
+      raceBeforeExec: Option[String] = None): Long = {
     require(cap > 0, "cap must be positive")
     require(page > 0, "page must be positive")
     val src = new RedisClient(srcHost, srcPort, tls = srcTls, auth = srcAuth)
@@ -80,6 +86,8 @@ object RedisEosPump {
           case v: Resp.Arr =>
             RedisStreams.decodeEntriesWithIds(v, stream, shard)
               .headOption.flatMap { case (rawId, _) =>
+                // the cursor rides the PACKED id: saturation aliases it
+                RedisStreams.guardSubSeq(rawId)
                 val (ms, sub) = RedisStreams.parseEntryId(rawId)
                 val tipNext = RedisStreams.packSeqNo(ms, sub) + 1L
                 val cursor = cursorOf(dst.command(
@@ -98,29 +106,37 @@ object RedisEosPump {
         val dc = new RedisClient(dstHost, dstPort, tls = dstTls, auth = dstAuth)
         def attempt(): Long = {
           val ledger = ledgerKey(ledgerPrefix, stream, shard)
-          // WATCH FIRST, then re-read the cursor under the watch: the
-          // driver's planning GET is advisory only — a rival attempt that
-          // lands after it cannot be missed, because its EXEC moved this
-          // key and ours would nil out
-          dc.command(RedisStreams.watch(ledger): _*)
+          val srcKey = RedisStreams.shardedKey(stream, shard, sharded = true)
+          val dstKey = RedisStreams.shardedKey(streamOf(stream), shard,
+            sharded = true)
+          // WATCH FIRST — the ledger AND the destination key — then
+          // re-read the cursor under the watch: the driver's planning GET
+          // is advisory only (a rival attempt that lands after it nils our
+          // EXEC), and watching the DATA key makes the tip-ms floor below
+          // race-free too: a foreign writer pushing the destination tip
+          // between the floor read and EXEC nils us BEFORE anything
+          // applies, instead of real redis refusing the lower explicit id
+          // inside the EXEC while the cursor SET still landed (a loud
+          // throw there is erasable — on a cluster the task retry would
+          // see the advanced cursor, skip, and the refused entries would
+          // be silently lost)
+          dc.command(RedisStreams.watch(ledger, dstKey): _*)
           val committed = cursorOf(dc.command(RedisStreams.get(ledger): _*))
           raceAfterRead.foreach(graft.ops.Failpoints.fireHook)
           if (committed >= tipNext) {
             dc.command(RedisStreams.unwatch: _*)
             0L // range already landed — replay/rival skip
           } else {
-            val srcKey = RedisStreams.shardedKey(stream, shard, sharded = true)
-            val dstKey = RedisStreams.shardedKey(streamOf(stream), shard,
-              sharded = true)
-            // destination tip ms floor (read pre-MULTI): source ids are
-            // monotone per key, but a pre-existing destination stream may
-            // sit higher — real redis would refuse the lower explicit id
-            // inside EXEC while the cursor SET still landed
+            // destination tip ms floor, read UNDER the watch (pre-MULTI)
             var lastMs = RedisStreams.decodeEntriesWithIds(
               dc.command(RedisStreams.xrevrangeTip(dstKey): _*), "", 0L)
               .headOption.map(e =>
                 RedisStreams.parseEntryId(e._1)._1).getOrElse(0L)
             dc.command(RedisStreams.multi: _*)
+            // exact BECAUSE of guardSubSeq: every entry that ever advanced
+            // this cursor had sub < 0xFFFF, where packing is bijective —
+            // reconstructing a wire id from a packed SeqNo is otherwise
+            // forbidden (packSeqNo's doc)
             var start = RedisStreams.entryId(committed >>> 16, committed & 0xFFFFL)
             var lastPacked = committed - 1L
             var n = 0L
@@ -131,6 +147,11 @@ object RedisEosPump {
                 sc.command(RedisStreams.xrange(srcKey, start, "+", Some(want)): _*),
                 stream, shard)
               val keep = entries.takeWhile(_._2.sequence < tipNext)
+              // the 64k/ms/shard ceiling, checked on every RELAYED entry
+              // (the tip guard alone misses saturated mid-range ids)
+              keep.foreach { case (rawId, _) =>
+                RedisStreams.guardSubSeq(rawId)
+              }
               if (keep.nonEmpty) {
                 keep.grouped(500).foreach { chunk =>
                   dc.pipeline(chunk.map { case (_, m) =>
@@ -154,6 +175,7 @@ object RedisEosPump {
               if (crashBeforeCommit.exists(graft.ops.Failpoints.fire))
                 throw new IllegalStateException(
                   s"injected crash: pump $stream/$shard queued, not EXECed")
+              raceBeforeExec.foreach(graft.ops.Failpoints.fireHook)
               dc.command(RedisStreams.exec: _*) match {
                 case Resp.Err(m) =>
                   throw new IllegalStateException(s"EXEC failed: $m")

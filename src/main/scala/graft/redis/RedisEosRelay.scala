@@ -98,11 +98,20 @@ object RedisEosRelay {
           tls = redisTls, auth = redisAuth)
         def attempt(): Long = {
           val ledger = ledgerKey(ledgerPrefix, topic, part)
-          // WATCH FIRST, then re-read the resume point under the watch:
-          // the driver's planning GET is advisory only — a rival attempt
-          // that lands after it cannot be missed, because its EXEC moved
-          // this key and ours would nil out
-          rc.command(RedisStreams.watch(ledger): _*)
+          val stream = streamOf(topic)
+          val key = RedisStreams.shardedKey(stream, part.toLong,
+            sharded = true)
+          // WATCH FIRST — the ledger AND the destination key — then
+          // re-read the resume point under the watch: the driver's
+          // planning GET is advisory only (a rival attempt landing after
+          // it nils our EXEC), and watching the DATA key makes the tip-ms
+          // floor below race-free: a foreign writer pushing the
+          // destination tip between the floor read and EXEC nils us
+          // BEFORE anything applies, instead of real redis refusing the
+          // lower explicit id inside the EXEC while the cursor SET still
+          // landed (that loud throw is erasable — the task retry would
+          // see the advanced cursor, skip, and silently lose entries)
+          rc.command(RedisStreams.watch(ledger, key): _*)
           val committed = rc.command(RedisStreams.get(ledger): _*) match {
             case Resp.Bulk(bs) => new String(bs, "UTF-8").toLong
             case _ => 0L
@@ -112,15 +121,10 @@ object RedisEosRelay {
             rc.command(RedisStreams.unwatch: _*)
             0L // range already landed — replay/rival skip
           } else {
-            val stream = streamOf(topic)
-            val key = RedisStreams.shardedKey(stream, part.toLong,
-              sharded = true)
-            // the destination key's current tip ms, read BEFORE the MULTI
-            // opens (a plain read while WATCHing is fine): kafka record
-            // timestamps need not be monotonic, and real redis REFUSES a
-            // lower explicit `<ms>-*` id — refused INSIDE an EXEC, the
-            // cursor SET would still land while entries silently didn't.
-            // Clamp every id to max(record ts, floor, running max).
+            // the destination key's current tip ms, read UNDER the watch
+            // before the MULTI opens: kafka record timestamps need not be
+            // monotonic. Clamp every id to max(record ts, floor, running
+            // max).
             var lastMs = RedisStreams.decodeEntriesWithIds(
               rc.command(RedisStreams.xrevrangeTip(key): _*), "", 0L)
               .headOption.map(e =>

@@ -143,27 +143,60 @@ object RedisSource {
     */
   private[graft] def commitSlotEpoch(client: RedisClient, ledger: String,
       epochId: Long, cmds: Iterator[Seq[Array[Byte]]],
-      beforeExec: () => Unit = () => ()): Boolean = {
-    client.command(RedisStreams.watch(ledger): _*) match {
-      case Resp.Err(m) => throw new IllegalStateException(s"WATCH refused: $m")
-      case _ => ()
-    }
-    val committed = client.command(RedisStreams.get(ledger): _*) match {
-      case Resp.Bulk(bs) => new String(bs, "UTF-8").toLong
-      case _ => 0L
-    }
-    if (committed >= epochId + 1) {
-      // replayed epoch, already committed — drop the watch and skip
-      client.command(RedisStreams.unwatch: _*)
-      false
-    } else {
+      beforeExec: () => Unit = () => ()): Boolean =
+    commitSlotEpoch(client, ledger, epochId, Seq.empty, _ => cmds, beforeExec)
+
+  /** Floor-aware form: `dataKeys` are the stream keys this epoch writes,
+    * WATCHed alongside the ledger so ANY concurrent write to them —
+    * foreign producer, sibling writer — nils the EXEC before anything
+    * applies (real redis refuses a lower explicit `<ms>-*` id, and a
+    * refusal INSIDE an EXEC does not stop the watermark SET queued after
+    * it, so an unwatched key could lose entries while the ledger still
+    * advanced — then the task retry reads committed and SKIPS: silent
+    * loss). `mkCmds` builds the queue from `floorOf`, each key's
+    * current tip ms read UNDER the watch — it must return a FRESH
+    * iterator per call, because a nil'd EXEC retries with fresh floors.
+    * A nil is disambiguated by re-reading the ledger: advanced past this
+    * epoch ⇒ a rival attempt of the SAME (slot, epoch) won (identical
+    * content — idempotent skip, the zombie fence); not advanced ⇒ a
+    * foreign writer moved a data key — retry, bounded and loud.
+    */
+  private[graft] def commitSlotEpoch(client: RedisClient, ledger: String,
+      epochId: Long, dataKeys: Seq[String],
+      mkCmds: (String => Long) => Iterator[Seq[Array[Byte]]],
+      beforeExec: () => Unit): Boolean = {
+    var attempts = 0
+    while (true) {
+      client.command(RedisStreams.watch(ledger +: dataKeys: _*): _*) match {
+        case Resp.Err(m) =>
+          throw new IllegalStateException(s"WATCH refused: $m")
+        case _ => ()
+      }
+      val committed = client.command(RedisStreams.get(ledger): _*) match {
+        case Resp.Bulk(bs) => new String(bs, "UTF-8").toLong
+        case _ => 0L
+      }
+      if (committed >= epochId + 1) {
+        // replayed epoch, already committed — drop the watch and skip
+        client.command(RedisStreams.unwatch: _*)
+        return false
+      }
+      // per-key ms floors, read AFTER the WATCH: a tip that moves after
+      // this read nils the EXEC, so a clamped id can never be refused
+      // inside it
+      val floors = dataKeys.map { k =>
+        k -> RedisStreams.decodeEntriesWithIds(
+          client.command(RedisStreams.xrevrangeTip(k): _*), "", 0L)
+          .headOption.map(e => RedisStreams.parseEntryId(e._1)._1)
+          .getOrElse(0L)
+      }.toMap
       // queue in BOUNDED pipeline chunks — writing a whole epoch before
       // reading any reply deadlocks once the server's reply bytes outgrow
       // the socket buffers (server blocks writing +QUEUED, stops reading,
       // client blocks writing); chunking keeps in-flight replies O(chunk),
       // the same discipline as the plain producer's pipelineAcked
       client.command(RedisStreams.multi: _*)
-      cmds.grouped(500).foreach { chunk =>
+      mkCmds(k => floors.getOrElse(k, 0L)).grouped(500).foreach { chunk =>
         client.pipeline(chunk).collectFirst { case Resp.Err(m) =>
           throw new IllegalStateException(s"MULTI queue refused: $m")
         }
@@ -175,16 +208,28 @@ object RedisSource {
       beforeExec()
       client.command(RedisStreams.exec: _*) match {
         case Resp.Err(m) => throw new IllegalStateException(s"EXEC failed: $m")
-        case Resp.NullArr => false // a rival attempt won — fenced clean
+        case Resp.NullArr =>
+          val now = client.command(RedisStreams.get(ledger): _*) match {
+            case Resp.Bulk(bs) => new String(bs, "UTF-8").toLong
+            case _ => 0L
+          }
+          if (now >= epochId + 1) return false // rival won — fenced clean
+          attempts += 1
+          require(attempts <= 5,
+            s"epoch $epochId on $ledger: EXEC nil'd $attempts times with " +
+              "the ledger unmoved — a foreign writer keeps touching the " +
+              s"epoch's stream keys (${dataKeys.mkString(", ")})")
         case Resp.Arr(rs) =>
-          // real redis refuses a mis-slotted command at QUEUE time, but a
-          // queued-then-failed element must still surface, not vanish
+          // unreachable for the id-monotonicity class by construction
+          // (floors read under the watch) — anything else must still
+          // surface, not vanish
           rs.collectFirst { case Resp.Err(m) =>
             throw new IllegalStateException(s"EXEC element failed: $m") }
-          true
-        case _ => true
+          return true
+        case _ => return true
       }
     }
+    false // unreachable
   }
 
   /** Exactly-once Spark → redis sink for one micro-batch (epoch) — the
@@ -229,13 +274,35 @@ object RedisSource {
         if (rows.nonEmpty) {
           val slot = org.apache.spark.TaskContext.getPartitionId()
           val ledger = s"$ledgerPrefix:slot:$slot"
+          // group the slot's rows per redis key (time order survives the
+          // sort above into each key's buffer) — the per-key grouping is
+          // what lets ids clamp to the key's WATCHed tip-ms floor: LATE
+          // DATA is normal in streaming, so epoch N+1 may carry lower
+          // event times than epoch N's tip, and real redis would refuse
+          // those inside the EXEC while the watermark SET still landed.
+          // Memory note: the MULTI queue already holds the whole slot
+          // server-side, so this buffer does not change the sizing rule.
+          val byKey = new java.util.LinkedHashMap[
+            String, scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]]()
+          rows.foreach { r =>
+            byKey.computeIfAbsent(RedisStreams.shardedKey(r._1, r._2, sharded),
+              _ => scala.collection.mutable.ArrayBuffer.empty) +=
+              ((r._3.getTime, r._4))
+          }
+          val keys = {
+            val b = Seq.newBuilder[String]
+            byKey.forEach((k, _) => b += k)
+            b.result()
+          }
           val client = new RedisClient(host, port, tls = tls, auth = auth)
           // landed-or-skipped is irrelevant here: both are success states
-          try { commitSlotEpoch(client, ledger, epochId,
-            rows.map { r =>
-              RedisStreams.xadd(
-                RedisStreams.shardedKey(r._1, r._2, sharded),
-                r._3.getTime, r._4)
+          try { commitSlotEpoch(client, ledger, epochId, keys,
+            floorOf => keys.iterator.flatMap { k =>
+              var last = floorOf(k)
+              byKey.get(k).iterator.map { case (ms, payload) =>
+                last = math.max(ms, last)
+                RedisStreams.xadd(k, last, payload)
+              }
             },
             beforeExec = () =>
               if (crashBeforeCommit.exists(graft.ops.Failpoints.fire))
@@ -295,21 +362,32 @@ object RedisSource {
             // group this task's rows by redis key; iterator order (time
             // within the partition) survives into each key's buffer
             val byKey = new java.util.LinkedHashMap[
-              String, scala.collection.mutable.ArrayBuffer[Seq[Array[Byte]]]]()
+              String, scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]]()
             rows.foreach { r =>
               val key = RedisStreams.shardedKey(r._1, r._2, sharded)
               byKey.computeIfAbsent(key,
                 _ => scala.collection.mutable.ArrayBuffer.empty) +=
-                RedisStreams.xadd(key, r._3.getTime, r._4)
+                ((r._3.getTime, r._4))
             }
-            byKey.forEach { (key, cmds) =>
+            byKey.forEach { (key, rs) =>
               val ledger = s"$ledgerPrefix:{$key}"
               var attempts = 0
               var done = false
               while (!done) {
                 val client = cc.connectionFor(key)
                 try {
-                  commitSlotEpoch(client, ledger, epochId, cmds.iterator,
+                  // key + ledger share a slot by construction, so the
+                  // floor-aware WATCH (ledger AND the data key) is legal
+                  // on a cluster node; ids clamp to the watched tip ms —
+                  // late data across epochs can never be refused in-EXEC
+                  commitSlotEpoch(client, ledger, epochId, Seq(key),
+                    floorOf => {
+                      var last = floorOf(key)
+                      rs.iterator.map { case (ms, payload) =>
+                        last = math.max(ms, last)
+                        RedisStreams.xadd(key, last, payload)
+                      }
+                    },
                     beforeExec = () =>
                       if (crashBeforeCommit.exists(graft.ops.Failpoints.fire))
                         throw new IllegalStateException(

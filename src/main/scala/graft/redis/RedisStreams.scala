@@ -69,6 +69,27 @@ object RedisStreams {
   def packSeqNo(timestampMs: Long, subSeq: Long): Long =
     (timestampMs << 16) | (subSeq & 0xFFFFL)
 
+  /** Refuse an entry id whose sub-sequence saturates the 16-bit packed
+    * field. A relay whose resume cursor rides a packed SeqNo (the
+    * group-offset staging in [[graft.kafka.KafkaEosIngest]], the
+    * destination ledgers in [[RedisEosPump]]) would alias past 0xFFFF:
+    * the stored cursor could move BACKWARD in wire order (duplicates) and
+    * the reconstructed XRANGE start could skip live entries (loss). The
+    * reference shares the same 64k-entries-per-ms-per-shard ceiling
+    * (sea-streamer-redis/src/message.rs:7-11), so failing LOUD at the
+    * ceiling matches its semantics; below it, `ms-sub ↔ packed` is
+    * bijective and the cursor reconstruction those relays do is exact.
+    */
+  def guardSubSeq(rawId: String): Unit = {
+    val (_, sub) = parseEntryId(rawId)
+    if (sub >= 0xFFFFL)
+      throw new IllegalStateException(
+        s"entry id $rawId saturates the 16-bit sub-sequence the packed " +
+          "cursor rides (>=65535 entries in one millisecond on one " +
+          "shard) — the packed resume point would alias; re-shard the " +
+          "stream or slow the producer below 64k entries/ms/shard")
+  }
+
   /** Total order on raw entry ids: (ms, seq) lexicographic. */
   def idCompare(a: String, b: String): Int = {
     val (am, as_) = parseEntryId(a)

@@ -44,10 +44,15 @@ import graft.redis.{RedisClient, RedisStreams, Resp}
   * `stream:shard`. Redis entry ids must be monotone per key (real
   * redis REFUSES a lower explicit `<ms>-*` id — and an XADD refused
   * INSIDE an EXEC does not roll the rest back, so the cursor SET would
-  * land while frames silently didn't), so each key's ms floor is read
-  * from the DESTINATION stream's current tip before queueing and
-  * clamped monotone across frames AND epochs; any residual EXEC
-  * element error fails LOUD. `onlyStreams` optionally ships a
+  * land while frames silently didn't), and a (stream, shard) routinely
+  * spans SEVERAL part files, so sibling tasks write the same
+  * destination key concurrently: each task pre-scans its range for the
+  * key set it writes and WATCHes those keys WITH its ledger, then reads
+  * each key's tip-ms floor under the watch and clamps ids monotone. A
+  * rival file's EXEC landing on a shared key after the floor read nils
+  * this task's EXEC before anything applies — the retry re-reads cursor
+  * and floors — so an in-EXEC id refusal is impossible by construction;
+  * any residual EXEC element error still fails LOUD. `onlyStreams` optionally ships a
   * subscription subset; skipped frames still advance the cursor (they
   * are consumed positions, exactly like aborted slots on a kafka
   * source).
@@ -193,10 +198,15 @@ object SsEosShip {
       onlyStreams: Option[Set[String]] = None,
       tls: Option[RedisClient.Tls] = None,
       auth: Option[RedisClient.Auth] = None,
-      crashBeforeCommit: Option[String] = None): Long =
+      crashBeforeCommit: Option[String] = None,
+      /** [[graft.ops.Failpoints.armHook]] token fired with the MULTI
+        * fully queued, JUST before EXEC — the window where a rival file's
+        * commit on a SHARED destination key must nil this EXEC (the key
+        * set is WATCHed), never let real redis refuse frames inside it. */
+      raceBeforeExec: Option[String] = None): Long =
     runRedis(spark, planRedis(paths, redisHost, redisPort, ledgerPrefix,
       capBytes, tls, auth), streamOf, redisHost, redisPort, ledgerPrefix,
-      onlyStreams, tls, auth, crashBeforeCommit)
+      onlyStreams, tls, auth, crashBeforeCommit, raceBeforeExec)
 
   private def planRedis(paths: Seq[String], redisHost: String,
       redisPort: Int, ledgerPrefix: String, capBytes: Long,
@@ -220,92 +230,110 @@ object SsEosShip {
       streamOf: String => String, redisHost: String, redisPort: Int,
       ledgerPrefix: String, onlyStreams: Option[Set[String]],
       tls: Option[RedisClient.Tls], auth: Option[RedisClient.Auth],
-      crashBeforeCommit: Option[String]): Long = {
+      crashBeforeCommit: Option[String],
+      raceBeforeExec: Option[String] = None): Long = {
     if (ranges.isEmpty) 0L
-    else spark.sparkContext.parallelize(ranges, ranges.size)
-      .map { case (path, until) =>
-        val ledger = s"$ledgerPrefix:{${fileKey(path)}}"
-        val rc = new RedisClient(redisHost, redisPort, tls = tls, auth = auth)
-        // a second connection reads destination-tip ms floors: the main
-        // connection holds an open MULTI (reads on it would queue)
-        val reader = new RedisClient(redisHost, redisPort,
-          tls = tls, auth = auth)
-        def attempt(): Long = {
-          rc.command(RedisStreams.watch(ledger): _*)
-          val committed = rc.command(RedisStreams.get(ledger): _*) match {
-            case Resp.Bulk(bs) => new String(bs, "UTF-8").toLong
-            case _ => 0L
-          }
-          if (committed >= until) {
-            rc.command(RedisStreams.unwatch: _*)
-            0L
-          } else {
-            rc.command(RedisStreams.multi: _*)
-            // per-key ms floor = the DESTINATION stream's current tip
-            // (cross-epoch monotonicity: real redis refuses a lower
-            // explicit id, and a refusal inside EXEC would not stop the
-            // cursor SET from landing), then clamped monotone per frame
-            val lastMs = scala.collection.mutable.Map.empty[String, Long]
-            def floorOf(k: String): Long =
-              RedisStreams.decodeEntriesWithIds(
-                reader.command(RedisStreams.xrevrangeTip(k): _*), "", 0L)
-                .headOption.map(e =>
-                  RedisStreams.parseEntryId(e._1)._1).getOrElse(0L)
-            var n = 0L
-            eachFrames(path, committed, until, onlyStreams)(_
-              .grouped(500).foreach { chunk =>
-                rc.pipeline(chunk.map { r =>
-                  val k = RedisStreams.shardedKey(
-                    streamOf(r.message.stream_key), r.message.shard_id,
-                    sharded = true)
-                  val ms = math.max(r.message.timestamp.getTime,
-                    lastMs.getOrElseUpdate(k, floorOf(k)))
-                  lastMs(k) = ms
-                  n += 1
-                  RedisStreams.xadd(k, ms, r.message.payload)
-                }).collectFirst { case Resp.Err(m) =>
-                  throw new IllegalStateException(s"MULTI queue refused: $m")
-                }
-              })
-            rc.command(RedisStreams.set(ledger, until.toString): _*)
-            if (crashBeforeCommit.exists(graft.ops.Failpoints.fire))
-              throw new IllegalStateException(
-                s"injected crash: ship ${fileKey(path)} queued, not EXECed")
-            rc.command(RedisStreams.exec: _*) match {
-              case Resp.Err(m) =>
-                throw new IllegalStateException(s"EXEC failed: $m")
-              case Resp.NullArr => -1L // a rival won the watched ledger
-              case Resp.Arr(rs) =>
-                // EXEC executes every queued command even when one errors
-                // (real redis's contract) — an element error here means
-                // entries were refused while the cursor SET still landed:
-                // surface it LOUD (prevented by construction for the
-                // id-monotonicity class via the floor above)
-                rs.collectFirst { case Resp.Err(m) =>
-                  throw new IllegalStateException(
-                    s"EXEC element refused (state needs repair): $m")
-                }
-                n
-              case other =>
-                throw new IllegalStateException(s"EXEC reply: $other")
+    else {
+      // a (stream_key, shard) routinely spans SEVERAL part files, so
+      // sibling tasks of this very epoch write the same destination keys
+      // concurrently — each sibling's EXEC nils the others once, which
+      // bounds honest nil counts by the file fan-out, not a constant
+      val siblings = ranges.size
+      spark.sparkContext.parallelize(ranges, ranges.size)
+        .map { case (path, until) =>
+          val ledger = s"$ledgerPrefix:{${fileKey(path)}}"
+          val rc = new RedisClient(redisHost, redisPort, tls = tls, auth = auth)
+          def attempt(): Long = {
+            rc.command(RedisStreams.watch(ledger): _*)
+            val committed = rc.command(RedisStreams.get(ledger): _*) match {
+              case Resp.Bulk(bs) => new String(bs, "UTF-8").toLong
+              case _ => 0L
+            }
+            if (committed >= until) {
+              rc.command(RedisStreams.unwatch: _*)
+              0L
+            } else {
+              // PRE-SCAN the range for the destination keys it writes,
+              // then WATCH them alongside the ledger BEFORE reading their
+              // tip-ms floors: a rival file's EXEC on a shared key after
+              // this point nils OUR exec — without the watch, its landing
+              // between the floor read and our EXEC would make real redis
+              // refuse our lower `<ms>-*` ids INSIDE the EXEC while the
+              // cursor SET still landed, and the task retry would then
+              // read cursor >= until and silently drop the frames
+              val keys = eachFrames(path, committed, until, onlyStreams)(
+                _.map(r => RedisStreams.shardedKey(
+                  streamOf(r.message.stream_key), r.message.shard_id,
+                  sharded = true)).toSet).toSeq.sorted
+              if (keys.nonEmpty)
+                rc.command(RedisStreams.watch(keys: _*): _*)
+              val lastMs = scala.collection.mutable.Map.empty[String, Long]
+              keys.foreach { k =>
+                lastMs(k) = RedisStreams.decodeEntriesWithIds(
+                  rc.command(RedisStreams.xrevrangeTip(k): _*), "", 0L)
+                  .headOption.map(e =>
+                    RedisStreams.parseEntryId(e._1)._1).getOrElse(0L)
+              }
+              rc.command(RedisStreams.multi: _*)
+              var n = 0L
+              eachFrames(path, committed, until, onlyStreams)(_
+                .grouped(500).foreach { chunk =>
+                  rc.pipeline(chunk.map { r =>
+                    val k = RedisStreams.shardedKey(
+                      streamOf(r.message.stream_key), r.message.shard_id,
+                      sharded = true)
+                    val ms = math.max(r.message.timestamp.getTime, lastMs(k))
+                    lastMs(k) = ms
+                    n += 1
+                    RedisStreams.xadd(k, ms, r.message.payload)
+                  }).collectFirst { case Resp.Err(m) =>
+                    throw new IllegalStateException(s"MULTI queue refused: $m")
+                  }
+                })
+              rc.command(RedisStreams.set(ledger, until.toString): _*)
+              if (crashBeforeCommit.exists(graft.ops.Failpoints.fire))
+                throw new IllegalStateException(
+                  s"injected crash: ship ${fileKey(path)} queued, not EXECed")
+              raceBeforeExec.foreach(graft.ops.Failpoints.fireHook)
+              rc.command(RedisStreams.exec: _*) match {
+                case Resp.Err(m) =>
+                  throw new IllegalStateException(s"EXEC failed: $m")
+                case Resp.NullArr => -1L // a watched key moved — rival
+                  // cursor attempt OR a sibling/foreign write on a shared
+                  // destination key; either way nothing applied — retry
+                  // re-reads cursor AND floors
+                case Resp.Arr(rs) =>
+                  // unreachable for the id-monotonicity class by
+                  // construction now (floors are read under the watch) —
+                  // anything else must still surface, not vanish
+                  rs.collectFirst { case Resp.Err(m) =>
+                    throw new IllegalStateException(
+                      s"EXEC element refused (state needs repair): $m")
+                  }
+                  n
+                case other =>
+                  throw new IllegalStateException(s"EXEC reply: $other")
+              }
             }
           }
-        }
-        try {
-          var shipped = -1L
-          var attempts = 0
-          while (shipped < 0L) {
-            shipped = attempt()
-            if (shipped < 0L) {
-              attempts += 1
-              require(attempts <= 5,
-                s"ship ${fileKey(path)}: EXEC nil'd $attempts times — a " +
-                  "live rival keeps moving the ledger")
+          try {
+            var shipped = -1L
+            var attempts = 0
+            while (shipped < 0L) {
+              shipped = attempt()
+              if (shipped < 0L) {
+                attempts += 1
+                require(attempts <= siblings + 5,
+                  s"ship ${fileKey(path)}: EXEC nil'd $attempts times — " +
+                    "more than the epoch's own sibling fan-out can explain;" +
+                    " a live foreign writer keeps touching the destination" +
+                    " keys or the ledger")
+              }
             }
-          }
-          shipped
-        } finally { rc.close(); reader.close() }
-      }.sum().toLong
+            shipped
+          } finally rc.close()
+        }.sum().toLong
+    }
   }
 
   /** Drain to the files' current safe ends: epochs until the PLAN is

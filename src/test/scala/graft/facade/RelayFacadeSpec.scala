@@ -320,6 +320,46 @@ class RelayFacadeSpec extends AnyFunSuite {
       intercept[SeaStreamErr.InvalidStreamKey](
         SeaStreamer.relayExactlyOnce(kconn, rconn, Seq("bad key!"),
           anchor = "x"))
+      // a NON-injective rename onto a redis destination would hand one
+      // destination key to several concurrent relay tasks — refused at
+      // plan time (kafka destinations append concurrently and keep
+      // per-source ledgers, so they stay legal)
+      assert(intercept[SeaStreamErr.Unsupported](
+        SeaStreamer.relayExactlyOnce(kconn, rconn, Seq("ta", "tb"),
+          anchor = "x", rename = _ => "merged"))
+        .getMessage.contains("INJECTIVE"))
     } finally { k.close(); k2.close(); r.close() }
+  }
+
+  test("endpoint identity is resolved, not spelled: localhost vs " +
+      "127.0.0.1 of ONE broker triggers the self-relay refusal (an " +
+      "aliased identity relay would chase its own appends forever), and " +
+      "conversely a same-cluster kafka→kafka relay spelled two ways is " +
+      "NOT refused as cross-cluster") {
+    val k = new EmbeddedKafka
+    val r = new EmbeddedRedis
+    val kc = new KafkaClient(k.host, k.port)
+    try {
+      // embedded brokers bind 127.0.0.1 — reach the same socket via the
+      // `localhost` alias on one end and the literal on the other
+      val rLocal = SeaStreamer.connect(s"redis://localhost:${r.port}", spark)
+      val rLit = SeaStreamer.connect(s"redis://127.0.0.1:${r.port}", spark)
+      assert(intercept[SeaStreamErr.Unsupported](
+        SeaStreamer.relayExactlyOnce(rLocal, rLit, Seq("al"), anchor = "aa"))
+        .getMessage.contains("into itself"),
+        "an aliased self-relay must still be recognized as one endpoint")
+      // the same two spellings of one kafka cluster must RELAY (renamed),
+      // not refuse as cross-cluster
+      val kLocal = SeaStreamer.connect(s"kafka://localhost:${k.port}", spark)
+      val kLit = SeaStreamer.connect(s"kafka://127.0.0.1:${k.port}", spark)
+      kc.metadata(Seq("al"))
+      (0 until 3).foreach(i => kc.produce("al", 0,
+        Seq((100L + i, null, s"a$i".getBytes("UTF-8")))))
+      assert(SeaStreamer.relayExactlyOnce(kLocal, kLit, Seq("al"),
+        anchor = "ab", rename = _ + "_out") == 3L,
+        "two spellings of one cluster must not read as cross-cluster")
+      assert(kc.fetchIso("al_out", 0, 0L, readCommitted = true)._3
+        .map(x => new String(x.value, "UTF-8")) == (0 until 3).map("a" + _))
+    } finally { kc.close(); k.close(); r.close() }
   }
 }

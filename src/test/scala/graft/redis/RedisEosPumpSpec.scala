@@ -165,4 +165,73 @@ class RedisEosPumpSpec extends AnyFunSuite {
         srv.kvGet("mp:{m/1}").isDefined)
     } finally { rc.close(); srv.close() }
   }
+
+  test("foreign writer between the floor read and EXEC: the destination " +
+      "key is WATCHed, so the EXEC nils BEFORE anything applies and the " +
+      "retry recomputes the floor — every source entry lands exactly " +
+      "once above the foreign tip, never an in-EXEC id refusal with an " +
+      "advanced cursor (the silent-loss race a task retry would erase)") {
+    val a = new EmbeddedRedis
+    val b = new EmbeddedRedis
+    val src = new RedisClient(a.host, a.port)
+    val foreign = new RedisClient(b.host, b.port)
+    try {
+      seed(src, "fx", 0L, (0 until 5).map(i => (3000L + i, s"p$i")))
+      // with the MULTI fully queued (floors already read), a FOREIGN
+      // client pushes the destination tip far above the queued ids —
+      // real redis would refuse every queued XADD inside the EXEC while
+      // the cursor SET landed; the WATCH on the destination key must nil
+      // the whole transaction instead
+      graft.ops.Failpoints.armHook("pump-foreign") { () =>
+        foreign.command(RedisStreams.xadd(
+          RedisStreams.shardedKey("fd", 0L, sharded = true), 9000L,
+          "foreign".getBytes("UTF-8")): _*); ()
+      }
+      val moved = RedisEosPump.relayOnce(spark, a.host, a.port,
+        Seq(("fx", 0L)), _ => "fd", b.host, b.port, "fpx",
+        raceBeforeExec = Some("pump-foreign"))
+      assert(moved == 5L, s"retry must land all 5 entries, moved $moved")
+      val entries = b.entries(RedisStreams.shardedKey("fd", 0L, true))
+      assert(entries.map(e => new String(e._2.head._2, "UTF-8")) ==
+        "foreign" +: (0 until 5).map("p" + _),
+        s"exactly-once violated: $entries")
+      val ids = entries.map(e => RedisStreams.parseEntryId(e._1))
+      assert(ids == ids.sorted && ids.drop(1).forall(_._1 == 9000L),
+        s"retry must clamp above the 9000 foreign tip: $ids")
+    } finally { src.close(); foreign.close(); a.close(); b.close() }
+  }
+
+  test("sub-seq saturation fails LOUD: an entry at/above 0xFFFF in one " +
+      "millisecond would alias the packed cursor (duplicates AND loss), " +
+      "so the pump refuses it — at the planning tip probe and on any " +
+      "mid-range relayed entry") {
+    val a = new EmbeddedRedis
+    val b = new EmbeddedRedis
+    val src = new RedisClient(a.host, a.port)
+    try {
+      def xaddExplicit(key: String, id: String): Unit = {
+        src.command(Seq("XADD", key, id, "msg", "v")
+          .map(_.getBytes("UTF-8")): _*); ()
+      }
+      // tip itself saturated → the PLAN probe refuses
+      xaddExplicit("st:0", "5-65535")
+      val e1 = intercept[IllegalStateException](
+        RedisEosPump.relayOnce(spark, a.host, a.port, Seq(("st", 0L)),
+          _ => "sd", b.host, b.port, "sp"))
+      assert(e1.getMessage.contains("saturates"), e1.getMessage)
+      // saturated entry BEHIND a healthy tip → the task-side per-entry
+      // guard refuses (the tip probe alone would miss it)
+      xaddExplicit("sm:0", "5-65535")
+      xaddExplicit("sm:0", "7-0")
+      val e2 = intercept[Exception](
+        RedisEosPump.relayOnce(spark, a.host, a.port, Seq(("sm", 0L)),
+          _ => "sd", b.host, b.port, "sp2"))
+      assert(e2.getMessage != null && (e2.getMessage.contains("saturates")
+        || Option(e2.getCause).exists(_.getMessage.contains("saturates"))),
+        s"mid-range saturation must refuse loud: $e2")
+      // nothing landed, no cursor advanced — the refusal is pre-commit
+      assert(b.entries(RedisStreams.shardedKey("sd", 0L, true)).isEmpty)
+      assert(b.kvGet("sp2:{sm/0}").isEmpty)
+    } finally { src.close(); a.close(); b.close() }
+  }
 }

@@ -360,4 +360,110 @@ class RedisEosSpec extends AnyFunSuite {
       assert(b.kvGet(ledger).map(new String(_, "UTF-8")).contains("1"))
     } finally { a.close(); b.close() }
   }
+
+  test("embedded XADD id fidelity: a `<ms>-*` or explicit id at/below " +
+      "the stream's top is REFUSED with real redis's error (never " +
+      "clamped — the old clamp hid the writers' floor machinery from " +
+      "every embedded test); equal-ms auto ids bump the sub-seq; `*` " +
+      "stays monotone; XDEL of the tip does not lower the refusal bar") {
+    val srv = new EmbeddedRedis
+    val c = new RedisClient(srv.host, srv.port)
+    try {
+      def xaddRaw(id: String): Either[String, String] =
+        try c.command(Seq("XADD", "fid", id, "msg", "v")
+          .map(_.getBytes("UTF-8")): _*) match {
+          case Resp.Bulk(bs) => Right(new String(bs, "UTF-8"))
+          case other => Left(other.toString)
+        }
+        catch { case e: RedisClient.RedisError => Left(e.msg) }
+      assert(xaddRaw("5-3") == Right("5-3"))
+      // below in ms, equal, and below in seq: all refused, verbatim text
+      Seq("4-9", "5-3", "5-2", "4-*").foreach { id =>
+        xaddRaw(id) match {
+          case Left(m) => assert(m.contains(
+            "equal or smaller than the target stream top item"), m)
+          case Right(got) => fail(s"XADD $id must refuse, appended $got")
+        }
+      }
+      // `<ms>-*` at the top ms bumps the sub-seq; above it starts at 0
+      assert(xaddRaw("5-*") == Right("5-4"))
+      assert(xaddRaw("7-*") == Right("7-0"))
+      // refusals applied nothing
+      assert(srv.entries("fid").map(_._1) == Seq("5-3", "5-4", "7-0"))
+      // real redis's last_id survives XDEL of the tip: the bar holds
+      c.command(Seq("XDEL", "fid", "7-0").map(_.getBytes("UTF-8")): _*)
+      assert(srv.entries("fid").map(_._1) == Seq("5-3", "5-4"))
+      xaddRaw("6-0") match {
+        case Left(m) => assert(m.contains("equal or smaller"), m)
+        case Right(got) =>
+          fail(s"XADD 6-0 after XDEL must refuse, appended $got")
+      }
+    } finally { c.close(); srv.close() }
+  }
+
+  test("late data across epochs: an epoch carrying LOWER event times " +
+      "than the destination tip clamps to the WATCHed floor — nothing " +
+      "is refused inside the EXEC, nothing is lost (the silent-loss " +
+      "hazard: a refusal there would not stop the watermark SET, and " +
+      "the task retry would then skip the epoch)") {
+    val srv = new EmbeddedRedis
+    try {
+      // epoch 0 at ts 5000+, epoch 1 LATE at ts 1000+ on the same keys
+      RedisSource.writeExactlyOnce(
+        envelope(Seq(("ld", 0L, 5000L, "e0a"), ("ld", 0L, 5001L, "e0b"))),
+        srv.host, srv.port, "ldeos", 0L)
+      RedisSource.writeExactlyOnce(
+        envelope(Seq(("ld", 0L, 1000L, "e1a"), ("ld", 0L, 1001L, "e1b"))),
+        srv.host, srv.port, "ldeos", 1L)
+      val entries = srv.entries(RedisStreams.shardedKey("ld", 0L, true))
+      assert(entries.map(e => new String(e._2.head._2, "UTF-8")) ==
+        Seq("e0a", "e0b", "e1a", "e1b"),
+        s"late epoch lost or reordered entries: $entries")
+      // ids stayed monotone (the clamp): late entries ride the tip ms
+      val ids = entries.map(e => RedisStreams.parseEntryId(e._1))
+      assert(ids == ids.sorted, s"non-monotone ids: $ids")
+      assert(ids.drop(2).forall(_._1 == 5001L),
+        s"late entries must clamp to the 5001 floor: $ids")
+    } finally srv.close()
+  }
+
+  test("foreign writer between the floor read and EXEC: the data key is " +
+      "WATCHed, so the EXEC nils BEFORE anything applies and the retry " +
+      "recomputes the floor — exactly one copy of the epoch lands, " +
+      "above the foreign entry, never an in-EXEC refusal") {
+    val srv = new EmbeddedRedis
+    val writer = new RedisClient(srv.host, srv.port)
+    val foreign = new RedisClient(srv.host, srv.port)
+    try {
+      val key = RedisStreams.shardedKey("fw", 0L, sharded = true)
+      var fired = 0
+      val landed = RedisSource.commitSlotEpoch(writer, "fweos:slot:0", 0L,
+        Seq(key),
+        floorOf => {
+          val base = floorOf(key)
+          Iterator.tabulate(3)(i =>
+            RedisStreams.xadd(key, math.max(2000L + i, base), s"w$i".getBytes("UTF-8")))
+        },
+        beforeExec = () => if (fired == 0) {
+          fired += 1
+          // the foreign push lands INSIDE the watch window, above the
+          // epoch's own timestamps — pre-fix this was the silent-loss race
+          foreign.command(RedisStreams.xadd(key, 9000L,
+            "foreign".getBytes("UTF-8")): _*)
+          ()
+        })
+      assert(landed, "the retry must land the epoch")
+      assert(fired == 1)
+      val entries = srv.entries(key)
+      assert(entries.map(e => new String(e._2.head._2, "UTF-8")) ==
+        Seq("foreign", "w0", "w1", "w2"),
+        s"epoch must land exactly once, after the foreign entry: $entries")
+      // retry clamped to the foreign tip — monotone, nothing refused
+      val ids = entries.map(e => RedisStreams.parseEntryId(e._1))
+      assert(ids == ids.sorted && ids.drop(1).forall(_._1 == 9000L),
+        s"retry must clamp to the 9000 floor: $ids")
+      assert(srv.kvGet("fweos:slot:0").map(new String(_, "UTF-8"))
+        .contains("1"))
+    } finally { writer.close(); foreign.close(); srv.close() }
+  }
 }

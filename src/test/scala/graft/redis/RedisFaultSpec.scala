@@ -141,15 +141,20 @@ class RedisFaultSpec extends AnyFunSuite {
     withServer { srv =>
       // TRYAGAIN on the FIRST command only: y is processed in the same
       // pipeline pass, so a blind tail-resend would append y twice — the
-      // law is that only the refused command is requeued
+      // law is that only the refused command is requeued. x and y target
+      // DIFFERENT keys: real redis refuses a `<ms>-*` below a key's tip
+      // (the embedded server now does too), so the requeue of an
+      // earlier-ms command behind an applied later-ms one is only legal
+      // across keys — which is also the only place the selective-requeue
+      // law arises for a per-key-monotone producer
       srv.failXadds.set(1)
       val session = new RedisClient.Session(
         () => new RedisClient(srv.host, srv.port), backoffMs = 1L)
       try {
         session.pipelineAcked(Seq(
           RedisStreams.xadd("f:0", 1L, "x".getBytes(UTF_8)),
-          RedisStreams.xadd("f:0", 2L, "y".getBytes(UTF_8))))
-        assert(srv.entries("f:0").size == 2,
+          RedisStreams.xadd("f:1", 2L, "y".getBytes(UTF_8))))
+        assert(srv.entries("f:0").size == 1 && srv.entries("f:1").size == 1,
           "refused attempts must not have appended anything extra")
         // fatal: a non-retriable reply is one attempt, typed, no append
         srv.failXaddError = "WRONGTYPE Operation against a key holding the wrong kind of value"
@@ -159,7 +164,7 @@ class RedisFaultSpec extends AnyFunSuite {
             RedisStreams.xadd("f:0", 3L, "z".getBytes(UTF_8))))
         }
         assert(e.getMessage.startsWith("WRONGTYPE"))
-        assert(srv.entries("f:0").size == 2, "fatal refusal appended nothing")
+        assert(srv.entries("f:0").size == 1, "fatal refusal appended nothing")
         assert(srv.failXadds.get() == 0,
           "exactly one fatal reply served — no retry consumed more")
       } finally session.close()
@@ -188,16 +193,21 @@ class RedisFaultSpec extends AnyFunSuite {
             RedisStreams.xadd("g:0", 3L, "z".getBytes(UTF_8))))
         }
         // reuse the SAME session: transient refusal on the next batch's
-        // first command must be seen as such (not masked by stale replies)
+        // first command must be seen as such (not masked by stale
+        // replies). d and e target different keys — the requeue of an
+        // earlier-ms command behind an applied later-ms one is only
+        // id-legal across keys (real redis's monotonicity refusal,
+        // which the embedded server now shares)
         srv.failXaddError = "TRYAGAIN Multiple keys request during rehashing of slot"
         srv.failXadds.set(1)
         session.pipelineAcked(Seq(
           RedisStreams.xadd("g:0", 4L, "d".getBytes(UTF_8)),
-          RedisStreams.xadd("g:0", 5L, "e".getBytes(UTF_8))))
+          RedisStreams.xadd("g:1", 5L, "e".getBytes(UTF_8))))
       } finally session.close()
-      val payloads = srv.entries("g:0").flatMap(_._2).collect {
-        case ("msg", v) => new String(v, UTF_8)
-      }
+      val payloads = (srv.entries("g:0") ++ srv.entries("g:1"))
+        .flatMap(_._2).collect {
+          case ("msg", v) => new String(v, UTF_8)
+        }
       assert(payloads.sorted == Seq("d", "e", "y", "z"),
         "x fatally refused (nothing appended); y/z applied pre-fatal; " +
           "d requeued after its transient refusal; e applied — each once")

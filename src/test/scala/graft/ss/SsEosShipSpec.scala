@@ -173,6 +173,58 @@ class SsEosShipSpec extends AnyFunSuite {
     } finally { rc.close(); r.close() }
   }
 
+  test("shared destination key across part files: a write landing on the " +
+      "shared key between this file's floor read and its EXEC nils the " +
+      "EXEC (the pre-scanned key set is WATCHed) — the retry recomputes " +
+      "floors and every frame from every file lands exactly once, ids " +
+      "monotone, never an in-EXEC refusal with an advanced cursor") {
+    val dir = Files.createTempDirectory("sseosrace").toFile.getAbsolutePath
+    // two part files carrying the SAME (stream, shard) — the layout
+    // `format("ss")` produces whenever a stream spans partitions, and
+    // the multi-writer hazard of the round-15 shipper
+    def mk(name: String, tag: String): String = {
+      val path = s"$dir/$name"
+      val w = new SsWriter(new FileOutputStream(path), name, 1024, 0L)
+      (0 until 8).foreach(i => w.write(SeaMessage("s", 0L, i.toLong,
+        ts(1000L + i), s"$tag$i".getBytes("UTF-8"))))
+      w.close(); path
+    }
+    val p1 = mk("one.ss", "x")
+    val p2 = mk("two.ss", "y")
+    val r = new EmbeddedRedis
+    val inject = new graft.redis.RedisClient(r.host, r.port)
+    try {
+      // deterministic interleave: whichever task queues its MULTI first
+      // gets a write on the shared key injected JUST before its EXEC —
+      // standing in for the sibling file's commit landing in the window.
+      // Pre-fix, real redis would refuse that task's lower `<ms>-*` ids
+      // INSIDE the EXEC while its cursor SET landed, and the task retry
+      // would then see cursor >= until and silently drop the frames.
+      graft.ops.Failpoints.armHook("ship-race") { () =>
+        inject.command(RedisStreams.xadd("s:0", 9999L,
+          "foreign".getBytes("UTF-8")): _*); ()
+      }
+      val shipped = SsEosShip.shipRedisOnce(spark, Seq(p1, p2), identity,
+        r.host, r.port, "shrace", raceBeforeExec = Some("ship-race"))
+      assert(shipped == 16L, s"shipped $shipped frames, want 16 — loss")
+      val entries = r.entries("s:0")
+      val vals = entries.map(e => new String(e._2.head._2, "UTF-8"))
+      assert(vals.count(_ == "foreign") == 1)
+      // every frame of both files exactly once, in-file order preserved
+      // (each file ships one ordered MULTI)
+      assert(vals.filter(_.startsWith("x")) == (0 until 8).map("x" + _),
+        s"file one lost/duplicated/reordered: $vals")
+      assert(vals.filter(_.startsWith("y")) == (0 until 8).map("y" + _),
+        s"file two lost/duplicated/reordered: $vals")
+      val ids = entries.map(e => RedisStreams.parseEntryId(e._1))
+      assert(ids == ids.sorted, s"non-monotone ids: $ids")
+      // both cursors advanced to their file ends — the drain is complete
+      assert(SsEosShip.shipRedisOnce(spark, Seq(p1, p2), identity,
+        r.host, r.port, "shrace") == 0L,
+        "drained files must ship zero")
+    } finally { inject.close(); r.close() }
+  }
+
   test("cursor keys are file NAMES: colliding basenames across paths " +
       "refuse loud at plan time instead of aliasing one cursor") {
     val d1 = Files.createTempDirectory("sscol1").toFile.getAbsolutePath
