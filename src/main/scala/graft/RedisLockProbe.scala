@@ -22,9 +22,15 @@ object RedisLockProbe {
         val t0 = System.nanoTime()
         val ts = (0 until conns).map(ci => new Thread(() => {
           val c = new redis.RedisClient(srv.host, srv.port)
+          // ms advances per ROUND: the embedded server now shares real
+          // redis's refusal of an id at/below the key's top, so re-adding
+          // round 1's ids would measure refusal throughput, not appends
           try (0 until per).grouped(200).foreach { chunk =>
-            c.pipeline(chunk.map(i => redis.RedisStreams.xadd(
-              s"lk:$ci", 1000000L + i, payload)))
+            val cmds = chunk.map(i => redis.RedisStreams.xadd(
+              s"lk:$ci", round * 10000000L + i, payload))
+            c.pipeline(cmds).collectFirst { case redis.Resp.Err(m) =>
+              throw new IllegalStateException(s"XADD refused: $m")
+            }
           } finally c.close()
         }))
         ts.foreach(_.start()); ts.foreach(_.join())

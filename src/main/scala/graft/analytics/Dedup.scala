@@ -580,9 +580,16 @@ object Dedup {
       val mins = (0 until r).map(k =>
         min(when(col("i") % r === k, col("mh"))).as(s"m$k"))
       // a ragged band's missing minima (and an odd r's missing final pair
-      // partner) pad as 0 — see the pad-position argument above
+      // partner) pad as 0 — see the pad-position argument above. When r
+      // DIVIDES the permutation count no band rags and no position is
+      // absent, so the pad collapses to the plain column — the pre-lift
+      // divisor plan, byte-identical expressions (the isolated d20
+      // median-of-3 receipt in BENCH_LOCAL.md shows the coalesce cost
+      // was ~nil anyway; this keeps the plan provably unchanged)
       def mc(k: Int) =
-        if (k < r) coalesce(col(s"m$k"), lit(0L)) else lit(0L)
+        if (k >= r) lit(0L)
+        else if (MinhashParams.size % r == 0) col(s"m$k")
+        else coalesce(col(s"m$k"), lit(0L))
       val packed = mh.withColumn("b", (col("i") / r).cast("long"))
         .groupBy(col("doc_id"), col("b"))
         .agg(mins.head, mins.tail: _*)

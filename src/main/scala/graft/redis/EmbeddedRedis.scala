@@ -272,24 +272,29 @@ final class EmbeddedRedis(
   }
 
   private def handle(args: Seq[Array[Byte]]): Resp.Value = {
-    val out = handle0(args)
+    // decode+uppercase the command name ONCE per command — this wrapper,
+    // the version bump and handle0's dispatch used to each redo it, three
+    // String allocations per XADD on the producer hot path
+    val name =
+      if (args.isEmpty) "" else new String(args.head, UTF_8).toUpperCase
+    val out = handle0(name, args)
     // a refused command (Err) mutated nothing; DropConn faults throw past
     // this point, so they bump nothing either
     if (!out.isInstanceOf[Resp.Err] && args.nonEmpty) {
-      val idx = mutatedKeyIndex(new String(args.head, UTF_8).toUpperCase)
+      val idx = mutatedKeyIndex(name)
       if (idx > 0 && args.length > idx)
         bumpVersion(new String(args(idx), UTF_8))
     }
     out
   }
 
-  private def handle0(args: Seq[Array[Byte]]): Resp.Value = {
+  private def handle0(name: String, args: Seq[Array[Byte]]): Resp.Value = {
     def s(i: Int) = new String(args(i), UTF_8)
     if (args.length > 1 && redirects.contains(s(1)))
       return Resp.Err(s"MOVED 0 ${redirects(s(1))}")
     if (args.length > 1 && askRedirects.contains(s(1)))
       return Resp.Err(s"ASK 0 ${askRedirects(s(1))}")
-    if (args.length > 1 && s(0).equalsIgnoreCase("XADD")) {
+    if (name == "XADD" && args.length > 1) {
       val b = bounceAfter.get(s(1))
       if (b.exists(_._1 <= 0))
         return Resp.Err(s"MOVED 0 ${b.get._2}")
@@ -297,7 +302,7 @@ final class EmbeddedRedis(
         bounceAfter = bounceAfter.updated(s(1), (left - 1, target))
       }
     }
-    s(0).toUpperCase match {
+    name match {
       case c0 if (c0 == "XRANGE" || c0 == "XREAD" || c0 == "XREADGROUP") &&
           takeFault(dropReads) => throw DropConn
       case "XADD" if takeCountdown(dropXaddCountdown) => throw DropConn
