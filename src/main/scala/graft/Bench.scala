@@ -119,7 +119,7 @@ object Bench {
       "k10_kafka_eos_pipeline", "k11_redis_kafka_eos", "k12_ss_kafka_eos",
       "r1_redis_roundtrip", "r2_redis_latest", "r3_redis_sharding",
       "r8_redis_eos_sink", "r9_redis_eos_cluster", "r10_kafka_redis_eos",
-      "r11_redis_redis_eos", "r12_ss_redis_eos",
+      "r11_redis_redis_eos", "r12_ss_redis_eos", "r13_relay_lag",
       "r4_redis_seek", "r5_redis_admission", "r6_redis_group_recovery",
       "r7_relay", "t2_ss_stream",
       "d3_minhash_lsh", "d10_cross_corpus", "d11_lsh_recall")
