@@ -137,6 +137,21 @@ final class EmbeddedRedis(
       case Some(buf) => buf.synchronized { buf.toSeq }
       case None => Seq.empty
     }
+
+  /** Run `f` over the stream's ordered buffer WITHOUT copying it — the
+    * hot read paths (tip probes, range pages, group reads) slice under
+    * the per-key lock. The old full `toSeq` copy per probe made every
+    * XREVRANGE tip read O(stream) and a paged XRANGE scan
+    * O(stream²/page) — measured as the dominant cost of the EOS
+    * writers' floor probes once streams grow past ~10⁵ entries. `f`
+    * must copy whatever it returns (slices of mutable buffers do).
+    */
+  private def withEntries[T](key: String)(
+      f: collection.IndexedSeq[(String, Seq[(String, Array[Byte])])] => T): T =
+    Option(streams.get(key)) match {
+      case Some(buf) => buf.synchronized(f(buf))
+      case None => f(Vector.empty)
+    }
   def ackedIds(key: String, group: String): Set[String] =
     Option(acked.get(s"$key/$group")).map(_.asScala.toSet).getOrElse(Set.empty)
   def pendingIds(key: String, group: String): Map[String, String] =
@@ -360,20 +375,25 @@ final class EmbeddedRedis(
         }
         // entries are id-ordered (monotonic XADD), so range bounds resolve
         // by binary search — paging a deep stream is O(log n + page), not a
-        // linear id-parse scan per page
-        val all = entries(key)
-        val lo = start match {
-          case "-" => 0
-          case excl if excl.startsWith("(") => searchAbove(all, excl.drop(1))
-          case incl => searchAtOrAbove(all, incl)
+        // linear id-parse scan per page; only the PAGE is copied out of
+        // the lock, never the stream
+        val bounded = withEntries(key) { all =>
+          val lo = start match {
+            case "-" => 0
+            case excl if excl.startsWith("(") => searchAbove(all, excl.drop(1))
+            case incl => searchAtOrAbove(all, incl)
+          }
+          val hi = end match {
+            case "+" => all.length
+            case excl if excl.startsWith("(") =>
+              searchAtOrAbove(all, excl.drop(1))
+            case incl => searchAbove(all, incl)
+          }
+          if (lo >= hi) Seq.empty
+          else all.slice(lo,
+            math.min(hi.toLong, lo.toLong + count).toInt).toList
         }
-        val hi = end match {
-          case "+" => all.length
-          case excl if excl.startsWith("(") => searchAtOrAbove(all, excl.drop(1))
-          case incl => searchAbove(all, incl)
-        }
-        val bounded = if (lo >= hi) Seq.empty else all.slice(lo, hi)
-        Resp.Arr(bounded.take(count).map { case (id, fields) =>
+        Resp.Arr(bounded.map { case (id, fields) =>
           Resp.Arr(Seq(Resp.Bulk(id.getBytes(UTF_8)),
             Resp.Arr(fields.flatMap { case (f, v) =>
               Seq(Resp.Bulk(f.getBytes(UTF_8)), Resp.Bulk(v))
@@ -386,8 +406,11 @@ final class EmbeddedRedis(
           case i => new String(args(i + 1), UTF_8).toInt
         }
         // tail-first without materializing a full reversed copy — the tip
-        // probe (COUNT 1) runs per key per trigger
-        Resp.Arr(entries(key).takeRight(count).reverse.map { case (id, fields) =>
+        // probe (COUNT 1) runs per key per trigger, and per sub-epoch in
+        // the EOS writers' floor reads: only the COUNT tail leaves the
+        // lock
+        Resp.Arr(withEntries(key)(_.takeRight(count).toList).reverse
+          .map { case (id, fields) =>
           Resp.Arr(Seq(Resp.Bulk(id.getBytes(UTF_8)),
             Resp.Arr(fields.flatMap { case (f, v) =>
               Seq(Resp.Bulk(f.getBytes(UTF_8)), Resp.Bulk(v))
@@ -401,7 +424,8 @@ final class EmbeddedRedis(
           streams.computeIfAbsent(s(2), _ => mutable.ArrayBuffer.empty)
           val from = s(4) match {
             case "0" => "0-0"
-            case "$" => entries(s(2)).lastOption.map(_._1).getOrElse("0-0")
+            case "$" => withEntries(s(2))(_.lastOption.map(_._1))
+              .getOrElse("0-0")
             case explicit => explicit
           }
           groupCursor.put(gk, from)
@@ -426,9 +450,13 @@ final class EmbeddedRedis(
         val delivered: Seq[(String, Seq[(String, Array[Byte])])] =
           if (idArg == ">") {
             val cursor = Option(groupCursor.get(gk)).getOrElse("0-0")
-            val all = entries(key)
-            val fresh = all.slice(searchAbove(all, cursor),
-              all.length).take(count)
+            // only the delivered PAGE is copied out of the lock (the old
+            // slice-to-end copied everything above the cursor per read)
+            val fresh = withEntries(key) { all =>
+              val lo = searchAbove(all, cursor)
+              all.slice(lo,
+                math.min(all.length.toLong, lo.toLong + count).toInt).toList
+            }
             fresh.foreach { case (id, _) =>
               p.put(id, PelEntry(consumer, System.currentTimeMillis()))
               groupCursor.put(gk, id)
@@ -436,10 +464,10 @@ final class EmbeddedRedis(
             fresh
           } else {
             // pending read: this consumer's PEL entries above the given id
-            entries(key).filter { case (id, _) =>
+            withEntries(key)(_.filter { case (id, _) =>
               Option(p.get(id)).exists(_.consumer == consumer) &&
                 (idArg == "0-0" || idArg == "0" || !idLeq(id, idArg))
-            }.take(count)
+            }.take(count).toList)
           }
         Resp.Arr(Seq(Resp.Arr(Seq(Resp.Bulk(key.getBytes(UTF_8)),
           Resp.Arr(delivered.map { case (id, fields) =>
@@ -462,10 +490,10 @@ final class EmbeddedRedis(
             s"NOGROUP No such consumer group '$g' for key name '$key'")
         val now = System.currentTimeMillis()
         val p = pel.computeIfAbsent(gk, _ => new ConcurrentHashMap[String, PelEntry]())
-        val claimed = entries(key).filter { case (id, _) =>
+        val claimed = withEntries(key)(_.filter { case (id, _) =>
           Option(p.get(id)).exists(e => e.consumer != consumer &&
             now - e.deliveredAtMs >= minIdle) && !idLt(id, start)
-        }
+        }.toList)
         claimed.foreach { case (id, _) => p.put(id, PelEntry(consumer, now)) }
         Resp.Arr(Seq(Resp.Bulk("0-0".getBytes(UTF_8)),
           Resp.Arr(claimed.map { case (id, fields) =>
@@ -587,7 +615,8 @@ final class EmbeddedRedis(
 
   /** First index whose id is >= `bound` (entries id-ordered). */
   private def searchAtOrAbove(
-      all: Seq[(String, Seq[(String, Array[Byte])])], bound: String): Int = {
+      all: collection.IndexedSeq[(String, Seq[(String, Array[Byte])])],
+      bound: String): Int = {
     var lo = 0
     var hi = all.length
     while (lo < hi) {
@@ -599,7 +628,8 @@ final class EmbeddedRedis(
 
   /** First index whose id is strictly > `bound`. */
   private def searchAbove(
-      all: Seq[(String, Seq[(String, Array[Byte])])], bound: String): Int = {
+      all: collection.IndexedSeq[(String, Seq[(String, Array[Byte])])],
+      bound: String): Int = {
     var lo = 0
     var hi = all.length
     while (lo < hi) {

@@ -46,18 +46,61 @@ import graft.redis.{RedisClient, RedisStreams, Resp}
   * INSIDE an EXEC does not roll the rest back, so the cursor SET would
   * land while frames silently didn't), and a (stream, shard) routinely
   * spans SEVERAL part files, so sibling tasks write the same
-  * destination key concurrently: each task pre-scans its range for the
-  * key set it writes and WATCHes those keys WITH its ledger, then reads
-  * each key's tip-ms floor under the watch and clamps ids monotone. A
-  * rival file's EXEC landing on a shared key after the floor read nils
-  * this task's EXEC before anything applies — the retry re-reads cursor
-  * and floors — so an in-EXEC id refusal is impossible by construction;
-  * any residual EXEC element error still fails LOUD. `onlyStreams` optionally ships a
+  * destination key concurrently: each range ships as SUB-EPOCH
+  * transactions of ≤ [[TxnBytes]] frames, each WATCHing the ledger AND
+  * the sub-range's destination keys BEFORE reading their tip-ms floors
+  * and committing frames + advanced cursor in one MULTI/EXEC. A rival
+  * file's EXEC landing on a shared key after the floor read nils this
+  * task's EXEC before anything applies; the retry re-reads cursor and
+  * floors and re-queues from the in-memory frame buffer (the file is
+  * read ONCE per task), so an in-EXEC id refusal is impossible by
+  * construction and a collision costs one sub-epoch, not the range —
+  * whole-range transactions made sibling retries quadratic when every
+  * part file carries every key. Any residual EXEC element error still
+  * fails LOUD. `onlyStreams` optionally ships a
   * subscription subset; skipped frames still advance the cursor (they
   * are consumed positions, exactly like aborted slots on a kafka
   * source).
   */
 object SsEosShip {
+
+  /** Per-sub-epoch transaction bound for the redis destination: the
+    * conflict window, the nil-retry cost, the task's frame buffer and
+    * the server's MULTI queue are all ≤ this many frame bytes. */
+  private val TxnBytes: Long = 8L << 20
+
+  /** Concurrent writer cap for ONE redis destination node (see the
+    * concurrency note in [[runRedis]]). */
+  private val RedisShipSlices: Int = 8
+
+  /** Per-destination-node commit gates: one redis node applies every
+    * EXEC under a single mutation thread, so transactions gain NOTHING
+    * from overlapping — but overlapping WATCH windows on shared
+    * destination keys nil each other (measured ~4 nils per commit at
+    * sf1 under any backoff, each nil re-queueing a sub-epoch). Tasks in
+    * one JVM therefore serialize the WATCH→EXEC section per (host,
+    * port): reads and buffering stay parallel, the commit section
+    * pipelines back-to-back, and nils drop to foreign-writer/rival
+    * cases only. Across JVMs (a real cluster) the gate cannot reach —
+    * correctness there is still the WATCH (nil → cheap in-memory
+    * retry), the per-executor gate still thins the windows, and a
+    * sharded destination splits the conflict domain per node anyway.
+    */
+  private val commitGates =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Object]()
+
+  /** Adaptive gating: a destination starts UNGATED — key-disjoint file
+    * layouts (the recommended one: repartition by (stream, shard)
+    * before the `format("ss")` write) never conflict, and gating them
+    * would forfeit the parallel queue/parse the server offers across
+    * connections. The FIRST nil proves the layout contended and flips
+    * the destination to gate-first for the rest of the JVM: shared-key
+    * layouts then serialize their commit sections (overlapping WATCH
+    * windows would otherwise nil each other at ~4 nils per commit),
+    * paying at most one wasted queue per concurrent task to learn it.
+    */
+  private val gateContended =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), java.lang.Boolean]()
 
   private def fileKey(path: String): String =
     new java.io.File(path).getName
@@ -236,101 +279,197 @@ object SsEosShip {
     else {
       // a (stream_key, shard) routinely spans SEVERAL part files, so
       // sibling tasks of this very epoch write the same destination keys
-      // concurrently — each sibling's EXEC nils the others once, which
-      // bounds honest nil counts by the file fan-out, not a constant
+      // concurrently — each sibling's EXEC nils the others once per
+      // SUB-EPOCH, which bounds honest nil counts by the file fan-out,
+      // not a constant
       val siblings = ranges.size
-      spark.sparkContext.parallelize(ranges, ranges.size)
+      // concurrency is CAPPED: one redis node applies every EXEC under
+      // one mutation thread, so ship throughput is apply-bound past a
+      // handful of writers — extra concurrent tasks only hold open
+      // WATCH windows that nil each other (measured: 32 concurrent
+      // file tasks → ~5 nils per commit at sf1; 8 slices → near zero).
+      // Files beyond the cap process SEQUENTIALLY inside a slice; file
+      // reads are cheap next to the serialized apply. On a sharded
+      // destination the cap is per-NODE concurrency, which a cluster
+      // deployment multiplies by its master count.
+      spark.sparkContext
+        .parallelize(ranges.sortBy(_._1),
+          math.min(ranges.size, RedisShipSlices))
         .map { case (path, until) =>
           val ledger = s"$ledgerPrefix:{${fileKey(path)}}"
           val rc = new RedisClient(redisHost, redisPort, tls = tls, auth = auth)
-          def attempt(): Long = {
-            rc.command(RedisStreams.watch(ledger): _*)
-            val committed = rc.command(RedisStreams.get(ledger): _*) match {
-              case Resp.Bulk(bs) => new String(bs, "UTF-8").toLong
-              case _ => 0L
-            }
-            if (committed >= until) {
-              rc.command(RedisStreams.unwatch: _*)
-              0L
-            } else {
-              // PRE-SCAN the range for the destination keys it writes,
-              // then WATCH them alongside the ledger BEFORE reading their
-              // tip-ms floors: a rival file's EXEC on a shared key after
-              // this point nils OUR exec — without the watch, its landing
-              // between the floor read and our EXEC would make real redis
-              // refuse our lower `<ms>-*` ids INSIDE the EXEC while the
-              // cursor SET still landed, and the task retry would then
-              // read cursor >= until and silently drop the frames
-              val keys = eachFrames(path, committed, until, onlyStreams)(
-                _.map(r => RedisStreams.shardedKey(
-                  streamOf(r.message.stream_key), r.message.shard_id,
-                  sharded = true)).toSet).toSeq.sorted
-              if (keys.nonEmpty)
-                rc.command(RedisStreams.watch(keys: _*): _*)
-              val lastMs = scala.collection.mutable.Map.empty[String, Long]
-              keys.foreach { k =>
-                lastMs(k) = RedisStreams.decodeEntriesWithIds(
-                  rc.command(RedisStreams.xrevrangeTip(k): _*), "", 0L)
-                  .headOption.map(e =>
-                    RedisStreams.parseEntryId(e._1)._1).getOrElse(0L)
-              }
-              rc.command(RedisStreams.multi: _*)
-              var n = 0L
-              eachFrames(path, committed, until, onlyStreams)(_
-                .grouped(500).foreach { chunk =>
-                  rc.pipeline(chunk.map { r =>
-                    val k = RedisStreams.shardedKey(
-                      streamOf(r.message.stream_key), r.message.shard_id,
-                      sharded = true)
-                    val ms = math.max(r.message.timestamp.getTime, lastMs(k))
-                    lastMs(k) = ms
-                    n += 1
-                    RedisStreams.xadd(k, ms, r.message.payload)
-                  }).collectFirst { case Resp.Err(m) =>
-                    throw new IllegalStateException(s"MULTI queue refused: $m")
+          // The range ships as SUB-EPOCH transactions of at most TxnBytes
+          // of frames, each committing its frames AND the advanced cursor
+          // in one WATCH-fenced MULTI/EXEC over the ledger + the
+          // sub-range's OWN destination keys (watched BEFORE the tip-ms
+          // floors are read, so a rival file's commit on a shared key
+          // nils this EXEC before anything applies — without the watch,
+          // real redis would refuse the lower `<ms>-*` ids INSIDE the
+          // EXEC while the cursor SET landed, and the task retry would
+          // silently drop the frames). Sub-epochs are the SCALE design:
+          // when every part file carries every destination key (the
+          // `format("ss")` layout), whole-range transactions made nil
+          // retries quadratic — each collision re-read and re-queued the
+          // entire range (measured 2.7× on r12 at sf1). A sub-epoch
+          // bounds the conflict window AND the retry cost to TxnBytes,
+          // the frames re-queue from memory (the file is read ONCE per
+          // task), and a short attempt-scaled backoff de-storms sibling
+          // EXECs. The frame buffer holds ≤ TxnBytes — the same bound
+          // the server's MULTI queue already carries.
+          def commitSub(buf: Seq[SsRecord], subUntil: Long): Long = {
+            var attempts = 0
+            val gate = commitGates.computeIfAbsent(
+              (redisHost, redisPort), _ => new Object)
+            // the sub-range's key set is independent of the cursor, so
+            // the ENTIRE pre-MULTI phase — WATCH ledger+keys, GET cursor,
+            // every tip-ms floor probe — pipelines as ONE round trip
+            // (ordered server-side); per-key round trips here would both
+            // widen the conflict window and stack K latencies per
+            // sub-epoch
+            val bufKeys = buf.map(r => RedisStreams.shardedKey(
+              streamOf(r.message.stream_key), r.message.shard_id,
+              sharded = true)).distinct.sorted
+            while (true) {
+              // the WATCH→EXEC section runs under the node's commit gate
+              // (see commitGates); the retry sleep stays OUTSIDE it
+              def attemptOnce(): Option[Long] = {
+                val replies = rc.pipeline(
+                  RedisStreams.watch(ledger +: bufKeys: _*) +:
+                    RedisStreams.get(ledger) +:
+                    bufKeys.map(k => RedisStreams.xrevrangeTip(k)))
+                replies.head match {
+                  case Resp.Err(m) =>
+                    throw new IllegalStateException(s"WATCH refused: $m")
+                  case _ => ()
+                }
+                val committed = replies(1) match {
+                  case Resp.Bulk(bs) => new String(bs, "UTF-8").toLong
+                  case _ => 0L
+                }
+                if (committed >= subUntil) {
+                  rc.command(RedisStreams.unwatch: _*)
+                  Some(0L) // a rival of THIS file landed the sub-range
+                } else {
+                  // a rival may have committed to a boundary INSIDE ours
+                  // (different TxnBytes, older build): ship only the
+                  // frames past its cursor — frame-exact, endOffset is
+                  // the cursor space
+                  val live = buf.filter(_.endOffset > committed)
+                  val lastMs = scala.collection.mutable.Map.empty[String, Long]
+                  bufKeys.zip(replies.drop(2)).foreach { case (k, v) =>
+                    lastMs(k) = RedisStreams.decodeEntriesWithIds(v, "", 0L)
+                      .headOption.map(e =>
+                        RedisStreams.parseEntryId(e._1)._1).getOrElse(0L)
                   }
-                })
-              rc.command(RedisStreams.set(ledger, until.toString): _*)
-              if (crashBeforeCommit.exists(graft.ops.Failpoints.fire))
-                throw new IllegalStateException(
-                  s"injected crash: ship ${fileKey(path)} queued, not EXECed")
-              raceBeforeExec.foreach(graft.ops.Failpoints.fireHook)
-              rc.command(RedisStreams.exec: _*) match {
-                case Resp.Err(m) =>
-                  throw new IllegalStateException(s"EXEC failed: $m")
-                case Resp.NullArr => -1L // a watched key moved — rival
-                  // cursor attempt OR a sibling/foreign write on a shared
-                  // destination key; either way nothing applied — retry
-                  // re-reads cursor AND floors
-                case Resp.Arr(rs) =>
-                  // unreachable for the id-monotonicity class by
-                  // construction now (floors are read under the watch) —
-                  // anything else must still surface, not vanish
-                  rs.collectFirst { case Resp.Err(m) =>
+                  rc.command(RedisStreams.multi: _*)
+                  var n = 0L
+                  // 2000-command pipeline chunks: replies inside MULTI
+                  // are tiny (+QUEUED), so the in-flight reply bound
+                  // stays ~20 kB while the chunk-sync round trips drop
+                  // 4x — the queue phase runs inside the commit gate,
+                  // where every RTT is serialized wall time
+                  live.grouped(2000).foreach { chunk =>
+                    rc.pipeline(chunk.map { r =>
+                      val k = RedisStreams.shardedKey(
+                        streamOf(r.message.stream_key), r.message.shard_id,
+                        sharded = true)
+                      val ms = math.max(r.message.timestamp.getTime, lastMs(k))
+                      lastMs(k) = ms
+                      n += 1
+                      RedisStreams.xadd(k, ms, r.message.payload)
+                    }).collectFirst { case Resp.Err(m) =>
+                      throw new IllegalStateException(
+                        s"MULTI queue refused: $m")
+                    }
+                  }
+                  rc.command(RedisStreams.set(ledger, subUntil.toString): _*)
+                  if (crashBeforeCommit.exists(graft.ops.Failpoints.fire))
                     throw new IllegalStateException(
-                      s"EXEC element refused (state needs repair): $m")
+                      s"injected crash: ship ${fileKey(path)} queued, " +
+                        "not EXECed")
+                  raceBeforeExec.foreach(graft.ops.Failpoints.fireHook)
+                  rc.command(RedisStreams.exec: _*) match {
+                    case Resp.Err(m) =>
+                      throw new IllegalStateException(s"EXEC failed: $m")
+                    case Resp.NullArr =>
+                      // a watched key moved — a rival cursor attempt or a
+                      // foreign/cross-JVM write on a shared destination
+                      // key; nothing applied — retry re-reads cursor AND
+                      // floors (frames re-queue from the in-memory
+                      // buffer)
+                      None
+                    case Resp.Arr(rs) =>
+                      // unreachable for the id-monotonicity class by
+                      // construction (floors are read under the watch) —
+                      // anything else must still surface, not vanish
+                      rs.collectFirst { case Resp.Err(m) =>
+                        throw new IllegalStateException(
+                          s"EXEC element refused (state needs repair): $m")
+                      }
+                      Some(n)
+                    case other =>
+                      throw new IllegalStateException(s"EXEC reply: $other")
                   }
-                  n
-                case other =>
-                  throw new IllegalStateException(s"EXEC reply: $other")
+                }
+              }
+              val outcome: Option[Long] =
+                if (java.lang.Boolean.TRUE.equals(
+                    gateContended.get((redisHost, redisPort))))
+                  gate.synchronized(attemptOnce())
+                else attemptOnce() // optimistic: key-disjoint layouts
+                  // queue/parse in parallel and never nil
+              outcome match {
+                case Some(n) => return n
+                case None =>
+                  gateContended.put((redisHost, redisPort), true)
+                  attempts += 1
+                  require(attempts <= siblings + 5,
+                    s"ship ${fileKey(path)}: EXEC nil'd $attempts times " +
+                      "— more than the epoch's own sibling fan-out can " +
+                      "explain; a live foreign writer keeps touching the " +
+                      "destination keys or the ledger")
+                  // under the gate, nils come only from rivals/foreign
+                  // writers — a short jittered sit-out suffices
+                  Thread.sleep(1L + java.util.concurrent.ThreadLocalRandom
+                    .current().nextLong(math.min(20L * attempts, 100L)))
               }
             }
+            0L // unreachable
           }
           try {
-            var shipped = -1L
-            var attempts = 0
-            while (shipped < 0L) {
-              shipped = attempt()
-              if (shipped < 0L) {
-                attempts += 1
-                require(attempts <= siblings + 5,
-                  s"ship ${fileKey(path)}: EXEC nil'd $attempts times — " +
-                    "more than the epoch's own sibling fan-out can explain;" +
-                    " a live foreign writer keeps touching the destination" +
-                    " keys or the ledger")
+            // the plan's cursor read is advisory; commitSub re-reads it
+            // under the watch, so starting from the planned `from` is
+            // safe — frames below a rival's cursor filter out in-task
+            val from = {
+              val v = rc.command(RedisStreams.get(ledger): _*) match {
+                case Resp.Bulk(bs) => new String(bs, "UTF-8").toLong
+                case _ => 0L
               }
+              math.max(v, SsFormat.HeaderSize.toLong)
             }
-            shipped
+            var total = 0L
+            val reader = SsReader.openAtOffset(path, from)
+            try {
+              val buf = scala.collection.mutable.ArrayBuffer.empty[SsRecord]
+              var bufBytes = 0L
+              var subStart = from
+              reader.iterator.takeWhile(_.endOffset <= until).foreach { r =>
+                if (onlyStreams.forall(_.contains(r.message.stream_key))) {
+                  buf += r
+                  bufBytes += (r.message.payload.length + 64L)
+                }
+                if (bufBytes >= TxnBytes) {
+                  total += commitSub(buf.toSeq, r.endOffset)
+                  buf.clear(); bufBytes = 0L; subStart = r.endOffset
+                }
+              }
+              // the final sub-epoch advances the cursor to the planned
+              // `until` even when every frame was filtered out (consumed
+              // positions, exactly like aborted slots on a kafka source)
+              if (buf.nonEmpty || until > subStart)
+                total += commitSub(buf.toSeq, until)
+            } finally reader.close()
+            total
           } finally rc.close()
         }.sum().toLong
     }
