@@ -28,7 +28,9 @@ object RedisLockProbe {
           try (0 until per).grouped(200).foreach { chunk =>
             val cmds = chunk.map(i => redis.RedisStreams.xadd(
               s"lk:$ci", round * 10000000L + i, payload))
-            c.pipeline(cmds).collectFirst { case redis.Resp.Err(m) =>
+            // pipelineRaw so the refusal check actually fires (pipeline
+            // throws on the first Err with replies left unread)
+            c.pipelineRaw(cmds).collectFirst { case redis.Resp.Err(m) =>
               throw new IllegalStateException(s"XADD refused: $m")
             }
           } finally c.close()

@@ -159,84 +159,104 @@ object IggyEosRelay {
           username = iggyAuth._1, password = iggyAuth._2)
         val rc = new RedisClient(redisHost, redisPort, tls = tls, auth = auth)
         val ledger = ledgerKey(topic, part)
-        def attempt(): Long = {
-          val dstKey = RedisStreams.shardedKey(streamOf(topic),
-            part.toLong, sharded = true)
-          // WATCH the ledger AND the destination key: a foreign writer
-          // pushing the destination tip between the floor read below and
-          // EXEC nils us BEFORE anything applies, instead of real redis
-          // refusing the lower explicit id inside the EXEC while the
-          // cursor SET still landed (erasable by task retry — silent loss)
-          rc.command(RedisStreams.watch(ledger, dstKey): _*)
-          val committed = cursorOf(rc.command(RedisStreams.get(ledger): _*))
-          if (committed >= tipNext) {
-            rc.command(RedisStreams.unwatch: _*)
-            0L
-          } else {
-            // destination tip ms floor, read UNDER the watch (pre-MULTI)
+        val dstKey = RedisStreams.shardedKey(streamOf(topic),
+          part.toLong, sharded = true)
+        def plainCursor(): Long =
+          cursorOf(rc.command(RedisStreams.get(ledger): _*))
+        // Poll [from, tipNext) into a bounded buffer UNWATCHED: the
+        // paging is the slow phase, and holding the destination-key
+        // WATCH across it would let ANY foreign append on the
+        // destination nil the EXEC — relays into streams a plain
+        // producer also feeds must ride out contention, not livelock.
+        def readSource(from: Long): Vector[(Long, Long, Array[Byte])] = {
+          val out = Vector.newBuilder[(Long, Long, Array[Byte])]
+          var next = from
+          while (next < tipNext) {
+            val want = math.min(page.toLong, tipNext - next).toInt
+            val (_, msgs) = ic.pollMessages(iggyStream, topic, part,
+              PollStrategy.AtOffset(next), want)
+            val keep = msgs.takeWhile(_.offset < tipNext)
+            if (keep.isEmpty)
+              throw new IllegalStateException(
+                s"relay stalled: $topic/$part poll at $next below the" +
+                  s" planned tip $tipNext returned nothing")
+            out ++= keep.map(m => (m.offset, m.tsMs, m.payload))
+            next = keep.last.offset + 1L
+          }
+          out.result()
+        }
+        /** WATCH-fenced commit of the buffered batch: the watch window
+          * is queue + EXEC only, a nil re-queues from memory with a
+          * fresh cursor AND floor, a rival's partial commit filters by
+          * record offset.
+          */
+        def commitBuffered(buffer: Vector[(Long, Long, Array[Byte])]): Long = {
+          var attempts = 0
+          while (true) {
+            rc.command(RedisStreams.watch(ledger, dstKey): _*)
+            val committed = plainCursor()
+            if (committed >= tipNext) {
+              rc.command(RedisStreams.unwatch: _*)
+              return 0L
+            }
+            val live = buffer.filter(_._1 >= committed)
+            // destination tip ms floor, read UNDER the watch (pre-MULTI):
+            // a foreign push after this read nils the EXEC before
+            // anything applies — never real redis refusing the lower
+            // explicit id INSIDE the EXEC while the cursor SET landed
             var lastMs = RedisStreams.decodeEntriesWithIds(
               rc.command(RedisStreams.xrevrangeTip(dstKey): _*), "", 0L)
               .headOption.map(e =>
                 RedisStreams.parseEntryId(e._1)._1).getOrElse(0L)
             rc.command(RedisStreams.multi: _*)
-            var next = committed
-            var n = 0L
-            while (next < tipNext) {
-              val want = math.min(page.toLong, tipNext - next).toInt
-              val (_, msgs) = ic.pollMessages(iggyStream, topic, part,
-                PollStrategy.AtOffset(next), want)
-              val keep = msgs.takeWhile(_.offset < tipNext)
-              if (keep.isEmpty)
+            // pipelineRaw: pipeline() throws on the first Err with the
+            // remaining replies unread — the refusal check must fire
+            // AND keep the connection drained
+            live.grouped(2000).foreach { chunk =>
+              rc.pipelineRaw(chunk.map { case (_, tsMs, payload) =>
+                // running clamp on top of the floor (iggy offsets are
+                // ts-monotone per partition by the sink's discipline,
+                // but a foreign producer need not be)
+                lastMs = math.max(tsMs, lastMs)
+                RedisStreams.xadd(dstKey, lastMs, payload)
+              }).collectFirst { case Resp.Err(msg) =>
                 throw new IllegalStateException(
-                  s"relay stalled: $topic/$part poll at $next below the" +
-                    s" planned tip $tipNext returned nothing")
-              keep.grouped(500).foreach { chunk =>
-                rc.pipeline(chunk.map { m =>
-                  // running clamp on top of the floor (iggy offsets are
-                  // ts-monotone per partition by the sink's discipline,
-                  // but a foreign producer need not be)
-                  lastMs = math.max(m.tsMs, lastMs)
-                  RedisStreams.xadd(dstKey, lastMs, m.payload)
-                }).collectFirst { case Resp.Err(msg) =>
-                  throw new IllegalStateException(
-                    s"MULTI queue refused: $msg")
-                }
+                  s"MULTI queue refused: $msg")
               }
-              n += keep.length
-              next = keep.last.offset + 1L
             }
-            rc.command(RedisStreams.set(ledger, next.toString): _*)
+            rc.command(RedisStreams.set(ledger, tipNext.toString): _*)
             if (crashBeforeCommit.exists(graft.ops.Failpoints.fire))
               throw new IllegalStateException(
                 s"injected crash: relay $topic/$part queued, not EXECed")
             rc.command(RedisStreams.exec: _*) match {
               case Resp.Err(m) =>
                 throw new IllegalStateException(s"EXEC failed: $m")
-              case Resp.NullArr => -1L // a rival won the watched ledger
+              case Resp.NullArr =>
+                // a watched key moved: rival attempt or foreign append —
+                // nothing applied; retry with a jittered sit-out
+                attempts += 1
+                require(attempts <= 8,
+                  s"iggy relay $topic/$part: EXEC nil'd $attempts times " +
+                    "— a live rival or a foreign producer keeps touching" +
+                    " the ledger/destination key")
+                Thread.sleep(1L + java.util.concurrent.ThreadLocalRandom
+                  .current().nextLong(math.min(50L * attempts, 400L)))
               case Resp.Arr(rs) =>
                 rs.collectFirst { case Resp.Err(m) =>
                   throw new IllegalStateException(
                     s"EXEC element refused (state needs repair): $m")
                 }
-                n
+                return live.length.toLong
               case other =>
                 throw new IllegalStateException(s"EXEC reply: $other")
             }
           }
+          0L // unreachable
         }
         try {
-          var relayed = -1L
-          var attempts = 0
-          while (relayed < 0L) {
-            relayed = attempt()
-            if (relayed < 0L) {
-              attempts += 1
-              require(attempts <= 5,
-                s"iggy relay $topic/$part: EXEC nil'd $attempts times — " +
-                  "a live rival keeps moving the ledger")
-            }
-          }
-          relayed
+          val from = plainCursor()
+          if (from >= tipNext) 0L
+          else commitBuffered(readSource(from))
         } finally { ic.close(); rc.close() }
       }.sum().toLong
   }

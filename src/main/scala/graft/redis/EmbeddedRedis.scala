@@ -138,6 +138,17 @@ final class EmbeddedRedis(
       case None => Seq.empty
     }
 
+  /** Run a MUTATING rewrite over the stream's buffer under its lock —
+    * the shared body of XTRIM/XDEL (an absent key mutates nothing and
+    * answers 0, real redis's behavior for both).
+    */
+  private def withStream(key: String)(
+      f: mutable.ArrayBuffer[(String, Seq[(String, Array[Byte])])] => Resp.Value): Resp.Value =
+    Option(streams.get(key)) match {
+      case Some(buf) => buf.synchronized(f(buf))
+      case None => Resp.Num(0L)
+    }
+
   /** Run `f` over the stream's ordered buffer WITHOUT copying it — the
     * hot read paths (tip probes, range pages, group reads) slice under
     * the per-key lock. The old full `toSeq` copy per probe made every
@@ -350,10 +361,25 @@ final class EmbeddedRedis(
               else Right((ms,
                 if (top.exists(_._1 == ms)) top.get._2 + 1L else 0L))
             case explicit =>
-              val (ms, seq) = RedisStreams.parseEntryId(explicit)
-              if (top.exists(t => t._1 > ms || (t._1 == ms && t._2 >= seq)))
-                Left(Resp.Err(XaddSmallerErr))
-              else Right((ms, seq))
+              // real redis accepts a bare ms as `<ms>-0` and REPLIES
+              // (never drops the connection) on a malformed id — an
+              // uncaught parse throw here would desync pipelined
+              // clients and, inside an EXEC, half-apply the transaction
+              val parsed: Option[(Long, Long)] =
+                try {
+                  if (explicit.indexOf('-') < 0) Some((explicit.toLong, 0L))
+                  else Some(RedisStreams.parseEntryId(explicit))
+                } catch { case _: IllegalArgumentException => None }
+              parsed match {
+                case None => Left(Resp.Err(
+                  "ERR Invalid stream ID specified as stream command " +
+                    "argument"))
+                case Some((ms, seq)) =>
+                  if (top.exists(t =>
+                      t._1 > ms || (t._1 == ms && t._2 >= seq)))
+                    Left(Resp.Err(XaddSmallerErr))
+                  else Right((ms, seq))
+              }
           }
           resolved match {
             case Left(err) => err
@@ -542,21 +568,18 @@ final class EmbeddedRedis(
         val key = s(1)
         val strategy = s(2).toUpperCase
         val argIdx = if (s(3) == "~") 4 else 3
-        Option(streams.get(key)) match {
-          case None => Resp.Num(0L)
-          case Some(buf) => buf.synchronized {
-            val before = buf.length
-            strategy match {
-              case "MAXLEN" =>
-                val keep = s(argIdx).toLong
-                if (buf.length > keep) buf.remove(0, (buf.length - keep).toInt)
-              case "MINID" =>
-                val minId = s(argIdx)
-                while (buf.nonEmpty && idLt(buf.head._1, minId)) buf.remove(0)
-              case _ => ()
-            }
-            Resp.Num((before - buf.length).toLong)
+        withStream(key) { buf =>
+          val before = buf.length
+          strategy match {
+            case "MAXLEN" =>
+              val keep = s(argIdx).toLong
+              if (buf.length > keep) buf.remove(0, (buf.length - keep).toInt)
+            case "MINID" =>
+              val minId = s(argIdx)
+              while (buf.nonEmpty && idLt(buf.head._1, minId)) buf.remove(0)
+            case _ => ()
           }
+          Resp.Num((before - buf.length).toLong)
         }
       case "XDEL" =>
         // XDEL key id [id ...] — removes entries; the stream's last_id
@@ -564,15 +587,12 @@ final class EmbeddedRedis(
         // real redis
         val key = s(1)
         val ids = args.drop(2).map(new String(_, UTF_8)).toSet
-        Option(streams.get(key)) match {
-          case None => Resp.Num(0L)
-          case Some(buf) => buf.synchronized {
-            val before = buf.length
-            val kept = buf.filterNot(e => ids.contains(e._1))
-            buf.clear()
-            buf ++= kept
-            Resp.Num((before - buf.length).toLong)
-          }
+        withStream(key) { buf =>
+          val before = buf.length
+          val kept = buf.filterNot(e => ids.contains(e._1))
+          buf.clear()
+          buf ++= kept
+          Resp.Num((before - buf.length).toLong)
         }
       case "SCAN" =>
         // SCAN cursor [MATCH pat] [COUNT n] [TYPE t] — answers in one page

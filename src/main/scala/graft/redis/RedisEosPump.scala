@@ -20,14 +20,20 @@ import org.apache.spark.sql.SparkSession
   * One epoch ([[relayOnce]]) plans per-(stream, shard) ranges on the
   * driver (source `XREVRANGE key + - COUNT 1` tip probes + destination
   * ledger GETs — O(#shards) RPCs, no data), then each shard relays in
-  * its own task: WATCH the ledger, re-read the cursor UNDER the watch
-  * (a rival attempt — speculative task, stalled-but-alive zombie — can
-  * no longer win silently: the first EXEC moves the watched key, every
-  * other EXEC nils out), page the source `XRANGE` from the unpacked
-  * cursor, queue every destination XADD plus the advanced-cursor SET in
-  * one MULTI, EXEC. A crash before EXEC takes the queue with it —
-  * nothing lands, the cursor holds, the next epoch re-relays the same
-  * range. [[relayAll]] loops until an epoch moves nothing.
+  * its own task: page the source `XRANGE` into a bounded in-memory
+  * buffer FIRST (unwatched — the slow phase must not widen the watch
+  * window), then WATCH the ledger AND the destination key, re-read the
+  * cursor under the watch (a rival attempt — speculative task,
+  * stalled-but-alive zombie — can no longer win silently: the first
+  * EXEC moves a watched key, every other EXEC nils out, and a rival's
+  * PARTIAL commit filters frame-exactly from the buffer), read the
+  * destination tip-ms floor, queue every XADD plus the advanced-cursor
+  * SET in one MULTI, EXEC. A nil re-queues from memory with a fresh
+  * cursor and floor after a jittered sit-out (a foreign producer on
+  * the destination stream is legal and must not livelock the relay).
+  * A crash before EXEC takes the queue with it — nothing lands, the
+  * cursor holds, the next epoch re-relays the same range. [[relayAll]]
+  * loops until an epoch moves nothing.
   *
   * The ledger key hash-tags the braced `<stream>/<shard>` pair; on a
   * destination CLUSTER the per-shard transaction must keep entries and
@@ -104,116 +110,139 @@ object RedisEosPump {
       .map { case (stream, shard, tipNext) =>
         val sc = new RedisClient(srcHost, srcPort, tls = srcTls, auth = srcAuth)
         val dc = new RedisClient(dstHost, dstPort, tls = dstTls, auth = dstAuth)
-        def attempt(): Long = {
-          val ledger = ledgerKey(ledgerPrefix, stream, shard)
-          val srcKey = RedisStreams.shardedKey(stream, shard, sharded = true)
-          val dstKey = RedisStreams.shardedKey(streamOf(stream), shard,
-            sharded = true)
-          // WATCH FIRST — the ledger AND the destination key — then
-          // re-read the cursor under the watch: the driver's planning GET
-          // is advisory only (a rival attempt that lands after it nils our
-          // EXEC), and watching the DATA key makes the tip-ms floor below
-          // race-free too: a foreign writer pushing the destination tip
-          // between the floor read and EXEC nils us BEFORE anything
-          // applies, instead of real redis refusing the lower explicit id
-          // inside the EXEC while the cursor SET still landed (a loud
-          // throw there is erasable — on a cluster the task retry would
-          // see the advanced cursor, skip, and the refused entries would
-          // be silently lost)
-          dc.command(RedisStreams.watch(ledger, dstKey): _*)
-          val committed = cursorOf(dc.command(RedisStreams.get(ledger): _*))
-          raceAfterRead.foreach(graft.ops.Failpoints.fireHook)
-          if (committed >= tipNext) {
-            dc.command(RedisStreams.unwatch: _*)
-            0L // range already landed — replay/rival skip
-          } else {
-            // destination tip ms floor, read UNDER the watch (pre-MULTI)
+        val ledger = ledgerKey(ledgerPrefix, stream, shard)
+        val srcKey = RedisStreams.shardedKey(stream, shard, sharded = true)
+        val dstKey = RedisStreams.shardedKey(streamOf(stream), shard,
+          sharded = true)
+        def plainCursor(): Long =
+          cursorOf(dc.command(RedisStreams.get(ledger): _*))
+        // Read the source range [from, tipNext) into a bounded buffer
+        // UNWATCHED: the cap/page XRANGE paging is the slow phase, and
+        // holding the destination-key WATCH across it would let ANY
+        // foreign append on the destination nil the EXEC — a relay into
+        // a stream a plain producer also feeds (legal; the tip-ms floor
+        // clamp exists for exactly that) must ride out contention, not
+        // livelock on a multi-second window.
+        def readSource(from: Long,
+            budget: Long): Vector[(String, graft.core.SeaMessage)] = {
+          val out = Vector.newBuilder[(String, graft.core.SeaMessage)]
+          // exact BECAUSE of guardSubSeq: every entry that ever advanced
+          // this cursor had sub < 0xFFFF, where packing is bijective —
+          // reconstructing a wire id from a packed SeqNo is otherwise
+          // forbidden (packSeqNo's doc)
+          var start = RedisStreams.entryId(from >>> 16, from & 0xFFFFL)
+          var n = 0L
+          var drained = false
+          while (!drained && n < budget) {
+            val want = math.min(page.toLong, budget - n).toInt
+            val entries = RedisStreams.decodeEntriesWithIds(
+              sc.command(RedisStreams.xrange(srcKey, start, "+", Some(want)): _*),
+              stream, shard)
+            val keep = entries.takeWhile(_._2.sequence < tipNext)
+            // the 64k/ms/shard ceiling, checked on every RELAYED entry
+            // (the tip guard alone misses saturated mid-range ids)
+            keep.foreach { case (rawId, _) => RedisStreams.guardSubSeq(rawId) }
+            if (keep.nonEmpty) {
+              out ++= keep
+              n += keep.length
+              start = RedisStreams.idSuccessor(keep.last._1)
+            }
+            drained = keep.length < want || keep.length < entries.length
+          }
+          out.result()
+        }
+        /** WATCH-fenced commit of the buffered batch: the watch window
+          * is queue + EXEC only, a nil re-queues from memory with a
+          * fresh cursor AND floor, and a rival that already covered the
+          * whole buffer skips clean (the outer loop re-reads the cursor
+          * and keeps draining toward the tip).
+          */
+        def commitBuffered(
+            buffer: Vector[(String, graft.core.SeaMessage)]): Long = {
+          val lastPacked = buffer.last._2.sequence
+          var attempts = 0
+          while (true) {
+            dc.command(RedisStreams.watch(ledger, dstKey): _*)
+            val committed = plainCursor()
+            raceAfterRead.foreach(graft.ops.Failpoints.fireHook)
+            if (committed >= lastPacked + 1L) {
+              dc.command(RedisStreams.unwatch: _*)
+              return 0L // a rival covered this whole batch
+            }
+            // a rival may have covered a PREFIX (its epoch planned a
+            // shorter range) — relay only the remainder, exactly once
+            val live = buffer.filter(_._2.sequence >= committed)
+            // destination tip ms floor, read UNDER the watch (pre-MULTI):
+            // a foreign push after this read nils the EXEC before
+            // anything applies — never real redis refusing the lower
+            // explicit id INSIDE the EXEC while the cursor SET landed
+            // (that throw is erasable by a task retry = silent loss)
             var lastMs = RedisStreams.decodeEntriesWithIds(
               dc.command(RedisStreams.xrevrangeTip(dstKey): _*), "", 0L)
               .headOption.map(e =>
                 RedisStreams.parseEntryId(e._1)._1).getOrElse(0L)
             dc.command(RedisStreams.multi: _*)
-            // exact BECAUSE of guardSubSeq: every entry that ever advanced
-            // this cursor had sub < 0xFFFF, where packing is bijective —
-            // reconstructing a wire id from a packed SeqNo is otherwise
-            // forbidden (packSeqNo's doc)
-            var start = RedisStreams.entryId(committed >>> 16, committed & 0xFFFFL)
-            var lastPacked = committed - 1L
-            var n = 0L
-            var drained = false
-            while (!drained && n < cap) {
-              val want = math.min(page.toLong, cap - n).toInt
-              val entries = RedisStreams.decodeEntriesWithIds(
-                sc.command(RedisStreams.xrange(srcKey, start, "+", Some(want)): _*),
-                stream, shard)
-              val keep = entries.takeWhile(_._2.sequence < tipNext)
-              // the 64k/ms/shard ceiling, checked on every RELAYED entry
-              // (the tip guard alone misses saturated mid-range ids)
-              keep.foreach { case (rawId, _) =>
-                RedisStreams.guardSubSeq(rawId)
+            // pipelineRaw: pipeline() throws on the first Err with the
+            // remaining replies unread — the refusal check must fire AND
+            // keep the connection drained
+            live.grouped(2000).foreach { chunk =>
+              dc.pipelineRaw(chunk.map { case (_, m) =>
+                lastMs = math.max(m.timestamp.getTime, lastMs)
+                RedisStreams.xadd(dstKey, lastMs, m.payload)
+              }).collectFirst { case Resp.Err(m) =>
+                throw new IllegalStateException(s"MULTI queue refused: $m")
               }
-              if (keep.nonEmpty) {
-                keep.grouped(500).foreach { chunk =>
-                  dc.pipeline(chunk.map { case (_, m) =>
-                    lastMs = math.max(m.timestamp.getTime, lastMs)
-                    RedisStreams.xadd(dstKey, lastMs, m.payload)
-                  }).collectFirst { case Resp.Err(m) =>
-                    throw new IllegalStateException(s"MULTI queue refused: $m")
-                  }
+            }
+            // the advanced cursor queues LAST, inside the same MULTI —
+            // entries and resume point commit atomically at EXEC
+            dc.command(RedisStreams.set(ledger, (lastPacked + 1L).toString): _*)
+            if (crashBeforeCommit.exists(graft.ops.Failpoints.fire))
+              throw new IllegalStateException(
+                s"injected crash: pump $stream/$shard queued, not EXECed")
+            raceBeforeExec.foreach(graft.ops.Failpoints.fireHook)
+            dc.command(RedisStreams.exec: _*) match {
+              case Resp.Err(m) =>
+                throw new IllegalStateException(s"EXEC failed: $m")
+              case Resp.NullArr =>
+                // a watched key moved: a rival attempt, or a foreign
+                // append on the destination — nothing applied; retry
+                // with a jittered sit-out (fresh cursor + floor each
+                // time; each rival moves the cursor strictly forward, so
+                // only a persistently-hot foreign stream trips the bound)
+                attempts += 1
+                require(attempts <= 8,
+                  s"pump $stream/$shard: EXEC nil'd $attempts times — a " +
+                    "live rival or a foreign producer keeps touching the " +
+                    "ledger/destination key")
+                Thread.sleep(1L + java.util.concurrent.ThreadLocalRandom
+                  .current().nextLong(math.min(50L * attempts, 400L)))
+              case Resp.Arr(rs) =>
+                rs.collectFirst { case Resp.Err(m) =>
+                  throw new IllegalStateException(
+                    s"EXEC element refused (state needs repair): $m")
                 }
-                n += keep.length
-                lastPacked = keep.last._2.sequence
-                start = RedisStreams.idSuccessor(keep.last._1)
-              }
-              drained = keep.length < want || keep.length < entries.length
-            }
-            if (n == 0L) { dc.command(RedisStreams.discard: _*); 0L }
-            else {
-              // the advanced cursor queues LAST, inside the same MULTI —
-              // entries and resume point commit atomically at EXEC
-              dc.command(RedisStreams.set(ledger, (lastPacked + 1L).toString): _*)
-              if (crashBeforeCommit.exists(graft.ops.Failpoints.fire))
-                throw new IllegalStateException(
-                  s"injected crash: pump $stream/$shard queued, not EXECed")
-              raceBeforeExec.foreach(graft.ops.Failpoints.fireHook)
-              dc.command(RedisStreams.exec: _*) match {
-                case Resp.Err(m) =>
-                  throw new IllegalStateException(s"EXEC failed: $m")
-                case Resp.NullArr => -1L // a rival won the watched ledger
-                case Resp.Arr(rs) =>
-                  rs.collectFirst { case Resp.Err(m) =>
-                    throw new IllegalStateException(
-                      s"EXEC element refused (state needs repair): $m")
-                  }
-                  n
-                case other =>
-                  throw new IllegalStateException(s"EXEC reply: $other")
-              }
+                return live.length.toLong
+              case other =>
+                throw new IllegalStateException(s"EXEC reply: $other")
             }
           }
+          0L // unreachable
         }
-        // a nil'd EXEC means a rival attempt (a killed-but-alive task of
-        // a failed prior epoch) committed FIRST and moved the ledger.
-        // Its commit may cover less than OUR planned tip (its epoch
-        // planned earlier), so "skip" would under-deliver: re-run the
-        // body — the re-read cursor absorbs the rival's commit and only
-        // the remainder relays. Each rival moves the cursor strictly
-        // forward, so retries are bounded by the rival count; past the
-        // bound (two live pumps fighting over the same ranges) fail LOUD.
         try {
-          var relayed = -1L
-          var attempts = 0
-          while (relayed < 0L) {
-            relayed = attempt()
-            if (relayed < 0L) {
-              attempts += 1
-              require(attempts <= 5,
-                s"pump $stream/$shard: EXEC nil'd $attempts times — a " +
-                  "live rival keeps moving the ledger (two concurrent " +
-                  "pumps of the same ranges?)")
+          var total = 0L
+          var done = false
+          while (!done) {
+            val from = plainCursor()
+            if (from >= tipNext || total >= cap) done = true
+            else {
+              val buffer = readSource(from, cap - total)
+              if (buffer.isEmpty) done = true // trimmed/empty below tip
+              else total += commitBuffered(buffer)
+              // a rival covering the batch returns 0 — the loop re-reads
+              // the cursor and keeps draining toward the planned tip
             }
           }
-          relayed
+          total
         } finally { sc.close(); dc.close() }
       }.sum().toLong
   }

@@ -21,15 +21,20 @@ import graft.kafka.{KafkaClient, KafkaTls, KafkaWire}
   * One epoch ([[relayOnce]]) plans per-(topic, partition) ranges
   * [committed, min(LSO, committed + cap)) on the driver (Metadata +
   * ledger GETs + one isolation-probe fetch — O(#partitions) RPCs, no
-  * data), then each range relays in its own task: WATCH the ledger,
-  * re-read the committed offset UNDER the watch (a rival attempt of the
-  * same range — speculative task, stalled-but-alive zombie — can no
-  * longer win silently: the first EXEC moves the watched key, every
-  * other EXEC nils out), fetch read_committed pages, queue every XADD
-  * plus the advanced-offset SET in one MULTI, EXEC. A crash anywhere
-  * before EXEC takes the connection and its queue with it — no entries,
-  * no offset move, the next epoch re-relays the same range.
-  * [[relayAll]] loops epochs until a pass moves nothing.
+  * data), then each range relays in its own task: fetch the
+  * read_committed pages into a bounded in-memory buffer FIRST
+  * (unwatched — the slow phase must not widen the watch window), then
+  * WATCH the ledger AND the destination key, re-read the committed
+  * offset under the watch (a rival attempt of the same range —
+  * speculative task, stalled-but-alive zombie — can no longer win
+  * silently: the first EXEC moves a watched key, every other EXEC nils
+  * out, and a rival's partial commit filters exactly by record
+  * offset), read the destination tip-ms floor, queue every XADD plus
+  * the advanced-offset SET in one MULTI, EXEC. A nil re-queues from
+  * memory with a fresh offset and floor after a jittered sit-out. A
+  * crash anywhere before EXEC takes the connection and its queue with
+  * it — no entries, no offset move, the next epoch re-relays the same
+  * range. [[relayAll]] loops epochs until a pass moves nothing.
   *
   * The ledger key hash-tags the braced `<topic>/<partition>` pair, and
   * the destination stream key is `streamOf(topic):partition` — on a
@@ -96,68 +101,85 @@ object RedisEosRelay {
           saslMechanism = saslMechanism, tls = kafkaTls)
         val rc = new RedisClient(redisHost, redisPort,
           tls = redisTls, auth = redisAuth)
-        def attempt(): Long = {
-          val ledger = ledgerKey(ledgerPrefix, topic, part)
-          val stream = streamOf(topic)
-          val key = RedisStreams.shardedKey(stream, part.toLong,
-            sharded = true)
-          // WATCH FIRST — the ledger AND the destination key — then
-          // re-read the resume point under the watch: the driver's
-          // planning GET is advisory only (a rival attempt landing after
-          // it nils our EXEC), and watching the DATA key makes the tip-ms
-          // floor below race-free: a foreign writer pushing the
-          // destination tip between the floor read and EXEC nils us
-          // BEFORE anything applies, instead of real redis refusing the
-          // lower explicit id inside the EXEC while the cursor SET still
-          // landed (that loud throw is erasable — the task retry would
-          // see the advanced cursor, skip, and silently lose entries)
-          rc.command(RedisStreams.watch(ledger, key): _*)
-          val committed = rc.command(RedisStreams.get(ledger): _*) match {
+        val ledger = ledgerKey(ledgerPrefix, topic, part)
+        val stream = streamOf(topic)
+        val key = RedisStreams.shardedKey(stream, part.toLong,
+          sharded = true)
+        def plainCursor(): Long =
+          rc.command(RedisStreams.get(ledger): _*) match {
             case Resp.Bulk(bs) => new String(bs, "UTF-8").toLong
             case _ => 0L
           }
-          raceAfterRead.foreach(graft.ops.Failpoints.fireHook)
-          if (committed >= until) {
-            rc.command(RedisStreams.unwatch: _*)
-            0L // range already landed — replay/rival skip
-          } else {
+        // Fetch [from, until) into a bounded buffer UNWATCHED: the
+        // read_committed paging is the slow phase, and holding the
+        // destination-key WATCH across it would let ANY foreign append
+        // on the destination stream nil the EXEC — a relay into a
+        // stream a plain producer also feeds (legal; the tip-ms floor
+        // clamp exists for exactly that) must ride out contention, not
+        // livelock on a multi-second window.
+        def readSource(from: Long): Vector[(Long, Long, Array[Byte])] = {
+          val out = Vector.newBuilder[(Long, Long, Array[Byte])]
+          var next = from
+          while (next < until) {
+            val (_, page, recs) = kc.fetchIso(topic, part, next,
+              maxFetchBytes, readCommitted = true)
+            if (page <= next) {
+              // empty page below an LSO-capped until: only retention
+              // truncation may fast-forward (KafkaEosRelay's rule)
+              val logStart = kc
+                .listOffset(topic, part, KafkaWire.Ts.Earliest)
+                .getOrElse(0L)
+              if (logStart > next) next = math.min(logStart, until)
+              else throw new IllegalStateException(
+                s"relay stalled: $topic/$part fetch at $next returned " +
+                  s"no progress (page=$page) but log starts at $logStart")
+            } else {
+              out ++= recs.takeWhile(_.offset < until)
+                .map(r => (r.offset, r.tsMs, r.value))
+              next = math.min(page, until)
+            }
+          }
+          out.result()
+        }
+        /** WATCH-fenced commit of the buffered batch: the watch window
+          * is queue + EXEC only, a nil re-queues from memory with a
+          * fresh offset AND floor, and a rival's partial commit filters
+          * frame-exactly by record offset.
+          */
+        def commitBuffered(buffer: Vector[(Long, Long, Array[Byte])]): Long = {
+          var attempts = 0
+          while (true) {
+            rc.command(RedisStreams.watch(ledger, key): _*)
+            val committed = plainCursor()
+            raceAfterRead.foreach(graft.ops.Failpoints.fireHook)
+            if (committed >= until) {
+              rc.command(RedisStreams.unwatch: _*)
+              return 0L // range already landed — replay/rival skip
+            }
+            // a rival may have committed a PREFIX (its epoch planned a
+            // shorter range) — relay only the remainder, exactly once
+            val live = buffer.filter(_._1 >= committed)
             // the destination key's current tip ms, read UNDER the watch
-            // before the MULTI opens: kafka record timestamps need not be
-            // monotonic. Clamp every id to max(record ts, floor, running
-            // max).
+            // before the MULTI opens: kafka record timestamps need not
+            // be monotonic — clamp every id to max(record ts, floor,
+            // running max). A foreign push after this read nils the EXEC
+            // before anything applies, never real redis refusing the
+            // lower explicit id INSIDE the EXEC while the cursor SET
+            // landed (erasable by a task retry = silent loss).
             var lastMs = RedisStreams.decodeEntriesWithIds(
               rc.command(RedisStreams.xrevrangeTip(key): _*), "", 0L)
               .headOption.map(e =>
                 RedisStreams.parseEntryId(e._1)._1).getOrElse(0L)
             rc.command(RedisStreams.multi: _*)
-            var next = committed
-            var n = 0L
-            while (next < until) {
-              val (_, page, recs) = kc.fetchIso(topic, part, next,
-                maxFetchBytes, readCommitted = true)
-              if (page <= next) {
-                // empty page below an LSO-capped until: only retention
-                // truncation may fast-forward (KafkaEosRelay's rule)
-                val logStart = kc
-                  .listOffset(topic, part, KafkaWire.Ts.Earliest)
-                  .getOrElse(0L)
-                if (logStart > next) next = math.min(logStart, until)
-                else throw new IllegalStateException(
-                  s"relay stalled: $topic/$part fetch at $next returned " +
-                    s"no progress (page=$page) but log starts at $logStart")
-              } else {
-                val keep = recs.takeWhile(_.offset < until)
-                keep.grouped(500).foreach { chunk =>
-                  rc.pipeline(chunk.map { r =>
-                    lastMs = math.max(r.tsMs, lastMs)
-                    RedisStreams.xadd(key, lastMs, r.value)
-                  }).collectFirst { case Resp.Err(m) =>
-                    throw new IllegalStateException(
-                      s"MULTI queue refused: $m")
-                  }
-                }
-                n += keep.length
-                next = math.min(page, until)
+            // pipelineRaw: pipeline() throws on the first Err with the
+            // remaining replies unread — the refusal check must fire AND
+            // keep the connection drained
+            live.grouped(2000).foreach { chunk =>
+              rc.pipelineRaw(chunk.map { case (_, tsMs, value) =>
+                lastMs = math.max(tsMs, lastMs)
+                RedisStreams.xadd(key, lastMs, value)
+              }).collectFirst { case Resp.Err(m) =>
+                throw new IllegalStateException(s"MULTI queue refused: $m")
               }
             }
             // the advanced offset queues LAST, inside the same MULTI —
@@ -169,42 +191,45 @@ object RedisEosRelay {
             rc.command(RedisStreams.exec: _*) match {
               case Resp.Err(m) =>
                 throw new IllegalStateException(s"EXEC failed: $m")
-              case Resp.NullArr => -1L // a rival won the watched ledger
+              case Resp.NullArr =>
+                // a watched key moved: a rival attempt, or a foreign
+                // append on the destination — nothing applied; retry
+                // with a jittered sit-out (fresh offset + floor each
+                // time)
+                attempts += 1
+                require(attempts <= 8,
+                  s"relay $topic/$part: EXEC nil'd $attempts times — a " +
+                    "live rival or a foreign producer keeps touching " +
+                    "the ledger/destination key")
+                Thread.sleep(1L + java.util.concurrent.ThreadLocalRandom
+                  .current().nextLong(math.min(50L * attempts, 400L)))
               case Resp.Arr(rs) =>
-                // EXEC executes every queued command even when one errors
-                // (real redis) — an element error means entries were
-                // refused while the ledger SET landed: LOUD, never silent
+                // EXEC executes every queued command even when one
+                // errors (real redis) — an element error means entries
+                // were refused while the ledger SET landed: LOUD, never
+                // silent (unreachable for the id class by construction)
                 rs.collectFirst { case Resp.Err(m) =>
                   throw new IllegalStateException(
                     s"EXEC element refused (state needs repair): $m")
                 }
-                n
+                return live.length.toLong
               case other =>
                 throw new IllegalStateException(s"EXEC reply: $other")
             }
           }
+          0L // unreachable
         }
-        // a nil'd EXEC means a rival attempt (a killed-but-alive task of
-        // a failed prior epoch) committed FIRST and moved the ledger. Its
-        // commit may cover less than OUR `until` (its epoch planned
-        // earlier), so "skip" would under-deliver: re-run the body — the
-        // re-read offset absorbs the rival's commit, only the remainder
-        // relays. Each rival moves the ledger strictly forward, so
-        // retries are bounded by the rival count; past the bound fail LOUD.
         try {
-          var relayed = -1L
-          var attempts = 0
-          while (relayed < 0L) {
-            relayed = attempt()
-            if (relayed < 0L) {
-              attempts += 1
-              require(attempts <= 5,
-                s"relay $topic/$part: EXEC nil'd $attempts times — a " +
-                  "live rival keeps moving the ledger (two concurrent " +
-                  "relays of the same ranges?)")
-            }
+          val from = plainCursor()
+          if (from >= until) 0L
+          else {
+            val buffer = readSource(from)
+            if (buffer.isEmpty) {
+              // a fully-truncated/aborted range still advances the
+              // cursor under the same fence (consumed positions)
+              commitBuffered(Vector.empty[(Long, Long, Array[Byte])])
+            } else commitBuffered(buffer)
           }
-          relayed
         } finally { kc.close(); rc.close() }
       }.sum().toLong
   }

@@ -143,8 +143,16 @@ object RedisSource {
     */
   private[graft] def commitSlotEpoch(client: RedisClient, ledger: String,
       epochId: Long, cmds: Iterator[Seq[Array[Byte]]],
-      beforeExec: () => Unit = () => ()): Boolean =
-    commitSlotEpoch(client, ledger, epochId, Seq.empty, _ => cmds, beforeExec)
+      beforeExec: () => Unit = () => ()): Boolean = {
+    // MATERIALIZE the one-shot iterator: the floor-aware form's nil loop
+    // may call mkCmds again (a zombie of an OLDER epoch can move the
+    // watched ledger without satisfying the skip check), and replaying
+    // an exhausted iterator would commit the advanced watermark with
+    // ZERO data — a silently lost epoch on every subsequent replay
+    val cached = cmds.toSeq
+    commitSlotEpoch(client, ledger, epochId, Seq.empty, _ => cached.iterator,
+      beforeExec)
+  }
 
   /** Floor-aware form: `dataKeys` are the stream keys this epoch writes,
     * WATCHed alongside the ledger so ANY concurrent write to them —
@@ -196,8 +204,12 @@ object RedisSource {
       // client blocks writing); chunking keeps in-flight replies O(chunk),
       // the same discipline as the plain producer's pipelineAcked
       client.command(RedisStreams.multi: _*)
+      // pipelineRaw, not pipeline: pipeline() THROWS on the first Err
+      // and leaves the remaining replies unread on the socket — the
+      // refusal check below must both fire and keep the connection
+      // drained
       mkCmds(k => floors.getOrElse(k, 0L)).grouped(500).foreach { chunk =>
-        client.pipeline(chunk).collectFirst { case Resp.Err(m) =>
+        client.pipelineRaw(chunk).collectFirst { case Resp.Err(m) =>
           throw new IllegalStateException(s"MULTI queue refused: $m")
         }
       }
@@ -215,10 +227,16 @@ object RedisSource {
           }
           if (now >= epochId + 1) return false // rival won — fenced clean
           attempts += 1
-          require(attempts <= 5,
+          require(attempts <= 8,
             s"epoch $epochId on $ledger: EXEC nil'd $attempts times with " +
               "the ledger unmoved — a foreign writer keeps touching the " +
               s"epoch's stream keys (${dataKeys.mkString(", ")})")
+          // jittered sit-out: a plain producer sharing the stream keys
+          // (legal — the floor clamp exists for exactly that) must not
+          // turn transient contention into a failed micro-batch via
+          // back-to-back instant retries
+          Thread.sleep(1L + java.util.concurrent.ThreadLocalRandom
+            .current().nextLong(math.min(50L * attempts, 400L)))
         case Resp.Arr(rs) =>
           // unreachable for the id-monotonicity class by construction
           // (floors read under the watch) — anything else must still

@@ -333,7 +333,10 @@ object SsEosShip {
               // the WATCH→EXEC section runs under the node's commit gate
               // (see commitGates); the retry sleep stays OUTSIDE it
               def attemptOnce(): Option[Long] = {
-                val replies = rc.pipeline(
+                // pipelineRaw: pipeline() THROWS on the first Err with
+                // the remaining replies unread — error checks below must
+                // both fire and keep the connection drained
+                val replies = rc.pipelineRaw(
                   RedisStreams.watch(ledger +: bufKeys: _*) +:
                     RedisStreams.get(ledger) +:
                     bufKeys.map(k => RedisStreams.xrevrangeTip(k)))
@@ -369,7 +372,7 @@ object SsEosShip {
                   // 4x — the queue phase runs inside the commit gate,
                   // where every RTT is serialized wall time
                   live.grouped(2000).foreach { chunk =>
-                    rc.pipeline(chunk.map { r =>
+                    rc.pipelineRaw(chunk.map { r =>
                       val k = RedisStreams.shardedKey(
                         streamOf(r.message.stream_key), r.message.shard_id,
                         sharded = true)

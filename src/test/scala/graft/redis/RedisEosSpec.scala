@@ -401,6 +401,77 @@ class RedisEosSpec extends AnyFunSuite {
     } finally { c.close(); srv.close() }
   }
 
+  test("iterator-form commitSlotEpoch survives a nil'd retry: the " +
+      "one-shot command iterator is materialized, so a zombie moving " +
+      "the watched ledger BELOW the epoch cannot make the retry commit " +
+      "an advanced watermark with ZERO data (a silently lost epoch)") {
+    val srv = new EmbeddedRedis
+    val writer = new RedisClient(srv.host, srv.port)
+    val zombie = new RedisClient(srv.host, srv.port)
+    try {
+      var fired = 0
+      // epoch 5 on a fresh ledger; with the MULTI queued, a zombie of an
+      // OLDER epoch SETs the ledger to "1" — the watch nils our EXEC and
+      // the re-read (1 < 6) sends the loop around for a SECOND pass over
+      // mkCmds' commands
+      val landed = RedisSource.commitSlotEpoch(writer, "itx:slot:0", 5L,
+        Iterator.single(RedisStreams.xadd("itx-t:0", 100L,
+          "data".getBytes("UTF-8"))),
+        beforeExec = () => if (fired == 0) {
+          fired += 1
+          zombie.command(RedisStreams.set("itx:slot:0", "1"): _*)
+          ()
+        })
+      assert(landed, "the retry must land the epoch")
+      val vals = srv.entries("itx-t:0")
+        .flatMap(_._2.map { case (_, bs) => new String(bs, "UTF-8") })
+      assert(vals == Seq("data"),
+        s"the retry re-queued from the materialized commands: $vals")
+      assert(srv.kvGet("itx:slot:0").map(new String(_, "UTF-8"))
+        .contains("6"))
+    } finally { writer.close(); zombie.close(); srv.close() }
+  }
+
+  test("embedded XADD malformed-id fidelity: a bare ms id is accepted " +
+      "as <ms>-0 and a garbage id is REFUSED with a reply — never a " +
+      "dropped connection (which would desync pipelined clients and " +
+      "half-apply inside an EXEC)") {
+    val srv = new EmbeddedRedis
+    val c = new RedisClient(srv.host, srv.port)
+    try {
+      def xaddRaw(id: String): Either[String, String] =
+        try c.command(Seq("XADD", "mf", id, "msg", "v")
+          .map(_.getBytes("UTF-8")): _*) match {
+          case Resp.Bulk(bs) => Right(new String(bs, "UTF-8"))
+          case other => Left(other.toString)
+        }
+        catch { case e: RedisClient.RedisError => Left(e.msg) }
+      assert(xaddRaw("7") == Right("7-0"), "bare ms must read as <ms>-0")
+      xaddRaw("7-abc") match {
+        case Left(m) => assert(m.contains("Invalid stream ID"), m)
+        case Right(got) => fail(s"garbage id appended $got")
+      }
+      // the CONNECTION survived the refusal — the next command answers
+      assert(xaddRaw("8-0") == Right("8-0"))
+      // and inside an EXEC a malformed element errors without aborting
+      // the commands around it (real redis applies the rest)
+      c.command(RedisStreams.multi: _*)
+      c.command(Seq("XADD", "mf", "9-0", "msg", "a")
+        .map(_.getBytes("UTF-8")): _*)
+      c.command(Seq("XADD", "mf", "bad-id", "msg", "b")
+        .map(_.getBytes("UTF-8")): _*)
+      c.command(Seq("XADD", "mf", "10-0", "msg", "c")
+        .map(_.getBytes("UTF-8")): _*)
+      c.command(RedisStreams.exec: _*) match {
+        case Resp.Arr(rs) =>
+          assert(rs.count(_.isInstanceOf[Resp.Err]) == 1,
+            s"exactly the malformed element errors: $rs")
+        case other => fail(s"EXEC reply: $other")
+      }
+      assert(srv.entries("mf").map(_._1) == Seq("7-0", "8-0", "9-0", "10-0"))
+    } finally { c.close(); srv.close() }
+  }
+
   test("late data across epochs: an epoch carrying LOWER event times " +
       "than the destination tip clamps to the WATCHed floor — nothing " +
       "is refused inside the EXEC, nothing is lost (the silent-loss " +
