@@ -57,7 +57,25 @@ object IggyEosRelay {
       sasl: Option[(String, String)] = None,
       saslMechanism: String = "PLAIN",
       tls: Option[KafkaTls.Client] = None,
-      crashBeforeCommit: Option[String] = None): Long = {
+      crashBeforeCommit: Option[String] = None): Long =
+    relayKafkaEpoch(spark, iggyHost, iggyPort, iggyStream, topics, topicOf,
+      kafkaHost, kafkaPort, group, txnIdPrefix, cap, page, iggyAuth,
+      sasl, saslMechanism, tls, crashBeforeCommit)._2
+
+  /** [[relayKafkaOnce]] plus the epoch's PLANNED range count — drains
+    * loop on planned work, not messages moved (an advance-only epoch
+    * over a fully-expired range must not read as drained).
+    */
+  private[graft] def relayKafkaEpoch(spark: SparkSession,
+      iggyHost: String, iggyPort: Int, iggyStream: String,
+      topics: Seq[String], topicOf: String => String,
+      kafkaHost: String, kafkaPort: Int, group: String, txnIdPrefix: String,
+      cap: Long, page: Int,
+      iggyAuth: (String, String),
+      sasl: Option[(String, String)],
+      saslMechanism: String,
+      tls: Option[KafkaTls.Client],
+      crashBeforeCommit: Option[String]): (Int, Long) = {
     require(cap > 0, "cap must be positive")
     val all = tips(iggyHost, iggyPort, iggyStream, topics, iggyAuth)
     val planner = new KafkaClient(kafkaHost, kafkaPort, sasl = sasl,
@@ -73,8 +91,8 @@ object IggyEosRelay {
         if (tip > cur) Some((t, p, math.min(tip, cur + cap))) else None
       }
     } finally planner.close()
-    if (ranges.isEmpty) 0L
-    else spark.sparkContext.parallelize(ranges, ranges.size)
+    if (ranges.isEmpty) (0, 0L)
+    else (ranges.size, spark.sparkContext.parallelize(ranges, ranges.size)
       .map { case (topic, part, tipNext) =>
         val ic = new IggyClient(iggyHost, iggyPort,
           username = iggyAuth._1, password = iggyAuth._2)
@@ -101,16 +119,31 @@ object IggyEosRelay {
                 val (_, msgs) = ic.pollMessages(iggyStream, topic, part,
                   PollStrategy.AtOffset(next), want)
                 val keep = msgs.takeWhile(_.offset < tipNext)
-                if (keep.isEmpty)
-                  throw new IllegalStateException(
-                    s"relay stalled: $topic/$part poll at $next below the" +
-                      s" planned tip $tipNext returned nothing")
-                if (n == 0L) producer.begin()
-                producer.send(dst, part,
-                  keep.map(m => (m.tsMs, null: Array[Byte], m.payload)))
-                n += keep.length
-                next = keep.last.offset + 1L
+                if (keep.isEmpty) {
+                  // message_expiry fast-forward (see the redis leg):
+                  // confirmed-trimmed positions are consumed; anything
+                  // else stays a loud stall
+                  val first = ic.pollMessages(iggyStream, topic, part,
+                    PollStrategy.First, 1)._2.headOption.map(_.offset)
+                  first match {
+                    case Some(f) if f > next => next = math.min(f, tipNext)
+                    case _ => throw new IllegalStateException(
+                      s"relay stalled: $topic/$part poll at $next below " +
+                        s"the planned tip $tipNext returned nothing and " +
+                        s"the log starts at ${first.getOrElse(-1L)}")
+                  }
+                } else {
+                  if (n == 0L) producer.begin()
+                  producer.send(dst, part,
+                    keep.map(m => (m.tsMs, null: Array[Byte], m.payload)))
+                  n += keep.length
+                  next = keep.last.offset + 1L
+                }
               }
+              // a fully-expired range still advances the cursor FENCED —
+              // an offsets-only transaction (legal KIP-98), never a
+              // plain OffsetCommit a fenced zombie could rewind
+              if (n == 0L) producer.begin()
               producer.sendOffsetsToTransaction(group,
                 Map((topic, part) -> next))
               if (crashBeforeCommit.exists(graft.ops.Failpoints.fire))
@@ -124,7 +157,7 @@ object IggyEosRelay {
         }
         try KafkaEosIngest.retryFenced(s"iggy relay $topic/$part")(attempt())
         finally ic.close()
-      }.sum().toLong
+      }.sum().toLong)
   }
 
   /** One bounded exactly-once relay epoch into REDIS (the WATCH-fenced
@@ -138,7 +171,21 @@ object IggyEosRelay {
       iggyAuth: (String, String) = ("iggy", "iggy"),
       tls: Option[RedisClient.Tls] = None,
       auth: Option[RedisClient.Auth] = None,
-      crashBeforeCommit: Option[String] = None): Long = {
+      crashBeforeCommit: Option[String] = None): Long =
+    relayRedisEpoch(spark, iggyHost, iggyPort, iggyStream, topics, streamOf,
+      redisHost, redisPort, ledgerPrefix, cap, page, iggyAuth, tls, auth,
+      crashBeforeCommit)._2
+
+  /** [[relayRedisOnce]] plus the epoch's PLANNED range count. */
+  private[graft] def relayRedisEpoch(spark: SparkSession,
+      iggyHost: String, iggyPort: Int, iggyStream: String,
+      topics: Seq[String], streamOf: String => String,
+      redisHost: String, redisPort: Int, ledgerPrefix: String,
+      cap: Long, page: Int,
+      iggyAuth: (String, String),
+      tls: Option[RedisClient.Tls],
+      auth: Option[RedisClient.Auth],
+      crashBeforeCommit: Option[String]): (Int, Long) = {
     require(cap > 0, "cap must be positive")
     def ledgerKey(t: String, p: Int) = s"$ledgerPrefix:{$t/$p}"
     def cursorOf(v: Resp.Value): Long = v match {
@@ -152,8 +199,8 @@ object IggyEosRelay {
         ledgers.command(RedisStreams.get(ledgerKey(t, p)): _*))
       if (tip > cur) Some((t, p, math.min(tip, cur + cap))) else None
     } finally ledgers.close()
-    if (ranges.isEmpty) 0L
-    else spark.sparkContext.parallelize(ranges, ranges.size)
+    if (ranges.isEmpty) (0, 0L)
+    else (ranges.size, spark.sparkContext.parallelize(ranges, ranges.size)
       .map { case (topic, part, tipNext) =>
         val ic = new IggyClient(iggyHost, iggyPort,
           username = iggyAuth._1, password = iggyAuth._2)
@@ -176,89 +223,40 @@ object IggyEosRelay {
             val (_, msgs) = ic.pollMessages(iggyStream, topic, part,
               PollStrategy.AtOffset(next), want)
             val keep = msgs.takeWhile(_.offset < tipNext)
-            if (keep.isEmpty)
-              throw new IllegalStateException(
-                s"relay stalled: $topic/$part poll at $next below the" +
-                  s" planned tip $tipNext returned nothing")
-            out ++= keep.map(m => (m.offset, m.tsMs, m.payload))
-            next = keep.last.offset + 1L
+            if (keep.isEmpty) {
+              // an empty poll below a pinned tip has one legitimate
+              // cause: message_expiry trimmed the range under us (iggy
+              // topics expire, IggyWire's retention). Confirm against
+              // the FIRST available offset before skipping — skipped
+              // positions are consumed, like kafka's truncation rule;
+              // any other cause stays a loud stall (a wedge here would
+              // otherwise be permanent: the cursor could never advance
+              // past the expired range)
+              val first = ic.pollMessages(iggyStream, topic, part,
+                PollStrategy.First, 1)._2.headOption.map(_.offset)
+              first match {
+                case Some(f) if f > next => next = math.min(f, tipNext)
+                case _ => throw new IllegalStateException(
+                  s"relay stalled: $topic/$part poll at $next below the" +
+                    s" planned tip $tipNext returned nothing and the " +
+                    s"log starts at ${first.getOrElse(-1L)}")
+              }
+            } else {
+              out ++= keep.map(m => (m.offset, m.tsMs, m.payload))
+              next = keep.last.offset + 1L
+            }
           }
           out.result()
-        }
-        /** WATCH-fenced commit of the buffered batch: the watch window
-          * is queue + EXEC only, a nil re-queues from memory with a
-          * fresh cursor AND floor, a rival's partial commit filters by
-          * record offset.
-          */
-        def commitBuffered(buffer: Vector[(Long, Long, Array[Byte])]): Long = {
-          var attempts = 0
-          while (true) {
-            rc.command(RedisStreams.watch(ledger, dstKey): _*)
-            val committed = plainCursor()
-            if (committed >= tipNext) {
-              rc.command(RedisStreams.unwatch: _*)
-              return 0L
-            }
-            val live = buffer.filter(_._1 >= committed)
-            // destination tip ms floor, read UNDER the watch (pre-MULTI):
-            // a foreign push after this read nils the EXEC before
-            // anything applies — never real redis refusing the lower
-            // explicit id INSIDE the EXEC while the cursor SET landed
-            var lastMs = RedisStreams.decodeEntriesWithIds(
-              rc.command(RedisStreams.xrevrangeTip(dstKey): _*), "", 0L)
-              .headOption.map(e =>
-                RedisStreams.parseEntryId(e._1)._1).getOrElse(0L)
-            rc.command(RedisStreams.multi: _*)
-            // pipelineRaw: pipeline() throws on the first Err with the
-            // remaining replies unread — the refusal check must fire
-            // AND keep the connection drained
-            live.grouped(2000).foreach { chunk =>
-              rc.pipelineRaw(chunk.map { case (_, tsMs, payload) =>
-                // running clamp on top of the floor (iggy offsets are
-                // ts-monotone per partition by the sink's discipline,
-                // but a foreign producer need not be)
-                lastMs = math.max(tsMs, lastMs)
-                RedisStreams.xadd(dstKey, lastMs, payload)
-              }).collectFirst { case Resp.Err(msg) =>
-                throw new IllegalStateException(
-                  s"MULTI queue refused: $msg")
-              }
-            }
-            rc.command(RedisStreams.set(ledger, tipNext.toString): _*)
-            if (crashBeforeCommit.exists(graft.ops.Failpoints.fire))
-              throw new IllegalStateException(
-                s"injected crash: relay $topic/$part queued, not EXECed")
-            rc.command(RedisStreams.exec: _*) match {
-              case Resp.Err(m) =>
-                throw new IllegalStateException(s"EXEC failed: $m")
-              case Resp.NullArr =>
-                // a watched key moved: rival attempt or foreign append —
-                // nothing applied; retry with a jittered sit-out
-                attempts += 1
-                require(attempts <= 8,
-                  s"iggy relay $topic/$part: EXEC nil'd $attempts times " +
-                    "— a live rival or a foreign producer keeps touching" +
-                    " the ledger/destination key")
-                Thread.sleep(1L + java.util.concurrent.ThreadLocalRandom
-                  .current().nextLong(math.min(50L * attempts, 400L)))
-              case Resp.Arr(rs) =>
-                rs.collectFirst { case Resp.Err(m) =>
-                  throw new IllegalStateException(
-                    s"EXEC element refused (state needs repair): $m")
-                }
-                return live.length.toLong
-              case other =>
-                throw new IllegalStateException(s"EXEC reply: $other")
-            }
-          }
-          0L // unreachable
         }
         try {
           val from = plainCursor()
           if (from >= tipNext) 0L
-          else commitBuffered(readSource(from))
+          else graft.redis.EosCommit.commit(rc, ledger, dstKey,
+            readSource(from), finalCursor = tipNext,
+            label = s"iggy relay $topic/$part",
+            crashBeforeCommit = crashBeforeCommit)
         } finally { ic.close(); rc.close() }
-      }.sum().toLong
+      }.sum().toLong)
   }
 
   /** Drain the source completely: epochs until one moves nothing. */
@@ -272,11 +270,13 @@ object IggyEosRelay {
       saslMechanism: String = "PLAIN",
       tls: Option[KafkaTls.Client] = None): Long = {
     var total = 0L
-    var moved = -1L
-    while (moved != 0L) {
-      moved = relayKafkaOnce(spark, iggyHost, iggyPort, iggyStream, topics,
-        topicOf, kafkaHost, kafkaPort, group, txnIdPrefix, cap, page,
-        iggyAuth, sasl, saslMechanism, tls)
+    var planned = -1
+    // loop on PLANNED ranges (advance-only epochs move zero messages)
+    while (planned != 0) {
+      val (p, moved) = relayKafkaEpoch(spark, iggyHost, iggyPort,
+        iggyStream, topics, topicOf, kafkaHost, kafkaPort, group,
+        txnIdPrefix, cap, page, iggyAuth, sasl, saslMechanism, tls, None)
+      planned = p
       total += moved
     }
     total
@@ -292,11 +292,13 @@ object IggyEosRelay {
       tls: Option[RedisClient.Tls] = None,
       auth: Option[RedisClient.Auth] = None): Long = {
     var total = 0L
-    var moved = -1L
-    while (moved != 0L) {
-      moved = relayRedisOnce(spark, iggyHost, iggyPort, iggyStream, topics,
-        streamOf, redisHost, redisPort, ledgerPrefix, cap, page,
-        iggyAuth, tls, auth)
+    var planned = -1
+    // loop on PLANNED ranges (advance-only epochs move zero messages)
+    while (planned != 0) {
+      val (p, moved) = relayRedisEpoch(spark, iggyHost, iggyPort,
+        iggyStream, topics, streamOf, redisHost, redisPort, ledgerPrefix,
+        cap, page, iggyAuth, tls, auth, None)
+      planned = p
       total += moved
     }
     total

@@ -74,7 +74,26 @@ object KafkaEosIngest {
       redisTls: Option[RedisClient.Tls] = None,
       redisAuth: Option[RedisClient.Auth] = None,
       crashBeforeCommit: Option[String] = None,
-      raceAfterFence: Option[String] = None): Long = {
+      raceAfterFence: Option[String] = None): Long =
+    relayEpoch(spark, redisHost, redisPort, shards, topicOf, kafkaHost,
+      kafkaPort, group, txnIdPrefix, cap, page, sasl, saslMechanism,
+      kafkaTls, redisTls, redisAuth, crashBeforeCommit, raceAfterFence)._2
+
+  /** [[relayOnce]] plus the epoch's PLANNED range count — the drain
+    * loops on planned work, not entries moved.
+    */
+  private[graft] def relayEpoch(spark: SparkSession,
+      redisHost: String, redisPort: Int, shards: Seq[(String, Long)],
+      topicOf: String => String,
+      kafkaHost: String, kafkaPort: Int, group: String, txnIdPrefix: String,
+      cap: Long, page: Int,
+      sasl: Option[(String, String)],
+      saslMechanism: String,
+      kafkaTls: Option[KafkaTls.Client],
+      redisTls: Option[RedisClient.Tls],
+      redisAuth: Option[RedisClient.Auth],
+      crashBeforeCommit: Option[String],
+      raceAfterFence: Option[String]): (Int, Long) = {
     require(cap > 0, "cap must be positive")
     require(page > 0, "page must be positive")
     val planner = new KafkaClient(kafkaHost, kafkaPort, sasl = sasl,
@@ -107,8 +126,8 @@ object KafkaEosIngest {
         }
       }
     } finally { planner.close(); tips.close() }
-    if (ranges.isEmpty) 0L
-    else spark.sparkContext.parallelize(ranges, ranges.size)
+    if (ranges.isEmpty) (0, 0L)
+    else (ranges.size, spark.sparkContext.parallelize(ranges, ranges.size)
       .map { case (stream, shard, _, tipNext) =>
         val rc = new RedisClient(redisHost, redisPort,
           tls = redisTls, auth = redisAuth)
@@ -186,7 +205,7 @@ object KafkaEosIngest {
         }
         try retryFenced(s"ingest $stream/$shard")(attempt())
         finally rc.close()
-      }.sum().toLong
+      }.sum().toLong)
   }
 
   /** Run `body`; on INVALID_PRODUCER_EPOCH — a rival incarnation of the
@@ -230,12 +249,13 @@ object KafkaEosIngest {
       redisTls: Option[RedisClient.Tls] = None,
       redisAuth: Option[RedisClient.Auth] = None): Long = {
     var total = 0L
-    var moved = -1L
-    while (moved != 0L) {
-      moved = relayOnce(spark, redisHost, redisPort, shards, topicOf,
-        kafkaHost, kafkaPort, group, txnIdPrefix, cap, page,
-        sasl = sasl, saslMechanism = saslMechanism, kafkaTls = kafkaTls,
-        redisTls = redisTls, redisAuth = redisAuth)
+    var planned = -1
+    // loop on PLANNED ranges (advance-only epochs move zero entries)
+    while (planned != 0) {
+      val (p, moved) = relayEpoch(spark, redisHost, redisPort, shards,
+        topicOf, kafkaHost, kafkaPort, group, txnIdPrefix, cap, page,
+        sasl, saslMechanism, kafkaTls, redisTls, redisAuth, None, None)
+      planned = p
       total += moved
     }
     total

@@ -57,7 +57,26 @@ object KafkaEosRelay {
       saslMechanism: String = "PLAIN",
       tls: Option[KafkaTls.Client] = None,
       crashBeforeCommit: Option[String] = None,
-      raceAfterFence: Option[String] = None): Long = {
+      raceAfterFence: Option[String] = None): Long =
+    relayEpoch(spark, host, port, topics, dst, group, txnIdPrefix, cap,
+      maxFetchBytes, sasl, saslMechanism, tls, crashBeforeCommit,
+      raceAfterFence)._2
+
+  /** [[relayOnce]] plus the epoch's PLANNED range count — the drain
+    * loops on planned work, not on rows moved: an epoch that only
+    * ADVANCES cursors (an all-aborted or truncated cap-range commits
+    * its offsets but relays zero rows) must not read as "drained" while
+    * committed records still pend above it (round-16 self-review).
+    */
+  private[graft] def relayEpoch(spark: SparkSession, host: String, port: Int,
+      topics: Seq[String], dst: String => String, group: String,
+      txnIdPrefix: String, cap: Long,
+      maxFetchBytes: Int,
+      sasl: Option[(String, String)],
+      saslMechanism: String,
+      tls: Option[KafkaTls.Client],
+      crashBeforeCommit: Option[String],
+      raceAfterFence: Option[String]): (Int, Long) = {
     require(cap > 0, "cap must be positive")
     val planner = new KafkaClient(host, port, sasl = sasl,
       saslMechanism = saslMechanism, tls = tls)
@@ -85,8 +104,8 @@ object KafkaEosRelay {
         }
       }.filter(r => r._4 > r._3)
     } finally planner.close()
-    if (ranges.isEmpty) 0L
-    else spark.sparkContext.parallelize(ranges, ranges.size)
+    if (ranges.isEmpty) (0, 0L)
+    else (ranges.size, spark.sparkContext.parallelize(ranges, ranges.size)
       .map { case (topic, part, from, until) =>
         def attempt(): Long = {
         val client = new KafkaClient(host, port, sasl = sasl,
@@ -154,7 +173,7 @@ object KafkaEosRelay {
         } finally client.close()
         }
         KafkaEosIngest.retryFenced(s"relay $topic/$part")(attempt())
-      }.sum().toLong
+      }.sum().toLong)
   }
 
   /** Drain the source completely: epochs until one moves nothing. */
@@ -165,10 +184,13 @@ object KafkaEosRelay {
       saslMechanism: String = "PLAIN",
       tls: Option[KafkaTls.Client] = None): Long = {
     var total = 0L
-    var moved = -1L
-    while (moved != 0L) {
-      moved = relayOnce(spark, host, port, topics, dst, group, txnIdPrefix,
-        cap, sasl = sasl, saslMechanism = saslMechanism, tls = tls)
+    var planned = -1
+    // loop on PLANNED ranges: an advance-only epoch (all-aborted or
+    // truncated cap-range) moves zero rows while records still pend
+    while (planned != 0) {
+      val (p, moved) = relayEpoch(spark, host, port, topics, dst, group,
+        txnIdPrefix, cap, 1 << 20, sasl, saslMechanism, tls, None, None)
+      planned = p
       total += moved
     }
     total

@@ -80,7 +80,26 @@ object RedisEosPump {
         * floor read and the commit, where a foreign write to the
         * destination key must nil the EXEC (it is WATCHed), never let
         * real redis refuse entries inside it. */
-      raceBeforeExec: Option[String] = None): Long = {
+      raceBeforeExec: Option[String] = None): Long =
+    relayEpoch(spark, srcHost, srcPort, shards, streamOf, dstHost,
+      dstPort, ledgerPrefix, cap, page, srcTls, srcAuth, dstTls, dstAuth,
+      crashBeforeCommit, raceAfterRead, raceBeforeExec)._2
+
+  /** [[relayOnce]] plus the epoch's PLANNED range count — the drain
+    * loops on planned work, not entries moved.
+    */
+  private[graft] def relayEpoch(spark: SparkSession,
+      srcHost: String, srcPort: Int, shards: Seq[(String, Long)],
+      streamOf: String => String,
+      dstHost: String, dstPort: Int, ledgerPrefix: String,
+      cap: Long, page: Int,
+      srcTls: Option[RedisClient.Tls],
+      srcAuth: Option[RedisClient.Auth],
+      dstTls: Option[RedisClient.Tls],
+      dstAuth: Option[RedisClient.Auth],
+      crashBeforeCommit: Option[String],
+      raceAfterRead: Option[String],
+      raceBeforeExec: Option[String]): (Int, Long) = {
     require(cap > 0, "cap must be positive")
     require(page > 0, "page must be positive")
     val src = new RedisClient(srcHost, srcPort, tls = srcTls, auth = srcAuth)
@@ -105,8 +124,8 @@ object RedisEosPump {
         }
       }
     } finally { src.close(); dst.close() }
-    if (ranges.isEmpty) 0L
-    else spark.sparkContext.parallelize(ranges, ranges.size)
+    if (ranges.isEmpty) (0, 0L)
+    else (ranges.size, spark.sparkContext.parallelize(ranges, ranges.size)
       .map { case (stream, shard, tipNext) =>
         val sc = new RedisClient(srcHost, srcPort, tls = srcTls, auth = srcAuth)
         val dc = new RedisClient(dstHost, dstPort, tls = dstTls, auth = dstAuth)
@@ -151,83 +170,6 @@ object RedisEosPump {
           }
           out.result()
         }
-        /** WATCH-fenced commit of the buffered batch: the watch window
-          * is queue + EXEC only, a nil re-queues from memory with a
-          * fresh cursor AND floor, and a rival that already covered the
-          * whole buffer skips clean (the outer loop re-reads the cursor
-          * and keeps draining toward the tip).
-          */
-        def commitBuffered(
-            buffer: Vector[(String, graft.core.SeaMessage)]): Long = {
-          val lastPacked = buffer.last._2.sequence
-          var attempts = 0
-          while (true) {
-            dc.command(RedisStreams.watch(ledger, dstKey): _*)
-            val committed = plainCursor()
-            raceAfterRead.foreach(graft.ops.Failpoints.fireHook)
-            if (committed >= lastPacked + 1L) {
-              dc.command(RedisStreams.unwatch: _*)
-              return 0L // a rival covered this whole batch
-            }
-            // a rival may have covered a PREFIX (its epoch planned a
-            // shorter range) — relay only the remainder, exactly once
-            val live = buffer.filter(_._2.sequence >= committed)
-            // destination tip ms floor, read UNDER the watch (pre-MULTI):
-            // a foreign push after this read nils the EXEC before
-            // anything applies — never real redis refusing the lower
-            // explicit id INSIDE the EXEC while the cursor SET landed
-            // (that throw is erasable by a task retry = silent loss)
-            var lastMs = RedisStreams.decodeEntriesWithIds(
-              dc.command(RedisStreams.xrevrangeTip(dstKey): _*), "", 0L)
-              .headOption.map(e =>
-                RedisStreams.parseEntryId(e._1)._1).getOrElse(0L)
-            dc.command(RedisStreams.multi: _*)
-            // pipelineRaw: pipeline() throws on the first Err with the
-            // remaining replies unread — the refusal check must fire AND
-            // keep the connection drained
-            live.grouped(2000).foreach { chunk =>
-              dc.pipelineRaw(chunk.map { case (_, m) =>
-                lastMs = math.max(m.timestamp.getTime, lastMs)
-                RedisStreams.xadd(dstKey, lastMs, m.payload)
-              }).collectFirst { case Resp.Err(m) =>
-                throw new IllegalStateException(s"MULTI queue refused: $m")
-              }
-            }
-            // the advanced cursor queues LAST, inside the same MULTI —
-            // entries and resume point commit atomically at EXEC
-            dc.command(RedisStreams.set(ledger, (lastPacked + 1L).toString): _*)
-            if (crashBeforeCommit.exists(graft.ops.Failpoints.fire))
-              throw new IllegalStateException(
-                s"injected crash: pump $stream/$shard queued, not EXECed")
-            raceBeforeExec.foreach(graft.ops.Failpoints.fireHook)
-            dc.command(RedisStreams.exec: _*) match {
-              case Resp.Err(m) =>
-                throw new IllegalStateException(s"EXEC failed: $m")
-              case Resp.NullArr =>
-                // a watched key moved: a rival attempt, or a foreign
-                // append on the destination — nothing applied; retry
-                // with a jittered sit-out (fresh cursor + floor each
-                // time; each rival moves the cursor strictly forward, so
-                // only a persistently-hot foreign stream trips the bound)
-                attempts += 1
-                require(attempts <= 8,
-                  s"pump $stream/$shard: EXEC nil'd $attempts times — a " +
-                    "live rival or a foreign producer keeps touching the " +
-                    "ledger/destination key")
-                Thread.sleep(1L + java.util.concurrent.ThreadLocalRandom
-                  .current().nextLong(math.min(50L * attempts, 400L)))
-              case Resp.Arr(rs) =>
-                rs.collectFirst { case Resp.Err(m) =>
-                  throw new IllegalStateException(
-                    s"EXEC element refused (state needs repair): $m")
-                }
-                return live.length.toLong
-              case other =>
-                throw new IllegalStateException(s"EXEC reply: $other")
-            }
-          }
-          0L // unreachable
-        }
         try {
           var total = 0L
           var done = false
@@ -237,14 +179,22 @@ object RedisEosPump {
             else {
               val buffer = readSource(from, cap - total)
               if (buffer.isEmpty) done = true // trimmed/empty below tip
-              else total += commitBuffered(buffer)
+              else total += EosCommit.commit(dc, ledger, dstKey,
+                buffer.map { case (_, m) =>
+                  (m.sequence, m.timestamp.getTime, m.payload)
+                },
+                finalCursor = buffer.last._2.sequence + 1L,
+                label = s"pump $stream/$shard",
+                crashBeforeCommit = crashBeforeCommit,
+                raceAfterRead = raceAfterRead,
+                raceBeforeExec = raceBeforeExec)
               // a rival covering the batch returns 0 — the loop re-reads
               // the cursor and keeps draining toward the planned tip
             }
           }
           total
         } finally { sc.close(); dc.close() }
-      }.sum().toLong
+      }.sum().toLong)
   }
 
   /** Drain the source completely: epochs until one moves nothing. */
@@ -258,11 +208,13 @@ object RedisEosPump {
       dstTls: Option[RedisClient.Tls] = None,
       dstAuth: Option[RedisClient.Auth] = None): Long = {
     var total = 0L
-    var moved = -1L
-    while (moved != 0L) {
-      moved = relayOnce(spark, srcHost, srcPort, shards, streamOf,
-        dstHost, dstPort, ledgerPrefix, cap, page,
-        srcTls = srcTls, srcAuth = srcAuth, dstTls = dstTls, dstAuth = dstAuth)
+    var planned = -1
+    // loop on PLANNED ranges (advance-only epochs move zero entries)
+    while (planned != 0) {
+      val (p, moved) = relayEpoch(spark, srcHost, srcPort, shards,
+        streamOf, dstHost, dstPort, ledgerPrefix, cap, page,
+        srcTls, srcAuth, dstTls, dstAuth, None, None, None)
+      planned = p
       total += moved
     }
     total

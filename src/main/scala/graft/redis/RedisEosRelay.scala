@@ -70,7 +70,27 @@ object RedisEosRelay {
       redisTls: Option[RedisClient.Tls] = None,
       redisAuth: Option[RedisClient.Auth] = None,
       crashBeforeCommit: Option[String] = None,
-      raceAfterRead: Option[String] = None): Long = {
+      raceAfterRead: Option[String] = None): Long =
+    relayEpoch(spark, kafkaHost, kafkaPort, topics, streamOf, redisHost,
+      redisPort, ledgerPrefix, cap, maxFetchBytes, sasl, saslMechanism,
+      kafkaTls, redisTls, redisAuth, crashBeforeCommit, raceAfterRead)._2
+
+  /** [[relayOnce]] plus the epoch's PLANNED range count — the drain
+    * loops on planned work, not rows moved (an advance-only epoch over
+    * an all-aborted/truncated range must not read as drained).
+    */
+  private[graft] def relayEpoch(spark: SparkSession,
+      kafkaHost: String, kafkaPort: Int, topics: Seq[String],
+      streamOf: String => String,
+      redisHost: String, redisPort: Int, ledgerPrefix: String,
+      cap: Long, maxFetchBytes: Int,
+      sasl: Option[(String, String)],
+      saslMechanism: String,
+      kafkaTls: Option[KafkaTls.Client],
+      redisTls: Option[RedisClient.Tls],
+      redisAuth: Option[RedisClient.Auth],
+      crashBeforeCommit: Option[String],
+      raceAfterRead: Option[String]): (Int, Long) = {
     require(cap > 0, "cap must be positive")
     val planner = new KafkaClient(kafkaHost, kafkaPort, sasl = sasl,
       saslMechanism = saslMechanism, tls = kafkaTls)
@@ -94,8 +114,8 @@ object RedisEosRelay {
         }
       }.filter(r => r._4 > r._3)
     } finally { planner.close(); ledgers.close() }
-    if (ranges.isEmpty) 0L
-    else spark.sparkContext.parallelize(ranges, ranges.size)
+    if (ranges.isEmpty) (0, 0L)
+    else (ranges.size, spark.sparkContext.parallelize(ranges, ranges.size)
       .map { case (topic, part, _, until) =>
         val kc = new KafkaClient(kafkaHost, kafkaPort, sasl = sasl,
           saslMechanism = saslMechanism, tls = kafkaTls)
@@ -141,97 +161,21 @@ object RedisEosRelay {
           }
           out.result()
         }
-        /** WATCH-fenced commit of the buffered batch: the watch window
-          * is queue + EXEC only, a nil re-queues from memory with a
-          * fresh offset AND floor, and a rival's partial commit filters
-          * frame-exactly by record offset.
-          */
-        def commitBuffered(buffer: Vector[(Long, Long, Array[Byte])]): Long = {
-          var attempts = 0
-          while (true) {
-            rc.command(RedisStreams.watch(ledger, key): _*)
-            val committed = plainCursor()
-            raceAfterRead.foreach(graft.ops.Failpoints.fireHook)
-            if (committed >= until) {
-              rc.command(RedisStreams.unwatch: _*)
-              return 0L // range already landed — replay/rival skip
-            }
-            // a rival may have committed a PREFIX (its epoch planned a
-            // shorter range) — relay only the remainder, exactly once
-            val live = buffer.filter(_._1 >= committed)
-            // the destination key's current tip ms, read UNDER the watch
-            // before the MULTI opens: kafka record timestamps need not
-            // be monotonic — clamp every id to max(record ts, floor,
-            // running max). A foreign push after this read nils the EXEC
-            // before anything applies, never real redis refusing the
-            // lower explicit id INSIDE the EXEC while the cursor SET
-            // landed (erasable by a task retry = silent loss).
-            var lastMs = RedisStreams.decodeEntriesWithIds(
-              rc.command(RedisStreams.xrevrangeTip(key): _*), "", 0L)
-              .headOption.map(e =>
-                RedisStreams.parseEntryId(e._1)._1).getOrElse(0L)
-            rc.command(RedisStreams.multi: _*)
-            // pipelineRaw: pipeline() throws on the first Err with the
-            // remaining replies unread — the refusal check must fire AND
-            // keep the connection drained
-            live.grouped(2000).foreach { chunk =>
-              rc.pipelineRaw(chunk.map { case (_, tsMs, value) =>
-                lastMs = math.max(tsMs, lastMs)
-                RedisStreams.xadd(key, lastMs, value)
-              }).collectFirst { case Resp.Err(m) =>
-                throw new IllegalStateException(s"MULTI queue refused: $m")
-              }
-            }
-            // the advanced offset queues LAST, inside the same MULTI —
-            // entries and resume point commit atomically at EXEC
-            rc.command(RedisStreams.set(ledger, until.toString): _*)
-            if (crashBeforeCommit.exists(graft.ops.Failpoints.fire))
-              throw new IllegalStateException(
-                s"injected crash: relay $topic/$part queued, not EXECed")
-            rc.command(RedisStreams.exec: _*) match {
-              case Resp.Err(m) =>
-                throw new IllegalStateException(s"EXEC failed: $m")
-              case Resp.NullArr =>
-                // a watched key moved: a rival attempt, or a foreign
-                // append on the destination — nothing applied; retry
-                // with a jittered sit-out (fresh offset + floor each
-                // time)
-                attempts += 1
-                require(attempts <= 8,
-                  s"relay $topic/$part: EXEC nil'd $attempts times — a " +
-                    "live rival or a foreign producer keeps touching " +
-                    "the ledger/destination key")
-                Thread.sleep(1L + java.util.concurrent.ThreadLocalRandom
-                  .current().nextLong(math.min(50L * attempts, 400L)))
-              case Resp.Arr(rs) =>
-                // EXEC executes every queued command even when one
-                // errors (real redis) — an element error means entries
-                // were refused while the ledger SET landed: LOUD, never
-                // silent (unreachable for the id class by construction)
-                rs.collectFirst { case Resp.Err(m) =>
-                  throw new IllegalStateException(
-                    s"EXEC element refused (state needs repair): $m")
-                }
-                return live.length.toLong
-              case other =>
-                throw new IllegalStateException(s"EXEC reply: $other")
-            }
-          }
-          0L // unreachable
-        }
         try {
           val from = plainCursor()
           if (from >= until) 0L
           else {
-            val buffer = readSource(from)
-            if (buffer.isEmpty) {
-              // a fully-truncated/aborted range still advances the
-              // cursor under the same fence (consumed positions)
-              commitBuffered(Vector.empty[(Long, Long, Array[Byte])])
-            } else commitBuffered(buffer)
+            // an empty buffer (fully-truncated/aborted range) still
+            // advances the cursor under the same fence — consumed
+            // positions, committed as an advance-only transaction
+            EosCommit.commit(rc, ledger, key, readSource(from),
+              finalCursor = until,
+              label = s"relay $topic/$part",
+              crashBeforeCommit = crashBeforeCommit,
+              raceAfterRead = raceAfterRead)
           }
         } finally { kc.close(); rc.close() }
-      }.sum().toLong
+      }.sum().toLong)
   }
 
   /** Drain the source completely: epochs until one moves nothing. */
@@ -246,12 +190,13 @@ object RedisEosRelay {
       redisTls: Option[RedisClient.Tls] = None,
       redisAuth: Option[RedisClient.Auth] = None): Long = {
     var total = 0L
-    var moved = -1L
-    while (moved != 0L) {
-      moved = relayOnce(spark, kafkaHost, kafkaPort, topics, streamOf,
-        redisHost, redisPort, ledgerPrefix, cap,
-        sasl = sasl, saslMechanism = saslMechanism, kafkaTls = kafkaTls,
-        redisTls = redisTls, redisAuth = redisAuth)
+    var planned = -1
+    // loop on PLANNED ranges (advance-only epochs move zero rows)
+    while (planned != 0) {
+      val (p, moved) = relayEpoch(spark, kafkaHost, kafkaPort, topics,
+        streamOf, redisHost, redisPort, ledgerPrefix, cap, 1 << 20,
+        sasl, saslMechanism, kafkaTls, redisTls, redisAuth, None, None)
+      planned = p
       total += moved
     }
     total

@@ -218,8 +218,16 @@ object RedisSource {
       // tightest window
       client.command(RedisStreams.set(ledger, (epochId + 1).toString): _*)
       beforeExec()
-      client.command(RedisStreams.exec: _*) match {
-        case Resp.Err(m) => throw new IllegalStateException(s"EXEC failed: $m")
+      // a top-level EXEC error (EXECABORT) surfaces as a thrown
+      // RedisError from command() — re-framed; a `case Err` arm here
+      // would be dead code
+      val execReply =
+        try client.command(RedisStreams.exec: _*)
+        catch {
+          case e: RedisClient.RedisError =>
+            throw new IllegalStateException(s"EXEC failed: ${e.msg}", e)
+        }
+      execReply match {
         case Resp.NullArr =>
           val now = client.command(RedisStreams.get(ledger): _*) match {
             case Resp.Bulk(bs) => new String(bs, "UTF-8").toLong

@@ -391,9 +391,17 @@ object SsEosShip {
                       s"injected crash: ship ${fileKey(path)} queued, " +
                         "not EXECed")
                   raceBeforeExec.foreach(graft.ops.Failpoints.fireHook)
-                  rc.command(RedisStreams.exec: _*) match {
-                    case Resp.Err(m) =>
-                      throw new IllegalStateException(s"EXEC failed: $m")
+                  // a top-level EXEC error (EXECABORT) surfaces as a
+                  // thrown RedisError from command() — re-framed here;
+                  // a `case Err` arm would be dead code
+                  val execReply =
+                    try rc.command(RedisStreams.exec: _*)
+                    catch {
+                      case e: RedisClient.RedisError =>
+                        throw new IllegalStateException(
+                          s"EXEC failed: ${e.msg}", e)
+                    }
+                  execReply match {
                     case Resp.NullArr =>
                       // a watched key moved — a rival cursor attempt or a
                       // foreign/cross-JVM write on a shared destination

@@ -234,4 +234,45 @@ class RedisEosPumpSpec extends AnyFunSuite {
       assert(b.kvGet("sp2:{sm/0}").isEmpty)
     } finally { src.close(); a.close(); b.close() }
   }
+
+  test("sustained foreign contention: the commit batch SHRINKS " +
+      "geometrically until its watch window fits between foreign " +
+      "appends — the pump completes exactly-once instead of tripping " +
+      "the nil bound (the round-16 livelock class)") {
+    val a = new EmbeddedRedis
+    val b = new EmbeddedRedis
+    val src = new RedisClient(a.host, a.port)
+    val foreign = new RedisClient(b.host, b.port)
+    try {
+      seed(src, "sc", 0L, (0 until 40).map(i => (3000L + i, s"e$i")))
+      val dstKey = RedisStreams.shardedKey("sd", 0L, sharded = true)
+      // the hook RE-ARMS itself: every pre-EXEC window gets a foreign
+      // append for the first 6 attempts — a one-shot rival could not
+      // exercise the shrink path
+      var pushes = 0
+      def hook(): Unit = {
+        if (pushes < 6) {
+          pushes += 1
+          foreign.command(RedisStreams.xadd(dstKey, 9000L + pushes,
+            s"f$pushes".getBytes("UTF-8")): _*)
+          graft.ops.Failpoints.armHook("pump-contend")(() => hook())
+        }
+      }
+      graft.ops.Failpoints.armHook("pump-contend")(() => hook())
+      val moved = RedisEosPump.relayOnce(spark, a.host, a.port,
+        Seq(("sc", 0L)), _ => "sd", b.host, b.port, "scp",
+        raceBeforeExec = Some("pump-contend"))
+      assert(moved == 40L, s"all 40 must land despite contention: $moved")
+      val vals = b.entries(dstKey)
+        .map(e => new String(e._2.head._2, "UTF-8"))
+      assert(vals.filter(_.startsWith("e")) == (0 until 40).map("e" + _),
+        s"exactly-once order violated: $vals")
+      assert(vals.count(_.startsWith("f")) == pushes)
+      val ids = b.entries(dstKey).map(e => RedisStreams.parseEntryId(e._1))
+      assert(ids == ids.sorted, s"non-monotone ids: $ids")
+      // the cursor reads drained
+      assert(RedisEosPump.relayOnce(spark, a.host, a.port,
+        Seq(("sc", 0L)), _ => "sd", b.host, b.port, "scp") == 0L)
+    } finally { src.close(); foreign.close(); a.close(); b.close() }
+  }
 }

@@ -361,6 +361,37 @@ class RedisEosSpec extends AnyFunSuite {
     } finally { a.close(); b.close() }
   }
 
+  test("advance-only epochs do not end the drain: a cap-range occupied " +
+      "entirely by an ABORTED source transaction commits its cursor and " +
+      "relays zero rows — relayAll must keep draining to the committed " +
+      "records above it (the old moved!=0 loop stopped early)") {
+    val k = new graft.kafka.EmbeddedKafka
+    val r = new EmbeddedRedis
+    val kc = new graft.kafka.KafkaClient(k.host, k.port)
+    try {
+      kc.metadata(Seq("ab"))
+      // offsets [0, 5]: an aborted 5-record transaction + its marker —
+      // these fill the whole first cap=6 epoch with zero relayable rows
+      val poison = new graft.kafka.KafkaTxnProducer(kc, "ab-poison")
+        .initTransactions()
+      poison.begin()
+      poison.send("ab", 0, (0 until 5).map(i =>
+        (100L + i, null, s"poison$i".getBytes("UTF-8"))))
+      poison.abort()
+      // offsets [6, 9): committed records the drain must still reach
+      (0 until 3).foreach(i => kc.produce("ab", 0,
+        Seq((200L + i, null, s"good$i".getBytes("UTF-8")))))
+      val moved = RedisEosRelay.relayAll(spark, k.host, k.port, Seq("ab"),
+        _ + "_out", r.host, r.port, "abl", cap = 6L)
+      assert(moved == 3L,
+        s"drain must reach the committed records past the aborted range: $moved")
+      val vals = r.entries(RedisStreams.shardedKey("ab_out", 0L, true))
+        .map(e => new String(e._2.head._2, "UTF-8"))
+      assert(vals == (0 until 3).map("good" + _),
+        s"wrong rows relayed: $vals")
+    } finally { kc.close(); k.close(); r.close() }
+  }
+
   test("embedded XADD id fidelity: a `<ms>-*` or explicit id at/below " +
       "the stream's top is REFUSED with real redis's error (never " +
       "clamped — the old clamp hid the writers' floor machinery from " +
