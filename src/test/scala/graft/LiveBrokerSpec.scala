@@ -286,6 +286,68 @@ class LiveBrokerSpec extends AnyFunSuite {
     } finally c.close()
   }
 
+  test("redis: XADD id-fidelity against a live broker — the EXACT " +
+      "semantics the round-16 hardening bakes into every EOS writer: " +
+      "at/below-top refusal (verbatim error), equal-ms sub-seq bump, " +
+      "bare-ms acceptance, malformed-id reply, and a WATCH on the DATA " +
+      "key nil'ing an EXEC when a foreign XADD lands in the window") {
+    val ep = endpoint("redis", "REDIS_BROKERS_URL")
+    assume(ep.isDefined, "no live redis broker configured — skipping")
+    val (host, port) = ep.get
+    val key = uniqueKey("graft_live_fid")
+    val c = new redis.RedisClient(host, port)
+    val w = new redis.RedisClient(host, port)
+    def xaddRaw(id: String): Either[String, String] =
+      try c.command(Seq("XADD", key, id, "msg", "v")
+        .map(_.getBytes("UTF-8")): _*) match {
+        case redis.Resp.Bulk(bs) => Right(new String(bs, "UTF-8"))
+        case other => Left(other.toString)
+      }
+      catch { case e: redis.RedisClient.RedisError => Left(e.msg) }
+    try {
+      assert(xaddRaw("5-3") == Right("5-3"))
+      // refusal class: below-ms, equal, below-seq, and `<ms>-*` below —
+      // the floor/WATCH machinery in every redis-destination writer
+      // assumes exactly this behavior from the real broker
+      Seq("4-9", "5-3", "5-2", "4-*").foreach { id =>
+        xaddRaw(id) match {
+          case Left(m) => assert(
+            m.contains("equal or smaller than the target stream top item"),
+            s"XADD $id: unexpected refusal text '$m'")
+          case Right(got) => fail(s"XADD $id must refuse, appended $got")
+        }
+      }
+      assert(xaddRaw("5-*") == Right("5-4"), "equal-ms must bump sub-seq")
+      assert(xaddRaw("7") == Right("7-0"), "bare ms must read as <ms>-0")
+      xaddRaw("7-abc") match {
+        case Left(m) => assert(m.toLowerCase.contains("invalid"), m)
+        case Right(got) => fail(s"malformed id appended $got")
+      }
+      // the connection survived every refusal (reply, never a drop)
+      assert(xaddRaw("8-0") == Right("8-0"))
+      // WATCH on the DATA key: a foreign XADD between the floor read and
+      // EXEC must nil the transaction — the silent-loss window every
+      // round-16 writer closes rides on this exact broker behavior
+      c.command(redis.RedisStreams.watch(key): _*)
+      c.command(redis.RedisStreams.xrevrangeTip(key): _*) // the floor read
+      w.command(redis.RedisStreams.xadd(key, 9000L,
+        "foreign".getBytes("UTF-8")): _*)
+      c.command(redis.RedisStreams.multi: _*)
+      c.command(redis.RedisStreams.xadd(key, 9500L,
+        "mine".getBytes("UTF-8")): _*)
+      assert(c.command(redis.RedisStreams.exec: _*) == redis.Resp.NullArr,
+        "a foreign XADD on the watched data key must nil the EXEC")
+      // and the clean retry lands
+      c.command(redis.RedisStreams.watch(key): _*)
+      c.command(redis.RedisStreams.multi: _*)
+      c.command(redis.RedisStreams.xadd(key, 9500L,
+        "mine".getBytes("UTF-8")): _*)
+      assert(c.command(redis.RedisStreams.exec: _*)
+        .isInstanceOf[redis.Resp.Arr], "the uncontended retry must land")
+      c.command(redis.RedisStreams.xtrimMaxLen(key, 0): _*)
+    } finally { c.close(); w.close() }
+  }
+
   test("redis: r6-shape consumer-group create/read/ack/resume against a " +
       "live broker") {
     val ep = endpoint("redis", "REDIS_BROKERS_URL")
