@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The per-round driver captures `sbt runMain` stdout and json-parses the
+// tail line-wise for graft.Bench's one-line metric JSON. sbt's default
+// LoggedOutput decorates every forked-process line with "[info] " /
+// "[error] ", which defeats that parse (BENCH_r14..r16 all carried
+// "parsed": null with the JSON line fully present in the tail). Pass the
+// forked process's stdio through raw instead; tools/parse_bench.py covers
+// historical artifacts.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -262,13 +262,20 @@ object RedisTransport {
     // MULTI/EXEC; a crash with the MULTI queued but un-EXECed moves
     // nothing, the drain re-ships exactly that file's range, and the
     // destination readback must hash-match one plain copy (AUTH on).
+    // The dump uses the RECOMMENDED ship layout (`repartitionByKey` —
+    // each destination key in exactly one part file, so sibling ship
+    // tasks never contend on shared WATCH keys; ShipLayoutProbe receipt:
+    // disjoint 3.2 s vs interleaved 4.9 s per 1M frames). The
+    // interleaved worst case stays pinned by SsEosShipSpec's shared-key
+    // race law and the adaptive commit gate.
     "r12_ss_redis_eos" -> { (s, dir) =>
       withServer { srv =>
         val t = Tables(s, dir)
         val out = Transport.scratch(dir, "r12ss")
         Transport.envelopeOf(t)
           .withColumn("stream_key", concat(lit("src_"), col("stream_key")))
-          .write.format("ss").mode("overwrite").save(out)
+          .write.format("ss").option("repartitionByKey", "true")
+          .mode("overwrite").save(out)
         val files = new java.io.File(out).listFiles()
           .filter(_.getName.endsWith(".ss")).sortBy(_.getName)
         val paths = files.map(_.getAbsolutePath).toSeq

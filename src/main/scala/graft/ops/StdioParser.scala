@@ -99,12 +99,20 @@ object StdioParser {
   /** Formats an envelope row the way the stdio producer prints
     * (`[ts | stream | seq] payload`, sea-streamer-stdio/src/producer.rs).
     */
-  def formatLine(ts: java.sql.Timestamp, key: String, seq: Long, payload: String): String = {
+  def formatLine(ts: java.sql.Timestamp, key: String, seq: Long, payload: String): String =
+    s"[${formatTimestamp(ts)} | $key | $seq] $payload"
+
+  /** Canonical `TIMESTAMP_FORMAT` rendering (sea-streamer-types/src/stream.rs:13-14):
+    * `[year]-[month]-[day]T[hour]:[minute]:[second].[subsecond]` with
+    * minimal subsecond digits (at least one) — `53.001`, `53.1`, `53.0`.
+    * Shared by the stdio producer lines and the `ss-decode` utility.
+    */
+  def formatTimestamp(ts: java.sql.Timestamp): String = {
     // ofInstant handles pre-epoch times (a truncating div/mod would produce
     // a negative nano-of-second and throw)
     val dt = LocalDateTime.ofInstant(
       java.time.Instant.ofEpochMilli(ts.getTime), ZoneOffset.UTC)
-    s"[${dt.format(SubsecFormat)} | $key | $seq] $payload"
+    dt.format(SubsecFormat)
   }
 
   /** DataFrame form: text lines (column `value`) → envelope columns.

@@ -172,24 +172,35 @@ object RedisEosPump {
         }
         try {
           var total = 0L
+          // the per-shard epoch budget counts CURSOR PROGRESS — source
+          // entries consumed from the planned start — not entries this
+          // task committed: EosCommit excludes a rival's share, so
+          // budgeting on the return value would let a rival-assisted
+          // epoch move more than `cap` entries for the shard and exceed
+          // the bounded-transaction law (ADVICE r16)
+          var consumed = 0L
           var done = false
           while (!done) {
             val from = plainCursor()
-            if (from >= tipNext || total >= cap) done = true
+            if (from >= tipNext || consumed >= cap) done = true
             else {
-              val buffer = readSource(from, cap - total)
+              val buffer = readSource(from, cap - consumed)
               if (buffer.isEmpty) done = true // trimmed/empty below tip
-              else total += EosCommit.commit(dc, ledger, dstKey,
-                buffer.map { case (_, m) =>
-                  (m.sequence, m.timestamp.getTime, m.payload)
-                },
-                finalCursor = buffer.last._2.sequence + 1L,
-                label = s"pump $stream/$shard",
-                crashBeforeCommit = crashBeforeCommit,
-                raceAfterRead = raceAfterRead,
-                raceBeforeExec = raceBeforeExec)
-              // a rival covering the batch returns 0 — the loop re-reads
-              // the cursor and keeps draining toward the planned tip
+              else {
+                consumed += buffer.length
+                total += EosCommit.commit(dc, ledger, dstKey,
+                  buffer.map { case (_, m) =>
+                    (m.sequence, m.timestamp.getTime, m.payload)
+                  },
+                  finalCursor = buffer.last._2.sequence + 1L,
+                  label = s"pump $stream/$shard",
+                  crashBeforeCommit = crashBeforeCommit,
+                  raceAfterRead = raceAfterRead,
+                  raceBeforeExec = raceBeforeExec)
+                // a rival covering the batch returns 0 — the loop
+                // re-reads the cursor and keeps draining toward the
+                // planned tip (within this epoch's consumed budget)
+              }
             }
           }
           total

@@ -94,13 +94,41 @@ object SsEosShip {
     * before the `format("ss")` write) never conflict, and gating them
     * would forfeit the parallel queue/parse the server offers across
     * connections. The FIRST nil proves the layout contended and flips
-    * the destination to gate-first for the rest of the JVM: shared-key
-    * layouts then serialize their commit sections (overlapping WATCH
-    * windows would otherwise nil each other at ~4 nils per commit),
-    * paying at most one wasted queue per concurrent task to learn it.
+    * the destination to gate-first: shared-key layouts then serialize
+    * their commit sections (overlapping WATCH windows would otherwise
+    * nil each other at ~4 nils per commit), paying at most one wasted
+    * queue per concurrent task to learn it. The flag is scoped per
+    * (host, port, ledgerPrefix) — a later key-disjoint ship job to a
+    * reused node (or a fresh embedded server on a recycled port) must
+    * not inherit serialized commits (ADVICE r16) — and DECAYS: after
+    * [[GateCalmCommits]] consecutive nil-free gated commits the
+    * destination un-gates and re-probes the optimistic path, re-gating
+    * on the next nil (≤ one wasted attempt per decay window).
     */
   private val gateContended =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, String), java.lang.Boolean]()
+  private val gateCalm =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, String),
+      java.util.concurrent.atomic.AtomicInteger]()
+  private[ss] val GateCalmCommits = 64
+
+  private[ss] def isGateContended(key: (String, Int, String)): Boolean =
+    java.lang.Boolean.TRUE.equals(gateContended.get(key))
+
+  private[ss] def noteShipNil(key: (String, Int, String)): Unit = {
+    gateContended.put(key, true)
+    gateCalm.computeIfAbsent(key,
+      _ => new java.util.concurrent.atomic.AtomicInteger).set(0)
+  }
+
+  private[ss] def noteShipApplied(key: (String, Int, String)): Unit = {
+    val calm = gateCalm.computeIfAbsent(key,
+      _ => new java.util.concurrent.atomic.AtomicInteger)
+    if (calm.incrementAndGet() >= GateCalmCommits) {
+      calm.set(0)
+      gateContended.remove(key) // re-probe the optimistic ungated path
+    }
+  }
 
   private def fileKey(path: String): String =
     new java.io.File(path).getName
@@ -301,152 +329,49 @@ object SsEosShip {
           // The range ships as SUB-EPOCH transactions of at most TxnBytes
           // of frames, each committing its frames AND the advanced cursor
           // in one WATCH-fenced MULTI/EXEC over the ledger + the
-          // sub-range's OWN destination keys (watched BEFORE the tip-ms
-          // floors are read, so a rival file's commit on a shared key
-          // nils this EXEC before anything applies — without the watch,
-          // real redis would refuse the lower `<ms>-*` ids INSIDE the
-          // EXEC while the cursor SET landed, and the task retry would
-          // silently drop the frames). Sub-epochs are the SCALE design:
-          // when every part file carries every destination key (the
-          // `format("ss")` layout), whole-range transactions made nil
-          // retries quadratic — each collision re-read and re-queued the
-          // entire range (measured 2.7× on r12 at sf1). A sub-epoch
+          // sub-range's OWN destination keys — EosCommit.commitKeyed, the
+          // one redis-destination commit protocol (watch-then-floor,
+          // frame-exact rival filter, one-RTT pre-phase, geometric batch
+          // shrink/regrow, jittered sit-outs). Sub-epochs are the SCALE
+          // design: when every part file carries every destination key
+          // (the `format("ss")` layout), whole-range transactions made
+          // nil retries quadratic — each collision re-read and re-queued
+          // the entire range (measured 2.7× on r12 at sf1). A sub-epoch
           // bounds the conflict window AND the retry cost to TxnBytes,
           // the frames re-queue from memory (the file is read ONCE per
-          // task), and a short attempt-scaled backoff de-storms sibling
-          // EXECs. The frame buffer holds ≤ TxnBytes — the same bound
+          // task). The frame buffer holds ≤ TxnBytes — the same bound
           // the server's MULTI queue already carries.
-          def commitSub(buf: Seq[SsRecord], subUntil: Long): Long = {
-            var attempts = 0
-            val gate = commitGates.computeIfAbsent(
-              (redisHost, redisPort), _ => new Object)
-            // the sub-range's key set is independent of the cursor, so
-            // the ENTIRE pre-MULTI phase — WATCH ledger+keys, GET cursor,
-            // every tip-ms floor probe — pipelines as ONE round trip
-            // (ordered server-side); per-key round trips here would both
-            // widen the conflict window and stack K latencies per
-            // sub-epoch
-            val bufKeys = buf.map(r => RedisStreams.shardedKey(
-              streamOf(r.message.stream_key), r.message.shard_id,
-              sharded = true)).distinct.sorted
-            while (true) {
-              // the WATCH→EXEC section runs under the node's commit gate
-              // (see commitGates); the retry sleep stays OUTSIDE it
-              def attemptOnce(): Option[Long] = {
-                // pipelineRaw: pipeline() THROWS on the first Err with
-                // the remaining replies unread — error checks below must
-                // both fire and keep the connection drained
-                val replies = rc.pipelineRaw(
-                  RedisStreams.watch(ledger +: bufKeys: _*) +:
-                    RedisStreams.get(ledger) +:
-                    bufKeys.map(k => RedisStreams.xrevrangeTip(k)))
-                replies.head match {
-                  case Resp.Err(m) =>
-                    throw new IllegalStateException(s"WATCH refused: $m")
-                  case _ => ()
-                }
-                val committed = replies(1) match {
-                  case Resp.Bulk(bs) => new String(bs, "UTF-8").toLong
-                  case _ => 0L
-                }
-                if (committed >= subUntil) {
-                  rc.command(RedisStreams.unwatch: _*)
-                  Some(0L) // a rival of THIS file landed the sub-range
-                } else {
-                  // a rival may have committed to a boundary INSIDE ours
-                  // (different TxnBytes, older build): ship only the
-                  // frames past its cursor — frame-exact, endOffset is
-                  // the cursor space
-                  val live = buf.filter(_.endOffset > committed)
-                  val lastMs = scala.collection.mutable.Map.empty[String, Long]
-                  bufKeys.zip(replies.drop(2)).foreach { case (k, v) =>
-                    lastMs(k) = RedisStreams.decodeEntriesWithIds(v, "", 0L)
-                      .headOption.map(e =>
-                        RedisStreams.parseEntryId(e._1)._1).getOrElse(0L)
-                  }
-                  rc.command(RedisStreams.multi: _*)
-                  var n = 0L
-                  // 2000-command pipeline chunks: replies inside MULTI
-                  // are tiny (+QUEUED), so the in-flight reply bound
-                  // stays ~20 kB while the chunk-sync round trips drop
-                  // 4x — the queue phase runs inside the commit gate,
-                  // where every RTT is serialized wall time
-                  live.grouped(2000).foreach { chunk =>
-                    rc.pipelineRaw(chunk.map { r =>
-                      val k = RedisStreams.shardedKey(
-                        streamOf(r.message.stream_key), r.message.shard_id,
-                        sharded = true)
-                      val ms = math.max(r.message.timestamp.getTime, lastMs(k))
-                      lastMs(k) = ms
-                      n += 1
-                      RedisStreams.xadd(k, ms, r.message.payload)
-                    }).collectFirst { case Resp.Err(m) =>
-                      throw new IllegalStateException(
-                        s"MULTI queue refused: $m")
-                    }
-                  }
-                  rc.command(RedisStreams.set(ledger, subUntil.toString): _*)
-                  if (crashBeforeCommit.exists(graft.ops.Failpoints.fire))
-                    throw new IllegalStateException(
-                      s"injected crash: ship ${fileKey(path)} queued, " +
-                        "not EXECed")
-                  raceBeforeExec.foreach(graft.ops.Failpoints.fireHook)
-                  // a top-level EXEC error (EXECABORT) surfaces as a
-                  // thrown RedisError from command() — re-framed here;
-                  // a `case Err` arm would be dead code
-                  val execReply =
-                    try rc.command(RedisStreams.exec: _*)
-                    catch {
-                      case e: RedisClient.RedisError =>
-                        throw new IllegalStateException(
-                          s"EXEC failed: ${e.msg}", e)
-                    }
-                  execReply match {
-                    case Resp.NullArr =>
-                      // a watched key moved — a rival cursor attempt or a
-                      // foreign/cross-JVM write on a shared destination
-                      // key; nothing applied — retry re-reads cursor AND
-                      // floors (frames re-queue from the in-memory
-                      // buffer)
-                      None
-                    case Resp.Arr(rs) =>
-                      // unreachable for the id-monotonicity class by
-                      // construction (floors are read under the watch) —
-                      // anything else must still surface, not vanish
-                      rs.collectFirst { case Resp.Err(m) =>
-                        throw new IllegalStateException(
-                          s"EXEC element refused (state needs repair): $m")
-                      }
-                      Some(n)
-                    case other =>
-                      throw new IllegalStateException(s"EXEC reply: $other")
-                  }
-                }
-              }
-              val outcome: Option[Long] =
-                if (java.lang.Boolean.TRUE.equals(
-                    gateContended.get((redisHost, redisPort))))
-                  gate.synchronized(attemptOnce())
-                else attemptOnce() // optimistic: key-disjoint layouts
-                  // queue/parse in parallel and never nil
-              outcome match {
-                case Some(n) => return n
-                case None =>
-                  gateContended.put((redisHost, redisPort), true)
-                  attempts += 1
-                  require(attempts <= siblings + 5,
-                    s"ship ${fileKey(path)}: EXEC nil'd $attempts times " +
-                      "— more than the epoch's own sibling fan-out can " +
-                      "explain; a live foreign writer keeps touching the " +
-                      "destination keys or the ledger")
-                  // under the gate, nils come only from rivals/foreign
-                  // writers — a short jittered sit-out suffices
-                  Thread.sleep(1L + java.util.concurrent.ThreadLocalRandom
-                    .current().nextLong(math.min(20L * attempts, 100L)))
-              }
-            }
-            0L // unreachable
-          }
+          //
+          // The cursor space is frame END offsets: entry pos is
+          // endOffset-1, so EosCommit's `pos >= cursor` liveness is
+          // exactly `endOffset > cursor` (cursor values are always frame
+          // boundaries), and a partial batch's `last pos + 1` resume
+          // point is the frame-exact endOffset.
+          val gateKey = (redisHost, redisPort, ledgerPrefix)
+          def commitSub(buf: Seq[SsRecord], subUntil: Long): Long =
+            graft.redis.EosCommit.commitKeyed(rc, ledger,
+              buf.iterator.map { r =>
+                (r.endOffset - 1L,
+                  RedisStreams.shardedKey(streamOf(r.message.stream_key),
+                    r.message.shard_id, sharded = true),
+                  r.message.timestamp.getTime, r.message.payload)
+              }.toVector,
+              finalCursor = subUntil,
+              label = s"ship ${fileKey(path)}",
+              crashBeforeCommit = crashBeforeCommit,
+              raceBeforeExec = raceBeforeExec,
+              maxNils = siblings + 5,
+              nilHint = "more than the epoch's own sibling fan-out can " +
+                "explain; a live foreign writer keeps touching the " +
+                "destination keys or the ledger",
+              // under the gate, nils come only from rivals/foreign
+              // writers — a short jittered sit-out suffices
+              backoffStepMs = 20L, backoffCapMs = 100L,
+              gate = Some(commitGates.computeIfAbsent(
+                (redisHost, redisPort), _ => new Object)),
+              gated = () => isGateContended(gateKey),
+              onNil = () => noteShipNil(gateKey),
+              onApplied = () => noteShipApplied(gateKey))
           try {
             // the plan's cursor read is advisory; commitSub re-reads it
             // under the watch, so starting from the planned `from` is

@@ -34,7 +34,14 @@ final class SsReader private[ss] (
     /** Skip payload bytes (frames only carry header/extent) — for offset
       * walks. Incompatible with checksum verification.
       */
-    skimPayload: Boolean = false) extends AutoCloseable {
+    skimPayload: Boolean = false,
+    /** Surface `SEA_STREAMER_INTERNAL` control frames instead of hiding
+      * them — the decoder utility prints every frame including the
+      * terminating EOS, like the reference's ss-decode
+      * (sea-streamer-file/src/bin/decoder.rs:66-137). EOS still ends the
+      * scan: the frame is returned once, then `next()` yields None.
+      */
+    surfaceInternal: Boolean = false) extends AutoCloseable {
 
   private val interval: Long = header.beaconInterval.toLong
   private var offset: Long = startOffset
@@ -130,8 +137,10 @@ final class SsReader private[ss] (
     decoded match {
       case Some(r) if r.message.stream_key == Envelope.SeaStreamerInternal =>
         if (r.message.payloadUtf8 == EosPayload) {
-          eosSeen = true; eosStartVar = Some(r.startOffset); None
-        } else next()
+          eosSeen = true; eosStartVar = Some(r.startOffset)
+          if (surfaceInternal) decoded else None
+        } else if (surfaceInternal) decoded
+        else next()
       case other => other
     }
   }
@@ -187,8 +196,9 @@ object SsReader {
   }
 
   /** Sequential read from the start of the data. */
-  def open(path: String, verifyChecksum: Boolean = true, skim: Boolean = false): SsReader =
-    openAt(path, 0, verifyChecksum, skim)
+  def open(path: String, verifyChecksum: Boolean = true, skim: Boolean = false,
+      surfaceInternal: Boolean = false): SsReader =
+    openAt(path, 0, verifyChecksum, skim, surfaceInternal)
 
   /** Positioned read from an exact byte offset that is known to be either a
     * frame start or a beacon boundary (used by the micro-batch stream's
@@ -214,7 +224,7 @@ object SsReader {
 
   /** Positioned read from the N-th beacon boundary (0 = right after header). */
   def openAt(path: String, nthBeacon: Long, verifyChecksum: Boolean = true,
-      skim: Boolean = false): SsReader = {
+      skim: Boolean = false, surfaceInternal: Boolean = false): SsReader = {
     val ch = FileChannel.open(Paths.get(path), StandardOpenOption.READ)
     val buf = ByteBuffer.allocate(HeaderSize)
     var n = 0
@@ -230,6 +240,6 @@ object SsReader {
     ch.position(start)
     new SsReader(
       new BufferedInputStream(Channels.newInputStream(ch), 1 << 16),
-      header, start, verifyChecksum, skim)
+      header, start, verifyChecksum, skim, surfaceInternal)
   }
 }

@@ -528,7 +528,34 @@ class SsWriteBuilder(path: String, info: LogicalWriteInfo)
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
-  override def build(): Write = new Write {
+  /** `repartitionByKey=true`: request a write distribution CLUSTERED on
+    * (stream_key, shard_id), sequence-ordered within partitions — Catalyst
+    * inserts the shuffle/sort, and each destination key then lives in
+    * exactly ONE part file. This is the 100 TB ship layout: with the
+    * default task-local layout every part file carries every key, so a
+    * downstream exactly-once ship ([[graft.ss.SsEosShip]]) pays sibling
+    * WATCH conflicts on shared destination keys (ShipLayoutProbe: disjoint
+    * 3.2 s vs interleaved 4.9 s per 1M frames at the redis destination).
+    * Off by default — a plain dump shouldn't pay a shuffle it may not
+    * need; turn it on when the directory feeds a relay/ship.
+    */
+  override def build(): Write =
+    if (info.options().getBoolean("repartitionByKey", false))
+      new SsWrite with RequiresDistributionAndOrdering {
+        import org.apache.spark.sql.connector.{distributions => dist}
+        import org.apache.spark.sql.connector.expressions.{Expressions => E, SortDirection, SortOrder}
+        override def requiredDistribution(): dist.Distribution =
+          dist.Distributions.clustered(Array(
+            E.column("stream_key"), E.column("shard_id")))
+        override def requiredNumPartitions(): Int = 0 // planner's choice
+        override def requiredOrdering(): Array[SortOrder] = Array(
+          E.sort(E.column("stream_key"), SortDirection.ASCENDING),
+          E.sort(E.column("shard_id"), SortDirection.ASCENDING),
+          E.sort(E.column("sequence"), SortDirection.ASCENDING))
+      }
+    else new SsWrite
+
+  private class SsWrite extends Write {
     override def toBatch: BatchWrite = new SsBatchWrite(path, info, doTruncate)
     override def toStreaming: StreamingWrite = new SsStreamingWrite(path, info)
   }

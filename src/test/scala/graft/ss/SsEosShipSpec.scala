@@ -275,4 +275,30 @@ class SsEosShipSpec extends AnyFunSuite {
         "completing the tail must unlock exactly the one tail frame")
     } finally { kc.close(); k.close() }
   }
+
+  test("adaptive commit gate: contention is scoped per (host, port, " +
+      "ledgerPrefix) — a key-disjoint ship job must not inherit another " +
+      "job's serialized commits — and DECAYS after GateCalmCommits " +
+      "nil-free commits, re-probing the ungated path (ADVICE r16)") {
+    val keyA = ("gatehost", 1234, "jobA")
+    val keyB = ("gatehost", 1234, "jobB")
+    SsEosShip.noteShipNil(keyA)
+    assert(SsEosShip.isGateContended(keyA), "a nil must gate its own job")
+    assert(!SsEosShip.isGateContended(keyB),
+      "a different ledgerPrefix on the same node must stay ungated")
+    // decay: GateCalmCommits nil-free commits un-gate the destination
+    (1 until SsEosShip.GateCalmCommits).foreach { _ =>
+      SsEosShip.noteShipApplied(keyA)
+      assert(SsEosShip.isGateContended(keyA),
+        "decay must take the FULL calm window")
+    }
+    SsEosShip.noteShipApplied(keyA)
+    assert(!SsEosShip.isGateContended(keyA),
+      "a calm window must un-gate the destination")
+    // a fresh nil re-gates immediately and resets the calm counter
+    SsEosShip.noteShipNil(keyA)
+    SsEosShip.noteShipApplied(keyA)
+    assert(SsEosShip.isGateContended(keyA),
+      "one applied commit after a nil must not un-gate")
+  }
 }
