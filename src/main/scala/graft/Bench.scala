@@ -21,18 +21,13 @@ object Bench {
     if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY") &&
         !sys.env.contains("SPARK_GRAFT_BENCH_JSON")) return
     val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "BENCH_QUERIES.json")
-    def esc(s: String): String = s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
+    def q(s: String): String = graft.core.JsonText.quote(s)
     // self-declare the query-set size so tools/check.py can pin the
     // entry-count invariant against the artifact (VERDICT r12 #6)
-    val lines = s"""  "_sf": "${esc(sfDir)}"""" +:
+    val lines = s"""  "_sf": ${q(sfDir)}""" +:
       s"""  "_nqueries": ${SparkEntry.queries.size}""" +:
       results.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"""  "${esc(k)}": $v""" }
+        .map { case (k, v) => s"""  ${q(k)}: $v""" }
     val body = lines.mkString("{\n", ",\n", "\n}\n")
     try java.nio.file.Files.write(java.nio.file.Paths.get(path),
       body.getBytes("UTF-8"))

@@ -609,10 +609,18 @@ final class EmbeddedRedis(
           Resp.Arr(ks.map(k => Resp.Bulk(k.getBytes(UTF_8))))))
       case "PING" => Resp.Simple("PONG")
       case "SET" =>
+        // real redis SET replaces a key of ANY type (a squatted stream
+        // under the name is gone, not shadowed)
+        streams.remove(s(1))
         kv.put(s(1), args(2))
         Resp.Simple("OK")
       case "GET" =>
-        Option(kv.get(s(1))).map(Resp.Bulk(_): Resp.Value)
+        // real redis's reply grammar: GET on a key holding a stream is a
+        // type error, never nil — the EOS engines' ledger-read refusal
+        // check depends on this fidelity (EosCommit, round-17 review)
+        if (streams.containsKey(s(1)))
+          Resp.Err("WRONGTYPE Operation against a key holding the wrong kind of value")
+        else Option(kv.get(s(1))).map(Resp.Bulk(_): Resp.Value)
           .getOrElse(Resp.NullBulk)
       case other => Resp.Err(s"ERR unknown command '$other'")
     }

@@ -131,6 +131,13 @@ private[graft] object EosCommit {
         }
         val committed = replies(1) match {
           case Resp.Bulk(bs) => new String(bs, "UTF-8").toLong
+          // pipelineRaw surfaces Err replies as values (unlike command,
+          // which throws): a refused cursor read — e.g. WRONGTYPE from a
+          // foreign process squatting the ledger name — must fail LOUD;
+          // falling through to 0 would re-ship the whole batch, a silent
+          // exactly-once violation (round-17 self-review)
+          case Resp.Err(m) =>
+            throw new IllegalStateException(s"ledger GET refused: $m")
           case _ => 0L
         }
         raceAfterRead.foreach(graft.ops.Failpoints.fireHook)

@@ -41,7 +41,12 @@ import graft.ss.SsFormat.{Beacon, Marker, SsHeader}
   *
   * Like the reference, this is a sequential single-file inspection tool for
   * operators (pipe to `less`); the distributed scan path is the `ss` Spark
-  * data source.
+  * data source. Beacon parity note: when ONE frame spans several beacon
+  * intervals, only the LAST crossed beacon prints — deliberate, because the
+  * reference's `MessageSource` keeps a single most-recent beacon too
+  * ("cleared rather than carry-over on each Beacon point",
+  * sea-streamer-file/src/messages.rs:346-357) and its decoder checks it
+  * once per message.
   */
 object SsDecode {
 
@@ -58,6 +63,10 @@ object SsDecode {
         case "--file" if i + 1 < args.length => file = Some(args(i + 1)); i += 2
         case "--format" if i + 1 < args.length => format = args(i + 1); i += 2
         case "--header-only" => headerOnly = true; i += 1
+        case flag @ ("--file" | "--format") =>
+          System.err.println(s"missing value for $flag")
+          System.err.println("usage: ss-decode --file <file> [--format log|ndjson] [--header-only]")
+          sys.exit(2)
         case other =>
           System.err.println(s"unknown argument: $other")
           System.err.println("usage: ss-decode --file <file> [--format log|ndjson] [--header-only]")
@@ -124,14 +133,18 @@ object SsDecode {
     val payload =
       if (headerOnly) "null"
       else utf8(m.payload) match {
-        case Some(s) if s.nonEmpty =>
+        case Some(s) =>
           // embed verbatim iff the payload is one complete JSON value,
-          // else as a JSON string (decoder.rs:103-110); empty payloads are
-          // guarded above because readTree("") yields a MissingNode that
-          // would render as nothing at all
-          try mapper.writeValueAsString(mapper.readTree(s))
-          catch { case _: Exception => jsonStr(s) }
-        case Some(s) => jsonStr(s)
+          // else as a JSON string (decoder.rs:103-110). readTree of an
+          // empty/whitespace-only input returns a MissingNode (which
+          // would render as the literal `null`) instead of throwing —
+          // those must take the string fallback like the reference's
+          // failed serde parse
+          try {
+            val node = mapper.readTree(s)
+            if (node == null || node.isMissingNode) jsonStr(s)
+            else mapper.writeValueAsString(node)
+          } catch { case _: Exception => jsonStr(s) }
         case None =>
           m.payload.map(b => (b & 0xFF).toString).mkString("[", ",", "]")
       }
@@ -172,19 +185,5 @@ object SsDecode {
     catch { case _: CharacterCodingException => None }
   }
 
-  private def jsonStr(s: String): String = {
-    val sb = new StringBuilder(s.length + 2)
-    sb.append('"')
-    s.foreach {
-      case '"' => sb.append("\\\"")
-      case '\\' => sb.append("\\\\")
-      case '\n' => sb.append("\\n")
-      case '\r' => sb.append("\\r")
-      case '\t' => sb.append("\\t")
-      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
-      case c => sb.append(c)
-    }
-    sb.append('"')
-    sb.toString
-  }
+  private def jsonStr(s: String): String = graft.core.JsonText.quote(s)
 }

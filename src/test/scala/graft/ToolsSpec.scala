@@ -10,11 +10,14 @@ import org.scalatest.funsuite.AnyFunSuite
 class ToolsSpec extends AnyFunSuite {
 
   test("parse_bench.py --selftest passes (tail-recovery contract)") {
-    val python = Seq("/usr/bin/python3", "/usr/local/bin/python3")
-      .find(p => new java.io.File(p).canExecute)
-    assume(python.isDefined, "python3 not on this box")
-    val proc = new ProcessBuilder(python.get, "tools/parse_bench.py",
-      "--selftest").inheritIO().start()
+    // resolve python3 through PATH — hardcoded /usr/bin paths would
+    // silently skip the contract on pyenv/homebrew/nix hosts
+    val proc =
+      try new ProcessBuilder("python3", "tools/parse_bench.py",
+        "--selftest").inheritIO().start()
+      catch { case _: java.io.IOException =>
+        cancel("python3 not on PATH on this box")
+      }
     assert(proc.waitFor() == 0, "parse_bench selftest failed")
   }
 }

@@ -73,6 +73,25 @@ class EosCommitSpec extends AnyFunSuite {
     } finally { rc.close(); foreign.close(); srv.close() }
   }
 
+  test("a refused ledger read fails LOUD, never as cursor 0: a foreign " +
+      "process squatting the ledger name with a stream makes GET reply " +
+      "WRONGTYPE — treating that as 0 would re-ship the whole batch " +
+      "(silent exactly-once violation, round-17 review)") {
+    val srv = new EmbeddedRedis
+    val rc = new RedisClient(srv.host, srv.port)
+    try {
+      // squat the ledger name with a stream: GET now replies WRONGTYPE
+      rc.command(RedisStreams.xadd("ecl4", 100L, "squat".getBytes("UTF-8")): _*)
+      val e = intercept[IllegalStateException] {
+        EosCommit.commit(rc, "ecl4", dstKey,
+          Vector((0L, 100L, "a".getBytes("UTF-8"))),
+          finalCursor = 1L, label = "squat")
+      }
+      assert(e.getMessage.contains("ledger GET refused"), e.getMessage)
+      assert(entriesOf(srv).isEmpty, "nothing may land on a refused read")
+    } finally { rc.close(); srv.close() }
+  }
+
   test("the batch limit regrows after a landed commit: an early " +
       "contention burst must not degrade the rest of the drain to " +
       "single-entry transactions (ADVICE r16) — pre-EXEC windows stay " +

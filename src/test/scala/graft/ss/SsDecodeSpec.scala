@@ -83,6 +83,17 @@ class SsDecodeSpec extends AnyFunSuite {
     assert(log(2) == "[2023-06-05T13:55:53.0 | b | 7 | 2] <BINARY BLOB>")
   }
 
+  test("empty and whitespace-only payloads render as JSON strings, " +
+      "never as null (Jackson's MissingNode would otherwise leak)") {
+    val path = withFile() { w =>
+      w.write(msg("w", 0, 1, "2023-06-05T13:55:53Z", " ".getBytes(UTF_8)))
+      w.write(msg("w", 0, 2, "2023-06-05T13:55:53Z", Array.emptyByteArray))
+    }
+    val nd = decodeLines(path, "ndjson")
+    assert(nd(1).endsWith(""""payload":" "}"""), nd(1))
+    assert(nd(2).endsWith(""""payload":""}"""), nd(2))
+  }
+
   test("--header-only skips payloads in both formats") {
     val path = withFile() { w =>
       w.write(msg("hello", 0, 1, "2023-06-05T13:55:53.001Z",
