@@ -1,0 +1,67 @@
+package graft
+
+import graft.ops.StdioParser
+
+/** The reference's `clock` demo producer (sea-streamer-stdio/src/bin/
+  * clock.rs; README "Here is how to stream from Stdio ➡️ Redis / Kafka"):
+  * emit `{ "tick": N }` payloads on a stdio stream at a fixed interval.
+  * The stdio producer contract is this process's stdout, so lines print
+  * in the producer format `[ts | stream | seq] payload`
+  * (sea-streamer-stdio/src/producer.rs) — pipeable straight into
+  * [[Relay]]'s stdio input, exactly the reference's `clock | relay`
+  * pipeline. No Spark session needed: a clock is a single local producer.
+  *
+  * `--ticks N` bounds the run (the reference loops to u64::MAX; a bound
+  * makes the pipeline drainable in tests and shell demos).
+  */
+object Clock {
+
+  /** Reference clock.rs duration grammar: ns/us/ms/s/m suffixes. */
+  private[graft] def parseDuration(src: String): Long = {
+    def num(s: String): Long = s.toLong
+    if (src.endsWith("ns")) math.max(1L, num(src.dropRight(2)) / 1000000L)
+    else if (src.endsWith("us")) math.max(1L, num(src.dropRight(2)) / 1000L)
+    else if (src.endsWith("ms")) num(src.dropRight(2))
+    else if (src.endsWith("m")) num(src.dropRight(1)) * 60000L
+    else if (src.endsWith("s")) num(src.dropRight(1)) * 1000L
+    else throw new IllegalArgumentException(
+      s"Failed to parse $src as Duration")
+  }
+
+  def main(args: Array[String]): Unit = {
+    var stream: Option[String] = None
+    var intervalMs: Option[Long] = None
+    var ticks: Long = Long.MaxValue
+    var i = 0
+    def usage(): Nothing = {
+      System.err.println(
+        "usage: clock --stream <key> --interval <1s|100ms|...> [--ticks N]")
+      sys.exit(2)
+    }
+    while (i < args.length) {
+      args(i) match {
+        case "--stream" if i + 1 < args.length =>
+          stream = Some(args(i + 1)); i += 2
+        case "--interval" if i + 1 < args.length =>
+          intervalMs = Some(parseDuration(args(i + 1))); i += 2
+        case "--ticks" if i + 1 < args.length =>
+          ticks = args(i + 1).toLong; i += 2
+        case _ => usage()
+      }
+    }
+    val key = stream.getOrElse(usage())
+    if (!graft.core.Envelope.isValidStreamKey(key)) {
+      System.err.println(s"invalid stream key: $key"); sys.exit(2)
+    }
+    val interval = intervalMs.getOrElse(usage())
+    var tick = 0L
+    while (tick < ticks) {
+      println(StdioParser.formatLine(
+        new java.sql.Timestamp(System.currentTimeMillis()), key, tick,
+        s"""{ "tick": $tick }"""))
+      Console.out.flush()
+      tick += 1
+      if (tick < ticks) Thread.sleep(interval)
+    }
+  }
+}

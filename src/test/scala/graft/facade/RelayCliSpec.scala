@@ -1,0 +1,135 @@
+package graft.facade
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Clock, Relay, TestSession}
+import graft.core.SeaStreamErr
+import graft.ops.StdioParser
+import graft.redis.{EmbeddedRedis, RedisStreams}
+
+/** Laws of the reference's demo CLI pair re-expressed here — `clock`
+  * (sea-streamer-stdio/src/bin/clock.rs) and `relay`
+  * (sea-streamer-socket/src/bin/relay.rs) — including the README's
+  * `clock | relay` composition into a real broker.
+  */
+class RelayCliSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def captureOut(f: => Unit): Seq[String] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8"))(f)
+    buf.toString("UTF-8").split('\n').toSeq.filter(_.nonEmpty)
+  }
+
+  test("clock emits producer-format lines with the reference's exact " +
+      "payload shape, seq = tick ordinal, bounded by --ticks") {
+    val lines = captureOut(Clock.main(Array(
+      "--stream", "clock", "--interval", "1ms", "--ticks", "5")))
+    assert(lines.length == 5)
+    lines.zipWithIndex.foreach { case (l, i) =>
+      assert(l.endsWith(s"""| clock | $i] { "tick": $i }"""), l)
+    }
+    // every line re-parses through the stdio consumer grammar
+    val parsed = StdioParser.toEnvelope(spark.createDataset(lines).toDF("value"))
+    assert(parsed.select("sequence").as[Long].collect().sorted.toSeq ==
+      (0L until 5L))
+  }
+
+  test("clock duration grammar matches the reference (ns/us/ms/s/m)") {
+    assert(Clock.parseDuration("100ms") == 100L)
+    assert(Clock.parseDuration("1s") == 1000L)
+    assert(Clock.parseDuration("2m") == 120000L)
+    assert(Clock.parseDuration("1500us") == 1L)
+    assert(Clock.parseDuration("1ns") == 1L) // sub-ms floors to 1ms
+    intercept[IllegalArgumentException](Clock.parseDuration("1h"))
+  }
+
+  test("relay --once: stdio line file -> redis, then redis -> stdio; " +
+      "the README's pipeline shape end-to-end against a broker") {
+    val srv = new EmbeddedRedis
+    try {
+      // stage the `clock` output as the stdio input file
+      val clockLines = captureOut(Clock.main(Array(
+        "--stream", "clock", "--interval", "1ms", "--ticks", "4")))
+      val f = Files.createTempFile("relaycli", ".log")
+      Files.write(f, clockLines.mkString("", "\n", "\n").getBytes("UTF-8"))
+
+      val n = Relay.run(spark, s"stdio://$f/clock",
+        s"redis://${srv.host}:${srv.port}/clock",
+        offsetStart = true, once = true)
+      assert(n == 4L)
+      val vals = srv.entries("clock")
+        .map(e => new String(e._2.head._2, "UTF-8"))
+      assert(vals.toSet == (0 until 4).map(i => s"""{ "tick": $i }""").toSet)
+
+      // and back out: redis -> stdio prints producer-format lines
+      val out = captureOut {
+        val m = Relay.run(spark, s"redis://${srv.host}:${srv.port}/clock",
+          "stdio:///clock", offsetStart = true, once = true)
+        assert(m == 4L)
+      }
+      assert(out.length == 4)
+      assert(out.forall(_.contains("| clock |")), out.mkString("\n"))
+      assert(out.count(_.endsWith("""{ "tick": 2 }""")) == 1)
+    } finally srv.close()
+  }
+
+  test("relay stdio:///key input reads THIS process's stdin (spooled), " +
+      "exactly the reference's `clock | relay` composition") {
+    val srv = new EmbeddedRedis
+    try {
+      val clockLines = captureOut(Clock.main(Array(
+        "--stream", "piped", "--interval", "1ms", "--ticks", "3")))
+      val stdin = new java.io.ByteArrayInputStream(
+        clockLines.mkString("", "\n", "\n").getBytes("UTF-8"))
+      val n = Relay.run(spark, "stdio:///piped",
+        s"redis://${srv.host}:${srv.port}/piped",
+        offsetStart = true, once = true, stdin = stdin)
+      assert(n == 3L)
+      assert(srv.entries("piped").size == 3)
+    } finally srv.close()
+  }
+
+  test("relay refuses input == output unless the protocol is stdio " +
+      "(relay.rs:58-60)") {
+    val e = intercept[SeaStreamErr.Unsupported](Relay.run(spark,
+      "redis://localhost:6379/clock", "redis://localhost:6379/clock",
+      offsetStart = true, once = true))
+    assert(e.getMessage.contains("input == output"))
+    // stdio self-relay is legal: stdin and stdout are distinct pipes
+    val out = captureOut {
+      assert(Relay.run(spark, "stdio:///loop", "stdio:///loop",
+        offsetStart = true, once = true,
+        stdin = new java.io.ByteArrayInputStream(Array.emptyByteArray)) == 0L)
+    }
+    assert(out.isEmpty)
+  }
+
+  test("relay subscribes several input keys while anchoring ONE output " +
+      "key (StreamUrl grammar, streamer.rs:173-252)") {
+    val srv = new EmbeddedRedis
+    try {
+      val lines = Seq(
+        StdioParser.formatLine(new java.sql.Timestamp(1000L), "a", 0L, "pa"),
+        StdioParser.formatLine(new java.sql.Timestamp(1001L), "b", 0L, "pb"),
+        StdioParser.formatLine(new java.sql.Timestamp(1002L), "c", 0L, "pc"))
+      val f = Files.createTempFile("relaycli2", ".log")
+      Files.write(f, lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+      val n = Relay.run(spark, s"stdio://$f/a,b",
+        s"redis://${srv.host}:${srv.port}/merged",
+        offsetStart = true, once = true)
+      assert(n == 2L, "only the subscribed keys relay")
+      val vals = srv.entries("merged")
+        .map(e => new String(e._2.head._2, "UTF-8")).toSet
+      assert(vals == Set("pa", "pb"))
+      // an output url with zero or several keys is a typed error
+      intercept[Exception](Relay.run(spark, s"stdio://$f/a",
+        s"redis://${srv.host}:${srv.port}/x,y",
+        offsetStart = true, once = true))
+    } finally srv.close()
+  }
+}
