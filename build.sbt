@@ -19,6 +19,11 @@ run / fork := true
 // forked process's stdio through raw instead; tools/parse_bench.py covers
 // historical artifacts.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and its stdin connected: graft.Relay's `--input stdio:///key` reads
+// THIS process's stdin (the README's `clock | relay` pipeline); sbt's
+// default leaves the forked JVM's stdin unconnected, which would make the
+// spool thread read EOF immediately and the demo silently relay nothing.
+run / connectInput := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -43,9 +43,22 @@ object Clock {
         case "--stream" if i + 1 < args.length =>
           stream = Some(args(i + 1)); i += 2
         case "--interval" if i + 1 < args.length =>
-          intervalMs = Some(parseDuration(args(i + 1))); i += 2
+          // a malformed duration prints the parse error + usage, never a
+          // raw stack trace (round-17 review)
+          intervalMs = Some(
+            try parseDuration(args(i + 1))
+            catch { case e: RuntimeException =>
+              System.err.println(e.getMessage); usage()
+            })
+          i += 2
         case "--ticks" if i + 1 < args.length =>
-          ticks = args(i + 1).toLong; i += 2
+          ticks =
+            try args(i + 1).toLong
+            catch { case _: NumberFormatException =>
+              System.err.println(s"--ticks must be a number: ${args(i + 1)}")
+              usage()
+            }
+          i += 2
         case _ => usage()
       }
     }

@@ -40,7 +40,7 @@ object Relay {
   def main(args: Array[String]): Unit = {
     var input: Option[String] = None
     var output: Option[String] = None
-    var offsetStart = false
+    var offsetStart: Option[Boolean] = None
     var once = false
     var i = 0
     def usage(): Nothing = {
@@ -56,8 +56,8 @@ object Relay {
           output = Some(args(i + 1)); i += 2
         case "--offset" if i + 1 < args.length =>
           args(i + 1) match {
-            case "start" => offsetStart = true
-            case "end" => offsetStart = false
+            case "start" => offsetStart = Some(true)
+            case "end" => offsetStart = Some(false)
             case other =>
               System.err.println(s"unknown Offset: $other"); sys.exit(2)
           }
@@ -76,10 +76,22 @@ object Relay {
 
   /** Core, testable seam. Returns rows relayed in `--once` mode; a live
     * relay blocks until the query terminates and returns -1.
+    *
+    * `offsetStart`: None = the mode's natural default — live follows the
+    * reference's `end` (relay.rs default), bounded `--once` drains from
+    * the start (Replay semantics). `--once --offset end` is REFUSED: the
+    * bounded readers have no "from the tip" form, and silently draining
+    * the whole stream under an explicit `end` would re-ship everything
+    * on every invocation.
     */
   def run(spark: SparkSession, input: String, output: String,
-      offsetStart: Boolean, once: Boolean,
+      offsetStart: Option[Boolean], once: Boolean,
       stdin: java.io.InputStream = System.in): Long = {
+    if (once && offsetStart.contains(false))
+      throw SeaStreamErr.Unsupported(
+        "--once is a bounded start-to-tip drain; --offset end would " +
+          "silently re-ship the whole stream (use a live relay for " +
+          "latest-only)")
     val in = StreamUrl.parse(input)
     val out = StreamUrl.parse(output)
     val inProto = in.streamer.protocol.getOrElse(
@@ -88,6 +100,9 @@ object Relay {
     // its input (stdin) and output (stdout) are distinct pipes
     if (input == output && inProto != "stdio")
       throw SeaStreamErr.Unsupported("input == output !!!")
+
+    out.streamer.protocol.getOrElse(
+      throw SeaStreamErr.Connect(s"no protocol in '$output'"))
 
     def connStr(u: StreamUrl): String = {
       val proto = u.streamer.protocol.get
@@ -109,12 +124,19 @@ object Relay {
           val t = new Thread(() => {
             val rdr = new java.io.BufferedReader(
               new java.io.InputStreamReader(stdin, "UTF-8"))
-            var line = rdr.readLine()
-            while (line != null) {
-              Files.write(spool, java.util.List.of(line),
-                StandardOpenOption.APPEND)
-              line = rdr.readLine()
-            }
+            // one appender held open for the thread's life, flushed per
+            // line — a Files.write(APPEND) per line would pay an
+            // open/close pair on every message of the ingest hot path
+            val w = new java.io.OutputStreamWriter(
+              Files.newOutputStream(spool, StandardOpenOption.APPEND),
+              "UTF-8")
+            try {
+              var line = rdr.readLine()
+              while (line != null) {
+                w.write(line); w.write('\n'); w.flush()
+                line = rdr.readLine()
+              }
+            } finally w.close()
           }, "relay-stdin-spool")
           t.setDaemon(true)
           t.start()
@@ -129,7 +151,7 @@ object Relay {
         mode = ConsumerMode.RealTime,
         live = !once,
         autoStreamReset =
-          if (offsetStart) AutoStreamReset.Earliest
+          if (offsetStart.getOrElse(once)) AutoStreamReset.Earliest
           else AutoStreamReset.Latest))
     val producer = sink.createProducer(out.streamKey)
     if (once) {

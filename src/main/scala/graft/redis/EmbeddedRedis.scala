@@ -336,6 +336,13 @@ final class EmbeddedRedis(
       case "ASKING" => Resp.Simple("OK")
       case "XADD" =>
         val key = s(1)
+        // type fidelity both ways: XADD onto a key holding a string is
+        // WRONGTYPE on real redis — silently creating a coexisting stream
+        // would later make GET refuse a ledger read a real broker serves
+        // (round-17 review)
+        if (kv.containsKey(key))
+          return Resp.Err(
+            "WRONGTYPE Operation against a key holding the wrong kind of value")
         val idArg = s(2)
         val fields = args.drop(3).grouped(2).collect {
           case Seq(f, v) => (new String(f, UTF_8), v)
@@ -609,9 +616,19 @@ final class EmbeddedRedis(
           Resp.Arr(ks.map(k => Resp.Bulk(k.getBytes(UTF_8))))))
       case "PING" => Resp.Simple("PONG")
       case "SET" =>
-        // real redis SET replaces a key of ANY type (a squatted stream
-        // under the name is gone, not shadowed)
-        streams.remove(s(1))
+        // real redis SET replaces a key of ANY type: a squatted stream
+        // under the name is DESTROYED, not shadowed — including its
+        // last-id floor (XDEL preserves last_id, key replacement resets
+        // it), its groups' cursors, PELs and acks. Leaving any sibling
+        // alive would make the emulator refuse XADDs / reply BUSYGROUP
+        // where a real broker would not (round-17 review).
+        if (streams.remove(s(1)) != null) {
+          lastMs.remove(s(1)); subSeq.remove(s(1))
+          val prefix = s(1) + "/"
+          groupCursor.keySet.removeIf(_.startsWith(prefix))
+          pel.keySet.removeIf(_.startsWith(prefix))
+          acked.keySet.removeIf(_.startsWith(prefix))
+        }
         kv.put(s(1), args(2))
         Resp.Simple("OK")
       case "GET" =>

@@ -60,7 +60,7 @@ class RelayCliSpec extends AnyFunSuite {
 
       val n = Relay.run(spark, s"stdio://$f/clock",
         s"redis://${srv.host}:${srv.port}/clock",
-        offsetStart = true, once = true)
+        offsetStart = Some(true), once = true)
       assert(n == 4L)
       val vals = srv.entries("clock")
         .map(e => new String(e._2.head._2, "UTF-8"))
@@ -69,7 +69,7 @@ class RelayCliSpec extends AnyFunSuite {
       // and back out: redis -> stdio prints producer-format lines
       val out = captureOut {
         val m = Relay.run(spark, s"redis://${srv.host}:${srv.port}/clock",
-          "stdio:///clock", offsetStart = true, once = true)
+          "stdio:///clock", offsetStart = Some(true), once = true)
         assert(m == 4L)
       }
       assert(out.length == 4)
@@ -88,7 +88,7 @@ class RelayCliSpec extends AnyFunSuite {
         clockLines.mkString("", "\n", "\n").getBytes("UTF-8"))
       val n = Relay.run(spark, "stdio:///piped",
         s"redis://${srv.host}:${srv.port}/piped",
-        offsetStart = true, once = true, stdin = stdin)
+        offsetStart = Some(true), once = true, stdin = stdin)
       assert(n == 3L)
       assert(srv.entries("piped").size == 3)
     } finally srv.close()
@@ -98,12 +98,12 @@ class RelayCliSpec extends AnyFunSuite {
       "(relay.rs:58-60)") {
     val e = intercept[SeaStreamErr.Unsupported](Relay.run(spark,
       "redis://localhost:6379/clock", "redis://localhost:6379/clock",
-      offsetStart = true, once = true))
+      offsetStart = Some(true), once = true))
     assert(e.getMessage.contains("input == output"))
     // stdio self-relay is legal: stdin and stdout are distinct pipes
     val out = captureOut {
       assert(Relay.run(spark, "stdio:///loop", "stdio:///loop",
-        offsetStart = true, once = true,
+        offsetStart = Some(true), once = true,
         stdin = new java.io.ByteArrayInputStream(Array.emptyByteArray)) == 0L)
     }
     assert(out.isEmpty)
@@ -121,7 +121,7 @@ class RelayCliSpec extends AnyFunSuite {
       Files.write(f, lines.mkString("", "\n", "\n").getBytes("UTF-8"))
       val n = Relay.run(spark, s"stdio://$f/a,b",
         s"redis://${srv.host}:${srv.port}/merged",
-        offsetStart = true, once = true)
+        offsetStart = Some(true), once = true)
       assert(n == 2L, "only the subscribed keys relay")
       val vals = srv.entries("merged")
         .map(e => new String(e._2.head._2, "UTF-8")).toSet
@@ -129,7 +129,30 @@ class RelayCliSpec extends AnyFunSuite {
       // an output url with zero or several keys is a typed error
       intercept[Exception](Relay.run(spark, s"stdio://$f/a",
         s"redis://${srv.host}:${srv.port}/x,y",
-        offsetStart = true, once = true))
+        offsetStart = Some(true), once = true))
     } finally srv.close()
+  }
+
+  test("relay refusals are typed, never raw crashes: protocol-less " +
+      "output, and --once with an explicit --offset end (which would " +
+      "silently re-ship the whole stream every invocation)") {
+    val noProto = intercept[SeaStreamErr.Connect](Relay.run(spark,
+      "stdio:///clock", "localhost:6379/clock",
+      offsetStart = None, once = true,
+      stdin = new java.io.ByteArrayInputStream(Array.emptyByteArray)))
+    assert(noProto.getMessage.contains("no protocol"), noProto.getMessage)
+    val onceEnd = intercept[SeaStreamErr.Unsupported](Relay.run(spark,
+      "redis://localhost:6379/clock", "stdio:///clock",
+      offsetStart = Some(false), once = true))
+    assert(onceEnd.getMessage.contains("--once"), onceEnd.getMessage)
+    // --once with NO explicit offset takes the bounded start default
+    val f = Files.createTempFile("relaycli3", ".log")
+    Files.write(f, StdioParser.formatLine(
+      new java.sql.Timestamp(1000L), "d", 0L, "pd").getBytes("UTF-8"))
+    val out = captureOut {
+      assert(Relay.run(spark, s"stdio://$f/d", "stdio:///d",
+        offsetStart = None, once = true) == 1L)
+    }
+    assert(out.length == 1 && out.head.endsWith("pd"))
   }
 }
