@@ -133,6 +133,45 @@ class RelayCliSpec extends AnyFunSuite {
     } finally srv.close()
   }
 
+  test("relay live mode tails the input and ships every micro-batch " +
+      "until stopped (the reference's endless loop, relay.rs:68-79)") {
+    val srv = new EmbeddedRedis
+    val before = spark.streams.active.map(_.id).toSet
+    try {
+      val f = Files.createTempFile("relaylive", ".log")
+      Files.write(f, (0 until 2).map(i => StdioParser.formatLine(
+        new java.sql.Timestamp(1000L + i), "live", i.toLong, s"l$i"))
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+      @volatile var result = 0L
+      val t = new Thread(() => {
+        result = Relay.run(spark, s"stdio://$f/live",
+          s"redis://${srv.host}:${srv.port}/live",
+          offsetStart = Some(true), once = false)
+      }, "relay-live-test")
+      t.start()
+      def entries() = srv.entries("live").size
+      val deadline = System.currentTimeMillis() + 60000
+      while (entries() < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(entries() == 2, "initial lines must ship (earliest reset)")
+      // append while live: the spool-file tail picks up the new line
+      Files.write(f, (StdioParser.formatLine(
+        new java.sql.Timestamp(1002L), "live", 2L, "l2") + "\n")
+        .getBytes("UTF-8"), java.nio.file.StandardOpenOption.APPEND)
+      while (entries() < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(entries() == 3, "appended line must relay")
+      // stop exactly the query this test started
+      spark.streams.active.filterNot(q => before(q.id)).foreach(_.stop())
+      t.join(30000)
+      assert(!t.isAlive && result == -1L,
+        "a stopped live relay returns -1 and unblocks")
+      val vals = srv.entries("live")
+        .map(e => new String(e._2.head._2, "UTF-8"))
+      assert(vals == Seq("l0", "l1", "l2"), s"order violated: $vals")
+    } finally srv.close()
+  }
+
   test("relay refusals are typed, never raw crashes: protocol-less " +
       "output, and --once with an explicit --offset end (which would " +
       "silently re-ship the whole stream every invocation)") {
