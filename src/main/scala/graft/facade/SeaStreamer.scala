@@ -265,6 +265,20 @@ object SeaStreamer {
             else s"redis supports only the credential options " +
               "(redis.username/redis.password; TLS needs rediss://)") +
               s", got: " + stray.toSeq.sorted.mkString(", "))
+      } else if (scheme == "stdio") {
+        // the one stdio connect option: loopback (StdioConnectOptions,
+        // sea-streamer-stdio/src/streamer.rs:14,95-107) — a producer's
+        // sends become visible to this connection's own consumers
+        val stray = security.keySet - "stdio.loopback"
+        if (stray.nonEmpty)
+          throw SeaStreamErr.Unsupported(
+            "stdio supports only the stdio.loopback connect option, got: " +
+              stray.toSeq.sorted.mkString(", "))
+        security.get("stdio.loopback").foreach { v =>
+          if (v != "true" && v != "false")
+            throw SeaStreamErr.Unsupported(
+              s"stdio.loopback must be true or false, got: $v")
+        }
       } else if (scheme != "kafka")
         throw SeaStreamErr.Unsupported(
           s"security options on the '$scheme' backend")
@@ -650,14 +664,32 @@ object SeaStreamer {
       * `redisShards` must match the consumers' (keys are `stream:N` when
       * sharded, the bare stream when not).
       */
+    /** The stdio loopback connect option (streamer.rs:95-107): producers
+      * on this connection also dispatch to the connection's consumers —
+      * here, by appending their lines to the node's line file (the
+      * process-local bus the stdio consumers read). Default OFF like the
+      * reference ("these are not looped back", tests/loopback.rs:22-25).
+      */
+    private def stdioLoopback: Boolean =
+      security.get("stdio.loopback").contains("true")
+
+    private def validateLoopbackNode(): Unit =
+      if (scheme == "stdio" && stdioLoopback &&
+          (nodeAddr == "-" || nodeAddr == "."))
+        throw SeaStreamErr.Unsupported(
+          "stdio.loopback needs a line-file node (stdio://<path>) — " +
+            s"'$nodeAddr' has no file for consumers to read back")
+
     def createProducer(stream: String, redisShards: Int = 1,
         iggyPartitions: Int = 4,
         iggyStream: String = graft.iggy.IggySource.DefaultStream): Producer = {
       if (!Envelope.isValidStreamKey(stream) || stream.isEmpty)
         throw SeaStreamErr.InvalidStreamKey(stream)
       validIggyStream(iggyStream)
+      validateLoopbackNode()
       new Producer(spark, scheme, allNodeAddrs, Some(stream), redisShards,
-        iggyPartitions, iggyStream, security, redisTls, redisAuth, iggyAuth)
+        iggyPartitions, iggyStream, security, redisTls, redisAuth, iggyAuth,
+        stdioLoopback)
     }
 
     /** Generic producer: stream key comes from each row. */
@@ -665,8 +697,10 @@ object SeaStreamer {
         iggyPartitions: Int = 4,
         iggyStream: String = graft.iggy.IggySource.DefaultStream): Producer = {
       validIggyStream(iggyStream)
+      validateLoopbackNode()
       new Producer(spark, scheme, allNodeAddrs, None, redisShards,
-        iggyPartitions, iggyStream, security, redisTls, redisAuth, iggyAuth)
+        iggyPartitions, iggyStream, security, redisTls, redisAuth, iggyAuth,
+        stdioLoopback)
     }
 
     /** The iggy namespace stream follows the same key grammar as stream
@@ -1174,7 +1208,12 @@ object SeaStreamer {
       /** AUTH credentials for every redis connection this producer opens. */
       redisAuth: Option[graft.redis.RedisClient.Auth] = None,
       /** LoginUser credentials for every iggy connection. */
-      iggyAuth: (String, String) = ("iggy", "iggy")) {
+      iggyAuth: (String, String) = ("iggy", "iggy"),
+      /** Stdio loopback (StdioConnectOptions, streamer.rs:95-107): sends
+        * also append to the node's line file so this process's consumers
+        * see them; default off like the reference.
+        */
+      stdioLoopback: Boolean = false) {
 
     private def node: String = nodes.head
     private def redisSharded: Boolean = redisShards > 1
@@ -1487,14 +1526,30 @@ object SeaStreamer {
           // printed on the DRIVER: toLocalIterator streams one partition
           // at a time — no executor-side println (which on a real cluster
           // would land in executor logs), no full collect
-          out.select("timestamp", "stream_key", "sequence", "payload")
-            .toLocalIterator().forEachRemaining { r =>
-              println(StdioParser.formatLine(
-                r.getAs[java.sql.Timestamp]("timestamp"),
-                r.getAs[String]("stream_key"),
-                r.getAs[Long]("sequence"),
-                new String(r.getAs[Array[Byte]]("payload"), "UTF-8")))
-            }
+          // loopback (when on): the same lines ALSO append to the node's
+          // line file — the reference's in-process dispatch
+          // (producer.rs:93-100) re-expressed on the stdio backend's bus
+          // (this connection's consumers read/tail exactly that file)
+          val loop =
+            if (stdioLoopback)
+              Some(new java.io.OutputStreamWriter(
+                java.nio.file.Files.newOutputStream(
+                  java.nio.file.Paths.get(node),
+                  java.nio.file.StandardOpenOption.CREATE,
+                  java.nio.file.StandardOpenOption.APPEND), "UTF-8"))
+            else None
+          try {
+            out.select("timestamp", "stream_key", "sequence", "payload")
+              .toLocalIterator().forEachRemaining { r =>
+                val line = StdioParser.formatLine(
+                  r.getAs[java.sql.Timestamp]("timestamp"),
+                  r.getAs[String]("stream_key"),
+                  r.getAs[Long]("sequence"),
+                  new String(r.getAs[Array[Byte]]("payload"), "UTF-8"))
+                println(line)
+                loop.foreach { w => w.write(line); w.write('\n') }
+              }
+          } finally loop.foreach(_.close())
         case other => throw SeaStreamErr.Unsupported(s"backend '$other'")
       }
     }
