@@ -15,7 +15,7 @@ object Bench {
     * judge can diff without BENCH_LOCAL.md.
     */
   private def writeQueriesJson(results: collection.Map[String, Double],
-      sfDir: String): Unit = {
+      sfDir: String, tide: (Double, Long)): Unit = {
     // a SPARK_GRAFT_BENCH_ONLY subset run must not clobber the committed
     // full-map artifact — unless the caller named an output path explicitly
     if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY") &&
@@ -26,12 +26,51 @@ object Bench {
     // entry-count invariant against the artifact (VERDICT r12 #6)
     val lines = s"""  "_sf": ${q(sfDir)}""" +:
       s"""  "_nqueries": ${SparkEntry.queries.size}""" +:
+      s"""  "_load1_start": ${tide._1}""" +:
+      s"""  "_load1_end": ${load1()}""" +:
+      s"""  "_tide_wait_sec": ${tide._2}""" +:
       results.toSeq.sortBy(_._1)
         .map { case (k, v) => s"""  ${q(k)}: $v""" }
     val body = lines.mkString("{\n", ",\n", "\n}\n")
     try java.nio.file.Files.write(java.nio.file.Paths.get(path),
       body.getBytes("UTF-8"))
     catch { case _: java.io.IOException => () } // artifact is best-effort
+  }
+
+  /** Host-tide telemetry (VERDICT r17 #2): round-17's driver regen ran in
+    * a vCPU-steal window and published transport numbers 1.6× under the
+    * same-day calm-window medians. The guard samples ambient load BEFORE
+    * the timed section (this JVM is idle then, so a high load1 is outside
+    * steal — the r17 tide signature was guest load 5+ with zero in-guest
+    * CPU), waits up to SPARK_GRAFT_TIDE_WAIT_SEC (default 300 s, 0 to
+    * disable) for a calm window, then proceeds either way and ANNOTATES
+    * the artifact — a steal-corrupted regen can no longer masquerade as
+    * calm-window truth.
+    */
+  private def load1(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.split(" ")(0).toDouble finally src.close()
+    } catch { case _: Exception => -1.0 }
+
+  private def tideGuard(): (Double, Long) = {
+    val threshold = sys.env.get("SPARK_GRAFT_TIDE_LOAD1")
+      .map(_.toDouble).getOrElse(2.0)
+    val capSec = sys.env.get("SPARK_GRAFT_TIDE_WAIT_SEC")
+      .map(_.toLong).getOrElse(300L)
+    var waited = 0L
+    var l = load1()
+    while (l > threshold && waited < capSec) {
+      System.err.println(f"[bench] tide guard: ambient load1 $l%.2f > " +
+        f"$threshold%.1f before the timed section, waiting (${waited}s)")
+      Thread.sleep(15000L)
+      waited += 15L
+      l = load1()
+    }
+    if (waited > 0)
+      System.err.println(f"[bench] tide guard: proceeding at load1 $l%.2f " +
+        f"after ${waited}s wait")
+    (l, waited)
   }
 
   /** The driver captures only the TAIL (~2000 chars) of the bench stdout
@@ -45,7 +84,7 @@ object Bench {
     * BENCH_QUERIES.json artifact, which `detail` points at.
     */
   private def printCompactLine(results: collection.Map[String, Double],
-      sfDir: String): Unit = {
+      sfDir: String, tide: (Double, Long)): Unit = {
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val (xp, rest) = results.toSeq.partition(_._1.startsWith("xp_"))
     val families = rest
@@ -59,11 +98,16 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""queries":$qs,"nqueries":${results.size},""" +
+      s""""load1_start":${r3(tide._1)},"load1_end":${r3(load1())},""" +
+      s""""tide_wait_sec":${tide._2},""" +
       s""""detail":"BENCH_QUERIES.json","sf":"$sfDir"}""")
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // BEFORE the session spins up 32 worker threads: a high load1 here is
+    // someone else's steal, not ours
+    val tide = tideGuard()
     val spark = GraftSession.get()
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
@@ -296,8 +340,8 @@ object Bench {
     // 256-byte lorem-ipsum payloads (≈30 MB dump), produce then consume.
     // Skippable for sf-scaling runs (the xp_ workloads are sf-independent).
     if (sys.env.contains("SPARK_GRAFT_BENCH_SKIP_XP")) {
-      writeQueriesJson(results, sfDir)
-      printCompactLine(results, sfDir)
+      writeQueriesJson(results, sfDir, tide)
+      printCompactLine(results, sfDir, tide)
       spark.stop()
       return
     }
@@ -492,8 +536,8 @@ object Bench {
       } finally srv.close()
     }
 
-    writeQueriesJson(results, sfDir)
-    printCompactLine(results, sfDir)
+    writeQueriesJson(results, sfDir, tide)
+    printCompactLine(results, sfDir, tide)
     spark.stop()
   }
 }

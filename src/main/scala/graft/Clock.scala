@@ -16,9 +16,19 @@ import graft.ops.StdioParser
   */
 object Clock {
 
-  /** Reference clock.rs duration grammar: ns/us/ms/s/m suffixes. */
+  /** Reference clock.rs duration grammar: ns/us/ms/s/m suffixes. The
+    * reference parses the count as u64, so a leading sign is a parse
+    * error there — reject it here too, or `-1s` would surface as a raw
+    * IllegalArgumentException from Thread.sleep instead of the parse
+    * error + usage that main's catch prints.
+    */
   private[graft] def parseDuration(src: String): Long = {
-    def num(s: String): Long = s.toLong
+    def num(s: String): Long = {
+      if (s.isEmpty || !s.forall(_.isDigit))
+        throw new IllegalArgumentException(
+          s"Failed to parse $src as Duration")
+      s.toLong
+    }
     if (src.endsWith("ns")) math.max(1L, num(src.dropRight(2)) / 1000000L)
     else if (src.endsWith("us")) math.max(1L, num(src.dropRight(2)) / 1000L)
     else if (src.endsWith("ms")) num(src.dropRight(2))

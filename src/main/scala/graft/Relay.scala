@@ -37,15 +37,25 @@ import graft.facade.SeaStreamer.{AutoStreamReset, ConsumerMode, ConsumerOptions}
   */
 object Relay {
 
+  /** Live-mode stdin-spool size cap. The spool is a bridge, not a store:
+    * once the streaming query has shipped a prefix, those bytes are dead
+    * weight, and an uncapped spool makes a long-lived `clock | relay`
+    * leak disk without bound. When the spool exceeds the cap AND the
+    * query has committed progress, the consumed prefix is dropped by
+    * rotation (see [[StdinSpool.rotate]]).
+    */
+  val DefaultSpoolCapBytes: Long = 256L << 20
+
   def main(args: Array[String]): Unit = {
     var input: Option[String] = None
     var output: Option[String] = None
     var offsetStart: Option[Boolean] = None
     var once = false
+    var spoolCap = DefaultSpoolCapBytes
     var i = 0
     def usage(): Nothing = {
       System.err.println("usage: relay --input <url> --output <url> " +
-        "[--offset start|end] [--once]")
+        "[--offset start|end] [--once] [--spool-cap-mb N]")
       sys.exit(2)
     }
     while (i < args.length) {
@@ -63,15 +73,87 @@ object Relay {
           }
           i += 2
         case "--once" => once = true; i += 1
+        case "--spool-cap-mb" if i + 1 < args.length =>
+          spoolCap =
+            try {
+              val mb = args(i + 1).toLong
+              if (mb <= 0) throw new NumberFormatException(args(i + 1))
+              mb << 20
+            } catch { case _: NumberFormatException =>
+              System.err.println(
+                s"--spool-cap-mb must be a positive number: ${args(i + 1)}")
+              usage()
+            }
+          i += 2
         case _ => usage()
       }
     }
     if (input.isEmpty || output.isEmpty) usage()
     val spark = GraftSession.get()
     try {
-      val n = run(spark, input.get, output.get, offsetStart, once)
+      val n = run(spark, input.get, output.get, offsetStart, once,
+        spoolCapBytes = spoolCap)
       if (once) System.err.println(s"[relay] relayed $n messages")
     } finally spark.stop()
+  }
+
+  /** The live relay's bounded stdin bridge: one appender thread spools
+    * stdin lines into the current file; [[rotate]] drops a consumed
+    * prefix by copying the unconsumed tail into a FRESH file and
+    * switching the appender — readers holding the old file see a
+    * consistent snapshot (posix unlink semantics), new micro-batches
+    * read the new path from byte 0 with their line ordinals re-anchored
+    * via the stdio source's `lineBase` option.
+    */
+  private[graft] final class StdinSpool(stdin: java.io.InputStream) {
+    private def fresh(): java.nio.file.Path = {
+      val p = Files.createTempFile("relay-stdin", ".log")
+      p.toFile.deleteOnExit()
+      p
+    }
+    private val lock = new Object
+    private var cur: java.nio.file.Path = fresh()
+    private var w = appender(cur)
+    private def appender(p: java.nio.file.Path) =
+      Files.newOutputStream(p, StandardOpenOption.APPEND)
+    def path: java.nio.file.Path = lock.synchronized(cur)
+    def size: Long = lock.synchronized(
+      if (Files.exists(cur)) Files.size(cur) else 0L)
+    private def append(line: String): Unit = lock.synchronized {
+      w.write(line.getBytes("UTF-8")); w.write('\n'); w.flush()
+    }
+    /** Drop the consumed `[0, pos)` prefix; returns the new spool path.
+      * Runs under the appender lock, so no line lands mid-copy.
+      */
+    def rotate(pos: Long): java.nio.file.Path = lock.synchronized {
+      val next = fresh()
+      val out = Files.newOutputStream(next, StandardOpenOption.APPEND)
+      val in = Files.newInputStream(cur)
+      try { in.skipNBytes(pos); in.transferTo(out) }
+      finally { in.close(); out.close() }
+      w.close()
+      Files.deleteIfExists(cur)
+      cur = next
+      w = appender(next)
+      next
+    }
+    /** Daemon thread: stdin → current spool, line-at-a-time, flushed per
+      * line (one appender held open — a Files.write(APPEND) per line
+      * would pay an open/close pair per message on the ingest hot path).
+      */
+    def start(): Unit = {
+      val t = new Thread(() => {
+        val rdr = new java.io.BufferedReader(
+          new java.io.InputStreamReader(stdin, "UTF-8"))
+        var line = rdr.readLine()
+        while (line != null) {
+          append(line)
+          line = rdr.readLine()
+        }
+      }, "relay-stdin-spool")
+      t.setDaemon(true)
+      t.start()
+    }
   }
 
   /** Core, testable seam. Returns rows relayed in `--once` mode; a live
@@ -86,7 +168,8 @@ object Relay {
     */
   def run(spark: SparkSession, input: String, output: String,
       offsetStart: Option[Boolean], once: Boolean,
-      stdin: java.io.InputStream = System.in): Long = {
+      stdin: java.io.InputStream = System.in,
+      spoolCapBytes: Long = DefaultSpoolCapBytes): Long = {
     if (once && offsetStart.contains(false))
       throw SeaStreamErr.Unsupported(
         "--once is a bounded start-to-tip drain; --offset end would " +
@@ -113,60 +196,104 @@ object Relay {
 
     // stdio:///key = THIS process's stdin: spool it to a line file the
     // stdio-lines source can read (bounded mode drains stdin to EOF
-    // first; live mode tails the spool as it grows)
+    // first; live mode tails the spool as it grows, ROTATING the
+    // consumed prefix away so the spool stays under spoolCapBytes)
+    val ownStdin = inProto == "stdio" && connStr(in) == "stdio://."
+    val liveSpool: Option[StdinSpool] =
+      if (ownStdin && !once) {
+        val sp = new StdinSpool(stdin)
+        sp.start()
+        Some(sp)
+      } else None
     val inUri =
-      if (inProto == "stdio" && connStr(in) == "stdio://.") {
+      if (ownStdin && once) {
         val spool = Files.createTempFile("relay-stdin", ".log")
         spool.toFile.deleteOnExit()
-        if (once) {
-          Files.copy(stdin, spool, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        } else {
-          val t = new Thread(() => {
-            val rdr = new java.io.BufferedReader(
-              new java.io.InputStreamReader(stdin, "UTF-8"))
-            // one appender held open for the thread's life, flushed per
-            // line — a Files.write(APPEND) per line would pay an
-            // open/close pair on every message of the ingest hot path
-            val w = new java.io.OutputStreamWriter(
-              Files.newOutputStream(spool, StandardOpenOption.APPEND),
-              "UTF-8")
-            try {
-              var line = rdr.readLine()
-              while (line != null) {
-                w.write(line); w.write('\n'); w.flush()
-                line = rdr.readLine()
-              }
-            } finally w.close()
-          }, "relay-stdin-spool")
-          t.setDaemon(true)
-          t.start()
-        }
+        Files.copy(stdin, spool,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         s"stdio://$spool"
-      } else connStr(in)
+      } else liveSpool.map(sp => s"stdio://${sp.path}")
+        .getOrElse(connStr(in))
 
-    val source = SeaStreamer.connect(inUri, spark)
     val sink = SeaStreamer.connect(connStr(out), spark)
-    val consumer = source.createConsumer(in.streamKeys,
-      ConsumerOptions(
-        mode = ConsumerMode.RealTime,
-        live = !once,
-        autoStreamReset =
-          if (offsetStart.getOrElse(once)) AutoStreamReset.Earliest
-          else AutoStreamReset.Latest))
     val producer = sink.createProducer(out.streamKey)
+    def consume(uri: String, reset: AutoStreamReset, lineBase: Long) =
+      SeaStreamer.connect(uri, spark).createConsumer(in.streamKeys,
+        ConsumerOptions(
+          mode = ConsumerMode.RealTime,
+          live = !once,
+          autoStreamReset = reset,
+          stdioLineBase = lineBase))
+    val reset0 =
+      if (offsetStart.getOrElse(once)) AutoStreamReset.Earliest
+      else AutoStreamReset.Latest
     if (once) {
       // bounded drain: pin the rows so count and send read one snapshot
-      val batch = consumer.localCheckpoint(true)
+      val batch = consume(inUri, reset0, 0L).localCheckpoint(true)
       val n = batch.count()
       producer.send(batch)
       n
     } else {
-      val q = consumer.writeStream
-        .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) =>
-          producer.send(df))
-        .start()
-      q.awaitTermination()
-      -1L
+      def ship(consumer: org.apache.spark.sql.DataFrame) =
+        consumer.writeStream
+          .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) =>
+            producer.send(df))
+          .start()
+      liveSpool match {
+        case None =>
+          // the input is the user's own file/broker — not ours to rotate
+          val q = ship(consume(inUri, reset0, 0L))
+          q.awaitTermination()
+          -1L
+        case Some(sp) =>
+          // our stdin spool: restart-on-rotation loop. Each query tails
+          // the current spool file; when the file outgrows the cap and
+          // the query has committed progress, stop it, drop the consumed
+          // prefix into a fresh file, and restart there with the line
+          // ordinals re-anchored (lineBase) so default sequences keep
+          // counting — an at-least-once cut exactly like a process
+          // restart (a batch in flight at the stop re-ships; committed
+          // prefixes never do).
+          def committedPos(q: org.apache.spark.sql.streaming.StreamingQuery) =
+            Option(q.lastProgress)
+              .flatMap(p => p.sources.headOption)
+              .flatMap(s => Option(s.endOffset))
+              .map(j => graft.stdio.spark.StdioOffset.fromJson(j))
+          var lineBase = 0L
+          var uri = inUri
+          var reset = reset0
+          var stoppedExternally = false
+          while (!stoppedExternally) {
+            val q = ship(consume(uri, reset, lineBase))
+            var rotated = false
+            while (q.isActive && !rotated) {
+              q.awaitTermination(250)
+              // only a query with COMMITTED progress is worth stopping:
+              // a zero-progress cut would drop nothing yet still flip a
+              // `latest` anchor to `earliest` on restart
+              if (q.isActive && sp.size > spoolCapBytes &&
+                  committedPos(q).exists(_.pos > 0)) {
+                q.stop()
+                while (q.isActive) q.awaitTermination(100)
+                // the final completed batch's end offset = the committed
+                // (shipped) prefix; re-read AFTER termination so no batch
+                // lands behind our back
+                val cut = committedPos(q).get
+                val next = sp.rotate(cut.pos)
+                System.err.println(
+                  s"[relay] spool over cap: rotated ${cut.pos} consumed " +
+                    s"bytes away, resuming at line ${cut.line} in $next")
+                lineBase = cut.line
+                uri = s"stdio://$next"
+                // everything left in the fresh file is unconsumed
+                reset = AutoStreamReset.Earliest
+                rotated = true
+              }
+            }
+            if (!rotated) stoppedExternally = true
+          }
+          -1L
+      }
     }
   }
 }

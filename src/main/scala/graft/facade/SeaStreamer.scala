@@ -184,7 +184,16 @@ object SeaStreamer {
         * keys map to iggy TOPICS — sea-streamer-iggy/src/
         * streamer.rs:141-155 resolves stream/topic the same way).
         */
-      iggyStream: String = graft.iggy.IggySource.DefaultStream)
+      iggyStream: String = graft.iggy.IggySource.DefaultStream,
+      /** Stdio live backend: the line ordinal the node file's byte 0
+        * corresponds to. Lets a caller that ROTATES the line file (drop
+        * the consumed prefix into a fresh file — [[graft.Relay]]'s bounded
+        * stdin spool) keep the documented restart-stable ordinals: the
+        * default sequence keeps counting across rotations instead of
+        * resetting to 0, which would break the monotone-per-key seq law
+        * the `seq % n` group dispatch relies on.
+        */
+      stdioLineBase: Long = 0L)
 
   /** `security` is the connect-level option surface
     * ([[KafkaOptions.securityOptions]] output, streamer.rs:38-106): on the
@@ -640,6 +649,7 @@ object SeaStreamer {
               .option("startingOffsets",
                 if (opts.autoStreamReset == AutoStreamReset.Earliest)
                   "earliest" else "latest")
+              .option("lineBase", opts.stdioLineBase.toString)
               .option("path", nodeAddr).load()
               .where(col("stream_key") === "broadcast" ||
                 col("stream_key").isin(streams: _*) ||

@@ -400,6 +400,12 @@ final class EmbeddedRedis(
         }
       case "XRANGE" =>
         val key = s(1)
+        // real redis's reply grammar: a range read on a key holding a
+        // string is a type error, never an empty range — the EOS tip-probe
+        // refusal check depends on this fidelity (round-18 advice)
+        if (kv.containsKey(key))
+          return Resp.Err(
+            "WRONGTYPE Operation against a key holding the wrong kind of value")
         val start = s(2)
         val end = s(3)
         val count = args.map(new String(_, UTF_8)).indexOf("COUNT") match {
@@ -434,6 +440,11 @@ final class EmbeddedRedis(
         })
       case "XREVRANGE" =>
         val key = s(1)
+        // same type fidelity as XRANGE above (the EOS writers' tip-ms
+        // floor probes are XREVRANGE COUNT 1)
+        if (kv.containsKey(key))
+          return Resp.Err(
+            "WRONGTYPE Operation against a key holding the wrong kind of value")
         val count = args.map(new String(_, UTF_8)).indexOf("COUNT") match {
           case -1 => Int.MaxValue
           case i => new String(args(i + 1), UTF_8).toInt

@@ -155,6 +155,14 @@ private[graft] object EosCommit {
         // destination tip-ms floors, read UNDER the watch (pre-MULTI)
         val lastMs = scala.collection.mutable.Map.empty[String, Long]
         keys.zip(replies.drop(2)).foreach { case (k, v) =>
+          // a squatted destination key (WRONGTYPE) must refuse with the
+          // same diagnostic shape as the WATCH/GET checks above, not leak
+          // a "bad XRANGE reply" from the decoder (round-17 advice)
+          v match {
+            case Resp.Err(m) =>
+              throw new IllegalStateException(s"tip probe refused ($k): $m")
+            case _ => ()
+          }
           lastMs(k) = RedisStreams.decodeEntriesWithIds(v, "", 0L)
             .headOption.map(e =>
               RedisStreams.parseEntryId(e._1)._1).getOrElse(0L)

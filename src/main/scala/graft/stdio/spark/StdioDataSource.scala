@@ -95,6 +95,10 @@ class StdioMicroBatchStream(options: CaseInsensitiveStringMap)
     throw new IllegalArgumentException("stdio-lines requires a path"))
   private val latest = options.getOrDefault("startingOffsets", "latest")
     .equalsIgnoreCase("latest")
+  // the line ordinal byte 0 of THIS file corresponds to: a rotated spool
+  // (consumed prefix dropped into a fresh file) passes the ordinal reached
+  // so far, so default sequences keep counting instead of resetting to 0
+  private val lineBase = options.getOrDefault("lineBase", "0").toLong
 
   /** Scan `[from, EOF)` for complete lines; returns (pos-after-last-'\n',
     * newline count). O(new bytes) per trigger on the driver — stdio is one
@@ -131,8 +135,9 @@ class StdioMicroBatchStream(options: CaseInsensitiveStringMap)
 
   override def initialOffset(): Offset = {
     val o =
-      if (latest) { val (p, l) = scanComplete(0L); StdioOffset(p, l) }
-      else StdioOffset(0L, 0L)
+      if (latest) {
+        val (p, l) = scanComplete(0L); StdioOffset(p, lineBase + l)
+      } else StdioOffset(0L, lineBase)
     if (lastPlanned == null) lastPlanned = o
     o
   }

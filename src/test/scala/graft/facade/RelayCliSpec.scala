@@ -46,6 +46,12 @@ class RelayCliSpec extends AnyFunSuite {
     assert(Clock.parseDuration("1500us") == 1L)
     assert(Clock.parseDuration("1ns") == 1L) // sub-ms floors to 1ms
     intercept[IllegalArgumentException](Clock.parseDuration("1h"))
+    // the reference parses the count as u64: a signed count is a PARSE
+    // error there, so it must be one here too — not a raw
+    // IllegalArgumentException escaping from Thread.sleep(-1000)
+    intercept[IllegalArgumentException](Clock.parseDuration("-1s"))
+    intercept[IllegalArgumentException](Clock.parseDuration("+1s"))
+    intercept[IllegalArgumentException](Clock.parseDuration("s"))
   }
 
   test("relay --once: stdio line file -> redis, then redis -> stdio; " +
@@ -169,6 +175,81 @@ class RelayCliSpec extends AnyFunSuite {
       val vals = srv.entries("live")
         .map(e => new String(e._2.head._2, "UTF-8"))
       assert(vals == Seq("l0", "l1", "l2"), s"order violated: $vals")
+    } finally srv.close()
+  }
+
+  test("relay live stdin spool stays under the cap: consumed prefixes " +
+      "rotate away, nothing is lost or reordered across rotations") {
+    val srv = new EmbeddedRedis
+    val before = spark.streams.active.map(_.id).toSet
+    val tmp = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"))
+    def spools(): Set[java.nio.file.Path] = {
+      val s = Files.list(tmp)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("relay-stdin")).toSet
+      } finally s.close()
+    }
+    val preexisting = spools()
+    try {
+      val n = 400
+      val capBytes = 2048L
+      val pipeIn = new java.io.PipedInputStream(1 << 20)
+      val pipeOut = new java.io.PipedOutputStream(pipeIn)
+      @volatile var result = 0L
+      val t = new Thread(() => {
+        result = Relay.run(spark, "stdio:///cap",
+          s"redis://${srv.host}:${srv.port}/cap",
+          offsetStart = Some(true), once = false, stdin = pipeIn,
+          spoolCapBytes = capBytes)
+      }, "relay-cap-test")
+      t.start()
+      // ~30 bytes/line x 400 >> the 2 KiB cap; unique increasing ms per
+      // entry (the redis producer packs ids from ts)
+      val lines = (0 until n).map(i => StdioParser.formatLine(
+        new java.sql.Timestamp(100000L + i), "cap", i.toLong, s"m$i"))
+      val observed = scala.collection.mutable.Set.empty[java.nio.file.Path]
+      val deadline = System.currentTimeMillis() + 120000
+      lines.foreach { l =>
+        pipeOut.write((l + "\n").getBytes("UTF-8"))
+        pipeOut.flush()
+      }
+      def shipped() = srv.entries("cap").size
+      while (shipped() < n && System.currentTimeMillis() < deadline) {
+        observed ++= (spools() -- preexisting)
+        Thread.sleep(50)
+      }
+      assert(shipped() == n, s"only ${shipped()} of $n shipped")
+      // all consumed: the next monitor tick must rotate the oversized
+      // spool down to (at most) the cap
+      def liveSize() = (spools() -- preexisting)
+        .map(p => if (Files.exists(p)) Files.size(p) else 0L)
+        .maxOption.getOrElse(0L)
+      while (liveSize() > capBytes &&
+          System.currentTimeMillis() < deadline) {
+        observed ++= (spools() -- preexisting)
+        Thread.sleep(50)
+      }
+      observed ++= (spools() -- preexisting)
+      assert(liveSize() <= capBytes,
+        s"spool still over cap after full consumption: ${liveSize()}")
+      assert(observed.size >= 2,
+        s"rotation never produced a fresh spool file: $observed")
+      // values intact and IN ORDER across every rotation cut
+      val vals = srv.entries("cap")
+        .map(e => new String(e._2.head._2, "UTF-8"))
+      assert(vals == (0 until n).map(i => s"m$i"),
+        s"loss/reorder across rotations (got ${vals.size} values)")
+      // unblock the relay: stop whatever query generation is active (it
+      // may be mid-restart, so retry until the thread exits)
+      while (t.isAlive && System.currentTimeMillis() < deadline) {
+        spark.streams.active.filterNot(q => before(q.id)).foreach(_.stop())
+        t.join(500)
+      }
+      assert(!t.isAlive && result == -1L,
+        "a stopped live relay returns -1 and unblocks")
     } finally srv.close()
   }
 

@@ -107,6 +107,32 @@ class StdioLiveSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("lineBase re-anchors the default ordinals: a rotated spool file " +
+      "keeps counting where the old file stopped instead of resetting " +
+      "to 0 (the Relay spool-cap rotation contract)") {
+    val f = Files.createTempDirectory("stdio-base").resolve("in.txt")
+    // this file is the ROTATED TAIL: its byte 0 is logically line 7 of
+    // the rotated-away history
+    append(f, "[fruits] after-rot-1", "no meta")
+    val df = spark.readStream.format("stdio-lines")
+      .option("startingOffsets", "earliest").option("lineBase", "7")
+      .option("path", f.toString).load()
+    val q = df.select(col("stream_key"), col("sequence"),
+        col("payload").cast("string").as("p"))
+      .writeStream.format("memory").queryName("stdio_base_sink").start()
+    try {
+      q.processAllAvailable()
+      append(f, "[fruits] after-rot-2")
+      q.processAllAvailable()
+      val got = spark.table("stdio_base_sink")
+        .as[(String, Long, String)].collect().toSet
+      assert(got == Set(
+        ("fruits", 7L, "after-rot-1"),
+        ("broadcast", 8L, "no meta"),
+        ("fruits", 9L, "after-rot-2")))
+    } finally q.stop()
+  }
+
   test("a partial line without its newline is not delivered yet") {
     val f = Files.createTempDirectory("stdio-live").resolve("in.txt")
     Files.write(f, "[fruits] complete\n[fruits] par".getBytes("UTF-8"),

@@ -92,6 +92,25 @@ class EosCommitSpec extends AnyFunSuite {
     } finally { rc.close(); srv.close() }
   }
 
+  test("a refused destination tip probe fails LOUD with the protocol's " +
+      "own diagnostic: a foreign process squatting the destination key " +
+      "with a string makes XREVRANGE reply WRONGTYPE — that must read " +
+      "'tip probe refused', not leak a decoder error (round-17 advice)") {
+    val srv = new EmbeddedRedis
+    val rc = new RedisClient(srv.host, srv.port)
+    try {
+      rc.command(RedisStreams.set(dstKey, "squatter"): _*)
+      val e = intercept[IllegalStateException] {
+        EosCommit.commit(rc, "ecl5", dstKey,
+          Vector((0L, 100L, "a".getBytes("UTF-8"))),
+          finalCursor = 1L, label = "tipsquat")
+      }
+      assert(e.getMessage.contains("tip probe refused"), e.getMessage)
+      assert(ledgerOf(srv, "ecl5").isEmpty,
+        "nothing may land on a refused probe")
+    } finally { rc.close(); srv.close() }
+  }
+
   test("the batch limit regrows after a landed commit: an early " +
       "contention burst must not degrade the rest of the drain to " +
       "single-entry transactions (ADVICE r16) — pre-EXEC windows stay " +
