@@ -54,6 +54,12 @@ object Bench {
     } catch { case _: Exception => -1.0 }
 
   private def tideGuard(): (Double, Long) = {
+    // the 2.0 default is calibrated to THIS rig, not normalized by cores:
+    // the bench box idles at ~0.3 and the r17 steal windows read 4-5, so
+    // 2.0 splits them cleanly. On a host with legitimate multi-core
+    // background load, set SPARK_GRAFT_TIDE_LOAD1 higher (or
+    // SPARK_GRAFT_TIDE_WAIT_SEC=0 to disable the wait) — receipt scripts
+    // that manage their own calm windows should do the latter.
     val threshold = sys.env.get("SPARK_GRAFT_TIDE_LOAD1")
       .map(_.toDouble).getOrElse(2.0)
     val capSec = sys.env.get("SPARK_GRAFT_TIDE_WAIT_SEC")

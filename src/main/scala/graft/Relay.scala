@@ -114,6 +114,7 @@ object Relay {
     private val lock = new Object
     private var cur: java.nio.file.Path = fresh()
     private var w = appender(cur)
+    private var eof = false // stdin closed: never reopen an appender fd
     private def appender(p: java.nio.file.Path) =
       Files.newOutputStream(p, StandardOpenOption.APPEND)
     def path: java.nio.file.Path = lock.synchronized(cur)
@@ -131,10 +132,10 @@ object Relay {
       val in = Files.newInputStream(cur)
       try { in.skipNBytes(pos); in.transferTo(out) }
       finally { in.close(); out.close() }
-      w.close()
+      if (w != null) w.close()
       Files.deleteIfExists(cur)
       cur = next
-      w = appender(next)
+      w = if (eof) null else appender(next)
       next
     }
     /** Daemon thread: stdin → current spool, line-at-a-time, flushed per
@@ -145,10 +146,18 @@ object Relay {
       val t = new Thread(() => {
         val rdr = new java.io.BufferedReader(
           new java.io.InputStreamReader(stdin, "UTF-8"))
-        var line = rdr.readLine()
-        while (line != null) {
-          append(line)
-          line = rdr.readLine()
+        try {
+          var line = rdr.readLine()
+          while (line != null) {
+            append(line)
+            line = rdr.readLine()
+          }
+        } finally lock.synchronized {
+          // stdin EOF: no appender fd left open (nor reopened by later
+          // rotations) for the relay's possibly-weeks-long life
+          if (w != null) w.close()
+          w = null
+          eof = true
         }
       }, "relay-stdin-spool")
       t.setDaemon(true)
@@ -270,8 +279,18 @@ object Relay {
               q.awaitTermination(250)
               // only a query with COMMITTED progress is worth stopping:
               // a zero-progress cut would drop nothing yet still flip a
-              // `latest` anchor to `earliest` on restart
-              if (q.isActive && sp.size > spoolCapBytes &&
+              // `latest` anchor to `earliest` on restart. And prefer a
+              // QUIESCENT stop (no batch in flight) — stopping mid-send
+              // makes the in-flight batch re-ship after restart
+              // (at-least-once). A firehose that never goes idle forces
+              // the cut anyway at 4x the cap: bounded disk wins over the
+              // duplicate-free cut there, same trade a crash makes.
+              val st = q.status
+              val quiescent = !st.isTriggerActive && !st.isDataAvailable
+              val size = sp.size
+              if (q.isActive &&
+                  (size > spoolCapBytes && quiescent ||
+                    size > 4L * spoolCapBytes) &&
                   committedPos(q).exists(_.pos > 0)) {
                 q.stop()
                 while (q.isActive) q.awaitTermination(100)

@@ -328,6 +328,24 @@ final class EmbeddedRedis(
         bounceAfter = bounceAfter.updated(s(1), (left - 1, target))
       }
     }
+    // real redis's type fidelity, family-wide: EVERY stream command on a
+    // key holding a string replies WRONGTYPE — never an empty range, a
+    // silently-created group, or a served read (round-18 review; XADD
+    // carries its own documented check in its handler)
+    val streamKeyOf: Option[String] = name match {
+      case "XRANGE" | "XREVRANGE" | "XAUTOCLAIM" | "XACK" | "XTRIM" |
+          "XDEL" | "XLEN" | "XSETID" if args.length > 1 => Some(s(1))
+      case "XGROUP" if args.length > 2 => Some(s(2))
+      case "XREAD" | "XREADGROUP" =>
+        val rendered = args.map(new String(_, UTF_8))
+        val si = rendered.indexOf("STREAMS")
+        if (si >= 0 && si + 1 < rendered.length) Some(rendered(si + 1))
+        else None
+      case _ => None
+    }
+    if (streamKeyOf.exists(kv.containsKey))
+      return Resp.Err(
+        "WRONGTYPE Operation against a key holding the wrong kind of value")
     name match {
       case c0 if (c0 == "XRANGE" || c0 == "XREAD" || c0 == "XREADGROUP") &&
           takeFault(dropReads) => throw DropConn
@@ -400,12 +418,6 @@ final class EmbeddedRedis(
         }
       case "XRANGE" =>
         val key = s(1)
-        // real redis's reply grammar: a range read on a key holding a
-        // string is a type error, never an empty range — the EOS tip-probe
-        // refusal check depends on this fidelity (round-18 advice)
-        if (kv.containsKey(key))
-          return Resp.Err(
-            "WRONGTYPE Operation against a key holding the wrong kind of value")
         val start = s(2)
         val end = s(3)
         val count = args.map(new String(_, UTF_8)).indexOf("COUNT") match {
@@ -440,11 +452,6 @@ final class EmbeddedRedis(
         })
       case "XREVRANGE" =>
         val key = s(1)
-        // same type fidelity as XRANGE above (the EOS writers' tip-ms
-        // floor probes are XREVRANGE COUNT 1)
-        if (kv.containsKey(key))
-          return Resp.Err(
-            "WRONGTYPE Operation against a key holding the wrong kind of value")
         val count = args.map(new String(_, UTF_8)).indexOf("COUNT") match {
           case -1 => Int.MaxValue
           case i => new String(args(i + 1), UTF_8).toInt

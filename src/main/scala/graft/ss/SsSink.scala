@@ -38,10 +38,15 @@ object SsSink {
         w.write(SeaMessage("clock", 0L, i,
           new java.sql.Timestamp(System.currentTimeMillis()),
           s"tick-$i".getBytes("UTF-8")))
+        // flush per tick, not per run: the endless default (`--ticks`
+        // absent = u64::MAX, sink.rs:42) never reaches a post-loop flush,
+        // and a drip-feed clock buffered 64 KB deep would keep the
+        // container empty for a concurrent tail/decode for ~minutes and
+        // lose every buffered tick on Ctrl-C (round-18 review)
+        w.flush()
         i += 1
         if (i < ticks) Thread.sleep(intervalMs)
       }
-      w.flush()
       i
     } finally w.close()
   }

@@ -21,15 +21,26 @@ object SsTail {
     */
   private[ss] def tail(path: String, out: java.io.OutputStream,
       fromEnd: Boolean = true, pollMs: Long = 50L,
-      stop: () => Boolean = () => false): Long = {
+      stop: () => Boolean = () => false,
+      anchored: Long => Unit = _ => ()): Long = {
     val f = new java.io.RandomAccessFile(path, "r")
     try {
       var pos = if (fromEnd) f.length() else 0L
+      anchored(pos)
       var copied = 0L
       val buf = new Array[Byte](1 << 16)
       var done = false
       while (!done) {
         val len = f.length()
+        if (len < pos) {
+          // the file was truncated under us (logrotate copytruncate,
+          // `> file`): a cursor past EOF would stall forever on
+          // `len > pos`. Re-anchor at the new start like `tail -f` does
+          // ("file truncated") and keep following (round-18 review).
+          System.err.println(s"[tail] $path truncated ($pos -> $len), " +
+            "following from the start of the new content")
+          pos = 0L
+        }
         if (len > pos) {
           f.seek(pos)
           var remaining = len - pos

@@ -206,20 +206,28 @@ class RelayCliSpec extends AnyFunSuite {
           spoolCapBytes = capBytes)
       }, "relay-cap-test")
       t.start()
-      // ~30 bytes/line x 400 >> the 2 KiB cap; unique increasing ms per
-      // entry (the redis producer packs ids from ts)
+      // ~40 bytes/line x 400 >> the 2 KiB cap; unique increasing ms per
+      // entry (the redis producer packs ids from ts). Fed in WAVES, each
+      // drained before the next: rotations then always find a quiescent
+      // boundary (the relay only force-cuts mid-flight past 4x the cap,
+      // which a drained spool never reaches), so the exactly-once assert
+      // below is the code's own happy-path guarantee, not luck.
       val lines = (0 until n).map(i => StdioParser.formatLine(
         new java.sql.Timestamp(100000L + i), "cap", i.toLong, s"m$i"))
       val observed = scala.collection.mutable.Set.empty[java.nio.file.Path]
       val deadline = System.currentTimeMillis() + 120000
-      lines.foreach { l =>
-        pipeOut.write((l + "\n").getBytes("UTF-8"))
-        pipeOut.flush()
-      }
       def shipped() = srv.entries("cap").size
-      while (shipped() < n && System.currentTimeMillis() < deadline) {
-        observed ++= (spools() -- preexisting)
-        Thread.sleep(50)
+      lines.grouped(100).zipWithIndex.foreach { case (wave, w) =>
+        wave.foreach { l =>
+          pipeOut.write((l + "\n").getBytes("UTF-8"))
+          pipeOut.flush()
+        }
+        val waveEnd = math.min((w + 1) * 100, n)
+        while (shipped() < waveEnd &&
+            System.currentTimeMillis() < deadline) {
+          observed ++= (spools() -- preexisting)
+          Thread.sleep(50)
+        }
       }
       assert(shipped() == n, s"only ${shipped()} of $n shipped")
       // all consumed: the next monitor tick must rotate the oversized

@@ -285,4 +285,43 @@ class RedisClientSpec extends AnyFunSuite {
       } finally q.stop()
     } finally srv.close()
   }
+
+  test("EVERY stream command on a string-squatted key replies WRONGTYPE " +
+      "like real redis — no empty range, no silently-created group, no " +
+      "served read (round-18 family-wide type fidelity)") {
+    val srv = new EmbeddedRedis
+    val rc = new RedisClient(srv.host, srv.port)
+    try {
+      rc.command(RedisStreams.set("sq", "string-value"): _*)
+      def raw(parts: String*): Seq[Array[Byte]] =
+        parts.map(_.getBytes("UTF-8"))
+      val family: Seq[Seq[Array[Byte]]] = Seq(
+        RedisStreams.xrange("sq"),
+        RedisStreams.xrevrangeTip("sq"),
+        RedisStreams.xadd("sq", 1L, "x".getBytes("UTF-8")),
+        RedisStreams.xack("sq", "g", Seq("1-1")),
+        raw("XREADGROUP", "GROUP", "g", "c", "COUNT", "1",
+          "STREAMS", "sq", ">"),
+        raw("XREAD", "COUNT", "1", "STREAMS", "sq", "0-0"),
+        raw("XGROUP", "CREATE", "sq", "g", "0"),
+        raw("XAUTOCLAIM", "sq", "g", "c", "0", "0-0"),
+        raw("XTRIM", "sq", "MAXLEN", "1"),
+        raw("XDEL", "sq", "1-1"),
+        raw("XLEN", "sq"))
+      val replies = rc.pipelineRaw(family)
+      family.zip(replies).foreach { case (cmd, reply) =>
+        val cname = new String(cmd.head, "UTF-8")
+        reply match {
+          case Resp.Err(m) =>
+            assert(m.startsWith("WRONGTYPE"), s"$cname: $m")
+          case other => fail(s"$cname served a squatted key: $other")
+        }
+      }
+      // and the squat is not corrupted: the string still reads back
+      assert(rc.command(RedisStreams.get("sq"): _*) match {
+        case Resp.Bulk(bs) => new String(bs, "UTF-8") == "string-value"
+        case _ => false
+      })
+    } finally { rc.close(); srv.close() }
+  }
 }

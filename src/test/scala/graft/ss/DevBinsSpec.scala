@@ -19,12 +19,15 @@ class DevBinsSpec extends AnyFunSuite {
     val buf = new java.io.ByteArrayOutputStream()
     @volatile var stopNow = false
     @volatile var copied = -1L
+    val anchorLatch = new java.util.concurrent.CountDownLatch(1)
     val t = new Thread(() =>
       copied = SsTail.tail(f.toString, buf, fromEnd = true, pollMs = 10L,
-        stop = () => stopNow))
+        stop = () => stopNow,
+        anchored = pos => { assert(pos == 18L); anchorLatch.countDown() }))
     t.start()
-    // let the tail anchor, then grow the file twice
-    Thread.sleep(150)
+    // grow the file only once the tail has ANCHORED (an unsynchronized
+    // sleep could let the append land before the EOF anchor)
+    assert(anchorLatch.await(10, java.util.concurrent.TimeUnit.SECONDS))
     Files.write(f, "live-1\n".getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.APPEND)
     Thread.sleep(150)
@@ -50,6 +53,33 @@ class DevBinsSpec extends AnyFunSuite {
     SsTail.tail(f.toString, buf, fromEnd = false, pollMs = 5L,
       stop = () => true)
     assert(buf.toByteArray.toSeq == bytes.toSeq)
+  }
+
+  test("tail survives truncation: re-anchors at the new start instead " +
+      "of stalling past EOF forever (tail -f's 'file truncated' law)") {
+    val f = Files.createTempFile("sstail3", ".log")
+    Files.write(f, "aaaa\n".getBytes("UTF-8"))
+    val buf = new java.io.ByteArrayOutputStream()
+    @volatile var stopNow = false
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() =>
+      SsTail.tail(f.toString, buf, fromEnd = false, pollMs = 10L,
+        stop = () => stopNow, anchored = _ => latch.countDown()))
+    t.start()
+    assert(latch.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    val deadline = System.currentTimeMillis() + 10000
+    while (buf.size() < 5 && System.currentTimeMillis() < deadline)
+      Thread.sleep(20)
+    // truncate-and-rewrite with SHORTER content: pos (5) > len (3)
+    Files.write(f, "bb\n".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    while (buf.size() < 8 && System.currentTimeMillis() < deadline)
+      Thread.sleep(20)
+    stopNow = true
+    t.join(5000)
+    assert(!t.isAlive)
+    assert(buf.toString("UTF-8") == "aaaa\nbb\n",
+      s"got '${buf.toString("UTF-8")}'")
   }
 
   test("sink writes the clock stream into a .ss container: key 'clock', " +
