@@ -225,7 +225,15 @@ object Relay {
         .getOrElse(connStr(in))
 
     val sink = SeaStreamer.connect(connStr(out), spark)
-    val producer = sink.createProducer(out.streamKey)
+    // a LIVE relay's rotation/restart loop re-ships any batch its stop
+    // interrupted; with redis ts-packed ids those re-sends can sit at or
+    // below the destination tip, so the producer floors them there
+    // (duplicates, never a crash-looping "equal or smaller" refusal).
+    // --once keeps the refusal loud: its only re-send source is the USER
+    // re-running the drain, and silently duplicating a whole stream is
+    // exactly what its --offset guard refuses to do quietly.
+    val producer = sink.createProducer(out.streamKey,
+      redisClampToTip = !once)
     def consume(uri: String, reset: AutoStreamReset, lineBase: Long) =
       SeaStreamer.connect(uri, spark).createConsumer(in.streamKeys,
         ConsumerOptions(
@@ -282,9 +290,15 @@ object Relay {
               // `latest` anchor to `earliest` on restart. And prefer a
               // QUIESCENT stop (no batch in flight) — stopping mid-send
               // makes the in-flight batch re-ship after restart
-              // (at-least-once). A firehose that never goes idle forces
-              // the cut anyway at 4x the cap: bounded disk wins over the
-              // duplicate-free cut there, same trade a crash makes.
+              // (at-least-once). The status snapshot races the stop (a
+              // batch may start in between), so quiescence is best-effort
+              // duplicate avoidance, not a guarantee; the cut POSITION is
+              // still exact because it is re-read after termination. A
+              // firehose that never goes idle forces the cut anyway at 4x
+              // the cap: bounded disk wins over the duplicate-free cut
+              // there, same trade a crash makes. (Duplicates are safe on
+              // the wire: the redis producer's ms-* ids accept an equal-ms
+              // re-send as a new entry.)
               val st = q.status
               val quiescent = !st.isTriggerActive && !st.isDataAvailable
               val size = sp.size
@@ -293,7 +307,19 @@ object Relay {
                     size > 4L * spoolCapBytes) &&
                   committedPos(q).exists(_.pos > 0)) {
                 q.stop()
-                while (q.isActive) q.awaitTermination(100)
+                // drain to full termination; if our stop interrupted a
+                // batch mid-send the executor's exception may surface as a
+                // query FAILURE (not every wrapped interrupt is recognized
+                // by Spark) — that is still a terminated query, and the
+                // restart from the committed position covers it, so don't
+                // let the rethrow kill the long-lived relay
+                while (q.isActive)
+                  try q.awaitTermination(100)
+                  catch {
+                    case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+                      System.err.println(
+                        s"[relay] query terminated by rotation stop: ${e.getMessage}")
+                  }
                 // the final completed batch's end offset = the committed
                 // (shipped) prefix; re-read AFTER termination so no batch
                 // lands behind our back

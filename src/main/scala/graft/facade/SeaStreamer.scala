@@ -692,14 +692,15 @@ object SeaStreamer {
 
     def createProducer(stream: String, redisShards: Int = 1,
         iggyPartitions: Int = 4,
-        iggyStream: String = graft.iggy.IggySource.DefaultStream): Producer = {
+        iggyStream: String = graft.iggy.IggySource.DefaultStream,
+        redisClampToTip: Boolean = false): Producer = {
       if (!Envelope.isValidStreamKey(stream) || stream.isEmpty)
         throw SeaStreamErr.InvalidStreamKey(stream)
       validIggyStream(iggyStream)
       validateLoopbackNode()
       new Producer(spark, scheme, allNodeAddrs, Some(stream), redisShards,
         iggyPartitions, iggyStream, security, redisTls, redisAuth, iggyAuth,
-        stdioLoopback)
+        stdioLoopback, redisClampToTip)
     }
 
     /** Generic producer: stream key comes from each row. */
@@ -1223,7 +1224,15 @@ object SeaStreamer {
         * also append to the node's line file so this process's consumers
         * see them; default off like the reference.
         */
-      stdioLoopback: Boolean = false) {
+      stdioLoopback: Boolean = false,
+      /** Redis sends floor their ms-packed ids at each key's current tip
+        * ([[graft.redis.RedisSource.write]] `clampToTip`) so a re-send of
+        * rows at-or-below the tip — a relay restarted mid-batch — lands
+        * as duplicates instead of crash-looping on the server's
+        * "equal or smaller" refusal. Default off: first-run producers pay
+        * no tip probe and non-monotone sends stay loud.
+        */
+      redisClampToTip: Boolean = false) {
 
     private def node: String = nodes.head
     private def redisSharded: Boolean = redisShards > 1
@@ -1521,7 +1530,8 @@ object SeaStreamer {
               if (nodes.size > 1)
                 Some(nodes.map(SeaStreamer.hostPort(_, 6379)))
               else None,
-            tls = redisTls, auth = redisAuth)
+            tls = redisTls, auth = redisAuth,
+            clampToTip = redisClampToTip)
         case "iggy" =>
           // topic = stream key, partition = shard % iggyPartitions, topics
           // created on demand (create_stream/topic_if_not_exists defaults,

@@ -331,24 +331,33 @@ final class EmbeddedRedis(
     // real redis's type fidelity, family-wide: EVERY stream command on a
     // key holding a string replies WRONGTYPE — never an empty range, a
     // silently-created group, or a served read (round-18 review; XADD
-    // carries its own documented check in its handler)
-    val streamKeyOf: Option[String] = name match {
+    // carries its own documented check in its handler). Multi-stream
+    // XREAD/XREADGROUP refuse when ANY listed key is squatted (the
+    // STREAMS tail is all keys then all ids, so the key block is its
+    // first half); the key bytes are decoded only on a STREAMS hit so
+    // the read hot path pays no extra full-arg render.
+    def squatted: Boolean = name match {
       case "XRANGE" | "XREVRANGE" | "XAUTOCLAIM" | "XACK" | "XTRIM" |
-          "XDEL" | "XLEN" | "XSETID" if args.length > 1 => Some(s(1))
-      case "XGROUP" if args.length > 2 => Some(s(2))
+          "XDEL" | "XLEN" | "XSETID" if args.length > 1 =>
+        kv.containsKey(s(1))
+      case "XGROUP" if args.length > 2 => kv.containsKey(s(2))
       case "XREAD" | "XREADGROUP" =>
-        val rendered = args.map(new String(_, UTF_8))
-        val si = rendered.indexOf("STREAMS")
-        if (si >= 0 && si + 1 < rendered.length) Some(rendered(si + 1))
-        else None
-      case _ => None
+        val si = args.indexWhere(a =>
+          new String(a, UTF_8).toUpperCase == "STREAMS")
+        si >= 0 && si + 1 < args.length && {
+          val nStreams = (args.length - si - 1) / 2
+          (0 until nStreams).exists(j => kv.containsKey(s(si + 1 + j)))
+        }
+      case _ => false
     }
-    if (streamKeyOf.exists(kv.containsKey))
-      return Resp.Err(
-        "WRONGTYPE Operation against a key holding the wrong kind of value")
     name match {
+      // connection-level faults fire BEFORE command semantics — a real
+      // dropped connection never gets far enough to type-check the key
       case c0 if (c0 == "XRANGE" || c0 == "XREAD" || c0 == "XREADGROUP") &&
           takeFault(dropReads) => throw DropConn
+      case _ if squatted =>
+        return Resp.Err(
+          "WRONGTYPE Operation against a key holding the wrong kind of value")
       case "XADD" if takeCountdown(dropXaddCountdown) => throw DropConn
       case "XADD" if takeFault(failXadds) => Resp.Err(failXaddError)
       case "ASKING" => Resp.Simple("OK")

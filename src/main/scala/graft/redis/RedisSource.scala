@@ -436,11 +436,24 @@ object RedisSource {
       }
   }
 
+  /** `clampToTip`: floor each row's packed ms at the destination key's
+    * CURRENT tip ms (one `XREVRANGE … COUNT 1` probe per key per
+    * partition — the EOS sinks' floor idiom, minus the WATCH fence).
+    * Without it a re-send of rows older than the tip — a relay restarted
+    * from its last committed offset after a mid-batch cut, late event
+    * times after a process restart — is refused by real redis ("equal or
+    * smaller than the target stream top item") and crash-loops the
+    * producer; with it those rows land as duplicates at the tip, the
+    * at-least-once trade the restart already made. Off by default: a
+    * first-run producer pays no probe, and a refused non-monotone send
+    * stays loud for callers that want the invariant enforced.
+    */
   def write(df: DataFrame, host: String, port: Int,
       sharded: Boolean = true, pipelineSize: Int = 100,
       clusterSeeds: Option[Seq[(String, Int)]] = None,
       tls: Option[RedisClient.Tls] = None,
-      auth: Option[RedisClient.Auth] = None): Unit = {
+      auth: Option[RedisClient.Auth] = None,
+      clampToTip: Boolean = false): Unit = {
     import df.sparkSession.implicits._
     import org.apache.spark.sql.functions.col
     val keyCols =
@@ -452,17 +465,37 @@ object RedisSource {
       .as[(String, Long, java.sql.Timestamp, Array[Byte])]
       .foreachPartition { (rows: Iterator[(String, Long, java.sql.Timestamp, Array[Byte])]) =>
         if (rows.nonEmpty) {
-          def cmd(r: (String, Long, java.sql.Timestamp, Array[Byte])) =
-            RedisStreams.xadd(
-              RedisStreams.shardedKey(r._1, r._2, sharded), r._3.getTime, r._4)
           def keyOf(r: (String, Long, java.sql.Timestamp, Array[Byte])) =
             RedisStreams.shardedKey(r._1, r._2, sharded)
+          // rows arrive ts-sorted and one redis key per partition (the
+          // repartition above), so a single running floor per key keeps
+          // clamped ids monotone within this task
+          val floor = scala.collection.mutable.Map.empty[String, Long]
+          def clamp(key: String, ms: Long, probe: String => Long): Long =
+            if (!clampToTip) ms
+            else {
+              val m = math.max(ms, floor.getOrElseUpdate(key, probe(key)))
+              floor(key) = m
+              m
+            }
+          def tipOf(reply: graft.redis.Resp.Value): Long =
+            RedisStreams.decodeEntriesWithIds(reply, "", 0L)
+              .headOption.map(e => RedisStreams.parseEntryId(e._1)._1)
+              .getOrElse(0L)
+          def cmdWith(probe: String => Long)
+              : ((String, Long, java.sql.Timestamp, Array[Byte])) => Seq[Array[Byte]] =
+            r => {
+              val key = keyOf(r)
+              RedisStreams.xadd(key, clamp(key, r._3.getTime, probe), r._4)
+            }
           clusterSeeds match {
             case Some(seeds) =>
               val cc = new RedisClusterClient(seeds, tls, auth)
               try {
                 try cc.bootstrapSlots()
                 catch { case scala.util.control.NonFatal(_) => () } // lazy MOVED fallback
+                val cmd = cmdWith(k =>
+                  tipOf(cc.command(k, RedisStreams.xrevrangeTip(k): _*)))
                 rows.grouped(pipelineSize).foreach { chunk =>
                   // time order within each key survives: Seq.groupBy keeps
                   // encounter order inside every group
@@ -477,8 +510,15 @@ object RedisSource {
               // blind batch replay would duplicate already-acked ms-* ids
               val session = new RedisClient.Session(
                 () => new RedisClient(host, port, tls = tls, auth = auth))
-              try rows.grouped(pipelineSize).foreach { chunk =>
-                session.pipelineAcked(chunk.map(cmd))
+              try {
+                val cmd = cmdWith { k =>
+                  val c = new RedisClient(host, port, tls = tls, auth = auth)
+                  try tipOf(c.command(RedisStreams.xrevrangeTip(k): _*))
+                  finally c.close()
+                }
+                rows.grouped(pipelineSize).foreach { chunk =>
+                  session.pipelineAcked(chunk.map(cmd))
+                }
               } finally session.close()
           }
         }

@@ -208,10 +208,13 @@ class RelayCliSpec extends AnyFunSuite {
       t.start()
       // ~40 bytes/line x 400 >> the 2 KiB cap; unique increasing ms per
       // entry (the redis producer packs ids from ts). Fed in WAVES, each
-      // drained before the next: rotations then always find a quiescent
-      // boundary (the relay only force-cuts mid-flight past 4x the cap,
-      // which a drained spool never reaches), so the exactly-once assert
-      // below is the code's own happy-path guarantee, not luck.
+      // drained before the next, then a WRITE-FREE window two monitor
+      // periods long: the status-vs-stop race needs a line to land in the
+      // instant between the relay's quiescence snapshot and its stop, and
+      // a quiet window guarantees any over-cap rotation runs with nothing
+      // to race — so the exactly-once assert below is the code's
+      // happy-path guarantee, not luck. (One wave is ~4 KB, under the 4x
+      // force-cut bar, so no mid-wave cut either.)
       val lines = (0 until n).map(i => StdioParser.formatLine(
         new java.sql.Timestamp(100000L + i), "cap", i.toLong, s"m$i"))
       val observed = scala.collection.mutable.Set.empty[java.nio.file.Path]
@@ -228,6 +231,8 @@ class RelayCliSpec extends AnyFunSuite {
           observed ++= (spools() -- preexisting)
           Thread.sleep(50)
         }
+        Thread.sleep(600) // two 250 ms monitor periods, write-free
+        observed ++= (spools() -- preexisting)
       }
       assert(shipped() == n, s"only ${shipped()} of $n shipped")
       // all consumed: the next monitor tick must rotate the oversized
@@ -258,6 +263,97 @@ class RelayCliSpec extends AnyFunSuite {
       }
       assert(!t.isAlive && result == -1L,
         "a stopped live relay returns -1 and unblocks")
+    } finally srv.close()
+  }
+
+  test("relay firehose force-cut (4x cap, never quiescent): the spool " +
+      "still rotates, disk stays bounded, delivery degrades to " +
+      "at-least-once — every value arrives, duplicates allowed, the " +
+      "relay survives a mid-flight stop") {
+    val srv = new EmbeddedRedis
+    val before = spark.streams.active.map(_.id).toSet
+    val tmp = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"))
+    def spools(): Set[java.nio.file.Path] = {
+      val s = Files.list(tmp)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("relay-stdin")).toSet
+      } finally s.close()
+    }
+    val preexisting = spools()
+    try {
+      val n = 600
+      val capBytes = 2048L // one burst is ~24 KB, 3x past the 8 KiB bar
+      val pipeIn = new java.io.PipedInputStream(1 << 20)
+      val pipeOut = new java.io.PipedOutputStream(pipeIn)
+      @volatile var result = 0L
+      val t = new Thread(() => {
+        result = Relay.run(spark, "stdio:///fire",
+          s"redis://${srv.host}:${srv.port}/fire",
+          offsetStart = Some(true), once = false, stdin = pipeIn,
+          spoolCapBytes = capBytes)
+      }, "relay-firehose-test")
+      t.start()
+      // sustained feed from a side thread, no drain pauses: the monitor
+      // keeps seeing a growing spool with batches in flight, so over-cap
+      // rotations land under pressure — including the 4x force cut that
+      // may stop a batch mid-send (a one-shot burst drains before the
+      // first monitor tick and never exercises any of this)
+      val lines = (0 until n).map(i => StdioParser.formatLine(
+        new java.sql.Timestamp(200000L + i), "fire", i.toLong, s"f$i"))
+      val feeder = new Thread(() => {
+        lines.foreach { l =>
+          pipeOut.write((l + "\n").getBytes("UTF-8"))
+          pipeOut.flush()
+          Thread.sleep(5) // ~3 s of continuous arrival
+        }
+      }, "relay-firehose-feeder")
+      feeder.start()
+      val observed = scala.collection.mutable.Set.empty[java.nio.file.Path]
+      val deadline = System.currentTimeMillis() + 120000
+      def values() = srv.entries("fire")
+        .map(e => new String(e._2.head._2, "UTF-8"))
+      // at-least-once across forced cuts: wait until every DISTINCT value
+      // has landed (re-shipped duplicates of an interrupted batch are the
+      // documented trade)
+      while (values().toSet.size < n &&
+          System.currentTimeMillis() < deadline) {
+        observed ++= (spools() -- preexisting)
+        Thread.sleep(50)
+      }
+      feeder.join(30000)
+      assert(!feeder.isAlive)
+      val vals = values()
+      assert(vals.toSet == (0 until n).map(i => s"f$i").toSet,
+        s"lost values under forced cuts (${vals.toSet.size} of $n)")
+      // duplicates only ever come from re-shipped cut batches — order
+      // preserved among FIRST arrivals
+      val firstSeen = vals.distinct
+      assert(firstSeen == (0 until n).map(i => s"f$i"),
+        "first arrivals reordered across forced cuts")
+      // the relay survived every cut: once the feed stops, rotations
+      // bring the spool back under the cap — bounded disk under pressure
+      def liveSize() = (spools() -- preexisting)
+        .map(p => if (Files.exists(p)) Files.size(p) else 0L)
+        .maxOption.getOrElse(0L)
+      while (liveSize() > capBytes &&
+          System.currentTimeMillis() < deadline) {
+        observed ++= (spools() -- preexisting)
+        Thread.sleep(50)
+      }
+      observed ++= (spools() -- preexisting)
+      assert(liveSize() <= capBytes,
+        s"spool unbounded under firehose: ${liveSize()}")
+      assert(observed.size >= 2,
+        s"the firehose never rotated the spool: $observed")
+      while (t.isAlive && System.currentTimeMillis() < deadline) {
+        spark.streams.active.filterNot(q => before(q.id)).foreach(_.stop())
+        t.join(500)
+      }
+      assert(!t.isAlive && result == -1L,
+        "the relay survives forced cuts and stops cleanly")
     } finally srv.close()
   }
 

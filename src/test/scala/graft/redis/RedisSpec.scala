@@ -322,6 +322,47 @@ class RedisClientSpec extends AnyFunSuite {
         case Resp.Bulk(bs) => new String(bs, "UTF-8") == "string-value"
         case _ => false
       })
+      // multi-stream reads refuse when ANY listed key is squatted, not
+      // just the first (real redis type-checks every key) — a healthy
+      // stream ahead of the squat must not mask it
+      rc.command(RedisStreams.xadd("ok", 1L, "x".getBytes("UTF-8")): _*)
+      val multi: Seq[Seq[Array[Byte]]] = Seq(
+        RedisStreams.xread(Seq("ok" -> "0-0", "sq" -> "0-0")),
+        raw("XREADGROUP", "GROUP", "g", "c",
+          "STREAMS", "ok", "sq", ">", ">"))
+      rc.pipelineRaw(multi).foreach {
+        case Resp.Err(m) => assert(m.startsWith("WRONGTYPE"), m)
+        case other => fail(s"multi-stream read served a squat: $other")
+      }
     } finally { rc.close(); srv.close() }
+  }
+
+  test("producer clampToTip: a re-send at-or-below the stream tip lands " +
+      "as a duplicate at the tip instead of crash-looping on the " +
+      "'equal or smaller' refusal; the default producer stays loud") {
+    import spark.implicits._
+    import graft.facade.SeaStreamer
+    val srv = new EmbeddedRedis
+    try {
+      val conn = SeaStreamer.connect(s"redis://${srv.host}:${srv.port}", spark)
+      def env(ms: Long, v: String) = Seq(
+        ("tipc", 0L, 0L, new java.sql.Timestamp(ms), v.getBytes(UTF_8)))
+        .toDF("stream_key", "shard_id", "sequence", "timestamp", "payload")
+      conn.createProducer("tipc").send(env(5000L, "first"))
+      // default: a BELOW-tip send surfaces the server's refusal loudly
+      val loud = intercept[Exception](
+        conn.createProducer("tipc").send(env(4000L, "late-loud")))
+      val chain = Iterator.iterate(loud: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.toString).mkString(" | ")
+      assert(chain.contains("equal or smaller"), chain)
+      // clamped: the same send floors at the tip and LANDS
+      conn.createProducer("tipc", redisClampToTip = true)
+        .send(env(4000L, "late-clamped"))
+      val entries = srv.entries("tipc")
+      val vals = entries.map(e => new String(e._2.head._2, UTF_8))
+      assert(vals == Seq("first", "late-clamped"), vals.toString)
+      // the clamped id sits AT the tip ms (5000), sequence advanced
+      assert(entries.last._1.startsWith("5000-"), entries.last._1)
+    } finally srv.close()
   }
 }

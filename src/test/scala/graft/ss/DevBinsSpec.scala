@@ -20,14 +20,18 @@ class DevBinsSpec extends AnyFunSuite {
     @volatile var stopNow = false
     @volatile var copied = -1L
     val anchorLatch = new java.util.concurrent.CountDownLatch(1)
+    @volatile var anchorPos = -1L
     val t = new Thread(() =>
       copied = SsTail.tail(f.toString, buf, fromEnd = true, pollMs = 10L,
         stop = () => stopNow,
-        anchored = pos => { assert(pos == 18L); anchorLatch.countDown() }))
+        // record only — an assert here would die in the tail thread and
+        // surface as an opaque latch timeout instead of the real mismatch
+        anchored = pos => { anchorPos = pos; anchorLatch.countDown() }))
     t.start()
     // grow the file only once the tail has ANCHORED (an unsynchronized
     // sleep could let the append land before the EOF anchor)
     assert(anchorLatch.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    assert(anchorPos == 18L, s"EOF anchor at $anchorPos, not 18")
     Files.write(f, "live-1\n".getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.APPEND)
     Thread.sleep(150)
