@@ -706,12 +706,13 @@ object SeaStreamer {
     /** Generic producer: stream key comes from each row. */
     def createGenericProducer(redisShards: Int = 1,
         iggyPartitions: Int = 4,
-        iggyStream: String = graft.iggy.IggySource.DefaultStream): Producer = {
+        iggyStream: String = graft.iggy.IggySource.DefaultStream,
+        redisClampToTip: Boolean = false): Producer = {
       validIggyStream(iggyStream)
       validateLoopbackNode()
       new Producer(spark, scheme, allNodeAddrs, None, redisShards,
         iggyPartitions, iggyStream, security, redisTls, redisAuth, iggyAuth,
-        stdioLoopback)
+        stdioLoopback, redisClampToTip)
     }
 
     /** The iggy namespace stream follows the same key grammar as stream

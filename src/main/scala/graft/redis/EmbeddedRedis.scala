@@ -342,8 +342,20 @@ final class EmbeddedRedis(
         kv.containsKey(s(1))
       case "XGROUP" if args.length > 2 => kv.containsKey(s(2))
       case "XREAD" | "XREADGROUP" =>
-        val si = args.indexWhere(a =>
-          new String(a, UTF_8).toUpperCase == "STREAMS")
+        // positional grammar walk, like real redis — a group or consumer
+        // NAMED "streams" must not be mistaken for the keyword:
+        // XREAD [COUNT n] [BLOCK ms] STREAMS k... id...
+        // XREADGROUP GROUP g c [COUNT n] [BLOCK ms] [NOACK] STREAMS ...
+        var i = if (name == "XREADGROUP") 4 else 1
+        var si = -1
+        while (si < 0 && i < args.length) {
+          new String(args(i), UTF_8).toUpperCase match {
+            case "COUNT" | "BLOCK" => i += 2
+            case "NOACK" => i += 1
+            case "STREAMS" => si = i
+            case _ => i = args.length // malformed: no keyword block
+          }
+        }
         si >= 0 && si + 1 < args.length && {
           val nStreams = (args.length - si - 1) / 2
           (0 until nStreams).exists(j => kv.containsKey(s(si + 1 + j)))

@@ -193,10 +193,8 @@ object RedisSource {
       // this read nils the EXEC, so a clamped id can never be refused
       // inside it
       val floors = dataKeys.map { k =>
-        k -> RedisStreams.decodeEntriesWithIds(
-          client.command(RedisStreams.xrevrangeTip(k): _*), "", 0L)
-          .headOption.map(e => RedisStreams.parseEntryId(e._1)._1)
-          .getOrElse(0L)
+        k -> RedisStreams.tipMs(
+          client.command(RedisStreams.xrevrangeTip(k): _*))
       }.toMap
       // queue in BOUNDED pipeline chunks — writing a whole epoch before
       // reading any reply deadlocks once the server's reply bytes outgrow
@@ -438,15 +436,23 @@ object RedisSource {
 
   /** `clampToTip`: floor each row's packed ms at the destination key's
     * CURRENT tip ms (one `XREVRANGE … COUNT 1` probe per key per
-    * partition — the EOS sinks' floor idiom, minus the WATCH fence).
-    * Without it a re-send of rows older than the tip — a relay restarted
-    * from its last committed offset after a mid-batch cut, late event
-    * times after a process restart — is refused by real redis ("equal or
-    * smaller than the target stream top item") and crash-loops the
-    * producer; with it those rows land as duplicates at the tip, the
-    * at-least-once trade the restart already made. Off by default: a
-    * first-run producer pays no probe, and a refused non-monotone send
-    * stays loud for callers that want the invariant enforced.
+    * partition, on the session's own connection — the EOS sinks' floor
+    * idiom, minus the WATCH fence). Without it a re-send of rows older
+    * than the tip — a relay restarted from its last committed offset
+    * after a mid-batch cut, late event times after a process restart —
+    * is refused by real redis ("equal or smaller than the target stream
+    * top item") and crash-loops the producer; with it those rows land as
+    * duplicates at the tip, the at-least-once trade the restart already
+    * made. A refusal that still slips through (a CONCURRENT writer
+    * advancing the tip between the probe and the send) re-probes and
+    * re-clamps the chunk, bounded; the resend may duplicate the chunk's
+    * already-applied tail — at-least-once again, never a crash loop. To
+    * keep the packed sub-sequence (16-bit) from saturating when a huge
+    * re-shipped backlog collapses onto one tip ms, the floor advances by
+    * 1 ms after [[ClampSpillRows]] rows land at the same floor. Off by
+    * default: a first-run producer pays no probe, and a refused
+    * non-monotone send stays loud for callers that want the invariant
+    * enforced.
     */
   def write(df: DataFrame, host: String, port: Int,
       sharded: Boolean = true, pipelineSize: Int = 100,
@@ -469,19 +475,28 @@ object RedisSource {
             RedisStreams.shardedKey(r._1, r._2, sharded)
           // rows arrive ts-sorted and one redis key per partition (the
           // repartition above), so a single running floor per key keeps
-          // clamped ids monotone within this task
+          // clamped ids monotone within this task; atFloor counts rows
+          // landed at the current floor ms for the sub-seq spill
           val floor = scala.collection.mutable.Map.empty[String, Long]
+          val atFloor = scala.collection.mutable.Map.empty[String, Int]
           def clamp(key: String, ms: Long, probe: String => Long): Long =
             if (!clampToTip) ms
             else {
-              val m = math.max(ms, floor.getOrElseUpdate(key, probe(key)))
-              floor(key) = m
-              m
+              var f = floor.getOrElseUpdate(key, probe(key))
+              if (ms > f) {
+                floor(key) = ms
+                atFloor(key) = 1
+                ms
+              } else {
+                val n = atFloor.getOrElse(key, 0) + 1
+                if (n >= ClampSpillRows) {
+                  f += 1 // spill to the next ms before sub-seq saturates
+                  floor(key) = f
+                  atFloor(key) = 1
+                } else atFloor(key) = n
+                f
+              }
             }
-          def tipOf(reply: graft.redis.Resp.Value): Long =
-            RedisStreams.decodeEntriesWithIds(reply, "", 0L)
-              .headOption.map(e => RedisStreams.parseEntryId(e._1)._1)
-              .getOrElse(0L)
           def cmdWith(probe: String => Long)
               : ((String, Long, java.sql.Timestamp, Array[Byte])) => Seq[Array[Byte]] =
             r => {
@@ -494,8 +509,8 @@ object RedisSource {
               try {
                 try cc.bootstrapSlots()
                 catch { case scala.util.control.NonFatal(_) => () } // lazy MOVED fallback
-                val cmd = cmdWith(k =>
-                  tipOf(cc.command(k, RedisStreams.xrevrangeTip(k): _*)))
+                val cmd = cmdWith(k => RedisStreams.tipMs(
+                  cc.command(k, RedisStreams.xrevrangeTip(k): _*)))
                 rows.grouped(pipelineSize).foreach { chunk =>
                   // time order within each key survives: Seq.groupBy keeps
                   // encounter order inside every group
@@ -507,21 +522,48 @@ object RedisSource {
             case None =>
               // resumable session: a drop mid-pipeline replays only the
               // unacknowledged tail (producer.rs:464-507's requeue law) —
-              // blind batch replay would duplicate already-acked ms-* ids
+              // blind batch replay would duplicate already-acked ms-* ids.
+              // The tip probe rides the SAME session (reconnect-protected,
+              // no extra connection).
               val session = new RedisClient.Session(
                 () => new RedisClient(host, port, tls = tls, auth = auth))
               try {
-                val cmd = cmdWith { k =>
-                  val c = new RedisClient(host, port, tls = tls, auth = auth)
-                  try tipOf(c.command(RedisStreams.xrevrangeTip(k): _*))
-                  finally c.close()
-                }
+                val probe: String => Long = k =>
+                  session.retrying("tip probe")(c =>
+                    RedisStreams.tipMs(
+                      c.command(RedisStreams.xrevrangeTip(k): _*)))
+                val cmd = cmdWith(probe)
                 rows.grouped(pipelineSize).foreach { chunk =>
-                  session.pipelineAcked(chunk.map(cmd))
+                  var attempts = 0
+                  var done = false
+                  while (!done) {
+                    try {
+                      session.pipelineAcked(chunk.map(cmd))
+                      done = true
+                    } catch {
+                      // a concurrent writer advanced the tip between our
+                      // probe and this send: forget the stale floors,
+                      // re-probe, re-clamp, resend the chunk (its applied
+                      // tail may duplicate — at-least-once, documented)
+                      case e: RedisClient.FatalReply
+                          if clampToTip && attempts < 3 &&
+                            e.getMessage.contains("equal or smaller") =>
+                        attempts += 1
+                        floor.clear()
+                        atFloor.clear()
+                    }
+                  }
                 }
               } finally session.close()
           }
         }
       }
   }
+
+  /** Rows landed at one floor ms before the clamp spills to the next ms —
+    * comfortably under the 16-bit packed sub-sequence ceiling (0xFFFF)
+    * the seek/EOS machinery guards, with headroom for entries the server
+    * already holds at that ms.
+    */
+  val ClampSpillRows: Int = 32768
 }

@@ -145,6 +145,14 @@ object RedisStreams {
   def xrevrangeTip(key: String): Seq[Array[Byte]] =
     Seq(b("XREVRANGE"), b(key), b("+"), b("-"), b("COUNT"), b("1"))
 
+  /** Decode an [[xrevrangeTip]] reply to the tip's ms (0 on an empty or
+    * absent stream) — the one shared spelling of the probe-decode idiom.
+    */
+  def tipMs(reply: Resp.Value): Long =
+    decodeEntriesWithIds(reply, "", 0L)
+      .headOption.map(e => parseEntryId(e._1)._1)
+      .getOrElse(0L)
+
   def xread(streams: Seq[(String, String)], count: Option[Int] = None,
       blockMs: Option[Long] = None): Seq[Array[Byte]] =
     Seq(b("XREAD")) ++

@@ -59,6 +59,29 @@ class RedisClusterProducerSpec extends AnyFunSuite {
     } finally { a.close(); b.close() }
   }
 
+  test("clampToTip on the cluster path: the tip probe routes to the " +
+      "key's slot owner and a below-tip re-send lands clamped there") {
+    import spark.implicits._
+    val (a, b, lo, hi) = twoNodeTopology()
+    try {
+      val conn = SeaStreamer.connect(
+        s"redis://${a.host}:${a.port},${b.host}:${b.port}", spark)
+      def env(key: String, ms: Long, v: String) = Seq(
+        (key, 0L, 0L, new java.sql.Timestamp(ms), v.getBytes(UTF_8)))
+        .toDF("stream_key", "shard_id", "sequence", "timestamp", "payload")
+      conn.createProducer(hi).send(env(hi, 9000L, "tip"))
+      // below-tip re-send through the clamped producer: must land AT the
+      // tip ms on the OWNER node (the probe had to route there too)
+      conn.createProducer(hi, redisClampToTip = true)
+        .send(env(hi, 8000L, "late"))
+      val entries = b.entries(hi)
+      assert(entries.map(e => new String(e._2.head._2, UTF_8)) ==
+        Seq("tip", "late"), entries.toString)
+      assert(entries.last._1.startsWith("9000-"), entries.last._1)
+      assert(a.entries(hi).isEmpty)
+    } finally { a.close(); b.close() }
+  }
+
   test("stale slot map: MOVED replies re-route and replay the whole pipeline") {
     import spark.implicits._
     val a = new EmbeddedRedis

@@ -365,4 +365,34 @@ class RedisClientSpec extends AnyFunSuite {
       assert(entries.last._1.startsWith("5000-"), entries.last._1)
     } finally srv.close()
   }
+
+  test("clampToTip survives a CONCURRENT writer advancing the tip " +
+      "between probe and send: the fatal refusal re-probes, re-clamps " +
+      "and resends — at-least-once, never a crash loop") {
+    import spark.implicits._
+    import graft.facade.SeaStreamer
+    val srv = new EmbeddedRedis
+    try {
+      val conn = SeaStreamer.connect(s"redis://${srv.host}:${srv.port}", spark)
+      conn.createProducer("race").send(Seq(
+        ("race", 0L, 0L, new java.sql.Timestamp(7000L), "tip".getBytes(UTF_8)))
+        .toDF("stream_key", "shard_id", "sequence", "timestamp", "payload"))
+      // the rival's tip advance, deterministically: the NEXT XADD is
+      // refused with the server's verbatim non-monotone error even
+      // though our probe said 7000 was safe
+      srv.failXaddError =
+        "ERR The ID specified in XADD is equal or smaller than the " +
+          "target stream top item"
+      srv.failXadds.set(1)
+      conn.createProducer("race", redisClampToTip = true).send(
+        (0 until 3).map(i => ("race", 0L, 0L,
+          new java.sql.Timestamp(7100L + i), s"r$i".getBytes(UTF_8)))
+          .toDF("stream_key", "shard_id", "sequence", "timestamp", "payload"))
+      val vals = srv.entries("race").map(e => new String(e._2.head._2, UTF_8))
+      // every value landed at least once (the refused chunk's applied
+      // tail may duplicate on the resend — the documented trade)
+      assert(Set("r0", "r1", "r2").subsetOf(vals.toSet), vals.toString)
+      assert(srv.failXadds.get() == 0, "the injected refusal never fired")
+    } finally srv.close()
+  }
 }
