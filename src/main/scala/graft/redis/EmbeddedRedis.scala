@@ -342,24 +342,12 @@ final class EmbeddedRedis(
         kv.containsKey(s(1))
       case "XGROUP" if args.length > 2 => kv.containsKey(s(2))
       case "XREAD" | "XREADGROUP" =>
-        // positional grammar walk, like real redis — a group or consumer
-        // NAMED "streams" must not be mistaken for the keyword:
-        // XREAD [COUNT n] [BLOCK ms] STREAMS k... id...
-        // XREADGROUP GROUP g c [COUNT n] [BLOCK ms] [NOACK] STREAMS ...
-        var i = if (name == "XREADGROUP") 4 else 1
-        var si = -1
-        while (si < 0 && i < args.length) {
-          new String(args(i), UTF_8).toUpperCase match {
-            case "COUNT" | "BLOCK" => i += 2
-            case "NOACK" => i += 1
-            case "STREAMS" => si = i
-            case _ => i = args.length // malformed: no keyword block
-          }
-        }
+        val si = streamsKeywordIndex(name, args)
         si >= 0 && si + 1 < args.length && {
           val nStreams = (args.length - si - 1) / 2
           (0 until nStreams).exists(j => kv.containsKey(s(si + 1 + j)))
         }
+      case "XINFO" if args.length > 2 => kv.containsKey(s(2))
       case _ => false
     }
     name match {
@@ -504,16 +492,25 @@ final class EmbeddedRedis(
           Resp.Simple("OK")
         }
       case "XREADGROUP" =>
-        // GROUP g c [COUNT n] STREAMS key id
+        // GROUP g c [COUNT n] [BLOCK ms] [NOACK] STREAMS key id — the
+        // SAME positional walk as the squat type-check above, so a group
+        // or consumer literally named "streams"/"count" cannot shift the
+        // key block here while the guard parses it correctly
         val g = s(2); val consumer = s(3)
-        val rendered = args.map(new String(_, UTF_8))
-        val count = rendered.indexOf("COUNT") match {
-          case -1 => Int.MaxValue
-          case i => rendered(i + 1).toInt
+        val si = streamsKeywordIndex(name, args)
+        if (si < 0 || si + 2 >= args.length)
+          return Resp.Err("ERR syntax error")
+        var count = Int.MaxValue
+        var oi = 4
+        while (oi < si) {
+          s(oi).toUpperCase match {
+            case "COUNT" => count = s(oi + 1).toInt; oi += 2
+            case "BLOCK" => oi += 2
+            case _ => oi += 1 // NOACK
+          }
         }
-        val si = rendered.indexOf("STREAMS")
-        val key = rendered(si + 1)
-        val idArg = rendered(si + 2)
+        val key = s(si + 1)
+        val idArg = s(si + 2)
         val gk = s"$key/$g"
         if (!groupCursor.containsKey(gk))
           return Resp.Err(
@@ -678,15 +675,49 @@ final class EmbeddedRedis(
           Resp.Err("WRONGTYPE Operation against a key holding the wrong kind of value")
         else Option(kv.get(s(1))).map(Resp.Bulk(_): Resp.Value)
           .getOrElse(Resp.NullBulk)
+      case "XINFO" if args.length > 2 && s(1).toUpperCase == "STREAM" =>
+        // XINFO STREAM key — the fields the clamp probe needs: length and
+        // last-generated-id (real redis's `last_id`, which XTRIM/XDEL do
+        // NOT lower — the refusal bar a tip XREVRANGE cannot see on a
+        // trimmed-empty stream)
+        val key = s(2)
+        if (!streams.containsKey(key))
+          Resp.Err("ERR no such key")
+        else {
+          val (ms, seq) = topIdOf(key).getOrElse((0L, 0L))
+          val len = withEntries(key)(_.length.toLong)
+          Resp.Arr(Seq(
+            Resp.Bulk("length".getBytes(UTF_8)), Resp.Num(len),
+            Resp.Bulk("last-generated-id".getBytes(UTF_8)),
+            Resp.Bulk(s"$ms-$seq".getBytes(UTF_8))))
+        }
       case other => Resp.Err(s"ERR unknown command '$other'")
     }
   }
 
   /** Real redis's XADD refusal text, verbatim — callers pattern-match
     * error classes, so the wording is part of the fidelity contract. */
-  private val XaddSmallerErr: String =
-    "ERR The ID specified in XADD is equal or smaller than the target " +
-      "stream top item"
+  private def XaddSmallerErr: String = EmbeddedRedis.XaddSmallerErr
+
+  /** Positional STREAMS-keyword locator per the real grammar —
+    * `XREAD [COUNT n] [BLOCK ms] STREAMS k... id...` /
+    * `XREADGROUP GROUP g c [COUNT n] [BLOCK ms] [NOACK] STREAMS ...` —
+    * so a group or consumer literally NAMED "streams" is never mistaken
+    * for the keyword. -1 when absent or malformed.
+    */
+  private def streamsKeywordIndex(name: String,
+      args: Seq[Array[Byte]]): Int = {
+    var i = if (name == "XREADGROUP") 4 else 1
+    while (i < args.length) {
+      new String(args(i), UTF_8).toUpperCase match {
+        case "COUNT" | "BLOCK" => i += 2
+        case "NOACK" => i += 1
+        case "STREAMS" => return i
+        case _ => return -1
+      }
+    }
+    -1
+  }
 
   /** The stream's last-ASSIGNED id — real redis's `last_id`, which an
     * XDEL of the tip entry does NOT lower, so it lives in
@@ -731,4 +762,14 @@ final class EmbeddedRedis(
   private def idLeq(a: String, b: String): Boolean = a == b || idLt(a, b)
 
   override def close(): Unit = { closed = true; server.close() }
+}
+
+object EmbeddedRedis {
+  /** Real redis's XADD refusal text, verbatim — one spelling shared by
+    * the emulator's refusals, the producer's clamp recovery match, and
+    * the specs that inject it.
+    */
+  val XaddSmallerErr: String =
+    "ERR The ID specified in XADD is equal or smaller than the target " +
+      "stream top item"
 }

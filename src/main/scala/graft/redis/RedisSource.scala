@@ -435,24 +435,27 @@ object RedisSource {
   }
 
   /** `clampToTip`: floor each row's packed ms at the destination key's
-    * CURRENT tip ms (one `XREVRANGE … COUNT 1` probe per key per
-    * partition, on the session's own connection — the EOS sinks' floor
-    * idiom, minus the WATCH fence). Without it a re-send of rows older
-    * than the tip — a relay restarted from its last committed offset
-    * after a mid-batch cut, late event times after a process restart —
-    * is refused by real redis ("equal or smaller than the target stream
-    * top item") and crash-loops the producer; with it those rows land as
-    * duplicates at the tip, the at-least-once trade the restart already
-    * made. A refusal that still slips through (a CONCURRENT writer
-    * advancing the tip between the probe and the send) re-probes and
-    * re-clamps the chunk, bounded; the resend may duplicate the chunk's
+    * last-GENERATED id (one `XINFO STREAM` probe per key per partition,
+    * on the session's own connection — the EOS sinks' floor idiom, minus
+    * the WATCH fence; `last_id` rather than the visible tip, because
+    * XTRIM/XDEL do not lower the XADD refusal bar and a tip probe on a
+    * trimmed-empty stream would re-refuse forever). Without it a re-send
+    * of rows older than the bar — a relay restarted from its last
+    * committed offset after a mid-batch cut, late event times after a
+    * process restart — is refused by real redis ("equal or smaller than
+    * the target stream top item") and crash-loops the producer; with it
+    * those rows land as duplicates at the bar, the at-least-once trade
+    * the restart already made. A refusal that still slips through (a
+    * CONCURRENT writer advancing the bar between the probe and the send)
+    * re-probes and re-clamps the chunk, bounded, on both the single-node
+    * and cluster paths; the resend may duplicate the chunk's
     * already-applied tail — at-least-once again, never a crash loop. To
     * keep the packed sub-sequence (16-bit) from saturating when a huge
-    * re-shipped backlog collapses onto one tip ms, the floor advances by
-    * 1 ms after [[ClampSpillRows]] rows land at the same floor. Off by
-    * default: a first-run producer pays no probe, and a refused
-    * non-monotone send stays loud for callers that want the invariant
-    * enforced.
+    * re-shipped backlog collapses onto one ms, the per-ms entry count —
+    * seeded from the server's own last-generated sub-seq — spills the
+    * floor forward 1 ms at [[ClampSpillRows]]. Off by default: a
+    * first-run producer pays no probe, and a refused non-monotone send
+    * stays loud for callers that want the invariant enforced.
     */
   def write(df: DataFrame, host: String, port: Int,
       sharded: Boolean = true, pipelineSize: Int = 100,
@@ -475,33 +478,52 @@ object RedisSource {
             RedisStreams.shardedKey(r._1, r._2, sharded)
           // rows arrive ts-sorted and one redis key per partition (the
           // repartition above), so a single running floor per key keeps
-          // clamped ids monotone within this task; atFloor counts rows
-          // landed at the current floor ms for the sub-seq spill
+          // clamped ids monotone within this task. The probe reads the
+          // stream's last-GENERATED id (XINFO STREAM), not the visible
+          // tip: `last_id` outlives XTRIM/XDEL of every entry, so a
+          // re-send onto a trimmed-empty stream converges instead of
+          // re-refusing forever. atFloor counts entries at the current
+          // floor ms for the sub-seq spill, SEEDED from the server's own
+          // sub-seq so entries it already holds at that ms count too.
           val floor = scala.collection.mutable.Map.empty[String, Long]
-          val atFloor = scala.collection.mutable.Map.empty[String, Int]
-          def clamp(key: String, ms: Long, probe: String => Long): Long =
+          val atFloor = scala.collection.mutable.Map.empty[String, Long]
+          def clamp(key: String, ms: Long,
+              probe: String => (Long, Long)): Long =
             if (!clampToTip) ms
             else {
-              var f = floor.getOrElseUpdate(key, probe(key))
+              if (!floor.contains(key)) {
+                val (fm, fs) = probe(key)
+                floor(key) = fm
+                atFloor(key) = fs + 1
+              }
+              var f = floor(key)
               if (ms > f) {
                 floor(key) = ms
-                atFloor(key) = 1
+                atFloor(key) = 1L
                 ms
               } else {
-                val n = atFloor.getOrElse(key, 0) + 1
+                val n = atFloor.getOrElse(key, 0L) + 1L
                 if (n >= ClampSpillRows) {
                   f += 1 // spill to the next ms before sub-seq saturates
                   floor(key) = f
-                  atFloor(key) = 1
+                  atFloor(key) = 1L
                 } else atFloor(key) = n
                 f
               }
             }
-          def cmdWith(probe: String => Long)
+          def cmdWith(probe: String => (Long, Long))
               : ((String, Long, java.sql.Timestamp, Array[Byte])) => Seq[Array[Byte]] =
             r => {
               val key = keyOf(r)
               RedisStreams.xadd(key, clamp(key, r._3.getTime, probe), r._4)
+            }
+          // "no such key" = the stream does not exist yet: floor 0, first
+          // append mints sub-seq 0
+          def decodeProbe(f: => graft.redis.Resp.Value): (Long, Long) =
+            try RedisStreams.lastGeneratedId(f)
+            catch {
+              case e: RedisClient.RedisError
+                  if e.msg.contains("no such key") => (0L, -1L)
             }
           clusterSeeds match {
             case Some(seeds) =>
@@ -509,13 +531,30 @@ object RedisSource {
               try {
                 try cc.bootstrapSlots()
                 catch { case scala.util.control.NonFatal(_) => () } // lazy MOVED fallback
-                val cmd = cmdWith(k => RedisStreams.tipMs(
-                  cc.command(k, RedisStreams.xrevrangeTip(k): _*)))
+                val cmd = cmdWith(k => decodeProbe(
+                  cc.command(k, RedisStreams.xinfoStream(k): _*)))
                 rows.grouped(pipelineSize).foreach { chunk =>
                   // time order within each key survives: Seq.groupBy keeps
                   // encounter order inside every group
                   chunk.groupBy(keyOf).foreach { case (key, rs) =>
-                    cc.pipelineFor(key, rs.map(cmd))
+                    var attempts = 0
+                    var done = false
+                    while (!done) {
+                      try {
+                        cc.pipelineFor(key, rs.map(cmd))
+                        done = true
+                      } catch {
+                        // same rival-advance recovery as the single-node
+                        // path below — the cluster client surfaces the
+                        // refusal as a RedisError
+                        case e: RedisClient.RedisError
+                            if clampToTip && attempts < 3 &&
+                              e.msg.contains("equal or smaller") =>
+                          attempts += 1
+                          floor.clear()
+                          atFloor.clear()
+                      }
+                    }
                   }
                 }
               } finally cc.close()
@@ -523,15 +562,14 @@ object RedisSource {
               // resumable session: a drop mid-pipeline replays only the
               // unacknowledged tail (producer.rs:464-507's requeue law) —
               // blind batch replay would duplicate already-acked ms-* ids.
-              // The tip probe rides the SAME session (reconnect-protected,
-              // no extra connection).
+              // The probe rides the SAME session (reconnect-protected, no
+              // extra connection).
               val session = new RedisClient.Session(
                 () => new RedisClient(host, port, tls = tls, auth = auth))
               try {
-                val probe: String => Long = k =>
-                  session.retrying("tip probe")(c =>
-                    RedisStreams.tipMs(
-                      c.command(RedisStreams.xrevrangeTip(k): _*)))
+                val probe: String => (Long, Long) = k =>
+                  decodeProbe(session.retrying("tip probe")(c =>
+                    c.command(RedisStreams.xinfoStream(k): _*)))
                 val cmd = cmdWith(probe)
                 rows.grouped(pipelineSize).foreach { chunk =>
                   var attempts = 0

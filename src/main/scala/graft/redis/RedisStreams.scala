@@ -153,6 +153,28 @@ object RedisStreams {
       .headOption.map(e => parseEntryId(e._1)._1)
       .getOrElse(0L)
 
+  /** `XINFO STREAM key` — the probe for the stream's `last_id` (the XADD
+    * refusal bar), which outlives XTRIM/XDEL of every entry, unlike the
+    * visible tip [[xrevrangeTip]] reads.
+    */
+  def xinfoStream(key: String): Seq[Array[Byte]] =
+    Seq(b("XINFO"), b("STREAM"), b(key))
+
+  /** Decode an [[xinfoStream]] reply's `last-generated-id` as (ms, seq);
+    * (0, -1) when the field is absent — so the first append at ms 0 still
+    * gets sub-seq 0.
+    */
+  def lastGeneratedId(reply: Resp.Value): (Long, Long) = reply match {
+    case Resp.Arr(items) =>
+      items.sliding(2, 2).collectFirst {
+        case Seq(Resp.Bulk(f), Resp.Bulk(v))
+            if new String(f, java.nio.charset.StandardCharsets.UTF_8) ==
+              "last-generated-id" =>
+          parseEntryId(new String(v, java.nio.charset.StandardCharsets.UTF_8))
+      }.getOrElse((0L, -1L))
+    case _ => (0L, -1L)
+  }
+
   def xread(streams: Seq[(String, String)], count: Option[Int] = None,
       blockMs: Option[Long] = None): Seq[Array[Byte]] =
     Seq(b("XREAD")) ++

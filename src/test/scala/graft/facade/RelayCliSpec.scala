@@ -219,7 +219,12 @@ class RelayCliSpec extends AnyFunSuite {
         new java.sql.Timestamp(100000L + i), "cap", i.toLong, s"m$i"))
       val observed = scala.collection.mutable.Set.empty[java.nio.file.Path]
       val deadline = System.currentTimeMillis() + 120000
-      def shipped() = srv.entries("cap").size
+      // DISTINCT count, not raw: if the best-effort sliver ever
+      // duplicates a wave, raw counts would lead the true position and
+      // desynchronize every later quiet window (quiet while still
+      // shipping → more mid-flight cuts → compounding duplicates)
+      def shipped() = srv.entries("cap")
+        .map(e => new String(e._2.head._2, "UTF-8")).distinct.size
       lines.grouped(100).zipWithIndex.foreach { case (wave, w) =>
         wave.foreach { l =>
           pipeOut.write((l + "\n").getBytes("UTF-8"))

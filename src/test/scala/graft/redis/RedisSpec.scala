@@ -380,9 +380,7 @@ class RedisClientSpec extends AnyFunSuite {
       // the rival's tip advance, deterministically: the NEXT XADD is
       // refused with the server's verbatim non-monotone error even
       // though our probe said 7000 was safe
-      srv.failXaddError =
-        "ERR The ID specified in XADD is equal or smaller than the " +
-          "target stream top item"
+      srv.failXaddError = EmbeddedRedis.XaddSmallerErr
       srv.failXadds.set(1)
       conn.createProducer("race", redisClampToTip = true).send(
         (0 until 3).map(i => ("race", 0L, 0L,
@@ -394,5 +392,33 @@ class RedisClientSpec extends AnyFunSuite {
       assert(Set("r0", "r1", "r2").subsetOf(vals.toSet), vals.toString)
       assert(srv.failXadds.get() == 0, "the injected refusal never fired")
     } finally srv.close()
+  }
+
+  test("clampToTip converges on a TRIMMED-EMPTY stream: last_id outlives " +
+      "XTRIM, a tip probe sees nothing, but the XINFO last-generated-id " +
+      "probe finds the real refusal bar") {
+    import spark.implicits._
+    import graft.facade.SeaStreamer
+    val srv = new EmbeddedRedis
+    val rc = new RedisClient(srv.host, srv.port)
+    try {
+      val conn = SeaStreamer.connect(s"redis://${srv.host}:${srv.port}", spark)
+      def env(ms: Long, v: String) = Seq(
+        ("trm", 0L, 0L, new java.sql.Timestamp(ms), v.getBytes(UTF_8)))
+        .toDF("stream_key", "shard_id", "sequence", "timestamp", "payload")
+      conn.createProducer("trm").send(env(9000L, "old"))
+      // trim to EMPTY: the visible tip is gone, last_id (9000-0) is not
+      rc.command(RedisStreams.xtrimMaxLen("trm", 0): _*)
+      assert(srv.entries("trm").isEmpty)
+      // a below-bar re-send through the clamped producer LANDS (at the
+      // surviving bar), where an XREVRANGE-probed clamp would refuse
+      // forever
+      conn.createProducer("trm", redisClampToTip = true)
+        .send(env(8000L, "late"))
+      val entries = srv.entries("trm")
+      assert(entries.map(e => new String(e._2.head._2, UTF_8)) ==
+        Seq("late"), entries.toString)
+      assert(entries.head._1.startsWith("9000-"), entries.head._1)
+    } finally { rc.close(); srv.close() }
   }
 }
