@@ -17,13 +17,15 @@ import graft.ops.StdioParser
 object Clock {
 
   /** Reference clock.rs duration grammar: ns/us/ms/s/m suffixes. The
-    * reference parses the count as u64, so a leading sign is a parse
-    * error there — reject it here too, or `-1s` would surface as a raw
-    * IllegalArgumentException from Thread.sleep instead of the parse
-    * error + usage that main's catch prints.
+    * reference parses the count as u64, whose FromStr accepts ONE
+    * optional leading `+` but no `-` — so `+1s` parses and `-1s` is a
+    * parse error there. Match that exactly: a `-` must surface as the
+    * parse error + usage that main's catch prints, never a raw
+    * IllegalArgumentException from Thread.sleep.
     */
   private[graft] def parseDuration(src: String): Long = {
-    def num(s: String): Long = {
+    def num(raw: String): Long = {
+      val s = if (raw.startsWith("+")) raw.drop(1) else raw
       if (s.isEmpty || !s.forall(_.isDigit))
         throw new IllegalArgumentException(
           s"Failed to parse $src as Duration")

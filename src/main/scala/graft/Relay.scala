@@ -97,6 +97,17 @@ object Relay {
     } finally spark.stop()
   }
 
+  /** Best-effort recursive delete (spool + checkpoint cleanup). */
+  private def deleteTree(root: java.nio.file.Path): Unit =
+    if (Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverseIterator
+        .foreach(p => try Files.deleteIfExists(p)
+          catch { case _: java.io.IOException => () })
+      finally walk.close()
+    }
+
   /** The live relay's bounded stdin bridge: one appender thread spools
     * stdin lines into the current file; [[rotate]] drops a consumed
     * prefix by copying the unconsumed tail into a FRESH file and
@@ -104,19 +115,28 @@ object Relay {
     * consistent snapshot (posix unlink semantics), new micro-batches
     * read the new path from byte 0 with their line ordinals re-anchored
     * via the stdio source's `lineBase` option.
+    *
+    * All spool files live in `dir`, cleaned by ONE shutdown hook — a
+    * per-file `deleteOnExit` would pin one DeleteOnExitHook entry per
+    * rotation for the relay's possibly-weeks-long life (each rotation
+    * makes a fresh file, and those hook entries are never dropped even
+    * after `rotate()` deletes the file itself).
     */
-  private[graft] final class StdinSpool(stdin: java.io.InputStream) {
-    private def fresh(): java.nio.file.Path = {
-      val p = Files.createTempFile("relay-stdin", ".log")
-      p.toFile.deleteOnExit()
-      p
-    }
+  private[graft] final class StdinSpool(stdin: java.io.InputStream,
+      val dir: java.nio.file.Path) {
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => deleteTree(dir), "relay-spool-cleanup"))
+    private def fresh(): java.nio.file.Path =
+      Files.createTempFile(dir, "relay-stdin", ".log")
     private val lock = new Object
     private var cur: java.nio.file.Path = fresh()
     private var w = appender(cur)
     private var eof = false // stdin closed: never reopen an appender fd
+    // buffered so each line is ONE write syscall (the flush drains the
+    // buffer); a bare Files.newOutputStream pays two writes per line
     private def appender(p: java.nio.file.Path) =
-      Files.newOutputStream(p, StandardOpenOption.APPEND)
+      new java.io.BufferedOutputStream(
+        Files.newOutputStream(p, StandardOpenOption.APPEND), 1 << 16)
     def path: java.nio.file.Path = lock.synchronized(cur)
     def size: Long = lock.synchronized(
       if (Files.exists(cur)) Files.size(cur) else 0L)
@@ -178,7 +198,22 @@ object Relay {
   def run(spark: SparkSession, input: String, output: String,
       offsetStart: Option[Boolean], once: Boolean,
       stdin: java.io.InputStream = System.in,
-      spoolCapBytes: Long = DefaultSpoolCapBytes): Long = {
+      spoolCapBytes: Long = DefaultSpoolCapBytes,
+      /** Where live-mode stdin spools (and their per-generation streaming
+        * checkpoints) live; None = a fresh temp directory. Tests pass
+        * their own so concurrent JVMs' spools can't cross-contaminate a
+        * tmpdir scan.
+        */
+      spoolDir: Option[java.nio.file.Path] = None,
+      /** Per-message transform applied between consume and produce —
+        * identity for the plain relay; [[graft.examples.Processor]] maps
+        * the payload through its `process` step here (the reference's
+        * processor IS a relay with this one hook, processor.rs:43-53).
+        * Must be a column-level envelope→envelope map so it runs inside
+        * the stream (never on the driver).
+        */
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        identity): Long = {
     if (once && offsetStart.contains(false))
       throw SeaStreamErr.Unsupported(
         "--once is a bounded start-to-tip drain; --offset end would " +
@@ -210,7 +245,8 @@ object Relay {
     val ownStdin = inProto == "stdio" && connStr(in) == "stdio://."
     val liveSpool: Option[StdinSpool] =
       if (ownStdin && !once) {
-        val sp = new StdinSpool(stdin)
+        val sp = new StdinSpool(stdin, spoolDir.getOrElse(
+          Files.createTempDirectory("relay-spool")))
         sp.start()
         Some(sp)
       } else None
@@ -235,12 +271,12 @@ object Relay {
     val producer = sink.createProducer(out.streamKey,
       redisClampToTip = !once)
     def consume(uri: String, reset: AutoStreamReset, lineBase: Long) =
-      SeaStreamer.connect(uri, spark).createConsumer(in.streamKeys,
+      transform(SeaStreamer.connect(uri, spark).createConsumer(in.streamKeys,
         ConsumerOptions(
           mode = ConsumerMode.RealTime,
           live = !once,
           autoStreamReset = reset,
-          stdioLineBase = lineBase))
+          stdioLineBase = lineBase)))
     val reset0 =
       if (offsetStart.getOrElse(once)) AutoStreamReset.Earliest
       else AutoStreamReset.Latest
@@ -251,11 +287,14 @@ object Relay {
       producer.send(batch)
       n
     } else {
-      def ship(consumer: org.apache.spark.sql.DataFrame) =
-        consumer.writeStream
+      def ship(consumer: org.apache.spark.sql.DataFrame,
+          checkpoint: Option[java.nio.file.Path] = None) = {
+        val w = consumer.writeStream
           .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) =>
             producer.send(df))
-          .start()
+        checkpoint.foreach(p => w.option("checkpointLocation", p.toString))
+        w.start()
+      }
       liveSpool match {
         case None =>
           // the input is the user's own file/broker — not ours to rotate
@@ -281,7 +320,16 @@ object Relay {
           var reset = reset0
           var stoppedExternally = false
           while (!stoppedExternally) {
-            val q = ship(consume(uri, reset, lineBase))
+            // explicit per-generation checkpoint, deleted once this
+            // generation's query has fully terminated: a rotation stop can
+            // surface as query FAILURE (see below), and Spark retains an
+            // implicit temp checkpoint on failed termination — one leaked
+            // directory per forced cut, unbounded over the relay's life.
+            // The restart never resumes a checkpoint (the rotated file is
+            // a NEW source path; the cut position rides lineBase), so the
+            // delete loses nothing.
+            val ckpt = Files.createTempDirectory(sp.dir, "ckpt")
+            val q = ship(consume(uri, reset, lineBase), Some(ckpt))
             var rotated = false
             while (q.isActive && !rotated) {
               q.awaitTermination(250)
@@ -335,6 +383,7 @@ object Relay {
                 rotated = true
               }
             }
+            deleteTree(ckpt)
             if (!rotated) stoppedExternally = true
           }
           -1L

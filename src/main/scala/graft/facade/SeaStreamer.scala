@@ -98,7 +98,17 @@ object SeaStreamer {
           (if (opts.autoStreamReset == AutoStreamReset.Earliest) "earliest"
            else "latest"))
       }
-    Map("kafka.bootstrap.servers" -> bootstrap) ++ sub ++ start ++ security
+    // batchSize maps to the builtin connector's own admission knob
+    val cap: Map[String, String] = opts.batchSize
+      .map(n => Map("maxOffsetsPerTrigger" -> n.toString))
+      .getOrElse(Map.empty)
+    // the group identity passes through as the connector's group id knob
+    // (Resumable/LoadBalanced identity; the connector documents its own
+    // authorization/monitoring caveats for a fixed group id)
+    val grp: Map[String, String] = opts.group
+      .map(g => Map("kafka.group.id" -> g)).getOrElse(Map.empty)
+    Map("kafka.bootstrap.servers" -> bootstrap) ++ sub ++ start ++ cap ++
+      grp ++ security
   }
 
   /** Writer twin of [[builtinKafkaReadOptions]]. */
@@ -193,7 +203,20 @@ object SeaStreamer {
         * resetting to 0, which would break the monotone-per-key seq law
         * the `seq % n` group dispatch relies on.
         */
-      stdioLineBase: Long = 0L)
+      stdioLineBase: Long = 0L,
+      /** The reference consumer's batch-size flow control
+        * (sea-streamer-redis `set_batch_size`, examples/src/bin/
+        * resumable.rs:53 sets it): cap each LIVE micro-batch at N
+        * messages, mapped to every source's native admission knob
+        * (kafka `maxOffsetsPerTrigger`, redis `maxEntriesPerTrigger`,
+        * iggy/ss `maxMessagesPerTrigger`). A deep backlog then drains in
+        * bounded committed slices — what lets a Resumable processor stop
+        * after one slice and continue from there next invocation
+        * ([[graft.examples.Resumable]]). Refused on bounded Replay reads
+        * and on stdio (no admission surface) rather than silently
+        * dropped.
+        */
+      batchSize: Option[Long] = None)
 
   /** `security` is the connect-level option surface
     * ([[KafkaOptions.securityOptions]] output, streamer.rs:38-106): on the
@@ -359,6 +382,18 @@ object SeaStreamer {
           if (scheme == "file") // file backend does not support Resumable
             throw SeaStreamErr.Unsupported("Resumable mode on file backend")
       }
+      opts.batchSize.foreach { n =>
+        if (n <= 0)
+          throw SeaStreamErr.Unsupported(s"batchSize must be positive: $n")
+        if (!opts.live)
+          throw SeaStreamErr.Unsupported(
+            "batchSize on a bounded Replay read (admission caps are live " +
+              "flow control)")
+        if (scheme == "stdio")
+          throw SeaStreamErr.Unsupported(
+            "batchSize on the stdio backend (the line tail has no " +
+              "admission surface)")
+      }
     }
 
     /** Subscribe to streams; returns an envelope-schema DataFrame.
@@ -446,6 +481,10 @@ object SeaStreamer {
     private def load(streams: Seq[String], opts: ConsumerOptions): DataFrame = {
       validate(streams, opts)
       val subscribe = streams.mkString(",")
+      // batchSize → the source's native admission-control knob (validated
+      // live-only above); each backend names the cap differently
+      def cap(knob: String): Map[String, String] =
+        opts.batchSize.map(n => Map(knob -> n.toString)).getOrElse(Map.empty)
       scheme match {
         case "file" =>
           val reset =
@@ -455,6 +494,7 @@ object SeaStreamer {
             spark.readStream.format("ss")
               .option("subscribe", subscribe)
               .option("startingOffsets", reset)
+              .options(cap("maxMessagesPerTrigger"))
               .load(nodeAddr)
           else
             spark.read.format("ss").option("subscribe", subscribe).load(nodeAddr)
@@ -485,12 +525,19 @@ object SeaStreamer {
               .options(security)
               .option("host", host).option("port", port.toString)
               .option("topics", subscribe)
+              .options(cap("maxOffsetsPerTrigger"))
             val base = assignOpt.fold(base0)(base0.option("assign", _))
+            // a Resumable/LoadBalanced consumer anchors at the group's
+            // COMMITTED offsets (the source overrides the reset anchors
+            // per present partition) and re-commits as it drains —
+            // resume-where-the-group-left, streamer.rs's group semantics
+            val withGroup = opts.group
+              .map(g => base.option("group", g)).getOrElse(base)
             // seek pushes into ListOffsets at ms+1 (offsets_for_times law);
             // the generic strict-> residual filter still applies on top
             opts.seekTimestamp
-              .map(t => base.option("startingTimestamp", t.getTime.toString))
-              .getOrElse(base.option("startingOffsets",
+              .map(t => withGroup.option("startingTimestamp", t.getTime.toString))
+              .getOrElse(withGroup.option("startingOffsets",
                 if (opts.autoStreamReset == AutoStreamReset.Earliest)
                   "earliest" else "latest"))
               .load()
@@ -530,6 +577,7 @@ object SeaStreamer {
               .option("streams", subscribe)
               .option("shards", opts.redisShards.toString)
               .option("discoverShards", opts.discoverShards.toString)
+              .options(cap("maxEntriesPerTrigger"))
               .options(opts.assignShards
                 .map(pairs => Map("assign" -> pairs.map { case (st, sh) =>
                   graft.redis.RedisStreams.shardedKey(st, sh, sharded)
@@ -612,6 +660,7 @@ object SeaStreamer {
               .option("password", iggyAuth._2)
               .option("stream", opts.iggyStream)
               .option("topics", subscribe)
+              .options(cap("maxMessagesPerTrigger"))
             val base = assignOpt.fold(base0)(base0.option("assign", _))
             val withGroup = opts.group
               .map(g => base.option("group", g)).getOrElse(base)
@@ -669,6 +718,101 @@ object SeaStreamer {
       * the checkpointed epoch; these guards preserve the API contract.
       */
     def committer(opts: ConsumerOptions): Committer = new Committer(opts)
+
+    /** The reference resumable processor's EXPLICIT commit surface
+      * (examples/src/bin/resumable.rs:70-86 — the loop branches
+      * `consumer.get_kafka().commit_with(&identifier)` and
+      * `consumer.get_redis().ack_with(&identifier); consumer.commit()`):
+      * durably record a consumed prefix in the broker's group offset
+      * store, from a stopped streaming query's final progress. This
+      * exists because Spark's source-commit cadence runs one batch
+      * BEHIND (batch N's `source.commit` fires while batch N+1 is
+      * constructed), so a processor that exits after its last batch must
+      * commit that batch itself — precisely what the reference's
+      * explicit calls do per message.
+      *
+      * `endOffsetJson` is the stopped query's
+      * `lastProgress.sources[i].endOffset` — lastProgress only ever
+      * reflects COMPLETED batches, so the recorded prefix is exactly what
+      * was emitted downstream. kafka: OffsetCommit of exactly those
+      * (topic, partition) → offset pairs under `group`. redis: XACK this
+      * group's pending entries UP TO each key's committed end id — never
+      * past it, because a capped group batch can overshoot (a `>` page's
+      * tail is delivered-but-unemitted, parked in the PEL for the next
+      * window; acking it here would be loss). Backends with no group
+      * offset store refuse (the reference's loop simply has no branch for
+      * them — their resumable processor would silently restart from
+      * scratch; a typed refusal beats that).
+      */
+    def commitConsumed(group: String, endOffsetJson: Option[String]): Unit =
+      scheme match {
+        case "kafka" =>
+          val offs = endOffsetJson
+            .map(graft.kafka.spark.KafkaOffsetV2.fromJson(_).offs)
+            .getOrElse(Map.empty)
+          if (offs.nonEmpty) {
+            val (host, port) = SeaStreamer.hostPort(nodeAddr, 9092)
+            val sec = graft.kafka.KafkaSecurity.parse(security)
+            val c = new graft.kafka.KafkaClient(host, port,
+              sasl = sec.sasl, saslMechanism = sec.saslMechanism,
+              tls = sec.tls)
+            try {
+              c.findCoordinator(group)
+              c.commitOffsets(group, offs)
+            } finally c.close()
+          }
+        case "redis" =>
+          import graft.redis.{RedisStreams, Resp}
+          // the offset map's keys ARE the (sharded) stream keys the query
+          // consumed; each value is the highest id that batch emitted
+          val ids = endOffsetJson
+            .map(graft.redis.spark.RedisOffset.fromJson(_).ids)
+            .getOrElse(Map.empty)
+          if (ids.nonEmpty) {
+            val (host, port) = SeaStreamer.hostPort(nodeAddr, 6379)
+            val c = new graft.redis.RedisClient(host, port,
+              tls = redisTls, auth = redisAuth)
+            try ids.toSeq.sortBy(_._1).foreach { case (k, endId) =>
+              if (endId != "0-0") {
+                // summary XPENDING gives the pending window; XRANGE over
+                // [min, endId] enumerates the consumed ids (a superset of
+                // the pending subset is safe — XACK of an already-acked
+                // id is a no-op by redis contract)
+                val pending =
+                  try c.command(RedisStreams.xpending(k, group): _*)
+                  catch {
+                    // group never created = nothing was ever delivered
+                    case e: graft.redis.RedisClient.RedisError
+                      if e.getMessage.contains("NOGROUP") => Resp.NullArr
+                  }
+                pending match {
+                  case Resp.Arr(Resp.Num(n) +: (min: Resp.Bulk) +: _)
+                      if n > 0 &&
+                        RedisStreams.idCompare(min.utf8, endId) <= 0 =>
+                    var cursor = min.utf8
+                    var done = false
+                    while (!done) {
+                      val page = c.command(RedisStreams.xrange(k, cursor,
+                        endId, count = Some(10000)): _*) match {
+                        case Resp.Arr(entries) => entries.collect {
+                          case Resp.Arr((id: Resp.Bulk) +: _) => id.utf8
+                        }
+                        case _ => Seq.empty
+                      }
+                      if (page.nonEmpty)
+                        c.command(RedisStreams.xack(k, group, page): _*)
+                      if (page.size < 10000) done = true
+                      else cursor = RedisStreams.idSuccessor(page.last)
+                    }
+                  case _ => ()
+                }
+              }
+            } finally c.close()
+          }
+        case other => throw SeaStreamErr.Unsupported(
+          s"commitConsumed on backend '$other' (no group offset store " +
+            "— the reference's resumable loop has no commit branch for it)")
+      }
 
     /** Anchored producer: writes an envelope DataFrame to one stream.
       * `redisShards` must match the consumers' (keys are `stream:N` when

@@ -691,6 +691,35 @@ final class EmbeddedRedis(
             Resp.Bulk("last-generated-id".getBytes(UTF_8)),
             Resp.Bulk(s"$ms-$seq".getBytes(UTF_8))))
         }
+      case "XINFO" if args.length > 2 && s(1).toUpperCase == "GROUPS" =>
+        // XINFO GROUPS key — real redis's flat field-value array per
+        // group; the fields a resuming consumer needs: name,
+        // last-delivered-id (the group cursor — the floor a fresh capped
+        // group query clamps its first batch window to), pending
+        val key = s(2)
+        if (!streams.containsKey(key))
+          Resp.Err("ERR no such key")
+        else {
+          import scala.jdk.CollectionConverters._
+          val prefix = key + "/"
+          val gs = groupCursor.asScala.toSeq
+            .collect { case (gk, cursor) if gk.startsWith(prefix) =>
+              (gk.stripPrefix(prefix), gk, cursor)
+            }.sortBy(_._1)
+          Resp.Arr(gs.map { case (g, gk, cursor) =>
+            val p = Option(pel.get(gk)).map(_.asScala.toMap)
+              .getOrElse(Map.empty)
+            Resp.Arr(Seq(
+              Resp.Bulk("name".getBytes(UTF_8)),
+              Resp.Bulk(g.getBytes(UTF_8)),
+              Resp.Bulk("consumers".getBytes(UTF_8)),
+              Resp.Num(p.values.map(_.consumer).toSet.size.toLong),
+              Resp.Bulk("pending".getBytes(UTF_8)),
+              Resp.Num(p.size.toLong),
+              Resp.Bulk("last-delivered-id".getBytes(UTF_8)),
+              Resp.Bulk(cursor.getBytes(UTF_8))))
+          })
+        }
       case other => Resp.Err(s"ERR unknown command '$other'")
     }
   }

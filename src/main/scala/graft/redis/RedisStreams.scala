@@ -160,6 +160,34 @@ object RedisStreams {
   def xinfoStream(key: String): Seq[Array[Byte]] =
     Seq(b("XINFO"), b("STREAM"), b(key))
 
+  /** `XINFO GROUPS key` — per-group metadata; the consumer facade reads
+    * each group's `last-delivered-id` cursor (the floor a fresh capped
+    * group query clamps its first batch window to, so it never crawls the
+    * group's consumed prefix in empty batches).
+    */
+  def xinfoGroups(key: String): Seq[Array[Byte]] =
+    Seq(b("XINFO"), b("GROUPS"), b(key))
+
+  /** Decode an [[xinfoGroups]] reply into group name → last-delivered-id.
+    * Errors (no such key) and absent fields decode to empty — a missing
+    * cursor just means no floor to apply.
+    */
+  def groupCursors(reply: Resp.Value): Map[String, String] = reply match {
+    case Resp.Arr(groups) => groups.collect { case Resp.Arr(fields) =>
+      val kv = fields.sliding(2, 2).collect {
+        case Seq(Resp.Bulk(f), v) =>
+          new String(f, java.nio.charset.StandardCharsets.UTF_8) -> v
+      }.toMap
+      (kv.get("name"), kv.get("last-delivered-id")) match {
+        case (Some(Resp.Bulk(n)), Some(Resp.Bulk(c))) =>
+          Some(new String(n, java.nio.charset.StandardCharsets.UTF_8) ->
+            new String(c, java.nio.charset.StandardCharsets.UTF_8))
+        case _ => None
+      }
+    }.flatten.toMap
+    case _ => Map.empty
+  }
+
   /** Decode an [[xinfoStream]] reply's `last-generated-id` as (ms, seq);
     * (0, -1) when the field is absent — so the first append at ms 0 still
     * gets sub-seq 0.

@@ -309,24 +309,50 @@ class RedisMicroBatchStream(options: CaseInsensitiveStringMap)
       case None => baseStarts()
       case Some(g) =>
         // group mode: delivery is cursor/PEL-driven and the offset is only
-        // the batch CLAMP — but the clamp must (1) not start at the epoch
-        // when the cursor is at the tip, or a capped consumer would crawl
-        // the whole dead prefix in empty batches before any live entry, and
-        // (2) still sit below the oldest pending entry, so re-deliveries
-        // (claims, resumes) fall inside the first batch's range
+        // the batch CLAMP — but the clamp must (1) FLOOR AT THE GROUP
+        // CURSOR (everything at/below last-delivered-id was already
+        // delivered: acked = consumed, unacked = covered by (2)), or a
+        // fresh capped query over a resumed group would spend its first
+        // windows crawling the consumed prefix — O(history/cap) empty
+        // batches in which `>` deliveries overshoot the window and park
+        // unemitted in the PEL; (2) still sit below the oldest pending
+        // entry, so re-deliveries (claims, resumes) fall inside the first
+        // batch's range. The floor only ever RAISES the clamp, so a
+        // `latest` anchor (tips) keeps skipping backlog.
         val base = baseStarts()
+        val cursors = groupCursorFloors()
         val pendingMin = pendingMinIds(g)
         keys.map { case (k, _, _) =>
           val b = base(k)
-          k -> (pendingMin.get(k) match {
-            case Some(minId) if RedisStreams.idCompare(minId, b) <= 0 =>
-              RedisStreams.idPredecessor(minId)
+          val floored = cursors.get(k) match {
+            case Some(c) if RedisStreams.idCompare(c, b) > 0 => c
             case _ => b
+          }
+          k -> (pendingMin.get(k) match {
+            case Some(minId) if RedisStreams.idCompare(minId, floored) <= 0 =>
+              RedisStreams.idPredecessor(minId)
+            case _ => floored
           })
         }.toMap
     }
     RedisOffset(ids)
   }
+
+  /** This group's `last-delivered-id` cursor per key (XINFO GROUPS) —
+    * the floor [[initialOffset]] raises a fresh query's clamp to. Reply
+    * errors decode empty: no cursor, no floor.
+    */
+  private def groupCursorFloors(): Map[String, String] =
+    group.map { g =>
+      byNode(keys) { (client, ks) =>
+        val rs = client.pipelineRaw(ks.map { case (k, _, _) =>
+          RedisStreams.xinfoGroups(k)
+        })
+        ks.zip(rs).flatMap { case ((k, _, _), v) =>
+          RedisStreams.groupCursors(v).get(g).map(k -> _)
+        }
+      }.toMap
+    }.getOrElse(Map.empty)
 
   /** Oldest pending (unacked) entry id per key, any consumer (XPENDING
     * summary) — the floor the initial clamp must sit under.

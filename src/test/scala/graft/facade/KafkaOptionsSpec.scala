@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSession
 import graft.core.SeaStreamErr
 import graft.facade.KafkaOptions._
-import graft.facade.SeaStreamer.{AutoStreamReset, ConsumerOptions}
+import graft.facade.SeaStreamer.{AutoStreamReset, ConsumerMode, ConsumerOptions}
 
 /** Golden-config laws for the kafka builtin-connector branch: the sandbox
   * cannot run a secured broker, so the mitigation is pinning the EXACT
@@ -158,6 +158,19 @@ class KafkaOptionsSpec extends AnyFunSuite {
       "kafka.bootstrap.servers" -> "broker:9093",
       "subscribe" -> "a,b",
       "startingOffsets" -> "earliest") ++ sec)
+  }
+
+  test("builtin reader map: batchSize and group map to the connector's " +
+      "own knobs (maxOffsetsPerTrigger / kafka.group.id)") {
+    val o = SeaStreamer.builtinKafkaReadOptions("b:9092", "t",
+      ConsumerOptions(mode = ConsumerMode.Resumable, group = Some("g1"),
+        batchSize = Some(500L)), Map.empty)
+    assert(o == Map(
+      "kafka.bootstrap.servers" -> "b:9092",
+      "subscribe" -> "t",
+      "startingOffsets" -> "latest",
+      "maxOffsetsPerTrigger" -> "500",
+      "kafka.group.id" -> "g1"))
   }
 
   test("builtin reader map: seek timestamp replaces startingOffsets") {

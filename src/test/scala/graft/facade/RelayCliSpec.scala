@@ -46,11 +46,14 @@ class RelayCliSpec extends AnyFunSuite {
     assert(Clock.parseDuration("1500us") == 1L)
     assert(Clock.parseDuration("1ns") == 1L) // sub-ms floors to 1ms
     intercept[IllegalArgumentException](Clock.parseDuration("1h"))
-    // the reference parses the count as u64: a signed count is a PARSE
-    // error there, so it must be one here too — not a raw
-    // IllegalArgumentException escaping from Thread.sleep(-1000)
+    // the reference parses the count as u64, whose FromStr takes one
+    // optional leading '+' but no '-': `+1s` is legal there, `-1s` is a
+    // PARSE error — not a raw IllegalArgumentException escaping from
+    // Thread.sleep(-1000)
+    assert(Clock.parseDuration("+1s") == 1000L)
+    intercept[IllegalArgumentException](Clock.parseDuration("++1s"))
     intercept[IllegalArgumentException](Clock.parseDuration("-1s"))
-    intercept[IllegalArgumentException](Clock.parseDuration("+1s"))
+    intercept[IllegalArgumentException](Clock.parseDuration("+s"))
     intercept[IllegalArgumentException](Clock.parseDuration("s"))
   }
 
@@ -182,8 +185,10 @@ class RelayCliSpec extends AnyFunSuite {
       "rotate away, nothing is lost or reordered across rotations") {
     val srv = new EmbeddedRedis
     val before = spark.streams.active.map(_.id).toSet
-    val tmp = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"))
+    // per-test spool dir: a concurrent JVM's relay spools land in ITS
+    // own dir, never this scan (the old global-tmpdir enumeration could
+    // see a parallel fork's files)
+    val tmp = Files.createTempDirectory("relaycap-spool")
     def spools(): Set[java.nio.file.Path] = {
       val s = Files.list(tmp)
       try {
@@ -203,7 +208,7 @@ class RelayCliSpec extends AnyFunSuite {
         result = Relay.run(spark, "stdio:///cap",
           s"redis://${srv.host}:${srv.port}/cap",
           offsetStart = Some(true), once = false, stdin = pipeIn,
-          spoolCapBytes = capBytes)
+          spoolCapBytes = capBytes, spoolDir = Some(tmp))
       }, "relay-cap-test")
       t.start()
       // ~40 bytes/line x 400 >> the 2 KiB cap; unique increasing ms per
@@ -285,8 +290,7 @@ class RelayCliSpec extends AnyFunSuite {
       "relay survives a mid-flight stop") {
     val srv = new EmbeddedRedis
     val before = spark.streams.active.map(_.id).toSet
-    val tmp = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"))
+    val tmp = Files.createTempDirectory("relayfire-spool")
     def spools(): Set[java.nio.file.Path] = {
       val s = Files.list(tmp)
       try {
@@ -306,7 +310,7 @@ class RelayCliSpec extends AnyFunSuite {
         result = Relay.run(spark, "stdio:///fire",
           s"redis://${srv.host}:${srv.port}/fire",
           offsetStart = Some(true), once = false, stdin = pipeIn,
-          spoolCapBytes = capBytes)
+          spoolCapBytes = capBytes, spoolDir = Some(tmp))
       }, "relay-firehose-test")
       t.start()
       // sustained feed from a side thread, no drain pauses: the monitor
@@ -367,6 +371,20 @@ class RelayCliSpec extends AnyFunSuite {
       }
       assert(!t.isAlive && result == -1L,
         "the relay survives forced cuts and stops cleanly")
+      // forced cuts surface as query FAILURE, where Spark RETAINS an
+      // implicit temp checkpoint — the relay's explicit per-generation
+      // checkpoints must instead be deleted as each generation ends, or a
+      // weeks-long firehose leaks one directory per cut
+      val leftoverCkpts = {
+        val s = Files.list(tmp)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .filter(_.getFileName.toString.startsWith("ckpt")).toSet
+        } finally s.close()
+      }
+      assert(leftoverCkpts.isEmpty,
+        s"rotation generations leaked checkpoints: $leftoverCkpts")
     } finally srv.close()
   }
 

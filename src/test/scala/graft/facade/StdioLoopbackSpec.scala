@@ -68,6 +68,56 @@ class StdioLoopbackSpec extends AnyFunSuite {
       Seq(1L, 3L, 5L, 7L, 9L))
   }
 
+  test("complex.rs behavior (sea-streamer-stdio/src/bin/complex.rs:31-75): " +
+      "two LoadBalanced members of one group split the input and relay " +
+      "their halves tagged with their member ordinal; after the drop, a " +
+      "REGROUPED single member receives the whole stream and relays it " +
+      "tagged 0") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val f = Files.createTempFile("loopback-complex", ".log").toFile
+    val conn = SeaStreamer.connect(s"stdio://${f.getPath}", spark,
+      Map("stdio.loopback" -> "true"))
+    silenced(conn.createProducer("input").send(env("input", 10)))
+    // phase 1 (complex.rs:38-58): consumer1/consumer2 in group "abc"
+    // alternate deliveries; each inserts its relay ordinal into the
+    // payload and produces to the output stream
+    val producer = conn.createProducer("output")
+    val members = conn.createGroupConsumers(Seq("input"), "abc",
+      members = 2, ConsumerOptions(live = false))
+    members.zipWithIndex.foreach { case (m, i) =>
+      silenced(producer.send(m.withColumn("payload",
+        concat(lit(s"""{"relay":${i + 1},"v":"""),
+          col("payload").cast("string"), lit("}")).cast("binary"))))
+    }
+    val phase1 = conn.createConsumer(Seq("output"),
+      ConsumerOptions(live = false))
+    val tagged = phase1.select(col("payload").cast("string"))
+      .as[String].collect().toSeq
+    assert(tagged.filter(_.startsWith("""{"relay":1"""))
+      .map(_.split(",\"v\":")(1).stripSuffix("}").toInt).sorted ==
+      Seq(0, 2, 4, 6, 8), tagged)
+    assert(tagged.filter(_.startsWith("""{"relay":2"""))
+      .map(_.split(",\"v\":")(1).stripSuffix("}").toInt).sorted ==
+      Seq(1, 3, 5, 7, 9), tagged)
+    // phase 2 (complex.rs:61-75): the consumers drop (fresh connection),
+    // ONE member re-joins the same group — the regroup assigns it the
+    // WHOLE stream, and the new connection needs its own new producer
+    val conn2 = SeaStreamer.connect(s"stdio://${f.getPath}", spark,
+      Map("stdio.loopback" -> "true"))
+    val producer2 = conn2.createProducer("output")
+    val regrouped = conn2.createGroupConsumers(Seq("input"), "abc",
+      members = 1, ConsumerOptions(live = false)).head
+    assert(regrouped.select("sequence").as[Long].collect().sorted.toSeq ==
+      (0L until 10L), "regrouped single member must own every message")
+    silenced(producer2.send(regrouped.withColumn("payload",
+      concat(lit("""{"relay":0,"v":"""),
+        col("payload").cast("string"), lit("}")).cast("binary"))))
+    val all = conn2.createConsumer(Seq("output"),
+      ConsumerOptions(live = false))
+      .select(col("payload").cast("string")).as[String].collect().toSeq
+    assert(all.count(_.startsWith("""{"relay":0""")) == 10, all)
+  }
+
   test("option surface is typed: stray keys, non-boolean values, and " +
       "loopback on a file-less node all refuse") {
     intercept[SeaStreamErr.Unsupported](
