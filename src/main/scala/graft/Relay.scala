@@ -108,6 +108,24 @@ object Relay {
       finally walk.close()
     }
 
+  /** ONE shutdown hook for every spool dir this JVM ever creates — a
+    * hook per StdinSpool instance would accumulate one never-removed
+    * hook thread per live relay run in a long-lived embedding JVM (the
+    * same never-dropped-entry shape as the per-rotation deleteOnExit
+    * this registry replaced).
+    */
+  private val spoolDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private val spoolHookArmed =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def registerSpoolDir(d: java.nio.file.Path): Unit = {
+    if (spoolHookArmed.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        spoolDirs.forEach(p => deleteTree(p)), "relay-spool-cleanup"))
+    spoolDirs.add(d)
+    ()
+  }
+
   /** The live relay's bounded stdin bridge: one appender thread spools
     * stdin lines into the current file; [[rotate]] drops a consumed
     * prefix by copying the unconsumed tail into a FRESH file and
@@ -124,8 +142,7 @@ object Relay {
     */
   private[graft] final class StdinSpool(stdin: java.io.InputStream,
       val dir: java.nio.file.Path) {
-    Runtime.getRuntime.addShutdownHook(
-      new Thread(() => deleteTree(dir), "relay-spool-cleanup"))
+    registerSpoolDir(dir)
     private def fresh(): java.nio.file.Path =
       Files.createTempFile(dir, "relay-stdin", ".log")
     private val lock = new Object
@@ -231,12 +248,7 @@ object Relay {
     out.streamer.protocol.getOrElse(
       throw SeaStreamErr.Connect(s"no protocol in '$output'"))
 
-    def connStr(u: StreamUrl): String = {
-      val proto = u.streamer.protocol.get
-      val hosts = u.streamer.nodes
-        .map(_.stripPrefix(proto + "://")).mkString(",")
-      s"$proto://$hosts"
-    }
+    def connStr(u: StreamUrl): String = SeaStreamer.connString(u)
 
     // stdio:///key = THIS process's stdin: spool it to a line file the
     // stdio-lines source can read (bounded mode drains stdin to EOF
@@ -329,8 +341,9 @@ object Relay {
             // a NEW source path; the cut position rides lineBase), so the
             // delete loses nothing.
             val ckpt = Files.createTempDirectory(sp.dir, "ckpt")
-            val q = ship(consume(uri, reset, lineBase), Some(ckpt))
             var rotated = false
+            try {
+            val q = ship(consume(uri, reset, lineBase), Some(ckpt))
             while (q.isActive && !rotated) {
               q.awaitTermination(250)
               // only a query with COMMITTED progress is worth stopping:
@@ -383,7 +396,10 @@ object Relay {
                 rotated = true
               }
             }
-            deleteTree(ckpt)
+            // in a finally: a generation that dies for a REAL reason (the
+            // broker went away — awaitTermination rethrows the query
+            // failure) must not leak its checkpoint either
+            } finally deleteTree(ckpt)
             if (!rotated) stoppedExternally = true
           }
           -1L

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
 
 import graft.GraftSession
-import graft.core.{SeaStreamErr, StreamUrl}
+import graft.core.StreamUrl
 import graft.facade.SeaStreamer
 import graft.facade.SeaStreamer.{AutoStreamReset, ConsumerMode, ConsumerOptions}
 import graft.ops.StdioParser
@@ -66,11 +66,7 @@ object Consumer {
     */
   def run(spark: SparkSession, stream: String, once: Boolean): Long = {
     val url = StreamUrl.parse(stream)
-    val proto = url.streamer.protocol.getOrElse(
-      throw SeaStreamErr.Connect(s"no protocol in '$stream'"))
-    val hosts = url.streamer.nodes
-      .map(_.stripPrefix(proto + "://")).mkString(",")
-    val conn = SeaStreamer.connect(s"$proto://$hosts", spark)
+    val conn = SeaStreamer.connect(SeaStreamer.connString(url), spark)
     val consumer = conn.createConsumer(url.streamKeys, ConsumerOptions(
       mode = ConsumerMode.RealTime,
       autoStreamReset = AutoStreamReset.Earliest,

@@ -3,7 +3,7 @@ package graft.examples
 import org.apache.spark.sql.SparkSession
 
 import graft.GraftSession
-import graft.core.{SeaStreamErr, StreamUrl}
+import graft.core.StreamUrl
 import graft.facade.SeaStreamer
 
 /** The reference's front-page basic producer (examples/src/bin/
@@ -66,11 +66,7 @@ object Producer {
   def run(spark: SparkSession, stream: String, intervalMs: Long,
       ticks: Long): Long = {
     val url = StreamUrl.parse(stream)
-    val proto = url.streamer.protocol.getOrElse(
-      throw SeaStreamErr.Connect(s"no protocol in '$stream'"))
-    val hosts = url.streamer.nodes
-      .map(_.stripPrefix(proto + "://")).mkString(",")
-    val conn = SeaStreamer.connect(s"$proto://$hosts", spark)
+    val conn = SeaStreamer.connect(SeaStreamer.connString(url), spark)
     // stream.stream_key()? — exactly one key or a typed error
     val producer = conn.createProducer(url.streamKey)
     import spark.implicits._

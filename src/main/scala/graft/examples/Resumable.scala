@@ -77,12 +77,10 @@ object Resumable {
     }
     if (input.isEmpty || output.isEmpty) usage()
     val spark = GraftSession.get()
-    try {
-      val n = run(spark, input.get, output.get, group, take)
-      if (take.isDefined)
-        System.err.println(s"[resumable] processed $n messages, " +
-          "position committed — rerun to continue")
-    } finally spark.stop()
+    // run() itself reports the slice + commit status on stderr (the
+    // commit can legitimately not happen on a deadline-aborted batch)
+    try run(spark, input.get, output.get, group, take)
+    finally spark.stop()
   }
 
   /** Core, testable seam: messages processed this invocation under
@@ -92,13 +90,6 @@ object Resumable {
       group: String, take: Option[Long]): Long = {
     val in = StreamUrl.parse(input)
     val out = StreamUrl.parse(output)
-    def connStr(u: StreamUrl): String = {
-      val proto = u.streamer.protocol.getOrElse(
-        throw SeaStreamErr.Connect(s"no protocol in '${u}'"))
-      val hosts = u.streamer.nodes
-        .map(_.stripPrefix(proto + "://")).mkString(",")
-      s"$proto://$hosts"
-    }
     val inProto = in.streamer.protocol.getOrElse(
       throw SeaStreamErr.Connect(s"no protocol in '$input'"))
     if (inProto == "stdio")
@@ -115,9 +106,15 @@ object Resumable {
         s"--take on '$inProto': the explicit commit surface covers " +
           "kafka/redis (resumable.rs's commit branches); run without " +
           "--take to rely on the engine's own per-epoch commits")
-    val src = SeaStreamer.connect(connStr(in), spark)
-    val sink = SeaStreamer.connect(connStr(out), spark)
-    val producer = sink.createProducer(out.streamKey)
+    val src = SeaStreamer.connect(SeaStreamer.connString(in), spark)
+    val sink = SeaStreamer.connect(SeaStreamer.connString(out), spark)
+    // kill-anytime means re-delivery (a crash between send and commit
+    // re-ships the slice); a redis destination must floor those re-sent
+    // ts-packed ids at its tip — duplicates land (at-least-once, the
+    // documented contract) instead of wedging every rerun on the XADD
+    // monotone-id refusal. Same setting the live demo relay uses.
+    val producer = sink.createProducer(out.streamKey,
+      redisClampToTip = true)
     val consumer = src.createConsumer(in.streamKeys, ConsumerOptions(
       mode = ConsumerMode.Resumable,
       group = Some(group),
@@ -145,11 +142,15 @@ object Resumable {
     // call's batch form. lastProgress only ever reflects COMPLETED batches
     // (foreachBatch's sends finished), so committing its endOffset can
     // mark nothing unprocessed as consumed.
-    def commitFinal(): Unit = if (commitable)
-      Option(q.lastProgress)
-        .flatMap(p => p.sources.headOption)
-        .flatMap(s => Option(s.endOffset))
-        .foreach(j => src.commitConsumed(group, Some(j)))
+    def commitFinal(): Boolean = {
+      val end = if (commitable)
+        Option(q.lastProgress)
+          .flatMap(p => p.sources.headOption)
+          .flatMap(s => Option(s.endOffset))
+      else None
+      end.foreach(j => src.commitConsumed(group, Some(j)))
+      end.isDefined
+    }
     take match {
       case None =>
         q.awaitTermination()
@@ -164,7 +165,20 @@ object Resumable {
           q.awaitTermination(100)
         q.stop()
         while (q.isActive) q.awaitTermination(100)
-        commitFinal()
+        val committed = commitFinal()
+        // honest status: a deadline-aborted batch can have SHIPPED rows
+        // (foreachBatch's sends completed) with no completed-batch
+        // progress to commit — saying "committed" there would hide that
+        // the next invocation re-delivers
+        if (committed)
+          System.err.println(s"[resumable] processed ${shipped.get()} " +
+            "messages, position committed — rerun to continue")
+        else if (shipped.get() > 0)
+          System.err.println(s"[resumable] WARNING: ${shipped.get()} " +
+            "messages shipped but NO completed batch to commit — the " +
+            "next invocation re-delivers this slice (at-least-once)")
+        else
+          System.err.println("[resumable] nothing to process")
         shipped.get()
     }
   }

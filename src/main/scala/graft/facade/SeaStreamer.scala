@@ -116,6 +116,19 @@ object SeaStreamer {
       security: Map[String, String]): Map[String, String] =
     Map("kafka.bootstrap.servers" -> bootstrap) ++ security
 
+  /** StreamUrl → the facade's connect string (`scheme://host,host`): the
+    * one node/scheme normalization every CLI front-end shares
+    * ([[graft.Relay]], the `graft.examples` mains).
+    */
+  def connString(u: graft.core.StreamUrl): String = {
+    val proto = u.streamer.protocol.getOrElse(
+      throw SeaStreamErr.Connect(
+        s"no protocol in '${u.streamer.nodes.mkString(",")}'"))
+    val hosts = u.streamer.nodes
+      .map(_.stripPrefix(proto + "://")).mkString(",")
+    s"$proto://$hosts"
+  }
+
   def kafkaAssignJson(pairs: Seq[(String, Long)]): String =
     pairs.groupBy(_._1).toSeq.sortBy(_._1).map { case (topic, ps) =>
       s""""$topic":[${ps.map(_._2).sorted.mkString(",")}]"""
@@ -747,6 +760,15 @@ object SeaStreamer {
     def commitConsumed(group: String, endOffsetJson: Option[String]): Unit =
       scheme match {
         case "kafka" =>
+          // the builtin connector's offset JSON is a different shape AND
+          // its resume model is checkpoint-based (kafka.group.id is
+          // identity only, committed offsets never anchor a start) — a
+          // commit here would parse-crash or silently not resume; refuse
+          if (SeaStreamer.builtinKafkaPresent)
+            throw SeaStreamErr.Unsupported(
+              "commitConsumed with the builtin kafka connector (its " +
+                "resume is checkpoint-based; group offsets don't anchor " +
+                "starts there) — use the wire driver or a checkpoint")
           val offs = endOffsetJson
             .map(graft.kafka.spark.KafkaOffsetV2.fromJson(_).offs)
             .getOrElse(Map.empty)

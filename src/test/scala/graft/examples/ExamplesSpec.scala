@@ -97,6 +97,28 @@ class ExamplesSpec extends AnyFunSuite {
     }
   }
 
+  test("file leg of the run matrix (examples/README 'With File'): " +
+      "producer writes a .ss container, consumer --once replays it, " +
+      "processor file -> stdio prints processed producer-format lines") {
+    val dir = Files.createTempDirectory("examples-file")
+    assert(Producer.run(spark, s"file://$dir/hello",
+      intervalMs = 2, ticks = 3) == 3L)
+    val out = captureOut {
+      assert(Consumer.run(spark, s"file://$dir/hello", once = true) == 3L)
+    }
+    assert(out.length == 3)
+    out.zipWithIndex.foreach { case (l, i) =>
+      assert(l.endsWith(s""""tick $i""""), l)
+    }
+    val out2 = captureOut {
+      assert(Processor.run(spark, s"file://$dir/hello", "stdio:///hello2",
+        offsetStart = Some(true), once = true) == 3L)
+    }
+    assert(out2.length == 3 && out2.forall(_.contains("| hello2 |")),
+      out2.mkString("\n"))
+    assert(out2.count(_.endsWith(""""tick 1" processed""")) == 1)
+  }
+
   test("resumable continues from where it left off (examples/README " +
       "'can be killed anytime'): three --take slices over one redis " +
       "group cover the backlog as disjoint consecutive suffixes, no " +
