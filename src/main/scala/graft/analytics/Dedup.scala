@@ -64,7 +64,15 @@ object Dedup {
     */
   private[analytics] val SubstringDfCap = 64L
 
-  /** doc_id + distinct word-3gram shingles. */
+  /** doc_id + distinct word-3gram shingles. Distinctness is DOC-LOCAL
+    * (array_distinct before the explode): duplicate (doc_id, s) rows can
+    * only arise within one document's own window list, so the per-row set
+    * is exactly the global-distinct set — t20's streaming gate has always
+    * relied on this law — and the map-side form removes the full
+    * (doc_id, s) exchange + hash-aggregate a global `.distinct()` pays
+    * (guide §2.4: the corpus-sized shingle table is the largest
+    * intermediate every dedup operator shares).
+    */
   private[analytics] def shingles(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("tok"))
@@ -72,9 +80,8 @@ object Dedup {
       .select(col("doc_id"), explode(expr(
         // cap matches the oracle's range(1, 1024): both sides consider at
         // most the first 1023 shingle positions of pathological documents
-        "transform(sequence(0, least(size(tok)-3, 1022)), i -> concat_ws(' ', slice(tok, i+1, 3)))"))
+        "array_distinct(transform(sequence(0, least(size(tok)-3, 1022)), i -> concat_ws(' ', slice(tok, i+1, 3))))"))
         .as("s"))
-      .distinct()
 
   /** All 8 permutation minima in ONE aggregation over hashed shingle rows
     * (doc_id, hm), unpivoted to (doc_id, i, mh) — shuffles |shingles| rows
@@ -893,15 +900,21 @@ object Dedup {
     val shR = shingles(ref).withColumn("hm", md5long(col("s")) % Prime)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mhR = minhashStack(shR)
-    graft.ops.Bucketing.writeBucketed(
-      d14BandKeys(mhR, "ref_id"), d14Table("d14_ref_bands", dir), "bk", 8)
-    graft.ops.Bucketing.writeBucketed(
-      shR.select(col("doc_id").as("ref_id"), col("s")),
-      d14Table("d14_ref_shingles", dir), "ref_id", 8)
-    graft.ops.Bucketing.writeBucketed(
-      shR.groupBy(col("doc_id").as("ref_id")).agg(count(lit(1)).as("nb")),
-      d14Table("d14_ref_sizes", dir), "ref_id", 8)
-    d14WriteMeta(s, dir, D14BandR)
+    // the four index-table writes are independent consumers of the ONE
+    // persisted shingle frame (block-level locks serialize the first
+    // materialization; every later read is a cache hit) — submit them
+    // concurrently so 8-task bucket writes and driver-side commits
+    // overlap instead of queueing (guide §2.6)
+    graft.ops.Bucketing.concurrently(Seq(
+      () => graft.ops.Bucketing.writeBucketed(
+        d14BandKeys(mhR, "ref_id"), d14Table("d14_ref_bands", dir), "bk", 8),
+      () => graft.ops.Bucketing.writeBucketed(
+        shR.select(col("doc_id").as("ref_id"), col("s")),
+        d14Table("d14_ref_shingles", dir), "ref_id", 8),
+      () => graft.ops.Bucketing.writeBucketed(
+        shR.groupBy(col("doc_id").as("ref_id")).agg(count(lit(1)).as("nb")),
+        d14Table("d14_ref_sizes", dir), "ref_id", 8),
+      () => d14WriteMeta(s, dir, D14BandR)))
     shR.unpersist()
   }
 
@@ -933,15 +946,20 @@ object Dedup {
     val shA = shingles(acc).withColumn("hm", md5long(col("s")) % Prime)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mhA = minhashStack(shA)
-    graft.ops.Bucketing.appendBucketed(
-      d14BandKeys(mhA, "ref_id", d14IndexR(s, dir)),
-      d14Table("d14_ref_bands", dir), "bk", 8)
-    graft.ops.Bucketing.appendBucketed(
-      shA.select(col("doc_id").as("ref_id"), col("s")),
-      d14Table("d14_ref_shingles", dir), "ref_id", 8)
-    graft.ops.Bucketing.appendBucketed(
-      shA.groupBy(col("doc_id").as("ref_id")).agg(count(lit(1)).as("nb")),
-      d14Table("d14_ref_sizes", dir), "ref_id", 8)
+    // read the stored banding ONCE on the calling thread (it is a catalog +
+    // head() lookup), then run the three independent appends concurrently —
+    // same §2.6 overlap as d14Build; each append targets a different table
+    val rStored = d14IndexR(s, dir)
+    graft.ops.Bucketing.concurrently(Seq(
+      () => graft.ops.Bucketing.appendBucketed(
+        d14BandKeys(mhA, "ref_id", rStored),
+        d14Table("d14_ref_bands", dir), "bk", 8),
+      () => graft.ops.Bucketing.appendBucketed(
+        shA.select(col("doc_id").as("ref_id"), col("s")),
+        d14Table("d14_ref_shingles", dir), "ref_id", 8),
+      () => graft.ops.Bucketing.appendBucketed(
+        shA.groupBy(col("doc_id").as("ref_id")).agg(count(lit(1)).as("nb")),
+        d14Table("d14_ref_sizes", dir), "ref_id", 8)))
     shA.unpersist()
   }
 
@@ -1421,13 +1439,15 @@ object Dedup {
     // drop-decision reads.
     "d15_substring_dup" -> { (s, dir) =>
       val docs = Tables(s, dir).documents
+      // doc-local distinct (shingles' law at window width 8): duplicate
+      // (doc_id, s) rows only arise within one doc's own window list, so
+      // array_distinct before the explode replaces the global exchange
       val g = docs
         .select(col("doc_id"), split(col("text"), " ").as("tok"))
         .filter(size(col("tok")) >= 8)
         .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, least(size(tok)-8, 1022)), " +
-            "i -> concat_ws(' ', slice(tok, i+1, 8)))")).as("s"))
-        .distinct()
+          "array_distinct(transform(sequence(0, least(size(tok)-8, 1022)), " +
+            "i -> concat_ws(' ', slice(tok, i+1, 8))))")).as("s"))
       // the window vocabulary and the window self-join are corpus×corpus
       // on WIDE keys (8-gram strings run ~3× a 3-gram's bytes): sort-merge
       // (spillable) instead of shuffle-hash — at sf10 the hash build of a

@@ -93,13 +93,15 @@ object Pipeline {
     * for the oracle, constructed fixtures for the tier-boundary spec.
     */
   private[analytics] def ngramDecontam(docs: DataFrame): DataFrame = {
+    // doc-local distinct (Dedup.shingles' law at window width 8): duplicate
+    // (doc_id, s) rows only arise within one doc's own window list, so
+    // array_distinct before the explode replaces the global exchange
     val g = docs
       .select(col("doc_id"), split(col("text"), " ").as("tok"))
       .filter(size(col("tok")) >= 8)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, least(size(tok)-8, 1022)), " +
-          "i -> concat_ws(' ', slice(tok, i+1, 8)))")).as("s"))
-      .distinct()
+        "array_distinct(transform(sequence(0, least(size(tok)-8, 1022)), " +
+          "i -> concat_ws(' ', slice(tok, i+1, 8))))")).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bench = g.filter(pmod(col("doc_id"), lit(DecontamEvalMod)) === 0L)
       .select(col("s")).distinct()

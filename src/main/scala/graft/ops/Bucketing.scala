@@ -9,6 +9,32 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
+  /** Run independent Spark actions CONCURRENTLY from driver threads and
+    * wait for all (optimization guide §2.6 "overlap independent jobs"):
+    * a bucketed index write is numBuckets tasks plus single-threaded
+    * driver commit work, so a sequence of them leaves the executor mostly
+    * idle — submitting them together lets each job's tasks back-fill the
+    * others' tails and overlaps the driver-side commits. Threads are
+    * fresh per call, so Spark's inheritable thread-locals (job group /
+    * description) match an inline call. All tasks are awaited even on
+    * failure (no half-written set left racing); the first error rethrows.
+    */
+  def concurrently(tasks: Seq[() => Unit]): Unit = tasks match {
+    case Seq() => ()
+    case Seq(one) => one()
+    case many =>
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val threads = many.map { f =>
+        val t = new Thread(() =>
+          try f() catch { case e: Throwable => errs.add(e) })
+        t.setDaemon(true)
+        t.start()
+        t
+      }
+      threads.foreach(_.join())
+      if (!errs.isEmpty) throw errs.peek()
+  }
+
   /** Persist `df` as a bucketed, sorted managed table. Idempotent across
     * SESSIONS, not just runs: a fresh in-memory catalog has no entry for a
     * previous session's table, so Overwrite alone trips over the leftover
