@@ -1050,12 +1050,13 @@ object Dedup {
       .withColumn("jaccard",
         col("common") * lit(1.0) / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= JaccardThreshold)
-    val bestJ = dups.groupBy("doc_id").agg(max(col("jaccard")).as("bj"))
-    val best = dups.join(bestJ.hint("shuffle_hash"), "doc_id")
-      .filter(col("jaccard") === col("bj"))
-      .groupBy("doc_id")
-      .agg(min(col("ref_id")).as("match_id"),
-        round(max(col("jaccard")), 6).as("match_jaccard"))
+    // best match per doc in ONE keyed agg (d14QueryFrame's rule, guide
+    // §2.4 — one exchange instead of agg + re-join + agg): lexicographic
+    // max over (jaccard, −ref_id) IS (max jaccard, then min ref_id)
+    val best = dups.groupBy("doc_id")
+      .agg(max(struct(col("jaccard"), (-col("ref_id")).as("nref"))).as("m"))
+      .select(col("doc_id"), (-col("m.nref")).as("match_id"),
+        round(col("m.jaccard"), 6).as("match_jaccard"))
     batch.join(best.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"),
         col("match_id").isNull.as("novel"),
@@ -1188,14 +1189,13 @@ object Dedup {
       .withColumn("jaccard",
         col("common") * lit(1.0) / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= JaccardThreshold)
-    // best match per batch doc via two keyed hash aggs (no window):
-    // the max jaccard, then the smallest ref id achieving it
-    val bestJ = dups.groupBy("doc_id").agg(max(col("jaccard")).as("bj"))
-    val best = dups.join(bestJ.hint("shuffle_hash"), "doc_id")
-      .filter(col("jaccard") === col("bj"))
-      .groupBy("doc_id")
-      .agg(min(col("ref_id")).as("match_id"),
-        round(max(col("jaccard")), 6).as("match_jaccard"))
+    // best match per batch doc in ONE keyed hash agg (no window; guide
+    // §2.4 — one exchange instead of agg + re-join + agg): lexicographic
+    // max over (jaccard, −ref_id) IS (max jaccard, then min ref_id)
+    val best = dups.groupBy("doc_id")
+      .agg(max(struct(col("jaccard"), (-col("ref_id")).as("nref"))).as("m"))
+      .select(col("doc_id"), (-col("m.nref")).as("match_id"),
+        round(col("m.jaccard"), 6).as("match_jaccard"))
     batch
       .join(best.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"),

@@ -435,9 +435,15 @@ object Transport {
         // the append below can never be observed by the plan that read
         // the pre-append tables
         val verdict = Dedup.d14QueryFrame(s, dir, b)
-        verdict.write.mode("append").parquet(results)
-        Dedup.d14Append(s, dir,
-          verdict.filter(col("novel")).select("doc_id"))
+        // both consumers read the CHECKPOINTED verdict (never the
+        // pre-append tables), so the results write and the index append
+        // are independent jobs — overlap them (guide §2.6); crash
+        // semantics are unchanged (the epoch ledger marks only after
+        // both complete, same at-least-once window as the sequential form)
+        graft.ops.Bucketing.concurrently(Seq(
+          () => verdict.write.mode("append").parquet(results),
+          () => Dedup.d14Append(s, dir,
+            verdict.filter(col("novel")).select("doc_id"))))
       }
     val wrapped = graft.ops.ExactlyOnce.epochOnce(ledger)(body)
     // one checkpointed query RUN per wave, published while no query is
