@@ -777,6 +777,10 @@ object Pipeline {
           // Dedup.shingles)
           "transform(sequence(0, least(size(tok)-8, 1022)), i -> concat_ws(' ', slice(tok, i+1, 8)))"))
           .as("g"))
+      // NOTE (r19): the doc-local array_distinct form measured ~2.5x
+      // SLOWER here than this global distinct (8-gram strings are wide;
+      // the per-row hash-set pass costs more than the partial-agg'd
+      // exchange it saves) — deliberately left as-is, see OPTIMIZATION_r19
       val df8 = grams.distinct().groupBy("g").agg(count(lit(1)).as("df"))
       grams.join(df8.hint("shuffle_hash"), "g")
         .groupBy("doc_id")
@@ -987,26 +991,26 @@ object Pipeline {
     // keyed by (doc, gram) then doc — at 100 TB both shuffles are on
     // bounded-cardinality keys, nothing global.
     "p8_repetition" -> { (s, dir) =>
-      val docs = Tables(s, dir).documents
+      // MAP-ONLY per-doc stage (r19, guide §2.3/§2.4): the top-bigram
+      // count and the duplicated-trigram mass are doc-local, so one
+      // sorted run-length pass per window array (TextAnalysis.runStatsSql)
+      // replaces the two explode → keyed-agg cascades and their doc join;
+      // the only remaining exchange is the final lang-keyed agg. Same
+      // 1023-position caps, same >= 3-token gate, same division math.
+      Tables(s, dir).documents
         .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tok"))
         .filter(size(col("tok")) >= 3)
-      // same 1023-position cap as the dedup shingles (oracle range(1,1024))
-      val g2 = docs.select(col("doc_id"), col("lang"),
-        size(col("tok")).cast("long").as("n_words"),
-        explode(expr(
-          "transform(sequence(0, least(size(tok)-2, 1022)), i -> concat_ws(' ', slice(tok, i+1, 2)))"))
-          .as("g"))
-      val c2 = g2.groupBy("doc_id", "lang", "n_words", "g")
-        .agg(count(lit(1)).as("c"))
-        .groupBy("doc_id", "lang", "n_words").agg(max(col("c")).as("c2"))
-      val g3 = docs.select(col("doc_id"), explode(expr(
-        "transform(sequence(0, least(size(tok)-3, 1022)), i -> concat_ws(' ', slice(tok, i+1, 3)))"))
-        .as("g"))
-      val d3 = g3.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup3"),
-          sum(col("c")).as("tot3"))
-      c2.join(d3, "doc_id")
+        .withColumn("bg", expr(
+          "transform(sequence(0, least(size(tok)-2, 1022)), " +
+            "i -> concat_ws(' ', slice(tok, i+1, 2)))"))
+        .withColumn("tg", expr(
+          "transform(sequence(0, least(size(tok)-3, 1022)), " +
+            "i -> concat_ws(' ', slice(tok, i+1, 3)))"))
+        .select(col("lang"),
+          size(col("tok")).cast("long").as("n_words"),
+          expr(TextAnalysis.runStatsSql("bg")).getField("top").as("c2"),
+          expr(TextAnalysis.runStatsSql("tg")).getField("dup").as("dup3"),
+          size(col("tg")).cast("long").as("tot3"))
         .groupBy("lang").agg(
           count(lit(1)).as("n_docs"),
           sum(when(col("c2") * 10L > col("n_words"), 1L).otherwise(0L))

@@ -24,6 +24,32 @@ object TextAnalysis {
 
   private val Stopwords = Seq("the", "a", "or", "and", "of", "to", "in")
 
+  /** Run-length statistics of a string-array column computed DOC-LOCALLY
+    * in one sorted pass (SQL-expression text): distinct element count
+    * (`nd`), the max element multiplicity (`top`), and the total
+    * multiplicity mass of elements occurring more than once (`dup` —
+    * Σ c over c > 1). These are exactly the per-doc numbers the old
+    * explode → (doc, element) hash agg → per-doc agg cascades computed;
+    * the sorted-array fold gets them with ZERO exchanges (guide §2.3:
+    * aggregate before you shuffle — here, aggregate so there is nothing
+    * to shuffle at all). Shared by a6 and p8.
+    */
+  private[analytics] def runStatsSql(arr: String): String =
+    s"""aggregate(array_sort($arr),
+       |  named_struct('prev', CAST(NULL AS STRING),
+       |    'run', CAST(0 AS BIGINT), 'nd', CAST(0 AS BIGINT),
+       |    'top', CAST(0 AS BIGINT), 'dup', CAST(0 AS BIGINT)),
+       |  (a, x) -> named_struct(
+       |    'prev', x,
+       |    'run', IF(a.prev <=> x, a.run + 1L, 1L),
+       |    'nd', a.nd + IF(a.prev <=> x, 0L, 1L),
+       |    'top', GREATEST(a.top, IF(a.prev <=> x, a.run + 1L, 1L)),
+       |    'dup', a.dup + CASE WHEN a.prev <=> x AND a.run = 1L THEN 2L
+       |                        WHEN a.prev <=> x THEN 1L
+       |                        ELSE 0L END),
+       |  a -> named_struct('nd', a.nd, 'top', a.top, 'dup', a.dup))"""
+      .stripMargin
+
   /** Per-doc quality score (a2's exact formula), reused by the
     * quality-aware dedup keeper (d9): map-only, no shuffle.
     */
@@ -242,18 +268,39 @@ object TextAnalysis {
     // (doc, word)-keyed hash agg, one per-doc agg — all map-side
     // combined, zero joins, zero windows.
     "a5_entropy" -> { (s, dir) =>
-      val wc = Tables(s, dir).documents
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) > 0)
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-      wc.groupBy("doc_id")
-        .agg(sum("c").as("n_tokens"),
-          count(lit(1)).as("n_distinct"),
-          sum(round(col("c") * log(col("c")), 6).cast("decimal(30,15)"))
-            .as("clnc"))
-        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-          round(log(col("n_tokens").cast("double")) -
-            col("clnc").cast("double") / col("n_tokens"), 6).as("entropy"))
+      // MAP-ONLY form (r19, guide §2.3/§2.4): per-word counts are
+      // doc-local, so one sorted pass over the token array replaces the
+      // explode → (doc, word) hash agg → per-doc agg cascade — zero
+      // exchanges, one scan. The Σ round(c·ln c, 6) term accumulates in
+      // DECIMAL exactly like the old sum(...cast(decimal(30,15))) — every
+      // term has 6 dp, so the explicit DECIMAL(38,15) re-casts that keep
+      // the lambda's accumulator type stable are value-exact — and the
+      // per-run flush math is the same double c·ln(c) the keyed agg fed.
+      val clncFlush = "CAST(round(CAST(a.run AS DOUBLE) * ln(a.run), 6) " +
+        "AS DECIMAL(30,15))"
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> length(x) > 0)").as("w"))
+        .filter(size(col("w")) > 0)
+        .withColumn("st", expr(
+          s"""aggregate(array_sort(w),
+             |  named_struct('prev', CAST(NULL AS STRING),
+             |    'run', CAST(0 AS BIGINT), 'nd', CAST(0 AS BIGINT),
+             |    'clnc', CAST(0 AS DECIMAL(38,15))),
+             |  (a, x) -> named_struct(
+             |    'prev', x,
+             |    'run', IF(a.prev <=> x, a.run + 1L, 1L),
+             |    'nd', a.nd + IF(a.prev <=> x, 0L, 1L),
+             |    'clnc', CAST(IF(a.prev <=> x OR a.run = 0L, a.clnc,
+             |      a.clnc + $clncFlush) AS DECIMAL(38,15))),
+             |  a -> named_struct('nd', a.nd,
+             |    'clnc', CAST(IF(a.run = 0L, a.clnc, a.clnc + $clncFlush)
+             |      AS DECIMAL(38,15))))""".stripMargin))
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n_tokens"),
+          col("st.nd").as("n_distinct"),
+          round(log(size(col("w")).cast("double")) -
+            col("st.clnc").cast("double") / size(col("w")), 6).as("entropy"))
     },
 
     // Repetition signals (the Gopher repetition filters, Rae et al. 2021
@@ -269,31 +316,30 @@ object TextAnalysis {
     // document bounds its own row count. Docs with <2 tokens carry no
     // bigram and drop from the report on both engines (inner join).
     "a6_repetition" -> { (s, dir) =>
-      val docs = Tables(s, dir).documents
-      val wc = docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) > 0)
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-      val wd = wc.groupBy("doc_id")
-        .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
-          max("c").as("topw"))
-      val bg = docs
+      // MAP-ONLY form (r19, guide §2.3/§2.4): every statistic here is
+      // doc-local — distinct words, the top word/bigram counts — so one
+      // sorted run-length pass per array replaces the two explode →
+      // keyed-hash-agg cascades and their doc-keyed join: zero exchanges,
+      // one scan. Same filters (non-empty words; >= 2 tokens for the
+      // bigram side — the old inner join dropped word-only docs), same
+      // 4095-position bigram cap, same division/round arithmetic.
+      Tables(s, dir).documents
         .select(col("doc_id"), split(col("text"), " ").as("tok"))
-        .filter(size(col("tok")) >= 2)
-        .select(col("doc_id"), explode(expr(
+        .withColumn("w", expr("filter(tok, x -> length(x) > 0)"))
+        .filter(size(col("w")) > 0 && size(col("tok")) >= 2)
+        .withColumn("bg", expr(
           "transform(sequence(0, least(size(tok)-2, 4094)), " +
-            "i -> concat_ws(' ', slice(tok, i+1, 2)))")).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      val bd = bg.groupBy("doc_id")
-        .agg(sum("c").as("n_bigrams"), max("c").as("topb"))
-      wd.join(bd.hint("shuffle_hash"), "doc_id")
-        .select(col("doc_id"), col("n_tokens"),
-          round(col("n_distinct") * lit(1.0) / col("n_tokens"), 6).as("ttr"),
-          round(col("topw") * lit(1.0) / col("n_tokens"), 6)
+            "i -> concat_ws(' ', slice(tok, i+1, 2)))"))
+        .withColumn("ws", expr(runStatsSql("w")))
+        .withColumn("bs", expr(runStatsSql("bg")))
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n_tokens"),
+          round(col("ws.nd") * lit(1.0) / size(col("w")), 6).as("ttr"),
+          round(col("ws.top") * lit(1.0) / size(col("w")), 6)
             .as("top_word_frac"),
-          round(col("topb") * lit(1.0) / col("n_bigrams"), 6)
+          round(col("bs.top") * lit(1.0) / size(col("bg")), 6)
             .as("top_bigram_frac"),
-          (col("topb") * lit(1.0) / col("n_bigrams") > 0.04).as("repetitive"))
+          (col("bs.top") * lit(1.0) / size(col("bg")) > 0.04).as("repetitive"))
     },
 
     // k-anonymity audit — the verification half of the privacy pair (a7

@@ -212,6 +212,9 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = planOf("p8_repetition")
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("Window"), "p8 must not sort the corpus in a window")
+    // r19: the per-doc window stats are doc-local (sorted-array fold), so
+    // the lang-keyed agg is the plan's ONLY shuffle and there is no join
+    assert(!p.contains("Join"), "p8 must not join — per-doc stats are local")
   }
 
   test("q23 grouping sets is one Expand pass, never a union of scans") {
@@ -225,28 +228,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scans == 1, s"$scans scans — grouping sets must read once")
   }
 
-  test("a5 entropy is keyed hash aggregations only — no join, no window") {
-    // one explode + (doc, word) agg + per-doc agg; any Join node means the
-    // word histogram stopped being computed in-stream
+  test("a5 entropy is MAP-ONLY — zero exchanges, zero joins, zero windows") {
+    // r19: the word histogram is doc-local, so the sorted-array run fold
+    // computes it in-stream — one scan, no shuffle at any corpus size
     val p = planOf("a5_entropy")
     assert(!p.contains("Join"), "a5 must not join")
     assert(!p.contains("Window"), "a5 must not window")
-    assert(p.contains("HashAggregate"), "a5 lost its hash aggregation shape")
+    assert(!p.contains("Exchange"), "a5 must not shuffle — it is map-only")
   }
 
-  test("a6 repetition: two keyed hash-agg passes, one doc-keyed shuffled " +
-      "join, no window") {
-    // word and bigram histograms each fold to one row per doc via
-    // map-side-partial hash aggs; the only join is the doc-keyed merge of
-    // the two per-doc frames — shuffled, never a broadcast of a
-    // corpus-sized side; "top share" needs only MAX, so no window rank
+  test("a6 repetition is MAP-ONLY — zero exchanges, zero joins, " +
+      "zero windows") {
+    // r19: word and bigram run statistics are doc-local (sorted-array
+    // fold), so the whole report is one scan — the former two keyed-agg
+    // passes and their doc-keyed join are gone at any corpus size
     val p = planOf("a6_repetition")
     assert(!p.contains("Window"), "a6 must not window")
-    assert(!p.contains("BroadcastHashJoin"),
-      "a6's per-doc frames are corpus-sized — they must not broadcast")
-    assert(p.contains("HashAggregate"), "a6 lost its hash aggregation shape")
-    val joins = nodeBlocks(p).count { case (n, _) => n.contains("Join") }
-    assert(joins == 1, s"$joins joins — a6 merges exactly two per-doc frames")
+    assert(!p.contains("Join"), "a6 must not join — stats are doc-local")
+    assert(!p.contains("Exchange"), "a6 must not shuffle — it is map-only")
   }
 
   test("c4 cluster quality rides the packed argmin; separation is " +
