@@ -36,13 +36,16 @@ object Relational {
     */
   def q22Layout(s: SparkSession, dir: String): Unit = {
     val t = Tables(s, dir)
-    graft.ops.Bucketing.writeBucketed(
-      t.lineitem.select("l_orderkey", "l_quantity"),
-      "q22_li_b", "l_orderkey", 8)
-    graft.ops.Bucketing.writeBucketed(
-      t.orders.select(col("o_orderkey").as("l_orderkey"),
-        col("o_totalprice")),
-      "q22_ord_b", "l_orderkey", 8)
+    // two independent table writes — overlap them (guide §2.6), same as
+    // d14Build's index tables
+    graft.ops.Bucketing.concurrently(Seq(
+      () => graft.ops.Bucketing.writeBucketed(
+        t.lineitem.select("l_orderkey", "l_quantity"),
+        "q22_li_b", "l_orderkey", 8),
+      () => graft.ops.Bucketing.writeBucketed(
+        t.orders.select(col("o_orderkey").as("l_orderkey"),
+          col("o_totalprice")),
+        "q22_ord_b", "l_orderkey", 8)))
   }
 
   /** The exchange-free join over [[q22Layout]]'s tables. */
