@@ -900,11 +900,16 @@ object Dedup {
     val shR = shingles(ref).withColumn("hm", md5long(col("s")) % Prime)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mhR = minhashStack(shR)
-    // the four index-table writes are independent consumers of the ONE
+    // the three DATA-table writes are independent consumers of the ONE
     // persisted shingle frame (block-level locks serialize the first
     // materialization; every later read is a cache hit) — submit them
     // concurrently so 8-task bucket writes and driver-side commits
-    // overlap instead of queueing (guide §2.6)
+    // overlap instead of queueing (guide §2.6). The one-row meta commits
+    // strictly AFTER they all succeed (ADVICE r19): meta names the band
+    // scheme the band table is signed with, and a crash that left meta
+    // ahead of the bands (e.g. rebuilding at r=2 over an index previously
+    // escalated to r=4) would make d14Query silently sign batches with
+    // the wrong key scheme — meta-last keeps meta a commit marker.
     graft.ops.Bucketing.concurrently(Seq(
       () => graft.ops.Bucketing.writeBucketed(
         d14BandKeys(mhR, "ref_id"), d14Table("d14_ref_bands", dir), "bk", 8),
@@ -913,8 +918,8 @@ object Dedup {
         d14Table("d14_ref_shingles", dir), "ref_id", 8),
       () => graft.ops.Bucketing.writeBucketed(
         shR.groupBy(col("doc_id").as("ref_id")).agg(count(lit(1)).as("nb")),
-        d14Table("d14_ref_sizes", dir), "ref_id", 8),
-      () => d14WriteMeta(s, dir, D14BandR)))
+        d14Table("d14_ref_sizes", dir), "ref_id", 8)))
+    d14WriteMeta(s, dir, D14BandR)
     shR.unpersist()
   }
 
@@ -975,12 +980,18 @@ object Dedup {
     */
   private[graft] def d14Compact(s: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
-    graft.ops.Bucketing.compactBucketed(
-      s, d14Table("d14_ref_bands", dir), "bk", 8)
-    graft.ops.Bucketing.compactBucketed(
-      s, d14Table("d14_ref_shingles", dir), "ref_id", 8)
-    graft.ops.Bucketing.compactBucketed(
-      s, d14Table("d14_ref_sizes", dir), "ref_id", 8)
+    // the three table rewrites are independent (distinct tables, distinct
+    // scratch names) and each runs its forceBucketedScan toggle in its own
+    // child session (rewriteBucketed), so they overlap safely — r19 kept
+    // them sequential only because the toggle was session-global
+    // (guide §2.6; VERDICT r19 #5)
+    graft.ops.Bucketing.concurrently(Seq(
+      () => graft.ops.Bucketing.compactBucketed(
+        s, d14Table("d14_ref_bands", dir), "bk", 8),
+      () => graft.ops.Bucketing.compactBucketed(
+        s, d14Table("d14_ref_shingles", dir), "ref_id", 8),
+      () => graft.ops.Bucketing.compactBucketed(
+        s, d14Table("d14_ref_sizes", dir), "ref_id", 8)))
   }
 
   /** d14 index FORGET — the takedown half of the lifecycle: remove every
@@ -1005,10 +1016,16 @@ object Dedup {
     val gone = Tables(s, dir).documents
       .filter(col("source").isin(sources: _*))
       .select(col("doc_id").as("ref_id")).localCheckpoint(true)
-    for ((t, k) <- Seq(("d14_ref_bands", "bk"),
-        ("d14_ref_shingles", "ref_id"), ("d14_ref_sizes", "ref_id")))
-      graft.ops.Bucketing.rewriteBucketed(s, d14Table(t, dir), k, 8)(
-        _.join(gone.hint("shuffle_hash"), Seq("ref_id"), "left_anti"))
+    // three independent anti-join rewrites over ONE checkpointed takedown
+    // set — overlapped like d14Compact's (rewriteBucketed's child-session
+    // conf isolation makes the forceBucketedScan toggle thread-safe)
+    graft.ops.Bucketing.concurrently(
+      for ((t, k) <- Seq(("d14_ref_bands", "bk"),
+          ("d14_ref_shingles", "ref_id"), ("d14_ref_sizes", "ref_id")))
+        yield { () =>
+          graft.ops.Bucketing.rewriteBucketed(s, d14Table(t, dir), k, 8)(
+            _.join(gone.hint("shuffle_hash"), Seq("ref_id"), "left_anti"))
+        })
   }
 
   /** d14 recurring QUERY: the arriving batch against the STORED index. The

@@ -129,11 +129,13 @@ object Similarity {
       id: Column, out: String): DataFrame =
     packedArgminKeyed(df, grp, d2r, id, out, null)
 
-  /** Packing constants — ONE place: 6-dp key grid in the high bits, 20-bit
-    * id field in the low bits (see [[packedArgmin]]'s bounds doc).
+  /** Packing constants — ONE place (shared with the codegen'd row-local
+    * form, [[graft.functions.FloatVecArgmin]]): 6-dp key grid in the high
+    * bits, 20-bit id field in the low bits (see [[packedArgmin]]'s bounds
+    * doc).
     */
-  private val ArgminIdBits = 20
-  private val ArgminKeyScale = 1000000d
+  private val ArgminIdBits = graft.functions.FloatVecArgmin.IdBits
+  private val ArgminKeyScale = graft.functions.FloatVecArgmin.KeyScale
 
   /** [[packedArgmin]] that ALSO decodes the winning key: pk div 2^20 is
     * round(d2r·10⁶) — an exact integer — and n/10⁶ re-rounds to the
@@ -153,6 +155,57 @@ object Similarity {
          lit(ArgminKeyScale)))
       .drop("pk")
   }
+
+  /** ROW-LOCAL packed argmin — [[packedArgmin]]'s pack (6-dp key grid,
+    * 20-bit id field, min ⇒ smaller-id tie-break) computed per row over a
+    * k-bounded centroid-array column instead of a corpus-keyed
+    * aggregation: when every group of the argmin is a single input row
+    * (nearest centroid of THIS vector), grouping is pure overhead — the
+    * crossJoin duplicated each vector k×, the hash-agg re-collapsed it,
+    * and the exchange moved a corpus of (vec, pk) rows that the row-local
+    * form never materializes at all (guide §2.4 "remove shuffles
+    * outright"). The math is [[graft.functions.FloatVecArgmin]] — one
+    * codegen'd tight loop running FloatVecDecimal's exact-decimal
+    * distance and Spark's exact `round`, bit-identical to the interpreted
+    * `aggregate(cs, MaxValue, least(...))` fold (FloatVecArgminSpec pins
+    * it; the interpreted HOF form measured SLOWER than the exchange it
+    * removed — c4 1.73→3.86 s — which is the FloatVecDecimal lesson
+    * repeated, so the fold is codegen'd like every other hot-path
+    * expression here). t19's stateless streaming assignment pinned the
+    * row-local form against c1's oracle long before this round.
+    * `cs` = ARRAY<STRUCT<id BIGINT, vec ARRAY<FLOAT>>> by ordinal.
+    */
+  private def rowArgminPk(emb: Column, cs: Column): Column =
+    graft.functions.FloatVecArgmin.pkOf(emb, cs)
+
+  /** Decode the winning id / 6-dp key from a [[rowArgminPk]] packed long
+    * (same decode as [[packedArgminKeyed]]). */
+  private def rowArgminId(pk: Column): Column =
+    pk.bitwiseAND(lit((1L << ArgminIdBits) - 1))
+  private def rowArgminKey(pk: Column): Column =
+    shiftright(pk, ArgminIdBits).cast("double") / lit(ArgminKeyScale)
+
+  /** The k-bounded centroid frame folded to ONE broadcastable row holding
+    * all centroids as an array — what [[rowArgminPk]] consumes. The
+    * crossJoin against it is a 1-row broadcast nested loop: each corpus
+    * row gains the array column and nothing is duplicated or shuffled.
+    */
+  private def centroidArray(cents: DataFrame): DataFrame =
+    broadcast(cents.agg(collect_list(
+      struct(col("centroid_id"), col("cemb"))).as("cs")))
+
+  /** The M=8-subspace PQ codebook folded to ONE broadcastable row:
+    * element j+1 of `cbs` is subspace j's 16-entry
+    * ARRAY<STRUCT<id BIGINT, vec ARRAY<FLOAT>>> (rowArgminPk's ordinal
+    * contract), so a (vector, subspace) row picks its slice by
+    * `element_at` — no per-row filtering, no join, no shuffle.
+    */
+  private def codebookArray(cents: DataFrame): DataFrame =
+    broadcast(cents
+      .agg(collect_list(struct(col("j"), col("code"), col("csv"))).as("all"))
+      .select(expr("transform(sequence(0, 7), jj -> " +
+        "transform(filter(all, p -> p.j = jj), " +
+        "p -> struct(p.code AS id, p.csv AS vec)))").as("cbs")))
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1):
     * md5-derived so DuckDB generates the identical planes.
@@ -458,24 +511,28 @@ object Similarity {
       // exact decimal L2² against every centroid; argmin with id tie-break
       val cents = broadcast(e.filter(col("vec_id") < K)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb")))
-      // corpus-wide assignment via the packed-long argmin aggregation
-      // (packedArgmin — map-side-combined HashAggregate, never a window)
-      val assigned = e.select(col("vec_id"), col("embedding"))
+      // probe lists are top-`probeLists` smallest — the probe selection
+      // needs ALL k distances per query (not just the argmin), so the
+      // per-centroid crossJoin stays here, QUERY-bounded (QueryCount × K
+      // rows at any corpus size): sort the k-element struct array, slice.
+      val probes = e.filter(col("vec_id") < QueryCount)
+        .select(col("vec_id"), col("embedding"))
         .crossJoin(cents)
         .withColumn("d2r", round(dist2Col("embedding", "cemb"), 6))
-      val lists = packedArgmin(assigned, Seq(col("vec_id").as("cid")),
-        col("d2r"), col("centroid_id"), "centroid_id")
-      // probe lists are top-`probeLists` smallest, still one hash
-      // aggregation: sort the k-element per-query struct array, slice.
-      // Query-set-bounded (QueryCount × K rows) at any corpus size.
-      val probes = assigned.filter(col("vec_id") < QueryCount)
         .groupBy(col("vec_id").as("qid"))
         .agg(slice(array_sort(collect_list(
           struct(col("d2r"), col("centroid_id")))), 1, probeLists).as("top"))
         .select(col("qid"), explode(col("top.centroid_id")).as("centroid_id"))
+      // corpus-wide assignment is ROW-LOCAL (rowArgminPk — same pack/tie
+      // rules as packedArgmin): the corpus-keyed argmin exchange and the
+      // corpus-sized assignment re-attach join are gone; each vector
+      // carries its list id out of the scan's own map stage
       val corpus = withNorm(
         e.select(col("vec_id").as("cid"), col("embedding").as("ce")), "ce", "cn")
-        .join(lists, "cid")
+        .crossJoin(centroidArray(cents))
+        .withColumn("centroid_id",
+          rowArgminId(rowArgminPk(col("ce"), col("cs"))))
+        .drop("cs")
       val qs = withNorm(
         e.filter(col("vec_id") < QueryCount)
           .select(col("vec_id").as("qid"), col("embedding").as("qe")), "qe", "qn")
@@ -529,28 +586,48 @@ object Similarity {
 
   /** Assign `part`'s vectors to their nearest frozen centroid and write them
     * into the partitioned index at `path` (the shared build step behind
-    * [[s7Layout]]'s full build and s12's incremental append). Packed-long
-    * argmin assignment (packedArgmin); the winning row carries only
-    * (vec_id, centroid_id) and the vector is re-attached by a keyed shuffle
-    * join (the d5 discipline — corpus-sized sides never broadcast, and
-    * carrying the embedding through the agg buffer would forfeit
-    * HashAggregate). With `mode = "append"` the job's cost is
-    * O(|part| × k): only the arriving rows are assigned and written — the
-    * existing index bytes are never read or rewritten.
+    * [[s7Layout]]'s full build and s12's incremental append). Row-local
+    * packed-argmin assignment ([[rowArgminPk]] — same pack and tie rules as
+    * the packedArgmin agg it replaced): each vector keeps its embedding and
+    * gains its list id inside one map stage, so nothing corpus-sized ever
+    * aggregates, shuffles or re-joins on the way to the writer. With
+    * `mode = "append"` the job's cost is O(|part| × k): only the arriving
+    * rows are assigned and written — the existing index bytes are never
+    * read or rewritten.
     */
-  private def ivfWrite(part: DataFrame, cents: DataFrame, path: String,
-      mode: String): Unit = {
-    val lists = packedArgmin(
-      part.select(col("vec_id"), col("embedding"))
-        .crossJoin(cents)
-        .withColumn("d2r", round(dist2Col("embedding", "cemb"), 6)),
-      Seq(col("vec_id").as("cid")), col("d2r"), col("centroid_id"),
-      "centroid_id")
-    val assigned = part.select(col("vec_id").as("cid"), col("embedding").as("ce"))
-      .join(lists.hint("shuffle_hash"), "cid")
+  /** The frame [[ivfWrite]] writes — split out so the plan-shape evidence
+    * (plans/r20) can explain the WRITE JOB's plan, which a returned query
+    * frame never shows.
+    */
+  private[graft] def ivfWriteFrame(part: DataFrame,
+      cents: DataFrame): DataFrame = {
+    // row-local packed argmin (rowArgminPk — same pack/tie rules as the
+    // packedArgmin agg this replaces): the build is now MAP-ONLY — scan →
+    // assign → partitioned write — where the old form paid a corpus-keyed
+    // argmin exchange plus a corpus-sized re-attach shuffle join per build
+    val assigned = part
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .crossJoin(centroidArray(cents))
+      .withColumn("centroid_id",
+        rowArgminId(rowArgminPk(col("ce"), col("cs"))))
+      .drop("cs")
     withNorm(assigned, "ce", "cn")
+  }
+
+  private def ivfWrite(part: DataFrame, cents: DataFrame, path: String,
+      mode: String): Unit =
+    ivfWriteFrame(part, cents)
       .write.mode(mode).partitionBy("centroid_id")
       .parquet(path)
+
+  /** Dev-only (R20Probe/plan evidence): the s7 layout write frame for the
+    * standard 16-centroid build.
+    */
+  private[graft] def s7LayoutFrame(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    val cents = broadcast(e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb")))
+    ivfWriteFrame(e, cents)
   }
 
   /** Probe the persisted index with DYNAMIC PARTITION PRUNING: the probe
@@ -1024,14 +1101,21 @@ object Similarity {
     "c5_kmeans_elbow" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
       val cents = broadcast(e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb"),
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb")))
+      // first-k seeding nests the candidate sets, so per k the row-local
+      // argmin folds over the `centroid_id < k` SLICE of the one
+      // 16-centroid array — three clusterings still read the corpus once
+      // (the explode is 3 rows per vector, done in the same map stage),
+      // and the per-(k, vec) argmin exchange is gone entirely; the only
+      // exchange left is the k-keyed elbow agg
+      val win = e.select(col("embedding"))
+        .crossJoin(centroidArray(cents))
+        .select(col("embedding"), col("cs"),
           explode(array(lit(4L), lit(8L), lit(16L))).as("k"))
-        .filter(col("centroid_id") < col("k")))
-      val assigned = e.select(col("vec_id"), col("embedding"))
-        .crossJoin(cents)
-        .withColumn("d2r", round(dist2Col("embedding", "cemb"), 6))
-      val win = packedArgminKeyed(assigned, Seq(col("k"), col("vec_id")),
-          col("d2r"), col("centroid_id"), "centroid_id", "d2r")
+        .withColumn("pk", rowArgminPk(col("embedding"),
+          filter(col("cs"), c => c.getField("centroid_id") < col("k"))))
+        .select(col("k"), rowArgminId(col("pk")).as("centroid_id"),
+          rowArgminKey(col("pk")).as("d2r"))
       win.groupBy("k").agg(
           count(lit(1)).as("n_vecs"),
           countDistinct(col("centroid_id")).as("used_centroids"),
@@ -1046,15 +1130,16 @@ object Similarity {
       val K = 16
       val cents = broadcast(e.filter(col("vec_id") < K)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb")))
-      val assigned = e.select(col("vec_id"), col("embedding"))
-        .crossJoin(cents)
-        .withColumn("d2r", round(dist2Col("embedding", "cemb"), 6))
-      // the keyed argmin decodes the winning d2r from the packed long's
-      // high bits (packedArgminKeyed) — the oracle holds the same 6-dp
-      // double, so the decode is exact
-      val win = packedArgminKeyed(assigned, Seq(col("vec_id")),
-          col("d2r"), col("centroid_id"), "centroid_id", "d2r")
-        .select(col("centroid_id"), col("d2r"))
+      // row-local packed argmin (rowArgminPk): the winning d2r decodes
+      // from the packed long's high bits exactly as packedArgminKeyed's —
+      // the oracle holds the same 6-dp double — and no corpus-keyed
+      // aggregation/exchange runs at all; the only exchange left is the
+      // k-keyed within agg below
+      val win = e.select(col("embedding"))
+        .crossJoin(centroidArray(cents))
+        .withColumn("pk", rowArgminPk(col("embedding"), col("cs")))
+        .select(rowArgminId(col("pk")).as("centroid_id"),
+          rowArgminKey(col("pk")).as("d2r"))
       val within = win.groupBy("centroid_id").agg(
           count(lit(1)).as("n_members"),
           sum(col("d2r").cast("decimal(30,15)")).as("idec"))
@@ -1112,18 +1197,19 @@ object Similarity {
       val K = 16
       val cents = broadcast(e.filter(col("vec_id") < K)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb")))
-      // packed-long argmin assignment (packedArgmin), never a window rank
-      val lists = packedArgmin(
-        e.select(col("vec_id"), col("embedding"))
-          .crossJoin(cents)
-          .withColumn("d2r", round(dist2Col("embedding", "cemb"), 6)),
-        Seq(col("vec_id")), col("d2r"), col("centroid_id"), "centroid_id")
-      val ex = e.select(col("vec_id"),
-        posexplode(col("embedding")).as(Seq("d0", "v")))
-        .select(col("vec_id"), (col("d0") + 1).as("d"),
+      // row-local packed argmin (rowArgminPk — never a window rank, and no
+      // corpus-keyed agg/exchange at all): assignment and the exploded dims
+      // leave the scan in ONE map stage; the only exchange is the
+      // (centroid, dim)-keyed mean agg below (kmeansRound's shape)
+      val assigned = e.select(col("embedding"))
+        .crossJoin(centroidArray(cents))
+        .select(rowArgminId(rowArgminPk(col("embedding"), col("cs")))
+          .as("centroid_id"), col("embedding"))
+      val means = assigned
+        .select(col("centroid_id"),
+          posexplode(col("embedding")).as(Seq("d0", "v")))
+        .select(col("centroid_id"), (col("d0") + 1).as("d"),
           col("v").cast("double").as("v"))
-      // lists is corpus-sized: the assignment attach must shuffle on vec_id
-      val means = ex.join(lists.hint("shuffle_hash"), "vec_id")
         .groupBy("centroid_id", "d")
         .agg(count(lit(1)).as("n"),
           sum(col("v").cast("decimal(30,15)")).as("sv"))
@@ -1231,9 +1317,16 @@ object Similarity {
         .localCheckpoint()
       for (r <- 2 to K) {
         val cands = state.filter(!col("vec_id").isin(chosen: _*))
-        val mx = cands.agg(max(col("dmin"))).head().getDouble(0)
-        val nextId = cands.filter(col("dmin") === mx)
-          .agg(min(col("vec_id"))).head().getLong(0)
+        // ONE scalar collect per round (r20, guide §2.4's "one keyed agg"
+        // rule applied to the driver loop): the lexicographic max over
+        // (dmin, −vec_id) IS (max dmin, then min vec_id) — the two
+        // actions this replaces each paid a full pass over the
+        // checkpointed state, so the argmax phase halves
+        val m = cands
+          .agg(max(struct(col("dmin"), (-col("vec_id")).as("nid"))))
+          .head().getStruct(0)
+        val mx = m.getDouble(0)
+        val nextId = -m.getLong(1)
         chosen = chosen :+ nextId
         picks = picks :+ ((r.toLong, nextId, mx))
         if (r < K) {
@@ -1333,19 +1426,26 @@ object Similarity {
       // 16-entry-per-subspace codebook — fixed size, broadcastable by design
       val cents = broadcast(subs.filter(col("vec_id") < 16)
         .select(col("vec_id").as("code"), col("j"), col("sv").as("csv")))
-      // exact decimal subspace distances for EVERY (vector, subspace, code):
-      // doubles as the encoder (argmin per subspace) and the query LUT
-      val dist = subs.join(cents, Seq("j"))
-        .select(col("vec_id"), col("j"), col("code"),
-          round(dist2Col("sv", "csv"), 6).as("d2"))
-      // the ENCODER is a per-(vector, subspace) packed-long argmin
-      // (packedArgmin) — the row_number window it replaced sort-shuffled
-      // corpus × 8 subspace partitions (VERDICT r8 #2)
-      val codes = packedArgmin(dist,
-        Seq(col("vec_id").as("cid"), col("j")), col("d2"), col("code"),
-        "code")
-      val lut = broadcast(dist.filter(col("vec_id") < QueryCount)
-        .select(col("vec_id").as("qid"), col("j"), col("code"), col("d2")))
+      // the ENCODER is a ROW-LOCAL packed argmin (r20, same pack/grid/tie
+      // rules as the packedArgmin agg it replaced — see rowArgminPk): each
+      // (vector, subspace) row scans ITS subspace's 16-entry slice of the
+      // one-row codebook array (element_at — no per-row filter), so the
+      // corpus×8-keyed argmin exchange is gone — codes leave the scan's
+      // own map stage. (The row_number window two forms ago sort-shuffled
+      // corpus × 8 subspace partitions, VERDICT r8 #2; the agg form still
+      // exchanged corpus×8 rows.)
+      val codes = subs
+        .crossJoin(codebookArray(cents))
+        .withColumn("pk", rowArgminPk(col("sv"),
+          element_at(col("cbs"), (col("j") + 1).cast("int"))))
+        .select(col("vec_id").as("cid"), col("j"),
+          rowArgminId(col("pk")).as("code"))
+      // exact decimal subspace distances per (QUERY, subspace, code) — the
+      // LUT is query-bounded, so the per-code crossJoin stays here
+      val lut = broadcast(subs.filter(col("vec_id") < QueryCount)
+        .join(cents, Seq("j"))
+        .select(col("vec_id").as("qid"), col("j"), col("code"),
+          round(dist2Col("sv", "csv"), 6).as("d2")))
       // ADC scan: corpus codes × broadcast LUT, one 8-term sum per (q, c)
       val adc = codes.join(lut, Seq("j", "code"))
         .filter(col("qid") =!= col("cid"))
@@ -1381,23 +1481,25 @@ object Similarity {
     // 8 bytes/vector. This is the production serving layout at 10^9
     // vectors (IVF bounds I/O, PQ bounds memory); s3/s5 each prove one
     // half, s9 proves the composition end-to-end against the oracle.
-    // Plan shapes: both assignments are packed-argmin hash aggregations,
-    // the probe list broadcasts onto the corpus-sized code table (joined
-    // to its lists by a shuffle on the vector key), the LUT is
-    // query-bounded and broadcasts, every rank is a bounded top-k
-    // aggregation — no Window anywhere (PlanShapeSpec law).
+    // Plan shapes (r20): both assignments are ROW-LOCAL packed-argmin
+    // folds (rowArgminPk) computed in the corpus scan's own map stage —
+    // list id and codes leave the scan together, so nothing vector-keyed
+    // ever aggregates, shuffles or re-joins; the probe list broadcasts
+    // onto the code stream, the LUT is query-bounded and broadcasts,
+    // every rank is a bounded top-k aggregation — no Window anywhere
+    // (PlanShapeSpec law).
     "s9_ann_ivfpq" -> { (s, dir) =>
       val e = Tables(s, dir).embeddings
       val Cand = 50
       // ---- IVF half: coarse lists + 2-probe per query (s3's rules) ----
       val ivfCents = broadcast(e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb")))
-      val assigned = e.select(col("vec_id"), col("embedding"))
-        .crossJoin(ivfCents)
-        .withColumn("d2r", round(dist2Col("embedding", "cemb"), 6))
-      val lists = packedArgmin(assigned, Seq(col("vec_id").as("cid")),
-        col("d2r"), col("centroid_id"), "centroid_id")
-      val probes = topKAsc(assigned.filter(col("vec_id") < QueryCount)
+      // probe selection needs ALL k distances per query — the per-centroid
+      // crossJoin stays here, QUERY-bounded at any corpus size
+      val probes = topKAsc(e.filter(col("vec_id") < QueryCount)
+          .select(col("vec_id"), col("embedding"))
+          .crossJoin(ivfCents)
+          .withColumn("d2r", round(dist2Col("embedding", "cemb"), 6))
           .select(col("vec_id").as("qid"), col("d2r"), col("centroid_id")),
           col("qid"), col("d2r"), col("centroid_id"), 2)
         .select(col("g").as("qid"), col("id").as("centroid_id"))
@@ -1408,19 +1510,34 @@ object Similarity {
         .select(col("vec_id"), col("s.j").as("j"), col("s.sv").as("sv"))
       val pqCents = broadcast(subs.filter(col("vec_id") < 16)
         .select(col("vec_id").as("code"), col("j"), col("sv").as("csv")))
-      val dist = subs.join(pqCents, Seq("j"))
-        .select(col("vec_id"), col("j"), col("code"),
-          round(dist2Col("sv", "csv"), 6).as("d2"))
-      val codes = packedArgmin(dist,
-        Seq(col("vec_id").as("cid"), col("j")), col("d2"), col("code"),
-        "code")
-      val lut = broadcast(dist.filter(col("vec_id") < QueryCount)
-        .select(col("vec_id").as("qid"), col("j"), col("code"), col("d2")))
+      val lut = broadcast(subs.filter(col("vec_id") < QueryCount)
+        .join(pqCents, Seq("j"))
+        .select(col("vec_id").as("qid"), col("j"), col("code"),
+          round(dist2Col("sv", "csv"), 6).as("d2")))
+      // ---- fused corpus pass (r20): the IVF list id rides ROW-LOCALLY
+      // out of the scan (rowArgminPk — s3's rule) and each subspace row
+      // folds its code from the codebook array slice (s5's rule), so the
+      // corpus-keyed argmin exchanges AND the corpus-sized codes⋈lists
+      // shuffle join are all gone — the plan is map-only from the scan to
+      // the ADC aggregation
+      val codes = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(centroidArray(ivfCents))
+        .withColumn("centroid_id",
+          rowArgminId(rowArgminPk(col("embedding"), col("cs"))))
+        .select(col("vec_id"), col("centroid_id"), explode(expr(
+          "transform(sequence(0, 7), j -> struct(CAST(j AS BIGINT) AS j, slice(embedding, j*8+1, 8) AS sv))"))
+          .as("s"))
+        .select(col("vec_id"), col("centroid_id"),
+          col("s.j").as("j"), col("s.sv").as("sv"))
+        .crossJoin(codebookArray(pqCents))
+        .withColumn("pk", rowArgminPk(col("sv"),
+          element_at(col("cbs"), (col("j") + 1).cast("int"))))
+        .select(col("vec_id").as("cid"), col("centroid_id"), col("j"),
+          rowArgminId(col("pk")).as("code"))
       // ---- composition: ADC only inside the probed lists ----
-      // codes and lists are both corpus-sized keyed by the vector id —
-      // the attach shuffles; the 2×|queries|-row probe table broadcasts
-      // onto it, and only surviving (probed) code rows meet the LUT
-      val adc = codes.join(lists.hint("shuffle_hash"), "cid")
+      // the 2×|queries|-row probe table broadcasts onto the code stream,
+      // and only surviving (probed) code rows meet the LUT
+      val adc = codes
         .join(broadcast(probes), "centroid_id")
         .join(lut, Seq("qid", "j", "code"))
         .filter(col("qid") =!= col("cid"))
@@ -1560,24 +1677,33 @@ object Similarity {
     * (`CAST(mean AS FLOAT)`) so successive rounds keep the codegen'd
     * ARRAY<FLOAT> distance path AND the DuckDB oracle replays the identical
     * IEEE double→float rounding — and a float32 centroid table is what a
-    * production index stores anyway. Per round: one corpus scan, one
-    * (vec, centroid) argmin hash-agg, one (centroid, dim)-keyed mean agg —
-    * all map-side-combined; an emptied centroid drops out naturally.
-    * Returns (centroid_id, cemb, n_members, shift).
+    * production index stores anyway. Per round: one corpus scan whose map
+    * stage assigns AND explodes (rowArgminPk — row-local, nothing
+    * corpus-sized ever shuffles), then the (centroid, dim)-keyed mean agg
+    * — k×dim keys, map-side-combined; an emptied centroid drops out
+    * naturally. Returns (centroid_id, cemb, n_members, shift).
     */
   def kmeansRound(e: DataFrame, cents: DataFrame): DataFrame = {
     val bc = broadcast(cents.select(col("centroid_id"), col("cemb")))
-    val lists = packedArgmin(
-      e.select(col("vec_id"), col("embedding"))
-        .crossJoin(bc)
-        .withColumn("d2r", round(dist2Col("embedding", "cemb"), 6)),
-      Seq(col("vec_id")), col("d2r"), col("centroid_id"), "centroid_id")
-    val ex = e.select(col("vec_id"),
-      posexplode(col("embedding")).as(Seq("d0", "v")))
-      .select(col("vec_id"), (col("d0") + 1).as("d"),
+    // assignment is ROW-LOCAL (rowArgminPk over the one-row centroid
+    // array): the old form paid a corpus-keyed argmin exchange PLUS a
+    // corpus×dim posexplode⋈assignment shuffle_hash join per round; here
+    // the assignment and the exploded dims leave the scan in ONE map
+    // stage and the round's only exchange is the (centroid, dim)-keyed
+    // mean agg — k×dim keys, map-side combined (guide §2.4). Assignments
+    // are bit-identical (same pack, grid, tie rule, decimal distance).
+    // the argmin fold gets its OWN projection BELOW the explode: mixed
+    // into the posexplode select it would land in the projection above
+    // Generate and re-evaluate once per exploded dim
+    val assigned = e.select(col("embedding"))
+      .crossJoin(centroidArray(bc))
+      .select(rowArgminId(rowArgminPk(col("embedding"), col("cs")))
+        .as("centroid_id"), col("embedding"))
+    val ex = assigned
+      .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("d0", "v")))
+      .select(col("centroid_id"), (col("d0") + 1).as("d"),
         col("v").cast("double").as("v"))
-    val means = ex.join(lists.hint("shuffle_hash"), "vec_id")
-      .groupBy("centroid_id", "d")
+    val means = ex.groupBy("centroid_id", "d")
       .agg(count(lit(1)).as("n"),
         sum(col("v").cast("decimal(30,15)")).as("sv"))
       .withColumn("mean", col("sv").cast("double") / col("n"))

@@ -373,6 +373,37 @@ object Transport {
     s.read.parquet(results)
   }
 
+  /** Dev-only probe twin of [[t21QueryServeStream]] (R20Probe): the SAME
+    * log write, source options and micro-batch cadence, but the
+    * foreachBatch body only materializes the batch — no serve plan, no
+    * result write. The delta between this and the full entry is the serve
+    * cost; this number is the Structured Streaming machinery floor the
+    * t-family per-trigger claims cite.
+    */
+  private[graft] def t21MachineryFloor(s: SparkSession, dir: String): Unit = {
+    val out = scratch(dir, "t21floorlog")
+    val n = Similarity.standardQueryCount.toLong
+    s.range(n).select(
+        lit("queries").as("stream_key"), lit(0L).as("shard_id"),
+        col("id").as("sequence"),
+        expr("timestamp'2026-01-01 00:00:00'").as("timestamp"),
+        to_json(struct(col("id").as("qid"))).cast("binary").as("payload"))
+      .write.format("ss").mode("overwrite").save(out)
+    val cap = math.max(1L, n / 4)
+    val src = s.readStream.format("ss")
+      .option("maxMessagesPerTrigger", cap.toString)
+      .load(out)
+      .select(from_json(col("payload").cast("string"),
+        org.apache.spark.sql.types.StructType.fromDDL("qid LONG")).as("j"))
+      .select(col("j.qid"))
+    val q = src.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: java.lang.Long) =>
+        if (!b.isEmpty) { b.count(); () }
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** t22 — the full streaming INGEST loop over the persisted dedup index:
     * t20 admits arriving documents against the stored index but never
     * grows it; production ingest does both — each micro-batch's verdicts
@@ -435,15 +466,21 @@ object Transport {
         // the append below can never be observed by the plan that read
         // the pre-append tables
         val verdict = Dedup.d14QueryFrame(s, dir, b)
-        // both consumers read the CHECKPOINTED verdict (never the
-        // pre-append tables), so the results write and the index append
-        // are independent jobs — overlap them (guide §2.6); crash
-        // semantics are unchanged (the epoch ledger marks only after
-        // both complete, same at-least-once window as the sequential form)
-        graft.ops.Bucketing.concurrently(Seq(
-          () => verdict.write.mode("append").parquet(results),
-          () => Dedup.d14Append(s, dir,
-            verdict.filter(col("novel")).select("doc_id"))))
+        // the results write commits STRICTLY BEFORE the index append
+        // (ADVICE r19 — the r19 overlap of these two jobs widened the
+        // at-least-once window into a WRONG-ROWS window: if the append
+        // fully committed while the results write did not, the epoch
+        // replay recomputes verdicts against the already-grown index and
+        // the wave's docs self-match, so the results parquet gets
+        // novel=false/match_id=self rows instead of the sequential form's
+        // duplicate-but-correct rows). Results-first restores the only
+        // residual window to replay-after-results-committed, whose rerun
+        // appends the identical survivor set — duplicate index files,
+        // correct rows, ExactlyOnce's documented contract. The append's
+        // three table writes still overlap internally (d14Append §2.6).
+        verdict.write.mode("append").parquet(results)
+        Dedup.d14Append(s, dir,
+          verdict.filter(col("novel")).select("doc_id"))
       }
     val wrapped = graft.ops.ExactlyOnce.epochOnce(ledger)(body)
     // one checkpointed query RUN per wave, published while no query is
@@ -1414,19 +1451,15 @@ object Transport {
           org.apache.spark.sql.types.StructType.fromDDL(
             "vec_id LONG, embedding ARRAY<FLOAT>")))
         .select(col("j.embedding").as("emb"))
-        // stateless argmin: strict-less fold in ascending-id order ==
-        // packedArgmin's (round(d2r,6), id) min — ties keep the earlier
-        // (smaller) centroid id
+        // stateless argmin — the codegen'd row-local packed form (r20):
+        // bit-identical to the strict-less interpreted fold it replaces
+        // (packedArgmin's (round(d2r,6), id) min, ties to the smaller
+        // centroid id — FloatVecArgminSpec pins the equality), but one
+        // tight Java loop per row instead of an interpreted lambda
         .withColumn("centroid_id",
-          org.apache.spark.sql.functions.aggregate(centLit,
-          struct(lit(Double.MaxValue).as("best"), lit(-1L).as("cid")),
-          (acc, c) => {
-            val d2 = round(graft.functions.FloatVecDecimal
-              .fdist2Exact(c.getField("cemb"), col("emb")), 6)
-            when(d2 < acc.getField("best"),
-              struct(d2.as("best"), c.getField("cid").as("cid")))
-              .otherwise(acc)
-          }).getField("cid"))
+          graft.functions.FloatVecArgmin.pkOf(col("emb"), centLit)
+            .bitwiseAND(lit((1L <<
+              graft.functions.FloatVecArgmin.IdBits) - 1)))
       val q = assigned
         .select(col("centroid_id"), posexplode(col("emb")).as(Seq("d0", "v")))
         .select(col("centroid_id"), (col("d0") + 1).as("d"),

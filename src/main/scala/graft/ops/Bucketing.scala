@@ -32,7 +32,14 @@ object Bucketing {
         t
       }
       threads.foreach(_.join())
-      if (!errs.isEmpty) throw errs.peek()
+      if (!errs.isEmpty) {
+        // rethrow the first error with the OTHERS attached — correlated
+        // write failures must not lose their diagnostics (ADVICE r19)
+        val first = errs.poll()
+        var next = errs.poll()
+        while (next != null) { first.addSuppressed(next); next = errs.poll() }
+        throw first
+      }
   }
 
   /** Persist `df` as a bucketed, sorted managed table. Idempotent across
@@ -138,6 +145,13 @@ object Bucketing {
     * write-then-swap: the transformed copy commits fully into a scratch
     * table before the original is dropped, and a crash between DROP and
     * RENAME recovers on the next call (the committed scratch IS the data).
+    *
+    * The rewrite body runs in a FRESH child session (`newSession` — same
+    * SparkContext and shared catalog, its own SQLConf), so the
+    * [[forceBucketedScan]] toggle it needs is invisible to every other
+    * thread: rewrites of INDEPENDENT tables are therefore safe to submit
+    * through [[concurrently]] (guide §2.6) — the r19 reason to keep
+    * compaction sequential (a session-global conf flip) is gone.
     */
   def rewriteBucketed(
       spark: SparkSession,
@@ -150,8 +164,9 @@ object Bucketing {
       spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
       return
     }
-    forceBucketedScan(spark) {
-      writeBucketed(transform(spark.table(table)), tmp, key, numBuckets)
+    val sub = spark.newSession()
+    forceBucketedScan(sub) {
+      writeBucketed(transform(sub.table(table)), tmp, key, numBuckets)
     }
     spark.sql(s"DROP TABLE `$table`")
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")

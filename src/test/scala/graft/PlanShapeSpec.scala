@@ -248,48 +248,57 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), "a6 must not shuffle — it is map-only")
   }
 
-  test("c4 cluster quality rides the packed argmin; separation is " +
+  /** r20: the corpus-wide nearest-centroid assignment is ROW-LOCAL
+    * (Similarity.rowArgminPk — a fold over the one-row broadcast centroid
+    * array): no corpus-keyed argmin aggregation, no assignment re-attach
+    * join, no window — nothing vector-keyed may shuffle at all. The
+    * positive signals are the one-row array attach (BroadcastNestedLoop)
+    * and the exact-decimal distance inside the fold.
+    */
+  private def assertRowLocalAssignment(q: String, p: String): Unit = {
+    assert(!p.contains("Exchange hashpartitioning(vec_id"),
+      s"$q must not shuffle vector-keyed rows — assignment is row-local")
+    assert(!p.contains("Exchange hashpartitioning(cid"),
+      s"$q must not shuffle vector-keyed rows — assignment is row-local")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"$q lost the one-row centroid-array attach")
+    assert(p.contains("sea_fargmin_pk"),
+      s"$q lost the codegen'd row-local packed argmin")
+    assert("\\bWindow\\b".r.findAllIn(p).isEmpty, s"$q must not window")
+  }
+
+  test("c4 cluster quality assigns row-locally; separation is " +
       "k-bounded and broadcast") {
     // the per-vector (centroid, winning-d2) decode must come from the
-    // packed-long MIN's own bits (map-side partial HashAggregate) — a
-    // second corpus pass or a window rank would double the dominant cost;
+    // row-local packed argmin's own bits — a second corpus pass, a
+    // corpus-keyed agg or a window rank would double the dominant cost;
     // the k² separation table must broadcast (it is k-bounded at any
     // corpus size)
     val p = planOf("c4_cluster_quality")
-    assert(nodeBlocks(p).exists { case (n, b) =>
-      n == "HashAggregate" && b.contains("partial_min") && b.contains("d2r")
-    }, "c4 assignment lost its map-side partial packed-long argmin")
-    assert("\\bWindow\\b".r.findAllIn(p).isEmpty, "c4 must not window")
+    assertRowLocalAssignment("c4", p)
     assert(p.contains("BroadcastHashJoin"),
       "the k-bounded separation join should broadcast")
   }
 
   test("c5's elbow curve reads the corpus ONCE for all k") {
     // the operator's point: three clusterings, one scan — a per-k loop
-    // would plan one embeddings FileScan per k. The tagged centroid union
-    // broadcasts; the argmin keyed by (k, vec) keeps the map-side partial.
+    // would plan one embeddings FileScan per k. The nested centroid sets
+    // ride one broadcast array; per k the argmin folds over its slice.
     val p = planOf("c5_kmeans_elbow")
     val scans = nodeBlocks(p).count { case (n, _) => n == "Scan" }
     assert(scans <= 2, // one corpus scan + the broadcast centroid scan
       s"c5 must not scan the corpus per k (found $scans parquet scans)")
-    assert(nodeBlocks(p).exists { case (n, b) =>
-      n == "HashAggregate" && b.contains("partial_min")
-    }, "c5 lost its map-side partial packed-long argmin")
-    assert("\\bWindow\\b".r.findAllIn(p).isEmpty, "c5 must not window")
+    assertRowLocalAssignment("c5", p)
   }
 
-  test("c6's mini-batch round rides the sampled packed argmin, no window") {
+  test("c6's mini-batch round rides the sampled row-local argmin, no window") {
     // the final round's plan (rounds 1-2 are materialized checkpoints by
     // construction, the c2 discipline): the round-salted md5 sample filter
     // must gate the corpus BEFORE the k-way distance work, the assignment
-    // must stay the map-side partial packed-long argmin, and no rank
-    // window anywhere
+    // must stay row-local, and no rank window anywhere
     val p = planOf("c6_kmeans_minibatch")
     assert(p.contains("md5"), "c6 lost its deterministic sample filter")
-    assert(nodeBlocks(p).exists { case (n, b) =>
-      n == "HashAggregate" && b.contains("partial_min")
-    }, "c6 lost its map-side partial packed-long argmin")
-    assert("\\bWindow\\b".r.findAllIn(p).isEmpty, "c6 must not window")
+    assertRowLocalAssignment("c6", p)
     assert(!p.contains("CartesianProduct"))
   }
 
@@ -942,14 +951,35 @@ class PlanShapeSpec extends AnyFunSuite {
       "eligibility must attach as a shuffled left-semi join")
   }
 
-  test("s5's PQ encoder is a packed-long argmin aggregation, not a window") {
-    // per-(vector, subspace) nearest-of-16 coding must hash-aggregate with
-    // map-side partials (the annIvf packing law) — the row_number form
-    // sort-shuffled corpus × 8 subspace rows (VERDICT r8 #2)
+  test("s5's PQ encoder codes row-locally — no window, no corpus-keyed " +
+      "argmin exchange") {
+    // per-(vector, subspace) nearest-of-16 coding folds over the one-row
+    // codebook array's subspace slice (rowArgminPk, r20) — the row_number
+    // form sort-shuffled corpus × 8 subspace rows (VERDICT r8 #2) and the
+    // packedArgmin agg form still exchanged corpus × 8 (vec, j) rows
     val p = planOf("s5_ann_pq")
-    assert(nodeBlocks(p).exists { case (n, b) =>
-      n == "HashAggregate" && b.contains("partial_min") && b.contains("d2")
-    }, "PQ encoder lost its map-side partial packed-long argmin")
+    assert(!p.contains("Exchange hashpartitioning(vec_id") &&
+      !p.contains("Exchange hashpartitioning(cid"),
+      "s5's encoder must not shuffle vector-keyed rows — codes are row-local")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "s5 lost the one-row codebook-array attach")
+    assert(p.contains("sea_fargmin_pk"),
+      "s5 lost the codegen'd row-local packed argmin")
+  }
+
+  test("s9's composite is map-only from the scan to the ADC aggregation") {
+    // the IVF list id and the PQ codes both leave the corpus scan's own
+    // map stage (r20): the lists/codes argmin exchanges and the
+    // corpus-sized codes⋈lists shuffle join are gone — the first
+    // corpus-sized exchange in the plan is the (qid, cid) ADC agg
+    val p = planOf("s9_ann_ivfpq")
+    assert(!p.contains("Exchange hashpartitioning(vec_id") &&
+      !p.contains("Exchange hashpartitioning(cid"),
+      "s9 must not shuffle vector-keyed rows before the ADC agg")
+    assert(!p.contains("ShuffledHashJoin"),
+      "s9's codes⋈lists shuffle join must stay fused away")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "s9 lost the one-row centroid/codebook-array attach")
   }
 
   test("s3 centroid assignment is an argmin aggregation, not a window sort") {
@@ -958,14 +988,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // k× the corpus (VERDICT r7 #2). What must not exist is any
     // Window/Sort ordered by the assignment distance d2r.
     val p = planOf("s3_ann_ivf")
-    assert(nodeBlocks(p).exists { case (n, b) =>
-      n == "HashAggregate" && b.contains("partial_min") && b.contains("d2r")
-    }, "assignment lost its map-side partial packed-long argmin")
+    assertRowLocalAssignment("s3", p)
     assert(!nodeBlocks(p).exists { case (n, b) =>
       (n.contains("Window") || n.contains("Sort")) && b.contains("d2r")
     }, "assignment regressed to a window/sort over the corpus crossJoin " +
       "(min_by's struct ordering falls back to SortAggregate — keep the " +
-      "packed-long min)")
+      "row-local packed min)")
   }
 
   test("c2's Lloyd rounds re-enter an identical plan round over round") {
@@ -987,11 +1015,7 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shape(r1) == shape(r2),
       s"round 2 plans differently from round 1:\n${shape(r1)}\n${shape(r2)}")
     val p = planOf("c2_kmeans_lloyd")
-    assert(nodeBlocks(p).exists { case (n, b) =>
-      n == "HashAggregate" && b.contains("partial_min") && b.contains("d2r")
-    }, "c2 assignment lost its map-side partial packed-long argmin")
-    assert("\\bWindow\\b".r.findAllIn(p).isEmpty,
-      "c2 must not rank through a window")
+    assertRowLocalAssignment("c2", p)
   }
 
   test("s7 index build keeps exactly one argmin row per vector") {
